@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Tuned SparkSession factory — the engine's entry point.
+  *
+  * Analog of the reference's connection layer
+  * (reference: src/Database/PostgreSQL/Stream/Connection.hs:29-71):
+  * where pgstream opens a pooled libpq connection, a Spark engine opens a
+  * session. Pooling/stripes have no analog — Spark owns executor
+  * lifecycle; the tuning knobs that matter at 100 TB are shuffle
+  * parallelism, AQE (runtime re-plan, skew-join splitting) and a stable
+  * UTC session timezone for deterministic timestamp semantics.
+  */
+object GraftSession {
+
+  /** Defaults chosen for the local[32] harness; on a real cluster the
+    * same builder is used with master/memory set by spark-submit and
+    * shuffle.partitions sized to ~2-3x total cores.
+    */
+  def builder(cores: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS) which Spark has no type
+      // for; read as Long (ns since epoch) and convert explicitly.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(cores: Int = 32): SparkSession = {
+    val s = builder(cores).master(s"local[$cores]").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,13 +1,25 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{AsOfJoin, RangeJoin, Relational, Templates}
+import graft.streaming.{Cdc, EventStreams}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (Example.hs analog) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q03JoinFlagship(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.defs ++ Templates.defs ++ AsOfJoin.defs ++ RangeJoin.defs ++
+      Cdc.defs ++ EventStreams.defs
+
+  /** DuckDB-runnable oracle SQL per query key (same aliases, same
+    * ordering, same rounding as the Spark side).
+    */
+  def oracleSql: Map[String, String] =
+    Relational.oracles ++ Templates.oracles ++ AsOfJoin.oracles ++
+      RangeJoin.oracles ++ Cdc.oracles ++ EventStreams.oracles
 }

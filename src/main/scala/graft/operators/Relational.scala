@@ -1,0 +1,457 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The relational operator suite — the SQL surface a pgstream user runs
+  * through `query`/`stream` (reference: README.md:86-116, Example.hs:22-40
+  * show the shapes: multi-way joins, BETWEEN range predicates,
+  * EXTRACT(EPOCH …), ORDER BY, LIMIT splices, aggregation).
+  *
+  * Every operator is fully declarative (DataFrame API) so Catalyst gets
+  * pushdown/pruning/join-reordering for free; scale notes are on each
+  * operator. Each `defs` entry has a DuckDB oracle in `oracles` with
+  * identical aliases, deterministic ORDER BY, and doubles rounded on both
+  * sides (order-dependent float reductions differ in final ulps between
+  * engines; rounding absorbs that).
+  */
+object Relational {
+
+  /** B1: grouped aggregation with map-side partial agg (TPC-H Q1 shape).
+    * Scale: partial aggregation means the shuffle carries one row per
+    * (flag,status) per task, not per input row.
+    */
+  def q01Agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** B-/A2: scan + filter + project. The predicates and the 4-column
+    * projection reach the parquet reader (PushedFilters / ReadSchema)
+    * so at 100 TB only matching row groups and 4 columns are read.
+    */
+  def q02FilterProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-07-01") &&
+        col("l_discount") > 0.05)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_extendedprice"), col("l_discount"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** B2: the flagship Example.hs:22-40 analog — fact⋈fact⋈dim with
+    * BETWEEN range predicates, EXTRACT(EPOCH) projection, ORDER BY.
+    * Scale: customer dim filtered then broadcast; orders/lineitem
+    * shuffle-join on orderkey (co-partitioned by the join key).
+    */
+  def q03JoinFlagship(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate").between(lit("1996-01-01"), lit("1997-12-31")) &&
+        col("o_totalprice").between(0, 400000))
+    val li = t(s, dir, "lineitem")
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .select(col("o_orderkey"), epochS(col("o_orderdate")).as("day"), col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** B3: star-schema dim joins — dims broadcast explicitly, zero shuffle
+    * of the fact side.
+    */
+  def q04JoinBroadcast(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("sum_bal"))
+      .orderBy("r_name", "n_name")
+
+  /** B4: EXISTS as left-semi join (no row duplication, build side only
+    * carries the key).
+    */
+  def q05JoinSemi(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem").filter(col("l_quantity") > 45).select("l_orderkey")
+    t(s, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** B5: NOT EXISTS as left-anti join. */
+  def q06JoinAnti(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  /** B6: LEFT OUTER join + null-aware aggregation. */
+  def q07JoinOuter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("total_spent"))
+      .orderBy("c_custkey")
+
+  /** B7: window functions — ranking, lag and a running (frame) sum.
+    * The window ORDER BY is fully tie-broken so the running sum is
+    * deterministic across engines. Scale: one shuffle on the partition
+    * key, sort within partitions only.
+    */
+  def q08Window(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    t(s, dir, "lineitem")
+      .filter(col("l_suppkey") <= 25)
+      .select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_quantity"),
+        row_number().over(w).as("rn"),
+        lag("l_quantity", 1).over(w).as("prev_qty"),
+        round(sum("l_quantity").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("running_qty"))
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
+  /** B8: global top-k — planned as TakeOrderedAndProject (per-partition
+    * heap + driver merge), never a full global sort.
+    */
+  def q09TopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .limit(100)
+
+  /** B9: DISTINCT aggregation (expand + two-phase hash agg). */
+  def q10Distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  /** B10: UNION ALL + grouped count. */
+  def q11Union(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").cast("long").as("nationkey"))
+      .unionAll(t(s, dir, "supplier").select(col("s_nationkey").cast("long").as("nationkey")))
+      .groupBy("nationkey").agg(count(lit(1)).as("n"))
+      .orderBy("nationkey")
+
+  /** B11: ROLLUP (grouping-sets expansion, single shuffle). */
+  def q12Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"))
+      .agg(round(sum("c_acctbal"), 2).as("sum_bal"), count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("n_name"))
+
+  /** B12: scalar subquery (broadcast single-row join) + IN subquery
+    * (left-semi). The scalar aggregate is broadcast, not collected.
+    */
+  def q13Subquery(s: SparkSession, dir: String): DataFrame = {
+    val avgBal = t(s, dir, "customer").agg(avg("c_acctbal").as("avg_bal"))
+    val bigOrderCust = t(s, dir, "orders")
+      .filter(col("o_totalprice") > 300000).select("o_custkey")
+    t(s, dir, "customer")
+      .join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(bigOrderCust, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_acctbal"))
+      .orderBy("c_custkey")
+  }
+
+  /** B13: CASE WHEN banding + conditional aggregation (codegen'd). */
+  def q14CaseExpr(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("band",
+        when(col("o_totalprice") < 50000, "low")
+          .when(col("o_totalprice") < 150000, "mid")
+          .otherwise("high"))
+      .groupBy("band")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("n_urgent"),
+        round(avg("o_totalprice"), 2).as("avg_price"))
+      .orderBy("band")
+
+  /** B14: datetime kernel — EXTRACT year/month, date_trunc, epoch
+    * seconds (Example.hs:26 `EXTRACT(EPOCH FROM deltas.day)`).
+    */
+  def q15Datetime(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        epochS(date_trunc("month", col("o_orderdate"))).as("month_start"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("y", "m")
+
+  /** B15/A5: array-column kernel — the float4[] path the reference hand
+    * wrote C for (reference: FromRow.hs:305-318, cbits/array_conversion.c).
+    * Native ArrayType + higher-order functions stay inside codegen.
+    */
+  def q16Array(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        element_at(col("embedding"), 1).as("first_elem"),
+        round(aggregate(transform(col("embedding"), x => x.cast("double")),
+          lit(0.0), (acc, x) => acc + x * x), 4).as("sq_norm"),
+        col("label").cast("long").as("label"))
+      .orderBy("vec_id")
+
+  /** B16: deterministic batch pagination — the `stream`/cursor analog
+    * (reference: Stream.hs:244-277 DECLARE … FETCH FORWARD n). Batch id
+    * is a pure key function, so "pages" are reproducible and parallel
+    * (every executor owns whole pages) instead of a serial cursor.
+    */
+  def q18StreamBatches(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("batch_id", floor(col("o_orderkey") / 500).cast("long"))
+      .groupBy("batch_id")
+      .agg(
+        count(lit(1)).as("n"),
+        min("o_orderkey").as("first_key"),
+        max("o_orderkey").as("last_key"),
+        round(sum("o_totalprice"), 2).as("batch_total"))
+      .orderBy("batch_id")
+
+  /** B15b: sessionization (gaps-and-islands) over the event stream —
+    * lag + cumulative conditional sum, one shuffle on user_id.
+    */
+  def q19Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    val gapMs = 1800000L // 30 min
+    events(s, dir)
+      .withColumn("prev_ts", lag("ts_ms", 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull || col("ts_ms") - col("prev_ts") > gapMs, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("ts_ms").as("sess_start"),
+        max("ts_ms").as("sess_end"),
+        round(sum("value"), 2).as("sess_value"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  /** B16b: skew-resistant salted join. The build side is exploded over
+    * all salt values, the probe side derives a deterministic salt, the
+    * join key becomes (key, salt) — a hot orderkey spreads over 8
+    * reducers. Result is provably identical to the plain join (oracle
+    * is the plain join).
+    */
+  def q20SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val salts = 8
+    val o = t(s, dir, "orders")
+      .withColumn("salt", explode(array((0 until salts).map(i => lit(i)): _*)))
+    val li = t(s, dir, "lineitem")
+      .withColumn("salt", pmod(col("l_linenumber"), lit(salts)))
+    li.join(o, li("l_orderkey") === o("o_orderkey") && li("salt") === o("salt"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** B19: exact interpolated percentiles (matches DuckDB quantile_cont). */
+  def q23Percentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+      .orderBy("l_returnflag")
+
+  /** B20: pivot — conditional wide aggregation with pinned pivot values
+    * (single shuffle; equivalent to FILTER aggregates).
+    */
+  def q24Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum("l_quantity"), 2))
+      .withColumnRenamed("F", "qty_f")
+      .withColumnRenamed("O", "qty_o")
+      .orderBy("l_returnflag")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg" -> q01Agg _,
+    "q02_filter_project" -> q02FilterProject _,
+    "q03_join_flagship" -> q03JoinFlagship _,
+    "q04_join_broadcast" -> q04JoinBroadcast _,
+    "q05_join_semi" -> q05JoinSemi _,
+    "q06_join_anti" -> q06JoinAnti _,
+    "q07_join_outer" -> q07JoinOuter _,
+    "q08_window" -> q08Window _,
+    "q09_topk" -> q09TopK _,
+    "q10_distinct" -> q10Distinct _,
+    "q11_union" -> q11Union _,
+    "q12_rollup" -> q12Rollup _,
+    "q13_subquery" -> q13Subquery _,
+    "q14_case_expr" -> q14CaseExpr _,
+    "q15_datetime" -> q15Datetime _,
+    "q16_array" -> q16Array _,
+    "q18_stream_batches" -> q18StreamBatches _,
+    "q19_sessionize" -> q19Sessionize _,
+    "q20_salted_join" -> q20SaltedJoin _,
+    "q23_percentile" -> q23Percentile _,
+    "q24_pivot" -> q24Pivot _)
+
+  val oracles: Map[String, String] = Map(
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS sum_disc_price,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_extendedprice),4) AS avg_price,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        | l_extendedprice, l_discount
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-07-01' AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_join_flagship" ->
+      """SELECT o_orderkey,
+        | CAST(extract(epoch FROM o_orderdate) AS BIGINT) AS day,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue
+        |FROM orders
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+        |  AND o_totalprice BETWEEN 0 AND 400000
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q04_join_broadcast" ->
+      """SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal),2) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q05_join_semi" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q06_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q07_join_outer" ->
+      """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+        | round(coalesce(sum(o_totalprice), 0.0),2) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1,2 ORDER BY c_custkey""".stripMargin,
+    "q08_window" ->
+      """SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        | l_quantity,
+        | row_number() OVER w AS rn,
+        | lag(l_quantity, 1) OVER w AS prev_qty,
+        | round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_qty
+        |FROM lineitem
+        |WHERE l_suppkey <= 25
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |ORDER BY l_suppkey, rn""".stripMargin,
+    "q09_topk" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q10_distinct" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q11_union" ->
+      """SELECT nationkey, count(*) AS n FROM (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        |  UNION ALL
+        |  SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+        |) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q12_rollup" ->
+      """SELECT n_name, round(sum(c_acctbal),2) AS sum_bal, count(*) AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name) ORDER BY n_name NULLS FIRST""".stripMargin,
+    "q13_subquery" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        |  AND c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q14_case_expr" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+        |  WHEN o_totalprice < 150000 THEN 'mid' ELSE 'high' END AS band,
+        | count(*) AS n,
+        | sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS n_urgent,
+        | round(avg(o_totalprice),2) AS avg_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q15_datetime" ->
+      """SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS y,
+        | CAST(extract(month FROM o_orderdate) AS BIGINT) AS m,
+        | CAST(extract(epoch FROM date_trunc('month', o_orderdate)) AS BIGINT) AS month_start,
+        | count(*) AS n, round(sum(o_totalprice),2) AS total
+        |FROM orders GROUP BY 1,2,3 ORDER BY 1,2""".stripMargin,
+    "q16_array" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        | embedding[1] AS first_elem,
+        | round(list_sum(list_transform(embedding,
+        |   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),4) AS sq_norm,
+        | CAST(label AS BIGINT) AS label
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q18_stream_batches" ->
+      """SELECT CAST(floor(o_orderkey / 500) AS BIGINT) AS batch_id,
+        | count(*) AS n, min(o_orderkey) AS first_key, max(o_orderkey) AS last_key,
+        | round(sum(o_totalprice),2) AS batch_total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q19_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_ms(ts) AS ts_ms FROM events
+        |), flagged AS (
+        |  SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+        |      OR ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        |), sess AS (
+        |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged
+        |)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        | count(*) AS n_events, min(ts_ms) AS sess_start, max(ts_ms) AS sess_end,
+        | round(sum(value),2) AS sess_value
+        |FROM sess GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q20_salted_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q23_percentile" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.25),4) AS p25,
+        | round(quantile_cont(l_extendedprice, 0.5),4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.75),4) AS p75
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q24_pivot" ->
+      """SELECT l_returnflag,
+        | round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'),2) AS qty_f,
+        | round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'),2) AS qty_o
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+}

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.t
+
+/** Postgres CDC consumption — the engine-side analog of the reference's
+  * north-star use (pgstream feeds Postgres changes into a compute
+  * pipeline; reference: README.md:10-14). The wire protocol itself is
+  * external to Spark; what the engine owns is (a) decoding a
+  * Debezium-style change envelope (op/ts_ms/before/after — the public
+  * JSON shape emitted by Debezium's Postgres connector) and (b) applying
+  * the change stream to arrive at current table state.
+  *
+  * Scale: apply = one shuffle on the primary key; `row_number() = 1` by
+  * (ts desc) is the standard latest-wins merge and AQE handles hot keys.
+  * The same code runs under Structured Streaming `foreachBatch` for
+  * incremental application.
+  */
+object Cdc {
+
+  val envelopeSchema: StructType = StructType(Seq(
+    StructField("op", StringType),
+    StructField("ts_ms", LongType),
+    StructField("before", StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_totalprice", DoubleType)))),
+    StructField("after", StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_totalprice", DoubleType))))))
+
+  /** Deterministic synthetic change stream derived from `orders`:
+    * every key gets a snapshot read ('r'); keys %7==0 get an update
+    * ('u', price*2 — exact in binary FP, so Spark and DuckDB round
+    * identically); keys %11==0 get a delete ('d'). Emitted as JSON
+    * envelope STRINGS so the decode path is real.
+    */
+  def syntheticEnvelopes(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+    val snapshot = o.select(to_json(struct(
+      lit("r").as("op"),
+      (col("o_orderkey") * 10).as("ts_ms"),
+      lit(null).cast(envelopeSchema("before").dataType).as("before"),
+      struct(col("o_orderkey"), col("o_totalprice")).as("after"))).as("envelope"))
+    val updates = o.filter(col("o_orderkey") % 7 === 0)
+      .select(to_json(struct(
+        lit("u").as("op"),
+        (col("o_orderkey") * 10 + 1).as("ts_ms"),
+        struct(col("o_orderkey"), col("o_totalprice")).as("before"),
+        struct(col("o_orderkey"), (col("o_totalprice") * 2.0).as("o_totalprice")).as("after"))).as("envelope"))
+    val deletes = o.filter(col("o_orderkey") % 11 === 0)
+      .select(to_json(struct(
+        lit("d").as("op"),
+        (col("o_orderkey") * 10 + 2).as("ts_ms"),
+        struct(col("o_orderkey"), col("o_totalprice")).as("before"),
+        lit(null).cast(envelopeSchema("after").dataType).as("after"))).as("envelope"))
+    snapshot.unionByName(updates).unionByName(deletes)
+  }
+
+  /** Decode JSON envelopes into typed change rows. */
+  def decode(envelopes: DataFrame): DataFrame =
+    envelopes
+      .select(from_json(col("envelope"), envelopeSchema).as("e"))
+      .select(
+        col("e.op").as("op"),
+        col("e.ts_ms").as("ts_ms"),
+        coalesce(col("e.after.o_orderkey"), col("e.before.o_orderkey")).as("o_orderkey"),
+        col("e.after.o_totalprice").as("o_totalprice"))
+
+  /** Latest-wins merge: keep each key's most recent op; deletes remove
+    * the key from current state.
+    */
+  def applyChanges(changes: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_orderkey").orderBy(col("ts_ms").desc)
+    changes
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("op") =!= "d")
+      .select(
+        col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        col("op").as("last_op"))
+  }
+
+  /** A6 `c01_cdc_apply`: encode → decode → apply, end to end. */
+  def c01CdcApply(s: SparkSession, dir: String): DataFrame =
+    applyChanges(decode(syntheticEnvelopes(s, dir))).orderBy("o_orderkey")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] =
+    Map("c01_cdc_apply" -> c01CdcApply _)
+
+  val oracles: Map[String, String] = Map(
+    "c01_cdc_apply" ->
+      """SELECT o_orderkey,
+        |  round(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2.0
+        |             ELSE o_totalprice END, 2) AS price,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN 'u' ELSE 'r' END AS last_op
+        |FROM orders
+        |WHERE o_orderkey % 11 <> 0
+        |ORDER BY o_orderkey""".stripMargin)
+}
