@@ -21,6 +21,7 @@ object GraftSession {
   def builder(cores: Int = 32): SparkSession.Builder =
     SparkSession.builder()
       .appName("graft")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

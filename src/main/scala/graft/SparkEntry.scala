@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{AsOfJoin, RangeJoin, Relational, Templates}
+import graft.pipeline.{Ann, Dedup, Multimodal, TextOps}
 import graft.streaming.{Cdc, EventStreams}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -14,12 +15,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ Templates.defs ++ AsOfJoin.defs ++ RangeJoin.defs ++
-      Cdc.defs ++ EventStreams.defs
+      Cdc.defs ++ EventStreams.defs ++
+      Dedup.defs ++ Ann.defs ++ TextOps.defs ++ Multimodal.defs
 
   /** DuckDB-runnable oracle SQL per query key (same aliases, same
     * ordering, same rounding as the Spark side).
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Templates.oracles ++ AsOfJoin.oracles ++
-      RangeJoin.oracles ++ Cdc.oracles ++ EventStreams.oracles
+      RangeJoin.oracles ++ Cdc.oracles ++ EventStreams.oracles ++
+      Dedup.oracles ++ Ann.oracles ++ TextOps.oracles ++ Multimodal.oracles
 }

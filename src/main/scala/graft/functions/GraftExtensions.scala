@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL registration of the custom expressions via the public
+  * SparkSessionExtensions hook (`spark.sql.extensions=graft.functions.
+  * GraftExtensions`, set by GraftSession) — `spark.sql("cosine_sim(…)")`
+  * and the QueryBuilder template path see the same functions the Column
+  * API exposes.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _)  => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  private def litLong(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _)  => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def info(name: String, usage: String) =
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays"),
+      (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(tokens, k) - k-permutation MinHash signature"),
+      (args: Seq[Expression]) => MinHashSig(args(0), litInt(args(1), "k"))))
+
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token set"),
+      (args: Seq[Expression]) => SimHash64(args(0))))
+
+    ext.injectFunction((FunctionIdentifier("lsh_bucket"),
+      info("lsh_bucket", "lsh_bucket(vec, nbits, seed) - random-hyperplane LSH bucket"),
+      (args: Seq[Expression]) =>
+        LshBucket(args(0), litInt(args(1), "nbits"), litLong(args(2), "seed"))))
+  }
+}

@@ -1,0 +1,110 @@
+package graft.functions
+
+/** Scalar kernels behind the custom Catalyst expressions.
+  *
+  * These are the Spark analog of the reference's hand-written C decode
+  * kernels (reference: cbits/array_conversion.c, FromRow.hs:305-318): tight
+  * primitive-array loops, no allocation beyond the result, callable from
+  * whole-stage-generated Java (`static`-style calls on this object).
+  *
+  * All hashing is seeded splitmix64/FNV — deterministic across JVMs and
+  * executors (no `Random`, no object identity), which is what makes the
+  * MinHash/SimHash/LSH operators reproducible cluster-wide.
+  */
+object Kernels {
+
+  /** Cosine similarity of two float vectors, accumulated in double in
+    * index order — matches DuckDB's list_cosine_similarity evaluation
+    * order so oracle comparisons agree to the last ulp before rounding.
+    */
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** splitmix64 finalizer — full-avalanche 64-bit mix. */
+  @inline def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** FNV-1a 64 over UTF-8 bytes, then avalanched. */
+  def hash64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L; i += 1 }
+    mix64(h)
+  }
+
+  /** MinHash signature: k per-seed minima over the token set.
+    * One base hash per token, then k cheap mixes — O(n + n·k) with no
+    * per-seed re-hash of the bytes.
+    */
+  def minhashSig(tokens: Array[Array[Byte]], k: Int): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    var t = 0
+    while (t < tokens.length) {
+      val h = hash64(tokens(t))
+      var i = 0
+      while (i < k) {
+        val v = mix64(h ^ (i * 0x9e3779b97f4a7c15L))
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      t += 1
+    }
+    sig
+  }
+
+  /** 64-bit SimHash over a token multiset: per-bit vote of each token's
+    * hash, sign-packed. Near-identical token sets → small Hamming distance.
+    */
+  def simhash64(tokens: Array[Array[Byte]]): Long = {
+    val votes = new Array[Int](64)
+    var t = 0
+    while (t < tokens.length) {
+      val h = hash64(tokens(t))
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (votes(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  /** Random-hyperplane LSH bucket: nbits sign projections of `vec`
+    * against deterministic ±1 hyperplanes derived from (seed, bit, dim).
+    * sign(v·r) preserves angular similarity (Charikar 2002): collision
+    * probability is 1 - θ/π per bit.
+    */
+  def lshBucket(vec: Array[Float], nbits: Int, seed: Long): Int = {
+    var bucket = 0
+    var j = 0
+    while (j < nbits) {
+      var s = 0.0
+      var d = 0
+      while (d < vec.length) {
+        val r = if ((mix64(seed * 0x100000001b3L + (j.toLong << 32) + d) & 1L) == 1L) 1.0 else -1.0
+        s += vec(d) * r
+        d += 1
+      }
+      if (s >= 0) bucket |= (1 << j)
+      j += 1
+    }
+    bucket
+  }
+}

@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.types._
+
+/** ArrayData-level adapters so generated code is a single static call.
+  * (Scala objects emit static forwarders — whole-stage codegen calls
+  * `graft.functions.ExprKernels.cosineAD(a, b)` directly.)
+  */
+object ExprKernels {
+
+  def cosineAD(a: ArrayData, b: ArrayData): Double =
+    Kernels.cosine(a.toFloatArray(), b.toFloatArray())
+
+  private def tokenBytes(arr: ArrayData): Array[Array[Byte]] = {
+    val n = arr.numElements()
+    val out = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      out(i) = if (s == null) Array.emptyByteArray else s.getBytes
+      i += 1
+    }
+    out
+  }
+
+  def minhashSigAD(tokens: ArrayData, k: Int): ArrayData =
+    new GenericArrayData(Kernels.minhashSig(tokenBytes(tokens), k))
+
+  def simhash64AD(tokens: ArrayData): Long =
+    Kernels.simhash64(tokenBytes(tokens))
+
+  def lshBucketAD(vec: ArrayData, nbits: Int, seed: Long): Int =
+    Kernels.lshBucket(vec.toFloatArray(), nbits, seed)
+}
+
+/** cosine_sim(array<float>, array<float>) → double.
+  *
+  * The engine's float4[] compute analog of the reference's C array
+  * kernels (reference: FromRow.hs:305-318, cbits/array_conversion.c):
+  * where pgstream decodes float4[] fast, graft *computes* over it fast —
+  * a native Catalyst expression with codegen, so the similarity loop sits
+  * inside the whole-stage-generated operator body (no UDF serialization,
+  * no boxing per element).
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExprKernels.cosineAD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprKernels.cosineAD($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** minhash_sig(array<string>, k) → array<bigint>: k-permutation MinHash
+  * signature of a token/shingle set (Broder 1997). Signature equality per
+  * band drives LSH candidate generation — the linear-shuffle alternative
+  * to O(n²) pair enumeration.
+  */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(tokens: Any): Any =
+    ExprKernels.minhashSigAD(tokens.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.minhashSigAD($c, $k)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** simhash64(array<string>) → bigint: 64-bit SimHash (Charikar 2002) of a
+  * token multiset; near-duplicate docs land within a small Hamming radius.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(tokens: Any): Any =
+    ExprKernels.simhash64AD(tokens.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.simhash64AD($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** lsh_bucket(array<float>, nbits, seed) → int: random-hyperplane LSH
+  * bucket id. Vectors in the same bucket are angularly close with
+  * probability (1 - θ/π)^nbits — the candidate-generation key for
+  * approximate nearest-neighbor search at scale.
+  */
+case class LshBucket(child: Expression, nbits: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "lsh_bucket"
+
+  override protected def nullSafeEval(vec: Any): Any =
+    ExprKernels.lshBucketAD(vec.asInstanceOf[ArrayData], nbits, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.lshBucketAD($c, $nbits, ${seed}L)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Column-API surface for the custom expressions (plus SQL names via
+  * [[GraftExtensions]]). These compose with any DataFrame code exactly
+  * like `org.apache.spark.sql.functions` builtins.
+  */
+object functions {
+  private def lit(e: Column): Expression = GraftShim.expression(e)
+
+  def cosine_sim(a: Column, b: Column): Column =
+    GraftShim.column(CosineSim(lit(a), lit(b)))
+
+  def minhash_sig(tokens: Column, k: Int): Column =
+    GraftShim.column(MinHashSig(lit(tokens), k))
+
+  def simhash64(tokens: Column): Column =
+    GraftShim.column(SimHash64(lit(tokens)))
+
+  def lsh_bucket(vec: Column, nbits: Int, seed: Long): Column =
+    GraftShim.column(LshBucket(lit(vec), nbits, seed))
+}

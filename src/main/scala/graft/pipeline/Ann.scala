@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.functions.{cosine_sim, lsh_bucket}
+
+/** Similarity search over the embedding column (SURVEY §2 C6-C7).
+  *
+  * s01 is the exact baseline: broadcast the (small) query set across the
+  * scan — the corpus side is never shuffled until the per-query top-k.
+  * s02 is the 100 TB path: multi-table random-hyperplane LSH turns the
+  * n×m score matrix into per-bucket equi-join candidates; recall is
+  * tuned by (tables × bits) and measured in AnnSpec against s01.
+  */
+object Ann {
+
+  val K = 10          // neighbors per query
+  val NQueries = 10   // query vectors: vec_id < 10
+
+  /** C6: exact top-k cosine neighbors. Plan: parquet scan →
+    * BroadcastNestedLoopJoin against the broadcast query set → codegen
+    * cosine (custom expression) → rank window partitioned by query.
+    * The only shuffle carries (corpus × queries) scored rows hashed on
+    * q_id; at scale, chunk the query set and/or pre-prune with an
+    * approximate similarity threshold before the window.
+    */
+  def s01AnnBruteforce(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.where(col("vec_id") < NQueries).select(
+      col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine_sim(col("embedding"), col("q_vec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= K)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** C7: approximate NN via random-hyperplane LSH: 8 tables × 6-bit
+    * buckets (collision prob per pair = (1-θ/π)^6 per table). Candidate
+    * generation is an equi-join on (table, bucket) — linear shuffle,
+    * corpus scanned once, never paired all-against-all. Exact cosine +
+    * top-k then run on candidates only. Same output shape as s01;
+    * AnnSpec measures recall@10 vs the exact baseline.
+    */
+  def s02AnnLsh(s: SparkSession, dir: String,
+                tables: Int = 8, bits: Int = 6): DataFrame = {
+    val e = emb(s, dir)
+
+    def bucketed(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+      df.select(col(idCol), col(vecCol),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("tbl"),
+            lsh_bucket(col(vecCol), bits, 1000L + t).as("bkt"))): _*)).as("tb"))
+        .select(col(idCol), col(vecCol), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+
+    val corpus = bucketed(e.select(col("vec_id"), col("embedding")), "vec_id", "embedding")
+    val queries = bucketed(
+      e.where(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+      "q_id", "q_vec")
+
+    val cand = corpus.join(broadcast(queries), Seq("tbl", "bkt"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select("q_id", "q_vec", "vec_id", "embedding")
+      .dropDuplicates("q_id", "vec_id")
+
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .withColumn("cos", cosine_sim(col("embedding"), col("q_vec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= K)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_ann_bruteforce" -> s01AnnBruteforce _,
+    "s02_ann_lsh" -> ((s, dir) => s02AnnLsh(s, dir)))
+
+  /** s02 is rows-only: its result depends on the LSH bucketing, which is
+    * not SQL-expressible; AnnSpec holds its recall gate.
+    */
+  val oracles: Map[String, String] = Map(
+    "s01_ann_bruteforce" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10
+        |), scored AS (
+        |  SELECT q_id, vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(q_vec AS DOUBLE[])) AS cos
+        |  FROM embeddings, q WHERE vec_id <> q_id
+        |), ranked AS (
+        |  SELECT q_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank,
+        |    neighbor_id, cos
+        |  FROM scored
+        |)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+        |  round(cos, 6) AS cos_sim
+        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)
+}

@@ -1,0 +1,159 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis operators (SURVEY §2 C8-C11): language ID, quality
+  * scoring, token counting, document fingerprinting.
+  *
+  * All four are pure column expressions over builtins — fully inside
+  * whole-stage codegen, no UDFs, no shuffle except the final
+  * deterministic ORDER BY (which exists only for the oracle compare; the
+  * pipeline form is the unsorted projection). At 100 TB these run at
+  * parquet scan speed with the `text` column as the only wide read.
+  */
+object TextOps {
+
+  private val enStops = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val deStops = Seq("der", "die", "das", "und", "ist", "nicht")
+  private val frStops = Seq("le", "les", "et", "est", "une", "dans")
+  private val esStops = Seq("el", "los", "las", "es", "y", "una")
+
+  private def stopCount(toks: Column, stops: Seq[String]): Column =
+    size(filter(toks, t => t.isin(stops.map(x => x: Any): _*))).cast("long")
+
+  /** C8: language ID via stopword evidence — the classic cheap n-gram
+    * heuristic's first stage, chosen because it is expressible
+    * identically in ANSI SQL (the DuckDB oracle runs the same scoring),
+    * making correctness machine-checkable. Tie-break priority is fixed
+    * (en > de > fr > es); docs with zero evidence → 'und'. TextSpec
+    * additionally property-tests real multilingual snippets.
+    */
+  def t01LangId(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    docs(s, dir)
+      .select(col("doc_id"),
+        stopCount(toks, enStops).as("en_n"),
+        stopCount(toks, deStops).as("de_n"),
+        stopCount(toks, frStops).as("fr_n"),
+        stopCount(toks, esStops).as("es_n"))
+      .withColumn("pred_lang",
+        when(col("en_n") >= col("de_n") && col("en_n") >= col("fr_n") &&
+          col("en_n") >= col("es_n") && col("en_n") > 0, "en")
+          .when(col("de_n") >= col("fr_n") && col("de_n") >= col("es_n") &&
+            col("de_n") > 0, "de")
+          .when(col("fr_n") >= col("es_n") && col("fr_n") > 0, "fr")
+          .when(col("es_n") > 0, "es")
+          .otherwise("und"))
+      .orderBy("doc_id")
+  }
+
+  /** C9: document quality scoring — length, lexical diversity, stopword
+    * density, word-length shape. The score is a fixed linear blend, so
+    * filtering `quality >= θ` is a plain pushable predicate at scale.
+    */
+  def t02QualityScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    docs(s, dir)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("len_chars"),
+        size(toks).cast("long").as("n_words"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        stopCount(toks, enStops).as("n_stop"))
+      .withColumn("avg_word_len",
+        round(((col("len_chars") - col("n_words") + 1L) * lit(1.0)) / col("n_words"), 4))
+      .withColumn("distinct_ratio", round(col("n_distinct") * lit(1.0) / col("n_words"), 4))
+      .withColumn("stop_ratio", round(col("n_stop") * lit(1.0) / col("n_words"), 4))
+      .withColumn("quality",
+        round(lit(0.4) * (col("n_distinct") * lit(1.0) / col("n_words")) +
+          lit(0.4) * (lit(1.0) - col("n_stop") * lit(1.0) / col("n_words")) +
+          lit(0.2) * least(col("n_words") * lit(1.0) / 100.0, lit(1.0)), 4))
+      .orderBy("doc_id")
+  }
+
+  /** C10: token counting — whitespace tokens plus a BPE-ish regex pass
+    * ([a-z]+ | digit runs | single punctuation), the standard cheap
+    * proxy for LLM token budgets. regexp_extract_all is a native
+    * codegen'd expression; the pattern is RE2-and-Java compatible so
+    * the oracle tokenizes identically.
+    */
+  def t03TokenCount(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), " +")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast("long").as("re_tokens"),
+        length(col("text")).cast("long").as("len_chars"))
+      .withColumn("chars_per_token",
+        round(col("len_chars") * lit(1.0) / col("ws_tokens"), 4))
+      .orderBy("doc_id")
+
+  /** C11: content fingerprint — normalize (lower, strip non-alnum,
+    * collapse whitespace) then md5. The normalized-hash groupBy is the
+    * near-exact dedup key used before the fuzzier MinHash passes; a
+    * rolling-hash shingle variant is exercised in TextSpec.
+    */
+  def t04Fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        md5(trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", " "), " +", " ")).cast("binary")).as("fingerprint"),
+        length(col("text")).cast("long").as("len_chars"))
+      .orderBy("doc_id")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_lang_id" -> t01LangId _,
+    "t02_quality_score" -> t02QualityScore _,
+    "t03_token_count" -> t03TokenCount _,
+    "t04_fingerprint" -> t04Fingerprint _)
+
+  private def listLit(stops: Seq[String]): String =
+    stops.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  val oracles: Map[String, String] = Map(
+    "t01_lang_id" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |    len(list_filter(string_split(text, ' '), t -> list_contains(${listLit(enStops)}, t))) AS en_n,
+         |    len(list_filter(string_split(text, ' '), t -> list_contains(${listLit(deStops)}, t))) AS de_n,
+         |    len(list_filter(string_split(text, ' '), t -> list_contains(${listLit(frStops)}, t))) AS fr_n,
+         |    len(list_filter(string_split(text, ' '), t -> list_contains(${listLit(esStops)}, t))) AS es_n
+         |  FROM documents
+         |)
+         |SELECT doc_id, en_n, de_n, fr_n, es_n,
+         |  CASE WHEN en_n >= de_n AND en_n >= fr_n AND en_n >= es_n AND en_n > 0 THEN 'en'
+         |       WHEN de_n >= fr_n AND de_n >= es_n AND de_n > 0 THEN 'de'
+         |       WHEN fr_n >= es_n AND fr_n > 0 THEN 'fr'
+         |       WHEN es_n > 0 THEN 'es'
+         |       ELSE 'und' END AS pred_lang
+         |FROM scored ORDER BY doc_id""".stripMargin,
+    "t02_quality_score" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, length(text) AS len_chars,
+         |    len(string_split(text, ' ')) AS n_words,
+         |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         |    len(list_filter(string_split(text, ' '), t -> list_contains(${listLit(enStops)}, t))) AS n_stop
+         |  FROM documents
+         |)
+         |SELECT doc_id, len_chars, n_words, n_distinct, n_stop,
+         |  round((len_chars - n_words + 1) * 1.0 / n_words, 4) AS avg_word_len,
+         |  round(n_distinct * 1.0 / n_words, 4) AS distinct_ratio,
+         |  round(n_stop * 1.0 / n_words, 4) AS stop_ratio,
+         |  round(0.4 * (n_distinct * 1.0 / n_words) +
+         |        0.4 * (1.0 - n_stop * 1.0 / n_words) +
+         |        0.2 * least(n_words * 1.0 / 100.0, 1.0), 4) AS quality
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "t03_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), ' +')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens,
+        |  length(text) AS len_chars,
+        |  round(length(text) * 1.0 / len(string_split_regex(trim(text), ' +')), 4) AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t04_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fingerprint,
+        |  length(text) AS len_chars
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

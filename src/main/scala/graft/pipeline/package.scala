@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators (SURVEY §2C): dedup, similarity
+  * search, text analysis, multimodal plumbing — the operations a
+  * 100 TB LLM-corpus build runs on top of the relational engine.
+  *
+  * Shared column builders live here so every operator tokenizes and
+  * shingles identically (and identically to the DuckDB oracles).
+  */
+package object pipeline {
+
+  def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Whitespace tokens — single-space corpus; split(' ') matches
+    * DuckDB string_split(text, ' ') exactly.
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word 3-gram shingles. Declarative (sequence+transform stay
+    * native expressions — no UDF); guarded because Spark's sequence(1, 0)
+    * counts *down* while DuckDB's generate_series(1, 0) is empty.
+    */
+  def wordTrigrams(toks: Column): Column =
+    when(size(toks) >= 3,
+      array_distinct(transform(sequence(lit(1), size(toks) - 2), i =>
+        concat_ws(" ",
+          element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+}

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the `private[sql]` Column↔Expression converters (Spark 4.x
+  * moved Column onto ColumnNode; classic.ExpressionUtils is the sanctioned
+  * internal conversion). Lives in the org.apache.spark.sql package purely
+  * for access; graft code calls it via graft.functions.functions.
+  */
+object GraftShim {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
