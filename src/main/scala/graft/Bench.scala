@@ -1,41 +1,76 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line for the driver.
+  * prints ONE JSON line for the driver (also written to bench.json —
+  * stdout is interleaved with sbt/spark logging, the file is clean).
+  *
+  * Failures are never swallowed: a failing query records `-1` wall time
+  * and its error in the `errors` field, so a broken query can't make
+  * the bench look *faster*.
   */
 object Bench {
 
   /** Representative, scale-stressing subset (full suite runs in Verify):
     * scan+agg, shuffles, broadcast + shuffle joins, windows, arrays,
-    * as-of/range custom operators, CDC apply, stream-window twin.
+    * as-of/range custom operators, CDC apply, stream-window twin, and
+    * the pipeline operators (dedup/LSH/ANN/text).
     */
   val headline: Seq[String] = Seq(
     "q01_agg", "q02_filter_project", "q03_join_flagship", "q04_join_broadcast",
     "q07_join_outer", "q08_window", "q09_topk", "q16_array",
     "q19_sessionize", "q21_asof_join", "q22_range_join",
-    "c01_cdc_apply", "st01_stream_window")
+    "c01_cdc_apply", "st01_stream_window",
+    "d01_dedup_exact", "d02_dedup_minhash", "d04_dedup_ngram",
+    "d05_dedup_embedding", "s01_ann_bruteforce", "s02_ann_lsh",
+    "t02_quality_score", "t04_fingerprint", "m02_decode_batch",
+    "q25_typed_decode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     val spark = GraftSession.builder(cpus).master(s"local[$cpus]").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val qs = headline.filter(SparkEntry.queries.contains)
-    // Warm-up pass (JVM/codegen warm, parquet footers cached) — we
-    // measure steady-state engine throughput, not JIT warmup.
-    qs.take(2).foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
+    // Warm-up pass over EVERY query (JVM/codegen warm, parquet footers
+    // cached) — we measure steady-state engine throughput, not JIT
+    // warmup, and all queries get the same treatment so round-over-
+    // round deltas are comparable.
+    qs.foreach { n =>
+      try SparkEntry.queries(n)(spark, sfDir).count()
+      catch { case _: Throwable => () } // failure re-surfaces (timed + recorded) below
+    }
 
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = qs.map { name =>
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        SparkEntry.queries(name)(spark, sfDir).count()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.next().take(200)
+          name -> -1.0
+      }
     }
-    val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => " "
+        case c => c.toString
+      } + "\""
+    val qjson = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val ejson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"errors":$ejson,"n_failed":${errors.size},"sf":"$sfDir"}"""
+    println(line)
+    Files.writeString(Paths.get(outFile), line + "\n")
+    if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

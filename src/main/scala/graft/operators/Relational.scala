@@ -89,12 +89,19 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
-  /** B5: NOT EXISTS as left-anti join. */
-  def q06JoinAnti(s: SparkSession, dir: String): DataFrame =
+  /** B5: NOT EXISTS as left-anti join. The predicate (no order above
+    * 450k) leaves survivors on both sides so the anti join's
+    * row-production path is actually exercised (every customer has
+    * *some* order in this data — an unfiltered anti join is vacuous).
+    */
+  def q06JoinAnti(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "orders")
+      .filter(col("o_totalprice") > 450000).select("o_custkey")
     t(s, dir, "customer")
-      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
       .orderBy("c_custkey")
+  }
 
   /** B6: LEFT OUTER join + null-aware aggregation. */
   def q07JoinOuter(s: SparkSession, dir: String): DataFrame =
@@ -357,7 +364,8 @@ object Relational {
         |ORDER BY o_orderkey""".stripMargin,
     "q06_join_anti" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
         |ORDER BY c_custkey""".stripMargin,
     "q07_join_outer" ->
       """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,

@@ -29,9 +29,15 @@ object TextOps {
     * (en > de > fr > es); docs with zero evidence → 'und'. TextSpec
     * additionally property-tests real multilingual snippets.
     */
-  def t01LangId(s: SparkSession, dir: String): DataFrame = {
+  def t01LangId(s: SparkSession, dir: String): DataFrame =
+    langIdFrame(docs(s, dir))
+
+  /** The scoring itself over any (doc_id, text) frame — TextSpec runs it
+    * on real multilingual snippets.
+    */
+  def langIdFrame(in: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
-    docs(s, dir)
+    in
       .select(col("doc_id"),
         stopCount(toks, enStops).as("en_n"),
         stopCount(toks, deStops).as("de_n"),
@@ -94,7 +100,13 @@ object TextOps {
     * rolling-hash shingle variant is exercised in TextSpec.
     */
   def t04Fingerprint(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    fingerprintFrame(docs(s, dir))
+
+  /** Fingerprint over any (doc_id, text) frame — TextSpec checks the
+    * normalization equivalences (case, punctuation, whitespace).
+    */
+  def fingerprintFrame(in: DataFrame): DataFrame =
+    in
       .select(col("doc_id"),
         md5(trim(regexp_replace(regexp_replace(lower(col("text")),
           "[^a-z0-9 ]", " "), " +", " ")).cast("binary")).as("fingerprint"),

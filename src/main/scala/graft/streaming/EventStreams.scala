@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.operators.events
@@ -36,7 +36,9 @@ object EventStreams {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     s.readStream
       .schema(schema)
-      .parquet(s"$dir/events.parquet")
+      // glob, not the bare file path: FileStreamSource requires its
+      // basePath to be a directory (the glob's parent qualifies).
+      .parquet(s"$dir/events*.parquet")
       .withColumn("ev_ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ev_ts", "2 hours")
       .groupBy(window(col("ev_ts"), "1 hour").as("w"), col("event_type"))
@@ -48,31 +50,60 @@ object EventStreams {
 
   case class Ev(user_id: Long, ts_ms: Long, value: Double)
   case class Session(user_id: Long, n_events: Long, sess_start: Long, sess_end: Long)
+  /** Open-session state carried between micro-batches. */
+  case class OpenSess(start: Long, end: Long, n: Long)
 
-  /** D2: stateful per-user sessionization with mapGroupsWithState —
+  /** D2: stateful per-user sessionization with flatMapGroupsWithState —
     * the custom-state path (analog of hand-rolled consumer state in the
-    * reference's conduit sinks). Batch-tested in StreamingSpec; the same
-    * function body serves a readStream pipeline.
+    * reference's conduit sinks, Parallel.hs:17-33). Works on a streaming
+    * Dataset (state survives micro-batches; closed sessions are emitted
+    * as they close) and on a batch Dataset (single invocation, empty
+    * initial state) — StreamingSpec drives both.
+    *
+    * Memory bound: the per-call sort materializes one user's events
+    * *from one micro-batch* (bounded by the trigger interval), never the
+    * user's full history — history lives in the O(1) OpenSess state.
+    * For whole-history batch sessionization use the declarative
+    * gaps-and-islands form (q19, Relational.q19Sessionize), which
+    * sorts within shuffle partitions instead.
+    */
+  def sessionize(evs: Dataset[Ev], gapMs: Long = 1800000L): Dataset[Session] = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSess, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[OpenSess]) =>
+          // One micro-batch of one user's events: sort is batch-bounded.
+          val batch = it.toArray.sortBy(e => (e.ts_ms, e.user_id))
+          val out = scala.collection.mutable.ListBuffer.empty[Session]
+          var cur = state.getOption.orNull
+          batch.foreach { e =>
+            if (cur == null) cur = OpenSess(e.ts_ms, e.ts_ms, 1)
+            else if (e.ts_ms - cur.end > gapMs) {
+              out += Session(uid, cur.n, cur.start, cur.end)
+              cur = OpenSess(e.ts_ms, e.ts_ms, 1)
+            } else cur = OpenSess(cur.start, e.ts_ms, cur.n + 1)
+          }
+          if (cur != null) state.update(cur) else state.remove()
+          out.iterator
+      }
+  }
+
+  /** Batch entry point for [[sessionize]] over the events table (the
+    * still-open session per user is flushed by a final gap event, so
+    * batch output covers every event).
     */
   def sessionizeStateful(s: SparkSession, dir: String, gapMs: Long = 1800000L): DataFrame = {
     import s.implicits._
     val evs = events(s, dir)
       .select(col("user_id"), col("ts_ms"), col("value")).as[Ev]
-    evs.groupByKey(_.user_id)
-      .flatMapGroups { (uid: Long, it: Iterator[Ev]) =>
-        val sorted = it.toSeq.sortBy(_.ts_ms)
-        val out = scala.collection.mutable.ListBuffer.empty[Session]
-        var start = -1L; var end = -1L; var n = 0L
-        sorted.foreach { e =>
-          if (start < 0) { start = e.ts_ms; end = e.ts_ms; n = 1 }
-          else if (e.ts_ms - end > gapMs) {
-            out += Session(uid, n, start, end)
-            start = e.ts_ms; end = e.ts_ms; n = 1
-          } else { end = e.ts_ms; n += 1 }
-        }
-        if (start >= 0) out += Session(uid, n, start, end)
-        out.iterator
-      }
+    // Flush sentinel: one far-future event per user closes its last open
+    // session; the sentinel's own session (n=1 at Long.MaxValue/2) is
+    // dropped by the sess_start filter.
+    val sentinel = evs.groupByKey(_.user_id).mapGroups((uid, _) =>
+      Ev(uid, Long.MaxValue / 2, 0.0))
+    sessionize(evs.union(sentinel), gapMs)
+      .filter(col("sess_start") < Long.MaxValue / 2)
       .toDF()
   }
 

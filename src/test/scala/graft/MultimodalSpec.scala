@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Multimodal
+import graft.pipeline.Multimodal.{Decoded, Media}
+
+/** Contract tests for the multimodal plumbing: the decode kernel is a
+  * stub, but the schema, determinism and batch behavior are the real
+  * deliverable and are what a codec drop-in would inherit.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+
+  test("fake decoder is deterministic and schema-stable") {
+    val m = Media(7L, "some payload bytes".getBytes("UTF-8"))
+    val d1 = Multimodal.fakeDecode(m)
+    val d2 = Multimodal.fakeDecode(Media(7L, "some payload bytes".getBytes("UTF-8")))
+    assert(d1.doc_id == 7L)
+    assert(d1.width == d2.width && d1.height == d2.height)
+    assert(d1.frame_feats.toSeq == d2.frame_feats.toSeq)
+    assert(d1.n_frames == d1.frame_feats.length)
+    assert(d1.n_frames >= 1 && d1.n_frames <= 8)
+    assert(d1.frame_feats.forall(f => f >= 0.0 && f < 1.0))
+  }
+
+  test("m02 runs end-to-end, one output row per document, stable across runs") {
+    val r1 = Multimodal.m02DecodeBatch(spark, TestSpark.sfTest).collect()
+    val r2 = Multimodal.m02DecodeBatch(spark, TestSpark.sfTest, batchSize = 7).collect()
+    val nDocs = graft.pipeline.docs(spark, TestSpark.sfTest).count()
+    assert(r1.length == nDocs)
+    // batch size must not change results — only amortization
+    assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq)
+  }
+
+  test("m01 metadata: ascii corpus has byte_len == char_len and 8-hex header") {
+    val rows = Multimodal.m01MultimodalMeta(spark, TestSpark.sfTest).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("is_ascii"))
+      assert(r.getAs[Long]("byte_len") == r.getAs[Long]("char_len"))
+      assert(r.getAs[String]("header_hex").matches("[0-9A-F]{8}"))
+    }
+  }
+}

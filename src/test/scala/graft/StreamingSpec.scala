@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Ev
+
+/** Drives the genuinely-streaming paths: the windowed readStream
+  * aggregation to a memory sink, and the flatMapGroupsWithState
+  * sessionizer fed out-of-order micro-batches through MemoryStream.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("windowedStream produces the batch twin's result via readStream") {
+    val q = EventStreams.windowedStream(spark, TestSpark.sfTest)
+      .writeStream.format("memory").queryName("win_test")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("win_test")
+        .orderBy("window_start_ms", "event_type").collect()
+      val batch = EventStreams.st01StreamWindow(spark, TestSpark.sfTest).collect()
+      assert(streamed.length == batch.length, "row count mismatch vs batch twin")
+      streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+    } finally q.stop()
+  }
+
+  test("stateful sessionizer: state survives micro-batches, gaps close sessions") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val gap = 1000L
+    val input = MemoryStream[Ev]
+    val sessions = EventStreams.sessionize(input.toDS(), gap)
+    val q = sessions.writeStream.format("memory").queryName("sess_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: user 1 opens a session (2 events), user 2 opens one
+      input.addData(Ev(1L, 100L, 1.0), Ev(1L, 200L, 1.0), Ev(2L, 150L, 1.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_test").count() == 0, "no session closed yet")
+
+      // batch 2: user 1 continues within gap (state carried across
+      // batches), then a far event closes the first session.
+      input.addData(Ev(1L, 900L, 1.0), Ev(1L, 5000L, 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess_test").as[EventStreams.Session].collect()
+      assert(closed.toSeq == Seq(EventStreams.Session(1L, 3L, 100L, 900L)),
+        s"expected user 1's first session closed with 3 events, got ${closed.toSeq}")
+
+      // batch 3: out-of-order *within* the batch is sorted per batch
+      input.addData(Ev(2L, 9000L, 1.0), Ev(2L, 8000L, 1.0))
+      q.processAllAvailable()
+      val all = spark.table("sess_test").as[EventStreams.Session].collect().toSet
+      assert(all.contains(EventStreams.Session(2L, 1L, 150L, 150L)),
+        s"user 2's first session should have closed: $all")
+    } finally q.stop()
+  }
+
+  test("batch sessionizer agrees with the declarative q19 formulation") {
+    import org.apache.spark.sql.functions._
+    val stateful = EventStreams.sessionizeStateful(spark, TestSpark.sfTest)
+      .select(col("user_id"), col("n_events"), col("sess_start"), col("sess_end"))
+      .orderBy("user_id", "sess_start").collect()
+    val declarative = graft.operators.Relational.q19Sessionize(spark, TestSpark.sfTest)
+      .select(col("user_id"), col("n_events"), col("sess_start"), col("sess_end"))
+      .orderBy("user_id", "sess_start").collect()
+    assert(stateful.length == declarative.length,
+      s"session counts differ: ${stateful.length} vs ${declarative.length}")
+    stateful.zip(declarative).foreach { case (a, b) => assert(a == b) }
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.TextOps
+
+/** Property tests for the text operators on constructed inputs (the
+  * synthetic corpus is vocabulary-uniform, so real multilingual
+  * snippets are the honest accuracy check for the lang-id heuristic).
+  */
+class TextSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("t01 heuristic identifies real multilingual snippets") {
+    import spark.implicits._
+    val samples = Seq(
+      (1L, "the cat sat on the mat and looked out of the window", "en"),
+      (2L, "der hund und die katze sind nicht im haus und das ist gut", "de"),
+      (3L, "le chat est dans le jardin et les oiseaux sont dans une cage", "fr"),
+      (4L, "el perro y los gatos es una familia y las casas son grandes", "es"),
+      (5L, "zzz qqq xxx", "und"))
+    val df = samples.toDF("doc_id", "text", "expected")
+    val out = TextOps.langIdFrame(df.select("doc_id", "text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    samples.foreach { case (id, _, exp) =>
+      assert(out(id) == exp, s"doc $id: expected $exp got ${out(id)}")
+    }
+  }
+
+  test("t04 fingerprint is invariant to case, punctuation and extra whitespace") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "The Cat, sat!"),
+      (2L, "the   cat sat"),
+      (3L, "THE CAT... SAT"),
+      (4L, "an entirely different document")).toDF("doc_id", "text")
+    val fps = TextOps.fingerprintFrame(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fingerprint")).toMap
+    assert(fps(1L) == fps(2L) && fps(2L) == fps(3L),
+      "normalization variants must collide")
+    assert(fps(4L) != fps(1L), "distinct content must not collide")
+  }
+
+  test("t02/t03 scores behave on the corpus (ranges and consistency)") {
+    val q = TextOps.t02QualityScore(spark, TestSpark.sfTest).collect()
+    assert(q.nonEmpty)
+    q.foreach { r =>
+      val quality = r.getAs[Double]("quality")
+      assert(quality >= 0.0 && quality <= 1.0, s"quality out of range: $quality")
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_words"))
+    }
+    val t = TextOps.t03TokenCount(spark, TestSpark.sfTest).collect()
+    t.foreach { r =>
+      // single-space lowercase corpus: regex tokens == whitespace tokens
+      assert(r.getAs[Long]("re_tokens") >= r.getAs[Long]("ws_tokens"))
+    }
+  }
+}
