@@ -42,10 +42,12 @@ object Dedup {
     * against brute-force pairs at sf0.001.
     */
   def d02DedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val base = docs(s, dir)
-      .select(col("doc_id"), wordTrigrams(tokens(col("text"))).as("sh"))
-    val sig = base.withColumn("sig", minhash_sig(col("sh"), 128))
-    val bands = sig.select(col("doc_id"),
+    val base = shingled(s, dir)
+    // sig inline over the toks attribute; band hashes inline under the
+    // posexplode (see pipeline.shingled perf note on Generate)
+    val bands = tokenized(s, dir)
+      .select(col("doc_id"), minhash_sig(wordTrigrams(col("toks")), 128).as("sig"))
+      .select(col("doc_id"),
         posexplode(expr(
           "transform(sequence(0, 15), b -> " +
             "aggregate(slice(sig, b*8+1, 8), cast(42 as bigint), (acc, x) -> xxhash64(acc, x)))")))
@@ -56,10 +58,9 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    val sh = base.select(col("doc_id"), col("sh"))
     cand
-      .join(sh.toDF("a_id", "a_sh"), "a_id")
-      .join(sh.toDF("b_id", "b_sh"), "b_id")
+      .join(base.toDF("a_id", "a_sh"), "a_id")
+      .join(base.toDF("b_id", "b_sh"), "b_id")
       .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
       .withColumn("jaccard",
         col("inter") / (size(col("a_sh")) + size(col("b_sh")) - col("inter")))
@@ -77,8 +78,8 @@ object Dedup {
     * cap hot buckets — the guarantee degrades gracefully to recall.
     */
   def d03DedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val hashed = docs(s, dir)
-      .select(col("doc_id"), simhash64c(wordTrigrams(tokens(col("text")))).as("sh64"))
+    val hashed = shingled(s, dir)
+      .select(col("doc_id"), simhash64c(col("sh")).as("sh64"))
     val banks = hashed.select(col("doc_id"), col("sh64"),
         posexplode(expr(
           "transform(sequence(0, 7), b -> (shiftright(sh64, b*8) & 255))")))
@@ -101,16 +102,22 @@ object Dedup {
     * SQL oracle replicates shingling + join + Jaccard in DuckDB.
     */
   def d04DedupNgram(s: SparkSession, dir: String): DataFrame = {
-    val base = docs(s, dir)
-      .select(col("doc_id"), wordTrigrams(tokens(col("text"))).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
-    val inv = base.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
-    val a = inv.toDF("a_id", "a_n", "shingle")
-    val b = inv.toDF("b_id", "b_n", "shingle")
+    // inline shingle expression under explode (see pipeline.shingled note)
+    val sh = wordTrigrams(col("toks"))
+    // the hot path carries ONLY (doc_id, shingle): every extra byte rides
+    // the Σdf² pair explosion, so sizes are re-attached afterwards via
+    // broadcast joins against the (small) per-doc size table instead
+    // (measured 5x difference at sf0.1).
+    val inv = tokenized(s, dir).select(col("doc_id"), explode(sh).as("shingle"))
+    val sizes = tokenized(s, dir).select(col("doc_id"), size(sh).as("n_sh"))
+    val a = inv.toDF("a_id", "shingle")
+    val b = inv.toDF("b_id", "shingle")
     a.join(b, Seq("shingle"))
       .where(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id")
-      .agg(count(lit(1)).as("inter"), first("a_n").as("a_n"), first("b_n").as("b_n"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.toDF("a_id", "a_n")), "a_id")
+      .join(broadcast(sizes.toDF("b_id", "b_n")), "b_id")
       .withColumn("jaccard", col("inter") / (col("a_n") + col("b_n") - col("inter")))
       .where(col("jaccard") >= 0.6)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))

@@ -36,8 +36,11 @@ object TextOps {
     * on real multilingual snippets.
     */
   def langIdFrame(in: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+    // materialized: four stopCounts each walk the array; splitting once
+    // per row, not once per scoring expression (see wordTrigrams note)
+    val toks = col("toks")
     in
+      .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"),
         stopCount(toks, enStops).as("en_n"),
         stopCount(toks, deStops).as("de_n"),
@@ -59,8 +62,9 @@ object TextOps {
     * filtering `quality >= θ` is a plain pushable predicate at scale.
     */
   def t02QualityScore(s: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
+    val toks = col("toks")
     docs(s, dir)
+      .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"),
         length(col("text")).cast("long").as("len_chars"),
         size(toks).cast("long").as("n_words"),

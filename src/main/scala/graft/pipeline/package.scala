@@ -26,6 +26,12 @@ package object pipeline {
   /** Distinct word 3-gram shingles. Declarative (sequence+transform stay
     * native expressions — no UDF); guarded because Spark's sequence(1, 0)
     * counts *down* while DuckDB's generate_series(1, 0) is empty.
+    *
+    * IMPORTANT: pass a *materialized* tokens column (an attribute), not
+    * `tokens(...)` inline — subexpression elimination does not reach
+    * inside higher-order-function lambdas, so an inline split would be
+    * re-evaluated for every element_at of every shingle (measured ~3x
+    * slowdown on the dedup suite). [[shingled]] does this correctly.
     */
   def wordTrigrams(toks: Column): Column =
     when(size(toks) >= 3,
@@ -33,4 +39,22 @@ package object pipeline {
         concat_ws(" ",
           element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
       .otherwise(array().cast("array<string>"))
+
+  /** documents with a materialized `toks` column. Downstream shingle
+    * expressions reference the attribute, so the split runs once per row.
+    */
+  def tokenized(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn("toks", tokens(col("text")))
+
+  /** (doc_id, sh) for array consumers (set intersection, MinHash input).
+    *
+    * PERF NOTE for explode consumers: explode the INLINE expression
+    * (`explode(wordTrigrams(col("toks")))` over [[tokenized]]), never
+    * this `sh` attribute — Generate over an attribute produced by a
+    * non-collapsed projection re-evaluates the projection per output
+    * element (measured 8s vs 0.75s on 260k shingles at sf0.1).
+    */
+  def shingled(s: SparkSession, dir: String): DataFrame =
+    tokenized(s, dir)
+      .select(col("doc_id"), wordTrigrams(col("toks")).as("sh"))
 }
