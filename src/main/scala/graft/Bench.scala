@@ -46,6 +46,9 @@ object Bench {
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = qs.map { name =>
+      // GC outside the timed window: accumulated broadcast/shuffle state
+      // from earlier queries must not bill its collection time to this one.
+      System.gc()
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir).count()

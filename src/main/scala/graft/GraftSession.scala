@@ -25,6 +25,13 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE coalescing is byte-based; the pipeline's candidate-pair
+      // stages are CPU-dense at tiny byte sizes (16-byte pair rows
+      // carrying an array-intersection each), and the 1MB default
+      // collapsed them to 1-4 tasks on a 32-core box. 64k keeps
+      // compute parallelism; at real scale partitions are byte-bound
+      // far above either threshold, so this only affects small inputs.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS) which Spark has no type

@@ -40,6 +40,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token set"),
       (args: Seq[Expression]) => SimHash64(args(0))))
 
+    ext.injectFunction((FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count",
+        "sorted_intersect_count(a, b) - intersection size of two sorted long arrays"),
+      (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))))
+
     ext.injectFunction((FunctionIdentifier("lsh_bucket"),
       info("lsh_bucket", "lsh_bucket(vec, nbits, seed) - random-hyperplane LSH bucket"),
       (args: Seq[Expression]) =>

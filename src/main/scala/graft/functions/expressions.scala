@@ -36,6 +36,9 @@ object ExprKernels {
 
   def lshBucketAD(vec: ArrayData, nbits: Int, seed: Long): Int =
     Kernels.lshBucket(vec.toFloatArray(), nbits, seed)
+
+  def sortedIntersectAD(a: ArrayData, b: ArrayData): Int =
+    Kernels.sortedIntersectCount(a.toLongArray(), b.toLongArray())
 }
 
 /** cosine_sim(array<float>, array<float>) → double.
@@ -117,6 +120,25 @@ case class LshBucket(child: Expression, nbits: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** sorted_intersect_count(array<bigint>, array<bigint>) → int:
+  * intersection size of two ascending-sorted distinct long arrays via a
+  * zero-allocation merge — the set-similarity join's inner loop.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExprKernels.sortedIntersectAD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprKernels.sortedIntersectAD($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column-API surface for the custom expressions (plus SQL names via
   * [[GraftExtensions]]). These compose with any DataFrame code exactly
   * like `org.apache.spark.sql.functions` builtins.
@@ -135,4 +157,7 @@ object functions {
 
   def lsh_bucket(vec: Column, nbits: Int, seed: Long): Column =
     GraftShim.column(LshBucket(lit(vec), nbits, seed))
+
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    GraftShim.column(SortedIntersectCount(lit(a), lit(b)))
 }

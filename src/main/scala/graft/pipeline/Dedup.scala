@@ -2,7 +2,8 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.functions.{cosine_sim, minhash_sig, simhash64 => simhash64c}
+import org.apache.spark.storage.StorageLevel
+import graft.functions.functions.{cosine_sim, minhash_sig, simhash64 => simhash64c, sorted_intersect_count}
 
 /** Deduplication family (SURVEY §2 C1-C5).
   *
@@ -11,6 +12,15 @@ import graft.functions.functions.{cosine_sim, minhash_sig, simhash64 => simhash6
   * shuffle — never an O(n²) pair enumeration. Exact similarity is then
   * computed only on candidates. At 100 TB the only knobs are band/bank
   * width (bucket fan-out) and a hot-bucket cap; the plan shape is fixed.
+  *
+  * The narrow derived signature tables (LSH bands, SimHash banks —
+  * pure long columns) are persisted MEMORY_AND_DISK: each feeds both
+  * self-join sides, the columnar cache of longs is near-free, and at
+  * 100 TB they are exactly what you'd materialize to a staging table.
+  * Array-typed intermediates (shingle sets) are NOT cached — the
+  * columnar cache round-trip of array rows measured slower than
+  * recomputing them per consumer. CacheManager dedupes by canonicalized
+  * plan, so repeated calls share one cache entry.
   */
 object Dedup {
 
@@ -52,6 +62,7 @@ object Dedup {
           "transform(sequence(0, 15), b -> " +
             "aggregate(slice(sig, b*8+1, 8), cast(42 as bigint), (acc, x) -> xxhash64(acc, x)))")))
       .toDF("doc_id", "band_idx", "band_hash")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
@@ -84,6 +95,7 @@ object Dedup {
         posexplode(expr(
           "transform(sequence(0, 7), b -> (shiftright(sh64, b*8) & 255))")))
       .toDF("doc_id", "sh64", "bank_idx", "bank_val")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     banks.as("a").join(banks.as("b"),
         col("a.bank_idx") === col("b.bank_idx") &&
           col("a.bank_val") === col("b.bank_val") &&
@@ -95,31 +107,44 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  /** C4: exact n-gram Jaccard via a shingle inverted index — the
-    * all-candidates exact variant (PPJoin-style without prefix filter).
-    * Shared-shingle equi-join bounds the pair set; document sizes ride
-    * along with the exploded shingles so no extra size join is needed.
-    * SQL oracle replicates shingling + join + Jaccard in DuckDB.
+  /** C4: exact n-gram Jaccard via prefix-filtered set-similarity join
+    * (PPJoin-lite, Xiao et al. 2008). Two exactness-preserving prunes
+    * over the naive inverted-index join:
+    *
+    *  1. shingle strings → xxhash64 longs up front: the hot join carries
+    *     16-byte (doc_id, hash) rows, and the final Jaccard intersects
+    *     long arrays. Exact modulo 64-bit collisions (p ≈ 1e-15 per
+    *     pair on this corpus — the DuckDB string oracle agrees).
+    *  2. prefix filter: with shingle sets in a canonical (hash) order,
+    *     two docs with Jaccard ≥ t MUST share a shingle within each
+    *     other's first n-⌈t·n⌉+1 shingles, so only that prefix is
+    *     indexed — candidate pairs drop ~(1-t)² (~6x at t=0.6) and no
+    *     true pair is lost.
+    *
+    * Candidates then re-join the full (sorted) hash sets and the exact
+    * intersection decides. All joins are equi-joins (linear shuffle);
+    * SHUFFLE_HASH pins the candidate join away from AQE's sort-merge
+    * fallback (sorting exploded postings is the slow plan).
     */
   def d04DedupNgram(s: SparkSession, dir: String): DataFrame = {
-    // inline shingle expression under explode (see pipeline.shingled note)
-    val sh = wordTrigrams(col("toks"))
-    // the hot path carries ONLY (doc_id, shingle): every extra byte rides
-    // the Σdf² pair explosion, so sizes are re-attached afterwards via
-    // broadcast joins against the (small) per-doc size table instead
-    // (measured 5x difference at sf0.1).
-    val inv = tokenized(s, dir).select(col("doc_id"), explode(sh).as("shingle"))
-    val sizes = tokenized(s, dir).select(col("doc_id"), size(sh).as("n_sh"))
-    val a = inv.toDF("a_id", "shingle")
-    val b = inv.toDF("b_id", "shingle")
-    a.join(b, Seq("shingle"))
+    val thr = 0.6
+    val base = tokenized(s, dir)
+      .select(col("doc_id"),
+        array_sort(transform(wordTrigrams(col("toks")), x => xxhash64(x))).as("hs"))
+      .withColumn("n", size(col("hs")))
+    val prefix = base.select(col("doc_id"),
+      explode(slice(col("hs"), lit(1),
+        (col("n") - ceil(col("n") * thr) + 1).cast("int"))).as("h"))
+    val cand = prefix.toDF("a_id", "h").hint("SHUFFLE_HASH")
+      .join(prefix.toDF("b_id", "h"), Seq("h"))
       .where(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id")
-      .agg(count(lit(1)).as("inter"))
-      .join(broadcast(sizes.toDF("a_id", "a_n")), "a_id")
-      .join(broadcast(sizes.toDF("b_id", "b_n")), "b_id")
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared_prefix"))
+    cand
+      .join(broadcast(base.toDF("a_id", "a_hs", "a_n")), "a_id")
+      .join(broadcast(base.toDF("b_id", "b_hs", "b_n")), "b_id")
+      .withColumn("inter", sorted_intersect_count(col("a_hs"), col("b_hs")))
       .withColumn("jaccard", col("inter") / (col("a_n") + col("b_n") - col("inter")))
-      .where(col("jaccard") >= 0.6)
+      .where(col("jaccard") >= thr)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("a_id", "b_id")
   }

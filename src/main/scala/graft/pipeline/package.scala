@@ -12,11 +12,35 @@ import org.apache.spark.sql.functions._
   */
 package object pipeline {
 
+  /** Parquet read with a small-input parallelism guard. A 100 TB corpus
+    * arrives as thousands of row-group splits and inherits scan
+    * parallelism for free; a single small file is ONE split, which
+    * serializes every downstream shingle/hash/vector kernel into one
+    * task (measured: the whole dedup pipeline pinned to 1 of 32 cores).
+    * Fanning a tiny input out is a sub-millisecond shuffle; at scale the
+    * guard never fires.
+    */
+  private def readSpread(s: SparkSession, path: String): DataFrame = {
+    val df = s.read.parquet(path)
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else {
+      // The filter(rand >= 0) is a deliberate pushdown barrier, not a
+      // filter: InferFiltersFromConstraints re-derives predicates over
+      // downstream *computed* columns (e.g. isnotnull(size(<full
+      // shingle expression>))) and pushes them through the repartition
+      // into the pre-spread scan — serializing minutes of kernel work
+      // into the single file-split task this guard exists to avoid. A
+      // non-deterministic predicate pins all inference above the fan-out.
+      df.repartition(target).filter(rand() >= 0)
+    }
+  }
+
   def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    readSpread(s, s"$dir/documents.parquet")
 
   def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    readSpread(s, s"$dir/embeddings.parquet")
 
   /** Whitespace tokens — single-space corpus; split(' ') matches
     * DuckDB string_split(text, ' ') exactly.
