@@ -34,6 +34,9 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // managed (bucketed) staging tables go to a scratch warehouse
+      .config("spark.sql.warehouse.dir",
+        sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/tmp/graft-warehouse"))
       // events.parquet carries TIMESTAMP(NANOS) which Spark has no type
       // for; read as Long (ns since epoch) and convert explicitly.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOfJoin, RangeJoin, Relational, Templates, TypedRows}
+import graft.operators.{AsOfJoin, BucketedJoin, RangeJoin, Relational, Templates, TypedRows}
 import graft.pipeline.{Ann, Dedup, Multimodal, TextOps}
 import graft.streaming.{Cdc, EventStreams}
 
@@ -15,7 +15,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ Templates.defs ++ AsOfJoin.defs ++ RangeJoin.defs ++
-      Cdc.defs ++ EventStreams.defs ++ TypedRows.defs ++
+      Cdc.defs ++ EventStreams.defs ++ TypedRows.defs ++ BucketedJoin.defs ++
       Dedup.defs ++ Ann.defs ++ TextOps.defs ++ Multimodal.defs
 
   /** DuckDB-runnable oracle SQL per query key (same aliases, same
@@ -24,6 +24,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Templates.oracles ++ AsOfJoin.oracles ++
       RangeJoin.oracles ++ Cdc.oracles ++ EventStreams.oracles ++
-      TypedRows.oracles ++
+      TypedRows.oracles ++ BucketedJoin.oracles ++
       Dedup.oracles ++ Ann.oracles ++ TextOps.oracles ++ Multimodal.oracles
 }

@@ -57,6 +57,23 @@ class PlanSpec extends AnyFunSuite {
       "ngram candidate generation must be an equi-join")
   }
 
+  test("q26 bucketed fact join plans with no exchange on the fact sides") {
+    // disable broadcast so the test proves co-location (at sf0.001 the
+    // whole orders table fits a broadcast, which also avoids the
+    // shuffle but not via the bucket layout under test)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q26_bucketed_join")(spark, TestSpark.sfTest)
+      val p = df.queryExecution.executedPlan.toString()
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.contains("Bucketed: true"), p)
+      assert(!p.contains("Exchange hashpartitioning(o_orderkey") &&
+        !p.contains("Exchange hashpartitioning(l_orderkey"),
+        "bucketed join should not reshuffle fact tables: " + p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("custom expressions participate in whole-stage codegen") {
     // A scan+project plan (no exchange) is not AQE-wrapped, so the
     // codegen stage is visible in the executed plan directly.
