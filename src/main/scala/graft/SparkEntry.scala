@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOfJoin, BucketedJoin, RangeJoin, Relational, Templates, TypedRows}
+import graft.operators.{AsOfJoin, BucketedJoin, RangeJoin, Relational, Sketches, Templates, TypedRows}
 import graft.pipeline.{Ann, Dedup, Multimodal, TextOps}
 import graft.streaming.{Cdc, EventStreams}
 
@@ -16,6 +16,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ Templates.defs ++ AsOfJoin.defs ++ RangeJoin.defs ++
       Cdc.defs ++ EventStreams.defs ++ TypedRows.defs ++ BucketedJoin.defs ++
+      Sketches.defs ++
       Dedup.defs ++ Ann.defs ++ TextOps.defs ++ Multimodal.defs
 
   /** DuckDB-runnable oracle SQL per query key (same aliases, same

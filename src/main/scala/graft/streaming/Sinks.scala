@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming sinks — the consumer end of the reference's streaming
+  * surface (reference: Stream.hs:244-284 feeds a Conduit the caller
+  * drains into their own store; Parallel.hs:17-33 decouples producer
+  * and consumer).
+  *
+  * In Structured Streaming the consumer is a sink; foreachBatch is the
+  * general-purpose one: each micro-batch arrives as a normal DataFrame
+  * together with a monotonically increasing batchId that is STABLE
+  * ACROSS RETRIES — overwriting a per-batch output location keyed by
+  * that id makes the sink idempotent, which upgrades the pipeline to
+  * effectively-exactly-once end to end (source offsets + idempotent
+  * writes). StreamingSpec replays a checkpointed query and asserts no
+  * duplicates.
+  */
+object Sinks {
+
+  /** Idempotent partitioned parquet sink: out/batch_id=N per batch. */
+  def parquetBatchSink(df: DataFrame, outDir: String, checkpointDir: String): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+      .start()
+
+  /** A simple enrichment stream over events (no aggregation, so the
+    * sink sees append-mode rows): normalize ts, filter, project.
+    */
+  def enrichedEvents(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    s.readStream.schema(schema)
+      .parquet(s"$dir/events*.parquet")
+      .withColumn("ev_ts", timestamp_micros(expr("ts div 1000")))
+      .where(col("value") > 0)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ev_ts"), col("value"))
+  }
+}

@@ -58,6 +58,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch parquet sink is idempotent across a checkpoint replay") {
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("sink_out").toString
+    val ckpt = Files.createTempDirectory("sink_ckpt").toString
+    val src = graft.streaming.Sinks.enrichedEvents(spark, TestSpark.sfTest)
+    val q1 = graft.streaming.Sinks.parquetBatchSink(src, out, ckpt)
+    q1.awaitTermination()
+    val n1 = spark.read.parquet(out + "/batch_id=*").count()
+    val expected = spark.read.parquet(s"${TestSpark.sfTest}/events.parquet")
+      .where("value > 0").count()
+    assert(n1 == expected, s"sink wrote $n1, source has $expected")
+    // replay with the same checkpoint: AvailableNow re-start must not
+    // duplicate (source offsets committed; batch overwrite idempotent)
+    val q2 = graft.streaming.Sinks.parquetBatchSink(
+      graft.streaming.Sinks.enrichedEvents(spark, TestSpark.sfTest), out, ckpt)
+    q2.awaitTermination()
+    val n2 = spark.read.parquet(out + "/batch_id=*").count()
+    assert(n2 == expected, s"replay duplicated rows: $n2 vs $expected")
+  }
+
   test("batch sessionizer agrees with the declarative q19 formulation") {
     import org.apache.spark.sql.functions._
     val stateful = EventStreams.sessionizeStateful(spark, TestSpark.sfTest)
