@@ -32,6 +32,14 @@ object GraftSession {
       // compute parallelism; at real scale partitions are byte-bound
       // far above either threshold, so this only affects small inputs.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // Constraint propagation re-derives predicates over computed
+      // columns and pushes them below repartitions with the expression
+      // inlined — for the pipeline's shingle/hash columns that meant
+      // minutes of serial re-evaluation in the one-split scan task (and
+      // the inferred filters are redundant here: inputs are non-null).
+      // The cost of disabling is the loss of inferred isnotnull join
+      // filters, which only matter for null-heavy keys.
+      .config("spark.sql.constraintPropagation.enabled", "false")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // managed (bucketed) staging tables go to a scratch warehouse

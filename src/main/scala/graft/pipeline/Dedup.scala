@@ -107,42 +107,35 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  /** C4: exact n-gram Jaccard via prefix-filtered set-similarity join
-    * (PPJoin-lite, Xiao et al. 2008). Two exactness-preserving prunes
-    * over the naive inverted-index join:
+  /** C4: exact n-gram Jaccard via a shingle-hash inverted index.
+    * Shingle strings hash to xxhash64 longs up front, so the hot join
+    * carries 16-byte (doc_id, hash) rows and the pair aggregation keys
+    * on longs (exact modulo 64-bit collisions — p ≈ 1e-15 per pair on
+    * this corpus; the DuckDB string oracle agrees). The shared-hash
+    * equi-join + groupBy count IS the exact intersection; per-doc set
+    * sizes re-attach afterwards via a narrow broadcast so no extra
+    * payload rides the Σdf² pair explosion. SHUFFLE_HASH pins the
+    * candidate join away from AQE's sort-merge fallback (sorting
+    * exploded postings measured 6x slower).
     *
-    *  1. shingle strings → xxhash64 longs up front: the hot join carries
-    *     16-byte (doc_id, hash) rows, and the final Jaccard intersects
-    *     long arrays. Exact modulo 64-bit collisions (p ≈ 1e-15 per
-    *     pair on this corpus — the DuckDB string oracle agrees).
-    *  2. prefix filter: with shingle sets in a canonical (hash) order,
-    *     two docs with Jaccard ≥ t MUST share a shingle within each
-    *     other's first n-⌈t·n⌉+1 shingles, so only that prefix is
-    *     indexed — candidate pairs drop ~(1-t)² (~6x at t=0.6) and no
-    *     true pair is lost.
-    *
-    * Candidates then re-join the full (sorted) hash sets and the exact
-    * intersection decides. All joins are equi-joins (linear shuffle);
-    * SHUFFLE_HASH pins the candidate join away from AQE's sort-merge
-    * fallback (sorting exploded postings is the slow plan).
+    * (A PPJoin prefix-filter variant was tried and reverted: with a
+    * hash canonical order, globally frequent shingles that draw small
+    * hashes land in most docs' prefixes, creating hot posting lists —
+    * the frequency-ordered prefix it needs costs an extra global df
+    * pass. The plain inverted index is stable and linear.)
     */
   def d04DedupNgram(s: SparkSession, dir: String): DataFrame = {
     val thr = 0.6
-    val base = tokenized(s, dir)
-      .select(col("doc_id"),
-        array_sort(transform(wordTrigrams(col("toks")), x => xxhash64(x))).as("hs"))
-      .withColumn("n", size(col("hs")))
-    val prefix = base.select(col("doc_id"),
-      explode(slice(col("hs"), lit(1),
-        (col("n") - ceil(col("n") * thr) + 1).cast("int"))).as("h"))
-    val cand = prefix.toDF("a_id", "h").hint("SHUFFLE_HASH")
-      .join(prefix.toDF("b_id", "h"), Seq("h"))
+    val hashes = transform(wordTrigrams(col("toks")), x => xxhash64(x))
+    val inv = tokenized(s, dir).select(col("doc_id"), explode(hashes).as("h"))
+    val sizes = tokenized(s, dir).select(col("doc_id"), size(hashes).as("n_sh"))
+    inv.toDF("a_id", "h").hint("SHUFFLE_HASH")
+      .join(inv.toDF("b_id", "h"), Seq("h"))
       .where(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared_prefix"))
-    cand
-      .join(broadcast(base.toDF("a_id", "a_hs", "a_n")), "a_id")
-      .join(broadcast(base.toDF("b_id", "b_hs", "b_n")), "b_id")
-      .withColumn("inter", sorted_intersect_count(col("a_hs"), col("b_hs")))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.toDF("a_id", "a_n")), "a_id")
+      .join(broadcast(sizes.toDF("b_id", "b_n")), "b_id")
       .withColumn("jaccard", col("inter") / (col("a_n") + col("b_n") - col("inter")))
       .where(col("jaccard") >= thr)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))

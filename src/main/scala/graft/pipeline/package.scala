@@ -23,17 +23,11 @@ package object pipeline {
   private def readSpread(s: SparkSession, path: String): DataFrame = {
     val df = s.read.parquet(path)
     val target = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
-    else {
-      // The filter(rand >= 0) is a deliberate pushdown barrier, not a
-      // filter: InferFiltersFromConstraints re-derives predicates over
-      // downstream *computed* columns (e.g. isnotnull(size(<full
-      // shingle expression>))) and pushes them through the repartition
-      // into the pre-spread scan — serializing minutes of kernel work
-      // into the single file-split task this guard exists to avoid. A
-      // non-deterministic predicate pins all inference above the fan-out.
-      df.repartition(target).filter(rand() >= 0)
-    }
+    // (constraint propagation is disabled in GraftSession — with it on,
+    // inferred isnotnull filters over computed columns get pushed below
+    // this repartition into the single-split scan task with the full
+    // expression inlined.)
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
 
   def docs(s: SparkSession, dir: String): DataFrame =

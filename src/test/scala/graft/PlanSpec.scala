@@ -18,7 +18,9 @@ class PlanSpec extends AnyFunSuite {
   test("q02 filter+projection reach the parquet scan") {
     val p = plan("q02_filter_project")
     assert(p.contains("PushedFilters: ["), p)
-    assert(p.contains("GreaterThan(l_discount") || p.contains("IsNotNull"), p)
+    // the scan node's toString truncates long filter lists — match the
+    // first pushed predicate, which is always visible
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
     // projection pruned to the 4 selected columns + filter columns
     assert(p.contains("ReadSchema"), p)
     assert(!p.matches("(?s).*ReadSchema:.*l_comment.*") &&
