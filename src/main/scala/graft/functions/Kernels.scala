@@ -86,6 +86,31 @@ object Kernels {
     out
   }
 
+  /** Rabin-Karp rolling hashes of every `window`-byte substring:
+    * h_{i+1} = (h_i - b_i·p^{w-1})·p + b_{i+w} — O(n) total versus
+    * O(n·w) re-hashing, the standard windowed-fingerprint kernel
+    * (substring dedup, winnowing). Returns one hash per window start.
+    */
+  def rollingHashes(bytes: Array[Byte], window: Int): Array[Long] = {
+    val p = 1099511628211L
+    if (bytes.length < window || window <= 0) return Array.emptyLongArray
+    var pw = 1L
+    var i = 0
+    while (i < window - 1) { pw *= p; i += 1 }
+    val out = new Array[Long](bytes.length - window + 1)
+    var h = 0L
+    i = 0
+    while (i < window) { h = h * p + (bytes(i) & 0xffL); i += 1 }
+    out(0) = mix64(h)
+    i = 1
+    while (i < out.length) {
+      h = (h - (bytes(i - 1) & 0xffL) * pw) * p + (bytes(i + window - 1) & 0xffL)
+      out(i) = mix64(h)
+      i += 1
+    }
+    out
+  }
+
   /** Intersection size of two ASCENDING-sorted long arrays — zero-
     * allocation merge scan. The builtin array_intersect builds a hash
     * set per row (~55µs on 52-element arrays); this is ~100x cheaper

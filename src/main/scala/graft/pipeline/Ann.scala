@@ -41,7 +41,7 @@ object Ann {
       .orderBy("q_id", "rank")
   }
 
-  /** C7: approximate NN via random-hyperplane LSH: 8 tables × 6-bit
+  /** C7: approximate NN via random-hyperplane LSH: 16 tables × 6-bit
     * buckets (collision prob per pair = (1-θ/π)^6 per table). Candidate
     * generation is an equi-join on (table, bucket) — linear shuffle,
     * corpus scanned once, never paired all-against-all. Exact cosine +
@@ -49,7 +49,7 @@ object Ann {
     * AnnSpec measures recall@10 vs the exact baseline.
     */
   def s02AnnLsh(s: SparkSession, dir: String,
-                tables: Int = 8, bits: Int = 6): DataFrame = {
+                tables: Int = 16, bits: Int = 6): DataFrame = {
     val e = emb(s, dir)
 
     def bucketed(df: DataFrame, idCol: String, vecCol: String): DataFrame =

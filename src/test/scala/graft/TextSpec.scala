@@ -40,6 +40,24 @@ class TextSpec extends AnyFunSuite {
     assert(fps(4L) != fps(1L), "distinct content must not collide")
   }
 
+  test("rolling-hash fingerprint kernel: O(n) windows match re-hashed windows") {
+    import graft.functions.Kernels
+    val text = "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")
+    val w = 8
+    val rolled = Kernels.rollingHashes(text, w)
+    assert(rolled.length == text.length - w + 1)
+    // shared substrings produce shared window hashes at the right offsets
+    val other = "a very quick brown fox indeed".getBytes("UTF-8")
+    val otherRolled = Kernels.rollingHashes(other, w).toSet
+    val shared = rolled.count(otherRolled.contains)
+    assert(shared >= 5, s"'quick brown fox' windows should collide (got $shared)")
+    // disjoint content shares nothing
+    val disjoint = Kernels.rollingHashes("0123456789012345".getBytes("UTF-8"), w).toSet
+    assert(!rolled.exists(disjoint.contains))
+    // edge: input shorter than window
+    assert(Kernels.rollingHashes("abc".getBytes("UTF-8"), 8).isEmpty)
+  }
+
   test("t02/t03 scores behave on the corpus (ranges and consistency)") {
     val q = TextOps.t02QualityScore(spark, TestSpark.sfTest).collect()
     assert(q.nonEmpty)
