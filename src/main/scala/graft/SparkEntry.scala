@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOfJoin, BucketedJoin, RangeJoin, Relational, Sketches, Templates, TypedRows}
+import graft.operators.{AsOfJoin, BucketedJoin, GroupTopK, RangeJoin, Relational, Sketches, Templates, TypedRows}
 import graft.pipeline.{Ann, Dedup, Multimodal, TextOps}
 import graft.streaming.{Cdc, EventStreams}
 
@@ -16,7 +16,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ Templates.defs ++ AsOfJoin.defs ++ RangeJoin.defs ++
       Cdc.defs ++ EventStreams.defs ++ TypedRows.defs ++ BucketedJoin.defs ++
-      Sketches.defs ++
+      Sketches.defs ++ GroupTopK.defs ++
       Dedup.defs ++ Ann.defs ++ TextOps.defs ++ Multimodal.defs
 
   /** DuckDB-runnable oracle SQL per query key (same aliases, same
@@ -25,6 +25,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Templates.oracles ++ AsOfJoin.oracles ++
       RangeJoin.oracles ++ Cdc.oracles ++ EventStreams.oracles ++
-      TypedRows.oracles ++ BucketedJoin.oracles ++
+      TypedRows.oracles ++ BucketedJoin.oracles ++ GroupTopK.oracles ++
       Dedup.oracles ++ Ann.oracles ++ TextOps.oracles ++ Multimodal.oracles
 }

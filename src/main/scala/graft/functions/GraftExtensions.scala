@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     def info(name: String, usage: String) =
       new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+    // whole-operator extension: top-k-per-group logical node → bounded
+    // heap physical operator (graft.plans.TopKPerGroup)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays"),
       (args: Seq[Expression]) => CosineSim(args(0), args(1))))

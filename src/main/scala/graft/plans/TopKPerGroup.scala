@@ -1,0 +1,112 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftShim}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+
+/** TopKPerGroup — a whole-operator extension (SURVEY §4): the
+  * "top k rows per group" semantics Spark only expresses as
+  * `row_number().over(window) <= k`, which sorts EVERY group in full
+  * and materializes a rank just to throw both away. This operator keeps
+  * a bounded heap of k rows per group — O(n log k) and O(groups·k)
+  * memory instead of a per-group sort — the same reason global top-k
+  * plans as TakeOrderedAndProject rather than Sort+Limit.
+  *
+  * Implementation shows the full custom-operator tier: a logical node,
+  * a planner strategy injected via SparkSessionExtensions, and a
+  * physical UnaryExecNode that declares ClusteredDistribution on the
+  * group keys (the planner inserts the single hash shuffle; after it,
+  * each task owns whole groups and the heap pass is exact). A map-side
+  * partial heap below the exchange is the natural next optimization —
+  * at 100 TB it bounds the shuffle to k rows per (group, task).
+  */
+case class TopKPerGroup(
+    groupingExprs: Seq[Expression],
+    sortOrder: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(c: LogicalPlan): LogicalPlan = copy(child = c)
+}
+
+case class TopKPerGroupExec(
+    groupingExprs: Seq[Expression],
+    sortOrder: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(groupingExprs) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val grouping = groupingExprs
+    val order = sortOrder
+    val kk = k
+    child.execute().mapPartitions { it =>
+      val groupProj = UnsafeProjection.create(grouping, childOutput)
+      val rowOrd = RowOrdering.create(order, childOutput)
+      // per group: bounded heap holding the current best k rows; the
+      // heap root is the WORST retained row (reverse order) so
+      // replacement is O(log k)
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+      val reverse = rowOrd.reversed().asInstanceOf[java.util.Comparator[UnsafeRow]]
+      it.foreach { row =>
+        val key = groupProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[UnsafeRow](kk, reverse)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < kk) heap.add(row.copy().asInstanceOf[UnsafeRow])
+        else if (rowOrd.compare(row, heap.peek()) < 0) {
+          heap.poll()
+          heap.add(row.copy().asInstanceOf[UnsafeRow])
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap { h =>
+        val arr = h.toArray(new Array[UnsafeRow](h.size))
+        java.util.Arrays.sort(arr, rowOrd.asInstanceOf[java.util.Comparator[UnsafeRow]])
+        arr.iterator
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): SparkPlan = copy(child = c)
+}
+
+/** Planner strategy mapping the logical node to its physical form;
+  * injected by [[graft.functions.GraftExtensions]].
+  */
+object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroup(g, o, k, child) =>
+      TopKPerGroupExec(g, o, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** User-facing API: `TopK.perGroup(df, groups, orderings, k)`. */
+object TopK {
+  /** orderings: (column, ascending). Ties should be broken by trailing
+    * order columns for deterministic output.
+    */
+  def perGroup(df: DataFrame, groupCols: Seq[String],
+               orderings: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val grouping = groupCols.map(c => GraftShim.expression(df(c)))
+    val order = orderings.map { case (c, asc) =>
+      val e = GraftShim.expression(df(c))
+      if (asc) SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending)
+      else SortOrder(e, org.apache.spark.sql.catalyst.expressions.Descending)
+    }
+    GraftShim.ofRows(df.sparkSession,
+      TopKPerGroup(grouping, order, k, df.queryExecution.analyzed))
+  }
+}

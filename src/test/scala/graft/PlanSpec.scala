@@ -76,6 +76,14 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q29 plans through the custom TopKPerGroup operator, not a window sort") {
+    val p = plan("q29_topk_group")
+    assert(p.contains("TopKPerGroup"), p)
+    assert(!p.contains("Window"), "should not fall back to window row_number: " + p)
+    // exactly one hash exchange (the required clustering) before the operator
+    assert(p.contains("Exchange hashpartitioning(l_suppkey"), p)
+  }
+
   test("custom expressions participate in whole-stage codegen") {
     // A scan+project plan (no exchange) is not AQE-wrapped, so the
     // codegen stage is visible in the executed plan directly.
