@@ -21,8 +21,9 @@ object Bench {
     "q01_agg", "q02_filter_project", "q03_join_flagship", "q04_join_broadcast",
     "q07_join_outer", "q08_window", "q09_topk", "q16_array",
     "q19_sessionize", "q21_asof_join", "q22_range_join",
-    "c02_cdc_apply_unsorted", "st01_stream_window", "q26_bucketed_join",
-    "q27_approx_distinct", "q28_approx_percentile",
+    "c02_cdc_apply_unsorted", "st01_stream_window", "st02_stream_join",
+    "q26_bucketed_join", "q27_approx_distinct", "q28_approx_percentile",
+    "q29_topk_group",
     "d01_dedup_exact", "d02_dedup_minhash", "d04_dedup_ngram",
     "d05_dedup_embedding", "s01_ann_bruteforce", "s02_ann_lsh",
     "t02_quality_score", "t04_fingerprint", "m02_decode_batch",

@@ -48,6 +48,50 @@ object EventStreams {
         col("event_type"), col("n"), col("total"))
   }
 
+  /** A4b `st02_stream_join` batch twin: view→purchase correlation —
+    * same user, purchase within 30 minutes of the view. An equi-join on
+    * user_id with a range residual, so the plan is a hash join, not an
+    * interval cross product. The genuinely-streaming form is
+    * [[correlatedStream]] (StreamingSpec proves they agree).
+    */
+  def st02StreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select("event_id", "user_id", "event_type", "ts_ms")
+    val v = e.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts_ms").as("v_ts"))
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ts_ms").as("p_ts"))
+    v.join(p, col("user_id") === col("p_user") &&
+        col("p_ts") >= col("v_ts") && col("p_ts") <= col("v_ts") + 1800000L)
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        (col("p_ts") - col("v_ts")).as("lag_ms"))
+      .orderBy("user_id", "view_id", "purchase_id")
+  }
+
+  /** Watermarked stream-stream inner join: both sides carry a 1-hour
+    * watermark and the join condition bounds purchase time to
+    * [view, view+30min], so the state store can evict view rows past
+    * the watermark — bounded state, the requirement for an unbounded
+    * 100 TB/day stream. (Inner time-interval join is the canonical
+    * Structured Streaming stream-stream join shape.)
+    */
+  def correlatedStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    def side(tp: String): DataFrame =
+      s.readStream.schema(schema).parquet(s"$dir/events*.parquet")
+        .withColumn("ev_ts", timestamp_micros(expr("ts div 1000")))
+        .where(col("event_type") === tp)
+        .withWatermark("ev_ts", "1 hour")
+    val v = side("view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ev_ts").as("v_ts"))
+    val p = side("purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ev_ts").as("p_ts"))
+    v.join(p, col("user_id") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        (unix_millis(col("p_ts")) - unix_millis(col("v_ts"))).as("lag_ms"))
+  }
+
   case class Ev(user_id: Long, ts_ms: Long, value: Double)
   case class Session(user_id: Long, n_events: Long, sess_start: Long, sess_end: Long)
   /** Open-session state carried between micro-batches. */
@@ -108,11 +152,22 @@ object EventStreams {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] =
-    Map("st01_stream_window" -> st01StreamWindow _)
+    Map("st01_stream_window" -> st01StreamWindow _,
+      "st02_stream_join" -> st02StreamJoin _)
 
   val oracles: Map[String, String] = Map(
     "st01_stream_window" ->
       """SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS window_start_ms,
         |  event_type, count(*) AS n, round(sum(value),2) AS total
-        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin)
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "st02_stream_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+        |)
+        |SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+        |  p.ts_ms - v.ts_ms AS lag_ms
+        |FROM e v JOIN e p ON v.user_id = p.user_id
+        |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND p.ts_ms >= v.ts_ms AND p.ts_ms <= v.ts_ms + 1800000
+        |ORDER BY 1, 2, 3""".stripMargin)
 }

@@ -58,6 +58,21 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches its batch twin") {
+    val q = EventStreams.correlatedStream(spark, TestSpark.sfTest)
+      .writeStream.format("memory").queryName("join_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("join_test")
+        .orderBy("user_id", "view_id", "purchase_id").collect()
+      val batch = EventStreams.st02StreamJoin(spark, TestSpark.sfTest).collect()
+      assert(streamed.length == batch.length,
+        s"stream ${streamed.length} vs batch ${batch.length}")
+      streamed.zip(batch).foreach { case (s0, b0) => assert(s0 == b0) }
+    } finally q.stop()
+  }
+
   test("foreachBatch parquet sink is idempotent across a checkpoint replay") {
     import java.nio.file.Files
     val out = Files.createTempDirectory("sink_out").toString
