@@ -18,11 +18,12 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   *
   * Implementation shows the full custom-operator tier: a logical node,
   * a planner strategy injected via SparkSessionExtensions, and a
-  * physical UnaryExecNode that declares ClusteredDistribution on the
-  * group keys (the planner inserts the single hash shuffle; after it,
-  * each task owns whole groups and the heap pass is exact). A map-side
-  * partial heap below the exchange is the natural next optimization —
-  * at 100 TB it bounds the shuffle to k rows per (group, task).
+  * two-phase physical plan mirroring HashAggregate: a PARTIAL heap pass
+  * on the map side (no distribution requirement — runs before the
+  * shuffle and emits at most k rows per (group, task), which is what
+  * bounds the shuffle at 100 TB), then the FINAL pass declaring
+  * ClusteredDistribution on the group keys, so EnsureRequirements
+  * inserts the one hash exchange between the two.
   */
 case class TopKPerGroup(
     groupingExprs: Seq[Expression],
@@ -37,12 +38,16 @@ case class TopKPerGroupExec(
     groupingExprs: Seq[Expression],
     sortOrder: Seq[SortOrder],
     k: Int,
+    partial: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(groupingExprs) :: Nil
+    (if (partial) org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution
+     else ClusteredDistribution(groupingExprs)) :: Nil
+  override def nodeName: String =
+    if (partial) "TopKPerGroupPartial" else "TopKPerGroup"
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
@@ -88,7 +93,8 @@ case class TopKPerGroupExec(
 object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(g, o, k, child) =>
-      TopKPerGroupExec(g, o, k, planLater(child)) :: Nil
+      TopKPerGroupExec(g, o, k, partial = false,
+        TopKPerGroupExec(g, o, k, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 }

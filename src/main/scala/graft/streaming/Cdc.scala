@@ -70,18 +70,38 @@ object Cdc {
         col("e.after.o_totalprice").as("o_totalprice"))
 
   /** Latest-wins merge: keep each key's most recent op; deletes remove
-    * the key from current state.
+    * the key from current state. With `keepTs` the surviving row keeps
+    * its change timestamp so state can re-enter a later merge
+    * (incremental application — see [[applyIncrement]]).
     */
-  def applyChanges(changes: DataFrame): DataFrame = {
+  def applyChanges(changes: DataFrame, keepTs: Boolean = false): DataFrame = {
     val w = Window.partitionBy("o_orderkey").orderBy(col("ts_ms").desc)
-    changes
+    val current = changes
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col("op") =!= "d")
-      .select(
-        col("o_orderkey"),
-        round(col("o_totalprice"), 2).as("price"),
+    if (keepTs)
+      current.select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
+        col("op").as("last_op"), col("ts_ms"))
+    else
+      current.select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
         col("op").as("last_op"))
   }
+
+  /** Current state re-expressed as change rows so it can merge with the
+    * next micro-batch (op keeps its original kind; ts is the state ts,
+    * so any newer change — including a delete — wins).
+    */
+  def stateAsChanges(state: DataFrame): DataFrame =
+    state.select(col("last_op").as("op"), col("ts_ms"),
+      col("o_orderkey"), col("price").as("o_totalprice"))
+
+  /** One incremental step: previous state + a new batch of decoded
+    * changes → next state. This is the body a foreachBatch CDC pipeline
+    * runs per micro-batch (StreamingSpec drives it through
+    * MemoryStream); cost per step is one shuffle on the key.
+    */
+  def applyIncrement(state: DataFrame, newChanges: DataFrame): DataFrame =
+    applyChanges(stateAsChanges(state).unionByName(newChanges), keepTs = true)
 
   /** A6 `c01_cdc_apply`: encode → decode → apply, end to end. The
     * final global orderBy exists only for oracle determinism.

@@ -79,8 +79,10 @@ class PlanSpec extends AnyFunSuite {
   test("q29 plans through the custom TopKPerGroup operator, not a window sort") {
     val p = plan("q29_topk_group")
     assert(p.contains("TopKPerGroup"), p)
+    assert(p.contains("TopKPerGroupPartial"),
+      "map-side partial heap must run below the exchange: " + p)
     assert(!p.contains("Window"), "should not fall back to window row_number: " + p)
-    // exactly one hash exchange (the required clustering) before the operator
+    // exactly one hash exchange (the required clustering) between phases
     assert(p.contains("Exchange hashpartitioning(l_suppkey"), p)
   }
 

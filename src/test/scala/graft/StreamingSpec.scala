@@ -93,6 +93,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(n2 == expected, s"replay duplicated rows: $n2 vs $expected")
   }
 
+  test("incremental CDC apply over micro-batches equals the one-shot apply") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.Cdc
+    val envelopes = Cdc.syntheticEnvelopes(spark, TestSpark.sfTest)
+    // split the change stream into two "micro-batches" by arrival time
+    val decoded = Cdc.decode(envelopes)
+    val cut = 7500L // ts_ms = orderkey*10 + opoffset; splits mid-stream
+    val batch1 = decoded.where(col("ts_ms") <= cut)
+    val batch2 = decoded.where(col("ts_ms") > cut)
+    val empty = Cdc.applyChanges(decoded.limit(0), keepTs = true)
+    val state1 = Cdc.applyIncrement(empty, batch1)
+    val state2 = Cdc.applyIncrement(state1, batch2)
+    val incremental = state2.select("o_orderkey", "price", "last_op")
+      .orderBy("o_orderkey").collect()
+    val oneShot = Cdc.c01CdcApply(spark, TestSpark.sfTest).collect()
+    assert(incremental.length == oneShot.length,
+      s"${incremental.length} vs ${oneShot.length}")
+    incremental.zip(oneShot).foreach { case (a, b) => assert(a == b) }
+  }
+
   test("batch sessionizer agrees with the declarative q19 formulation") {
     import org.apache.spark.sql.functions._
     val stateful = EventStreams.sessionizeStateful(spark, TestSpark.sfTest)
