@@ -117,11 +117,52 @@ object TextOps {
         length(col("text")).cast("long").as("len_chars"))
       .orderBy("doc_id")
 
+  /** C14: deterministic train/val/test split — content-hash bucketing
+    * (first md5 hex digit: 12/16 train, 2/16 val, 2/16 test), so the
+    * assignment is stable under reshuffles, re-runs and corpus growth —
+    * the property random sampling lacks. Pure projection + one small
+    * aggregate; stratification is just the (split, lang) breakdown.
+    */
+  def t05TrainSplit(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("bucket", substring(md5(col("text").cast("binary")), 1, 1))
+      .withColumn("split",
+        when(col("bucket") < "c", "train")
+          .when(col("bucket").isin("c", "d"), "val")
+          .otherwise("test"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(length(col("text"))).as("n_chars_total"))
+      .orderBy("split", "lang")
+
+  /** C15: sequence packing — contiguous token-budget partitioning of
+    * each source shard into ~512-token packs (the pre-tokenization
+    * grouping step of LLM batch assembly). pack_id derives from a
+    * running token sum windowed per source, so packing parallelizes
+    * across shards (one shuffle on `source`) instead of a global
+    * sequential fold; within a shard, doc order is the deterministic
+    * doc_id order.
+    */
+  def t06Pack(s: SparkSession, dir: String, budget: Int = 512): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs(s, dir)
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("pack_id",
+        floor((col("cum_tokens") - col("n_tokens")) / budget).cast("long"))
+      .select("source", "doc_id", "n_tokens", "pack_id")
+      .orderBy("source", "doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_id" -> t01LangId _,
     "t02_quality_score" -> t02QualityScore _,
     "t03_token_count" -> t03TokenCount _,
-    "t04_fingerprint" -> t04Fingerprint _)
+    "t04_fingerprint" -> t04Fingerprint _,
+    "t05_train_split" -> t05TrainSplit _,
+    "t06_pack" -> ((s, dir) => t06Pack(s, dir)))
 
   private def listLit(stops: Seq[String]): String =
     stops.map(s => s"'$s'").mkString("[", ", ", "]")
@@ -171,5 +212,28 @@ object TextOps {
         |  md5(trim(regexp_replace(regexp_replace(lower(text),
         |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fingerprint,
         |  length(text) AS len_chars
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t05_train_split" ->
+      """WITH b AS (
+        |  SELECT lang, length(text) AS len,
+        |    substr(md5(text), 1, 1) AS bucket
+        |  FROM documents
+        |)
+        |SELECT CASE WHEN bucket < 'c' THEN 'train'
+        |            WHEN bucket IN ('c', 'd') THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  lang, count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS n_chars_total
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "t06_pack" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    sum(len(string_split(text, ' '))) OVER (PARTITION BY source
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum_tokens
+        |  FROM documents
+        |)
+        |SELECT source, doc_id, n_tokens,
+        |  CAST(floor((cum_tokens - n_tokens) / 512) AS BIGINT) AS pack_id
+        |FROM t ORDER BY source, doc_id""".stripMargin)
 }
