@@ -80,9 +80,55 @@ object Ann {
       .orderBy("q_id", "rank")
   }
 
+  /** C7b: IVF (inverted-file) ANN — the other standard scale path.
+    * Coarse quantizer: `nlist` centroids (deterministically seeded from
+    * the corpus: every (n/nlist)-th vector — a k-means iteration would
+    * refine them; the partition/probe mechanics are identical). Every
+    * corpus vector is assigned to its nearest centroid (broadcast
+    * argmin — one scan, no shuffle); a query probes only its `nprobe`
+    * nearest centroid lists, so the scored set is ~nprobe/nlist of the
+    * corpus. All joins are equi-joins on centroid id; AnnSpec holds the
+    * recall gate vs s01.
+    */
+  def s03AnnIvf(s: SparkSession, dir: String,
+                nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val e = emb(s, dir)
+    // deterministic coarse centroids: vec_id ≡ 0 (mod n/nlist), first nlist
+    val n = e.count()
+    val stride = math.max(1L, n / nlist)
+    val cents = e.where(col("vec_id") % stride === 0 && col("vec_id") / stride < nlist)
+      .select((col("vec_id") / stride).cast("int").as("cid"), col("embedding").as("c_vec"))
+
+    def assign(df: DataFrame, idCol: String, vecCol: String, rank: Int): DataFrame = {
+      val w = Window.partitionBy(idCol).orderBy(col("c_cos").desc, col("cid"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("c_cos", cosine_sim(col(vecCol), col("c_vec")))
+        .withColumn("c_rank", row_number().over(w))
+        .where(col("c_rank") <= rank)
+        .drop("c_vec", "c_cos", "c_rank")
+    }
+
+    val corpus = assign(e.select(col("vec_id"), col("embedding")), "vec_id", "embedding", 1)
+    val queries = assign(
+      e.where(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+      "q_id", "q_vec", nprobe)
+
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    corpus.join(broadcast(queries), Seq("cid"))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine_sim(col("embedding"), col("q_vec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= K)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> s01AnnBruteforce _,
-    "s02_ann_lsh" -> ((s, dir) => s02AnnLsh(s, dir)))
+    "s02_ann_lsh" -> ((s, dir) => s02AnnLsh(s, dir)),
+    "s03_ann_ivf" -> ((s, dir) => s03AnnIvf(s, dir)))
 
   /** s02 is rows-only: its result depends on the LSH bucketing, which is
     * not SQL-expressible; AnnSpec holds its recall gate.

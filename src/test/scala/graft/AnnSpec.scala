@@ -40,6 +40,23 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("s03 IVF probes a corpus fraction yet keeps useful recall") {
+    val exact = Ann.s01AnnBruteforce(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val ivf = Ann.s03AnnIvf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, truth) =>
+      (ivf.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    info(s"IVF (nprobe 4/16) mean recall@10 on uniform-random vectors: $meanRecall")
+    // nprobe/nlist = 25% of the corpus scored; random vectors make the
+    // centroid structure weak, so the floor is the scored fraction.
+    assert(meanRecall >= 0.25, s"mean recall $meanRecall below scored fraction")
+  }
+
   test("s01 exact: self is excluded and ranks are dense per query") {
     val rows = Ann.s01AnnBruteforce(spark, dir).collect()
     assert(rows.forall(r => r.getLong(0) != r.getLong(2)), "self-match leaked")
