@@ -86,6 +86,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Exchange hashpartitioning(l_suppkey"), p)
   }
 
+  test("q30 partition filter prunes directories at planning time") {
+    val p = plan("q30_partition_pruned")
+    assert(p.contains("PartitionFilters: [") && p.contains("event_type"), p)
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*event_type[^\\]]*\\].*"),
+      "event_type must be a partition filter, not a data filter: " + p)
+  }
+
   test("custom expressions participate in whole-stage codegen") {
     // A scan+project plan (no exchange) is not AQE-wrapped, so the
     // codegen stage is visible in the executed plan directly.
