@@ -125,10 +125,32 @@ object Ann {
       .orderBy("q_id", "rank")
   }
 
+  /** C7c: per-label centroids via the custom vec_mean aggregate
+    * (functions/VecMeanAgg.scala) — the k-means update step that
+    * refines s03's coarse quantizer. One map-side-combined shuffle
+    * carrying a single (dim+1)-double buffer per (label, task). Output
+    * projects scalar probes of the centroid (first elements + L2 norm)
+    * so the oracle compare stays on flat columns.
+    */
+  def s04CentroidAgg(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VecMeanAgg.vec_mean
+    emb(s, dir)
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n"), vec_mean(col("embedding"), 64).as("centroid"))
+      .select(col("label"), col("n"),
+        round(element_at(col("centroid"), 1), 6).as("c1"),
+        round(element_at(col("centroid"), 2), 6).as("c2"),
+        round(element_at(col("centroid"), 3), 6).as("c3"),
+        round(sqrt(aggregate(col("centroid"), lit(0.0), (a, x) => a + x * x)), 6)
+          .as("centroid_norm"))
+      .orderBy("label")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> s01AnnBruteforce _,
     "s02_ann_lsh" -> ((s, dir) => s02AnnLsh(s, dir)),
-    "s03_ann_ivf" -> ((s, dir) => s03AnnIvf(s, dir)))
+    "s03_ann_ivf" -> ((s, dir) => s03AnnIvf(s, dir)),
+    "s04_centroid_agg" -> s04CentroidAgg _)
 
   /** s02 is rows-only: its result depends on the LSH bucketing, which is
     * not SQL-expressible; AnnSpec holds its recall gate.
@@ -149,5 +171,23 @@ object Ann {
         |)
         |SELECT q_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
         |  round(cos, 6) AS cos_sim
-        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)
+        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "s04_centroid_agg" ->
+      """WITH m AS (
+        |  SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS mi
+        |  FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+        |  GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT label,
+        |    round(max(CASE WHEN i = 1 THEN mi END), 6) AS c1,
+        |    round(max(CASE WHEN i = 2 THEN mi END), 6) AS c2,
+        |    round(max(CASE WHEN i = 3 THEN mi END), 6) AS c3,
+        |    round(sqrt(sum(mi * mi)), 6) AS centroid_norm
+        |  FROM m GROUP BY 1
+        |), cnt AS (
+        |  SELECT label, count(*) AS n FROM embeddings GROUP BY 1
+        |)
+        |SELECT CAST(a.label AS BIGINT) AS label, cnt.n, c1, c2, c3, centroid_norm
+        |FROM agg a JOIN cnt ON a.label = cnt.label
+        |ORDER BY 1""".stripMargin)
 }

@@ -10,7 +10,7 @@ import graft.functions.functions._
   * through the Column API (codegen path) and the SQL registration.
   */
 class FunctionsSpec extends AnyFunSuite {
-  private def spark = TestSpark.spark
+  private val spark = TestSpark.spark
 
   private def floats(xs: Float*) = array(xs.map(lit): _*).cast("array<float>")
 
@@ -66,6 +66,20 @@ class FunctionsSpec extends AnyFunSuite {
     val v = Array(0.5f, -0.25f, 1f, 0.1f, -0.7f)
     val buckets = (0 until 16).map(s => Kernels.lshBucket(v, 8, s.toLong)).toSet
     assert(buckets.size > 1, "bucket must depend on the seed")
+  }
+
+  test("vec_mean aggregate: correct mean across partitions (merge path)") {
+    import graft.functions.VecMeanAgg.vec_mean
+    import spark.implicits._
+    val df = Seq(
+      (0, Array(1f, 2f)), (0, Array(3f, 4f)), (0, Array(5f, 6f)),
+      (1, Array(10f, 20f)))
+      .toDF("g", "v").repartition(3) // force partial buffers + merge
+    val got = df.groupBy("g").agg(vec_mean(col("v"), 2).as("m"))
+      .orderBy("g").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+    assert(got(0) == Seq(3.0, 4.0))
+    assert(got(1) == Seq(10.0, 20.0))
   }
 
   test("kernels match expression results (eval vs codegen parity)") {
