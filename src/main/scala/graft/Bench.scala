@@ -23,7 +23,8 @@ object Bench {
     "q19_sessionize", "q21_asof_join", "q22_range_join",
     "c02_cdc_apply_unsorted", "st01_stream_window", "st02_stream_join",
     "q26_bucketed_join", "q27_approx_distinct", "q28_approx_percentile",
-    "q29_topk_group",
+    "q29_topk_group", "q30_partition_pruned", "s03_ann_ivf", "s04_centroid_agg",
+    "t05_train_split", "t06_pack",
     "d01_dedup_exact", "d02_dedup_minhash", "d04_dedup_ngram",
     "d05_dedup_embedding", "s01_ann_bruteforce", "s02_ann_lsh",
     "t02_quality_score", "t04_fingerprint", "m02_decode_batch",
