@@ -146,6 +146,42 @@ object Ann {
       .orderBy("label")
   }
 
+  /** k-means refinement of the IVF coarse quantizer — Lloyd iterations
+    * composed from the engine's own pieces: broadcast-argmin assignment
+    * (the s03 partition step) + the vec_mean custom aggregate (the s04
+    * update step). Each iteration is one scan + one tiny shuffle
+    * (nlist buffers per task); centroids live in a broadcast, never on
+    * the driver beyond the nlist×dim collect. Returns (iteration,
+    * mean cosine distance to assigned centroid) so callers see the
+    * monotone objective — KmeansSpec asserts it.
+    */
+  def kmeansRefine(s: SparkSession, dir: String,
+                   nlist: Int = 16, iters: Int = 3): Seq[(Int, Double)] = {
+    import graft.functions.VecMeanAgg.vec_mean
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val stride = math.max(1L, n / nlist)
+    var cents = e.where(col("vec_id") % stride === 0 && col("vec_id") / stride < nlist)
+      .select((col("vec_id") / stride).cast("int").as("cid"),
+        transform(col("embedding"), _.cast("double")).as("c_vec"))
+
+    val history = scala.collection.mutable.ListBuffer.empty[(Int, Double)]
+    for (it <- 0 until iters) {
+      val w = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cid"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("c_cos",
+          cosine_sim(col("embedding"), transform(col("c_vec"), _.cast("float"))))
+        .withColumn("r", row_number().over(w))
+        .where(col("r") === 1)
+      val obj = assigned.agg(avg(lit(1.0) - col("c_cos"))).head().getDouble(0)
+      history += ((it, obj))
+      cents = assigned.groupBy("cid")
+        .agg(vec_mean(col("embedding"), 64).as("c_vec"))
+        .select(col("cid"), col("c_vec"))
+    }
+    history.toSeq
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> s01AnnBruteforce _,
     "s02_ann_lsh" -> ((s, dir) => s02AnnLsh(s, dir)),
