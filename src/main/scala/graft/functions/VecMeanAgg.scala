@@ -6,6 +6,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftShim
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.GraftExpectsInputTypes
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -27,12 +28,15 @@ case class VecMeanAgg(
     dim: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Double]] {
+  extends TypedImperativeAggregate[Array[Double]] with GraftExpectsInputTypes {
 
   override def children: Seq[Expression] = child :: Nil
   override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "vec_mean"
+  // Reject/coerce wrong-typed input at analysis time (arr.getFloat on a
+  // non-float array would otherwise misread bytes executor-side).
+  override def graftInputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
 
   override def createAggregationBuffer(): Array[Double] = new Array[Double](dim + 1)
 

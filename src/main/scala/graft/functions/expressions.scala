@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.GraftExpectsInputTypes
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftShim
 import org.apache.spark.sql.types._
@@ -51,9 +52,14 @@ object ExprKernels {
   * no boxing per element).
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with GraftExpectsInputTypes {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+  // Declared input types make Catalyst coerce array<double> literals (or
+  // reject non-arrays) at analysis time — without them ArrayData.getFloat
+  // would silently misread the element bytes of a wrong-typed column.
+  override def graftInputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     ExprKernels.cosineAD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -71,9 +77,10 @@ case class CosineSim(left: Expression, right: Expression)
   * to O(n²) pair enumeration.
   */
 case class MinHashSig(child: Expression, k: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with GraftExpectsInputTypes {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
+  override def graftInputTypes: Seq[DataType] = Seq(ArrayType(StringType))
 
   override protected def nullSafeEval(tokens: Any): Any =
     ExprKernels.minhashSigAD(tokens.asInstanceOf[ArrayData], k)
@@ -88,9 +95,10 @@ case class MinHashSig(child: Expression, k: Int)
   * token multiset; near-duplicate docs land within a small Hamming radius.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with GraftExpectsInputTypes {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
+  override def graftInputTypes: Seq[DataType] = Seq(ArrayType(StringType))
 
   override protected def nullSafeEval(tokens: Any): Any =
     ExprKernels.simhash64AD(tokens.asInstanceOf[ArrayData])
@@ -107,9 +115,10 @@ case class SimHash64(child: Expression)
   * approximate nearest-neighbor search at scale.
   */
 case class LshBucket(child: Expression, nbits: Int, seed: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with GraftExpectsInputTypes {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "lsh_bucket"
+  override def graftInputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
 
   override protected def nullSafeEval(vec: Any): Any =
     ExprKernels.lshBucketAD(vec.asInstanceOf[ArrayData], nbits, seed)
@@ -125,9 +134,11 @@ case class LshBucket(child: Expression, nbits: Int, seed: Long)
   * zero-allocation merge — the set-similarity join's inner loop.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with GraftExpectsInputTypes {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sorted_intersect_count"
+  override def graftInputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     ExprKernels.sortedIntersectAD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

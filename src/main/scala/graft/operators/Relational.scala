@@ -261,14 +261,17 @@ object Relational {
     * all salt values, the probe side derives a deterministic salt, the
     * join key becomes (key, salt) — a hot orderkey spreads over 8
     * reducers. Result is provably identical to the plain join (oracle
-    * is the plain join).
+    * is the plain join). The probe salt is hash-derived
+    * (xxhash64 of the row identity, not a data column): a data-derived
+    * salt inherits the column's skew and can leave dead buckets
+    * (l_linenumber ∈ 1..7 never hits salt 0), which defeats the spread.
     */
   def q20SaltedJoin(s: SparkSession, dir: String): DataFrame = {
     val salts = 8
     val o = t(s, dir, "orders")
       .withColumn("salt", explode(array((0 until salts).map(i => lit(i)): _*)))
     val li = t(s, dir, "lineitem")
-      .withColumn("salt", pmod(col("l_linenumber"), lit(salts)))
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts)))
     li.join(o, li("l_orderkey") === o("o_orderkey") && li("salt") === o("salt"))
       .groupBy(col("o_orderstatus"))
       .agg(

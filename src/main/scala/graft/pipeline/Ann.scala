@@ -154,11 +154,22 @@ object Ann {
     * the driver beyond the nlist×dim collect. Returns (iteration,
     * mean cosine distance to assigned centroid) so callers see the
     * monotone objective — KmeansSpec asserts it.
+    *
+    * This is SPHERICAL k-means: embeddings are L2-normalized up front,
+    * so the vec_mean centroid update (mean of unit vectors = the mean
+    * direction) is the true argmax of Σ cos(x, c) for a fixed
+    * assignment — which is what makes the cosine objective provably
+    * non-increasing per Lloyd step. A plain mean of RAW vectors is the
+    * argmin only for squared-Euclidean; with it the cosine objective
+    * can legitimately rise. Normalization changes no assignment
+    * (cosine is scale-invariant) and costs one scan-side projection.
     */
   def kmeansRefine(s: SparkSession, dir: String,
                    nlist: Int = 16, iters: Int = 3): Seq[(Int, Double)] = {
     import graft.functions.VecMeanAgg.vec_mean
-    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val l2 = sqrt(aggregate(col("embedding"), lit(0.0d), (a, x) => a + x * x))
+    val e = emb(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => (x / l2).cast("float")).as("embedding"))
     val n = e.count()
     val stride = math.max(1L, n / nlist)
     var cents = e.where(col("vec_id") % stride === 0 && col("vec_id") / stride < nlist)

@@ -102,8 +102,8 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         bit_count(col("a.sh64").bitwiseXOR(col("b.sh64"))).cast("long").as("hamming"))
+      .where(col("hamming") <= 7) // filter BEFORE distinct: losers must not ride the dedup shuffle
       .distinct()
-      .where(col("hamming") <= 7)
       .orderBy("a_id", "b_id")
   }
 

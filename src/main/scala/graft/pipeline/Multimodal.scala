@@ -27,6 +27,10 @@ object Multimodal {
       .select(col("doc_id"),
         length(col("payload")).cast("long").as("byte_len"),
         length(col("text")).cast("long").as("char_len"),
+        // first 4 BYTES of the payload (hex). The oracle slices the hex
+        // string (substr(hex(encode(text)),1,8)) so both sides are
+        // byte-based — substr on the TEXT would count characters and
+        // diverge on multibyte prefixes.
         upper(hex(substring(col("payload"), 1, 4))).as("header_hex"),
         (length(col("payload")) === length(col("text"))).as("is_ascii"))
       .orderBy("doc_id")
@@ -93,7 +97,7 @@ object Multimodal {
       """SELECT doc_id,
         |  octet_length(encode(text)) AS byte_len,
         |  length(text) AS char_len,
-        |  upper(hex(encode(substr(text, 1, 4)))) AS header_hex,
+        |  upper(substr(hex(encode(text)), 1, 8)) AS header_hex,
         |  octet_length(encode(text)) = length(text) AS is_ascii
         |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -103,9 +103,17 @@ object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
 object TopK {
   /** orderings: (column, ascending). Ties should be broken by trailing
     * order columns for deterministic output.
+    *
+    * Memory contract: each task holds O(groups-seen-in-partition × k)
+    * rows. For a high-cardinality grouping key (groups ≳ 10⁶ per task ×
+    * wide rows) prefer the window `row_number() <= k` formulation, which
+    * sort-spills instead of holding heaps — the heap operator's win is
+    * the many-rows-per-group regime, not the many-groups one.
     */
   def perGroup(df: DataFrame, groupCols: Seq[String],
                orderings: Seq[(String, Boolean)], k: Int): DataFrame = {
+    require(k >= 1, s"TopK.perGroup requires k >= 1, got $k")
+    require(orderings.nonEmpty, "TopK.perGroup requires at least one ordering column")
     val grouping = groupCols.map(c => GraftShim.expression(df(c)))
     val order = orderings.map { case (c, asc) =>
       val e = GraftShim.expression(df(c))

@@ -82,6 +82,30 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(1) == Seq(10.0, 20.0))
   }
 
+  test("declared input types: double arrays coerce, non-arrays fail analysis") {
+    // array<double> → analysis inserts a cast to array<float>, so a
+    // double literal array produces the right answer instead of
+    // misreading bytes via ArrayData.getFloat
+    val v = spark.sql(
+      "SELECT cosine_sim(array(3.0d, 4.0d), array(3.0d, 4.0d)) AS c").head().getDouble(0)
+    assert(math.abs(v - 1.0) < 1e-12)
+    // ints coerce too (int → float is an implicit widening cast)
+    val w = spark.sql(
+      "SELECT cosine_sim(array(1, 0), array(0, 1)) AS c").head().getDouble(0)
+    assert(math.abs(w) < 1e-12)
+    // a non-array argument must fail at ANALYSIS time, not executor-side
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cosine_sim('abc', array(1.0f))").head()
+    }
+    assert(err.getMessage.toLowerCase.contains("cosine_sim"), err.getMessage)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT sorted_intersect_count(1, 2)").head()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT simhash64('not an array')").head()
+    }
+  }
+
   test("kernels match expression results (eval vs codegen parity)") {
     val a = Array(0.1f, 0.2f, 0.3f)
     val b = Array(-0.3f, 0.5f, 0.9f)

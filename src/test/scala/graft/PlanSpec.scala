@@ -93,6 +93,22 @@ class PlanSpec extends AnyFunSuite {
       "event_type must be a partition filter, not a data filter: " + p)
   }
 
+  test("q20 probe-side salt is uniform: all salt values populated") {
+    // a data-derived salt (the old pmod(l_linenumber, 8)) leaves salt 0
+    // empty and inherits linenumber skew; the hash-derived salt must
+    // populate every bucket with roughly uniform mass
+    import org.apache.spark.sql.functions._
+    val salts = 8
+    val dist = spark.read.parquet(s"${TestSpark.sfTest}/lineitem.parquet")
+      .select(pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts)).as("salt"))
+      .groupBy("salt").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist.keySet == (0L until salts).toSet, s"dead salt buckets: $dist")
+    val counts = dist.values
+    assert(counts.max < 2.0 * counts.min,
+      s"salt distribution skewed: $dist (hash salt should be near-uniform)")
+  }
+
   test("custom expressions participate in whole-stage codegen") {
     // A scan+project plan (no exchange) is not AQE-wrapped, so the
     // codegen stage is visible in the executed plan directly.
