@@ -37,7 +37,10 @@ object Bench {
     val spark = GraftSession.builder(cpus).master(s"local[$cpus]").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_BENCH_ONLY=q01_agg,d04_dedup_ngram runs a subset (local iteration)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     val qs = headline.filter(SparkEntry.queries.contains)
+      .filter(n => only.forall(_.contains(n)))
     // Warm-up pass over EVERY query (JVM/codegen warm, parquet footers
     // cached) — we measure steady-state engine throughput, not JIT
     // warmup, and all queries get the same treatment so round-over-

@@ -107,36 +107,79 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  /** C4: exact n-gram Jaccard via a shingle-hash inverted index.
-    * Shingle strings hash to xxhash64 longs up front, so the hot join
-    * carries 16-byte (doc_id, hash) rows and the pair aggregation keys
-    * on longs (exact modulo 64-bit collisions — p ≈ 1e-15 per pair on
-    * this corpus; the DuckDB string oracle agrees). The shared-hash
-    * equi-join + groupBy count IS the exact intersection; per-doc set
-    * sizes re-attach afterwards via a narrow broadcast so no extra
-    * payload rides the Σdf² pair explosion. SHUFFLE_HASH pins the
-    * candidate join away from AQE's sort-merge fallback (sorting
-    * exploded postings measured 6x slower).
-    *
-    * (A PPJoin prefix-filter variant was tried and reverted: with a
-    * hash canonical order, globally frequent shingles that draw small
-    * hashes land in most docs' prefixes, creating hot posting lists —
-    * the frequency-ordered prefix it needs costs an extra global df
-    * pass. The plain inverted index is stable and linear.)
+  /** Shared shingle-hash column: xxhash64 of each distinct word
+    * trigram, so the hot join carries 16-byte (doc_id, hash) rows
+    * (exact modulo 64-bit collisions — p ≈ 1e-15 per pair on this
+    * corpus; the DuckDB string oracle agrees).
     */
-  def d04DedupNgram(s: SparkSession, dir: String): DataFrame = {
-    val thr = 0.6
-    val hashes = transform(wordTrigrams(col("toks")), x => xxhash64(x))
-    val inv = tokenized(s, dir).select(col("doc_id"), explode(hashes).as("h"))
-    val sizes = tokenized(s, dir).select(col("doc_id"), size(hashes).as("n_sh"))
-    inv.toDF("a_id", "h").hint("SHUFFLE_HASH")
-      .join(inv.toDF("b_id", "h"), Seq("h"))
+  private def shingleHashes = transform(wordTrigrams(col("toks")), x => xxhash64(x))
+
+  /** (doc_id, hs): ascending-sorted distinct shingle-hash array per doc
+    * — the input to both candidate generation and exact verification.
+    */
+  private[graft] def hashSets(toksDf: DataFrame): DataFrame =
+    toksDf.select(col("doc_id"), array_sort(shingleHashes).as("hs"))
+
+  /** Candidate pairs sharing ≥1 shingle whose document frequency is
+    * ≤ maxDf. The df cap is the scale guard: the posting-list self-join
+    * is Σdf² over shingle document frequencies, so ONE boilerplate
+    * shingle shared by 1M docs is ~10¹² pairs. Capping df bounds the
+    * join at maxDf·|postings| — linear in the corpus — while dropping
+    * only shingles that carry no Jaccard discrimination. The df pass
+    * itself is one linear groupBy shuffle (the pruned-index join then
+    * reuses that exchange). SHUFFLE_HASH pins the self-join away from
+    * AQE's sort-merge fallback (sorting exploded postings measured 6x
+    * slower).
+    */
+  private[graft] def ngramCandidates(sets: DataFrame, maxDf: Int): DataFrame = {
+    val inv = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+    val rare = inv.groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select("h")
+    val pruned = inv.hint("SHUFFLE_HASH").join(rare, Seq("h"))
+      .select(col("h"), col("doc_id"))
+    pruned.toDF("h", "a_id").hint("SHUFFLE_HASH")
+      .join(pruned.toDF("h", "b_id"), Seq("h"))
       .where(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id")
-      .agg(count(lit(1)).as("inter"))
-      .join(broadcast(sizes.toDF("a_id", "a_n")), "a_id")
-      .join(broadcast(sizes.toDF("b_id", "b_n")), "b_id")
-      .withColumn("jaccard", col("inter") / (col("a_n") + col("b_n") - col("inter")))
+      .select("a_id", "b_id")
+      .distinct()
+  }
+
+  /** C4: n-gram Jaccard via a df-capped inverted index + exact
+    * verification. Two phases:
+    *
+    *  1. candidate generation ([[ngramCandidates]]): equi-join on
+    *     shingle hash over a posting index that EXCLUDES shingles with
+    *     document frequency > maxDf — this bounds the Σdf² pair
+    *     explosion that kills a plain inverted index at 100 TB.
+    *  2. exact verification: candidates re-join the full sorted
+    *     hash-set arrays and the true intersection runs in codegen
+    *     ([[graft.functions.SortedIntersectCount]] — a zero-allocation
+    *     sorted merge, ~100x cheaper than array_intersect's per-row
+    *     hash set). Verification uses ALL shingles, so reported pairs
+    *     and their Jaccard values are exact.
+    *
+    * Error model: one-sided and boundable. A qualifying pair (J ≥ 0.6)
+    * shares ≥ 0.375·(|A|+|B|) distinct shingles; it is missed only if
+    * EVERY one of those has df > maxDf — i.e. the pair's entire overlap
+    * is corpus-wide boilerplate, in which case the "near-duplication"
+    * is the boilerplate, not the documents. On real near-dup text at
+    * least one doc-specific shingle survives the cap and the pair is
+    * found; the sf0.01 DuckDB oracle (exact, uncapped) hash-matches.
+    */
+  def d04DedupNgram(s: SparkSession, dir: String, maxDf: Int = 64): DataFrame = {
+    val thr = 0.6
+    // persisted: feeds the inverted index AND both sides of the
+    // verification join, so the shingle+hash kernel runs exactly once
+    // per doc; hash-long arrays are narrow (unlike the string shingle
+    // arrays, which measured slower cached than recomputed). Exploding
+    // the cached attribute is safe — the Generate-inlining pathology
+    // only bites over non-collapsed projections, not InMemoryRelation.
+    val sets = hashSets(tokenized(s, dir)).persist(StorageLevel.MEMORY_AND_DISK)
+    ngramCandidates(sets, maxDf)
+      .join(sets.toDF("a_id", "a_hs"), "a_id")
+      .join(sets.toDF("b_id", "b_hs"), "b_id")
+      .withColumn("inter", sorted_intersect_count(col("a_hs"), col("b_hs")))
+      .withColumn("jaccard", col("inter") / (size(col("a_hs")) + size(col("b_hs")) - col("inter")))
       .where(col("jaccard") >= thr)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("a_id", "b_id")
@@ -164,7 +207,7 @@ object Dedup {
     "d01_dedup_exact" -> d01DedupExact _,
     "d02_dedup_minhash" -> d02DedupMinhash _,
     "d03_dedup_simhash" -> d03DedupSimhash _,
-    "d04_dedup_ngram" -> d04DedupNgram _,
+    "d04_dedup_ngram" -> ((s, dir) => d04DedupNgram(s, dir)),
     "d05_dedup_embedding" -> d05DedupEmbedding _)
 
   /** d02/d03 are rows-only (MinHash/SimHash aren't ANSI-SQL

@@ -50,6 +50,39 @@ class DedupSpec extends AnyFunSuite {
     assert(found.subsetOf(truthAll), "d02 reported a pair below its own threshold")
   }
 
+  test("d04 finds exactly the brute-force pairs at j >= 0.6") {
+    val found = Dedup.d04DedupNgram(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = brutePairs(0.6)
+    assert(truth.nonEmpty, "test data should contain planted near-dups")
+    assert(found == truth,
+      s"df-capped candidates + exact verify must still be exact here: " +
+        s"missing ${truth -- found}, extra ${found -- truth}")
+  }
+
+  test("d04 df cap bounds the candidate explosion from a boilerplate shingle") {
+    val sp = spark
+    import sp.implicits._
+    // 100 docs with doc-specific vocabulary (no cross-doc trigrams),
+    // then the SAME 5-word boilerplate sentence appended to half of
+    // them: 3 injected trigrams with df=50. An uncapped inverted index
+    // pays C(50,2)=1225 candidate pairs for them; the cap drops the
+    // boilerplate postings so candidate count must stay ~0.
+    val docsDf = (0 until 100).map { i =>
+      val own = (0 until 12).map(w => s"w${i}_$w").mkString(" ")
+      val text = if (i < 50) own + " the quick brown fox jumps" else own
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val sets = Dedup.hashSets(
+      docsDf.withColumn("toks", org.apache.spark.sql.functions.split(col("text"), " ")))
+    val capped = Dedup.ngramCandidates(sets, maxDf = 16).count()
+    val uncapped = Dedup.ngramCandidates(sets, maxDf = Int.MaxValue).count()
+    assert(uncapped >= 1225L, s"without the cap the boilerplate must explode (got $uncapped)")
+    // boundary trigrams (own-suffix + boilerplate-prefix) are doc-specific
+    // and never shared, so the cap should remove every candidate
+    assert(capped == 0L, s"df cap must drop boilerplate-only candidates (got $capped)")
+  }
+
   test("d03 SimHash banking is exact for hamming <= 7") {
     // Brute force: all-pairs hamming over the same simhash values.
     val sh = docs(spark, dir)
