@@ -48,6 +48,9 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS) which Spark has no type
       // for; read as Long (ns since epoch) and convert explicitly.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ANSI TIME is feature-flagged in Spark 4.1; the typed-decode
+      // surface (q31) maps the reference's `time` column type onto it.
+      .config("spark.sql.timeType.enabled", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.ui.enabled", "false")
 

@@ -63,8 +63,92 @@ object TypedRows {
         sum(when(col("prio").isNull, 1L).otherwise(0L)).as("n_null"))
       .orderBy("prio")
 
+  // ---------------------------------------------------------------- q31
+
+  /** One order line as a nested composite — the FromRow "row inside a
+    * row" analog (reference FromRow.hs decodes composite fields through
+    * the same typeclass stack).
+    */
+  case class Item(ln: Int, qty: java.math.BigDecimal)
+
+  /** The wide decode surface (reference: FromRow.hs:71-324): uuid
+    * (canonical 8-4-4-4-12 string), char, money → Decimal(19,4),
+    * interval day-time → java.time.Duration, time → java.time.LocalTime,
+    * Maybe int8 → Option[Long], and a nested array-of-struct.
+    */
+  case class OrderWide(
+      o_orderkey: Long,
+      uid: String,
+      status_char: String,
+      money: java.math.BigDecimal,
+      span: java.time.Duration,
+      otime: java.time.LocalTime,
+      clerk_id: Option[Long],
+      items: Seq[Item])
+
+  /** Typed wide dataset: one row per order with its lineitems nested as
+    * an array-of-struct. collect_list is order-nondeterministic, so the
+    * struct array is array_sort'ed (sorts on the leading `ln` field) —
+    * deterministic nested payloads under any shuffle.
+    */
+  def typedOrderWide(s: SparkSession, dir: String): Dataset[OrderWide] = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(
+        array_sort(collect_list(struct(
+          col("l_linenumber").cast("int").as("ln"),
+          col("l_quantity").cast("decimal(12,2)").as("qty")))).as("items"),
+        datediff(max(col("l_shipdate")).cast("date"), min(col("l_shipdate")).cast("date"))
+          .as("span_days"))
+    val h = md5(col("o_orderkey").cast("string"))
+    t(s, dir, "orders")
+      .join(li, Seq("o_orderkey"))
+      .select(
+        col("o_orderkey"),
+        concat_ws("-",
+          substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
+          substring(h, 17, 4), substring(h, 21, 12)).as("uid"),
+        substring(col("o_orderstatus"), 1, 1).as("status_char"),
+        col("o_totalprice").cast("decimal(19,4)").as("money"),
+        expr("make_dt_interval(span_days, 0, 0, 0)").as("span"),
+        expr("make_time(cast(o_orderkey % 24 as int), cast(o_orderkey * 7 % 60 as int), " +
+          "cast(o_orderkey * 13 % 60 as decimal(16,6)))").as("otime"),
+        when(col("o_orderstatus") =!= "P", col("o_custkey")).as("clerk_id"),
+        col("items"))
+      .as[OrderWide]
+  }
+
+  /** q31: the wide FromRow surface end-to-end — decode to
+    * [[OrderWide]], round-trip through the typed Dataset (the filter
+    * deserializes every field including the nested items and the
+    * interval/time values), then aggregate declaratively. Every exotic
+    * type lands in the output where DuckDB can reproduce it: the
+    * interval via extract(DAY), the time via min(TIME), the uuid via
+    * min(string), the nested array via its size/qty rollups.
+    */
+  def q31TypedWide(s: SparkSession, dir: String): DataFrame =
+    typedOrderWide(s, dir)
+      .filter(o => o.uid.length == 36 && o.items.nonEmpty &&
+        !o.span.isNegative && o.money.signum >= 0)
+      .toDF()
+      .groupBy(col("status_char"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum("money").as("sum_money"),
+        min("uid").as("min_uid"),
+        max(expr("extract(DAY FROM span)")).cast("long").as("max_span_days"),
+        sum(size(col("items"))).cast("long").as("total_items"),
+        round(sum(aggregate(col("items"),
+          lit(0.0d), (acc, x) => acc + x.getField("qty").cast("double"))), 2).as("sum_qty"),
+        sum(when(col("clerk_id").isNull, 1L).otherwise(0L)).as("n_null_clerk"),
+        min("otime").as("min_time"))
+      .orderBy("status_char")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q25_typed_decode" -> q25TypedDecode _)
+    Map(
+      "q25_typed_decode" -> q25TypedDecode _,
+      "q31_typed_wide" -> q31TypedWide _)
 
   val oracles: Map[String, String] = Map(
     "q25_typed_decode" ->
@@ -78,5 +162,31 @@ object TypedRows {
         |SELECT coalesce(prio, 'none') AS prio, count(*) AS n,
         |  sum(price) AS sum_price, min(d) AS min_date, max(d) AS max_date,
         |  CAST(sum(CASE WHEN prio IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
-        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q31_typed_wide" ->
+      """WITH li AS (
+        |  SELECT l_orderkey,
+        |    count(*) AS n_items,
+        |    sum(l_quantity) AS qty_sum,
+        |    date_diff('day', CAST(min(l_shipdate) AS DATE), CAST(max(l_shipdate) AS DATE)) AS span_days
+        |  FROM lineitem GROUP BY 1
+        |), o AS (
+        |  SELECT o_orderkey,
+        |    substr(o_orderstatus, 1, 1) AS status_char,
+        |    CAST(o_totalprice AS DECIMAL(19,4)) AS money,
+        |    md5(CAST(o_orderkey AS VARCHAR)) AS h,
+        |    CASE WHEN o_orderstatus <> 'P' THEN o_custkey END AS clerk_id,
+        |    make_time(CAST(o_orderkey % 24 AS BIGINT), CAST(o_orderkey * 7 % 60 AS BIGINT),
+        |              CAST(o_orderkey * 13 % 60 AS DOUBLE)) AS otime
+        |  FROM orders
+        |)
+        |SELECT status_char, count(*) AS n, sum(money) AS sum_money,
+        |  min(concat(substr(h,1,8),'-',substr(h,9,4),'-',substr(h,13,4),'-',substr(h,17,4),'-',substr(h,21,12))) AS min_uid,
+        |  CAST(max(span_days) AS BIGINT) AS max_span_days,
+        |  CAST(sum(n_items) AS BIGINT) AS total_items,
+        |  round(sum(qty_sum), 2) AS sum_qty,
+        |  CAST(sum(CASE WHEN clerk_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_clerk,
+        |  min(otime) AS min_time
+        |FROM o JOIN li ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }
