@@ -75,7 +75,10 @@ object Cdc {
     * (incremental application — see [[applyIncrement]]).
     */
   def applyChanges(changes: DataFrame, keepTs: Boolean = false): DataFrame = {
-    val w = Window.partitionBy("o_orderkey").orderBy(col("ts_ms").desc)
+    // op as a deterministic tiebreak: a replayed batch can put the
+    // surviving state row and its identical change row at the same ts,
+    // and the winner must not depend on shuffle order
+    val w = Window.partitionBy("o_orderkey").orderBy(col("ts_ms").desc, col("op"))
     val current = changes
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col("op") =!= "d")

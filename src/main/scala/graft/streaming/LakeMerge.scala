@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CDC MERGE into the lake — the analog of the reference's
+  * `execute`/`execute_` write path (reference: Stream.hs:122-145):
+  * where a pgstream user runs `execute [sql|INSERT/UPDATE/DELETE …|]`
+  * against Postgres, a lake engine applies a decoded change batch into
+  * table state as an upsert. This is the operator a CDC consumer
+  * actually runs after [[Cdc.applyIncrement]] computes the new state.
+  *
+  * Layout + scale contract (100 TB): state is hash-bucket-partitioned
+  * parquet (`pk_bucket = pmod(hash(key), NBuckets)` — murmur3, the same
+  * hash family bucketBy uses). A merge then touches ONLY the buckets
+  * the change batch hashes into:
+  *
+  *  1. the read side prunes to touched buckets at planning time
+  *     (`pk_bucket IN (…)` is a PartitionFilter — zero IO for the rest
+  *     of the table);
+  *  2. the write side rewrites only those buckets (dynamic partition
+  *     overwrite), so merge cost is O(touched state + batch), not
+  *     O(table);
+  *  3. buckets whose rows are ALL deleted by the batch are cleared
+  *     explicitly (dynamic overwrite only replaces partitions present
+  *     in the output — an empty partition would otherwise keep its
+  *     stale files).
+  *
+  * Exactly-once under replay: the merge is deterministic and
+  * idempotent — latest-wins by (ts, op) over state ∪ batch — so a
+  * foreachBatch retry of an already-applied batch rewrites the same
+  * bytes (StreamingSpec proves state is unchanged under double-apply
+  * and drives the whole path through a checkpointed stream).
+  */
+object LakeMerge {
+
+  /** More buckets than Bucketing.NBuckets: merge granularity wants
+    * finer partitions (less rewrite per batch); 32 here stands in for
+    * the O(thousands) a 100 TB table would use.
+    */
+  val NBuckets = 32
+
+  private def withBucket(df: DataFrame): DataFrame =
+    df.withColumn("pk_bucket", pmod(hash(col("o_orderkey")), lit(NBuckets)))
+
+  private def fs(s: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Seed the state lake at `path` from a full-state DataFrame
+    * (schema: o_orderkey, price, last_op, ts_ms), bucket-partitioned.
+    */
+  def seed(s: SparkSession, path: String, state: DataFrame): Unit =
+    withBucket(state)
+      .write.mode("overwrite").partitionBy("pk_bucket").parquet(path)
+
+  /** MERGE a decoded change batch (schema: op, ts_ms, o_orderkey,
+    * o_totalprice) into the state lake at `path`. Upsert semantics:
+    * latest-wins per key; 'd' ops remove the key. Only touched buckets
+    * are read or rewritten.
+    */
+  def mergeBatch(s: SparkSession, path: String, changes: DataFrame): Unit = {
+    val ch = withBucket(changes)
+    // ≤ NBuckets small ints — a bounded O(1) driver payload, same class
+    // as collecting AQE stats; NOT a data collect
+    val touched = ch.select("pk_bucket").distinct().collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) return
+    val current = s.read.parquet(path)
+      .where(col("pk_bucket").isin(touched: _*)) // planning-time partition pruning
+      .drop("pk_bucket")
+    val merged = withBucket(Cdc.applyIncrement(current, changes.drop("pk_bucket")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val remaining = merged.select("pk_bucket").distinct()
+        .collect().map(_.getInt(0)).toSet
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("pk_bucket").parquet(path)
+      // clear touched buckets that lost every row (not in the output)
+      val f = fs(s, path)
+      touched.filterNot(remaining).foreach { b =>
+        f.delete(new org.apache.hadoop.fs.Path(s"$path/pk_bucket=$b"), true)
+      }
+    } finally merged.unpersist()
+  }
+
+  /** Current state read back (no partition column). */
+  def readState(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path).drop("pk_bucket")
+
+  /** `c03_cdc_merge`: the full execute-analog flow, hermetic per run —
+    * seed the lake from the snapshot ('r') rows, MERGE the update +
+    * delete batch into it, read back the post-merge table state. The
+    * result must equal the one-shot apply (c01), which is exactly what
+    * the DuckDB oracle checks.
+    */
+  def c03CdcMerge(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s.conf.get("spark.sql.warehouse.dir") + s"/orders_state_c03$tag"
+    val f = fs(s, path)
+    f.delete(new org.apache.hadoop.fs.Path(path), true)
+    val decoded = Cdc.decode(Cdc.syntheticEnvelopes(s, dir))
+    seed(s, path, Cdc.applyChanges(decoded.where(col("op") === "r"), keepTs = true))
+    mergeBatch(s, path, decoded.where(col("op") =!= "r"))
+    readState(s, path)
+      .select(col("o_orderkey"), col("price"), col("last_op"))
+      .orderBy("o_orderkey")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] =
+    Map("c03_cdc_merge" -> c03CdcMerge _)
+
+  /** Post-merge state == one-shot latest-wins apply over the whole
+    * change stream — the same closed form as c01's oracle.
+    */
+  val oracles: Map[String, String] = Map(
+    "c03_cdc_merge" ->
+      """SELECT o_orderkey,
+        |  round(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2.0
+        |             ELSE o_totalprice END, 2) AS price,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN 'u' ELSE 'r' END AS last_op
+        |FROM orders
+        |WHERE o_orderkey % 11 <> 0
+        |ORDER BY o_orderkey""".stripMargin)
+}

@@ -113,6 +113,76 @@ class StreamingSpec extends AnyFunSuite {
     incremental.zip(oneShot).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("lake MERGE: streamed upsert equals one-shot apply, replay is idempotent, untouched buckets untouched") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{Cdc, LakeMerge}
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+
+    val path = Files.createTempDirectory("merge_state").toString + "/state"
+    val decoded = Cdc.decode(Cdc.syntheticEnvelopes(spark, TestSpark.sfTest))
+    LakeMerge.seed(spark, path, Cdc.applyChanges(decoded.where(col("op") === "r"), keepTs = true))
+
+    // stream the u/d envelopes through a checkpointed foreachBatch in
+    // two micro-batches (updates, then deletes)
+    val updates = Cdc.syntheticEnvelopes(spark, TestSpark.sfTest)
+      .where(get_json_object(col("envelope"), "$.op") === "u")
+      .as[String].collect()
+    val deletes = Cdc.syntheticEnvelopes(spark, TestSpark.sfTest)
+      .where(get_json_object(col("envelope"), "$.op") === "d")
+      .as[String].collect()
+    val input = MemoryStream[String]
+    val ckpt = Files.createTempDirectory("merge_ckpt").toString
+    val q = input.toDS().toDF("envelope").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        LakeMerge.mergeBatch(spark, path, Cdc.decode(batch))
+      }
+      .start()
+    try {
+      input.addData(updates.toSeq); q.processAllAvailable()
+      input.addData(deletes.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    def state() = LakeMerge.readState(spark, path)
+      .select("o_orderkey", "price", "last_op").orderBy("o_orderkey").collect()
+    val merged = state()
+    val oneShot = Cdc.c01CdcApply(spark, TestSpark.sfTest).collect()
+    assert(merged.length == oneShot.length, s"${merged.length} vs ${oneShot.length}")
+    merged.zip(oneShot).foreach { case (a, b) => assert(a == b) }
+
+    // replay: re-apply the delete batch directly (a foreachBatch retry
+    // delivers the same batch again) — state must be byte-identical
+    LakeMerge.mergeBatch(spark, path, Cdc.decode(deletes.toSeq.toDF("envelope")))
+    val replayed = state()
+    assert(replayed.length == merged.length, "replay changed row count")
+    replayed.zip(merged).foreach { case (a, b) => assert(a == b) }
+
+    // touched-bucket isolation: a single-key update must leave every
+    // other bucket's files physically untouched
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def listing(): Map[String, Long] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+      val m = scala.collection.mutable.Map.empty[String, Long]
+      while (it.hasNext) { val f = it.next(); m(f.getPath.toString) = f.getModificationTime }
+      m.toMap
+    }
+    val before = listing()
+    val oneKey = decoded.where(col("op") === "u").limit(1)
+      .withColumn("ts_ms", col("ts_ms") + 5) // a genuinely newer change
+    val touchedBucket = oneKey
+      .select(pmod(hash(col("o_orderkey")), lit(LakeMerge.NBuckets))).head().getInt(0)
+    LakeMerge.mergeBatch(spark, path, oneKey)
+    val after = listing()
+    val changed = (after.keySet ++ before.keySet)
+      .filter(k => before.get(k) != after.get(k))
+    assert(changed.nonEmpty, "the touched bucket must be rewritten")
+    assert(changed.forall(_.contains(s"pk_bucket=$touchedBucket")),
+      s"files outside bucket $touchedBucket changed: $changed")
+  }
+
   test("batch sessionizer agrees with the declarative q19 formulation") {
     import org.apache.spark.sql.functions._
     val stateful = EventStreams.sessionizeStateful(spark, TestSpark.sfTest)
