@@ -92,6 +92,39 @@ object EventStreams {
         (unix_millis(col("p_ts")) - unix_millis(col("v_ts"))).as("lag_ms"))
   }
 
+  /** D6 st03 batch twin: exact dedup of duplicated delivery. The input
+    * is the event stream unioned with itself (at-least-once delivery
+    * always re-sends SOMETHING — a dedup test over an already-unique
+    * stream is vacuous); dropDuplicates on the event id must collapse
+    * every copy before the rollup. The oracle is the closed form (the
+    * rollup over the original events).
+    */
+  def st03StreamDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select("event_id", "event_type", "value")
+    e.union(e)
+      .dropDuplicates("event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .orderBy("event_type")
+  }
+
+  /** One delivered event (possibly re-delivered) for the streaming
+    * dedup path.
+    */
+  case class DeliveredEv(event_id: Long, ts_ms: Long, value: Double)
+
+  /** The genuinely-streaming dedup twin: dropDuplicatesWithinWatermark
+    * keeps per-key state only until the watermark passes — bounded
+    * state on an unbounded stream, which plain dropDuplicates (state
+    * grows forever) cannot give. Duplicates arriving within the
+    * watermark horizon are suppressed across micro-batches
+    * (StreamingSpec proves it through MemoryStream).
+    */
+  def dedupeDelivery(evs: Dataset[DeliveredEv]): DataFrame =
+    evs.withColumn("ev_ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ev_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class Ev(user_id: Long, ts_ms: Long, value: Double)
   case class Session(user_id: Long, n_events: Long, sess_start: Long, sess_end: Long)
   /** Open-session state carried between micro-batches. */
@@ -153,7 +186,8 @@ object EventStreams {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] =
     Map("st01_stream_window" -> st01StreamWindow _,
-      "st02_stream_join" -> st02StreamJoin _)
+      "st02_stream_join" -> st02StreamJoin _,
+      "st03_stream_dedup" -> st03StreamDedup _)
 
   val oracles: Map[String, String] = Map(
     "st01_stream_window" ->
@@ -169,5 +203,8 @@ object EventStreams {
         |FROM e v JOIN e p ON v.user_id = p.user_id
         |  AND v.event_type = 'view' AND p.event_type = 'purchase'
         |  AND p.ts_ms >= v.ts_ms AND p.ts_ms <= v.ts_ms + 1800000
-        |ORDER BY 1, 2, 3""".stripMargin)
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "st03_stream_dedup" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
 }

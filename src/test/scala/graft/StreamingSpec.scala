@@ -183,6 +183,31 @@ class StreamingSpec extends AnyFunSuite {
       s"files outside bucket $touchedBucket changed: $changed")
   }
 
+  test("streaming dedup suppresses re-delivered events across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.EventStreams.DeliveredEv
+    val t0 = 3600_000L
+    val input = MemoryStream[DeliveredEv]
+    val q = EventStreams.dedupeDelivery(input.toDS())
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: two distinct events, one delivered twice within the batch
+      input.addData(DeliveredEv(1L, t0, 1.0), DeliveredEv(1L, t0, 1.0), DeliveredEv(2L, t0 + 1000, 2.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_test").count() == 2, "within-batch duplicate must collapse")
+      // batch 2: event 1 re-delivered (cross-batch dup, inside the
+      // watermark horizon) + one genuinely new event
+      input.addData(DeliveredEv(1L, t0, 1.0), DeliveredEv(3L, t0 + 2000, 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L),
+        s"cross-batch duplicate must be suppressed by state, got $ids")
+    } finally q.stop()
+  }
+
   test("batch sessionizer agrees with the declarative q19 formulation") {
     import org.apache.spark.sql.functions._
     val stateful = EventStreams.sessionizeStateful(spark, TestSpark.sfTest)
