@@ -18,16 +18,12 @@ object Ann {
   val K = 10          // neighbors per query
   val NQueries = 10   // query vectors: vec_id < 10
 
-  /** C6: exact top-k cosine neighbors. Plan: parquet scan →
-    * BroadcastNestedLoopJoin against the broadcast query set → codegen
-    * cosine (custom expression) → rank window partitioned by query.
-    * The only shuffle carries (corpus × queries) scored rows hashed on
-    * q_id; at scale, chunk the query set and/or pre-prune with an
-    * approximate similarity threshold before the window.
+  /** Exact per-query top-k over any (vec_id, embedding) corpus: the
+    * query set broadcasts across the scan, the codegen cosine scores
+    * inside whole-stage codegen, and the rank window bounds output.
     */
-  def s01AnnBruteforce(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-    val q = e.where(col("vec_id") < NQueries).select(
+  def annExactOn(e: DataFrame, nQueries: Int = NQueries, k: Int = K): DataFrame = {
+    val q = e.where(col("vec_id") < nQueries).select(
       col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     e.select(col("vec_id"), col("embedding"))
@@ -35,23 +31,35 @@ object Ann {
       .where(col("vec_id") =!= col("q_id"))
       .withColumn("cos", cosine_sim(col("embedding"), col("q_vec")))
       .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= K)
+      .where(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("long").as("rank"),
         col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
       .orderBy("q_id", "rank")
   }
 
-  /** C7: approximate NN via random-hyperplane LSH: 16 tables × 6-bit
-    * buckets (collision prob per pair = (1-θ/π)^6 per table). Candidate
-    * generation is an equi-join on (table, bucket) — linear shuffle,
-    * corpus scanned once, never paired all-against-all. Exact cosine +
-    * top-k then run on candidates only. Same output shape as s01;
-    * AnnSpec measures recall@10 vs the exact baseline.
+  /** C6: exact top-k cosine neighbors. Plan: parquet scan →
+    * BroadcastNestedLoopJoin against the broadcast query set → codegen
+    * cosine (custom expression) → rank window partitioned by query.
+    * The only shuffle carries (corpus × queries) scored rows hashed on
+    * q_id; at scale, chunk the query set and/or pre-prune with an
+    * approximate similarity threshold before the window.
     */
-  def s02AnnLsh(s: SparkSession, dir: String,
-                tables: Int = 16, bits: Int = 6): DataFrame = {
-    val e = emb(s, dir)
+  def s01AnnBruteforce(s: SparkSession, dir: String): DataFrame =
+    annExactOn(emb(s, dir))
 
+  /** LSH candidate pairs (q_id, q_vec, vec_id, embedding) for any
+    * corpus. MULTI-PROBE: each query probes its own bucket plus every
+    * 1-bit-flip neighbor (bits+1 probes per table) — a near-miss on one
+    * hyperplane no longer costs the whole table. The probe fan-out is
+    * QUERY-side only (queries are the small broadcast side); the corpus
+    * index stays one bucket per table, so at 100 TB multi-probe buys
+    * ~bits× candidate coverage for zero extra corpus shuffle or index
+    * size — the standard trade (Lv et al. 2007, multi-probe LSH) that
+    * lets table count stay low.
+    */
+  def annLshCandidates(e: DataFrame, nQueries: Int = NQueries,
+                       tables: Int = 16, bits: Int = 6,
+                       multiProbe: Boolean = true): DataFrame = {
     def bucketed(df: DataFrame, idCol: String, vecCol: String): DataFrame =
       df.select(col(idCol), col(vecCol),
         explode(array((0 until tables).map(t =>
@@ -60,25 +68,49 @@ object Ann {
         .select(col(idCol), col(vecCol), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
 
     val corpus = bucketed(e.select(col("vec_id"), col("embedding")), "vec_id", "embedding")
-    val queries = bucketed(
-      e.where(col("vec_id") < NQueries)
+    val queries0 = bucketed(
+      e.where(col("vec_id") < nQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
       "q_id", "q_vec")
+    val queries =
+      if (!multiProbe) queries0
+      else queries0
+        .withColumn("bkt", explode(array(
+          col("bkt") +: (0 until bits).map(i => col("bkt").bitwiseXOR(lit(1 << i))): _*)))
 
-    val cand = corpus.join(broadcast(queries), Seq("tbl", "bkt"))
+    corpus.join(broadcast(queries), Seq("tbl", "bkt"))
       .where(col("vec_id") =!= col("q_id"))
       .select("q_id", "q_vec", "vec_id", "embedding")
       .dropDuplicates("q_id", "vec_id")
+  }
 
+  /** Exact-cosine top-k over the LSH candidate set. */
+  def annLshOn(e: DataFrame, nQueries: Int = NQueries, k: Int = K,
+               tables: Int = 16, bits: Int = 6,
+               multiProbe: Boolean = true): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    cand
+    annLshCandidates(e, nQueries, tables, bits, multiProbe)
       .withColumn("cos", cosine_sim(col("embedding"), col("q_vec")))
       .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= K)
+      .where(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("long").as("rank"),
         col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
       .orderBy("q_id", "rank")
   }
+
+  /** C7: approximate NN via multi-probe random-hyperplane LSH: 16
+    * tables × 6-bit buckets, each query probing its bucket + the 6
+    * 1-bit neighbors. Candidate generation is an equi-join on
+    * (table, bucket) — linear shuffle, corpus scanned once, never
+    * paired all-against-all. Exact cosine + top-k then run on
+    * candidates only. Same output shape as s01; AnnSpec holds recall
+    * gates on both the uniform-random corpus (adversarial) and a
+    * clustered corpus (the regime ANN is used in), with the scored
+    * fraction reported.
+    */
+  def s02AnnLsh(s: SparkSession, dir: String,
+                tables: Int = 16, bits: Int = 6): DataFrame =
+    annLshOn(emb(s, dir), tables = tables, bits = bits)
 
   /** C7b: IVF (inverted-file) ANN — the other standard scale path.
     * Coarse quantizer: `nlist` centroids (deterministically seeded from
