@@ -150,6 +150,34 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** bloom_might_contain(bigint) → boolean: membership probe against a
+  * pre-built [[org.apache.spark.util.sketch.BloomFilter]] (Spark's own
+  * public sketch — the same structure InjectRuntimeFilter broadcasts).
+  * Used for explicit runtime join pruning: build the filter over the
+  * small side's keys, push this predicate onto the big side's scan, and
+  * rows that cannot join never leave the scan stage. False positives
+  * only (never drops a joinable row); the filter rides whole-stage
+  * codegen as a plan-reference object, one `mightContainLong` per row.
+  */
+case class BloomMightContain(child: Expression,
+                             bloom: org.apache.spark.util.sketch.BloomFilter)
+    extends UnaryExpression with GraftExpectsInputTypes {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+  override def graftInputTypes: Seq[DataType] = Seq(LongType)
+
+  override protected def nullSafeEval(v: Any): Any =
+    bloom.mightContainLong(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBloom", bloom,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.mightContainLong($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-API surface for the custom expressions (plus SQL names via
   * [[GraftExtensions]]). These compose with any DataFrame code exactly
   * like `org.apache.spark.sql.functions` builtins.
@@ -171,4 +199,7 @@ object functions {
 
   def sorted_intersect_count(a: Column, b: Column): Column =
     GraftShim.column(SortedIntersectCount(lit(a), lit(b)))
+
+  def bloom_might_contain(c: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column =
+    GraftShim.column(BloomMightContain(lit(c), bloom))
 }

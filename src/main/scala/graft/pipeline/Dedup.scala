@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
-import graft.functions.functions.{cosine_sim, minhash_sig, simhash64 => simhash64c, sorted_intersect_count}
+import graft.functions.functions.{bloom_might_contain, cosine_sim, minhash_sig, simhash64 => simhash64c, sorted_intersect_count}
 
 /** Deduplication family (SURVEY §2 C1-C5).
   *
@@ -52,7 +52,6 @@ object Dedup {
     * against brute-force pairs at sf0.001.
     */
   def d02DedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val base = shingled(s, dir)
     // sig inline over the toks attribute; band hashes inline under the
     // posexplode (see pipeline.shingled perf note on Generate)
     val bands = tokenized(s, dir)
@@ -69,6 +68,17 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds the bloom build AND the verify join
+    // Runtime join pruning for the candidate→shingle re-join: a Bloom
+    // filter over candidate doc ids (built by the distributed sketch
+    // aggregate, only the ~KB filter reaches the driver) is pushed onto
+    // the base-table read, so the expensive shingle re-computation and
+    // the join shuffle only ever see might-be-candidate docs. Candidate
+    // sets are a vanishing fraction of a 100 TB corpus; false positives
+    // only cost a few extra rows, never a lost pair.
+    val bf = cand.select(explode(array(col("a_id"), col("b_id"))).as("id"))
+      .stat.bloomFilter("id", 1 << 16, 0.01)
+    val base = shingled(s, dir).where(bloom_might_contain(col("doc_id"), bf))
     cand
       .join(base.toDF("a_id", "a_sh"), "a_id")
       .join(base.toDF("b_id", "b_sh"), "b_id")

@@ -93,6 +93,12 @@ class PlanSpec extends AnyFunSuite {
       "event_type must be a partition filter, not a data filter: " + p)
   }
 
+  test("d02 join-back scan carries the bloom runtime filter") {
+    val p = plan("d02_dedup_minhash")
+    assert(p.contains("bloom_might_contain"),
+      "candidate→shingle re-join must be bloom-pruned: " + p)
+  }
+
   test("q20 probe-side salt is uniform: all salt values populated") {
     // a data-derived salt (the old pmod(l_linenumber, 8)) leaves salt 0
     // empty and inherits linenumber skew; the hash-derived salt must
