@@ -123,8 +123,12 @@ object Ann {
     * recall gate vs s01.
     */
   def s03AnnIvf(s: SparkSession, dir: String,
-                nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val e = emb(s, dir)
+                nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    annIvfOn(emb(s, dir), nlist, nprobe)
+
+  /** IVF over any (vec_id, embedding) corpus — see [[s03AnnIvf]]. */
+  def annIvfOn(e: DataFrame, nlist: Int = 16, nprobe: Int = 4,
+               nQueries: Int = NQueries, k: Int = K): DataFrame = {
     // deterministic coarse centroids: vec_id ≡ 0 (mod n/nlist), first nlist
     val n = e.count()
     val stride = math.max(1L, n / nlist)
@@ -142,7 +146,7 @@ object Ann {
 
     val corpus = assign(e.select(col("vec_id"), col("embedding")), "vec_id", "embedding", 1)
     val queries = assign(
-      e.where(col("vec_id") < NQueries)
+      e.where(col("vec_id") < nQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
       "q_id", "q_vec", nprobe)
 
@@ -151,7 +155,7 @@ object Ann {
       .where(col("vec_id") =!= col("q_id"))
       .withColumn("cos", cosine_sim(col("embedding"), col("q_vec")))
       .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= K)
+      .where(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("long").as("rank"),
         col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
       .orderBy("q_id", "rank")

@@ -57,10 +57,15 @@ class AnnSpec extends AnyFunSuite {
     assert(meanRecall >= 0.25, s"mean recall $meanRecall below scored fraction")
   }
 
-  test("multi-probe LSH on a clustered corpus: recall@10 >= 0.8 at a fraction of the scoring cost") {
-    // Clustered vectors — the regime ANN actually runs in (real
-    // embeddings cluster; uniform-random is the adversarial floor
-    // case). 16 centers, 64 dims, points = center + 0.35*noise.
+  /** Clustered corpus — the regime ANN actually runs in (real
+    * embeddings cluster; uniform-random is the adversarial floor case).
+    * 16 unit centers in 64d; cluster membership is random (seeded) so no
+    * arithmetic alignment exists between ids and clusters; noise is
+    * scaled by 1/sqrt(dim) so the noise VECTOR norm is ~0.35 of the
+    * unit center (a raw 64-dim gaussian has norm ~8 and would drown the
+    * cluster structure) → cluster-mate cosine ~0.89.
+    */
+  private lazy val clusteredCorpus: org.apache.spark.sql.DataFrame = {
     val sp = spark
     import sp.implicits._
     val rnd = new scala.util.Random(42)
@@ -69,22 +74,25 @@ class AnnSpec extends AnyFunSuite {
       v.map(_ / n)
     }
     val centers = Array.fill(16)(normalize(Array.fill(64)(rnd.nextGaussian().toFloat)))
-    // noise scaled by 1/sqrt(dim) so the noise VECTOR norm is ~0.35 of
-    // the unit center (a raw 64-dim gaussian has norm ~8 and would
-    // drown the cluster structure) → cluster-mate cosine ~0.89
     val noiseScale = 0.35f / math.sqrt(64).toFloat
     val vecs = (0 until 960).map { i =>
-      val c = centers(i % 16)
+      val c = centers(rnd.nextInt(16))
       (i.toLong, normalize(c.zip(Array.fill(64)(rnd.nextGaussian().toFloat))
         .map { case (ci, ni) => ci + noiseScale * ni }))
     }
-    val e = vecs.toDF("vec_id", "embedding")
+    vecs.toDF("vec_id", "embedding")
       .withColumn("embedding",
         org.apache.spark.sql.functions.col("embedding").cast("array<float>"))
+  }
 
-    def sets(df: org.apache.spark.sql.DataFrame) = df.collect()
-      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view
-      .mapValues(_.map(_._2).toSet).toMap
+  private val clusteredN = 960
+
+  private def sets(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view
+    .mapValues(_.map(_._2).toSet).toMap
+
+  test("multi-probe LSH on a clustered corpus: recall@10 >= 0.8 at a fraction of the scoring cost") {
+    val e = clusteredCorpus
     // Bucket width is the per-corpus tuning knob: bits ≈ log2(n /
     // wanted-bucket-size). 6-bit buckets (the uniform-corpus default)
     // would lump whole clusters together — fine for recall, no pruning;
@@ -98,11 +106,25 @@ class AnnSpec extends AnyFunSuite {
     }
     val meanRecall = recalls.sum / recalls.size
     val scored = Ann.annLshCandidates(e, tables = tables, bits = bits).count()
-    val fraction = scored.toDouble / (Ann.NQueries.toLong * vecs.size)
+    val fraction = scored.toDouble / (Ann.NQueries.toLong * clusteredN)
     info(f"clustered corpus (8 tables x 10 bits, multi-probe): recall@10 $meanRecall%.3f, " +
-      f"scored fraction $fraction%.3f ($scored candidates vs ${Ann.NQueries * vecs.size} brute-force pairs)")
+      f"scored fraction $fraction%.3f ($scored candidates vs ${Ann.NQueries * clusteredN} brute-force pairs)")
     assert(meanRecall >= 0.8, f"clustered recall@10 $meanRecall%.3f < 0.8")
     assert(fraction < 0.25, f"scored fraction $fraction%.3f gives no real pruning")
+  }
+
+  test("IVF on a clustered corpus: recall@10 >= 0.8 scoring ~nprobe/nlist of the corpus") {
+    val e = clusteredCorpus
+    val (nlist, nprobe) = (16, 4)
+    val exact = sets(Ann.annExactOn(e))
+    val ivf = sets(Ann.annIvfOn(e, nlist = nlist, nprobe = nprobe))
+    val recalls = exact.map { case (q, truth) =>
+      (ivf.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    info(f"clustered corpus IVF (nprobe $nprobe/$nlist): recall@10 $meanRecall%.3f " +
+      f"(uniform-corpus baseline is 0.57 — centroid structure is what IVF exploits)")
+    assert(meanRecall >= 0.8, f"clustered IVF recall@10 $meanRecall%.3f < 0.8")
   }
 
   test("s01 exact: self is excluded and ranks are dense per query") {
