@@ -20,15 +20,16 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q01_agg", "q02_filter_project", "q03_join_flagship", "q04_join_broadcast",
     "q07_join_outer", "q08_window", "q09_topk", "q16_array",
-    "q19_sessionize", "q21_asof_join", "q22_range_join",
-    "c02_cdc_apply_unsorted", "st01_stream_window", "st02_stream_join",
+    "q19_sessionize", "q20_salted_join", "q21_asof_join", "q22_range_join",
+    "c02_cdc_apply_unsorted", "c03_cdc_merge",
+    "st01_stream_window", "st02_stream_join", "st03_stream_dedup",
     "q26_bucketed_join", "q27_approx_distinct", "q28_approx_percentile",
     "q29_topk_group", "q30_partition_pruned", "s03_ann_ivf", "s04_centroid_agg",
     "t05_train_split", "t06_pack",
-    "d01_dedup_exact", "d02_dedup_minhash", "d04_dedup_ngram",
+    "d01_dedup_exact", "d02_dedup_minhash", "d03_dedup_simhash", "d04_dedup_ngram",
     "d05_dedup_embedding", "s01_ann_bruteforce", "s02_ann_lsh",
     "t02_quality_score", "t04_fingerprint", "m02_decode_batch",
-    "q25_typed_decode")
+    "q25_typed_decode", "q31_typed_wide")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

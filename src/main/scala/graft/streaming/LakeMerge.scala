@@ -52,6 +52,9 @@ object LakeMerge {
     */
   def seed(s: SparkSession, path: String, state: DataFrame): Unit =
     withBucket(state)
+      // co-locate each bucket's rows in one task → one file per
+      // partition dir instead of (tasks × buckets) small files
+      .repartition(col("pk_bucket"))
       .write.mode("overwrite").partitionBy("pk_bucket").parquet(path)
 
   /** MERGE a decoded change batch (schema: op, ts_ms, o_orderkey,
@@ -69,6 +72,7 @@ object LakeMerge {
       .where(col("pk_bucket").isin(touched: _*)) // planning-time partition pruning
       .drop("pk_bucket")
     val merged = withBucket(Cdc.applyIncrement(current, changes.drop("pk_bucket")))
+      .repartition(col("pk_bucket")) // one file per rewritten bucket dir
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val remaining = merged.select("pk_bucket").distinct()
