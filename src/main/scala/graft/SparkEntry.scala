@@ -26,7 +26,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Templates.oracles ++ AsOfJoin.oracles ++
       RangeJoin.oracles ++ Cdc.oracles ++ LakeMerge.oracles ++ EventStreams.oracles ++
-      TypedRows.oracles ++ BucketedJoin.oracles ++ GroupTopK.oracles ++
+      TypedRows.oracles ++ BucketedJoin.oracles ++ Sketches.oracles ++ GroupTopK.oracles ++
       PartitionedLake.oracles ++ Snapshots.oracles ++
       Dedup.oracles ++ Ann.oracles ++ TextOps.oracles ++ Multimodal.oracles
 }

@@ -53,5 +53,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("lsh_bucket", "lsh_bucket(vec, nbits, seed) - random-hyperplane LSH bucket"),
       (args: Seq[Expression]) =>
         LshBucket(args(0), litInt(args(1), "nbits"), litLong(args(2), "seed"))))
+
+    ext.injectFunction((FunctionIdentifier("weighted_avg"),
+      info("weighted_avg", "weighted_avg(value, weight) - sum(v*w)/sum(w) declarative aggregate"),
+      (args: Seq[Expression]) => WeightedAvg(args(0), args(1)).toAggregateExpression()))
   }
 }

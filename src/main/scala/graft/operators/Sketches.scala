@@ -35,12 +35,33 @@ object Sketches {
         round(expr("approx_percentile(l_extendedprice, 0.95, 10000)"), 4).as("p95_approx"))
       .orderBy("l_returnflag")
 
+  /** q32: quantity-weighted average price per return flag through the
+    * custom DECLARATIVE aggregate (functions/WeightedAvgAgg.scala) —
+    * two unboxed buffer slots, map-side partial agg, whole-stage
+    * codegen; DuckDB oracle is the closed form Σ(v·w)/Σw.
+    */
+  def q32WeightedAvg(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.WeightedAvg.weighted_avg
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(weighted_avg(col("l_extendedprice"), col("l_quantity")), 2).as("wavg_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_approx_distinct" -> q27ApproxDistinct _,
-    "q28_approx_percentile" -> q28ApproxPercentile _)
+    "q28_approx_percentile" -> q28ApproxPercentile _,
+    "q32_weighted_avg" -> q32WeightedAvg _)
 
-  /** rows-only: sketch values are engine-specific; SketchSpec bounds
-    * them against the exact q10/q23 results instead.
+  /** q27/q28 are rows-only: sketch values are engine-specific;
+    * SketchSpec bounds them against the exact q10/q23 results instead.
     */
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "q32_weighted_avg" ->
+      """SELECT l_returnflag,
+        |  round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2) AS wavg_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -106,6 +106,23 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted_avg declarative aggregate: merge path, nulls, SQL surface") {
+    import graft.functions.WeightedAvg.weighted_avg
+    import spark.implicits._
+    val df = Seq(
+      (0, Some(10.0), 1.0), (0, Some(20.0), 3.0), (0, None, 100.0),
+      (1, Some(5.0), 0.0))
+      .toDF("g", "v", "w").repartition(3) // force partial buffers + merge
+    val got = df.groupBy("g").agg(weighted_avg(col("v"), col("w")).as("wa"))
+      .orderBy("g").collect()
+    assert(got(0).getDouble(1) == (10.0 * 1 + 20.0 * 3) / 4.0, "null value rows must not count")
+    assert(got(1).isNullAt(1), "zero total weight must yield null, not NaN")
+    // SQL registration (and int→double coercion via declared input types)
+    val viaSql = spark.sql("SELECT weighted_avg(v, w) FROM VALUES (1, 1), (3, 3) AS t(v, w)")
+      .head().getDouble(0)
+    assert(viaSql == 2.5, s"got $viaSql")
+  }
+
   test("kernels match expression results (eval vs codegen parity)") {
     val a = Array(0.1f, 0.2f, 0.3f)
     val b = Array(-0.3f, 0.5f, 0.9f)
