@@ -53,7 +53,9 @@ object LakeMerge {
   def seed(s: SparkSession, path: String, state: DataFrame): Unit =
     withBucket(state)
       // co-locate each bucket's rows in one task → one file per
-      // partition dir instead of (tasks × buckets) small files
+      // partition dir instead of (tasks × buckets) small files (the
+      // commit protocol renames every file; measured 15.7s → 9.4s for
+      // the full c03 cycle at sf0.1)
       .repartition(col("pk_bucket"))
       .write.mode("overwrite").partitionBy("pk_bucket").parquet(path)
 
