@@ -156,13 +156,46 @@ object TextOps {
       .orderBy("source", "doc_id")
   }
 
+  /** C16: deterministic stratified (re)sampling — downsample the
+    * dominant language, keep more of the rare ones (the corpus
+    * rebalancing step of a training-data build). The keep decision is
+    * a content-hash bucket compare (md5 first hex digit), NOT an RNG:
+    * stable under reshuffles/re-runs/engine changes — which is exactly
+    * why it is oracle-checkable cross-engine where rand()-based
+    * sampling never is. Rates: en 8/16, everything else 2/16.
+    */
+  def t07StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("bucket", substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1))
+      .where((col("lang") === "en" && col("bucket") < "8") ||
+        (col("lang") =!= "en" && col("bucket") < "2"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  /** C17: top document-frequency n-grams per language — the
+    * boilerplate/vocabulary probe a dedup pass runs first (d04's df
+    * cap wants exactly this distribution). Dogfoods the custom
+    * TopKPerGroup physical operator (plans/TopKPerGroup.scala): counts
+    * shuffle once on (lang, ngram), then bounded heaps take the top k
+    * per language — no full per-group sort.
+    */
+  def t08TopNgrams(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val counts = tokenized(s, dir)
+      .select(col("lang"), explode(wordTrigrams(col("toks"))).as("ngram"))
+      .groupBy("lang", "ngram").agg(count(lit(1)).as("df"))
+    graft.plans.TopK.perGroup(counts, Seq("lang"), Seq(("df", false), ("ngram", true)), k)
+      .orderBy(col("lang"), col("df").desc, col("ngram"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_id" -> t01LangId _,
     "t02_quality_score" -> t02QualityScore _,
     "t03_token_count" -> t03TokenCount _,
     "t04_fingerprint" -> t04Fingerprint _,
     "t05_train_split" -> t05TrainSplit _,
-    "t06_pack" -> ((s, dir) => t06Pack(s, dir)))
+    "t06_pack" -> ((s, dir) => t06Pack(s, dir)),
+    "t07_stratified_sample" -> t07StratifiedSample _,
+    "t08_top_ngrams" -> ((s, dir) => t08TopNgrams(s, dir)))
 
   private def listLit(stops: Seq[String]): String =
     stops.map(s => s"'$s'").mkString("[", ", ", "]")
@@ -235,5 +268,28 @@ object TextOps {
         |)
         |SELECT source, doc_id, n_tokens,
         |  CAST(floor((cum_tokens - n_tokens) / 512) AS BIGINT) AS pack_id
-        |FROM t ORDER BY source, doc_id""".stripMargin)
+        |FROM t ORDER BY source, doc_id""".stripMargin,
+    "t07_stratified_sample" ->
+      """SELECT doc_id, lang
+        |FROM (SELECT doc_id, lang,
+        |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket
+        |      FROM documents)
+        |WHERE (lang = 'en' AND bucket < '8')
+        |   OR (lang <> 'en' AND bucket < '2')
+        |ORDER BY doc_id""".stripMargin,
+    "t08_top_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, lang, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS ngram
+        |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+        |), cnt AS (
+        |  SELECT lang, ngram, count(*) AS df FROM sh GROUP BY 1, 2
+        |), r AS (
+        |  SELECT lang, ngram, df,
+        |    row_number() OVER (PARTITION BY lang ORDER BY df DESC, ngram) AS rn
+        |  FROM cnt
+        |)
+        |SELECT lang, ngram, df FROM r WHERE rn <= 3
+        |ORDER BY lang, df DESC, ngram""".stripMargin)
 }
