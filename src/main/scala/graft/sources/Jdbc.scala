@@ -25,6 +25,9 @@ object Jdbc {
 
   /** Connection settings, mirroring the reference's ConnSettings shape
     * (host/port/db/user/password → a JDBC url + properties).
+    * `urlOverride` lets tests target any JDBC database (JdbcSpec runs
+    * the whole path against embedded Derby — the JDBC engine that
+    * ships with Spark — since the container has no live Postgres).
     */
   case class ConnSettings(
       host: String,
@@ -32,8 +35,9 @@ object Jdbc {
       database: String = "postgres",
       user: String = "postgres",
       password: String = "",
-      fetchSize: Int = 10000) {
-    def url: String = s"jdbc:postgresql://$host:$port/$database"
+      fetchSize: Int = 10000,
+      urlOverride: Option[String] = None) {
+    def url: String = urlOverride.getOrElse(s"jdbc:postgresql://$host:$port/$database")
   }
 
   /** Whole-table (or subquery) read, range-partitioned on `partitionCol`
@@ -67,6 +71,21 @@ object Jdbc {
     spark.read.format("jdbc")
       .option("url", cs.url)
       .option("dbtable", table)
+      .option("user", cs.user)
+      .option("password", cs.password)
+      .option("fetchsize", cs.fetchSize)
+      .load()
+
+  /** Arbitrary-SQL read — the direct `query`/`query_` analog
+    * (reference: Stream.hs:92-115): the caller's SQL text runs ON the
+    * database and only its result crosses the wire, exactly like a
+    * pgstream `query [sql|…|]` call. For large results prefer [[read]]
+    * with range partitioning; this is the single-cursor form.
+    */
+  def readQuery(spark: SparkSession, cs: ConnSettings, sql: String): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", cs.url)
+      .option("query", sql)
       .option("user", cs.user)
       .option("password", cs.password)
       .option("fetchsize", cs.fetchSize)
