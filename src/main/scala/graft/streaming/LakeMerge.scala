@@ -70,9 +70,13 @@ object LakeMerge {
     // as collecting AQE stats; NOT a data collect
     val touched = ch.select("pk_bucket").distinct().collect().map(_.getInt(0)).toSeq
     if (touched.isEmpty) return
-    val current = s.read.parquet(path)
-      .where(col("pk_bucket").isin(touched: _*)) // planning-time partition pruning
-      .drop("pk_bucket")
+    // bootstrap: the first merge into a nonexistent/empty lake starts
+    // from empty state (schema derived from the batch) and creates it
+    val current = scala.util.Try(
+        s.read.parquet(path)
+          .where(col("pk_bucket").isin(touched: _*)) // planning-time partition pruning
+          .drop("pk_bucket"))
+      .getOrElse(Cdc.applyChanges(changes.limit(0), keepTs = true))
     val merged = withBucket(Cdc.applyIncrement(current, changes.drop("pk_bucket")))
       .repartition(col("pk_bucket")) // one file per rewritten bucket dir
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
