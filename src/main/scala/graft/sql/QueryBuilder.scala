@@ -87,6 +87,17 @@ final case class Query(template: String) {
     */
   def run(spark: SparkSession, rendered: Seq[String] = Nil): DataFrame =
     spark.sql(formatRendered(rendered))
+
+  /** Typed splice-and-run forms — `query conn q (a, b)` in one call. */
+  def run1[A: ToField](spark: SparkSession, a: A): DataFrame =
+    spark.sql(format1(a))
+  def run2[A: ToField, B: ToField](spark: SparkSession, a: A, b: B): DataFrame =
+    spark.sql(format2(a, b))
+  def run3[A: ToField, B: ToField, C: ToField](spark: SparkSession, a: A, b: B, c: C): DataFrame =
+    spark.sql(format3(a, b, c))
+  def run4[A: ToField, B: ToField, C: ToField, D: ToField](
+      spark: SparkSession, a: A, b: B, c: C, d: D): DataFrame =
+    spark.sql(format4(a, b, c, d))
 }
 
 object Query {

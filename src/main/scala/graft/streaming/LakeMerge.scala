@@ -72,10 +72,7 @@ object LakeMerge {
     if (touched.isEmpty) return
     // bootstrap: the first merge into a nonexistent/empty lake starts
     // from empty state (schema derived from the batch) and creates it
-    val current = scala.util.Try(
-        s.read.parquet(path)
-          .where(col("pk_bucket").isin(touched: _*)) // planning-time partition pruning
-          .drop("pk_bucket"))
+    val current = scala.util.Try(prunedState(s, path, touched).drop("pk_bucket"))
       .getOrElse(Cdc.applyChanges(changes.limit(0), keepTs = true))
     val merged = withBucket(Cdc.applyIncrement(current, changes.drop("pk_bucket")))
       .repartition(col("pk_bucket")) // one file per rewritten bucket dir
@@ -93,6 +90,15 @@ object LakeMerge {
       }
     } finally merged.unpersist()
   }
+
+  /** The merge's read side: state restricted to touched buckets. The
+    * isin predicate on the partition column prunes directories at
+    * PLANNING time (StreamingSpec asserts PartitionFilters on this
+    * exact plan — the claim that merge IO is O(touched), not O(table)).
+    */
+  def prunedState(s: SparkSession, path: String, touched: Seq[Int]): DataFrame =
+    s.read.parquet(path)
+      .where(col("pk_bucket").isin(touched: _*))
 
   /** Current state read back (no partition column). */
   def readState(s: SparkSession, path: String): DataFrame =

@@ -115,6 +115,18 @@ class PlanSpec extends AnyFunSuite {
       s"salt distribution skewed: $dist (hash salt should be near-uniform)")
   }
 
+  test("TopK.perGroup rejects invalid arguments at the API, not in executors") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.parquet(s"${TestSpark.sfTest}/lineitem.parquet")
+      .select(col("l_suppkey"), col("l_extendedprice"))
+    intercept[IllegalArgumentException] {
+      graft.plans.TopK.perGroup(df, Seq("l_suppkey"), Seq(("l_extendedprice", false)), 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.plans.TopK.perGroup(df, Seq("l_suppkey"), Seq.empty, 3)
+    }
+  }
+
   test("custom expressions participate in whole-stage codegen") {
     // A scan+project plan (no exchange) is not AQE-wrapped, so the
     // codegen stage is visible in the executed plan directly.

@@ -169,6 +169,12 @@ class StreamingSpec extends AnyFunSuite {
       while (it.hasNext) { val f = it.next(); m(f.getPath.toString) = f.getModificationTime }
       m.toMap
     }
+    // the merge's read side must partition-prune to the touched buckets
+    val prunedPlan = LakeMerge.prunedState(spark, path, Seq(0, 1))
+      .queryExecution.executedPlan.toString()
+    assert(prunedPlan.contains("PartitionFilters: [") && prunedPlan.contains("pk_bucket"),
+      "state read must prune bucket directories at planning time: " + prunedPlan)
+
     val before = listing()
     val oneKey = decoded.where(col("op") === "u").limit(1)
       .withColumn("ts_ms", col("ts_ms") + 5) // a genuinely newer change
