@@ -53,14 +53,19 @@ object Bench {
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = qs.map { name =>
+      // Min of two timed runs: single-shot timings occasionally absorb a
+      // multi-second host hiccup (page cache flush / GC burst measured at
+      // 5-10x the query time); the min is the engine's actual cost.
       // GC outside the timed window: accumulated broadcast/shuffle state
       // from earlier queries must not bill its collection time to this one.
-      System.gc()
-      val t0 = System.nanoTime()
-      try {
+      def once(): Double = {
+        System.gc()
+        val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir).count()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch {
+        (System.nanoTime() - t0) / 1e9
+      }
+      try name -> math.min(once(), once())
+      catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
             .linesIterator.next().take(200)

@@ -115,7 +115,7 @@ object LakeMerge {
     val path = s.conf.get("spark.sql.warehouse.dir") + s"/orders_state_c03$tag"
     val f = fs(s, path)
     f.delete(new org.apache.hadoop.fs.Path(path), true)
-    val decoded = Cdc.decode(Cdc.syntheticEnvelopes(s, dir))
+    val decoded = Cdc.decode(Cdc.stagedEnvelopes(s, dir))
     seed(s, path, Cdc.applyChanges(decoded.where(col("op") === "r"), keepTs = true))
     mergeBatch(s, path, decoded.where(col("op") =!= "r"))
     readState(s, path)
