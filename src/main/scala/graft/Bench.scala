@@ -29,7 +29,8 @@ object Bench {
     "d01_dedup_exact", "d02_dedup_minhash", "d03_dedup_simhash", "d04_dedup_ngram",
     "d05_dedup_embedding", "s01_ann_bruteforce", "s02_ann_lsh",
     "t02_quality_score", "t04_fingerprint", "m02_decode_batch",
-    "q25_typed_decode", "q31_typed_wide", "q32_weighted_avg", "c04_snapshot_read")
+    "q25_typed_decode", "q31_typed_wide", "q32_weighted_avg", "c04_snapshot_read",
+    "q33_profile", "q34_histogram")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOfJoin, BucketedJoin, GroupTopK, RangeJoin, Relational, Sketches, Templates, TypedRows}
+import graft.operators.{AsOfJoin, BucketedJoin, GroupTopK, Profiling, RangeJoin, Relational, Sketches, Templates, TypedRows}
 import graft.pipeline.{Ann, Dedup, Multimodal, TextOps}
 import graft.sources.{PartitionedLake, Snapshots}
 import graft.streaming.{Cdc, EventStreams, LakeMerge}
@@ -17,7 +17,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ Templates.defs ++ AsOfJoin.defs ++ RangeJoin.defs ++
       Cdc.defs ++ LakeMerge.defs ++ EventStreams.defs ++ TypedRows.defs ++ BucketedJoin.defs ++
-      Sketches.defs ++ GroupTopK.defs ++ PartitionedLake.defs ++ Snapshots.defs ++
+      Sketches.defs ++ Profiling.defs ++ GroupTopK.defs ++ PartitionedLake.defs ++ Snapshots.defs ++
       Dedup.defs ++ Ann.defs ++ TextOps.defs ++ Multimodal.defs
 
   /** DuckDB-runnable oracle SQL per query key (same aliases, same
@@ -26,7 +26,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Templates.oracles ++ AsOfJoin.oracles ++
       RangeJoin.oracles ++ Cdc.oracles ++ LakeMerge.oracles ++ EventStreams.oracles ++
-      TypedRows.oracles ++ BucketedJoin.oracles ++ Sketches.oracles ++ GroupTopK.oracles ++
+      TypedRows.oracles ++ BucketedJoin.oracles ++ Sketches.oracles ++ Profiling.oracles ++ GroupTopK.oracles ++
       PartitionedLake.oracles ++ Snapshots.oracles ++
       Dedup.oracles ++ Ann.oracles ++ TextOps.oracles ++ Multimodal.oracles
 }

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data profiling / introspection — the stats queries every access
+  * layer's users run before touching a new table (and the inputs a
+  * pipeline's skew/salting decisions are made from).
+  */
+object Profiling {
+
+  private val profiled = Seq("l_quantity", "l_extendedprice", "l_discount")
+
+  /** q33: one-pass column profile → long form. ALL per-column
+    * aggregates run in a single scan (one HashAggregate over zero
+    * grouping keys), then `stack` unpivots the 1-row wide result into
+    * (col_name, …stats…) rows — profiling cost at 100 TB is one pass,
+    * not one pass per column. Exact n_distinct keeps the cross-engine
+    * oracle; at real scale swap in approx_count_distinct (q27 shows
+    * the sketch path).
+    */
+  def q33Profile(s: SparkSession, dir: String): DataFrame = {
+    val aggs = profiled.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        round(min(col(c)), 4).as(s"${c}__min"),
+        round(max(col(c)), 4).as(s"${c}__max"),
+        round(avg(col(c)), 4).as(s"${c}__avg"))
+    }
+    val stackArgs = profiled.map(c =>
+      s"'$c', ${c}__n, ${c}__nn, ${c}__nd, ${c}__min, ${c}__max, ${c}__avg").mkString(", ")
+    t(s, dir, "lineitem")
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${profiled.size}, $stackArgs) AS " +
+        "(col_name, n, n_null, n_distinct, min_v, max_v, avg_v)")
+      .orderBy("col_name")
+  }
+
+  /** q34: equal-width histogram of l_extendedprice (10 buckets over
+    * the observed [min, max]). The bounds come from a first aggregate
+    * broadcast as a 1-row cross join — two scans total, no shuffle of
+    * the fact rows beyond the bucket groupBy.
+    */
+  def q34Histogram(s: SparkSession, dir: String, buckets: Int = 10): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_extendedprice").as("x"))
+    val bounds = li.agg(min("x").as("lo"), max("x").as("hi"))
+    li.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        least(lit(buckets - 1),
+          floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / buckets))).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), round(sum("x"), 2).as("total"))
+      .orderBy("bucket")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_profile" -> q33Profile _,
+    "q34_histogram" -> ((s, dir) => q34Histogram(s, dir)))
+
+  val oracles: Map[String, String] = Map(
+    "q33_profile" -> {
+      val selects = profiled.map { c =>
+        s"""SELECT '$c' AS col_name, count($c) AS n,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  round(min($c), 4) AS min_v, round(max($c), 4) AS max_v,
+           |  round(avg($c), 4) AS avg_v
+           |FROM lineitem""".stripMargin
+      }
+      selects.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+    "q34_histogram" ->
+      """WITH b AS (
+        |  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem
+        |)
+        |SELECT CAST(least(9, floor((l_extendedprice - lo) / ((hi - lo) / 10))) AS BIGINT) AS bucket,
+        |  count(*) AS n, round(sum(l_extendedprice), 2) AS total
+        |FROM lineitem, b
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+}
