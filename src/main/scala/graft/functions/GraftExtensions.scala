@@ -26,7 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     def info(name: String, usage: String) =
-      new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+        "", "", "", "", "", "", "built-in")
 
     // whole-operator extension: top-k-per-group logical node → bounded
     // heap physical operator (graft.plans.TopKPerGroup)
