@@ -32,6 +32,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq)
   }
 
+  test("PPM decoder recovers dimensions and channel means from real bytes") {
+    val img = Multimodal.ppmBytes(20, 10, 200, 30, 99)
+    val d = Multimodal.decodePpm(1L, img)
+    assert(d.width == 20 && d.height == 10)
+    assert(d.mean_r == 200.0 && d.mean_g == 30.0 && d.mean_b == 99.0)
+    // a corrupted magic number must be rejected, not mis-parsed
+    val bad = img.clone(); bad(1) = '5'.toByte
+    intercept[IllegalArgumentException](Multimodal.decodePpm(1L, bad))
+  }
+
+  test("WAV decoder recovers sample rate, count and RMS from real bytes") {
+    val samples = Array.fill[Short](8000)(1000)
+    val d = Multimodal.decodeWav(2L, Multimodal.wavBytes(16000, samples))
+    assert(d.sample_rate == 16000 && d.n_samples == 8000)
+    assert(math.abs(d.rms - 1000.0) < 1e-9)
+    // sine-ish alternating signal: rms = amplitude (square wave)
+    val sq = Array.tabulate[Short](4000)(i => if (i % 2 == 0) 500 else -500)
+    assert(math.abs(Multimodal.decodeWav(3L, Multimodal.wavBytes(8000, sq)).rms - 500.0) < 1e-9)
+  }
+
   test("m01 metadata: ascii corpus has byte_len == char_len and 8-hex header") {
     val rows = Multimodal.m01MultimodalMeta(spark, TestSpark.sfTest).collect()
     rows.foreach { r =>
