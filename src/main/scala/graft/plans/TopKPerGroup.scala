@@ -29,9 +29,17 @@ case class TopKPerGroup(
     groupingExprs: Seq[Expression],
     sortOrder: Seq[SortOrder],
     k: Int,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    maxGroupsPerFlush: Int = TopKPerGroup.DefaultMaxGroupsPerFlush) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(c: LogicalPlan): LogicalPlan = copy(child = c)
+}
+
+object TopKPerGroup {
+  /** Map-side flush threshold: caps partial-phase memory at
+    * O(threshold · k) rows regardless of grouping cardinality.
+    */
+  val DefaultMaxGroupsPerFlush: Int = 1 << 20
 }
 
 case class TopKPerGroupExec(
@@ -39,6 +47,7 @@ case class TopKPerGroupExec(
     sortOrder: Seq[SortOrder],
     k: Int,
     partial: Boolean,
+    maxGroupsPerFlush: Int,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
@@ -54,32 +63,63 @@ case class TopKPerGroupExec(
     val grouping = groupingExprs
     val order = sortOrder
     val kk = k
+    val isPartial = partial
+    val flushAt = maxGroupsPerFlush
     child.execute().mapPartitions { it =>
       val groupProj = UnsafeProjection.create(grouping, childOutput)
       val rowOrd = RowOrdering.create(order, childOutput)
+      val reverse = rowOrd.reversed().asInstanceOf[java.util.Comparator[UnsafeRow]]
+
       // per group: bounded heap holding the current best k rows; the
       // heap root is the WORST retained row (reverse order) so
-      // replacement is O(log k)
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
-      val reverse = rowOrd.reversed().asInstanceOf[java.util.Comparator[UnsafeRow]]
-      it.foreach { row =>
-        val key = groupProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[UnsafeRow](kk, reverse)
-          heaps.put(key.copy(), heap)
+      // replacement is O(log k).
+      //
+      // Memory guard (partial phase only): when the map reaches
+      // maxGroupsPerFlush distinct groups, drain it and start a new
+      // chunk. Early emission is CORRECT for the partial phase — like
+      // a partial hash aggregate falling back to pass-through, the
+      // final phase re-merges per-chunk winners — so map-side memory
+      // is hard-bounded at O(maxGroupsPerFlush · k) rows no matter
+      // the grouping cardinality. The final phase sees only the
+      // groups hashed to its task (groups/numPartitions — sized by
+      // shuffle partitioning) and must not flush early (it would emit
+      // duplicate per-group results).
+      new Iterator[InternalRow] {
+        private val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+        private var out: Iterator[InternalRow] = Iterator.empty
+
+        private def drain(): Iterator[InternalRow] = {
+          import scala.jdk.CollectionConverters._
+          val all = heaps.values().asScala.toArray
+          heaps.clear()
+          all.iterator.flatMap { h =>
+            val arr = h.toArray(new Array[UnsafeRow](h.size))
+            java.util.Arrays.sort(arr, rowOrd.asInstanceOf[java.util.Comparator[UnsafeRow]])
+            arr.iterator
+          }
         }
-        if (heap.size < kk) heap.add(row.copy().asInstanceOf[UnsafeRow])
-        else if (rowOrd.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy().asInstanceOf[UnsafeRow])
+
+        private def fill(): Unit = {
+          while (it.hasNext && !(isPartial && heaps.size >= flushAt)) {
+            val row = it.next()
+            val key = groupProj(row)
+            var heap = heaps.get(key)
+            if (heap == null) {
+              heap = new java.util.PriorityQueue[UnsafeRow](kk, reverse)
+              heaps.put(key.copy(), heap)
+            }
+            if (heap.size < kk) heap.add(row.copy().asInstanceOf[UnsafeRow])
+            else if (rowOrd.compare(row, heap.peek()) < 0) {
+              heap.poll()
+              heap.add(row.copy().asInstanceOf[UnsafeRow])
+            }
+          }
+          out = drain()
         }
-      }
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap { h =>
-        val arr = h.toArray(new Array[UnsafeRow](h.size))
-        java.util.Arrays.sort(arr, rowOrd.asInstanceOf[java.util.Comparator[UnsafeRow]])
-        arr.iterator
+
+        override def hasNext: Boolean =
+          out.hasNext || ((it.hasNext || !heaps.isEmpty) && { fill(); out.hasNext })
+        override def next(): InternalRow = { if (!hasNext) throw new NoSuchElementException; out.next() }
       }
     }
   }
@@ -92,9 +132,9 @@ case class TopKPerGroupExec(
   */
 object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroup(g, o, k, child) =>
-      TopKPerGroupExec(g, o, k, partial = false,
-        TopKPerGroupExec(g, o, k, partial = true, planLater(child))) :: Nil
+    case TopKPerGroup(g, o, k, child, flush) =>
+      TopKPerGroupExec(g, o, k, partial = false, flush,
+        TopKPerGroupExec(g, o, k, partial = true, flush, planLater(child))) :: Nil
     case _ => Nil
   }
 }
@@ -111,9 +151,11 @@ object TopK {
     * the many-rows-per-group regime, not the many-groups one.
     */
   def perGroup(df: DataFrame, groupCols: Seq[String],
-               orderings: Seq[(String, Boolean)], k: Int): DataFrame = {
+               orderings: Seq[(String, Boolean)], k: Int,
+               maxGroupsPerFlush: Int = TopKPerGroup.DefaultMaxGroupsPerFlush): DataFrame = {
     require(k >= 1, s"TopK.perGroup requires k >= 1, got $k")
     require(orderings.nonEmpty, "TopK.perGroup requires at least one ordering column")
+    require(maxGroupsPerFlush >= 1, s"maxGroupsPerFlush must be >= 1, got $maxGroupsPerFlush")
     val grouping = groupCols.map(c => GraftShim.expression(df(c)))
     val order = orderings.map { case (c, asc) =>
       val e = GraftShim.expression(df(c))
@@ -121,6 +163,6 @@ object TopK {
       else SortOrder(e, org.apache.spark.sql.catalyst.expressions.Descending)
     }
     GraftShim.ofRows(df.sparkSession,
-      TopKPerGroup(grouping, order, k, df.queryExecution.analyzed))
+      TopKPerGroup(grouping, order, k, df.queryExecution.analyzed, maxGroupsPerFlush))
   }
 }

@@ -115,6 +115,25 @@ class PlanSpec extends AnyFunSuite {
       s"salt distribution skewed: $dist (hash salt should be near-uniform)")
   }
 
+  test("TopK.perGroup partial-phase flush preserves results under tiny thresholds") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.read.parquet(s"${TestSpark.sfTest}/lineitem.parquet")
+      .select(col("l_suppkey").cast("long").as("g"), col("l_orderkey").as("o"),
+        col("l_extendedprice").as("p"))
+    // flush every 4 groups: the map side emits many per-chunk winners,
+    // and the final phase must still merge them to the exact top-k
+    val flushed = graft.plans.TopK.perGroup(df, Seq("g"), Seq(("p", false), ("o", true)), 3,
+        maxGroupsPerFlush = 4)
+      .orderBy(col("g"), col("p").desc, col("o")).collect()
+    val w = Window.partitionBy("g").orderBy(col("p").desc, col("o"))
+    val expected = df.withColumn("rn", row_number().over(w)).where(col("rn") <= 3).drop("rn")
+      .orderBy(col("g"), col("p").desc, col("o")).collect()
+    assert(flushed.length == expected.length,
+      s"${flushed.length} vs ${expected.length}")
+    flushed.zip(expected).foreach { case (a, b) => assert(a == b) }
+  }
+
   test("TopK.perGroup rejects invalid arguments at the API, not in executors") {
     import org.apache.spark.sql.functions.col
     val df = spark.read.parquet(s"${TestSpark.sfTest}/lineitem.parquet")
