@@ -11,13 +11,16 @@ object Profiling {
 
   private val profiled = Seq("l_quantity", "l_extendedprice", "l_discount")
 
-  /** q33: one-pass column profile → long form. ALL per-column
-    * aggregates run in a single scan (one HashAggregate over zero
-    * grouping keys), then `stack` unpivots the 1-row wide result into
-    * (col_name, …stats…) rows — profiling cost at 100 TB is one pass,
-    * not one pass per column. Exact n_distinct keeps the cross-engine
-    * oracle; at real scale swap in approx_count_distinct (q27 shows
-    * the sketch path).
+  /** q33: one-SCAN column profile → long form. All per-column
+    * aggregates share a single parquet pass; the three exact
+    * COUNT(DISTINCT)s make Catalyst plan it as Expand (4 projections
+    * per row: one per distinct column + one for the plain aggs) with
+    * map-side pre-aggregation on the distinct values, so the shuffle
+    * carries distinct values + partial buffers, not raw rows. `stack`
+    * then unpivots the 1-row wide result into (col_name, …stats…)
+    * rows. Exact n_distinct keeps the cross-engine oracle; at 100 TB
+    * swap in approx_count_distinct (q27's sketch path), which removes
+    * the Expand entirely — one buffer per task, no distinct shuffle.
     */
   def q33Profile(s: SparkSession, dir: String): DataFrame = {
     val aggs = profiled.flatMap { c =>

@@ -213,12 +213,47 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** C18 d06: INCREMENTAL exact dedup — the production flow. A 100 TB
+    * corpus is never re-deduped; each arriving batch is checked against
+    * the existing fingerprint index. The scale shape matters: the
+    * store is huge and the batch is small, and a plain anti-join would
+    * shuffle the whole store on fingerprint. Instead:
+    *
+    *  1. build a Bloom filter over the BATCH's fingerprints (distributed
+    *     sketch agg, ~KB to the driver);
+    *  2. push it onto the STORE scan ([[graft.functions.BloomMightContain]])
+    *     — store rows that cannot collide die at the scan, so only
+    *     possible collisions (≈ batch-sized + false positives) survive;
+    *  3. broadcast that survivor set into a left-anti join against the
+    *     batch. No store shuffle, no store-sized broadcast, exact
+    *     result (Bloom false positives reach the exact anti-join and
+    *     are resolved there; false negatives are impossible).
+    *
+    * The test feed: a batch where even doc_ids re-send an existing text
+    * (must be dropped) and odd doc_ids carry genuinely new text (must
+    * survive) — the oracle is the closed form.
+    */
+  def d06DedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val store = docs(s, dir).select(md5(col("text").cast("binary")).as("fp"))
+    val batch = docs(s, dir).select(
+      (col("doc_id") + 200000L).as("doc_id"),
+      when(col("doc_id") % 2 === 0, col("text"))
+        .otherwise(concat(col("text"), lit(" v2 "), col("doc_id"))).as("text"))
+      .withColumn("fp", md5(col("text").cast("binary")))
+    val bf = batch.select(xxhash64(col("fp")).as("h")).stat.bloomFilter("h", 1 << 16, 0.01)
+    val collisions = store.where(bloom_might_contain(xxhash64(col("fp")), bf))
+    batch.join(broadcast(collisions), Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact" -> d01DedupExact _,
     "d02_dedup_minhash" -> d02DedupMinhash _,
     "d03_dedup_simhash" -> d03DedupSimhash _,
     "d04_dedup_ngram" -> ((s, dir) => d04DedupNgram(s, dir)),
-    "d05_dedup_embedding" -> d05DedupEmbedding _)
+    "d05_dedup_embedding" -> d05DedupEmbedding _,
+    "d06_dedup_incremental" -> d06DedupIncremental _)
 
   /** d02/d03 are rows-only (MinHash/SimHash aren't ANSI-SQL
     * expressible); DedupSpec carries their recall/exactness checks.
@@ -257,5 +292,11 @@ object Dedup {
         |FROM embeddings a
         |JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
-        |ORDER BY a_id, b_id""".stripMargin)
+        |ORDER BY a_id, b_id""".stripMargin,
+    "d06_dedup_incremental" ->
+      """SELECT doc_id + 200000 AS doc_id,
+        |  md5(text || ' v2 ' || CAST(doc_id AS VARCHAR)) AS fp
+        |FROM documents
+        |WHERE doc_id % 2 = 1
+        |ORDER BY doc_id""".stripMargin)
 }

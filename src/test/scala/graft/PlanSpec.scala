@@ -99,6 +99,15 @@ class PlanSpec extends AnyFunSuite {
       "candidate→shingle re-join must be bloom-pruned: " + p)
   }
 
+  test("d06 incremental dedup: bloom-pruned store scan feeding a broadcast anti-join") {
+    val p = plan("d06_dedup_incremental")
+    assert(p.contains("bloom_might_contain"),
+      "store scan must be bloom-pruned by the batch fingerprints: " + p)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "survivor set must broadcast into the exact anti-join (no store shuffle): " + p)
+    assert(!p.contains("SortMergeJoin"), "store must not be shuffled: " + p)
+  }
+
   test("q20 probe-side salt is uniform: all salt values populated") {
     // a data-derived salt (the old pmod(l_linenumber, 8)) leaves salt 0
     // empty and inherits linenumber skew; the hash-derived salt must
