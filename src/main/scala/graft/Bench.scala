@@ -22,7 +22,7 @@ object Bench {
     "q07_join_outer", "q08_window", "q09_topk", "q16_array",
     "q19_sessionize", "q20_salted_join", "q21_asof_join", "q22_range_join",
     "c02_cdc_apply_unsorted", "c03_cdc_merge",
-    "st01_stream_window", "st02_stream_join", "st03_stream_dedup",
+    "st01_stream_window", "st02_stream_join", "st03_stream_dedup", "st04_stream_enrich",
     "q26_bucketed_join", "q27_approx_distinct", "q28_approx_percentile",
     "q29_topk_group", "q30_partition_pruned", "s03_ann_ivf", "s04_centroid_agg",
     "t05_train_split", "t06_pack", "t08_top_ngrams",

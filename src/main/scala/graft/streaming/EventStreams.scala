@@ -92,6 +92,49 @@ object EventStreams {
         (unix_millis(col("p_ts")) - unix_millis(col("v_ts"))).as("lag_ms"))
   }
 
+  /** Per-user profile table (lifetime value, event count) staged to
+    * parquet once per sf dir — the static dimension side of the
+    * stream-static join (stands in for a users/accounts table).
+    */
+  def userDim(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s.conf.get("spark.sql.warehouse.dir") + s"/user_dim$tag"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      events(s, dir).groupBy("user_id")
+        .agg(round(sum("value"), 2).as("lifetime_value"),
+          count(lit(1)).as("n_events_total"))
+        .write.parquet(path)
+    s.read.parquet(path)
+  }
+
+  /** D8 st04 batch twin: dimension enrichment + rollup. The streaming
+    * form is [[enrichedByDimStream]]; this is what the oracle checks.
+    */
+  def st04StreamEnrich(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .join(broadcast(userDim(s, dir)), Seq("user_id"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value") * col("lifetime_value")), 2).as("weighted_total"))
+      .orderBy("event_type")
+
+  /** The genuinely-streaming twin: a STREAM-STATIC join — the static
+    * dimension is a plain batch DataFrame, broadcast fresh into each
+    * micro-batch (no state store, no watermark needed on the dim side;
+    * this is the third join shape next to stream-stream st02 and the
+    * batch joins). StreamingSpec proves equality with the batch twin.
+    */
+  def enrichedByDimStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    s.readStream.schema(schema).parquet(s"$dir/events*.parquet")
+      .join(broadcast(userDim(s, dir)), Seq("user_id"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value") * col("lifetime_value")), 2).as("weighted_total"))
+  }
+
   /** D6 st03 batch twin: exact dedup of duplicated delivery. The input
     * is the event stream unioned with itself (at-least-once delivery
     * always re-sends SOMETHING — a dedup test over an already-unique
@@ -187,7 +230,8 @@ object EventStreams {
   val defs: Map[String, (SparkSession, String) => DataFrame] =
     Map("st01_stream_window" -> st01StreamWindow _,
       "st02_stream_join" -> st02StreamJoin _,
-      "st03_stream_dedup" -> st03StreamDedup _)
+      "st03_stream_dedup" -> st03StreamDedup _,
+      "st04_stream_enrich" -> st04StreamEnrich _)
 
   val oracles: Map[String, String] = Map(
     "st01_stream_window" ->
@@ -206,5 +250,14 @@ object EventStreams {
         |ORDER BY 1, 2, 3""".stripMargin,
     "st03_stream_dedup" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "st04_stream_enrich" ->
+      """WITH dim AS (
+        |  SELECT user_id, round(sum(value), 2) AS lifetime_value
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT e.event_type, count(*) AS n,
+        |  round(sum(e.value * dim.lifetime_value), 2) AS weighted_total
+        |FROM events e JOIN dim USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -189,6 +189,19 @@ class StreamingSpec extends AnyFunSuite {
       s"files outside bucket $touchedBucket changed: $changed")
   }
 
+  test("stream-static dimension join matches its batch twin") {
+    val q = EventStreams.enrichedByDimStream(spark, TestSpark.sfTest)
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_test").orderBy("event_type").collect()
+      val batch = EventStreams.st04StreamEnrich(spark, TestSpark.sfTest).collect()
+      assert(streamed.length == batch.length)
+      streamed.zip(batch).foreach { case (a, b) => assert(a == b) }
+    } finally q.stop()
+  }
+
   test("streaming dedup suppresses re-delivered events across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
