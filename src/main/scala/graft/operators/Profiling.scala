@@ -51,8 +51,11 @@ object Profiling {
     val bounds = li.agg(min("x").as("lo"), max("x").as("hi"))
     li.crossJoin(broadcast(bounds))
       .withColumn("bucket",
-        least(lit(buckets - 1),
-          floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / buckets))).cast("long"))
+        // degenerate range (all values equal): everything in bucket 0
+        // instead of a divide-by-zero NULL/Infinity bucket
+        when(col("hi") === col("lo"), 0L)
+          .otherwise(least(lit(buckets - 1),
+            floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / buckets)))).cast("long"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"), round(sum("x"), 2).as("total"))
       .orderBy("bucket")
