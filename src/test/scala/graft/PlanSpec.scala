@@ -155,6 +155,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted_avg aggregates inside whole-stage codegen with a partial phase") {
+    val df = SparkEntry.queries("q32_weighted_avg")(spark, TestSpark.sfTest)
+    df.collect() // finalize the AQE plan so codegen stages are visible
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("partial_weighted_avg"),
+      "declarative aggregate must have a map-side partial phase: " + p)
+    // the aggregate must sit in a starred (codegen'd) HashAggregate,
+    // not fall back to ObjectHashAggregate/SortAggregate
+    assert(p.matches("(?s).*\\*\\(\\d+\\) HashAggregate.*weighted_avg.*"),
+      "weighted_avg must run in a codegen'd HashAggregate: " + p)
+    assert(!p.contains("ObjectHashAggregate"), p)
+  }
+
   test("custom expressions participate in whole-stage codegen") {
     // A scan+project plan (no exchange) is not AQE-wrapped, so the
     // codegen stage is visible in the executed plan directly.

@@ -72,6 +72,20 @@ class TxnSpec extends AnyFunSuite {
     assert(new Snapshots(spark, root).read("a").select("id").head().getLong(0) == 3L)
   }
 
+  test("schema evolution: each snapshot version keeps its own schema") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txn").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    snap.commit(Map("a" -> Seq((1L, 1.0)).toDF("id", "v")))
+    // v2 adds a column — committed data files are immutable per
+    // version, so old readers keep the old shape, new readers the new
+    snap.commit(Map("a" -> Seq((2L, 2.0, "x")).toDF("id", "v", "tag")))
+    assert(snap.read("a", Some(1L)).columns.toSeq == Seq("id", "v"))
+    assert(snap.read("a").columns.toSeq == Seq("id", "v", "tag"))
+    assert(snap.read("a").head().getString(2) == "x")
+  }
+
   test("c04 snapshot key: detail and summary agree within one snapshot") {
     val out = Snapshots.c04SnapshotRead(spark, TestSpark.sfTest).collect()
     assert(out.nonEmpty)
