@@ -25,7 +25,7 @@ object Bench {
     "st01_stream_window", "st02_stream_join", "st03_stream_dedup", "st04_stream_enrich",
     "q26_bucketed_join", "q27_approx_distinct", "q28_approx_percentile",
     "q29_topk_group", "q30_partition_pruned", "s03_ann_ivf", "s04_centroid_agg",
-    "t05_train_split", "t06_pack", "t08_top_ngrams",
+    "t05_train_split", "t06_pack", "t08_top_ngrams", "t09_decontaminate", "t10_pii_scrub",
     "d01_dedup_exact", "d02_dedup_minhash", "d03_dedup_simhash", "d04_dedup_ngram",
     "d06_dedup_incremental",
     "d05_dedup_embedding", "s01_ann_bruteforce", "s02_ann_lsh",

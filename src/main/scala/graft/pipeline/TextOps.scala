@@ -187,7 +187,55 @@ object TextOps {
       .orderBy(col("lang"), col("df").desc, col("ngram"))
   }
 
+  /** C19 t09: benchmark decontamination — find training docs whose
+    * n-gram overlap with an eval set exceeds a threshold (the
+    * train/test contamination check every corpus build runs before
+    * training). Candidate generation is the shared-shingle equi-join
+    * (eval side is tiny — every 50th doc stands in for the benchmark
+    * set — so the join is ~|corpus postings| × eval df); the overlap
+    * count per (eval, train) pair comes from the same groupBy shape as
+    * d04. At 100 TB the eval side stays small by definition, so this
+    * is a bloom/broadcast-friendly probe of the corpus, never a
+    * corpus×corpus join.
+    */
+  def t09Decontaminate(s: SparkSession, dir: String, minShared: Int = 5): DataFrame = {
+    val hashes = transform(wordTrigrams(col("toks")), x => xxhash64(x))
+    val all = tokenized(s, dir).select(col("doc_id"), explode(hashes).as("h"))
+    val evalSide = all.where(col("doc_id") % 50 === 0).toDF("eval_id", "h")
+    val trainSide = all.where(col("doc_id") % 50 =!= 0).toDF("train_id", "h")
+    trainSide.hint("SHUFFLE_HASH").join(evalSide, Seq("h"))
+      .groupBy("eval_id", "train_id")
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .where(col("shared_ngrams") >= minShared)
+      .orderBy("eval_id", "train_id")
+  }
+
+  /** C20 t10: PII scrubbing — regex redaction of emails and phone
+    * numbers (pure codegen'd string expressions, scan-speed at 100 TB).
+    * The corpus has no real PII, so each doc gets a synthetic
+    * contact line appended first (non-vacuous: every doc must have
+    * exactly one email + one phone redacted); output counts and the
+    * scrubbed-text fingerprint so the oracle verifies the actual
+    * replacement, not just the counts.
+    */
+  def t10PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9]+@[a-z0-9.]+"
+    val phoneRe = "\\+1-555-[0-9]{4}"
+    docs(s, dir)
+      .withColumn("dirty",
+        concat(col("text"), lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("dirty"), lit(emailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("dirty"), lit(phoneRe), lit(0))).cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("dirty"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").cast("binary")).as("scrubbed_md5"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t09_decontaminate" -> ((s, dir) => t09Decontaminate(s, dir)),
+    "t10_pii_scrub" -> t10PiiScrub _,
     "t01_lang_id" -> t01LangId _,
     "t02_quality_score" -> t02QualityScore _,
     "t03_token_count" -> t03TokenCount _,
@@ -277,6 +325,32 @@ object TextOps {
         |WHERE (lang = 'en' AND bucket < '8')
         |   OR (lang <> 'en' AND bucket < '2')
         |ORDER BY doc_id""".stripMargin,
+    "t09_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, hash(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS h
+        |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+        |)
+        |SELECT e.doc_id AS eval_id, tr.doc_id AS train_id, count(*) AS shared_ngrams
+        |FROM sh e JOIN sh tr ON e.h = tr.h
+        |WHERE e.doc_id % 50 = 0 AND tr.doc_id % 50 <> 0
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 5
+        |ORDER BY 1, 2""".stripMargin,
+    "t10_pii_scrub" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-' ||
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS dirty
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(dirty, '[a-z0-9]+@[a-z0-9.]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(dirty, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(dirty, '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |    '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed_md5
+        |FROM d ORDER BY doc_id""".stripMargin,
     "t08_top_ngrams" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
