@@ -74,7 +74,11 @@ object TypedRows {
   /** The wide decode surface (reference: FromRow.hs:71-324): uuid
     * (canonical 8-4-4-4-12 string), char, money → Decimal(19,4),
     * interval day-time → java.time.Duration, time → java.time.LocalTime,
-    * Maybe int8 → Option[Long], and a nested array-of-struct.
+    * timetz → (LocalTime, zone-offset minutes) pair (Spark has no
+    * zoned-time type; the offset lands typed next to the time, which is
+    * exactly the (time, offset) pair Postgres puts on the wire),
+    * interval year-month → java.time.Period, Maybe int8 → Option[Long],
+    * and a nested array-of-struct.
     */
   case class OrderWide(
       o_orderkey: Long,
@@ -83,6 +87,8 @@ object TypedRows {
       money: java.math.BigDecimal,
       span: java.time.Duration,
       otime: java.time.LocalTime,
+      otz_min: Int,
+      age: java.time.Period,
       clerk_id: Option[Long],
       items: Seq[Item])
 
@@ -112,8 +118,16 @@ object TypedRows {
         substring(col("o_orderstatus"), 1, 1).as("status_char"),
         col("o_totalprice").cast("decimal(19,4)").as("money"),
         expr("make_dt_interval(span_days, 0, 0, 0)").as("span"),
-        expr("make_time(cast(o_orderkey % 24 as int), cast(o_orderkey * 7 % 60 as int), " +
+        // hour = 1 + key % 23, so the per-group min TIME actually varies
+        // (a % 24 hour collapses every group's min to ~00:00:xx)
+        expr("make_time(cast(1 + o_orderkey % 23 as int), cast(o_orderkey * 7 % 60 as int), " +
           "cast(o_orderkey * 13 % 60 as decimal(16,6)))").as("otime"),
+        // timetz analog: zone offset in minutes, -360..+420 in 30-min steps
+        expr("cast((o_orderkey % 27) * 30 - 360 as int)").as("otz_min"),
+        // year-month interval (reference decodes full Postgres interval
+        // including the months word; day-time lives in `span` above)
+        expr("make_ym_interval(cast(o_orderkey % 3 as int), cast(o_orderkey % 12 as int))")
+          .as("age"),
         when(col("o_orderstatus") =!= "P", col("o_custkey")).as("clerk_id"),
         col("items"))
       .as[OrderWide]
@@ -124,14 +138,27 @@ object TypedRows {
     * deserializes every field including the nested items and the
     * interval/time values), then aggregate declaratively. Every exotic
     * type lands in the output where DuckDB can reproduce it: the
-    * interval via extract(DAY), the time via min(TIME), the uuid via
+    * day-time interval via extract(DAY), the year-month interval as
+    * total months, the time via min(TIME) then CANONICALIZED to an
+    * 'HH:mm:ss' string + seconds-since-midnight long (raw engine TIME
+    * values cross the cross-engine compare as engine-specific objects —
+    * round 3's one red key; the TIME round-trip itself is TypedSpec's
+    * job), the timetz pair as UTC-normalized seconds, the uuid via
     * min(string), the nested array via its size/qty rollups.
     */
   def q31TypedWide(s: SparkSession, dir: String): DataFrame =
     typedOrderWide(s, dir)
       .filter(o => o.uid.length == 36 && o.items.nonEmpty &&
-        !o.span.isNegative && o.money.signum >= 0)
+        !o.span.isNegative && o.money.signum >= 0 &&
+        o.age.toTotalMonths >= 0 && o.otz_min >= -720)
       .toDF()
+      // portable per-row projections of the exotic types (min/max over
+      // these longs ≡ min/max over the underlying values)
+      .withColumn("otime_s",
+        expr("hour(otime) * 3600L + minute(otime) * 60L + cast(second(otime) as bigint)"))
+      .withColumn("utc_s", expr("pmod(otime_s - otz_min * 60L, 86400L)"))
+      .withColumn("age_months",
+        expr("extract(YEAR FROM age) * 12 + extract(MONTH FROM age)").cast("long"))
       .groupBy(col("status_char"))
       .agg(
         count(lit(1)).as("n"),
@@ -142,7 +169,14 @@ object TypedRows {
         round(sum(aggregate(col("items"),
           lit(0.0d), (acc, x) => acc + x.getField("qty").cast("double"))), 2).as("sum_qty"),
         sum(when(col("clerk_id").isNull, 1L).otherwise(0L)).as("n_null_clerk"),
-        min("otime").as("min_time"))
+        min("otime").cast("string").as("min_time"),
+        // SUMS, not mins/maxes: a min over thousands of rows of a
+        // quasi-uniform derived value converges to the same constant in
+        // any engine and would verify nothing — a sum flips on any
+        // single mis-decoded row
+        sum(col("otime_s")).as("sum_time_s"),
+        sum(col("utc_s")).as("sum_utc_s"),
+        sum(col("age_months")).as("sum_age_months"))
       .orderBy("status_char")
 
   val defs: Map[String, (SparkSession, String) => DataFrame] =
@@ -176,8 +210,9 @@ object TypedRows {
         |    CAST(o_totalprice AS DECIMAL(19,4)) AS money,
         |    md5(CAST(o_orderkey AS VARCHAR)) AS h,
         |    CASE WHEN o_orderstatus <> 'P' THEN o_custkey END AS clerk_id,
-        |    make_time(CAST(o_orderkey % 24 AS BIGINT), CAST(o_orderkey * 7 % 60 AS BIGINT),
-        |              CAST(o_orderkey * 13 % 60 AS DOUBLE)) AS otime
+        |    (1 + o_orderkey % 23) * 3600 + (o_orderkey * 7 % 60) * 60 + (o_orderkey * 13 % 60) AS otime_s,
+        |    (o_orderkey % 27) * 30 - 360 AS tz_min,
+        |    (o_orderkey % 3) * 12 + (o_orderkey % 12) AS age_months
         |  FROM orders
         |)
         |SELECT status_char, count(*) AS n, sum(money) AS sum_money,
@@ -186,7 +221,11 @@ object TypedRows {
         |  CAST(sum(n_items) AS BIGINT) AS total_items,
         |  round(sum(qty_sum), 2) AS sum_qty,
         |  CAST(sum(CASE WHEN clerk_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_clerk,
-        |  min(otime) AS min_time
+        |  CAST(make_time(min(otime_s) // 3600, (min(otime_s) % 3600) // 60,
+        |                 CAST(min(otime_s) % 60 AS DOUBLE)) AS VARCHAR) AS min_time,
+        |  CAST(sum(otime_s) AS BIGINT) AS sum_time_s,
+        |  CAST(sum(((otime_s - tz_min * 60) % 86400 + 86400) % 86400) AS BIGINT) AS sum_utc_s,
+        |  CAST(sum(age_months) AS BIGINT) AS sum_age_months
         |FROM o JOIN li ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -18,23 +18,40 @@ object Ann {
   val K = 10          // neighbors per query
   val NQueries = 10   // query vectors: vec_id < 10
 
+  /** The shared top-k tail of the whole ANN family (s01/s02/s03): the
+    * scored candidate stream runs through the bounded-heap TopKPerGroup
+    * operator (the B25 custom physical operator — per-task heaps emit at
+    * most k rows per (query, task), so the shuffle carries
+    * O(k·queries·tasks) rows instead of EVERY scored row riding a hash
+    * exchange into per-group window sorts). The rank column the callers
+    * expose is then a window over the already-k-bounded survivors
+    * (≤ k·tasks rows per query), and it reuses the operator's output
+    * hash partitioning — no extra exchange.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    import graft.plans.TopK
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    TopK.perGroup(scored, Seq("q_id"), Seq(("cos", false), ("vec_id", true)), k)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k) // defensive: TopK already bounds output at k
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Exact per-query top-k over any (vec_id, embedding) corpus: the
     * query set broadcasts across the scan, the codegen cosine scores
-    * inside whole-stage codegen, and the rank window bounds output.
+    * inside whole-stage codegen, and the bounded-heap tail bounds output.
     */
   def annExactOn(e: DataFrame, nQueries: Int = NQueries, k: Int = K): DataFrame = {
     val q = e.where(col("vec_id") < nQueries).select(
       col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    e.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(q))
-      .where(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", cosine_sim(col("embedding"), col("q_vec")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("q_id"), col("rank").cast("long").as("rank"),
-        col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
-      .orderBy("q_id", "rank")
+    topKPerQuery(
+      e.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", cosine_sim(col("embedding"), col("q_vec"))),
+      k)
   }
 
   /** C6: exact top-k cosine neighbors. Plan: parquet scan →
@@ -87,16 +104,11 @@ object Ann {
   /** Exact-cosine top-k over the LSH candidate set. */
   def annLshOn(e: DataFrame, nQueries: Int = NQueries, k: Int = K,
                tables: Int = 16, bits: Int = 6,
-               multiProbe: Boolean = true): DataFrame = {
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    annLshCandidates(e, nQueries, tables, bits, multiProbe)
-      .withColumn("cos", cosine_sim(col("embedding"), col("q_vec")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("q_id"), col("rank").cast("long").as("rank"),
-        col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
-      .orderBy("q_id", "rank")
-  }
+               multiProbe: Boolean = true): DataFrame =
+    topKPerQuery(
+      annLshCandidates(e, nQueries, tables, bits, multiProbe)
+        .withColumn("cos", cosine_sim(col("embedding"), col("q_vec"))),
+      k)
 
   /** C7: approximate NN via multi-probe random-hyperplane LSH: 16
     * tables × 6-bit buckets, each query probing its bucket + the 6
@@ -126,14 +138,25 @@ object Ann {
                 nlist: Int = 16, nprobe: Int = 4): DataFrame =
     annIvfOn(emb(s, dir), nlist, nprobe)
 
+  /** Deterministic coarse centroids WITHOUT a driver-side count: the
+    * `nlist` vectors smallest by id-hash — a seeded pseudo-random draw
+    * that costs ONE TakeOrdered scan (bounded heap per partition),
+    * replacing the count-scan + stride-filter-scan pair the previous
+    * stride seed needed. cid assignment is a row_number over the
+    * already-limited nlist rows (single tiny partition).
+    */
+  private def hashDrawCentroids(e: DataFrame, nlist: Int): DataFrame =
+    e.select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(nlist)
+      .select(
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int").as("cid"),
+        col("embedding").as("c_vec"))
+
   /** IVF over any (vec_id, embedding) corpus — see [[s03AnnIvf]]. */
   def annIvfOn(e: DataFrame, nlist: Int = 16, nprobe: Int = 4,
                nQueries: Int = NQueries, k: Int = K): DataFrame = {
-    // deterministic coarse centroids: vec_id ≡ 0 (mod n/nlist), first nlist
-    val n = e.count()
-    val stride = math.max(1L, n / nlist)
-    val cents = e.where(col("vec_id") % stride === 0 && col("vec_id") / stride < nlist)
-      .select((col("vec_id") / stride).cast("int").as("cid"), col("embedding").as("c_vec"))
+    val cents = hashDrawCentroids(e, nlist)
 
     def assign(df: DataFrame, idCol: String, vecCol: String, rank: Int): DataFrame = {
       val w = Window.partitionBy(idCol).orderBy(col("c_cos").desc, col("cid"))
@@ -150,15 +173,11 @@ object Ann {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
       "q_id", "q_vec", nprobe)
 
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    corpus.join(broadcast(queries), Seq("cid"))
-      .where(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", cosine_sim(col("embedding"), col("q_vec")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("q_id"), col("rank").cast("long").as("rank"),
-        col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
-      .orderBy("q_id", "rank")
+    topKPerQuery(
+      corpus.join(broadcast(queries), Seq("cid"))
+        .where(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", cosine_sim(col("embedding"), col("q_vec"))),
+      k)
   }
 
   /** C7c: per-label centroids via the custom vec_mean aggregate
@@ -206,11 +225,8 @@ object Ann {
     val l2 = sqrt(aggregate(col("embedding"), lit(0.0d), (a, x) => a + x * x))
     val e = emb(s, dir).select(col("vec_id"),
         transform(col("embedding"), x => (x / l2).cast("float")).as("embedding"))
-    val n = e.count()
-    val stride = math.max(1L, n / nlist)
-    var cents = e.where(col("vec_id") % stride === 0 && col("vec_id") / stride < nlist)
-      .select((col("vec_id") / stride).cast("int").as("cid"),
-        transform(col("embedding"), _.cast("double")).as("c_vec"))
+    var cents = hashDrawCentroids(e, nlist)
+      .select(col("cid"), transform(col("c_vec"), _.cast("double")).as("c_vec"))
 
     val history = scala.collection.mutable.ListBuffer.empty[(Int, Double)]
     for (it <- 0 until iters) {

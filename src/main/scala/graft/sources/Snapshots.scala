@@ -48,7 +48,12 @@ class Snapshots(s: SparkSession, root: String) {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  /** Manifest format: one `table=relative/path` line per table. */
+  /** Manifest format: one `table=relative/path` line per table.
+    * Returns false ONLY on a lost version race (version v already
+    * published by another writer); any other IO failure propagates —
+    * treating a permission/quota error as a race would make commit()
+    * retry (re-writing all table data each attempt) forever.
+    */
   private def writeManifest(v: Long, tables: Map[String, String]): Boolean = {
     fs.mkdirs(commitDir)
     val body = tables.toSeq.sorted.map { case (t, p) => s"$t=$p" }.mkString("\n")
@@ -58,8 +63,21 @@ class Snapshots(s: SparkSession, root: String) {
       val out = fs.create(commitPath(v), false)
       try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
       true
-    } catch { case _: java.io.IOException => false }
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.nio.file.FileAlreadyExistsException => false
+      // some FileSystem impls signal the exclusive-create loss as a bare
+      // IOException; it is a race iff v's manifest now exists
+      case e: java.io.IOException => if (fs.exists(commitPath(v))) false else throw e
+    }
   }
+
+  /** Attempt cap for optimistic-concurrency loops: losing this many
+    * consecutive version races means something is structurally wrong
+    * (a runaway committer, clock-free livelock) — surface it instead
+    * of re-writing table data forever.
+    */
+  private val MaxAttempts = 16
 
   private def readManifest(v: Long): Map[String, String] = {
     val in = fs.open(commitPath(v))
@@ -84,7 +102,7 @@ class Snapshots(s: SparkSession, root: String) {
     */
   def commit(tables: Map[String, DataFrame]): Long = {
     var attempt = currentVersion.getOrElse(0L) + 1
-    while (true) {
+    for (_ <- 1 to MaxAttempts) {
       val written = tables.map { case (name, df) =>
         val rel = s"v$attempt/$name"
         df.write.mode("overwrite").parquet(s"$root/$rel")
@@ -93,7 +111,29 @@ class Snapshots(s: SparkSession, root: String) {
       if (writeManifest(attempt, written)) return attempt
       attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
     }
-    -1L // unreachable
+    throw new IllegalStateException(
+      s"commit lost $MaxAttempts consecutive version races under $root")
+  }
+
+  /** Re-point head at an older snapshot — the executable ROLLBACK
+    * analog (reference: Stream.hs:166-231; an UNpublished commit is
+    * simply abandoned, and this is the recovery path for a published
+    * one). Publishes a NEW manifest whose table map is copied from
+    * `version`: no data files move or are rewritten (O(1) in table
+    * size), history is preserved — every version including the
+    * rolled-back ones stays readable via time travel — and the same
+    * create-exclusive protocol serializes it against racing commits.
+    * Returns the new head version.
+    */
+  def rollbackTo(version: Long): Long = {
+    val tables = readManifest(version) // throws if `version` was never committed
+    var attempt = currentVersion.getOrElse(0L) + 1
+    for (_ <- 1 to MaxAttempts) {
+      if (writeManifest(attempt, tables)) return attempt
+      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
+    }
+    throw new IllegalStateException(
+      s"rollback lost $MaxAttempts consecutive version races under $root")
   }
 
   /** One consistent view of every table at `version` (default: newest).

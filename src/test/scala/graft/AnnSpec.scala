@@ -123,7 +123,8 @@ class AnnSpec extends AnyFunSuite {
     }
     val meanRecall = recalls.sum / recalls.size
     info(f"clustered corpus IVF (nprobe $nprobe/$nlist): recall@10 $meanRecall%.3f " +
-      f"(uniform-corpus baseline is 0.57 — centroid structure is what IVF exploits)")
+      f"(the uniform-corpus baseline sits near the scored fraction — " +
+      f"centroid structure is what IVF exploits)")
     assert(meanRecall >= 0.8, f"clustered IVF recall@10 $meanRecall%.3f < 0.8")
   }
 

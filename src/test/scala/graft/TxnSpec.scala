@@ -86,6 +86,27 @@ class TxnSpec extends AnyFunSuite {
     assert(snap.read("a").head().getString(2) == "x")
   }
 
+  test("rollbackTo re-points head at an old snapshot; history stays time-travelable") {
+    val root = Files.createTempDirectory("txn").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    snap.commit(Map("a" -> df(1L -> 1.0), "b" -> df(1L -> 10.0)))
+    snap.commit(Map("a" -> df(2L -> 2.0), "b" -> df(2L -> 20.0)))
+
+    val v3 = snap.rollbackTo(1L)
+    assert(v3 == 3L, "rollback publishes a NEW head version")
+    // head state == version 1's state, for every table in the commit
+    val cur = snap.snapshot()
+    assert(cur("a").select("id").head().getLong(0) == 1L)
+    assert(cur("b").select("v").head().getDouble(0) == 10.0)
+    // the rolled-back version is not erased — time travel still reads it
+    assert(snap.read("a", Some(2L)).select("id").head().getLong(0) == 2L)
+    // and committing after a rollback moves forward normally
+    val v4 = snap.commit(Map("a" -> df(4L -> 4.0), "b" -> df(4L -> 40.0)))
+    assert(v4 == 4L && snap.read("a").select("id").head().getLong(0) == 4L)
+    // rolling back to a never-committed version must fail loudly
+    intercept[Exception](snap.rollbackTo(99L))
+  }
+
   test("c04 snapshot key: detail and summary agree within one snapshot") {
     val out = Snapshots.c04SnapshotRead(spark, TestSpark.sfTest).collect()
     assert(out.nonEmpty)

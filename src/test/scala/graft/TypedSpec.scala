@@ -35,10 +35,16 @@ class TypedSpec extends AnyFunSuite {
       assert(o.status_char.length == 1, s"char(1): ${o.status_char}")
       assert(o.money.scale == 4, s"money scale: ${o.money}")
       assert(!o.span.isNegative && o.span.compareTo(java.time.Duration.ofDays(3650)) < 0)
-      // otime was built as (key%24, key*7%60, key*13%60)
+      // otime was built as (1 + key%23, key*7%60, key*13%60)
       assert(o.otime == java.time.LocalTime.of(
-        (o.o_orderkey % 24).toInt, (o.o_orderkey * 7 % 60).toInt, (o.o_orderkey * 13 % 60).toInt),
+        (1 + o.o_orderkey % 23).toInt, (o.o_orderkey * 7 % 60).toInt, (o.o_orderkey * 13 % 60).toInt),
         s"time decode: ${o.otime} for key ${o.o_orderkey}")
+      // timetz analog: the zone offset rides next to the time, typed
+      assert(o.otz_min == ((o.o_orderkey % 27) * 30 - 360).toInt,
+        s"tz offset decode: ${o.otz_min} for key ${o.o_orderkey}")
+      // year-month interval decodes as Period with the right total months
+      assert(o.age.toTotalMonths == (o.o_orderkey % 3) * 12 + (o.o_orderkey % 12),
+        s"ym interval decode: ${o.age} for key ${o.o_orderkey}")
       // nested array-of-struct: sorted by ln, decimal qty scale preserved
       assert(o.items.nonEmpty)
       assert(o.items.map(_.ln) == o.items.map(_.ln).sorted, "items must be ln-sorted")
