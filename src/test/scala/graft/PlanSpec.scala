@@ -86,6 +86,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Exchange hashpartitioning(l_suppkey"), p)
   }
 
+  test("ANN top-k tail plans through the bounded-heap operator before the rank window") {
+    // the family's shared tail: scored candidates must hit TopKPerGroup
+    // (partial heap below the exchange bounds the shuffle at k·q·tasks),
+    // and the rank window may only run ABOVE it, over ≤ k·tasks rows
+    for (name <- Seq("s01_ann_bruteforce", "s02_ann_lsh", "s03_ann_ivf")) {
+      val p = plan(name)
+      assert(p.contains("TopKPerGroupPartial"),
+        s"$name: scored rows must hit the map-side heap before shuffling: " + p)
+      assert(p.contains("Window"), s"$name: rank column needs its window: " + p)
+      assert(p.indexOf("Window") < p.indexOf("TopKPerGroupPartial"),
+        s"$name: the rank window must consume the heap output (plans print top-down), " +
+          "never the raw scored stream: " + p)
+    }
+  }
+
   test("q30 partition filter prunes directories at planning time") {
     val p = plan("q30_partition_pruned")
     assert(p.contains("PartitionFilters: [") && p.contains("event_type"), p)
