@@ -31,7 +31,7 @@ object Bench {
     "d05_dedup_embedding", "s01_ann_bruteforce", "s02_ann_lsh",
     "t02_quality_score", "t04_fingerprint", "m02_decode_batch", "m03_decode_image",
     "q25_typed_decode", "q31_typed_wide", "q32_weighted_avg", "c04_snapshot_read",
-    "q33_profile", "q34_histogram")
+    "c05_stats_pruned_read", "q33_profile", "q34_histogram")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -99,13 +99,25 @@ class Snapshots(s: SparkSession, root: String) {
     * the committed version. Retries the version claim on a concurrent
     * commit (data is re-written under the bumped version — optimistic
     * concurrency pays on conflict, not on the happy path).
+    *
+    * `statsCols` names columns whose per-file min/max should be
+    * harvested (from the parquet footers the write ALREADY produced —
+    * no data re-scan) into a `_stats` sidecar inside the table dir.
+    * The sidecar lands before the manifest publishes, so stats are
+    * covered by the same atomic commit; [[readWhere]] consults them
+    * for file skipping.
     */
-  def commit(tables: Map[String, DataFrame]): Long = {
+  def commit(tables: Map[String, DataFrame],
+             statsCols: Map[String, Seq[String]] = Map.empty): Long = {
     var attempt = currentVersion.getOrElse(0L) + 1
     for (_ <- 1 to MaxAttempts) {
       val written = tables.map { case (name, df) =>
         val rel = s"v$attempt/$name"
         df.write.mode("overwrite").parquet(s"$root/$rel")
+        statsCols.get(name).filter(_.nonEmpty).foreach { cols =>
+          FileStats.writeSidecar(fs, new Path(s"$root/$rel"),
+            FileStats.harvest(s, s"$root/$rel", cols))
+        }
         name -> rel
       }
       if (writeManifest(attempt, written)) return attempt
@@ -149,6 +161,126 @@ class Snapshots(s: SparkSession, root: String) {
   /** Single-table read from the newest (or given) snapshot. */
   def read(table: String, version: Option[Long] = None): DataFrame =
     snapshot(version)(table)
+
+  private def tableRel(table: String, version: Option[Long]): String = {
+    val v = version.orElse(currentVersion)
+      .getOrElse(throw new IllegalStateException(s"no commits under $root"))
+    readManifest(v)(table)
+  }
+
+  /** Range-predicated snapshot read WITH file skipping: the `_stats`
+    * sidecar (if the committing writer recorded one) prunes the file
+    * list before Spark plans a single task — files whose [min,max]
+    * cannot match cost zero IO. The ranges are then re-applied as a
+    * normal filter (stats admit a superset), so the result is exactly
+    * `read(table).where(ranges)` regardless of stats presence.
+    *
+    * This is the lake analog of the reference users' indexed BETWEEN
+    * queries (Example.hs:36: `timestamp BETWEEN {2} AND {3}`): at
+    * 100 TB a time- or key-ordered table turns a range query from a
+    * full scan into a handful of file opens.
+    */
+  def readWhere(table: String, ranges: Seq[FileStats.ColRange],
+                version: Option[Long] = None): DataFrame = {
+    val dir = new Path(root, tableRel(table, version))
+    val all = FileStats.dataFiles(fs, dir)
+    val kept = FileStats.readSidecar(fs, dir)
+      .map(st => FileStats.prune(all, st, ranges))
+      .getOrElse(all)
+    val base =
+      if (kept.isEmpty) s.read.parquet(dir.toString).limit(0) // schema-only; zero data tasks
+      else s.read.parquet(kept.map(_.getPath.toString): _*)
+    ranges.foldLeft(base) { (df, r) =>
+      val c = col(r.col)
+      val conds = r.lo.map(v => c >= lit(v)).toSeq ++ r.hi.map(v => c <= lit(v)).toSeq
+      conds.foldLeft(df)((d, cond) => d.where(cond))
+    }
+  }
+
+  /** Bin-pack a table's current files into ~`targetBytes` files and
+    * publish the result as a NEW version (other tables re-pointed
+    * unchanged — O(1) manifest work). Small-file compaction is the
+    * standing maintenance job of any streamed-into lake: merge commits
+    * and micro-batch sinks accrete small files, and at 100 TB a
+    * scan's task count (and the namenode's file count) follows file
+    * count, not byte count.
+    *
+    * `sortCol` additionally range-clusters rows across the rewritten
+    * files, re-sharpening the `_stats` sidecar (harvested fresh from
+    * the new footers) so post-compaction [[readWhere]] skipping is
+    * maximal — the Z-order-lite layout step.
+    *
+    * Concurrency: if another writer re-points `table` between our read
+    * and publish, the compacted data is stale — that attempt fails
+    * loudly (caller re-runs) instead of silently dropping the race
+    * winner's rows. Races on OTHER tables merge fine: each publish
+    * attempt re-reads the current manifest.
+    */
+  def compact(table: String, targetBytes: Long = 128L << 20,
+              sortCol: Option[String] = None,
+              statsCols: Seq[String] = Nil): Long = {
+    val baseRel = tableRel(table, None)
+    val dir = new Path(root, baseRel)
+    val totalBytes = FileStats.dataFiles(fs, dir).map(_.getLen).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df0 = s.read.parquet(dir.toString)
+    val packed = sortCol match {
+      case Some(c) => df0.repartitionByRange(n, col(c))
+      case None => df0.repartition(n)
+    }
+    var attempt = currentVersion.getOrElse(0L) + 1
+    for (_ <- 1 to MaxAttempts) {
+      val cur = readManifest(currentVersion.get)
+      if (cur(table) != baseRel)
+        throw new java.util.ConcurrentModificationException(
+          s"$table re-pointed ${cur(table)} != $baseRel during compaction; re-run")
+      val rel = s"v$attempt/$table"
+      packed.write.mode("overwrite").parquet(s"$root/$rel")
+      if (statsCols.nonEmpty)
+        FileStats.writeSidecar(fs, new Path(s"$root/$rel"),
+          FileStats.harvest(s, s"$root/$rel", statsCols))
+      if (writeManifest(attempt, cur + (table -> rel))) return attempt
+      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
+    }
+    throw new IllegalStateException(
+      s"compaction lost $MaxAttempts consecutive version races under $root")
+  }
+
+  /** Retention: drop all but the newest `keepLast` manifests and
+    * delete every table directory no kept manifest references —
+    * including crashed-writer orphans (data written, manifest never
+    * published). Reference counting is by manifest entry, not version
+    * directory: a post-rollback head legitimately points into an old
+    * version's directories, and those survive any retention window
+    * that keeps the head. Returns (manifests dropped, dirs deleted).
+    *
+    * At 100 TB vacuum is what makes time travel affordable: storage
+    * is bounded by the retention window, not commit history.
+    */
+  def vacuum(keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, "must keep at least the head version")
+    if (!fs.exists(commitDir)) return (0, 0)
+    val versions = fs.listStatus(commitDir).map(_.getPath.getName)
+      .filter(_.endsWith(".manifest"))
+      .map(_.stripSuffix(".manifest").toLong).sorted.reverse.toSeq
+    val (kept, dropped) = versions.splitAt(keepLast)
+    val referenced = kept.flatMap(v => readManifest(v).values).toSet
+    var dirsDeleted = 0
+    val rootPath = new Path(root)
+    fs.listStatus(rootPath).filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
+      .foreach { vd =>
+        fs.listStatus(vd.getPath).filter(_.isDirectory).foreach { td =>
+          val rel = s"${vd.getPath.getName}/${td.getPath.getName}"
+          if (!referenced.contains(rel)) {
+            fs.delete(td.getPath, true)
+            dirsDeleted += 1
+          }
+        }
+        if (fs.listStatus(vd.getPath).isEmpty) fs.delete(vd.getPath, false)
+      }
+    dropped.foreach(v => fs.delete(commitPath(v), false))
+    (dropped.size, dirsDeleted)
+  }
 }
 
 /** `c04_snapshot_read`: the transactions flow end-to-end, hermetic per
@@ -193,8 +325,50 @@ object Snapshots {
       .orderBy("o_orderstatus")
   }
 
+  /** Snapshot lake for c05, staged ONCE per sf dir (marker-gated, the
+    * stagedLake pattern): orders committed range-clustered on
+    * o_orderkey into 16 files with a footer-stats sidecar on the key
+    * and price columns. Range clustering is what a real ingest gives a
+    * time/key-ordered fact table — and what makes min/max skipping
+    * effective.
+    */
+  def stagedStatsLake(s: SparkSession, dir: String): Snapshots = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s.conf.get("spark.sql.warehouse.dir") + s"/stats_c05$tag"
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val snap = new Snapshots(s, root)
+    val marker = new Path(root, "_STAGED")
+    if (!fs.exists(marker)) {
+      fs.delete(new Path(root), true)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartitionByRange(16, col("o_orderkey"))
+      snap.commit(Map("orders" -> orders),
+        statsCols = Map("orders" -> Seq("o_orderkey", "o_totalprice")))
+      fs.create(marker, true).close()
+    }
+    snap
+  }
+
+  /** `c05_stats_pruned_read`: a key-range aggregate through the footer
+    * -stats file-skipping read path ([[Snapshots.readWhere]]). The
+    * predicate selects a small key prefix, so with 16 range-clustered
+    * files the read opens 1-2 of them (TxnSpec machine-asserts
+    * inputFiles shrink); the oracle proves skipping never changes the
+    * answer.
+    */
+  def c05StatsPrunedRead(s: SparkSession, dir: String): DataFrame = {
+    val snap = stagedStatsLake(s, dir)
+    snap.readWhere("orders",
+        Seq(FileStats.ColRange("o_orderkey", Some(1L), Some(600L))))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] =
-    Map("c04_snapshot_read" -> c04SnapshotRead _)
+    Map("c04_snapshot_read" -> c04SnapshotRead _,
+        "c05_stats_pruned_read" -> c05StatsPrunedRead _)
 
   val oracles: Map[String, String] = Map(
     "c04_snapshot_read" ->
@@ -208,5 +382,11 @@ object Snapshots {
         |  FROM p GROUP BY 1
         |)
         |SELECT o_orderstatus, n AS n_detail, total AS total_detail, n, total
-        |FROM agg ORDER BY o_orderstatus""".stripMargin)
+        |FROM agg ORDER BY o_orderstatus""".stripMargin,
+    "c05_stats_pruned_read" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 1 AND 600
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)
 }

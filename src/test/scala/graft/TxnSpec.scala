@@ -4,7 +4,8 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.sources.Snapshots
+import graft.sources.{FileStats, Snapshots}
+import graft.sources.FileStats.ColRange
 
 /** The transaction guarantees of the snapshot commit log (the
   * reference's withTransaction analog): multi-table atomicity,
@@ -105,6 +106,143 @@ class TxnSpec extends AnyFunSuite {
     assert(v4 == 4L && snap.read("a").select("id").head().getLong(0) == 4L)
     // rolling back to a never-committed version must fail loudly
     intercept[Exception](snap.rollbackTo(99L))
+  }
+
+  test("footer stats skip files a range predicate cannot match; result is exact") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txn").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    // 1000 rows range-clustered into 8 files → disjoint id ranges per file
+    val df = (1L to 1000L).map(i => (i, s"name$i", i * 1.5)).toDF("id", "nm", "v")
+      .repartitionByRange(8, col("id"))
+    snap.commit(Map("a" -> df), statsCols = Map("a" -> Seq("id", "nm", "v")))
+
+    val full = snap.read("a")
+    val totalFiles = full.inputFiles.length
+    assert(totalFiles >= 8, s"expected >=8 data files, got $totalFiles")
+
+    // long-typed skipping: a 100-wide key range lands in 1-2 of 8 files
+    val pruned = snap.readWhere("a", Seq(ColRange("id", Some(101L), Some(200L))))
+    assert(pruned.inputFiles.length < totalFiles / 2,
+      s"stats should skip most files: read ${pruned.inputFiles.length} of $totalFiles")
+    val expect = full.where(col("id").between(101, 200))
+    assert(pruned.count() == 100L)
+    assert(pruned.exceptAll(expect).isEmpty && expect.exceptAll(pruned).isEmpty,
+      "pruned read must equal full-scan filter")
+
+    // double-typed bound on the same read path
+    val dpr = snap.readWhere("a", Seq(ColRange("v", None, Some(15.0))))
+    assert(dpr.count() == full.where(col("v") <= 15.0).count())
+    assert(dpr.inputFiles.length < totalFiles)
+
+    // an impossible range opens ZERO files but keeps the schema
+    val none = snap.readWhere("a", Seq(ColRange("id", Some(5000L), None)))
+    assert(none.count() == 0L && none.columns.toSeq == full.columns.toSeq)
+
+    // a table committed WITHOUT stats still answers correctly (no skipping)
+    snap.commit(Map("a" -> df))
+    val nostats = snap.readWhere("a", Seq(ColRange("id", Some(101L), Some(200L))))
+    assert(nostats.count() == 100L && nostats.inputFiles.length >= 8)
+  }
+
+  test("string-typed footer stats prune by lexicographic range") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txn").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    val df = ('a' to 'z').flatMap(c => (1 to 10).map(i => (s"$c$i", c.toString)))
+      .toDF("key", "grp").repartitionByRange(6, col("key"))
+    snap.commit(Map("w" -> df), statsCols = Map("w" -> Seq("key")))
+    val total = snap.read("w").inputFiles.length
+    val pruned = snap.readWhere("w", Seq(ColRange("key", Some("b"), Some("c~"))))
+    assert(pruned.inputFiles.length < total,
+      s"string stats should skip files: ${pruned.inputFiles.length} of $total")
+    assert(pruned.count() ==
+      snap.read("w").where(col("key") >= "b" && col("key") <= "c~").count())
+  }
+
+  test("compaction bin-packs files, preserves data and history, re-sharpens stats") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txn").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    // many tiny files — the post-ingest shape compaction exists for
+    val tiny = (1L to 600L).map(i => (i, i * 2.0)).toDF("id", "v").repartition(24)
+    val v1 = snap.commit(Map("a" -> tiny, "other" -> Seq((1L, 1.0)).toDF("id", "v")),
+      statsCols = Map("a" -> Seq("id")))
+    val before = snap.read("a").inputFiles.length
+    assert(before >= 20)
+
+    // unsorted tiny files: id stats overlap everywhere, skipping is weak
+    val prunedBefore = snap.readWhere("a", Seq(ColRange("id", Some(1L), Some(50L))))
+    assert(prunedBefore.count() == 50L)
+
+    // ~8KB target → a handful of range-disjoint files (not one), so the
+    // post-compaction skipping claim below is non-vacuous
+    val v2 = snap.compact("a", targetBytes = 8L << 10,
+      sortCol = Some("id"), statsCols = Seq("id"))
+    assert(v2 > v1)
+    val after = snap.read("a")
+    assert(after.inputFiles.length < before / 4,
+      s"compaction should collapse file count: ${after.inputFiles.length} vs $before")
+    // same rows, untouched table re-pointed, old version time-travelable
+    assert(after.agg(sum("id")).head.getLong(0) == (1L to 600L).sum)
+    assert(snap.read("other").count() == 1L)
+    assert(snap.read("a", Some(v1)).inputFiles.length == before)
+    // range-clustered rewrite makes the range query open fewer files than exist
+    val prunedAfter = snap.readWhere("a", Seq(ColRange("id", Some(1L), Some(50L))))
+    assert(prunedAfter.count() == 50L)
+    if (after.inputFiles.length > 1)
+      assert(prunedAfter.inputFiles.length < after.inputFiles.length,
+        "range-clustered stats should skip files after compaction")
+  }
+
+  test("vacuum bounds history to the retention window and collects orphans") {
+    val root = Files.createTempDirectory("txn").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    snap.commit(Map("a" -> df(1L -> 1.0)))
+    snap.commit(Map("a" -> df(2L -> 2.0)))
+    snap.commit(Map("a" -> df(3L -> 3.0)))
+    // a crashed writer's orphan (no manifest) must be collected too
+    df(99L -> 99.0).write.parquet(s"$root/v9/a")
+
+    val (manifestsDropped, dirsDeleted) = snap.vacuum(keepLast = 2)
+    assert(manifestsDropped == 1, "v1's manifest leaves the log")
+    assert(dirsDeleted == 2, s"v1 data + v9 orphan collected, got $dirsDeleted")
+    // head and the kept version still read; the vacuumed one is gone
+    assert(snap.read("a").select("id").head().getLong(0) == 3L)
+    assert(snap.read("a", Some(2L)).select("id").head().getLong(0) == 2L)
+    intercept[Exception](snap.read("a", Some(1L)).collect())
+  }
+
+  test("vacuum never collects data the post-rollback head still references") {
+    val root = Files.createTempDirectory("txn").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    snap.commit(Map("a" -> df(1L -> 1.0))) // v1
+    snap.commit(Map("a" -> df(2L -> 2.0))) // v2
+    snap.rollbackTo(1L)                    // v3 -> v1's data dirs
+    // keepLast=1 keeps ONLY v3's manifest — which points at v1/a; the
+    // reference count must be by manifest entry, not version directory
+    val (dropped, deleted) = snap.vacuum(keepLast = 1)
+    assert(dropped == 2)
+    assert(deleted == 1, s"only v2's data should go, got $deleted")
+    assert(snap.read("a").select("id").head().getLong(0) == 1L,
+      "head (rolled back to v1's files) must survive vacuum")
+  }
+
+  test("c05 stats key: pruned aggregate equals its closed form") {
+    val out = Snapshots.c05StatsPrunedRead(spark, TestSpark.sfTest)
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.map(_.getAs[Long]("n")).sum > 0)
+    // the staged lake's 16 range-clustered files: the 1..600 key range
+    // must NOT touch them all (the machine-assertion behind c05's claim)
+    val snap = Snapshots.stagedStatsLake(spark, TestSpark.sfTest)
+    val pruned = snap.readWhere("orders",
+      Seq(ColRange("o_orderkey", Some(1L), Some(600L))))
+    val total = snap.read("orders").inputFiles.length
+    assert(pruned.inputFiles.length < total,
+      s"c05 must skip files: ${pruned.inputFiles.length} of $total")
   }
 
   test("c04 snapshot key: detail and summary agree within one snapshot") {
