@@ -145,6 +145,12 @@ object TypedRows {
     * round 3's one red key; the TIME round-trip itself is TypedSpec's
     * job), the timetz pair as UTC-normalized seconds, the uuid via
     * min(string), the nested array via its size/qty rollups.
+    *
+    * Round-5 rule, learned the hard way: EVERY column that crosses the
+    * cross-engine hash compare is BIGINT or VARCHAR — no DECIMAL (Spark
+    * sums Decimal(19,4) to (29,4), DuckDB to (38,4); readers repr those
+    * differently), no DOUBLE (accumulation order diverges). Money and
+    * qty land as exact integer cents/hundredths.
     */
   def q31TypedWide(s: SparkSession, dir: String): DataFrame =
     typedOrderWide(s, dir)
@@ -162,12 +168,20 @@ object TypedRows {
       .groupBy(col("status_char"))
       .agg(
         count(lit(1)).as("n"),
-        sum("money").as("sum_money"),
+        // money crosses the engine compare as exact BIGINT cents·100:
+        // Decimal(19,4) × 10⁴ is integral by construction, and a BIGINT
+        // materializes identically in every reader. (Shipping the decimal
+        // itself failed two rounds running: Spark sums to DECIMAL(29,4),
+        // DuckDB to DECIMAL(38,4), and readers repr them differently.)
+        (sum(col("money")) * 10000).cast("long").as("sum_money"),
         min("uid").as("min_uid"),
         max(expr("extract(DAY FROM span)")).cast("long").as("max_span_days"),
         sum(size(col("items"))).cast("long").as("total_items"),
-        round(sum(aggregate(col("items"),
-          lit(0.0d), (acc, x) => acc + x.getField("qty").cast("double"))), 2).as("sum_qty"),
+        // qty likewise: exact per-item Decimal(12,2) × 100 → BIGINT
+        // hundredths, folded in integer space (no double accumulation
+        // order to diverge across engines)
+        sum(aggregate(col("items"), lit(0L),
+          (acc, x) => acc + (x.getField("qty") * 100).cast("long"))).as("sum_qty"),
         sum(when(col("clerk_id").isNull, 1L).otherwise(0L)).as("n_null_clerk"),
         min("otime").cast("string").as("min_time"),
         // SUMS, not mins/maxes: a min over thousands of rows of a
@@ -201,7 +215,7 @@ object TypedRows {
       """WITH li AS (
         |  SELECT l_orderkey,
         |    count(*) AS n_items,
-        |    sum(l_quantity) AS qty_sum,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT) AS qty_cents,
         |    date_diff('day', CAST(min(l_shipdate) AS DATE), CAST(max(l_shipdate) AS DATE)) AS span_days
         |  FROM lineitem GROUP BY 1
         |), o AS (
@@ -215,11 +229,12 @@ object TypedRows {
         |    (o_orderkey % 3) * 12 + (o_orderkey % 12) AS age_months
         |  FROM orders
         |)
-        |SELECT status_char, count(*) AS n, sum(money) AS sum_money,
+        |SELECT status_char, count(*) AS n,
+        |  CAST(sum(money) * 10000 AS BIGINT) AS sum_money,
         |  min(concat(substr(h,1,8),'-',substr(h,9,4),'-',substr(h,13,4),'-',substr(h,17,4),'-',substr(h,21,12))) AS min_uid,
         |  CAST(max(span_days) AS BIGINT) AS max_span_days,
         |  CAST(sum(n_items) AS BIGINT) AS total_items,
-        |  round(sum(qty_sum), 2) AS sum_qty,
+        |  CAST(sum(qty_cents) AS BIGINT) AS sum_qty,
         |  CAST(sum(CASE WHEN clerk_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_clerk,
         |  CAST(make_time(min(otime_s) // 3600, (min(otime_s) % 3600) // 60,
         |                 CAST(min(otime_s) % 60 AS DOUBLE)) AS VARCHAR) AS min_time,
