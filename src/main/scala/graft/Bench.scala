@@ -1,6 +1,8 @@
 package graft
 
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line for the driver (also written to bench.json —
@@ -33,6 +35,25 @@ object Bench {
     "q25_typed_decode", "q31_typed_wide", "q32_weighted_avg", "c04_snapshot_read",
     "c05_stats_pruned_read", "q33_profile", "q34_histogram")
 
+  /** Per-key task-metric sums, so a bench anomaly ships with its own
+    * evidence: executor run time vs wall separates task-side cost from
+    * driver-side cost (planning/codegen compile), and jvmGCTime exposes
+    * heap pressure from state accumulated by earlier keys. Listener
+    * events post asynchronously; a short settle before reading keeps the
+    * deltas per-key-accurate to within a few tasks.
+    */
+  private final class MetricsListener extends SparkListener {
+    val runMs = new AtomicLong; val gcMs = new AtomicLong; val tasks = new AtomicLong
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        runMs.addAndGet(m.executorRunTime); gcMs.addAndGet(m.jvmGCTime)
+        tasks.incrementAndGet()
+      }
+    }
+    def snap(): (Long, Long, Long) = (runMs.get, gcMs.get, tasks.get)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -58,26 +79,39 @@ object Bench {
       spark.catalog.clearCache()
     }
 
+    val listener = new MetricsListener
+    spark.sparkContext.addSparkListener(listener)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val diag = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = qs.map { name =>
       // Min of two timed runs: single-shot timings occasionally absorb a
       // multi-second host hiccup (page cache flush / GC burst measured at
       // 5-10x the query time); the min is the engine's actual cost.
       // GC outside the timed window: accumulated broadcast/shuffle state
       // from earlier queries must not bill its collection time to this one.
+      // The settle sleep matters as much as the GC: collecting dead
+      // Broadcast/shuffle refs hands ContextCleaner an ASYNC removal queue
+      // (block-manager drops, shuffle-file deletes) that would otherwise
+      // run inside the next timed window and steal CPU from it — by key
+      // ~37 of 49 that queue is everything the suite has accumulated.
       def once(): Double = {
         System.gc()
+        Thread.sleep(150)
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
       try {
-        val t = math.min(once(), once())
+        val (r0, g0, n0) = listener.snap()
+        val t1 = once(); val t2 = once()
+        Thread.sleep(100) // listener bus drains async; settle before the delta
+        val (r1, g1, n1) = listener.snap()
         // isolate keys from each other (see warmup note): the min still
         // reflects a warm operator cache — the first timed run rebuilds
         // it, the second reuses it — but nothing leaks to the next key
         spark.catalog.clearCache()
-        name -> t
+        diag(name) = f"""{"w1":${t1}%.3f,"w2":${t2}%.3f,"task_ms":${r1 - r0},"gc_ms":${g1 - g0},"tasks":${n1 - n0}}"""
+        name -> math.min(t1, t2)
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -93,9 +127,10 @@ object Bench {
       } + "\""
     val qjson = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val ejson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val djson = diag.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"errors":$ejson,"n_failed":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"errors":$ejson,"n_failed":${errors.size},"diag":$djson,"sf":"$sfDir"}"""
     println(line)
     Files.writeString(Paths.get(outFile), line + "\n")
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")

@@ -23,18 +23,17 @@ object Ann {
     * operator (the B25 custom physical operator — per-task heaps emit at
     * most k rows per (query, task), so the shuffle carries
     * O(k·queries·tasks) rows instead of EVERY scored row riding a hash
-    * exchange into per-group window sorts). The rank column the callers
-    * expose is then a window over the already-k-bounded survivors
-    * (≤ k·tasks rows per query), and it reuses the operator's output
-    * hash partitioning — no extra exchange.
+    * exchange into per-group window sorts). The rank column comes from
+    * the operator's own sorted drain (`rankCol`) — position in the final
+    * per-group emit IS the rank — so no Sort/Window node re-derives it.
     */
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     import graft.plans.TopK
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    TopK.perGroup(scored, Seq("q_id"), Seq(("cos", false), ("vec_id", true)), k)
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k) // defensive: TopK already bounds output at k
-      .select(col("q_id"), col("rank").cast("long").as("rank"),
+    // rank comes from the operator's own sorted drain (rankCol) — no
+    // Sort+Window re-rank over the already-k-bounded stream.
+    TopK.perGroup(scored, Seq("q_id"), Seq(("cos", false), ("vec_id", true)), k,
+        rankCol = Some("rank"))
+      .select(col("q_id"), col("rank"),
         col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
       .orderBy("q_id", "rank")
   }

@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, GraftShim}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.types.LongType
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
@@ -30,8 +31,15 @@ case class TopKPerGroup(
     sortOrder: Seq[SortOrder],
     k: Int,
     child: LogicalPlan,
-    maxGroupsPerFlush: Int = TopKPerGroup.DefaultMaxGroupsPerFlush) extends UnaryNode {
-  override def output: Seq[Attribute] = child.output
+    maxGroupsPerFlush: Int = TopKPerGroup.DefaultMaxGroupsPerFlush,
+    rankAttr: Option[Attribute] = None) extends UnaryNode {
+  // rankAttr is held in the node (created once at the API), not minted in
+  // `output`: a fresh AttributeReference per call would change exprId on
+  // every tree copy and orphan parent references to the rank column.
+  override def output: Seq[Attribute] = child.output ++ rankAttr
+  // rank originates HERE, not in the child — without this the analyzer
+  // reports it as a missing input attribute
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr.toSeq)
   override protected def withNewChildInternal(c: LogicalPlan): LogicalPlan = copy(child = c)
 }
 
@@ -48,9 +56,11 @@ case class TopKPerGroupExec(
     k: Int,
     partial: Boolean,
     maxGroupsPerFlush: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    rankAttr: Option[Attribute] = None) extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output
+  override def output: Seq[Attribute] = child.output ++ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr.toSeq)
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
     (if (partial) org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution
@@ -65,10 +75,20 @@ case class TopKPerGroupExec(
     val kk = k
     val isPartial = partial
     val flushAt = maxGroupsPerFlush
+    val emitRank = rankAttr.isDefined
     child.execute().mapPartitions { it =>
       val groupProj = UnsafeProjection.create(grouping, childOutput)
       val rowOrd = RowOrdering.create(order, childOutput)
       val reverse = rowOrd.reversed().asInstanceOf[java.util.Comparator[UnsafeRow]]
+      // rank emission (final phase only): the per-group drain is already
+      // sorted, so rank IS the drain position — appended via a reused
+      // JoinedRow + unsafe projection, replacing the Sort+Window+filter
+      // tail callers previously ran over the operator's bounded output.
+      val joined = new JoinedRow
+      val rankRow = new GenericInternalRow(1)
+      val toUnsafe =
+        if (emitRank) UnsafeProjection.create((childOutput.map(_.dataType) :+ LongType).toArray)
+        else null
 
       // per group: bounded heap holding the current best k rows; the
       // heap root is the WORST retained row (reverse order) so
@@ -95,7 +115,11 @@ case class TopKPerGroupExec(
           all.iterator.flatMap { h =>
             val arr = h.toArray(new Array[UnsafeRow](h.size))
             java.util.Arrays.sort(arr, rowOrd.asInstanceOf[java.util.Comparator[UnsafeRow]])
-            arr.iterator
+            if (!emitRank) arr.iterator
+            else arr.iterator.zipWithIndex.map { case (r, i) =>
+              rankRow.setLong(0, i + 1L)
+              toUnsafe(joined(r, rankRow))
+            }
           }
         }
 
@@ -132,9 +156,12 @@ case class TopKPerGroupExec(
   */
 object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroup(g, o, k, child, flush) =>
+    case TopKPerGroup(g, o, k, child, flush, rank) =>
+      // rank only on the FINAL phase: partial drains are per-chunk/per-task
+      // and their positions are not global ranks.
       TopKPerGroupExec(g, o, k, partial = false, flush,
-        TopKPerGroupExec(g, o, k, partial = true, flush, planLater(child))) :: Nil
+        TopKPerGroupExec(g, o, k, partial = true, flush, planLater(child)),
+        rankAttr = rank) :: Nil
     case _ => Nil
   }
 }
@@ -150,9 +177,15 @@ object TopK {
     * sort-spills instead of holding heaps — the heap operator's win is
     * the many-rows-per-group regime, not the many-groups one.
     */
+  /** With `rankCol` set, the operator itself appends the 1-based
+    * within-group rank (BIGINT) from its sorted drain — callers needing
+    * (row, rank) pairs avoid re-deriving rank with a Window over the
+    * operator's output.
+    */
   def perGroup(df: DataFrame, groupCols: Seq[String],
                orderings: Seq[(String, Boolean)], k: Int,
-               maxGroupsPerFlush: Int = TopKPerGroup.DefaultMaxGroupsPerFlush): DataFrame = {
+               maxGroupsPerFlush: Int = TopKPerGroup.DefaultMaxGroupsPerFlush,
+               rankCol: Option[String] = None): DataFrame = {
     require(k >= 1, s"TopK.perGroup requires k >= 1, got $k")
     require(orderings.nonEmpty, "TopK.perGroup requires at least one ordering column")
     require(maxGroupsPerFlush >= 1, s"maxGroupsPerFlush must be >= 1, got $maxGroupsPerFlush")
@@ -162,7 +195,8 @@ object TopK {
       if (asc) SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending)
       else SortOrder(e, org.apache.spark.sql.catalyst.expressions.Descending)
     }
+    val rank = rankCol.map(n => AttributeReference(n, LongType, nullable = false)())
     GraftShim.ofRows(df.sparkSession,
-      TopKPerGroup(grouping, order, k, df.queryExecution.analyzed, maxGroupsPerFlush))
+      TopKPerGroup(grouping, order, k, df.queryExecution.analyzed, maxGroupsPerFlush, rank))
   }
 }

@@ -86,19 +86,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Exchange hashpartitioning(l_suppkey"), p)
   }
 
-  test("ANN top-k tail plans through the bounded-heap operator before the rank window") {
+  test("ANN top-k tail plans through the bounded-heap operator, rank from its drain") {
     // the family's shared tail: scored candidates must hit TopKPerGroup
     // (partial heap below the exchange bounds the shuffle at k·q·tasks),
-    // and the rank window may only run ABOVE it, over ≤ k·tasks rows
+    // and rank comes from the operator's sorted drain — no Window node
+    // may re-derive it above the heap output. s03's one legitimate
+    // Window is the centroid-assignment argmin BELOW the TopK tail.
     for (name <- Seq("s01_ann_bruteforce", "s02_ann_lsh", "s03_ann_ivf")) {
       val p = plan(name)
       assert(p.contains("TopKPerGroupPartial"),
         s"$name: scored rows must hit the map-side heap before shuffling: " + p)
-      assert(p.contains("Window"), s"$name: rank column needs its window: " + p)
-      assert(p.indexOf("Window") < p.indexOf("TopKPerGroupPartial"),
-        s"$name: the rank window must consume the heap output (plans print top-down), " +
-          "never the raw scored stream: " + p)
+      val winAbove = p.indexOf("Window") >= 0 && p.indexOf("Window") < p.indexOf("TopKPerGroupPartial")
+      assert(!winAbove,
+        s"$name: no Window may consume the heap output (rank is emitted by the drain): " + p)
     }
+    assert(!plan("s01_ann_bruteforce").contains("Window"),
+      "s01 has no other window source; its plan must be Window-free")
   }
 
   test("q30 partition filter prunes directories at planning time") {
