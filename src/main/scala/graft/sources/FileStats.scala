@@ -122,8 +122,12 @@ object FileStats {
     case "long" => java.lang.Long.compare(a.toLong, b.toLong)
     case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
     case _ =>
-      new String(Base64.getDecoder.decode(a), StandardCharsets.UTF_8)
-        .compareTo(new String(Base64.getDecoder.decode(b), StandardCharsets.UTF_8))
+      // unsigned UTF-8 byte order, NOT String.compareTo (UTF-16 code
+      // units): parquet footer min/max and Spark's binary comparisons
+      // both order by unsigned bytes, and the two orders disagree for
+      // supplementary-plane characters — a UTF-16 comparison here could
+      // wrongly skip files that contain matching rows
+      java.util.Arrays.compareUnsigned(Base64.getDecoder.decode(a), Base64.getDecoder.decode(b))
   }
 
   private def minOf(typ: String, a: Option[String], b: Option[String]): Option[String] = (a, b) match {

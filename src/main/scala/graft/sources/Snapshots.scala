@@ -55,20 +55,34 @@ class Snapshots(s: SparkSession, root: String) {
     * retry (re-writing all table data each attempt) forever.
     */
   private def writeManifest(v: Long, tables: Map[String, String]): Boolean = {
+    tables.keys.foreach(t => require(!t.contains("=") && !t.contains("\n"),
+      s"table name '$t' would corrupt the manifest line format"))
     fs.mkdirs(commitDir)
     val body = tables.toSeq.sorted.map { case (t, p) => s"$t=$p" }.mkString("\n")
+    val out =
+      try {
+        // overwrite=false → atomic create-exclusive: exactly one writer
+        // can publish version v; losers see FileAlreadyExistsException
+        fs.create(commitPath(v), false)
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+        case _: java.nio.file.FileAlreadyExistsException => return false
+        // some FileSystem impls signal the exclusive-create loss as a bare
+        // IOException; it is a race iff v's manifest now exists
+        case e: java.io.IOException =>
+          return if (fs.exists(commitPath(v))) false else throw e
+      }
+    // past the create, version v is OURS: a body-write failure must not
+    // leave a truncated manifest in the log as a readable version (and
+    // must not be misread as a lost race by the exists() probe above on
+    // retry) — delete the partial file before propagating
     try {
-      // overwrite=false → atomic create-exclusive: exactly one writer
-      // can publish version v; losers see FileAlreadyExistsException
-      val out = fs.create(commitPath(v), false)
       try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
       true
     } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: java.nio.file.FileAlreadyExistsException => false
-      // some FileSystem impls signal the exclusive-create loss as a bare
-      // IOException; it is a race iff v's manifest now exists
-      case e: java.io.IOException => if (fs.exists(commitPath(v))) false else throw e
+      case e: Throwable =>
+        try fs.delete(commitPath(v), false) catch { case _: Exception => () }
+        throw e
     }
   }
 
@@ -161,6 +175,44 @@ class Snapshots(s: SparkSession, root: String) {
   /** Single-table read from the newest (or given) snapshot. */
   def read(table: String, version: Option[Long] = None): DataFrame =
     snapshot(version)(table)
+
+  /** table → absolute data path at `version` (default: newest), resolved
+    * from ONE manifest read — the primitive behind consistent multi-table
+    * reads for callers that feed paths to a single scan (e.g. a bucketed
+    * state lake reading many bucket dirs as one parquet source). Empty
+    * when nothing is committed yet.
+    */
+  def tablePaths(version: Option[Long] = None): Map[String, String] =
+    version.orElse(currentVersion) match {
+      case None => Map.empty
+      case Some(v) => readManifest(v).map { case (t, rel) => t -> s"$root/$rel" }
+    }
+
+  /** Publish a new version whose table map is the current head's map
+    * with `updates` overlaid and `removes` dropped — data at `updates`'
+    * RELATIVE paths must already be fully written under `root`. This is
+    * the O(1)-publish half of a two-phase write: stage data anywhere
+    * under a version directory (invisible until published), then make
+    * it visible atomically. A partial-rewrite writer (CDC merge touching
+    * some buckets of a big table) pays data IO for what it changed and
+    * one manifest write — never a full-table rewrite.
+    *
+    * Same optimistic create-exclusive loop as [[commit]]; on a lost race
+    * the staged data is NOT rewritten — only the manifest merge re-runs
+    * against the new head.
+    */
+  def commitStaged(updates: Map[String, String],
+                   removes: Set[String] = Set.empty): Long = {
+    var attempt = currentVersion.getOrElse(0L) + 1
+    for (_ <- 1 to MaxAttempts) {
+      val base = currentVersion.map(readManifest).getOrElse(Map.empty[String, String])
+      val merged = (base -- removes) ++ updates
+      if (writeManifest(attempt, merged)) return attempt
+      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
+    }
+    throw new IllegalStateException(
+      s"commitStaged lost $MaxAttempts consecutive version races under $root")
+  }
 
   private def tableRel(table: String, version: Option[Long]): String = {
     val v = version.orElse(currentVersion)
@@ -256,27 +308,62 @@ class Snapshots(s: SparkSession, root: String) {
     *
     * At 100 TB vacuum is what makes time travel affordable: storage
     * is bounded by the retention window, not commit history.
+    *
+    * Concurrent-writer safety, two distinct hazards:
+    *  1. A commit PUBLISHED while vacuum scans could reference a dir the
+    *     kept-set computation never saw → the commit log is re-listed
+    *     after candidates are gathered and every manifest now present is
+    *     honored; a dir referenced by any manifest that exists when
+    *     vacuum finishes is never deleted (TxnSpec proves this).
+    *  2. An IN-FLIGHT commit's data (written, manifest not yet
+    *     published) is unreferenced by construction — indistinguishable
+    *     from a crashed writer's orphans by reference counting alone.
+    *     `minAgeMs` is the Delta-style retention guard: only dirs whose
+    *     newest file is older than it are collected. With the default 0,
+    *     vacuum is safe only with no concurrent writers.
     */
-  def vacuum(keepLast: Int): (Int, Int) = {
+  def vacuum(keepLast: Int, minAgeMs: Long = 0L): (Int, Int) = {
     require(keepLast >= 1, "must keep at least the head version")
     if (!fs.exists(commitDir)) return (0, 0)
-    val versions = fs.listStatus(commitDir).map(_.getPath.getName)
+    def listVersions(): Seq[Long] = fs.listStatus(commitDir).map(_.getPath.getName)
       .filter(_.endsWith(".manifest"))
       .map(_.stripSuffix(".manifest").toLong).sorted.reverse.toSeq
+    val versions = listVersions()
     val (kept, dropped) = versions.splitAt(keepLast)
     val referenced = kept.flatMap(v => readManifest(v).values).toSet
-    var dirsDeleted = 0
+    val cutoff = System.currentTimeMillis() - minAgeMs
     val rootPath = new Path(root)
-    fs.listStatus(rootPath).filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
-      .foreach { vd =>
-        fs.listStatus(vd.getPath).filter(_.isDirectory).foreach { td =>
+    val candidates = fs.listStatus(rootPath)
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
+      .flatMap { vd =>
+        fs.listStatus(vd.getPath).filter(_.isDirectory).filter { td =>
           val rel = s"${vd.getPath.getName}/${td.getPath.getName}"
-          if (!referenced.contains(rel)) {
-            fs.delete(td.getPath, true)
-            dirsDeleted += 1
-          }
+          val newest = (td.getModificationTime +:
+            fs.listStatus(td.getPath).map(_.getModificationTime).toSeq).max
+          !referenced.contains(rel) && newest <= cutoff
         }
-        if (fs.listStatus(vd.getPath).isEmpty) fs.delete(vd.getPath, false)
+      }.toSeq
+    // hazard 1: honor every manifest present NOW — including ones
+    // published (or restored by rollbackTo) since the kept-set was read
+    val lateRefs = (listVersions().toSet -- dropped.toSet -- kept.toSet)
+      .flatMap(v => readManifest(v).values)
+    var dirsDeleted = 0
+    candidates.foreach { td =>
+      val rel = s"${td.getPath.getParent.getName}/${td.getPath.getName}"
+      if (!lateRefs.contains(rel)) {
+        fs.delete(td.getPath, true)
+        dirsDeleted += 1
+      }
+    }
+    // a version dir whose table dirs are all collected may still hold
+    // loose marker files (a partitioned stage's _SUCCESS) — it is spent
+    // once no DIRECTORY remains; the age guard spares in-flight writers
+    fs.listStatus(rootPath)
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
+      .foreach { vd =>
+        if (vd.getModificationTime <= cutoff &&
+            fs.listStatus(vd.getPath).forall(st => !st.isDirectory))
+          fs.delete(vd.getPath, true)
       }
     dropped.foreach(v => fs.delete(commitPath(v), false))
     (dropped.size, dirsDeleted)

@@ -3,6 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.sources.Snapshots
+
 /** CDC MERGE into the lake — the analog of the reference's
   * `execute`/`execute_` write path (reference: Stream.hs:122-145):
   * where a pgstream user runs `execute [sql|INSERT/UPDATE/DELETE …|]`
@@ -15,22 +17,39 @@ import org.apache.spark.sql.functions._
   * hash family bucketBy uses). A merge then touches ONLY the buckets
   * the change batch hashes into:
   *
-  *  1. the read side prunes to touched buckets at planning time
-  *     (`pk_bucket IN (…)` is a PartitionFilter — zero IO for the rest
-  *     of the table);
-  *  2. the write side rewrites only those buckets (dynamic partition
-  *     overwrite), so merge cost is O(touched state + batch), not
-  *     O(table);
-  *  3. buckets whose rows are ALL deleted by the batch are cleared
-  *     explicitly (dynamic overwrite only replaces partitions present
-  *     in the output — an empty partition would otherwise keep its
-  *     stale files).
+  *  1. the read side resolves the head manifest ONCE and scans only the
+  *     touched buckets' directories — zero IO (and zero listing) for
+  *     the rest of the table;
+  *  2. the write side stages merged data for only those buckets under
+  *     an unpublished version directory, so merge data cost is
+  *     O(touched state + batch), not O(table);
+  *  3. visibility is ATOMIC: the staged buckets become the table by one
+  *     [[Snapshots.commitStaged]] manifest publish (create-exclusive) —
+  *     a reader resolves old-or-new state, never a mix. This is the
+  *     lake analog of the reference running `execute` INSIDE
+  *     `withTransaction` (reference: Stream.hs:122-145 inside
+  *     Stream.hs:166-231): an upsert is all-or-nothing to readers.
+  *     Buckets whose rows are all deleted by the batch simply drop out
+  *     of the manifest in the same publish.
+  *
+  * Crash safety falls out of the same protocol: a merge that dies after
+  * staging but before publishing leaves an invisible version directory
+  * (collected by [[Snapshots.vacuum]]'s age-guarded orphan sweep), and
+  * the next merge starts from the last PUBLISHED manifest — never from
+  * a half-written directory tree.
   *
   * Exactly-once under replay: the merge is deterministic and
   * idempotent — latest-wins by (ts, op) over state ∪ batch — so a
-  * foreachBatch retry of an already-applied batch rewrites the same
-  * bytes (StreamingSpec proves state is unchanged under double-apply
+  * foreachBatch retry of an already-applied batch republishes the same
+  * state (StreamingSpec proves state is unchanged under double-apply
   * and drives the whole path through a checkpointed stream).
+  *
+  * Writer concurrency: manifest publishes race safely (optimistic
+  * create-exclusive), but the stage directory is named by head+1, so
+  * the intended deployment is ONE merge writer per lake — exactly what
+  * a checkpointed foreachBatch CDC consumer is. Maintenance jobs
+  * (compaction on other tables, vacuum with a retention age) can run
+  * alongside.
   */
 object LakeMerge {
 
@@ -47,74 +66,122 @@ object LakeMerge {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  /** Seed the state lake at `path` from a full-state DataFrame
-    * (schema: o_orderkey, price, last_op, ts_ms), bucket-partitioned.
+  // manifest TABLE name for a bucket ('=' is the manifest separator, so
+  // the key differs from the pk_bucket=N directory name on purpose)
+  private def bucketKey(b: Int) = s"b$b"
+
+  /** Stage `state` bucket-partitioned under the NEXT (unpublished)
+    * version directory and return manifest entries for the bucket dirs
+    * the write produced (a bucket with no rows produces no dir). One
+    * task per bucket → one file per bucket dir, not (tasks × buckets)
+    * small files. Nothing is visible until the entries are published.
     */
-  def seed(s: SparkSession, path: String, state: DataFrame): Unit =
+  private def stageBuckets(s: SparkSession, path: String, head: Option[Long],
+                           state: DataFrame): Map[String, String] = {
+    val stageVer = head.getOrElse(0L) + 1
+    val dir = s"$path/v$stageVer"
     withBucket(state)
-      // co-locate each bucket's rows in one task → one file per
-      // partition dir instead of (tasks × buckets) small files (the
-      // commit protocol renames every file; nearly halved the seed
-      // cost at sf0.1 when measured)
       .repartition(col("pk_bucket"))
-      .write.mode("overwrite").partitionBy("pk_bucket").parquet(path)
+      .write.mode("overwrite").partitionBy("pk_bucket").parquet(dir)
+    val f = fs(s, path)
+    (0 until NBuckets).flatMap { b =>
+      if (f.exists(new org.apache.hadoop.fs.Path(s"$dir/pk_bucket=$b")))
+        Some(bucketKey(b) -> s"v$stageVer/pk_bucket=$b")
+      else None
+    }.toMap
+  }
+
+  /** Seed (REPLACE) the state lake at `path` from a full-state DataFrame
+    * (schema: o_orderkey, price, last_op, ts_ms): stage every bucket,
+    * publish one manifest. Buckets the new state doesn't populate drop
+    * out of the manifest in the same publish.
+    */
+  def seed(s: SparkSession, path: String, state: DataFrame): Unit = {
+    val snap = new Snapshots(s, path)
+    val updates = stageBuckets(s, path, snap.currentVersion, state)
+    snap.commitStaged(updates,
+      removes = (0 until NBuckets).map(bucketKey).toSet -- updates.keySet)
+  }
+
+  /** A merge with its data staged (written, invisible) but not yet
+    * published — the two-phase seam that makes atomicity testable: a
+    * reader between [[stageMerge]] and [[publish]] must see the OLD
+    * state exactly (StreamingSpec proves it does).
+    */
+  final case class StagedMerge(snap: Snapshots,
+                               updates: Map[String, String],
+                               removes: Set[String])
+
+  def publish(m: StagedMerge): Long = m.snap.commitStaged(m.updates, m.removes)
 
   /** MERGE a decoded change batch (schema: op, ts_ms, o_orderkey,
     * o_totalprice) into the state lake at `path`. Upsert semantics:
     * latest-wins per key; 'd' ops remove the key. Only touched buckets
-    * are read or rewritten.
-    *
-    * Self-overwrite safety: the merged state is fully materialized to a
-    * TEMP directory (one normal write job that READS `path` and writes
-    * elsewhere), and only then are bucket directories swapped in with
-    * filesystem renames. `path` is never both a lineage source and a
-    * write target of the same job, so a lost cache block / task retry
-    * can never recompute against partially-overwritten state — and no
-    * persist or second materialization is needed at all. A bucket whose
-    * rows were all deleted simply has no directory in the temp output,
-    * so the swap clears it; dirs absent from `touched` are never read
-    * or moved (merge IO stays O(touched buckets + batch)).
+    * are read or staged, and visibility is one atomic manifest publish
+    * (see the class doc's transaction analogy).
     */
-  def mergeBatch(s: SparkSession, path: String, changes: DataFrame): Unit = {
+  def mergeBatch(s: SparkSession, path: String, changes: DataFrame): Unit =
+    stageMerge(s, path, changes).foreach(publish)
+
+  /** The staging half of [[mergeBatch]]: read ONLY the touched buckets'
+    * current state (one manifest resolve — a consistent snapshot), merge
+    * the batch in, write merged buckets under the next version dir.
+    * Returns None for an empty batch. `path` is never both a lineage
+    * source and a write target of the same job (the stage dir is fresh),
+    * so a lost cache block / task retry can never recompute against
+    * partially-overwritten state.
+    *
+    * Bootstrap: a lake with no published manifest (first merge, or a
+    * predecessor crashed after staging but before publishing) starts
+    * from empty state with the batch's schema — never from a
+    * half-written directory tree.
+    */
+  def stageMerge(s: SparkSession, path: String, changes: DataFrame): Option[StagedMerge] = {
     val ch = withBucket(changes)
     // ≤ NBuckets small ints — a bounded O(1) driver payload, same class
     // as collecting AQE stats; NOT a data collect
     val touched = ch.select("pk_bucket").distinct().collect().map(_.getInt(0)).toSeq
-    if (touched.isEmpty) return
-    val f = fs(s, path)
-    val root = new org.apache.hadoop.fs.Path(path)
-    // bootstrap: the first merge into a nonexistent lake starts from
-    // empty state (schema derived from the batch) and creates it
-    val current =
-      if (f.exists(root)) prunedState(s, path, touched).drop("pk_bucket")
-      else Cdc.applyChanges(changes.limit(0), keepTs = true)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".merge-tmp")
-    f.delete(tmp, true)
-    withBucket(Cdc.applyIncrement(current, changes.drop("pk_bucket")))
-      .repartition(col("pk_bucket")) // one file per rewritten bucket dir
-      .write.mode("overwrite").partitionBy("pk_bucket").parquet(tmp.toString)
-    f.mkdirs(root)
-    touched.foreach { b =>
-      val dst = new org.apache.hadoop.fs.Path(s"$path/pk_bucket=$b")
-      val src = new org.apache.hadoop.fs.Path(s"$tmp/pk_bucket=$b")
-      f.delete(dst, true)
-      if (f.exists(src)) f.rename(src, dst)
+    if (touched.isEmpty) return None
+    val snap = new Snapshots(s, path)
+    val head = snap.currentVersion
+    val touchedPaths = {
+      val paths = snap.tablePaths()
+      touched.map(bucketKey).flatMap(paths.get)
     }
-    f.delete(tmp, true)
+    val current =
+      if (touchedPaths.isEmpty) Cdc.applyChanges(changes.limit(0), keepTs = true)
+      else s.read.parquet(touchedPaths: _*)
+    // merged rows hash back into touched buckets by construction, so the
+    // stage writes exactly the touched dirs; a touched bucket whose rows
+    // were ALL deleted produces no dir → removed from the manifest
+    val updates = stageBuckets(s, path, head, Cdc.applyIncrement(current, changes))
+    Some(StagedMerge(snap, updates, touched.map(bucketKey).toSet -- updates.keySet))
   }
 
   /** The merge's read side: state restricted to touched buckets. The
-    * isin predicate on the partition column prunes directories at
-    * PLANNING time (StreamingSpec asserts PartitionFilters on this
-    * exact plan — the claim that merge IO is O(touched), not O(table)).
+    * head manifest is resolved once and ONLY the touched bucket dirs are
+    * handed to the scan — pruning happens at the manifest, before Spark
+    * lists a single untouched directory (StreamingSpec machine-asserts
+    * every input file is under a touched bucket — the claim that merge
+    * IO is O(touched), not O(table)).
     */
-  def prunedState(s: SparkSession, path: String, touched: Seq[Int]): DataFrame =
-    s.read.parquet(path)
-      .where(col("pk_bucket").isin(touched: _*))
+  def prunedState(s: SparkSession, path: String, touched: Seq[Int]): DataFrame = {
+    val paths = new Snapshots(s, path).tablePaths()
+    val keep = touched.map(bucketKey).flatMap(paths.get)
+    require(keep.nonEmpty, s"no committed state for buckets $touched under $path")
+    s.read.parquet(keep: _*)
+  }
 
-  /** Current state read back (no partition column). */
-  def readState(s: SparkSession, path: String): DataFrame =
-    s.read.parquet(path).drop("pk_bucket")
+  /** Current state read back: one manifest resolve → one multi-dir scan
+    * (bucket dirs carry no partition column — the bucket id is derivable
+    * from the key). Consistent by construction: the version is pinned
+    * before the first byte is read.
+    */
+  def readState(s: SparkSession, path: String): DataFrame = {
+    val paths = new Snapshots(s, path).tablePaths().values.toSeq.sorted
+    require(paths.nonEmpty, s"empty or uncommitted state lake at $path")
+    s.read.parquet(paths: _*)
+  }
 
   /** State lake seeded from the snapshot ('r') rows, staged ONCE per sf
     * dir (idempotent, marker-gated — the [[Cdc.stagedEnvelopes]]
@@ -151,6 +218,9 @@ object LakeMerge {
     val path = stagedLake(s, dir)
     val decoded = Cdc.decode(Cdc.stagedEnvelopes(s, dir))
     mergeBatch(s, path, decoded.where(col("op") =!= "r"))
+    // retention is the standing maintenance call of a merged-into lake:
+    // keep a short time-travel window, bound storage across re-merges
+    new Snapshots(s, path).vacuum(keepLast = 3)
     readState(s, path)
       .select(col("o_orderkey"), col("price"), col("last_op"))
       .orderBy("o_orderkey")

@@ -160,20 +160,27 @@ class StreamingSpec extends AnyFunSuite {
     replayed.zip(merged).foreach { case (a, b) => assert(a == b) }
 
     // touched-bucket isolation: a single-key update must leave every
-    // other bucket's files physically untouched
+    // other bucket's DATA files physically untouched (manifest/_SUCCESS
+    // metadata is the publish mechanism, not bucket data)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def listing(): Map[String, Long] = {
       val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
       val m = scala.collection.mutable.Map.empty[String, Long]
-      while (it.hasNext) { val f = it.next(); m(f.getPath.toString) = f.getModificationTime }
+      while (it.hasNext) {
+        val f = it.next()
+        val p = f.getPath
+        if (!p.getName.startsWith("_") && !p.toString.contains("/_commits/"))
+          m(p.toString) = f.getModificationTime
+      }
       m.toMap
     }
-    // the merge's read side must partition-prune to the touched buckets
-    val prunedPlan = LakeMerge.prunedState(spark, path, Seq(0, 1))
-      .queryExecution.executedPlan.toString()
-    assert(prunedPlan.contains("PartitionFilters: [") && prunedPlan.contains("pk_bucket"),
-      "state read must prune bucket directories at planning time: " + prunedPlan)
+    // the merge's read side resolves the manifest and scans ONLY the
+    // touched buckets' dirs — merge IO is O(touched), not O(table)
+    val prunedFiles = LakeMerge.prunedState(spark, path, Seq(0, 1)).inputFiles
+    assert(prunedFiles.nonEmpty &&
+      prunedFiles.forall(f => f.contains("pk_bucket=0") || f.contains("pk_bucket=1")),
+      "state read must scan only touched bucket dirs: " + prunedFiles.mkString(", "))
 
     val before = listing()
     val oneKey = decoded.where(col("op") === "u").limit(1)
@@ -187,6 +194,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(changed.nonEmpty, "the touched bucket must be rewritten")
     assert(changed.forall(_.contains(s"pk_bucket=$touchedBucket")),
       s"files outside bucket $touchedBucket changed: $changed")
+  }
+
+  test("lake MERGE publishes atomically: a mid-merge reader sees old state exactly, never a mix") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{Cdc, LakeMerge}
+
+    val path = Files.createTempDirectory("merge_atomic").toString + "/state"
+    val decoded = Cdc.decode(Cdc.syntheticEnvelopes(spark, TestSpark.sfTest))
+    LakeMerge.seed(spark, path, Cdc.applyChanges(decoded.where(col("op") === "r"), keepTs = true))
+
+    def state() = LakeMerge.readState(spark, path)
+      .select("o_orderkey", "price", "last_op").orderBy("o_orderkey").collect()
+    val oldState = state()
+
+    // phase 1: stage the merge — all data written, nothing published.
+    // This is exactly the window where the old per-bucket-rename swap
+    // could expose half-old/half-new state to a planning reader.
+    val staged = LakeMerge.stageMerge(spark, path,
+      decoded.where(col("op") =!= "r"))
+    assert(staged.nonEmpty, "batch must touch at least one bucket")
+    val midMerge = state()
+    assert(midMerge.length == oldState.length,
+      "a reader before publish must resolve the OLD version")
+    midMerge.zip(oldState).foreach { case (a, b) => assert(a == b) }
+
+    // phase 2: one manifest publish flips every bucket at once
+    LakeMerge.publish(staged.get)
+    val newState = state()
+    val oneShot = Cdc.c01CdcApply(spark, TestSpark.sfTest).collect()
+    assert(newState.length == oneShot.length,
+      s"${newState.length} vs ${oneShot.length}")
+    newState.zip(oneShot).foreach { case (a, b) => assert(a == b) }
   }
 
   test("stream-static dimension join matches its batch twin") {
