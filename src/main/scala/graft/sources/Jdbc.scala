@@ -36,12 +36,23 @@ object Jdbc {
       user: String = "postgres",
       password: String = "",
       fetchSize: Int = 10000,
+      maxConnections: Int = 32,
       urlOverride: Option[String] = None) {
     def url: String = urlOverride.getOrElse(s"jdbc:postgresql://$host:$port/$database")
   }
 
   /** Whole-table (or subquery) read, range-partitioned on `partitionCol`
     * so every executor owns a slice — never a single-connection scan.
+    *
+    * Connection budget — the pooling behavior a Spark reader can still
+    * honor from the reference's striped pool (Connection.hs:29-71
+    * stripes/keepalive/affinity): Spark has no cross-task pool (each
+    * read partition opens its own connection for its range query, and
+    * cluster-wide concurrency is the scheduler's job), so the pool's
+    * `stripes` cap maps to `numPartitions ≤ maxConnections` — the
+    * database's effective max_connections share for this reader. The
+    * require makes the overload loud at plan time instead of as
+    * "FATAL: sorry, too many clients" from a thousand executors.
     */
   def read(
       spark: SparkSession,
@@ -50,7 +61,11 @@ object Jdbc {
       partitionCol: String,
       lowerBound: Long,
       upperBound: Long,
-      numPartitions: Int = 32): DataFrame =
+      numPartitions: Int = 32): DataFrame = {
+    require(numPartitions <= cs.maxConnections,
+      s"numPartitions=$numPartitions exceeds maxConnections=${cs.maxConnections}: " +
+        "each partition holds one database connection for its range query; " +
+        "raise ConnSettings.maxConnections only to the database's budget for this reader")
     spark.read.format("jdbc")
       .option("url", cs.url)
       .option("dbtable", table)
@@ -63,6 +78,7 @@ object Jdbc {
       .option("numPartitions", numPartitions)
       .option("pushDownPredicate", true)
       .load()
+  }
 
   /** Unpartitioned read for small dimension tables (single query, then
     * typically `broadcast()`ed into joins).

@@ -195,7 +195,11 @@ object LakeMerge {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val path = s.conf.get("spark.sql.warehouse.dir") + s"/orders_state_c03$tag"
     val f = fs(s, path)
-    val marker = new org.apache.hadoop.fs.Path(path, "_SEEDED")
+    // the marker name carries the LAYOUT GENERATION: a persistent
+    // warehouse can hold a lake staged by an older build (different
+    // on-disk protocol — e.g. pre-manifest bucket dirs), whose marker
+    // must not be trusted; bump the suffix whenever the layout changes
+    val marker = new org.apache.hadoop.fs.Path(path, "_SEEDED_G2")
     if (!f.exists(marker)) {
       f.delete(new org.apache.hadoop.fs.Path(path), true)
       val decoded = Cdc.decode(Cdc.stagedEnvelopes(s, dir))

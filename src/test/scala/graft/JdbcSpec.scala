@@ -53,6 +53,19 @@ class JdbcSpec extends AnyFunSuite {
     assert(df.count() == 50)
   }
 
+  test("connection budget: numPartitions beyond maxConnections fails at plan time") {
+    // the pool-cap analog (reference Connection.hs:29-71 stripes): each
+    // read partition holds one database connection, so the reader's
+    // parallelism is bounded by the database's connection budget — loud
+    // at plan time, not as connection refusals from a fleet of executors
+    val capped = cs.copy(maxConnections = 4)
+    assert(Jdbc.read(spark, capped, "ORDERS_J", "ID", 0, 1000, numPartitions = 4).count() == 1000)
+    val e = intercept[IllegalArgumentException] {
+      Jdbc.read(spark, capped, "ORDERS_J", "ID", 0, 1000, numPartitions = 8)
+    }
+    assert(e.getMessage.contains("maxConnections"))
+  }
+
   test("readQuery runs caller SQL on the database (the query analog)") {
     val df = Jdbc.readQuery(spark, cs,
       "SELECT STATUS, COUNT(*) AS N, SUM(PRICE) AS TOTAL FROM ORDERS_J GROUP BY STATUS")

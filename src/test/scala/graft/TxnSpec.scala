@@ -231,6 +231,29 @@ class TxnSpec extends AnyFunSuite {
       "head (rolled back to v1's files) must survive vacuum")
   }
 
+  test("vacuum's age guard spares in-flight writer data until it is published") {
+    val root = Files.createTempDirectory("txn").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    snap.commit(Map("a" -> df(1L -> 1.0))) // v1
+    snap.commit(Map("a" -> df(2L -> 2.0))) // v2
+    // an in-flight commit: data staged, manifest not yet published — by
+    // reference counting alone this is indistinguishable from a crashed
+    // writer's orphan, so only the retention age can protect it
+    df(9L -> 9.0).write.parquet(s"$root/v3/pending")
+    val (dropped1, deleted1) = snap.vacuum(keepLast = 1, minAgeMs = 3600_000L)
+    assert(dropped1 == 1, "v1's manifest leaves the log")
+    assert(deleted1 == 0, s"nothing is old enough to collect, got $deleted1")
+    // once published, the staged dir is referenced and survives even an
+    // age-less vacuum; v1's now-unreferenced data is collected
+    snap.commitStaged(Map("pending" -> "v3/pending"))
+    val (_, deleted2) = snap.vacuum(keepLast = 1)
+    assert(deleted2 == 1, s"only v1's data should go, got $deleted2")
+    assert(snap.read("pending").select("id").head().getLong(0) == 9L,
+      "published in-flight data must survive vacuum")
+    assert(snap.read("a").select("id").head().getLong(0) == 2L,
+      "commitStaged carries the head's other tables forward")
+  }
+
   test("c05 stats key: pruned aggregate equals its closed form") {
     val out = Snapshots.c05StatsPrunedRead(spark, TestSpark.sfTest)
     val rows = out.collect()
