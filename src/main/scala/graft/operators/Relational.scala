@@ -302,8 +302,55 @@ object Relational {
       .withColumnRenamed("O", "qty_o")
       .orderBy("l_returnflag")
 
+  /** B30: INTERSECT / EXCEPT — the remaining ANSI set operators (q11
+    * covers UNION). Customers ordering in both 1994 and 1995 vs only in
+    * 1994, tagged and unioned into one result. Spark plans both as hash
+    * joins on the distinct key sets (left_semi / left_anti shapes after
+    * `ReplaceIntersectWithSemiJoin` / `ReplaceExceptWithAntiJoin`), so
+    * at 100 TB they cost the same as the q05/q06 joins — one linear
+    * shuffle each, AQE-sized.
+    */
+  def q35SetOps(s: SparkSession, dir: String): DataFrame = {
+    def buyers(yr: Int) = t(s, dir, "orders")
+      .where(year(col("o_orderdate")) === yr)
+      .select(col("o_custkey"))
+    val both = buyers(1994).intersect(buyers(1995))
+      .select(lit("both").as("tag"), col("o_custkey"))
+    val only94 = buyers(1994).except(buyers(1995))
+      .select(lit("only_1994").as("tag"), col("o_custkey"))
+    both.union(only94).orderBy("tag", "o_custkey")
+  }
+
+  /** B31: the remaining window-frame surface beyond B7's row frames —
+    * a VALUE-based sliding frame (RANGE BETWEEN 30 PRECEDING over a day
+    * number: peers enter by value, so ties are deterministic by
+    * construction) plus the distribution functions ntile / cume_dist
+    * over a TOTAL order (date, orderkey, linenumber — no peers, so both
+    * are cross-engine deterministic). Scale: both windows partition by
+    * l_suppkey, so Catalyst plans ONE hash exchange reused by both
+    * Window nodes; frames are streaming within each sorted partition.
+    */
+  def q36WindowFrames(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .where(col("l_suppkey") < 10)
+      .withColumn("day", datediff(col("l_shipdate"), lit("1992-01-01")).cast("long"))
+    val byDay = Window.partitionBy("l_suppkey").orderBy("day")
+      .rangeBetween(-30, Window.currentRow)
+    val total = Window.partitionBy("l_suppkey")
+      .orderBy(col("day"), col("l_orderkey"), col("l_linenumber"))
+    li.select(
+        col("l_suppkey"), col("day"), col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        round(sum("l_quantity").over(byDay), 2).as("qty_30d"),
+        ntile(4).over(total).cast("long").as("quartile"),
+        round(cume_dist().over(total), 6).as("cd"))
+      .orderBy("l_suppkey", "day", "l_orderkey", "l_linenumber")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg" -> q01Agg _,
+    "q35_setops" -> q35SetOps _,
+    "q36_window_frames" -> q36WindowFrames _,
     "q02_filter_project" -> q02FilterProject _,
     "q03_join_flagship" -> q03JoinFlagship _,
     "q04_join_broadcast" -> q04JoinBroadcast _,
@@ -326,6 +373,34 @@ object Relational {
     "q24_pivot" -> q24Pivot _)
 
   val oracles: Map[String, String] = Map(
+    "q35_setops" ->
+      """SELECT 'both' AS tag, o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |)
+        |UNION ALL
+        |SELECT 'only_1994' AS tag, o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |)
+        |ORDER BY tag, o_custkey""".stripMargin,
+    "q36_window_frames" ->
+      """SELECT l_suppkey,
+        |  CAST(date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS day,
+        |  l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  round(sum(l_quantity) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS qty_30d,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM lineitem WHERE l_suppkey < 10
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)),
+        |    l_orderkey, l_linenumber)
+        |ORDER BY l_suppkey, day, l_orderkey, l_linenumber""".stripMargin,
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.functions.{cosine_sim, lsh_bucket}
@@ -179,6 +179,138 @@ object Ann {
       k)
   }
 
+  /** C22 s05: product-quantization ANN (ADC + exact re-rank) — the
+    * memory-scale path. A 100 TB embedding corpus cannot keep float
+    * vectors hot: PQ splits each (L2-normalized) vector into `m`
+    * subvectors, learns a `ksub`-centroid codebook per subspace (Lloyd
+    * iterations on subvectors — the s04 vec_mean aggregate is the
+    * update step), and stores each vector as `m` small codes: 8 bytes
+    * against 256 for 64 floats, a 32× compression of the scan set.
+    * Queries score against CODES ONLY via ADC (asymmetric distance
+    * computation): per query, one m×ksub lookup table of
+    * subvector·centroid inner products (ksub·m tiny dot products, not
+    * corpus work), then every corpus vector's approximate cosine is m
+    * array lookups — no float vector is touched during the scan. The
+    * ADC top-`shortlist` per query (bounded-heap operator) is then
+    * re-ranked with the EXACT cosine by joining the original vectors
+    * back (broadcast of the k'·queries shortlist — the only rows whose
+    * floats are ever read). Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011.
+    *
+    * Same output shape as s01; AnnSpec gates recall on the clustered
+    * corpus and the code-compression invariants.
+    */
+  def annPqOn(e: DataFrame, m: Int = 8, ksub: Int = 16, shortlist: Int = 100,
+              nQueries: Int = NQueries, k: Int = K, iters: Int = 2): DataFrame = {
+    import graft.plans.TopK
+    val (codebook, codes) = pqIndex(e, m, ksub, iters)
+
+    // per-query ADC table: lut[sub*ksub + code] = q_sub · centroid —
+    // ksub·m tiny dot products per query, never corpus work. array_sort
+    // on (sub, code, ip) structs orders lexicographically, so position
+    // sub*ksub+code indexes the flattened table.
+    val lut = pqSubvecs(pqNormalize(e.where(col("vec_id") < nQueries))
+          .withColumnRenamed("vec_id", "q_id"), "q_id", m)
+      .join(broadcast(codebook), "sub")
+      .withColumn("ip",
+        aggregate(zip_with(col("svec"), col("c_vec"), (x, y) => x * y),
+          lit(0.0d), (acc, z) => acc + z))
+      .groupBy("q_id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code"), col("ip")))),
+        x => x.getField("ip")).as("lut"))
+
+    // ADC scan: m lookups per (vector, query), codes only, then the
+    // bounded-heap shortlist.
+    val adc = codes.crossJoin(broadcast(lut))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", expr(
+        s"aggregate(sequence(0, ${m - 1}), 0D, (acc, i) -> acc + element_at(lut, i*$ksub + element_at(codes, i+1) + 1))"))
+      .select("q_id", "vec_id", "cos")
+    val short = TopK.perGroup(adc, Seq("q_id"), Seq(("cos", false), ("vec_id", true)), shortlist)
+      .select("q_id", "vec_id")
+
+    // exact re-rank: only the shortlist touches float vectors again —
+    // broadcast it over the corpus scan (k'·queries rows).
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    topKPerQuery(
+      e.select(col("vec_id"), col("embedding"))
+        .join(broadcast(short), "vec_id")
+        .join(broadcast(q), "q_id")
+        .withColumn("cos", cosine_sim(col("embedding"), col("q_vec"))),
+      k)
+  }
+
+  def s05AnnPq(s: SparkSession, dir: String): DataFrame =
+    annPqOn(emb(s, dir))
+
+  /** L2-normalized float vectors (inner product == cosine thereafter). */
+  private def pqNormalize(e: DataFrame): DataFrame = {
+    val l2 = sqrt(aggregate(col("embedding"), lit(0.0d), (a, x) => a + x * x))
+    e.select(col("vec_id"),
+      transform(col("embedding"), x => (x / l2).cast("float")).as("vec"))
+  }
+
+  /** (id, sub, svec): one row per subvector. */
+  private def pqSubvecs(normed: DataFrame, idCol: String, m: Int): DataFrame = {
+    val sub = 64 / m
+    normed.select(col(idCol),
+        posexplode(expr(s"transform(sequence(0, ${m - 1}), s -> slice(vec, s*$sub+1, $sub))")))
+      .toDF(idCol, "sub", "svec")
+  }
+
+  /** Trains the per-subspace codebooks and encodes the corpus. Returns
+    * (codebook(sub, code, c_vec), codes(vec_id, codes[m])) — the PQ
+    * index. Exposed to AnnSpec for the compression invariants.
+    */
+  private[graft] def pqIndex(e: DataFrame, m: Int = 8, ksub: Int = 16,
+                             iters: Int = 2): (DataFrame, DataFrame) = {
+    import org.apache.spark.storage.StorageLevel
+    val sub = 64 / m
+    val corpusSub = pqSubvecs(pqNormalize(e), "vec_id", m)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    def sqdist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, z) => acc + z)
+
+    // nearest-codebook-entry per (vector, subspace): a partial-aggregable
+    // min_by, NOT a per-(vec,sub) window sort — at 100 TB the argmin must
+    // map-side combine, never ride corpus×ksub rows through a window.
+    def assign(cb: DataFrame): DataFrame =
+      corpusSub.join(broadcast(cb), "sub")
+        .withColumn("d", sqdist(col("svec"), col("c_vec")))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min_by(struct(col("code"), col("svec")), struct(col("d"), col("code"))).as("a"))
+        .select(col("vec_id"), col("sub"), col("a.code").as("code"), col("a.svec").as("svec"))
+
+    // codebook init: the same hash-draw seed rule as IVF, one TakeOrdered
+    // scan; each seed vector's m subvectors seed code c in all m books.
+    var codebook = pqSubvecs(
+        pqNormalize(e).orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(ksub)
+          .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int").as("code"),
+            col("vec")),
+        "code", m)
+      .select(col("sub"), col("code"), transform(col("svec"), _.cast("double")).as("c_vec"))
+    for (_ <- 0 until iters) {
+      val updated = assign(codebook)
+        .groupBy("sub", "code")
+        .agg(graft.functions.VecMeanAgg.vec_mean(col("svec"), sub).as("c_vec"))
+      // a centroid that lost every point keeps its old vector (never
+      // chosen by argmin, harmless) so (sub, code) stays DENSE — the
+      // flattened ADC lookup table indexes by sub*ksub+code.
+      codebook = updated.union(
+        codebook.join(updated.select("sub", "code"), Seq("sub", "code"), "left_anti"))
+    }
+    val cbP = codebook.persist(StorageLevel.MEMORY_AND_DISK)
+
+    // the PQ index: (vec_id, codes[m]) — the 8-byte scan set.
+    val codes = assign(cbP)
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        x => x.getField("code")).as("codes"))
+    (cbP, codes)
+  }
+
   /** C7c: per-label centroids via the custom vec_mean aggregate
     * (functions/VecMeanAgg.scala) — the k-means update step that
     * refines s03's coarse quantizer. One map-side-combined shuffle
@@ -248,7 +380,8 @@ object Ann {
     "s01_ann_bruteforce" -> s01AnnBruteforce _,
     "s02_ann_lsh" -> ((s, dir) => s02AnnLsh(s, dir)),
     "s03_ann_ivf" -> ((s, dir) => s03AnnIvf(s, dir)),
-    "s04_centroid_agg" -> s04CentroidAgg _)
+    "s04_centroid_agg" -> s04CentroidAgg _,
+    "s05_ann_pq" -> s05AnnPq _)
 
   /** s02 is rows-only: its result depends on the LSH bucketing, which is
     * not SQL-expressible; AnnSpec holds its recall gate.

@@ -176,8 +176,17 @@ object Dedup {
     * least one doc-specific shingle survives the cap and the pair is
     * found; the sf0.01 DuckDB oracle (exact, uncapped) hash-matches.
     */
-  def d04DedupNgram(s: SparkSession, dir: String, maxDf: Int = 64): DataFrame = {
-    val thr = 0.6
+  def d04DedupNgram(s: SparkSession, dir: String, maxDf: Int = 64): DataFrame =
+    ngramPairs(s, dir, 0.6, maxDf)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("a_id", "b_id")
+
+  /** Verified near-dup pairs (a_id < b_id, exact jaccard ≥ thr) — the
+    * d04 pipeline without the presentation projection, reused by the
+    * cluster stage (d07).
+    */
+  private[graft] def ngramPairs(s: SparkSession, dir: String,
+                                thr: Double, maxDf: Int): DataFrame = {
     // persisted: feeds the inverted index AND both sides of the
     // verification join, so the shingle+hash kernel runs exactly once
     // per doc; hash-long arrays are narrow (unlike the string shingle
@@ -191,8 +200,7 @@ object Dedup {
       .withColumn("inter", sorted_intersect_count(col("a_hs"), col("b_hs")))
       .withColumn("jaccard", col("inter") / (size(col("a_hs")) + size(col("b_hs")) - col("inter")))
       .where(col("jaccard") >= thr)
-      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
-      .orderBy("a_id", "b_id")
+      .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
   /** C5: embedding cosine near-dup, exact. The corpus embeddings table

@@ -260,7 +260,16 @@ class Snapshots(s: SparkSession, root: String) {
     * `sortCol` additionally range-clusters rows across the rewritten
     * files, re-sharpening the `_stats` sidecar (harvested fresh from
     * the new footers) so post-compaction [[readWhere]] skipping is
-    * maximal — the Z-order-lite layout step.
+    * maximal on THAT column. `zorderCols` (numeric; overrides sortCol)
+    * interleave-clusters on SEVERAL columns at once: each column is
+    * bucketed by its own approximate quantile boundaries (one
+    * approxQuantile pass — a bounded boundary array to the driver, not
+    * data), the bucket ids' bits are interleaved into a Z-value, and
+    * files are range-packed by it. A space-filling curve keeps rows
+    * close in EVERY dimension close in the file order, so a range on
+    * any single Z-column still skips most files — the property a plain
+    * sort gives only its leading column. (The publicly documented
+    * Delta/Iceberg OPTIMIZE ZORDER idea, original code.)
     *
     * Concurrency: if another writer re-points `table` between our read
     * and publish, the compacted data is stale — that attempt fails
@@ -270,16 +279,24 @@ class Snapshots(s: SparkSession, root: String) {
     */
   def compact(table: String, targetBytes: Long = 128L << 20,
               sortCol: Option[String] = None,
-              statsCols: Seq[String] = Nil): Long = {
+              statsCols: Seq[String] = Nil,
+              zorderCols: Seq[String] = Nil): Long = {
     val baseRel = tableRel(table, None)
     val dir = new Path(root, baseRel)
     val totalBytes = FileStats.dataFiles(fs, dir).map(_.getLen).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val df0 = s.read.parquet(dir.toString)
-    val packed = sortCol match {
-      case Some(c) => df0.repartitionByRange(n, col(c))
-      case None => df0.repartition(n)
-    }
+    val packed =
+      if (zorderCols.nonEmpty) {
+        val z = zvalue(df0, zorderCols)
+        df0.withColumn("_z", z)
+          .repartitionByRange(n, col("_z"))
+          .sortWithinPartitions("_z")
+          .drop("_z")
+      } else sortCol match {
+        case Some(c) => df0.repartitionByRange(n, col(c))
+        case None => df0.repartition(n)
+      }
     var attempt = currentVersion.getOrElse(0L) + 1
     for (_ <- 1 to MaxAttempts) {
       val cur = readManifest(currentVersion.get)
@@ -296,6 +313,28 @@ class Snapshots(s: SparkSession, root: String) {
     }
     throw new IllegalStateException(
       s"compaction lost $MaxAttempts consecutive version races under $root")
+  }
+
+  /** Z-value of `cols`: each column is bucketed into 2^bits quantile
+    * buckets (boundaries from one approxQuantile sampling pass — a
+    * bounded array to the driver, never data rows; the bucket lookup is
+    * a codegen'd `filter` count over the literal boundary array), and
+    * the bucket ids' bits interleave into one long. Quantile bucketing
+    * makes the curve resolution data-adaptive: skewed columns still
+    * spread across all 2^bits levels.
+    */
+  private def zvalue(df: DataFrame, cols: Seq[String], bits: Int = 8): org.apache.spark.sql.Column = {
+    require(cols.nonEmpty && cols.size * bits <= 63,
+      s"zorder supports up to ${63 / bits} columns at $bits bits")
+    val k = 1 << bits
+    val buckets = cols.map { c =>
+      val probs = (1 until k).map(_.toDouble / k).toArray
+      val bs = df.stat.approxQuantile(c, probs, 0.01).distinct.sorted
+      size(filter(array(bs.map(lit(_)): _*), b => col(c).cast("double") >= b)).cast("long")
+    }
+    val terms = for { b <- 0 until bits; i <- cols.indices } yield
+      shiftleft(shiftright(buckets(i), b).bitwiseAND(lit(1L)), b * cols.size + i)
+    terms.reduce(_.bitwiseOR(_))
   }
 
   /** Retention: drop all but the newest `keepLast` manifests and

@@ -128,6 +128,44 @@ class AnnSpec extends AnyFunSuite {
     assert(meanRecall >= 0.8, f"clustered IVF recall@10 $meanRecall%.3f < 0.8")
   }
 
+  test("PQ on a clustered corpus: ADC shortlist + exact re-rank keeps recall@10 >= 0.8") {
+    val e = clusteredCorpus
+    val exact = sets(Ann.annExactOn(e))
+    val pq = Ann.annPqOn(e).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val pqSets = pq.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, truth) =>
+      (pqSets.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    info(f"clustered corpus PQ (8x16 codebooks, shortlist 100/$clusteredN): " +
+      f"recall@10 $meanRecall%.3f")
+    assert(meanRecall >= 0.8, f"PQ recall@10 $meanRecall%.3f < 0.8")
+
+    // the re-rank is EXACT cosine: any neighbor shared with the exact
+    // result must carry an identical rounded score.
+    val exactScore = Ann.annExactOn(e).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    pq.foreach { case (q, n, s) =>
+      exactScore.get((q, n)).foreach(es => assert(es == s, s"score mismatch for ($q,$n)"))
+    }
+  }
+
+  test("PQ index: m codes per vector, codes dense in [0, ksub), 32x smaller than floats") {
+    val (m, ksub) = (8, 16)
+    val (codebook, codes) = Ann.pqIndex(clusteredCorpus, m, ksub)
+    assert(codebook.count() == m.toLong * ksub, "codebook not dense")
+    val rows = codes.collect()
+    assert(rows.length == clusteredN)
+    rows.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length == m, s"vector ${r.getLong(0)} has ${cs.length} codes")
+      assert(cs.forall(c => c >= 0 && c < ksub), s"code out of range: $cs")
+    }
+    // the scan set is m bytes of code per vector vs 4*64 float bytes
+    info(f"PQ scan payload: $m bytes/vector vs ${4 * 64} — ${4 * 64 / m}x compression")
+  }
+
   test("s01 exact: self is excluded and ranks are dense per query") {
     val rows = Ann.s01AnnBruteforce(spark, dir).collect()
     assert(rows.forall(r => r.getLong(0) != r.getLong(2)), "self-match leaked")

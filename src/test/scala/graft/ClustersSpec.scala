@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Clusters
+
+/** Connected-components (d07) invariants: exact components on known
+  * graphs, including the chain shape that defeats single-round label
+  * propagation, plus the operator-level output contract.
+  */
+class ClustersSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private val dir = TestSpark.sfTest
+
+  private def components(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val sp = spark
+    import sp.implicits._
+    Clusters.connectedComponents(edges.toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chain graph collapses to its minimum (pointer jumping works)") {
+    // a 16-node path labeled in DESCENDING order: naive edge propagation
+    // moves the min one hop per round; pointer jumping must close it
+    // well inside the round budget.
+    val chain = (0L until 15L).map(i => (15L - i, 14L - i))
+    val cc = components(chain)
+    assert(cc.keySet == (0L to 15L).toSet)
+    assert(cc.values.toSet == Set(0L), s"chain did not collapse: $cc")
+  }
+
+  test("separate components stay separate; isolated vertices are absent") {
+    val cc = components(Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 20L)))
+    assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L)
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+    assert(cc(20L) == 20L) // self-loop keeps the vertex, alone
+    assert(!cc.contains(5L))
+  }
+
+  test("d07 output: every doc clustered with its exact copy, sizes consistent") {
+    val rows = Clusters.d07DedupClusters(spark, dir).collect()
+    val byDoc = rows.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the exact-pair edges guarantee i and i+100000 share a cluster
+    byDoc.keys.filter(_ < 100000L).foreach { i =>
+      assert(byDoc(i)._1 == byDoc(i + 100000L)._1, s"doc $i split from its copy")
+    }
+    // cluster_id is the min member, and cluster_size counts its members
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_.getLong(0)).min == cid, s"cluster $cid not labeled by min")
+      assert(members.forall(_.getLong(2) == members.size), s"cluster $cid size mismatch")
+    }
+    // near-dup pairs must merge beyond the trivial {i, i'} twosomes
+    assert(byCluster.exists(_._2.size >= 4), "no merged (>=4 doc) cluster found")
+  }
+}

@@ -92,7 +92,10 @@ class PlanSpec extends AnyFunSuite {
     // and rank comes from the operator's sorted drain — no Window node
     // may re-derive it above the heap output. s03's one legitimate
     // Window is the centroid-assignment argmin BELOW the TopK tail.
-    for (name <- Seq("s01_ann_bruteforce", "s02_ann_lsh", "s03_ann_ivf")) {
+    // s05's one legitimate Window is the ksub-row codebook init (below
+    // both TopK tails); its ADC scan and exact re-rank must still drain
+    // rank from the heap.
+    for (name <- Seq("s01_ann_bruteforce", "s02_ann_lsh", "s03_ann_ivf", "s05_ann_pq")) {
       val p = plan(name)
       assert(p.contains("TopKPerGroupPartial"),
         s"$name: scored rows must hit the map-side heap before shuffling: " + p)

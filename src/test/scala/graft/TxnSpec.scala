@@ -198,6 +198,41 @@ class TxnSpec extends AnyFunSuite {
         "range-clustered stats should skip files after compaction")
   }
 
+  test("zorder compaction skips files on EVERY clustered column; plain sort only on its leading one") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txn").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    // two INDEPENDENT dimensions (y is a bit-mixing hash of i, not a
+    // modular relative of x): a sort on x leaves y uniform inside every
+    // file, so y-range stats can't prune.
+    val pts = (0L until 4096L).map(i =>
+        (i % 64, java.lang.Long.remainderUnsigned(scala.util.hashing.byteswap64(i), 64), i))
+      .toDF("x", "y", "id").repartition(16)
+    snap.commit(Map("p" -> pts), statsCols = Map("p" -> Seq("x", "y")))
+
+    def files(r: ColRange): Int = snap.readWhere("p", Seq(r)).inputFiles.length
+    val xr = ColRange("x", Some(0L), Some(7L))
+    val yr = ColRange("y", Some(0L), Some(7L))
+
+    snap.compact("p", targetBytes = 4L << 10, sortCol = Some("x"), statsCols = Seq("x", "y"))
+    val sorted = snap.read("p").inputFiles.length
+    assert(sorted >= 8, s"need several files for a meaningful claim, got $sorted")
+    val (sx, sy) = (files(xr), files(yr))
+    assert(sx < sorted, "sort must skip on its own column")
+    assert(sy == sorted, s"independent y should NOT prune under an x-sort ($sy of $sorted)")
+
+    snap.compact("p", targetBytes = 4L << 10, zorderCols = Seq("x", "y"), statsCols = Seq("x", "y"))
+    val zed = snap.read("p").inputFiles.length
+    val (zx, zy) = (files(xr), files(yr))
+    assert(zx < zed, s"zorder must skip on x ($zx of $zed)")
+    assert(zy < zed, s"zorder must skip on y ($zy of $zed)")
+    // correctness: the clustered rewrite is still the same table
+    assert(snap.read("p").agg(sum("id")).head.getLong(0) == (0L until 4096L).sum)
+    assert(snap.readWhere("p", Seq(xr, yr)).count() ==
+      snap.read("p").where(col("x") <= 7 && col("y") <= 7).count())
+  }
+
   test("vacuum bounds history to the retention window and collects orphans") {
     val root = Files.createTempDirectory("txn").toString + "/t"
     val snap = new Snapshots(spark, root)
