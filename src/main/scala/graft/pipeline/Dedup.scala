@@ -255,8 +255,82 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The store's df-capped posting index + sorted hash sets, mined once
+    * per sf dir and staged as parquet (c03's staged-lake pattern): in
+    * production the posting index IS a maintained table — rebuilding it
+    * per probe would time index construction, which is d04's bench
+    * territory. The marker carries a layout generation; a stale or
+    * half-written stage is rebuilt, never trusted.
+    */
+  private def stagedStoreIndex(s: SparkSession, dir: String, maxDf: Int): (DataFrame, DataFrame) = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s.conf.get("spark.sql.warehouse.dir") + s"/store_index_d08$tag"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(p, "_STAGED_G1")
+    if (!f.exists(marker)) {
+      f.delete(p, true)
+      hashSets(tokenized(s, dir)).write.mode("overwrite").parquet(s"$path/sets")
+      val inv = s.read.parquet(s"$path/sets")
+        .select(col("doc_id"), explode(col("hs")).as("h"))
+      val rare = inv.groupBy("h").agg(count(lit(1)).as("df"))
+        .where(col("df") <= maxDf).select("h")
+      inv.hint("SHUFFLE_HASH").join(rare, Seq("h")).select("h", "doc_id")
+        .write.mode("overwrite").parquet(s"$path/postings")
+      f.create(marker, true).close()
+    }
+    (s.read.parquet(s"$path/sets"), s.read.parquet(s"$path/postings"))
+  }
+
+  /** C23 d08: incremental NEAR-dup — d06's similarity twin and the
+    * production flow at 100 TB: the corpus maintains a materialized
+    * df-capped posting index, and each arriving batch pays only its own
+    * shingle pass plus an equi-join probe:
+    *
+    *  1. batch docs → sorted shingle-hash sets (batch-sized work);
+    *  2. probe: batch postings ⋈ store postings on shingle hash →
+    *     candidate (batch, store) pairs — the store side is df-capped
+    *     exactly like d04, so one batch shingle touches ≤ maxDf store
+    *     rows and the join stays linear in batch postings;
+    *  3. verify: candidates re-join the full hash sets; the STORE scan
+    *     is Bloom-pruned by candidate store ids (d06's shape — rows
+    *     that cannot be candidates die at the scan, no store shuffle)
+    *     and exact Jaccard runs in the codegen sorted merge.
+    *
+    * Batch fixture: every doc re-arrives with its first token dropped —
+    * a near-dup of its original (J = (n−3)/(n−2) ≥ 0.87 on ≥10-token
+    * docs), never an exact dup; cross-matches to other store docs (the
+    * d04 pair family, shifted) surface too. The DuckDB oracle
+    * recomputes the full batch×store truth uncapped.
+    */
+  def d08DedupIncrementalNgram(s: SparkSession, dir: String,
+                               maxDf: Int = 64, thr: Double = 0.6): DataFrame = {
+    val (storeSets, storePostings) = stagedStoreIndex(s, dir, maxDf)
+    val batch = docs(s, dir).select((col("doc_id") + 300000L).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      .withColumn("toks", tokens(col("text")))
+    val batchSets = hashSets(batch).persist(StorageLevel.MEMORY_AND_DISK)
+    val batchPost = batchSets.select(col("doc_id").as("b_id"), explode(col("hs")).as("h"))
+    val cand = batchPost.hint("SHUFFLE_HASH")
+      .join(storePostings.toDF("h", "s_id"), Seq("h"))
+      .select("b_id", "s_id").distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bf = cand.select(xxhash64(col("s_id")).as("x")).stat.bloomFilter("x", 1 << 16, 0.01)
+    val prunedStore = storeSets.where(bloom_might_contain(xxhash64(col("doc_id")), bf))
+      .toDF("s_id", "s_hs")
+    cand.join(batchSets.toDF("b_id", "b_hs"), "b_id")
+      .join(prunedStore, "s_id")
+      .withColumn("inter", sorted_intersect_count(col("b_hs"), col("s_hs")))
+      .withColumn("jaccard",
+        col("inter") / (size(col("b_hs")) + size(col("s_hs")) - col("inter")))
+      .where(col("jaccard") >= thr)
+      .select(col("b_id"), col("s_id"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("b_id", "s_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact" -> d01DedupExact _,
+    "d08_dedup_incremental_ngram" -> ((s, dir) => d08DedupIncrementalNgram(s, dir)),
     "d02_dedup_minhash" -> d02DedupMinhash _,
     "d03_dedup_simhash" -> d03DedupSimhash _,
     "d04_dedup_ngram" -> ((s, dir) => d04DedupNgram(s, dir)),
@@ -267,6 +341,32 @@ object Dedup {
     * expressible); DedupSpec carries their recall/exactness checks.
     */
   val oracles: Map[String, String] = Map(
+    "d08_dedup_incremental_ngram" ->
+      """WITH b AS (
+        |  SELECT doc_id + 300000 AS b_id, substr(text, instr(text, ' ') + 1) AS text
+        |  FROM documents
+        |), bt AS (
+        |  SELECT b_id, string_split(text, ' ') AS w FROM b
+        |), bsh AS (
+        |  SELECT DISTINCT b_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+        |  FROM bt, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+        |), bsz AS (
+        |  SELECT b_id, count(*) AS n FROM bsh GROUP BY 1
+        |), st AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), ssh AS (
+        |  SELECT DISTINCT doc_id AS s_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+        |  FROM st, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+        |), ssz AS (
+        |  SELECT s_id, count(*) AS n FROM ssh GROUP BY 1
+        |), p AS (
+        |  SELECT b_id, s_id, count(*) AS inter
+        |  FROM bsh JOIN ssh USING (sh) GROUP BY 1, 2
+        |)
+        |SELECT b_id, s_id, round(inter / (bz.n + sz.n - inter), 4) AS jaccard
+        |FROM p JOIN bsz bz USING (b_id) JOIN ssz sz USING (s_id)
+        |WHERE inter / (bz.n + sz.n - inter) >= 0.6
+        |ORDER BY b_id, s_id""".stripMargin,
     "d01_dedup_exact" ->
       """WITH u AS (
         |  SELECT doc_id, text FROM documents

@@ -233,8 +233,34 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  private val boiler = Seq.fill(8)("click here to subscribe").mkString(" ")
+
+  /** C24 t11: repetition scoring — the Gopher-family quality rule
+    * (repeated n-gram fraction flags boilerplate/spam). rep_ratio =
+    * 1 − distinct/total trigram slots, a pure column expression at scan
+    * speed. The synthetic corpus is vocabulary-uniform (measured max
+    * baseline ratio 0.071), so every 5th doc gets a repeated phrase
+    * appended — threshold 0.15 cleanly separates (flagged docs land
+    * ≥ ~0.25) and the flag column is non-vacuous in both directions.
+    */
+  def t11Repetition(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("t2",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" " + boiler)))
+          .otherwise(col("text")))
+      .withColumn("toks", tokens(col("t2")))
+      .withColumn("n_tri", greatest(size(col("toks")) - 2, lit(0)).cast("long"))
+      .withColumn("n_distinct", size(wordTrigrams(col("toks"))).cast("long"))
+      .withColumn("rep_ratio",
+        when(col("n_tri") > 0,
+          round(lit(1.0) - col("n_distinct") / col("n_tri"), 6)).otherwise(lit(0.0)))
+      .select(col("doc_id"), col("n_tri"), col("n_distinct"), col("rep_ratio"),
+        (col("rep_ratio") > 0.15).cast("long").as("flag_repetitive"))
+      .orderBy("doc_id")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t09_decontaminate" -> ((s, dir) => t09Decontaminate(s, dir)),
+    "t11_repetition" -> t11Repetition _,
     "t10_pii_scrub" -> t10PiiScrub _,
     "t01_lang_id" -> t01LangId _,
     "t02_quality_score" -> t02QualityScore _,
@@ -249,6 +275,28 @@ object TextOps {
     stops.map(s => s"'$s'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "t11_repetition" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || ' $boiler' ELSE text END AS text
+         |  FROM documents
+         |), toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM d
+         |), base AS (
+         |  SELECT doc_id, greatest(len(w) - 2, 0) AS n_tri FROM toks
+         |), sh AS (
+         |  SELECT doc_id, count(DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS n_distinct
+         |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i) GROUP BY 1
+         |), r AS (
+         |  SELECT b.doc_id, b.n_tri, coalesce(sh.n_distinct, 0) AS n_distinct,
+         |    CASE WHEN b.n_tri > 0
+         |      THEN round(1 - coalesce(sh.n_distinct, 0) / CAST(b.n_tri AS DOUBLE), 6)
+         |      ELSE 0.0 END AS rep_ratio
+         |  FROM base b LEFT JOIN sh ON b.doc_id = sh.doc_id
+         |)
+         |SELECT doc_id, n_tri, n_distinct, rep_ratio,
+         |  CAST(CASE WHEN rep_ratio > 0.15 THEN 1 ELSE 0 END AS BIGINT) AS flag_repetitive
+         |FROM r ORDER BY doc_id""".stripMargin,
     "t01_lang_id" ->
       s"""WITH scored AS (
          |  SELECT doc_id,

@@ -92,6 +92,56 @@ object EventStreams {
         (unix_millis(col("p_ts")) - unix_millis(col("v_ts"))).as("lag_ms"))
   }
 
+  /** D9 st05 batch twin: the LEFT OUTER view→purchase correlation —
+    * views with no purchase inside the window survive with a null match
+    * (surfaced as -1 so every crossing column stays BIGINT). Outer
+    * stream-stream is semantically distinct from inner (st02): the
+    * engine must DECIDE a view is unmatched, which only the watermark
+    * can prove.
+    */
+  def st05StreamOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select("event_id", "user_id", "event_type", "ts_ms")
+    val v = e.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts_ms").as("v_ts"))
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ts_ms").as("p_ts"))
+    v.join(p, col("user_id") === col("p_user") &&
+        col("p_ts") >= col("v_ts") && col("p_ts") <= col("v_ts") + 1800000L, "left_outer")
+      .select(col("user_id"), col("view_id"), col("v_ts"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        coalesce(col("p_ts") - col("v_ts"), lit(-1L)).as("lag_ms"))
+      .orderBy("user_id", "view_id", "purchase_id")
+  }
+
+  /** The genuinely-streaming LEFT OUTER twin: both sides watermarked,
+    * join time-bounded, so the state store can both evict AND emit
+    * null-matches — an unmatched view row is released exactly when the
+    * watermark passes view_ts + 30min (before that the match could
+    * still arrive; this is why outer stream joins REQUIRE the
+    * watermark + time bound, not just benefit from them). Views newer
+    * than (max event time − watermark − bound) are still pending when
+    * the source drains — StreamingSpec asserts set containment both
+    * ways with exactly that cutoff.
+    */
+  def outerCorrelatedStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    def side(tp: String): DataFrame =
+      s.readStream.schema(schema).parquet(s"$dir/events*.parquet")
+        .withColumn("ev_ts", timestamp_micros(expr("ts div 1000")))
+        .where(col("event_type") === tp)
+        .withWatermark("ev_ts", "1 hour")
+    val v = side("view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ev_ts").as("v_ts"))
+    val p = side("purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ev_ts").as("p_ts"))
+    v.join(p, col("user_id") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"), "left_outer")
+      .select(col("user_id"), col("view_id"), unix_millis(col("v_ts")).as("v_ts"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        coalesce(unix_millis(col("p_ts")) - unix_millis(col("v_ts")), lit(-1L)).as("lag_ms"))
+  }
+
   /** Per-user profile table (lifetime value, event count) staged to
     * parquet once per sf dir — the static dimension side of the
     * stream-static join (stands in for a users/accounts table).
@@ -231,7 +281,8 @@ object EventStreams {
     Map("st01_stream_window" -> st01StreamWindow _,
       "st02_stream_join" -> st02StreamJoin _,
       "st03_stream_dedup" -> st03StreamDedup _,
-      "st04_stream_enrich" -> st04StreamEnrich _)
+      "st04_stream_enrich" -> st04StreamEnrich _,
+      "st05_stream_outer_join" -> st05StreamOuterJoin _)
 
   val oracles: Map[String, String] = Map(
     "st01_stream_window" ->
@@ -251,6 +302,18 @@ object EventStreams {
     "st03_stream_dedup" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "st05_stream_outer_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+        |)
+        |SELECT v.user_id, v.event_id AS view_id, v.ts_ms AS v_ts,
+        |  coalesce(p.event_id, -1) AS purchase_id,
+        |  coalesce(p.ts_ms - v.ts_ms, -1) AS lag_ms
+        |FROM e v LEFT JOIN e p ON v.user_id = p.user_id
+        |  AND p.event_type = 'purchase'
+        |  AND p.ts_ms >= v.ts_ms AND p.ts_ms <= v.ts_ms + 1800000
+        |WHERE v.event_type = 'view'
+        |ORDER BY 1, 2, 4""".stripMargin,
     "st04_stream_enrich" ->
       """WITH dim AS (
         |  SELECT user_id, round(sum(value), 2) AS lifetime_value

@@ -129,6 +129,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "store must not be shuffled: " + p)
   }
 
+  test("d08 incremental near-dup: bloom-pruned store-sets scan on the verify join") {
+    val p = plan("d08_dedup_incremental_ngram")
+    assert(p.contains("bloom_might_contain"),
+      "store sets scan must be bloom-pruned by candidate store ids: " + p)
+  }
+
   test("q20 probe-side salt is uniform: all salt values populated") {
     // a data-derived salt (the old pmod(l_linenumber, 8)) leaves salt 0
     // empty and inherits linenumber skew; the hash-derived salt must

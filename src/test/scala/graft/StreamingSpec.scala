@@ -73,6 +73,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join: matches agree; watermark releases old unmatched views") {
+    val q = EventStreams.outerCorrelatedStream(spark, TestSpark.sfTest)
+      .writeStream.format("memory").queryName("outer_join_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val streamed = spark.table("outer_join_test").collect().map(key).toSet
+      val batchRows = EventStreams.st05StreamOuterJoin(spark, TestSpark.sfTest).collect().map(key)
+      val batch = batchRows.toSet
+      // matched rows must agree exactly — they never depend on the watermark
+      assert(streamed.filter(_._4 >= 0) == batch.filter(_._4 >= 0),
+        "inner matches diverge between stream and batch")
+      // null-matches: the stream may only emit rows the batch twin has...
+      assert(streamed.subsetOf(batch), s"stream fabricated rows: ${streamed -- batch}")
+      // ...and MUST have released every view old enough that the final
+      // watermark (max event time - 1h) proved it unmatched: v_ts +
+      // 30min join bound + 1h watermark delay before the max event time.
+      val maxTs = graft.operators.events(spark, TestSpark.sfTest)
+        .agg(org.apache.spark.sql.functions.max("ts_ms")).head().getLong(0)
+      val mustEmit = batch.filter(r => r._4 == -1L && r._3 + 1800000L + 3600000L < maxTs)
+      assert(mustEmit.subsetOf(streamed),
+        s"watermark-proven unmatched views missing: ${mustEmit -- streamed}")
+      assert(mustEmit.nonEmpty, "cutoff left no provable null-matches — test is vacuous")
+    } finally q.stop()
+  }
+
   test("foreachBatch parquet sink is idempotent across a checkpoint replay") {
     import java.nio.file.Files
     val out = Files.createTempDirectory("sink_out").toString
