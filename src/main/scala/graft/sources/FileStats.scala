@@ -162,6 +162,23 @@ object FileStats {
     }.collect().toMap // O(files × cols) stat tuples — manifest-sized, not data-sized
   }
 
+  /** Delete zero-row part files from `dir`. A filtered rewrite (e.g. a
+    * targeted delete) can leave an empty write partition behind as a
+    * rowless parquet file; its footer has no column chunks, so stats
+    * can never prune it and every later maintenance pass would re-touch
+    * it forever. One footer read per file, only over the just-rewritten
+    * dir — bounded work. Returns the number of files dropped.
+    */
+  def dropEmptyFiles(fs: FileSystem, dir: Path, conf: Configuration): Int = {
+    var n = 0
+    dataFiles(fs, dir).foreach { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+      val rows = try reader.getRecordCount finally reader.close()
+      if (rows == 0L) { fs.delete(f.getPath, false); n += 1 }
+    }
+    n
+  }
+
   // ---- sidecar persistence ----------------------------------------------
 
   /** Sidecar format, one line per (file, column):

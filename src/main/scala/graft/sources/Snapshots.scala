@@ -162,6 +162,15 @@ class Snapshots(s: SparkSession, root: String) {
       s"rollback lost $MaxAttempts consecutive version races under $root")
   }
 
+  /** A manifest value is one or more ';'-joined RELATIVE paths, each a
+    * table directory or a single parquet file. File-granular entries
+    * are what lets [[deleteWhere]] re-reference untouched files from an
+    * older version (zero IO) instead of copying them; a plain commit
+    * writes the common 1-dir case.
+    */
+  private def splitRel(rel: String): Seq[String] = rel.split(";").toSeq
+  private def absPaths(rel: String): Seq[String] = splitRel(rel).map(r => s"$root/$r")
+
   /** One consistent view of every table at `version` (default: newest).
     * The manifest is resolved once, so all returned DataFrames belong
     * to the same committed snapshot.
@@ -169,7 +178,7 @@ class Snapshots(s: SparkSession, root: String) {
   def snapshot(version: Option[Long] = None): Map[String, DataFrame] = {
     val v = version.orElse(currentVersion)
       .getOrElse(throw new IllegalStateException(s"no commits under $root"))
-    readManifest(v).map { case (t, rel) => t -> s.read.parquet(s"$root/$rel") }
+    readManifest(v).map { case (t, rel) => t -> s.read.parquet(absPaths(rel): _*) }
   }
 
   /** Single-table read from the newest (or given) snapshot. */
@@ -182,10 +191,10 @@ class Snapshots(s: SparkSession, root: String) {
     * state lake reading many bucket dirs as one parquet source). Empty
     * when nothing is committed yet.
     */
-  def tablePaths(version: Option[Long] = None): Map[String, String] =
+  def tablePaths(version: Option[Long] = None): Map[String, Seq[String]] =
     version.orElse(currentVersion) match {
       case None => Map.empty
-      case Some(v) => readManifest(v).map { case (t, rel) => t -> s"$root/$rel" }
+      case Some(v) => readManifest(v).map { case (t, rel) => t -> absPaths(rel) }
     }
 
   /** Publish a new version whose table map is the current head's map
@@ -232,21 +241,109 @@ class Snapshots(s: SparkSession, root: String) {
     * 100 TB a time- or key-ordered table turns a range query from a
     * full scan into a handful of file opens.
     */
+  /** Prune one manifest path (dir or single file) against `ranges`,
+    * each against ITS OWN directory's sidecar — file names repeat
+    * across version dirs (part-00000…), so stats never mix directories.
+    */
+  private def pruneRelPath(rel: String, ranges: Seq[FileStats.ColRange]): Seq[String] = {
+    val p = new Path(root, rel)
+    if (fs.getFileStatus(p).isDirectory) {
+      val all = FileStats.dataFiles(fs, p)
+      FileStats.readSidecar(fs, p)
+        .map(st => FileStats.prune(all, st, ranges)).getOrElse(all)
+        .map(_.getPath.toString)
+    } else {
+      val keep = FileStats.readSidecar(fs, p.getParent)
+        .forall(st => FileStats.prune(Seq(fs.getFileStatus(p)), st, ranges).nonEmpty)
+      if (keep) Seq(p.toString) else Nil
+    }
+  }
+
   def readWhere(table: String, ranges: Seq[FileStats.ColRange],
                 version: Option[Long] = None): DataFrame = {
-    val dir = new Path(root, tableRel(table, version))
-    val all = FileStats.dataFiles(fs, dir)
-    val kept = FileStats.readSidecar(fs, dir)
-      .map(st => FileStats.prune(all, st, ranges))
-      .getOrElse(all)
+    val rel = tableRel(table, version)
+    val kept = splitRel(rel).flatMap(r => pruneRelPath(r, ranges))
     val base =
-      if (kept.isEmpty) s.read.parquet(dir.toString).limit(0) // schema-only; zero data tasks
-      else s.read.parquet(kept.map(_.getPath.toString): _*)
+      if (kept.isEmpty) s.read.parquet(absPaths(rel): _*).limit(0) // schema-only; zero data tasks
+      else s.read.parquet(kept: _*)
     ranges.foldLeft(base) { (df, r) =>
       val c = col(r.col)
       val conds = r.lo.map(v => c >= lit(v)).toSeq ++ r.hi.map(v => c <= lit(v)).toSeq
       conds.foldLeft(df)((d, cond) => d.where(cond))
     }
+  }
+
+  /** Targeted row delete — the GDPR / retention maintenance job. Rows
+    * matching ALL `ranges` (conjunctive) are removed from the table in
+    * a new published version, at a cost of O(files that might hold a
+    * matching row), not O(table):
+    *
+    *  - files whose stats CANNOT contain a match are RE-REFERENCED in
+    *    the new manifest as file-granular entries — zero bytes read or
+    *    written for them;
+    *  - only might-match files are read, anti-filtered, and rewritten
+    *    (with a fresh `_stats` sidecar over `statsCols`).
+    *
+    * Old versions still read the deleted rows (time travel); the
+    * deleted bytes are reclaimed the same way the open table formats
+    * do it — a later [[compact]] collapses the file-granular entries
+    * into a fresh directory, after which [[vacuum]] can collect the
+    * old dirs. NULL values in a ranged column never match a range and
+    * are therefore always kept. Result-idempotent: a repeat of the same
+    * delete re-examines only files whose [min,max] still SPANS the
+    * range (min/max cannot prove a hole) and rewrites them to the same
+    * rows; a repeat where stats prove no match publishes nothing.
+    */
+  def deleteWhere(table: String, ranges: Seq[FileStats.ColRange],
+                  statsCols: Seq[String] = Nil): Long = {
+    require(ranges.nonEmpty, "deleteWhere requires at least one range")
+    val baseRel = tableRel(table, None)
+    val touch = scala.collection.mutable.ArrayBuffer.empty[String]
+    val keep = scala.collection.mutable.ArrayBuffer.empty[String]
+    splitRel(baseRel).foreach { r =>
+      val p = new Path(root, r)
+      if (fs.getFileStatus(p).isDirectory) {
+        val st = FileStats.readSidecar(fs, p)
+        FileStats.dataFiles(fs, p).foreach { f =>
+          val might = st.forall(stats => FileStats.prune(Seq(f), stats, ranges).nonEmpty)
+          if (might) touch += f.getPath.toString else keep += s"$r/${f.getPath.getName}"
+        }
+      } else {
+        val might = FileStats.readSidecar(fs, p.getParent)
+          .forall(st => FileStats.prune(Seq(fs.getFileStatus(p)), st, ranges).nonEmpty)
+        if (might) touch += p.toString else keep += r
+      }
+    }
+    if (touch.isEmpty) return currentVersion.get // stats prove no row matches
+    // doomed = every range matches; survivors = NOT doomed. coalesce
+    // pins the NULL case: a null in a ranged column never matches a
+    // range, so the row must SURVIVE (a bare negation would drop it).
+    val doomed = ranges.map { r =>
+      val c = col(r.col)
+      (r.lo.map(v => c >= lit(v)).toSeq ++ r.hi.map(v => c <= lit(v)).toSeq)
+        .reduce(_ && _)
+    }.reduce(_ && _)
+    val survivors = s.read.parquet(touch.toSeq: _*).where(!coalesce(doomed, lit(false)))
+    var attempt = currentVersion.getOrElse(0L) + 1
+    for (_ <- 1 to MaxAttempts) {
+      val cur = readManifest(currentVersion.get)
+      if (cur(table) != baseRel)
+        throw new java.util.ConcurrentModificationException(
+          s"$table re-pointed ${cur(table)} != $baseRel during delete; re-run")
+      val rel = s"v$attempt/$table"
+      survivors.write.mode("overwrite").parquet(s"$root/$rel")
+      // an all-filtered write partition leaves a rowless file that stats
+      // could never prune — drop them so repeat deletes converge
+      FileStats.dropEmptyFiles(fs, new Path(s"$root/$rel"), s.sparkContext.hadoopConfiguration)
+      if (statsCols.nonEmpty)
+        FileStats.writeSidecar(fs, new Path(s"$root/$rel"),
+          FileStats.harvest(s, s"$root/$rel", statsCols))
+      val newRel = (keep.toSeq :+ rel).mkString(";")
+      if (writeManifest(attempt, cur + (table -> newRel))) return attempt
+      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
+    }
+    throw new IllegalStateException(
+      s"deleteWhere lost $MaxAttempts consecutive version races under $root")
   }
 
   /** Bin-pack a table's current files into ~`targetBytes` files and
@@ -282,10 +379,13 @@ class Snapshots(s: SparkSession, root: String) {
               statsCols: Seq[String] = Nil,
               zorderCols: Seq[String] = Nil): Long = {
     val baseRel = tableRel(table, None)
-    val dir = new Path(root, baseRel)
-    val totalBytes = FileStats.dataFiles(fs, dir).map(_.getLen).sum
+    val totalBytes = splitRel(baseRel).map { r =>
+      val p = new Path(root, r)
+      if (fs.getFileStatus(p).isDirectory) FileStats.dataFiles(fs, p).map(_.getLen).sum
+      else fs.getFileStatus(p).getLen
+    }.sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val df0 = s.read.parquet(dir.toString)
+    val df0 = s.read.parquet(absPaths(baseRel): _*)
     val packed =
       if (zorderCols.nonEmpty) {
         val z = zvalue(df0, zorderCols)
@@ -369,7 +469,12 @@ class Snapshots(s: SparkSession, root: String) {
       .map(_.stripSuffix(".manifest").toLong).sorted.reverse.toSeq
     val versions = listVersions()
     val (kept, dropped) = versions.splitAt(keepLast)
-    val referenced = kept.flatMap(v => readManifest(v).values).toSet
+    // reference at DIRECTORY granularity: a file-granular manifest entry
+    // (vN/table/part-….parquet, from deleteWhere) pins its whole parent
+    // dir — conservative over-retention that compact()+vacuum() reclaims
+    def refDirs(rels: Iterable[String]): Set[String] =
+      rels.flatMap(splitRel).map(_.split("/").take(2).mkString("/")).toSet
+    val referenced = refDirs(kept.flatMap(v => readManifest(v).values))
     val cutoff = System.currentTimeMillis() - minAgeMs
     val rootPath = new Path(root)
     val candidates = fs.listStatus(rootPath)
@@ -384,8 +489,9 @@ class Snapshots(s: SparkSession, root: String) {
       }.toSeq
     // hazard 1: honor every manifest present NOW — including ones
     // published (or restored by rollbackTo) since the kept-set was read
-    val lateRefs = (listVersions().toSet -- dropped.toSet -- kept.toSet)
-      .flatMap(v => readManifest(v).values)
+    val lateRefs = refDirs(
+      (listVersions().toSet -- dropped.toSet -- kept.toSet)
+        .flatMap(v => readManifest(v).values))
     var dirsDeleted = 0
     candidates.foreach { td =>
       val rel = s"${td.getPath.getParent.getName}/${td.getPath.getName}"
@@ -492,11 +598,60 @@ object Snapshots {
       .orderBy("o_orderstatus")
   }
 
+  /** Snapshot lake for c06, staged ONCE per sf dir on its own root
+    * (c06 mutates its lake, so it must not share c05's).
+    */
+  def stagedDeleteLake(s: SparkSession, dir: String): Snapshots = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s.conf.get("spark.sql.warehouse.dir") + s"/del_c06$tag"
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val snap = new Snapshots(s, root)
+    val marker = new Path(root, "_STAGED_G1")
+    if (!fs.exists(marker)) {
+      fs.delete(new Path(root), true)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartitionByRange(16, col("o_orderkey"))
+      snap.commit(Map("orders" -> orders),
+        statsCols = Map("orders" -> Seq("o_orderkey")))
+      fs.create(marker, true).close()
+    }
+    snap
+  }
+
+  /** `c06_delete_where`: the targeted-delete maintenance path
+    * ([[Snapshots.deleteWhere]]) through the oracle gate — delete a key
+    * slice from the staged lake (stats-pruned partial rewrite:
+    * untouched files re-referenced, only range-overlapping files
+    * rewritten), then aggregate the surviving table. Idempotent across
+    * invocations: once deleted, the rewritten files' stats prove the
+    * range absent and the repeat is a no-op — so Verify-then-Bench and
+    * warm re-runs all see the same state, while the FIRST run exercises
+    * the real rewrite. The oracle is the closed form over the same
+    * parquet.
+    */
+  def c06DeleteWhere(s: SparkSession, dir: String): DataFrame = {
+    val snap = stagedDeleteLake(s, dir)
+    snap.deleteWhere("orders",
+      Seq(FileStats.ColRange("o_orderkey", Some(2000L), Some(2999L))),
+      statsCols = Seq("o_orderkey"))
+    snap.read("orders")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] =
     Map("c04_snapshot_read" -> c04SnapshotRead _,
-        "c05_stats_pruned_read" -> c05StatsPrunedRead _)
+        "c05_stats_pruned_read" -> c05StatsPrunedRead _,
+        "c06_delete_where" -> c06DeleteWhere _)
 
   val oracles: Map[String, String] = Map(
+    "c06_delete_where" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_orderkey NOT BETWEEN 2000 AND 2999
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "c04_snapshot_read" ->
       """WITH p AS (
         |  SELECT o_orderstatus,

@@ -146,7 +146,7 @@ object LakeMerge {
     val head = snap.currentVersion
     val touchedPaths = {
       val paths = snap.tablePaths()
-      touched.map(bucketKey).flatMap(paths.get)
+      touched.map(bucketKey).flatMap(paths.get).flatten
     }
     val current =
       if (touchedPaths.isEmpty) Cdc.applyChanges(changes.limit(0), keepTs = true)
@@ -167,7 +167,7 @@ object LakeMerge {
     */
   def prunedState(s: SparkSession, path: String, touched: Seq[Int]): DataFrame = {
     val paths = new Snapshots(s, path).tablePaths()
-    val keep = touched.map(bucketKey).flatMap(paths.get)
+    val keep = touched.map(bucketKey).flatMap(paths.get).flatten
     require(keep.nonEmpty, s"no committed state for buckets $touched under $path")
     s.read.parquet(keep: _*)
   }
@@ -178,7 +178,7 @@ object LakeMerge {
     * before the first byte is read.
     */
   def readState(s: SparkSession, path: String): DataFrame = {
-    val paths = new Snapshots(s, path).tablePaths().values.toSeq.sorted
+    val paths = new Snapshots(s, path).tablePaths().values.flatten.toSeq.sorted
     require(paths.nonEmpty, s"empty or uncommitted state lake at $path")
     s.read.parquet(paths: _*)
   }

@@ -198,6 +198,57 @@ class TxnSpec extends AnyFunSuite {
         "range-clustered stats should skip files after compaction")
   }
 
+  test("deleteWhere rewrites only might-match files; untouched files are re-referenced, not copied") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txn").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    val rows = (1L to 600L).map(i => (i, i * 2.0)).toDF("id", "v")
+      .repartitionByRange(12, col("id"))
+    val v1 = snap.commit(Map("a" -> rows), statsCols = Map("a" -> Seq("id")))
+    val filesBefore = snap.read("a").inputFiles.toSet
+    assert(filesBefore.size >= 10)
+
+    val v2 = snap.deleteWhere("a", Seq(ColRange("id", Some(100L), Some(150L))), statsCols = Seq("id"))
+    assert(v2 > v1)
+    // exact result: doomed range gone, everything else intact
+    val after = snap.read("a")
+    assert(after.count() == 600L - 51L)
+    assert(after.where(col("id").between(100L, 150L)).count() == 0L)
+    assert(after.agg(sum("id")).head.getLong(0) == (1L to 600L).sum - (100L to 150L).sum)
+    // partial rewrite: most of v1's physical files are still what the
+    // head reads (re-referenced), only the range-overlapping ones differ
+    val filesAfter = after.inputFiles.toSet
+    val shared = filesBefore & filesAfter
+    assert(shared.size >= filesBefore.size - 3,
+      s"only ${shared.size} of ${filesBefore.size} files re-referenced — delete copied the table")
+    assert((filesAfter -- filesBefore).nonEmpty, "no rewritten file found")
+    // time travel: the old version still reads the deleted rows
+    assert(snap.read("a", Some(v1)).count() == 600L)
+    // the file-skipping read path understands the mixed dir+file manifest
+    val pruned = snap.readWhere("a", Seq(ColRange("id", Some(200L), Some(260L))))
+    assert(pruned.count() == 61L)
+    assert(pruned.inputFiles.length < filesAfter.size)
+    // result-idempotence: a repeat delete re-examines only files whose
+    // [min,max] still spans the range (min/max cannot prove a hole) and
+    // leaves the table unchanged
+    snap.deleteWhere("a", Seq(ColRange("id", Some(100L), Some(150L))), statsCols = Seq("id"))
+    assert(snap.read("a").count() == 549L)
+    // a delete whose range stats PROVE absent is a true no-op
+    val head = snap.currentVersion.get
+    assert(snap.deleteWhere("a", Seq(ColRange("id", Some(5000L), Some(6000L))), statsCols = Seq("id")) == head)
+    // vacuum must NOT collect v1's dir — the head's file entries pin it
+    val (_, deleted) = snap.vacuum(keepLast = 1)
+    assert(deleted == 0, s"vacuum collected a dir the head still references ($deleted)")
+    assert(snap.read("a").count() == 549L)
+    // compact collapses the file-granular entries into a fresh dir,
+    // after which vacuum CAN reclaim the old version's bytes
+    snap.compact("a", targetBytes = 1L << 20, sortCol = Some("id"), statsCols = Seq("id"))
+    val (_, deleted2) = snap.vacuum(keepLast = 1)
+    assert(deleted2 >= 1, "post-compaction vacuum should reclaim the superseded dirs")
+    assert(snap.read("a").count() == 549L)
+  }
+
   test("zorder compaction skips files on EVERY clustered column; plain sort only on its leading one") {
     val sp = spark
     import sp.implicits._
