@@ -35,7 +35,8 @@ object Bench {
     "q35_setops", "q36_window_frames",
     "t02_quality_score", "t04_fingerprint", "m02_decode_batch", "m03_decode_image",
     "q25_typed_decode", "q31_typed_wide", "q32_weighted_avg", "c04_snapshot_read",
-    "c05_stats_pruned_read", "c06_delete_where", "q33_profile", "q34_histogram")
+    "c05_stats_pruned_read", "c06_delete_where", "c07_update_where",
+    "q33_profile", "q34_histogram")
 
   /** Per-key task-metric sums, so a bench anomaly ships with its own
     * evidence: executor run time vs wall separates task-side cost from

@@ -296,7 +296,54 @@ class Snapshots(s: SparkSession, root: String) {
     */
   def deleteWhere(table: String, ranges: Seq[FileStats.ColRange],
                   statsCols: Seq[String] = Nil): Long = {
-    require(ranges.nonEmpty, "deleteWhere requires at least one range")
+    // doomed = every range matches; survivors = NOT doomed. coalesce
+    // pins the NULL case: a null in a ranged column never matches a
+    // range, so the row must SURVIVE (a bare negation would drop it).
+    partialRewrite(table, ranges, statsCols, "delete",
+      touched => touched.where(!coalesce(matchCond(ranges), lit(false))))
+  }
+
+  /** Targeted row UPDATE — same stats-pruned partial-rewrite machinery
+    * as [[deleteWhere]]: untouched files re-referenced (zero IO), only
+    * files whose stats admit a matching row are rewritten, with `sets`
+    * applied to exactly the rows matching ALL `ranges` (NULL-safe: a
+    * null in a ranged column never matches, so the row passes through
+    * unchanged). Together commit/merge (INSERT/UPSERT), deleteWhere and
+    * updateWhere cover the reference users' DML surface
+    * (`execute`, Stream.hs:122-145) against the lake.
+    */
+  def updateWhere(table: String, ranges: Seq[FileStats.ColRange],
+                  sets: Map[String, org.apache.spark.sql.Column],
+                  statsCols: Seq[String] = Nil): Long = {
+    require(sets.nonEmpty, "updateWhere requires at least one SET column")
+    partialRewrite(table, ranges, statsCols, "update", { touched =>
+      val hit = coalesce(matchCond(ranges), lit(false))
+      sets.foldLeft(touched) { case (df, (c, e)) =>
+        df.withColumn(c, when(hit, e).otherwise(col(c)))
+      }
+    })
+  }
+
+  /** Conjunction of inclusive ranges as a Column (null where any ranged
+    * column is null — callers coalesce to pin the three-valued edge).
+    */
+  private def matchCond(ranges: Seq[FileStats.ColRange]): org.apache.spark.sql.Column =
+    ranges.map { r =>
+      val c = col(r.col)
+      (r.lo.map(v => c >= lit(v)).toSeq ++ r.hi.map(v => c <= lit(v)).toSeq)
+        .reduce(_ && _)
+    }.reduce(_ && _)
+
+  /** Shared engine of [[deleteWhere]]/[[updateWhere]]: classify the
+    * table's files by whether their stats admit a row matching ALL
+    * `ranges`, re-reference the provably-clean ones, run `rewrite` over
+    * the rest, publish. Returns the new version (or the current one
+    * when stats prove no file can match — a true no-op).
+    */
+  private def partialRewrite(table: String, ranges: Seq[FileStats.ColRange],
+                             statsCols: Seq[String], what: String,
+                             rewrite: DataFrame => DataFrame): Long = {
+    require(ranges.nonEmpty, s"${what}Where requires at least one range")
     val baseRel = tableRel(table, None)
     val touch = scala.collection.mutable.ArrayBuffer.empty[String]
     val keep = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -315,25 +362,17 @@ class Snapshots(s: SparkSession, root: String) {
       }
     }
     if (touch.isEmpty) return currentVersion.get // stats prove no row matches
-    // doomed = every range matches; survivors = NOT doomed. coalesce
-    // pins the NULL case: a null in a ranged column never matches a
-    // range, so the row must SURVIVE (a bare negation would drop it).
-    val doomed = ranges.map { r =>
-      val c = col(r.col)
-      (r.lo.map(v => c >= lit(v)).toSeq ++ r.hi.map(v => c <= lit(v)).toSeq)
-        .reduce(_ && _)
-    }.reduce(_ && _)
-    val survivors = s.read.parquet(touch.toSeq: _*).where(!coalesce(doomed, lit(false)))
+    val rewritten = rewrite(s.read.parquet(touch.toSeq: _*))
     var attempt = currentVersion.getOrElse(0L) + 1
     for (_ <- 1 to MaxAttempts) {
       val cur = readManifest(currentVersion.get)
       if (cur(table) != baseRel)
         throw new java.util.ConcurrentModificationException(
-          s"$table re-pointed ${cur(table)} != $baseRel during delete; re-run")
+          s"$table re-pointed ${cur(table)} != $baseRel during $what; re-run")
       val rel = s"v$attempt/$table"
-      survivors.write.mode("overwrite").parquet(s"$root/$rel")
+      rewritten.write.mode("overwrite").parquet(s"$root/$rel")
       // an all-filtered write partition leaves a rowless file that stats
-      // could never prune — drop them so repeat deletes converge
+      // could never prune — drop them so repeat passes converge
       FileStats.dropEmptyFiles(fs, new Path(s"$root/$rel"), s.sparkContext.hadoopConfiguration)
       if (statsCols.nonEmpty)
         FileStats.writeSidecar(fs, new Path(s"$root/$rel"),
@@ -343,7 +382,7 @@ class Snapshots(s: SparkSession, root: String) {
       attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
     }
     throw new IllegalStateException(
-      s"deleteWhere lost $MaxAttempts consecutive version races under $root")
+      s"${what}Where lost $MaxAttempts consecutive version races under $root")
   }
 
   /** Bin-pack a table's current files into ~`targetBytes` files and
@@ -641,10 +680,48 @@ object Snapshots {
       .orderBy("o_orderstatus")
   }
 
+  /** `c07_update_where`: the targeted-update path
+    * ([[Snapshots.updateWhere]]) through the oracle gate. The SET
+    * expression derives from an UNTOUCHED source column — a 10%
+    * discount in EXACT integer-cents arithmetic ((9·cents+5) div 10 =
+    * half-up of 0.9·cents; a double `round(x*0.9, 2)` flipped the
+    * cross-engine hash on a half-cent knife edge) — so re-applying it
+    * is idempotent by construction: Verify-then-Bench and warm re-runs
+    * converge to one state while the first run pays the real partial
+    * rewrite.
+    */
+  def c07UpdateWhere(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s.conf.get("spark.sql.warehouse.dir") + s"/upd_c07$tag"
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val snap = new Snapshots(s, root)
+    val marker = new Path(root, "_STAGED_G2")
+    if (!fs.exists(marker)) {
+      fs.delete(new Path(root), true)
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          cents.as("price_cents"), cents.as("adj_cents"))
+        .repartitionByRange(16, col("o_orderkey"))
+      snap.commit(Map("orders" -> orders),
+        statsCols = Map("orders" -> Seq("o_orderkey")))
+      fs.create(marker, true).close()
+    }
+    snap.updateWhere("orders",
+      Seq(FileStats.ColRange("o_orderkey", Some(5000L), Some(5999L))),
+      Map("adj_cents" -> expr("CAST((price_cents * 9 + 5) div 10 AS BIGINT)")),
+      statsCols = Seq("o_orderkey"))
+    snap.read("orders")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum("adj_cents").as("total_adj_cents"))
+      .orderBy("o_orderstatus")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] =
     Map("c04_snapshot_read" -> c04SnapshotRead _,
         "c05_stats_pruned_read" -> c05StatsPrunedRead _,
-        "c06_delete_where" -> c06DeleteWhere _)
+        "c06_delete_where" -> c06DeleteWhere _,
+        "c07_update_where" -> c07UpdateWhere _)
 
   val oracles: Map[String, String] = Map(
     "c06_delete_where" ->
@@ -652,6 +729,17 @@ object Snapshots {
         |FROM orders
         |WHERE o_orderkey NOT BETWEEN 2000 AND 2999
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "c07_update_where" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderkey,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+        |  FROM orders
+        |)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CASE WHEN o_orderkey BETWEEN 5000 AND 5999
+        |                THEN (price_cents * 9 + 5) // 10
+        |                ELSE price_cents END) AS BIGINT) AS total_adj_cents
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "c04_snapshot_read" ->
       """WITH p AS (
         |  SELECT o_orderstatus,

@@ -249,6 +249,34 @@ class TxnSpec extends AnyFunSuite {
     assert(snap.read("a").count() == 549L)
   }
 
+  test("updateWhere rewrites only might-match files and leaves null-keyed rows untouched") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txn").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    val base = (1L to 600L).map(i => (Some(i): Option[Long], i * 2.0)).toDF("id", "v")
+      .repartitionByRange(12, col("id"))
+    val nulls = Seq((None: Option[Long], 7.0)).toDF("id", "v")
+    val v1 = snap.commit(Map("a" -> base.union(nulls)), statsCols = Map("a" -> Seq("id")))
+    val filesBefore = snap.read("a").inputFiles.toSet
+
+    snap.updateWhere("a", Seq(ColRange("id", Some(100L), Some(150L))),
+      Map("v" -> (col("v") * 10)), statsCols = Seq("id"))
+    val after = snap.read("a")
+    // matched rows transformed, everything else (incl. the null-id row) intact
+    assert(after.count() == 601L)
+    assert(after.where(col("id").between(100L, 150L) && col("v") =!= col("id") * 20).count() == 0L)
+    assert(after.where(!col("id").between(100L, 150L) && col("id").isNotNull &&
+      col("v") =!= col("id") * 2).count() == 0L)
+    assert(after.where(col("id").isNull).select("v").head.getDouble(0) == 7.0)
+    // partial rewrite, not a table copy
+    val shared = filesBefore & after.inputFiles.toSet
+    assert(shared.size >= filesBefore.size - 3,
+      s"only ${shared.size} of ${filesBefore.size} files re-referenced")
+    // time travel still sees the pre-update values
+    assert(snap.read("a", Some(v1)).where(col("id") === 120L).head.getDouble(1) == 240.0)
+  }
+
   test("zorder compaction skips files on EVERY clustered column; plain sort only on its leading one") {
     val sp = spark
     import sp.implicits._
