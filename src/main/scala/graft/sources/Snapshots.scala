@@ -324,6 +324,49 @@ class Snapshots(s: SparkSession, root: String) {
     })
   }
 
+  /** O(batch) atomic APPEND: write `df` as a fresh directory and
+    * publish a manifest whose `table` entry references the existing
+    * paths PLUS the new dir — not one existing byte is read or
+    * rewritten (file-granular manifest entries again). `tag` makes the
+    * append IDEMPOTENT: it is encoded into the new dir name, and an
+    * append whose tag already appears in the table's entry is a no-op —
+    * exactly the contract a replayed streaming micro-batch needs
+    * (foreachBatch's batchId is stable across retries, so
+    * source-offsets + idempotent-appends = effectively exactly-once
+    * ingestion into the transactional lake). A missing table is
+    * created. Accumulated small append dirs are the standing
+    * [[compact]] case; vacuum's dir-granular refcount covers them.
+    */
+  def append(table: String, df: DataFrame, tag: Option[String] = None,
+             statsCols: Seq[String] = Nil): Long = {
+    tag.foreach(t => require(t.matches("[A-Za-z0-9_-]+"),
+      s"append tag '$t' must be [A-Za-z0-9_-]+ (it names a directory)"))
+    var attempt = currentVersion.getOrElse(0L) + 1
+    var written: Option[String] = None // data written once; races re-merge the manifest only
+    for (_ <- 1 to MaxAttempts) {
+      val cur = currentVersion.map(readManifest).getOrElse(Map.empty[String, String])
+      val dupe = (cur.get(table), tag) match {
+        case (Some(rel), Some(t)) => splitRel(rel).exists(_.endsWith(s"@$t"))
+        case _ => false
+      }
+      if (dupe) return currentVersion.get
+      val rel = written.getOrElse {
+        val r = s"v$attempt/$table" + tag.fold("")(t => s"@$t")
+        df.write.mode("overwrite").parquet(s"$root/$r")
+        if (statsCols.nonEmpty)
+          FileStats.writeSidecar(fs, new Path(s"$root/$r"),
+            FileStats.harvest(s, s"$root/$r", statsCols))
+        written = Some(r)
+        r
+      }
+      val newRel = cur.get(table).fold(rel)(b => s"$b;$rel")
+      if (writeManifest(attempt, cur + (table -> newRel))) return attempt
+      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
+    }
+    throw new IllegalStateException(
+      s"append lost $MaxAttempts consecutive version races under $root")
+  }
+
   /** Conjunction of inclusive ranges as a Column (null where any ranged
     * column is null — callers coalesce to pin the three-valued edge).
     */

@@ -30,6 +30,26 @@ object Sinks {
       }
       .start()
 
+  /** Transactional streaming sink: each micro-batch lands as an
+    * O(batch) atomic [[graft.sources.Snapshots.append]] into a
+    * Snapshots table — readers always resolve a consistent committed
+    * version (never a half-written batch), the ingest history is
+    * time-travelable, and the batchId tag makes replays no-ops, so the
+    * pipeline is effectively exactly-once into the SAME lake the
+    * engine's transactions, maintenance (compact/vacuum) and
+    * stats-pruned reads operate on.
+    */
+  def snapshotBatchSink(df: DataFrame, root: String, table: String,
+                        checkpointDir: String): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        new graft.sources.Snapshots(batch.sparkSession, root)
+          .append(table, batch, Some(s"b$batchId")): Unit
+      }
+      .start()
+
   /** A simple enrichment stream over events (no aggregation, so the
     * sink sees append-mode rows): normalize ts, filter, project.
     */

@@ -101,6 +101,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("snapshot sink: micro-batches append atomically and a checkpoint replay adds nothing") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("snap_sink").toString + "/lake"
+    val ckpt = Files.createTempDirectory("snap_ckpt").toString
+    val src = graft.streaming.Sinks.enrichedEvents(spark, TestSpark.sfTest)
+    graft.streaming.Sinks.snapshotBatchSink(src, root, "events", ckpt).awaitTermination()
+    val snap = new graft.sources.Snapshots(spark, root)
+    val expected = spark.read.parquet(s"${TestSpark.sfTest}/events.parquet")
+      .where("value > 0").count()
+    val v1 = snap.currentVersion.get
+    assert(snap.read("events").count() == expected, "sink lost or duplicated rows")
+    // replay from the same checkpoint: committed offsets + idempotent
+    // tagged appends → no new rows, whatever the engine re-runs
+    graft.streaming.Sinks.snapshotBatchSink(src, root, "events", ckpt).awaitTermination()
+    assert(snap.read("events").count() == expected, "replay duplicated rows")
+    assert(snap.read("events", Some(v1)).count() == expected, "ingest history not time-travelable")
+  }
+
   test("foreachBatch parquet sink is idempotent across a checkpoint replay") {
     import java.nio.file.Files
     val out = Files.createTempDirectory("sink_out").toString

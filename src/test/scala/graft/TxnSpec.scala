@@ -249,6 +249,36 @@ class TxnSpec extends AnyFunSuite {
     assert(snap.read("a").count() == 549L)
   }
 
+  test("append publishes O(batch): existing files re-referenced, tags make replays no-ops") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txn").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    snap.commit(Map("a" -> (1L to 100L).map(i => (i, i * 2.0)).toDF("id", "v")))
+    val filesBefore = snap.read("a").inputFiles.toSet
+
+    val v2 = snap.append("a", (101L to 120L).map(i => (i, i * 2.0)).toDF("id", "v"),
+      tag = Some("b7"))
+    val after = snap.read("a")
+    assert(after.count() == 120L)
+    assert(after.agg(sum("id")).head.getLong(0) == (1L to 120L).sum)
+    // every pre-append file is still what the head reads — append moved
+    // only the batch's bytes
+    assert(filesBefore.subsetOf(after.inputFiles.toSet), "append rewrote existing data")
+    // replaying the same tagged batch is a no-op (the streaming-retry contract)
+    assert(snap.append("a", (101L to 120L).map(i => (i, i * 2.0)).toDF("id", "v"),
+      tag = Some("b7")) == v2)
+    assert(snap.read("a").count() == 120L)
+    // append to a table that does not exist yet creates it
+    snap.append("fresh", Seq((1L, 1.0)).toDF("id", "v"))
+    assert(snap.read("fresh").count() == 1L)
+    // compaction folds the accumulated append dirs back into one
+    snap.compact("a", targetBytes = 1L << 20, sortCol = Some("id"))
+    assert(snap.read("a").count() == 120L)
+    val (_, reclaimed) = snap.vacuum(keepLast = 1)
+    assert(reclaimed >= 1, "post-compaction vacuum should reclaim superseded append dirs")
+  }
+
   test("updateWhere rewrites only might-match files and leaves null-keyed rows untouched") {
     val sp = spark
     import sp.implicits._
