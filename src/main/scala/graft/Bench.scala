@@ -31,7 +31,7 @@ object Bench {
     "d01_dedup_exact", "d02_dedup_minhash", "d03_dedup_simhash", "d04_dedup_ngram",
     "d06_dedup_incremental", "d07_dedup_clusters", "d08_dedup_incremental_ngram",
     "t11_repetition", "st05_stream_outer_join",
-    "d05_dedup_embedding", "s01_ann_bruteforce", "s02_ann_lsh", "s05_ann_pq",
+    "d05_dedup_embedding", "s01_ann_bruteforce", "s02_ann_lsh", "s05_ann_pq", "s06_ann_ivfpq",
     "q35_setops", "q36_window_frames",
     "t02_quality_score", "t04_fingerprint", "m02_decode_batch", "m03_decode_image",
     "q25_typed_decode", "q31_typed_wide", "q32_weighted_avg", "c04_snapshot_read",

@@ -152,22 +152,26 @@ object Ann {
         (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int").as("cid"),
         col("embedding").as("c_vec"))
 
+  /** Nearest-`rank` coarse centroids per vector (broadcast argmin over
+    * the tiny centroid set) — the IVF partition/probe step.
+    */
+  private def coarseAssign(cents: DataFrame, df: DataFrame,
+                           idCol: String, vecCol: String, rank: Int): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy(col("c_cos").desc, col("cid"))
+    df.crossJoin(broadcast(cents))
+      .withColumn("c_cos", cosine_sim(col(vecCol), col("c_vec")))
+      .withColumn("c_rank", row_number().over(w))
+      .where(col("c_rank") <= rank)
+      .drop("c_vec", "c_cos", "c_rank")
+  }
+
   /** IVF over any (vec_id, embedding) corpus — see [[s03AnnIvf]]. */
   def annIvfOn(e: DataFrame, nlist: Int = 16, nprobe: Int = 4,
                nQueries: Int = NQueries, k: Int = K): DataFrame = {
     val cents = hashDrawCentroids(e, nlist)
-
-    def assign(df: DataFrame, idCol: String, vecCol: String, rank: Int): DataFrame = {
-      val w = Window.partitionBy(idCol).orderBy(col("c_cos").desc, col("cid"))
-      df.crossJoin(broadcast(cents))
-        .withColumn("c_cos", cosine_sim(col(vecCol), col("c_vec")))
-        .withColumn("c_rank", row_number().over(w))
-        .where(col("c_rank") <= rank)
-        .drop("c_vec", "c_cos", "c_rank")
-    }
-
-    val corpus = assign(e.select(col("vec_id"), col("embedding")), "vec_id", "embedding", 1)
-    val queries = assign(
+    val corpus = coarseAssign(cents, e.select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", 1)
+    val queries = coarseAssign(cents,
       e.where(col("vec_id") < nQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
       "q_id", "q_vec", nprobe)
@@ -202,15 +206,59 @@ object Ann {
     */
   def annPqOn(e: DataFrame, m: Int = 8, ksub: Int = 16, shortlist: Int = 100,
               nQueries: Int = NQueries, k: Int = K, iters: Int = 2): DataFrame = {
-    import graft.plans.TopK
     val (codebook, codes) = pqIndex(e, m, ksub, iters)
+    val lut = pqLut(e, codebook, nQueries, m)
+    // full ADC scan: every corpus code vector × every query
+    val pairs = codes.crossJoin(broadcast(lut))
+      .where(col("vec_id") =!= col("q_id"))
+    adcRerank(e, pairs, m, ksub, shortlist, nQueries, k)
+  }
 
-    // per-query ADC table: lut[sub*ksub + code] = q_sub · centroid —
-    // ksub·m tiny dot products per query, never corpus work. array_sort
-    // on (sub, code, ip) structs orders lexicographically, so position
-    // sub*ksub+code indexes the flattened table.
-    val lut = pqSubvecs(pqNormalize(e.where(col("vec_id") < nQueries))
-          .withColumnRenamed("vec_id", "q_id"), "q_id", m)
+  def s05AnnPq(s: SparkSession, dir: String): DataFrame =
+    annPqOn(emb(s, dir))
+
+  /** C25 s06: IVF+PQ — the two scale paths COMPOSED, the canonical
+    * big-corpus ANN design (FAISS IVFPQ; Jégou et al. 2011 §V). IVF
+    * bounds WHO gets scored (only the ~nprobe/nlist of the corpus in
+    * probed coarse lists); PQ bounds WHAT scoring costs (m byte-code
+    * lookups against an 8-byte vector instead of a 64-float dot
+    * product, 32× less state hot). Exact cosine then re-ranks only the
+    * shortlist. Every join is an equi-join on cid or a broadcast of
+    * query-sized sides; the corpus is never shuffled.
+    */
+  def annIvfPqOn(e: DataFrame, nlist: Int = 16, nprobe: Int = 4,
+                 m: Int = 8, ksub: Int = 16, shortlist: Int = 100,
+                 nQueries: Int = NQueries, k: Int = K, iters: Int = 2): DataFrame = {
+    val cents = hashDrawCentroids(e, nlist)
+    val (codebook, codes) = pqIndex(e, m, ksub, iters)
+    // the IVFPQ index: (cid, vec_id, codes) — coarse list + byte codes
+    val corpusIdx = coarseAssign(cents, e.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", 1)
+      .select("vec_id", "cid")
+      .join(codes, "vec_id")
+    val probes = coarseAssign(cents,
+        e.where(col("vec_id") < nQueries)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        "q_id", "q_vec", nprobe)
+      .select("q_id", "cid")
+    val lut = pqLut(e, codebook, nQueries, m)
+    val pairs = corpusIdx.join(broadcast(probes), Seq("cid"))
+      .where(col("vec_id") =!= col("q_id"))
+      .join(broadcast(lut), "q_id")
+    adcRerank(e, pairs, m, ksub, shortlist, nQueries, k)
+  }
+
+  def s06AnnIvfPq(s: SparkSession, dir: String): DataFrame =
+    annIvfPqOn(emb(s, dir))
+
+  /** Per-query ADC table: lut[sub*ksub + code] = q_sub · centroid —
+    * ksub·m tiny dot products per query, never corpus work. array_sort
+    * on (sub, code, ip) structs orders lexicographically, so position
+    * sub*ksub+code indexes the flattened table.
+    */
+  private def pqLut(e: DataFrame, codebook: DataFrame, nQueries: Int, m: Int): DataFrame =
+    pqSubvecs(pqNormalize(e.where(col("vec_id") < nQueries))
+        .withColumnRenamed("vec_id", "q_id"), "q_id", m)
       .join(broadcast(codebook), "sub")
       .withColumn("ip",
         aggregate(zip_with(col("svec"), col("c_vec"), (x, y) => x * y),
@@ -219,18 +267,19 @@ object Ann {
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("code"), col("ip")))),
         x => x.getField("ip")).as("lut"))
 
-    // ADC scan: m lookups per (vector, query), codes only, then the
-    // bounded-heap shortlist.
-    val adc = codes.crossJoin(broadcast(lut))
-      .where(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", expr(
+  /** Shared PQ scoring tail over (q_id, vec_id, codes, lut) pairs: ADC
+    * (m lookups per pair, codes only) → bounded-heap shortlist → exact
+    * cosine re-rank joining the float vectors back for the shortlist
+    * alone (broadcast of k'·queries rows over the corpus scan).
+    */
+  private def adcRerank(e: DataFrame, pairs: DataFrame, m: Int, ksub: Int,
+                        shortlist: Int, nQueries: Int, k: Int): DataFrame = {
+    import graft.plans.TopK
+    val adc = pairs.withColumn("cos", expr(
         s"aggregate(sequence(0, ${m - 1}), 0D, (acc, i) -> acc + element_at(lut, i*$ksub + element_at(codes, i+1) + 1))"))
       .select("q_id", "vec_id", "cos")
     val short = TopK.perGroup(adc, Seq("q_id"), Seq(("cos", false), ("vec_id", true)), shortlist)
       .select("q_id", "vec_id")
-
-    // exact re-rank: only the shortlist touches float vectors again —
-    // broadcast it over the corpus scan (k'·queries rows).
     val q = e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     topKPerQuery(
@@ -240,9 +289,6 @@ object Ann {
         .withColumn("cos", cosine_sim(col("embedding"), col("q_vec"))),
       k)
   }
-
-  def s05AnnPq(s: SparkSession, dir: String): DataFrame =
-    annPqOn(emb(s, dir))
 
   /** L2-normalized float vectors (inner product == cosine thereafter). */
   private def pqNormalize(e: DataFrame): DataFrame = {
@@ -381,7 +427,8 @@ object Ann {
     "s02_ann_lsh" -> ((s, dir) => s02AnnLsh(s, dir)),
     "s03_ann_ivf" -> ((s, dir) => s03AnnIvf(s, dir)),
     "s04_centroid_agg" -> s04CentroidAgg _,
-    "s05_ann_pq" -> s05AnnPq _)
+    "s05_ann_pq" -> s05AnnPq _,
+    "s06_ann_ivfpq" -> s06AnnIvfPq _)
 
   /** s02 is rows-only: its result depends on the LSH bucketing, which is
     * not SQL-expressible; AnnSpec holds its recall gate.

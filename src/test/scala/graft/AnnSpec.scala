@@ -166,6 +166,28 @@ class AnnSpec extends AnyFunSuite {
     info(f"PQ scan payload: $m bytes/vector vs ${4 * 64} — ${4 * 64 / m}x compression")
   }
 
+  test("IVFPQ on a clustered corpus: composed pruning keeps recall@10 >= 0.8") {
+    val e = clusteredCorpus
+    val exact = sets(Ann.annExactOn(e))
+    val ivfpq = sets(Ann.annIvfPqOn(e))
+    val recalls = exact.map { case (q, truth) =>
+      (ivfpq.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    info(f"clustered corpus IVFPQ (nprobe 4/16 lists x 8-byte codes, " +
+      f"shortlist 100/$clusteredN): recall@10 $meanRecall%.3f")
+    assert(meanRecall >= 0.8, f"IVFPQ recall@10 $meanRecall%.3f < 0.8")
+
+    // re-rank scores are exact cosine (same invariant as s02/s05)
+    val exactScore = Ann.annExactOn(e).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    Ann.annIvfPqOn(e).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .foreach { case (q, n, sc) =>
+        exactScore.get((q, n)).foreach(es => assert(es == sc, s"score mismatch for ($q,$n)"))
+      }
+  }
+
   test("s01 exact: self is excluded and ranks are dense per query") {
     val rows = Ann.s01AnnBruteforce(spark, dir).collect()
     assert(rows.forall(r => r.getLong(0) != r.getLong(2)), "self-match leaked")

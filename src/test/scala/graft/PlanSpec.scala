@@ -95,7 +95,7 @@ class PlanSpec extends AnyFunSuite {
     // s05's one legitimate Window is the ksub-row codebook init (below
     // both TopK tails); its ADC scan and exact re-rank must still drain
     // rank from the heap.
-    for (name <- Seq("s01_ann_bruteforce", "s02_ann_lsh", "s03_ann_ivf", "s05_ann_pq")) {
+    for (name <- Seq("s01_ann_bruteforce", "s02_ann_lsh", "s03_ann_ivf", "s05_ann_pq", "s06_ann_ivfpq")) {
       val p = plan(name)
       assert(p.contains("TopKPerGroupPartial"),
         s"$name: scored rows must hit the map-side heap before shuffling: " + p)
