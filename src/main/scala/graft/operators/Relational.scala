@@ -347,10 +347,38 @@ object Relational {
       .orderBy("l_suppkey", "day", "l_orderkey", "l_linenumber")
   }
 
+  /** B32: calendar gap-fill + forward fill — the time-series resample
+    * shape (absent days materialized, counts zero-filled, last-known
+    * value carried forward). The grid is a `sequence` explode per key
+    * (no driver loop — |keys|·days rows generated executor-side), the
+    * align is an equi-join on (key, day), and the fill is
+    * `last(ignoreNulls)` over a per-key ordered window: one shuffle on
+    * the key, all streaming within sorted partitions — the shape holds
+    * with a million keys × ten years of days.
+    */
+  def q37GapFill(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "lineitem")
+      .where(col("l_suppkey") < 5 &&
+        col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-04-01"))
+      .groupBy(col("l_suppkey"), col("l_shipdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("rev"))
+    val grid = daily.select("l_suppkey").distinct()
+      .select(col("l_suppkey"),
+        explode(expr("sequence(DATE'1996-01-01', DATE'1996-03-31', interval 1 day)")).as("day"))
+    val w = Window.partitionBy("l_suppkey").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("l_suppkey", "day"), "left")
+      .select(col("l_suppkey"), col("day").cast("string").as("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(last(col("rev"), ignoreNulls = true).over(w), lit(0.0)).as("last_rev"))
+      .orderBy("l_suppkey", "day")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg" -> q01Agg _,
     "q35_setops" -> q35SetOps _,
     "q36_window_frames" -> q36WindowFrames _,
+    "q37_gapfill" -> q37GapFill _,
     "q02_filter_project" -> q02FilterProject _,
     "q03_join_flagship" -> q03JoinFlagship _,
     "q04_join_broadcast" -> q04JoinBroadcast _,
@@ -401,6 +429,25 @@ object Relational {
         |  ORDER BY date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)),
         |    l_orderkey, l_linenumber)
         |ORDER BY l_suppkey, day, l_orderkey, l_linenumber""".stripMargin,
+    "q37_gapfill" ->
+      """WITH daily AS (
+        |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
+        |    count(*) AS n, round(sum(l_extendedprice), 2) AS rev
+        |  FROM lineitem
+        |  WHERE l_suppkey < 5 AND l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        |  GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT s.l_suppkey, CAST(g.day AS DATE) AS day
+        |  FROM (SELECT DISTINCT l_suppkey FROM daily) s,
+        |       UNNEST(generate_series(DATE '1996-01-01', DATE '1996-03-31', INTERVAL 1 DAY)) AS g(day)
+        |)
+        |SELECT g.l_suppkey, CAST(g.day AS VARCHAR) AS day,
+        |  coalesce(d.n, 0) AS n,
+        |  coalesce(last_value(d.rev IGNORE NULLS) OVER (
+        |    PARTITION BY g.l_suppkey ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS last_rev
+        |FROM grid g LEFT JOIN daily d ON g.l_suppkey = d.l_suppkey AND g.day = d.day
+        |ORDER BY 1, 2""".stripMargin,
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,
