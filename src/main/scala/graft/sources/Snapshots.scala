@@ -341,6 +341,15 @@ class Snapshots(s: SparkSession, root: String) {
              statsCols: Seq[String] = Nil): Long = {
     tag.foreach(t => require(t.matches("[A-Za-z0-9_-]+"),
       s"append tag '$t' must be [A-Za-z0-9_-]+ (it names a directory)"))
+    // schema drift guard: a multi-path parquet read takes ONE schema, so
+    // a batch whose columns diverge from the table would silently read
+    // back with dropped or null columns — fail at the append instead.
+    currentVersion.map(readManifest).flatMap(_.get(table)).foreach { rel =>
+      val existing = s.read.parquet(absPaths(rel).head).schema.fieldNames.toSeq
+      require(df.schema.fieldNames.toSeq == existing,
+        s"append schema ${df.schema.fieldNames.mkString(",")} != table '$table' schema " +
+          s"${existing.mkString(",")} — evolve via a full commit(), not append()")
+    }
     var attempt = currentVersion.getOrElse(0L) + 1
     var written: Option[String] = None // data written once; races re-merge the manifest only
     for (_ <- 1 to MaxAttempts) {

@@ -272,6 +272,10 @@ class TxnSpec extends AnyFunSuite {
     // append to a table that does not exist yet creates it
     snap.append("fresh", Seq((1L, 1.0)).toDF("id", "v"))
     assert(snap.read("fresh").count() == 1L)
+    // schema drift fails loudly instead of silently corrupting reads
+    intercept[IllegalArgumentException] {
+      snap.append("a", Seq((1L, 1.0, "x")).toDF("id", "v", "extra"))
+    }
     // compaction folds the accumulated append dirs back into one
     snap.compact("a", targetBytes = 1L << 20, sortCol = Some("id"))
     assert(snap.read("a").count() == 120L)
