@@ -202,10 +202,104 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------------- m04
+  // Frame sampling over a VIDEO container — the remaining multimodal
+  // verb from the build brief ("decode / feature-extract / resize /
+  // frame-sample"), with a REAL parser like m03's: the container is a
+  // tiny declared format (`VID1\n<nframes> <fps>\n` + that many binary
+  // PPM frames back to back), and the sampler must WALK the frames by
+  // parsing each frame's own header to learn its byte length (real
+  // stride work — an off-by-one desyncs every later frame and the
+  // closed-form oracle catches it).
+
+  case class DecodedVideo(doc_id: Long, n_frames: Int, n_sampled: Int,
+                          width: Int, height: Int,
+                          avg_r: Double, avg_g: Double, avg_b: Double)
+
+  /** VID1 container encoder — the test-feed generator. Frame colors
+    * vary per frame index so sampling the wrong frames changes the
+    * averages.
+    */
+  def vidBytes(id: Long): Array[Byte] = {
+    val w = 8 + (id % 8).toInt
+    val h = 8 + (id % 5).toInt
+    val nf = 4 + (id % 5).toInt
+    val header = s"VID1\n$nf 10\n".getBytes("US-ASCII")
+    header ++ (0 until nf).toArray.flatMap { f =>
+      val c = ((id + f * 31) % 256).toInt
+      ppmBytes(w, h, c, (c + 85) % 256, (c + 170) % 256)
+    }
+  }
+
+  /** Parse the VID1 container and decode every `every`-th frame: walk
+    * the concatenated PPM frames by parsing each frame's own header
+    * (dimensions → stride → frame byte length), slice the sampled ones
+    * and reuse [[decodePpm]]; feature = per-channel means averaged over
+    * the SAMPLED frames.
+    */
+  def sampleFrames(docId: Long, payload: Array[Byte], every: Int): DecodedVideo = {
+    var pos = 0
+    def line(): String = {
+      val start = pos
+      while (payload(pos) != '\n') pos += 1
+      pos += 1
+      new String(payload, start, pos - 1 - start, "US-ASCII")
+    }
+    require(line() == "VID1", "not a VID1 container")
+    val Array(nf, _) = line().split(" ").map(_.toInt)
+    var (sr, sg, sb) = (0.0, 0.0, 0.0)
+    var sampled = 0
+    var (w, h) = (0, 0)
+    for (f <- 0 until nf) {
+      // each frame's length comes from ITS header: "P6\n<w> <h>\n255\n"
+      val headEnd = {
+        var p = pos; var nl = 0
+        while (nl < 3) { if (payload(p) == '\n') nl += 1; p += 1 }
+        p
+      }
+      val head = new String(payload, pos, headEnd - pos, "US-ASCII").split("\\s+")
+      require(head(0) == "P6", s"frame $f is not a P6 frame")
+      val (fw, fh) = (head(1).toInt, head(2).toInt)
+      val frameLen = (headEnd - pos) + fw * fh * 3
+      if (f % every == 0) {
+        val img = decodePpm(docId, java.util.Arrays.copyOfRange(payload, pos, pos + frameLen))
+        sr += img.mean_r; sg += img.mean_g; sb += img.mean_b
+        sampled += 1; w = fw; h = fh
+      }
+      pos += frameLen
+    }
+    DecodedVideo(docId, nf, sampled, w, h, sr / sampled, sg / sampled, sb / sampled)
+  }
+
+  /** C26 `m04_frame_sample`: synthesize one VID1 container per doc
+    * (closed forms of doc_id), then frame-sample every 2nd frame in
+    * batched partition passes — the m02/m03 batch shape with the
+    * container walk done for real. The DuckDB oracle recomputes the
+    * sampled-frame averages from the closed forms, so a frame-walk
+    * desync or wrong sampling stride hash-mismatches.
+    */
+  def m04FrameSample(s: SparkSession, dir: String, every: Int = 2,
+                     batchSize: Int = 64): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id")).as[Long]
+      .map(id => Media(id, vidBytes(id)))
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map(m =>
+        sampleFrames(m.doc_id, m.payload, every))))
+      .toDF()
+      .select(col("doc_id"),
+        col("n_frames").cast("long").as("n_frames"),
+        col("n_sampled").cast("long").as("n_sampled"),
+        col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+        round(col("avg_r"), 4).as("avg_r"), round(col("avg_g"), 4).as("avg_g"),
+        round(col("avg_b"), 4).as("avg_b"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_multimodal_meta" -> m01MultimodalMeta _,
     "m02_decode_batch" -> ((s, dir) => m02DecodeBatch(s, dir)),
-    "m03_decode_image" -> ((s, dir) => m03DecodeImage(s, dir)))
+    "m03_decode_image" -> ((s, dir) => m03DecodeImage(s, dir)),
+    "m04_frame_sample" -> ((s, dir) => m04FrameSample(s, dir)))
 
   /** m02 is rows-only (the stub decode isn't SQL-expressible);
     * MultimodalSpec checks determinism, schema and batch shape.
@@ -213,6 +307,21 @@ object Multimodal {
     * Spark side must recover it by actually parsing payload bytes.
     */
   val oracles: Map[String, String] = Map(
+    "m04_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, CAST(4 + doc_id % 5 AS BIGINT) AS n_frames FROM documents
+        |), s AS (
+        |  SELECT d.doc_id, d.n_frames, g.f
+        |  FROM f d, UNNEST(generate_series(0, CAST(d.n_frames - 1 AS INT))) AS g(f)
+        |  WHERE g.f % 2 = 0
+        |)
+        |SELECT doc_id, n_frames, CAST(count(*) AS BIGINT) AS n_sampled,
+        |  CAST(8 + doc_id % 8 AS BIGINT) AS width,
+        |  CAST(8 + doc_id % 5 AS BIGINT) AS height,
+        |  round(avg(CAST((doc_id + f * 31) % 256 AS DOUBLE)), 4) AS avg_r,
+        |  round(avg(CAST((doc_id + f * 31 + 85) % 256 AS DOUBLE)), 4) AS avg_g,
+        |  round(avg(CAST((doc_id + f * 31 + 170) % 256 AS DOUBLE)), 4) AS avg_b
+        |FROM s GROUP BY doc_id, n_frames ORDER BY doc_id""".stripMargin,
     "m03_decode_image" ->
       """SELECT doc_id,
         |  CAST(16 + doc_id % 32 AS BIGINT) AS width,

@@ -52,6 +52,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(Multimodal.decodeWav(3L, Multimodal.wavBytes(8000, sq)).rms - 500.0) < 1e-9)
   }
 
+  test("VID1 frame walk: sampling stride, per-frame colors, and malformed containers") {
+    val id = 13L // nf = 4 + 13%5 = 7 frames, w = 8+13%8 = 13, h = 8+13%5 = 11
+    val vid = Multimodal.vidBytes(id)
+    val half = Multimodal.sampleFrames(id, vid, every = 2)
+    assert(half.n_frames == 7 && half.n_sampled == 4) // frames 0,2,4,6
+    assert(half.width == 13 && half.height == 11)
+    val expR = Seq(0, 2, 4, 6).map(f => ((id + f * 31) % 256).toDouble).sum / 4
+    assert(math.abs(half.avg_r - expR) < 1e-9, s"${half.avg_r} vs $expR")
+    // every=1 walks ALL frames — any stride desync shifts later frames
+    val full = Multimodal.sampleFrames(id, vid, every = 1)
+    assert(full.n_sampled == 7)
+    val expAllG = (0 until 7).map(f => ((id + f * 31 + 85) % 256).toDouble).sum / 7
+    assert(math.abs(full.avg_g - expAllG) < 1e-9)
+    // corrupted container magic must be rejected, not mis-walked
+    val bad = vid.clone(); bad(0) = 'X'.toByte
+    intercept[IllegalArgumentException](Multimodal.sampleFrames(id, bad, 2))
+  }
+
   test("m01 metadata: ascii corpus has byte_len == char_len and 8-hex header") {
     val rows = Multimodal.m01MultimodalMeta(spark, TestSpark.sfTest).collect()
     rows.foreach { r =>
