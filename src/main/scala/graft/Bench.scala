@@ -32,7 +32,7 @@ object Bench {
     "d06_dedup_incremental", "d07_dedup_clusters", "d08_dedup_incremental_ngram",
     "t11_repetition", "st05_stream_outer_join",
     "d05_dedup_embedding", "s01_ann_bruteforce", "s02_ann_lsh", "s05_ann_pq", "s06_ann_ivfpq",
-    "q35_setops", "q36_window_frames", "q37_gapfill",
+    "q35_setops", "q36_window_frames", "q37_gapfill", "q38_json",
     "t02_quality_score", "t04_fingerprint", "m02_decode_batch", "m03_decode_image", "m04_frame_sample",
     "q25_typed_decode", "q31_typed_wide", "q32_weighted_avg", "c04_snapshot_read",
     "c05_stats_pruned_read", "c06_delete_where", "c07_update_where",

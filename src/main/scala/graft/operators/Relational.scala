@@ -374,11 +374,31 @@ object Relational {
       .orderBy("l_suppkey", "day")
   }
 
+  /** B33: JSON column processing — the events stream carries a JSON
+    * `props` payload (the shape every tracking pipeline has). `from_json`
+    * with an explicit schema parses it ONCE into a typed struct column
+    * (scan-side, no UDF, null on malformed input), and the aggregate
+    * runs over the extracted field. At 100 TB the rule is: parse once
+    * into typed columns at ingest, never re-extract per expression —
+    * exactly what this operator's shape does.
+    */
+  def q38Json(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("j", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")))
+      .withColumn("k", col("j.k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"),
+        sum(when(col("k") % 2 === 0, 1L).otherwise(0L)).as("n_even"))
+      .orderBy("event_type")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg" -> q01Agg _,
     "q35_setops" -> q35SetOps _,
     "q36_window_frames" -> q36WindowFrames _,
     "q37_gapfill" -> q37GapFill _,
+    "q38_json" -> q38Json _,
     "q02_filter_project" -> q02FilterProject _,
     "q03_join_flagship" -> q03JoinFlagship _,
     "q04_join_broadcast" -> q04JoinBroadcast _,
@@ -448,6 +468,17 @@ object Relational {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS last_rev
         |FROM grid g LEFT JOIN daily d ON g.l_suppkey = d.l_suppkey AND g.day = d.day
         |ORDER BY 1, 2""".stripMargin,
+    "q38_json" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events
+        |)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(min(k) AS BIGINT) AS min_k,
+        |  CAST(max(k) AS BIGINT) AS max_k,
+        |  CAST(sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,
