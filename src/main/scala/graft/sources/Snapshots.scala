@@ -39,6 +39,18 @@ class Snapshots(s: SparkSession, root: String) {
   private def commitDir = new Path(root, "_commits")
   private def commitPath(v: Long) = new Path(commitDir, f"$v%020d.manifest")
 
+  /** Writer-unique staging prefix. The manifest create-exclusive is the
+    * protocol's ONLY serialization point — but if two writers racing
+    * version N staged data under the same `vN/table` directory, the
+    * loser's overwrite could clobber the winner's ALREADY-PUBLISHED
+    * data (manifest says A's commit, bytes are B's). Writer-unique dir
+    * names make staging collisions impossible by construction; the
+    * loser's orphaned dir is ordinary vacuum food.
+    */
+  private val writerId =
+    java.lang.Long.toHexString(new java.security.SecureRandom().nextLong() | (1L << 62))
+  private def stageRel(attempt: Long, name: String): String = s"v$attempt-$writerId/$name"
+
   /** Newest committed version, if any commit exists. */
   def currentVersion: Option[Long] = {
     if (!fs.exists(commitDir)) return None
@@ -126,7 +138,7 @@ class Snapshots(s: SparkSession, root: String) {
     var attempt = currentVersion.getOrElse(0L) + 1
     for (_ <- 1 to MaxAttempts) {
       val written = tables.map { case (name, df) =>
-        val rel = s"v$attempt/$name"
+        val rel = stageRel(attempt, name)
         df.write.mode("overwrite").parquet(s"$root/$rel")
         statsCols.get(name).filter(_.nonEmpty).foreach { cols =>
           FileStats.writeSidecar(fs, new Path(s"$root/$rel"),
@@ -360,7 +372,7 @@ class Snapshots(s: SparkSession, root: String) {
       }
       if (dupe) return currentVersion.get
       val rel = written.getOrElse {
-        val r = s"v$attempt/$table" + tag.fold("")(t => s"@$t")
+        val r = stageRel(attempt, table) + tag.fold("")(t => s"@$t")
         df.write.mode("overwrite").parquet(s"$root/$r")
         if (statsCols.nonEmpty)
           FileStats.writeSidecar(fs, new Path(s"$root/$r"),
@@ -421,7 +433,7 @@ class Snapshots(s: SparkSession, root: String) {
       if (cur(table) != baseRel)
         throw new java.util.ConcurrentModificationException(
           s"$table re-pointed ${cur(table)} != $baseRel during $what; re-run")
-      val rel = s"v$attempt/$table"
+      val rel = stageRel(attempt, table)
       rewritten.write.mode("overwrite").parquet(s"$root/$rel")
       // an all-filtered write partition leaves a rowless file that stats
       // could never prune — drop them so repeat passes converge
@@ -494,7 +506,7 @@ class Snapshots(s: SparkSession, root: String) {
       if (cur(table) != baseRel)
         throw new java.util.ConcurrentModificationException(
           s"$table re-pointed ${cur(table)} != $baseRel during compaction; re-run")
-      val rel = s"v$attempt/$table"
+      val rel = stageRel(attempt, table)
       packed.write.mode("overwrite").parquet(s"$root/$rel")
       if (statsCols.nonEmpty)
         FileStats.writeSidecar(fs, new Path(s"$root/$rel"),
@@ -569,7 +581,7 @@ class Snapshots(s: SparkSession, root: String) {
     val cutoff = System.currentTimeMillis() - minAgeMs
     val rootPath = new Path(root)
     val candidates = fs.listStatus(rootPath)
-      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+(-[0-9a-f]+)?"))
       .flatMap { vd =>
         fs.listStatus(vd.getPath).filter(_.isDirectory).filter { td =>
           val rel = s"${vd.getPath.getName}/${td.getPath.getName}"
@@ -595,7 +607,7 @@ class Snapshots(s: SparkSession, root: String) {
     // loose marker files (a partitioned stage's _SUCCESS) — it is spent
     // once no DIRECTORY remains; the age guard spares in-flight writers
     fs.listStatus(rootPath)
-      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+(-[0-9a-f]+)?"))
       .foreach { vd =>
         if (vd.getModificationTime <= cutoff &&
             fs.listStatus(vd.getPath).forall(st => !st.isDirectory))
