@@ -258,9 +258,32 @@ object TextOps {
         (col("rep_ratio") > 0.15).cast("long").as("flag_repetitive"))
       .orderBy("doc_id")
 
+  /** C27 t12: language-model quality scoring — the CCNet-style LM
+    * filter (score each document by its average token log-probability;
+    * out-of-domain/garbage text scores low). The "model" is a unigram
+    * count table over the corpus — at 100 TB a materialized table
+    * maintained like any aggregate — and scoring is one equi-join of
+    * exploded tokens against it plus a per-doc average: linear shuffle
+    * on the token, no driver-side state. ln() on identical rational
+    * doubles agrees across engines to the last ulp; the 6-decimal
+    * round absorbs summation order.
+    */
+  def t12LmScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokenized(s, dir).select(col("doc_id"), explode(col("toks")).as("w"))
+    val counts = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum("c").as("total"))
+    toks.join(counts, "w")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("c") / col("total"))), 6).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t09_decontaminate" -> ((s, dir) => t09Decontaminate(s, dir)),
     "t11_repetition" -> t11Repetition _,
+    "t12_lm_score" -> t12LmScore _,
     "t10_pii_scrub" -> t10PiiScrub _,
     "t01_lang_id" -> t01LangId _,
     "t02_quality_score" -> t02QualityScore _,
@@ -275,6 +298,18 @@ object TextOps {
     stops.map(s => s"'$s'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "t12_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+        |), counts AS (
+        |  SELECT w, count(*) AS c FROM toks GROUP BY 1
+        |), tot AS (
+        |  SELECT sum(c) AS total FROM counts
+        |)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(avg(ln(c / CAST(total AS DOUBLE))), 6) AS avg_logp
+        |FROM toks JOIN counts USING (w), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t11_repetition" ->
       s"""WITH d AS (
          |  SELECT doc_id,
