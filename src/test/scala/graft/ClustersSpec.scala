@@ -28,6 +28,16 @@ class ClustersSpec extends AnyFunSuite {
     assert(cc.values.toSet == Set(0L), s"chain did not collapse: $cc")
   }
 
+  test("cycle and barbell graphs collapse to their minima") {
+    // a cycle propagates the min in both directions simultaneously
+    val cycle = (0L until 12L).map(i => (i, (i + 1) % 12))
+    assert(components(cycle).values.toSet == Set(0L))
+    // two cycles bridged by one edge — the bridge must merge them
+    val barbell = cycle ++ (20L until 32L).map(i => (i, if (i == 31L) 20L else i + 1)) ++ Seq((5L, 25L))
+    val cc = components(barbell)
+    assert(cc.values.toSet == Set(0L), s"bridged cycles did not merge: $cc")
+  }
+
   test("separate components stay separate; isolated vertices are absent") {
     val cc = components(Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 20L)))
     assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L)

@@ -249,6 +249,22 @@ class TxnSpec extends AnyFunSuite {
     assert(snap.read("a").count() == 549L)
   }
 
+  test("two writers on one root stage into disjoint dirs (racing-clobber impossible)") {
+    val root = Files.createTempDirectory("txn").toString + "/t"
+    val a = new Snapshots(spark, root)
+    val b = new Snapshots(spark, root)
+    val va = a.commit(Map("t" -> df(1L -> 1.0)))
+    val vb = b.commit(Map("t" -> df(2L -> 2.0)))
+    // both versions readable with each writer's own data — and their
+    // data directories are disjoint BY NAME, so even a true race could
+    // not have cross-clobbered staged bytes
+    assert(a.read("t", Some(va)).select("id").head.getLong(0) == 1L)
+    assert(a.read("t", Some(vb)).select("id").head.getLong(0) == 2L)
+    val fa = a.read("t", Some(va)).inputFiles.toSet
+    val fb = b.read("t", Some(vb)).inputFiles.toSet
+    assert(fa.intersect(fb).isEmpty, "writers shared a staging directory")
+  }
+
   test("append publishes O(batch): existing files re-referenced, tags make replays no-ops") {
     val sp = spark
     import sp.implicits._
