@@ -34,6 +34,7 @@ object Bench {
     "d05_dedup_embedding", "s01_ann_bruteforce", "s02_ann_lsh", "s05_ann_pq", "s06_ann_ivfpq",
     "q35_setops", "q36_window_frames", "q37_gapfill", "q38_json",
     "t02_quality_score", "t04_fingerprint", "m02_decode_batch", "m03_decode_image", "m04_frame_sample",
+    "m05_gif_frames",
     "q25_typed_decode", "q31_typed_wide", "q32_weighted_avg", "c04_snapshot_read",
     "c05_stats_pruned_read", "c06_delete_where", "c07_update_where",
     "q33_profile", "q34_histogram")

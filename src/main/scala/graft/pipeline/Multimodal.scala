@@ -2,18 +2,30 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.Kernels
 
 /** Multimodal plumbing (SURVEY §2 C12-C13): opaque binary payload
-  * columns with typed metadata, and a batched decode/feature-extract
-  * pass.
+  * columns with typed metadata, and batched decode/feature-extract
+  * passes.
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * clearly-marked deterministic STUB ([[Multimodal.fakeDecode]]); the
-  * Spark-side contract — binary column schema, batch shape, partition
-  * parallelism, typed output — is real and tested (MultimodalSpec).
+  * Every decode kernel is REAL: compressed formats (PNG/JPEG/GIF) go
+  * through the JDK's `javax.imageio.ImageIO` codecs (`java.desktop`
+  * module — no external library needed), and the uncompressed formats
+  * (PPM, WAV, the VID1 frame container) are parsed byte-by-byte in
+  * pure Scala. The Spark-side contract — binary column schema, batch
+  * shape, partition parallelism, typed output — is the same across
+  * all of them and is what any further codec drop-in inherits.
   */
 object Multimodal {
+
+  /** One-time ImageIO setup per executor JVM: headless AWT (no display
+    * in a cluster container) and no disk cache (ImageIO otherwise spools
+    * every stream through a temp file — pure overhead for in-memory
+    * byte-array payloads and a /tmp-churn hazard at task counts).
+    */
+  private lazy val imageIoReady: Unit = {
+    System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+  }
 
   /** C12: binary payload + typed metadata extraction. The corpus text is
     * encoded as the opaque `binary` payload (stand-in for image/audio
@@ -36,62 +48,105 @@ object Multimodal {
       .orderBy("doc_id")
 
   case class Media(doc_id: Long, payload: Array[Byte])
-  case class Decoded(doc_id: Long, width: Int, height: Int, n_frames: Int,
-                     frame_feats: Array[Double])
+  case class DecodedCodec(doc_id: Long, format: String, width: Int, height: Int,
+                          mean_r: Double, mean_g: Double, mean_b: Double)
 
-  /** STUB decode kernel — stands in for a real image/video codec
-    * (libjpeg/ffmpeg are not in this container). Deterministic in the
-    * payload bytes so results are reproducible across executors and
-    * retries; the real implementation would decode `payload` and emit
-    * true (width, height, frames, features) with this exact signature.
+  /** PNG encoder — the m02 test-feed generator. The image is a closed
+    * form of doc_id with per-axis gradients (row gradient on R, column
+    * gradient on G, constant B), so a decoder that transposes axes,
+    * mis-strides rows, or swaps channels produces wrong means. Bases are
+    * capped at 199 and dims at 47 so no channel ever wraps past 255 —
+    * keeping the expected means exact half-integers the oracle can
+    * recompute.
     */
-  def fakeDecode(m: Media): Decoded = {
-    val h = Kernels.hash64(m.payload)
-    val width = 16 + ((h & 0xff).toInt * 4)            // 16..1036 px
-    val height = 16 + (((h >>> 8) & 0xff).toInt * 4)
-    val nFrames = 1 + (((h >>> 16) & 0x7) .toInt)      // 1..8 frames
-    val feats = Array.tabulate(nFrames) { f =>
-      // per-frame feature in [0, 1): avalanche of (payload hash, frame idx)
-      (Kernels.mix64(h + f) >>> 11).toDouble / (1L << 53).toDouble
+  def pngBytes(id: Long): Array[Byte] = {
+    imageIoReady
+    val w = 16 + (id % 32).toInt
+    val h = 16 + (id * 7 % 32).toInt
+    val (rb, gb, bb) = ((id % 200).toInt, (id * 3 % 200).toInt, (id * 7 % 200).toInt)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((rb + y) << 16) | ((gb + x) << 8) | bb)
+        x += 1
+      }
+      y += 1
     }
-    Decoded(m.doc_id, width, height, nFrames, feats)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
-  /** C13: batched decode pass. mapPartitions + grouped(batchSize) is the
-    * Scala analog of mapInPandas: the codec amortizes per-batch setup
-    * (model load, GPU transfer) over `batchSize` rows while holding at
-    * most one batch in memory per task — partition-parallel, bounded
-    * memory, no driver involvement. Output is a typed Dataset[Decoded]
-    * (full Encoder round-trip for the nested array column).
+  /** REAL compressed-image decode via the JDK's ImageIO codecs
+    * (PNG/JPEG/GIF/BMP — `java.desktop` ships them; no external
+    * library). Sniffs the container from the payload's magic bytes,
+    * decodes the full raster, and reduces to per-channel means. PNG is
+    * lossless, so for PNG payloads the means are EXACTLY recoverable
+    * and oracle-checkable; JPEG decodes with codec-defined rounding
+    * (spec-checked with tolerance instead).
+    */
+  def decodeImage(docId: Long, payload: Array[Byte]): DecodedCodec = {
+    imageIoReady
+    val format =
+      if (payload.length > 8 && (payload(0) & 0xff) == 0x89 && payload(1) == 'P') "png"
+      else if (payload.length > 2 && (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8) "jpeg"
+      else if (payload.length > 4 && payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F') "gif"
+      else "unknown"
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"payload of doc $docId is not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var i = 0
+    while (i < rgb.length) {
+      val p = rgb(i)
+      sr += (p >>> 16) & 0xff; sg += (p >>> 8) & 0xff; sb += p & 0xff
+      i += 1
+    }
+    val n = (w.toLong * h).toDouble
+    DecodedCodec(docId, format, w, h, sr / n, sg / n, sb / n)
+  }
+
+  /** C13 `m02_decode_batch`: batched REAL compressed-image decode.
+    * mapPartitions + grouped(batchSize) is the Scala analog of
+    * mapInPandas: the codec amortizes per-batch setup over `batchSize`
+    * rows while holding at most one batch in memory per task —
+    * partition-parallel, bounded memory, no driver involvement. The
+    * payloads are genuine PNG files (closed forms of doc_id) and the
+    * kernel genuinely inflates them through the JDK's PNG codec; since
+    * PNG is lossless, the DuckDB oracle recomputes the gradient means
+    * exactly, and any axis/stride/channel decode bug hash-mismatches.
     */
   def m02DecodeBatch(s: SparkSession, dir: String, batchSize: Int = 64): DataFrame = {
     import s.implicits._
-    docs(s, dir)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[Media]
+    docs(s, dir).select(col("doc_id")).as[Long]
+      .map(id => Media(id, pngBytes(id)))
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
-          // batch boundary: a real codec would decode these `batch.size`
-          // payloads in one vectorized call.
-          batch.iterator.map(fakeDecode)
+          // batch boundary: a vectorized codec would decode these
+          // `batch.size` payloads in one call.
+          batch.iterator.map(m => decodeImage(m.doc_id, m.payload))
         }
       }
       .toDF()
-      .select(col("doc_id"), col("width").cast("long").as("width"),
+      .select(col("doc_id"), col("format"),
+        col("width").cast("long").as("width"),
         col("height").cast("long").as("height"),
-        col("n_frames").cast("long").as("n_frames"),
-        round(aggregate(col("frame_feats"), lit(0.0), (acc, x) => acc + x), 6)
-          .as("feat_sum"))
+        round(col("mean_r"), 4).as("mean_r"),
+        round(col("mean_g"), 4).as("mean_g"),
+        round(col("mean_b"), 4).as("mean_b"))
       .orderBy("doc_id")
   }
 
   // ------------------------------------------------------------- m03
-  // A REAL decode kernel: binary PPM (P6) image parsing in pure Scala.
-  // Uncompressed formats (PPM/PGM images, WAV audio) need no codec
-  // library, so for them the decode step is genuine — header parse,
-  // stride math, pixel/sample statistics over the actual payload
-  // bytes. The fakeDecode stub above remains only for codec formats
-  // (JPEG/PNG/MP4) that need libraries this container lacks.
+  // A second real decode kernel, this one with NO codec library at
+  // all: binary PPM (P6) image parsing in pure Scala — header parse,
+  // stride math, pixel/sample statistics straight off the payload
+  // bytes. Where m02 exercises the compressed-format path (inflate
+  // through a codec), m03/m04 exercise the raw-container path a
+  // landing zone of scanner/sensor dumps would use.
 
   case class DecodedImage(doc_id: Long, width: Int, height: Int,
                           mean_r: Double, mean_g: Double, mean_b: Double)
@@ -295,18 +350,136 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------------- m05
+  // m04's compressed twin: the same frame-sampling verb over a REAL
+  // compressed multi-frame container — animated GIF through the JDK's
+  // GIF codec. GIF is palette-based, so solid-color frames round-trip
+  // exactly and the closed-form oracle arithmetic is identical to
+  // m04's (same frame colors, same sampling stride) even though the
+  // bytes now pass through LZW compression.
+
+  /** Animated-GIF encoder — the m05 test-feed generator. Same closed
+    * forms as [[vidBytes]]: nf = 4 + id%5 solid frames, frame f color
+    * (c, c+85, c+170) mod 256 with c = (id + 31f) mod 256.
+    */
+  def gifBytes(id: Long): Array[Byte] = {
+    imageIoReady
+    val w = 8 + (id % 8).toInt
+    val h = 8 + (id % 5).toInt
+    val nf = 4 + (id % 5).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (f <- 0 until nf) {
+      val c = ((id + f * 31) % 256).toInt
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (c << 16) | (((c + 85) % 256) << 8) | ((c + 170) % 256)
+      var y = 0
+      while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  /** Decode an animated GIF and sample every `every`-th frame: the JDK
+    * ImageReader walks the frame sequence (getNumImages forces a full
+    * container scan), each sampled frame's raster reduces to channel
+    * means, and the means average over the SAMPLED frames — m04's
+    * arithmetic over a genuinely compressed container.
+    */
+  def sampleGifFrames(docId: Long, payload: Array[Byte], every: Int): DecodedVideo = {
+    imageIoReady
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    try {
+      reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload)))
+      val nf = reader.getNumImages(true)
+      var (sr, sg, sb) = (0.0, 0.0, 0.0)
+      var sampled = 0
+      var (w, h) = (0, 0)
+      var f = 0
+      while (f < nf) {
+        if (f % every == 0) {
+          val img = reader.read(f)
+          val rgb = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+          var (fr, fg, fb) = (0L, 0L, 0L)
+          var i = 0
+          while (i < rgb.length) {
+            val p = rgb(i)
+            fr += (p >>> 16) & 0xff; fg += (p >>> 8) & 0xff; fb += p & 0xff
+            i += 1
+          }
+          val n = rgb.length.toDouble
+          sr += fr / n; sg += fg / n; sb += fb / n
+          sampled += 1; w = img.getWidth; h = img.getHeight
+        }
+        f += 1
+      }
+      DecodedVideo(docId, nf, sampled, w, h, sr / sampled, sg / sampled, sb / sampled)
+    } finally reader.dispose()
+  }
+
+  /** C28 `m05_gif_frames`: synthesize one animated GIF per doc (closed
+    * forms of doc_id), then frame-sample every 2nd frame through the
+    * JDK GIF codec in batched partition passes. Shares m04's oracle
+    * arithmetic — a frame-walk or palette decode bug hash-mismatches.
+    */
+  def m05GifFrames(s: SparkSession, dir: String, every: Int = 2,
+                   batchSize: Int = 64): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id")).as[Long]
+      .map(id => Media(id, gifBytes(id)))
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map(m =>
+        sampleGifFrames(m.doc_id, m.payload, every))))
+      .toDF()
+      .select(col("doc_id"),
+        col("n_frames").cast("long").as("n_frames"),
+        col("n_sampled").cast("long").as("n_sampled"),
+        col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+        round(col("avg_r"), 4).as("avg_r"), round(col("avg_g"), 4).as("avg_g"),
+        round(col("avg_b"), 4).as("avg_b"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_multimodal_meta" -> m01MultimodalMeta _,
     "m02_decode_batch" -> ((s, dir) => m02DecodeBatch(s, dir)),
     "m03_decode_image" -> ((s, dir) => m03DecodeImage(s, dir)),
-    "m04_frame_sample" -> ((s, dir) => m04FrameSample(s, dir)))
+    "m04_frame_sample" -> ((s, dir) => m04FrameSample(s, dir)),
+    "m05_gif_frames" -> ((s, dir) => m05GifFrames(s, dir)))
 
-  /** m02 is rows-only (the stub decode isn't SQL-expressible);
-    * MultimodalSpec checks determinism, schema and batch shape.
-    * m03's oracle is the closed form of the synthesized images — the
-    * Spark side must recover it by actually parsing payload bytes.
+  /** Every multimodal key is oracle-checked: the oracles are the closed
+    * forms of the synthesized payloads, which the Spark side must
+    * recover by actually decoding bytes (PNG/GIF through the JDK
+    * codecs for m02/m05, pure-Scala parsers for m03/m04).
     */
   val oracles: Map[String, String] = Map(
+    "m02_decode_batch" ->
+      """SELECT doc_id, 'png' AS format,
+        |  CAST(16 + doc_id % 32 AS BIGINT) AS width,
+        |  CAST(16 + (doc_id * 7) % 32 AS BIGINT) AS height,
+        |  round(CAST(doc_id % 200 AS DOUBLE) + (CAST(16 + (doc_id * 7) % 32 AS DOUBLE) - 1) / 2, 4) AS mean_r,
+        |  round(CAST((doc_id * 3) % 200 AS DOUBLE) + (CAST(16 + doc_id % 32 AS DOUBLE) - 1) / 2, 4) AS mean_g,
+        |  round(CAST((doc_id * 7) % 200 AS DOUBLE), 4) AS mean_b
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m05_gif_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, CAST(4 + doc_id % 5 AS BIGINT) AS n_frames FROM documents
+        |), s AS (
+        |  SELECT d.doc_id, d.n_frames, g.f
+        |  FROM f d, UNNEST(generate_series(0, CAST(d.n_frames - 1 AS INT))) AS g(f)
+        |  WHERE g.f % 2 = 0
+        |)
+        |SELECT doc_id, n_frames, CAST(count(*) AS BIGINT) AS n_sampled,
+        |  CAST(8 + doc_id % 8 AS BIGINT) AS width,
+        |  CAST(8 + doc_id % 5 AS BIGINT) AS height,
+        |  round(avg(CAST((doc_id + f * 31) % 256 AS DOUBLE)), 4) AS avg_r,
+        |  round(avg(CAST((doc_id + f * 31 + 85) % 256 AS DOUBLE)), 4) AS avg_g,
+        |  round(avg(CAST((doc_id + f * 31 + 170) % 256 AS DOUBLE)), 4) AS avg_b
+        |FROM s GROUP BY doc_id, n_frames ORDER BY doc_id""".stripMargin,
     "m04_frame_sample" ->
       """WITH f AS (
         |  SELECT doc_id, CAST(4 + doc_id % 5 AS BIGINT) AS n_frames FROM documents

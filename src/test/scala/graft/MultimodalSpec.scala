@@ -2,25 +2,42 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.pipeline.Multimodal
-import graft.pipeline.Multimodal.{Decoded, Media}
 
-/** Contract tests for the multimodal plumbing: the decode kernel is a
-  * stub, but the schema, determinism and batch behavior are the real
-  * deliverable and are what a codec drop-in would inherit.
+/** Contract tests for the multimodal plumbing: real codec kernels
+  * (JDK ImageIO for PNG/JPEG/GIF, pure-Scala parsers for PPM/WAV/VID1)
+  * plus the batch shape any further codec drop-in would inherit.
   */
 class MultimodalSpec extends AnyFunSuite {
   private def spark = TestSpark.spark
 
-  test("fake decoder is deterministic and schema-stable") {
-    val m = Media(7L, "some payload bytes".getBytes("UTF-8"))
-    val d1 = Multimodal.fakeDecode(m)
-    val d2 = Multimodal.fakeDecode(Media(7L, "some payload bytes".getBytes("UTF-8")))
-    assert(d1.doc_id == 7L)
-    assert(d1.width == d2.width && d1.height == d2.height)
-    assert(d1.frame_feats.toSeq == d2.frame_feats.toSeq)
-    assert(d1.n_frames == d1.frame_feats.length)
-    assert(d1.n_frames >= 1 && d1.n_frames <= 8)
-    assert(d1.frame_feats.forall(f => f >= 0.0 && f < 1.0))
+  test("PNG kernel: ImageIO decode recovers exact gradient means (lossless)") {
+    val id = 37L
+    val d = Multimodal.decodeImage(id, Multimodal.pngBytes(id))
+    assert(d.format == "png")
+    val (w, h) = (16 + (id % 32).toInt, 16 + (id * 7 % 32).toInt)
+    assert(d.width == w && d.height == h)
+    // gradients: R over rows, G over columns, B constant — exact for PNG
+    assert(d.mean_r == (id % 200).toDouble + (h - 1) / 2.0)
+    assert(d.mean_g == (id * 3 % 200).toDouble + (w - 1) / 2.0)
+    assert(d.mean_b == (id * 7 % 200).toDouble)
+    // non-image payloads are rejected, not mis-decoded
+    intercept[IllegalArgumentException](Multimodal.decodeImage(1L, "not an image".getBytes))
+  }
+
+  test("JPEG kernel: lossy round-trip lands within codec tolerance") {
+    // encode the m02 gradient image as JPEG via the same JDK codec path
+    val id = 21L
+    val png = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(Multimodal.pngBytes(id)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(png, "jpg", bos)
+    val d = Multimodal.decodeImage(id, bos.toByteArray)
+    assert(d.format == "jpeg")
+    assert(d.width == png.getWidth && d.height == png.getHeight)
+    val exact = Multimodal.decodeImage(id, Multimodal.pngBytes(id))
+    // JPEG is lossy but a smooth gradient reconstructs close to exact
+    assert(math.abs(d.mean_r - exact.mean_r) < 2.0, s"${d.mean_r} vs ${exact.mean_r}")
+    assert(math.abs(d.mean_g - exact.mean_g) < 2.0)
+    assert(math.abs(d.mean_b - exact.mean_b) < 2.0)
   }
 
   test("m02 runs end-to-end, one output row per document, stable across runs") {
@@ -28,8 +45,24 @@ class MultimodalSpec extends AnyFunSuite {
     val r2 = Multimodal.m02DecodeBatch(spark, TestSpark.sfTest, batchSize = 7).collect()
     val nDocs = graft.pipeline.docs(spark, TestSpark.sfTest).count()
     assert(r1.length == nDocs)
+    assert(r1.forall(_.getAs[String]("format") == "png"))
     // batch size must not change results — only amortization
     assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq)
+  }
+
+  test("GIF kernel: animated frame walk, sampling stride, palette exactness") {
+    val id = 13L // nf = 4 + 13%5 = 7 frames, w = 8+13%8 = 13, h = 8+13%5 = 11
+    val gif = Multimodal.gifBytes(id)
+    val half = Multimodal.sampleGifFrames(id, gif, every = 2)
+    assert(half.n_frames == 7 && half.n_sampled == 4) // frames 0,2,4,6
+    assert(half.width == 13 && half.height == 11)
+    // solid-color frames survive GIF's palette round-trip exactly
+    val expR = Seq(0, 2, 4, 6).map(f => ((id + f * 31) % 256).toDouble).sum / 4
+    assert(math.abs(half.avg_r - expR) < 1e-9, s"${half.avg_r} vs $expR")
+    val full = Multimodal.sampleGifFrames(id, gif, every = 1)
+    assert(full.n_sampled == 7)
+    val expAllB = (0 until 7).map(f => ((id + f * 31 + 170) % 256).toDouble).sum / 7
+    assert(math.abs(full.avg_b - expAllB) < 1e-9)
   }
 
   test("PPM decoder recovers dimensions and channel means from real bytes") {
