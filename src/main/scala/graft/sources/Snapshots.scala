@@ -29,6 +29,26 @@ import org.apache.spark.sql.functions._
   *    serialization point is the filesystem's atomic create).
   *  - **Time travel**: old manifests keep old versions readable.
   *
+  * **Isolation-level mapping** (for users migrating off the reference's
+  * selectable levels, Stream.hs:166-231):
+  *  - READ UNCOMMITTED / READ COMMITTED: subsumed — staged data is
+  *    invisible until its manifest publishes, so no read ever sees
+  *    uncommitted bytes, and unlike READ COMMITTED a query's view
+  *    cannot shift mid-statement.
+  *  - REPEATABLE READ: honored and exceeded — a snapshot() resolves the
+  *    manifest once, so every read of every table in that snapshot is
+  *    repeatable for the snapshot's lifetime (true snapshot isolation).
+  *  - SERIALIZABLE: honored for WRITE-WRITE conflicts (the version
+  *    claim is a total order; compact/partialRewrite additionally fail
+  *    loudly when their base table was re-pointed), but NOT for general
+  *    read-write cycles: two transactions that each read a table the
+  *    other writes can both commit (write skew) because readers take no
+  *    locks and commits validate only manifest-pointer conflicts, not
+  *    read sets. TxnSpec pins this exact outcome; a migrating user who
+  *    relied on SERIALIZABLE for cross-table invariants must route both
+  *    writes through one commit() (atomic multi-table) or serialize at
+  *    the application level.
+  *
   * At 100 TB the manifest holds table→path pointers, so commit cost is
   * O(1) in table size; data writes are normal partitioned/bucketed
   * parquet jobs.
@@ -120,6 +140,21 @@ class Snapshots(s: SparkSession, root: String) {
     }.toMap
   }
 
+  /** Consumed append-tags are manifest STATE, not path decoration: a
+    * `<table>@tags=t1,t2,…` line travels through every manifest merge
+    * (compact, partial rewrite, commitStaged, rollback), so a replayed
+    * micro-batch stays a no-op even after maintenance rewrote the
+    * tagged directory away. (The `@tag` dir-name suffix remains as a
+    * debugging aid only — nothing correctness-bearing reads it.)
+    */
+  private val TagsSuffix = "@tags"
+  private def isTagEntry(key: String): Boolean = key.endsWith(TagsSuffix)
+  private def dataEntries(m: Map[String, String]): Map[String, String] =
+    m.filterNot { case (k, _) => isTagEntry(k) }
+  private def tagsOf(m: Map[String, String], table: String): Set[String] =
+    m.get(table + TagsSuffix).map(_.split(",").filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
   /** Atomically commit a set of tables: write every DataFrame under
     * the next version's directory, then publish the manifest. Returns
     * the committed version. Retries the version claim on a concurrent
@@ -135,6 +170,8 @@ class Snapshots(s: SparkSession, root: String) {
     */
   def commit(tables: Map[String, DataFrame],
              statsCols: Map[String, Seq[String]] = Map.empty): Long = {
+    tables.keys.foreach(t => require(!isTagEntry(t),
+      s"table name '$t' collides with the reserved '$TagsSuffix' manifest lines"))
     var attempt = currentVersion.getOrElse(0L) + 1
     for (_ <- 1 to MaxAttempts) {
       val written = tables.map { case (name, df) =>
@@ -146,7 +183,14 @@ class Snapshots(s: SparkSession, root: String) {
         }
         name -> rel
       }
-      if (writeManifest(attempt, written)) return attempt
+      // consumed append-tags follow the table identity through a full
+      // re-commit: a replayed micro-batch must stay a no-op even after
+      // the table's data was wholly rewritten (tables NOT in this
+      // commit leave the manifest, and their tags leave with them)
+      val carriedTags = currentVersion.map(readManifest).getOrElse(Map.empty)
+        .filter { case (k, _) =>
+          isTagEntry(k) && tables.contains(k.stripSuffix(TagsSuffix)) }
+      if (writeManifest(attempt, written ++ carriedTags)) return attempt
       attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
     }
     throw new IllegalStateException(
@@ -190,7 +234,7 @@ class Snapshots(s: SparkSession, root: String) {
   def snapshot(version: Option[Long] = None): Map[String, DataFrame] = {
     val v = version.orElse(currentVersion)
       .getOrElse(throw new IllegalStateException(s"no commits under $root"))
-    readManifest(v).map { case (t, rel) => t -> s.read.parquet(absPaths(rel): _*) }
+    dataEntries(readManifest(v)).map { case (t, rel) => t -> s.read.parquet(absPaths(rel): _*) }
   }
 
   /** Single-table read from the newest (or given) snapshot. */
@@ -206,8 +250,66 @@ class Snapshots(s: SparkSession, root: String) {
   def tablePaths(version: Option[Long] = None): Map[String, Seq[String]] =
     version.orElse(currentVersion) match {
       case None => Map.empty
-      case Some(v) => readManifest(v).map { case (t, rel) => t -> absPaths(rel) }
+      case Some(v) => dataEntries(readManifest(v)).map { case (t, rel) => t -> absPaths(rel) }
     }
+
+  /** A table's data files at a version, expanded to FILE granularity
+    * (directory entries list their parquet files), so version diffs
+    * compare the actual storage units the commit protocol moves.
+    */
+  private def fileSet(table: String, v: Long): Set[String] =
+    dataEntries(readManifest(v)).get(table).map { rel =>
+      splitRel(rel).flatMap { r =>
+        // makeQualified on BOTH branches: listStatus returns qualified
+        // URIs (file:/…), a bare `new Path` does not — an unqualified
+        // single-file entry would never set-match its qualified twin
+        // and every file would look changed
+        val p = fs.makeQualified(new Path(root, r))
+        if (fs.getFileStatus(p).isDirectory)
+          FileStats.dataFiles(fs, p).map(_.getPath.toString)
+        else Seq(p.toString)
+      }.toSet
+    }.getOrElse(Set.empty[String])
+
+  /** Changes-between read — the lake's CDC-OUTPUT story, mirroring the
+    * reference's cursor stream ("give me what changed since",
+    * Stream.hs:244-284). Diffs `table`'s file sets between two
+    * committed versions and reads only the difference:
+    *
+    *  - `_change = 'added'`: rows in files referenced at `toV` but not
+    *    at `fromV` — for appends exactly the appended rows; for
+    *    delete/update partial rewrites the POST-image of the touched
+    *    files.
+    *  - `_change = 'removed'`: rows in files referenced at `fromV` but
+    *    not at `toV` — the PRE-image of the touched files.
+    *
+    * Rows in re-referenced (untouched) files never appear, so the cost
+    * is O(changed files), not O(table) — the property that makes
+    * downstream incremental consumers affordable at 100 TB. A row
+    * updated in place surfaces on both sides (old value removed, new
+    * value added). Both versions must still be within the vacuum
+    * retention window; a collected version's files fail loudly here.
+    */
+  def readChanges(table: String, fromV: Long, toV: Long): DataFrame = {
+    require(fromV <= toV, s"readChanges wants fromV <= toV, got $fromV > $toV")
+    val before = fileSet(table, fromV)
+    val after = fileSet(table, toV)
+    val added = (after -- before).toSeq.sorted
+    val removed = (before -- after).toSeq.sorted
+    def side(paths: Seq[String], change: String): Option[DataFrame] =
+      if (paths.isEmpty) None
+      else Some(s.read.parquet(paths: _*).withColumn("_change", lit(change)))
+    (side(added, "added"), side(removed, "removed")) match {
+      case (Some(a), Some(r)) => a.unionByName(r)
+      case (Some(a), None) => a
+      case (None, Some(r)) => r
+      case (None, None) =>
+        val any = (after ++ before).headOption.getOrElse(
+          throw new IllegalStateException(
+            s"table '$table' absent at versions $fromV and $toV under $root"))
+        s.read.parquet(any).limit(0).withColumn("_change", lit(""))
+    }
+  }
 
   /** Publish a new version whose table map is the current head's map
     * with `updates` overlaid and `removes` dropped — data at `updates`'
@@ -227,7 +329,8 @@ class Snapshots(s: SparkSession, root: String) {
     var attempt = currentVersion.getOrElse(0L) + 1
     for (_ <- 1 to MaxAttempts) {
       val base = currentVersion.map(readManifest).getOrElse(Map.empty[String, String])
-      val merged = (base -- removes) ++ updates
+      // a removed table takes its consumed-tags line with it
+      val merged = (base -- removes -- removes.map(_ + TagsSuffix)) ++ updates
       if (writeManifest(attempt, merged)) return attempt
       attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
     }
@@ -351,25 +454,34 @@ class Snapshots(s: SparkSession, root: String) {
     */
   def append(table: String, df: DataFrame, tag: Option[String] = None,
              statsCols: Seq[String] = Nil): Long = {
+    require(!isTagEntry(table),
+      s"table name '$table' collides with the reserved '$TagsSuffix' manifest lines")
     tag.foreach(t => require(t.matches("[A-Za-z0-9_-]+"),
       s"append tag '$t' must be [A-Za-z0-9_-]+ (it names a directory)"))
     // schema drift guard: a multi-path parquet read takes ONE schema, so
     // a batch whose columns diverge from the table would silently read
-    // back with dropped or null columns — fail at the append instead.
+    // back with dropped, null, or silently-coerced columns — fail at the
+    // append instead. Names AND types must match (an id INT batch into
+    // an id BIGINT table is exactly the silent-coercion case); only
+    // nullability is ignored, since a parquet round-trip legitimately
+    // relaxes it.
     currentVersion.map(readManifest).flatMap(_.get(table)).foreach { rel =>
-      val existing = s.read.parquet(absPaths(rel).head).schema.fieldNames.toSeq
-      require(df.schema.fieldNames.toSeq == existing,
-        s"append schema ${df.schema.fieldNames.mkString(",")} != table '$table' schema " +
-          s"${existing.mkString(",")} — evolve via a full commit(), not append()")
+      def sig(st: org.apache.spark.sql.types.StructType): Seq[(String, org.apache.spark.sql.types.DataType)] =
+        st.fields.map(f => (f.name, f.dataType)).toSeq
+      val existing = s.read.parquet(absPaths(rel).head).schema
+      require(sig(df.schema) == sig(existing),
+        s"append schema ${df.schema.simpleString} != table '$table' schema " +
+          s"${existing.simpleString} — evolve via a full commit(), not append()")
     }
     var attempt = currentVersion.getOrElse(0L) + 1
     var written: Option[String] = None // data written once; races re-merge the manifest only
     for (_ <- 1 to MaxAttempts) {
       val cur = currentVersion.map(readManifest).getOrElse(Map.empty[String, String])
-      val dupe = (cur.get(table), tag) match {
-        case (Some(rel), Some(t)) => splitRel(rel).exists(_.endsWith(s"@$t"))
-        case _ => false
-      }
+      // consumed-tag check against manifest STATE (survives compact /
+      // partial rewrites); the dir-name probe covers manifests written
+      // before tags lines existed
+      val dupe = tag.exists(t => tagsOf(cur, table).contains(t) ||
+        cur.get(table).exists(rel => splitRel(rel).exists(_.endsWith(s"@$t"))))
       if (dupe) return currentVersion.get
       val rel = written.getOrElse {
         val r = stageRel(attempt, table) + tag.fold("")(t => s"@$t")
@@ -381,7 +493,9 @@ class Snapshots(s: SparkSession, root: String) {
         r
       }
       val newRel = cur.get(table).fold(rel)(b => s"$b;$rel")
-      if (writeManifest(attempt, cur + (table -> newRel))) return attempt
+      val tagged = cur + (table -> newRel) ++ tag.map(t =>
+        (table + TagsSuffix) -> (tagsOf(cur, table) + t).toSeq.sorted.mkString(","))
+      if (writeManifest(attempt, tagged)) return attempt
       attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
     }
     throw new IllegalStateException(
@@ -394,8 +508,10 @@ class Snapshots(s: SparkSession, root: String) {
   private def matchCond(ranges: Seq[FileStats.ColRange]): org.apache.spark.sql.Column =
     ranges.map { r =>
       val c = col(r.col)
-      (r.lo.map(v => c >= lit(v)).toSeq ++ r.hi.map(v => c <= lit(v)).toSeq)
-        .reduce(_ && _)
+      val conds = r.lo.map(v => c >= lit(v)).toSeq ++ r.hi.map(v => c <= lit(v)).toSeq
+      // a fully-unbounded range matches every row — same semantics
+      // readWhere gives it (no filter), instead of an empty.reduce throw
+      if (conds.isEmpty) lit(true) else conds.reduce(_ && _)
     }.reduce(_ && _)
 
   /** Shared engine of [[deleteWhere]]/[[updateWhere]]: classify the
@@ -441,8 +557,19 @@ class Snapshots(s: SparkSession, root: String) {
       if (statsCols.nonEmpty)
         FileStats.writeSidecar(fs, new Path(s"$root/$rel"),
           FileStats.harvest(s, s"$root/$rel", statsCols))
-      val newRel = (keep.toSeq :+ rel).mkString(";")
-      if (writeManifest(attempt, cur + (table -> newRel))) return attempt
+      // every touched row may have been filtered away: an entry pointing
+      // at a fileless dir is dead weight (and, with nothing else kept,
+      // an unreadable table) — omit it, or for a fully-emptied table
+      // keep ONE rowless file so the entry still carries the schema
+      val relHasData = FileStats.dataFiles(fs, new Path(s"$root/$rel")).nonEmpty
+      val parts =
+        if (relHasData) keep.toSeq :+ rel
+        else if (keep.nonEmpty) keep.toSeq
+        else {
+          rewritten.limit(0).coalesce(1).write.mode("overwrite").parquet(s"$root/$rel")
+          Seq(rel)
+        }
+      if (writeManifest(attempt, cur + (table -> parts.mkString(";")))) return attempt
       attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
     }
     throw new IllegalStateException(
@@ -577,7 +704,7 @@ class Snapshots(s: SparkSession, root: String) {
     // dir — conservative over-retention that compact()+vacuum() reclaims
     def refDirs(rels: Iterable[String]): Set[String] =
       rels.flatMap(splitRel).map(_.split("/").take(2).mkString("/")).toSet
-    val referenced = refDirs(kept.flatMap(v => readManifest(v).values))
+    val referenced = refDirs(kept.flatMap(v => dataEntries(readManifest(v)).values))
     val cutoff = System.currentTimeMillis() - minAgeMs
     val rootPath = new Path(root)
     val candidates = fs.listStatus(rootPath)
@@ -594,7 +721,7 @@ class Snapshots(s: SparkSession, root: String) {
     // published (or restored by rollbackTo) since the kept-set was read
     val lateRefs = refDirs(
       (listVersions().toSet -- dropped.toSet -- kept.toSet)
-        .flatMap(v => readManifest(v).values))
+        .flatMap(v => dataEntries(readManifest(v)).values))
     var dirsDeleted = 0
     candidates.foreach { td =>
       val rel = s"${td.getPath.getParent.getName}/${td.getPath.getName}"
@@ -738,6 +865,11 @@ object Snapshots {
     snap.deleteWhere("orders",
       Seq(FileStats.ColRange("o_orderkey", Some(2000L), Some(2999L))),
       statsCols = Seq("o_orderkey"))
+    // retention: a warm re-run re-rewrites files whose [min,max] still
+    // SPANS the deleted range (stats can't prove a hole) and publishes a
+    // new version — without collection the shared staged lake would grow
+    // a version dir per invocation across bench/verify runs
+    snap.vacuum(keepLast = 1)
     snap.read("orders")
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
@@ -775,6 +907,10 @@ object Snapshots {
       Seq(FileStats.ColRange("o_orderkey", Some(5000L), Some(5999L))),
       Map("adj_cents" -> expr("CAST((price_cents * 9 + 5) div 10 AS BIGINT)")),
       statsCols = Seq("o_orderkey"))
+    // same retention note as c06: the key-spanning files re-rewrite on
+    // every warm run (o_orderkey stats can't prove the update applied),
+    // so collect superseded versions to keep the shared lake bounded
+    snap.vacuum(keepLast = 1)
     snap.read("orders")
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"), sum("adj_cents").as("total_adj_cents"))

@@ -442,4 +442,148 @@ class TxnSpec extends AnyFunSuite {
         "detail/summary totals diverge — torn snapshot")
     }
   }
+
+  test("append tags survive compact, partial rewrites, and full re-commits") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txn").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    snap.commit(Map("a" -> (1L to 100L).map(i => (i, i * 2.0)).toDF("id", "v")))
+    val batch = (101L to 120L).map(i => (i, i * 2.0)).toDF("id", "v")
+    snap.append("a", batch, tag = Some("m7"))
+
+    // compact rewrites every dir — the @m7 directory name is gone, but
+    // the consumed tag must persist as manifest state
+    snap.compact("a", targetBytes = 1L << 20, sortCol = Some("id"))
+    val afterCompact = snap.currentVersion.get
+    assert(snap.append("a", batch, tag = Some("m7")) == afterCompact,
+      "replayed micro-batch re-appended after compact — exactly-once broken")
+    assert(snap.read("a").count() == 120L)
+
+    // a deleteWhere partial rewrite must carry it too
+    snap.deleteWhere("a", Seq(ColRange("id", Some(1L), Some(10L))))
+    val afterDelete = snap.currentVersion.get
+    assert(snap.append("a", batch, tag = Some("m7")) == afterDelete)
+    assert(snap.read("a").count() == 110L)
+
+    // and a FULL re-commit of the table keeps the table's tag history
+    snap.commit(Map("a" -> snap.read("a").where(col("id") <= 115L)))
+    val afterCommit = snap.currentVersion.get
+    assert(snap.append("a", batch, tag = Some("m7")) == afterCommit,
+      "full re-commit dropped consumed tags — replay re-appended")
+    // a FRESH tag still appends normally through all of it
+    val v = snap.append("a", (121L to 125L).map(i => (i, i * 2.0)).toDF("id", "v"),
+      tag = Some("m8"))
+    assert(v > afterCommit && snap.read("a").count() == 115L - 10L + 5L)
+  }
+
+  test("append schema guard rejects same-name different-type batches") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txn").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    snap.commit(Map("a" -> Seq((1L, 1.0)).toDF("id", "v")))
+    // id INT (not BIGINT): same names, different types — the silent
+    // multi-path coercion case the guard must catch
+    intercept[IllegalArgumentException] {
+      snap.append("a", Seq((1, 1.0)).toDF("id", "v"))
+    }
+    // reserved name: user tables cannot squat on tag-state lines
+    intercept[IllegalArgumentException] {
+      snap.append("a@tags", Seq((1L, 1.0)).toDF("id", "v"))
+    }
+  }
+
+  test("fully-unbounded range: deleteWhere empties the table (readWhere-consistent), not empty.reduce") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txn").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    snap.commit(Map("a" -> (1L to 50L).map(i => (i, i * 2.0)).toDF("id", "v")))
+    // readWhere treats lo=None,hi=None as "no filter" — deleteWhere's
+    // dual is "every row matches"; before the fix this threw
+    // UnsupportedOperationException("empty.reduce")
+    snap.deleteWhere("a", Seq(ColRange("id", None, None)))
+    assert(snap.read("a").count() == 0L, "unbounded delete must empty the table")
+    // the emptied table still reads with its schema (rowless file kept)
+    assert(snap.read("a").columns.toSeq == Seq("id", "v"))
+  }
+
+  test("write skew is the documented non-SERIALIZABLE outcome; one atomic commit is the remedy") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txn").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    // invariant the app WANTS: at least one of (a, b) has on = 1
+    snap.commit(Map("a" -> Seq((1L, 1L)).toDF("id", "on"),
+                    "b" -> Seq((1L, 1L)).toDF("id", "on")))
+    val s1 = new Snapshots(spark, root)
+    val s2 = new Snapshots(spark, root)
+    // both transactions read the same base snapshot and see the OTHER
+    // table still on, so each believes turning its own off is safe
+    assert(s1.read("b").agg(sum("on")).head.getLong(0) == 1L)
+    assert(s2.read("a").agg(sum("on")).head.getLong(0) == 1L)
+    // each stages + publishes a single-table update; neither conflicts
+    // on a manifest POINTER, so both land — this is write skew, and it
+    // is the documented outcome (validation covers write-write, not
+    // read sets)
+    Seq((1L, 0L)).toDF("id", "on").write.parquet(s"$root/skew-1/a")
+    Seq((1L, 0L)).toDF("id", "on").write.parquet(s"$root/skew-2/b")
+    s1.commitStaged(Map("a" -> "skew-1/a"))
+    s2.commitStaged(Map("b" -> "skew-2/b"))
+    val head = snap.snapshot()
+    assert(head("a").agg(sum("on")).head.getLong(0) == 0L)
+    assert(head("b").agg(sum("on")).head.getLong(0) == 0L,
+      "both committed: the invariant is broken, exactly as documented")
+    // the remedy the scaladoc prescribes: route the co-constrained writes
+    // through ONE commit — atomic multi-table visibility restores it
+    snap.commit(Map("a" -> Seq((1L, 1L)).toDF("id", "on"),
+                    "b" -> Seq((1L, 0L)).toDF("id", "on")))
+    val fixed = snap.snapshot()
+    assert(fixed("a").agg(sum("on")).head.getLong(0) +
+      fixed("b").agg(sum("on")).head.getLong(0) >= 1L)
+  }
+
+  test("readChanges: append/delete/update diffs surface at changed-file cost") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txn").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    val v1 = snap.commit(
+      Map("a" -> (1L to 100L).map(i => (i, i * 2.0)).toDF("id", "v")
+        .repartitionByRange(4, col("id"))),
+      statsCols = Map("a" -> Seq("id")))
+
+    // append: the diff is exactly the appended rows, nothing removed
+    val v2 = snap.append("a", (101L to 120L).map(i => (i, i * 2.0)).toDF("id", "v"))
+    val d12 = snap.readChanges("a", v1, v2)
+    assert(d12.where(col("_change") === "removed").count() == 0L)
+    val addedIds = d12.where(col("_change") === "added")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(addedIds == (101L to 120L), s"got $addedIds")
+
+    // delete 1..10: pre-image of the touched file removed, its
+    // survivors re-added; the set difference is exactly the deleted keys
+    val v3 = snap.deleteWhere("a", Seq(ColRange("id", Some(1L), Some(10L))),
+      statsCols = Seq("id"))
+    val d23 = snap.readChanges("a", v2, v3)
+    val rem = d23.where(col("_change") === "removed").select("id").as[Long].collect().toSet
+    val add = d23.where(col("_change") === "added").select("id").as[Long].collect().toSet
+    assert((rem -- add) == (1L to 10L).toSet, s"net-removed ${rem -- add}")
+    assert(rem.size < 120, "diff read the whole table, not just touched files")
+
+    // update 50..60: the rows surface on BOTH sides — old value removed,
+    // new value added
+    val v4 = snap.updateWhere("a", Seq(ColRange("id", Some(50L), Some(60L))),
+      Map("v" -> lit(0.0)), statsCols = Seq("id"))
+    val d34 = snap.readChanges("a", v3, v4)
+    val updNew = d34.where(col("_change") === "added" && col("id").between(50, 60))
+    assert(updNew.count() == 11L)
+    assert(updNew.agg(sum("v")).head.getDouble(0) == 0.0)
+    val updOld = d34.where(col("_change") === "removed" && col("id").between(50, 60))
+    assert(updOld.agg(sum("v")).head.getDouble(0) == (50L to 60L).map(_ * 2.0).sum)
+
+    // no-change diff is empty but still schema-readable
+    assert(snap.readChanges("a", v4, v4).count() == 0L)
+  }
 }
