@@ -29,6 +29,9 @@ object ToField {
   implicit val doubleField: ToField[Double] = (a: Double) => a.toString
   implicit val boolField: ToField[Boolean] = (a: Boolean) => a.toString
   implicit val stringField: ToField[String] = (a: String) => quote(a)
+  // quoted like the reference's dedicated instance (QueryBuilder.hs:82);
+  // UUID.toString is RFC-4122 lowercase hex, no quoting hazards
+  implicit val uuidField: ToField[java.util.UUID] = (a: java.util.UUID) => quote(a.toString)
   implicit val identifierField: ToField[Identifier] = (a: Identifier) => a.name
   implicit val fragField: ToField[SqlFrag] = (a: SqlFrag) => a.sql
   implicit val queryField: ToField[Query] = (a: Query) => a.template
