@@ -36,7 +36,7 @@ object Bench {
     "t02_quality_score", "t04_fingerprint", "m02_decode_batch", "m03_decode_image", "m04_frame_sample",
     "m05_gif_frames",
     "q25_typed_decode", "q31_typed_wide", "q32_weighted_avg", "c04_snapshot_read",
-    "c05_stats_pruned_read", "c06_delete_where", "c07_update_where",
+    "c05_stats_pruned_read", "c06_delete_where", "c07_update_where", "c08_version_diff",
     "q33_profile", "q34_histogram")
 
   /** Per-key task-metric sums, so a bench anomaly ships with its own

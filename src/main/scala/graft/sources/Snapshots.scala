@@ -917,13 +917,83 @@ object Snapshots {
       .orderBy("o_orderstatus")
   }
 
+  /** Snapshot lake for c08, staged ONCE per sf dir: version 1 commits
+    * the base slice (o_orderkey % 4 != 0, range-clustered, key stats),
+    * version 2 appends the complement, version 3 deletes keys
+    * [3000, 3999]. Static after staging — readChanges needs versions 1
+    * and 3 to stay time-travelable, so no vacuum here.
+    */
+  def stagedDiffLake(s: SparkSession, dir: String): Snapshots = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s.conf.get("spark.sql.warehouse.dir") + s"/ver_c08$tag"
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val snap = new Snapshots(s, root)
+    val marker = new Path(root, "_STAGED_G1")
+    if (!fs.exists(marker)) {
+      fs.delete(new Path(root), true)
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      val all = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), cents.as("price_cents"))
+      snap.commit(
+        Map("orders" -> all.where(col("o_orderkey") % 4 =!= 0)
+          .repartitionByRange(16, col("o_orderkey"))),
+        statsCols = Map("orders" -> Seq("o_orderkey")))
+      snap.append("orders", all.where(col("o_orderkey") % 4 === 0),
+        statsCols = Seq("o_orderkey"))
+      snap.deleteWhere("orders",
+        Seq(FileStats.ColRange("o_orderkey", Some(3000L), Some(3999L))),
+        statsCols = Seq("o_orderkey"))
+      fs.create(marker, true).close()
+    }
+    snap
+  }
+
+  /** `c08_version_diff`: the CDC-output path ([[Snapshots.readChanges]])
+    * through the oracle gate. The diff between versions 1 and 3 is
+    * reduced to NET row deltas (+1 added, −1 removed, grouped on the
+    * full row), which cancels the file-layout-dependent churn of
+    * partial rewrites: rows that merely rode along in a touched file
+    * appear on both sides and net to zero, leaving exactly the appended
+    * (+1) and deleted (−1) rows — a closed form DuckDB recomputes from
+    * the raw table. Cost stays O(changed files): untouched base files
+    * never enter the diff.
+    */
+  def c08VersionDiff(s: SparkSession, dir: String): DataFrame = {
+    val snap = stagedDiffLake(s, dir)
+    val head = snap.currentVersion.get
+    snap.readChanges("orders", 1L, head)
+      .groupBy("o_orderkey", "o_orderstatus", "price_cents")
+      .agg(sum(when(col("_change") === "added", 1L).otherwise(-1L)).as("delta"))
+      .where(col("delta") =!= 0L)
+      .groupBy("delta", "o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
+      .orderBy("delta", "o_orderstatus")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] =
     Map("c04_snapshot_read" -> c04SnapshotRead _,
         "c05_stats_pruned_read" -> c05StatsPrunedRead _,
         "c06_delete_where" -> c06DeleteWhere _,
-        "c07_update_where" -> c07UpdateWhere _)
+        "c07_update_where" -> c07UpdateWhere _,
+        "c08_version_diff" -> c08VersionDiff _)
 
   val oracles: Map[String, String] = Map(
+    "c08_version_diff" ->
+      """WITH c AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+        |  FROM orders
+        |), d AS (
+        |  SELECT CAST(1 AS BIGINT) AS delta, o_orderstatus, price_cents FROM c
+        |  WHERE o_orderkey % 4 = 0 AND o_orderkey NOT BETWEEN 3000 AND 3999
+        |  UNION ALL
+        |  SELECT CAST(-1 AS BIGINT) AS delta, o_orderstatus, price_cents FROM c
+        |  WHERE o_orderkey % 4 <> 0 AND o_orderkey BETWEEN 3000 AND 3999
+        |)
+        |SELECT delta, o_orderstatus, count(*) AS n,
+        |  CAST(sum(price_cents) AS BIGINT) AS total_cents
+        |FROM d GROUP BY delta, o_orderstatus
+        |ORDER BY delta, o_orderstatus""".stripMargin,
     "c06_delete_where" ->
       """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders
