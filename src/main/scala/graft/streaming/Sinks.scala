@@ -37,7 +37,10 @@ object Sinks {
     * time-travelable, and the batchId tag makes replays no-ops, so the
     * pipeline is effectively exactly-once into the SAME lake the
     * engine's transactions, maintenance (compact/vacuum) and
-    * stats-pruned reads operate on.
+    * stats-pruned reads operate on. Consumed tags persist as manifest
+    * state (not directory names), so the no-op guarantee holds even
+    * when compaction or a partial rewrite runs between a batch and its
+    * replay — maintenance and streaming retries compose safely.
     */
   def snapshotBatchSink(df: DataFrame, root: String, table: String,
                         checkpointDir: String): StreamingQuery =
