@@ -34,7 +34,7 @@ object Bench {
     "d05_dedup_embedding", "s01_ann_bruteforce", "s02_ann_lsh", "s05_ann_pq", "s06_ann_ivfpq",
     "q35_setops", "q36_window_frames", "q37_gapfill", "q38_json",
     "t02_quality_score", "t04_fingerprint", "m02_decode_batch", "m03_decode_image", "m04_frame_sample",
-    "m05_gif_frames",
+    "m05_gif_frames", "m06_resize",
     "q25_typed_decode", "q31_typed_wide", "q32_weighted_avg", "c04_snapshot_read",
     "c05_stats_pruned_read", "c06_delete_where", "c07_update_where", "c08_version_diff",
     "q33_profile", "q34_histogram")
@@ -98,23 +98,32 @@ object Bench {
       // (block-manager drops, shuffle-file deletes) that would otherwise
       // run inside the next timed window and steal CPU from it — by key
       // ~37 of 49 that queue is everything the suite has accumulated.
-      def once(): Double = {
+      // plan_ms isolates DRIVER work (DataFrame construction + analysis
+      // + optimization + physical planning + fixture-staging probes)
+      // from execution: a wall ≫ task_ms anomaly with small plan_ms is
+      // host contention; with large plan_ms it's a planning/codegen
+      // disease — the distinction that took two rounds to make for
+      // s01/st01 is now read directly off the diag.
+      def once(): (Double, Double) = {
         System.gc()
         Thread.sleep(150)
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        df.queryExecution.executedPlan // force full planning, no tasks
+        val tPlan = System.nanoTime()
+        df.count()
+        ((System.nanoTime() - t0) / 1e9, (tPlan - t0) / 1e9)
       }
       try {
         val (r0, g0, n0) = listener.snap()
-        val t1 = once(); val t2 = once()
+        val (t1, p1) = once(); val (t2, p2) = once()
         Thread.sleep(100) // listener bus drains async; settle before the delta
         val (r1, g1, n1) = listener.snap()
         // isolate keys from each other (see warmup note): the min still
         // reflects a warm operator cache — the first timed run rebuilds
         // it, the second reuses it — but nothing leaks to the next key
         spark.catalog.clearCache()
-        diag(name) = f"""{"w1":${t1}%.3f,"w2":${t2}%.3f,"task_ms":${r1 - r0},"gc_ms":${g1 - g0},"tasks":${n1 - n0}}"""
+        diag(name) = f"""{"w1":${t1}%.3f,"w2":${t2}%.3f,"plan1":${p1}%.3f,"plan2":${p2}%.3f,"task_ms":${r1 - r0},"gc_ms":${g1 - g0},"tasks":${n1 - n0}}"""
         name -> math.min(t1, t2)
       } catch {
         case e: Throwable =>

@@ -444,12 +444,94 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------------- m06
+  // The remaining multimodal verb from the build brief: RESIZE. A real
+  // area-averaging (box-filter) downsample — the kernel every image
+  // pipeline runs before a fixed-input-size model — implemented over
+  // the decoded raster in pure arithmetic so a stride/axis/channel bug
+  // is caught by closed-form CORNER PIXELS, not just by global means
+  // (which survive many transposition bugs).
+
+  case class Resized(doc_id: Long, out_w: Int, out_h: Int,
+                     mean_r: Double, mean_g: Double, mean_b: Double,
+                     c00_r: Double, c00_g: Double, c00_b: Double,
+                     cnn_r: Double, cnn_g: Double)
+
+  /** Decode a PNG payload and 2×-downsample by area averaging: crop to
+    * even dimensions, then each output pixel is the mean of its 2×2
+    * input block. Returns the resized dims, the resized global channel
+    * means, and the first/last output pixels — for the m02 gradient
+    * images every one of those has a closed form the oracle recomputes
+    * (e.g. output (0,0) red = rb + 0.5, the mean of input rows 0 and 1).
+    */
+  def resizeHalf(docId: Long, payload: Array[Byte]): Resized = {
+    imageIoReady
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"payload of doc $docId is not a decodable image")
+    val (we, he) = (img.getWidth & ~1, img.getHeight & ~1) // even crop
+    val (ow, oh) = (we / 2, he / 2)
+    val rgb = img.getRGB(0, 0, we, he, null, 0, we)
+    def ch(p: Int, shift: Int): Double = ((p >>> shift) & 0xff).toDouble
+    val out = new Array[Double](ow * oh * 3)
+    var oy = 0
+    while (oy < oh) {
+      var ox = 0
+      while (ox < ow) {
+        val i00 = (2 * oy) * we + 2 * ox
+        val i10 = i00 + we
+        var c = 0
+        while (c < 3) {
+          val sh = 16 - 8 * c
+          out((oy * ow + ox) * 3 + c) =
+            (ch(rgb(i00), sh) + ch(rgb(i00 + 1), sh) +
+              ch(rgb(i10), sh) + ch(rgb(i10 + 1), sh)) / 4.0
+          c += 1
+        }
+        ox += 1
+      }
+      oy += 1
+    }
+    def mean(c: Int): Double = {
+      var s = 0.0; var i = c
+      while (i < out.length) { s += out(i); i += 3 }
+      s / (ow * oh)
+    }
+    def px(ox: Int, oy: Int, c: Int): Double = out((oy * ow + ox) * 3 + c)
+    Resized(docId, ow, oh, mean(0), mean(1), mean(2),
+      px(0, 0, 0), px(0, 0, 1), px(0, 0, 2),
+      px(ow - 1, oh - 1, 0), px(ow - 1, oh - 1, 1))
+  }
+
+  /** C29 `m06_resize`: decode + area-downsample in batched partition
+    * passes over the m02 PNG payloads. The oracle recomputes resized
+    * means AND corner pixels from the gradient closed forms — corner
+    * checks catch axis transposition and stride bugs that global means
+    * cannot.
+    */
+  def m06Resize(s: SparkSession, dir: String, batchSize: Int = 64): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id")).as[Long]
+      .map(id => Media(id, pngBytes(id)))
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map(m =>
+        resizeHalf(m.doc_id, m.payload))))
+      .toDF()
+      .select(col("doc_id"),
+        col("out_w").cast("long").as("out_w"), col("out_h").cast("long").as("out_h"),
+        round(col("mean_r"), 4).as("mean_r"), round(col("mean_g"), 4).as("mean_g"),
+        round(col("mean_b"), 4).as("mean_b"),
+        round(col("c00_r"), 4).as("c00_r"), round(col("c00_g"), 4).as("c00_g"),
+        round(col("c00_b"), 4).as("c00_b"),
+        round(col("cnn_r"), 4).as("cnn_r"), round(col("cnn_g"), 4).as("cnn_g"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_multimodal_meta" -> m01MultimodalMeta _,
     "m02_decode_batch" -> ((s, dir) => m02DecodeBatch(s, dir)),
     "m03_decode_image" -> ((s, dir) => m03DecodeImage(s, dir)),
     "m04_frame_sample" -> ((s, dir) => m04FrameSample(s, dir)),
-    "m05_gif_frames" -> ((s, dir) => m05GifFrames(s, dir)))
+    "m05_gif_frames" -> ((s, dir) => m05GifFrames(s, dir)),
+    "m06_resize" -> ((s, dir) => m06Resize(s, dir)))
 
   /** Every multimodal key is oracle-checked: the oracles are the closed
     * forms of the synthesized payloads, which the Spark side must
@@ -457,6 +539,26 @@ object Multimodal {
     * codecs for m02/m05, pure-Scala parsers for m03/m04).
     */
   val oracles: Map[String, String] = Map(
+    "m06_resize" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST((16 + doc_id % 32) // 2 AS BIGINT) AS ow,
+        |    CAST((16 + (doc_id * 7) % 32) // 2 AS BIGINT) AS oh,
+        |    CAST(doc_id % 200 AS DOUBLE) AS rb,
+        |    CAST((doc_id * 3) % 200 AS DOUBLE) AS gb,
+        |    CAST((doc_id * 7) % 200 AS DOUBLE) AS bb
+        |  FROM documents
+        |)
+        |SELECT doc_id, ow AS out_w, oh AS out_h,
+        |  round(rb + oh - 0.5, 4) AS mean_r,
+        |  round(gb + ow - 0.5, 4) AS mean_g,
+        |  round(bb, 4) AS mean_b,
+        |  round(rb + 0.5, 4) AS c00_r,
+        |  round(gb + 0.5, 4) AS c00_g,
+        |  round(bb, 4) AS c00_b,
+        |  round(rb + 2 * oh - 1.5, 4) AS cnn_r,
+        |  round(gb + 2 * ow - 1.5, 4) AS cnn_g
+        |FROM f ORDER BY doc_id""".stripMargin,
     "m02_decode_batch" ->
       """SELECT doc_id, 'png' AS format,
         |  CAST(16 + doc_id % 32 AS BIGINT) AS width,

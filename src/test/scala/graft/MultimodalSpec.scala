@@ -50,6 +50,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq)
   }
 
+  test("resize kernel: 2x area downsample recovers closed-form corners and means") {
+    val id = 37L // w = 16+5 = 21 (odd -> crop 20), h = 16+3 = 19 (crop 18)
+    val r = Multimodal.resizeHalf(id, Multimodal.pngBytes(id))
+    assert(r.out_w == 10 && r.out_h == 9)
+    val (rb, gb, bb) = ((id % 200).toDouble, (id * 3 % 200).toDouble, (id * 7 % 200).toDouble)
+    // output (0,0) is the mean of the 2x2 input block at the origin:
+    // R averages input rows 0,1 -> rb + 0.5; G averages cols 0,1
+    assert(r.c00_r == rb + 0.5 && r.c00_g == gb + 0.5 && r.c00_b == bb)
+    // the far corner pins the full stride walk (last 2x2 block)
+    assert(r.cnn_r == rb + 2 * r.out_h - 1.5)
+    assert(r.cnn_g == gb + 2 * r.out_w - 1.5)
+    // global means over the resized raster
+    assert(r.mean_r == rb + r.out_h - 0.5)
+    assert(r.mean_g == gb + r.out_w - 0.5)
+    assert(r.mean_b == bb)
+  }
+
   test("GIF kernel: animated frame walk, sampling stride, palette exactness") {
     val id = 13L // nf = 4 + 13%5 = 7 frames, w = 8+13%8 = 13, h = 8+13%5 = 11
     val gif = Multimodal.gifBytes(id)
