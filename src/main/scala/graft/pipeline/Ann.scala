@@ -276,6 +276,73 @@ object Ann {
   def s06AnnIvfPq(s: SparkSession, dir: String): DataFrame =
     annIvfPqOn(emb(s, dir), index = Some(pqIndexStaged(s, dir)))
 
+  /** Encode a batch of vectors against an EXISTING codebook — the
+    * incremental half of index maintenance (FAISS `add`): no
+    * retraining, just the same broadcast-argmin assignment the trainer
+    * uses, so per-batch cost is O(batch·m·ksub) tiny dot products and
+    * the codebook stays immutable (queries in flight keep a consistent
+    * ADC table).
+    */
+  private[graft] def pqEncode(batch: DataFrame, codebook: DataFrame,
+                              m: Int = 8): DataFrame = {
+    def sqdist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, z) => acc + z)
+    pqSubvecs(pqNormalize(batch), "vec_id", m)
+      .join(broadcast(codebook), "sub")
+      .withColumn("d", sqdist(col("svec"), col("c_vec")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        x => x.getField("code")).as("codes"))
+  }
+
+  /** The PQ index as a MAINTAINED Snapshots table (codebook + codes),
+    * staged once per sf dir: this is what the index IS in production —
+    * a transactional lake table that incremental batches append into,
+    * with the same exactly-once tags, time travel, and compaction as
+    * any other table.
+    */
+  private def pqLakeStaged(s: SparkSession, dir: String,
+                           m: Int = 8, ksub: Int = 16, iters: Int = 2): graft.sources.Snapshots = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s.conf.get("spark.sql.warehouse.dir") + s"/pq_lake_${m}_$ksub$tag"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val lake = new graft.sources.Snapshots(s, root)
+    val marker = new org.apache.hadoop.fs.Path(p, "_STAGED_G1")
+    if (!f.exists(marker)) {
+      f.delete(p, true)
+      val (cb, codes) = pqIndex(emb(s, dir), m, ksub, iters)
+      lake.commit(Map("codebook" -> cb, "codes" -> codes))
+      f.create(marker, true).close()
+    }
+    lake
+  }
+
+  /** C30 `s07_ann_index_append`: INCREMENTAL index maintenance — the
+    * ANN twin of d06/d08's incremental-dedup story. A 100 TB embedding
+    * corpus is indexed once and then APPENDED to: each arriving batch
+    * is encoded against the existing immutable codebooks ([[pqEncode]])
+    * and lands as an O(batch) tagged [[graft.sources.Snapshots.append]]
+    * — not one existing code is rewritten, replays are no-ops, and a
+    * query planned mid-append reads a consistent committed version.
+    * The probe then runs the standard ADC + exact-re-rank over the
+    * UPDATED index. The batch here re-sends the query vectors under
+    * offset ids, so each query's new top-1 must be its appended exact
+    * duplicate (cos 1.0) — searchability of the appended rows is what
+    * AnnSpec gates, plus append O(batch) and replay idempotence.
+    */
+  def s07AnnIndexAppend(s: SparkSession, dir: String): DataFrame = {
+    val lake = pqLakeStaged(s, dir)
+    val batch = emb(s, dir).where(col("vec_id") < NQueries)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val codebook = lake.read("codebook")
+    lake.append("codes", pqEncode(batch, codebook), tag = Some("b1"))
+    val eAug = emb(s, dir).select(col("vec_id"), col("embedding")).unionByName(batch)
+    annPqOn(eAug, index = Some((codebook, lake.read("codes"))))
+  }
+
   /** Per-query ADC table: lut[sub*ksub + code] = q_sub · centroid —
     * ksub·m tiny dot products per query, never corpus work. array_sort
     * on (sub, code, ip) structs orders lexicographically, so position
@@ -453,7 +520,8 @@ object Ann {
     "s03_ann_ivf" -> ((s, dir) => s03AnnIvf(s, dir)),
     "s04_centroid_agg" -> s04CentroidAgg _,
     "s05_ann_pq" -> s05AnnPq _,
-    "s06_ann_ivfpq" -> s06AnnIvfPq _)
+    "s06_ann_ivfpq" -> s06AnnIvfPq _,
+    "s07_ann_index_append" -> s07AnnIndexAppend _)
 
   /** s02 is rows-only: its result depends on the LSH bucketing, which is
     * not SQL-expressible; AnnSpec holds its recall gate.

@@ -195,4 +195,20 @@ class AnnSpec extends AnyFunSuite {
       assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to Ann.K), "ranks not dense")
     }
   }
+
+  test("s07 incremental append: appended vectors are searchable, append is O(batch) and replay-safe") {
+    val r1 = Ann.s07AnnIndexAppend(spark, dir).collect()
+    // the appended batch duplicates each query under id+100000, so the
+    // updated index must surface the duplicate as the new top-1 at
+    // cos ~1.0 — proof the appended codes actually entered the scan
+    r1.filter(_.getLong(1) == 1L).foreach { r =>
+      assert(r.getLong(2) == r.getLong(0) + 100000L,
+        s"query ${r.getLong(0)} top-1 is ${r.getLong(2)}, not its appended duplicate")
+      assert(r.getDouble(3) > 0.999, s"duplicate cos ${r.getDouble(3)} should be ~1")
+    }
+    // replay: the tagged append is a no-op, results identical
+    val r2 = Ann.s07AnnIndexAppend(spark, dir).collect()
+    assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq,
+      "replayed append changed the index")
+  }
 }
