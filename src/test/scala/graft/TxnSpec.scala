@@ -544,6 +544,83 @@ class TxnSpec extends AnyFunSuite {
       fixed("b").agg(sum("on")).head.getLong(0) >= 1L)
   }
 
+  test("randomized DML/maintenance sequences agree with an in-memory model") {
+    val sp = spark
+    import sp.implicits._
+    // Model-based check: drive the lake through random op sequences and
+    // compare read("t") to a plain in-memory map after EVERY op — the
+    // composition bugs (tags × compact, stats × repeated deletes, empty
+    // rewrites, rollback lineage) live in sequences no hand-written
+    // case thinks to try. Seeded: failures reproduce.
+    val rnd = new scala.util.Random(20260813L)
+    for (seq <- 1 to 6) {
+      val root = Files.createTempDirectory("txnprop").toString + "/t"
+      val snap = new Snapshots(spark, root)
+      var model = Map.empty[Long, Long] // id -> v
+      var nextId = 0L
+      val history = scala.collection.mutable.ArrayBuffer.empty[(Long, Map[Long, Long])]
+      def batch(n: Int): Seq[(Long, Long)] = {
+        val rows = (0 until n).map { _ => nextId += 1; (nextId, rnd.nextInt(1000).toLong) }
+        rows
+      }
+      // seed commit
+      val rows0 = batch(40)
+      model = rows0.toMap
+      history += ((snap.commit(Map("t" -> rows0.toDF("id", "v")
+        .repartitionByRange(4, col("id"))), Map("t" -> Seq("id"))), model))
+      var vacuumed = false
+      for (op <- 1 to 7) {
+        rnd.nextInt(6) match {
+          case 0 => // tagged append (sometimes replayed)
+            val rows = batch(1 + rnd.nextInt(10))
+            val tag = s"b$seq-$op"
+            snap.append("t", rows.toDF("id", "v"), Some(tag), statsCols = Seq("id"))
+            model = model ++ rows
+            if (rnd.nextBoolean()) // replay must be a no-op
+              snap.append("t", rows.toDF("id", "v"), Some(tag), statsCols = Seq("id"))
+            history += ((snap.currentVersion.get, model))
+          case 1 => // range delete (possibly matching nothing)
+            val lo = 1L + rnd.nextInt(nextId.toInt.max(1))
+            val hi = lo + rnd.nextInt(20)
+            snap.deleteWhere("t", Seq(ColRange("id", Some(lo), Some(hi))), Seq("id"))
+            model = model.filter { case (id, _) => id < lo || id > hi }
+            history += ((snap.currentVersion.get, model))
+          case 2 => // range update
+            val lo = 1L + rnd.nextInt(nextId.toInt.max(1))
+            val hi = lo + rnd.nextInt(20)
+            snap.updateWhere("t", Seq(ColRange("id", Some(lo), Some(hi))),
+              Map("v" -> (col("v") + 1000000L)), Seq("id"))
+            model = model.map { case (id, v) =>
+              if (id >= lo && id <= hi) (id, v + 1000000L) else (id, v) }
+            history += ((snap.currentVersion.get, model))
+          case 3 => // compact (data-invariant)
+            snap.compact("t", targetBytes = 1L << 20, sortCol = Some("id"),
+              statsCols = Seq("id"))
+            history += ((snap.currentVersion.get, model))
+          case 4 => // rollback to a random recorded version
+            val (v, m) = history(rnd.nextInt(history.size))
+            if (!vacuumed) { // post-vacuum, old versions may be collected
+              snap.rollbackTo(v)
+              model = m
+              history += ((snap.currentVersion.get, model))
+            }
+          case 5 => // vacuum: history shrinks, head must survive
+            snap.vacuum(keepLast = 1)
+            vacuumed = true
+        }
+        val got = snap.read("t").as[(Long, Long)].collect().toMap
+        assert(got == model,
+          s"seq $seq op $op: lake ${got.size} rows != model ${model.size} " +
+            s"(diff ${(got.toSet diff model.toSet).take(3)} / ${(model.toSet diff got.toSet).take(3)})")
+      }
+      // every still-retained recorded version must time-travel exactly
+      if (!vacuumed) history.foreach { case (v, m) =>
+        val got = snap.read("t", Some(v)).as[(Long, Long)].collect().toMap
+        assert(got == m, s"seq $seq: time travel to v$v diverged")
+      }
+    }
+  }
+
   test("readChanges: append/delete/update diffs surface at changed-file cost") {
     val sp = spark
     import sp.implicits._
