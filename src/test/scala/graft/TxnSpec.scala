@@ -632,7 +632,9 @@ class TxnSpec extends AnyFunSuite {
       statsCols = Map("a" -> Seq("id")))
 
     // append: the diff is exactly the appended rows, nothing removed
-    val v2 = snap.append("a", (101L to 120L).map(i => (i, i * 2.0)).toDF("id", "v"))
+    // (statsCols so the later delete can PROVE the appended files clean)
+    val v2 = snap.append("a", (101L to 120L).map(i => (i, i * 2.0)).toDF("id", "v"),
+      statsCols = Seq("id"))
     val d12 = snap.readChanges("a", v1, v2)
     assert(d12.where(col("_change") === "removed").count() == 0L)
     val addedIds = d12.where(col("_change") === "added")
@@ -648,6 +650,10 @@ class TxnSpec extends AnyFunSuite {
     val add = d23.where(col("_change") === "added").select("id").as[Long].collect().toSet
     assert((rem -- add) == (1L to 10L).toSet, s"net-removed ${rem -- add}")
     assert(rem.size < 120, "diff read the whole table, not just touched files")
+    // the O(changed files) claim, machine-asserted at the scan: the diff
+    // plans strictly fewer file splits than a full read of either version
+    assert(d23.inputFiles.length < snap.read("a", Some(v2)).inputFiles.length,
+      s"diff scanned ${d23.inputFiles.length} files — not file-pruned")
 
     // update 50..60: the rows surface on BOTH sides — old value removed,
     // new value added
