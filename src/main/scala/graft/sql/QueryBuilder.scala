@@ -32,6 +32,14 @@ object ToField {
   // quoted like the reference's dedicated instance (QueryBuilder.hs:82);
   // UUID.toString is RFC-4122 lowercase hex, no quoting hazards
   implicit val uuidField: ToField[java.util.UUID] = (a: java.util.UUID) => quote(a.toString)
+  // the remaining reference instances (QueryBuilder.hs:43-99): Char
+  // quotes like a 1-char string, Integer splices unbounded, ByteString
+  // renders as a SQL hex binary literal (X'…' — the Spark SQL form of
+  // Postgres's E'\\x…')
+  implicit val charField: ToField[Char] = (a: Char) => quote(a.toString)
+  implicit val bigIntField: ToField[BigInt] = (a: BigInt) => a.toString
+  implicit val bytesField: ToField[Array[Byte]] = (a: Array[Byte]) =>
+    "X'" + a.map(b => f"${b & 0xff}%02X").mkString + "'"
   implicit val identifierField: ToField[Identifier] = (a: Identifier) => a.name
   implicit val fragField: ToField[SqlFrag] = (a: SqlFrag) => a.sql
   implicit val queryField: ToField[Query] = (a: Query) => a.template

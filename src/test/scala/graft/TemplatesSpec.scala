@@ -20,6 +20,16 @@ class TemplatesSpec extends AnyFunSuite {
     assert(ToField.optionField[Long].render(Some(7L)) == "7")
     val u = java.util.UUID.fromString("123e4567-e89b-12d3-a456-426614174000")
     assert(ToField.uuidField.render(u) == "'123e4567-e89b-12d3-a456-426614174000'")
+    assert(ToField.charField.render('\'') == "''''")
+    assert(ToField.bigIntField.render(BigInt("98765432109876543210")) ==
+      "98765432109876543210")
+    assert(ToField.bytesField.render(Array[Byte](0x0a, -1)) == "X'0AFF'")
+  }
+
+  test("a spliced binary literal survives the spark.sql round trip") {
+    val bytes = Array[Byte](0x0a, 0x5f, -76)
+    val row = Query("SELECT {1} AS payload").run1(spark, bytes).head()
+    assert(row.getAs[Array[Byte]](0).toSeq == bytes.toSeq)
   }
 
   test("a spliced UUID literal survives the spark.sql round trip") {
