@@ -544,6 +544,39 @@ class TxnSpec extends AnyFunSuite {
       fixed("b").agg(sum("on")).head.getLong(0) >= 1L)
   }
 
+  test("racing appends from two writers both land; tags stay per-batch") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txn").toString + "/t"
+    val s1 = new Snapshots(spark, root)
+    val s2 = new Snapshots(spark, root)
+    s1.commit(Map("a" -> Seq((1L, 1.0)).toDF("id", "v")))
+    // both writers read head=1 and race the append publish; the loser's
+    // manifest merge must re-run against the winner's head so NEITHER
+    // batch is lost (append pays no data rewrite on the retry)
+    s1.append("a", Seq((2L, 2.0)).toDF("id", "v"), tag = Some("w1"))
+    s2.append("a", Seq((3L, 3.0)).toDF("id", "v"), tag = Some("w2"))
+    val ids = new Snapshots(spark, root).read("a").select("id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 3L), s"lost an append in the race: $ids")
+    // replays through EITHER handle stay no-ops
+    s2.append("a", Seq((2L, 2.0)).toDF("id", "v"), tag = Some("w1"))
+    s1.append("a", Seq((3L, 3.0)).toDF("id", "v"), tag = Some("w2"))
+    assert(new Snapshots(spark, root).read("a").count() == 3L)
+  }
+
+  test("readChanges outside the retention window fails loudly, not wrongly") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txn").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    val v1 = snap.commit(Map("a" -> Seq((1L, 1.0)).toDF("id", "v")))
+    snap.commit(Map("a" -> Seq((2L, 2.0)).toDF("id", "v")))
+    snap.vacuum(keepLast = 1)
+    // v1's manifest is collected: a diff against it must throw, never
+    // silently return a partial or empty change set
+    intercept[Exception](snap.readChanges("a", v1, snap.currentVersion.get).collect())
+  }
+
   test("randomized DML/maintenance sequences agree with an in-memory model") {
     val sp = spark
     import sp.implicits._
