@@ -30,7 +30,7 @@ object Bench {
     "t05_train_split", "t06_pack", "t08_top_ngrams", "t09_decontaminate", "t10_pii_scrub",
     "d01_dedup_exact", "d02_dedup_minhash", "d03_dedup_simhash", "d04_dedup_ngram",
     "d06_dedup_incremental", "d07_dedup_clusters", "d08_dedup_incremental_ngram",
-    "t11_repetition", "t12_lm_score", "st05_stream_outer_join",
+    "t11_repetition", "t12_lm_score", "st05_stream_outer_join", "st06_session_window",
     "d05_dedup_embedding", "s01_ann_bruteforce", "s02_ann_lsh", "s05_ann_pq", "s06_ann_ivfpq",
     "s07_ann_index_append",
     "q35_setops", "q36_window_frames", "q37_gapfill", "q38_json",

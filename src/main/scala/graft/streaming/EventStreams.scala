@@ -48,6 +48,46 @@ object EventStreams {
         col("event_type"), col("n"), col("total"))
   }
 
+  /** D11 `st06_session_window` batch twin: per-user sessionization via
+    * the engine's NATIVE session_window operator — the third session
+    * formulation next to q19 (manual gaps-and-islands windows) and the
+    * flatMapGroupsWithState sessionizer (D2). session_window is a
+    * MERGING window: each event opens [ts, ts+gap) and overlapping
+    * windows coalesce, so an event exactly `gap` after its predecessor
+    * starts a NEW session (strict >) — the oracle encodes exactly that
+    * boundary. Timestamps are truncated to millis BEFORE windowing so
+    * both engines do the gap arithmetic on identical values.
+    */
+  def st06SessionWindow(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("ev_ts", timestamp_millis(col("ts_ms")))
+      .groupBy(session_window(col("ev_ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sess_value"))
+      .select(col("user_id"),
+        unix_millis(col("sw.start")).as("sess_start_ms"),
+        unix_millis(col("sw.end")).as("sess_end_ms"),
+        col("n_events"), col("sess_value"))
+      .orderBy("user_id", "sess_start_ms")
+
+  /** The genuinely-streaming session twin: watermarked event-time
+    * sessions whose state store MERGES windows across micro-batches and
+    * evicts sessions the watermark has passed — bounded state on an
+    * unbounded stream, the property the D2 custom sessionizer provides
+    * by hand and session_window gives natively.
+    */
+  def sessionWindowStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    s.readStream.schema(schema).parquet(s"$dir/events*.parquet")
+      .withColumn("ev_ts", timestamp_millis(expr("ts div 1000000")))
+      .withWatermark("ev_ts", "2 hours")
+      .groupBy(session_window(col("ev_ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sess_value"))
+      .select(col("user_id"),
+        unix_millis(col("sw.start")).as("sess_start_ms"),
+        unix_millis(col("sw.end")).as("sess_end_ms"),
+        col("n_events"), col("sess_value"))
+  }
+
   /** A4b `st02_stream_join` batch twin: view→purchase correlation —
     * same user, purchase within 30 minutes of the view. An equi-join on
     * user_id with a range residual, so the plan is a hash join, not an
@@ -282,9 +322,27 @@ object EventStreams {
       "st02_stream_join" -> st02StreamJoin _,
       "st03_stream_dedup" -> st03StreamDedup _,
       "st04_stream_enrich" -> st04StreamEnrich _,
-      "st05_stream_outer_join" -> st05StreamOuterJoin _)
+      "st05_stream_outer_join" -> st05StreamOuterJoin _,
+      "st06_session_window" -> st06SessionWindow _)
 
   val oracles: Map[String, String] = Map(
+    "st06_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, value, epoch_ms(ts) AS ts_ms FROM events
+        |), flagged AS (
+        |  SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+        |      OR ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)
+        |), sess AS (
+        |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged
+        |)
+        |SELECT user_id, min(ts_ms) AS sess_start_ms,
+        |  max(ts_ms) + 1800000 AS sess_end_ms,
+        |  count(*) AS n_events, round(sum(value), 2) AS sess_value
+        |FROM sess GROUP BY user_id, session_seq
+        |ORDER BY user_id, sess_start_ms""".stripMargin,
     "st01_stream_window" ->
       """SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS window_start_ms,
         |  event_type, count(*) AS n, round(sum(value),2) AS total

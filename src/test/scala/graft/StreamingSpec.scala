@@ -27,6 +27,20 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("native session_window stream matches its batch twin") {
+    val q = EventStreams.sessionWindowStream(spark, TestSpark.sfTest)
+      .writeStream.format("memory").queryName("sess_win_test")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sess_win_test")
+        .orderBy("user_id", "sess_start_ms").collect()
+      val batch = EventStreams.st06SessionWindow(spark, TestSpark.sfTest).collect()
+      assert(streamed.length == batch.length, "session count mismatch vs batch twin")
+      streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+    } finally q.stop()
+  }
+
   test("stateful sessionizer: state survives micro-batches, gaps close sessions") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
