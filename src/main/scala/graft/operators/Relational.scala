@@ -393,8 +393,46 @@ object Relational {
         sum(when(col("k") % 2 === 0, 1L).otherwise(0L)).as("n_even"))
       .orderBy("event_type")
 
+  /** B34 `q39_lateral`: LATERAL correlated subquery — the remaining
+    * ANSI join form (every row of the outer side drives a dependent
+    * subquery with its own ORDER BY/LIMIT). Catalyst decorrelates the
+    * lateral into a join + per-key ranking, so the declarative form
+    * costs one hash shuffle, not a per-row re-execution — the property
+    * that makes "top-3 orders per customer as a subquery" survive
+    * 100 TB. Deterministic tiebreak on o_orderkey in BOTH engines.
+    */
+  def q39Lateral(s: SparkSession, dir: String): DataFrame = {
+    graft.sources.Catalog.register(s, dir)
+    s.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice AS price
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+        |ORDER BY c_custkey, price DESC, o_orderkey""".stripMargin)
+  }
+
+  /** B35 `q40_cube`: CUBE / GROUPING SETS with grouping_id — completes
+    * the multi-dimensional aggregate surface next to q12's ROLLUP. The
+    * 2^k grouping combinations run in ONE pass (Expand over the scan,
+    * then a single hash agg); grouping_id disambiguates a real NULL
+    * from a rolled-up ALL. Money crosses the compare as integer cents.
+    */
+  def q40Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("gid"), col("n"), col("cents"))
+      .orderBy("gid", "status", "priority")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg" -> q01Agg _,
+    "q39_lateral" -> q39Lateral _,
+    "q40_cube" -> q40Cube _,
     "q35_setops" -> q35SetOps _,
     "q36_window_frames" -> q36WindowFrames _,
     "q37_gapfill" -> q37GapFill _,
@@ -421,6 +459,21 @@ object Relational {
     "q24_pivot" -> q24Pivot _)
 
   val oracles: Map[String, String] = Map(
+    "q39_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice AS price
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+        |ORDER BY c_custkey, price DESC, o_orderkey""".stripMargin,
+    "q40_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  CAST(2 * grouping(o_orderstatus) + grouping(o_orderpriority) AS BIGINT) AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, status, priority""".stripMargin,
     "q35_setops" ->
       """SELECT 'both' AS tag, o_custkey FROM (
         |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
