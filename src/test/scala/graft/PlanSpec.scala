@@ -43,6 +43,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q39 lateral subquery decorrelates to a ranked join, not per-row re-execution") {
+    val p = plan("q39_lateral")
+    // the scale-bearing rewrite: the correlated ORDER BY/LIMIT becomes a
+    // map-side group-limit + rank filter feeding ONE join — if Catalyst
+    // ever falls back to re-executing the subquery per outer row this
+    // shape (and the key's 100 TB story) is gone
+    assert(p.contains("WindowGroupLimit"), "lateral did not plan a group-limit")
+    assert(!p.contains("CartesianProduct"), "lateral fell back to a cartesian")
+  }
+
   test("no CartesianProduct anywhere in the suite") {
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
