@@ -28,6 +28,7 @@ object Bench {
     "q26_bucketed_join", "q27_approx_distinct", "q28_approx_percentile",
     "q29_topk_group", "q30_partition_pruned", "s03_ann_ivf", "s04_centroid_agg",
     "t05_train_split", "t06_pack", "t08_top_ngrams", "t09_decontaminate", "t10_pii_scrub",
+    "t13_decontaminate_embedding",
     "d01_dedup_exact", "d02_dedup_minhash", "d03_dedup_simhash", "d04_dedup_ngram",
     "d06_dedup_incremental", "d07_dedup_clusters", "d08_dedup_incremental_ngram",
     "t11_repetition", "t12_lm_score", "st05_stream_outer_join", "st06_session_window",

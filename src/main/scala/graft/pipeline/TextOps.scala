@@ -210,6 +210,32 @@ object TextOps {
       .orderBy("eval_id", "train_id")
   }
 
+  /** C31 `t13_decontaminate_embedding`: SEMANTIC decontamination — the
+    * embedding twin of t09's shingle overlap. Paraphrased benchmark
+    * leakage shares no n-grams, so modern pipelines also screen train
+    * candidates by eval-set cosine similarity. Shape mirrors t09: the
+    * eval side is small BY DEFINITION, so it broadcasts across one
+    * corpus scan (codegen cosine, no corpus shuffle; the per-eval
+    * aggregate is bounded by eval size). At 100 TB the corpus side
+    * plugs into the ANN index instead of a full scan (s02/s06 probe
+    * with the eval set as queries) — this operator is the exact
+    * threshold form the oracle can check.
+    */
+  def t13DecontaminateEmbedding(s: SparkSession, dir: String,
+                                threshold: Double = 0.4): DataFrame = {
+    import graft.functions.functions.cosine_sim
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val evalSide = e.where(col("vec_id") < 20).toDF("eval_id", "eval_vec")
+    val corpus = e.where(col("vec_id") >= 20)
+    corpus.crossJoin(broadcast(evalSide))
+      .withColumn("cos", cosine_sim(col("embedding"), col("eval_vec")))
+      .where(col("cos") >= threshold)
+      .groupBy("eval_id")
+      .agg(count(lit(1)).as("n_contaminated"),
+        max(round(col("cos"), 4)).as("max_cos"))
+      .orderBy("eval_id")
+  }
+
   /** C20 t10: PII scrubbing — regex redaction of emails and phone
     * numbers (pure codegen'd string expressions, scan-speed at 100 TB).
     * The corpus has no real PII, so each doc gets a synthetic
@@ -282,6 +308,7 @@ object TextOps {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t09_decontaminate" -> ((s, dir) => t09Decontaminate(s, dir)),
+    "t13_decontaminate_embedding" -> ((s, dir) => t13DecontaminateEmbedding(s, dir)),
     "t11_repetition" -> t11Repetition _,
     "t12_lm_score" -> t12LmScore _,
     "t10_pii_scrub" -> t10PiiScrub _,
@@ -298,6 +325,18 @@ object TextOps {
     stops.map(s => s"'$s'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "t13_decontaminate_embedding" ->
+      """WITH x AS (
+        |  SELECT a.vec_id AS eval_id,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[])) AS cos
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id < 20 AND b.vec_id >= 20
+        |)
+        |SELECT eval_id, count(*) AS n_contaminated,
+        |  max(round(cos, 4)) AS max_cos
+        |FROM x WHERE cos >= 0.4
+        |GROUP BY eval_id ORDER BY eval_id""".stripMargin,
     "t12_lm_score" ->
       """WITH toks AS (
         |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
