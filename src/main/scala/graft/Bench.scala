@@ -35,6 +35,7 @@ object Bench {
     "d05_dedup_embedding", "s01_ann_bruteforce", "s02_ann_lsh", "s05_ann_pq", "s06_ann_ivfpq",
     "s07_ann_index_append",
     "q35_setops", "q36_window_frames", "q37_gapfill", "q38_json", "q39_lateral", "q40_cube",
+    "q41_recursive",
     "t02_quality_score", "t04_fingerprint", "m02_decode_batch", "m03_decode_image", "m04_frame_sample",
     "m05_gif_frames", "m06_resize",
     "q25_typed_decode", "q31_typed_wide", "q32_weighted_avg", "c04_snapshot_read",

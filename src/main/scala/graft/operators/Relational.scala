@@ -429,10 +429,34 @@ object Relational {
         col("gid"), col("n"), col("cents"))
       .orderBy("gid", "status", "priority")
 
+  /** B36 `q41_recursive`: WITH RECURSIVE — iterative queries inside the
+    * declarative surface (Spark 4 executes each recursion step as a
+    * distributed union-step job, bounded by the recursion's own
+    * termination — the engine-owned form of d07's hand-built loop).
+    * The walk halves each key down to 1, so depth and the FULL ancestor
+    * path-sum are exact integers both engines must reproduce — the
+    * path-sum pins every intermediate row, not just the step count.
+    */
+  def q41Recursive(s: SparkSession, dir: String): DataFrame = {
+    graft.sources.Catalog.register(s, dir)
+    s.sql(
+      """WITH RECURSIVE walk(o_orderkey, anc, depth) AS (
+        |  SELECT o_orderkey, o_orderkey, CAST(0 AS BIGINT)
+        |  FROM orders WHERE o_orderkey < 1024
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(floor(anc / 2) AS BIGINT), depth + 1
+        |  FROM walk WHERE anc > 1
+        |)
+        |SELECT o_orderkey, max(depth) AS hops_to_root,
+        |  CAST(sum(anc) AS BIGINT) AS path_sum
+        |FROM walk GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg" -> q01Agg _,
     "q39_lateral" -> q39Lateral _,
     "q40_cube" -> q40Cube _,
+    "q41_recursive" -> q41Recursive _,
     "q35_setops" -> q35SetOps _,
     "q36_window_frames" -> q36WindowFrames _,
     "q37_gapfill" -> q37GapFill _,
@@ -459,6 +483,17 @@ object Relational {
     "q24_pivot" -> q24Pivot _)
 
   val oracles: Map[String, String] = Map(
+    "q41_recursive" ->
+      """WITH RECURSIVE walk(o_orderkey, anc, depth) AS (
+        |  SELECT o_orderkey, o_orderkey, CAST(0 AS BIGINT)
+        |  FROM orders WHERE o_orderkey < 1024
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(floor(anc / 2) AS BIGINT), depth + 1
+        |  FROM walk WHERE anc > 1
+        |)
+        |SELECT o_orderkey, max(depth) AS hops_to_root,
+        |  CAST(sum(anc) AS BIGINT) AS path_sum
+        |FROM walk GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
     "q39_lateral" ->
       """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice AS price
         |FROM customer c,
