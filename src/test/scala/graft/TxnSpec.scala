@@ -586,7 +586,9 @@ class TxnSpec extends AnyFunSuite {
     // rewrites, rollback lineage) live in sequences no hand-written
     // case thinks to try. Seeded: failures reproduce.
     val rnd = new scala.util.Random(20260813L)
-    for (seq <- 1 to 6) {
+    // CI runs 6 sequences; GRAFT_TXN_SOAK=N deepens the sweep locally
+    val nSeq = sys.env.get("GRAFT_TXN_SOAK").map(_.toInt).getOrElse(6)
+    for (seq <- 1 to nSeq) {
       val root = Files.createTempDirectory("txnprop").toString + "/t"
       val snap = new Snapshots(spark, root)
       var model = Map.empty[Long, Long] // id -> v
