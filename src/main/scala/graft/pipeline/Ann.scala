@@ -310,7 +310,7 @@ object Ann {
     val p = new org.apache.hadoop.fs.Path(root)
     val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val lake = new graft.sources.Snapshots(s, root)
-    val marker = new org.apache.hadoop.fs.Path(p, "_STAGED_G1")
+    val marker = new org.apache.hadoop.fs.Path(p, "_STAGED_G2")
     if (!f.exists(marker)) {
       f.delete(p, true)
       val (cb, codes) = pqIndex(emb(s, dir), m, ksub, iters)

@@ -100,19 +100,25 @@ object LakeMerge {
     val snap = new Snapshots(s, path)
     val updates = stageBuckets(s, path, snap.currentVersion, state)
     snap.commitStaged(updates,
-      removes = (0 until NBuckets).map(bucketKey).toSet -- updates.keySet)
+      removes = (0 until NBuckets).map(bucketKey).toSet -- updates.keySet,
+      schemas = updates.keys.map(_ -> state.schema).toMap)
   }
 
   /** A merge with its data staged (written, invisible) but not yet
     * published — the two-phase seam that makes atomicity testable: a
     * reader between [[stageMerge]] and [[publish]] must see the OLD
-    * state exactly (StreamingSpec proves it does).
+    * state exactly (StreamingSpec proves it does). `schema` is the
+    * staged buckets' file schema, handed to the publish so the manifest
+    * checkpoints it without a footer read.
     */
   final case class StagedMerge(snap: Snapshots,
                                updates: Map[String, String],
-                               removes: Set[String])
+                               removes: Set[String],
+                               schema: org.apache.spark.sql.types.StructType)
 
-  def publish(m: StagedMerge): Long = m.snap.commitStaged(m.updates, m.removes)
+  def publish(m: StagedMerge): Long =
+    m.snap.commitStaged(m.updates, m.removes,
+      schemas = m.updates.keys.map(_ -> m.schema).toMap)
 
   /** MERGE a decoded change batch (schema: op, ts_ms, o_orderkey,
     * o_totalprice) into the state lake at `path`. Upsert semantics:
@@ -144,18 +150,20 @@ object LakeMerge {
     if (touched.isEmpty) return None
     val snap = new Snapshots(s, path)
     val head = snap.currentVersion
-    val touchedPaths = {
-      val paths = snap.tablePaths()
-      touched.map(bucketKey).flatMap(paths.get).flatten
-    }
+    val touchedKeys = touched.map(bucketKey)
+    val anyCommitted = head.isDefined &&
+      snap.tablePaths().keySet.exists(touchedKeys.contains)
     val current =
-      if (touchedPaths.isEmpty) Cdc.applyChanges(changes.limit(0), keepTs = true)
-      else s.read.parquet(touchedPaths: _*)
+      if (!anyCommitted) Cdc.applyChanges(changes.limit(0), keepTs = true)
+      // metadata-planned read of ONLY the touched buckets (absent
+      // buckets skipped — an untouched-by-history bucket has no entry)
+      else snap.readTables(touchedKeys)
     // merged rows hash back into touched buckets by construction, so the
     // stage writes exactly the touched dirs; a touched bucket whose rows
     // were ALL deleted produces no dir → removed from the manifest
-    val updates = stageBuckets(s, path, head, Cdc.applyIncrement(current, changes))
-    Some(StagedMerge(snap, updates, touched.map(bucketKey).toSet -- updates.keySet))
+    val merged = Cdc.applyIncrement(current, changes)
+    val updates = stageBuckets(s, path, head, merged)
+    Some(StagedMerge(snap, updates, touchedKeys.toSet -- updates.keySet, merged.schema))
   }
 
   /** The merge's read side: state restricted to touched buckets. The
@@ -165,12 +173,8 @@ object LakeMerge {
     * every input file is under a touched bucket — the claim that merge
     * IO is O(touched), not O(table)).
     */
-  def prunedState(s: SparkSession, path: String, touched: Seq[Int]): DataFrame = {
-    val paths = new Snapshots(s, path).tablePaths()
-    val keep = touched.map(bucketKey).flatMap(paths.get).flatten
-    require(keep.nonEmpty, s"no committed state for buckets $touched under $path")
-    s.read.parquet(keep: _*)
-  }
+  def prunedState(s: SparkSession, path: String, touched: Seq[Int]): DataFrame =
+    new Snapshots(s, path).readTables(touched.map(bucketKey))
 
   /** Current state read back: one manifest resolve → one multi-dir scan
     * (bucket dirs carry no partition column — the bucket id is derivable
@@ -178,9 +182,10 @@ object LakeMerge {
     * before the first byte is read.
     */
   def readState(s: SparkSession, path: String): DataFrame = {
-    val paths = new Snapshots(s, path).tablePaths().values.flatten.toSeq.sorted
-    require(paths.nonEmpty, s"empty or uncommitted state lake at $path")
-    s.read.parquet(paths: _*)
+    val snap = new Snapshots(s, path)
+    val names = snap.tablePaths().keys.toSeq.sorted
+    require(names.nonEmpty, s"empty or uncommitted state lake at $path")
+    snap.readTables(names)
   }
 
   /** State lake seeded from the snapshot ('r') rows, staged ONCE per sf
@@ -199,7 +204,7 @@ object LakeMerge {
     // warehouse can hold a lake staged by an older build (different
     // on-disk protocol — e.g. pre-manifest bucket dirs), whose marker
     // must not be trusted; bump the suffix whenever the layout changes
-    val marker = new org.apache.hadoop.fs.Path(path, "_SEEDED_G2")
+    val marker = new org.apache.hadoop.fs.Path(path, "_SEEDED_G3")
     if (!f.exists(marker)) {
       f.delete(new org.apache.hadoop.fs.Path(path), true)
       val decoded = Cdc.decode(Cdc.stagedEnvelopes(s, dir))

@@ -16,6 +16,67 @@ object GraftShim {
     classic.Dataset.ofRows(s.asInstanceOf[classic.SparkSession], plan)
 }
 
+/** Zero-listing parquet reads for the Snapshots lake. A stock
+  * `spark.read.parquet(paths…)` pays two driver-side metadata costs per
+  * query: an InMemoryFileIndex LISTING of every path and a footer read
+  * for SCHEMA INFERENCE. At a 100-TB snapshot (10⁵-10⁶ files) that
+  * per-query O(files) metadata walk is the classic lake bottleneck the
+  * open table formats solve with checkpointed metadata (Delta's
+  * _delta_log checkpoint, Iceberg's manifest lists — public designs).
+  * The graft manifest records schema + (file, length) per table at
+  * COMMIT time, so reads plan from the manifest alone: this shim turns
+  * that recorded metadata into a standard v1 parquet relation — same
+  * FileSourceStrategy, same pushdown/pruning/vectorized scan — whose
+  * FileIndex is a pure in-memory lookup (no RPCs, no listing).
+  *
+  * Lives here because [[GraftShim.ofRows]] needs the classic session;
+  * the datasource classes themselves (FileIndex, HadoopFsRelation,
+  * LogicalRelation, ParquetFileFormat) are the public extension surface
+  * the Delta connector builds on.
+  */
+object GraftLakeShim {
+  import org.apache.hadoop.fs.{FileStatus, Path}
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
+  import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+  import org.apache.spark.sql.types.StructType
+
+  /** FileIndex fully determined by manifest metadata — listFiles never
+    * touches a filesystem. Lengths must be EXACT (they drive split
+    * planning and footer location); modification times are irrelevant
+    * to the scan and recorded as 0.
+    */
+  private final class ManifestFileIndex(files: Seq[FileStatus]) extends FileIndex {
+    override def rootPaths: Seq[Path] = files.map(_.getPath)
+    override def listFiles(partitionFilters: Seq[Expression],
+                           dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+      Seq(PartitionDirectory(InternalRow.empty, files.toArray))
+    override def inputFiles: Array[String] = files.map(_.getPath.toString).toArray
+    override def refresh(): Unit = ()
+    override def sizeInBytes: Long = files.map(_.getLen).sum
+    override def partitionSchema: StructType = StructType(Nil)
+  }
+
+  /** Parquet DataFrame over an explicit (path, length) file list with a
+    * known schema: zero listing, zero schema inference. An empty file
+    * list yields a valid empty relation with the schema intact.
+    */
+  def parquetByManifest(s: SparkSession, files: Seq[(String, Long)], schema: StructType): DataFrame = {
+    val statuses = files.map { case (p, len) =>
+      new FileStatus(len, false, 1, 128L << 20, 0L, new Path(p))
+    }
+    val relation = HadoopFsRelation(
+      location = new ManifestFileIndex(statuses),
+      partitionSchema = StructType(Nil),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(s.asInstanceOf[classic.SparkSession])
+    GraftShim.ofRows(s, LogicalRelation(relation, false))
+  }
+}
+
 /** Input-type declaration bridge. `AbstractDataType` (and therefore the
   * `inputTypes` override signature of `ImplicitCastInputTypes`) is
   * private[sql] in Spark 4.1, so the override must be written inside this

@@ -22,6 +22,60 @@ class TxnSpec extends AnyFunSuite {
     pairs.toDF("id", "v")
   }
 
+  test("reads plan from the manifest alone: zero data-directory listings") {
+    // lake rooted on the counting filesystem — every listStatus any part
+    // of the stack issues against this root is recorded
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.cfs.impl", classOf[CountingLocalFs].getName)
+    val root = "cfs:" + Files.createTempDirectory("txnls").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    val rows = (1L to 200L).map(i => (i, i * 2.0))
+    val sp = spark
+    import sp.implicits._
+    snap.commit(Map("a" -> rows.toDF("id", "v").repartition(4)),
+      statsCols = Map("a" -> Seq("id")))
+    snap.append("a", Seq((201L, 402.0)).toDF("id", "v"), statsCols = Seq("id"))
+    val head = snap.currentVersion.get
+
+    CountingLocalFs.reset()
+    // plain snapshot read: plan + execute
+    assert(snap.read("a").count() === 201L)
+    // stats-skipping read: sidecar consults are OPENs, not listings
+    assert(snap.readWhere("a", Seq(ColRange("id", Some(1L), Some(10L)))).count() === 10L)
+    // version-diff read
+    assert(snap.readChanges("a", 1L, head).count() === 1L)
+    assert(CountingLocalFs.dataDirLists.isEmpty,
+      s"read paths listed data dirs: ${CountingLocalFs.dataDirLists.distinct}")
+
+    // and the metadata is not load-bearing for correctness: the same
+    // reads through a manifest stripped of its @schema/@files lines
+    // (simulating an external/legacy writer) fall back to listing and
+    // agree exactly
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifestPath = new org.apache.hadoop.fs.Path(root + "/_commits", f"$head%020d.manifest")
+    val body = {
+      val in = fs.open(manifestPath)
+      try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    }
+    val stripped = body.linesIterator
+      .filterNot(l => l.contains("@schema=") || l.contains("@files="))
+      .mkString("\n")
+    val legacyRoot = "cfs:" + Files.createTempDirectory("txnls2").toString + "/t"
+    // rebuild the lake bytes under a fresh root with a stripped manifest
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(root),
+      fs, new org.apache.hadoop.fs.Path(legacyRoot), false,
+      spark.sparkContext.hadoopConfiguration)
+    val legacyManifest = new org.apache.hadoop.fs.Path(legacyRoot + "/_commits", f"$head%020d.manifest")
+    fs.delete(legacyManifest, false)
+    val out = fs.create(legacyManifest, true)
+    try out.write(stripped.getBytes("UTF-8")) finally out.close()
+    val legacy = new Snapshots(spark, legacyRoot)
+    assert(legacy.read("a").count() === 201L)
+    assert(legacy.readWhere("a", Seq(ColRange("id", Some(1L), Some(10L)))).count() === 10L)
+    assert(legacy.readChanges("a", 1L, head).count() === 1L)
+  }
+
   test("multi-table commit is atomic and snapshot reads never mix versions") {
     val root = Files.createTempDirectory("txn").toString + "/t"
     val snap = new Snapshots(spark, root)
