@@ -265,11 +265,22 @@ object Relational {
     * (xxhash64 of the row identity, not a data column): a data-derived
     * salt inherits the column's skew and can leave dead buckets
     * (l_linenumber ∈ 1..7 never hits salt 0), which defeats the spread.
+    *
+    * The join is PINNED to a shuffle hash join: salting exists to fix
+    * reducer skew in a SHUFFLE, and a broadcast join (which Catalyst
+    * would pick at test scale) has no reducers to skew — it would make
+    * the salt inert overhead and the bench would measure a plan this
+    * operator will never run at the 100-TB scale it exists for. At that
+    * scale the exploded build side exceeds any broadcast threshold and
+    * the shuffle is the only plan; the hint makes the small-sf plan the
+    * same one. PlanSpec asserts: no BroadcastExchange under the join,
+    * and the salt column is part of the join keys.
     */
   def q20SaltedJoin(s: SparkSession, dir: String): DataFrame = {
     val salts = 8
     val o = t(s, dir, "orders")
       .withColumn("salt", explode(array((0 until salts).map(i => lit(i)): _*)))
+      .hint("SHUFFLE_HASH")
     val li = t(s, dir, "lineitem")
       .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts)))
     li.join(o, li("l_orderkey") === o("o_orderkey") && li("salt") === o("salt"))

@@ -393,9 +393,13 @@ object Multimodal {
   def sampleGifFrames(docId: Long, payload: Array[Byte], every: Int): DecodedVideo = {
     imageIoReady
     val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    // the stream needs its own close: reader.dispose() does not close the
+    // input it was set to — memory-backed today, a file-handle leak the
+    // day the ImageIO cache setting changes
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
     try {
-      reader.setInput(javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(payload)))
+      reader.setInput(in)
       val nf = reader.getNumImages(true)
       var (sr, sg, sb) = (0.0, 0.0, 0.0)
       var sampled = 0
@@ -419,7 +423,10 @@ object Multimodal {
         f += 1
       }
       DecodedVideo(docId, nf, sampled, w, h, sr / sampled, sg / sampled, sb / sampled)
-    } finally reader.dispose()
+    } finally {
+      reader.dispose()
+      in.close()
+    }
   }
 
   /** C28 `m05_gif_frames`: synthesize one animated GIF per doc (closed

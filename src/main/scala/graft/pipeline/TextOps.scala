@@ -229,7 +229,11 @@ object TextOps {
     val corpus = e.where(col("vec_id") >= 20)
     corpus.crossJoin(broadcast(evalSide))
       .withColumn("cos", cosine_sim(col("embedding"), col("eval_vec")))
-      .where(col("cos") >= threshold)
+      // threshold on a ROUNDED value, mirrored in the oracle: the two
+      // engines' cosine folds can differ in the last ulp, and a pair
+      // landing exactly on the threshold would flip n_contaminated
+      // across engines — rounding first makes the boundary engine-stable
+      .where(round(col("cos"), 6) >= threshold)
       .groupBy("eval_id")
       .agg(count(lit(1)).as("n_contaminated"),
         max(round(col("cos"), 4)).as("max_cos"))
@@ -335,7 +339,7 @@ object TextOps {
         |)
         |SELECT eval_id, count(*) AS n_contaminated,
         |  max(round(cos, 4)) AS max_cos
-        |FROM x WHERE cos >= 0.4
+        |FROM x WHERE round(cos, 6) >= 0.4
         |GROUP BY eval_id ORDER BY eval_id""".stripMargin,
     "t12_lm_score" ->
       """WITH toks AS (

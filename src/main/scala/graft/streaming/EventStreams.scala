@@ -52,11 +52,14 @@ object EventStreams {
     * the engine's NATIVE session_window operator — the third session
     * formulation next to q19 (manual gaps-and-islands windows) and the
     * flatMapGroupsWithState sessionizer (D2). session_window is a
-    * MERGING window: each event opens [ts, ts+gap) and overlapping
-    * windows coalesce, so an event exactly `gap` after its predecessor
-    * starts a NEW session (strict >) — the oracle encodes exactly that
-    * boundary. Timestamps are truncated to millis BEFORE windowing so
-    * both engines do the gap arithmetic on identical values.
+    * MERGING window: each event opens [ts, ts+gap) and overlapping-or-
+    * touching windows coalesce, so an event exactly `gap` after its
+    * predecessor MERGES into the same session — a new session requires
+    * a strictly GREATER gap, which is what the oracle's
+    * `ts - lag(ts) > gap` boundary encodes (verified by the streaming
+    * equality test). Timestamps are truncated to millis BEFORE
+    * windowing so both engines do the gap arithmetic on identical
+    * values.
     */
   def st06SessionWindow(s: SparkSession, dir: String): DataFrame =
     events(s, dir)

@@ -161,6 +161,20 @@ class PlanSpec extends AnyFunSuite {
       s"salt distribution skewed: $dist (hash salt should be near-uniform)")
   }
 
+  test("q20 benches the salted SHUFFLE join: no broadcast, salt in the join keys") {
+    // the salt fixes reducer skew in a shuffle; a broadcast join has no
+    // reducers to skew, so a plan that broadcasts the exploded build
+    // side would measure pure overhead and never the operator's actual
+    // 100-TB plan — the SHUFFLE_HASH hint pins the honest plan
+    val p = plan("q20_salted_join")
+    val joinSection = p.linesIterator.filter(_.contains("ShuffledHashJoin")).toSeq
+    assert(joinSection.nonEmpty, s"expected a ShuffledHashJoin in:\n$p")
+    assert(joinSection.exists(_.contains("salt")),
+      s"salt must be part of the shuffle join keys:\n${joinSection.mkString("\n")}")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastExchange"),
+      s"salted join must not broadcast:\n$p")
+  }
+
   test("TopK.perGroup partial-phase flush preserves results under tiny thresholds") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window

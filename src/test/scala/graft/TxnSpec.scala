@@ -76,6 +76,48 @@ class TxnSpec extends AnyFunSuite {
     assert(legacy.readChanges("a", 1L, head).count() === 1L)
   }
 
+  test("incremental aggregate tracks the source through append, delete, update, compact") {
+    import graft.sources.IncrementalAgg
+    val sp = spark
+    import sp.implicits._
+    val base = Files.createTempDirectory("incagg").toString
+    val src = new Snapshots(spark, base + "/src")
+    val agg = new Snapshots(spark, base + "/agg")
+    def rows(ids: Range) = ids.map(i => (i.toLong, s"g${i % 3}", i * 10L)).toDF("id", "grp", "v")
+
+    src.commit(Map("t" -> rows(1 to 100).repartition(4)), statsCols = Map("t" -> Seq("id")))
+    IncrementalAgg.seed(spark, src, "t", "grp", "v", agg, atVersion = 1L)
+
+    // delta-maintained state must equal a from-scratch recompute after
+    // EVERY source mutation — and the watermark must land on the head
+    def check(label: String): Unit = {
+      IncrementalAgg.refresh(spark, src, "t", "grp", "v", agg)
+      assert(IncrementalAgg.watermark(agg).contains(src.currentVersion.get), label)
+      val got = agg.read("agg").orderBy("grp").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      val want = src.read("t").groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("v").as("total")).orderBy("grp").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == want, s"$label: incremental $got != recompute $want")
+    }
+
+    src.append("t", rows(101 to 120), statsCols = Seq("id"))
+    check("append")
+    src.deleteWhere("t", Seq(ColRange("id", Some(10L), Some(30L))), statsCols = Seq("id"))
+    check("delete")
+    src.updateWhere("t", Seq(ColRange("id", Some(50L), Some(60L))),
+      Map("v" -> (col("v") * 2L)), statsCols = Seq("id"))
+    check("update")
+    // compact rewrites every file; rows that merely moved between files
+    // surface as remove+add and must cancel group-wise
+    src.compact("t", sortCol = Some("id"), statsCols = Seq("id"))
+    check("compact")
+    // already-current refresh is a no-op: no new agg version published
+    val before = agg.currentVersion.get
+    IncrementalAgg.refresh(spark, src, "t", "grp", "v", agg)
+    assert(agg.currentVersion.get == before)
+  }
+
   test("multi-table commit is atomic and snapshot reads never mix versions") {
     val root = Files.createTempDirectory("txn").toString + "/t"
     val snap = new Snapshots(spark, root)
