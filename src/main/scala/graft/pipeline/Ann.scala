@@ -297,6 +297,80 @@ object Ann {
         x => x.getField("code")).as("codes"))
   }
 
+  /** Mean PQ reconstruction error (quantization MSE) of `vecs` under
+    * `codebook` — the DRIFT PROBE of index maintenance: the codebooks
+    * were trained to minimize exactly this error on the training
+    * distribution, so a rising error on recent appends is the direct
+    * signal that the data has moved and ADC scores (hence recall) are
+    * decaying. One broadcast join + map-side-combined argmin over the
+    * probe batch — O(batch·m·ksub), never corpus work — ending in a
+    * single scalar to the driver.
+    */
+  private[graft] def pqQuantError(vecs: DataFrame, codebook: DataFrame,
+                                  m: Int = 8): Double = {
+    def sqdist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, z) => acc + z)
+    pqSubvecs(pqNormalize(vecs), "vec_id", m)
+      .join(broadcast(codebook), "sub")
+      .withColumn("d", sqdist(col("svec"), col("c_vec")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(col("d")).as("d"))
+      .groupBy("vec_id").agg(sum("d").as("err"))
+      .agg(avg("err")).head().getDouble(0)
+  }
+
+  private def statsDf(s: SparkSession, trainErr: Double): DataFrame = {
+    import s.implicits._
+    Seq(trainErr).toDF("train_err")
+  }
+
+  /** The index LIFECYCLE pass — what s07's append-only story was
+    * missing: appends accrete small tagged dirs (scan tasks follow file
+    * count) and encode against FROZEN codebooks (recall decays when the
+    * distribution drifts). One maintenance call decides between the two
+    * remedies:
+    *
+    *  1. probe drift: quantization error of `recentVecs` (the vectors
+    *     appended since the last pass) vs the training-time error the
+    *     lake's `stats` table records;
+    *  2. ratio <= driftThreshold → the codebooks still fit; COMPACT the
+    *     codes table (bin-pack the append dirs; atomic re-point) and
+    *     vacuum superseded versions — pure layout maintenance;
+    *  3. ratio >  driftThreshold → RE-ENCODE: retrain codebooks on the
+    *     CURRENT corpus (`allVecs` — in production the corpus table the
+    *     index serves), re-encode every vector, record the new training
+    *     error, and publish (codebook, codes, stats) in ONE atomic
+    *     commit — a query planned mid-rebuild reads the old consistent
+    *     index, the next one the new; replayed append tags survive the
+    *     re-commit (manifest tag lines), so exactly-once ingestion
+    *     holds across rebuilds.
+    *
+    * Returns the action taken ("compacted" | "re-encoded"). AnnSpec
+    * proves same-distribution appends compact, a drifted distribution
+    * re-encodes, and the rebuilt index restores the recall the drifted
+    * batch lost.
+    */
+  def maintainPqLake(lake: graft.sources.Snapshots, recentVecs: DataFrame,
+                     allVecs: DataFrame, m: Int = 8, ksub: Int = 16,
+                     iters: Int = 2, driftThreshold: Double = 1.5,
+                     targetBytes: Long = 16L << 20): String = {
+    val s = recentVecs.sparkSession
+    val codebook = lake.read("codebook")
+    val trainErr = lake.read("stats").head().getDouble(0)
+    val recentErr = pqQuantError(recentVecs, codebook, m)
+    if (recentErr / trainErr > driftThreshold) {
+      val (cb, codes) = pqIndex(allVecs, m, ksub, iters)
+      val newErr = pqQuantError(allVecs, cb, m)
+      lake.commit(Map("codebook" -> cb, "codes" -> codes,
+        "stats" -> statsDf(s, newErr)))
+      "re-encoded"
+    } else {
+      lake.compact("codes", targetBytes = targetBytes)
+      lake.vacuum(keepLast = 2)
+      "compacted"
+    }
+  }
+
   /** The PQ index as a MAINTAINED Snapshots table (codebook + codes),
     * staged once per sf dir: this is what the index IS in production —
     * a transactional lake table that incremental batches append into,
@@ -310,11 +384,15 @@ object Ann {
     val p = new org.apache.hadoop.fs.Path(root)
     val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val lake = new graft.sources.Snapshots(s, root)
-    val marker = new org.apache.hadoop.fs.Path(p, "_STAGED_G2")
+    val marker = new org.apache.hadoop.fs.Path(p, "_STAGED_G3")
     if (!f.exists(marker)) {
       f.delete(p, true)
-      val (cb, codes) = pqIndex(emb(s, dir), m, ksub, iters)
-      lake.commit(Map("codebook" -> cb, "codes" -> codes))
+      val corpus = emb(s, dir)
+      val (cb, codes) = pqIndex(corpus, m, ksub, iters)
+      // training-time quantization error rides in the lake: it is the
+      // baseline every later drift probe (maintainPqLake) compares to
+      lake.commit(Map("codebook" -> cb, "codes" -> codes,
+        "stats" -> statsDf(s, pqQuantError(corpus, cb, m))))
       f.create(marker, true).close()
     }
     lake

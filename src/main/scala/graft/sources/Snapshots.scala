@@ -38,16 +38,17 @@ import org.apache.spark.sql.functions._
   *  - REPEATABLE READ: honored and exceeded — a snapshot() resolves the
   *    manifest once, so every read of every table in that snapshot is
   *    repeatable for the snapshot's lifetime (true snapshot isolation).
-  *  - SERIALIZABLE: honored for WRITE-WRITE conflicts (the version
-  *    claim is a total order; compact/partialRewrite additionally fail
-  *    loudly when their base table was re-pointed), but NOT for general
-  *    read-write cycles: two transactions that each read a table the
-  *    other writes can both commit (write skew) because readers take no
-  *    locks and commits validate only manifest-pointer conflicts, not
-  *    read sets. TxnSpec pins this exact outcome; a migrating user who
-  *    relied on SERIALIZABLE for cross-table invariants must route both
-  *    writes through one commit() (atomic multi-table) or serialize at
-  *    the application level.
+  *  - SERIALIZABLE: write-write conflicts are always serialized (the
+  *    version claim is a total order; compact/partialRewrite fail
+  *    loudly when their base table was re-pointed). Read-write cycles
+  *    are NOT detected by the default commit() — two transactions that
+  *    each read a table the other writes can both land (write skew;
+  *    TxnSpec pins it) — but [[commitSerializable]] closes them:
+  *    declare the read set and the commit aborts if any read table
+  *    changed since the transaction's base version (commit-time
+  *    conflict detection; TxnSpec proves the write-skew pair now loses
+  *    one). Alternatives remain one atomic multi-table commit() or
+  *    application-level serialization.
   *
   * At 100 TB the manifest holds table→path pointers, so commit cost is
   * O(1) in table size; data writes are normal partitioned/bucketed
@@ -277,28 +278,7 @@ class Snapshots(s: SparkSession, root: String) {
       s"table name '$t' collides with the reserved '@' manifest lines"))
     var attempt = currentVersion.getOrElse(0L) + 1
     for (_ <- 1 to MaxAttempts) {
-      // independent tables stage CONCURRENTLY: the commit's wall time is
-      // the slowest table's write, not the sum — on a real cluster a
-      // multi-table transaction's data jobs have no ordering dependency
-      // (visibility is the single manifest publish below, not the writes)
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val written = Await.result(Future.traverse(tables.toSeq) { case (name, df) =>
-        Future {
-          val rel = stageRel(attempt, name)
-          df.write.mode("overwrite").parquet(s"$root/$rel")
-          statsCols.get(name).filter(_.nonEmpty).foreach { cols =>
-            FileStats.writeSidecar(fs, new Path(s"$root/$rel"),
-              FileStats.harvest(s, s"$root/$rel", cols))
-          }
-          // checkpoint the read metadata while the write's listing is
-          // hot: one listStatus (and at worst one footer) per table here
-          // buys zero listing / zero inference on EVERY future read
-          Seq(name -> rel,
-            schemaLine(name, predictReadBack(df.schema).getOrElse(writtenSchema(rel))),
-            filesLine(name, listRelFiles(Seq(rel))))
-        }
-      }, scala.concurrent.duration.Duration.Inf).flatten.toMap
+      val written = stageTables(tables, statsCols, attempt)
       // consumed append-tags follow the table identity through a full
       // re-commit: a replayed micro-batch must stay a no-op even after
       // the table's data was wholly rewritten (tables NOT in this
@@ -311,6 +291,101 @@ class Snapshots(s: SparkSession, root: String) {
     }
     throw new IllegalStateException(
       s"commit lost $MaxAttempts consecutive version races under $root")
+  }
+
+  /** Stage every table's data under `attempt`'s writer-unique directory
+    * and return its manifest lines (data entry + checkpointed read
+    * metadata). Independent tables stage CONCURRENTLY: the commit's
+    * wall time is the slowest table's write, not the sum — a
+    * multi-table transaction's data jobs have no ordering dependency
+    * (visibility is the single manifest publish, not the writes).
+    */
+  private def stageTables(tables: Map[String, DataFrame],
+                          statsCols: Map[String, Seq[String]],
+                          attempt: Long): Map[String, String] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.traverse(tables.toSeq) { case (name, df) =>
+      Future {
+        val rel = stageRel(attempt, name)
+        df.write.mode("overwrite").parquet(s"$root/$rel")
+        statsCols.get(name).filter(_.nonEmpty).foreach { cols =>
+          FileStats.writeSidecar(fs, new Path(s"$root/$rel"),
+            FileStats.harvest(s, s"$root/$rel", cols))
+        }
+        // checkpoint the read metadata while the write's listing is
+        // hot: one listStatus (and at worst one footer) per table here
+        // buys zero listing / zero inference on EVERY future read
+        Seq(name -> rel,
+          schemaLine(name, predictReadBack(df.schema).getOrElse(writtenSchema(rel))),
+          filesLine(name, listRelFiles(Seq(rel))))
+      }
+    }, scala.concurrent.duration.Duration.Inf).flatten.toMap
+  }
+
+  /** A serializable commit found a read-set table changed by a
+    * concurrent transaction — the transaction must re-run from a fresh
+    * snapshot (the lake analog of Postgres'
+    * `could not serialize access`).
+    */
+  final class SerializationConflictException(msg: String)
+    extends RuntimeException(msg)
+
+  /** SERIALIZABLE commit — the opt-in upgrade from snapshot isolation,
+    * completing the reference's selectable-isolation menu
+    * (Stream.hs:166-231). The caller declares the transaction's READ
+    * SET: the tables it read (at `baseVersion`) to derive what it
+    * writes. At commit time, inside the same create-exclusive loop that
+    * serializes writers, the read set is validated against the current
+    * head: if any read table's manifest entry changed since
+    * `baseVersion`, the commit ABORTS with
+    * [[SerializationConflictException]] — commit-time read-set conflict
+    * detection, the optimistic-SSI design the open table formats use
+    * for their serializable tier (Delta's txn-level conflict checking;
+    * public design). Write skew dies here: of two transactions that
+    * each read a table the other writes, the second to commit sees its
+    * read set changed and aborts (TxnSpec proves the pair outcome).
+    *
+    * Validation is sound against races because the version chain is
+    * DENSE (every manifest is created at head+1 of an observed head, so
+    * versions never skip): each attempt validates the manifest at
+    * `headV` and claims exactly `headV+1` — if the create-exclusive
+    * succeeds, the validated manifest IS the commit's predecessor; if
+    * it fails, the loop re-validates against the new head.
+    *
+    * Unlike [[commit]] (whole-snapshot replacement), a serializable
+    * commit MERGES into the head manifest — it is a transaction against
+    * the shared database, and tables it does not write must survive it.
+    */
+  def commitSerializable(tables: Map[String, DataFrame],
+                         readSet: Set[String],
+                         baseVersion: Long,
+                         statsCols: Map[String, Seq[String]] = Map.empty): Long = {
+    tables.keys.foreach(t => require(!isMetaEntry(t),
+      s"table name '$t' collides with the reserved '@' manifest lines"))
+    val baseM = readManifest(baseVersion) // throws if never committed
+    for (_ <- 1 to MaxAttempts) {
+      val headV = currentVersion.getOrElse(
+        throw new IllegalStateException(s"no commits under $root"))
+      if (headV != baseVersion) {
+        val headM = readManifest(headV)
+        val changed = readSet.filter(t => headM.get(t) != baseM.get(t))
+        if (changed.nonEmpty)
+          throw new SerializationConflictException(
+            s"read set ${changed.mkString(", ")} changed between version " +
+              s"$baseVersion and head $headV — re-run the transaction")
+      }
+      val attempt = headV + 1
+      val written = stageTables(tables, statsCols, attempt)
+      val headM = readManifest(headV)
+      // drop the written tables' stale meta/tags lines, keep everything
+      // else from the head, overlay the fresh lines
+      val stale = tables.keys.flatMap(t =>
+        Seq(t + TagsSuffix, t + SchemaSuffix, t + FilesSuffix)).toSet
+      if (writeManifest(attempt, (headM -- stale) ++ written)) return attempt
+    }
+    throw new IllegalStateException(
+      s"serializable commit lost $MaxAttempts consecutive version races under $root")
   }
 
   /** Re-point head at an older snapshot — the executable ROLLBACK

@@ -44,4 +44,53 @@ object JdbcCdc {
     LakeMerge.mergeBatch(s, statePath, batch)
     hi.longValue()
   }
+
+  /** Audit-column + tombstone-table capture — the polling shape for
+    * sources that expose a LIVE table rather than a change log. An
+    * `UPDATED_MS` audit column catches inserts and updates, but a
+    * DELETE leaves no row behind to carry a timestamp — the classic
+    * hole in audit-column polling. The source closes it with a delete
+    * trigger writing `(SEQ identity, ID, TS_MS)` tombstones (TS_MS =
+    * the deleted row's audit time + 1, so per-key latest-wins ordering
+    * puts the delete after the state it removes, and a later re-insert
+    * with a fresh audit time wins back).
+    *
+    * Two RESUME TOKENS, not one: the tombstone of an OLD row carries a
+    * LOW TS_MS, so a single shared timestamp watermark would skip it —
+    * deletes advance on the tombstone table's own monotone SEQ while
+    * upserts advance on the audit millis. Each poll reads only rows
+    * past its token (both predicates push down; an empty poll is two
+    * scalar round trips), merges ONE unioned batch — upserts and
+    * deletes land atomically in the same lake publish — and returns the
+    * advanced pair. At-least-once polling + replay-idempotent merge =
+    * exactly-once, same as [[ingestOnce]]; JdbcSpec drives a real Derby
+    * DELETE through the trigger into the lake and reads the removal
+    * back out of [[graft.sources.Snapshots.readChanges]].
+    */
+  def ingestFromTable(s: SparkSession, cs: Jdbc.ConnSettings, srcTable: String,
+                      tombTable: String, statePath: String,
+                      sinceSrcMs: Long, sinceDelSeq: Long): (Long, Long) = {
+    def scalarMax(sql: String): Option[Long] =
+      Option(Jdbc.readQuery(s, cs, sql).head().getAs[Number](0)).map(_.longValue())
+    val hiSrc = scalarMax(
+      s"SELECT MAX(UPDATED_MS) AS HI FROM $srcTable WHERE UPDATED_MS > $sinceSrcMs")
+    val hiDel = scalarMax(
+      s"SELECT MAX(SEQ) AS HI FROM $tombTable WHERE SEQ > $sinceDelSeq")
+    if (hiSrc.isEmpty && hiDel.isEmpty) return (sinceSrcMs, sinceDelSeq)
+    val parts = Seq(
+      hiSrc.map(hi => Jdbc.readQuery(s, cs,
+        s"SELECT 'u' AS OP, UPDATED_MS AS TS_MS, ID AS O_ORDERKEY, " +
+          s"PRICE AS O_TOTALPRICE FROM $srcTable " +
+          s"WHERE UPDATED_MS > $sinceSrcMs AND UPDATED_MS <= $hi")),
+      hiDel.map(hi => Jdbc.readQuery(s, cs,
+        s"SELECT 'd' AS OP, TS_MS, ID AS O_ORDERKEY, " +
+          s"CAST(NULL AS DOUBLE) AS O_TOTALPRICE FROM $tombTable " +
+          s"WHERE SEQ > $sinceDelSeq AND SEQ <= $hi"))).flatten
+    val batch = parts.reduce(_ unionByName _)
+      .select(
+        col("OP").as("op"), col("TS_MS").as("ts_ms"),
+        col("O_ORDERKEY").as("o_orderkey"), col("O_TOTALPRICE").as("o_totalprice"))
+    LakeMerge.mergeBatch(s, statePath, batch)
+    (hiSrc.getOrElse(sinceSrcMs), hiDel.getOrElse(sinceDelSeq))
+  }
 }

@@ -65,25 +65,27 @@ class AnnSpec extends AnyFunSuite {
     * unit center (a raw 64-dim gaussian has norm ~8 and would drown the
     * cluster structure) → cluster-mate cosine ~0.89.
     */
-  private lazy val clusteredCorpus: org.apache.spark.sql.DataFrame = {
+  private def clusteredVecs(centersSeed: Int, n: Int, idsFrom: Long = 0L): org.apache.spark.sql.DataFrame = {
     val sp = spark
     import sp.implicits._
-    val rnd = new scala.util.Random(42)
+    val rnd = new scala.util.Random(centersSeed)
     def normalize(v: Array[Float]): Array[Float] = {
-      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
-      v.map(_ / n)
+      val nn = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / nn)
     }
     val centers = Array.fill(16)(normalize(Array.fill(64)(rnd.nextGaussian().toFloat)))
     val noiseScale = 0.35f / math.sqrt(64).toFloat
-    val vecs = (0 until 960).map { i =>
+    val vecs = (0 until n).map { i =>
       val c = centers(rnd.nextInt(16))
-      (i.toLong, normalize(c.zip(Array.fill(64)(rnd.nextGaussian().toFloat))
+      (idsFrom + i, normalize(c.zip(Array.fill(64)(rnd.nextGaussian().toFloat))
         .map { case (ci, ni) => ci + noiseScale * ni }))
     }
     vecs.toDF("vec_id", "embedding")
       .withColumn("embedding",
         org.apache.spark.sql.functions.col("embedding").cast("array<float>"))
   }
+
+  private lazy val clusteredCorpus: org.apache.spark.sql.DataFrame = clusteredVecs(42, 960)
 
   private val clusteredN = 960
 
@@ -194,6 +196,65 @@ class AnnSpec extends AnyFunSuite {
     rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
       assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to Ann.K), "ranks not dense")
     }
+  }
+
+  test("s07 lifecycle: same-distribution appends compact; drift triggers re-encode that restores recall") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("pqlife").toString + "/idx"
+    val lake = new graft.sources.Snapshots(spark, root)
+    val corpus = clusteredCorpus // trained distribution (centers seed 42)
+    val (cb0, codes0) = Ann.pqIndex(corpus)
+    lake.commit(Map("codebook" -> cb0, "codes" -> codes0,
+      "stats" -> {
+        val sp = spark; import sp.implicits._
+        Seq(Ann.pqQuantError(corpus, cb0)).toDF("train_err")
+      }))
+
+    // phase 1 — appends ≫ the drip rate, SAME distribution: the drift
+    // probe must stay quiet and maintenance must be pure layout work
+    val sameDist = clusteredVecs(42, 960, idsFrom = 10000L)
+    sameDist.cache().count()
+    lake.append("codes", Ann.pqEncode(sameDist, lake.read("codebook")), tag = Some("life1"))
+    val filesBefore = lake.read("codes").inputFiles.length
+    val action1 = Ann.maintainPqLake(lake, recentVecs = sameDist,
+      allVecs = corpus.unionByName(sameDist))
+    assert(action1 == "compacted", s"same-distribution appends must not re-encode: $action1")
+    val filesAfter = lake.read("codes").inputFiles.length
+    assert(filesAfter < filesBefore,
+      s"compaction must shrink the codes file count ($filesBefore -> $filesAfter)")
+    assert(lake.read("codes").count() == 1920L)
+
+    // phase 2 — a DRIFTED distribution (fresh centers): encoding under
+    // the frozen codebooks degrades, the probe fires, maintenance
+    // retrains + re-encodes atomically
+    val drifted = clusteredVecs(99, 960, idsFrom = 20000L)
+    drifted.cache().count()
+    val cbOld = lake.read("codebook")
+    val errOld = Ann.pqQuantError(drifted, cbOld)
+    lake.append("codes", Ann.pqEncode(drifted, cbOld), tag = Some("life2"))
+    val all = corpus.unionByName(sameDist).unionByName(drifted)
+    val action2 = Ann.maintainPqLake(lake, recentVecs = drifted, allVecs = all)
+    assert(action2 == "re-encoded", s"drifted appends must re-encode: $action2")
+    assert(lake.read("codes").count() == 2880L)
+    // the rebuilt codebooks actually FIT the drifted data again
+    val errNew = Ann.pqQuantError(drifted, lake.read("codebook"))
+    info(f"drifted-batch quantization error: old codebook $errOld%.4f, rebuilt $errNew%.4f")
+    assert(errNew < errOld,
+      f"re-encode must cut the drifted batch's quantization error ($errOld%.4f -> $errNew%.4f)")
+    // and recall on the post-drift corpus holds through the lake index
+    val exact = sets(Ann.annExactOn(all))
+    val viaLake = sets(Ann.annPqOn(all,
+      index = Some((lake.read("codebook"), lake.read("codes")))))
+    val recalls = exact.map { case (q, truth) =>
+      (viaLake.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    info(f"post-re-encode recall@10 over the mixed corpus: $meanRecall%.3f")
+    assert(meanRecall >= 0.8, f"recall after lifecycle maintenance $meanRecall%.3f < 0.8")
+    // replayed append tags survived the re-commit: replay is a no-op
+    val head = lake.currentVersion.get
+    lake.append("codes", Ann.pqEncode(sameDist, lake.read("codebook")), tag = Some("life1"))
+    assert(lake.currentVersion.get == head, "replayed tagged append must no-op after re-encode")
   }
 
   test("s07 incremental append: appended vectors are searchable, append is O(batch) and replay-safe") {

@@ -640,6 +640,47 @@ class TxnSpec extends AnyFunSuite {
       fixed("b").agg(sum("on")).head.getLong(0) >= 1L)
   }
 
+  test("serializable commit mode: the write-skew pair loses one; plain commits unaffected") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txnser").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    // same invariant as the write-skew test: at least one of (a, b) on
+    snap.commit(Map("a" -> Seq((1L, 1L)).toDF("id", "on"),
+                    "b" -> Seq((1L, 1L)).toDF("id", "on")))
+    val base = snap.currentVersion.get
+    // both transactions read {a, b} at `base` and each decides to turn
+    // its own table off because the other is still on
+    val s1 = new Snapshots(spark, root)
+    val s2 = new Snapshots(spark, root)
+    assert(s1.read("b", Some(base)).agg(sum("on")).head.getLong(0) == 1L)
+    assert(s2.read("a", Some(base)).agg(sum("on")).head.getLong(0) == 1L)
+    // first committer wins...
+    s1.commitSerializable(Map("a" -> Seq((1L, 0L)).toDF("id", "on")),
+      readSet = Set("a", "b"), baseVersion = base)
+    // ...second sees its read set changed since base and ABORTS
+    val ex = intercept[s2.SerializationConflictException] {
+      s2.commitSerializable(Map("b" -> Seq((1L, 0L)).toDF("id", "on")),
+        readSet = Set("a", "b"), baseVersion = base)
+    }
+    assert(ex.getMessage.contains("a"), ex.getMessage)
+    // the invariant HOLDS under serializable commits
+    val head = snap.snapshot()
+    assert(head("a").agg(sum("on")).head.getLong(0) +
+      head("b").agg(sum("on")).head.getLong(0) >= 1L)
+    // a serializable commit merges: the unwritten table survived
+    assert(head.keySet == Set("a", "b"))
+    // disjoint read sets don't conflict: a reader of only its own table
+    // commits fine from the same stale base
+    s2.commitSerializable(Map("b" -> Seq((1L, 5L)).toDF("id", "on")),
+      readSet = Set("b"), baseVersion = base)
+    assert(snap.read("b").agg(sum("on")).head.getLong(0) == 5L)
+    // and plain commits are unaffected by any of it
+    snap.commit(Map("a" -> Seq((1L, 9L)).toDF("id", "on"),
+                    "b" -> Seq((1L, 9L)).toDF("id", "on")))
+    assert(snap.read("a").agg(sum("on")).head.getLong(0) == 9L)
+  }
+
   test("racing appends from two writers both land; tags stay per-batch") {
     val sp = spark
     import sp.implicits._
