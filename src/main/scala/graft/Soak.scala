@@ -1,0 +1,156 @@
+package graft
+
+import java.lang.management.ManagementFactory
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale soak: the gate runs everything at sf0.1 under a 24g heap where
+  * nothing ever spills — plan SHAPES say the operators scale, but only
+  * pressure says so empirically. This main replicates the sf0.1 corpus
+  * 10× (key-remapped so joins stay consistent and texts stay distinct —
+  * exact-duplicate replicas would turn the dedup keys into a different,
+  * degenerate workload) into the warehouse dir, then runs the heaviest
+  * keys at BOTH scales inside ONE constrained heap
+  * (`SPARK_DRIVER_MEM=8g sbt "runMain graft.Soak"`), recording wall,
+  * task_ms, GC and peak-heap per key. The pass criterion is completion
+  * without OOM and ~linear task_ms growth (ratio ≈ 10× ± constant
+  * overheads); a superlinear ratio is a scale cliff to fix, not a
+  * number to report. Results land in SOAK.md + soak.json.
+  *
+  * Testdata is read-only and never touched; the 10× corpus is derived,
+  * marker-gated, and lives under spark.sql.warehouse.dir.
+  */
+object Soak {
+
+  /** The keys the round-6 audit named most expensive, plus the q20
+    * salted shuffle now that it is honestly measured.
+    */
+  val keys: Seq[String] = Seq(
+    "d04_dedup_ngram", "d07_dedup_clusters", "q31_typed_wide", "q33_profile",
+    "s06_ann_ivfpq", "c03_cdc_merge", "q20_salted_join")
+
+  private final class MetricsListener extends SparkListener {
+    val runMs = new AtomicLong; val gcMs = new AtomicLong; val tasks = new AtomicLong
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) { runMs.addAndGet(m.executorRunTime); gcMs.addAndGet(m.jvmGCTime); tasks.incrementAndGet() }
+    }
+    def snap(): (Long, Long, Long) = (runMs.get, gcMs.get, tasks.get)
+  }
+
+  /** Replicate the four tables the soak keys touch, 10×. Key remap per
+    * replica k: +k·10⁷ on order keys (orders⋈lineitem stays consistent),
+    * +k·10⁶ on doc/vec ids. Replica texts get a distinct suffix token;
+    * replica embeddings keep their direction (cosine-invariant) under
+    * fresh ids, with the ORIGINAL query ids (vec_id < NQueries) left
+    * unreplicated so the ANN keys scale the corpus, not the query set.
+    */
+  private def stage10x(s: SparkSession, base: String, out: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(out, "_STAGED_G1")
+    if (fs.exists(marker)) return
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    def reps(df: DataFrame, f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until 10).map(k => f(df, k)).reduce(_ unionByName _)
+
+    val orders = s.read.parquet(s"$base/orders.parquet")
+    reps(orders, (df, k) => df.withColumn("o_orderkey", col("o_orderkey") + k * 10000000L))
+      .repartition(32).write.parquet(s"$out/orders.parquet")
+
+    val lineitem = s.read.parquet(s"$base/lineitem.parquet")
+    reps(lineitem, (df, k) => df.withColumn("l_orderkey", col("l_orderkey") + k * 10000000L))
+      .repartition(32).write.parquet(s"$out/lineitem.parquet")
+
+    val docs = s.read.parquet(s"$base/documents.parquet")
+    reps(docs, (df, k) => df
+        .withColumn("doc_id", col("doc_id") + k * 1000000L)
+        .withColumn("text",
+          if (k == 0) col("text") else concat(col("text"), lit(s" rep$k"))))
+      .repartition(16).write.parquet(s"$out/documents.parquet")
+
+    val emb = s.read.parquet(s"$base/embeddings.parquet")
+    val replicated = (1 until 10).map { k =>
+      emb.where(col("vec_id") >= graft.pipeline.Ann.NQueries)
+        .withColumn("vec_id", col("vec_id") + k * 1000000L)
+    }.reduce(_ unionByName _)
+    emb.unionByName(replicated)
+      .repartition(16).write.parquet(s"$out/embeddings.parquet")
+
+    fs.create(marker, true).close()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.builder(cpus).master(s"local[$cpus]").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val heapMax = Runtime.getRuntime.maxMemory() / (1 << 20)
+    val soakDir = spark.conf.get("spark.sql.warehouse.dir") + "/soak10x"
+    println(s"SOAK heap=${heapMax}MiB base=$baseDir soak=$soakDir")
+    stage10x(spark, baseDir, soakDir)
+
+    val listener = new MetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    val mem = ManagementFactory.getMemoryMXBean
+    case class Run(key: String, scale: String, wallS: Double, taskMs: Long,
+                   gcMs: Long, tasks: Long, peakHeapMb: Long, rows: Long, err: String)
+    val runs = scala.collection.mutable.ArrayBuffer.empty[Run]
+
+    for (scale <- Seq("1x", "10x"); key <- keys) {
+      val dir = if (scale == "1x") baseDir else soakDir
+      // fixture staging (seeded lakes, PQ indexes, envelope dumps) is
+      // one-time setup, not the measured operator — run once unmeasured
+      try { SparkEntry.queries(key)(spark, dir).count(); () }
+      catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+      System.gc(); Thread.sleep(200)
+      val (r0, g0, t0) = listener.snap()
+      val w0 = System.nanoTime()
+      val res =
+        try Right(SparkEntry.queries(key)(spark, dir).count())
+        catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+      val wall = (System.nanoTime() - w0) / 1e9
+      Thread.sleep(300) // listener events post async
+      val (r1, g1, t1) = listener.snap()
+      val peak = mem.getHeapMemoryUsage.getUsed / (1 << 20)
+      runs += Run(key, scale, wall, r1 - r0, g1 - g0, t1 - t0, peak,
+        res.getOrElse(-1L), res.left.toOption.getOrElse(""))
+      println(f"SOAK $scale%-3s $key%-24s wall ${wall}%7.2fs task ${(r1 - r0) / 1000.0}%8.1fs " +
+        f"gc ${(g1 - g0) / 1000.0}%6.1fs tasks ${t1 - t0}%5d heap ${peak}%5dMiB " +
+        runs.last.err)
+      spark.catalog.clearCache()
+    }
+
+    val failed = runs.filter(_.err.nonEmpty)
+    val byKey = keys.map { k =>
+      val one = runs.find(r => r.key == k && r.scale == "1x").get
+      val ten = runs.find(r => r.key == k && r.scale == "10x").get
+      (k, one, ten, if (one.taskMs > 0) ten.taskMs.toDouble / one.taskMs else -1.0)
+    }
+    val md = new StringBuilder
+    md ++= s"# SOAK — 10× corpus under a ${heapMax}MiB heap (local[$cpus])\n\n"
+    md ++= s"Corpus: $baseDir replicated 10× (orders/lineitem key-offset, texts\n"
+    md ++= "suffix-distinct, embeddings re-idd with the original query set kept).\n"
+    md ++= "Both scales measured in ONE JVM at the constrained heap; fixture\n"
+    md ++= "staging ran unmeasured first. task_ratio ≈ 10 means linear scaling\n"
+    md ++= "(fixed per-job overheads pull it below 10 for short keys).\n\n"
+    md ++= "| key | 1× task_ms | 10× task_ms | task_ratio | 1× wall | 10× wall | 10× gc_ms | 10× peak heap |\n"
+    md ++= "|---|---|---|---|---|---|---|---|\n"
+    byKey.foreach { case (k, one, ten, ratio) =>
+      md ++= f"| $k | ${one.taskMs} | ${ten.taskMs} | ${ratio}%.1f× | ${one.wallS}%.2fs | ${ten.wallS}%.2fs | ${ten.gcMs} | ${ten.peakHeapMb} MiB |\n"
+    }
+    if (failed.nonEmpty) {
+      md ++= s"\n**FAILURES (${failed.size})**:\n"
+      failed.foreach(r => md ++= s"- ${r.scale} ${r.key}: ${r.err}\n")
+    } else md ++= "\nAll keys completed at both scales; no OOM, no failures.\n"
+    Files.write(Paths.get("SOAK.md"), md.toString.getBytes(StandardCharsets.UTF_8))
+    println(md)
+    if (failed.nonEmpty) sys.exit(1)
+  }
+}
