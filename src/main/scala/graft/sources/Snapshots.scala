@@ -323,14 +323,6 @@ class Snapshots(s: SparkSession, root: String) {
     }, scala.concurrent.duration.Duration.Inf).flatten.toMap
   }
 
-  /** A serializable commit found a read-set table changed by a
-    * concurrent transaction — the transaction must re-run from a fresh
-    * snapshot (the lake analog of Postgres'
-    * `could not serialize access`).
-    */
-  final class SerializationConflictException(msg: String)
-    extends RuntimeException(msg)
-
   /** SERIALIZABLE commit — the opt-in upgrade from snapshot isolation,
     * completing the reference's selectable-isolation menu
     * (Stream.hs:166-231). The caller declares the transaction's READ
@@ -363,21 +355,23 @@ class Snapshots(s: SparkSession, root: String) {
                          statsCols: Map[String, Seq[String]] = Map.empty): Long = {
     tables.keys.foreach(t => require(!isMetaEntry(t),
       s"table name '$t' collides with the reserved '@' manifest lines"))
-    val baseM = readManifest(baseVersion) // throws if never committed
+    // baseVersion 0 = the transaction began on an EMPTY lake (versions
+    // start at 1): its base manifest is empty, and any table that exists
+    // at commit time is a conflict for the read set
+    val baseM =
+      if (baseVersion == 0L) Map.empty[String, String] else readManifest(baseVersion)
     for (_ <- 1 to MaxAttempts) {
-      val headV = currentVersion.getOrElse(
-        throw new IllegalStateException(s"no commits under $root"))
+      val headV = currentVersion.getOrElse(0L)
+      val headM = if (headV == 0L) Map.empty[String, String] else readManifest(headV)
       if (headV != baseVersion) {
-        val headM = readManifest(headV)
         val changed = readSet.filter(t => headM.get(t) != baseM.get(t))
         if (changed.nonEmpty)
-          throw new SerializationConflictException(
-            s"read set ${changed.mkString(", ")} changed between version " +
+          throw new Snapshots.SerializationConflictException(
+            s"conflict set ${changed.mkString(", ")} changed between version " +
               s"$baseVersion and head $headV — re-run the transaction")
       }
       val attempt = headV + 1
       val written = stageTables(tables, statsCols, attempt)
-      val headM = readManifest(headV)
       // drop the written tables' stale meta/tags lines, keep everything
       // else from the head, overlay the fresh lines
       val stale = tables.keys.flatMap(t =>
@@ -386,6 +380,28 @@ class Snapshots(s: SparkSession, root: String) {
     }
     throw new IllegalStateException(
       s"serializable commit lost $MaxAttempts consecutive version races under $root")
+  }
+
+  /** Begin a [[Txn]] pinned to the current head — see [[withTransaction]]
+    * for the scoped form.
+    */
+  def transaction(isolation: Isolation = Isolation.Snapshot): Txn =
+    new Txn(this, isolation)
+
+  /** The reference's `withTransaction` shape (Stream.hs:166-231): run
+    * `body` against a transaction whose reads all pin one snapshot,
+    * commit its buffered writes atomically on normal return, publish
+    * NOTHING if it throws (rollback = the absence of commit). Returns
+    * the body's result; the committed version is available via a
+    * [[Txn.commit]] call inside the body if needed — calling commit
+    * yourself marks the transaction completed and the wrapper skips
+    * its own.
+    */
+  def withTransaction[A](isolation: Isolation = Isolation.Snapshot)(body: Txn => A): A = {
+    val txn = transaction(isolation)
+    val result = body(txn)
+    if (!txn.isCompleted) txn.commit()
+    result
   }
 
   /** Re-point head at an older snapshot — the executable ROLLBACK
@@ -1092,6 +1108,14 @@ class Snapshots(s: SparkSession, root: String) {
   * a torn commit). The oracle is the closed form of the committed state.
   */
 object Snapshots {
+
+  /** A serializable commit found a conflict-set table changed by a
+    * concurrent transaction — the transaction must re-run from a fresh
+    * snapshot (the lake analog of Postgres'
+    * `could not serialize access`).
+    */
+  final class SerializationConflictException(msg: String)
+    extends RuntimeException(msg)
 
   import graft.operators.t
 

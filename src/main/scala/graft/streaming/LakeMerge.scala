@@ -143,7 +143,20 @@ object LakeMerge {
     * half-written directory tree.
     */
   def stageMerge(s: SparkSession, path: String, changes: DataFrame): Option[StagedMerge] = {
-    val ch = withBucket(changes)
+    // the batch feeds TWO jobs (the touched-bucket probe and the merge
+    // itself); without pinning it, its lineage — typically a JSON
+    // envelope decode — recomputes per job. A micro-batch is bounded by
+    // construction (a foreachBatch batch or a poll window), so caching
+    // it is batch-sized state, released before returning.
+    val ch = withBucket(changes).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      stageMergePinned(s, path, ch)
+    } finally {
+      ch.unpersist(blocking = false)
+    }
+  }
+
+  private def stageMergePinned(s: SparkSession, path: String, ch: DataFrame): Option[StagedMerge] = {
     // ≤ NBuckets small ints — a bounded O(1) driver payload, same class
     // as collecting AQE stats; NOT a data collect
     val touched = ch.select("pk_bucket").distinct().collect().map(_.getInt(0)).toSeq
@@ -154,14 +167,15 @@ object LakeMerge {
     val anyCommitted = head.isDefined &&
       snap.tablePaths().keySet.exists(touchedKeys.contains)
     val current =
-      if (!anyCommitted) Cdc.applyChanges(changes.limit(0), keepTs = true)
+      if (!anyCommitted) Cdc.applyChanges(ch.drop("pk_bucket").limit(0), keepTs = true)
       // metadata-planned read of ONLY the touched buckets (absent
       // buckets skipped — an untouched-by-history bucket has no entry)
       else snap.readTables(touchedKeys)
     // merged rows hash back into touched buckets by construction, so the
     // stage writes exactly the touched dirs; a touched bucket whose rows
     // were ALL deleted produces no dir → removed from the manifest
-    val merged = Cdc.applyIncrement(current, changes)
+    // (the projection over the pinned batch still reads the cache)
+    val merged = Cdc.applyIncrement(current, ch.drop("pk_bucket"))
     val updates = stageBuckets(s, path, head, merged)
     Some(StagedMerge(snap, updates, touchedKeys.toSet -- updates.keySet, merged.schema))
   }

@@ -659,7 +659,7 @@ class TxnSpec extends AnyFunSuite {
     s1.commitSerializable(Map("a" -> Seq((1L, 0L)).toDF("id", "on")),
       readSet = Set("a", "b"), baseVersion = base)
     // ...second sees its read set changed since base and ABORTS
-    val ex = intercept[s2.SerializationConflictException] {
+    val ex = intercept[Snapshots.SerializationConflictException] {
       s2.commitSerializable(Map("b" -> Seq((1L, 0L)).toDF("id", "on")),
         readSet = Set("a", "b"), baseVersion = base)
     }
@@ -679,6 +679,71 @@ class TxnSpec extends AnyFunSuite {
     snap.commit(Map("a" -> Seq((1L, 9L)).toDF("id", "on"),
                     "b" -> Seq((1L, 9L)).toDF("id", "on")))
     assert(snap.read("a").agg(sum("on")).head.getLong(0) == 9L)
+  }
+
+  test("withTransaction: pinned reads, atomic merge commit, rollback by exception") {
+    import graft.sources.Isolation
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txnapi").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    snap.commit(Map("a" -> df(1L -> 1.0), "b" -> df(1L -> 10.0)))
+
+    snap.withTransaction() { txn =>
+      assert(txn.read("a").head().getDouble(1) == 1.0)
+      // a concurrent transaction commits `a` mid-body (merge semantics:
+      // a plain commit() would REPLACE the snapshot and drop `b`, which
+      // the write-set validation would rightly flag as a conflict)...
+      new Snapshots(spark, root).withTransaction() { other =>
+        other.write("a", df(1L -> 99.0))
+      }
+      // ...and this transaction's reads STILL see its pinned snapshot
+      assert(txn.read("a").head().getDouble(1) == 1.0)
+      txn.write("b", df(1L -> 20.0))
+    }
+    // merge semantics: the concurrent a=99 survives next to our b=20
+    assert(snap.read("a").head().getDouble(1) == 99.0)
+    assert(snap.read("b").head().getDouble(1) == 20.0)
+
+    // rollback = the absence of commit: a throwing body publishes nothing
+    val headBefore = snap.currentVersion.get
+    intercept[RuntimeException] {
+      snap.withTransaction() { txn =>
+        txn.write("a", df(1L -> -1.0))
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(snap.currentVersion.get == headBefore)
+    assert(snap.read("a").head().getDouble(1) == 99.0)
+
+    // a read-only transaction publishes nothing
+    snap.withTransaction(Isolation.Serializable) { txn =>
+      assert(txn.read("a").head().getDouble(1) == 99.0)
+    }
+    assert(snap.currentVersion.get == headBefore)
+  }
+
+  test("snapshot-isolation transactions: first committer wins on the write set (no lost updates)") {
+    import graft.sources.Isolation
+    val root = Files.createTempDirectory("txnapi").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    snap.commit(Map("acct" -> df(1L -> 100.0)))
+    // two transactions each read the balance and write a withdrawal
+    // computed from their own snapshot — under plain last-wins one
+    // update would silently vanish
+    val t1 = snap.transaction()
+    val t2 = snap.transaction()
+    assert(t1.read("acct").head().getDouble(1) == 100.0)
+    assert(t2.read("acct").head().getDouble(1) == 100.0)
+    t1.write("acct", df(1L -> 90.0))
+    t2.write("acct", df(1L -> 80.0))
+    t1.commit()
+    intercept[Snapshots.SerializationConflictException] { t2.commit() }
+    assert(snap.read("acct").head().getDouble(1) == 90.0,
+      "the losing withdrawal must abort, not overwrite")
+    // Snapshot isolation still admits write skew (disjoint write sets);
+    // the serializable tier is the commitSerializable/Isolation
+    // .Serializable path proven in its own test
   }
 
   test("racing appends from two writers both land; tags stay per-batch") {
