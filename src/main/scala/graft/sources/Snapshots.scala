@@ -161,6 +161,14 @@ class Snapshots(s: SparkSession, root: String) {
     * Iceberg's manifest lists make. Manifests written before these
     * lines existed (or by external stagers) fall back to the listing
     * path — metadata is an accelerator, never a correctness input.
+    *
+    * Cost model: each manifest carries its tables' FULL file lists, so
+    * a publish writes O(table files) metadata BYTES (the read side is
+    * what must stay O(manifest); data IO was already O(batch)). At a
+    * 10⁵-file table that is a few MB of manifest per publish — the
+    * same trade Delta's checkpoints make; if it ever binds, the files
+    * line can move to a content-addressed per-table sidecar so
+    * unchanged tables share one pointer across versions.
     */
   private val SchemaSuffix = "@schema"
   private val FilesSuffix = "@files"

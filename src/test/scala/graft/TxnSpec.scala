@@ -44,6 +44,11 @@ class TxnSpec extends AnyFunSuite {
     assert(snap.readWhere("a", Seq(ColRange("id", Some(1L), Some(10L)))).count() === 10L)
     // version-diff read
     assert(snap.readChanges("a", 1L, head).count() === 1L)
+    // degenerate shapes stay valid relations: a range no file can hold
+    // (stats prune EVERYTHING → empty file list, schema intact) and a
+    // same-version diff (empty both sides)
+    assert(snap.readWhere("a", Seq(ColRange("id", Some(10000L), None))).count() === 0L)
+    assert(snap.readChanges("a", head, head).count() === 0L)
     assert(CountingLocalFs.dataDirLists.isEmpty,
       s"read paths listed data dirs: ${CountingLocalFs.dataDirLists.distinct}")
 
@@ -112,6 +117,12 @@ class TxnSpec extends AnyFunSuite {
     // surface as remove+add and must cancel group-wise
     src.compact("t", sortCol = Some("id"), statsCols = Seq("id"))
     check("compact")
+    // rollback rewinds the source — because rollbackTo REPUBLISHES the
+    // restored state as a new version, the file-set diff from the
+    // consumer's watermark to the new head is exactly the inverse
+    // delta, and refresh composes with no special casing
+    src.rollbackTo(2L) // back to the post-append state
+    check("rollback")
     // already-current refresh is a no-op: no new agg version published
     val before = agg.currentVersion.get
     IncrementalAgg.refresh(spark, src, "t", "grp", "v", agg)
@@ -780,41 +791,50 @@ class TxnSpec extends AnyFunSuite {
   }
 
   test("randomized DML/maintenance sequences agree with an in-memory model") {
+    import graft.sources.IncrementalAgg
     val sp = spark
     import sp.implicits._
     // Model-based check: drive the lake through random op sequences and
     // compare read("t") to a plain in-memory map after EVERY op — the
     // composition bugs (tags × compact, stats × repeated deletes, empty
     // rewrites, rollback lineage) live in sequences no hand-written
-    // case thinks to try. Seeded: failures reproduce.
+    // case thinks to try. Seeded: failures reproduce. An IncrementalAgg
+    // consumer refreshes after every op (continuous-consumer shape:
+    // its watermark tracks the head, so vacuum(keepLast=1) never
+    // strands it) and must equal the model's group sums throughout —
+    // including across rollbacks, whose file-set diff IS the inverse
+    // delta because rollbackTo publishes the restored state as a NEW
+    // version.
     val rnd = new scala.util.Random(20260813L)
     // CI runs 6 sequences; GRAFT_TXN_SOAK=N deepens the sweep locally
     val nSeq = sys.env.get("GRAFT_TXN_SOAK").map(_.toInt).getOrElse(6)
     for (seq <- 1 to nSeq) {
-      val root = Files.createTempDirectory("txnprop").toString + "/t"
+      val base = Files.createTempDirectory("txnprop").toString
+      val root = base + "/t"
       val snap = new Snapshots(spark, root)
-      var model = Map.empty[Long, Long] // id -> v
+      val agg = new Snapshots(spark, base + "/agg")
+      var model = Map.empty[Long, (String, Long)] // id -> (grp, v)
       var nextId = 0L
-      val history = scala.collection.mutable.ArrayBuffer.empty[(Long, Map[Long, Long])]
-      def batch(n: Int): Seq[(Long, Long)] = {
-        val rows = (0 until n).map { _ => nextId += 1; (nextId, rnd.nextInt(1000).toLong) }
-        rows
+      val history = scala.collection.mutable.ArrayBuffer.empty[(Long, Map[Long, (String, Long)])]
+      def batch(n: Int): Seq[(Long, String, Long)] = {
+        (0 until n).map { _ => nextId += 1; (nextId, s"g${nextId % 3}", rnd.nextInt(1000).toLong) }
       }
       // seed commit
       val rows0 = batch(40)
-      model = rows0.toMap
-      history += ((snap.commit(Map("t" -> rows0.toDF("id", "v")
+      model = rows0.map(r => r._1 -> (r._2, r._3)).toMap
+      history += ((snap.commit(Map("t" -> rows0.toDF("id", "grp", "v")
         .repartitionByRange(4, col("id"))), Map("t" -> Seq("id"))), model))
+      IncrementalAgg.seed(spark, snap, "t", "grp", "v", agg, atVersion = 1L)
       var vacuumed = false
       for (op <- 1 to 7) {
         rnd.nextInt(6) match {
           case 0 => // tagged append (sometimes replayed)
             val rows = batch(1 + rnd.nextInt(10))
             val tag = s"b$seq-$op"
-            snap.append("t", rows.toDF("id", "v"), Some(tag), statsCols = Seq("id"))
-            model = model ++ rows
+            snap.append("t", rows.toDF("id", "grp", "v"), Some(tag), statsCols = Seq("id"))
+            model = model ++ rows.map(r => r._1 -> (r._2, r._3))
             if (rnd.nextBoolean()) // replay must be a no-op
-              snap.append("t", rows.toDF("id", "v"), Some(tag), statsCols = Seq("id"))
+              snap.append("t", rows.toDF("id", "grp", "v"), Some(tag), statsCols = Seq("id"))
             history += ((snap.currentVersion.get, model))
           case 1 => // range delete (possibly matching nothing)
             val lo = 1L + rnd.nextInt(nextId.toInt.max(1))
@@ -827,8 +847,8 @@ class TxnSpec extends AnyFunSuite {
             val hi = lo + rnd.nextInt(20)
             snap.updateWhere("t", Seq(ColRange("id", Some(lo), Some(hi))),
               Map("v" -> (col("v") + 1000000L)), Seq("id"))
-            model = model.map { case (id, v) =>
-              if (id >= lo && id <= hi) (id, v + 1000000L) else (id, v) }
+            model = model.map { case (id, (g, v)) =>
+              if (id >= lo && id <= hi) (id, (g, v + 1000000L)) else (id, (g, v)) }
             history += ((snap.currentVersion.get, model))
           case 3 => // compact (data-invariant)
             snap.compact("t", targetBytes = 1L << 20, sortCol = Some("id"),
@@ -845,14 +865,24 @@ class TxnSpec extends AnyFunSuite {
             snap.vacuum(keepLast = 1)
             vacuumed = true
         }
-        val got = snap.read("t").as[(Long, Long)].collect().toMap
+        val got = snap.read("t").as[(Long, String, Long)].collect()
+          .map(r => r._1 -> (r._2, r._3)).toMap
         assert(got == model,
           s"seq $seq op $op: lake ${got.size} rows != model ${model.size} " +
             s"(diff ${(got.toSet diff model.toSet).take(3)} / ${(model.toSet diff got.toSet).take(3)})")
+        // the continuous consumer: delta-maintained group sums == model
+        IncrementalAgg.refresh(spark, snap, "t", "grp", "v", agg)
+        val gotAgg = agg.read("agg").collect()
+          .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+        val wantAgg = model.values.groupBy(_._1).map { case (g, vs) =>
+          g -> (vs.size.toLong, vs.map(_._2).sum) }
+        assert(gotAgg == wantAgg,
+          s"seq $seq op $op: incremental agg $gotAgg != model $wantAgg")
       }
       // every still-retained recorded version must time-travel exactly
       if (!vacuumed) history.foreach { case (v, m) =>
-        val got = snap.read("t", Some(v)).as[(Long, Long)].collect().toMap
+        val got = snap.read("t", Some(v)).as[(Long, String, Long)].collect()
+          .map(r => r._1 -> (r._2, r._3)).toMap
         assert(got == m, s"seq $seq: time travel to v$v diverged")
       }
     }
