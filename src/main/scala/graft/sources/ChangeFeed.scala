@@ -1,0 +1,259 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The reference's streaming cursor pointed at the lake, as a
+  * FIRST-CLASS Structured Streaming source (reference: `stream`/
+  * `parallelStream`, Stream.hs:244-284 / Parallel.hs:17-33 — "declare
+  * a cursor, fetch forward in batches, feed a pipeline"). The lake's
+  * commit log is already a perfect offset axis: versions are DENSE
+  * (each manifest is created at observed-head+1) and immutable, so
+  *
+  *   offset n  ≡  "everything committed up to version n",
+  *   batch (a, b]  ≡  the per-version file-set diffs a→a+1→…→b,
+  *
+  * and exactly-once falls out of Structured Streaming's offset log —
+  * a replayed batch re-reads the same immutable version diff.
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream
+  *     .format("graft.sources.ChangeFeed")
+  *     .option("path", lakeRoot).option("table", "orders")
+  *     .option("startingVersion", "0")   // 0 = from the beginning
+  *     .load()                            // table schema + _change + _commit_version
+  * }}}
+  *
+  * Rows carry `_change` ('added' | 'removed' — a partial rewrite
+  * surfaces as remove(pre-image) + add(post-image), same as
+  * [[Snapshots.readChanges]]) and `_commit_version` (the version that
+  * produced them, per-version attribution from the stepwise diff).
+  * Each micro-batch costs O(files changed in its version span): the
+  * planner diffs manifest file lists (no listing — the checkpointed
+  * metadata again) and executors read ONLY changed files through the
+  * engine's own parquet reader closure (GraftReadShim — vectorized,
+  * schema-converted, the same code path FileSourceScanExec ships).
+  *
+  * Retention contract: the stream's unprocessed window must stay
+  * inside [[Snapshots.vacuum]]'s keepLast — the same rule any CDC
+  * consumer of the lake already carries (readChanges fails loudly on
+  * a collected version; so does this source).
+  */
+class ChangeFeed extends TableProvider {
+  import ChangeFeed._
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    withMeta(tableSchema(SparkSession.active,
+      options.get("path"), options.get("table")))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new ChangeFeedTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+object ChangeFeed {
+
+  val ChangeCol = "_change"
+  val VersionCol = "_commit_version"
+
+  private[sources] def withMeta(dataSchema: StructType): StructType =
+    StructType(dataSchema.fields :+
+      StructField(ChangeCol, StringType, nullable = false) :+
+      StructField(VersionCol, LongType, nullable = false))
+
+  /** The table's data schema at the current head (metadata-planned when
+    * checkpointed, inference fallback otherwise — same as any read).
+    */
+  private[sources] def tableSchema(s: SparkSession, path: String, table: String): StructType = {
+    require(path != null && table != null,
+      "graft.sources.ChangeFeed requires .option(\"path\", …) and .option(\"table\", …)")
+    new Snapshots(s, path).read(table).schema
+  }
+
+  /** `st07_change_feed`: the streaming cursor DRIVEN — a real
+    * micro-batch query over the c08 diff lake's commit history
+    * (startingVersion 1 = consume everything after the base commit,
+    * the same window c08's batch readChanges covers), reduced to the
+    * identical NET-delta closed form. One oracle therefore pins THREE
+    * engines to each other: the batch diff read (c08), the streaming
+    * source (this key), and DuckDB's from-scratch recompute. Each run
+    * drives a fresh query+checkpoint through processAllAvailable, so
+    * the key times genuine micro-batch planning and execution.
+    */
+  def st07ChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val snap = Snapshots.stagedDiffLake(s, dir)
+    val root = snap.rootPath
+    val name = s"cf_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = java.nio.file.Files.createTempDirectory("cf_ckpt").toString
+    val q = s.readStream
+      .format(classOf[ChangeFeed].getName)
+      .option("path", root).option("table", "orders")
+      .option("startingVersion", "1")
+      .load()
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    s.table(name)
+      .groupBy("o_orderkey", "o_orderstatus", "price_cents")
+      .agg(sum(when(col(ChangeCol) === "added", 1L).otherwise(-1L)).as("delta"))
+      .where(col("delta") =!= 0L)
+      .groupBy("delta", "o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
+      .orderBy("delta", "o_orderstatus")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] =
+    Map("st07_change_feed" -> st07ChangeFeed _)
+
+  val oracles: Map[String, String] = Map(
+    // the same closed form as c08_version_diff: the streamed feed and
+    // the batch diff read must agree with each other AND with DuckDB
+    "st07_change_feed" ->
+      """WITH c AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+        |  FROM orders
+        |), d AS (
+        |  SELECT CAST(1 AS BIGINT) AS delta, o_orderstatus, price_cents FROM c
+        |  WHERE o_orderkey % 4 = 0 AND o_orderkey NOT BETWEEN 3000 AND 3999
+        |  UNION ALL
+        |  SELECT CAST(-1 AS BIGINT) AS delta, o_orderstatus, price_cents FROM c
+        |  WHERE o_orderkey % 4 <> 0 AND o_orderkey BETWEEN 3000 AND 3999
+        |)
+        |SELECT delta, o_orderstatus, count(*) AS n,
+        |  CAST(sum(price_cents) AS BIGINT) AS total_cents
+        |FROM d GROUP BY delta, o_orderstatus
+        |ORDER BY delta, o_orderstatus""".stripMargin)
+
+  /** One changed file of one version step. */
+  private[sources] case class ChangeFilePartition(
+      path: String, length: Long, change: String, version: Long) extends InputPartition
+
+  private[sources] class VersionOffset(val v: Long) extends Offset {
+    override def json(): String = v.toString
+    override def equals(o: Any): Boolean = o match {
+      case x: VersionOffset => x.v == v
+      case _ => false
+    }
+    override def hashCode(): Int = v.hashCode
+    override def toString: String = s"VersionOffset($v)"
+  }
+}
+
+private[sources] class ChangeFeedTable(tableSchema: StructType,
+                                       options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  import ChangeFeed._
+
+  override def name(): String =
+    s"graft-changes(${options.get("path")}#${options.get("table")})"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = tableSchema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new ChangeFeedStream(
+            options.get("path"), options.get("table"),
+            Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
+            tableSchema)
+      }
+    }
+}
+
+private[sources] class ChangeFeedStream(root: String, table: String,
+                                        startingVersion: Long,
+                                        fullSchema: StructType)
+    extends MicroBatchStream {
+  import ChangeFeed._
+
+  private def spark = SparkSession.active
+  private def snap = new Snapshots(spark, root)
+  // the data schema is the full schema minus the two virtual columns
+  private val dataSchema =
+    StructType(fullSchema.fields.dropRight(2))
+
+  override def initialOffset(): Offset = new VersionOffset(startingVersion)
+  override def latestOffset(): Offset =
+    new VersionOffset(snap.currentVersion.getOrElse(startingVersion))
+  override def deserializeOffset(json: String): Offset =
+    new VersionOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  /** Stepwise per-version diffs across (start, end] — versions are
+    * dense, so the walk is exact and every row gets attributed to the
+    * commit that produced it. O(span) manifest reads, O(changed files)
+    * partitions, zero directory listings.
+    */
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[VersionOffset].v
+    val hi = end.asInstanceOf[VersionOffset].v
+    val s = snap
+    val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    var before = if (lo == 0L) Map.empty[String, Long] else s.fileSet(table, lo)
+    var v = lo + 1
+    while (v <= hi) {
+      val after = s.fileSet(table, v)
+      (after -- before.keySet).foreach { case (p, len) =>
+        parts += ChangeFilePartition(p, len, "added", v) }
+      (before -- after.keySet).foreach { case (p, len) =>
+        parts += ChangeFilePartition(p, len, "removed", v) }
+      before = after
+      v += 1
+    }
+    parts.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // built on the driver, shipped to executors — the engine's own
+    // parquet file→rows closure (see GraftReadShim)
+    val readFile = org.apache.spark.sql.GraftReadShim.parquetRowReader(spark, dataSchema)
+    new ChangeFeedReaderFactory(readFile, fullSchema)
+  }
+}
+
+private[sources] class ChangeFeedReaderFactory(
+    readFile: org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow],
+    fullSchema: StructType)
+    extends PartitionReaderFactory {
+  import ChangeFeed._
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ChangeFilePartition]
+    new PartitionReader[InternalRow] {
+      private val meta = new GenericInternalRow(
+        Array[Any](UTF8String.fromString(p.change), p.version))
+      private val joined = new JoinedRow
+      private val project = UnsafeProjection.create(fullSchema)
+      private val rows = org.apache.spark.sql.GraftReadShim.flattenRows(
+        readFile(org.apache.spark.sql.GraftReadShim.partitionedFile(p.path, p.length)))
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) { current = project(joined(rows.next(), meta)); true }
+        else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

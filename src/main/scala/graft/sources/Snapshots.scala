@@ -56,6 +56,10 @@ import org.apache.spark.sql.functions._
   */
 class Snapshots(s: SparkSession, root: String) {
 
+  /** The lake's root path (for handing to path-keyed consumers like the
+    * streaming change feed). */
+  def rootPath: String = root
+
   private val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
   private def commitDir = new Path(root, "_commits")
   private def commitPath(v: Long) = new Path(commitDir, f"$v%020d.manifest")
@@ -503,7 +507,7 @@ class Snapshots(s: SparkSession, root: String) {
     * (directory entries list their parquet files), so version diffs
     * compare the actual storage units the commit protocol moves.
     */
-  private def fileSet(table: String, v: Long): Map[String, Long] = {
+  private[sources] def fileSet(table: String, v: Long): Map[String, Long] = {
     val m = readManifest(v)
     storedFiles(m, table) match {
       // manifest metadata: the file set (with lengths) is already file-

@@ -77,6 +77,57 @@ object GraftLakeShim {
   }
 }
 
+/** Executor-side parquet row reading for the change-feed streaming
+  * source. `FileFormat.buildReaderWithPartitionValues` is the engine's
+  * own file→rows closure (the exact function FileSourceScanExec ships
+  * to executors — vectorized reader, predicate handling, schema
+  * conversion all included); it is `private[sql]`, so the call lives
+  * here. The returned closure may yield ColumnarBatch objects disguised
+  * as InternalRow when the vectorized reader engages (a documented
+  * Spark internality FileScanRDD normalizes) — [[flattenRows]] performs
+  * the same normalization for DSv2 partition readers.
+  */
+object GraftReadShim {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
+  import org.apache.spark.sql.types.StructType
+
+  def parquetRowReader(s: SparkSession, dataSchema: StructType):
+      PartitionedFile => Iterator[InternalRow] = {
+    val cs = s.asInstanceOf[classic.SparkSession]
+    new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+      .buildReaderWithPartitionValues(
+        sparkSession = cs,
+        dataSchema = dataSchema,
+        partitionSchema = StructType(Nil),
+        requiredSchema = dataSchema,
+        filters = Nil,
+        // rows, not ColumnarBatch: a DSv2 PartitionReader hands out
+        // individual InternalRows, so ask the reader for the row shape
+        // directly instead of unbatching vectorized output
+        options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
+        hadoopConf = cs.sessionState.newHadoopConf())
+  }
+
+  def flattenRows(it: Iterator[InternalRow]): Iterator[InternalRow] =
+    it.flatMap {
+      case b: org.apache.spark.sql.vectorized.ColumnarBatch =>
+        import scala.jdk.CollectionConverters._
+        b.rowIterator().asScala
+      case r => Iterator.single(r)
+    }
+
+  def partitionedFile(path: String, length: Long): PartitionedFile =
+    PartitionedFile(
+      partitionValues = InternalRow.empty,
+      filePath = org.apache.spark.paths.SparkPath.fromPathString(path),
+      start = 0L,
+      length = length,
+      locations = Array.empty,
+      modificationTime = 0L,
+      fileSize = length)
+}
+
 /** Input-type declaration bridge. `AbstractDataType` (and therefore the
   * `inputTypes` override signature of `ImplicitCastInputTypes`) is
   * private[sql] in Spark 4.1, so the override must be written inside this
