@@ -176,6 +176,7 @@ private[sources] class ChangeFeedTable(tableSchema: StructType,
           new ChangeFeedStream(
             options.get("path"), options.get("table"),
             Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
+            Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
             tableSchema)
       }
     }
@@ -183,9 +184,13 @@ private[sources] class ChangeFeedTable(tableSchema: StructType,
 
 private[sources] class ChangeFeedStream(root: String, table: String,
                                         startingVersion: Long,
+                                        maxVersionsPerTrigger: Option[Long],
                                         fullSchema: StructType)
-    extends MicroBatchStream {
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import ChangeFeed._
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
 
   private def spark = SparkSession.active
   private def snap = new Snapshots(spark, root)
@@ -193,9 +198,39 @@ private[sources] class ChangeFeedStream(root: String, table: String,
   private val dataSchema =
     StructType(fullSchema.fields.dropRight(2))
 
+  // Trigger.AvailableNow pins its end goal at start: process everything
+  // committed when the trigger began, then stop — later commits wait
+  // for the next run
+  @volatile private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(snap.currentVersion.getOrElse(startingVersion))
+
+  private def head: Long = {
+    val h = snap.currentVersion.getOrElse(startingVersion)
+    availableNowTarget.fold(h)(math.min(h, _))
+  }
+
   override def initialOffset(): Offset = new VersionOffset(startingVersion)
-  override def latestOffset(): Offset =
-    new VersionOffset(snap.currentVersion.getOrElse(startingVersion))
+  override def latestOffset(): Offset = new VersionOffset(head)
+
+  /** Admission control: a backfill of many versions arrives as BOUNDED
+    * micro-batches (`maxVersionsPerTrigger`), not one giant batch —
+    * checkpoint-committed progress between them, the knob every
+    * replayable source needs at scale. Without the option each trigger
+    * takes everything available (the default read limit).
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val lo = start.asInstanceOf[VersionOffset].v
+    val hi = head
+    limit match {
+      case m: ReadMaxRows => new VersionOffset(math.min(hi, lo + m.maxRows()))
+      case _ => new VersionOffset(hi)
+    }
+  }
+  override def reportLatestOffset(): Offset = new VersionOffset(head)
+
   override def deserializeOffset(json: String): Offset =
     new VersionOffset(json.toLong)
   override def commit(end: Offset): Unit = ()

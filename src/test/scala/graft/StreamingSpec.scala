@@ -82,6 +82,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("change-feed admission control: AvailableNow drains in bounded one-version batches") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Snapshots
+    val sp = spark
+    import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("cfeed2").toString
+    val root = base + "/lake"
+    val snap = new Snapshots(spark, root)
+    snap.commit(Map("t" -> Seq((1L, 1.0)).toDF("id", "v")))              // v1
+    snap.append("t", Seq((2L, 2.0)).toDF("id", "v"))                     // v2
+    snap.append("t", Seq((3L, 3.0)).toDF("id", "v"))                     // v3
+
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Set[Long]] // versions per batch
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream
+      .format("graft.sources.ChangeFeed")
+      .option("path", root).option("table", "t")
+      .option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream
+      .option("checkpointLocation", base + "/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val r = b.collect()
+        if (r.nonEmpty) batches.synchronized {
+          batches += r.map(_.getLong(3)).toSet
+          rows ++= r.map(_.getLong(0))
+        }
+        ()
+      }.start()
+    // AvailableNow must TERMINATE once the at-start head is consumed
+    assert(q.awaitTermination(120000), "AvailableNow query must stop on its own")
+    assert(batches.size == 3, s"3 versions at 1/trigger should arrive as 3 batches: $batches")
+    assert(batches.forall(_.size == 1), s"each batch spans exactly one version: $batches")
+    assert(rows.sorted == Seq(1L, 2L, 3L))
+  }
+
   test("windowedStream produces the batch twin's result via readStream") {
     val q = EventStreams.windowedStream(spark, TestSpark.sfTest)
       .writeStream.format("memory").queryName("win_test")
