@@ -748,6 +748,66 @@ class Snapshots(s: SparkSession, root: String) {
     })
   }
 
+  /** MERGE (upsert) keyed on `keyCol` — the remaining DML verb next to
+    * [[append]] (INSERT), [[deleteWhere]] (DELETE) and [[updateWhere]]
+    * (UPDATE): source rows whose key matches an existing row REPLACE it,
+    * the rest are inserted, all in one atomic publish (the reference's
+    * users run exactly this upsert through `execute`, Stream.hs:122-145;
+    * the streaming latest-wins form is LakeMerge).
+    *
+    * Scale shape: one scalar agg over the batch-sized source yields its
+    * key span, and the same stats-pruned partial-rewrite engine as
+    * deleteWhere bounds the touched file set to files whose key range
+    * overlaps it — every source key lies inside the span, so a pruned
+    * file PROVABLY holds no match and the matched/unmatched split is
+    * globally correct from the touched files alone. The rewrite is ONE
+    * full-outer join of the touched rows with the source (full outer
+    * cannot broadcast, but both sides are bounded: touched files +
+    * batch), so cost is O(touched + batch), never O(table). With an
+    * all-insert source whose span overlaps nothing, every file is
+    * re-referenced and the source lands as a fresh part (forceOnEmpty).
+    *
+    * Contract: `source` must be unique on `keyCol` (a duplicated key
+    * would multiply its matched row — dedupe upstream, latest-wins, as
+    * LakeMerge does); null-keyed source rows can never match and insert
+    * as-is. Schema must match the table exactly (evolve via
+    * [[append]]'s mergeSchema first).
+    */
+  def mergeInto(table: String, source: DataFrame, keyCol: String,
+                statsCols: Seq[String] = Nil): Long = {
+    val headM = readManifest(currentVersion.getOrElse(
+      throw new IllegalStateException(s"no commits under $root")))
+    val baseRel = dataEntries(headM).getOrElse(table,
+      throw new NoSuchElementException(s"table '$table' not committed under $root"))
+    val existing = storedSchema(headM, table).getOrElse(writtenSchema(baseRel))
+    def sig(st: org.apache.spark.sql.types.StructType): Seq[(String, org.apache.spark.sql.types.DataType)] =
+      st.fields.map(f => (f.name, f.dataType)).toSeq
+    require(sig(source.schema) == sig(existing),
+      s"merge source schema ${source.schema.simpleString} != table '$table' schema ${existing.simpleString}")
+    require(existing.fieldNames.contains(keyCol),
+      s"merge key '$keyCol' not a column of table '$table'")
+    val cols = existing.fieldNames.toSeq
+    val rest = cols.filterNot(_ == keyCol)
+    require(cols.forall(!_.startsWith("_mrg_")),
+      s"table '$table' columns collide with merge's reserved '_mrg_' prefix")
+    // the source's own key span (two scalars to the driver — the source
+    // is the batch side by definition) bounds the touched-file set
+    val mm = source.agg(min(col(keyCol)), max(col(keyCol))).head()
+    if (mm.isNullAt(0)) return currentVersion.get // empty source: no-op
+    val span = FileStats.ColRange(keyCol, Some(mm.get(0)), Some(mm.get(1)))
+    partialRewrite(table, Seq(span), statsCols, "merge", { touched =>
+      val srcR = source.select(
+        col(keyCol).as("_mrg_key") +: lit(true).as("_mrg_hit") +:
+          rest.map(c => col(c).as(s"_mrg_$c")): _*)
+      touched.join(srcR, col(keyCol) === col("_mrg_key"), "full_outer")
+        .select(cols.map { c =>
+          if (c == keyCol) coalesce(col(keyCol), col("_mrg_key")).as(c)
+          else when(coalesce(col("_mrg_hit"), lit(false)), col(s"_mrg_$c"))
+            .otherwise(col(c)).as(c)
+        }: _*)
+    }, forceOnEmpty = true)
+  }
+
   /** O(batch) atomic APPEND: write `df` as a fresh directory and
     * publish a manifest whose `table` entry references the existing
     * paths PLUS the new dir — not one existing byte is read or
@@ -762,7 +822,7 @@ class Snapshots(s: SparkSession, root: String) {
     * [[compact]] case; vacuum's dir-granular refcount covers them.
     */
   def append(table: String, df: DataFrame, tag: Option[String] = None,
-             statsCols: Seq[String] = Nil): Long = {
+             statsCols: Seq[String] = Nil, mergeSchema: Boolean = false): Long = {
     require(!isMetaEntry(table),
       s"table name '$table' collides with the reserved '@' manifest lines")
     tag.foreach(t => require(t.matches("[A-Za-z0-9_-]+"),
@@ -781,9 +841,24 @@ class Snapshots(s: SparkSession, root: String) {
           st.fields.map(f => (f.name, f.dataType)).toSeq
         val existing = storedSchema(m, table)
           .getOrElse(s.read.parquet(absPaths(rel).head).schema)
-        require(sig(df.schema) == sig(existing),
+        if (mergeSchema) {
+          // ADDITIVE evolution (the Delta mergeSchema contract): new
+          // columns append to the table schema and old files read them
+          // back as null; a batch may also omit existing columns (its
+          // rows read back null there). What stays forbidden is a TYPE
+          // change on a shared column — the parquet reader cannot
+          // re-type existing pages, so it must fail here, loudly, not
+          // silently coerce at scan time.
+          val eTypes = existing.fields.map(f => f.name -> f.dataType).toMap
+          df.schema.fields.foreach { f =>
+            eTypes.get(f.name).foreach(t => require(t == f.dataType,
+              s"mergeSchema append: column '${f.name}' type ${f.dataType.simpleString} " +
+                s"conflicts with table '$table' type ${t.simpleString} — " +
+                "additive evolution only (add columns, never re-type)"))
+          }
+        } else require(sig(df.schema) == sig(existing),
           s"append schema ${df.schema.simpleString} != table '$table' schema " +
-            s"${existing.simpleString} — evolve via a full commit(), not append()")
+            s"${existing.simpleString} — evolve via append(mergeSchema = true)")
       }
     }
     var attempt = currentVersion.getOrElse(0L) + 1
@@ -812,8 +887,17 @@ class Snapshots(s: SparkSession, root: String) {
       // listing upgrade of a pre-metadata table), plus the new dir
       val baseFiles = storedFiles(cur, table).getOrElse(
         cur.get(table).map(b => listRelFiles(splitRel(b))).getOrElse(Nil))
-      val schema = storedSchema(cur, table)
-        .orElse(predictReadBack(df.schema)).getOrElse(writtenSchema(rel))
+      val schema =
+        if (mergeSchema)
+          // table schema ∪ batch schema: the union is what every read
+          // (and the NEXT append's guard) must see from here on
+          storedSchema(cur, table)
+            .orElse(dataEntries(cur).get(table).map(writtenSchema))
+            .map(b => unionSchema(b,
+              predictReadBack(df.schema).getOrElse(writtenSchema(rel))))
+            .getOrElse(predictReadBack(df.schema).getOrElse(writtenSchema(rel)))
+        else storedSchema(cur, table)
+          .orElse(predictReadBack(df.schema)).getOrElse(writtenSchema(rel))
       val tagged = cur + (table -> newRel) ++ tag.map(t =>
         (table + TagsSuffix) -> (tagsOf(cur, table) + t).toSeq.sorted.mkString(",")) ++
         Map(schemaLine(table, schema), filesLine(table, baseFiles ++ newFiles))
@@ -822,6 +906,19 @@ class Snapshots(s: SparkSession, root: String) {
     }
     throw new IllegalStateException(
       s"append lost $MaxAttempts consecutive version races under $root")
+  }
+
+  /** Additive schema union for mergeSchema appends: base fields keep
+    * their order and types; batch-only fields append as nullable (files
+    * written before the column existed read it back as null — the
+    * standard parquet missing-column contract the vectorized reader
+    * implements).
+    */
+  private def unionSchema(base: org.apache.spark.sql.types.StructType,
+                          add: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    val have = base.fieldNames.toSet
+    org.apache.spark.sql.types.StructType(
+      base.fields ++ add.fields.filterNot(f => have(f.name)).map(_.copy(nullable = true)))
   }
 
   /** Conjunction of inclusive ranges as a Column (null where any ranged
@@ -844,7 +941,8 @@ class Snapshots(s: SparkSession, root: String) {
     */
   private def partialRewrite(table: String, ranges: Seq[FileStats.ColRange],
                              statsCols: Seq[String], what: String,
-                             rewrite: DataFrame => DataFrame): Long = {
+                             rewrite: DataFrame => DataFrame,
+                             forceOnEmpty: Boolean = false): Long = {
     require(ranges.nonEmpty, s"${what}Where requires at least one range")
     require(!isMetaEntry(table),
       s"table name '$table' collides with the reserved '@' manifest lines")
@@ -887,11 +985,18 @@ class Snapshots(s: SparkSession, root: String) {
           }
         }
     }
-    if (touch.isEmpty) return currentVersion.get // stats prove no row matches
-    val touchedRead = storedSchema(headM, table) match {
-      case Some(sc) => org.apache.spark.sql.GraftLakeShim.parquetByManifest(s, touch.toSeq, sc)
-      case None => s.read.parquet(touch.map(_._1).toSeq: _*)
-    }
+    // stats proving no file can match ends a delete/update here — but a
+    // MERGE with an all-insert source still has rows to land, so its
+    // rewrite runs over an EMPTY touched set (forceOnEmpty)
+    if (touch.isEmpty && !forceOnEmpty) return currentVersion.get
+    val touchedRead =
+      if (touch.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          storedSchema(headM, table).getOrElse(writtenSchema(baseRel)))
+      else storedSchema(headM, table) match {
+        case Some(sc) => org.apache.spark.sql.GraftLakeShim.parquetByManifest(s, touch.toSeq, sc)
+        case None => s.read.parquet(touch.map(_._1).toSeq: _*)
+      }
     val rewritten = rewrite(touchedRead)
     var attempt = currentVersion.getOrElse(0L) + 1
     for (_ <- 1 to MaxAttempts) {
@@ -1357,14 +1462,141 @@ object Snapshots {
       .orderBy("delta", "o_orderstatus")
   }
 
+  /** Snapshot lake for c10, staged ONCE per sf dir: orders projected to
+    * (o_orderkey, o_orderstatus, price_cents), range-clustered into 16
+    * files with key stats — the layout that makes MERGE's source-span
+    * pruning effective.
+    */
+  def stagedMergeLake(s: SparkSession, dir: String): Snapshots = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s.conf.get("spark.sql.warehouse.dir") + s"/mrg_c10$tag"
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val snap = new Snapshots(s, root)
+    val marker = new Path(root, "_STAGED_G1")
+    if (!fs.exists(marker)) {
+      fs.delete(new Path(root), true)
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), cents.as("price_cents"))
+        .repartitionByRange(16, col("o_orderkey"))
+      snap.commit(Map("orders" -> orders),
+        statsCols = Map("orders" -> Seq("o_orderkey")))
+      fs.create(marker, true).close()
+    }
+    snap
+  }
+
+  /** `c10_merge_into`: the MERGE/upsert verb ([[Snapshots.mergeInto]])
+    * through the oracle gate — one source batch carrying BOTH updates
+    * (keys 1000-1999 re-statused 'M' with doubled cents) and inserts
+    * (mirrored negative keys, status 'I'), landed atomically via the
+    * stats-pruned partial rewrite (source span [-999, 1999] touches the
+    * low-key files only; the rest re-reference). The source derives
+    * from the RAW table, so re-merging it is idempotent — warm re-runs
+    * converge to one state while the first run pays the real merge —
+    * and the oracle is the closed-form upsert DuckDB recomputes.
+    */
+  def c10MergeInto(s: SparkSession, dir: String): DataFrame = {
+    val snap = stagedMergeLake(s, dir)
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), cents.as("price_cents"))
+    val updates = base.where(col("o_orderkey").between(1000, 1999))
+      .select(col("o_orderkey"), lit("M").as("o_orderstatus"),
+        (col("price_cents") * 2).as("price_cents"))
+    val inserts = base.where(col("o_orderkey").between(1, 999))
+      .select((-col("o_orderkey")).as("o_orderkey"), lit("I").as("o_orderstatus"),
+        (col("price_cents") + 7).as("price_cents"))
+    snap.mergeInto("orders", updates.unionByName(inserts), "o_orderkey",
+      statsCols = Seq("o_orderkey"))
+    // same retention note as c06/c07: warm re-runs re-touch the span's
+    // files and publish a new version — collect superseded ones
+    snap.vacuum(keepLast = 1)
+    snap.read("orders").groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Snapshot lake for c11, staged ONCE per sf dir at the PRE-evolution
+    * schema: documents (doc_id, lang) for doc_id % 3 == 0.
+    */
+  def stagedEvoLake(s: SparkSession, dir: String): Snapshots = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s.conf.get("spark.sql.warehouse.dir") + s"/evo_c11$tag"
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val snap = new Snapshots(s, root)
+    val marker = new Path(root, "_STAGED_G1")
+    if (!fs.exists(marker)) {
+      fs.delete(new Path(root), true)
+      snap.commit(Map("documents" -> t(s, dir, "documents")
+        .where(col("doc_id") % 3 === 0).select(col("doc_id"), col("lang"))))
+      fs.create(marker, true).close()
+    }
+    snap
+  }
+
+  /** `c11_schema_evolution`: additive schema evolution through the
+    * oracle gate — an O(batch) tagged append whose batch carries a NEW
+    * `txt_len` column (mergeSchema = true), after which one read spans
+    * both generations: pre-evolution rows surface txt_len as NULL (the
+    * parquet missing-column contract), new rows carry their values. The
+    * output pins both sides: `n_evolved` counts non-null txt_len (a
+    * null-vs-zero confusion flips it), `total_len` sums the values. The
+    * tag makes warm re-runs no-ops, so the state is one closed form
+    * DuckDB recomputes from the raw table.
+    */
+  def c11SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val snap = stagedEvoLake(s, dir)
+    snap.append("documents",
+      t(s, dir, "documents").where(col("doc_id") % 3 === 1)
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("txt_len")),
+      tag = Some("evo1"), mergeSchema = true)
+    snap.read("documents").groupBy("lang")
+      .agg(count(lit(1)).as("n"), count(col("txt_len")).as("n_evolved"),
+        sum(coalesce(col("txt_len"), lit(0L))).as("total_len"))
+      .orderBy("lang")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] =
     Map("c04_snapshot_read" -> c04SnapshotRead _,
         "c05_stats_pruned_read" -> c05StatsPrunedRead _,
         "c06_delete_where" -> c06DeleteWhere _,
         "c07_update_where" -> c07UpdateWhere _,
-        "c08_version_diff" -> c08VersionDiff _)
+        "c08_version_diff" -> c08VersionDiff _,
+        "c10_merge_into" -> c10MergeInto _,
+        "c11_schema_evolution" -> c11SchemaEvolution _)
 
   val oracles: Map[String, String] = Map(
+    "c10_merge_into" ->
+      """WITH c AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+        |  FROM orders
+        |), m AS (
+        |  SELECT o_orderkey, o_orderstatus, price_cents FROM c
+        |  WHERE o_orderkey NOT BETWEEN 1000 AND 1999
+        |  UNION ALL
+        |  SELECT o_orderkey, 'M' AS o_orderstatus, price_cents * 2 FROM c
+        |  WHERE o_orderkey BETWEEN 1000 AND 1999
+        |  UNION ALL
+        |  SELECT -o_orderkey, 'I' AS o_orderstatus, price_cents + 7 FROM c
+        |  WHERE o_orderkey BETWEEN 1 AND 999
+        |)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(price_cents) AS BIGINT) AS total_cents
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "c11_schema_evolution" ->
+      """WITH u AS (
+        |  SELECT lang, CAST(NULL AS BIGINT) AS txt_len FROM documents
+        |  WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT lang, CAST(length(text) AS BIGINT) AS txt_len FROM documents
+        |  WHERE doc_id % 3 = 1
+        |)
+        |SELECT lang, count(*) AS n, count(txt_len) AS n_evolved,
+        |  CAST(sum(COALESCE(txt_len, 0)) AS BIGINT) AS total_len
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     "c08_version_diff" ->
       """WITH c AS (
         |  SELECT o_orderkey, o_orderstatus,

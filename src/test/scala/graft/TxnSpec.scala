@@ -936,4 +936,100 @@ class TxnSpec extends AnyFunSuite {
     // no-change diff is empty but still schema-readable
     assert(snap.readChanges("a", v4, v4).count() == 0L)
   }
+
+  test("mergeInto upserts atomically: matched rows replaced, unmatched inserted, clean files re-referenced") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txn").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    val rows = (1L to 600L).map(i => (i, i * 2.0)).toDF("id", "v")
+      .repartitionByRange(12, col("id"))
+    val v1 = snap.commit(Map("a" -> rows), statsCols = Map("a" -> Seq("id")))
+    val filesBefore = snap.read("a").inputFiles.toSet
+    assert(filesBefore.size >= 10)
+
+    // one source batch carrying updates (ids 100-110, v := -id) AND
+    // inserts (ids -10..-1) — its span [-10, 110] touches the low-key
+    // files only
+    val source = ((100L to 110L).map(i => (i, -i.toDouble)) ++
+      (1L to 10L).map(i => (-i, i * 3.0))).toDF("id", "v")
+    val v2 = snap.mergeInto("a", source, "id", statsCols = Seq("id"))
+    assert(v2 > v1)
+    val after = snap.read("a")
+    assert(after.count() == 610L)
+    // matched rows replaced...
+    assert(after.where(col("id").between(100L, 110L))
+      .agg(sum("v")).head.getDouble(0) == -(100L to 110L).sum.toDouble)
+    // ...inserts landed...
+    assert(after.where(col("id") < 0L).count() == 10L)
+    // ...and unmatched rows INSIDE a touched file pass through unchanged
+    assert(after.where(col("id") === 50L).head.getDouble(1) == 100.0)
+    // partial rewrite: files outside the source span are re-referenced
+    val filesAfter = after.inputFiles.toSet
+    val shared = filesBefore & filesAfter
+    assert(shared.size >= filesBefore.size - 4,
+      s"only ${shared.size} of ${filesBefore.size} files re-referenced — merge copied the table")
+    // time travel: the pre-merge version is intact
+    assert(snap.read("a", Some(v1)).count() == 600L)
+    assert(snap.read("a", Some(v1)).where(col("id") === 100L).head.getDouble(1) == 200.0)
+    // re-merging the same source converges (replay safety)
+    snap.mergeInto("a", source, "id", statsCols = Seq("id"))
+    val again = snap.read("a")
+    assert(again.count() == 610L)
+    assert(again.agg(sum("v")).head.getDouble(0) == after.agg(sum("v")).head.getDouble(0))
+    // an all-insert source whose span overlaps no file: everything is
+    // re-referenced and the source lands as a fresh part (forceOnEmpty)
+    val fBefore = snap.read("a").inputFiles.toSet
+    val v4 = snap.mergeInto("a", Seq((5000L, 1.0), (5001L, 2.0)).toDF("id", "v"),
+      "id", statsCols = Seq("id"))
+    assert(fBefore.subsetOf(snap.read("a").inputFiles.toSet),
+      "all-insert merge rewrote existing files")
+    assert(snap.read("a").count() == 612L)
+    // empty source: a true no-op (no new version)
+    assert(snap.mergeInto("a", Seq.empty[(Long, Double)].toDF("id", "v"), "id") == v4)
+    // schema mismatch is refused up front
+    intercept[IllegalArgumentException] {
+      snap.mergeInto("a", Seq((1L, "x")).toDF("id", "v"), "id")
+    }
+  }
+
+  test("mergeSchema append evolves additively: old rows read null, types never silently change") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txn").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    val v1 = snap.commit(Map("a" -> Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")))
+    // a plain append still rejects new columns
+    intercept[IllegalArgumentException] {
+      snap.append("a", Seq((3L, 3.0, "x")).toDF("id", "v", "w"))
+    }
+    // additive evolution: the batch carries a new string column w
+    snap.append("a", Seq((3L, 3.0, "x"), (4L, 4.0, "y")).toDF("id", "v", "w"),
+      mergeSchema = true)
+    val head = snap.read("a")
+    assert(head.columns.toSeq == Seq("id", "v", "w"))
+    assert(head.count() == 4L)
+    // pre-evolution rows read the new column as NULL (never dropped,
+    // never defaulted)
+    assert(head.where(col("w").isNull).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(head.where(col("id") === 3L).head.getString(2) == "x")
+    // a later batch may OMIT an existing column: its rows read it null
+    snap.append("a", Seq((5L, "z")).toDF("id", "w"), mergeSchema = true)
+    val h3 = snap.read("a")
+    assert(h3.count() == 5L)
+    assert(h3.where(col("id") === 5L).head.isNullAt(1))
+    // a TYPE change is refused even under mergeSchema
+    intercept[IllegalArgumentException] {
+      snap.append("a", Seq((6L, 6)).toDF("id", "v"), mergeSchema = true)
+    }
+    // time travel: the pre-evolution version keeps its own schema
+    assert(snap.read("a", Some(v1)).columns.toSeq == Seq("id", "v"))
+    // and the evolved table still partial-rewrites correctly (touched
+    // rows re-materialize with the full union schema)
+    snap.deleteWhere("a", Seq(ColRange("id", Some(5L), Some(5L))), statsCols = Seq("id"))
+    assert(snap.read("a").count() == 4L)
+    assert(snap.read("a").columns.toSeq == Seq("id", "v", "w"))
+    assert(snap.read("a").where(col("id") === 3L).head.getString(2) == "x")
+  }
 }
