@@ -827,7 +827,7 @@ class TxnSpec extends AnyFunSuite {
       IncrementalAgg.seed(spark, snap, "t", "grp", "v", agg, atVersion = 1L)
       var vacuumed = false
       for (op <- 1 to 7) {
-        rnd.nextInt(6) match {
+        rnd.nextInt(7) match {
           case 0 => // tagged append (sometimes replayed)
             val rows = batch(1 + rnd.nextInt(10))
             val tag = s"b$seq-$op"
@@ -864,6 +864,16 @@ class TxnSpec extends AnyFunSuite {
           case 5 => // vacuum: history shrinks, head must survive
             snap.vacuum(keepLast = 1)
             vacuumed = true
+          case 6 => // MERGE: replace a random live id slice + insert fresh ids
+            val lo = 1L + rnd.nextInt(nextId.toInt.max(1))
+            val hi = lo + rnd.nextInt(15)
+            val upd = model.collect { case (id, (g, _)) if id >= lo && id <= hi =>
+              (id, g, id + 5000000L) }.toSeq
+            val ins = batch(1 + rnd.nextInt(5))
+            val src = upd ++ ins
+            snap.mergeInto("t", src.toDF("id", "grp", "v"), "id", statsCols = Seq("id"))
+            model = model ++ src.map(r => r._1 -> (r._2, r._3))
+            history += ((snap.currentVersion.get, model))
         }
         val got = snap.read("t").as[(Long, String, Long)].collect()
           .map(r => r._1 -> (r._2, r._3)).toMap
