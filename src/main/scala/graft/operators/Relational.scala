@@ -463,8 +463,56 @@ object Relational {
         |FROM walk GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** B37 `q42_string_agg`: ordered string aggregation — ANSI
+    * LISTAGG ... WITHIN GROUP (Spark 4's ListAgg; DuckDB string_agg
+    * with ORDER BY). The WITHIN GROUP ordering is what makes a
+    * concatenation aggregate deterministic and therefore
+    * cross-engine checkable at all: an unordered collect depends on
+    * partition arrival order and can never hash-match. Dedup first
+    * (DISTINCT pairs), then aggregate — the dedup is the shuffle;
+    * the listagg itself is per-group linear.
+    */
+  def q42StringAgg(s: SparkSession, dir: String): DataFrame = {
+    graft.sources.Catalog.register(s, dir)
+    s.sql(
+      """WITH d AS (
+        |  SELECT DISTINCT c_mktsegment, n_name
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE c_acctbal > 9000
+        |)
+        |SELECT c_mktsegment, count(*) AS n_nations,
+        |  listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
+        |FROM d GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  /** B38 `q43_stats_agg`: the statistical aggregate surface — corr,
+    * covar_samp, stddev_samp and the regr_* linear-regression family
+    * (both engines ship the same ANSI names). All are single-pass
+    * co-moment aggregates: map-side partial states merge
+    * associatively, so the cost is one linear scan + one tiny
+    * shuffle of per-group moment tuples — the same shape as q01's
+    * sum/avg. Doubles are rounded on BOTH sides (corr/r2 at 1e-6 on
+    * O(1) values, covar/intercept at 1e-2 and slope at 1e-4 on
+    * O(10^3..10^5) values) so last-ulp fold-order differences
+    * between engines cannot flip the hash.
+    */
+  def q43StatsAgg(s: SparkSession, dir: String): DataFrame = {
+    graft.sources.Catalog.register(s, dir)
+    s.sql(
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+        |  round(stddev_samp(l_discount), 6) AS sd_disc,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 2) AS icept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg" -> q01Agg _,
+    "q42_string_agg" -> q42StringAgg _,
+    "q43_stats_agg" -> q43StatsAgg _,
     "q39_lateral" -> q39Lateral _,
     "q40_cube" -> q40Cube _,
     "q41_recursive" -> q41Recursive _,
@@ -494,6 +542,24 @@ object Relational {
     "q24_pivot" -> q24Pivot _)
 
   val oracles: Map[String, String] = Map(
+    "q42_string_agg" ->
+      """WITH d AS (
+        |  SELECT DISTINCT c_mktsegment, n_name
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE c_acctbal > 9000
+        |)
+        |SELECT c_mktsegment, count(*) AS n_nations,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM d GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q43_stats_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+        |  round(stddev_samp(l_discount), 6) AS sd_disc,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 2) AS icept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q41_recursive" ->
       """WITH RECURSIVE walk(o_orderkey, anc, depth) AS (
         |  SELECT o_orderkey, o_orderkey, CAST(0 AS BIGINT)

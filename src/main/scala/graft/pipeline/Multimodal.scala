@@ -532,13 +532,45 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** C32 `m07_audio_batch`: the AUDIO modality oracle-checked — until
+    * now the WAV kernel ([[decodeWav]]) was spec-gated only. Payloads
+    * are genuine RIFF/PCM16 files whose samples are closed forms of
+    * doc_id (`((id·7 + i·13) mod 2001) − 1000`, n and sample rate also
+    * id-derived), decoded through the real chunk walk in the same
+    * batched partition passes as m02-m06. Every quantity crossing the
+    * oracle is exact: int16 squares sum to < 2^53 so the double
+    * accumulation is EXACT regardless of order, DuckDB sums the same
+    * integers, and both engines then do one identical division and one
+    * correctly-rounded sqrt — a stride, endianness, or chunk-walk bug
+    * shifts the sample stream and flips the hash.
+    */
+  def m07AudioBatch(s: SparkSession, dir: String, batchSize: Int = 64): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val n = 400 + (id % 5).toInt * 100
+        val sr = 8000 + (id % 3).toInt * 4000
+        val samples = Array.tabulate(n)(i => (((id * 7 + i * 13) % 2001) - 1000).toShort)
+        Media(id, wavBytes(sr, samples))
+      }
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map(m =>
+        decodeWav(m.doc_id, m.payload))))
+      .toDF()
+      .select(col("doc_id"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("n_samples").cast("long").as("n_samples"),
+        round(col("rms"), 6).as("rms"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_multimodal_meta" -> m01MultimodalMeta _,
     "m02_decode_batch" -> ((s, dir) => m02DecodeBatch(s, dir)),
     "m03_decode_image" -> ((s, dir) => m03DecodeImage(s, dir)),
     "m04_frame_sample" -> ((s, dir) => m04FrameSample(s, dir)),
     "m05_gif_frames" -> ((s, dir) => m05GifFrames(s, dir)),
-    "m06_resize" -> ((s, dir) => m06Resize(s, dir)))
+    "m06_resize" -> ((s, dir) => m06Resize(s, dir)),
+    "m07_audio_batch" -> ((s, dir) => m07AudioBatch(s, dir)))
 
   /** Every multimodal key is oracle-checked: the oracles are the closed
     * forms of the synthesized payloads, which the Spark side must
@@ -546,6 +578,20 @@ object Multimodal {
     * codecs for m02/m05, pure-Scala parsers for m03/m04).
     */
   val oracles: Map[String, String] = Map(
+    "m07_audio_batch" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(400 + (doc_id % 5) * 100 AS BIGINT) AS n,
+        |    CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sr
+        |  FROM documents
+        |), s AS (
+        |  SELECT d.doc_id, d.n, d.sr,
+        |    (d.doc_id * 7 + g.i * 13) % 2001 - 1000 AS smp
+        |  FROM f d, UNNEST(generate_series(0, CAST(d.n - 1 AS INT))) AS g(i)
+        |)
+        |SELECT doc_id, sr AS sample_rate, n AS n_samples,
+        |  round(sqrt(CAST(sum(smp * smp) AS DOUBLE) / n), 6) AS rms
+        |FROM s GROUP BY doc_id, sr, n ORDER BY doc_id""".stripMargin,
     "m06_resize" ->
       """WITH f AS (
         |  SELECT doc_id,

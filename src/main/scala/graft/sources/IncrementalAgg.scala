@@ -89,6 +89,79 @@ object IncrementalAgg {
       "watermark" -> watermarkDf(s, srcHead)))
   }
 
+  /** foreachBatch body for the STREAMING form of [[refresh]]: fold one
+    * change-feed micro-batch's signed deltas into the materialized
+    * aggregate, idempotently. The applied batch id is committed
+    * ATOMICALLY with the aggregate (same manifest), so after a
+    * checkpoint restart a replayed batch is recognized and skipped —
+    * the standard foreachBatch exactly-once recipe, expressed through
+    * the lake's own atomic commit instead of an external ledger.
+    * Cost per batch = O(batch + |agg|), never O(source table).
+    */
+  def applyBatch(agg: Snapshots, groupCol: String, sumCol: String)
+                (batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val applied = if (agg.currentVersion.isDefined)
+      agg.read("applied").head().getLong(0) else -1L
+    if (batchId <= applied || batch.isEmpty) return
+    val sign = when(col("_change") === "added", 1L).otherwise(-1L)
+    val deltas = batch.groupBy(groupCol)
+      .agg(sum(sign).as("dn"), sum(sign * col(sumCol)).as("dtotal"))
+    val folded = (if (agg.currentVersion.isDefined)
+      agg.read("agg").join(deltas, Seq(groupCol), "full_outer")
+        .select(col(groupCol),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+          (coalesce(col("total"), lit(0L)) + coalesce(col("dtotal"), lit(0L))).as("total"))
+    else deltas.select(col(groupCol), col("dn").as("n"), col("dtotal").as("total")))
+      .where(col("n") =!= 0L)
+    agg.commit(Map(
+      "agg" -> folded,
+      "applied" -> Seq(batchId).toDF("batch_id")))
+  }
+
+  /** `st08_stream_matview`: the two round-7 capstones COMPOSED — the
+    * change-feed source (D12) streams the diff lake's commit history
+    * one version per micro-batch, and [[applyBatch]] maintains the
+    * per-status aggregate from nothing but those deltas. The final
+    * materialized view must equal DuckDB's from-scratch recompute of
+    * the lake's HEAD state: a dropped batch, double-applied replay, or
+    * mis-signed pre-image anywhere in the source → fold → commit chain
+    * flips n or total_cents. Hermetic per run (fresh agg lake +
+    * checkpoint; the SOURCE is the shared c08 fixture), so every
+    * invocation exercises real micro-batch planning, the fold, and the
+    * atomic commit protocol — this is the production standing shape of
+    * a streaming materialized view over the lake.
+    */
+  def st08StreamMatview(s: SparkSession, dir: String): DataFrame = {
+    val src = Snapshots.stagedDiffLake(s, dir)
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s.conf.get("spark.sql.warehouse.dir") + s"/mv_st08$tag"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val agg = new Snapshots(s, root)
+    val ckpt = java.nio.file.Files.createTempDirectory("mv_ckpt").toString
+    val q = s.readStream
+      .format(classOf[ChangeFeed].getName)
+      .option("path", src.rootPath).option("table", "orders")
+      .option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "1") // one lake commit per fold, as live
+      .load()
+      .writeStream
+      .foreachBatch(applyBatch(agg, "o_orderstatus", "price_cents") _)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      if (!q.awaitTermination(300000))
+        throw new IllegalStateException("st08 change-feed drain timed out")
+    } finally q.stop()
+    agg.read("agg")
+      .select(col("o_orderstatus"), col("n"), col("total").as("total_cents"))
+      .orderBy("o_orderstatus")
+  }
+
   /** `c09_incremental_agg`: the CDC loop CLOSED — seed the per-status
     * aggregate at the diff lake's version 1 (pre-append, pre-delete
     * state), then advance it to head purely from [[Snapshots.
@@ -115,9 +188,24 @@ object IncrementalAgg {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] =
-    Map("c09_incremental_agg" -> c09IncrementalAgg _)
+    Map("c09_incremental_agg" -> c09IncrementalAgg _,
+        "st08_stream_matview" -> st08StreamMatview _)
 
   val oracles: Map[String, String] = Map(
+    // st08 maintains the same aggregate as c09, purely from the
+    // streamed feed — one closed form pins batch refresh (c09), the
+    // streaming fold (st08), and DuckDB to each other
+    "st08_stream_matview" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+        |  FROM orders
+        |  WHERE o_orderkey NOT BETWEEN 3000 AND 3999
+        |)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(price_cents) AS BIGINT) AS total_cents
+        |FROM c GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "c09_incremental_agg" ->
       """WITH c AS (
         |  SELECT o_orderstatus,

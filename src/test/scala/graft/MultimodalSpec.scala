@@ -102,6 +102,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(Multimodal.decodeWav(3L, Multimodal.wavBytes(8000, sq)).rms - 500.0) < 1e-9)
   }
 
+  test("WAV chunk walk skips unknown chunks and rejects non-RIFF payloads") {
+    // splice a junk chunk ("LIST", 12 bytes) between fmt and data — a
+    // spec-conformant reader must skip it by its declared size, not
+    // desync into the sample stream
+    val samples = Array.tabulate[Short](100)(i => (i * 3 - 150).toShort)
+    val wav = Multimodal.wavBytes(8000, samples)
+    val junk = "LIST".getBytes("US-ASCII") ++
+      java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(12).array() ++ new Array[Byte](12)
+    val dataAt = 36 // 12 RIFF/WAVE + 8 fmt header + 16 fmt body
+    val spliced = wav.take(dataAt) ++ junk ++ wav.drop(dataAt)
+    // patch the RIFF size field for the extra bytes
+    java.nio.ByteBuffer.wrap(spliced, 4, 4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(36 + samples.length * 2 + junk.length)
+    val d = Multimodal.decodeWav(7L, spliced)
+    assert(d.sample_rate == 8000 && d.n_samples == 100)
+    val want = math.sqrt(samples.map(s => s.toDouble * s).sum / 100)
+    assert(math.abs(d.rms - want) < 1e-9)
+    intercept[IllegalArgumentException](
+      Multimodal.decodeWav(8L, "JUNKJUNKJUNK".getBytes ++ wav))
+  }
+
   test("VID1 frame walk: sampling stride, per-frame colors, and malformed containers") {
     val id = 13L // nf = 4 + 13%5 = 7 frames, w = 8+13%8 = 13, h = 8+13%5 = 11
     val vid = Multimodal.vidBytes(id)

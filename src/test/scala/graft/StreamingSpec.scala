@@ -120,6 +120,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.sorted == Seq(1L, 2L, 3L))
   }
 
+  test("streaming matview: applyBatch folds change-feed deltas idempotently across restarts") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.{FileStats, IncrementalAgg, Snapshots}
+    val sp = spark
+    import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("mview").toString
+    val src = new Snapshots(spark, base + "/lake")
+    val agg = new Snapshots(spark, base + "/agg")
+    src.commit(Map("t" -> (1L to 30L).map(i => (i, s"g${i % 3}", i * 10L))
+      .toDF("id", "g", "v").repartitionByRange(3, col("id"))), Map("t" -> Seq("id")))
+    src.append("t", Seq((31L, "g1", 500L)).toDF("id", "g", "v"), statsCols = Seq("id"))
+
+    def run(): Unit = {
+      val q = spark.readStream
+        .format("graft.sources.ChangeFeed")
+        .option("path", base + "/lake").option("table", "t")
+        .option("startingVersion", "0").option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream
+        .foreachBatch(IncrementalAgg.applyBatch(agg, "g", "v") _)
+        .option("checkpointLocation", base + "/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "AvailableNow drain must terminate")
+    }
+    def recompute(): Map[String, (Long, Long)] =
+      src.read("t").groupBy("g").agg(count(lit(1)), sum("v")).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def matview(): Map[String, (Long, Long)] =
+      agg.read("agg").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    run()
+    assert(matview() == recompute(), "streamed fold must equal head recompute")
+
+    // a restart with NOTHING new must apply nothing: the agg lake's
+    // version is the proof (a double-applied replay would commit)
+    val vBefore = agg.currentVersion.get
+    run()
+    assert(agg.currentVersion.get == vBefore,
+      "restart from committed checkpoint must not re-apply any batch")
+
+    // a delete lands as its file diff (pre-images removed, riders
+    // re-added) — the fold must net it exactly
+    src.deleteWhere("t", Seq(FileStats.ColRange("id", Some(10L), Some(19L))),
+      statsCols = Seq("id"))
+    run()
+    assert(matview() == recompute(), "post-delete fold must equal head recompute")
+    assert(agg.currentVersion.get == vBefore + 1, "exactly one new fold commit")
+  }
+
   test("windowedStream produces the batch twin's result via readStream") {
     val q = EventStreams.windowedStream(spark, TestSpark.sfTest)
       .writeStream.format("memory").queryName("win_test")
