@@ -41,7 +41,7 @@ object Bench {
     "q25_typed_decode", "q31_typed_wide", "q32_weighted_avg", "c04_snapshot_read",
     "c05_stats_pruned_read", "c06_delete_where", "c07_update_where", "c08_version_diff",
     "c09_incremental_agg", "c10_merge_into", "c11_schema_evolution", "st07_change_feed",
-    "st08_stream_matview", "q42_string_agg", "q43_stats_agg", "m07_audio_batch",
+    "st08_stream_matview", "c12_replicate", "q42_string_agg", "q43_stats_agg", "m07_audio_batch",
     "q33_profile", "q34_histogram")
 
   /** Per-key task-metric sums, so a bench anomaly ships with its own

@@ -240,6 +240,13 @@ private[sources] class ChangeFeedStream(root: String, table: String,
     * dense, so the walk is exact and every row gets attributed to the
     * commit that produced it. O(span) manifest reads, O(changed files)
     * partitions, zero directory listings.
+    *
+    * Maintenance versions (compaction/clustering, `@maint` in the
+    * manifest — rows invariant, files reorganized) emit NOTHING: the
+    * walk still advances its file-set cursor through them, so the next
+    * DATA version diffs against the compacted layout. Without the skip
+    * a 100-TB compaction would flood every consumer with remove+add
+    * churn for rows that never changed.
     */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[VersionOffset].v
@@ -250,10 +257,12 @@ private[sources] class ChangeFeedStream(root: String, table: String,
     var v = lo + 1
     while (v <= hi) {
       val after = s.fileSet(table, v)
-      (after -- before.keySet).foreach { case (p, len) =>
-        parts += ChangeFilePartition(p, len, "added", v) }
-      (before -- after.keySet).foreach { case (p, len) =>
-        parts += ChangeFilePartition(p, len, "removed", v) }
+      if (!s.isMaintenanceVersion(table, v)) {
+        (after -- before.keySet).foreach { case (p, len) =>
+          parts += ChangeFilePartition(p, len, "added", v) }
+        (before -- after.keySet).foreach { case (p, len) =>
+          parts += ChangeFilePartition(p, len, "removed", v) }
+      }
       before = after
       v += 1
     }

@@ -91,7 +91,18 @@ class Snapshots(s: SparkSession, root: String) {
     * treating a permission/quota error as a race would make commit()
     * retry (re-writing all table data each attempt) forever.
     */
-  private def writeManifest(v: Long, tables: Map[String, String]): Boolean = {
+  /** `maint` marks this version as pure MAINTENANCE for the named
+    * tables (compaction / clustering: files reorganized, rows
+    * invariant — Delta's dataChange=false). The marker is a per-VERSION
+    * property, never state: every publish builds its manifest from the
+    * current one, so writeManifest strips inherited `@maint` lines and
+    * re-adds only what THIS publish declares — a data commit after a
+    * compaction is never mislabeled.
+    */
+  private def writeManifest(v: Long, tables0: Map[String, String],
+                            maint: Set[String] = Set.empty): Boolean = {
+    val tables = tables0.filterNot(_._1.endsWith(MaintSuffix)) ++
+      maint.map(t => (t + MaintSuffix) -> "1")
     tables.keys.foreach(t => require(!t.contains("=") && !t.contains("\n"),
       s"table name '$t' would corrupt the manifest line format"))
     fs.mkdirs(commitDir)
@@ -176,9 +187,22 @@ class Snapshots(s: SparkSession, root: String) {
     */
   private val SchemaSuffix = "@schema"
   private val FilesSuffix = "@files"
+  private val MaintSuffix = "@maint"
   private def isTagEntry(key: String): Boolean = key.endsWith(TagsSuffix)
   private def isMetaEntry(key: String): Boolean =
-    key.endsWith(TagsSuffix) || key.endsWith(SchemaSuffix) || key.endsWith(FilesSuffix)
+    key.endsWith(TagsSuffix) || key.endsWith(SchemaSuffix) ||
+      key.endsWith(FilesSuffix) || key.endsWith(MaintSuffix)
+
+  /** True iff version `v` was a pure-maintenance publish for `table`
+    * (compaction/clustering — rows invariant, files reorganized). The
+    * change feed uses this to SKIP the version: at 100 TB a compaction
+    * rewrites a table's whole file set, and without the flag every
+    * downstream consumer would re-receive the table as remove+add
+    * churn — the classic change-data-feed-from-file-diffs flood that
+    * Delta's dataChange=false exists to prevent.
+    */
+  def isMaintenanceVersion(table: String, v: Long): Boolean =
+    readManifest(v).contains(table + MaintSuffix)
   private def dataEntries(m: Map[String, String]): Map[String, String] =
     m.filterNot { case (k, _) => isMetaEntry(k) }
   private def tagsOf(m: Map[String, String], table: String): Set[String] =
@@ -808,6 +832,36 @@ class Snapshots(s: SparkSession, root: String) {
     }, forceOnEmpty = true)
   }
 
+  /** Keyset DELETE — `DELETE WHERE keyCol IN (<batch>)`, the
+    * tombstone-apply verb every CDC consumer needs (c06's ranged
+    * deleteWhere covers retention sweeps; replication and
+    * right-to-erasure arrive as key SETS). Same engine and cost model
+    * as [[mergeInto]]: the batch-sized keyset's span (two scalars)
+    * bounds the touched-file set through the stats sidecar, untouched
+    * files are re-referenced byte-for-byte, and the touched rows pass
+    * through one broadcast-sized left_anti join — O(touched + batch),
+    * never O(table). Naturally idempotent: re-deleting absent keys
+    * rewrites nothing new (rowless outputs are dropped), so replays
+    * converge. Stats proving no overlap → true no-op.
+    */
+  def deleteKeys(table: String, keys: DataFrame, keyCol: String,
+                 statsCols: Seq[String] = Nil): Long = {
+    val headM = readManifest(currentVersion.getOrElse(
+      throw new IllegalStateException(s"no commits under $root")))
+    val baseRel = dataEntries(headM).getOrElse(table,
+      throw new NoSuchElementException(s"table '$table' not committed under $root"))
+    val existing = storedSchema(headM, table).getOrElse(writtenSchema(baseRel))
+    require(existing.fieldNames.contains(keyCol),
+      s"delete key '$keyCol' not a column of table '$table'")
+    val ks = keys.select(col(keyCol).as("_del_key")).distinct()
+    val mm = ks.agg(min(col("_del_key")), max(col("_del_key"))).head()
+    if (mm.isNullAt(0)) return currentVersion.get // empty keyset: no-op
+    val span = FileStats.ColRange(keyCol, Some(mm.get(0)), Some(mm.get(1)))
+    partialRewrite(table, Seq(span), statsCols, "deleteKeys", { touched =>
+      touched.join(broadcast(ks), col(keyCol) === col("_del_key"), "left_anti")
+    })
+  }
+
   /** O(batch) atomic APPEND: write `df` as a fresh directory and
     * publish a manifest whose `table` entry references the existing
     * paths PLUS the new dir — not one existing byte is read or
@@ -1111,7 +1165,9 @@ class Snapshots(s: SparkSession, root: String) {
       val metaLines = Map(
         schemaLine(table, predictReadBack(packed.schema).getOrElse(writtenSchema(rel))),
         filesLine(table, listRelFiles(Seq(rel))))
-      if (writeManifest(attempt, cur + (table -> rel) ++ metaLines)) return attempt
+      // rows invariant, files reorganized → dataChange=false for the feed
+      if (writeManifest(attempt, cur + (table -> rel) ++ metaLines,
+        maint = Set(table))) return attempt
       attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
     }
     throw new IllegalStateException(

@@ -120,6 +120,108 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.sorted == Seq(1L, 2L, 3L))
   }
 
+  test("change feed skips maintenance versions: compaction emits no churn") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.{FileStats, Snapshots}
+    val sp = spark
+    import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("cfeed3").toString
+    val root = base + "/lake"
+    val snap = new Snapshots(spark, root)
+    snap.commit(Map("t" -> (1L to 40L).map(i => (i, i * 2.0)).toDF("id", "v")
+      .repartitionByRange(4, col("id"))), Map("t" -> Seq("id")))          // v1
+    snap.append("t", Seq((41L, 82.0)).toDF("id", "v"), statsCols = Seq("id")) // v2
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    def drain(): Unit = {
+      val q = spark.readStream
+        .format("graft.sources.ChangeFeed")
+        .option("path", root).option("table", "t").option("startingVersion", "0")
+        .load()
+        .writeStream
+        .option("checkpointLocation", base + "/ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val rows = b.collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+          got.synchronized { got ++= rows }
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    assert(got.size == 41 && got.forall(_._2 == "added"))
+
+    // compaction rewrites every file — but rows are invariant, so the
+    // feed must deliver NOTHING for the @maint version
+    snap.compact("t", targetBytes = 1L << 20, sortCol = Some("id"), statsCols = Seq("id")) // v3
+    val sizeBefore = got.size
+    drain()
+    assert(got.size == sizeBefore,
+      s"compaction churn leaked into the feed: ${got.drop(sizeBefore)}")
+
+    // the walk's file-set cursor advanced THROUGH the skipped version: a
+    // delete now diffs against the compacted layout and must emit its
+    // pre-images exactly once
+    snap.deleteWhere("t", Seq(FileStats.ColRange("id", Some(10L), Some(12L))),
+      statsCols = Seq("id"))                                              // v4
+    drain()
+    val tail = got.drop(sizeBefore)
+    assert(tail.count(_._2 == "removed") >= 3, s"delete pre-images missing: $tail")
+    val net = got.groupBy(_._1)
+      .map { case (k, rs) => k -> rs.map(r => if (r._2 == "added") 1 else -1).sum }
+      .filter(_._2 > 0).keySet
+    val want = snap.read("t").select("id").as[Long].collect().toSet
+    assert(net == want, "net feed state diverged from the table head")
+  }
+
+  test("lake replication via the change feed: replica equals source head across every DML verb") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.{FileStats, Snapshots}
+    import graft.streaming.Replicate
+    val sp = spark
+    import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("repl").toString
+    val src = new Snapshots(spark, base + "/src")
+    val dst = new Snapshots(spark, base + "/dst")
+    src.commit(Map("t" -> (1L to 40L).map(i => (i, s"g${i % 3}", i * 10L))
+      .toDF("id", "g", "v").repartitionByRange(4, col("id"))), Map("t" -> Seq("id")))
+    src.deleteWhere("t", Seq(FileStats.ColRange("id", Some(5L), Some(8L))), Seq("id"))
+    src.updateWhere("t", Seq(FileStats.ColRange("id", Some(20L), Some(25L))),
+      Map("v" -> (col("v") + 1000L)), Seq("id"))
+    src.compact("t", targetBytes = 1L << 20, sortCol = Some("id"), statsCols = Seq("id"))
+    src.append("t", Seq((100L, "g1", 77L)).toDF("id", "g", "v"), statsCols = Seq("id"))
+
+    def drain(): Unit = {
+      val q = spark.readStream
+        .format("graft.sources.ChangeFeed")
+        .option("path", base + "/src").option("table", "t")
+        .option("startingVersion", "0").option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream
+        .foreachBatch(Replicate.applyBatch(dst, "t", "id", Seq("id")) _)
+        .option("checkpointLocation", base + "/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "drain must terminate")
+    }
+    def rows(sn: Snapshots): Set[(Long, String, Long)] =
+      sn.read("t").as[(Long, String, Long)].collect().toSet
+
+    drain()
+    assert(rows(dst) == rows(src), "replica must equal source head")
+
+    // restart with nothing new: offsets are committed, so no batch fires
+    // and the replica lake does not even version-bump
+    val vBefore = dst.currentVersion.get
+    drain()
+    assert(dst.currentVersion.get == vBefore, "idle restart must not touch the replica")
+
+    // post-restart deltas: a keyset delete on the SOURCE flows through
+    src.deleteKeys("t", Seq(15L, 16L).toDF("id"), "id", statsCols = Seq("id"))
+    drain()
+    assert(rows(dst) == rows(src), "replica must track the source after new commits")
+    assert(!rows(dst).exists(r => r._1 == 15L || r._1 == 16L))
+  }
+
   test("streaming matview: applyBatch folds change-feed deltas idempotently across restarts") {
     import org.apache.spark.sql.functions._
     import graft.sources.{FileStats, IncrementalAgg, Snapshots}

@@ -356,6 +356,64 @@ class TxnSpec extends AnyFunSuite {
     assert(snap.read("a").count() == 549L)
   }
 
+  test("deleteKeys: keyset delete is span-pruned, exact, and replay-convergent") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txn").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    val rows = (1L to 600L).map(i => (i, i * 2.0)).toDF("id", "v")
+      .repartitionByRange(12, col("id"))
+    val v1 = snap.commit(Map("a" -> rows), statsCols = Map("a" -> Seq("id")))
+    val filesBefore = snap.read("a").inputFiles.toSet
+    // a tight keyset: its [min,max] span overlaps one or two files
+    val keys = Seq(110L, 115L, 120L).toDF("id")
+    val v2 = snap.deleteKeys("a", keys, "id", statsCols = Seq("id"))
+    assert(v2 > v1)
+    val after = snap.read("a")
+    assert(after.count() == 597L)
+    assert(after.where(col("id").isin(110L, 115L, 120L)).count() == 0L)
+    // rows INSIDE the span but not in the keyset survive (anti-join, not
+    // a range delete)
+    assert(after.where(col("id") === 113L).count() == 1L)
+    // span pruning: files outside [110,120] are re-referenced
+    val shared = filesBefore & after.inputFiles.toSet
+    assert(shared.size >= filesBefore.size - 2,
+      s"only ${shared.size} of ${filesBefore.size} files re-referenced — keyset delete copied the table")
+    // replay converges: same keyset again leaves the same state
+    snap.deleteKeys("a", keys, "id", statsCols = Seq("id"))
+    assert(snap.read("a").count() == 597L)
+    // an all-absent keyset whose span stats prove no overlap is a true no-op
+    val head = snap.currentVersion.get
+    assert(snap.deleteKeys("a", Seq(9000L, 9001L).toDF("id"), "id",
+      statsCols = Seq("id")) == head)
+    // empty keyset is a no-op; time travel keeps the deleted rows
+    assert(snap.deleteKeys("a", sp.emptyDataset[Long].toDF("id"), "id") == snap.currentVersion.get)
+    assert(snap.read("a", Some(v1)).count() == 600L)
+  }
+
+  test("maintenance flag: compaction versions carry @maint; data versions never inherit it") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txn").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    snap.commit(Map("t" -> (1L to 100L).map(i => (i, i * 1.0)).toDF("id", "v")
+      .repartitionByRange(4, col("id"))), Map("t" -> Seq("id")))          // v1
+    snap.append("t", Seq((101L, 1.0)).toDF("id", "v"), statsCols = Seq("id")) // v2
+    val vc = snap.compact("t", targetBytes = 1L << 20, sortCol = Some("id"),
+      statsCols = Seq("id"))                                              // v3
+    val va = snap.append("t", Seq((102L, 2.0)).toDF("id", "v"), statsCols = Seq("id")) // v4
+    assert(!snap.isMaintenanceVersion("t", 1L))
+    assert(!snap.isMaintenanceVersion("t", 2L))
+    assert(snap.isMaintenanceVersion("t", vc), "compaction must be flagged @maint")
+    // the marker is a per-version property: the manifest-merge in the
+    // next data publish must NOT carry it forward
+    assert(!snap.isMaintenanceVersion("t", va),
+      "a data commit after compaction must not inherit @maint")
+    // rollback republishes state as a DATA version
+    val vr = snap.rollbackTo(vc)
+    assert(!snap.isMaintenanceVersion("t", vr))
+  }
+
   test("two writers on one root stage into disjoint dirs (racing-clobber impossible)") {
     val root = Files.createTempDirectory("txn").toString + "/t"
     val a = new Snapshots(spark, root)
@@ -827,7 +885,7 @@ class TxnSpec extends AnyFunSuite {
       IncrementalAgg.seed(spark, snap, "t", "grp", "v", agg, atVersion = 1L)
       var vacuumed = false
       for (op <- 1 to 7) {
-        rnd.nextInt(7) match {
+        rnd.nextInt(8) match {
           case 0 => // tagged append (sometimes replayed)
             val rows = batch(1 + rnd.nextInt(10))
             val tag = s"b$seq-$op"
@@ -873,6 +931,12 @@ class TxnSpec extends AnyFunSuite {
             val src = upd ++ ins
             snap.mergeInto("t", src.toDF("id", "grp", "v"), "id", statsCols = Seq("id"))
             model = model ++ src.map(r => r._1 -> (r._2, r._3))
+            history += ((snap.currentVersion.get, model))
+          case 7 => // keyset delete (some keys live, some already absent)
+            val ks = (1 to (1 + rnd.nextInt(6)))
+              .map(_ => 1L + rnd.nextInt(nextId.toInt.max(1))).distinct
+            snap.deleteKeys("t", ks.toDF("id"), "id", statsCols = Seq("id"))
+            model = model -- ks
             history += ((snap.currentVersion.get, model))
         }
         val got = snap.read("t").as[(Long, String, Long)].collect()
