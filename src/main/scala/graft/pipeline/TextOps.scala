@@ -310,7 +310,37 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** C33 t14: URL/domain filtering — the Common-Crawl-style source
+    * screen every web-scale corpus runs first (parse each doc's URL,
+    * extract the registrable domain, drop blocklisted sources). Each
+    * doc gets a deterministic URL (domain drawn from a closed form of
+    * doc_id), the domain is recovered by ACTUALLY parsing the URL
+    * (regexp_extract — a parse bug flips the domain and the hash), and
+    * the screen is a broadcast left join against a blocklist TABLE —
+    * the 100-TB shape (the list is dims-sized; the corpus scan never
+    * shuffles; at larger list sizes the same join bloom-prunes like
+    * d06). Flags, not drops, so the oracle checks both directions.
+    */
+  def t14UrlFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val domains = Seq("alpha.example.com", "beta.example.org", "spamfarm.biz",
+      "gamma.example.net", "delta.example.com", "adtracker.click",
+      "epsilon.example.io", "zeta.example.edu")
+    val blocklist = Seq("spamfarm.biz", "adtracker.click").toDF("bad")
+    docs(s, dir)
+      .select(col("doc_id"),
+        concat(lit("https://"),
+          element_at(array(domains.map(lit): _*), (col("doc_id") % 8).cast("int") + 1),
+          lit("/doc/"), col("doc_id")).as("url"))
+      .withColumn("domain", regexp_extract(col("url"), "https?://([a-z0-9.-]+)/", 1))
+      .join(broadcast(blocklist), col("domain") === col("bad"), "left")
+      .select(col("doc_id"), col("domain"),
+        when(col("bad").isNotNull, 1L).otherwise(0L).as("blocked"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_url_filter" -> t14UrlFilter _,
     "t09_decontaminate" -> ((s, dir) => t09Decontaminate(s, dir)),
     "t13_decontaminate_embedding" -> ((s, dir) => t13DecontaminateEmbedding(s, dir)),
     "t11_repetition" -> t11Repetition _,
@@ -329,6 +359,19 @@ object TextOps {
     stops.map(s => s"'$s'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "t14_url_filter" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    ['alpha.example.com','beta.example.org','spamfarm.biz',
+        |     'gamma.example.net','delta.example.com','adtracker.click',
+        |     'epsilon.example.io','zeta.example.edu'
+        |    ][CAST(doc_id % 8 AS INT) + 1] AS domain
+        |  FROM documents
+        |), b(bad) AS (VALUES ('spamfarm.biz'), ('adtracker.click'))
+        |SELECT u.doc_id, u.domain,
+        |  CAST(CASE WHEN b.bad IS NULL THEN 0 ELSE 1 END AS BIGINT) AS blocked
+        |FROM u LEFT JOIN b ON u.domain = b.bad
+        |ORDER BY doc_id""".stripMargin,
     "t13_decontaminate_embedding" ->
       """WITH x AS (
         |  SELECT a.vec_id AS eval_id,

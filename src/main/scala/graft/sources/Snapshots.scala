@@ -832,6 +832,65 @@ class Snapshots(s: SparkSession, root: String) {
     }, forceOnEmpty = true)
   }
 
+  /** Zero-copy table CLONE (the publicly documented Delta SHALLOW
+    * CLONE idea): publish a new version whose `dst` entry references
+    * exactly `src`'s files — not one data byte moves, the clone is one
+    * manifest line plus copied read metadata (schema/files/tags). From
+    * then on the two tables evolve independently: a partial rewrite on
+    * either re-references the shared files it doesn't touch and writes
+    * its own new ones, and vacuum's entry-granular refcount keeps a
+    * shared directory alive while ANY retained version's table
+    * references it. The consumed-tag ledger is copied too, so a clone
+    * redirected under an existing ingest stream keeps replay
+    * idempotence. At 100 TB this is how you fork a table for an
+    * experiment without paying the copy.
+    */
+  def cloneTable(src: String, dst: String): Long = {
+    require(!isMetaEntry(dst) && !dst.contains("=") && !dst.contains("\n"),
+      s"clone target name '$dst' is not a valid table name")
+    var attempt = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no commits under $root")) + 1
+    for (_ <- 1 to MaxAttempts) {
+      val cur = readManifest(currentVersion.get)
+      val rel = dataEntries(cur).getOrElse(src,
+        throw new NoSuchElementException(s"table '$src' not committed under $root"))
+      require(!dataEntries(cur).contains(dst),
+        s"clone target '$dst' already exists under $root")
+      val meta = Seq(SchemaSuffix, FilesSuffix, TagsSuffix).flatMap(sfx =>
+        cur.get(src + sfx).map(v => (dst + sfx) -> v))
+      if (writeManifest(attempt, cur + (dst -> rel) ++ meta)) return attempt
+      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
+    }
+    throw new IllegalStateException(
+      s"cloneTable lost $MaxAttempts consecutive version races under $root")
+  }
+
+  /** Timestamp time travel (the Delta `TIMESTAMP AS OF` resolution
+    * rule, public knowledge): a version's commit time IS its manifest
+    * file's modification time — recorded by the filesystem at the
+    * atomic create that published it, no extra metadata needed.
+    * Resolves to the NEWEST version committed at or before `tsMillis`;
+    * None when nothing that old is retained (vacuumed manifests
+    * naturally fall out of the resolvable window). Caveat, as in the
+    * open formats: commit times come from the store's clock, so
+    * cross-writer ordering is only as good as clock agreement —
+    * version numbers, not timestamps, are the authoritative order.
+    */
+  def versionAsOf(tsMillis: Long): Option[Long] = {
+    if (!fs.exists(commitDir)) return None
+    val vs = fs.listStatus(commitDir)
+      .filter(st => st.getPath.getName.endsWith(".manifest") &&
+        st.getModificationTime <= tsMillis)
+      .map(_.getPath.getName.stripSuffix(".manifest").toLong)
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** [[read]] at the newest version committed at or before `tsMillis`. */
+  def readAsOf(table: String, tsMillis: Long): DataFrame =
+    read(table, Some(versionAsOf(tsMillis).getOrElse(
+      throw new NoSuchElementException(
+        s"no version committed at or before $tsMillis under $root"))))
+
   /** Keyset DELETE — `DELETE WHERE keyCol IN (<batch>)`, the
     * tombstone-apply verb every CDC consumer needs (c06's ranged
     * deleteWhere covers retention sweeps; replication and

@@ -414,6 +414,67 @@ class TxnSpec extends AnyFunSuite {
     assert(!snap.isMaintenanceVersion("t", vr))
   }
 
+  test("cloneTable: zero-copy clone reads equal, evolves independently, shares storage safely") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txn").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    val v1 = snap.commit(Map("a" -> (1L to 200L).map(i => (i, i * 2.0)).toDF("id", "v")
+      .repartitionByRange(4, col("id"))), Map("a" -> Seq("id")))
+    val v2 = snap.cloneTable("a", "b")
+    assert(v2 > v1)
+    // the clone IS the source's bytes: identical file sets, zero copy
+    assert(snap.read("b").inputFiles.toSet == snap.read("a").inputFiles.toSet)
+    assert(snap.read("b").count() == 200L)
+    // independent evolution: mutate the clone, the source is untouched
+    snap.updateWhere("b", Seq(ColRange("id", Some(1L), Some(50L))),
+      Map("v" -> (col("v") + 100000.0)), Seq("id"))
+    assert(snap.read("a").agg(sum("v")).head.getDouble(0) == (1L to 200L).map(_ * 2.0).sum)
+    assert(snap.read("b").where(col("v") > 100000.0).count() == 50L)
+    // ...and vice versa: delete from the source, the clone keeps its rows
+    snap.deleteWhere("a", Seq(ColRange("id", Some(60L), Some(80L))), Seq("id"))
+    assert(snap.read("a").count() == 179L)
+    assert(snap.read("b").count() == 200L)
+    // vacuum must keep every shared dir both tables still reach
+    snap.vacuum(keepLast = 1)
+    assert(snap.read("a").count() == 179L && snap.read("b").count() == 200L)
+    // a clone onto an existing table fails loudly
+    intercept[IllegalArgumentException](snap.cloneTable("a", "b"))
+    // tags travel with the clone: a batch consumed by the source before
+    // the clone stays consumed in the clone (replay no-ops)
+    val root2 = Files.createTempDirectory("txn").toString + "/t"
+    val s2 = new Snapshots(spark, root2)
+    s2.commit(Map("x" -> Seq((1L, 1.0)).toDF("id", "v")))
+    s2.append("x", Seq((2L, 2.0)).toDF("id", "v"), Some("batch7"))
+    s2.cloneTable("x", "y")
+    val before = s2.read("y").count()
+    s2.append("y", Seq((2L, 2.0)).toDF("id", "v"), Some("batch7")) // replay
+    assert(s2.read("y").count() == before, "cloned tag ledger must suppress replays")
+  }
+
+  test("timestamp time travel: versionAsOf resolves commit times, vacuum bounds the window") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txn").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    assert(snap.versionAsOf(System.currentTimeMillis()).isEmpty)
+    val v1 = snap.commit(Map("t" -> Seq((1L, 1.0)).toDF("id", "v")))
+    Thread.sleep(150)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(150)
+    val v2 = snap.append("t", Seq((2L, 2.0)).toDF("id", "v"))
+    assert(snap.versionAsOf(mid).contains(v1), "mid-window must resolve to v1")
+    assert(snap.readAsOf("t", mid).count() == 1L)
+    assert(snap.versionAsOf(System.currentTimeMillis() + 1000).contains(v2))
+    assert(snap.readAsOf("t", System.currentTimeMillis() + 1000).count() == 2L)
+    // before any commit: loud failure, not an empty read
+    intercept[NoSuchElementException](snap.readAsOf("t", mid - 3600 * 1000))
+    // vacuumed manifests leave the resolvable window
+    snap.vacuum(keepLast = 1)
+    assert(snap.versionAsOf(mid).isEmpty,
+      "a vacuumed version must not resolve by timestamp")
+  }
+
   test("two writers on one root stage into disjoint dirs (racing-clobber impossible)") {
     val root = Files.createTempDirectory("txn").toString + "/t"
     val a = new Snapshots(spark, root)
