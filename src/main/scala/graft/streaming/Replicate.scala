@@ -34,34 +34,41 @@ object Replicate {
   def applyBatch(dst: Snapshots, table: String, keyCol: String,
                  statsCols: Seq[String] = Nil)
                 (batch: DataFrame, batchId: Long): Unit = {
-    if (batch.isEmpty) return
-    // the batch feeds three jobs (vmax, upserts, dead keys) — pin it so
-    // the feed's files are read once, not once per consumer
+    // pin the batch FIRST — every downstream action (emptiness probe,
+    // vmax, upsert span/write, dead-key span) would otherwise re-read
+    // the feed's files
     val cached = batch.persist()
     try {
+      if (cached.isEmpty) return
       val dataCols = batch.columns
         .filterNot(c => c == "_change" || c == "_commit_version").toSeq
       val vmax = cached.groupBy(col(keyCol)).agg(max(col("_commit_version")).as("_vmax"))
         .withColumnRenamed(keyCol, "_rk")
+      // `last` feeds four actions (upsert span agg + rewrite, dead span
+      // agg + rewrite) — pin the join result too; batches are
+      // change-sized, so both pins are small
       val last = cached.join(vmax,
         col(keyCol) === col("_rk") && col("_commit_version") === col("_vmax"))
-      val ups = last.where(col("_change") === "added")
-        .select(dataCols.map(col): _*)
-      val dead = last.groupBy(col(keyCol))
-        .agg(max(when(col("_change") === "added", 1).otherwise(0)).as("_has_add"))
-        .where(col("_has_add") === 0).select(col(keyCol))
-      val hasTable = dst.currentVersion.exists(v =>
-        dst.tablePaths(Some(v)).contains(table))
-      if (!hasTable) {
-        // bootstrap: the first batch's live rows found the replica; keys
-        // already dead within the batch never existed here — nothing to
-        // delete
-        if (!ups.isEmpty)
-          dst.commit(Map(table -> ups), Map(table -> statsCols))
-      } else {
-        dst.mergeInto(table, ups, keyCol, statsCols) // empty source = no-op
-        dst.deleteKeys(table, dead, keyCol, statsCols) // empty keyset = no-op
-      }
+        .persist()
+      try {
+        val ups = last.where(col("_change") === "added")
+          .select(dataCols.map(col): _*)
+        val dead = last.groupBy(col(keyCol))
+          .agg(max(when(col("_change") === "added", 1).otherwise(0)).as("_has_add"))
+          .where(col("_has_add") === 0).select(col(keyCol))
+        val hasTable = dst.currentVersion.exists(v =>
+          dst.tablePaths(Some(v)).contains(table))
+        if (!hasTable) {
+          // bootstrap: the first batch's live rows found the replica;
+          // keys already dead within the batch never existed here —
+          // nothing to delete
+          if (!ups.isEmpty)
+            dst.commit(Map(table -> ups), Map(table -> statsCols))
+        } else {
+          dst.mergeInto(table, ups, keyCol, statsCols) // empty source = no-op
+          dst.deleteKeys(table, dead, keyCol, statsCols) // empty keyset = no-op
+        }
+      } finally { last.unpersist(); () }
     } finally { cached.unpersist(); () }
   }
 
@@ -101,26 +108,46 @@ object Replicate {
     snap
   }
 
-  /** `c12_replicate`: drive the fixture lake's full history through the
-    * change feed into a FRESH replica (one source version per
-    * micro-batch), then summarize the replica. key_sum pins row-level
-    * key presence, total_cents pins that the update's +7 and the
-    * append's +1 landed on exactly the right rows — a missed delete,
-    * double-applied batch, or compaction-churn re-delivery flips the
-    * hash against DuckDB's from-scratch recompute of the same head.
+  /** `c12_replicate`: the production bring-up pattern — PROVISION the
+    * replica from a source snapshot, then TAIL the cursor (the
+    * basebackup-plus-WAL shape; here: a template replica committed at
+    * source v1, staged once per sf dir). Each run file-copies the
+    * template (raw bytes, no jobs), then drives the feed from
+    * `startingVersion = 1` — so the key times what a standing replica
+    * PAYS: the incremental legs (range delete, range update, a skipped
+    * compaction, append), one source version per micro-batch, through
+    * mergeInto + deleteKeys. key_sum pins row-level key presence,
+    * total_cents pins that the update's +7 and the append's +1 landed
+    * on exactly the right rows — a missed delete, double-applied
+    * batch, or compaction-churn re-delivery flips the hash against
+    * DuckDB's from-scratch recompute of the same head. (The
+    * feed-driven BOOTSTRAP path — empty replica, startingVersion 0 —
+    * is StreamingSpec's replication case.)
     */
   def c12Replicate(s: SparkSession, dir: String): DataFrame = {
     val src = stagedReplLake(s, dir)
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val conf = s.sparkContext.hadoopConfiguration
+    val tmplRoot = s.conf.get("spark.sql.warehouse.dir") + s"/repl_tmpl_c12$tag"
+    val fs = new Path(tmplRoot).getFileSystem(conf)
+    val marker = new Path(tmplRoot, "_TMPL_G1")
+    if (!fs.exists(marker)) {
+      fs.delete(new Path(tmplRoot), true)
+      val tmpl = new Snapshots(s, tmplRoot)
+      tmpl.commit(Map("orders" -> src.read("orders", Some(1L))),
+        Map("orders" -> Seq("o_orderkey")))
+      fs.create(marker, true).close()
+    }
     val dstRoot = s.conf.get("spark.sql.warehouse.dir") + s"/repl_dst_c12$tag"
-    val fs = new Path(dstRoot).getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new Path(dstRoot), true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, new Path(tmplRoot),
+      fs, new Path(dstRoot), false, conf)
     val dst = new Snapshots(s, dstRoot)
     val ckpt = java.nio.file.Files.createTempDirectory("repl_ckpt").toString
     val q = s.readStream
       .format(classOf[ChangeFeed].getName)
       .option("path", src.rootPath).option("table", "orders")
-      .option("startingVersion", "0")
+      .option("startingVersion", "1") // the template already holds v1
       .option("maxVersionsPerTrigger", "1")
       .load()
       .writeStream
