@@ -92,6 +92,39 @@ object Jdbc {
       .option("fetchsize", cs.fetchSize)
       .load()
 
+  /** Bulk WRITE-BACK — the reference's `execute`-driven INSERT path
+    * (Stream.hs:122-145) at Spark scale: each write partition opens one
+    * connection and streams its rows as parameterized batched inserts
+    * (`batchsize` rows per round trip — the reference's batch argument
+    * to `executeMany`), with `numPartitions` capped by the same
+    * connection budget as [[read]]. `mode` follows Spark semantics:
+    * "append" = pure INSERTs; "overwrite" = replace the table (with
+    * `truncate` so a dialect that supports TRUNCATE keeps the DDL and
+    * its grants/indexes instead of drop+recreate). Exports that must
+    * be upserts go through the lake's own MERGE ([[Snapshots.mergeInto]])
+    * before a plain append export, or land in a staging table the
+    * database merges — a distributed writer cannot hold one
+    * transaction across partitions, so per-partition atomicity is the
+    * honest contract (each partition's batch either lands or its task
+    * retries; make the TARGET table idempotent-friendly for retries).
+    */
+  def writeTable(df: DataFrame, cs: ConnSettings, table: String,
+                 mode: String = "append", numPartitions: Int = 8,
+                 batchSize: Int = 10000): Unit = {
+    require(numPartitions <= cs.maxConnections,
+      s"numPartitions=$numPartitions exceeds maxConnections=${cs.maxConnections}: " +
+        "each write partition holds one database connection for its insert stream")
+    df.coalesce(numPartitions).write.format("jdbc")
+      .option("url", cs.url)
+      .option("dbtable", table)
+      .option("user", cs.user)
+      .option("password", cs.password)
+      .option("batchsize", batchSize)
+      .option("truncate", true)
+      .mode(mode)
+      .save()
+  }
+
   /** Arbitrary-SQL read — the direct `query`/`query_` analog
     * (reference: Stream.hs:92-115): the caller's SQL text runs ON the
     * database and only its result crosses the wire, exactly like a

@@ -66,6 +66,31 @@ class JdbcSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxConnections"))
   }
 
+  test("writeTable exports a DataFrame as batched inserts; round-trips through readDim") {
+    val sp = spark
+    import sp.implicits._
+    val out = (1L to 300L).map(i => (i, i * 2.5, if (i % 3 == 0) "A" else "B"))
+      .toDF("ID", "PRICE", "STATUS")
+    // append mode creates the table on first write
+    Jdbc.writeTable(out, cs, "EXPORT_J", mode = "append", numPartitions = 4)
+    val back = Jdbc.readDim(spark, cs, "EXPORT_J")
+    assert(back.count() == 300)
+    assert(back.agg(org.apache.spark.sql.functions.sum("PRICE")).head().getDouble(0)
+      == (1L to 300L).map(_ * 2.5).sum)
+    // append again: pure INSERTs, rows double
+    Jdbc.writeTable(out, cs, "EXPORT_J", mode = "append", numPartitions = 2)
+    assert(Jdbc.readDim(spark, cs, "EXPORT_J").count() == 600)
+    // overwrite replaces the content
+    Jdbc.writeTable(out.where("ID <= 10"), cs, "EXPORT_J", mode = "overwrite",
+      numPartitions = 1)
+    assert(Jdbc.readDim(spark, cs, "EXPORT_J").count() == 10)
+    // the connection budget guards the write side too
+    val e = intercept[IllegalArgumentException] {
+      Jdbc.writeTable(out, cs.copy(maxConnections = 2), "EXPORT_J", numPartitions = 8)
+    }
+    assert(e.getMessage.contains("maxConnections"))
+  }
+
   test("readQuery runs caller SQL on the database (the query analog)") {
     val df = Jdbc.readQuery(spark, cs,
       "SELECT STATUS, COUNT(*) AS N, SUM(PRICE) AS TOTAL FROM ORDERS_J GROUP BY STATUS")
