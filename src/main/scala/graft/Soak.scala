@@ -28,11 +28,15 @@ import org.apache.spark.sql.functions._
 object Soak {
 
   /** The keys the round-6 audit named most expensive, plus the q20
-    * salted shuffle now that it is honestly measured.
+    * salted shuffle now that it is honestly measured, plus the round-7
+    * streaming-lake paths (change-feed matview fold and feed-driven
+    * replication) so the micro-batch + DML-verb machinery also proves
+    * itself under a 10× source at the constrained heap.
     */
   val keys: Seq[String] = Seq(
     "d04_dedup_ngram", "d07_dedup_clusters", "q31_typed_wide", "q33_profile",
-    "s06_ann_ivfpq", "c03_cdc_merge", "q20_salted_join")
+    "s06_ann_ivfpq", "c03_cdc_merge", "q20_salted_join",
+    "st08_stream_matview", "c12_replicate")
 
   private final class MetricsListener extends SparkListener {
     val runMs = new AtomicLong; val gcMs = new AtomicLong; val tasks = new AtomicLong

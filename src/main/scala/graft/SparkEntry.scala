@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{AsOfJoin, BucketedJoin, GroupTopK, Profiling, RangeJoin, Relational, Sketches, Templates, TypedRows}
-import graft.pipeline.{Ann, Clusters, Dedup, Multimodal, TextOps}
+import graft.pipeline.{Ann, Bpe, Clusters, Dedup, Multimodal, TextOps}
 import graft.sources.{ChangeFeed, IncrementalAgg, PartitionedLake, Snapshots}
 import graft.streaming.{Cdc, EventStreams, LakeMerge, Replicate}
 
@@ -18,7 +18,7 @@ object SparkEntry {
     Relational.defs ++ Templates.defs ++ AsOfJoin.defs ++ RangeJoin.defs ++
       Cdc.defs ++ LakeMerge.defs ++ Replicate.defs ++ EventStreams.defs ++ TypedRows.defs ++ BucketedJoin.defs ++
       Sketches.defs ++ Profiling.defs ++ GroupTopK.defs ++ PartitionedLake.defs ++ Snapshots.defs ++ IncrementalAgg.defs ++ ChangeFeed.defs ++
-      Dedup.defs ++ Clusters.defs ++ Ann.defs ++ TextOps.defs ++ Multimodal.defs
+      Dedup.defs ++ Clusters.defs ++ Ann.defs ++ TextOps.defs ++ Multimodal.defs ++ Bpe.defs
 
   /** DuckDB-runnable oracle SQL per query key (same aliases, same
     * ordering, same rounding as the Spark side).
@@ -28,5 +28,5 @@ object SparkEntry {
       RangeJoin.oracles ++ Cdc.oracles ++ LakeMerge.oracles ++ Replicate.oracles ++ EventStreams.oracles ++
       TypedRows.oracles ++ BucketedJoin.oracles ++ Sketches.oracles ++ Profiling.oracles ++ GroupTopK.oracles ++
       PartitionedLake.oracles ++ Snapshots.oracles ++ IncrementalAgg.oracles ++ ChangeFeed.oracles ++
-      Dedup.oracles ++ Clusters.oracles ++ Ann.oracles ++ TextOps.oracles ++ Multimodal.oracles
+      Dedup.oracles ++ Clusters.oracles ++ Ann.oracles ++ TextOps.oracles ++ Multimodal.oracles ++ Bpe.oracles
 }

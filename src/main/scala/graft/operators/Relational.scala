@@ -509,10 +509,45 @@ object Relational {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** B39 `q44_window_nav`: the NAVIGATION window family — lag/lead
+    * with defaults, first_value, last_value IGNORE NULLS (the
+    * forward-fill primitive), nth_value — completing the window
+    * surface next to q08's ranking and q36's frames. One hash
+    * exchange on the partition key serves every function; the ORDER
+    * BY includes the unique o_orderkey so frames have no peers and
+    * the result is cross-engine deterministic; an explicit ROWS frame
+    * pins the last_value/nth_value window; money crosses as integer
+    * cents so no rounding is involved anywhere.
+    */
+  def q44WindowNav(s: SparkSession, dir: String): DataFrame = {
+    graft.sources.Catalog.register(s, dir)
+    s.sql(
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN NULL
+        |         ELSE CAST(round(o_totalprice * 100, 0) AS BIGINT) END AS cents_n
+        |  FROM orders
+        |)
+        |SELECT o_custkey, o_orderkey,
+        |  lag(cents, 1, -1) OVER w AS prev_cents,
+        |  lead(cents, 1, -1) OVER w AS next_cents,
+        |  first_value(cents) OVER w2 AS first_cents,
+        |  last_value(cents_n) IGNORE NULLS OVER w2 AS ffill_cents,
+        |  nth_value(cents, 2) OVER w2 AS second_cents
+        |FROM o
+        |WINDOW
+        |  w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg" -> q01Agg _,
     "q42_string_agg" -> q42StringAgg _,
     "q43_stats_agg" -> q43StatsAgg _,
+    "q44_window_nav" -> q44WindowNav _,
     "q39_lateral" -> q39Lateral _,
     "q40_cube" -> q40Cube _,
     "q41_recursive" -> q41Recursive _,
@@ -542,6 +577,26 @@ object Relational {
     "q24_pivot" -> q24Pivot _)
 
   val oracles: Map[String, String] = Map(
+    "q44_window_nav" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN NULL
+        |         ELSE CAST(round(o_totalprice * 100, 0) AS BIGINT) END AS cents_n
+        |  FROM orders
+        |)
+        |SELECT o_custkey, o_orderkey,
+        |  lag(cents, 1, CAST(-1 AS BIGINT)) OVER w AS prev_cents,
+        |  lead(cents, 1, CAST(-1 AS BIGINT)) OVER w AS next_cents,
+        |  first_value(cents) OVER w2 AS first_cents,
+        |  last_value(cents_n IGNORE NULLS) OVER w2 AS ffill_cents,
+        |  nth_value(cents, 2) OVER w2 AS second_cents
+        |FROM o
+        |WINDOW
+        |  w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q42_string_agg" ->
       """WITH d AS (
         |  SELECT DISTINCT c_mktsegment, n_name

@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Bpe
+
+/** The distributed BPE trainer's correctness burden: equality with an
+  * in-memory reference implementation on fixtures (deterministic
+  * tiebreaks make the match exact), plus merge-table invariants on
+  * arbitrary input.
+  */
+class BpeSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+
+  private def toVocab(words: Map[String, Long]) = {
+    val sp = spark
+    import sp.implicits._
+    words.toSeq.toDF("word", "freq")
+  }
+
+  test("classic subword example: merges match the reference trainer exactly") {
+    // the Sennrich example shape: shared suffixes dominate pair counts
+    val words = Map(
+      "low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val k = 8
+    val dist = Bpe.train(toVocab(words), k)
+    val ref = Bpe.trainReference(words, k)
+    assert(dist == ref,
+      s"distributed merges diverged:\n  dist=$dist\n  ref =$ref")
+    // the first merge must be the most frequent pair: (e,s) with freq 9
+    assert(dist.head._2 == "e" && dist.head._3 == "s" && dist.head._5 == 9L)
+  }
+
+  test("tie frequencies break deterministically (pair-lexicographic)") {
+    // every adjacent pair in "abcd" has freq 1 — the (l, r) ascending
+    // tiebreak must pick (a, b) first in BOTH implementations
+    val words = Map("abcd" -> 1L)
+    val dist = Bpe.train(toVocab(words), 3)
+    val ref = Bpe.trainReference(words, 3)
+    assert(dist == ref)
+    assert(dist.map(m => (m._2, m._3)) == Seq(("a", "b"), ("ab", "c"), ("abc", "d")))
+  }
+
+  test("merges are non-overlapping left-to-right (the aaa case)") {
+    // "aaaa"×3: pair (a,a) has freq 9 (3 slots × 3). After merging,
+    // each word is [aa, aa] — the fold must NOT re-merge its own output
+    // within the same step
+    val words = Map("aaaa" -> 3L)
+    val dist = Bpe.train(toVocab(words), 2)
+    val ref = Bpe.trainReference(words, 2)
+    assert(dist == ref)
+    assert(dist(0)._4 == "aa" && dist(0)._5 == 9L)
+    assert(dist(1)._4 == "aaaa" && dist(1)._5 == 3L, s"second merge: ${dist(1)}")
+  }
+
+  test("randomized vocabularies: distributed == reference (model-based)") {
+    val rnd = new scala.util.Random(20260813L)
+    for (round <- 1 to 3) {
+      val words = (1 to 30).map { _ =>
+        val len = 1 + rnd.nextInt(6)
+        val w = (1 to len).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+        w -> (1L + rnd.nextInt(9))
+      }.groupBy(_._1).map { case (w, vs) => w -> vs.map(_._2).sum }
+      val dist = Bpe.train(toVocab(words), 6)
+      val ref = Bpe.trainReference(words, 6)
+      assert(dist == ref, s"round $round diverged on $words")
+    }
+  }
+
+  test("t15 key: merge table is well-formed on the real corpus") {
+    val df = Bpe.t15BpeTrain(spark, TestSpark.sfTest, k = 6)
+    val rows = df.collect()
+    assert(rows.length == 6)
+    // steps are dense and ordered; merged = left || right; freqs are
+    // positive and non-increasing is NOT required (later merges can beat
+    // earlier composites), but every freq must be > 0
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 6L))
+    rows.foreach { r =>
+      assert(r.getString(3) == r.getString(1) + r.getString(2))
+      assert(r.getLong(4) > 0L)
+    }
+    // determinism: a second run learns the identical table
+    val again = Bpe.t15BpeTrain(spark, TestSpark.sfTest, k = 6).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+}
