@@ -63,6 +63,31 @@ object Ann {
   def s01AnnBruteforce(s: SparkSession, dir: String): DataFrame =
     annExactOn(emb(s, dir))
 
+  /** C35 `s08_ann_filtered`: FILTERED vector search — top-k neighbors
+    * subject to a metadata predicate, the query shape every production
+    * vector store serves ("nearest docs WHERE lang = …"). This is the
+    * PRE-filter form: the predicate lands on the corpus SCAN
+    * (PushedFilters — non-matching vectors are never read, never
+    * scored), queries stay unfiltered, and the top-k heap sees only
+    * eligible candidates — unlike post-filtering, which can return
+    * fewer than k rows after discarding. At index scale the same
+    * predicate composes with the ANN paths: it prunes IVF lists before
+    * probing (s03/s06) or the codes scan before ADC (s05); here the
+    * exact form is the DuckDB-checkable contract those share.
+    */
+  def s08AnnFiltered(s: SparkSession, dir: String, label: Int = 2): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.where(col("vec_id") < NQueries).select(
+      col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    topKPerQuery(
+      e.where(col("label") === label) // pushed to the parquet scan
+        .select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", cosine_sim(col("embedding"), col("q_vec"))),
+      K)
+  }
+
   /** LSH candidate pairs (q_id, q_vec, vec_id, embedding) for any
     * corpus. MULTI-PROBE: each query probes its own bucket plus every
     * 1-bit-flip neighbor (bits+1 probes per table) — a near-miss on one
@@ -599,12 +624,29 @@ object Ann {
     "s04_centroid_agg" -> s04CentroidAgg _,
     "s05_ann_pq" -> s05AnnPq _,
     "s06_ann_ivfpq" -> s06AnnIvfPq _,
-    "s07_ann_index_append" -> s07AnnIndexAppend _)
+    "s07_ann_index_append" -> s07AnnIndexAppend _,
+    "s08_ann_filtered" -> ((s, dir) => s08AnnFiltered(s, dir)))
 
   /** s02 is rows-only: its result depends on the LSH bucketing, which is
     * not SQL-expressible; AnnSpec holds its recall gate.
     */
   val oracles: Map[String, String] = Map(
+    "s08_ann_filtered" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10
+        |), scored AS (
+        |  SELECT q_id, vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(q_vec AS DOUBLE[])) AS cos
+        |  FROM embeddings, q WHERE vec_id <> q_id AND label = 2
+        |), ranked AS (
+        |  SELECT q_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank,
+        |    neighbor_id, cos
+        |  FROM scored
+        |)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+        |  round(cos, 6) AS cos_sim
+        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "s01_ann_bruteforce" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10

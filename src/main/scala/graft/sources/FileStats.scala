@@ -38,9 +38,20 @@ object FileStats {
     * compare: "long" (int32/int64 — ints, dates-as-days,
     * timestamps-as-micros), "double" (float4/8), "string" (UTF8
     * binary, Base64-encoded at rest). min/max are None when the file
-    * has no non-null value for the column (all-null chunks).
+    * has no non-null value for the column (all-null chunks). `nulls`
+    * is −1 when any row group left its null count unset (pruning never
+    * reads it; exact metadata-only aggregates refuse it loudly).
     */
   case class ColStat(typ: String, nulls: Long, min: Option[String], max: Option[String])
+
+  /** Pseudo-column carrying the file's ROW COUNT in the same sidecar
+    * shape (min = max = rows): the extra fact that upgrades the
+    * data-skipping index into a metadata-only aggregate store
+    * (count/min/max answered from sidecars alone — Iceberg's
+    * metadata-only queries). Harvested from the same footer read the
+    * sidecar already pays; never consulted by range pruning.
+    */
+  val RowsCol = "_rows"
 
   /** fileName (leaf, not path) -> column -> stats. */
   type TableStats = Map[String, Map[String, ColStat]]
@@ -88,7 +99,7 @@ object FileStats {
             typ.foreach { t =>
               val st: org.apache.parquet.column.statistics.Statistics[_] = cc.getStatistics
               if (st != null) {
-                val nulls = if (st.isNumNullsSet) st.getNumNulls else 0L
+                val nulls = if (st.isNumNullsSet) st.getNumNulls else -1L
                 val mm: Option[(String, String)] =
                   if (st.hasNonNullValue)
                     Some((encode(t, st.genericGetMin.asInstanceOf[AnyRef]),
@@ -99,7 +110,8 @@ object FileStats {
                   case Some(prev) =>
                     val lo = minOf(t, prev.min, mm.map(_._1))
                     val hi = maxOf(t, prev.max, mm.map(_._2))
-                    ColStat(t, prev.nulls + nulls, lo, hi)
+                    val n = if (prev.nulls < 0 || nulls < 0) -1L else prev.nulls + nulls
+                    ColStat(t, n, lo, hi)
                 }
                 acc(name) = merged
               }
@@ -107,6 +119,8 @@ object FileStats {
           }
         }
       }
+      val rows = reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      acc(RowsCol) = ColStat("long", 0L, Some(rows.toString), Some(rows.toString))
       acc.toMap
     } finally reader.close()
   }
@@ -130,13 +144,20 @@ object FileStats {
       java.util.Arrays.compareUnsigned(Base64.getDecoder.decode(a), Base64.getDecoder.decode(b))
   }
 
-  private def minOf(typ: String, a: Option[String], b: Option[String]): Option[String] = (a, b) match {
+  private[sources] def minOf(typ: String, a: Option[String], b: Option[String]): Option[String] = (a, b) match {
     case (Some(x), Some(y)) => Some(if (cmp(typ, x, y) <= 0) x else y)
     case _ => a.orElse(b)
   }
-  private def maxOf(typ: String, a: Option[String], b: Option[String]): Option[String] = (a, b) match {
+  private[sources] def maxOf(typ: String, a: Option[String], b: Option[String]): Option[String] = (a, b) match {
     case (Some(x), Some(y)) => Some(if (cmp(typ, x, y) >= 0) x else y)
     case _ => a.orElse(b)
+  }
+
+  /** Decode a sidecar min/max string back to its typed value. */
+  private[sources] def decodeVal(typ: String, s: String): Any = typ match {
+    case "long" => s.toLong
+    case "double" => s.toDouble
+    case _ => new String(Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
   }
 
   /** Harvest footer stats for `cols` (empty = all eligible columns)

@@ -832,6 +832,75 @@ class Snapshots(s: SparkSession, root: String) {
     }, forceOnEmpty = true)
   }
 
+  /** METADATA-ONLY aggregates (Iceberg's metadata-only queries, public
+    * knowledge): answer count(*) / count(col) / min(col) / max(col)
+    * from the `_stats` sidecars alone — ZERO data files opened, zero
+    * Spark jobs; cost is O(manifest + sidecars) on the driver however
+    * many terabytes the table holds. The sidecar's `_rows` pseudo-
+    * column (harvested from the same footer read every stats publish
+    * already pays) supplies row counts; per-column null counts turn
+    * them into exact count(col). Exactness is REFUSED loudly rather
+    * than approximated: any file missing from its sidecar, any
+    * requested column missing stats, or any unset footer null count
+    * (nulls = −1) throws — stats are an accelerator that must never
+    * silently change an answer. Caveats inherited from parquet
+    * footers: string min/max are exact only when the writer did not
+    * truncate them (Spark leaves short strings untruncated), and
+    * double NaN handling follows the footer contract — both fine for
+    * the key's integer/short-string columns. Returns (total rows,
+    * col -> (nonnull count, min, max)); min/max are None for all-null
+    * columns.
+    */
+  def aggStats(table: String, cols: Seq[String], version: Option[Long] = None)
+      : (Long, Map[String, (Long, Option[Any], Option[Any])]) = {
+    val v = version.orElse(currentVersion).getOrElse(
+      throw new IllegalStateException(s"no commits under $root"))
+    val m = readManifest(v)
+    val rel = dataEntries(m).getOrElse(table,
+      throw new NoSuchElementException(s"table '$table' not committed under $root"))
+    val files: Seq[String] = storedFiles(m, table).map(_.map(_._1))
+      .getOrElse(listRelFiles(splitRel(rel)).map(_._1))
+    val byDir = files.groupBy(r => new Path(root, r).getParent)
+    var totalRows = 0L
+    val acc = scala.collection.mutable.Map.empty[String, (String, Long, Option[String], Option[String])]
+    byDir.foreach { case (dir, fl) =>
+      val side = FileStats.readSidecar(fs, dir).getOrElse(
+        throw new IllegalStateException(
+          s"metadata-only aggregate needs a _stats sidecar in $dir — " +
+            "publish with statsCols (or compact) first"))
+      fl.foreach { r =>
+        val name = new Path(root, r).getName
+        val st = side.getOrElse(name,
+          throw new IllegalStateException(s"file $name absent from $dir sidecar"))
+        val rows = st.get(FileStats.RowsCol).flatMap(_.min).map(_.toLong).getOrElse(
+          throw new IllegalStateException(
+            s"sidecar in $dir predates row-count stats — re-publish (compact) to refresh"))
+        totalRows += rows
+        if (rows > 0) cols.foreach { c =>
+          val cs = st.getOrElse(c,
+            throw new IllegalStateException(
+              s"column '$c' has no stats in $dir — it was not in the publish's statsCols"))
+          require(cs.nulls >= 0,
+            s"column '$c' in $dir/$name has an unset footer null count — exact count refused")
+          val nn = rows - cs.nulls
+          acc.get(c) match {
+            case None => acc(c) = (cs.typ, nn, cs.min, cs.max)
+            case Some((t, n0, mn, mx)) =>
+              acc(c) = (t, n0 + nn, FileStats.minOf(t, mn, cs.min), FileStats.maxOf(t, mx, cs.max))
+          }
+        }
+      }
+    }
+    val out = cols.map { c =>
+      acc.get(c) match {
+        case Some((t, nn, mn, mx)) =>
+          c -> ((nn, mn.map(FileStats.decodeVal(t, _)), mx.map(FileStats.decodeVal(t, _))))
+        case None => c -> ((0L, None, None)) // zero-row table
+      }
+    }.toMap
+    (totalRows, out)
+  }
+
   /** Zero-copy table CLONE (the publicly documented Delta SHALLOW
     * CLONE idea): publish a new version whose `dst` entry references
     * exactly `src`'s files — not one data byte moves, the clone is one
@@ -1673,6 +1742,56 @@ object Snapshots {
       .orderBy("lang")
   }
 
+  /** Fixture for c13: orders projected to a long key, a short string,
+    * and a NULLABLE cents column (null on every 7th key — what makes
+    * count(col) ≠ count(*) and exercises the null-count path), range-
+    * clustered with stats on all three columns.
+    */
+  def stagedMetaLake(s: SparkSession, dir: String): Snapshots = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s.conf.get("spark.sql.warehouse.dir") + s"/meta_c13$tag"
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val snap = new Snapshots(s, root)
+    val marker = new Path(root, "_STAGED_G1")
+    if (!fs.exists(marker)) {
+      fs.delete(new Path(root), true)
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        when(col("o_orderkey") % 7 === 0, lit(null).cast("long"))
+          .otherwise(round(col("o_totalprice") * 100, 0).cast("long")).as("price_cents"))
+      snap.commit(
+        Map("orders" -> base.repartitionByRange(8, col("o_orderkey"))),
+        statsCols = Map("orders" -> Seq("o_orderkey", "o_orderstatus", "price_cents")))
+      fs.create(marker, true).close()
+    }
+    snap
+  }
+
+  /** `c13_metadata_agg`: count(*) / count(col) / min / max answered
+    * from the manifest + `_stats` sidecars with ZERO data IO and zero
+    * Spark jobs ([[Snapshots.aggStats]]) — the P in "a 100-TB table's
+    * row count should cost a metadata lookup, not a scan". The oracle
+    * recomputes the same aggregates from the raw table in DuckDB, so a
+    * row-count, null-count, or min/max fold bug anywhere in the
+    * footer-harvest → sidecar → fold chain flips the hash.
+    */
+  def c13MetadataAgg(s: SparkSession, dir: String): DataFrame = {
+    val snap = stagedMetaLake(s, dir)
+    val (nRows, m) = snap.aggStats("orders",
+      Seq("o_orderkey", "o_orderstatus", "price_cents"))
+    val (nnK, minK, maxK) = m("o_orderkey")
+    val (nnS, minS, maxS) = m("o_orderstatus")
+    val (nnP, minP, maxP) = m("price_cents")
+    import s.implicits._
+    Seq((nRows,
+      nnK, minK.get.asInstanceOf[Long], maxK.get.asInstanceOf[Long],
+      nnS, minS.get.asInstanceOf[String], maxS.get.asInstanceOf[String],
+      nnP, minP.get.asInstanceOf[Long], maxP.get.asInstanceOf[Long]))
+      .toDF("n_rows", "nn_key", "min_key", "max_key",
+        "nn_status", "min_status", "max_status",
+        "nn_price", "min_price", "max_price")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] =
     Map("c04_snapshot_read" -> c04SnapshotRead _,
         "c05_stats_pruned_read" -> c05StatsPrunedRead _,
@@ -1680,9 +1799,25 @@ object Snapshots {
         "c07_update_where" -> c07UpdateWhere _,
         "c08_version_diff" -> c08VersionDiff _,
         "c10_merge_into" -> c10MergeInto _,
-        "c11_schema_evolution" -> c11SchemaEvolution _)
+        "c11_schema_evolution" -> c11SchemaEvolution _,
+        "c13_metadata_agg" -> c13MetadataAgg _)
 
   val oracles: Map[String, String] = Map(
+    "c13_metadata_agg" ->
+      """WITH c AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |         ELSE CAST(round(o_totalprice * 100, 0) AS BIGINT) END AS price_cents
+        |  FROM orders
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(o_orderkey) AS BIGINT) AS nn_key,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  CAST(count(o_orderstatus) AS BIGINT) AS nn_status,
+        |  min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status,
+        |  CAST(count(price_cents) AS BIGINT) AS nn_price,
+        |  min(price_cents) AS min_price, max(price_cents) AS max_price
+        |FROM c""".stripMargin,
     "c10_merge_into" ->
       """WITH c AS (
         |  SELECT o_orderkey, o_orderstatus,

@@ -27,6 +27,13 @@ class PlanSpec extends AnyFunSuite {
       !p.matches("(?s).*ReadSchema:.*l_suppkey.*"), "scan reads pruned columns: " + p)
   }
 
+  test("s08 filtered ANN: the metadata predicate reaches the corpus scan") {
+    val p = plan("s08_ann_filtered")
+    // pre-filter form: non-matching vectors die at the reader, before
+    // any cosine is computed (vs post-filter, which scores everything)
+    assert(p.contains("EqualTo(label,2)"), "label predicate not pushed: " + p)
+  }
+
   test("q04 dimension joins are broadcast, not shuffled") {
     val p = plan("q04_join_broadcast")
     assert(p.contains("BroadcastHashJoin"), p)

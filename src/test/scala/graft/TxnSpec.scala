@@ -414,6 +414,47 @@ class TxnSpec extends AnyFunSuite {
     assert(!snap.isMaintenanceVersion("t", vr))
   }
 
+  test("aggStats: metadata-only count/min/max equals a real scan across DML; refuses stale stats") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txn").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    val sc = Seq("id", "v")
+    def rows(n: Int, off: Long) = (1L to n).map(i =>
+      (i + off, if ((i + off) % 3 == 0) null.asInstanceOf[java.lang.Long] else java.lang.Long.valueOf(i * 10)))
+      .toDF("id", "v")
+    val v1 = snap.commit(Map("t" -> rows(300, 0).repartitionByRange(6, col("id"))),
+      Map("t" -> sc))
+    def check(): Unit = {
+      val (n, m) = snap.aggStats("t", sc)
+      val real = snap.read("t").agg(
+        count(lit(1)), count(col("id")), min("id"), max("id"),
+        count(col("v")), min("v"), max("v")).head()
+      assert(n == real.getLong(0), "row count diverged")
+      assert(m("id") == ((real.getLong(1), Some(real.getLong(2)), Some(real.getLong(3)))))
+      assert(m("v") == ((real.getLong(4), Some(real.getLong(5)), Some(real.getLong(6)))))
+    }
+    check()
+    // every DML verb refreshes the sidecars it writes — metadata answers
+    // must track the data exactly
+    snap.deleteWhere("t", Seq(ColRange("id", Some(50L), Some(99L))), statsCols = sc)
+    check()
+    snap.append("t", rows(40, 1000), statsCols = sc)
+    check()
+    snap.updateWhere("t", Seq(ColRange("id", Some(10L), Some(20L))),
+      Map("v" -> (col("v") + 5L)), statsCols = sc)
+    check()
+    snap.compact("t", targetBytes = 1L << 20, sortCol = Some("id"), statsCols = sc)
+    check()
+    // time travel: metadata aggregates at the ORIGINAL version
+    val (n1, m1) = snap.aggStats("t", Seq("id"), version = Some(v1))
+    assert(n1 == 300L && m1("id")._2.contains(1L) && m1("id")._3.contains(300L))
+    // a publish WITHOUT stats must make the metadata answer refuse, not lie
+    snap.append("t", rows(5, 5000)) // no statsCols
+    val e = intercept[IllegalStateException](snap.aggStats("t", sc))
+    assert(e.getMessage.contains("_stats") || e.getMessage.contains("stats"))
+  }
+
   test("cloneTable: zero-copy clone reads equal, evolves independently, shares storage safely") {
     val sp = spark
     import sp.implicits._
