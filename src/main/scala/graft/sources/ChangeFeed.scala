@@ -34,7 +34,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *     .format("graft.sources.ChangeFeed")
   *     .option("path", lakeRoot).option("table", "orders")
   *     .option("startingVersion", "0")   // 0 = from the beginning
-  *     .load()                            // table schema + _change + _commit_version
+  *     .option("columns", "id,v")         // optional declared projection
+  *     .load()                            // (selected) schema + _change + _commit_version
   * }}}
   *
   * Rows carry `_change` ('added' | 'removed' — a partial rewrite
@@ -59,7 +60,8 @@ class ChangeFeed extends TableProvider {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     withMeta(tableSchema(SparkSession.active,
-      options.get("path"), options.get("table")))
+      options.get("path"), options.get("table"),
+      Option(options.get("columns"))))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
@@ -71,6 +73,12 @@ object ChangeFeed {
   val ChangeCol = "_change"
   val VersionCol = "_commit_version"
 
+  /** Test hook: the schema the last planned micro-batch actually read
+    * (after column pruning) — lets StreamingSpec machine-assert that a
+    * narrow SELECT narrowed the scan instead of trusting the optimizer.
+    */
+  @volatile private[graft] var lastPlannedSchema: StructType = _
+
   private[sources] def withMeta(dataSchema: StructType): StructType =
     StructType(dataSchema.fields :+
       StructField(ChangeCol, StringType, nullable = false) :+
@@ -78,11 +86,23 @@ object ChangeFeed {
 
   /** The table's data schema at the current head (metadata-planned when
     * checkpointed, inference fallback otherwise — same as any read).
+    * `columns` (comma-separated) narrows it: Catalyst does not run
+    * column pruning on DSv2 STREAMING scans (the pushdown rule handles
+    * batch relations only — the same reason Delta's CDF source reads
+    * full rows), so the source lets the consumer DECLARE its projection
+    * and the per-file parquet reads carry only those columns. The scan
+    * builder also implements SupportsPushDownRequiredColumns, so if the
+    * engine ever prunes streaming scans, narrow SELECTs narrow
+    * automatically too.
     */
-  private[sources] def tableSchema(s: SparkSession, path: String, table: String): StructType = {
+  private[sources] def tableSchema(s: SparkSession, path: String, table: String,
+                                   columns: Option[String] = None): StructType = {
     require(path != null && table != null,
       "graft.sources.ChangeFeed requires .option(\"path\", …) and .option(\"table\", …)")
-    new Snapshots(s, path).read(table).schema
+    val full = new Snapshots(s, path).read(table).schema
+    columns.filter(_.trim.nonEmpty).fold(full) { c =>
+      StructType(c.split(",").map(n => full(n.trim)))
+    }
   }
 
   /** `st07_change_feed`: the streaming cursor DRIVEN — a real
@@ -168,16 +188,28 @@ private[sources] class ChangeFeedTable(tableSchema: StructType,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
 
+  /** Column pruning (SupportsPushDownRequiredColumns): a feed consumer
+    * selecting two columns must not read every column of every changed
+    * file — the pruned schema flows to the per-file parquet reader, so
+    * unselected columns never leave the footer. Catalyst hands the
+    * required subset in the original field order (data columns before
+    * the virtual `_change`/`_commit_version`), which is exactly the
+    * order the reader's data++meta row join produces.
+    */
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      private var pruned: StructType = tableSchema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        pruned = requiredSchema
       override def build(): Scan = new Scan {
-        override def readSchema(): StructType = tableSchema
+        override def readSchema(): StructType = pruned
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new ChangeFeedStream(
             options.get("path"), options.get("table"),
             Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
             Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
-            tableSchema)
+            pruned)
       }
     }
 }
@@ -194,9 +226,11 @@ private[sources] class ChangeFeedStream(root: String, table: String,
 
   private def spark = SparkSession.active
   private def snap = new Snapshots(spark, root)
-  // the data schema is the full schema minus the two virtual columns
+  // the data schema is the (possibly pruned) schema minus whatever
+  // virtual columns the query kept
   private val dataSchema =
-    StructType(fullSchema.fields.dropRight(2))
+    StructType(fullSchema.fields.filterNot(f =>
+      f.name == ChangeCol || f.name == VersionCol))
 
   // Trigger.AvailableNow pins its end goal at start: process everything
   // committed when the trigger began, then stop — later commits wait
@@ -271,7 +305,9 @@ private[sources] class ChangeFeedStream(root: String, table: String,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // built on the driver, shipped to executors — the engine's own
-    // parquet file→rows closure (see GraftReadShim)
+    // parquet file→rows closure (see GraftReadShim). dataSchema is the
+    // PRUNED subset: unselected columns never leave the parquet footer.
+    ChangeFeed.lastPlannedSchema = fullSchema // spec hook: what pruning left
     val readFile = org.apache.spark.sql.GraftReadShim.parquetRowReader(spark, dataSchema)
     new ChangeFeedReaderFactory(readFile, fullSchema)
   }
@@ -286,8 +322,12 @@ private[sources] class ChangeFeedReaderFactory(
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ChangeFilePartition]
     new PartitionReader[InternalRow] {
+      // attach only the virtual columns pruning kept, in schema order
       private val meta = new GenericInternalRow(
-        Array[Any](UTF8String.fromString(p.change), p.version))
+        fullSchema.fields.collect {
+          case f if f.name == ChangeCol => UTF8String.fromString(p.change): Any
+          case f if f.name == VersionCol => p.version: Any
+        })
       private val joined = new JoinedRow
       private val project = UnsafeProjection.create(fullSchema)
       private val rows = org.apache.spark.sql.GraftReadShim.flattenRows(
