@@ -339,7 +339,42 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** C36 t16: PARAGRAPH-level dedup scoring — the Dolma/CCNet rule
+    * that precedes document-level dedup in production pipelines:
+    * boilerplate (cookie banners, footers, nav chrome) repeats as
+    * paragraphs ACROSS documents whose full texts are unique, so docs
+    * are scored by their fraction of corpus-duplicated paragraphs.
+    * Scale shape: explode paragraphs → ONE linear shuffle on the
+    * paragraph (count distinct docs per para) → join back; no
+    * pairwise anything. The synthetic corpus has unique texts and no
+    * separators, so two boilerplate paragraphs are injected at
+    * different cadences (every 4th and 6th doc) — the dup fraction
+    * then has a closed form DuckDB recomputes, and the flag flips in
+    * both directions.
+    */
+  def t16ParagraphDedup(s: SparkSession, dir: String): DataFrame = {
+    val sep = "#P#"
+    val b1 = "subscribe to our newsletter for updates"
+    val b2 = "all rights reserved contact support for help"
+    val paras = docs(s, dir)
+      .withColumn("ptext", concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(sep + b1)).otherwise(lit("")),
+        when(col("doc_id") % 6 === 0, lit(sep + b2)).otherwise(lit(""))))
+      .select(col("doc_id"), explode(split(col("ptext"), sep)).as("para"))
+    val byPara = paras.groupBy("para")
+      .agg(countDistinct("doc_id").as("ndocs"))
+    paras.join(byPara, "para")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_paras"), col("n_dup"),
+        round(col("n_dup") / col("n_paras"), 6).as("dup_frac"),
+        (col("n_dup") > 0).cast("long").as("flag_boilerplate"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_paragraph_dedup" -> t16ParagraphDedup _,
     "t14_url_filter" -> t14UrlFilter _,
     "t09_decontaminate" -> ((s, dir) => t09Decontaminate(s, dir)),
     "t13_decontaminate_embedding" -> ((s, dir) => t13DecontaminateEmbedding(s, dir)),
@@ -359,6 +394,25 @@ object TextOps {
     stops.map(s => s"'$s'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "t16_paragraph_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN '#P#subscribe to our newsletter for updates' ELSE '' END ||
+        |    CASE WHEN doc_id % 6 = 0
+        |      THEN '#P#all rights reserved contact support for help' ELSE '' END AS ptext
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, unnest(string_split(ptext, '#P#')) AS para FROM d
+        |), c AS (
+        |  SELECT para, count(DISTINCT doc_id) AS ndocs FROM p GROUP BY para
+        |)
+        |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+        |  CAST(sum(CASE WHEN c.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  round(sum(CASE WHEN c.ndocs > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_frac,
+        |  CAST(max(CASE WHEN c.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS flag_boilerplate
+        |FROM p JOIN c USING (para)
+        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
     "t14_url_filter" ->
       """WITH u AS (
         |  SELECT doc_id,

@@ -204,12 +204,24 @@ private[sources] class ChangeFeedTable(tableSchema: StructType,
         pruned = requiredSchema
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = pruned
-        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+          // startingTimestamp (Delta's option): "changes committed
+          // AFTER ts" — resolves through versionAsOf to the newest
+          // version at-or-before ts, which becomes the base offset
+          // (the feed delivers strictly later versions). Nothing that
+          // old retained → base 0 (the full history).
+          val sv = Option(options.get("startingVersion")).map(_.toLong)
+          val st = Option(options.get("startingTimestamp")).map(_.toLong)
+          require(sv.isEmpty || st.isEmpty,
+            "set startingVersion OR startingTimestamp, not both")
+          val base = sv.orElse(st.map(ts =>
+            new Snapshots(SparkSession.active, options.get("path"))
+              .versionAsOf(ts).getOrElse(0L))).getOrElse(0L)
           new ChangeFeedStream(
-            options.get("path"), options.get("table"),
-            Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
+            options.get("path"), options.get("table"), base,
             Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
             pruned)
+        }
       }
     }
 }

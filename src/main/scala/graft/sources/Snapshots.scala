@@ -934,6 +934,38 @@ class Snapshots(s: SparkSession, root: String) {
       s"cloneTable lost $MaxAttempts consecutive version races under $root")
   }
 
+  /** Per-table RESTORE (the Delta `RESTORE TABLE … VERSION AS OF`
+    * verb): publish a NEW head whose `table` entry — data paths, read
+    * metadata, and consumed-tag ledger — is exactly its state at
+    * `fromVersion`, while every OTHER table keeps its current head
+    * (contrast [[rollbackTo]], which re-points the whole lake). Zero
+    * data IO: like clone, the restore is manifest lines re-referencing
+    * still-retained files (vacuum's entry refcount keeps them alive
+    * for as long as any kept manifest reaches them). History stays
+    * intact — the restore is itself a new, time-travelable version,
+    * and restoring "forward" again is just another restore.
+    */
+  def restoreTable(table: String, fromVersion: Long): Long = {
+    val old = readManifest(fromVersion)
+    val rel = dataEntries(old).getOrElse(table,
+      throw new NoSuchElementException(
+        s"table '$table' not committed at version $fromVersion under $root"))
+    val metaKeys = Seq(SchemaSuffix, FilesSuffix, TagsSuffix).map(table + _)
+    val meta = metaKeys.flatMap(k => old.get(k).map(k -> _))
+    var attempt = currentVersion.getOrElse(0L) + 1
+    for (_ <- 1 to MaxAttempts) {
+      val cur = readManifest(currentVersion.get)
+      // drop the CURRENT metadata lines first: if fromVersion predates
+      // checkpointed metadata, stale lines describing the new file set
+      // must not survive the restore
+      val cleaned = cur -- metaKeys
+      if (writeManifest(attempt, cleaned + (table -> rel) ++ meta)) return attempt
+      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
+    }
+    throw new IllegalStateException(
+      s"restoreTable lost $MaxAttempts consecutive version races under $root")
+  }
+
   /** Timestamp time travel (the Delta `TIMESTAMP AS OF` resolution
     * rule, public knowledge): a version's commit time IS its manifest
     * file's modification time — recorded by the filesystem at the

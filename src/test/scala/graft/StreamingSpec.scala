@@ -154,6 +154,48 @@ class StreamingSpec extends AnyFunSuite {
       s"scan not narrowed: read $planned")
   }
 
+  test("change feed startingTimestamp: only versions committed after the timestamp stream") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Snapshots
+    val sp = spark
+    import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("cfts").toString
+    val snap = new Snapshots(spark, base + "/lake")
+    snap.commit(Map("t" -> (1L to 10L).map(i => (i, i * 1.0)).toDF("id", "v"))) // v1
+    Thread.sleep(150)
+    val ts = System.currentTimeMillis()
+    Thread.sleep(150)
+    snap.append("t", Seq((99L, 9.0)).toDF("id", "v"))                            // v2
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream
+      .format("graft.sources.ChangeFeed")
+      .option("path", base + "/lake").option("table", "t")
+      .option("startingTimestamp", ts.toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", base + "/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = b.collect().map(_.getLong(0))
+        got.synchronized { got ++= rows }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(got.toSeq == Seq(99L),
+      s"feed from ts must deliver only post-ts commits, got $got")
+    // both start options together must be rejected loudly
+    val e = intercept[Exception] {
+      spark.readStream.format("graft.sources.ChangeFeed")
+        .option("path", base + "/lake").option("table", "t")
+        .option("startingVersion", "0").option("startingTimestamp", ts.toString)
+        .load()
+        .writeStream.option("checkpointLocation", base + "/ckpt2")
+        .foreachBatch((_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => ())
+        .start()
+        .processAllAvailable()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("change feed skips maintenance versions: compaction emits no churn") {
     import org.apache.spark.sql.functions._
     import graft.sources.{FileStats, Snapshots}

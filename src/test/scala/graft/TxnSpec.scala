@@ -493,6 +493,35 @@ class TxnSpec extends AnyFunSuite {
     assert(s2.read("y").count() == before, "cloned tag ledger must suppress replays")
   }
 
+  test("restoreTable: one table returns to an old state, the rest keep their heads") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txn").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    val v1 = snap.commit(Map(
+      "t" -> (1L to 100L).map(i => (i, i * 2.0)).toDF("id", "v")
+        .repartitionByRange(4, col("id")),
+      "u" -> Seq((1L, "a")).toDF("id", "s")), Map("t" -> Seq("id")))
+    snap.append("t", Seq((200L, 9.0)).toDF("id", "v"), Some("tag1"), Seq("id")) // v2
+    snap.mergeInto("u", Seq((1L, "b"), (2L, "b")).toDF("id", "s"), "id")        // v3
+    val vr = snap.restoreTable("t", v1)
+    // t is back at v1; u keeps ITS head (v3) — unlike rollbackTo
+    assert(snap.read("t").count() == 100L)
+    assert(snap.read("u").as[(Long, String)].collect().toSet == Set((1L, "b"), (2L, "b")))
+    // the restore is a new, readable version; pre-restore head still travels
+    assert(vr > 3L)
+    assert(snap.read("t", Some(vr - 1)).count() == 101L)
+    // the tag ledger restored WITH the table: the v2 append replays as
+    // a fresh (non-consumed) batch again, exactly once
+    snap.append("t", Seq((200L, 9.0)).toDF("id", "v"), Some("tag1"), Seq("id"))
+    assert(snap.read("t").count() == 101L)
+    snap.append("t", Seq((200L, 9.0)).toDF("id", "v"), Some("tag1"), Seq("id"))
+    assert(snap.read("t").count() == 101L, "replayed tag must no-op after re-consumption")
+    // vacuum keeps every dir the restored head reaches
+    snap.vacuum(keepLast = 1)
+    assert(snap.read("t").count() == 101L && snap.read("u").count() == 2L)
+  }
+
   test("timestamp time travel: versionAsOf resolves commit times, vacuum bounds the window") {
     val sp = spark
     import sp.implicits._
