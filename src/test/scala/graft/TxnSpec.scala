@@ -449,6 +449,14 @@ class TxnSpec extends AnyFunSuite {
     // time travel: metadata aggregates at the ORIGINAL version
     val (n1, m1) = snap.aggStats("t", Seq("id"), version = Some(v1))
     assert(n1 == 300L && m1("id")._2.contains(1L) && m1("id")._3.contains(300L))
+    // the DOUBLE stats type decodes through the same fold (c13's oracle
+    // covers long+string; this pins the third comparator/codec)
+    val root2 = Files.createTempDirectory("txn").toString + "/t"
+    val s2 = new Snapshots(spark, root2)
+    s2.commit(Map("d" -> (1L to 50L).map(i => (i, i * 0.25)).toDF("id", "x")
+      .repartitionByRange(4, col("id"))), Map("d" -> Seq("x")))
+    val (nd, md) = s2.aggStats("d", Seq("x"))
+    assert(nd == 50L && md("x") == ((50L, Some(0.25), Some(12.5))))
     // a publish WITHOUT stats must make the metadata answer refuse, not lie
     snap.append("t", rows(5, 5000)) // no statsCols
     val e = intercept[IllegalStateException](snap.aggStats("t", sc))
@@ -1016,7 +1024,7 @@ class TxnSpec extends AnyFunSuite {
       IncrementalAgg.seed(spark, snap, "t", "grp", "v", agg, atVersion = 1L)
       var vacuumed = false
       for (op <- 1 to 7) {
-        rnd.nextInt(8) match {
+        rnd.nextInt(9) match {
           case 0 => // tagged append (sometimes replayed)
             val rows = batch(1 + rnd.nextInt(10))
             val tag = s"b$seq-$op"
@@ -1069,6 +1077,13 @@ class TxnSpec extends AnyFunSuite {
             snap.deleteKeys("t", ks.toDF("id"), "id", statsCols = Seq("id"))
             model = model -- ks
             history += ((snap.currentVersion.get, model))
+          case 8 => // per-table RESTORE to a random recorded version
+            val (v, m) = history(rnd.nextInt(history.size))
+            if (!vacuumed) { // post-vacuum, fromVersion may be collected
+              snap.restoreTable("t", v)
+              model = m
+              history += ((snap.currentVersion.get, model))
+            }
         }
         val got = snap.read("t").as[(Long, String, Long)].collect()
           .map(r => r._1 -> (r._2, r._3)).toMap
