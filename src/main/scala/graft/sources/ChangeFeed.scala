@@ -302,6 +302,13 @@ private[sources] class ChangeFeedStream(root: String, table: String,
     var before = if (lo == 0L) Map.empty[String, Long] else s.fileSet(table, lo)
     var v = lo + 1
     while (v <= hi) {
+      // a deletion vector hides deletes INSIDE unchanged files — a
+      // file-set diff cannot represent it. Refuse loudly (consumers
+      // resume after compact materializes) rather than resurrect rows.
+      if (s.hasDeletionVector(table, v))
+        throw new IllegalStateException(
+          s"version $v of '$table' carries a deletion vector — the change feed " +
+            "cannot diff across it; compact (materialize) and restart the stream")
       val after = s.fileSet(table, v)
       if (!s.isMaintenanceVersion(table, v)) {
         (after -- before.keySet).foreach { case (p, len) =>

@@ -188,10 +188,33 @@ class Snapshots(s: SparkSession, root: String) {
   private val SchemaSuffix = "@schema"
   private val FilesSuffix = "@files"
   private val MaintSuffix = "@maint"
+
+  /** Merge-on-read DELETION VECTORS (the Delta/Iceberg v2 idea, public
+    * knowledge): `<table>@dv=<rel>` points at a parquet tombstone set
+    * (file_name, row_index). A MoR delete writes O(matched rows) of
+    * positions and republishes the manifest — ZERO data files
+    * rewritten — and every read applies the vector as a positional
+    * anti-join (only when the line is present; DV-less plans are
+    * untouched). Copy-on-write maintenance folds the vector away:
+    * [[compact]] reads DV-applied rows and publishes without the line
+    * (it IS the materialize step); partial-rewrite DML on a DV-bearing
+    * table refuses until then, as do exactness-critical readers
+    * (aggStats, readChanges, the change feed) — deletes hidden in a
+    * side file must never silently corrupt a fold or a metadata
+    * answer.
+    */
+  private val DvSuffix = "@dv"
   private def isTagEntry(key: String): Boolean = key.endsWith(TagsSuffix)
   private def isMetaEntry(key: String): Boolean =
     key.endsWith(TagsSuffix) || key.endsWith(SchemaSuffix) ||
-      key.endsWith(FilesSuffix) || key.endsWith(MaintSuffix)
+      key.endsWith(FilesSuffix) || key.endsWith(MaintSuffix) ||
+      key.endsWith(DvSuffix)
+  private def dvEntries(m: Map[String, String]): Map[String, String] =
+    m.filter { case (k, _) => k.endsWith(DvSuffix) }
+
+  /** True iff `table` carries a deletion vector at version `v`. */
+  def hasDeletionVector(table: String, v: Long): Boolean =
+    readManifest(v).contains(table + DvSuffix)
 
   /** True iff version `v` was a pure-maintenance publish for `table`
     * (compaction/clustering — rows invariant, files reorganized). The
@@ -284,16 +307,40 @@ class Snapshots(s: SparkSession, root: String) {
     safe(st).map(_.asInstanceOf[StructType])
   }
 
+  /** Apply `table`'s deletion vector (when present) to a RAW relation
+    * df: tombstoned (file_name, row_index) positions leave via a
+    * positional anti-join, the `_metadata` columns attached only for
+    * the join and dropped after. DV-less tables skip this entirely —
+    * their plans carry zero overhead. Tombstones key on file_name,
+    * which is safe because every write path produces uuid'd part
+    * names; [[deleteWhereMoR]] verifies table-wide name uniqueness
+    * before publishing a vector.
+    */
+  private def applyDv(m: Map[String, String], table: String, df: DataFrame): DataFrame =
+    m.get(table + DvSuffix) match {
+      case None => df
+      case Some(dvRel) =>
+        val dv = s.read.parquet(absPaths(dvRel): _*)
+          .select(col("file_name").as("__dv_fn"), col("row_index").as("__dv_ri"))
+        val cols = df.columns
+        df.withColumn("__fn", col("_metadata.file_name"))
+          .withColumn("__ri", col("_metadata.row_index"))
+          .join(dv, col("__fn") === col("__dv_fn") && col("__ri") === col("__dv_ri"),
+            "left_anti")
+          .select(cols.map(col): _*)
+    }
+
   /** DataFrame for a table at manifest `m`: metadata-planned when the
-    * manifest carries schema+files lines, stock listing read otherwise.
+    * manifest carries schema+files lines, stock listing read otherwise;
+    * deletion vectors applied when present.
     */
   private def readTable(m: Map[String, String], table: String, rel: String): DataFrame =
-    (storedSchema(m, table), storedFiles(m, table)) match {
+    applyDv(m, table, (storedSchema(m, table), storedFiles(m, table)) match {
       case (Some(schema), Some(files)) =>
         org.apache.spark.sql.GraftLakeShim.parquetByManifest(
           s, files.map { case (r, len) => (s"$root/$r", len) }, schema)
       case _ => s.read.parquet(absPaths(rel): _*)
-    }
+    })
 
   /** Atomically commit a set of tables: write every DataFrame under
     * the next version's directory, then publish the manifest. Returns
@@ -505,6 +552,9 @@ class Snapshots(s: SparkSession, root: String) {
     val data = dataEntries(m)
     val present = names.filter(data.contains)
     require(present.nonEmpty, s"none of tables $names in version $v under $root")
+    require(present.forall(n => !m.contains(n + DvSuffix)),
+      "readTables is one raw multi-table scan and cannot apply per-table " +
+        "deletion vectors — compact the MoR table(s) first")
     val metas = present.map(n => (storedSchema(m, n), storedFiles(m, n)))
     if (metas.forall { case (sc, fl) => sc.isDefined && fl.isDefined })
       org.apache.spark.sql.GraftLakeShim.parquetByManifest(
@@ -524,7 +574,12 @@ class Snapshots(s: SparkSession, root: String) {
   def tablePaths(version: Option[Long] = None): Map[String, Seq[String]] =
     version.orElse(currentVersion) match {
       case None => Map.empty
-      case Some(v) => dataEntries(readManifest(v)).map { case (t, rel) => t -> absPaths(rel) }
+      case Some(v) =>
+        val m = readManifest(v)
+        require(dvEntries(m).isEmpty,
+          "tablePaths exposes raw file paths, which would leak rows hidden by " +
+            "a deletion vector — compact the MoR table(s) first")
+        dataEntries(m).map { case (t, rel) => t -> absPaths(rel) }
     }
 
   /** A table's data files at a version, expanded to FILE granularity
@@ -577,6 +632,13 @@ class Snapshots(s: SparkSession, root: String) {
     */
   def readChanges(table: String, fromV: Long, toV: Long): DataFrame = {
     require(fromV <= toV, s"readChanges wants fromV <= toV, got $fromV > $toV")
+    // a deletion vector hides rows INSIDE unchanged files — a file-set
+    // diff cannot see it, so the delta would silently resurrect deleted
+    // rows for every consumer. Refuse until compact materializes.
+    require(fromV == 0L || !hasDeletionVector(table, fromV),
+      s"version $fromV of '$table' carries a deletion vector — compact before diffing")
+    require(!hasDeletionVector(table, toV),
+      s"version $toV of '$table' carries a deletion vector — compact before diffing")
     val before = fileSet(table, fromV)
     val after = fileSet(table, toV)
     val added = (after -- before.keySet).toSeq.sortBy(_._1)
@@ -641,9 +703,12 @@ class Snapshots(s: SparkSession, root: String) {
     var attempt = currentVersion.getOrElse(0L) + 1
     for (_ <- 1 to MaxAttempts) {
       val base = currentVersion.map(readManifest).getOrElse(Map.empty[String, String])
-      // a removed table takes its consumed-tags and metadata lines with it
+      // a removed table takes its consumed-tags and metadata lines with
+      // it; an UPDATED table drops any deletion vector — its data was
+      // replaced wholesale, so stale tombstones must not linger
       val removedKeys = removes.flatMap(r =>
-        Seq(r, r + TagsSuffix, r + SchemaSuffix, r + FilesSuffix))
+        Seq(r, r + TagsSuffix, r + SchemaSuffix, r + FilesSuffix, r + DvSuffix)) ++
+        updates.keys.map(_ + DvSuffix)
       val merged = (base -- removedKeys) ++ updates ++ updateMeta
       if (writeManifest(attempt, merged)) return attempt
       attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
@@ -714,7 +779,7 @@ class Snapshots(s: SparkSession, root: String) {
         if (kept.isEmpty) s.read.parquet(absPaths(rel): _*).limit(0) // schema-only; zero data tasks
         else s.read.parquet(kept: _*)
     }
-    ranges.foldLeft(base) { (df, r) =>
+    ranges.foldLeft(applyDv(m, table, base)) { (df, r) =>
       val c = col(r.col)
       val conds = r.lo.map(v => c >= lit(v)).toSeq ++ r.hi.map(v => c <= lit(v)).toSeq
       conds.foldLeft(df)((d, cond) => d.where(cond))
@@ -856,6 +921,9 @@ class Snapshots(s: SparkSession, root: String) {
     val v = version.orElse(currentVersion).getOrElse(
       throw new IllegalStateException(s"no commits under $root"))
     val m = readManifest(v)
+    require(!m.contains(table + DvSuffix),
+      s"table '$table' carries a deletion vector — sidecar stats describe the raw " +
+        "files, so metadata answers would count deleted rows; compact first")
     val rel = dataEntries(m).getOrElse(table,
       throw new NoSuchElementException(s"table '$table' not committed under $root"))
     val files: Seq[String] = storedFiles(m, table).map(_.map(_._1))
@@ -925,7 +993,7 @@ class Snapshots(s: SparkSession, root: String) {
         throw new NoSuchElementException(s"table '$src' not committed under $root"))
       require(!dataEntries(cur).contains(dst),
         s"clone target '$dst' already exists under $root")
-      val meta = Seq(SchemaSuffix, FilesSuffix, TagsSuffix).flatMap(sfx =>
+      val meta = Seq(SchemaSuffix, FilesSuffix, TagsSuffix, DvSuffix).flatMap(sfx =>
         cur.get(src + sfx).map(v => (dst + sfx) -> v))
       if (writeManifest(attempt, cur + (dst -> rel) ++ meta)) return attempt
       attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
@@ -950,7 +1018,7 @@ class Snapshots(s: SparkSession, root: String) {
     val rel = dataEntries(old).getOrElse(table,
       throw new NoSuchElementException(
         s"table '$table' not committed at version $fromVersion under $root"))
-    val metaKeys = Seq(SchemaSuffix, FilesSuffix, TagsSuffix).map(table + _)
+    val metaKeys = Seq(SchemaSuffix, FilesSuffix, TagsSuffix, DvSuffix).map(table + _)
     val meta = metaKeys.flatMap(k => old.get(k).map(k -> _))
     var attempt = currentVersion.getOrElse(0L) + 1
     for (_ <- 1 to MaxAttempts) {
@@ -991,6 +1059,77 @@ class Snapshots(s: SparkSession, root: String) {
     read(table, Some(versionAsOf(tsMillis).getOrElse(
       throw new NoSuchElementException(
         s"no version committed at or before $tsMillis under $root"))))
+
+  /** MERGE-ON-READ delete (deletion vectors — the Delta/Iceberg v2
+    * fast-delete path): rows matching ALL `ranges` are tombstoned by
+    * POSITION (file_name, row_index) in a `@dv` sidecar table instead
+    * of rewriting any data file. Cost: read only might-match files
+    * (same stats classification as [[deleteWhere]]), write O(matched
+    * rows) of positions, publish one manifest — at 100 TB a
+    * single-row GDPR delete costs kilobytes instead of re-writing a
+    * gigabyte file. Every read applies the vector transparently;
+    * [[compact]] later materializes it (copy-on-write) and drops the
+    * line. Result-idempotent: a repeat whose tombstones are already
+    * all present publishes nothing. The vector merges with any
+    * existing one, so MoR deletes stack. Positions key on file_name —
+    * verified UNIQUE across the table's files before publishing (every
+    * write path produces uuid'd part names; the check makes the
+    * assumption loud, not silent).
+    */
+  def deleteWhereMoR(table: String, ranges: Seq[FileStats.ColRange]): Long = {
+    require(ranges.nonEmpty, "deleteWhereMoR requires at least one range")
+    val headM = readManifest(currentVersion.getOrElse(
+      throw new IllegalStateException(s"no commits under $root")))
+    val baseRel = dataEntries(headM).getOrElse(table,
+      throw new NoSuchElementException(s"table '$table' not committed under $root"))
+    val files: Seq[(String, Long)] = storedFiles(headM, table)
+      .getOrElse(listRelFiles(splitRel(baseRel)))
+    val names = files.map { case (r, _) => new Path(root, r).getName }
+    require(names.distinct.size == names.size,
+      s"table '$table' has duplicate part-file names — positional vectors need unique names")
+    // stats classification: only might-match files are read for positions
+    val touch = files.groupBy { case (r, _) => new Path(root, r).getParent }
+      .toSeq.flatMap { case (dir, fl) =>
+        FileStats.readSidecar(fs, dir) match {
+          case None => fl
+          case Some(stats) => fl.filter { case (r, len) =>
+            FileStats.prune(Seq(new org.apache.hadoop.fs.FileStatus(
+              len, false, 1, 0L, 0L, new Path(root, r))), stats, ranges).nonEmpty
+          }
+        }
+      }
+    if (touch.isEmpty) return currentVersion.get
+    val schema = storedSchema(headM, table).getOrElse(writtenSchema(baseRel))
+    val touched = org.apache.spark.sql.GraftLakeShim.parquetByManifest(
+      s, touch.map { case (r, len) => (s"$root/$r", len) }, schema)
+    val fresh = touched
+      .where(matchCond(ranges))
+      .select(col("_metadata.file_name").as("file_name"),
+        col("_metadata.row_index").as("row_index"))
+    val existing = headM.get(table + DvSuffix).map(rel =>
+      s.read.parquet(absPaths(rel): _*).select("file_name", "row_index"))
+    val merged = existing.fold(fresh)(e => e.unionByName(fresh)).distinct()
+      .persist()
+    try {
+      val total = merged.count()
+      if (total == 0L ||
+          existing.exists(e => e.distinct().count() == total))
+        return currentVersion.get // nothing new to tombstone
+      var attempt = currentVersion.getOrElse(0L) + 1
+      for (_ <- 1 to MaxAttempts) {
+        val cur = readManifest(currentVersion.get)
+        if (cur(table) != baseRel)
+          throw new java.util.ConcurrentModificationException(
+            s"$table re-pointed ${cur(table)} != $baseRel during MoR delete; re-run")
+        val rel = stageRel(attempt, table + "__dv")
+        merged.coalesce(1).write.mode("overwrite").parquet(s"$root/$rel")
+        if (writeManifest(attempt, cur + ((table + DvSuffix) -> rel))) return attempt
+        attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
+      }
+      throw new IllegalStateException(
+        s"deleteWhereMoR lost $MaxAttempts consecutive version races under $root")
+    } finally { merged.unpersist(); () }
+  }
 
   /** Keyset DELETE — `DELETE WHERE keyCol IN (<batch>)`, the
     * tombstone-apply verb every CDC consumer needs (c06's ranged
@@ -1162,6 +1301,8 @@ class Snapshots(s: SparkSession, root: String) {
       s"table name '$table' collides with the reserved '@' manifest lines")
     val headM = readManifest(currentVersion
       .getOrElse(throw new IllegalStateException(s"no commits under $root")))
+    require(!headM.contains(table + DvSuffix),
+      s"table '$table' carries a deletion vector — compact (materialize) before copy-on-write $what")
     val baseRel = dataEntries(headM).getOrElse(table,
       throw new NoSuchElementException(s"table '$table' not committed under $root"))
     val touch = scala.collection.mutable.ArrayBuffer.empty[(String, Long)] // abs path, len
@@ -1325,9 +1466,14 @@ class Snapshots(s: SparkSession, root: String) {
       val metaLines = Map(
         schemaLine(table, predictReadBack(packed.schema).getOrElse(writtenSchema(rel))),
         filesLine(table, listRelFiles(Seq(rel))))
-      // rows invariant, files reorganized → dataChange=false for the feed
-      if (writeManifest(attempt, cur + (table -> rel) ++ metaLines,
-        maint = Set(table))) return attempt
+      // rows invariant, files reorganized → dataChange=false for the
+      // feed. A deletion vector is MATERIALIZED here: the compacted
+      // rows were read DV-applied (readTable), so the line is dropped —
+      // compact IS the MoR→CoW reconcile step. (A DV'd compaction is a
+      // data change for the feed, so the maint flag is withheld then.)
+      val hadDv = cur.contains(table + DvSuffix)
+      if (writeManifest(attempt, cur - (table + DvSuffix) + (table -> rel) ++ metaLines,
+        maint = if (hadDv) Set.empty else Set(table))) return attempt
       attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
     }
     throw new IllegalStateException(
@@ -1393,7 +1539,10 @@ class Snapshots(s: SparkSession, root: String) {
     // dir — conservative over-retention that compact()+vacuum() reclaims
     def refDirs(rels: Iterable[String]): Set[String] =
       rels.flatMap(splitRel).map(_.split("/").take(2).mkString("/")).toSet
-    val referenced = refDirs(kept.flatMap(v => dataEntries(readManifest(v)).values))
+    val referenced = refDirs(kept.flatMap { v =>
+      val m = readManifest(v)
+      dataEntries(m).values ++ dvEntries(m).values // DV dirs are live data
+    })
     val cutoff = System.currentTimeMillis() - minAgeMs
     val rootPath = new Path(root)
     val candidates = fs.listStatus(rootPath)
@@ -1410,7 +1559,10 @@ class Snapshots(s: SparkSession, root: String) {
     // published (or restored by rollbackTo) since the kept-set was read
     val lateRefs = refDirs(
       (listVersions().toSet -- dropped.toSet -- kept.toSet)
-        .flatMap(v => dataEntries(readManifest(v)).values))
+        .flatMap { v =>
+          val m = readManifest(v)
+          dataEntries(m).values ++ dvEntries(m).values
+        })
     var dirsDeleted = 0
     candidates.foreach { td =>
       val rel = s"${td.getPath.getParent.getName}/${td.getPath.getName}"
@@ -1824,8 +1976,50 @@ object Snapshots {
         "nn_price", "min_price", "max_price")
   }
 
+  /** Fixture for c14: orders range-clustered with key stats, then ONE
+    * merge-on-read delete (keys 2000-2999) tombstoning by position —
+    * no data file rewritten (the staged dirs still hold every row).
+    */
+  def stagedMorLake(s: SparkSession, dir: String): Snapshots = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s.conf.get("spark.sql.warehouse.dir") + s"/mor_c14$tag"
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val snap = new Snapshots(s, root)
+    val marker = new Path(root, "_STAGED_G1")
+    if (!fs.exists(marker)) {
+      fs.delete(new Path(root), true)
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      snap.commit(
+        Map("orders" -> t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), cents.as("price_cents"))
+          .repartitionByRange(16, col("o_orderkey"))),
+        statsCols = Map("orders" -> Seq("o_orderkey")))
+      snap.deleteWhereMoR("orders",
+        Seq(FileStats.ColRange("o_orderkey", Some(2000L), Some(2999L))))
+      fs.create(marker, true).close()
+    }
+    snap
+  }
+
+  /** `c14_delete_mor`: the MERGE-ON-READ read path through the oracle
+    * gate — the fixture's delete wrote only a positional tombstone
+    * sidecar (every data file still physically holds every row), so
+    * the aggregate is correct ONLY if the read's positional anti-join
+    * applies the vector exactly: one extra surviving position, one
+    * off-by-one row_index, or a file_name mix-up flips n, key_sum, or
+    * total_cents against DuckDB's recompute.
+    */
+  def c14DeleteMor(s: SparkSession, dir: String): DataFrame = {
+    stagedMorLake(s, dir).read("orders")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"),
+        sum("o_orderkey").as("key_sum"))
+      .orderBy("o_orderstatus")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] =
     Map("c04_snapshot_read" -> c04SnapshotRead _,
+        "c14_delete_mor" -> c14DeleteMor _,
         "c05_stats_pruned_read" -> c05StatsPrunedRead _,
         "c06_delete_where" -> c06DeleteWhere _,
         "c07_update_where" -> c07UpdateWhere _,
@@ -1835,6 +2029,17 @@ object Snapshots {
         "c13_metadata_agg" -> c13MetadataAgg _)
 
   val oracles: Map[String, String] = Map(
+    "c14_delete_mor" ->
+      """WITH c AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+        |  FROM orders
+        |  WHERE o_orderkey NOT BETWEEN 2000 AND 2999
+        |)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(price_cents) AS BIGINT) AS total_cents,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM c GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "c13_metadata_agg" ->
       """WITH c AS (
         |  SELECT o_orderkey, o_orderstatus,

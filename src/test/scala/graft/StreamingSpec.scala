@@ -249,6 +249,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(net == want, "net feed state diverged from the table head")
   }
 
+  test("change feed refuses to diff across a deletion-vector version") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.{FileStats, Snapshots}
+    val sp = spark
+    import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("cfdv").toString
+    val snap = new Snapshots(spark, base + "/lake")
+    snap.commit(Map("t" -> (1L to 20L).map(i => (i, i * 1.0)).toDF("id", "v")),
+      Map("t" -> Seq("id")))                                           // v1
+    snap.deleteWhereMoR("t", Seq(FileStats.ColRange("id", Some(5L), Some(7L)))) // v2: DV
+    val q = spark.readStream
+      .format("graft.sources.ChangeFeed")
+      .option("path", base + "/lake").option("table", "t")
+      .option("startingVersion", "0")
+      .load()
+      .writeStream
+      .option("checkpointLocation", base + "/ckpt")
+      .foreachBatch((_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => ())
+      .start()
+    // the diff cannot represent rows hidden inside unchanged files — the
+    // stream must DIE loudly, never deliver resurrected rows
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable(); q.awaitTermination(30000); ()
+    }
+    assert(e.getMessage.contains("deletion vector") ||
+      Option(e.getCause).exists(_.getMessage.contains("deletion vector")))
+  }
+
   test("lake replication via the change feed: replica equals source head across every DML verb") {
     import org.apache.spark.sql.functions._
     import graft.sources.{FileStats, Snapshots}

@@ -463,6 +463,60 @@ class TxnSpec extends AnyFunSuite {
     assert(e.getMessage.contains("_stats") || e.getMessage.contains("stats"))
   }
 
+  test("merge-on-read deletes: positional tombstones, transparent reads, compact materializes") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txn").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    val v1 = snap.commit(Map("a" -> (1L to 600L).map(i => (i, i * 2.0)).toDF("id", "v")
+      .repartitionByRange(12, col("id"))), Map("a" -> Seq("id")))
+    val v2 = snap.deleteWhereMoR("a", Seq(ColRange("id", Some(100L), Some(150L))))
+    assert(v2 > v1 && snap.hasDeletionVector("a", v2))
+    // reads apply the vector transparently; not one data file was rewritten,
+    // so time travel to v1 still reads every row from the SAME files
+    val after = snap.read("a")
+    assert(after.count() == 549L)
+    assert(after.where(col("id").between(100L, 150L)).count() == 0L)
+    assert(after.agg(sum("id")).head.getLong(0) == (1L to 600L).sum - (100L to 150L).sum)
+    assert(snap.read("a", Some(v1)).count() == 600L)
+    // stats-pruned reads compose with the vector
+    assert(snap.readWhere("a", Seq(ColRange("id", Some(90L), Some(130L)))).count() == 10L)
+    // vectors stack; an exact repeat publishes nothing
+    snap.deleteWhereMoR("a", Seq(ColRange("id", Some(200L), Some(210L))))
+    assert(snap.read("a").count() == 538L)
+    val head = snap.currentVersion.get
+    assert(snap.deleteWhereMoR("a", Seq(ColRange("id", Some(200L), Some(210L)))) == head)
+    // exactness-critical paths refuse a DV-bearing table loudly
+    intercept[IllegalArgumentException](
+      snap.deleteWhere("a", Seq(ColRange("id", Some(1L), Some(5L))), Seq("id")))
+    intercept[IllegalArgumentException](snap.aggStats("a", Seq("id")))
+    intercept[IllegalArgumentException](
+      snap.readChanges("a", v1, snap.currentVersion.get))
+    intercept[IllegalArgumentException](snap.tablePaths())
+    // appends are fine (new files carry no tombstones)
+    snap.append("a", Seq((700L, 7.0)).toDF("id", "v"), statsCols = Seq("id"))
+    assert(snap.read("a").count() == 539L)
+    // restore re-arms the vector with the table state
+    val preRestore = snap.currentVersion.get
+    snap.restoreTable("a", v2)
+    assert(snap.read("a").count() == 549L)
+    snap.restoreTable("a", preRestore)
+    // compact IS the materialize step: vector folded in, line dropped,
+    // CoW DML and metadata aggregates work again, vacuum reclaims
+    val vc = snap.compact("a", targetBytes = 1L << 20, sortCol = Some("id"),
+      statsCols = Seq("id"))
+    assert(!snap.hasDeletionVector("a", vc))
+    assert(!snap.isMaintenanceVersion("a", vc),
+      "a materializing compaction is a DATA change (the feed must see it)")
+    assert(snap.read("a").count() == 539L)
+    val (n, m) = snap.aggStats("a", Seq("id"))
+    assert(n == 539L && m("id")._1 == 539L)
+    snap.deleteWhere("a", Seq(ColRange("id", Some(700L), Some(700L))), Seq("id"))
+    assert(snap.read("a").count() == 538L)
+    snap.vacuum(keepLast = 1)
+    assert(snap.read("a").count() == 538L)
+  }
+
   test("cloneTable: zero-copy clone reads equal, evolves independently, shares storage safely") {
     val sp = spark
     import sp.implicits._
