@@ -36,7 +36,7 @@ object Soak {
   val keys: Seq[String] = Seq(
     "d04_dedup_ngram", "d07_dedup_clusters", "q31_typed_wide", "q33_profile",
     "s06_ann_ivfpq", "c03_cdc_merge", "q20_salted_join",
-    "st08_stream_matview", "c12_replicate")
+    "st08_stream_matview", "c12_replicate", "c14_delete_mor")
 
   private final class MetricsListener extends SparkListener {
     val runMs = new AtomicLong; val gcMs = new AtomicLong; val tasks = new AtomicLong
