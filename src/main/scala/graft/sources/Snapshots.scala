@@ -1131,6 +1131,91 @@ class Snapshots(s: SparkSession, root: String) {
     } finally { merged.unpersist(); () }
   }
 
+  /** MERGE-ON-READ update — the Iceberg v2 MoR update shape: matching
+    * rows (of the CURRENT, vector-applied state) are tombstoned by
+    * position AND re-appended with the SET expressions applied, both
+    * published in ONE manifest — no existing data file rewritten, cost
+    * O(matched rows) instead of O(touched files). Matching runs
+    * against the live state (existing tombstones excluded), so a
+    * repeat whose updated rows still satisfy the ranges applies the
+    * transform again — exactly UPDATE-twice SQL semantics — while rows
+    * the update moved out of range become a no-op. [[compact]]
+    * materializes the whole episode later, same as MoR deletes.
+    */
+  def updateWhereMoR(table: String, ranges: Seq[FileStats.ColRange],
+                     set: Map[String, org.apache.spark.sql.Column],
+                     statsCols: Seq[String] = Nil): Long = {
+    require(ranges.nonEmpty, "updateWhereMoR requires at least one range")
+    val headM = readManifest(currentVersion.getOrElse(
+      throw new IllegalStateException(s"no commits under $root")))
+    val baseRel = dataEntries(headM).getOrElse(table,
+      throw new NoSuchElementException(s"table '$table' not committed under $root"))
+    val schema = storedSchema(headM, table).getOrElse(writtenSchema(baseRel))
+    set.keys.foreach(c => require(schema.fieldNames.contains(c),
+      s"SET column '$c' not a column of table '$table'"))
+    val files: Seq[(String, Long)] = storedFiles(headM, table)
+      .getOrElse(listRelFiles(splitRel(baseRel)))
+    val names = files.map { case (r, _) => new Path(root, r).getName }
+    require(names.distinct.size == names.size,
+      s"table '$table' has duplicate part-file names — positional vectors need unique names")
+    val touch = files.groupBy { case (r, _) => new Path(root, r).getParent }
+      .toSeq.flatMap { case (dir, fl) =>
+        FileStats.readSidecar(fs, dir) match {
+          case None => fl
+          case Some(stats) => fl.filter { case (r, len) =>
+            FileStats.prune(Seq(new org.apache.hadoop.fs.FileStatus(
+              len, false, 1, 0L, 0L, new Path(root, r))), stats, ranges).nonEmpty
+          }
+        }
+      }
+    if (touch.isEmpty) return currentVersion.get
+    val existing = headM.get(table + DvSuffix).map(rel =>
+      s.read.parquet(absPaths(rel): _*)
+        .select(col("file_name").as("__dv_fn"), col("row_index").as("__dv_ri")))
+    val touched = org.apache.spark.sql.GraftLakeShim.parquetByManifest(
+      s, touch.map { case (r, len) => (s"$root/$r", len) }, schema)
+      .withColumn("__fn", col("_metadata.file_name"))
+      .withColumn("__ri", col("_metadata.row_index"))
+    val live = existing.fold(touched)(dv => touched.join(dv,
+      col("__fn") === col("__dv_fn") && col("__ri") === col("__dv_ri"), "left_anti"))
+    val matched = live.where(matchCond(ranges)).persist()
+    try {
+      if (matched.isEmpty) return currentVersion.get
+      val cols = schema.fieldNames.toSeq
+      val positions = matched.select(col("__fn").as("file_name"), col("__ri").as("row_index"))
+      val newRows = matched.select(cols.map(c => set.getOrElse(c, col(c)).as(c)): _*)
+      val mergedDv = existing
+        .fold(positions)(e =>
+          e.select(col("__dv_fn").as("file_name"), col("__dv_ri").as("row_index"))
+            .unionByName(positions))
+        .distinct()
+      var attempt = currentVersion.getOrElse(0L) + 1
+      for (_ <- 1 to MaxAttempts) {
+        val cur = readManifest(currentVersion.get)
+        if (cur(table) != baseRel)
+          throw new java.util.ConcurrentModificationException(
+            s"$table re-pointed ${cur(table)} != $baseRel during MoR update; re-run")
+        val dvRel = stageRel(attempt, table + "__dv")
+        mergedDv.coalesce(1).write.mode("overwrite").parquet(s"$root/$dvRel")
+        val newRel = stageRel(attempt, table)
+        newRows.write.mode("overwrite").parquet(s"$root/$newRel")
+        FileStats.dropEmptyFiles(fs, new Path(s"$root/$newRel"), s.sparkContext.hadoopConfiguration)
+        if (statsCols.nonEmpty)
+          FileStats.writeSidecar(fs, new Path(s"$root/$newRel"),
+            FileStats.harvest(s, s"$root/$newRel", statsCols))
+        val newFiles = files ++ listRelFiles(Seq(newRel))
+        val lines = cur +
+          (table -> s"${cur(table)};$newRel") +
+          ((table + DvSuffix) -> dvRel) ++
+          Map(filesLine(table, newFiles))
+        if (writeManifest(attempt, lines)) return attempt
+        attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
+      }
+      throw new IllegalStateException(
+        s"updateWhereMoR lost $MaxAttempts consecutive version races under $root")
+    } finally { matched.unpersist(); () }
+  }
+
   /** Keyset DELETE — `DELETE WHERE keyCol IN (<batch>)`, the
     * tombstone-apply verb every CDC consumer needs (c06's ranged
     * deleteWhere covers retention sweeps; replication and

@@ -517,6 +517,47 @@ class TxnSpec extends AnyFunSuite {
     assert(snap.read("a").count() == 538L)
   }
 
+  test("merge-on-read updates: tombstone + re-append in one manifest, twice-applies like SQL") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txn").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    val v1 = snap.commit(Map("a" -> (1L to 400L).map(i => (i, i * 10L)).toDF("id", "v")
+      .repartitionByRange(8, col("id"))), Map("a" -> Seq("id")))
+    val v2 = snap.updateWhereMoR("a", Seq(ColRange("id", Some(50L), Some(80L))),
+      Map("v" -> (col("v") + 1000000L)), statsCols = Seq("id"))
+    assert(v2 > v1 && snap.hasDeletionVector("a", v2))
+    // exact: matched rows transformed, count unchanged, others intact
+    val after = snap.read("a")
+    assert(after.count() == 400L)
+    assert(after.where(col("id").between(50L, 80L) && col("v") > 1000000L).count() == 31L)
+    assert(after.where(col("v") > 1000000L).count() == 31L)
+    assert(after.agg(sum("v")).head.getLong(0) ==
+      (1L to 400L).map(_ * 10L).sum + 31L * 1000000L)
+    // no original file rewritten: time travel reads the old values
+    assert(snap.read("a", Some(v1)).where(col("v") > 1000000L).count() == 0L)
+    // a REPEAT applies the transform again (UPDATE-twice semantics) —
+    // the updated rows still satisfy the id range
+    snap.updateWhereMoR("a", Seq(ColRange("id", Some(50L), Some(80L))),
+      Map("v" -> (col("v") + 1000000L)), statsCols = Seq("id"))
+    assert(snap.read("a").where(col("v") > 2000000L).count() == 31L)
+    assert(snap.read("a").count() == 400L)
+    // an update whose range the rows have LEFT is a no-op
+    val head = snap.currentVersion.get
+    assert(snap.updateWhereMoR("a", Seq(ColRange("v", Some(500L), Some(600L)),
+      ColRange("id", Some(50L), Some(55L))), Map("v" -> lit(0L))) == head)
+    // MoR delete and update stack; compact materializes the episode
+    snap.deleteWhereMoR("a", Seq(ColRange("id", Some(60L), Some(65L))))
+    assert(snap.read("a").count() == 394L)
+    val vc = snap.compact("a", targetBytes = 1L << 20, sortCol = Some("id"),
+      statsCols = Seq("id"))
+    assert(!snap.hasDeletionVector("a", vc))
+    assert(snap.read("a").count() == 394L)
+    assert(snap.read("a").where(col("v") > 2000000L).count() == 25L) // 31 − 6 deleted
+    val (n, _) = snap.aggStats("a", Seq("id"))
+    assert(n == 394L)
+  }
+
   test("cloneTable: zero-copy clone reads equal, evolves independently, shares storage safely") {
     val sp = spark
     import sp.implicits._
