@@ -1119,7 +1119,7 @@ class TxnSpec extends AnyFunSuite {
       IncrementalAgg.seed(spark, snap, "t", "grp", "v", agg, atVersion = 1L)
       var vacuumed = false
       for (op <- 1 to 7) {
-        rnd.nextInt(9) match {
+        rnd.nextInt(11) match {
           case 0 => // tagged append (sometimes replayed)
             val rows = batch(1 + rnd.nextInt(10))
             val tag = s"b$seq-$op"
@@ -1179,6 +1179,24 @@ class TxnSpec extends AnyFunSuite {
               model = m
               history += ((snap.currentVersion.get, model))
             }
+          case 9 => // MoR delete, immediately materialized (the full episode)
+            val lo = 1L + rnd.nextInt(nextId.toInt.max(1))
+            val hi = lo + rnd.nextInt(15)
+            snap.deleteWhereMoR("t", Seq(ColRange("id", Some(lo), Some(hi))))
+            snap.compact("t", targetBytes = 1L << 20, sortCol = Some("id"),
+              statsCols = Seq("id"))
+            model = model.filter { case (id, _) => id < lo || id > hi }
+            history += ((snap.currentVersion.get, model))
+          case 10 => // MoR update + materialize
+            val lo = 1L + rnd.nextInt(nextId.toInt.max(1))
+            val hi = lo + rnd.nextInt(15)
+            snap.updateWhereMoR("t", Seq(ColRange("id", Some(lo), Some(hi))),
+              Map("v" -> (col("v") + 3000000L)), statsCols = Seq("id"))
+            snap.compact("t", targetBytes = 1L << 20, sortCol = Some("id"),
+              statsCols = Seq("id"))
+            model = model.map { case (id, (g, v)) =>
+              if (id >= lo && id <= hi) (id, (g, v + 3000000L)) else (id, (g, v)) }
+            history += ((snap.currentVersion.get, model))
         }
         val got = snap.read("t").as[(Long, String, Long)].collect()
           .map(r => r._1 -> (r._2, r._3)).toMap
