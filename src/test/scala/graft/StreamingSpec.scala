@@ -249,6 +249,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(net == want, "net feed state diverged from the table head")
   }
 
+  test("change feed reads across a schema-evolution boundary (old files yield null)") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Snapshots
+    val sp = spark
+    import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("cfevo").toString
+    val snap = new Snapshots(spark, base + "/lake")
+    snap.commit(Map("t" -> (1L to 5L).map(i => (i, i * 1.0)).toDF("id", "v")),
+      Map("t" -> Seq("id")))                                              // v1: (id, v)
+    snap.append("t", Seq((6L, 6.0, "x6")).toDF("id", "v", "tag"),
+      statsCols = Seq("id"), mergeSchema = true)                          // v2: + tag
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[String], Long)]
+    val q = spark.readStream
+      .format("graft.sources.ChangeFeed")
+      .option("path", base + "/lake").option("table", "t")
+      .option("startingVersion", "0")
+      .load()
+      .writeStream
+      .option("checkpointLocation", base + "/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = b.collect().map(r =>
+          (r.getLong(0), Option(r.getAs[String]("tag")), r.getAs[Long]("_commit_version")))
+        got.synchronized { got ++= rows }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    // the feed plans with the HEAD (evolved) schema: v1's files predate
+    // the column and must read it as null — the parquet missing-column
+    // contract holding through the streaming reader closure
+    assert(got.size == 6)
+    assert(got.filter(_._3 == 1L).forall(_._2.isEmpty),
+      s"pre-evolution rows must carry null tag: $got")
+    assert(got.find(_._1 == 6L).get._2.contains("x6"))
+  }
+
   test("change feed refuses to diff across a deletion-vector version") {
     import org.apache.spark.sql.functions._
     import graft.sources.{FileStats, Snapshots}
