@@ -863,7 +863,20 @@ class Snapshots(s: SparkSession, root: String) {
     * [[append]]'s mergeSchema first).
     */
   def mergeInto(table: String, source: DataFrame, keyCol: String,
-                statsCols: Seq[String] = Nil): Long = {
+                statsCols: Seq[String] = Nil): Long =
+    mergeInto(table, source, Seq(keyCol), statsCols)
+
+  /** Composite-key MERGE: same engine, the match is on ALL `keyCols`
+    * (real tables carry composite primary keys). Touched-file pruning
+    * uses the LEADING key column's span — the index-prefix rule: stats
+    * on the leading component bound the candidate set, the remaining
+    * components resolve inside the join. Every source key's leading
+    * component lies inside that span, so a pruned file provably holds
+    * no match and the split stays globally correct.
+    */
+  def mergeInto(table: String, source: DataFrame, keyCols: Seq[String],
+                statsCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "mergeInto requires at least one key column")
     val headM = readManifest(currentVersion.getOrElse(
       throw new IllegalStateException(s"no commits under $root")))
     val baseRel = dataEntries(headM).getOrElse(table,
@@ -873,24 +886,28 @@ class Snapshots(s: SparkSession, root: String) {
       st.fields.map(f => (f.name, f.dataType)).toSeq
     require(sig(source.schema) == sig(existing),
       s"merge source schema ${source.schema.simpleString} != table '$table' schema ${existing.simpleString}")
-    require(existing.fieldNames.contains(keyCol),
-      s"merge key '$keyCol' not a column of table '$table'")
+    keyCols.foreach(k => require(existing.fieldNames.contains(k),
+      s"merge key '$k' not a column of table '$table'"))
     val cols = existing.fieldNames.toSeq
-    val rest = cols.filterNot(_ == keyCol)
+    val rest = cols.filterNot(keyCols.contains)
     require(cols.forall(!_.startsWith("_mrg_")),
       s"table '$table' columns collide with merge's reserved '_mrg_' prefix")
-    // the source's own key span (two scalars to the driver — the source
-    // is the batch side by definition) bounds the touched-file set
-    val mm = source.agg(min(col(keyCol)), max(col(keyCol))).head()
+    // the source's own leading-key span (two scalars to the driver —
+    // the source is the batch side by definition) bounds the touched set
+    val lead = keyCols.head
+    val mm = source.agg(min(col(lead)), max(col(lead))).head()
     if (mm.isNullAt(0)) return currentVersion.get // empty source: no-op
-    val span = FileStats.ColRange(keyCol, Some(mm.get(0)), Some(mm.get(1)))
+    val span = FileStats.ColRange(lead, Some(mm.get(0)), Some(mm.get(1)))
     partialRewrite(table, Seq(span), statsCols, "merge", { touched =>
       val srcR = source.select(
-        col(keyCol).as("_mrg_key") +: lit(true).as("_mrg_hit") +:
-          rest.map(c => col(c).as(s"_mrg_$c")): _*)
-      touched.join(srcR, col(keyCol) === col("_mrg_key"), "full_outer")
+        keyCols.map(k => col(k).as(s"_mrg_key_$k")) ++
+          (lit(true).as("_mrg_hit") +: rest.map(c => col(c).as(s"_mrg_$c"))): _*)
+      // SQL MERGE `ON` semantics: plain equality, a NULL key component
+      // never matches (null-keyed source rows land as inserts)
+      val cond = keyCols.map(k => col(k) === col(s"_mrg_key_$k")).reduce(_ && _)
+      touched.join(srcR, cond, "full_outer")
         .select(cols.map { c =>
-          if (c == keyCol) coalesce(col(keyCol), col("_mrg_key")).as(c)
+          if (keyCols.contains(c)) coalesce(col(c), col(s"_mrg_key_$c")).as(c)
           else when(coalesce(col("_mrg_hit"), lit(false)), col(s"_mrg_$c"))
             .otherwise(col(c)).as(c)
         }: _*)
@@ -1229,20 +1246,31 @@ class Snapshots(s: SparkSession, root: String) {
     * converge. Stats proving no overlap → true no-op.
     */
   def deleteKeys(table: String, keys: DataFrame, keyCol: String,
-                 statsCols: Seq[String] = Nil): Long = {
+                 statsCols: Seq[String] = Nil): Long =
+    deleteKeys(table, keys, Seq(keyCol), statsCols)
+
+  /** Composite-key form: the keyset DataFrame carries ALL `keyCols`;
+    * pruning uses the leading component's span (index-prefix rule),
+    * the anti-join matches on every component.
+    */
+  def deleteKeys(table: String, keys: DataFrame, keyCols: Seq[String],
+                 statsCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "deleteKeys requires at least one key column")
     val headM = readManifest(currentVersion.getOrElse(
       throw new IllegalStateException(s"no commits under $root")))
     val baseRel = dataEntries(headM).getOrElse(table,
       throw new NoSuchElementException(s"table '$table' not committed under $root"))
     val existing = storedSchema(headM, table).getOrElse(writtenSchema(baseRel))
-    require(existing.fieldNames.contains(keyCol),
-      s"delete key '$keyCol' not a column of table '$table'")
-    val ks = keys.select(col(keyCol).as("_del_key")).distinct()
-    val mm = ks.agg(min(col("_del_key")), max(col("_del_key"))).head()
+    keyCols.foreach(k => require(existing.fieldNames.contains(k),
+      s"delete key '$k' not a column of table '$table'"))
+    val ks = keys.select(keyCols.map(k => col(k).as(s"_del_$k")): _*).distinct()
+    val lead = keyCols.head
+    val mm = ks.agg(min(col(s"_del_$lead")), max(col(s"_del_$lead"))).head()
     if (mm.isNullAt(0)) return currentVersion.get // empty keyset: no-op
-    val span = FileStats.ColRange(keyCol, Some(mm.get(0)), Some(mm.get(1)))
+    val span = FileStats.ColRange(lead, Some(mm.get(0)), Some(mm.get(1)))
     partialRewrite(table, Seq(span), statsCols, "deleteKeys", { touched =>
-      touched.join(broadcast(ks), col(keyCol) === col("_del_key"), "left_anti")
+      val cond = keyCols.map(k => col(k) === col(s"_del_$k")).reduce(_ && _)
+      touched.join(broadcast(ks), cond, "left_anti")
     })
   }
 

@@ -463,6 +463,33 @@ class TxnSpec extends AnyFunSuite {
     assert(e.getMessage.contains("_stats") || e.getMessage.contains("stats"))
   }
 
+  test("composite-key MERGE and keyset DELETE: all components match, leading span prunes") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txn").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    // composite PK (region, id): same id repeats across regions
+    val rows = for (r <- Seq("eu", "us"); i <- 1L to 200L) yield (r, i, i * 10L)
+    snap.commit(Map("a" -> rows.toDF("region", "id", "v")
+      .repartitionByRange(4, col("region"), col("id"))), Map("a" -> Seq("region", "id")))
+    // MERGE on (region, id): update eu/5, insert eu/999 — us/5 untouched
+    snap.mergeInto("a", Seq(("eu", 5L, 777L), ("eu", 999L, 999L)).toDF("region", "id", "v"),
+      Seq("region", "id"), Seq("region", "id"))
+    val after = snap.read("a")
+    assert(after.count() == 401L)
+    assert(after.where(col("region") === "eu" && col("id") === 5L)
+      .head.getLong(2) == 777L)
+    assert(after.where(col("region") === "us" && col("id") === 5L)
+      .head.getLong(2) == 50L, "a shared id in ANOTHER region must not be touched")
+    // keyset DELETE on (region, id): only the named pairs die
+    snap.deleteKeys("a", Seq(("eu", 7L), ("us", 9L)).toDF("region", "id"),
+      Seq("region", "id"), Seq("region", "id"))
+    val d = snap.read("a")
+    assert(d.count() == 399L)
+    assert(d.where(col("id") === 7L).count() == 1L, "us/7 must survive eu/7's delete")
+    assert(d.where(col("id") === 9L).count() == 1L, "eu/9 must survive us/9's delete")
+  }
+
   test("merge-on-read deletes: positional tombstones, transparent reads, compact materializes") {
     val sp = spark
     import sp.implicits._
