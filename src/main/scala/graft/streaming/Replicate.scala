@@ -33,7 +33,14 @@ object Replicate {
   /** foreachBatch body: apply one change-feed micro-batch to `dst`. */
   def applyBatch(dst: Snapshots, table: String, keyCol: String,
                  statsCols: Seq[String] = Nil)
-                (batch: DataFrame, batchId: Long): Unit = {
+                (batch: DataFrame, batchId: Long): Unit =
+    applyBatchKeys(dst, table, Seq(keyCol), statsCols)(batch, batchId)
+
+  /** Composite-key form: per-key resolution and the replica's
+    * mergeInto/deleteKeys all match on every component. */
+  def applyBatchKeys(dst: Snapshots, table: String, keyCols: Seq[String],
+                     statsCols: Seq[String] = Nil)
+                    (batch: DataFrame, batchId: Long): Unit = {
     // pin the batch FIRST — every downstream action (emptiness probe,
     // vmax, upsert span/write, dead-key span) would otherwise re-read
     // the feed's files
@@ -42,20 +49,21 @@ object Replicate {
       if (cached.isEmpty) return
       val dataCols = batch.columns
         .filterNot(c => c == "_change" || c == "_commit_version").toSeq
-      val vmax = cached.groupBy(col(keyCol)).agg(max(col("_commit_version")).as("_vmax"))
-        .withColumnRenamed(keyCol, "_rk")
+      val vmax = cached.groupBy(keyCols.map(col): _*)
+        .agg(max(col("_commit_version")).as("_vmax"))
+        .select(keyCols.map(k => col(k).as(s"_rk_$k")) :+ col("_vmax"): _*)
       // `last` feeds four actions (upsert span agg + rewrite, dead span
       // agg + rewrite) — pin the join result too; batches are
       // change-sized, so both pins are small
-      val last = cached.join(vmax,
-        col(keyCol) === col("_rk") && col("_commit_version") === col("_vmax"))
+      val cond = keyCols.map(k => col(k) === col(s"_rk_$k")).reduce(_ && _)
+      val last = cached.join(vmax, cond && col("_commit_version") === col("_vmax"))
         .persist()
       try {
         val ups = last.where(col("_change") === "added")
           .select(dataCols.map(col): _*)
-        val dead = last.groupBy(col(keyCol))
+        val dead = last.groupBy(keyCols.map(col): _*)
           .agg(max(when(col("_change") === "added", 1).otherwise(0)).as("_has_add"))
-          .where(col("_has_add") === 0).select(col(keyCol))
+          .where(col("_has_add") === 0).select(keyCols.map(col): _*)
         val hasTable = dst.currentVersion.exists(v =>
           dst.tablePaths(Some(v)).contains(table))
         if (!hasTable) {
@@ -65,8 +73,8 @@ object Replicate {
           if (!ups.isEmpty)
             dst.commit(Map(table -> ups), Map(table -> statsCols))
         } else {
-          dst.mergeInto(table, ups, keyCol, statsCols) // empty source = no-op
-          dst.deleteKeys(table, dead, keyCol, statsCols) // empty keyset = no-op
+          dst.mergeInto(table, ups, keyCols, statsCols) // empty source = no-op
+          dst.deleteKeys(table, dead, keyCols, statsCols) // empty keyset = no-op
         }
       } finally { last.unpersist(); () }
     } finally { cached.unpersist(); () }

@@ -361,6 +361,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(!rows(dst).exists(r => r._1 == 15L || r._1 == 16L))
   }
 
+  test("composite-key replication: per-key resolution matches on every component") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Snapshots
+    import graft.streaming.Replicate
+    val sp = spark
+    import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("replck").toString
+    val src = new Snapshots(spark, base + "/src")
+    val dst = new Snapshots(spark, base + "/dst")
+    val rows = for (r <- Seq("eu", "us"); i <- 1L to 30L) yield (r, i, i * 10L)
+    src.commit(Map("t" -> rows.toDF("r", "id", "v")
+      .repartitionByRange(4, col("r"), col("id"))), Map("t" -> Seq("r", "id")))
+    // touch eu/5 only (us/5 must survive untouched through replication)
+    src.mergeInto("t", Seq(("eu", 5L, 777L)).toDF("r", "id", "v"),
+      Seq("r", "id"), Seq("r", "id"))
+    src.deleteKeys("t", Seq(("us", 9L)).toDF("r", "id"), Seq("r", "id"), Seq("r", "id"))
+    val q = spark.readStream
+      .format("graft.sources.ChangeFeed")
+      .option("path", base + "/src").option("table", "t")
+      .option("startingVersion", "0").option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream
+      .foreachBatch(Replicate.applyBatchKeys(dst, "t", Seq("r", "id"), Seq("r", "id")) _)
+      .option("checkpointLocation", base + "/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "drain must terminate")
+    def all(sn: Snapshots) = sn.read("t").as[(String, Long, Long)].collect().toSet
+    assert(all(dst) == all(src))
+    assert(all(dst).contains(("eu", 5L, 777L)) && all(dst).contains(("us", 5L, 50L)))
+    assert(!all(dst).contains(("us", 9L, 90L)) && all(dst).contains(("eu", 9L, 90L)))
+  }
+
   test("streaming matview: applyBatch folds change-feed deltas idempotently across restarts") {
     import org.apache.spark.sql.functions._
     import graft.sources.{FileStats, IncrementalAgg, Snapshots}
