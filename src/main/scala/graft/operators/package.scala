@@ -29,4 +29,24 @@ package object operators {
 
   /** Epoch seconds of a (NTZ) timestamp column under the UTC session. */
   def epochS(c: Column): Column = unix_timestamp(c.cast("timestamp"))
+
+  /** events.ts as a proper event-time TIMESTAMP column, schema-aware
+    * like [[events]]: long-ns data (legacy nanosAsLong read) truncates
+    * ns→µs; native timestamp data casts (NTZ → session-UTC) untouched.
+    * Works on batch and readStream DataFrames alike — the streaming
+    * twins must window on exactly the values their batch oracles see.
+    */
+  def evTs(df: DataFrame): Column = df.schema("ts").dataType.typeName match {
+    case "long" => timestamp_micros(expr("ts div 1000"))
+    case _      => col("ts").cast("timestamp")
+  }
+
+  /** [[evTs]] truncated to MILLISECONDS — session-window gap arithmetic
+    * must run on identical values in both engines, so both truncate to
+    * the coarser unit first.
+    */
+  def evTsMs(df: DataFrame): Column = df.schema("ts").dataType.typeName match {
+    case "long" => timestamp_millis(expr("ts div 1000000"))
+    case _      => timestamp_millis(unix_millis(col("ts").cast("timestamp")))
+  }
 }

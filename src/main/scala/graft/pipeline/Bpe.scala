@@ -99,19 +99,36 @@ object Bpe {
   }
 
   /** In-memory reference trainer — the spec's ground truth. Same
-    * tiebreak ((freq desc, (l, r) asc)) as the distributed form.
+    * tiebreak ((freq desc, (l, r) asc)) as the distributed form, and
+    * the SAME string order: Spark sorts strings by UTF-8 binary, while
+    * Scala's default String order compares UTF-16 code units — the two
+    * disagree for supplementary-plane symbols (a surrogate's code units
+    * sort below 0xFFFF-range chars, its UTF-8 bytes above), so the
+    * reference compares UTF-8 bytes explicitly. Symbol segmentation is
+    * by CODE POINT for the same reason (Spark's `split` never halves a
+    * surrogate pair; `String.map` would).
     */
+  private val utf8Order: Ordering[String] = (a: String, b: String) =>
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def codePointSymbols(w: String): List[String] =
+    w.codePoints().toArray.map(cp => new String(Character.toChars(cp))).toList
+
   def trainReference(words: Map[String, Long], k: Int): Seq[(Int, String, String, String, Long)] = {
     var vocab: Map[List[String], Long] =
-      words.groupBy(_._1.map(_.toString).toList).map { case (s, ws) => s -> ws.values.sum }
+      words.groupBy(w => codePointSymbols(w._1)).map { case (s, ws) => s -> ws.values.sum }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    implicit val argmaxOrder: Ordering[(Long, String, String)] =
+      Ordering.Tuple3(Ordering.Long, utf8Order, utf8Order)
     for (step <- 1 to k) {
       val counts = scala.collection.mutable.Map.empty[(String, String), Long]
       vocab.foreach { case (syms, f) =>
         syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f)
       }
       if (counts.nonEmpty) {
-        val ((l, r), f) = counts.minBy { case ((l, r), f) => (-f, l, r) }
+        val ((l, r), f) = counts.minBy { case ((l, r), f) => (-f, l, r) }(argmaxOrder)
         merges += ((step, l, r, l + r, f))
         def rep(s: List[String]): List[String] = s match {
           case a :: b :: rest if a == l && b == r => (l + r) :: rep(rest)

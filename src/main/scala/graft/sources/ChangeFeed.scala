@@ -162,9 +162,41 @@ object ChangeFeed {
         |FROM d GROUP BY delta, o_orderstatus
         |ORDER BY delta, o_orderstatus""".stripMargin)
 
-  /** One changed file of one version step. */
-  private[sources] case class ChangeFilePartition(
-      path: String, length: Long, change: String, version: Long) extends InputPartition
+  /** Test hook: how many InputPartitions the last micro-batch planned —
+    * lets StreamingSpec machine-assert that many small changed files
+    * bin-pack into few tasks instead of one task per file.
+    */
+  @volatile private[graft] var lastPlannedPartitions: Int = -1
+
+  /** One changed file of one version step.
+    *
+    *  - `positional = false`: emit every row of the file under `change`,
+    *    EXCLUDING positions listed for this file in `dvPrev` (a replaced
+    *    file's pre-image must not re-remove rows a deletion vector
+    *    already removed) / `dvCur` (a re-referenced file's post-image —
+    *    a restore to a DV-bearing version — must not resurrect them).
+    *  - `positional = true`: the file itself did not change; emit ONLY
+    *    rows whose position is tombstoned in `dvCur` but not `dvPrev`
+    *    (as `removed` — the Delta CDF contract for deletion vectors,
+    *    public design) or un-tombstoned in `dvPrev` but not `dvCur`
+    *    (as `added` — a restore resurrecting rows).
+    *
+    * `dvCur`/`dvPrev` are the (tiny) vector parquet files of the step's
+    * two versions; executors read them once per partition.
+    */
+  private[sources] case class ChangeSlice(
+      path: String, length: Long, change: String, version: Long,
+      positional: Boolean = false,
+      dvCur: Seq[(String, Long)] = Nil,
+      dvPrev: Seq[(String, Long)] = Nil)
+
+  /** Several slices bin-packed to ~maxPartitionBytes: task count tracks
+    * data VOLUME, not file churn — a version landing 50k small files
+    * must not plan 50k tasks (FileSourceScanExec packs splits for the
+    * same reason).
+    */
+  private[sources] case class PackedChangePartition(slices: Seq[ChangeSlice])
+    extends InputPartition
 
   private[sources] class VersionOffset(val v: Long) extends Offset {
     override def json(): String = v.toString
@@ -220,7 +252,8 @@ private[sources] class ChangeFeedTable(tableSchema: StructType,
           new ChangeFeedStream(
             options.get("path"), options.get("table"), base,
             Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
-            pruned)
+            pruned,
+            options.getBoolean("refuseDeletionVectors", false))
         }
       }
     }
@@ -229,7 +262,8 @@ private[sources] class ChangeFeedTable(tableSchema: StructType,
 private[sources] class ChangeFeedStream(root: String, table: String,
                                         startingVersion: Long,
                                         maxVersionsPerTrigger: Option[Long],
-                                        fullSchema: StructType)
+                                        fullSchema: StructType,
+                                        refuseDv: Boolean = false)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -285,7 +319,9 @@ private[sources] class ChangeFeedStream(root: String, table: String,
   /** Stepwise per-version diffs across (start, end] — versions are
     * dense, so the walk is exact and every row gets attributed to the
     * commit that produced it. O(span) manifest reads, O(changed files)
-    * partitions, zero directory listings.
+    * slices bin-packed to byte-bounded partitions, zero directory
+    * listings (the DV dirs pay one tiny listing each, only on DV
+    * versions).
     *
     * Maintenance versions (compaction/clustering, `@maint` in the
     * manifest — rows invariant, files reorganized) emit NOTHING: the
@@ -293,67 +329,210 @@ private[sources] class ChangeFeedStream(root: String, table: String,
     * DATA version diffs against the compacted layout. Without the skip
     * a 100-TB compaction would flood every consumer with remove+add
     * churn for rows that never changed.
+    *
+    * Deletion-vector versions (merge-on-read deletes/updates) emit the
+    * newly tombstoned rows as `removed` BY POSITION from their
+    * unchanged files — the Delta CDF contract (public design) — so one
+    * MoR delete no longer parks every standing consumer until a
+    * compaction runs. `refuseDeletionVectors` restores the old loud
+    * refusal for consumers that must never see a positional delta.
     */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[VersionOffset].v
     val hi = end.asInstanceOf[VersionOffset].v
     val s = snap
-    val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    val slices = scala.collection.mutable.ArrayBuffer.empty[ChangeSlice]
     var before = if (lo == 0L) Map.empty[String, Long] else s.fileSet(table, lo)
+    var dvPrevRel = if (lo == 0L) None else s.dvRelOf(table, lo)
+    var dvPrev = if (lo == 0L) Seq.empty[(String, Long)] else s.dvAbsFiles(table, lo)
     var v = lo + 1
     while (v <= hi) {
-      // a deletion vector hides deletes INSIDE unchanged files — a
-      // file-set diff cannot represent it. Refuse loudly (consumers
-      // resume after compact materializes) rather than resurrect rows.
-      if (s.hasDeletionVector(table, v))
+      if (refuseDv && s.hasDeletionVector(table, v))
         throw new IllegalStateException(
-          s"version $v of '$table' carries a deletion vector — the change feed " +
-            "cannot diff across it; compact (materialize) and restart the stream")
+          s"version $v of '$table' carries a deletion vector and this stream set " +
+            "refuseDeletionVectors — drop the option to consume positional deletes, " +
+            "or restart from a checkpoint past a compaction of the table")
       val after = s.fileSet(table, v)
+      val dvCurRel = s.dvRelOf(table, v)
+      val dvCur = if (dvCurRel == dvPrevRel) dvPrev else s.dvAbsFiles(table, v)
       if (!s.isMaintenanceVersion(table, v)) {
-        (after -- before.keySet).foreach { case (p, len) =>
-          parts += ChangeFilePartition(p, len, "added", v) }
-        (before -- after.keySet).foreach { case (p, len) =>
-          parts += ChangeFilePartition(p, len, "removed", v) }
+        (after -- before.keySet).toSeq.sortBy(_._1).foreach { case (p, len) =>
+          slices += ChangeSlice(p, len, "added", v, dvCur = dvCur) }
+        (before -- after.keySet).toSeq.sortBy(_._1).foreach { case (p, len) =>
+          slices += ChangeSlice(p, len, "removed", v, dvPrev = dvPrev) }
+        if (dvCurRel != dvPrevRel && (dvCur.nonEmpty || dvPrev.nonEmpty)) {
+          // the vector changed without its files changing: rows flipped
+          // state IN PLACE. One tiny job resolves which files the
+          // vectors name (O(touched files) names to the driver, never
+          // rows); only those files get positional slices.
+          val common = before.keySet.intersect(after.keySet)
+          val byName = common.map(p => new org.apache.hadoop.fs.Path(p).getName -> p).toMap
+          val named = spark.read.parquet((dvCur ++ dvPrev).map(_._1).distinct: _*)
+            .select("file_name").distinct().collect().map(_.getString(0))
+          named.flatMap(n => byName.get(n)).toSeq.sorted.foreach { p =>
+            slices += ChangeSlice(p, before(p), "", v, positional = true,
+              dvCur = dvCur, dvPrev = dvPrev)
+          }
+        }
       }
       before = after
+      dvPrevRel = dvCurRel
+      dvPrev = dvCur
       v += 1
     }
-    parts.toArray
+    // bin-pack by bytes: task count follows data volume, not file churn
+    val maxBytes = math.max(1L,
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")))
+    val packed = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    var bin = scala.collection.mutable.ArrayBuffer.empty[ChangeSlice]
+    var binBytes = 0L
+    slices.foreach { sl =>
+      if (bin.nonEmpty && binBytes + sl.length > maxBytes) {
+        packed += PackedChangePartition(bin.toSeq)
+        bin = scala.collection.mutable.ArrayBuffer.empty[ChangeSlice]
+        binBytes = 0L
+      }
+      bin += sl
+      binBytes += sl.length
+    }
+    if (bin.nonEmpty) packed += PackedChangePartition(bin.toSeq)
+    ChangeFeed.lastPlannedPartitions = packed.size
+    packed.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // built on the driver, shipped to executors — the engine's own
-    // parquet file→rows closure (see GraftReadShim). dataSchema is the
-    // PRUNED subset: unselected columns never leave the parquet footer.
+    // parquet file→rows closure (see GraftReadShim; vectorized when the
+    // pruned schema allows). dataSchema is the PRUNED subset:
+    // unselected columns never leave the parquet footer.
     ChangeFeed.lastPlannedSchema = fullSchema // spec hook: what pruning left
-    val readFile = org.apache.spark.sql.GraftReadShim.parquetRowReader(spark, dataSchema)
-    new ChangeFeedReaderFactory(readFile, fullSchema)
+    val readFile = org.apache.spark.sql.GraftReadShim.parquetRowReader(
+      spark, dataSchema, tryBatch = true)
+    val readDv = org.apache.spark.sql.GraftReadShim.parquetRowReader(
+      spark, ChangeFeedReaderFactory.DvSchema)
+    new ChangeFeedReaderFactory(readFile, readDv, fullSchema)
   }
+}
+
+private[sources] object ChangeFeedReaderFactory {
+  val DvSchema: StructType = StructType(Seq(
+    StructField("file_name", StringType, nullable = true),
+    StructField("row_index", LongType, nullable = true)))
 }
 
 private[sources] class ChangeFeedReaderFactory(
     readFile: org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow],
+    readDv: org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow],
     fullSchema: StructType)
     extends PartitionReaderFactory {
   import ChangeFeed._
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[ChangeFilePartition]
+    val slices = partition.asInstanceOf[PackedChangePartition].slices
     new PartitionReader[InternalRow] {
-      // attach only the virtual columns pruning kept, in schema order
-      private val meta = new GenericInternalRow(
+      private def metaRow(change: String, version: Long) = new GenericInternalRow(
         fullSchema.fields.collect {
-          case f if f.name == ChangeCol => UTF8String.fromString(p.change): Any
-          case f if f.name == VersionCol => p.version: Any
+          case f if f.name == ChangeCol => UTF8String.fromString(change): Any
+          case f if f.name == VersionCol => version: Any
         })
       private val joined = new JoinedRow
       private val project = UnsafeProjection.create(fullSchema)
-      private val rows = org.apache.spark.sql.GraftReadShim.flattenRows(
-        readFile(org.apache.spark.sql.GraftReadShim.partitionedFile(p.path, p.length)))
+
+      // one load per DISTINCT vector within the partition (slices of
+      // one step share their vector): file_name -> tombstoned positions
+      private var dvCacheKey: Seq[(String, Long)] = null
+      private var dvCache: java.util.HashMap[String, java.util.HashSet[java.lang.Long]] = _
+      private def positions(dv: Seq[(String, Long)], name: String): java.util.HashSet[java.lang.Long] = {
+        if (dv.isEmpty) return new java.util.HashSet[java.lang.Long]()
+        if (dvCacheKey == null || dvCacheKey != dv) {
+          val m = new java.util.HashMap[String, java.util.HashSet[java.lang.Long]]()
+          dv.foreach { case (p, len) =>
+            org.apache.spark.sql.GraftReadShim.flattenRows(
+              readDv(org.apache.spark.sql.GraftReadShim.partitionedFile(p, len)))
+              .foreach { r =>
+                m.computeIfAbsent(r.getUTF8String(0).toString,
+                  (_: String) => new java.util.HashSet[java.lang.Long]()).add(r.getLong(1))
+                ()
+              }
+          }
+          dvCacheKey = dv; dvCache = m
+        }
+        dvCache.getOrDefault(name, new java.util.HashSet[java.lang.Long]())
+      }
+      // positional slices need BOTH vectors; cache each separately by
+      // re-keying — cheap because consecutive slices share vectors
+      private var dvCacheKey2: Seq[(String, Long)] = null
+      private var dvCache2: java.util.HashMap[String, java.util.HashSet[java.lang.Long]] = _
+      private def positions2(dv: Seq[(String, Long)], name: String): java.util.HashSet[java.lang.Long] = {
+        if (dv.isEmpty) return new java.util.HashSet[java.lang.Long]()
+        if (dvCacheKey2 == null || dvCacheKey2 != dv) {
+          val m = new java.util.HashMap[String, java.util.HashSet[java.lang.Long]]()
+          dv.foreach { case (p, len) =>
+            org.apache.spark.sql.GraftReadShim.flattenRows(
+              readDv(org.apache.spark.sql.GraftReadShim.partitionedFile(p, len)))
+              .foreach { r =>
+                m.computeIfAbsent(r.getUTF8String(0).toString,
+                  (_: String) => new java.util.HashSet[java.lang.Long]()).add(r.getLong(1))
+                ()
+              }
+          }
+          dvCacheKey2 = dv; dvCache2 = m
+        }
+        dvCache2.getOrDefault(name, new java.util.HashSet[java.lang.Long]())
+      }
+
+      private def sliceRows(sl: ChangeSlice): Iterator[InternalRow] = {
+        val name = new org.apache.hadoop.fs.Path(sl.path).getName
+        if (!sl.positional) {
+          val exclude = positions(if (sl.change == "removed") sl.dvPrev else sl.dvCur, name)
+          val meta = metaRow(sl.change, sl.version)
+          val rows = org.apache.spark.sql.GraftReadShim.flattenRows(
+            readFile(org.apache.spark.sql.GraftReadShim.partitionedFile(sl.path, sl.length)))
+          if (exclude.isEmpty) rows.map(r => project(joined(r, meta)))
+          else {
+            var idx = -1L
+            rows.flatMap { r =>
+              idx += 1
+              if (exclude.contains(idx)) None else Some(project(joined(r, meta)))
+            }
+          }
+        } else {
+          val cur = positions(sl.dvCur, name)
+          val prev = positions2(sl.dvPrev, name)
+          val removedMeta = metaRow("removed", sl.version)
+          val addedMeta = metaRow("added", sl.version)
+          val anyFlip = {
+            val it = cur.iterator()
+            var f = false
+            while (!f && it.hasNext) f = !prev.contains(it.next())
+            if (!f) {
+              val it2 = prev.iterator()
+              while (!f && it2.hasNext) f = !cur.contains(it2.next())
+            }
+            f
+          }
+          if (!anyFlip) Iterator.empty // vector identical for this file: skip the read
+          else {
+            var idx = -1L
+            org.apache.spark.sql.GraftReadShim.flattenRows(
+              readFile(org.apache.spark.sql.GraftReadShim.partitionedFile(sl.path, sl.length)))
+              .flatMap { r =>
+                idx += 1
+                val inCur = cur.contains(idx)
+                val inPrev = prev.contains(idx)
+                if (inCur && !inPrev) Some(project(joined(r, removedMeta)))
+                else if (inPrev && !inCur) Some(project(joined(r, addedMeta)))
+                else None
+              }
+          }
+        }
+      }
+
+      private val rows = slices.iterator.flatMap(sliceRows)
       private var current: InternalRow = _
       override def next(): Boolean =
-        if (rows.hasNext) { current = project(joined(rows.next(), meta)); true }
+        if (rows.hasNext) { current = rows.next(); true }
         else false
       override def get(): InternalRow = current
       override def close(): Unit = ()

@@ -29,6 +29,18 @@ object Jdbc {
     * the whole path against embedded Derby — the JDBC engine that
     * ships with Spark — since the container has no live Postgres).
     */
+  /** `sessionInit` and `props` carry the reference pool's remaining
+    * per-connection knobs (Connection.hs:29-71 keepalive/affinity) in
+    * the form a per-task JDBC connection can honor: `sessionInit` runs
+    * ONCE on every connection before its first query (Spark's
+    * sessionInitStatement — the SET search_path / role / GUC affinity
+    * analog), and `props` passes driver-level socket options through
+    * verbatim (e.g. Postgres `tcpKeepAlive=true`, `socketTimeout`,
+    * `connectTimeout` — the WAN-flakiness knobs keepalive exists for).
+    * A cross-task idle POOL itself remains a non-goal (SURVEY §8):
+    * Spark partitions open, drain, and close their connection in one
+    * task, so there is no idle socket to keep alive between uses.
+    */
   case class ConnSettings(
       host: String,
       port: Int = 5432,
@@ -37,8 +49,16 @@ object Jdbc {
       password: String = "",
       fetchSize: Int = 10000,
       maxConnections: Int = 32,
-      urlOverride: Option[String] = None) {
+      urlOverride: Option[String] = None,
+      sessionInit: Option[String] = None,
+      props: Map[String, String] = Map.empty) {
     def url: String = urlOverride.getOrElse(s"jdbc:postgresql://$host:$port/$database")
+
+    /** The option set every JDBC surface of this module shares. */
+    def commonOptions: Map[String, String] =
+      Map("url" -> url, "user" -> user, "password" -> password,
+        "fetchsize" -> fetchSize.toString) ++
+        sessionInit.map("sessionInitStatement" -> _) ++ props
   }
 
   /** Whole-table (or subquery) read, range-partitioned on `partitionCol`
@@ -67,11 +87,8 @@ object Jdbc {
         "each partition holds one database connection for its range query; " +
         "raise ConnSettings.maxConnections only to the database's budget for this reader")
     spark.read.format("jdbc")
-      .option("url", cs.url)
+      .options(cs.commonOptions)
       .option("dbtable", table)
-      .option("user", cs.user)
-      .option("password", cs.password)
-      .option("fetchsize", cs.fetchSize)
       .option("partitionColumn", partitionCol)
       .option("lowerBound", lowerBound)
       .option("upperBound", upperBound)
@@ -85,11 +102,8 @@ object Jdbc {
     */
   def readDim(spark: SparkSession, cs: ConnSettings, table: String): DataFrame =
     spark.read.format("jdbc")
-      .option("url", cs.url)
+      .options(cs.commonOptions)
       .option("dbtable", table)
-      .option("user", cs.user)
-      .option("password", cs.password)
-      .option("fetchsize", cs.fetchSize)
       .load()
 
   /** Bulk WRITE-BACK — the reference's `execute`-driven INSERT path
@@ -115,10 +129,8 @@ object Jdbc {
       s"numPartitions=$numPartitions exceeds maxConnections=${cs.maxConnections}: " +
         "each write partition holds one database connection for its insert stream")
     df.coalesce(numPartitions).write.format("jdbc")
-      .option("url", cs.url)
+      .options(cs.commonOptions)
       .option("dbtable", table)
-      .option("user", cs.user)
-      .option("password", cs.password)
       .option("batchsize", batchSize)
       .option("truncate", true)
       .mode(mode)
@@ -133,10 +145,7 @@ object Jdbc {
     */
   def readQuery(spark: SparkSession, cs: ConnSettings, sql: String): DataFrame =
     spark.read.format("jdbc")
-      .option("url", cs.url)
+      .options(cs.commonOptions)
       .option("query", sql)
-      .option("user", cs.user)
-      .option("password", cs.password)
-      .option("fetchsize", cs.fetchSize)
       .load()
 }

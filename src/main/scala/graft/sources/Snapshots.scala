@@ -63,6 +63,26 @@ class Snapshots(s: SparkSession, root: String) {
   private val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
   private def commitDir = new Path(root, "_commits")
   private def commitPath(v: Long) = new Path(commitDir, f"$v%020d.manifest")
+  private def checkpointPath(v: Long) = new Path(commitDir, f"$v%020d.checkpoint")
+
+  /** Every `CheckpointEvery` commits, the full resolved state is also
+    * written as a `.checkpoint` file, bounding delta-chain resolution
+    * to O(CheckpointEvery) small reads — the Delta-log cadence idea
+    * (public design: _delta_log JSON actions + periodic checkpoints).
+    */
+  private val CheckpointEvery = 16L
+
+  /** Resolved-state caches. Manifests are immutable once published, so
+    * a version's resolved state never changes; vacuum evicts dropped
+    * versions. `stateCache` holds the EXPLODED on-disk key space (what
+    * deltas diff against), `viewCache` the reassembled in-memory form
+    * every consumer reads, `tsCache` header commit times.
+    */
+  private val stateCache = new java.util.concurrent.ConcurrentHashMap[Long, Map[String, String]]()
+  private val viewCache = new java.util.concurrent.ConcurrentHashMap[Long, Map[String, String]]()
+  private val tsCache = new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Long]()
+  private def boundCache[V](c: java.util.concurrent.ConcurrentHashMap[Long, V]): Unit =
+    if (c.size > 256) c.clear()
 
   /** Writer-unique staging prefix. The manifest create-exclusive is the
     * protocol's ONLY serialization point — but if two writers racing
@@ -85,13 +105,39 @@ class Snapshots(s: SparkSession, root: String) {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  /** Manifest format: one `table=relative/path` line per table.
+  /** Manifest format, v2 — INCREMENTAL commit metadata (the Delta-log
+    * model, public design: per-commit delta actions + periodic full
+    * checkpoints). A published `.manifest` is a DELTA against the
+    * previous version's resolved state:
+    *
+    * {{{
+    *   #graft-delta v=7 base=6 ts=1723500000000
+    *   +key=value        (key added or value changed)
+    *   -key              (key removed)
+    * }}}
+    *
+    * The diff runs over the EXPLODED key space: a table's `@files` list
+    * is keyed per file (`table@files:rel=len`), so an append of 2 files
+    * to a 10⁵-file table writes 2 `+` lines — commit METADATA cost is
+    * O(changed files), never O(table files) (TxnSpec machine-asserts
+    * manifest bytes are independent of table file count). Every
+    * `CheckpointEvery` commits the full exploded state also lands as a
+    * `.checkpoint` sidecar (and vacuum pins one at the oldest retained
+    * version), bounding read-side resolution to O(CheckpointEvery)
+    * small reads, memoized per version in [[stateCache]]/[[viewCache]]
+    * (manifests are immutable, so cached states never go stale). The
+    * header's `ts` records the commit time INSIDE the manifest, so
+    * timestamp travel survives file copies that reset mtime (a
+    * FileUtil.copy'd lake keeps its history). Headerless manifests are
+    * the v1 format — a full `key=value` snapshot — and still resolve
+    * (legacy/external writers).
+    *
     * Returns false ONLY on a lost version race (version v already
     * published by another writer); any other IO failure propagates —
     * treating a permission/quota error as a race would make commit()
     * retry (re-writing all table data each attempt) forever.
-    */
-  /** `maint` marks this version as pure MAINTENANCE for the named
+    *
+    * `maint` marks this version as pure MAINTENANCE for the named
     * tables (compaction / clustering: files reorganized, rows
     * invariant — Delta's dataChange=false). The marker is a per-VERSION
     * property, never state: every publish builds its manifest from the
@@ -103,10 +149,33 @@ class Snapshots(s: SparkSession, root: String) {
                             maint: Set[String] = Set.empty): Boolean = {
     val tables = tables0.filterNot(_._1.endsWith(MaintSuffix)) ++
       maint.map(t => (t + MaintSuffix) -> "1")
-    tables.keys.foreach(t => require(!t.contains("=") && !t.contains("\n"),
+    tables.keys.foreach(t => require(
+      !t.contains("=") && !t.contains("\n") &&
+        !t.startsWith("+") && !t.startsWith("-") && !t.startsWith("#"),
       s"table name '$t' would corrupt the manifest line format"))
     fs.mkdirs(commitDir)
-    val body = tables.toSeq.sorted.map { case (t, p) => s"$t=$p" }.mkString("\n")
+    val exploded = explode(tables)
+    val ts = System.currentTimeMillis()
+    // delta against the previous version's resolved state; if that
+    // state is unresolvable (first commit → empty; or a vacuum race
+    // collected the chain mid-flight) fall back to a self-contained
+    // full manifest — resolution never needs what no longer exists
+    val body = (try Some(resolveState(v - 1)) catch {
+      case _: java.io.FileNotFoundException => None
+    }) match {
+      case Some(prev) =>
+        val adds = exploded.toSeq
+          .filter { case (k, value) => !prev.get(k).contains(value) }
+          .sortBy(_._1)
+        val dels = (prev.keySet -- exploded.keySet).toSeq.sorted
+        (s"#graft-delta v=$v base=${v - 1} ts=$ts" +:
+          (adds.map { case (k, value) => s"+$k=$value" } ++ dels.map("-" + _)))
+          .mkString("\n")
+      case None =>
+        (s"#graft-full v=$v ts=$ts" +:
+          exploded.toSeq.sortBy(_._1).map { case (k, value) => s"$k=$value" })
+          .mkString("\n")
+    }
     val out =
       try {
         // overwrite=false → atomic create-exclusive: exactly one writer
@@ -126,12 +195,37 @@ class Snapshots(s: SparkSession, root: String) {
     // retry) — delete the partial file before propagating
     try {
       try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
-      true
     } catch {
       case e: Throwable =>
         try fs.delete(commitPath(v), false) catch { case _: Exception => () }
         throw e
     }
+    stateCache.put(v, exploded); boundCache(stateCache)
+    viewCache.put(v, reassemble(exploded)); boundCache(viewCache)
+    tsCache.put(v, ts); boundCache(tsCache)
+    // cadence checkpoint: best-effort accelerator — a failed write
+    // just leaves resolution on the (complete) delta chain
+    if (v % CheckpointEvery == 0L)
+      try writeCheckpoint(v, exploded) catch { case _: Exception => () }
+    true
+  }
+
+  /** Full exploded state as a `.checkpoint` sidecar, via temp+rename so
+    * a torn write can never be read as a (wrong) complete state.
+    * Throws on failure — vacuum MUST have its pin before dropping the
+    * chain behind it; the cadence caller downgrades to best-effort.
+    */
+  private def writeCheckpoint(v: Long, exploded: Map[String, String]): Unit = {
+    val tmp = new Path(commitDir, f"$v%020d.checkpoint.tmp-$writerId")
+    val body = (s"#graft-checkpoint v=$v" +:
+      exploded.toSeq.sortBy(_._1).map { case (k, value) => s"$k=$value" })
+      .mkString("\n")
+    val out = fs.create(tmp, true)
+    try {
+      try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      if (!fs.rename(tmp, checkpointPath(v)) && !fs.exists(checkpointPath(v)))
+        throw new java.io.IOException(s"checkpoint rename failed for version $v")
+    } finally { try fs.delete(tmp, false) catch { case _: Exception => () } }
   }
 
   /** Attempt cap for optimistic-concurrency loops: losing this many
@@ -141,19 +235,159 @@ class Snapshots(s: SparkSession, root: String) {
     */
   private val MaxAttempts = 16
 
-  private def readManifest(v: Long): Map[String, String] = {
-    val in = fs.open(commitPath(v))
-    val body = try {
+  private def readFileBody(p: Path): String = {
+    val in = fs.open(p)
+    try {
       val buf = new java.io.ByteArrayOutputStream()
       val chunk = new Array[Byte](8192)
       var n = in.read(chunk)
       while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
       new String(buf.toByteArray, StandardCharsets.UTF_8)
     } finally in.close()
-    body.linesIterator.filter(_.nonEmpty).map { line =>
+  }
+
+  private def parseKv(lines: Iterator[String]): Map[String, String] =
+    lines.filter(_.nonEmpty).map { line =>
       val Array(t, p) = line.split("=", 2)
       t -> p
     }.toMap
+
+  /** The VIEW (`table→rel` + `@` metadata lines) ↔ the exploded on-disk
+    * key space deltas diff against. Only the `@files` list explodes —
+    * one `table@files:rel=len` key per file — because it is the one
+    * value that grows with table size; everything else is already
+    * O(tables) small. Empty `@files` values (a zero-file line) pass
+    * through unexploded so the key itself survives the round-trip.
+    * The rel-path half of an exploded key is percent-encoded: hive-
+    * partitioned staging dirs put '=' INSIDE paths (`pk_bucket=28/…`),
+    * and a raw '=' in a key would split the `key=value` line at the
+    * wrong place.
+    */
+  private def encPath(r: String): String =
+    r.replace("%", "%25").replace("=", "%3D")
+  private def decPath(r: String): String =
+    r.replace("%3D", "=").replace("%25", "%")
+
+  private def explode(view: Map[String, String]): Map[String, String] =
+    view.flatMap { case (k, value) =>
+      if (k.endsWith(FilesSuffix) && value.nonEmpty)
+        value.split(";").filter(_.nonEmpty).toSeq.map { e =>
+          val i = e.lastIndexOf(':')
+          (k + ":" + encPath(e.substring(0, i))) -> e.substring(i + 1)
+        }
+      else Seq(k -> value)
+    }
+
+  private def reassemble(state: Map[String, String]): Map[String, String] = {
+    val marker = FilesSuffix + ":"
+    val (fileKeys, plain) = state.partition(_._1.contains(marker))
+    plain ++ fileKeys.toSeq
+      .map { case (k, len) =>
+        val i = k.indexOf(marker)
+        (k.substring(0, i + FilesSuffix.length),
+          (decPath(k.substring(i + marker.length)), len))
+      }
+      .groupBy(_._1)
+      .map { case (lineKey, entries) =>
+        lineKey -> entries.map(_._2).sortBy(_._1)
+          .map { case (r, l) => s"$r:$l" }.mkString(";")
+      }
+  }
+
+  private def applyDelta(state: Map[String, String], lines: Seq[String]): Map[String, String] = {
+    val b = scala.collection.mutable.Map.empty[String, String] ++ state
+    lines.filter(_.nonEmpty).foreach { l =>
+      if (l.startsWith("+")) {
+        val Array(k, value) = l.substring(1).split("=", 2)
+        b(k) = value
+      } else if (l.startsWith("-")) b -= l.substring(1)
+      else throw new IllegalStateException(
+        s"corrupt delta manifest line under $root: '$l'")
+    }
+    b.toMap
+  }
+
+  private def headerField(header: String, name: String): Option[String] =
+    header.split("\\s+").collectFirst {
+      case t if t.startsWith(name + "=") => t.substring(name.length + 1)
+    }
+
+  /** Resolve version `v`'s EXPLODED state: nearest memo / checkpoint /
+    * full (or legacy) manifest at-or-below `v`, plus the delta chain up
+    * from it — O(CheckpointEvery) small reads worst-case, then cached
+    * for every version touched on the walk. Throws FileNotFoundException
+    * for a version that was never committed or left the retention
+    * window (vacuum evicts its cache entries, so the miss is real).
+    */
+  private def resolveState(v: Long): Map[String, String] = {
+    if (v <= 0L) return Map.empty
+    val memo = stateCache.get(v)
+    if (memo != null) return memo
+    var pending = List.empty[(Long, Seq[String])] // oldest-first after the walk
+    var cur = v
+    var base: Map[String, String] = null
+    while (base == null) {
+      if (cur <= 0L) base = Map.empty
+      else {
+        val hit = stateCache.get(cur)
+        if (hit != null) base = hit
+        else if (fs.exists(checkpointPath(cur)))
+          base = parseKv(readFileBody(checkpointPath(cur)).linesIterator.drop(1))
+        else {
+          val lines = readFileBody(commitPath(cur)).linesIterator.toSeq
+          val header = lines.headOption.getOrElse("")
+          if (header.startsWith("#graft-delta")) {
+            pending = (cur, lines.tail) :: pending
+            cur = headerField(header, "base").map(_.toLong).getOrElse(cur - 1)
+          } else if (header.startsWith("#graft-full")) base = parseKv(lines.tail.iterator)
+          else base = explode(parseKv(lines.iterator)) // v1 headerless = full view
+        }
+      }
+    }
+    var st = base
+    pending.foreach { case (ver, lines) =>
+      st = applyDelta(st, lines)
+      stateCache.put(ver, st)
+    }
+    stateCache.put(v, st)
+    boundCache(stateCache)
+    st
+  }
+
+  private def readManifest(v: Long): Map[String, String] = {
+    val hit = viewCache.get(v)
+    if (hit != null) return hit
+    val view = reassemble(resolveState(v))
+    viewCache.put(v, view); boundCache(viewCache)
+    view
+  }
+
+  /** Commit time of version `v` — the manifest header's `ts` (recorded
+    * at publish, survives file-level copies), falling back to the
+    * manifest file's mtime for v1/legacy manifests. Throws for a
+    * version not in the log.
+    */
+  def commitTimestamp(v: Long): Long = {
+    val hit = tsCache.get(v)
+    if (hit != null) return hit.longValue()
+    val st = fs.getFileStatus(commitPath(v))
+    val header = {
+      val in = fs.open(commitPath(v))
+      try {
+        val buf = new Array[Byte](512)
+        var off = 0
+        var n = in.read(buf, off, buf.length - off)
+        while (n > 0) { off += n; n = in.read(buf, off, buf.length - off) }
+        new String(buf, 0, off, StandardCharsets.UTF_8)
+          .linesIterator.toSeq.headOption.getOrElse("")
+      } finally in.close()
+    }
+    val ts =
+      if (header.startsWith("#graft")) headerField(header, "ts").map(_.toLong)
+        .getOrElse(st.getModificationTime)
+      else st.getModificationTime
+    tsCache.put(v, ts); boundCache(tsCache)
+    ts
   }
 
   /** Consumed append-tags are manifest STATE, not path decoration: a
@@ -177,13 +411,13 @@ class Snapshots(s: SparkSession, root: String) {
     * lines existed (or by external stagers) fall back to the listing
     * path — metadata is an accelerator, never a correctness input.
     *
-    * Cost model: each manifest carries its tables' FULL file lists, so
-    * a publish writes O(table files) metadata BYTES (the read side is
-    * what must stay O(manifest); data IO was already O(batch)). At a
-    * 10⁵-file table that is a few MB of manifest per publish — the
-    * same trade Delta's checkpoints make; if it ever binds, the files
-    * line can move to a content-addressed per-table sidecar so
-    * unchanged tables share one pointer across versions.
+    * Cost model: the VIEW carries full file lists, but the on-disk
+    * manifest is a DELTA over the exploded per-file key space (see
+    * [[writeManifest]]), so a publish writes O(changed files) metadata
+    * bytes — a streaming append to a 10⁵-file table pays a few lines
+    * per commit, with the full state re-materialized only at the
+    * periodic `.checkpoint` cadence (the Delta-log trade, public
+    * design).
     */
   private val SchemaSuffix = "@schema"
   private val FilesSuffix = "@files"
@@ -215,6 +449,20 @@ class Snapshots(s: SparkSession, root: String) {
   /** True iff `table` carries a deletion vector at version `v`. */
   def hasDeletionVector(table: String, v: Long): Boolean =
     readManifest(v).contains(table + DvSuffix)
+
+  /** The manifest's `@dv` pointer for `table` at `v` — identity of the
+    * vector (the change feed advances its DV cursor on pointer change,
+    * the same way the file cursor advances on file-set change).
+    */
+  private[sources] def dvRelOf(table: String, v: Long): Option[String] =
+    readManifest(v).get(table + DvSuffix)
+
+  /** The vector's parquet files as (absolute path, length) — one small
+    * listing of the (tiny) DV directory; planner-side only.
+    */
+  private[sources] def dvAbsFiles(table: String, v: Long): Seq[(String, Long)] =
+    dvRelOf(table, v).fold(Seq.empty[(String, Long)])(rel =>
+      listRelFiles(splitRel(rel)).map { case (r, len) => (s"$root/$r", len) })
 
   /** True iff version `v` was a pure-maintenance publish for `table`
     * (compaction/clustering — rows invariant, files reorganized). The
@@ -582,6 +830,15 @@ class Snapshots(s: SparkSession, root: String) {
         dataEntries(m).map { case (t, rel) => t -> absPaths(rel) }
     }
 
+  /** Existence probe: is `table` committed at `version` (default head)?
+    * Pure manifest lookup — no paths exposed, so (unlike [[tablePaths]])
+    * an unrelated MoR table elsewhere in the lake cannot make it throw:
+    * a replication bootstrap into a lake that happens to hold some
+    * other DV-bearing table must not crash on the probe.
+    */
+  def hasTable(table: String, version: Option[Long] = None): Boolean =
+    version.orElse(currentVersion).exists(v => dataEntries(readManifest(v)).contains(table))
+
   /** A table's data files at a version, expanded to FILE granularity
     * (directory entries list their parquet files), so version diffs
     * compare the actual storage units the commit protocol moves.
@@ -630,47 +887,110 @@ class Snapshots(s: SparkSession, root: String) {
     * value added). Both versions must still be within the vacuum
     * retention window; a collected version's files fail loudly here.
     */
-  def readChanges(table: String, fromV: Long, toV: Long): DataFrame = {
+  def readChanges(table: String, fromV: Long, toV: Long): DataFrame =
+    readChanges(table, fromV, toV, dvAware = true)
+
+  /** `dvAware = true` (the default) extends the diff across MERGE-ON-READ
+    * versions — the Delta CDF contract (public design): rows newly
+    * tombstoned between the endpoints surface as `removed` read from
+    * their (unchanged) files BY POSITION, pre-images of replaced files
+    * exclude positions already dead at `fromV` (no double-removal), and
+    * post-images exclude positions dead at `toV`. A restore that
+    * un-tombstones surfaces the resurrected rows as `added`. Cost stays
+    * O(changed files + DV): position joins touch only files the vectors
+    * name. `dvAware = false` restores the refuse-loudly contract for
+    * consumers that must never see a positional delta.
+    */
+  def readChanges(table: String, fromV: Long, toV: Long, dvAware: Boolean): DataFrame = {
     require(fromV <= toV, s"readChanges wants fromV <= toV, got $fromV > $toV")
-    // a deletion vector hides rows INSIDE unchanged files — a file-set
-    // diff cannot see it, so the delta would silently resurrect deleted
-    // rows for every consumer. Refuse until compact materializes.
-    require(fromV == 0L || !hasDeletionVector(table, fromV),
-      s"version $fromV of '$table' carries a deletion vector — compact before diffing")
-    require(!hasDeletionVector(table, toV),
-      s"version $toV of '$table' carries a deletion vector — compact before diffing")
+    val mFrom = if (fromV == 0L) Map.empty[String, String] else readManifest(fromV)
+    val mTo = readManifest(toV)
+    if (!dvAware) {
+      // a deletion vector hides rows INSIDE unchanged files — a file-set
+      // diff cannot see it, so the delta would silently resurrect deleted
+      // rows for every consumer. Refuse until compact materializes.
+      require(!mFrom.contains(table + DvSuffix),
+        s"version $fromV of '$table' carries a deletion vector — compact before diffing")
+      require(!mTo.contains(table + DvSuffix),
+        s"version $toV of '$table' carries a deletion vector — compact before diffing")
+    }
     val before = fileSet(table, fromV)
     val after = fileSet(table, toV)
     val added = (after -- before.keySet).toSeq.sortBy(_._1)
     val removed = (before -- after.keySet).toSeq.sortBy(_._1)
     // schema from either endpoint's manifest metadata → the diff sides
     // plan without listing or inference, same as a snapshot read
-    val schema = storedSchema(readManifest(toV), table)
-      .orElse(storedSchema(readManifest(fromV), table))
-    def side(files: Seq[(String, Long)], change: String): Option[DataFrame] =
+    val schema = storedSchema(mTo, table).orElse(storedSchema(mFrom, table))
+    def dvDf(m: Map[String, String]): Option[DataFrame] =
+      m.get(table + DvSuffix).map(rel => s.read.parquet(absPaths(rel): _*)
+        .select(col("file_name").as("__dv_fn"), col("row_index").as("__dv_ri")))
+    val dvP = dvDf(mFrom)
+    val dvT = dvDf(mTo)
+    def readFiles(files: Seq[(String, Long)]): DataFrame = schema match {
+      case Some(sc) => org.apache.spark.sql.GraftLakeShim.parquetByManifest(s, files, sc)
+      case None => s.read.parquet(files.map(_._1): _*)
+    }
+    // a changed-file side, minus the positions its endpoint's vector
+    // already hides (None → raw read, zero overhead on the DV-less path)
+    def side(files: Seq[(String, Long)], change: String, dv: Option[DataFrame]): Option[DataFrame] =
       if (files.isEmpty) None
       else {
-        val base = schema match {
-          case Some(sc) => org.apache.spark.sql.GraftLakeShim.parquetByManifest(s, files, sc)
-          case None => s.read.parquet(files.map(_._1): _*)
+        val base = readFiles(files)
+        val applied = dv match {
+          case None => base
+          case Some(d) =>
+            val cols = base.columns
+            base.withColumn("__fn", col("_metadata.file_name"))
+              .withColumn("__ri", col("_metadata.row_index"))
+              .join(d, col("__fn") === col("__dv_fn") && col("__ri") === col("__dv_ri"),
+                "left_anti")
+              .select(cols.map(col): _*)
         }
-        Some(base.withColumn("_change", lit(change)))
+        Some(applied.withColumn("_change", lit(change)))
       }
-    (side(added, "added"), side(removed, "removed")) match {
-      case (Some(a), Some(r)) => a.unionByName(r)
-      case (Some(a), None) => a
-      case (None, Some(r)) => r
-      case (None, None) =>
-        schema match {
-          case Some(sc) =>
-            org.apache.spark.sql.GraftLakeShim.parquetByManifest(s, Nil, sc)
-              .withColumn("_change", lit(""))
-          case None =>
-            val any = (after.keySet ++ before.keySet).headOption.getOrElse(
-              throw new IllegalStateException(
-                s"table '$table' absent at versions $fromV and $toV under $root"))
-            s.read.parquet(any).limit(0).withColumn("_change", lit(""))
+    // positional delta over files PRESENT AT BOTH endpoints: positions in
+    // `in` but not `notIn` are rows that changed state without their file
+    // changing — newly tombstoned → `removed`, un-tombstoned (a restore
+    // to a pre-DV version) → `added`. Only files the position-diff NAMES
+    // are read (one small distinct-names collect bounds the scan).
+    val common = before.keySet.intersect(after.keySet)
+    def positional(in: Option[DataFrame], notIn: Option[DataFrame], change: String): Option[DataFrame] =
+      in.flatMap { d =>
+        val diff = notIn.fold(d)(n => d.join(n
+          .select(col("__dv_fn").as("__n_fn"), col("__dv_ri").as("__n_ri")),
+          col("__dv_fn") === col("__n_fn") && col("__dv_ri") === col("__n_ri"),
+          "left_anti"))
+        val byName = common.toSeq.map(p => new Path(p).getName -> p).toMap
+        val names = diff.select("__dv_fn").distinct().collect()
+          .map(_.getString(0)).filter(byName.contains).sorted
+        if (names.isEmpty) None
+        else {
+          val files = names.map(n => byName(n) -> before(byName(n)))
+          val base = readFiles(files)
+          val cols = base.columns
+          Some(base.withColumn("__fn", col("_metadata.file_name"))
+            .withColumn("__ri", col("_metadata.row_index"))
+            .join(diff, col("__fn") === col("__dv_fn") && col("__ri") === col("__dv_ri"),
+              "left_semi")
+            .select(cols.map(col): _*)
+            .withColumn("_change", lit(change)))
         }
+      }
+    val sides = Seq(
+      side(added, "added", dvT),
+      side(removed, "removed", dvP),
+      positional(dvT, dvP, "removed"),
+      positional(dvP, dvT, "added")).flatten
+    if (sides.nonEmpty) sides.reduce(_.unionByName(_))
+    else schema match {
+      case Some(sc) =>
+        org.apache.spark.sql.GraftLakeShim.parquetByManifest(s, Nil, sc)
+          .withColumn("_change", lit(""))
+      case None =>
+        val any = (after.keySet ++ before.keySet).headOption.getOrElse(
+          throw new IllegalStateException(
+            s"table '$table' absent at versions $fromV and $toV under $root"))
+        s.read.parquet(any).limit(0).withColumn("_change", lit(""))
     }
   }
 
@@ -895,8 +1215,14 @@ class Snapshots(s: SparkSession, root: String) {
     // the source's own leading-key span (two scalars to the driver —
     // the source is the batch side by definition) bounds the touched set
     val lead = keyCols.head
-    val mm = source.agg(min(col(lead)), max(col(lead))).head()
-    if (mm.isNullAt(0)) return currentVersion.get // empty source: no-op
+    val mm = source.agg(min(col(lead)), max(col(lead)), count(lit(1))).head()
+    if (mm.getLong(2) == 0L) return currentVersion.get // empty source: no-op
+    if (mm.isNullAt(0))
+      // non-empty source whose EVERY leading key is null: a null key
+      // component never matches (SQL MERGE ON semantics), so the whole
+      // source inserts and no existing file can be touched — land it as
+      // an O(batch) append rather than silently dropping it as "empty"
+      return append(table, source, statsCols = statsCols)
     val span = FileStats.ColRange(lead, Some(mm.get(0)), Some(mm.get(1)))
     partialRewrite(table, Seq(span), statsCols, "merge", { touched =>
       val srcR = source.select(
@@ -931,16 +1257,26 @@ class Snapshots(s: SparkSession, root: String) {
     * double NaN handling follows the footer contract — both fine for
     * the key's integer/short-string columns. Returns (total rows,
     * col -> (nonnull count, min, max)); min/max are None for all-null
-    * columns.
+    * columns. Merge-on-read tables answer count(*) exactly (footer
+    * rows minus tombstoned positions, O(DV) extra); per-column
+    * questions on them are refused until compact materializes.
     */
   def aggStats(table: String, cols: Seq[String], version: Option[Long] = None)
       : (Long, Map[String, (Long, Option[Any], Option[Any])]) = {
     val v = version.orElse(currentVersion).getOrElse(
       throw new IllegalStateException(s"no commits under $root"))
     val m = readManifest(v)
-    require(!m.contains(table + DvSuffix),
-      s"table '$table' carries a deletion vector — sidecar stats describe the raw " +
-        "files, so metadata answers would count deleted rows; compact first")
+    // count(*) stays EXACT under merge-on-read: total = footer rows −
+    // tombstoned positions (each position hides exactly one live row —
+    // the vector is deduplicated and references current files). Per-
+    // column answers stay refused: a tombstone may hide the extremum
+    // or a null, and the sidecar cannot say which.
+    require(!m.contains(table + DvSuffix) || cols.isEmpty,
+      s"table '$table' carries a deletion vector — per-column sidecar stats describe " +
+        "the raw files, so min/max/count(col) would reflect deleted rows; compact " +
+        "first (count(*) alone remains exact: pass cols = Nil)")
+    val dvHidden = m.get(table + DvSuffix).fold(0L)(rel =>
+      s.read.parquet(absPaths(rel): _*).count())
     val rel = dataEntries(m).getOrElse(table,
       throw new NoSuchElementException(s"table '$table' not committed under $root"))
     val files: Seq[String] = storedFiles(m, table).map(_.map(_._1))
@@ -983,7 +1319,7 @@ class Snapshots(s: SparkSession, root: String) {
         case None => c -> ((0L, None, None)) // zero-row table
       }
     }.toMap
-    (totalRows, out)
+    (totalRows - dvHidden, out)
   }
 
   /** Zero-copy table CLONE (the publicly documented Delta SHALLOW
@@ -1052,22 +1388,24 @@ class Snapshots(s: SparkSession, root: String) {
   }
 
   /** Timestamp time travel (the Delta `TIMESTAMP AS OF` resolution
-    * rule, public knowledge): a version's commit time IS its manifest
-    * file's modification time — recorded by the filesystem at the
-    * atomic create that published it, no extra metadata needed.
-    * Resolves to the NEWEST version committed at or before `tsMillis`;
-    * None when nothing that old is retained (vacuumed manifests
-    * naturally fall out of the resolvable window). Caveat, as in the
-    * open formats: commit times come from the store's clock, so
-    * cross-writer ordering is only as good as clock agreement —
-    * version numbers, not timestamps, are the authoritative order.
+    * rule, public knowledge): a version's commit time is recorded in
+    * its manifest HEADER at publish — not the file's mtime, which a
+    * file-level copy (the c12 lake-template pattern, a backup restore)
+    * resets, silently re-dating every version to copy time. Headerless
+    * v1 manifests fall back to mtime. Resolves to the NEWEST version
+    * committed at or before `tsMillis`; None when nothing that old is
+    * retained (vacuumed manifests naturally fall out of the resolvable
+    * window). Caveat, as in the open formats: commit times come from
+    * the writer's clock, so cross-writer ordering is only as good as
+    * clock agreement — version numbers, not timestamps, are the
+    * authoritative order.
     */
   def versionAsOf(tsMillis: Long): Option[Long] = {
     if (!fs.exists(commitDir)) return None
     val vs = fs.listStatus(commitDir)
-      .filter(st => st.getPath.getName.endsWith(".manifest") &&
-        st.getModificationTime <= tsMillis)
+      .filter(_.getPath.getName.endsWith(".manifest"))
       .map(_.getPath.getName.stripSuffix(".manifest").toLong)
+      .filter(commitTimestamp(_) <= tsMillis)
     if (vs.isEmpty) None else Some(vs.max)
   }
 
@@ -1582,11 +1920,13 @@ class Snapshots(s: SparkSession, root: String) {
       // rows invariant, files reorganized → dataChange=false for the
       // feed. A deletion vector is MATERIALIZED here: the compacted
       // rows were read DV-applied (readTable), so the line is dropped —
-      // compact IS the MoR→CoW reconcile step. (A DV'd compaction is a
-      // data change for the feed, so the maint flag is withheld then.)
-      val hadDv = cur.contains(table + DvSuffix)
+      // compact IS the MoR→CoW reconcile step. The maint flag applies
+      // even then: the DV-aware feed already emitted the deletes as
+      // positional `removed` rows at the version that published the
+      // vector, so relative to the DV-APPLIED view this compaction is
+      // rows-invariant and consumers must see no churn for it.
       if (writeManifest(attempt, cur - (table + DvSuffix) + (table -> rel) ++ metaLines,
-        maint = if (hadDv) Set.empty else Set(table))) return attempt
+        maint = Set(table))) return attempt
       attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
     }
     throw new IllegalStateException(
@@ -1647,6 +1987,16 @@ class Snapshots(s: SparkSession, root: String) {
       .map(_.stripSuffix(".manifest").toLong).sorted.reverse.toSeq
     val versions = listVersions()
     val (kept, dropped) = versions.splitAt(keepLast)
+    // pin resolution BEFORE the chain behind it is dropped: the oldest
+    // kept version gets a full checkpoint (if it lacks one), so every
+    // retained version's delta walk terminates inside the kept window.
+    // This write must succeed or vacuum aborts — dropping manifests a
+    // kept delta still resolves through would brick the log.
+    if (dropped.nonEmpty && kept.nonEmpty) {
+      val oldest = kept.min
+      if (!fs.exists(checkpointPath(oldest)))
+        writeCheckpoint(oldest, resolveState(oldest))
+    }
     // reference at DIRECTORY granularity: a file-granular manifest entry
     // (vN/table/part-….parquet, from deleteWhere) pins its whole parent
     // dir — conservative over-retention that compact()+vacuum() reclaims
@@ -1694,7 +2044,14 @@ class Snapshots(s: SparkSession, root: String) {
             fs.listStatus(vd.getPath).forall(st => !st.isDirectory))
           fs.delete(vd.getPath, true)
       }
-    dropped.foreach(v => fs.delete(commitPath(v), false))
+    dropped.foreach { v =>
+      fs.delete(commitPath(v), false)
+      fs.delete(checkpointPath(v), false)
+      // evict THIS instance's memos so a dropped version fails loudly
+      // (FileNotFound on resolve) instead of silently serving a state
+      // whose data files are gone
+      stateCache.remove(v); viewCache.remove(v); tsCache.remove(v)
+    }
     (dropped.size, dirsDeleted)
   }
 }

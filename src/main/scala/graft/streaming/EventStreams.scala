@@ -20,7 +20,7 @@ object EventStreams {
     */
   def st01StreamWindow(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
-      .withColumn("ev_ts", timestamp_micros(expr("ts div 1000")))
+      .transform(df => df.withColumn("ev_ts", graft.operators.evTs(df)))
       .groupBy(window(col("ev_ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
       .select(
@@ -39,7 +39,7 @@ object EventStreams {
       // glob, not the bare file path: FileStreamSource requires its
       // basePath to be a directory (the glob's parent qualifies).
       .parquet(s"$dir/events*.parquet")
-      .withColumn("ev_ts", timestamp_micros(expr("ts div 1000")))
+      .transform(df => df.withColumn("ev_ts", graft.operators.evTs(df)))
       .withWatermark("ev_ts", "2 hours")
       .groupBy(window(col("ev_ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
@@ -81,7 +81,7 @@ object EventStreams {
   def sessionWindowStream(s: SparkSession, dir: String): DataFrame = {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     s.readStream.schema(schema).parquet(s"$dir/events*.parquet")
-      .withColumn("ev_ts", timestamp_millis(expr("ts div 1000000")))
+      .transform(df => df.withColumn("ev_ts", graft.operators.evTsMs(df)))
       .withWatermark("ev_ts", "2 hours")
       .groupBy(session_window(col("ev_ts"), "30 minutes").as("sw"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sess_value"))
@@ -121,7 +121,7 @@ object EventStreams {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     def side(tp: String): DataFrame =
       s.readStream.schema(schema).parquet(s"$dir/events*.parquet")
-        .withColumn("ev_ts", timestamp_micros(expr("ts div 1000")))
+        .transform(df => df.withColumn("ev_ts", graft.operators.evTs(df)))
         .where(col("event_type") === tp)
         .withWatermark("ev_ts", "1 hour")
     val v = side("view")
@@ -170,7 +170,7 @@ object EventStreams {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     def side(tp: String): DataFrame =
       s.readStream.schema(schema).parquet(s"$dir/events*.parquet")
-        .withColumn("ev_ts", timestamp_micros(expr("ts div 1000")))
+        .transform(df => df.withColumn("ev_ts", graft.operators.evTs(df)))
         .where(col("event_type") === tp)
         .withWatermark("ev_ts", "1 hour")
     val v = side("view")

@@ -64,8 +64,10 @@ object Replicate {
         val dead = last.groupBy(keyCols.map(col): _*)
           .agg(max(when(col("_change") === "added", 1).otherwise(0)).as("_has_add"))
           .where(col("_has_add") === 0).select(keyCols.map(col): _*)
-        val hasTable = dst.currentVersion.exists(v =>
-          dst.tablePaths(Some(v)).contains(table))
+        // existence probe, not tablePaths: the replica lake may hold an
+        // UNRELATED merge-on-read table, and the bootstrap check must
+        // not trip its deletion-vector guard
+        val hasTable = dst.hasTable(table)
         if (!hasTable) {
           // bootstrap: the first batch's live rows found the replica;
           // keys already dead within the batch never existed here —

@@ -60,7 +60,7 @@ object Sinks {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     s.readStream.schema(schema)
       .parquet(s"$dir/events*.parquet")
-      .withColumn("ev_ts", timestamp_micros(expr("ts div 1000")))
+      .transform(df => df.withColumn("ev_ts", graft.operators.evTs(df)))
       .where(col("value") > 0)
       .select(col("event_id"), col("user_id"), col("event_type"), col("ev_ts"), col("value"))
   }

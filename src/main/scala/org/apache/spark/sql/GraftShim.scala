@@ -92,29 +92,41 @@ object GraftReadShim {
   import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
   import org.apache.spark.sql.types.StructType
 
-  def parquetRowReader(s: SparkSession, dataSchema: StructType):
+  def parquetRowReader(s: SparkSession, dataSchema: StructType,
+                       tryBatch: Boolean = false):
       PartitionedFile => Iterator[InternalRow] = {
     val cs = s.asInstanceOf[classic.SparkSession]
-    new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
-      .buildReaderWithPartitionValues(
+    val fmt = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+    // `tryBatch` engages the VECTORIZED reader when the schema supports
+    // it — per-row materialization in the row-mode ParquetRecordReader
+    // allocates a fresh object tree per row, which shows up as GC in
+    // any hot feed; ColumnarBatch + rowIterator reuses one mutable row
+    // view over the column vectors ([[flattenRows]] normalizes either
+    // shape to InternalRows for DSv2 partition readers).
+    val batch = tryBatch && fmt.supportBatch(cs, dataSchema)
+    fmt.buildReaderWithPartitionValues(
         sparkSession = cs,
         dataSchema = dataSchema,
         partitionSchema = StructType(Nil),
         requiredSchema = dataSchema,
         filters = Nil,
-        // rows, not ColumnarBatch: a DSv2 PartitionReader hands out
-        // individual InternalRows, so ask the reader for the row shape
-        // directly instead of unbatching vectorized output
-        options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
+        options = Map(FileFormat.OPTION_RETURNING_BATCH -> batch.toString),
         hadoopConf = cs.sessionState.newHadoopConf())
   }
 
-  def flattenRows(it: Iterator[InternalRow]): Iterator[InternalRow] =
-    it.flatMap {
-      case b: org.apache.spark.sql.vectorized.ColumnarBatch =>
-        import scala.jdk.CollectionConverters._
-        b.rowIterator().asScala
-      case r => Iterator.single(r)
+  // parameter type Any, not InternalRow: the reader closure's iterator
+  // LIES about its element type when the vectorized reader engages
+  // (ColumnarBatch disguised as InternalRow — documented Spark
+  // internality), and a lambda typed over InternalRow would checkcast
+  // before the ColumnarBatch pattern could ever match
+  def flattenRows(it: Iterator[_]): Iterator[InternalRow] =
+    it.flatMap { (e: Any) =>
+      e match {
+        case b: org.apache.spark.sql.vectorized.ColumnarBatch =>
+          import scala.jdk.CollectionConverters._
+          b.rowIterator().asScala
+        case r => Iterator.single(r.asInstanceOf[InternalRow])
+      }
     }
 
   def partitionedFile(path: String, length: Long): PartitionedFile =

@@ -40,6 +40,24 @@ class BpeSpec extends AnyFunSuite {
     assert(dist.map(m => (m._2, m._3)) == Seq(("a", "b"), ("ab", "c"), ("abc", "d")))
   }
 
+  test("supplementary-plane symbols: segmentation and tie order agree across engines") {
+    // "𝄞" (U+1D11E) is a surrogate pair in UTF-16: a code-unit split
+    // would halve it, and UTF-16 order puts it BELOW "�" while
+    // UTF-8 binary order (Spark's sort) puts it ABOVE — both traps at
+    // once. The reference must match the distributed trainer anyway.
+    val clef = new String(Character.toChars(0x1D11E))
+    val ufffd = "\uFFFD"
+    val words = Map(
+      s"a${clef}b" -> 3L,      // pairs (a,𝄞), (𝄞,b)
+      s"a${ufffd}b" -> 3L)    // pairs (a,\uFFFD), (\uFFFD,b) — same freqs, tie on order
+    val dist = Bpe.train(toVocab(words), 4)
+    val ref = Bpe.trainReference(words, 4)
+    assert(dist == ref,
+      s"non-BMP merges diverged:\n  dist=$dist\n  ref =$ref")
+    assert(ref.exists(m => m._2 == clef || m._3 == clef),
+      "the clef must survive as ONE symbol (code-point segmentation)")
+  }
+
   test("merges are non-overlapping left-to-right (the aaa case)") {
     // "aaaa"×3: pair (a,a) has freq 9 (3 slots × 3). After merging,
     // each word is [aa, aa] — the fold must NOT re-merge its own output

@@ -53,6 +53,26 @@ class JdbcSpec extends AnyFunSuite {
     assert(df.count() == 50)
   }
 
+  test("sessionInit runs once per connection (the pool-affinity analog)") {
+    // each read partition opens its own connection; sessionInit is the
+    // SET search_path / GUC affinity knob of the reference's pool —
+    // observable here because every connection's init INSERTs a row
+    val conn = DriverManager.getConnection(s"jdbc:derby:$dbPath")
+    val st = conn.createStatement()
+    try st.executeUpdate("DROP TABLE INIT_LOG") catch { case _: Exception => () }
+    st.executeUpdate("CREATE TABLE INIT_LOG (HIT INT)")
+    conn.close()
+    val csInit = cs.copy(sessionInit = Some("INSERT INTO INIT_LOG VALUES (1)"))
+    val n = Jdbc.read(spark, csInit, "ORDERS_J", "ID", 0, 1000, numPartitions = 4).count()
+    assert(n == 1000)
+    val conn2 = DriverManager.getConnection(s"jdbc:derby:$dbPath")
+    val rs = conn2.createStatement().executeQuery("SELECT COUNT(*) FROM INIT_LOG")
+    rs.next()
+    val hits = rs.getInt(1)
+    conn2.close()
+    assert(hits >= 4, s"init statement must run on every partition's connection, got $hits")
+  }
+
   test("connection budget: numPartitions beyond maxConnections fails at plan time") {
     // the pool-cap analog (reference Connection.hs:29-71 stripes): each
     // read partition holds one database connection, so the reader's

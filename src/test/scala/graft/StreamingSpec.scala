@@ -284,7 +284,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.find(_._1 == 6L).get._2.contains("x6"))
   }
 
-  test("change feed refuses to diff across a deletion-vector version") {
+  test("change feed delivers merge-on-read deletes as positional removed rows (Delta CDF semantics)") {
     import org.apache.spark.sql.functions._
     import graft.sources.{FileStats, Snapshots}
     val sp = spark
@@ -294,6 +294,81 @@ class StreamingSpec extends AnyFunSuite {
     snap.commit(Map("t" -> (1L to 20L).map(i => (i, i * 1.0)).toDF("id", "v")),
       Map("t" -> Seq("id")))                                           // v1
     snap.deleteWhereMoR("t", Seq(FileStats.ColRange("id", Some(5L), Some(7L)))) // v2: DV
+    snap.updateWhereMoR("t", Seq(FileStats.ColRange("id", Some(10L), Some(10L))),
+      Map("v" -> lit(999.0)))                                          // v3: DV + re-append
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, String, Long)]
+    def drain(ckpt: String): Unit = {
+      val q = spark.readStream
+        .format("graft.sources.ChangeFeed")
+        .option("path", base + "/lake").option("table", "t")
+        .option("startingVersion", "0")
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val rows = b.collect().map(r =>
+            (r.getLong(0), r.getDouble(1), r.getString(2), r.getLong(3)))
+          got.synchronized { got ++= rows }
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain(base + "/ckpt")
+    // v2: ids 5,6,7 leave BY POSITION from unchanged files, attributed
+    // to the DV version; v3: id 10 leaves (old value) and re-enters
+    // (new value) in one version
+    val v2 = got.filter(_._4 == 2L)
+    assert(v2.map(r => (r._1, r._3)).sortBy(_._1) ==
+      Seq((5L, "removed"), (6L, "removed"), (7L, "removed")), s"v2 delta wrong: $v2")
+    val v3 = got.filter(_._4 == 3L)
+    assert(v3.exists(r => r._1 == 10L && r._3 == "removed" && r._2 == 10.0) &&
+      v3.exists(r => r._1 == 10L && r._3 == "added" && r._2 == 999.0),
+      s"MoR update must surface remove(pre)+add(post): $v3")
+    // net state equals the DV-applied head read
+    val net = got.groupBy(_._1)
+      .map { case (k, rs) => k -> rs.map(r => if (r._3 == "added") 1 else -1).sum }
+      .filter(_._2 > 0).keySet
+    assert(net == snap.read("t").select("id").as[Long].collect().toSet)
+
+    // a compaction MATERIALIZING the vector is maintenance: consumers
+    // already received the deletes at the DV version, so no churn now —
+    // and the pre-DV wedge is gone (the old error demanded exactly this
+    // compact + restart, which could never clear the DV version itself)
+    snap.compact("t", targetBytes = 1L << 20, sortCol = Some("id"), statsCols = Seq("id"))
+    val sizeBefore = got.size
+    drain(base + "/ckpt")
+    assert(got.size == sizeBefore,
+      s"DV materialization leaked churn: ${got.drop(sizeBefore)}")
+
+    // the refuse option restores the old contract: a stream that must
+    // never see positional deltas dies loudly at the DV version
+    val q2 = spark.readStream
+      .format("graft.sources.ChangeFeed")
+      .option("path", base + "/lake").option("table", "t")
+      .option("startingVersion", "0").option("refuseDeletionVectors", "true")
+      .load()
+      .writeStream
+      .option("checkpointLocation", base + "/ckpt_refuse")
+      .foreachBatch((_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => ())
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable(); q2.awaitTermination(30000); ()
+    }
+    assert(e.getMessage.contains("deletion vector") ||
+      Option(e.getCause).exists(_.getMessage.contains("deletion vector")))
+  }
+
+  test("change feed bin-packs small changed files: task count tracks bytes, not file churn") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.{ChangeFeed, Snapshots}
+    val sp = spark
+    import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("cfpack").toString
+    val snap = new Snapshots(spark, base + "/lake")
+    // one version landing 64 tiny files — the small-file churn case
+    snap.commit(Map("t" -> (1L to 2000L).map(i => (i, i * 1.0)).toDF("id", "v")
+      .repartition(64)), Map("t" -> Seq("id")))
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
     val q = spark.readStream
       .format("graft.sources.ChangeFeed")
       .option("path", base + "/lake").option("table", "t")
@@ -301,15 +376,83 @@ class StreamingSpec extends AnyFunSuite {
       .load()
       .writeStream
       .option("checkpointLocation", base + "/ckpt")
-      .foreachBatch((_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => ())
-      .start()
-    // the diff cannot represent rows hidden inside unchanged files — the
-    // stream must DIE loudly, never deliver resurrected rows
-    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      q.processAllAvailable(); q.awaitTermination(30000); ()
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val n = b.count()
+        got.synchronized { got += n }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(got.sum == 2000L, s"all rows must arrive, got ${got.sum}")
+    // 64 changed files, a few KB each, 128MB maxPartitionBytes → ONE
+    // packed partition (the old planner made 64 tasks)
+    assert(ChangeFeed.lastPlannedPartitions == 1,
+      s"64 tiny files must bin-pack to 1 partition, planned ${ChangeFeed.lastPlannedPartitions}")
+  }
+
+  test("replication: merge-on-read deletes flow through the feed; replica converges") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.{FileStats, Snapshots}
+    import graft.streaming.Replicate
+    val sp = spark
+    import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("replmor").toString
+    val src = new Snapshots(spark, base + "/src")
+    val dst = new Snapshots(spark, base + "/dst")
+    src.commit(Map("t" -> (1L to 30L).map(i => (i, i * 10L)).toDF("id", "v")
+      .repartitionByRange(3, col("id"))), Map("t" -> Seq("id")))
+    // an UNRELATED MoR table in the DESTINATION lake: the bootstrap
+    // existence probe must not trip on its deletion vector
+    dst.commit(Map("other" -> (1L to 5L).map(i => (i, i * 1.0)).toDF("id", "v")),
+      Map("other" -> Seq("id")))
+    dst.deleteWhereMoR("other", Seq(FileStats.ColRange("id", Some(1L), Some(1L))))
+    src.deleteWhereMoR("t", Seq(FileStats.ColRange("id", Some(4L), Some(9L)))) // v2: DV
+    src.updateWhereMoR("t", Seq(FileStats.ColRange("id", Some(20L), Some(22L))),
+      Map("v" -> (col("v") + 1L)))                                             // v3: DV+add
+    src.compact("t", targetBytes = 1L << 20, sortCol = Some("id"), statsCols = Seq("id"))
+    src.append("t", Seq((99L, 990L)).toDF("id", "v"), statsCols = Seq("id"))
+    def drain(maxPerTrigger: Option[String], ckpt: String): Unit = {
+      var r = spark.readStream
+        .format("graft.sources.ChangeFeed")
+        .option("path", base + "/src").option("table", "t")
+        .option("startingVersion", "0")
+      maxPerTrigger.foreach(m => r = r.option("maxVersionsPerTrigger", m))
+      val q = r.load()
+        .writeStream
+        .foreachBatch(Replicate.applyBatch(dst, "t", "id", Seq("id")) _)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "drain must terminate")
     }
-    assert(e.getMessage.contains("deletion vector") ||
-      Option(e.getCause).exists(_.getMessage.contains("deletion vector")))
+    def rows(sn: Snapshots): Set[(Long, Long)] =
+      sn.read("t").as[(Long, Long)].collect().toSet
+    drain(Some("1"), base + "/ckpt")
+    assert(rows(dst) == rows(src), "replica must equal source head across MoR verbs")
+    assert(!rows(dst).exists(r => r._1 >= 4L && r._1 <= 9L))
+    assert(rows(dst).filter(r => r._1 >= 20L && r._1 <= 22L) ==
+      rows(src).filter(r => r._1 >= 20L && r._1 <= 22L))
+
+    // CATCH-UP proof: a second replica consumes the SAME whole history
+    // in ONE micro-batch (no maxVersionsPerTrigger — the post-outage
+    // backlog shape) and must land exactly the per-version replay state
+    val dst2root = base + "/dst2"
+    val dst2 = new Snapshots(spark, dst2root)
+    def drain2(): Unit = {
+      val q = spark.readStream
+        .format("graft.sources.ChangeFeed")
+        .option("path", base + "/src").option("table", "t")
+        .option("startingVersion", "0")
+        .load()
+        .writeStream
+        .foreachBatch(Replicate.applyBatch(dst2, "t", "id", Seq("id")) _)
+        .option("checkpointLocation", base + "/ckpt2")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "catch-up drain must terminate")
+    }
+    drain2()
+    assert(rows(dst2) == rows(src),
+      "one catch-up batch spanning all versions must equal the per-version replay")
   }
 
   test("lake replication via the change feed: replica equals source head across every DML verb") {

@@ -58,27 +58,120 @@ class TxnSpec extends AnyFunSuite {
     // agree exactly
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val manifestPath = new org.apache.hadoop.fs.Path(root + "/_commits", f"$head%020d.manifest")
-    val body = {
-      val in = fs.open(manifestPath)
-      try scala.io.Source.fromInputStream(in).mkString finally in.close()
-    }
-    val stripped = body.linesIterator
-      .filterNot(l => l.contains("@schema=") || l.contains("@files="))
-      .mkString("\n")
     val legacyRoot = "cfs:" + Files.createTempDirectory("txnls2").toString + "/t"
-    // rebuild the lake bytes under a fresh root with a stripped manifest
+    // rebuild the lake bytes under a fresh root whose manifests are the
+    // HEADERLESS v1 format (one `table=rel;rel` line, no @schema/@files
+    // metadata, no delta encoding) — what an external or pre-v2 writer
+    // leaves behind. The data-entry values are reconstructed from the
+    // copied directory layout itself, not from the v2 log.
     org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(root),
       fs, new org.apache.hadoop.fs.Path(legacyRoot), false,
       spark.sparkContext.hadoopConfiguration)
-    val legacyManifest = new org.apache.hadoop.fs.Path(legacyRoot + "/_commits", f"$head%020d.manifest")
-    fs.delete(legacyManifest, false)
-    val out = fs.create(legacyManifest, true)
-    try out.write(stripped.getBytes("UTF-8")) finally out.close()
+    val commitsDir = new org.apache.hadoop.fs.Path(legacyRoot + "/_commits")
+    fs.listStatus(commitsDir).foreach(st => fs.delete(st.getPath, false))
+    def dirsUpTo(version: Long): String =
+      fs.listStatus(new org.apache.hadoop.fs.Path(legacyRoot))
+        .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+-[0-9a-f]+"))
+        .filter(_.getPath.getName.drop(1).takeWhile(_.isDigit).toLong <= version)
+        .map(st => s"${st.getPath.getName}/a").sorted.mkString(";")
+    (1L to head).foreach { v =>
+      val legacyManifest = new org.apache.hadoop.fs.Path(commitsDir, f"$v%020d.manifest")
+      val out = fs.create(legacyManifest, true)
+      try out.write(s"a=${dirsUpTo(v)}".getBytes("UTF-8")) finally out.close()
+    }
     val legacy = new Snapshots(spark, legacyRoot)
     assert(legacy.read("a").count() === 201L)
     assert(legacy.readWhere("a", Seq(ColRange("id", Some(1L), Some(10L)))).count() === 10L)
     assert(legacy.readChanges("a", 1L, head).count() === 1L)
+  }
+
+  test("commit metadata is O(changed files): manifest bytes independent of table file count") {
+    val sp = spark
+    import sp.implicits._
+    def manifestLen(root: String, v: Long): Long = {
+      val p = new org.apache.hadoop.fs.Path(root + "/_commits", f"$v%020d.manifest")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p).getLen
+    }
+    // two lakes, identical except the base table's FILE COUNT: 4 vs 256
+    // files. The same one-row append must publish (near-)identical
+    // manifest bytes on both — the delta encodes the changed files, not
+    // the table — and two orders of magnitude below the 256-file state.
+    def build(nFiles: Int): (String, Long) = {
+      val root = Files.createTempDirectory("txninc").toString + "/t"
+      val snap = new Snapshots(spark, root)
+      snap.commit(Map("a" -> (1L to 4096L).map(i => (i, i * 2.0)).toDF("id", "v")
+        .repartition(nFiles)), statsCols = Map("a" -> Seq("id")))
+      val v = snap.append("a", Seq((90001L, 1.0)).toDF("id", "v"), statsCols = Seq("id"))
+      assert(snap.read("a").count() === 4097L)
+      (root, manifestLen(root, v))
+    }
+    val (_, small) = build(4)
+    val (bigRoot, big) = build(256)
+    assert(math.abs(big - small) < 256,
+      s"append manifest bytes grew with table file count: $small vs $big")
+    // and the append delta is far below the full 256-file state the
+    // checkpoint would carry (the old format re-wrote per commit)
+    assert(big < 2048, s"append manifest is not O(changed files): $big bytes")
+    // the appended row still reads back exactly (a fresh instance
+    // resolves the delta chain from disk, no writer-side memo)
+    assert(new Snapshots(spark, bigRoot).read("a")
+      .where(col("id") === 90001L).count() === 1L)
+  }
+
+  test("checkpoint cadence bounds resolution; vacuum pins the oldest kept version") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txnckpt").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = new Snapshots(spark, root)
+    snap.commit(Map("a" -> Seq((0L, 0.0)).toDF("id", "v")))
+    (1L to 20L).foreach(i => snap.append("a", Seq((i, i * 1.0)).toDF("id", "v")))
+    val head = snap.currentVersion.get // 21 versions
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root + "/_commits",
+      f"${16L}%020d.checkpoint")), "cadence checkpoint at v16 missing")
+    // a FRESH instance (empty memo) resolves head through the
+    // checkpoint + deltas, and every retained version reads exactly
+    val cold = new Snapshots(spark, root)
+    assert(cold.read("a").count() === 21L)
+    assert(cold.read("a", Some(3L)).count() === 3L)
+    // vacuum to a window whose oldest kept version (head-1 = 20) has no
+    // cadence checkpoint: vacuum must pin one there before dropping the
+    // chain, or the survivors' deltas would dangle
+    snap.vacuum(keepLast = 2)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root + "/_commits",
+      f"${head - 1}%020d.checkpoint")), "vacuum did not checkpoint the oldest kept version")
+    val afterVacuum = new Snapshots(spark, root)
+    assert(afterVacuum.read("a").count() === 21L)
+    assert(afterVacuum.read("a", Some(head - 1)).count() === 20L)
+    // dropped versions fail loudly on the SAME instance that vacuumed
+    // (memo evicted with the manifest)
+    intercept[Exception](snap.read("a", Some(3L)).collect())
+  }
+
+  test("commit timestamps survive a file-level lake copy (header ts, not mtime)") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txnts").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    val v1 = snap.commit(Map("t" -> Seq((1L, 1.0)).toDF("id", "v")))
+    Thread.sleep(120)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(120)
+    snap.append("t", Seq((2L, 2.0)).toDF("id", "v"))
+    // file-level copy (the c12 template pattern / a backup restore)
+    // resets every mtime to copy time — header timestamps must keep
+    // timestamp travel exact on the copy
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val copyRoot = Files.createTempDirectory("txnts2").toString + "/t"
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(root),
+      fs, new org.apache.hadoop.fs.Path(copyRoot), false,
+      spark.sparkContext.hadoopConfiguration)
+    val copy = new Snapshots(spark, copyRoot)
+    assert(copy.versionAsOf(mid).contains(v1),
+      "copied lake must resolve mid-window to v1 (header ts, not copy-time mtime)")
+    assert(copy.readAsOf("t", mid).count() === 1L)
   }
 
   test("incremental aggregate tracks the source through append, delete, update, compact") {
@@ -113,8 +206,13 @@ class TxnSpec extends AnyFunSuite {
     src.updateWhere("t", Seq(ColRange("id", Some(50L), Some(60L))),
       Map("v" -> (col("v") * 2L)), statsCols = Seq("id"))
     check("update")
+    // a merge-on-read delete reaches the consumer as positional
+    // `removed` rows — the matview must not wait for a compaction
+    src.deleteWhereMoR("t", Seq(ColRange("id", Some(70L), Some(75L))))
+    check("mor delete")
     // compact rewrites every file; rows that merely moved between files
-    // surface as remove+add and must cancel group-wise
+    // surface as remove+add and must cancel group-wise (here it also
+    // materializes the vector)
     src.compact("t", sortCol = Some("id"), statsCols = Seq("id"))
     check("compact")
     // rollback rewinds the source — because rollbackTo REPUBLISHES the
@@ -513,13 +611,23 @@ class TxnSpec extends AnyFunSuite {
     assert(snap.read("a").count() == 538L)
     val head = snap.currentVersion.get
     assert(snap.deleteWhereMoR("a", Seq(ColRange("id", Some(200L), Some(210L)))) == head)
-    // exactness-critical paths refuse a DV-bearing table loudly
+    // paths that cannot represent positional deletes refuse loudly;
+    // count(*) stays exact (footer rows − tombstones), and the DV-aware
+    // diff delivers the deletes as `removed` rows by position
     intercept[IllegalArgumentException](
       snap.deleteWhere("a", Seq(ColRange("id", Some(1L), Some(5L))), Seq("id")))
     intercept[IllegalArgumentException](snap.aggStats("a", Seq("id")))
+    assert(snap.aggStats("a", Nil)._1 == 538L,
+      "metadata count(*) must subtract tombstoned positions")
+    val dvDiff = snap.readChanges("a", v1, snap.currentVersion.get)
+    assert(dvDiff.where(col("_change") === "added").count() == 0L)
+    assert(dvDiff.where(col("_change") === "removed").count() == 62L) // 51 + 11 tombstoned
+    assert(dvDiff.where(col("_change") === "removed").agg(sum("id")).head.getLong(0) ==
+      (100L to 150L).sum + (200L to 210L).sum)
     intercept[IllegalArgumentException](
-      snap.readChanges("a", v1, snap.currentVersion.get))
+      snap.readChanges("a", v1, snap.currentVersion.get, dvAware = false))
     intercept[IllegalArgumentException](snap.tablePaths())
+    assert(snap.hasTable("a"), "existence probe must not trip the DV guard")
     // appends are fine (new files carry no tombstones)
     snap.append("a", Seq((700L, 7.0)).toDF("id", "v"), statsCols = Seq("id"))
     assert(snap.read("a").count() == 539L)
@@ -533,8 +641,9 @@ class TxnSpec extends AnyFunSuite {
     val vc = snap.compact("a", targetBytes = 1L << 20, sortCol = Some("id"),
       statsCols = Seq("id"))
     assert(!snap.hasDeletionVector("a", vc))
-    assert(!snap.isMaintenanceVersion("a", vc),
-      "a materializing compaction is a DATA change (the feed must see it)")
+    assert(snap.isMaintenanceVersion("a", vc),
+      "a materializing compaction is rows-invariant w.r.t. the DV-applied view " +
+        "(the DV-aware feed already delivered the deletes at the vector's version)")
     assert(snap.read("a").count() == 539L)
     val (n, m) = snap.aggStats("a", Seq("id"))
     assert(n == 539L && m("id")._1 == 539L)
