@@ -153,8 +153,70 @@ object Soak {
       md ++= s"\n**FAILURES (${failed.size})**:\n"
       failed.foreach(r => md ++= s"- ${r.scale} ${r.key}: ${r.err}\n")
     } else md ++= "\nAll keys completed at both scales; no OOM, no failures.\n"
+    md ++= manifestSoak(spark)
     Files.write(Paths.get("SOAK.md"), md.toString.getBytes(StandardCharsets.UTF_8))
     println(md)
     if (failed.nonEmpty) sys.exit(1)
+  }
+
+  /** COMMIT-METADATA soak: the frequent-small-commit shape the
+    * reference's streaming north star produces (Stream.hs:244-284 —
+    * one commit per micro-batch, thousands of versions per day). Drives
+    * 300 appends into one lake and reports what must stay FLAT for the
+    * O(changed-files) delta-manifest design to hold: per-commit wall
+    * (early vs late mean — O(table-files) metadata would grow it),
+    * manifest bytes (late vs early), a COLD head read (fresh instance:
+    * checkpoint + ≤cadence deltas, never the 300-manifest chain), and
+    * one change-feed catch-up planning the full 300-version span.
+    */
+  private def manifestSoak(s: SparkSession): String = {
+    import graft.sources.Snapshots
+    val sp = s
+    import sp.implicits._
+    val root = s.conf.get("spark.sql.warehouse.dir") + "/soak_manifest/t"
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+    val snap = new Snapshots(s, root)
+    snap.commit(Map("t" -> Seq((0L, 0.0)).toDF("id", "v")))
+    val n = 300
+    val walls = (1 to n).map { i =>
+      val t0 = System.nanoTime()
+      snap.append("t", Seq((i.toLong, i * 1.0)).toDF("id", "v"))
+      (System.nanoTime() - t0) / 1e6
+    }
+    def mean(xs: Seq[Double]) = xs.sum / xs.size
+    val early = mean(walls.take(50)); val late = mean(walls.takeRight(50))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def mlen(v: Long) = fs.getFileStatus(new org.apache.hadoop.fs.Path(
+      root + "/_commits", f"$v%020d.manifest")).getLen
+    val head = snap.currentVersion.get
+    val tCold0 = System.nanoTime()
+    val coldCount = new Snapshots(s, root).read("t").count()
+    val coldS = (System.nanoTime() - tCold0) / 1e9
+    val ckpt = Files.createTempDirectory("soakcf").toString
+    val tFeed0 = System.nanoTime()
+    val q = s.readStream.format("graft.sources.ChangeFeed")
+      .option("path", root).option("table", "t").option("startingVersion", "0")
+      .load().groupBy().count()
+      .writeStream.format("memory").queryName("soak_feed")
+      .outputMode("complete").option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    val feedS = (System.nanoTime() - tFeed0) / 1e9
+    val feedRows = s.table("soak_feed").head().getLong(0)
+    s"""
+       |## Commit-metadata soak ($n appends, one lake)
+       |
+       || probe | early | late | verdict |
+       ||---|---|---|---|
+       || commit wall (mean of 50) | ${f"$early%.0f"} ms | ${f"$late%.0f"} ms | ${if (late < early * 2) "flat" else "GROWING"} |
+       || manifest bytes | ${mlen(2L)} (v2) | ${mlen(head)} (v$head) | ${if (mlen(head) < mlen(2L) * 4) "flat" else "GROWING"} |
+       |
+       |Cold head read after $head versions (fresh instance, checkpoint +
+       |<=16 deltas): ${f"$coldS%.2f"}s for $coldCount rows. Change-feed catch-up
+       |over the whole $head-version span: ${f"$feedS%.2f"}s end-to-end,
+       |$feedRows change rows delivered.
+       |""".stripMargin
   }
 }

@@ -342,9 +342,18 @@ private[sources] class ChangeFeedStream(root: String, table: String,
     val hi = end.asInstanceOf[VersionOffset].v
     val s = snap
     val slices = scala.collection.mutable.ArrayBuffer.empty[ChangeSlice]
-    var before = if (lo == 0L) Map.empty[String, Long] else s.fileSet(table, lo)
-    var dvPrevRel = if (lo == 0L) None else s.dvRelOf(table, lo)
-    var dvPrev = if (lo == 0L) Seq.empty[(String, Long)] else s.dvAbsFiles(table, lo)
+    // the lo cursor state is resolved LAZILY: a span whose versions
+    // never touch the table (commits to other tables) plans with zero
+    // file sets built — each step is one cached-view line compare
+    var before: Map[String, Long] = null
+    var dvPrevRel: Option[String] = None
+    var dvPrev: Seq[(String, Long)] = Nil
+    var cursorAt = lo // version `before`/`dvPrev` describe when non-null
+    def materializeCursor(): Unit = if (before == null) {
+      before = if (cursorAt == 0L) Map.empty[String, Long] else s.fileSet(table, cursorAt)
+      dvPrevRel = if (cursorAt == 0L) None else s.dvRelOf(table, cursorAt)
+      dvPrev = if (cursorAt == 0L) Nil else s.dvAbsFiles(table, cursorAt)
+    }
     var v = lo + 1
     while (v <= hi) {
       if (refuseDv && s.hasDeletionVector(table, v))
@@ -352,6 +361,9 @@ private[sources] class ChangeFeedStream(root: String, table: String,
           s"version $v of '$table' carries a deletion vector and this stream set " +
             "refuseDeletionVectors — drop the option to consume positional deletes, " +
             "or restart from a checkpoint past a compaction of the table")
+      if (!s.tableTouchedAt(table, v)) { v += 1 }
+      else {
+      materializeCursor()
       val after = s.fileSet(table, v)
       val dvCurRel = s.dvRelOf(table, v)
       val dvCur = if (dvCurRel == dvPrevRel) dvPrev else s.dvAbsFiles(table, v)
@@ -378,7 +390,9 @@ private[sources] class ChangeFeedStream(root: String, table: String,
       before = after
       dvPrevRel = dvCurRel
       dvPrev = dvCur
+      cursorAt = v
       v += 1
+      }
     }
     // bin-pack by bytes: task count follows data volume, not file churn
     val maxBytes = math.max(1L,

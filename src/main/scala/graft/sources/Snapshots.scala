@@ -151,8 +151,10 @@ class Snapshots(s: SparkSession, root: String) {
       maint.map(t => (t + MaintSuffix) -> "1")
     tables.keys.foreach(t => require(
       !t.contains("=") && !t.contains("\n") &&
-        !t.startsWith("+") && !t.startsWith("-") && !t.startsWith("#"),
-      s"table name '$t' would corrupt the manifest line format"))
+        !t.startsWith("+") && !t.startsWith("-") && !t.startsWith("#") &&
+        (isMetaEntry(t) || !t.contains("@")),
+      s"table name '$t' would corrupt the manifest line format " +
+        "('@' is reserved for metadata keys)"))
     fs.mkdirs(commitDir)
     val exploded = explode(tables)
     val ts = System.currentTimeMillis()
@@ -253,16 +255,22 @@ class Snapshots(s: SparkSession, root: String) {
     }.toMap
 
   /** The VIEW (`table→rel` + `@` metadata lines) ↔ the exploded on-disk
-    * key space deltas diff against. Only the `@files` list explodes —
-    * one `table@files:rel=len` key per file — because it is the one
-    * value that grows with table size; everything else is already
-    * O(tables) small. Empty `@files` values (a zero-file line) pass
-    * through unexploded so the key itself survives the round-trip.
-    * The rel-path half of an exploded key is percent-encoded: hive-
-    * partitioned staging dirs put '=' INSIDE paths (`pk_bucket=28/…`),
-    * and a raw '=' in a key would split the `key=value` line at the
-    * wrong place.
+    * key space deltas diff against. The two per-PART values explode —
+    * a table's `@files` list to one `table@files:rel=len` key per file,
+    * and its data entry's `;`-joined part list to one `table@part:rel`
+    * key per part — because those are the values that grow with table
+    * size/commit count: without the part explosion, a streaming-append
+    * table re-writes its whole accumulated dir list in every delta
+    * (O(appends since compact) bytes), with it each append writes one
+    * line. Everything else is already O(tables) small. Part order is
+    * not semantic (reads union the paths), so reassembly joins sorted.
+    * Empty `@files` values (a zero-file line) pass through unexploded
+    * so the key itself survives the round-trip. The rel-path half of
+    * an exploded key is percent-encoded: hive-partitioned staging dirs
+    * put '=' INSIDE paths (`pk_bucket=28/…`), and a raw '=' in a key
+    * would split the `key=value` line at the wrong place.
     */
+  private val PartMarker = "@part:"
   private def encPath(r: String): String =
     r.replace("%", "%25").replace("=", "%3D")
   private def decPath(r: String): String =
@@ -275,13 +283,16 @@ class Snapshots(s: SparkSession, root: String) {
           val i = e.lastIndexOf(':')
           (k + ":" + encPath(e.substring(0, i))) -> e.substring(i + 1)
         }
+      else if (!isMetaEntry(k) && value.nonEmpty)
+        splitRel(value).map(r => (k + PartMarker + encPath(r)) -> "1")
       else Seq(k -> value)
     }
 
   private def reassemble(state: Map[String, String]): Map[String, String] = {
     val marker = FilesSuffix + ":"
-    val (fileKeys, plain) = state.partition(_._1.contains(marker))
-    plain ++ fileKeys.toSeq
+    val (fileKeys, rest) = state.partition(_._1.contains(marker))
+    val (partKeys, plain) = rest.partition(_._1.contains(PartMarker))
+    val filesLines = fileKeys.toSeq
       .map { case (k, len) =>
         val i = k.indexOf(marker)
         (k.substring(0, i + FilesSuffix.length),
@@ -292,6 +303,14 @@ class Snapshots(s: SparkSession, root: String) {
         lineKey -> entries.map(_._2).sortBy(_._1)
           .map { case (r, l) => s"$r:$l" }.mkString(";")
       }
+    val dataLines = partKeys.keys.toSeq
+      .map { k =>
+        val i = k.indexOf(PartMarker)
+        (k.substring(0, i), decPath(k.substring(i + PartMarker.length)))
+      }
+      .groupBy(_._1)
+      .map { case (table, parts) => table -> parts.map(_._2).sorted.mkString(";") }
+    plain ++ filesLines ++ dataLines
   }
 
   private def applyDelta(state: Map[String, String], lines: Seq[String]): Map[String, String] = {
@@ -456,6 +475,21 @@ class Snapshots(s: SparkSession, root: String) {
     */
   private[sources] def dvRelOf(table: String, v: Long): Option[String] =
     readManifest(v).get(table + DvSuffix)
+
+  /** O(1)-ish probe: did ANYTHING about `table` change between v-1 and
+    * v? Compares the table's manifest lines (data entry, file list, DV
+    * pointer, maint flag) between the two cached views — a feed walking
+    * a long version span skips every version that only touched OTHER
+    * tables without building a single file set. (Cached-view string
+    * compares; the common skip case short-circuits on identity.)
+    */
+  private[sources] def tableTouchedAt(table: String, v: Long): Boolean = {
+    if (v <= 1L) return true
+    val prev = readManifest(v - 1)
+    val cur = readManifest(v)
+    Seq(table, table + FilesSuffix, table + DvSuffix, table + MaintSuffix)
+      .exists(k => prev.get(k) != cur.get(k))
+  }
 
   /** The vector's parquet files as (absolute path, length) — one small
     * listing of the (tiny) DV directory; planner-side only.

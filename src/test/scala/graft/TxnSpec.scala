@@ -116,6 +116,18 @@ class TxnSpec extends AnyFunSuite {
     // resolves the delta chain from disk, no writer-side memo)
     assert(new Snapshots(spark, bigRoot).read("a")
       .where(col("id") === 90001L).count() === 1L)
+
+    // and the delta stays O(new files) against ACCUMULATED APPEND DIRS
+    // too: after 30 small appends (30 part dirs on the table entry),
+    // the next append's manifest must not re-write the dir list
+    val manyRoot = Files.createTempDirectory("txninc2").toString + "/t"
+    val many = new Snapshots(spark, manyRoot)
+    many.commit(Map("a" -> Seq((0L, 0.0)).toDF("id", "v")))
+    (1L to 30L).foreach(i => many.append("a", Seq((i, i * 1.0)).toDF("id", "v")))
+    val vLast = many.append("a", Seq((31L, 31.0)).toDF("id", "v"))
+    assert(manifestLen(manyRoot, vLast) < 1024,
+      s"append delta re-writes the accumulated part list: ${manifestLen(manyRoot, vLast)} bytes")
+    assert(many.read("a").count() === 32L)
   }
 
   test("checkpoint cadence bounds resolution; vacuum pins the oldest kept version") {
