@@ -43,7 +43,7 @@ object Bench {
     "c09_incremental_agg", "c10_merge_into", "c11_schema_evolution", "st07_change_feed",
     "st08_stream_matview", "c12_replicate", "q42_string_agg", "q43_stats_agg", "m07_audio_batch",
     "t14_url_filter", "q44_window_nav", "t15_bpe_train", "c13_metadata_agg", "s08_ann_filtered",
-    "t16_paragraph_dedup", "c14_delete_mor",
+    "t16_paragraph_dedup", "c14_delete_mor", "c15_dv_changes",
     "q33_profile", "q34_histogram")
 
   /** Per-key task-metric sums, so a bench anomaly ships with its own

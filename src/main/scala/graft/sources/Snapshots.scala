@@ -2334,6 +2334,61 @@ object Snapshots {
       .orderBy("delta", "o_orderstatus")
   }
 
+  /** Fixture for c15, staged ONCE per sf dir and STATIC after: v1
+    * commits orders range-clustered with key stats; v2 MoR-deletes keys
+    * [2000, 2999] (positional tombstones, zero files rewritten); v3
+    * MoR-updates keys [5000, 5499] (+11 cents — tombstone + re-append
+    * in one manifest). No compaction: the vectors STAND, so the diff
+    * key must cross them.
+    */
+  def stagedDvDiffLake(s: SparkSession, dir: String): Snapshots = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s.conf.get("spark.sql.warehouse.dir") + s"/dvdiff_c15$tag"
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val snap = new Snapshots(s, root)
+    val marker = new Path(root, "_STAGED_G1")
+    if (!fs.exists(marker)) {
+      fs.delete(new Path(root), true)
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      snap.commit(
+        Map("orders" -> t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), cents.as("price_cents"))
+          .repartitionByRange(16, col("o_orderkey"))),
+        statsCols = Map("orders" -> Seq("o_orderkey")))
+      snap.deleteWhereMoR("orders",
+        Seq(FileStats.ColRange("o_orderkey", Some(2000L), Some(2999L))))
+      snap.updateWhereMoR("orders",
+        Seq(FileStats.ColRange("o_orderkey", Some(5000L), Some(5499L))),
+        Map("price_cents" -> (col("price_cents") + 11L)),
+        statsCols = Seq("o_orderkey"))
+      fs.create(marker, true).close()
+    }
+    snap
+  }
+
+  /** `c15_dv_changes`: the DV-AWARE diff (Delta CDF semantics) through
+    * the oracle gate — [[readChanges]] across two STANDING deletion
+    * vectors. The MoR delete surfaces as positional `removed` rows from
+    * unchanged files; the MoR update as removed pre-images (positional)
+    * plus added post-images (the re-appended file, whose read excludes
+    * nothing because the vector only names old files). The same c08
+    * net-delta fold leaves exactly delete(−1), update-old(−1),
+    * update-new(+1) — a closed form DuckDB recomputes from the raw
+    * table. A resurrect bug (missed tombstone), a double-removal (DV
+    * positions re-removed from a pre-image), or an attribution slip
+    * flips the hash.
+    */
+  def c15DvChanges(s: SparkSession, dir: String): DataFrame = {
+    val snap = stagedDvDiffLake(s, dir)
+    snap.readChanges("orders", 1L, snap.currentVersion.get)
+      .groupBy("o_orderkey", "o_orderstatus", "price_cents")
+      .agg(sum(when(col("_change") === "added", 1L).otherwise(-1L)).as("delta"))
+      .where(col("delta") =!= 0L)
+      .groupBy("delta", "o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
+      .orderBy("delta", "o_orderstatus")
+  }
+
   /** Snapshot lake for c10, staged ONCE per sf dir: orders projected to
     * (o_orderkey, o_orderstatus, price_cents), range-clustered into 16
     * files with key stats — the layout that makes MERGE's source-span
@@ -2528,6 +2583,7 @@ object Snapshots {
         "c06_delete_where" -> c06DeleteWhere _,
         "c07_update_where" -> c07UpdateWhere _,
         "c08_version_diff" -> c08VersionDiff _,
+        "c15_dv_changes" -> c15DvChanges _,
         "c10_merge_into" -> c10MergeInto _,
         "c11_schema_evolution" -> c11SchemaEvolution _,
         "c13_metadata_agg" -> c13MetadataAgg _)
@@ -2599,6 +2655,25 @@ object Snapshots {
         |  UNION ALL
         |  SELECT CAST(-1 AS BIGINT) AS delta, o_orderstatus, price_cents FROM c
         |  WHERE o_orderkey % 4 <> 0 AND o_orderkey BETWEEN 3000 AND 3999
+        |)
+        |SELECT delta, o_orderstatus, count(*) AS n,
+        |  CAST(sum(price_cents) AS BIGINT) AS total_cents
+        |FROM d GROUP BY delta, o_orderstatus
+        |ORDER BY delta, o_orderstatus""".stripMargin,
+    "c15_dv_changes" ->
+      """WITH c AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+        |  FROM orders
+        |), d AS (
+        |  SELECT CAST(-1 AS BIGINT) AS delta, o_orderstatus, price_cents FROM c
+        |  WHERE o_orderkey BETWEEN 2000 AND 2999
+        |  UNION ALL
+        |  SELECT CAST(-1 AS BIGINT) AS delta, o_orderstatus, price_cents FROM c
+        |  WHERE o_orderkey BETWEEN 5000 AND 5499
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT) AS delta, o_orderstatus, price_cents + 11 FROM c
+        |  WHERE o_orderkey BETWEEN 5000 AND 5499
         |)
         |SELECT delta, o_orderstatus, count(*) AS n,
         |  CAST(sum(price_cents) AS BIGINT) AS total_cents

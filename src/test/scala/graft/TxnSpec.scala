@@ -1251,7 +1251,7 @@ class TxnSpec extends AnyFunSuite {
     for (seq <- 1 to nSeq) {
       val base = Files.createTempDirectory("txnprop").toString
       val root = base + "/t"
-      val snap = new Snapshots(spark, root)
+      var snap = new Snapshots(spark, root)
       val agg = new Snapshots(spark, base + "/agg")
       var model = Map.empty[Long, (String, Long)] // id -> (grp, v)
       var nextId = 0L
@@ -1359,6 +1359,10 @@ class TxnSpec extends AnyFunSuite {
           g -> (vs.size.toLong, vs.map(_._2).sum) }
         assert(gotAgg == wantAgg,
           s"seq $seq op $op: incremental agg $gotAgg != model $wantAgg")
+        // cold reopen: a fresh instance resolves the manifest chain from
+        // DISK (checkpoint + deltas) with no writer-side memo — the v2
+        // format must reconstruct the identical state mid-sequence
+        if (rnd.nextInt(4) == 0) snap = new Snapshots(spark, root)
       }
       // every still-retained recorded version must time-travel exactly
       if (!vacuumed) history.foreach { case (v, m) =>
