@@ -186,7 +186,10 @@ object Soak {
       (System.nanoTime() - t0) / 1e6
     }
     def mean(xs: Seq[Double]) = xs.sum / xs.size
-    val early = mean(walls.take(50)); val late = mean(walls.takeRight(50))
+    // skip the first 10 appends: JIT/stage warmup inflates them, and an
+    // inflated early baseline would let a real O(files) growth print as
+    // "flat" — the probe must be able to fail
+    val early = mean(walls.slice(10, 60)); val late = mean(walls.takeRight(50))
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     def mlen(v: Long) = fs.getFileStatus(new org.apache.hadoop.fs.Path(

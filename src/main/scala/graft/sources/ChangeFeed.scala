@@ -453,53 +453,39 @@ private[sources] class ChangeFeedReaderFactory(
       private val joined = new JoinedRow
       private val project = UnsafeProjection.create(fullSchema)
 
-      // one load per DISTINCT vector within the partition (slices of
-      // one step share their vector): file_name -> tombstoned positions
-      private var dvCacheKey: Seq[(String, Long)] = null
-      private var dvCache: java.util.HashMap[String, java.util.HashSet[java.lang.Long]] = _
-      private def positions(dv: Seq[(String, Long)], name: String): java.util.HashSet[java.lang.Long] = {
-        if (dv.isEmpty) return new java.util.HashSet[java.lang.Long]()
-        if (dvCacheKey == null || dvCacheKey != dv) {
-          val m = new java.util.HashMap[String, java.util.HashSet[java.lang.Long]]()
-          dv.foreach { case (p, len) =>
-            org.apache.spark.sql.GraftReadShim.flattenRows(
-              readDv(org.apache.spark.sql.GraftReadShim.partitionedFile(p, len)))
-              .foreach { r =>
-                m.computeIfAbsent(r.getUTF8String(0).toString,
-                  (_: String) => new java.util.HashSet[java.lang.Long]()).add(r.getLong(1))
-                ()
-              }
+      // one load per DISTINCT vector, one cache slot per role (a
+      // positional slice holds BOTH the current and previous vector at
+      // once, so the two roles must not evict each other): file_name ->
+      // tombstoned positions
+      final class DvSlot {
+        private var key: Seq[(String, Long)] = null
+        private var loaded: java.util.HashMap[String, java.util.HashSet[java.lang.Long]] = _
+        def positions(dv: Seq[(String, Long)], name: String): java.util.HashSet[java.lang.Long] = {
+          if (dv.isEmpty) return new java.util.HashSet[java.lang.Long]()
+          if (key == null || key != dv) {
+            val m = new java.util.HashMap[String, java.util.HashSet[java.lang.Long]]()
+            dv.foreach { case (p, len) =>
+              org.apache.spark.sql.GraftReadShim.flattenRows(
+                readDv(org.apache.spark.sql.GraftReadShim.partitionedFile(p, len)))
+                .foreach { r =>
+                  m.computeIfAbsent(r.getUTF8String(0).toString,
+                    (_: String) => new java.util.HashSet[java.lang.Long]()).add(r.getLong(1))
+                  ()
+                }
+            }
+            key = dv; loaded = m
           }
-          dvCacheKey = dv; dvCache = m
+          loaded.getOrDefault(name, new java.util.HashSet[java.lang.Long]())
         }
-        dvCache.getOrDefault(name, new java.util.HashSet[java.lang.Long]())
       }
-      // positional slices need BOTH vectors; cache each separately by
-      // re-keying — cheap because consecutive slices share vectors
-      private var dvCacheKey2: Seq[(String, Long)] = null
-      private var dvCache2: java.util.HashMap[String, java.util.HashSet[java.lang.Long]] = _
-      private def positions2(dv: Seq[(String, Long)], name: String): java.util.HashSet[java.lang.Long] = {
-        if (dv.isEmpty) return new java.util.HashSet[java.lang.Long]()
-        if (dvCacheKey2 == null || dvCacheKey2 != dv) {
-          val m = new java.util.HashMap[String, java.util.HashSet[java.lang.Long]]()
-          dv.foreach { case (p, len) =>
-            org.apache.spark.sql.GraftReadShim.flattenRows(
-              readDv(org.apache.spark.sql.GraftReadShim.partitionedFile(p, len)))
-              .foreach { r =>
-                m.computeIfAbsent(r.getUTF8String(0).toString,
-                  (_: String) => new java.util.HashSet[java.lang.Long]()).add(r.getLong(1))
-                ()
-              }
-          }
-          dvCacheKey2 = dv; dvCache2 = m
-        }
-        dvCache2.getOrDefault(name, new java.util.HashSet[java.lang.Long]())
-      }
+      private val curSlot = new DvSlot
+      private val prevSlot = new DvSlot
 
       private def sliceRows(sl: ChangeSlice): Iterator[InternalRow] = {
         val name = new org.apache.hadoop.fs.Path(sl.path).getName
         if (!sl.positional) {
-          val exclude = positions(if (sl.change == "removed") sl.dvPrev else sl.dvCur, name)
+          val exclude = (if (sl.change == "removed") prevSlot.positions(sl.dvPrev, name)
+                         else curSlot.positions(sl.dvCur, name))
           val meta = metaRow(sl.change, sl.version)
           val rows = org.apache.spark.sql.GraftReadShim.flattenRows(
             readFile(org.apache.spark.sql.GraftReadShim.partitionedFile(sl.path, sl.length)))
@@ -512,8 +498,8 @@ private[sources] class ChangeFeedReaderFactory(
             }
           }
         } else {
-          val cur = positions(sl.dvCur, name)
-          val prev = positions2(sl.dvPrev, name)
+          val cur = curSlot.positions(sl.dvCur, name)
+          val prev = prevSlot.positions(sl.dvPrev, name)
           val removedMeta = metaRow("removed", sl.version)
           val addedMeta = metaRow("added", sl.version)
           val anyFlip = {

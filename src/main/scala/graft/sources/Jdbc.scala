@@ -61,6 +61,17 @@ object Jdbc {
         sessionInit.map("sessionInitStatement" -> _) ++ props
   }
 
+  object ConnSettings {
+    /** The reference's `connect_alt` shape (Connection.hs — connect by
+      * a single connection STRING instead of discrete fields): any JDBC
+      * url verbatim, remaining knobs defaulted and overridable via
+      * `.copy`.
+      */
+    def fromUrl(url: String, user: String = "", password: String = ""): ConnSettings =
+      ConnSettings(host = "", user = user, password = password,
+        urlOverride = Some(url))
+  }
+
   /** Whole-table (or subquery) read, range-partitioned on `partitionCol`
     * so every executor owns a slice — never a single-connection scan.
     *

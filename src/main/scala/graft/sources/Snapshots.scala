@@ -81,8 +81,15 @@ class Snapshots(s: SparkSession, root: String) {
   private val stateCache = new java.util.concurrent.ConcurrentHashMap[Long, Map[String, String]]()
   private val viewCache = new java.util.concurrent.ConcurrentHashMap[Long, Map[String, String]]()
   private val tsCache = new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Long]()
+  // evict OLDEST versions, never clear: a feed catch-up or timestamp
+  // scan over a >256-version history must keep its working set warm
+  // (newer versions are the live ones; a wholesale clear would force
+  // an O(chain) re-resolve every 257th insert)
   private def boundCache[V](c: java.util.concurrent.ConcurrentHashMap[Long, V]): Unit =
-    if (c.size > 256) c.clear()
+    if (c.size > 256) {
+      import scala.jdk.CollectionConverters._
+      c.keySet.asScala.toSeq.sorted.take(c.size - 192).foreach(c.remove)
+    }
 
   /** Writer-unique staging prefix. The manifest create-exclusive is the
     * protocol's ONLY serialization point — but if two writers racing
@@ -555,7 +562,13 @@ class Snapshots(s: SparkSession, root: String) {
 
   /** Footer-truth schema of a just-written table part: what a stock
     * parquet read would infer, recorded once at publish so reads never
-    * infer again. The slow path behind [[predictReadBack]].
+    * infer again. The slow path behind [[predictReadBack]]. When used
+    * as the no-`@schema` FALLBACK over an existing multi-part entry it
+    * reads ONE part's footer (the sorted-first part — deterministic,
+    * not commit-ordered), which is exact for the homogeneous tables
+    * that path supports: schema evolution always records `@schema`
+    * (mergeSchema refuses to run without writing it), so a mixed-
+    * schema metadata-less table is outside the contract either way.
     */
   private def writtenSchema(rel: String): org.apache.spark.sql.types.StructType =
     s.read.parquet(s"$root/${splitRel(rel).head}").schema
@@ -871,7 +884,12 @@ class Snapshots(s: SparkSession, root: String) {
     * other DV-bearing table must not crash on the probe.
     */
   def hasTable(table: String, version: Option[Long] = None): Boolean =
-    version.orElse(currentVersion).exists(v => dataEntries(readManifest(v)).contains(table))
+    version.orElse(currentVersion).exists(v =>
+      try dataEntries(readManifest(v)).contains(table) catch {
+        // an uncommitted or vacuumed version holds nothing — a probe
+        // answers false, it never throws
+        case _: java.io.FileNotFoundException => false
+      })
 
   /** A table's data files at a version, expanded to FILE granularity
     * (directory entries list their parquet files), so version diffs
@@ -960,6 +978,11 @@ class Snapshots(s: SparkSession, root: String) {
         .select(col("file_name").as("__dv_fn"), col("row_index").as("__dv_ri")))
     val dvP = dvDf(mFrom)
     val dvT = dvDf(mTo)
+    // vector IDENTITY: every MoR publish stages a fresh dv dir, so an
+    // unchanged pointer means an unchanged vector — the positional diff
+    // is empty by construction and its driver-side name probe (a small
+    // Spark job) must not run on the steady append-only path
+    val dvSame = mFrom.get(table + DvSuffix) == mTo.get(table + DvSuffix)
     def readFiles(files: Seq[(String, Long)]): DataFrame = schema match {
       case Some(sc) => org.apache.spark.sql.GraftLakeShim.parquetByManifest(s, files, sc)
       case None => s.read.parquet(files.map(_._1): _*)
@@ -1013,8 +1036,8 @@ class Snapshots(s: SparkSession, root: String) {
     val sides = Seq(
       side(added, "added", dvT),
       side(removed, "removed", dvP),
-      positional(dvT, dvP, "removed"),
-      positional(dvP, dvT, "added")).flatten
+      if (dvSame) None else positional(dvT, dvP, "removed"),
+      if (dvSame) None else positional(dvP, dvT, "added")).flatten
     if (sides.nonEmpty) sides.reduce(_.unionByName(_))
     else schema match {
       case Some(sc) =>
@@ -1439,7 +1462,12 @@ class Snapshots(s: SparkSession, root: String) {
     val vs = fs.listStatus(commitDir)
       .filter(_.getPath.getName.endsWith(".manifest"))
       .map(_.getPath.getName.stripSuffix(".manifest").toLong)
-      .filter(commitTimestamp(_) <= tsMillis)
+      .filter(v => try commitTimestamp(v) <= tsMillis catch {
+        // a concurrent vacuum can collect a manifest between the listing
+        // and the header read — a dropped version is simply outside the
+        // resolvable window, same as if the listing had missed it
+        case _: java.io.FileNotFoundException => false
+      })
     if (vs.isEmpty) None else Some(vs.max)
   }
 

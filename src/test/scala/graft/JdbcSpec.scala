@@ -33,8 +33,8 @@ class JdbcSpec extends AnyFunSuite {
     dir
   }
 
-  private def cs = Jdbc.ConnSettings(host = "unused",
-    urlOverride = Some(s"jdbc:derby:$dbPath"), user = "", password = "")
+  // the connect_alt form: one connection string, fields defaulted
+  private def cs = Jdbc.ConnSettings.fromUrl(s"jdbc:derby:$dbPath")
 
   test("range-partitioned read shards the scan and loses no rows") {
     val df = Jdbc.read(spark, cs, "ORDERS_J", "ID", 0, 1000, numPartitions = 8)

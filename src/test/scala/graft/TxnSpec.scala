@@ -773,6 +773,27 @@ class TxnSpec extends AnyFunSuite {
     assert(snap.read("t").count() == 101L && snap.read("u").count() == 2L)
   }
 
+  test("probes never throw: hasTable on bogus versions, versionAsOf under vacuum") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txnprobe").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    assert(!snap.hasTable("t"), "empty lake: no table")
+    snap.commit(Map("t" -> Seq((1L, 1.0)).toDF("id", "v")))
+    snap.commit(Map("t" -> Seq((2L, 2.0)).toDF("id", "v")))
+    assert(snap.hasTable("t") && !snap.hasTable("nope"))
+    // a version beyond head or behind the retention window answers
+    // false — an existence PROBE must never surface FileNotFound
+    assert(!snap.hasTable("t", Some(99L)))
+    snap.vacuum(keepLast = 1)
+    assert(!snap.hasTable("t", Some(1L)), "vacuumed version: probe answers false")
+    assert(snap.hasTable("t"))
+    // versionAsOf tolerates vacuumed manifests vanishing mid-scan (the
+    // race is unobservable here, but the dropped version must simply
+    // fall out of the window, never throw)
+    assert(snap.versionAsOf(System.currentTimeMillis() + 1000).contains(snap.currentVersion.get))
+  }
+
   test("timestamp time travel: versionAsOf resolves commit times, vacuum bounds the window") {
     val sp = spark
     import sp.implicits._
