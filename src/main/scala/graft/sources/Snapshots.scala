@@ -185,30 +185,8 @@ class Snapshots(s: SparkSession, root: String) {
           exploded.toSeq.sortBy(_._1).map { case (k, value) => s"$k=$value" })
           .mkString("\n")
     }
-    val out =
-      try {
-        // overwrite=false → atomic create-exclusive: exactly one writer
-        // can publish version v; losers see FileAlreadyExistsException
-        fs.create(commitPath(v), false)
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
-        case _: java.nio.file.FileAlreadyExistsException => return false
-        // some FileSystem impls signal the exclusive-create loss as a bare
-        // IOException; it is a race iff v's manifest now exists
-        case e: java.io.IOException =>
-          return if (fs.exists(commitPath(v))) false else throw e
-      }
-    // past the create, version v is OURS: a body-write failure must not
-    // leave a truncated manifest in the log as a readable version (and
-    // must not be misread as a lost race by the exists() probe above on
-    // retry) — delete the partial file before propagating
-    try {
-      try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    } catch {
-      case e: Throwable =>
-        try fs.delete(commitPath(v), false) catch { case _: Exception => () }
-        throw e
-    }
+    if (!publishExclusive(commitPath(v), body.getBytes(StandardCharsets.UTF_8)))
+      return false
     stateCache.put(v, exploded); boundCache(stateCache)
     viewCache.put(v, reassemble(exploded)); boundCache(viewCache)
     tsCache.put(v, ts); boundCache(tsCache)
@@ -217,6 +195,67 @@ class Snapshots(s: SparkSession, root: String) {
     if (v % CheckpointEvery == 0L)
       try writeCheckpoint(v, exploded) catch { case _: Exception => () }
     true
+  }
+
+  /** Publish `body` at `target` iff no file exists there — the
+    * protocol's single serialization point. Returns false on a lost
+    * race; throws on real IO failure.
+    *
+    * The store must provide an ATOMIC create-if-absent. HDFS-class
+    * filesystems do (the namenode serializes create(overwrite=false));
+    * object stores need their conditional put wired into the
+    * FileSystem contract (S3 If-None-Match — the same requirement
+    * Delta's LogStore documents, public design). The LOCAL filesystem
+    * does NOT: Hadoop's RawLocalFileSystem create(overwrite=false) is
+    * check-then-act, so two threads racing one version can BOTH pass
+    * the probe and the loser silently truncates the winner's bytes —
+    * and any create-then-write publish leaves a torn-read window where
+    * a concurrent reader sees a half-written manifest. For local
+    * paths both holes close at once with a HARD-LINK publish: the body
+    * lands in a private temp file, and `Files.createLink(target, tmp)`
+    * is an atomic POSIX create-if-absent that makes the manifest
+    * appear fully written or not at all (losers get
+    * FileAlreadyExistsException from the kernel, not a probe). The
+    * threaded-writer TxnSpec stress drives exactly this race.
+    */
+  private def publishExclusive(target: Path, body: Array[Byte]): Boolean = {
+    val local = fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      Option(target.toUri.getScheme).forall(_ == "file")
+    if (local) {
+      val dst = java.nio.file.Paths.get(target.toUri.getPath)
+      val tmp = dst.resolveSibling(s".${dst.getFileName}.tmp-$writerId")
+      java.nio.file.Files.write(tmp, body)
+      try {
+        java.nio.file.Files.createLink(dst, tmp)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally { java.nio.file.Files.deleteIfExists(tmp); () }
+    } else {
+      val out =
+        try fs.create(target, false)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+          case _: java.nio.file.FileAlreadyExistsException => return false
+          // some FileSystem impls signal the exclusive-create loss as a
+          // bare IOException; it is a race iff the target now exists
+          case e: java.io.IOException =>
+            return if (fs.exists(target)) false else throw e
+        }
+      // past the create, the version is OURS: a body-write failure must
+      // not leave a truncated manifest in the log as a readable version
+      // (and must not be misread as a lost race by the exists() probe
+      // above on retry) — delete the partial file before propagating
+      try {
+        try out.write(body) finally out.close()
+        true
+      } catch {
+        case e: Throwable =>
+          try fs.delete(target, false) catch { case _: Exception => () }
+          throw e
+      }
+    }
   }
 
   /** Full exploded state as a `.checkpoint` sidecar, via temp+rename so
@@ -361,6 +400,14 @@ class Snapshots(s: SparkSession, root: String) {
           base = parseKv(readFileBody(checkpointPath(cur)).linesIterator.drop(1))
         else {
           val lines = readFileBody(commitPath(cur)).linesIterator.toSeq
+          // an empty manifest is a publish caught mid-write on a store
+          // without atomic create-if-absent — surfacing it as an empty
+          // LEGACY state would poison the cache and every downstream
+          // read; fail loudly so the caller retries after the publish
+          // completes
+          if (lines.isEmpty) throw new java.io.IOException(
+            s"manifest $cur under $root is empty — concurrent publish in flight " +
+              "or torn store write; retry")
           val header = lines.headOption.getOrElse("")
           if (header.startsWith("#graft-delta")) {
             pending = (cur, lines.tail) :: pending

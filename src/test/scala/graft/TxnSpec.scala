@@ -1238,6 +1238,43 @@ class TxnSpec extends AnyFunSuite {
     assert(new Snapshots(spark, root).read("a").count() == 3L)
   }
 
+  test("threaded writer stress: racing appends all land, delta chain resolves exactly") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txnrace").toString + "/t"
+    new Snapshots(spark, root).commit(Map("a" -> Seq((0L, 0.0)).toDF("id", "v")))
+    // 6 writers × 4 tagged appends, all racing the create-exclusive on
+    // one commit log: every loser must re-diff against the WINNER's
+    // resolved state (the delta base moves under it), and every tag
+    // must land exactly once
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (1 to 6).foreach { w =>
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          try {
+            val mine = new Snapshots(spark, root)
+            (1 to 4).foreach { i =>
+              val id = w * 100L + i
+              mine.append("a", Seq((id, id * 1.0)).toDF("id", "v"), tag = Some(s"w$w-$i"))
+            }
+          } catch { case t: Throwable => errs.add(t); () }
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(180, java.util.concurrent.TimeUnit.SECONDS))
+    assert(errs.isEmpty, s"writer failed: ${Option(errs.peek()).map(_.toString)}")
+    val cold = new Snapshots(spark, root)
+    assert(cold.currentVersion.get == 25L, "24 appends + seed = 25 dense versions")
+    val ids = cold.read("a").select("id").as[Long].collect().toSet
+    val want = (for (w <- 1 to 6; i <- 1 to 4) yield w * 100L + i).toSet + 0L
+    assert(ids == want, s"lost/dup rows: missing ${want -- ids}, extra ${ids -- want}")
+    // replays through a fresh handle stay no-ops (tag ledger survived
+    // every race's manifest re-merge)
+    cold.append("a", Seq((101L, 101.0)).toDF("id", "v"), tag = Some("w1-1"))
+    assert(cold.currentVersion.get == 25L && cold.read("a").count() == 25L)
+  }
+
   test("readChanges outside the retention window fails loudly, not wrongly") {
     val sp = spark
     import sp.implicits._
