@@ -33,8 +33,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *   spark.readStream
   *     .format("graft.sources.ChangeFeed")
   *     .option("path", lakeRoot).option("table", "orders")
-  *     .option("startingVersion", "0")   // 0 = from the beginning
+  *     .option("startingVersion", "0")    // 0 = from the beginning
   *     .option("columns", "id,v")         // optional declared projection
+  *     .option("maxVersionsPerTrigger", "8")  // optional admission bounds
+  *     .option("maxBytesPerTrigger", "256m")  // (either or both)
   *     .load()                            // (selected) schema + _change + _commit_version
   * }}}
   *
@@ -253,7 +255,9 @@ private[sources] class ChangeFeedTable(tableSchema: StructType,
             options.get("path"), options.get("table"), base,
             Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
             pruned,
-            options.getBoolean("refuseDeletionVectors", false))
+            options.getBoolean("refuseDeletionVectors", false),
+            Option(options.get("maxBytesPerTrigger")).map(
+              org.apache.spark.network.util.JavaUtils.byteStringAsBytes))
         }
       }
     }
@@ -263,7 +267,8 @@ private[sources] class ChangeFeedStream(root: String, table: String,
                                         startingVersion: Long,
                                         maxVersionsPerTrigger: Option[Long],
                                         fullSchema: StructType,
-                                        refuseDv: Boolean = false)
+                                        refuseDv: Boolean = false,
+                                        maxBytesPerTrigger: Option[Long] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -303,10 +308,28 @@ private[sources] class ChangeFeedStream(root: String, table: String,
     maxVersionsPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val lo = start.asInstanceOf[VersionOffset].v
-    val hi = head
-    limit match {
-      case m: ReadMaxRows => new VersionOffset(math.min(hi, lo + m.maxRows()))
-      case _ => new VersionOffset(hi)
+    val hi0 = head
+    val hi = limit match {
+      case m: ReadMaxRows => math.min(hi0, lo + m.maxRows())
+      case _ => hi0
+    }
+    // `maxBytesPerTrigger` (the Delta CDF admission knob, public
+    // design): bound a micro-batch by the DATA VOLUME its versions
+    // added, not their count — a backlog of fat versions drains in
+    // bounded bites while a run of empty/maintenance versions advances
+    // in one. Weights come from cached manifest views (no listing). At
+    // least one version is always admitted (progress guarantee).
+    maxBytesPerTrigger match {
+      case None => new VersionOffset(hi)
+      case Some(budget) =>
+        val s = snap
+        var v = lo
+        var bytes = 0L
+        while (v < hi && (v == lo || bytes < budget)) {
+          bytes += s.addedBytesAt(table, v + 1)
+          v += 1
+        }
+        new VersionOffset(v)
     }
   }
   override def reportLatestOffset(): Offset = new VersionOffset(head)

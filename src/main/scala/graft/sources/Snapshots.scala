@@ -545,6 +545,18 @@ class Snapshots(s: SparkSession, root: String) {
       .exists(k => prev.get(k) != cur.get(k))
   }
 
+  /** Bytes of `table` data files ADDED at version `v` (not at v-1) —
+    * the feed's admission-control weight for one version step, from
+    * cached manifest views alone. Maintenance versions weigh zero (the
+    * feed emits nothing for them).
+    */
+  private[sources] def addedBytesAt(table: String, v: Long): Long = {
+    if (!tableTouchedAt(table, v)) return 0L
+    if (readManifest(v).contains(table + MaintSuffix)) return 0L
+    val prev = if (v <= 1L) Map.empty[String, Long] else fileSet(table, v - 1)
+    (fileSet(table, v) -- prev.keySet).values.sum
+  }
+
   /** The vector's parquet files as (absolute path, length) — one small
     * listing of the (tiny) DV directory; planner-side only.
     */

@@ -75,8 +75,13 @@ object Replicate {
           if (!ups.isEmpty)
             dst.commit(Map(table -> ups), Map(table -> statsCols))
         } else {
-          dst.mergeInto(table, ups, keyCols, statsCols) // empty source = no-op
-          dst.deleteKeys(table, dead, keyCols, statsCols) // empty keyset = no-op
+          // both verbs no-op on empty inputs, but each no-op still costs
+          // driver probes (distinct + span agg) and a manifest read —
+          // the cached `last` makes the emptiness checks nearly free,
+          // and the common steady states (append-only batch: no dead
+          // keys; pure-delete batch: no upserts) skip a verb entirely
+          if (!ups.isEmpty) dst.mergeInto(table, ups, keyCols, statsCols)
+          if (!dead.isEmpty) dst.deleteKeys(table, dead, keyCols, statsCols)
         }
       } finally { last.unpersist(); () }
     } finally { cached.unpersist(); () }

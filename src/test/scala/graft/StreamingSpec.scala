@@ -358,6 +358,39 @@ class StreamingSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("deletion vector")))
   }
 
+  test("change feed maxBytesPerTrigger: a backlog drains in byte-bounded bites") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Snapshots
+    val sp = spark
+    import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("cfbytes").toString
+    val snap = new Snapshots(spark, base + "/lake")
+    snap.commit(Map("t" -> (1L to 50L).map(i => (i, i * 1.0)).toDF("id", "v")))   // v1
+    (1 to 3).foreach(k => snap.append("t",
+      (1L to 50L).map(i => (k * 1000L + i, i * 1.0)).toDF("id", "v")))            // v2..v4
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = spark.readStream
+      .format("graft.sources.ChangeFeed")
+      .option("path", base + "/lake").option("table", "t")
+      .option("startingVersion", "0")
+      // 1 byte: every version alone overflows the budget, so the
+      // backlog must drain one version per micro-batch (progress
+      // guarantee admits exactly one)
+      .option("maxBytesPerTrigger", "1")
+      .load()
+      .writeStream
+      .option("checkpointLocation", base + "/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val vs = b.select("_commit_version").distinct().collect().map(_.getLong(0)).toSet
+        perBatch.synchronized { if (vs.nonEmpty) perBatch += vs }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(perBatch.size == 4, s"4 versions must arrive as 4 bounded batches: $perBatch")
+    assert(perBatch.forall(_.size == 1), s"each batch must carry ONE version: $perBatch")
+    assert(perBatch.flatten.toSet == Set(1L, 2L, 3L, 4L))
+  }
+
   test("change feed bin-packs small changed files: task count tracks bytes, not file churn") {
     import org.apache.spark.sql.functions._
     import graft.sources.{ChangeFeed, Snapshots}
