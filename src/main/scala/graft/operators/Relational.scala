@@ -543,8 +543,34 @@ object Relational {
         |ORDER BY o_custkey, o_orderkey""".stripMargin)
   }
 
+  /** B40 `q45_grouping_sets`: explicit GROUPING SETS — the general
+    * form q12's ROLLUP and q40's CUBE are sugar for, needed when the
+    * report wants a hand-picked lattice (here: leaf cells, one
+    * single-dimension margin, and the grand total — but NOT the
+    * priority margin a CUBE would force). Same execution shape as
+    * rollup/cube: Spark expands to one Expand + a single hash
+    * aggregate, so the cost is (#sets × input) map-side rows into one
+    * shuffle — no per-set rescans. The grouping-set id is rebuilt
+    * from per-column `grouping()` bits on BOTH engines rather than
+    * relying on either engine's native id bit order.
+    */
+  def q45GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    graft.sources.Catalog.register(s, dir)
+    s.sql(
+      """SELECT
+        |  coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY gid, status, priority""".stripMargin)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg" -> q01Agg _,
+    "q45_grouping_sets" -> q45GroupingSets _,
     "q42_string_agg" -> q42StringAgg _,
     "q43_stats_agg" -> q43StatsAgg _,
     "q44_window_nav" -> q44WindowNav _,
@@ -577,6 +603,16 @@ object Relational {
     "q24_pivot" -> q24Pivot _)
 
   val oracles: Map[String, String] = Map(
+    "q45_grouping_sets" ->
+      """SELECT
+        |  coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY gid, status, priority""".stripMargin,
     "q44_window_nav" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderkey, o_orderdate,

@@ -373,7 +373,46 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** C37 t17: BM25 ranked retrieval over the corpus — the lexical
+    * scorer behind search-based decontamination and retrieval-augmented
+    * data curation (Robertson/Spärck Jones BM25, with Lucene's
+    * non-negative idf ln(1+(N−df+0.5)/(df+0.5)); public formulas).
+    * Scale shape: the query's terms are filtered INSIDE the explode
+    * (predicate on the generator output, before any shuffle), so the
+    * only shuffled rows are (doc, query-term) pairs — O(matching
+    * postings), never O(corpus tokens); the per-term document
+    * frequencies are a ≤|Q|-row aggregate broadcast back, and the
+    * corpus scalars (N, avgdl) ride a 1-row broadcast cross join.
+    * On 100 TB this is the standard two-aggregate BM25 job; nothing
+    * is quadratic and the corpus is read once.
+    */
+  def t17Bm25(s: SparkSession, dir: String): DataFrame = {
+    val query = Seq("spark", "merge", "vector")
+    val (k1, b) = (1.2, 0.75)
+    val toks = docs(s, dir)
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "[^a-z0-9]+"), x => x =!= "").as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
+    val scalars = toks.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val tf = toks
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .where(col("term").isin(query: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(countDistinct("doc_id").as("dfr"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(scalars))
+      .withColumn("idf", log(lit(1.0) + (col("n_docs") - col("dfr") + 0.5) / (col("dfr") + 0.5)))
+      .withColumn("part",
+        col("idf") * col("tf") * (lit(k1) + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum("part"), 6).as("score"), count(lit(1)).as("n_terms"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(20)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_bm25" -> t17Bm25 _,
     "t16_paragraph_dedup" -> t16ParagraphDedup _,
     "t14_url_filter" -> t14UrlFilter _,
     "t09_decontaminate" -> ((s, dir) => t09Decontaminate(s, dir)),
@@ -394,6 +433,30 @@ object TextOps {
     stops.map(s => s"'$s'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "t17_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS dl,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        |  FROM documents
+        |), scalars AS (
+        |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM toks
+        |), tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM toks)
+        |  WHERE term IN ('spark', 'merge', 'vector')
+        |  GROUP BY doc_id, dl, term
+        |), dfreq AS (
+        |  SELECT term, count(DISTINCT doc_id) AS dfr FROM tf GROUP BY term
+        |)
+        |SELECT tf.doc_id,
+        |  round(sum(ln(1.0 + (s.n_docs - d.dfr + 0.5) / (d.dfr + 0.5)) * tf.tf * (1.2 + 1.0)
+        |    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl))), 6) AS score,
+        |  count(*) AS n_terms
+        |FROM tf JOIN dfreq d USING (term) CROSS JOIN scalars s
+        |GROUP BY tf.doc_id
+        |ORDER BY score DESC, tf.doc_id
+        |LIMIT 20""".stripMargin,
     "t16_paragraph_dedup" ->
       """WITH d AS (
         |  SELECT doc_id, text ||

@@ -269,4 +269,174 @@ object FileStats {
       val colStats = stats.get(f.getPath.getName)
       ranges.forall(r => mightMatch(colStats.flatMap(_.get(r.col)), r))
     }
+
+  // ---- bloom point-lookup index ------------------------------------------
+
+  /** fileName (leaf) -> column -> serialized Spark sketch BloomFilter.
+    * The point-lookup complement of the min/max sidecar: min/max skips
+    * RANGE queries on clustered columns, but an equality probe on a
+    * column each file holds a scattered sample of (a hash-distributed
+    * key, a UUID, a URL) finds every file's [min,max] spanning the
+    * probe value — zero skipping. A per-file bloom answers "might this
+    * file contain THIS value" and skips all but the true holders plus
+    * an fpp tail (Delta's bloom filter index; public design).
+    *
+    * Scale contract (100 TB): building reads the indexed columns once
+    * (column-pruned scan, distributed; partial blooms merge on the
+    * executors, the driver collects only the final per-file filters —
+    * the same bytes it is about to write as the sidecar). At the
+    * default 1% fpp a filter costs ~1.2 bytes/row — ~2 MB for a
+    * 128 MB parquet file, ~1.5% storage overhead — and probing is a
+    * driver-side sidecar read + k hash lookups per (file, key): same
+    * cost class as partition pruning, zero data IO for skipped files.
+    */
+  type TableBlooms = Map[String, Map[String, Array[Byte]]]
+
+  private val BloomSidecarName = "_bloom"
+
+  /** Equality / IN-list predicate against a bloom-indexed column. */
+  case class ColIn(col: String, values: Seq[Any])
+
+  private def bloomable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.StringType => true
+    case _ => false
+  }
+
+  private def serBloom(bf: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(baos); baos.toByteArray
+  }
+  private def deserBloom(b: Array[Byte]): org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(new java.io.ByteArrayInputStream(b))
+
+  /** Build per-file blooms for `cols` over every data file under `dir`
+    * in ONE column-pruned pass. Filters are sized from the footer row
+    * counts (a distributed footer sweep — the same read [[harvest]]
+    * pays), so two partitions of the same file build mergeable
+    * (identical-geometry) filters. Only integral and string columns
+    * may be indexed — the probe and the build must hash identically,
+    * and Spark's sketch defines that contract for longs and UTF-8
+    * strings (integrals widen to long on both sides).
+    */
+  def harvestBlooms(s: SparkSession, dir: String, cols: Seq[String],
+                    fpp: Double = 0.01): TableBlooms = {
+    require(cols.nonEmpty, "harvestBlooms needs at least one column")
+    val hconf = s.sparkContext.hadoopConfiguration
+    val fsys = new Path(dir).getFileSystem(hconf)
+    if (dataFiles(fsys, new Path(dir)).isEmpty) return Map.empty
+    val df = s.read.parquet(dir)
+    cols.foreach { c =>
+      val f = df.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"bloom column '$c' not in $dir schema"))
+      require(bloomable(f.dataType),
+        s"bloom column '$c' is ${f.dataType.simpleString}; only integral and string columns are indexable")
+    }
+    // per-file row counts → expected insertions (geometry must agree
+    // across partitions for mergeInPlace)
+    val rows: Map[String, Long] =
+      harvest(s, dir, Seq(RowsCol)).map { case (f, m) => f -> m(RowsCol).min.get.toLong }
+    val rowsB = s.sparkContext.broadcast(rows)
+    val colArr = cols.toArray
+    import org.apache.spark.sql.functions.{col => fcol, input_file_name}
+    val merged = df
+      .select(input_file_name().as("__graft_file") +: colArr.map(fcol): _*)
+      .rdd.mapPartitions { it =>
+        val acc = scala.collection.mutable.Map.empty[String, Array[org.apache.spark.util.sketch.BloomFilter]]
+        it.foreach { row =>
+          val fname = new Path(row.getString(0)).getName
+          val bfs = acc.getOrElseUpdate(fname, {
+            val exp = math.max(64L, rowsB.value.getOrElse(fname, 1L << 20))
+            Array.fill(colArr.length)(
+              org.apache.spark.util.sketch.BloomFilter.create(exp, fpp))
+          })
+          var i = 0
+          while (i < colArr.length) {
+            val v = row.get(i + 1)
+            if (v != null) bfs(i).put(v)
+            i += 1
+          }
+        }
+        acc.iterator.map { case (f, bfs) => (f, bfs.map(serBloom)) }
+      }
+      .reduceByKey { (a, b) =>
+        a.zip(b).map { case (x, y) =>
+          val bx = deserBloom(x); bx.mergeInPlace(deserBloom(y)); serBloom(bx) }
+      }
+      .collect() // O(dir files × bloom bytes) — exactly the sidecar the caller writes next
+    merged.map { case (f, arr) => f -> colArr.zip(arr).toMap }.toMap
+  }
+
+  /** Sidecar format, one line per (file, column): `file \t col \t b64`. */
+  def writeBloomSidecar(fs: FileSystem, dir: Path, blooms: TableBlooms): Unit = {
+    val body = blooms.toSeq.sortBy(_._1).flatMap { case (f, cb) =>
+      cb.toSeq.sortBy(_._1).map { case (c, b) =>
+        Seq(f, c, Base64.getEncoder.encodeToString(b)).mkString("\t")
+      }
+    }.mkString("\n")
+    val out = fs.create(new Path(dir, BloomSidecarName), true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  def readBloomSidecar(fs: FileSystem, dir: Path): Option[TableBlooms] = {
+    val p = new Path(dir, BloomSidecarName)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val body = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    val parsed = body.linesIterator.filter(_.nonEmpty).map { line =>
+      val Array(f, c, b) = line.split("\t", 3)
+      (f, c, Base64.getDecoder.decode(b))
+    }.toSeq
+    Some(parsed.groupBy(_._1).map { case (f, rows) =>
+      f -> rows.map(r => r._2 -> r._3).toMap
+    })
+  }
+
+  /** Normalize a probe value to the type the build-side `put` hashed:
+    * integrals widen to Long (the sketch's own widening), strings pass
+    * through. Other types are outside the index domain → None, which
+    * the prune treats as "cannot prove absence" (conservative).
+    */
+  private def probeVal(v: Any): Option[Any] = v match {
+    case b: Byte => Some(b.toLong)
+    case sh: Short => Some(sh.toLong)
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case st: String => Some(st)
+    case _ => None
+  }
+
+  /** Might `file` contain ANY of `eq.values`? Missing sidecar entry,
+    * unindexed column, or an unprobeable value type → true
+    * (conservative, never wrong). The min/max stats (when present) AND
+    * the bloom both get a veto: a range miss or a bloom miss each
+    * independently proves absence.
+    */
+  def mightContainAny(blooms: Option[Map[String, Array[Byte]]],
+                      stats: Option[Map[String, ColStat]],
+                      eq: ColIn): Boolean = {
+    val bf = blooms.flatMap(_.get(eq.col)).map(deserBloom)
+    eq.values.exists { raw =>
+      probeVal(raw) match {
+        case None => true // outside the long/string index domain
+        case Some(v) =>
+          val rangeOk = stats.flatMap(_.get(eq.col)) match {
+            case None => true
+            case Some(cs) => (cs.min, cs.max) match {
+              case (Some(mn), Some(mx)) =>
+                cmp(cs.typ, mx, boundStr(cs.typ, v)) >= 0 && cmp(cs.typ, mn, boundStr(cs.typ, v)) <= 0
+              case _ => false // all-null file: an equality probe can't match
+            }
+          }
+          rangeOk && bf.forall(_.mightContain(v))
+      }
+    }
+  }
 }

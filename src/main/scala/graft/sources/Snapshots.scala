@@ -710,12 +710,13 @@ class Snapshots(s: SparkSession, root: String) {
     * for file skipping.
     */
   def commit(tables: Map[String, DataFrame],
-             statsCols: Map[String, Seq[String]] = Map.empty): Long = {
+             statsCols: Map[String, Seq[String]] = Map.empty,
+             bloomCols: Map[String, Seq[String]] = Map.empty): Long = {
     tables.keys.foreach(t => require(!isMetaEntry(t),
       s"table name '$t' collides with the reserved '@' manifest lines"))
     var attempt = currentVersion.getOrElse(0L) + 1
     for (_ <- 1 to MaxAttempts) {
-      val written = stageTables(tables, statsCols, attempt)
+      val written = stageTables(tables, statsCols, attempt, bloomCols)
       // consumed append-tags follow the table identity through a full
       // re-commit: a replayed micro-batch must stay a no-op even after
       // the table's data was wholly rewritten (tables NOT in this
@@ -739,7 +740,8 @@ class Snapshots(s: SparkSession, root: String) {
     */
   private def stageTables(tables: Map[String, DataFrame],
                           statsCols: Map[String, Seq[String]],
-                          attempt: Long): Map[String, String] = {
+                          attempt: Long,
+                          bloomCols: Map[String, Seq[String]] = Map.empty): Map[String, String] = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     Await.result(Future.traverse(tables.toSeq) { case (name, df) =>
@@ -749,6 +751,10 @@ class Snapshots(s: SparkSession, root: String) {
         statsCols.get(name).filter(_.nonEmpty).foreach { cols =>
           FileStats.writeSidecar(fs, new Path(s"$root/$rel"),
             FileStats.harvest(s, s"$root/$rel", cols))
+        }
+        bloomCols.get(name).filter(_.nonEmpty).foreach { cols =>
+          FileStats.writeBloomSidecar(fs, new Path(s"$root/$rel"),
+            FileStats.harvestBlooms(s, s"$root/$rel", cols))
         }
         // checkpoint the read metadata while the write's listing is
         // hot: one listStatus (and at worst one footer) per table here
@@ -1220,6 +1226,75 @@ class Snapshots(s: SparkSession, root: String) {
       val conds = r.lo.map(v => c >= lit(v)).toSeq ++ r.hi.map(v => c <= lit(v)).toSeq
       conds.foldLeft(df)((d, cond) => d.where(cond))
     }
+  }
+
+  /** Point-lookup read through the BLOOM index: rows whose `column`
+    * equals any of `keys`, opening only files whose per-file bloom
+    * (and min/max stats, when present) admit at least one key. This is
+    * the lookup min/max skipping cannot serve: on a hash-distributed
+    * or high-churn key column every file's [min,max] spans every probe,
+    * but the blooms (committed via `commit(bloomCols = …)`) prune to
+    * the true holder files plus an fpp tail — a needle query on a
+    * 100 TB table costs a sidecar read and a handful of file opens
+    * (Delta's bloom filter index semantics; public design).
+    *
+    * Exactness: skipping is a plan optimization under the exact
+    * `IN`-filter applied after (blooms have false positives, never
+    * false negatives), so the result is exactly
+    * `read(table).where(col isin keys)` — dirs without a bloom sidecar
+    * (e.g. rewritten by maintenance, which drops blooms) keep all
+    * their files, conservative either way. NULL never equals a key.
+    */
+  def readWhereIn(table: String, column: String, keys: Seq[Any],
+                  version: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty, "readWhereIn needs at least one key")
+    val v = version.orElse(currentVersion)
+      .getOrElse(throw new IllegalStateException(s"no commits under $root"))
+    val m = readManifest(v)
+    val rel = dataEntries(m).getOrElse(table,
+      throw new NoSuchElementException(s"table '$table' not in version $v under $root"))
+    val eq = FileStats.ColIn(column, keys)
+    val base = (storedSchema(m, table), storedFiles(m, table)) match {
+      case (Some(schema), Some(files)) =>
+        val kept = files.groupBy { case (r, _) => new Path(root, r).getParent }
+          .toSeq.flatMap { case (dir, fl) =>
+            val stats = FileStats.readSidecar(fs, dir)
+            val blooms = FileStats.readBloomSidecar(fs, dir)
+            if (stats.isEmpty && blooms.isEmpty) fl
+            else fl.filter { case (r, _) =>
+              val leaf = new Path(root, r).getName
+              FileStats.mightContainAny(blooms.flatMap(_.get(leaf)),
+                stats.flatMap(_.get(leaf)), eq)
+            }
+          }
+        org.apache.spark.sql.GraftLakeShim.parquetByManifest(
+          s, kept.map { case (r, len) => (s"$root/$r", len) }, schema)
+      case _ =>
+        val kept = splitRel(rel).flatMap { r =>
+          val p = new Path(root, r)
+          if (fs.getFileStatus(p).isDirectory) {
+            val all = FileStats.dataFiles(fs, p)
+            val stats = FileStats.readSidecar(fs, p)
+            val blooms = FileStats.readBloomSidecar(fs, p)
+            (if (stats.isEmpty && blooms.isEmpty) all
+             else all.filter { f =>
+               val leaf = f.getPath.getName
+               FileStats.mightContainAny(blooms.flatMap(_.get(leaf)),
+                 stats.flatMap(_.get(leaf)), eq)
+             }).map(_.getPath.toString)
+          } else {
+            val stats = FileStats.readSidecar(fs, p.getParent)
+            val blooms = FileStats.readBloomSidecar(fs, p.getParent)
+            val keep = (stats.isEmpty && blooms.isEmpty) ||
+              FileStats.mightContainAny(blooms.flatMap(_.get(p.getName)),
+                stats.flatMap(_.get(p.getName)), eq)
+            if (keep) Seq(p.toString) else Nil
+          }
+        }
+        if (kept.isEmpty) s.read.parquet(absPaths(rel): _*).limit(0)
+        else s.read.parquet(kept: _*)
+    }
+    applyDv(m, table, base).where(col(column).isin(keys: _*))
   }
 
   /** Targeted row delete — the GDPR / retention maintenance job. Rows
@@ -2279,6 +2354,53 @@ object Snapshots {
       .orderBy("o_orderstatus")
   }
 
+  /** Probe keys for c16 — fixed literals (they appear verbatim in the
+    * oracle SQL), all within the key domain of every sf.
+    */
+  private val BloomProbeKeys: Seq[Any] = Seq(17L, 451L, 1063L)
+
+  /** Snapshot lake for c16, staged ONCE per sf dir: orders
+    * HASH-distributed on o_orderkey into 16 files — the anti-clustered
+    * layout (every file's [min,max] spans the whole key domain, so
+    * min/max skipping keeps all 16) — with BOTH sidecars committed:
+    * `_stats` (useless here, present for realism) and `_bloom` on the
+    * key column.
+    */
+  def stagedBloomLake(s: SparkSession, dir: String): Snapshots = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s.conf.get("spark.sql.warehouse.dir") + s"/bloom_c16$tag"
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val snap = new Snapshots(s, root)
+    val marker = new Path(root, "_STAGED_G1")
+    if (!fs.exists(marker)) {
+      fs.delete(new Path(root), true)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartition(16, col("o_orderkey"))
+      snap.commit(Map("orders" -> orders),
+        statsCols = Map("orders" -> Seq("o_orderkey")),
+        bloomCols = Map("orders" -> Seq("o_orderkey")))
+      fs.create(marker, true).close()
+    }
+    snap
+  }
+
+  /** `c16_bloom_pruned_read`: a needle IN-list lookup through the
+    * bloom-index read path ([[Snapshots.readWhereIn]]) on the layout
+    * min/max skipping cannot serve (hash-distributed key). With 16
+    * files and 3 probe keys the read opens ≤3 files + a 1% fpp tail
+    * (TxnSpec machine-asserts the plan's inputFiles, and that the
+    * min/max-only path keeps all 16); the oracle proves skipping never
+    * changes the answer.
+    */
+  def c16BloomPrunedRead(s: SparkSession, dir: String): DataFrame = {
+    val snap = stagedBloomLake(s, dir)
+    snap.readWhereIn("orders", "o_orderkey", BloomProbeKeys)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("price"))
+      .orderBy("o_orderkey")
+  }
+
   /** Snapshot lake for c06, staged ONCE per sf dir on its own root
     * (c06 mutates its lake, so it must not share c05's).
     */
@@ -2667,6 +2789,7 @@ object Snapshots {
     Map("c04_snapshot_read" -> c04SnapshotRead _,
         "c14_delete_mor" -> c14DeleteMor _,
         "c05_stats_pruned_read" -> c05StatsPrunedRead _,
+        "c16_bloom_pruned_read" -> c16BloomPrunedRead _,
         "c06_delete_where" -> c06DeleteWhere _,
         "c07_update_where" -> c07UpdateWhere _,
         "c08_version_diff" -> c08VersionDiff _,
@@ -2799,5 +2922,10 @@ object Snapshots {
         |FROM orders
         |WHERE o_orderkey BETWEEN 1 AND 600
         |GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus""".stripMargin)
+        |ORDER BY o_orderstatus""".stripMargin,
+    "c16_bloom_pruned_read" ->
+      """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+        |FROM orders
+        |WHERE o_orderkey IN (17, 451, 1063)
+        |ORDER BY o_orderkey""".stripMargin)
 }

@@ -363,6 +363,60 @@ class TxnSpec extends AnyFunSuite {
     assert(nostats.count() == 100L && nostats.inputFiles.length >= 8)
   }
 
+  test("bloom index skips files min/max cannot, on a hash-distributed key") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txn").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    // 4096 rows HASH-distributed into 16 files: every file's [min,max]
+    // spans nearly the whole key domain, so min/max skipping is useless
+    // by construction — exactly the layout the bloom index exists for
+    val df = (1L to 4096L).map(i => (i, s"u$i", i * 1.5)).toDF("id", "nm", "v")
+      .repartition(16, col("id"))
+    snap.commit(Map("a" -> df),
+      statsCols = Map("a" -> Seq("id")),
+      bloomCols = Map("a" -> Seq("id", "nm")))
+
+    val full = snap.read("a")
+    val totalFiles = full.inputFiles.length
+    assert(totalFiles == 16, s"expected 16 data files, got $totalFiles")
+
+    // control: the min/max-only path keeps (nearly) everything on this
+    // layout — proves the bloom, not the stats, does the work below
+    val byRange = snap.readWhere("a", Seq(ColRange("id", Some(17L), Some(17L))))
+    assert(byRange.inputFiles.length > totalFiles / 2,
+      s"hash layout should defeat min/max: kept ${byRange.inputFiles.length} of $totalFiles")
+
+    // 3 probe keys live in ≤3 files; 1% fpp on 13 other files adds ~0
+    val probe = snap.readWhereIn("a", "id", Seq(17L, 451L, 1063L))
+    assert(probe.inputFiles.length <= 5,
+      s"bloom should prune to the holder files: kept ${probe.inputFiles.length} of $totalFiles")
+    val expect = full.where(col("id").isin(17L, 451L, 1063L))
+    assert(probe.count() == 3L)
+    assert(probe.exceptAll(expect).isEmpty && expect.exceptAll(probe).isEmpty,
+      "bloom-pruned read must equal full-scan filter")
+
+    // string-typed probe on the second indexed column
+    val sprobe = snap.readWhereIn("a", "nm", Seq("u99", "u2048"))
+    assert(sprobe.count() == 2L && sprobe.inputFiles.length <= 4)
+
+    // absent keys: bloom proves absence for (nearly) every file, result
+    // is empty with schema intact
+    val none = snap.readWhereIn("a", "id", Seq(999999L))
+    assert(none.count() == 0L && none.inputFiles.length <= 1 &&
+      none.columns.toSeq == full.columns.toSeq)
+
+    // unindexed column → conservative full read, still exact
+    val noidx = snap.readWhereIn("a", "v", Seq(1.5))
+    assert(noidx.count() == 1L)
+
+    // a maintenance rewrite DROPS blooms (new dirs, no sidecar):
+    // reads stay exact, just unpruned — conservative by design
+    snap.deleteWhere("a", Seq(ColRange("id", Some(4000L), Some(4096L))), statsCols = Seq("id"))
+    val after = snap.readWhereIn("a", "id", Seq(17L))
+    assert(after.count() == 1L)
+  }
+
   test("string-typed footer stats prune by lexicographic range") {
     val sp = spark
     import sp.implicits._
