@@ -154,6 +154,7 @@ object Soak {
       failed.foreach(r => md ++= s"- ${r.scale} ${r.key}: ${r.err}\n")
     } else md ++= "\nAll keys completed at both scales; no OOM, no failures.\n"
     md ++= manifestSoak(spark)
+    md ++= bloomSoak(spark, soakDir)
     Files.write(Paths.get("SOAK.md"), md.toString.getBytes(StandardCharsets.UTF_8))
     println(md)
     if (failed.nonEmpty) sys.exit(1)
@@ -169,6 +170,55 @@ object Soak {
     * checkpoint + ≤cadence deltas, never the 300-manifest chain), and
     * one change-feed catch-up planning the full 300-version span.
     */
+  /** BLOOM-INDEX soak: the point-lookup path at the 10× corpus. The
+    * orders replica is hash-distributed into 64 files (the layout
+    * min/max stats cannot prune), bloom-indexed at commit, and probed
+    * with a 3-key IN — what must hold at scale: files OPENED tracks the
+    * key count (+fpp), not the file count, and the probe's wall beats
+    * the full-scan filter's. Index build cost is reported, not gated —
+    * it is the one-time O(column) pass the sidecar amortizes.
+    */
+  private def bloomSoak(s: SparkSession, soakDir: String): String = {
+    import graft.sources.Snapshots
+    val root = s.conf.get("spark.sql.warehouse.dir") + "/soak_bloom/t"
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+    val snap = new Snapshots(s, root)
+    val orders = s.read.parquet(s"$soakDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .repartition(64, col("o_orderkey"))
+    val tb0 = System.nanoTime()
+    // 0.1% fpp: a point-lookup index probing MANY files per key wants a
+    // tight filter — expected false-positive opens = keys × files × fpp
+    // ≈ 0.2 here, vs ~2 at the 1% default (≈1.8 bytes/row vs 1.2)
+    snap.commit(Map("orders" -> orders),
+      bloomCols = Map("orders" -> Seq("o_orderkey")), bloomFpp = 0.001)
+    val buildS = (System.nanoTime() - tb0) / 1e9
+    val keys = Seq(17L, 451L, 1063L)
+    val probe = snap.readWhereIn("orders", "o_orderkey", keys)
+    val total = snap.read("orders").inputFiles.length
+    val opened = probe.inputFiles.length
+    val tp0 = System.nanoTime()
+    val hits = probe.count()
+    val probeS = (System.nanoTime() - tp0) / 1e9
+    val tf0 = System.nanoTime()
+    val fullHits = snap.read("orders").where(col("o_orderkey").isin(keys: _*)).count()
+    val fullS = (System.nanoTime() - tf0) / 1e9
+    s"""
+       |## Bloom-index soak (10× orders, 64 hash-distributed files)
+       |
+       || probe | value | verdict |
+       ||---|---|---|
+       || files opened / total | $opened / $total | ${if (opened <= keys.size + 3) "pruned" else "NOT PRUNED"} |
+       || probe wall vs full-scan | ${f"$probeS%.2f"}s vs ${f"$fullS%.2f"}s | ${if (probeS < fullS) "faster" else "SLOWER"} |
+       || rows (probe == full) | $hits == $fullHits | ${if (hits == fullHits) "exact" else "MISMATCH"} |
+       |
+       |Index build (commit + one column-pruned bloom pass over 10×):
+       |${f"$buildS%.2f"}s, amortized across every future point lookup.
+       |""".stripMargin
+  }
+
   private def manifestSoak(s: SparkSession): String = {
     import graft.sources.Snapshots
     val sp = s

@@ -568,8 +568,33 @@ object Relational {
         |ORDER BY gid, status, priority""".stripMargin)
   }
 
+  /** B41 `q46_arg_minmax`: argument-extrema aggregates — max_by/min_by
+    * (ANSI 2023; DuckDB arg_max/arg_min), the "which row holds the
+    * extremum" verb that otherwise costs a window + filter or a
+    * self-join. Single-pass map-side-combinable aggregate: each partial
+    * keeps one (ordering, argument) pair per group, merges
+    * associatively — the same shuffle shape as q01's sums. The ordering
+    * value is made UNIQUE (integer cents scaled + the key itself) so
+    * ties cannot make the argument nondeterministic across engines.
+    */
+  def q46ArgMinMax(s: SparkSession, dir: String): DataFrame = {
+    graft.sources.Catalog.register(s, dir)
+    s.sql(
+      """WITH o AS (
+        |  SELECT o_orderstatus, o_orderkey,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) * 100000 + o_orderkey AS rank_val
+        |  FROM orders
+        |)
+        |SELECT o_orderstatus,
+        |  max_by(o_orderkey, rank_val) AS priciest_order,
+        |  min_by(o_orderkey, rank_val) AS cheapest_order,
+        |  count(*) AS n
+        |FROM o GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg" -> q01Agg _,
+    "q46_arg_minmax" -> q46ArgMinMax _,
     "q45_grouping_sets" -> q45GroupingSets _,
     "q42_string_agg" -> q42StringAgg _,
     "q43_stats_agg" -> q43StatsAgg _,
@@ -603,6 +628,17 @@ object Relational {
     "q24_pivot" -> q24Pivot _)
 
   val oracles: Map[String, String] = Map(
+    "q46_arg_minmax" ->
+      """WITH o AS (
+        |  SELECT o_orderstatus, o_orderkey,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) * 100000 + o_orderkey AS rank_val
+        |  FROM orders
+        |)
+        |SELECT o_orderstatus,
+        |  arg_max(o_orderkey, rank_val) AS priciest_order,
+        |  arg_min(o_orderkey, rank_val) AS cheapest_order,
+        |  count(*) AS n
+        |FROM o GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q45_grouping_sets" ->
       """SELECT
         |  coalesce(o_orderstatus, 'ALL') AS status,

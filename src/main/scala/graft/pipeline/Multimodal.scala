@@ -563,7 +563,89 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------------- m08
+  // Shot-boundary (scene cut) detection — the video-pipeline verb that
+  // decides where to sample: a training pipeline takes frames per
+  // SCENE, not per fixed stride, or every clip of a static shot wastes
+  // its token budget on duplicates. The standard detector is a
+  // frame-to-frame color-histogram / channel-mean distance with a
+  // threshold (public technique); here the per-frame feature is the
+  // channel means the decode already produces, and a cut fires when
+  // the summed absolute channel delta exceeds the threshold. The
+  // synthetic frames step each channel by 31 per frame (delta 93)
+  // except at a 256-wrap (delta ≥287), so threshold 150 separates the
+  // two populations exactly and DuckDB recomputes cut positions from
+  // the closed forms.
+
+  case class SceneCuts(doc_id: Long, n_frames: Int, n_cuts: Int, first_cut: Int)
+
+  /** Walk EVERY frame of a VID1 container (same parser discipline as
+    * [[sampleFrames]] — each frame's length from its own header),
+    * reduce each to channel means, and count threshold crossings of
+    * the consecutive-frame delta. O(payload) single pass, O(1) state
+    * (previous frame's means only).
+    */
+  def detectSceneCuts(docId: Long, payload: Array[Byte], threshold: Double): SceneCuts = {
+    var pos = 0
+    def line(): String = {
+      val start = pos
+      while (payload(pos) != '\n') pos += 1
+      pos += 1
+      new String(payload, start, pos - 1 - start, "US-ASCII")
+    }
+    require(line() == "VID1", "not a VID1 container")
+    val Array(nf, _) = line().split(" ").map(_.toInt)
+    var (pr, pg, pb) = (0.0, 0.0, 0.0)
+    var cuts = 0
+    var firstCut = -1
+    for (f <- 0 until nf) {
+      val headEnd = {
+        var p = pos; var nl = 0
+        while (nl < 3) { if (payload(p) == '\n') nl += 1; p += 1 }
+        p
+      }
+      val head = new String(payload, pos, headEnd - pos, "US-ASCII").split("\\s+")
+      require(head(0) == "P6", s"frame $f is not a P6 frame")
+      val (fw, fh) = (head(1).toInt, head(2).toInt)
+      val frameLen = (headEnd - pos) + fw * fh * 3
+      val img = decodePpm(docId, java.util.Arrays.copyOfRange(payload, pos, pos + frameLen))
+      if (f > 0) {
+        val delta = math.abs(img.mean_r - pr) + math.abs(img.mean_g - pg) + math.abs(img.mean_b - pb)
+        if (delta > threshold) {
+          cuts += 1
+          if (firstCut < 0) firstCut = f
+        }
+      }
+      pr = img.mean_r; pg = img.mean_g; pb = img.mean_b
+      pos += frameLen
+    }
+    SceneCuts(docId, nf, cuts, firstCut)
+  }
+
+  /** C38 `m08_scene_cut`: synthesize one VID1 container per doc and
+    * detect shot boundaries by thresholded channel-mean deltas in
+    * batched partition passes (the m02-m07 batch shape). The oracle
+    * recomputes every cut position from the frame-color closed forms —
+    * a frame-walk desync, an off-by-one in the diff, or a wrong
+    * threshold comparison flips n_cuts or first_cut.
+    */
+  def m08SceneCut(s: SparkSession, dir: String, threshold: Double = 150.0,
+                  batchSize: Int = 64): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id")).as[Long]
+      .map(id => Media(id, vidBytes(id)))
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map(m =>
+        detectSceneCuts(m.doc_id, m.payload, threshold))))
+      .toDF()
+      .select(col("doc_id"),
+        col("n_frames").cast("long").as("n_frames"),
+        col("n_cuts").cast("long").as("n_cuts"),
+        col("first_cut").cast("long").as("first_cut"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m08_scene_cut" -> ((s, dir) => m08SceneCut(s, dir)),
     "m01_multimodal_meta" -> m01MultimodalMeta _,
     "m02_decode_batch" -> ((s, dir) => m02DecodeBatch(s, dir)),
     "m03_decode_image" -> ((s, dir) => m03DecodeImage(s, dir)),
@@ -578,6 +660,24 @@ object Multimodal {
     * codecs for m02/m05, pure-Scala parsers for m03/m04).
     */
   val oracles: Map[String, String] = Map(
+    "m08_scene_cut" ->
+      """WITH f AS (
+        |  SELECT doc_id, CAST(4 + doc_id % 5 AS BIGINT) AS nf FROM documents
+        |), fr AS (
+        |  SELECT d.doc_id, d.nf, g.f,
+        |    (d.doc_id + 31 * g.f) % 256 AS r,
+        |    ((d.doc_id + 31 * g.f) % 256 + 85) % 256 AS g_,
+        |    ((d.doc_id + 31 * g.f) % 256 + 170) % 256 AS b
+        |  FROM f d, UNNEST(generate_series(0, CAST(d.nf - 1 AS INT))) AS g(f)
+        |), dd AS (
+        |  SELECT doc_id, nf, f,
+        |    abs(r - lag(r) OVER w) + abs(g_ - lag(g_) OVER w) + abs(b - lag(b) OVER w) AS delta
+        |  FROM fr WINDOW w AS (PARTITION BY doc_id ORDER BY f)
+        |)
+        |SELECT doc_id, CAST(max(nf) AS BIGINT) AS n_frames,
+        |  CAST(count(*) FILTER (WHERE delta > 150) AS BIGINT) AS n_cuts,
+        |  CAST(coalesce(min(f) FILTER (WHERE delta > 150), -1) AS BIGINT) AS first_cut
+        |FROM dd GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "m07_audio_batch" ->
       """WITH f AS (
         |  SELECT doc_id,

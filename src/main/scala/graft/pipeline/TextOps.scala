@@ -411,7 +411,45 @@ object TextOps {
       .limit(20)
   }
 
+  /** C39 t18: DOMAIN-MIX rebalancing — the mixture step every corpus
+    * build runs after filtering (Pile/Dolma-style "mixture weights"):
+    * sources contribute wildly unequal token mass, and training wants a
+    * TARGET share per source, enforced by deterministic downsampling.
+    * Here the target is the canonical "balance the domains" config —
+    * an equal token share per source of a half-corpus budget, with the
+    * per-source keep-RATE derived from corpus statistics (not a fixed
+    * per-class literal like t07): rate_s = min(1, target/src_tokens),
+    * applied as a pure-arithmetic Knuth-multiplicative hash bucket on
+    * doc_id (cross-engine exact — no engine hash function involved).
+    * Scale shape: one token-count pass, a source-sized aggregate
+    * broadcast back, one filtered pass — the corpus never shuffles.
+    */
+  def t18DomainMix(s: SparkSession, dir: String): DataFrame = {
+    val tk = docs(s, dir).select(col("doc_id"), col("source"),
+      size(filter(split(lower(col("text")), "[^a-z0-9]+"), x => x =!= ""))
+        .cast("long").as("tk"))
+    val bySrc = tk.groupBy("source").agg(sum("tk").as("src_tokens"))
+    val tot = bySrc.agg(sum("src_tokens").as("total_tokens"),
+      count(lit(1)).as("n_src"))
+    val plan = bySrc.crossJoin(broadcast(tot))
+      .withColumn("target_tokens",
+        floor(floor(col("total_tokens") * 0.5) / col("n_src")).cast("long"))
+      .withColumn("thr",
+        floor(least(lit(1.0), col("target_tokens").cast("double") / col("src_tokens")) * 4096)
+          .cast("long"))
+    val kept = tk.join(broadcast(plan.select("source", "thr")), "source")
+      .where(pmod(col("doc_id") * lit(2654435761L), lit(4096L)) < col("thr"))
+    kept.groupBy("source")
+      .agg(count(lit(1)).as("kept_docs"), sum("tk").as("kept_tokens"))
+      .join(plan.select("source", "src_tokens", "target_tokens"), "source")
+      .select(col("source"), col("src_tokens"), col("target_tokens"),
+        col("kept_docs"), col("kept_tokens"),
+        round(col("kept_tokens").cast("double") / col("target_tokens"), 4).as("fill_ratio"))
+      .orderBy("source")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t18_domain_mix" -> t18DomainMix _,
     "t17_bm25" -> t17Bm25 _,
     "t16_paragraph_dedup" -> t16ParagraphDedup _,
     "t14_url_filter" -> t14UrlFilter _,
@@ -433,6 +471,32 @@ object TextOps {
     stops.map(s => s"'$s'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "t18_domain_mix" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tk
+        |  FROM documents
+        |), by_src AS (
+        |  SELECT source, CAST(sum(tk) AS BIGINT) AS src_tokens FROM tk GROUP BY source
+        |), tot AS (
+        |  SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+        |    count(*) AS n_src FROM by_src
+        |), plan AS (
+        |  SELECT source, src_tokens,
+        |    CAST(floor(floor(total_tokens * 0.5) / n_src) AS BIGINT) AS target_tokens,
+        |    CAST(floor(least(1.0, CAST(floor(floor(total_tokens * 0.5) / n_src) AS DOUBLE) / src_tokens) * 4096) AS BIGINT) AS thr
+        |  FROM by_src CROSS JOIN tot
+        |), kept AS (
+        |  SELECT t.source, t.tk
+        |  FROM tk t JOIN plan p USING (source)
+        |  WHERE (t.doc_id * 2654435761) % 4096 < p.thr
+        |)
+        |SELECT p.source, p.src_tokens, p.target_tokens,
+        |  count(*) AS kept_docs, CAST(sum(k.tk) AS BIGINT) AS kept_tokens,
+        |  round(CAST(sum(k.tk) AS DOUBLE) / p.target_tokens, 4) AS fill_ratio
+        |FROM kept k JOIN plan p USING (source)
+        |GROUP BY p.source, p.src_tokens, p.target_tokens
+        |ORDER BY p.source""".stripMargin,
     "t17_bm25" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -711,12 +711,13 @@ class Snapshots(s: SparkSession, root: String) {
     */
   def commit(tables: Map[String, DataFrame],
              statsCols: Map[String, Seq[String]] = Map.empty,
-             bloomCols: Map[String, Seq[String]] = Map.empty): Long = {
+             bloomCols: Map[String, Seq[String]] = Map.empty,
+             bloomFpp: Double = 0.01): Long = {
     tables.keys.foreach(t => require(!isMetaEntry(t),
       s"table name '$t' collides with the reserved '@' manifest lines"))
     var attempt = currentVersion.getOrElse(0L) + 1
     for (_ <- 1 to MaxAttempts) {
-      val written = stageTables(tables, statsCols, attempt, bloomCols)
+      val written = stageTables(tables, statsCols, attempt, bloomCols, bloomFpp)
       // consumed append-tags follow the table identity through a full
       // re-commit: a replayed micro-batch must stay a no-op even after
       // the table's data was wholly rewritten (tables NOT in this
@@ -741,7 +742,8 @@ class Snapshots(s: SparkSession, root: String) {
   private def stageTables(tables: Map[String, DataFrame],
                           statsCols: Map[String, Seq[String]],
                           attempt: Long,
-                          bloomCols: Map[String, Seq[String]] = Map.empty): Map[String, String] = {
+                          bloomCols: Map[String, Seq[String]] = Map.empty,
+                          bloomFpp: Double = 0.01): Map[String, String] = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     Await.result(Future.traverse(tables.toSeq) { case (name, df) =>
@@ -754,7 +756,7 @@ class Snapshots(s: SparkSession, root: String) {
         }
         bloomCols.get(name).filter(_.nonEmpty).foreach { cols =>
           FileStats.writeBloomSidecar(fs, new Path(s"$root/$rel"),
-            FileStats.harvestBlooms(s, s"$root/$rel", cols))
+            FileStats.harvestBlooms(s, s"$root/$rel", cols, bloomFpp))
         }
         // checkpoint the read metadata while the write's listing is
         // hot: one listStatus (and at worst one footer) per table here
@@ -1822,7 +1824,8 @@ class Snapshots(s: SparkSession, root: String) {
     * [[compact]] case; vacuum's dir-granular refcount covers them.
     */
   def append(table: String, df: DataFrame, tag: Option[String] = None,
-             statsCols: Seq[String] = Nil, mergeSchema: Boolean = false): Long = {
+             statsCols: Seq[String] = Nil, mergeSchema: Boolean = false,
+             bloomCols: Seq[String] = Nil): Long = {
     require(!isMetaEntry(table),
       s"table name '$table' collides with the reserved '@' manifest lines")
     tag.foreach(t => require(t.matches("[A-Za-z0-9_-]+"),
@@ -1878,6 +1881,9 @@ class Snapshots(s: SparkSession, root: String) {
         if (statsCols.nonEmpty)
           FileStats.writeSidecar(fs, new Path(s"$root/$r"),
             FileStats.harvest(s, s"$root/$r", statsCols))
+        if (bloomCols.nonEmpty)
+          FileStats.writeBloomSidecar(fs, new Path(s"$root/$r"),
+            FileStats.harvestBlooms(s, s"$root/$r", bloomCols))
         written = Some(r)
         newFiles = listRelFiles(Seq(r))
         r
@@ -2074,7 +2080,8 @@ class Snapshots(s: SparkSession, root: String) {
   def compact(table: String, targetBytes: Long = 128L << 20,
               sortCol: Option[String] = None,
               statsCols: Seq[String] = Nil,
-              zorderCols: Seq[String] = Nil): Long = {
+              zorderCols: Seq[String] = Nil,
+              bloomCols: Seq[String] = Nil): Long = {
     val headM = readManifest(currentVersion
       .getOrElse(throw new IllegalStateException(s"no commits under $root")))
     val baseRel = dataEntries(headM).getOrElse(table,
@@ -2110,6 +2117,9 @@ class Snapshots(s: SparkSession, root: String) {
       if (statsCols.nonEmpty)
         FileStats.writeSidecar(fs, new Path(s"$root/$rel"),
           FileStats.harvest(s, s"$root/$rel", statsCols))
+      if (bloomCols.nonEmpty)
+        FileStats.writeBloomSidecar(fs, new Path(s"$root/$rel"),
+          FileStats.harvestBlooms(s, s"$root/$rel", bloomCols))
       val metaLines = Map(
         schemaLine(table, predictReadBack(packed.schema).getOrElse(writtenSchema(rel))),
         filesLine(table, listRelFiles(Seq(rel))))

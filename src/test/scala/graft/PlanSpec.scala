@@ -76,6 +76,26 @@ class PlanSpec extends AnyFunSuite {
       "ngram candidate generation must be an equi-join")
   }
 
+  test("t17 BM25: every join is broadcast and only postings shuffle") {
+    val p = plan("t17_bm25")
+    // the corpus is joined only against broadcast sides (query-term
+    // dfreq, 1-row scalars) — a sort-merge or shuffled-hash join here
+    // would mean corpus-sized rows crossed the network for a join
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "BM25 must not shuffle a join side: " + p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q45 grouping sets plan one Expand + a single aggregate pass, no rescans") {
+    val df = SparkEntry.queries("q45_grouping_sets")(spark, TestSpark.sfTest)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("Expand"), p)
+    // one scan feeds the lattice — per-set rescans would show multiple
+    // parquet scans of orders
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 orders scan, got $scans: " + p)
+  }
+
   test("q26 bucketed fact join plans with no exchange on the fact sides") {
     // disable broadcast so the test proves co-location (at sf0.001 the
     // whole orders table fits a broadcast, which also avoids the

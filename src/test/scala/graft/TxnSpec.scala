@@ -410,8 +410,25 @@ class TxnSpec extends AnyFunSuite {
     val noidx = snap.readWhereIn("a", "v", Seq(1.5))
     assert(noidx.count() == 1L)
 
-    // a maintenance rewrite DROPS blooms (new dirs, no sidecar):
-    // reads stay exact, just unpruned — conservative by design
+    // incremental ingest: an append with bloomCols indexes the NEW dir
+    // and the probe prunes across both generations
+    snap.append("a", Seq((9001L, "u9001", 1.0)).toDF("id", "nm", "v"),
+      statsCols = Seq("id"), bloomCols = Seq("id", "nm"))
+    val across = snap.readWhereIn("a", "id", Seq(17L, 9001L))
+    assert(across.count() == 2L && across.inputFiles.length <= 5,
+      s"append+probe should stay pruned: ${across.inputFiles.length} files")
+
+    // compaction with bloomCols REBUILDS the index over the packed dir
+    snap.compact("a", targetBytes = 1L << 20, statsCols = Seq("id"), bloomCols = Seq("id"))
+    val packed = snap.readWhereIn("a", "id", Seq(17L, 9001L))
+    val packedTotal = snap.read("a").inputFiles.length
+    assert(packed.count() == 2L)
+    if (packedTotal > 3)
+      assert(packed.inputFiles.length < packedTotal,
+        s"post-compact probe should still skip: ${packed.inputFiles.length} of $packedTotal")
+
+    // a partial rewrite (no bloomCols path) DROPS blooms for the
+    // rewritten dirs: reads stay exact, just unpruned — conservative
     snap.deleteWhere("a", Seq(ColRange("id", Some(4000L), Some(4096L))), statsCols = Seq("id"))
     val after = snap.readWhereIn("a", "id", Seq(17L))
     assert(after.count() == 1L)
