@@ -75,6 +75,74 @@ object Ann {
     * probing (s03/s06) or the codes scan before ADC (s05); here the
     * exact form is the DuckDB-checkable contract those share.
     */
+  /** C40 `s09_hybrid_rrf`: HYBRID retrieval — the lexical leg (BM25,
+    * t17's scorer) and the vector leg (exact cosine, s01's scorer)
+    * fused by Reciprocal Rank Fusion, rrf(d) = Σ_legs 1/(60 + rank_d)
+    * (Cormack/Clarke/Büttcher 2009; the standard production hybrid —
+    * RRF needs no score calibration across legs, only ranks). Corpus =
+    * documents⋈embeddings on id (items having both representations);
+    * query = fixed terms for the lexical leg + item 0's embedding for
+    * the vector leg, item 0 excluded from both.
+    *
+    * Scale shape: each leg independently reduces to its TOP-100 via
+    * TakeOrdered (distributed heads, no global sort — the rank window
+    * then runs over ≤100 rows); the lexical leg shuffles only matching
+    * postings (t17's shape), the vector leg broadcasts one query
+    * vector over the scan (s01's shape), and the fusion is a join of
+    * two 100-row lists. Nothing corpus-sized crosses a window or a
+    * join build side.
+    */
+  def s09HybridRrf(s: SparkSession, dir: String, k: Int = 20,
+                   legTop: Int = 100, rrfK: Int = 60): DataFrame = {
+    val query = Seq("spark", "merge", "vector")
+    val (k1, b) = (1.2, 0.75)
+    val corpus = docs(s, dir).select(col("doc_id"), col("text"))
+      .join(emb(s, dir).select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+      .where(col("doc_id") =!= 0L)
+
+    // lexical leg — t17's BM25 over the joined corpus
+    val toks = corpus.select(col("doc_id"),
+        filter(split(lower(col("text")), "[^a-z0-9]+"), x => x =!= "").as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
+    val scalars = toks.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val tf = toks.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .where(col("term").isin(query: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(countDistinct("doc_id").as("dfr"))
+    val lexTop = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(scalars))
+      .withColumn("part",
+        log(lit(1.0) + (col("n_docs") - col("dfr") + 0.5) / (col("dfr") + 0.5)) *
+          col("tf") * (lit(k1) + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id").agg(sum("part").as("bm25"))
+      .orderBy(desc("bm25"), col("doc_id")).limit(legTop)
+      .withColumn("rank_lex",
+        row_number().over(Window.orderBy(desc("bm25"), col("doc_id"))))
+      .select(col("doc_id"), col("rank_lex"))
+
+    // vector leg — one broadcast query vector over the corpus scan
+    val qv = emb(s, dir).where(col("vec_id") === 0L)
+      .select(col("embedding").as("q_vec"))
+    val vecTop = corpus.crossJoin(broadcast(qv))
+      .withColumn("cos", cosine_sim(col("embedding"), col("q_vec")))
+      .select(col("doc_id"), col("cos"))
+      .orderBy(desc("cos"), col("doc_id")).limit(legTop)
+      .withColumn("rank_vec",
+        row_number().over(Window.orderBy(desc("cos"), col("doc_id"))))
+      .select(col("doc_id"), col("rank_vec"))
+
+    lexTop.join(vecTop, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("rank_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rank_vec")), lit(0.0)), 6))
+      .select(col("doc_id"),
+        coalesce(col("rank_lex"), lit(-1)).cast("long").as("rank_lex"),
+        coalesce(col("rank_vec"), lit(-1)).cast("long").as("rank_vec"),
+        col("rrf_score"))
+      .orderBy(desc("rrf_score"), col("doc_id")).limit(k)
+  }
+
   def s08AnnFiltered(s: SparkSession, dir: String, label: Int = 2): DataFrame = {
     val e = emb(s, dir)
     val q = e.where(col("vec_id") < NQueries).select(
@@ -625,12 +693,59 @@ object Ann {
     "s05_ann_pq" -> s05AnnPq _,
     "s06_ann_ivfpq" -> s06AnnIvfPq _,
     "s07_ann_index_append" -> s07AnnIndexAppend _,
-    "s08_ann_filtered" -> ((s, dir) => s08AnnFiltered(s, dir)))
+    "s08_ann_filtered" -> ((s, dir) => s08AnnFiltered(s, dir)),
+    "s09_hybrid_rrf" -> ((s, dir) => s09HybridRrf(s, dir)))
 
   /** s02 is rows-only: its result depends on the LSH bucketing, which is
     * not SQL-expressible; AnnSpec holds its recall gate.
     */
   val oracles: Map[String, String] = Map(
+    "s09_hybrid_rrf" ->
+      """WITH corpus AS (
+        |  SELECT d.doc_id, d.text, e.embedding
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |  WHERE d.doc_id <> 0
+        |), toks AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS dl,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        |  FROM corpus
+        |), scalars AS (
+        |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM toks
+        |), tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM toks)
+        |  WHERE term IN ('spark', 'merge', 'vector')
+        |  GROUP BY doc_id, dl, term
+        |), dfreq AS (
+        |  SELECT term, count(DISTINCT doc_id) AS dfr FROM tf GROUP BY term
+        |), lex AS (
+        |  SELECT tf.doc_id,
+        |    sum(ln(1.0 + (s.n_docs - d.dfr + 0.5) / (d.dfr + 0.5)) * tf.tf * (1.2 + 1.0)
+        |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl))) AS bm25
+        |  FROM tf JOIN dfreq d USING (term) CROSS JOIN scalars s
+        |  GROUP BY tf.doc_id
+        |), lex_top AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex
+        |  FROM lex QUALIFY rank_lex <= 100
+        |), qv AS (
+        |  SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0
+        |), vec AS (
+        |  SELECT c.doc_id,
+        |    list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.q_vec AS DOUBLE[])) AS cos
+        |  FROM corpus c CROSS JOIN qv q
+        |), vec_top AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rank_vec
+        |  FROM vec QUALIFY rank_vec <= 100
+        |)
+        |SELECT doc_id,
+        |  CAST(coalesce(l.rank_lex, -1) AS BIGINT) AS rank_lex,
+        |  CAST(coalesce(v.rank_vec, -1) AS BIGINT) AS rank_vec,
+        |  round(coalesce(CAST(1.0 AS DOUBLE) / (60 + l.rank_lex), 0)
+        |      + coalesce(CAST(1.0 AS DOUBLE) / (60 + v.rank_vec), 0), 6) AS rrf_score
+        |FROM lex_top l FULL OUTER JOIN vec_top v USING (doc_id)
+        |ORDER BY rrf_score DESC, doc_id
+        |LIMIT 20""".stripMargin,
     "s08_ann_filtered" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10

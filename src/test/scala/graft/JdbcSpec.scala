@@ -228,4 +228,40 @@ class JdbcSpec extends AnyFunSuite {
     assert(dim.count() == 1000)
     assert(dim.rdd.getNumPartitions == 1, "dim read is one cursor by design")
   }
+
+  test("JdbcReplicate batch apply converges under replay (exactly-once by idempotence)") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("derbyrep").toString + "/db"
+    val rcs = Jdbc.ConnSettings.fromUrl(s"jdbc:derby:$dir")
+    val conn = DriverManager.getConnection(s"jdbc:derby:$dir;create=true")
+    val st = conn.createStatement()
+    st.executeUpdate("CREATE TABLE T_R (ID BIGINT NOT NULL PRIMARY KEY, V BIGINT)")
+    // pre-existing rows: 1 (will be updated), 2 (will die), 9 (untouched)
+    st.executeUpdate("INSERT INTO T_R VALUES (1, 100), (2, 200), (9, 900)")
+    conn.close()
+
+    // a change-feed-shaped batch spanning two versions: key 1 updated
+    // (remove+add), key 2 deleted, key 3 inserted, key 4 inserted at v1
+    // then deleted at v2 (last version wins → never lands)
+    val batch = Seq(
+      (1L, 100L, "removed", 1L), (1L, 101L, "added", 1L),
+      (2L, 200L, "removed", 2L),
+      (3L, 300L, "added", 1L),
+      (4L, 400L, "added", 1L), (4L, 400L, "removed", 2L)
+    ).toDF("ID", "V", "_change", "_commit_version")
+
+    def state(): Map[Long, Long] =
+      Jdbc.readQuery(spark, rcs, "SELECT ID, V FROM T_R").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = Map(1L -> 101L, 3L -> 300L, 9L -> 900L)
+
+    graft.streaming.JdbcReplicate.applyBatchJdbc(rcs, "T_R", "ID")(batch, 0L)
+    assert(state() == expect, "first apply must land update/delete/insert and drop the died-in-batch key")
+    // replay the identical batch — the convergence IS the exactly-once
+    // guarantee after a checkpoint-restart redelivery
+    graft.streaming.JdbcReplicate.applyBatchJdbc(rcs, "T_R", "ID")(batch, 0L)
+    assert(state() == expect, "replay must be a no-op")
+  }
 }
