@@ -36,7 +36,11 @@ object Soak {
   val keys: Seq[String] = Seq(
     "d04_dedup_ngram", "d07_dedup_clusters", "q31_typed_wide", "q33_profile",
     "s06_ann_ivfpq", "c03_cdc_merge", "q20_salted_join",
-    "st08_stream_matview", "c12_replicate", "c14_delete_mor")
+    "st08_stream_matview", "c12_replicate", "c14_delete_mor",
+    // round-8 additions: the new retrieval/mixture paths at 10× — t17's
+    // postings-only shuffle and s09's top-100-per-leg fusion must stay
+    // O(matching postings)/O(leg), and t18's corpus pass must stay linear
+    "t17_bm25", "s09_hybrid_rrf", "t18_domain_mix")
 
   private final class MetricsListener extends SparkListener {
     val runMs = new AtomicLong; val gcMs = new AtomicLong; val tasks = new AtomicLong

@@ -592,8 +592,31 @@ object Relational {
         |FROM o GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** B42 `q47_string_funcs`: the shared string-function matrix —
+    * levenshtein (the fuzzy-match primitive behind entity resolution),
+    * translate, lpad/rpad, repeat, reverse — every one a codegen'd
+    * per-row expression (zero shuffles beyond the final order), and
+    * every one an ANSI/common name both engines implement, so the
+    * oracle pins cross-engine semantics (1-based substr, pad
+    * truncation, edit-distance definition) rather than just values.
+    */
+  def q47StringFuncs(s: SparkSession, dir: String): DataFrame = {
+    graft.sources.Catalog.register(s, dir)
+    s.sql(
+      """SELECT n_name,
+        |  levenshtein(n_name, 'UNITED STATES') AS lev_us,
+        |  translate(n_name, 'AEIOU', 'aeiou') AS tr,
+        |  lpad(n_name, 20, '.') AS padl,
+        |  rpad(n_name, 20, '.') AS padr,
+        |  reverse(n_name) AS rev,
+        |  repeat(substr(n_name, 1, 2), 3) AS rep,
+        |  length(n_name) AS len
+        |FROM nation ORDER BY n_name""".stripMargin)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg" -> q01Agg _,
+    "q47_string_funcs" -> q47StringFuncs _,
     "q46_arg_minmax" -> q46ArgMinMax _,
     "q45_grouping_sets" -> q45GroupingSets _,
     "q42_string_agg" -> q42StringAgg _,
@@ -628,6 +651,16 @@ object Relational {
     "q24_pivot" -> q24Pivot _)
 
   val oracles: Map[String, String] = Map(
+    "q47_string_funcs" ->
+      """SELECT n_name,
+        |  CAST(levenshtein(n_name, 'UNITED STATES') AS INTEGER) AS lev_us,
+        |  translate(n_name, 'AEIOU', 'aeiou') AS tr,
+        |  lpad(n_name, 20, '.') AS padl,
+        |  rpad(n_name, 20, '.') AS padr,
+        |  reverse(n_name) AS rev,
+        |  repeat(substr(n_name, 1, 2), 3) AS rep,
+        |  CAST(length(n_name) AS INTEGER) AS len
+        |FROM nation ORDER BY n_name""".stripMargin,
     "q46_arg_minmax" ->
       """WITH o AS (
         |  SELECT o_orderstatus, o_orderkey,

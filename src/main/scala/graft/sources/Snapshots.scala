@@ -1299,6 +1299,44 @@ class Snapshots(s: SparkSession, root: String) {
     applyDv(m, table, base).where(col(column).isin(keys: _*))
   }
 
+  /** DESCRIBE HISTORY analog (Delta's table history; public design):
+    * one row per retained version, newest first — the commit timestamp
+    * (manifest header, so it survives file-level copies), the tables
+    * whose data entry changed vs the previous retained version, any
+    * maintenance flags, and the table count. Driver-side O(versions)
+    * memoized manifest reads; zero data IO. Versions older than the
+    * vacuum horizon have left the log and are absent — exactly the
+    * time-travelable set.
+    */
+  def history(): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val vs =
+      (try fs.listStatus(commitDir).toSeq catch {
+        case _: java.io.FileNotFoundException => Seq.empty
+      }).map(_.getPath.getName)
+        .filter(_.endsWith(".manifest"))
+        .map(_.stripSuffix(".manifest").toLong)
+        .sorted
+    val rows = vs.map { v =>
+      val m = readManifest(v)
+      val de = dataEntries(m)
+      val prevDe = vs.filter(_ < v).lastOption
+        .map(pv => dataEntries(readManifest(pv))).getOrElse(Map.empty)
+      val changed = (de.keySet ++ prevDe.keySet)
+        .filter(t => de.get(t) != prevDe.get(t)).toSeq.sorted
+      val maint = de.keys.filter(t => m.contains(t + MaintSuffix)).toSeq.sorted
+      org.apache.spark.sql.Row(v, new java.sql.Timestamp(commitTimestamp(v)),
+        changed.mkString(","), maint.mkString(","), de.size)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("version", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("changed_tables", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("maint_tables", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_tables", org.apache.spark.sql.types.IntegerType)))
+    s.createDataFrame(rows.reverse.asJava, schema)
+  }
+
   /** Targeted row delete — the GDPR / retention maintenance job. Rows
     * matching ALL `ranges` (conjunctive) are removed from the table in
     * a new published version, at a cost of O(files that might hold a

@@ -120,9 +120,50 @@ object JdbcReplicate {
     } finally q.stop()
   }
 
+  /** Replication-source fixture for st09, staged ONCE per sf dir: the
+    * same verb sequence as c12's lake (commit, range delete, range
+    * update, @maint compaction, append) over a BOUNDED key slice
+    * (o_orderkey < 5000 — every verb range lies inside). The slice
+    * keeps the key timing the replication MACHINERY, not embedded
+    * Derby's single-node insert throughput on the whole fact table;
+    * the closed forms stay DuckDB-recomputable with one extra WHERE.
+    */
+  private def stagedJdbcSrcLake(s: SparkSession, dir: String): Snapshots = {
+    import graft.sources.FileStats
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s.conf.get("spark.sql.warehouse.dir") + s"/jdbc_src_st09$tag"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val snap = new Snapshots(s, root)
+    val marker = new org.apache.hadoop.fs.Path(root, "_STAGED_G1")
+    if (!fs.exists(marker)) {
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      val base = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderkey") < 5000L)
+        .select(col("o_orderkey"), col("o_orderstatus"), cents.as("price_cents"))
+      snap.commit(Map("orders" -> base.repartitionByRange(8, col("o_orderkey"))),
+        Map("orders" -> Seq("o_orderkey")))                                 // v1
+      snap.deleteWhere("orders",
+        Seq(FileStats.ColRange("o_orderkey", Some(3000L), Some(3999L))),
+        Seq("o_orderkey"))                                                  // v2
+      snap.updateWhere("orders",
+        Seq(FileStats.ColRange("o_orderkey", Some(1000L), Some(1999L))),
+        Map("price_cents" -> (col("price_cents") + 7L)), Seq("o_orderkey")) // v3
+      snap.compact("orders", targetBytes = 1L << 22,
+        sortCol = Some("o_orderkey"), statsCols = Seq("o_orderkey"))        // v4 @maint
+      snap.append("orders", base.select(
+        (col("o_orderkey") + 20000000L).as("o_orderkey"),
+        col("o_orderstatus"), (col("price_cents") + 1L).as("price_cents")),
+        statsCols = Seq("o_orderkey"))                                      // v5
+      fs.create(marker, true).close()
+    }
+    snap
+  }
+
   /** `st09_replicate_jdbc`: the FULL loop against embedded Derby (the
     * JDBC engine available in-container; against Postgres only the url
-    * changes) — bootstrap an empty database table from the c12 source
+    * changes) — bootstrap an empty database table from the source
     * lake's version 0 and tail every verb (base commit, range delete,
     * range update, @maint compaction the feed must skip, append) in one
     * catch-up pass, then read the table BACK through the JDBC source
@@ -133,7 +174,7 @@ object JdbcReplicate {
     * verify-then-bench invocations.
     */
   def st09ReplicateJdbc(s: SparkSession, dir: String): DataFrame = {
-    val src = Replicate.stagedReplLake(s, dir)
+    val src = stagedJdbcSrcLake(s, dir)
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val dbPath = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") +
       s"/jdbc_repl_st09$tag/db"
@@ -171,7 +212,7 @@ object JdbcReplicate {
       """WITH c AS (
         |  SELECT o_orderkey, o_orderstatus,
         |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
-        |  FROM orders
+        |  FROM orders WHERE o_orderkey < 5000
         |), r AS (
         |  SELECT o_orderkey, o_orderstatus,
         |    price_cents + CASE WHEN o_orderkey BETWEEN 1000 AND 1999

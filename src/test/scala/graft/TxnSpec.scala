@@ -363,6 +363,30 @@ class TxnSpec extends AnyFunSuite {
     assert(nostats.count() == 100L && nostats.inputFiles.length >= 8)
   }
 
+  test("history() reports one row per retained version with change attribution") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txn").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    snap.commit(Map("a" -> df(1L -> 1.0), "b" -> df(1L -> 10.0)))   // v1: a,b appear
+    snap.append("a", df(2L -> 2.0))                                  // v2: a changes
+    snap.compact("a", targetBytes = 1L << 20)                        // v3: a, @maint
+    snap.deleteWhere("a", Seq(ColRange("id", Some(2L), Some(2L))))   // v4: a changes
+    val h = snap.history().collect()
+    assert(h.length == 4, s"4 versions retained, got ${h.length}")
+    assert(h.map(_.getLong(0)).toSeq == Seq(4L, 3L, 2L, 1L), "newest first")
+    val ts = h.map(_.getTimestamp(1).getTime).toSeq
+    assert(ts == ts.sorted.reverse, "timestamps non-increasing newest-first")
+    val byV = h.map(r => r.getLong(0) -> r).toMap
+    assert(byV(1L).getString(2) == "a,b" && byV(1L).getInt(4) == 2)
+    assert(byV(2L).getString(2) == "a" && byV(2L).getString(3).isEmpty)
+    assert(byV(3L).getString(3) == "a", "compaction must carry the maint flag")
+    assert(byV(4L).getString(2) == "a")
+    // vacuum shrinks the reported window to the retained set
+    snap.vacuum(keepLast = 2)
+    assert(snap.history().collect().map(_.getLong(0)).toSeq == Seq(4L, 3L))
+  }
+
   test("bloom index skips files min/max cannot, on a hash-distributed key") {
     val sp = spark
     import sp.implicits._
