@@ -614,8 +614,72 @@ object Relational {
         |FROM nation ORDER BY n_name""".stripMargin)
   }
 
+  /** B43 `q48_funnel`: ordered-funnel analysis over the events stream
+    * — the product-analytics verb (view → click → purchase, each step's
+    * timestamp constrained AFTER the previous step's). Computed as a
+    * cascade of conditional MIN aggregates: one groupBy(user) pass
+    * yields the first view; each later step is a filtered re-aggregate
+    * joined back on user_id (the per-user step table is tiny vs the
+    * event log and AQE broadcasts it, so the event scan shuffles once
+    * per step on user_id — linear, never a window over the whole log).
+    * Step ordering via strict timestamp comparison keeps the result
+    * closed-form for the oracle; final output is the 3-row funnel with
+    * absolute user counts, deterministic by construction.
+    */
+  def q48Funnel(s: SparkSession, dir: String): DataFrame = {
+    graft.sources.Catalog.register(s, dir)
+    s.sql(
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t_view
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |  GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_buy
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |  GROUP BY e.user_id
+        |)
+        |SELECT step, users FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, CAST(count(*) AS BIGINT) AS users FROM v
+        |  UNION ALL SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT) FROM c
+        |  UNION ALL SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT) FROM p
+        |) ORDER BY step""".stripMargin)
+  }
+
+  /** B44 `q49_retention`: cohort-retention analysis — users cohorted by
+    * first-activity day, retention counted per week offset (the other
+    * standing product-analytics verb next to q48's funnel). Two linear
+    * passes: groupBy(user) for the cohort day, DISTINCT (user, day) for
+    * the activity grid, then an equi-join on user_id (the cohort table
+    * is per-user-small — broadcast under AQE) and one final
+    * count(DISTINCT user) per (cohort, offset) cell. Week offsets via
+    * integer division of day differences — no date-truncation semantics
+    * to diverge across engines.
+    */
+  def q49Retention(s: SparkSession, dir: String): DataFrame = {
+    graft.sources.Catalog.register(s, dir)
+    s.sql(
+      """WITH f AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+        |  FROM events GROUP BY user_id
+        |), a AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events
+        |)
+        |SELECT f.cohort_day,
+        |  CAST(datediff(a.active_day, f.cohort_day) DIV 7 AS BIGINT) AS week_off,
+        |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS retained
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg" -> q01Agg _,
+    "q48_funnel" -> q48Funnel _,
+    "q49_retention" -> q49Retention _,
     "q47_string_funcs" -> q47StringFuncs _,
     "q46_arg_minmax" -> q46ArgMinMax _,
     "q45_grouping_sets" -> q45GroupingSets _,
@@ -651,6 +715,38 @@ object Relational {
     "q24_pivot" -> q24Pivot _)
 
   val oracles: Map[String, String] = Map(
+    "q48_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t_view
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |  GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_buy
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |  GROUP BY e.user_id
+        |)
+        |SELECT step, users FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, CAST(count(*) AS BIGINT) AS users FROM v
+        |  UNION ALL SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT) FROM c
+        |  UNION ALL SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT) FROM p
+        |) ORDER BY step""".stripMargin,
+    "q49_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+        |  FROM events GROUP BY user_id
+        |), a AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events
+        |)
+        |SELECT f.cohort_day,
+        |  CAST(datediff('day', f.cohort_day, a.active_day) // 7 AS BIGINT) AS week_off,
+        |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS retained
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q47_string_funcs" ->
       """SELECT n_name,
         |  CAST(levenshtein(n_name, 'UNITED STATES') AS INTEGER) AS lev_us,

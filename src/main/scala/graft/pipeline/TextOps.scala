@@ -448,7 +448,81 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** C41 t19: EXACT-SUBSTRING dedup — the "dedupe repeated spans, not
+    * just whole documents" pass (the public ExactSubstr idea from Lee
+    * et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", re-expressed scalably: fixed 60-char windows at stride 30
+    * stand in for the suffix-array match set, so any repeated span
+    * ≥ 2·stride chars is guaranteed to share a full window). Each doc
+    * emits O(len/stride) window hashes; ownership of a shared window
+    * goes to the smallest doc_id, and every other doc counts it as a
+    * duplicated span. Scale shape: one explode (linear in corpus
+    * chars), one groupBy on the window hash, one equi-join back on the
+    * hash — never all-pairs, never a suffix array in memory; the
+    * window text itself is dropped at the hash so the shuffle carries
+    * 32-byte keys, not corpus text.
+    */
+  def t19SubstringDedup(s: SparkSession, dir: String): DataFrame = {
+    val W = 60
+    val S = 30
+    val wins = docs(s, dir)
+      .where(length(col("text")) >= W)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - lit(W - 1), lit(S))).as("pos"),
+        col("text"))
+      .select(col("doc_id"), md5(col("text").substr(col("pos"), lit(W))).as("h"))
+      .distinct()
+    val own = wins.groupBy("h")
+      .agg(min("doc_id").as("owner"), count(lit(1)).as("nd"))
+    wins.join(own, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("nd") > 1 && col("doc_id") > col("owner"), 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup"),
+        round(col("n_dup") / col("n_windows"), 6).as("dup_frac"),
+        (col("n_dup") > 0).cast("long").as("flag_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** C42 t20: DSIR importance weighting — data selection via hashed
+    * n-gram importance resampling (the public method of Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling"): unigram features hash into 256 buckets, a TARGET
+    * domain (here lang='en' as the in-domain proxy) and the RAW corpus
+    * each induce a smoothed bucket distribution, and every doc scores
+    * the log importance ratio Σ c_b·(ln p̂_target(b) − ln p̂_raw(b)).
+    * The bucket key is the first two hex chars of md5(term) — a pure
+    * string both engines compute identically, no engine-native hash.
+    * Scale shape: one tokenize+explode pass into per-(doc,bucket)
+    * counts (the only corpus-sized shuffle), the 256-row bucket table
+    * and 1-row totals broadcast back, one final groupBy(doc). The
+    * corpus is read once; nothing driver-side. TextSpec additionally
+    * checks the discrimination property (target-domain docs score
+    * highest per token).
+    */
+  def t20Dsir(s: SparkSession, dir: String): DataFrame = {
+    val feats = docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(filter(split(lower(col("text")), "[^a-z0-9]+"), x => x =!= "")).as("term"))
+      .withColumn("b", substring(md5(col("term")), 1, 2))
+      .groupBy("doc_id", "lang", "b")
+      .agg(count(lit(1)).as("c"))
+    val raw = feats.groupBy("b").agg(sum("c").as("r"))
+    val tgt = feats.where(col("lang") === "en").groupBy("b").agg(sum("c").as("tt"))
+    val buckets = raw.join(tgt, Seq("b"), "left").na.fill(0L, Seq("tt"))
+    val tot = buckets.agg(sum("r").as("rtot"), sum("tt").as("ttot"))
+    feats.join(broadcast(buckets), "b").crossJoin(broadcast(tot))
+      .withColumn("contrib",
+        col("c") * (log((col("tt") + 0.5) / (col("ttot") + 128.0)) -
+          log((col("r") + 0.5) / (col("rtot") + 128.0))))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_toks"), round(sum("contrib"), 4).as("logratio"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t20_dsir" -> t20Dsir _,
+    "t19_substring_dedup" -> t19SubstringDedup _,
     "t18_domain_mix" -> t18DomainMix _,
     "t17_bm25" -> t17Bm25 _,
     "t16_paragraph_dedup" -> t16ParagraphDedup _,
@@ -471,6 +545,40 @@ object TextOps {
     stops.map(s => s"'$s'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "t19_substring_dedup" ->
+      """WITH w0 AS (
+        |  SELECT doc_id, md5(substr(text, CAST(pos AS INTEGER), 60)) AS h
+        |  FROM documents, unnest(generate_series(1, len(text) - 59, 30)) AS t(pos)
+        |  WHERE len(text) >= 60
+        |), w AS (SELECT DISTINCT doc_id, h FROM w0),
+        |own AS (SELECT h, min(doc_id) AS owner, count(*) AS nd FROM w GROUP BY h)
+        |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |  CAST(sum(CASE WHEN o.nd > 1 AND w.doc_id > o.owner THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  round(sum(CASE WHEN o.nd > 1 AND w.doc_id > o.owner THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_frac,
+        |  CAST(max(CASE WHEN o.nd > 1 AND w.doc_id > o.owner THEN 1 ELSE 0 END) AS BIGINT) AS flag_dup
+        |FROM w JOIN own o USING (h)
+        |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
+    "t20_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+        |  FROM documents
+        |), feats AS (
+        |  SELECT doc_id, lang, substr(md5(term), 1, 2) AS b, count(*) AS c
+        |  FROM toks GROUP BY 1, 2, 3
+        |), raw AS (
+        |  SELECT b, sum(c) AS r FROM feats GROUP BY b
+        |), tgt AS (
+        |  SELECT b, sum(c) AS tt FROM feats WHERE lang = 'en' GROUP BY b
+        |), buckets AS (
+        |  SELECT raw.b, raw.r, coalesce(tgt.tt, 0) AS tt FROM raw LEFT JOIN tgt USING (b)
+        |), tot AS (
+        |  SELECT sum(r) AS rtot, sum(tt) AS ttot FROM buckets
+        |)
+        |SELECT f.doc_id, CAST(sum(f.c) AS BIGINT) AS n_toks,
+        |  round(sum(f.c * (ln((bk.tt + 0.5) / (t.ttot + 128.0)) - ln((bk.r + 0.5) / (t.rtot + 128.0)))), 4) AS logratio
+        |FROM feats f JOIN buckets bk USING (b) CROSS JOIN tot t
+        |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
     "t18_domain_mix" ->
       """WITH tk AS (
         |  SELECT doc_id, source,

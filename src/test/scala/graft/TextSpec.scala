@@ -72,4 +72,41 @@ class TextSpec extends AnyFunSuite {
       assert(r.getAs[Long]("re_tokens") >= r.getAs[Long]("ws_tokens"))
     }
   }
+
+  test("t19 exact-substring dedup: verbatim copies flag, ownership goes to the smaller doc_id") {
+    val out = TextOps.t19SubstringDedup(spark, TestSpark.sfTest).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup"))).toMap
+    assert(out.nonEmpty)
+    // the synthetic corpus carries exact duplicate documents; every
+    // shared span must be billed to the LATER doc, never the owner —
+    // so some docs are flagged, and the flagged set never includes a
+    // doc that is the minimum of its duplicate group (owner of every
+    // window it shares)
+    val flagged = out.filter(_._2._2 > 0)
+    assert(flagged.nonEmpty, "corpus duplicates should produce flagged docs")
+    out.foreach { case (_, (nw, nd)) => assert(nd <= nw) }
+    // a doc duplicated verbatim shares EVERY window with its owner
+    assert(flagged.exists { case (_, (nw, nd)) => nd == nw },
+      "a verbatim copy should have every window duplicated")
+  }
+
+  test("t20 DSIR weights discriminate the target domain") {
+    // the discrimination property of importance weighting: docs FROM
+    // the target distribution (lang='en') must score the highest
+    // per-token log ratio on average — if they don't, the target/raw
+    // bucket tables are swapped or the smoothing is broken
+    val docs = graft.pipeline.docs(spark, TestSpark.sfTest)
+      .select("doc_id", "lang")
+    val byLang = TextOps.t20Dsir(spark, TestSpark.sfTest)
+      .join(docs, "doc_id")
+      .groupBy("lang")
+      .agg(org.apache.spark.sql.functions.avg(
+        org.apache.spark.sql.functions.col("logratio") /
+          org.apache.spark.sql.functions.col("n_toks")).as("per_tok"))
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Double]("per_tok")).toMap
+    val others = byLang.filter(_._1 != "en").values
+    assert(others.forall(_ < byLang("en")),
+      s"target domain must outscore every other source: $byLang")
+  }
 }
