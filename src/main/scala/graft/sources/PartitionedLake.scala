@@ -36,12 +36,59 @@ object PartitionedLake {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
       .orderBy("event_type")
 
+  /** Stage events as a TYPED NESTED record: `props` parsed ONCE at
+    * ingest (q38's parse-at-ingest rule) into a struct and related
+    * scalars grouped into nested structs — the wide nested shape
+    * telemetry and training corpora land as at rest (idempotent per
+    * dir, like [[ensureEventsByType]]).
+    */
+  def ensureEventsNested(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s.conf.get("spark.sql.warehouse.dir") + s"/events_nested$tag"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"),
+          struct(
+            col("event_type").as("type"),
+            col("value"),
+            from_json(col("props"),
+              org.apache.spark.sql.types.StructType.fromDDL("k INT")).as("props")).as("detail"),
+          struct(col("user_id").as("id"), col("ts")).as("who"))
+        .write.parquet(path)
+    path
+  }
+
+  /** B45 q50: aggregate over two LEAF fields of the nested record —
+    * Catalyst's nested-schema pruning pushes the struct projection into
+    * the parquet reader, so the scan's ReadSchema carries ONLY
+    * detail.type and detail.props.k: detail.value, who.id and who.ts
+    * never leave columnar storage (PlanSpec machine-asserts the pruned
+    * ReadSchema). At 100 TB a wide nested record whose reads pull whole
+    * structs is the classic silent 10× IO tax — this key pins the plan
+    * property that prevents it. Oracle recomputes from the raw events
+    * table (flat scan + JSON extract), proving the nested layout is a
+    * pure re-encoding.
+    */
+  def q50NestedPrune(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(ensureEventsNested(s, dir))
+      .groupBy(col("detail.type").as("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("detail.props.k")).cast("long").as("sum_k"))
+      .orderBy("event_type")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q30_partition_pruned" -> q30PartitionPruned _)
+    Map("q30_partition_pruned" -> q30PartitionPruned _,
+      "q50_nested_prune" -> q50NestedPrune _)
 
   val oracles: Map[String, String] = Map(
     "q30_partition_pruned" ->
       """SELECT event_type, count(*) AS n, round(sum(value),2) AS total
         |FROM events WHERE event_type IN ('click', 'purchase')
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q50_nested_prune" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -511,11 +511,26 @@ class Snapshots(s: SparkSession, root: String) {
     * answer.
     */
   private val DvSuffix = "@dv"
+
+  /** CHECK constraints (Delta's `ALTER TABLE ADD CONSTRAINT`, public
+    * design): `<table>@check=<name>:<urlencoded expr>;…` declares SQL
+    * boolean expressions every ROW of the table must satisfy. ANSI
+    * CHECK semantics: a row violates only when the expression is
+    * FALSE — NULL passes (so `col > 0` admits null `col`; demand
+    * `col IS NOT NULL AND col > 0` for NOT-NULL-and-positive).
+    * Enforcement is at WRITE time on every row-introducing path
+    * (append, commit, merge, update rewrites, the streaming staged
+    * publish): one extra O(batch) validation pass per constrained
+    * table, never O(table) — except [[addCheck]] itself, which scans
+    * the current rows once so a published constraint is never already
+    * broken. Deletes cannot violate row constraints and skip the pass.
+    */
+  private val CheckSuffix = "@check"
   private def isTagEntry(key: String): Boolean = key.endsWith(TagsSuffix)
   private def isMetaEntry(key: String): Boolean =
     key.endsWith(TagsSuffix) || key.endsWith(SchemaSuffix) ||
       key.endsWith(FilesSuffix) || key.endsWith(MaintSuffix) ||
-      key.endsWith(DvSuffix)
+      key.endsWith(DvSuffix) || key.endsWith(CheckSuffix)
   private def dvEntries(m: Map[String, String]): Map[String, String] =
     m.filter { case (k, _) => k.endsWith(DvSuffix) }
 
@@ -715,16 +730,23 @@ class Snapshots(s: SparkSession, root: String) {
              bloomFpp: Double = 0.01): Long = {
     tables.keys.foreach(t => require(!isMetaEntry(t),
       s"table name '$t' collides with the reserved '@' manifest lines"))
+    // CHECK constraints carried by re-committed tables gate the new
+    // data before any bytes stage (one O(batch) job per guarded table)
+    currentVersion.map(readManifest).foreach { m =>
+      tables.foreach { case (t, df) => enforceChecks(t, m, df, "commit") } }
     var attempt = currentVersion.getOrElse(0L) + 1
     for (_ <- 1 to MaxAttempts) {
       val written = stageTables(tables, statsCols, attempt, bloomCols, bloomFpp)
-      // consumed append-tags follow the table identity through a full
-      // re-commit: a replayed micro-batch must stay a no-op even after
-      // the table's data was wholly rewritten (tables NOT in this
-      // commit leave the manifest, and their tags leave with them)
+      // consumed append-tags — and declared CHECK constraints — follow
+      // the table identity through a full re-commit: a replayed
+      // micro-batch must stay a no-op even after the table's data was
+      // wholly rewritten, and a replaced table stays guarded (tables
+      // NOT in this commit leave the manifest, their tags and checks
+      // leave with them)
       val carriedTags = currentVersion.map(readManifest).getOrElse(Map.empty)
         .filter { case (k, _) =>
-          isTagEntry(k) && tables.contains(k.stripSuffix(TagsSuffix)) }
+          (isTagEntry(k) && tables.contains(k.stripSuffix(TagsSuffix))) ||
+            (k.endsWith(CheckSuffix) && tables.contains(k.stripSuffix(CheckSuffix))) }
       if (writeManifest(attempt, written ++ carriedTags)) return attempt
       attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
     }
@@ -816,6 +838,9 @@ class Snapshots(s: SparkSession, root: String) {
               s"$baseVersion and head $headV — re-run the transaction")
       }
       val attempt = headV + 1
+      // CHECK constraints from the head gate the written tables (the
+      // merge-into-head path keeps their lines, so enforce them too)
+      tables.foreach { case (t, df) => enforceChecks(t, headM, df, "commit") }
       val written = stageTables(tables, statsCols, attempt)
       // drop the written tables' stale meta/tags lines, keep everything
       // else from the head, overlay the fresh lines
@@ -1143,6 +1168,15 @@ class Snapshots(s: SparkSession, root: String) {
     val updateMeta = updates.flatMap { case (t, rel) =>
       val sc = schemas.get(t).flatMap(predictReadBack).getOrElse(writtenSchema(rel))
       Seq(schemaLine(t, sc), filesLine(t, listRelFiles(splitRel(rel))))
+    }
+    // CHECK constraints gate staged data too (the streaming sink's
+    // publish path): the staged bytes are read back once per guarded
+    // table — O(batch), and only when a check line exists
+    currentVersion.map(readManifest).foreach { m =>
+      updates.foreach { case (t, rel) =>
+        if (m.contains(t + CheckSuffix))
+          enforceChecks(t, m, s.read.parquet(absPaths(rel): _*), "staged publish")
+      }
     }
     var attempt = currentVersion.getOrElse(0L) + 1
     for (_ <- 1 to MaxAttempts) {
@@ -1577,7 +1611,7 @@ class Snapshots(s: SparkSession, root: String) {
         throw new NoSuchElementException(s"table '$src' not committed under $root"))
       require(!dataEntries(cur).contains(dst),
         s"clone target '$dst' already exists under $root")
-      val meta = Seq(SchemaSuffix, FilesSuffix, TagsSuffix, DvSuffix).flatMap(sfx =>
+      val meta = Seq(SchemaSuffix, FilesSuffix, TagsSuffix, DvSuffix, CheckSuffix).flatMap(sfx =>
         cur.get(src + sfx).map(v => (dst + sfx) -> v))
       if (writeManifest(attempt, cur + (dst -> rel) ++ meta)) return attempt
       attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
@@ -1602,7 +1636,7 @@ class Snapshots(s: SparkSession, root: String) {
     val rel = dataEntries(old).getOrElse(table,
       throw new NoSuchElementException(
         s"table '$table' not committed at version $fromVersion under $root"))
-    val metaKeys = Seq(SchemaSuffix, FilesSuffix, TagsSuffix, DvSuffix).map(table + _)
+    val metaKeys = Seq(SchemaSuffix, FilesSuffix, TagsSuffix, DvSuffix, CheckSuffix).map(table + _)
     val meta = metaKeys.flatMap(k => old.get(k).map(k -> _))
     var attempt = currentVersion.getOrElse(0L) + 1
     for (_ <- 1 to MaxAttempts) {
@@ -1616,6 +1650,121 @@ class Snapshots(s: SparkSession, root: String) {
     }
     throw new IllegalStateException(
       s"restoreTable lost $MaxAttempts consecutive version races under $root")
+  }
+
+  // ---- CHECK constraints ----------------------------------------------
+
+  private def encodeChecks(cs: Map[String, String]): String =
+    cs.toSeq.sortBy(_._1).map { case (n, e) =>
+      n + ":" + java.net.URLEncoder.encode(e, "UTF-8")
+    }.mkString(";")
+
+  private def decodeChecks(v: Option[String]): Map[String, String] =
+    v.toSeq.flatMap(_.split(";")).filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf(':')
+      kv.substring(0, i) -> java.net.URLDecoder.decode(kv.substring(i + 1), "UTF-8")
+    }.toMap
+
+  /** The table's CHECK constraints (name -> SQL expression) at
+    * `version` (default head). Constraints are table metadata: they
+    * time-travel, clone and restore with the table.
+    */
+  def checks(table: String, version: Option[Long] = None): Map[String, String] = {
+    val v = version.orElse(currentVersion).getOrElse(
+      throw new IllegalStateException(s"no commits under $root"))
+    decodeChecks(readManifest(v).get(table + CheckSuffix))
+  }
+
+  /** ANSI CHECK violation: the expression evaluated to FALSE (null
+    * passes — three-valued logic, same rule as a WHERE survivor set's
+    * complement).
+    */
+  private def violationCond(exprSql: String) =
+    expr(exprSql).cast("boolean") === lit(false)
+
+  /** Validate `batch` against every CHECK constraint of `table` in
+    * manifest `m` — ONE aggregate job over the batch covers all
+    * constraints (zero jobs when the table has none). A mergeSchema
+    * batch may omit table columns; they read back as null, so the
+    * checks see the same null view here. Throws
+    * [[Snapshots.ConstraintViolationException]] naming the first
+    * violated constraint and its row count.
+    */
+  private def enforceChecks(table: String, m: Map[String, String],
+                            batch: DataFrame, verb: String): Unit = {
+    val cs = decodeChecks(m.get(table + CheckSuffix))
+    if (cs.isEmpty) return
+    val withMissing = storedSchema(m, table).fold(batch) { st =>
+      st.fields.filterNot(f => batch.columns.contains(f.name))
+        .foldLeft(batch)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+    }
+    val ordered = cs.toSeq.sortBy(_._1)
+    val aggs = ordered.map { case (n, e) =>
+      sum(when(violationCond(e), 1L).otherwise(0L)).as(n) }
+    val row = withMissing.agg(aggs.head, aggs.tail: _*).head()
+    ordered.zipWithIndex.foreach { case ((n, e), i) =>
+      val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
+      if (bad > 0) throw new Snapshots.ConstraintViolationException(
+        s"$verb into table '$table' violates CHECK constraint '$n' ($e): $bad row(s)")
+    }
+  }
+
+  /** Declare a CHECK constraint on `table` (Delta's ALTER TABLE ADD
+    * CONSTRAINT, public design). The constraint must already hold over
+    * the table's CURRENT rows — validated with one scan here (the one
+    * O(table) cost in the constraint lifecycle; every later write pays
+    * only O(batch)) — so a published constraint is an invariant, never
+    * an aspiration. NOT NULL is the special case `col IS NOT NULL`.
+    * The constraint line publishes as a new metadata-only version.
+    */
+  def addCheck(table: String, name: String, exprSql: String): Long = {
+    require(name.matches("[A-Za-z0-9_-]+"),
+      s"constraint name '$name' must be [A-Za-z0-9_-]+")
+    val v0 = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no commits under $root"))
+    val m0 = readManifest(v0)
+    require(dataEntries(m0).contains(table),
+      s"table '$table' not committed under $root")
+    enforceChecks(table,
+      m0 + ((table + CheckSuffix) -> encodeChecks(Map(name -> exprSql))),
+      read(table, Some(v0)), "addCheck existing rows")
+    var attempt = v0 + 1
+    for (_ <- 1 to MaxAttempts) {
+      val cur = readManifest(currentVersion.get)
+      val cs = decodeChecks(cur.get(table + CheckSuffix))
+      require(!cs.contains(name),
+        s"constraint '$name' already exists on table '$table' — drop it first")
+      val line = (table + CheckSuffix) -> encodeChecks(cs + (name -> exprSql))
+      if (writeManifest(attempt, cur + line)) return attempt
+      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
+    }
+    throw new IllegalStateException(
+      s"addCheck lost $MaxAttempts consecutive version races under $root")
+  }
+
+  /** Drop a CHECK constraint by name (loud on a missing name — a
+    * silently-ignored typo would leave the caller believing writes are
+    * still guarded). Metadata-only version; history keeps the
+    * constrained versions' lines, so time-travel reads see the
+    * constraint set as of their version.
+    */
+  def dropCheck(table: String, name: String): Long = {
+    var attempt = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no commits under $root")) + 1
+    for (_ <- 1 to MaxAttempts) {
+      val cur = readManifest(currentVersion.get)
+      val cs = decodeChecks(cur.get(table + CheckSuffix))
+      if (!cs.contains(name)) throw new NoSuchElementException(
+        s"no CHECK constraint '$name' on table '$table' under $root")
+      val rest = cs - name
+      val next =
+        if (rest.isEmpty) cur - (table + CheckSuffix)
+        else cur + ((table + CheckSuffix) -> encodeChecks(rest))
+      if (writeManifest(attempt, next)) return attempt
+      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
+    }
+    throw new IllegalStateException(
+      s"dropCheck lost $MaxAttempts consecutive version races under $root")
   }
 
   /** Timestamp time travel (the Delta `TIMESTAMP AS OF` resolution
@@ -1775,6 +1924,9 @@ class Snapshots(s: SparkSession, root: String) {
       val cols = schema.fieldNames.toSeq
       val positions = matched.select(col("__fn").as("file_name"), col("__ri").as("row_index"))
       val newRows = matched.select(cols.map(c => set.getOrElse(c, col(c)).as(c)): _*)
+      // the re-appended transformed rows are new rows — CHECK
+      // constraints gate them like any other write
+      enforceChecks(table, headM, newRows, "MoR update")
       val mergedDv = existing
         .fold(positions)(e =>
           e.select(col("__dv_fn").as("file_name"), col("__dv_ri").as("row_index"))
@@ -1901,6 +2053,9 @@ class Snapshots(s: SparkSession, root: String) {
           s"append schema ${df.schema.simpleString} != table '$table' schema " +
             s"${existing.simpleString} — evolve via append(mergeSchema = true)")
       }
+      // CHECK constraints gate the batch BEFORE any bytes stage: one
+      // O(batch) aggregate job, only when the table declares checks
+      enforceChecks(table, m, df, "append")
     }
     var attempt = currentVersion.getOrElse(0L) + 1
     var written: Option[String] = None // data written once; races re-merge the manifest only
@@ -2044,6 +2199,11 @@ class Snapshots(s: SparkSession, root: String) {
         case None => s.read.parquet(touch.map(_._1).toSeq: _*)
       }
     val rewritten = rewrite(touchedRead)
+    // update/merge rewrites can INTRODUCE rows (SET results, upserted
+    // source rows) — CHECK constraints gate the rewrite output before
+    // it stages; pure deletes only drop rows and skip the pass
+    if (what == "update" || what == "merge")
+      enforceChecks(table, headM, rewritten, what)
     var attempt = currentVersion.getOrElse(0L) + 1
     for (_ <- 1 to MaxAttempts) {
       val cur = readManifest(currentVersion.get)
@@ -2314,6 +2474,13 @@ object Snapshots {
     * `could not serialize access`).
     */
   final class SerializationConflictException(msg: String)
+    extends RuntimeException(msg)
+
+  /** A write introduced rows that violate a table's CHECK constraint —
+    * the write did NOT publish (the lake analog of Postgres'
+    * `violates check constraint`).
+    */
+  final class ConstraintViolationException(msg: String)
     extends RuntimeException(msg)
 
   import graft.operators.t

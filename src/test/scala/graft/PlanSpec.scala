@@ -151,6 +151,19 @@ class PlanSpec extends AnyFunSuite {
       "event_type must be a partition filter, not a data filter: " + p)
   }
 
+  test("q50 nested-schema pruning: only the two leaf fields reach the reader") {
+    val p = plan("q50_nested_prune")
+    // ReadSchema must carry detail.type + detail.props.k ONLY — a read
+    // of the whole struct (detail.value, who.*) is the silent nested-IO
+    // tax this key exists to pin down
+    assert(p.matches("(?s).*ReadSchema:.*detail.*struct.*type.*"), p)
+    assert(p.matches("(?s).*ReadSchema:.*props.*k.*"), p)
+    assert(!p.matches("(?s).*ReadSchema:.*value.*"),
+      "detail.value must be pruned from the scan: " + p)
+    assert(!p.matches("(?s).*ReadSchema:.*who.*"),
+      "the who struct must be pruned from the scan: " + p)
+  }
+
   test("d02 join-back scan carries the bloom runtime filter") {
     val p = plan("d02_dedup_minhash")
     assert(p.contains("bloom_might_contain"),

@@ -1670,4 +1670,84 @@ class TxnSpec extends AnyFunSuite {
     assert(snap.read("a").columns.toSeq == Seq("id", "v", "w"))
     assert(snap.read("a").where(col("id") === 3L).head.getString(2) == "x")
   }
+
+  test("CHECK constraints: declared once, enforced on every row-introducing verb, ANSI null-passes") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txnchk").toString + "/lake"
+    val snap = new Snapshots(sp, root)
+    snap.commit(Map("a" -> Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")),
+      statsCols = Map("a" -> Seq("id")))
+
+    // adding a constraint the CURRENT rows violate is refused — a
+    // published constraint must be an invariant from version one
+    intercept[Snapshots.ConstraintViolationException] {
+      snap.addCheck("a", "v_big", "v > 15")
+    }
+    val vAdd = snap.addCheck("a", "v_pos", "v > 0")
+    assert(snap.checks("a") == Map("v_pos" -> "v > 0"))
+
+    // a violating append is refused LOUDLY and publishes nothing
+    val before = snap.currentVersion.get
+    val bad = intercept[Snapshots.ConstraintViolationException] {
+      snap.append("a", Seq((3L, -5.0)).toDF("id", "v"))
+    }
+    assert(bad.getMessage.contains("v_pos"))
+    assert(snap.currentVersion.get == before)
+    assert(snap.read("a").count() == 2L)
+
+    // ANSI CHECK: null passes (three-valued logic) — and a passing
+    // batch lands
+    val opt: Option[Double] = None
+    snap.append("a", Seq((3L, opt)).toDF("id", "v"))
+    snap.append("a", Seq((4L, 40.0)).toDF("id", "v"))
+    assert(snap.read("a").count() == 4L)
+
+    // merge: a violating source row is refused; the table is unchanged
+    intercept[Snapshots.ConstraintViolationException] {
+      snap.mergeInto("a", Seq((2L, -1.0)).toDF("id", "v"), "id", statsCols = Seq("id"))
+    }
+    assert(snap.read("a").where(col("id") === 2L).head.getDouble(1) == 20.0)
+    // update: a SET that breaks the invariant is refused
+    intercept[Snapshots.ConstraintViolationException] {
+      snap.updateWhere("a", Seq(ColRange("id", Some(4L), Some(4L))),
+        Map("v" -> (col("v") * -1.0)), statsCols = Seq("id"))
+    }
+    // while a lawful update and a delete go through
+    snap.updateWhere("a", Seq(ColRange("id", Some(4L), Some(4L))),
+      Map("v" -> (col("v") + 1.0)), statsCols = Seq("id"))
+    snap.deleteWhere("a", Seq(ColRange("id", Some(1L), Some(1L))), statsCols = Seq("id"))
+    assert(snap.read("a").count() == 3L)
+
+    // constraints are table metadata: they clone with the table, and a
+    // full re-commit of the table keeps them armed
+    snap.cloneTable("a", "b")
+    intercept[Snapshots.ConstraintViolationException] {
+      snap.append("b", Seq((9L, -9.0)).toDF("id", "v"))
+    }
+    intercept[Snapshots.ConstraintViolationException] {
+      snap.commit(Map("a" -> Seq((1L, -1.0)).toDF("id", "v")))
+    }
+    // time travel sees the constraint set as of the version
+    assert(snap.checks("a", Some(vAdd - 1)).isEmpty)
+
+    // a second constraint joins the first; duplicate names are refused
+    snap.addCheck("a", "id_pos", "id IS NOT NULL AND id > 0")
+    intercept[IllegalArgumentException] { snap.addCheck("a", "id_pos", "id > 1") }
+    assert(snap.checks("a").keySet == Set("v_pos", "id_pos"))
+    // NOT-NULL form: an all-null id batch now violates (IS NOT NULL
+    // closes the null-passes loophole)
+    val idOpt: Option[Long] = None
+    intercept[Snapshots.ConstraintViolationException] {
+      snap.append("a", Seq((idOpt, 5.0)).toDF("id", "v"))
+    }
+
+    // drop re-opens the gate; dropping a missing name is loud
+    snap.dropCheck("a", "v_pos")
+    intercept[NoSuchElementException] { snap.dropCheck("a", "v_pos") }
+    snap.append("a", Seq((10L, -10.0)).toDF("id", "v"))
+    assert(snap.read("a").count() == 4L)
+    // restore to a constrained version re-arms its constraint line
+    assert(snap.checks("a").keySet == Set("id_pos"))
+  }
 }
