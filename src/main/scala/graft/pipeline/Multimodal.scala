@@ -644,7 +644,97 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------------- m09
+  // Voice-activity / silence segmentation — the audio-pipeline verb
+  // that decides what to KEEP: speech corpora trim silence before
+  // transcription or feature extraction, and the cheap standing
+  // detector is windowed RMS energy against a threshold (public
+  // technique — the first stage of every VAD). The synthetic WAVs
+  // mute whole 100-sample blocks on a quadratic-residue pattern
+  // (block silent iff (w² + doc_id) % 5 == 0), which makes the
+  // per-doc silence geometry genuinely varied — some docs have zero
+  // silent windows (non-residue classes), some isolated ones, some
+  // adjacent runs — so run-length logic is actually exercised.
+
+  case class VadResult(doc_id: Long, n_windows: Int, n_silent: Int,
+                       longest_silence: Int, active_ratio: Double)
+
+  /** Parse a WAV payload (same RIFF walk as [[decodeWav]]) and compute
+    * fixed-window RMS voice activity: a window is SILENT iff its RMS
+    * falls below `threshold`. One pass, O(1) state per window; only
+    * full windows count (a trailing fragment has a different-variance
+    * RMS and would need a length-corrected threshold).
+    */
+  def vadWav(docId: Long, payload: Array[Byte], window: Int,
+             threshold: Double): VadResult = {
+    val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = { val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII") }
+    require(fourcc() == "RIFF", "not a RIFF payload"); bb.getInt()
+    require(fourcc() == "WAVE", "not a WAVE payload")
+    var out: VadResult = null
+    while (out == null && bb.remaining() >= 8) {
+      val (id, size) = (fourcc(), bb.getInt())
+      id match {
+        case "fmt " =>
+          val fmt = bb.getShort(); val ch = bb.getShort()
+          require(fmt == 1 && ch == 1, "PCM mono only")
+          bb.position(bb.position() + size - 4)
+        case "data" =>
+          val n = size / 2
+          val nWin = n / window
+          var (nSil, run, longest) = (0, 0, 0)
+          var w = 0
+          while (w < nWin) {
+            var sumSq = 0.0
+            var i = 0
+            while (i < window) { val s = bb.getShort().toDouble; sumSq += s * s; i += 1 }
+            if (math.sqrt(sumSq / window) < threshold) {
+              nSil += 1; run += 1; if (run > longest) longest = run
+            } else run = 0
+            w += 1
+          }
+          out = VadResult(docId, nWin, nSil, longest,
+            1.0 - nSil.toDouble / math.max(nWin, 1))
+        case _ => bb.position(bb.position() + size)
+      }
+    }
+    out
+  }
+
+  /** C43 `m09_audio_vad`: synthesize one WAV per doc with
+    * block-aligned muted spans and segment voice activity by windowed
+    * RMS in batched partition passes (the m02-m08 batch shape —
+    * embarrassingly parallel, O(payload) per doc). The oracle
+    * recomputes every window's RMS and the silent-run geometry from
+    * the sample closed forms, so a window off-by-one, a wrong RIFF
+    * offset, or a broken run counter flips the hash.
+    */
+  def m09AudioVad(s: SparkSession, dir: String, window: Int = 100,
+                  threshold: Double = 50.0, batchSize: Int = 64): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val n = 1200
+        val samples = Array.tabulate(n) { i =>
+          val w = i / 100
+          if ((w * w + id) % 5 == 0) 0.toShort
+          else (((id * 7 + i * 13) % 2001) - 1000).toShort
+        }
+        Media(id, wavBytes(8000, samples))
+      }
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map(m =>
+        vadWav(m.doc_id, m.payload, window, threshold))))
+      .toDF()
+      .select(col("doc_id"),
+        col("n_windows").cast("long").as("n_windows"),
+        col("n_silent").cast("long").as("n_silent"),
+        col("longest_silence").cast("long").as("longest_silence"),
+        round(col("active_ratio"), 6).as("active_ratio"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m09_audio_vad" -> ((s, dir) => m09AudioVad(s, dir)),
     "m08_scene_cut" -> ((s, dir) => m08SceneCut(s, dir)),
     "m01_multimodal_meta" -> m01MultimodalMeta _,
     "m02_decode_batch" -> ((s, dir) => m02DecodeBatch(s, dir)),
@@ -660,6 +750,32 @@ object Multimodal {
     * codecs for m02/m05, pure-Scala parsers for m03/m04).
     */
   val oracles: Map[String, String] = Map(
+    "m09_audio_vad" ->
+      """WITH s AS (
+        |  SELECT d.doc_id, CAST(g.i // 100 AS BIGINT) AS w,
+        |    CASE WHEN ((g.i // 100) * (g.i // 100) + d.doc_id) % 5 = 0 THEN 0
+        |         ELSE (d.doc_id * 7 + g.i * 13) % 2001 - 1000 END AS smp
+        |  FROM documents d, UNNEST(generate_series(0, 1199)) AS g(i)
+        |), wr AS (
+        |  SELECT doc_id, w, sqrt(CAST(sum(smp * smp) AS DOUBLE) / 100) AS rms
+        |  FROM s GROUP BY 1, 2
+        |), fl AS (
+        |  SELECT doc_id, w, rms < 50.0 AS silent FROM wr
+        |), sil AS (
+        |  SELECT doc_id, w, w - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w) AS grp
+        |  FROM fl WHERE silent
+        |), runs AS (
+        |  SELECT doc_id, grp, count(*) AS rl FROM sil GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT fl.doc_id, count(*) AS nw, count(*) FILTER (WHERE silent) AS ns
+        |  FROM fl GROUP BY 1
+        |)
+        |SELECT a.doc_id, CAST(a.nw AS BIGINT) AS n_windows, CAST(a.ns AS BIGINT) AS n_silent,
+        |  CAST(coalesce(max(r.rl), 0) AS BIGINT) AS longest_silence,
+        |  round(1.0 - a.ns * 1.0 / a.nw, 6) AS active_ratio
+        |FROM agg a LEFT JOIN runs r USING (doc_id)
+        |GROUP BY a.doc_id, a.nw, a.ns
+        |ORDER BY a.doc_id""".stripMargin,
     "m08_scene_cut" ->
       """WITH f AS (
         |  SELECT doc_id, CAST(4 + doc_id % 5 AS BIGINT) AS nf FROM documents

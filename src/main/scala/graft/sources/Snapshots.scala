@@ -526,11 +526,25 @@ class Snapshots(s: SparkSession, root: String) {
     * broken. Deletes cannot violate row constraints and skip the pass.
     */
   private val CheckSuffix = "@check"
+
+  /** GENERATED columns (Delta's generated columns, public design):
+    * `<table>@gen=<col>:<urlencoded expr>;…` declares columns whose
+    * value IS a function of the row's other columns. A writing batch
+    * may OMIT a generated column — ingestion paths compute it — or
+    * carry it, in which case the provided values must MATCH the
+    * expression (null-safe equality) or the write refuses: a declared
+    * derivation can never silently diverge from its definition.
+    * Rewrite paths (update/merge) recompute the column after the
+    * transform, and SET targeting a generated column directly is
+    * refused (update its inputs instead) — the Delta contract.
+    */
+  private val GenSuffix = "@gen"
   private def isTagEntry(key: String): Boolean = key.endsWith(TagsSuffix)
   private def isMetaEntry(key: String): Boolean =
     key.endsWith(TagsSuffix) || key.endsWith(SchemaSuffix) ||
       key.endsWith(FilesSuffix) || key.endsWith(MaintSuffix) ||
-      key.endsWith(DvSuffix) || key.endsWith(CheckSuffix)
+      key.endsWith(DvSuffix) || key.endsWith(CheckSuffix) ||
+      key.endsWith(GenSuffix)
   private def dvEntries(m: Map[String, String]): Map[String, String] =
     m.filter { case (k, _) => k.endsWith(DvSuffix) }
 
@@ -730,13 +744,17 @@ class Snapshots(s: SparkSession, root: String) {
              bloomFpp: Double = 0.01): Long = {
     tables.keys.foreach(t => require(!isMetaEntry(t),
       s"table name '$t' collides with the reserved '@' manifest lines"))
-    // CHECK constraints carried by re-committed tables gate the new
-    // data before any bytes stage (one O(batch) job per guarded table)
-    currentVersion.map(readManifest).foreach { m =>
-      tables.foreach { case (t, df) => enforceChecks(t, m, df, "commit") } }
+    // generated columns computed/validated, then CHECK constraints gate
+    // the new data — all before any bytes stage (one O(batch) job per
+    // guarded table, nothing for unguarded ones)
+    val tables1 = currentVersion.map(readManifest).map { m =>
+      val t1 = tables.map { case (t, df) => t -> applyGenerated(t, m, df, "commit") }
+      t1.foreach { case (t, df) => enforceChecks(t, m, df, "commit") }
+      t1
+    }.getOrElse(tables)
     var attempt = currentVersion.getOrElse(0L) + 1
     for (_ <- 1 to MaxAttempts) {
-      val written = stageTables(tables, statsCols, attempt, bloomCols, bloomFpp)
+      val written = stageTables(tables1, statsCols, attempt, bloomCols, bloomFpp)
       // consumed append-tags — and declared CHECK constraints — follow
       // the table identity through a full re-commit: a replayed
       // micro-batch must stay a no-op even after the table's data was
@@ -746,7 +764,8 @@ class Snapshots(s: SparkSession, root: String) {
       val carriedTags = currentVersion.map(readManifest).getOrElse(Map.empty)
         .filter { case (k, _) =>
           (isTagEntry(k) && tables.contains(k.stripSuffix(TagsSuffix))) ||
-            (k.endsWith(CheckSuffix) && tables.contains(k.stripSuffix(CheckSuffix))) }
+            (k.endsWith(CheckSuffix) && tables.contains(k.stripSuffix(CheckSuffix))) ||
+            (k.endsWith(GenSuffix) && tables.contains(k.stripSuffix(GenSuffix))) }
       if (writeManifest(attempt, written ++ carriedTags)) return attempt
       attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
     }
@@ -838,10 +857,12 @@ class Snapshots(s: SparkSession, root: String) {
               s"$baseVersion and head $headV — re-run the transaction")
       }
       val attempt = headV + 1
-      // CHECK constraints from the head gate the written tables (the
-      // merge-into-head path keeps their lines, so enforce them too)
-      tables.foreach { case (t, df) => enforceChecks(t, headM, df, "commit") }
-      val written = stageTables(tables, statsCols, attempt)
+      // generated columns + CHECK constraints from the head gate the
+      // written tables (the merge-into-head path keeps their lines)
+      val tables1 = tables.map { case (t, df) =>
+        t -> applyGenerated(t, headM, df, "commit") }
+      tables1.foreach { case (t, df) => enforceChecks(t, headM, df, "commit") }
+      val written = stageTables(tables1, statsCols, attempt)
       // drop the written tables' stale meta/tags lines, keep everything
       // else from the head, overlay the fresh lines
       val stale = tables.keys.flatMap(t =>
@@ -1169,13 +1190,24 @@ class Snapshots(s: SparkSession, root: String) {
       val sc = schemas.get(t).flatMap(predictReadBack).getOrElse(writtenSchema(rel))
       Seq(schemaLine(t, sc), filesLine(t, listRelFiles(splitRel(rel))))
     }
-    // CHECK constraints gate staged data too (the streaming sink's
-    // publish path): the staged bytes are read back once per guarded
-    // table — O(batch), and only when a check line exists
+    // CHECK constraints and generated-column contracts gate staged
+    // data too (the streaming sink's publish path): the staged bytes
+    // are read back once per guarded table — O(batch), and only when a
+    // guard line exists. Staged bytes cannot be amended, so an
+    // OMITTED generated column refuses loudly (compute it in the
+    // writer) while provided values validate like any batch.
     currentVersion.map(readManifest).foreach { m =>
       updates.foreach { case (t, rel) =>
-        if (m.contains(t + CheckSuffix))
-          enforceChecks(t, m, s.read.parquet(absPaths(rel): _*), "staged publish")
+        val gs = decodeChecks(m.get(t + GenSuffix))
+        if (m.contains(t + CheckSuffix) || gs.nonEmpty) {
+          val staged = s.read.parquet(absPaths(rel): _*)
+          gs.keys.foreach(c => require(staged.columns.contains(c),
+            s"staged publish into '$t' omits generated column '$c' — " +
+              "staged bytes cannot be amended; compute it in the writer"))
+          if (gs.nonEmpty) applyGenerated(t, m, staged, "staged publish")
+          if (m.contains(t + CheckSuffix))
+            enforceChecks(t, m, staged, "staged publish")
+        }
       }
     }
     var attempt = currentVersion.getOrElse(0L) + 1
@@ -1414,6 +1446,14 @@ class Snapshots(s: SparkSession, root: String) {
                   sets: Map[String, org.apache.spark.sql.Column],
                   statsCols: Seq[String] = Nil): Long = {
     require(sets.nonEmpty, "updateWhere requires at least one SET column")
+    // a generated column cannot be SET directly (its derivation owns
+    // it — update its inputs; the rewrite recomputes it): Delta's rule
+    currentVersion.map(readManifest).foreach { m =>
+      val gen = decodeChecks(m.get(table + GenSuffix)).keySet
+      val hit = sets.keySet.intersect(gen)
+      require(hit.isEmpty,
+        s"cannot SET generated column(s) ${hit.mkString(", ")} of table '$table'")
+    }
     partialRewrite(table, ranges, statsCols, "update", { touched =>
       val hit = coalesce(matchCond(ranges), lit(false))
       sets.foldLeft(touched) { case (df, (c, e)) =>
@@ -1459,13 +1499,16 @@ class Snapshots(s: SparkSession, root: String) {
     * component lies inside that span, so a pruned file provably holds
     * no match and the split stays globally correct.
     */
-  def mergeInto(table: String, source: DataFrame, keyCols: Seq[String],
+  def mergeInto(table: String, source0: DataFrame, keyCols: Seq[String],
                 statsCols: Seq[String]): Long = {
     require(keyCols.nonEmpty, "mergeInto requires at least one key column")
     val headM = readManifest(currentVersion.getOrElse(
       throw new IllegalStateException(s"no commits under $root")))
     val baseRel = dataEntries(headM).getOrElse(table,
       throw new NoSuchElementException(s"table '$table' not committed under $root"))
+    // generated columns: an omitting source is completed, a providing
+    // source is validated — before the schema signature check
+    val source = applyGenerated(table, headM, source0, "merge")
     val existing = storedSchema(headM, table).getOrElse(writtenSchema(baseRel))
     def sig(st: org.apache.spark.sql.types.StructType): Seq[(String, org.apache.spark.sql.types.DataType)] =
       st.fields.map(f => (f.name, f.dataType)).toSeq
@@ -1611,7 +1654,7 @@ class Snapshots(s: SparkSession, root: String) {
         throw new NoSuchElementException(s"table '$src' not committed under $root"))
       require(!dataEntries(cur).contains(dst),
         s"clone target '$dst' already exists under $root")
-      val meta = Seq(SchemaSuffix, FilesSuffix, TagsSuffix, DvSuffix, CheckSuffix).flatMap(sfx =>
+      val meta = Seq(SchemaSuffix, FilesSuffix, TagsSuffix, DvSuffix, CheckSuffix, GenSuffix).flatMap(sfx =>
         cur.get(src + sfx).map(v => (dst + sfx) -> v))
       if (writeManifest(attempt, cur + (dst -> rel) ++ meta)) return attempt
       attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
@@ -1636,7 +1679,7 @@ class Snapshots(s: SparkSession, root: String) {
     val rel = dataEntries(old).getOrElse(table,
       throw new NoSuchElementException(
         s"table '$table' not committed at version $fromVersion under $root"))
-    val metaKeys = Seq(SchemaSuffix, FilesSuffix, TagsSuffix, DvSuffix, CheckSuffix).map(table + _)
+    val metaKeys = Seq(SchemaSuffix, FilesSuffix, TagsSuffix, DvSuffix, CheckSuffix, GenSuffix).map(table + _)
     val meta = metaKeys.flatMap(k => old.get(k).map(k -> _))
     var attempt = currentVersion.getOrElse(0L) + 1
     for (_ <- 1 to MaxAttempts) {
@@ -1707,6 +1750,120 @@ class Snapshots(s: SparkSession, root: String) {
       if (bad > 0) throw new Snapshots.ConstraintViolationException(
         s"$verb into table '$table' violates CHECK constraint '$n' ($e): $bad row(s)")
     }
+  }
+
+  /** The table's generated columns (column -> SQL expression) at
+    * `version` (default head) — metadata like [[checks]]: they
+    * time-travel, clone and restore with the table.
+    */
+  def generated(table: String, version: Option[Long] = None): Map[String, String] = {
+    val v = version.orElse(currentVersion).getOrElse(
+      throw new IllegalStateException(s"no commits under $root"))
+    decodeChecks(readManifest(v).get(table + GenSuffix))
+  }
+
+  /** Compute omitted generated columns and VALIDATE provided ones for
+    * an incoming batch (append/commit/merge ingestion). Omitted
+    * columns are computed from their expressions and the result is
+    * re-projected into the table's column order (the schema guard
+    * compares ordered signatures). Provided columns must match their
+    * expression under null-safe equality — one aggregate job covering
+    * all of them, zero jobs when nothing is declared or provided.
+    */
+  private def applyGenerated(table: String, m: Map[String, String],
+                             batch: DataFrame, verb: String): DataFrame = {
+    val gs = decodeChecks(m.get(table + GenSuffix))
+    if (gs.isEmpty) return batch
+    val provided = gs.filter { case (c, _) => batch.columns.contains(c) }
+    if (provided.nonEmpty) {
+      val ordered = provided.toSeq.sortBy(_._1)
+      val aggs = ordered.map { case (c, e) =>
+        sum(when(!(col(c) <=> expr(e)), 1L).otherwise(0L)).as(c) }
+      val row = batch.agg(aggs.head, aggs.tail: _*).head()
+      ordered.zipWithIndex.foreach { case ((c, e), i) =>
+        val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
+        if (bad > 0) throw new Snapshots.ConstraintViolationException(
+          s"$verb into table '$table': provided values of generated column " +
+            s"'$c' diverge from its expression ($e): $bad row(s)")
+      }
+    }
+    val missing = gs.filter { case (c, _) => !batch.columns.contains(c) }
+    if (missing.isEmpty) return batch
+    val computed = missing.foldLeft(batch) { case (d, (c, e)) =>
+      d.withColumn(c, expr(e)) }
+    storedSchema(m, table) match {
+      case Some(st) if st.fieldNames.forall(computed.columns.contains) &&
+          computed.columns.forall(st.fieldNames.contains) =>
+        computed.select(st.fieldNames.map(col(_)).toSeq: _*)
+      case _ => computed
+    }
+  }
+
+  /** Recompute every generated column of `table` over a rewrite output
+    * — identity on rows that already satisfied the derivation, and the
+    * repair that keeps update/merge rewrites correct by construction
+    * when a transform touched a generated column's inputs.
+    */
+  private def recomputeGenerated(table: String, m: Map[String, String],
+                                 df: DataFrame): DataFrame =
+    decodeChecks(m.get(table + GenSuffix)).foldLeft(df) { case (d, (c, e)) =>
+      if (d.columns.contains(c)) d.withColumn(c, expr(e)) else d }
+
+  /** Declare `column` GENERATED AS `exprSql` (Delta's generated
+    * columns, public design). The column must exist and its CURRENT
+    * values must already equal the expression — validated with one
+    * scan, so a published derivation is a fact, not a wish. From then
+    * on writers may omit the column (computed at ingestion) or must
+    * provide matching values; update/merge rewrites recompute it.
+    */
+  def addGenerated(table: String, column: String, exprSql: String): Long = {
+    val v0 = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no commits under $root"))
+    val m0 = readManifest(v0)
+    val rel = dataEntries(m0).getOrElse(table,
+      throw new NoSuchElementException(s"table '$table' not committed under $root"))
+    val schema = storedSchema(m0, table).getOrElse(writtenSchema(rel))
+    require(schema.fieldNames.contains(column),
+      s"generated column '$column' not a column of table '$table'")
+    val bad = read(table, Some(v0)).where(!(col(column) <=> expr(exprSql))).count()
+    if (bad > 0) throw new Snapshots.ConstraintViolationException(
+      s"addGenerated: $bad existing row(s) of '$table' diverge from " +
+        s"'$column' = $exprSql — a derivation must hold before it publishes")
+    var attempt = v0 + 1
+    for (_ <- 1 to MaxAttempts) {
+      val cur = readManifest(currentVersion.get)
+      val gs = decodeChecks(cur.get(table + GenSuffix))
+      require(!gs.contains(column),
+        s"column '$column' is already generated on table '$table' — drop it first")
+      val line = (table + GenSuffix) -> encodeChecks(gs + (column -> exprSql))
+      if (writeManifest(attempt, cur + line)) return attempt
+      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
+    }
+    throw new IllegalStateException(
+      s"addGenerated lost $MaxAttempts consecutive version races under $root")
+  }
+
+  /** Drop a generated-column declaration (loud on a missing column,
+    * like [[dropCheck]]). The column itself stays — only the
+    * derivation contract ends.
+    */
+  def dropGenerated(table: String, column: String): Long = {
+    var attempt = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no commits under $root")) + 1
+    for (_ <- 1 to MaxAttempts) {
+      val cur = readManifest(currentVersion.get)
+      val gs = decodeChecks(cur.get(table + GenSuffix))
+      if (!gs.contains(column)) throw new NoSuchElementException(
+        s"no generated column '$column' on table '$table' under $root")
+      val rest = gs - column
+      val next =
+        if (rest.isEmpty) cur - (table + GenSuffix)
+        else cur + ((table + GenSuffix) -> encodeChecks(rest))
+      if (writeManifest(attempt, next)) return attempt
+      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
+    }
+    throw new IllegalStateException(
+      s"dropGenerated lost $MaxAttempts consecutive version races under $root")
   }
 
   /** Declare a CHECK constraint on `table` (Delta's ALTER TABLE ADD
@@ -1893,6 +2050,12 @@ class Snapshots(s: SparkSession, root: String) {
     val schema = storedSchema(headM, table).getOrElse(writtenSchema(baseRel))
     set.keys.foreach(c => require(schema.fieldNames.contains(c),
       s"SET column '$c' not a column of table '$table'"))
+    locally {
+      val gen = decodeChecks(headM.get(table + GenSuffix)).keySet
+      val hit = set.keySet.intersect(gen)
+      require(hit.isEmpty,
+        s"cannot SET generated column(s) ${hit.mkString(", ")} of table '$table'")
+    }
     val files: Seq[(String, Long)] = storedFiles(headM, table)
       .getOrElse(listRelFiles(splitRel(baseRel)))
     val names = files.map { case (r, _) => new Path(root, r).getName }
@@ -1923,9 +2086,10 @@ class Snapshots(s: SparkSession, root: String) {
       if (matched.isEmpty) return currentVersion.get
       val cols = schema.fieldNames.toSeq
       val positions = matched.select(col("__fn").as("file_name"), col("__ri").as("row_index"))
-      val newRows = matched.select(cols.map(c => set.getOrElse(c, col(c)).as(c)): _*)
-      // the re-appended transformed rows are new rows — CHECK
-      // constraints gate them like any other write
+      val newRows = recomputeGenerated(table, headM,
+        matched.select(cols.map(c => set.getOrElse(c, col(c)).as(c)): _*))
+      // the re-appended transformed rows are new rows — generated
+      // columns recomputed above, CHECK constraints gate them here
       enforceChecks(table, headM, newRows, "MoR update")
       val mergedDv = existing
         .fold(positions)(e =>
@@ -2013,13 +2177,17 @@ class Snapshots(s: SparkSession, root: String) {
     * created. Accumulated small append dirs are the standing
     * [[compact]] case; vacuum's dir-granular refcount covers them.
     */
-  def append(table: String, df: DataFrame, tag: Option[String] = None,
+  def append(table: String, df0: DataFrame, tag: Option[String] = None,
              statsCols: Seq[String] = Nil, mergeSchema: Boolean = false,
              bloomCols: Seq[String] = Nil): Long = {
     require(!isMetaEntry(table),
       s"table name '$table' collides with the reserved '@' manifest lines")
     tag.foreach(t => require(t.matches("[A-Za-z0-9_-]+"),
       s"append tag '$t' must be [A-Za-z0-9_-]+ (it names a directory)"))
+    // generated columns: compute omitted ones / validate provided ones
+    // before the schema guard sees the batch
+    val df = currentVersion.map(readManifest)
+      .map(m => applyGenerated(table, m, df0, "append")).getOrElse(df0)
     // schema drift guard: a multi-path parquet read takes ONE schema, so
     // a batch whose columns diverge from the table would silently read
     // back with dropped, null, or silently-coerced columns — fail at the
@@ -2198,12 +2366,19 @@ class Snapshots(s: SparkSession, root: String) {
         case Some(sc) => org.apache.spark.sql.GraftLakeShim.parquetByManifest(s, touch.toSeq, sc)
         case None => s.read.parquet(touch.map(_._1).toSeq: _*)
       }
-    val rewritten = rewrite(touchedRead)
+    val rewritten0 = rewrite(touchedRead)
     // update/merge rewrites can INTRODUCE rows (SET results, upserted
-    // source rows) — CHECK constraints gate the rewrite output before
-    // it stages; pure deletes only drop rows and skip the pass
-    if (what == "update" || what == "merge")
-      enforceChecks(table, headM, rewritten, what)
+    // source rows): generated columns are RECOMPUTED over the rewrite
+    // output (identity on already-correct rows — the repair that keeps
+    // a derivation true when a transform touched its inputs), then
+    // CHECK constraints gate the result before it stages; pure deletes
+    // only drop rows and skip both passes
+    val rewritten =
+      if (what == "update" || what == "merge") {
+        val r = recomputeGenerated(table, headM, rewritten0)
+        enforceChecks(table, headM, r, what)
+        r
+      } else rewritten0
     var attempt = currentVersion.getOrElse(0L) + 1
     for (_ <- 1 to MaxAttempts) {
       val cur = readManifest(currentVersion.get)

@@ -102,6 +102,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(Multimodal.decodeWav(3L, Multimodal.wavBytes(8000, sq)).rms - 500.0) < 1e-9)
   }
 
+  test("m09 VAD kernel: window RMS classification, run lengths, partial windows excluded") {
+    // 3 windows of 100: loud / silent / loud → one isolated run
+    val s1 = Array.tabulate[Short](300)(i => if (i / 100 == 1) 0 else 800)
+    val v1 = Multimodal.vadWav(1L, Multimodal.wavBytes(8000, s1), 100, 50.0)
+    assert(v1.n_windows == 3 && v1.n_silent == 1 && v1.longest_silence == 1)
+    assert(math.abs(v1.active_ratio - 2.0 / 3) < 1e-9)
+    // adjacent silent windows merge into one run of 2
+    val s2 = Array.tabulate[Short](400)(i => if (i / 100 >= 2) 0 else 800)
+    val v2 = Multimodal.vadWav(2L, Multimodal.wavBytes(8000, s2), 100, 50.0)
+    assert(v2.n_silent == 2 && v2.longest_silence == 2)
+    // a trailing PARTIAL window never counts (350 samples → 3 windows)
+    val s3 = Array.fill[Short](350)(800)
+    val v3 = Multimodal.vadWav(3L, Multimodal.wavBytes(8000, s3), 100, 50.0)
+    assert(v3.n_windows == 3 && v3.n_silent == 0 && v3.active_ratio == 1.0)
+    // the threshold is RMS, not amplitude: quiet-but-nonzero stays silent
+    val s4 = Array.fill[Short](100)(30)
+    assert(Multimodal.vadWav(4L, Multimodal.wavBytes(8000, s4), 100, 50.0).n_silent == 1)
+  }
+
   test("WAV chunk walk skips unknown chunks and rejects non-RIFF payloads") {
     // splice a junk chunk ("LIST", 12 bytes) between fmt and data — a
     // spec-conformant reader must skip it by its declared size, not

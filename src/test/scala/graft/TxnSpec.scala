@@ -1750,4 +1750,57 @@ class TxnSpec extends AnyFunSuite {
     // restore to a constrained version re-arms its constraint line
     assert(snap.checks("a").keySet == Set("id_pos"))
   }
+
+  test("generated columns: omitted → computed, provided → validated, rewrites recompute") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txngen").toString + "/lake"
+    val snap = new Snapshots(sp, root)
+    snap.commit(Map("a" -> Seq((1L, 10.0, 20.0), (2L, 5.0, 10.0))
+      .toDF("id", "v", "v2")), statsCols = Map("a" -> Seq("id")))
+
+    // declaring a derivation the current rows violate is refused
+    intercept[Snapshots.ConstraintViolationException] {
+      snap.addGenerated("a", "v2", "v * 3")
+    }
+    snap.addGenerated("a", "v2", "v * 2")
+    assert(snap.generated("a") == Map("v2" -> "v * 2"))
+    // a non-column is refused up front
+    intercept[IllegalArgumentException] { snap.addGenerated("a", "nope", "v") }
+
+    // an OMITTING batch gets the column computed, in table column order
+    snap.append("a", Seq((3L, 7.0)).toDF("id", "v"))
+    val r3 = snap.read("a").where(col("id") === 3L).head
+    assert(snap.read("a").columns.toSeq == Seq("id", "v", "v2"))
+    assert(r3.getDouble(2) == 14.0)
+    // a PROVIDING batch must match the derivation
+    intercept[Snapshots.ConstraintViolationException] {
+      snap.append("a", Seq((4L, 8.0, 99.0)).toDF("id", "v", "v2"))
+    }
+    snap.append("a", Seq((4L, 8.0, 16.0)).toDF("id", "v", "v2"))
+    assert(snap.read("a").count() == 4L)
+
+    // merge: an omitting source is completed like an append
+    snap.mergeInto("a", Seq((2L, 50.0)).toDF("id", "v"), "id", statsCols = Seq("id"))
+    assert(snap.read("a").where(col("id") === 2L).head.getDouble(2) == 100.0)
+
+    // update: SET on the generated column itself is refused; SET on its
+    // INPUT recomputes the derivation over the rewrite
+    intercept[IllegalArgumentException] {
+      snap.updateWhere("a", Seq(ColRange("id", Some(1L), Some(1L))),
+        Map("v2" -> lit(0.0)), statsCols = Seq("id"))
+    }
+    snap.updateWhere("a", Seq(ColRange("id", Some(1L), Some(1L))),
+      Map("v" -> (col("v") + 1.0)), statsCols = Seq("id"))
+    val r1 = snap.read("a").where(col("id") === 1L).head
+    assert(r1.getDouble(1) == 11.0 && r1.getDouble(2) == 22.0)
+
+    // the declaration is table metadata: clones carry it, drop ends it
+    snap.cloneTable("a", "b")
+    assert(snap.generated("b") == Map("v2" -> "v * 2"))
+    snap.dropGenerated("a", "v2")
+    intercept[NoSuchElementException] { snap.dropGenerated("a", "v2") }
+    snap.append("a", Seq((9L, 1.0, 999.0)).toDF("id", "v", "v2")) // contract ended
+    assert(snap.read("a").where(col("id") === 9L).head.getDouble(2) == 999.0)
+  }
 }
