@@ -262,6 +262,23 @@ object Soak {
     try q.processAllAvailable() finally q.stop()
     val feedS = (System.nanoTime() - tFeed0) / 1e9
     val feedRows = s.table("soak_feed").head().getLong(0)
+    // GUARDED-WRITE probe: the same small-append stream against a table
+    // carrying 2 CHECK constraints + 1 generated column. What must hold
+    // for the write-time contracts to be usable on a streaming lake:
+    // the per-commit enforcement cost is a flat O(batch) constant (one
+    // extra aggregate job + the derivation projection), independent of
+    // the table's accumulated size and version count.
+    snap.append("g", Seq((0L, 0.0, 0.0)).toDF("id", "v", "v2"))
+    snap.addCheck("g", "v_pos", "v >= 0")
+    snap.addCheck("g", "id_nn", "id IS NOT NULL")
+    snap.addGenerated("g", "v2", "v * 2")
+    val gn = 100
+    val gwalls = (1 to gn).map { i =>
+      val t0 = System.nanoTime()
+      snap.append("g", Seq((i.toLong, i * 1.0)).toDF("id", "v")) // v2 computed
+      (System.nanoTime() - t0) / 1e6
+    }
+    val gEarly = mean(gwalls.slice(10, 50)); val gLate = mean(gwalls.takeRight(40))
     s"""
        |## Commit-metadata soak ($n appends, one lake)
        |
@@ -269,6 +286,7 @@ object Soak {
        ||---|---|---|---|
        || commit wall (mean of 50) | ${f"$early%.0f"} ms | ${f"$late%.0f"} ms | ${if (late < early * 2) "flat" else "GROWING"} |
        || manifest bytes | ${mlen(2L)} (v2) | ${mlen(head)} (v$head) | ${if (mlen(head) < mlen(2L) * 4) "flat" else "GROWING"} |
+       || guarded append wall (2 checks + 1 generated, mean of 40) | ${f"$gEarly%.0f"} ms | ${f"$gLate%.0f"} ms | ${if (gLate < gEarly * 2) "flat" else "GROWING"} |
        |
        |Cold head read after $head versions (fresh instance, checkpoint +
        |<=16 deltas): ${f"$coldS%.2f"}s for $coldCount rows. Change-feed catch-up
