@@ -1403,6 +1403,36 @@ class Snapshots(s: SparkSession, root: String) {
     s.createDataFrame(rows.reverse.asJava, schema)
   }
 
+  /** One table's operational facts (the DESCRIBE DETAIL analog, next
+    * to [[history]]'s version log): file count and total bytes from
+    * the manifest's checkpointed file list, schema as DDL, the active
+    * write-time contracts (checks / generated columns), merge-on-read
+    * state, and the version + commit time the facts describe. Zero
+    * data IO — everything answers from the resolved manifest, however
+    * many terabytes the table holds (a pre-metadata manifest pays one
+    * listing). Throws on an unknown table, like every read.
+    */
+  def tableDetail(table: String, version: Option[Long] = None): Snapshots.TableDetail = {
+    val v = version.orElse(currentVersion).getOrElse(
+      throw new IllegalStateException(s"no commits under $root"))
+    val m = readManifest(v)
+    val rel = dataEntries(m).getOrElse(table,
+      throw new NoSuchElementException(s"table '$table' not committed at version $v under $root"))
+    val files = storedFiles(m, table).getOrElse(listRelFiles(splitRel(rel)))
+    val schema = storedSchema(m, table).getOrElse(writtenSchema(rel))
+    Snapshots.TableDetail(
+      table = table,
+      version = v,
+      committedAt = new java.sql.Timestamp(commitTimestamp(v)),
+      numFiles = files.size,
+      sizeBytes = files.map(_._2).sum,
+      schemaDdl = schema.toDDL,
+      checks = decodeChecks(m.get(table + CheckSuffix)),
+      generatedColumns = decodeChecks(m.get(table + GenSuffix)),
+      hasDeletionVector = m.contains(table + DvSuffix),
+      consumedTags = tagsOf(m, table).size)
+  }
+
   /** Targeted row delete — the GDPR / retention maintenance job. Rows
     * matching ALL `ranges` (conjunctive) are removed from the table in
     * a new published version, at a cost of O(files that might hold a
@@ -2657,6 +2687,18 @@ object Snapshots {
     */
   final class ConstraintViolationException(msg: String)
     extends RuntimeException(msg)
+
+  /** One table's operational facts at a version — see
+    * [[Snapshots.tableDetail]].
+    */
+  final case class TableDetail(table: String, version: Long,
+                               committedAt: java.sql.Timestamp,
+                               numFiles: Int, sizeBytes: Long,
+                               schemaDdl: String,
+                               checks: Map[String, String],
+                               generatedColumns: Map[String, String],
+                               hasDeletionVector: Boolean,
+                               consumedTags: Int)
 
   import graft.operators.t
 

@@ -741,6 +741,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(snap.read("events", Some(v1)).count() == expected, "ingest history not time-travelable")
   }
 
+  test("replication into a constrained replica: a violating change stops the stream loudly") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Snapshots
+    import graft.streaming.Replicate
+    val sp = spark
+    import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("replchk").toString
+    val src = new Snapshots(spark, base + "/src")
+    val dst = new Snapshots(spark, base + "/dst")
+    src.commit(Map("t" -> Seq((1L, 10L), (2L, 20L)).toDF("id", "v")),
+      Map("t" -> Seq("id")))
+    // replica declares a contract the SOURCE does not enforce — the
+    // standing guard a serving-side owner puts on their own copy
+    dst.commit(Map("t" -> Seq((1L, 10L), (2L, 20L)).toDF("id", "v")),
+      Map("t" -> Seq("id")))
+    dst.addCheck("t", "v_pos", "v > 0")
+    src.append("t", Seq((3L, 30L)).toDF("id", "v"), statsCols = Seq("id")) // lawful
+    src.append("t", Seq((4L, -5L)).toDF("id", "v"), statsCols = Seq("id")) // violates dst's check
+    def drain(): Unit = {
+      val q = spark.readStream
+        .format("graft.sources.ChangeFeed")
+        .option("path", base + "/src").option("table", "t")
+        .option("startingVersion", "1")
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream
+        .foreachBatch(Replicate.applyBatch(dst, "t", "id", Seq("id")) _)
+        .option("checkpointLocation", base + "/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000); ()
+    }
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](drain())
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.isInstanceOf[Snapshots.ConstraintViolationException]),
+      s"the stream must die on the replica's CHECK constraint, got: $e")
+    // the lawful pre-violation change landed; the violating one did NOT
+    // publish — the replica is stopped-but-consistent, not corrupted
+    val got = dst.read("t").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (2L, 20L), (3L, 30L)), s"replica state: $got")
+  }
+
   test("foreachBatch parquet sink is idempotent across a checkpoint replay") {
     import java.nio.file.Files
     val out = Files.createTempDirectory("sink_out").toString

@@ -1417,7 +1417,18 @@ class TxnSpec extends AnyFunSuite {
       model = rows0.map(r => r._1 -> (r._2, r._3)).toMap
       history += ((snap.commit(Map("t" -> rows0.toDF("id", "grp", "v")
         .repartitionByRange(4, col("id"))), Map("t" -> Seq("id"))), model))
-      IncrementalAgg.seed(spark, snap, "t", "grp", "v", agg, atVersion = 1L)
+      // a standing CHECK rides the whole sequence: every verb must keep
+      // publishing under the enforcement pass (composed with tags,
+      // compact, rollback, restore, MoR episodes) — all op values
+      // lawfully satisfy it, so any refusal is a false positive and
+      // fails the model compare. Declared BEFORE the consumer seeds:
+      // the agg's watermark must start at the true head (v2), or a
+      // first-op vacuum(keepLast=1) legitimately strands it — the
+      // retention/consumer coordination hazard the keepLast contract
+      // documents, not a composition bug
+      snap.addCheck("t", "v_nonneg", "v >= 0 AND id IS NOT NULL")
+      history += ((snap.currentVersion.get, model))
+      IncrementalAgg.seed(spark, snap, "t", "grp", "v", agg, atVersion = 2L)
       var vacuumed = false
       for (op <- 1 to 7) {
         rnd.nextInt(11) match {
@@ -1498,6 +1509,17 @@ class TxnSpec extends AnyFunSuite {
             model = model.map { case (id, (g, v)) =>
               if (id >= lo && id <= hi) (id, (g, v + 3000000L)) else (id, (g, v)) }
             history += ((snap.currentVersion.get, model))
+        }
+        // a violating probe batch must refuse WITHOUT moving the head
+        // (rollback/restore may legitimately land on a pre-constraint
+        // version — then the table is unguarded and the probe skips)
+        if (rnd.nextInt(4) == 0 && snap.checks("t").nonEmpty) {
+          val vBefore = snap.currentVersion.get
+          intercept[Snapshots.ConstraintViolationException] {
+            snap.append("t", Seq((nextId + 1, "gX", -1L)).toDF("id", "grp", "v"))
+          }
+          assert(snap.currentVersion.get == vBefore,
+            s"seq $seq op $op: refused append must publish nothing")
         }
         val got = snap.read("t").as[(Long, String, Long)].collect()
           .map(r => r._1 -> (r._2, r._3)).toMap
@@ -1802,5 +1824,30 @@ class TxnSpec extends AnyFunSuite {
     intercept[NoSuchElementException] { snap.dropGenerated("a", "v2") }
     snap.append("a", Seq((9L, 1.0, 999.0)).toDF("id", "v", "v2")) // contract ended
     assert(snap.read("a").where(col("id") === 9L).head.getDouble(2) == 999.0)
+  }
+
+  test("tableDetail answers operational facts from the manifest alone") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txndet").toString + "/lake"
+    val snap = new Snapshots(sp, root)
+    snap.commit(Map("a" -> Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v").repartition(2)),
+      statsCols = Map("a" -> Seq("id")))
+    snap.addCheck("a", "v_pos", "v > 0")
+    snap.append("a", Seq((3L, 30.0)).toDF("id", "v"), tag = Some("b1"))
+    val d = snap.tableDetail("a")
+    assert(d.table == "a" && d.version == snap.currentVersion.get)
+    assert(d.numFiles == 3 && d.sizeBytes > 0)
+    assert(d.schemaDdl.contains("id") && d.schemaDdl.contains("BIGINT"))
+    assert(d.checks == Map("v_pos" -> "v > 0") && d.generatedColumns.isEmpty)
+    assert(!d.hasDeletionVector && d.consumedTags == 1)
+    // the facts are versioned: the pre-append detail has 2 files, no tag
+    val d1 = snap.tableDetail("a", Some(1L))
+    assert(d1.numFiles == 2 && d1.consumedTags == 0 && d1.checks.isEmpty)
+    // sizeBytes agrees with the filesystem (manifest lengths are real)
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(sp.sparkContext.hadoopConfiguration)
+    intercept[NoSuchElementException] { snap.tableDetail("nope") }
+    assert(fsys.exists(new org.apache.hadoop.fs.Path(root)))
   }
 }
