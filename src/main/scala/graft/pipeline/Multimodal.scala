@@ -733,7 +733,96 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------------- m10
+  // Perceptual image hashing — dHash (difference hash, the public
+  // technique behind image near-dup detection in every multimodal
+  // corpus build): sample the image on a fixed coarse grid, emit one
+  // bit per horizontally-adjacent pair (right brighter than left).
+  // Identical and near-identical images (uniform brightness shifts,
+  // re-encodes) collide; different content diverges. The hash is the
+  // image-side analog of d03's simhash — downstream near-dup mining is
+  // the same band-bucketed equi-join, never pairwise. Here the grid is
+  // 9×7 sampled at stride 2 from an 18×14 gray gradient (56 bits — a
+  // positive BIGINT both engines carry exactly), and partner counts
+  // come from one groupBy(hash).
+
+  case class ImageHash(doc_id: Long, dhash: Long)
+
+  /** Parse a P6 PPM and compute the 9×7 dHash from REAL pixel bytes:
+    * grid point (x,y) samples the pixel at (2x, 2y) (the fixture is
+    * exactly 18×14, so the coarse grid is a pure stride walk — the
+    * resize-then-hash of the general pipeline with the resample's
+    * closed form pinned), bit (y·8+x) fires when the right neighbor is
+    * strictly brighter. Any header desync, stride slip, or channel
+    * offset flips bits and breaks the oracle.
+    */
+  def dhashPpm(docId: Long, payload: Array[Byte]): ImageHash = {
+    var pos = 0
+    def token(): String = {
+      while (payload(pos).toChar.isWhitespace) pos += 1
+      val start = pos
+      while (pos < payload.length && !payload(pos).toChar.isWhitespace) pos += 1
+      new String(payload, start, pos - start, "US-ASCII")
+    }
+    require(token() == "P6", "not a P6 payload")
+    val w = token().toInt
+    val h = token().toInt
+    require(token() == "255", "8-bit maxval only")
+    pos += 1 // single whitespace after maxval
+    def gray(x: Int, y: Int): Int = {
+      val p = pos + (y * w + x) * 3
+      ((payload(p) & 0xff) + (payload(p + 1) & 0xff) + (payload(p + 2) & 0xff)) / 3
+    }
+    var hash = 0L
+    for (y <- 0 until 7; x <- 0 until 8)
+      if (gray(2 * (x + 1), 2 * y) > gray(2 * x, 2 * y))
+        hash |= 1L << (y * 8 + x)
+    ImageHash(docId, hash)
+  }
+
+  /** Gray gradient PPM for the m10 fixture: every channel of pixel
+    * (x,y) is `(base + 7x² + 11y) mod 256` — quadratic in x so the
+    * horizontal comparisons genuinely vary (a linear ramp would emit
+    * the all-ones hash for every wrap-free row); the closed form the
+    * oracle recomputes at the sampled grid points.
+    */
+  def gradientPpm(width: Int, height: Int, base: Int): Array[Byte] = {
+    val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
+    val px = new Array[Byte](width * height * 3)
+    var i = 0
+    for (y <- 0 until height; x <- 0 until width) {
+      val v = ((base + 7 * x * x + 11 * y) % 256).toByte
+      px(i) = v; px(i + 1) = v; px(i + 2) = v
+      i += 3
+    }
+    header ++ px
+  }
+
+  /** C44 `m10_image_dhash`: one 18×14 gradient image per doc (50
+    * content classes — docs in a class are pixel-identical, the
+    * exact-dup population every corpus has), dHash computed from real
+    * bytes in batched partition passes, duplicate partners counted by
+    * one groupBy(hash). The oracle rebuilds every bit from the pixel
+    * closed forms. MultimodalSpec additionally proves the perceptual
+    * property: a uniform brightness shift keeps the hash, different
+    * content changes it.
+    */
+  def m10ImageDhash(s: SparkSession, dir: String, batchSize: Int = 64): DataFrame = {
+    import s.implicits._
+    val hashes = docs(s, dir).select(col("doc_id")).as[Long]
+      .map(id => Media(id, gradientPpm(18, 14, ((id % 50) * 13 % 256).toInt)))
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map(m =>
+        dhashPpm(m.doc_id, m.payload))))
+      .toDF()
+    val groups = hashes.groupBy("dhash").agg(count(lit(1)).as("n"))
+    hashes.join(groups, "dhash")
+      .select(col("doc_id"), col("dhash"),
+        (col("n") - 1L).cast("long").as("n_dup_partners"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m10_image_dhash" -> ((s, dir) => m10ImageDhash(s, dir)),
     "m09_audio_vad" -> ((s, dir) => m09AudioVad(s, dir)),
     "m08_scene_cut" -> ((s, dir) => m08SceneCut(s, dir)),
     "m01_multimodal_meta" -> m01MultimodalMeta _,
@@ -750,6 +839,21 @@ object Multimodal {
     * codecs for m02/m05, pure-Scala parsers for m03/m04).
     */
   val oracles: Map[String, String] = Map(
+    "m10_image_dhash" ->
+      """WITH g AS (
+        |  SELECT d.doc_id, y.y, x.x,
+        |    (((d.doc_id % 50) * 13) % 256 + 7 * (2*x.x) * (2*x.x) + 11 * (2 * y.y)) % 256 AS v0,
+        |    (((d.doc_id % 50) * 13) % 256 + 7 * (2*x.x+2) * (2*x.x+2) + 11 * (2 * y.y)) % 256 AS v1
+        |  FROM documents d,
+        |    UNNEST(generate_series(0, 6)) AS y(y),
+        |    UNNEST(generate_series(0, 7)) AS x(x)
+        |), h AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN v1 > v0 THEN CAST(1 AS BIGINT) << CAST(y * 8 + x AS INTEGER) ELSE 0 END) AS BIGINT) AS dhash
+        |  FROM g GROUP BY doc_id
+        |), c AS (SELECT dhash, count(*) AS n FROM h GROUP BY dhash)
+        |SELECT h.doc_id, h.dhash, CAST(c.n - 1 AS BIGINT) AS n_dup_partners
+        |FROM h JOIN c USING (dhash) ORDER BY h.doc_id""".stripMargin,
     "m09_audio_vad" ->
       """WITH s AS (
         |  SELECT d.doc_id, CAST(g.i // 100 AS BIGINT) AS w,

@@ -121,6 +121,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.vadWav(4L, Multimodal.wavBytes(8000, s4), 100, 50.0).n_silent == 1)
   }
 
+  test("m10 dHash: perceptually stable under brightness shift, sensitive to content") {
+    // wrap-free gradients: values stay inside 0..255 so a uniform
+    // brightness shift changes every sample equally and NO comparison
+    // flips — the perceptual property dHash exists for
+    def flat(base: Int, xStep: Int): Array[Byte] = {
+      val header = "P6\n18 14\n255\n".getBytes("US-ASCII")
+      val px = new Array[Byte](18 * 14 * 3)
+      var i = 0
+      for (y <- 0 until 14; x <- 0 until 18) {
+        val v = (base + xStep * (x % 4) + y).toByte
+        px(i) = v; px(i + 1) = v; px(i + 2) = v
+        i += 3
+      }
+      header ++ px
+    }
+    val h1 = Multimodal.dhashPpm(1L, flat(40, 9)).dhash
+    val h2 = Multimodal.dhashPpm(2L, flat(45, 9)).dhash // +5 brightness
+    assert(h1 == h2, "uniform brightness shift must not change the hash")
+    val h3 = Multimodal.dhashPpm(3L, flat(40, -9)).dhash // reversed gradient
+    assert(h1 != h3, "different content must change the hash")
+    // the real fixture: pixel-identical images hash identically
+    val a = Multimodal.dhashPpm(4L, Multimodal.gradientPpm(18, 14, 91)).dhash
+    val b = Multimodal.dhashPpm(5L, Multimodal.gradientPpm(18, 14, 91)).dhash
+    assert(a == b)
+    // malformed payloads refuse loudly
+    intercept[IllegalArgumentException](
+      Multimodal.dhashPpm(6L, "JUNK".getBytes ++ Multimodal.gradientPpm(18, 14, 1)))
+  }
+
   test("WAV chunk walk skips unknown chunks and rejects non-RIFF payloads") {
     // splice a junk chunk ("LIST", 12 bytes) between fmt and data — a
     // spec-conformant reader must skip it by its declared size, not
