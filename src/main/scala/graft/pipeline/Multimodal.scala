@@ -821,7 +821,55 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** C45 `d09_image_neardup`: IMAGE near-duplicate mining — m10's
+    * perceptual hashes composed with d03's band-bucketed hamming join
+    * (the standard production shape for image dedup at corpus scale;
+    * public technique). Scale design, in order: (1) docs collapse to
+    * DISTINCT hashes first (exact-dup clusters cost one groupBy —
+    * the candidate explosion inside identical-image classes never
+    * happens); (2) each 56-bit hash emits 4 bands of 14 bits, and only
+    * hashes sharing a band value meet in the equi-join (by pigeonhole,
+    * any pair within hamming ≤ 6 shares at least one of 4 bands when
+    * ≤3 bands are damaged — bits spread over 4 bands means hd ≤ 3
+    * guarantees a clean band; the 4-band/hd-6 pairing is the usual
+    * recall-oriented overshoot, verified exactly next); (3) candidates
+    * verify with one codegen'd `bit_count(xor)` — never an all-pairs
+    * scan over docs or hashes. Per doc: exact partners (same hash) and
+    * near-dup doc count (hashes within the threshold, weighted by
+    * their doc counts).
+    */
+  def d09ImageNearDup(s: SparkSession, dir: String, threshold: Int = 6,
+                      batchSize: Int = 64): DataFrame = {
+    import s.implicits._
+    val hashes = docs(s, dir).select(col("doc_id")).as[Long]
+      .map(id => Media(id, gradientPpm(18, 14, ((id % 50) * 13 % 256).toInt)))
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map(m =>
+        dhashPpm(m.doc_id, m.payload))))
+      .toDF()
+    val dist = hashes.groupBy("dhash").agg(count(lit(1)).as("n"))
+    val bands = dist.select(col("dhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bval",
+        expr("shiftright(dhash, CAST(band * 14 AS INT)) & 16383"))
+    val near = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.dhash") < col("b.dhash"))
+      .select(col("a.dhash").as("h1"), col("b.dhash").as("h2"))
+      .distinct()
+      .where(expr(s"bit_count(h1 ^ h2) <= $threshold"))
+    val sym = near.union(near.select(col("h2").as("h1"), col("h1").as("h2")))
+    val nn = sym.join(dist.withColumnRenamed("dhash", "h2"), "h2")
+      .groupBy(col("h1").as("dhash")).agg(sum("n").as("near_docs"))
+    hashes.join(dist, "dhash").join(nn, Seq("dhash"), "left")
+      .select(col("doc_id"),
+        (col("n") - 1L).cast("long").as("n_exact"),
+        coalesce(col("near_docs"), lit(0L)).cast("long").as("n_near"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d09_image_neardup" -> ((s, dir) => d09ImageNearDup(s, dir)),
     "m10_image_dhash" -> ((s, dir) => m10ImageDhash(s, dir)),
     "m09_audio_vad" -> ((s, dir) => m09AudioVad(s, dir)),
     "m08_scene_cut" -> ((s, dir) => m08SceneCut(s, dir)),
@@ -839,6 +887,32 @@ object Multimodal {
     * codecs for m02/m05, pure-Scala parsers for m03/m04).
     */
   val oracles: Map[String, String] = Map(
+    "d09_image_neardup" ->
+      """WITH g AS (
+        |  SELECT d.doc_id, y.y, x.x,
+        |    (((d.doc_id % 50) * 13) % 256 + 7 * (2*x.x) * (2*x.x) + 11 * (2 * y.y)) % 256 AS v0,
+        |    (((d.doc_id % 50) * 13) % 256 + 7 * (2*x.x+2) * (2*x.x+2) + 11 * (2 * y.y)) % 256 AS v1
+        |  FROM documents d,
+        |    UNNEST(generate_series(0, 6)) AS y(y),
+        |    UNNEST(generate_series(0, 7)) AS x(x)
+        |), h AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN v1 > v0 THEN CAST(1 AS BIGINT) << CAST(y * 8 + x AS INTEGER) ELSE 0 END) AS BIGINT) AS dhash
+        |  FROM g GROUP BY doc_id
+        |), dist AS (SELECT dhash, count(*) AS n FROM h GROUP BY dhash),
+        |bands AS (
+        |  SELECT dhash, b.b AS band, (dhash >> CAST(14*b.b AS INTEGER)) & 16383 AS bval
+        |  FROM dist, UNNEST(generate_series(0, 3)) AS b(b)
+        |), near AS (
+        |  SELECT DISTINCT a.dhash AS h1, c.dhash AS h2
+        |  FROM bands a JOIN bands c ON a.band = c.band AND a.bval = c.bval AND a.dhash < c.dhash
+        |  WHERE bit_count(xor(a.dhash, c.dhash)) <= 6
+        |), sym AS (SELECT h1, h2 FROM near UNION ALL SELECT h2, h1 FROM near),
+        |nn AS (SELECT s.h1 AS dhash, sum(d.n) AS near_docs FROM sym s JOIN dist d ON d.dhash = s.h2 GROUP BY s.h1)
+        |SELECT h.doc_id, CAST(d.n - 1 AS BIGINT) AS n_exact,
+        |  CAST(coalesce(nn.near_docs, 0) AS BIGINT) AS n_near
+        |FROM h JOIN dist d USING (dhash) LEFT JOIN nn USING (dhash)
+        |ORDER BY h.doc_id""".stripMargin,
     "m10_image_dhash" ->
       """WITH g AS (
         |  SELECT d.doc_id, y.y, x.x,
