@@ -2194,6 +2194,94 @@ class Snapshots(s: SparkSession, root: String) {
     })
   }
 
+  /** CDC APPLY — one atomic verb for a whole change batch: upsert
+    * `source` rows on `keyCols` AND delete `deadKeys`, in ONE
+    * span-pruned partial rewrite and ONE published version. The
+    * replication consumer's per-micro-batch verb: the separate
+    * [[mergeInto]] + [[deleteKeys]] pair costs two rewrites, two
+    * manifest publishes and two versions per batch — a standing
+    * replica halves its commit rate and version churn (and its own
+    * change-feed consumers' work) with the fused form, and a
+    * mid-batch reader can no longer observe the upserted-but-not-yet-
+    * deleted intermediate state.
+    *
+    * Cost model: the combined leading-key span of both sides bounds
+    * the touched files (every upsert key and every dead key lies
+    * inside it, so a pruned file provably holds no match of either
+    * kind and pass-through is globally correct); the rewrite is
+    * mergeInto's one full-outer join followed by deleteKeys' one
+    * broadcast anti-join over the touched rows — O(touched + batch).
+    * Semantics: upserts apply first, then deletes — a key in both
+    * ends DEAD (tombstone wins, matching CDC per-key last-state
+    * resolution). A non-empty source whose every leading key is null
+    * lands as an insert-only append (mergeInto's rule) before the
+    * deletes apply. Schema guard, generated columns and CHECK
+    * constraints are mergeInto's.
+    */
+  def applyChanges(table: String, source: DataFrame, deadKeys: DataFrame,
+                   keyCols: Seq[String], statsCols: Seq[String] = Nil): Long = {
+    require(keyCols.nonEmpty, "applyChanges requires at least one key column")
+    val headM = readManifest(currentVersion.getOrElse(
+      throw new IllegalStateException(s"no commits under $root")))
+    val baseRel = dataEntries(headM).getOrElse(table,
+      throw new NoSuchElementException(s"table '$table' not committed under $root"))
+    val src = applyGenerated(table, headM, source, "merge")
+    val existing = storedSchema(headM, table).getOrElse(writtenSchema(baseRel))
+    def sig(st: org.apache.spark.sql.types.StructType): Seq[(String, org.apache.spark.sql.types.DataType)] =
+      st.fields.map(f => (f.name, f.dataType)).toSeq
+    require(sig(src.schema) == sig(existing),
+      s"applyChanges source schema ${src.schema.simpleString} != table '$table' schema ${existing.simpleString}")
+    keyCols.foreach(k => require(existing.fieldNames.contains(k),
+      s"key '$k' not a column of table '$table'"))
+    val cols = existing.fieldNames.toSeq
+    val rest = cols.filterNot(keyCols.contains)
+    require(cols.forall(!_.startsWith("_mrg_")),
+      s"table '$table' columns collide with merge's reserved '_mrg_' prefix")
+    val lead = keyCols.head
+    val ks = deadKeys.select(keyCols.map(k => col(k).as(s"_del_$k")): _*).distinct()
+    // ONE scalar job over the union of both sides' leading keys yields
+    // the combined span plus per-side emptiness facts
+    val tagged = src.select(col(lead).as("_k"), lit(1).as("_side"))
+      .unionByName(ks.select(col(s"_del_$lead").as("_k"), lit(2).as("_side")))
+    val r = tagged.agg(min(col("_k")), max(col("_k")),
+      sum(when(col("_side") === 1, 1L).otherwise(0L)),
+      sum(when(col("_side") === 1 && col("_k").isNotNull, 1L).otherwise(0L)),
+      sum(when(col("_side") === 2 && col("_k").isNotNull, 1L).otherwise(0L))).head()
+    def cnt(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+    val (nUps, nUpsLead, nDead) = (cnt(2), cnt(3), cnt(4))
+    if (nUps == 0L && nDead == 0L) return currentVersion.get
+    if (nUps > 0L && nUpsLead == 0L) {
+      // degenerate: every upsert's leading key is null — insert-as-is
+      // (mergeInto's rule), then apply the deletes; two versions for
+      // this edge, one for the common path
+      append(table, source, statsCols = statsCols)
+      return if (nDead > 0L) deleteKeys(table, ks.toDF(keyCols: _*), keyCols, statsCols)
+      else currentVersion.get
+    }
+    val span = FileStats.ColRange(lead, Some(r.get(0)), Some(r.get(1)))
+    partialRewrite(table, Seq(span), statsCols, "merge", { touched =>
+      val merged =
+        if (nUps == 0L) touched
+        else {
+          val srcR = src.select(
+            keyCols.map(k => col(k).as(s"_mrg_key_$k")) ++
+              (lit(true).as("_mrg_hit") +: rest.map(c => col(c).as(s"_mrg_$c"))): _*)
+          val cond = keyCols.map(k => col(k) === col(s"_mrg_key_$k")).reduce(_ && _)
+          touched.join(srcR, cond, "full_outer")
+            .select(cols.map { c =>
+              if (keyCols.contains(c)) coalesce(col(c), col(s"_mrg_key_$c")).as(c)
+              else when(coalesce(col("_mrg_hit"), lit(false)), col(s"_mrg_$c"))
+                .otherwise(col(c)).as(c)
+            }: _*)
+        }
+      if (nDead == 0L) merged
+      else {
+        val dcond = keyCols.map(k => col(k) === col(s"_del_$k")).reduce(_ && _)
+        merged.join(broadcast(ks), dcond, "left_anti")
+      }
+    }, forceOnEmpty = nUps > 0L)
+  }
+
   /** O(batch) atomic APPEND: write `df` as a fresh directory and
     * publish a manifest whose `table` entry references the existing
     * paths PLUS the new dir — not one existing byte is read or

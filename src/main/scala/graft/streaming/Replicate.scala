@@ -75,13 +75,13 @@ object Replicate {
           if (!ups.isEmpty)
             dst.commit(Map(table -> ups), Map(table -> statsCols))
         } else {
-          // both verbs no-op on empty inputs, but each no-op still costs
-          // driver probes (distinct + span agg) and a manifest read —
-          // the cached `last` makes the emptiness checks nearly free,
-          // and the common steady states (append-only batch: no dead
-          // keys; pure-delete batch: no upserts) skip a verb entirely
-          if (!ups.isEmpty) dst.mergeInto(table, ups, keyCols, statsCols)
-          if (!dead.isEmpty) dst.deleteKeys(table, dead, keyCols, statsCols)
+          // ONE fused verb per micro-batch: upserts and dead keys land
+          // in a single span-pruned rewrite and a single published
+          // version ([[Snapshots.applyChanges]]) — half the commit
+          // rate and version churn of the mergeInto+deleteKeys pair,
+          // and no observable upserted-but-not-yet-deleted
+          // intermediate state for the replica's own readers
+          dst.applyChanges(table, ups, dead, keyCols, statsCols)
         }
       } finally { last.unpersist(); () }
     } finally { cached.unpersist(); () }

@@ -1826,6 +1826,52 @@ class TxnSpec extends AnyFunSuite {
     assert(snap.read("a").where(col("id") === 9L).head.getDouble(2) == 999.0)
   }
 
+  test("applyChanges: one version fuses upserts and deletes; tombstone wins on overlap") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txnac").toString + "/lake"
+    val snap = new Snapshots(sp, root)
+    snap.commit(Map("t" -> (1L to 20L).map(i => (i, i * 10L)).toDF("id", "v")
+      .repartitionByRange(4, col("id"))), Map("t" -> Seq("id")))
+    snap.cloneTable("t", "ref")
+    val v0 = snap.currentVersion.get
+
+    // fused batch: update id=3, insert id=99, delete ids 5,6 — ONE version
+    val ups = Seq((3L, 333L), (99L, 990L)).toDF("id", "v")
+    val dead = Seq(5L, 6L).toDF("id")
+    snap.applyChanges("t", ups, dead, Seq("id"), statsCols = Seq("id"))
+    assert(snap.currentVersion.get == v0 + 1, "fused apply must cost exactly one version")
+    // equals the sequential pair applied to the clone (two versions)
+    snap.mergeInto("ref", ups, "id", statsCols = Seq("id"))
+    snap.deleteKeys("ref", dead, "id", statsCols = Seq("id"))
+    def rows(t: String): Set[(Long, Long)] =
+      snap.read(t).as[(Long, Long)].collect().toSet
+    assert(rows("t") == rows("ref"))
+
+    // a key in BOTH sides ends dead (CDC tombstone-wins)
+    snap.applyChanges("t", Seq((7L, 777L)).toDF("id", "v"), Seq(7L).toDF("id"), Seq("id"), Seq("id"))
+    assert(!rows("t").exists(_._1 == 7L))
+    // degenerate sides reduce to the single verbs; both-empty is a no-op
+    val v1 = snap.currentVersion.get
+    snap.applyChanges("t", ups.limit(0), Seq(8L).toDF("id"), Seq("id"), Seq("id"))
+    assert(!rows("t").exists(_._1 == 8L))
+    snap.applyChanges("t", Seq((100L, 1000L)).toDF("id", "v"), Seq(0L).toDF("id").limit(0), Seq("id"), Seq("id"))
+    assert(rows("t").contains((100L, 1000L)))
+    val vNoop = snap.currentVersion.get
+    snap.applyChanges("t", ups.limit(0), dead.limit(0), Seq("id"), Seq("id"))
+    assert(snap.currentVersion.get == vNoop, "empty batch must publish nothing")
+    assert(v1 < vNoop)
+    // replay converges (row-level idempotence, the replication contract)
+    val before = rows("t")
+    snap.applyChanges("t", Seq((100L, 1000L)).toDF("id", "v"), Seq(8L).toDF("id"), Seq("id"), Seq("id"))
+    assert(rows("t") == before)
+    // CHECK constraints gate the fused verb like any write
+    snap.addCheck("t", "v_pos", "v > 0")
+    intercept[Snapshots.ConstraintViolationException] {
+      snap.applyChanges("t", Seq((101L, -1L)).toDF("id", "v"), dead.limit(0), Seq("id"), Seq("id"))
+    }
+  }
+
   test("tableDetail answers operational facts from the manifest alone") {
     val sp = spark
     import sp.implicits._
