@@ -627,27 +627,25 @@ object Relational {
     * absolute user counts, deterministic by construction.
     */
   def q48Funnel(s: SparkSession, dir: String): DataFrame = {
-    graft.sources.Catalog.register(s, dir)
-    s.sql(
-      """WITH v AS (
-        |  SELECT user_id, min(ts) AS t_view
-        |  FROM events WHERE event_type = 'view' GROUP BY user_id
-        |), c AS (
-        |  SELECT e.user_id, min(e.ts) AS t_click
-        |  FROM events e JOIN v ON e.user_id = v.user_id
-        |  WHERE e.event_type = 'click' AND e.ts > v.t_view
-        |  GROUP BY e.user_id
-        |), p AS (
-        |  SELECT e.user_id, min(e.ts) AS t_buy
-        |  FROM events e JOIN c ON e.user_id = c.user_id
-        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
-        |  GROUP BY e.user_id
-        |)
-        |SELECT step, users FROM (
-        |  SELECT CAST(1 AS BIGINT) AS step, CAST(count(*) AS BIGINT) AS users FROM v
-        |  UNION ALL SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT) FROM c
-        |  UNION ALL SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT) FROM p
-        |) ORDER BY step""".stripMargin)
+    // each step's per-user table feeds the NEXT step's join AND its own
+    // funnel count — persisted (they are per-user-small), so the event
+    // log is scanned exactly once per step, each scan a disjoint
+    // pushed-filter slice (event_type reaches the reader); an inlined
+    // CTE form re-derives step 1 three times
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val ev = t(s, dir, "events")
+    val v = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view")).persist(mem)
+    val c = ev.where(col("event_type") === "click")
+      .join(v, "user_id").where(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min("ts").as("t_click")).persist(mem)
+    val p = ev.where(col("event_type") === "purchase")
+      .join(c, "user_id").where(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min("ts").as("t_buy"))
+    def cnt(df: DataFrame, step: Int): DataFrame =
+      df.agg(count(lit(1)).cast("long").as("users"))
+        .select(lit(step.toLong).as("step"), col("users"))
+    cnt(v, 1).unionAll(cnt(c, 2)).unionAll(cnt(p, 3)).orderBy("step")
   }
 
   /** B44 `q49_retention`: cohort-retention analysis — users cohorted by

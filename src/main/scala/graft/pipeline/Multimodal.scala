@@ -809,11 +809,14 @@ object Multimodal {
     */
   def m10ImageDhash(s: SparkSession, dir: String, batchSize: Int = 64): DataFrame = {
     import s.implicits._
+    // hashes feed the partner count AND the final join — persist so
+    // the decode pass runs once (same rule as d09)
     val hashes = docs(s, dir).select(col("doc_id")).as[Long]
       .map(id => Media(id, gradientPpm(18, 14, ((id % 50) * 13 % 256).toInt)))
       .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map(m =>
         dhashPpm(m.doc_id, m.payload))))
       .toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val groups = hashes.groupBy("dhash").agg(count(lit(1)).as("n"))
     hashes.join(groups, "dhash")
       .select(col("doc_id"), col("dhash"),
@@ -841,12 +844,18 @@ object Multimodal {
   def d09ImageNearDup(s: SparkSession, dir: String, threshold: Int = 6,
                       batchSize: Int = 64): DataFrame = {
     import s.implicits._
+    // hashes feed the distinct-collapse AND the final per-doc join;
+    // dist feeds the band join (both sides) and the partner fold —
+    // persist both so the image DECODE pass runs once (the expensive
+    // leg at scale), and the hash table never recomputes
     val hashes = docs(s, dir).select(col("doc_id")).as[Long]
       .map(id => Media(id, gradientPpm(18, 14, ((id % 50) * 13 % 256).toInt)))
       .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map(m =>
         dhashPpm(m.doc_id, m.payload))))
       .toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dist = hashes.groupBy("dhash").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = dist.select(col("dhash"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("bval",

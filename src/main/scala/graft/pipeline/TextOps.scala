@@ -501,15 +501,21 @@ object TextOps {
     * highest per token).
     */
   def t20Dsir(s: SparkSession, dir: String): DataFrame = {
+    // feats feeds the bucket table AND the final per-doc fold — persist
+    // the (doc, bucket)-sized counts so the corpus tokenize pass runs
+    // ONCE, not once per consumer (the Dedup/Ann rule: materialize the
+    // small multi-consumer intermediate, never rescan the corpus)
     val feats = docs(s, dir)
       .select(col("doc_id"), col("lang"),
         explode(filter(split(lower(col("text")), "[^a-z0-9]+"), x => x =!= "")).as("term"))
       .withColumn("b", substring(md5(col("term")), 1, 2))
       .groupBy("doc_id", "lang", "b")
       .agg(count(lit(1)).as("c"))
-    val raw = feats.groupBy("b").agg(sum("c").as("r"))
-    val tgt = feats.where(col("lang") === "en").groupBy("b").agg(sum("c").as("tt"))
-    val buckets = raw.join(tgt, Seq("b"), "left").na.fill(0L, Seq("tt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // BOTH distributions from one pass over feats: raw = every doc,
+    // target = the in-domain slice, as a conditional sum
+    val buckets = feats.groupBy("b").agg(sum("c").as("r"),
+      sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("tt"))
     val tot = buckets.agg(sum("r").as("rtot"), sum("tt").as("ttot"))
     feats.join(broadcast(buckets), "b").crossJoin(broadcast(tot))
       .withColumn("contrib",
