@@ -40,7 +40,11 @@ object Soak {
     // round-8 additions: the new retrieval/mixture paths at 10× — t17's
     // postings-only shuffle and s09's top-100-per-leg fusion must stay
     // O(matching postings)/O(leg), and t18's corpus pass must stay linear
-    "t17_bm25", "s09_hybrid_rrf", "t18_domain_mix")
+    "t17_bm25", "s09_hybrid_rrf", "t18_domain_mix",
+    // fifth-wave additions: t19's window-hash explode is linear in
+    // corpus CHARS (the heaviest new scaling dimension) and d09's
+    // band-join candidate set must track distinct-hash count, not docs
+    "t19_substring_dedup", "d09_image_neardup")
 
   private final class MetricsListener extends SparkListener {
     val runMs = new AtomicLong; val gcMs = new AtomicLong; val tasks = new AtomicLong
