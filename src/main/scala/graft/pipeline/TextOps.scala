@@ -526,7 +526,58 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** C46 t21: EXACT-SUBSTRING SCRUB — t19's detection taken to the
+    * operation Lee et al. 2022 actually run: CUT the duplicated spans
+    * from non-owner docs (whole-doc dropping throws away the unique
+    * remainder; span surgery keeps it). Duplicated window positions
+    * merge into contiguous islands (stride-30 windows overlap or touch
+    * when gaps ≤ window length — classic gaps-and-islands over the
+    * position stream, one per-doc window sort) and each island cuts
+    * `last − first + W` chars. Scale shape: t19's linear window/hash
+    * passes plus ONE window function partitioned by doc — never a
+    * per-doc collect, never all-pairs; output is the scrub ledger
+    * (chars removed/kept per doc), which at 100 TB is what the
+    * downstream tokenizer budget actually consumes.
+    */
+  def t21SubstringScrub(s: SparkSession, dir: String): DataFrame = {
+    val W = 60
+    val S = 30
+    val wins = docs(s, dir)
+      .where(length(col("text")) >= W)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - lit(W - 1), lit(S))).as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5(col("text").substr(col("pos"), lit(W))).as("h"))
+    val own = wins.groupBy("h")
+      .agg(min("doc_id").as("owner"), countDistinct("doc_id").as("nd"))
+    val dup = wins.join(own, "h")
+      .where(col("nd") > 1 && col("doc_id") > col("owner"))
+      .select(col("doc_id"), col("pos"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val run = byDoc.rowsBetween(Long.MinValue, 0)
+    val per = dup
+      .withColumn("newisl",
+        when(col("pos") - lag("pos", 1).over(byDoc) <= W, 0L).otherwise(1L))
+      .withColumn("isl", sum("newisl").over(run))
+      .groupBy("doc_id", "isl")
+      .agg((max("pos") - min("pos") + W).as("cut"))
+      .groupBy("doc_id")
+      .agg(sum("cut").as("removed"), count(lit(1)).as("n_islands"))
+    docs(s, dir)
+      .where(length(col("text")) >= W)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("removed"), lit(0L)).cast("long").as("removed_chars"),
+        (col("n_chars") - coalesce(col("removed"), lit(0L))).cast("long").as("kept_chars"),
+        coalesce(col("n_islands"), lit(0L)).cast("long").as("n_islands"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t21_substring_scrub" -> t21SubstringScrub _,
     "t20_dsir" -> t20Dsir _,
     "t19_substring_dedup" -> t19SubstringDedup _,
     "t18_domain_mix" -> t18DomainMix _,
@@ -551,6 +602,39 @@ object TextOps {
     stops.map(s => s"'$s'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "t21_substring_scrub" ->
+      """WITH w AS (
+        |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, md5(substr(text, CAST(pos AS INTEGER), 60)) AS h
+        |  FROM documents, unnest(generate_series(1, len(text) - 59, 30)) AS t(pos)
+        |  WHERE len(text) >= 60
+        |), own AS (
+        |  SELECT h, min(doc_id) AS owner, count(DISTINCT doc_id) AS nd FROM w GROUP BY h
+        |), dup AS (
+        |  SELECT w.doc_id, w.pos FROM w JOIN own o USING (h)
+        |  WHERE o.nd > 1 AND w.doc_id > o.owner
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 60
+        |         THEN 0 ELSE 1 END AS newisl
+        |  FROM dup
+        |), grp AS (
+        |  SELECT doc_id, pos,
+        |    sum(newisl) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM isl
+        |), cuts AS (
+        |  SELECT doc_id, isl, max(pos) - min(pos) + 60 AS cut FROM grp GROUP BY 1, 2
+        |), per AS (
+        |  SELECT doc_id, CAST(sum(cut) AS BIGINT) AS removed, CAST(count(*) AS BIGINT) AS n_islands
+        |  FROM cuts GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_chars,
+        |  coalesce(p.removed, 0) AS removed_chars,
+        |  CAST(len(d.text) AS BIGINT) - coalesce(p.removed, 0) AS kept_chars,
+        |  coalesce(p.n_islands, 0) AS n_islands
+        |FROM documents d LEFT JOIN per p USING (doc_id)
+        |WHERE len(d.text) >= 60
+        |ORDER BY d.doc_id""".stripMargin,
     "t19_substring_dedup" ->
       """WITH w0 AS (
         |  SELECT doc_id, md5(substr(text, CAST(pos AS INTEGER), 60)) AS h
