@@ -142,6 +142,60 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Apply a trained merge table to one word, in training order — the
+    * standard BPE ENCODE step (each merge is the same left-to-right
+    * non-overlapping replacement the trainer used). Public so the
+    * distributed encoder's kernel and BpeSpec's reference check share
+    * one definition.
+    */
+  def applyMerges(word: String, merges: Seq[(String, String)]): List[String] = {
+    var syms = codePointSymbols(word)
+    merges.foreach { case (l, r) =>
+      def rep(s: List[String]): List[String] = s match {
+        case a :: b :: rest if a == l && b == r => (l + r) :: rep(rest)
+        case a :: rest => a :: rep(rest)
+        case Nil => Nil
+      }
+      syms = rep(syms)
+    }
+    syms
+  }
+
+  /** `t22_bpe_encode`: tokenize the corpus under the TRAINED merges —
+    * the apply half of BPE next to t15's train half (a corpus build
+    * reports its token budget in model tokens, not whitespace words).
+    * Scale shape — the vocabulary trick: the merge loop is inherently
+    * sequential PER WORD, so each DISTINCT word is encoded exactly
+    * once in a batched kernel with the k-entry merge table broadcast
+    * (O(vocab·k), never O(corpus·k)), and the corpus-sized side is one
+    * equi-join of per-(doc, word) counts against the encoded vocab
+    * followed by a per-doc fold. Rows-only key (the merge iteration is
+    * not ANSI-expressible — t15's rule); BpeSpec proves the kernel
+    * equals the in-memory reference encoder on every corpus word and
+    * pins the token-count invariants.
+    */
+  def t22BpeEncode(s: SparkSession, dir: String, k: Int = 15): DataFrame = {
+    import s.implicits._
+    val docWords = docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = docWords.groupBy("word").agg(sum("cnt").as("freq"))
+    val merges = train(vocab, k).map(m => (m._2, m._3))
+    val enc = vocab.select(col("word")).as[String]
+      .mapPartitions(_.map(w => (w, applyMerges(w, merges).length.toLong)))
+      .toDF("word", "n_toks")
+    docWords.join(enc, "word")
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).cast("long").as("n_words"),
+        sum(col("cnt") * col("n_toks")).cast("long").as("n_bpe_tokens"),
+        sum(col("cnt") * length(col("word"))).cast("long").as("n_chars"))
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+        round(col("n_chars") / col("n_bpe_tokens"), 4).as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
   /** `t15_bpe_train`: one corpus pass builds the word-frequency vocab
     * (whitespace tokens, lowercased), then 15 BPE merges train on it.
     * Output = the learned merge table in training order — rows-only
@@ -161,7 +215,8 @@ object Bpe {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] =
-    Map("t15_bpe_train" -> ((s, dir) => t15BpeTrain(s, dir)))
+    Map("t15_bpe_train" -> ((s, dir) => t15BpeTrain(s, dir)),
+      "t22_bpe_encode" -> ((s, dir) => t22BpeEncode(s, dir)))
 
   val oracles: Map[String, String] = Map.empty
 }

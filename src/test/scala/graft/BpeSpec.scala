@@ -100,4 +100,35 @@ class BpeSpec extends AnyFunSuite {
     val again = Bpe.t15BpeTrain(spark, TestSpark.sfTest, k = 6).collect()
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("t22 encode: distributed == in-memory reference on the real corpus; invariants hold") {
+    val k = 6
+    val out = Bpe.t22BpeEncode(spark, TestSpark.sfTest, k).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens"))).toMap
+    assert(out.nonEmpty)
+    // in-memory reference: same tokenization (single-space corpus),
+    // reference-trained merges, applyMerges per word occurrence
+    val docsRows = graft.pipeline.docs(spark, TestSpark.sfTest)
+      .select("doc_id", "text").collect()
+    val perDoc: Map[Long, Seq[String]] = docsRows.map(r =>
+      r.getLong(0) -> r.getString(1).split(" ", -1).toSeq.filter(_.nonEmpty)).toMap
+    val freqs = perDoc.values.flatten.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    val merges = Bpe.trainReference(freqs, k).map(m => (m._2, m._3))
+    val encLen: Map[String, Int] =
+      freqs.keys.map(w => w -> Bpe.applyMerges(w, merges).length).toMap
+    perDoc.foreach { case (id, ws) =>
+      val expect = (ws.size.toLong, ws.map(w => encLen(w).toLong).sum)
+      assert(out(id) == expect, s"doc $id: got ${out(id)} expect $expect")
+    }
+    // invariants: encoding is lossless per word (symbols concat back),
+    // and the trained merges genuinely compress (fewer tokens than
+    // chars overall — a no-op encoder would fail this)
+    freqs.keys.take(200).foreach { w =>
+      assert(Bpe.applyMerges(w, merges).mkString == w)
+    }
+    val totToks = out.values.map(_._2).sum
+    val totChars = perDoc.values.flatten.map(_.length.toLong).sum
+    assert(totToks < totChars, s"merges must compress: $totToks vs $totChars")
+  }
 }
