@@ -48,7 +48,7 @@ object Bench {
     "q46_arg_minmax", "t18_domain_mix", "s09_hybrid_rrf", "st09_replicate_jdbc",
     "q47_string_funcs", "q48_funnel", "q49_retention", "t19_substring_dedup", "t20_dsir",
     "q50_nested_prune", "m09_audio_vad", "m10_image_dhash", "d09_image_neardup", "t21_substring_scrub",
-    "t22_bpe_encode",
+    "t22_bpe_encode", "q51_setops_all",
     "q33_profile", "q34_histogram")
 
   /** Per-key task-metric sums, so a bench anomaly ships with its own

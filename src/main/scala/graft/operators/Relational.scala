@@ -314,7 +314,7 @@ object Relational {
       .orderBy("l_returnflag")
 
   /** B30: INTERSECT / EXCEPT — the remaining ANSI set operators (q11
-    * covers UNION). Customers ordering in both 1994 and 1995 vs only in
+    * covers UNION). Customers ordering in both 1996 and 1997 vs only in
     * 1994, tagged and unioned into one result. Spark plans both as hash
     * joins on the distinct key sets (left_semi / left_anti shapes after
     * `ReplaceIntersectWithSemiJoin` / `ReplaceExceptWithAntiJoin`), so
@@ -325,11 +325,36 @@ object Relational {
     def buyers(yr: Int) = t(s, dir, "orders")
       .where(year(col("o_orderdate")) === yr)
       .select(col("o_custkey"))
-    val both = buyers(1994).intersect(buyers(1995))
+    val both = buyers(1996).intersect(buyers(1997))
       .select(lit("both").as("tag"), col("o_custkey"))
-    val only94 = buyers(1994).except(buyers(1995))
-      .select(lit("only_1994").as("tag"), col("o_custkey"))
-    both.union(only94).orderBy("tag", "o_custkey")
+    val only96 = buyers(1996).except(buyers(1997))
+      .select(lit("only_1996").as("tag"), col("o_custkey"))
+    both.union(only96).orderBy("tag", "o_custkey")
+  }
+
+  /** B46 `q51_setops_all`: BAG-semantics set operations — INTERSECT ALL
+    * / EXCEPT ALL, the multiset half q35's DISTINCT forms leave open
+    * (an order-count reconciliation between two periods needs
+    * multiplicities: a customer with 3 orders in one year and 1 in the
+    * other survives EXCEPT ALL twice). Catalyst rewrites both to a
+    * grouped-count join (per key: min(n1,n2) copies for INTERSECT ALL,
+    * max(0, n1−n2) for EXCEPT ALL) then re-expands — the same single
+    * linear shuffle as the DISTINCT forms, never a sort-merge of raw
+    * bags. The final aggregate counts survivors per key so the oracle
+    * pins the MULTIPLICITY arithmetic, not just membership.
+    */
+  def q51SetOpsAll(s: SparkSession, dir: String): DataFrame = {
+    def buyers(yr: Int) = t(s, dir, "orders")
+      .where(year(col("o_orderdate")) === yr)
+      .select(col("o_custkey"))
+    val common = buyers(1996).intersectAll(buyers(1997))
+      .select(lit("common_min").as("tag"), col("o_custkey"))
+    val surplus96 = buyers(1996).exceptAll(buyers(1997))
+      .select(lit("surplus_1996").as("tag"), col("o_custkey"))
+    common.union(surplus96)
+      .groupBy("tag", "o_custkey")
+      .agg(count(lit(1)).as("copies"))
+      .orderBy("tag", "o_custkey")
   }
 
   /** B31: the remaining window-frame surface beyond B7's row frames —
@@ -677,6 +702,7 @@ object Relational {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg" -> q01Agg _,
     "q48_funnel" -> q48Funnel _,
+    "q51_setops_all" -> q51SetOpsAll _,
     "q49_retention" -> q49Retention _,
     "q47_string_funcs" -> q47StringFuncs _,
     "q46_arg_minmax" -> q46ArgMinMax _,
@@ -713,6 +739,19 @@ object Relational {
     "q24_pivot" -> q24Pivot _)
 
   val oracles: Map[String, String] = Map(
+    "q51_setops_all" ->
+      """WITH b94 AS (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |), b95 AS (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |), u AS (
+        |  SELECT 'common_min' AS tag, o_custkey FROM (SELECT o_custkey FROM b94 INTERSECT ALL SELECT o_custkey FROM b95)
+        |  UNION ALL
+        |  SELECT 'surplus_1996', o_custkey FROM (SELECT o_custkey FROM b94 EXCEPT ALL SELECT o_custkey FROM b95)
+        |)
+        |SELECT tag, o_custkey, CAST(count(*) AS BIGINT) AS copies
+        |FROM u GROUP BY tag, o_custkey
+        |ORDER BY tag, o_custkey""".stripMargin,
     "q48_funnel" ->
       """WITH v AS (
         |  SELECT user_id, min(ts) AS t_view
@@ -842,15 +881,15 @@ object Relational {
         |ORDER BY gid, status, priority""".stripMargin,
     "q35_setops" ->
       """SELECT 'both' AS tag, o_custkey FROM (
-        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
         |  INTERSECT
-        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
         |)
         |UNION ALL
-        |SELECT 'only_1994' AS tag, o_custkey FROM (
-        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+        |SELECT 'only_1996' AS tag, o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
         |  EXCEPT
-        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
         |)
         |ORDER BY tag, o_custkey""".stripMargin,
     "q36_window_frames" ->
