@@ -49,6 +49,8 @@ object Bench {
     "q47_string_funcs", "q48_funnel", "q49_retention", "t19_substring_dedup", "t20_dsir",
     "q50_nested_prune", "m09_audio_vad", "m10_image_dhash", "d09_image_neardup", "t21_substring_scrub",
     "t22_bpe_encode", "q51_setops_all",
+    "q52_unpivot", "q53_mode_median", "q54_cond_agg", "s10_ann_range", "t23_reservoir_sample",
+    "st10_stream_topk",
     "q33_profile", "q34_histogram")
 
   /** Per-key task-metric sums, so a bench anomaly ships with its own

@@ -699,9 +699,86 @@ object Relational {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   }
 
+  /** B47 `q52_unpivot`: UNPIVOT/melt — the inverse of q24's pivot,
+    * turning a wide per-group aggregate into long (group, measure,
+    * value) form (the shape every metrics store and plotting layer
+    * wants). Spark's native `unpivot` lowers to one Expand node — a
+    * single pass over the (already tiny) aggregate, no shuffle beyond
+    * the one the aggregate itself paid; at 100 TB the wide aggregate is
+    * |groups| rows, so the melt is free. The oracle recomputes the melt
+    * as UNION ALL arms (the ANSI-portable equivalent).
+    */
+  def q52Unpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"))
+    wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc_price")),
+        "measure", "value")
+      .orderBy("l_returnflag", "measure")
+  }
+
+  /** B48 `q53_mode_median`: exact MODE (deterministic: ties break to
+    * the smallest value) and exact MEDIAN per group. Mode is computed
+    * as the scalable two-phase shape — one linear groupBy(group, value)
+    * count shuffle, then an argmax over the per-group count table (tiny:
+    * |distinct values| rows) — never a sort of the raw data; built-in
+    * `mode()` is avoided because its tie choice is unspecified in BOTH
+    * engines, and an oracle must pin semantics, not luck. Median is the
+    * engine-native exact percentile_cont(0.5) (Spark `median` == DuckDB
+    * `median` interpolation); at 100 TB the sketch twin is q28.
+    */
+  def q53ModeMedian(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val counts = li.groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+    // deterministic argmax over the tiny count table: full (cnt desc,
+    // value asc) ordering on EXACT values — no rounding, no tie luck
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("cnt").desc, col("l_quantity").asc)
+    val mode = counts
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"))
+    val med = li.groupBy(col("l_returnflag"))
+      .agg(round(expr("median(l_quantity)"), 4).as("median_qty"),
+        count(lit(1)).as("n"))
+    mode.join(med, "l_returnflag")
+      .select(col("l_returnflag"), col("mode_qty"), col("median_qty"), col("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** B49 `q54_cond_agg`: the conditional-aggregate matrix — count_if,
+    * bool_and/bool_or, FILTERed sums (as CASE arms, the portable form),
+    * and a null-aware conditional average. All partial-aggregatable
+    * codegen expressions: one linear shuffle carrying one row per
+    * group per task, the q01 scale shape with predicates folded into
+    * the aggregate instead of a pre-filter (each arm sees a different
+    * slice, so a WHERE cannot express them).
+    */
+  def q54CondAgg(s: SparkSession, dir: String): DataFrame = {
+    graft.sources.Catalog.register(s, dir)
+    s.sql(
+      """SELECT o_orderpriority,
+        |  count_if(o_totalprice > 250000) AS n_big,
+        |  bool_and(o_totalprice > 0) AS all_positive,
+        |  bool_or(o_orderstatus = 'F') AS any_finished,
+        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS open_value,
+        |  round(avg(CASE WHEN year(o_orderdate) = 1997 THEN o_totalprice END), 4) AS avg_1997,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg" -> q01Agg _,
     "q48_funnel" -> q48Funnel _,
+    "q52_unpivot" -> q52Unpivot _,
+    "q53_mode_median" -> q53ModeMedian _,
+    "q54_cond_agg" -> q54CondAgg _,
     "q51_setops_all" -> q51SetOpsAll _,
     "q49_retention" -> q49Retention _,
     "q47_string_funcs" -> q47StringFuncs _,
@@ -739,6 +816,45 @@ object Relational {
     "q24_pivot" -> q24Pivot _)
 
   val oracles: Map[String, String] = Map(
+    "q52_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    round(sum(l_extendedprice), 2) AS sum_price,
+        |    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, measure, value FROM (
+        |  SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+        |  UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM wide
+        |  UNION ALL SELECT l_returnflag, 'sum_disc_price', sum_disc_price FROM wide
+        |) ORDER BY l_returnflag, measure""".stripMargin,
+    "q53_mode_median" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_quantity, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2
+        |), m AS (
+        |  SELECT l_returnflag, l_quantity AS mode_qty,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY cnt DESC, l_quantity ASC) AS rn
+        |  FROM c
+        |), med AS (
+        |  SELECT l_returnflag, round(median(l_quantity), 4) AS median_qty,
+        |    count(*) AS n
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT m.l_returnflag, m.mode_qty, med.median_qty, med.n
+        |FROM m JOIN med ON m.l_returnflag = med.l_returnflag
+        |WHERE m.rn = 1 ORDER BY m.l_returnflag""".stripMargin,
+    "q54_cond_agg" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_totalprice > 250000) AS n_big,
+        |  bool_and(o_totalprice > 0) AS all_positive,
+        |  bool_or(o_orderstatus = 'F') AS any_finished,
+        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS open_value,
+        |  round(avg(CASE WHEN year(o_orderdate) = 1997 THEN o_totalprice END), 4) AS avg_1997,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q51_setops_all" ->
       """WITH b94 AS (
         |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996

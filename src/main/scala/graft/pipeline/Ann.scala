@@ -63,6 +63,31 @@ object Ann {
   def s01AnnBruteforce(s: SparkSession, dir: String): DataFrame =
     annExactOn(emb(s, dir))
 
+  /** C48 `s10_ann_range`: RANGE (radius) search — every neighbor with
+    * cosine ≥ θ, the other standing vector-store verb next to top-k
+    * (dedup-threshold mining, "all matches above 0.8" retrieval). The
+    * shape is CHEAPER than s01 at scale: the threshold is a plain
+    * filter on the scored scan, so there is no rank window and no
+    * shuffle at all — queries broadcast, the corpus streams through
+    * codegen cosine + filter, and survivors exit. Result size is
+    * data-dependent (unlike top-k's k·|queries| bound); at 100 TB a θ
+    * chosen too low is a result-size problem, not a plan problem. On
+    * the ANN paths the same threshold prunes inside the bucket scan.
+    */
+  def s10AnnRange(s: SparkSession, dir: String, theta: Double = 0.3,
+                  nQueries: Int = NQueries): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.where(col("vec_id") < nQueries).select(
+      col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    e.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("q_id"))
+      .withColumn("cos", cosine_sim(col("embedding"), col("q_vec")))
+      .where(col("cos") >= theta)
+      .select(col("q_id"), col("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy("q_id", "neighbor_id")
+  }
+
   /** C35 `s08_ann_filtered`: FILTERED vector search — top-k neighbors
     * subject to a metadata predicate, the query shape every production
     * vector store serves ("nearest docs WHERE lang = …"). This is the
@@ -694,12 +719,23 @@ object Ann {
     "s06_ann_ivfpq" -> s06AnnIvfPq _,
     "s07_ann_index_append" -> s07AnnIndexAppend _,
     "s08_ann_filtered" -> ((s, dir) => s08AnnFiltered(s, dir)),
-    "s09_hybrid_rrf" -> ((s, dir) => s09HybridRrf(s, dir)))
+    "s09_hybrid_rrf" -> ((s, dir) => s09HybridRrf(s, dir)),
+    "s10_ann_range" -> ((s, dir) => s10AnnRange(s, dir)))
 
   /** s02 is rows-only: its result depends on the LSH bucketing, which is
     * not SQL-expressible; AnnSpec holds its recall gate.
     */
   val oracles: Map[String, String] = Map(
+    "s10_ann_range" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10
+        |)
+        |SELECT q_id, vec_id AS neighbor_id,
+        |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(q_vec AS DOUBLE[])), 6) AS cos_sim
+        |FROM embeddings, q
+        |WHERE vec_id <> q_id
+        |  AND list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(q_vec AS DOUBLE[])) >= 0.3
+        |ORDER BY q_id, neighbor_id""".stripMargin,
     "s09_hybrid_rrf" ->
       """WITH corpus AS (
         |  SELECT d.doc_id, d.text, e.embedding

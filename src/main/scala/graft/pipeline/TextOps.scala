@@ -172,6 +172,28 @@ object TextOps {
       .select(col("doc_id"), col("lang"))
       .orderBy("doc_id")
 
+  /** C49 `t23_reservoir_sample`: fixed-size uniform sample PER GROUP —
+    * "give me exactly k docs per language" (eval-set carving, per-domain
+    * inspection pulls). Classic reservoir sampling is sequential; the
+    * distributed re-expression is hash-rank top-k: rank = md5(doc_id)
+    * is uniform and independent of the data, so the k smallest ranks
+    * per group ARE a uniform k-sample — and the selection is
+    * DETERMINISTIC (reproducible across runs, retries, and engines —
+    * what data lineage needs, and what `TABLESAMPLE`/rand() cannot
+    * give). Executes on the bounded-heap TopKPerGroup operator: one
+    * linear shuffle of (group, rank) rows, heaps of size k per group,
+    * never a per-group sort. The same rank column makes the sample
+    * STABLE under corpus growth: a doc stays sampled until k better
+    * ranks arrive, so incremental re-runs churn minimally.
+    */
+  def t23ReservoirSample(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val ranked = docs(s, dir).select(col("lang"), col("doc_id"),
+      md5(col("doc_id").cast("string").cast("binary")).as("rk"))
+    graft.plans.TopK.perGroup(ranked, Seq("lang"), Seq(("rk", true)), k)
+      .select(col("lang"), col("doc_id"))
+      .orderBy("lang", "doc_id")
+  }
+
   /** C17: top document-frequency n-grams per language — the
     * boilerplate/vocabulary probe a dedup pass runs first (d04's df
     * cap wants exactly this distribution). Dogfoods the custom
@@ -596,7 +618,8 @@ object TextOps {
     "t05_train_split" -> t05TrainSplit _,
     "t06_pack" -> ((s, dir) => t06Pack(s, dir)),
     "t07_stratified_sample" -> t07StratifiedSample _,
-    "t08_top_ngrams" -> ((s, dir) => t08TopNgrams(s, dir)))
+    "t08_top_ngrams" -> ((s, dir) => t08TopNgrams(s, dir)),
+    "t23_reservoir_sample" -> ((s, dir) => t23ReservoirSample(s, dir)))
 
   private def listLit(stops: Seq[String]): String =
     stops.map(s => s"'$s'").mkString("[", ", ", "]")
@@ -865,6 +888,13 @@ object TextOps {
         |SELECT source, doc_id, n_tokens,
         |  CAST(floor((cum_tokens - n_tokens) / 512) AS BIGINT) AS pack_id
         |FROM t ORDER BY source, doc_id""".stripMargin,
+    "t23_reservoir_sample" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents
+        |) WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
     "t07_stratified_sample" ->
       """SELECT doc_id, lang
         |FROM (SELECT doc_id, lang,

@@ -320,8 +320,68 @@ object EventStreams {
       .toDF()
   }
 
+  case class TEv(event_type: String, event_id: Long, value: Double)
+  case class TopState(ver: Long, values: List[Double], ids: List[Long])
+  case class TopEmit(event_type: String, ver: Long, rank: Long, event_id: Long, value: Double)
+
+  /** D16 `st10_stream_topk`: STREAMING per-group top-k — a standing
+    * leaderboard ("top events by value per type") maintained
+    * incrementally. This is the streaming twin of the B25 bounded-heap
+    * operator (plans/TopKPerGroup): state is O(k) per group — the
+    * current top-k list, never the history — and each micro-batch folds
+    * its rows into the heap and re-emits the group's current top-k in
+    * Update mode tagged with a per-group version (consumers take the
+    * max-ver emission; a group untouched by a batch emits nothing).
+    * Order is pinned (value desc, event_id asc) so ties can't make the
+    * board nondeterministic. Runs unchanged on a batch Dataset (single
+    * invocation per group = the final board), which is what the DuckDB
+    * oracle checks.
+    */
+  def streamingTopK(evs: Dataset[TEv], k: Int = 5): Dataset[TopEmit] = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.event_type)
+      .flatMapGroupsWithState[TopState, TopEmit](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (typ: String, it: Iterator[TEv], state: GroupState[TopState]) =>
+          val prev = state.getOption.getOrElse(TopState(0L, Nil, Nil))
+          // fold the batch into the bounded board: merge + resort is
+          // O((k + batch) log(k + batch)) per group per batch — batch
+          // rows are the micro-batch's, never the stream's history
+          val merged = (prev.values.zip(prev.ids).iterator ++ it.map(e => (e.value, e.event_id)))
+            .toArray.sortBy { case (v, id) => (-v, id) }.take(k)
+          val next = TopState(prev.ver + 1L, merged.map(_._1).toList, merged.map(_._2).toList)
+          state.update(next)
+          merged.iterator.zipWithIndex.map { case ((v, id), i) =>
+            TopEmit(typ, next.ver, i + 1L, id, v)
+          }
+      }
+  }
+
+  /** Batch twin of [[streamingTopK]] — the oracle-checked form. */
+  def st10StreamTopk(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val evs = events(s, dir)
+      .select(col("event_type"), col("event_id"), col("value")).as[TEv]
+    streamingTopK(evs, k)
+      .select(col("event_type"), col("rank"), col("event_id"),
+        round(col("value"), 2).as("value"))
+      .orderBy("event_type", "rank")
+  }
+
+  /** The genuinely-streaming form over the events parquet (StreamingSpec
+    * proves its final board equals the batch twin).
+    */
+  def topkStream(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val evs = s.readStream.schema(schema).parquet(s"$dir/events*.parquet")
+      .select(col("event_type"), col("event_id"), col("value")).as[TEv]
+    streamingTopK(evs, k).toDF()
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] =
     Map("st01_stream_window" -> st01StreamWindow _,
+      "st10_stream_topk" -> ((s, dir) => st10StreamTopk(s, dir)),
       "st02_stream_join" -> st02StreamJoin _,
       "st03_stream_dedup" -> st03StreamDedup _,
       "st04_stream_enrich" -> st04StreamEnrich _,
@@ -329,6 +389,15 @@ object EventStreams {
       "st06_session_window" -> st06SessionWindow _)
 
   val oracles: Map[String, String] = Map(
+    "st10_stream_topk" ->
+      """WITH r AS (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value DESC, event_id) AS rank
+        |  FROM events
+        |)
+        |SELECT event_type, rank, event_id, round(value, 2) AS value
+        |FROM r WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin,
     "st06_session_window" ->
       """WITH e AS (
         |  SELECT user_id, value, epoch_ms(ts) AS ts_ms FROM events

@@ -978,6 +978,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming top-k: state survives batches, displaced items leave the board") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.EventStreams.{TEv, TopEmit}
+    val input = MemoryStream[TEv]
+    val board = EventStreams.streamingTopK(input.toDS(), k = 2)
+    val q = board.writeStream.format("memory").queryName("topk_test")
+      .outputMode(OutputMode.Update).start()
+    def latest(): Map[(String, Long), Long] = {
+      val rows = spark.table("topk_test").as[TopEmit].collect()
+      val vmax = rows.groupBy(_.event_type).view.mapValues(_.map(_.ver).max).toMap
+      rows.filter(e => e.ver == vmax(e.event_type))
+        .map(e => (e.event_type, e.rank) -> e.event_id).toMap
+    }
+    try {
+      input.addData(TEv("a", 1L, 5.0), TEv("a", 2L, 3.0), TEv("b", 3L, 1.0))
+      q.processAllAvailable()
+      assert(latest() == Map(("a", 1L) -> 1L, ("a", 2L) -> 2L, ("b", 1L) -> 3L))
+
+      // batch 2: a new leader displaces event 2 from a's k=2 board;
+      // b's board is untouched (no emission, old ver stays latest)
+      input.addData(TEv("a", 4L, 9.0))
+      q.processAllAvailable()
+      assert(latest() == Map(("a", 1L) -> 4L, ("a", 2L) -> 1L, ("b", 1L) -> 3L),
+        "displacement must evict the weakest row, not grow the board")
+
+      // tie on value breaks to the smaller event_id
+      input.addData(TEv("b", 5L, 1.0))
+      q.processAllAvailable()
+      assert(latest()(("b", 1L)) == 3L && latest()(("b", 2L)) == 5L)
+    } finally q.stop()
+  }
+
+  test("streaming top-k over the events stream: final board equals the batch twin") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.streaming.EventStreams.TopEmit
+    val q = EventStreams.topkStream(spark, TestSpark.sfTest)
+      .writeStream.format("memory").queryName("topk_stream_test")
+      .outputMode(OutputMode.Update).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("topk_stream_test").as[TopEmit].collect()
+      val vmax = rows.groupBy(_.event_type).view.mapValues(_.map(_.ver).max).toMap
+      val streamed = rows.filter(e => e.ver == vmax(e.event_type))
+        .map(e => (e.event_type, e.rank, e.event_id, math.round(e.value * 100) / 100.0))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val batch = EventStreams.st10StreamTopk(spark, TestSpark.sfTest)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      assert(streamed == batch,
+        s"final streaming board must equal the batch twin")
+    } finally q.stop()
+  }
+
   test("batch sessionizer agrees with the declarative q19 formulation") {
     import org.apache.spark.sql.functions._
     val stateful = EventStreams.sessionizeStateful(spark, TestSpark.sfTest)
