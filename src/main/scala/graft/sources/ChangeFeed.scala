@@ -360,9 +360,16 @@ private[sources] class ChangeFeedStream(root: String, table: String,
     * compaction runs. `refuseDeletionVectors` restores the old loud
     * refusal for consumers that must never see a positional delta.
     */
+  // the span end of the batch being planned: createReaderFactory (called
+  // after planInputPartitions for the same micro-batch) resolves column-
+  // mapping names at THIS version — valid span-wide because the walk
+  // refuses mapping-change boundaries
+  @volatile private var lastPlannedEnd: Option[Long] = None
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[VersionOffset].v
     val hi = end.asInstanceOf[VersionOffset].v
+    lastPlannedEnd = Some(hi)
     val s = snap
     val slices = scala.collection.mutable.ArrayBuffer.empty[ChangeSlice]
     // the lo cursor state is resolved LAZILY: a span whose versions
@@ -384,6 +391,22 @@ private[sources] class ChangeFeedStream(root: String, table: String,
           s"version $v of '$table' carries a deletion vector and this stream set " +
             "refuseDeletionVectors — drop the option to consume positional deletes, " +
             "or restart from a checkpoint past a compaction of the table")
+      // COLUMN-MAPPING boundary: a rename/drop (or the compact that
+      // materializes one) changes the name resolution mid-stream — a
+      // fixed-schema streaming query cannot re-label itself, so refuse
+      // at the first DATA version under a mapping that differs from
+      // the cursor's (the Delta CDF rule for column-mapping schema
+      // changes, public design). Batch readChanges handles each side.
+      if (s.tableTouchedAt(table, v)) {
+        val cmPrev = if (cursorAt == 0L) None else s.colmapLineOf(table, cursorAt)
+        val cmCur = s.colmapLineOf(table, v)
+        if (cursorAt != 0L && cmCur != cmPrev)
+          throw new IllegalStateException(
+            s"version $v of '$table' changes the table's column mapping " +
+              "(rename/drop, or a compaction that materialized one) — a standing " +
+              "stream cannot re-label its schema; restart the stream with a new " +
+              s"checkpoint at startingVersion $v or later")
+      }
       if (!s.tableTouchedAt(table, v)) { v += 1 }
       else {
       materializeCursor()
@@ -444,8 +467,19 @@ private[sources] class ChangeFeedStream(root: String, table: String,
     // pruned schema allows). dataSchema is the PRUNED subset:
     // unselected columns never leave the parquet footer.
     ChangeFeed.lastPlannedSchema = fullSchema // spec hook: what pruning left
+    // under a COLUMN MAPPING the files carry physical names: read with
+    // the physical schema in the LOGICAL order — InternalRows are
+    // positional, so the logical output layout falls out for free.
+    // (Physical names are rename-stable, so the head resolution is
+    // valid for every version the walk admits — the mapping-change
+    // guard in planInputPartitions refuses the rest.)
+    val readDataSchema = lastPlannedEnd.orElse(snap.currentVersion) match {
+      case Some(h) if h >= 1L => StructType(dataSchema.fields.map(f =>
+        f.copy(name = snap.physicalNameAt(table, h, f.name))))
+      case _ => dataSchema
+    }
     val readFile = org.apache.spark.sql.GraftReadShim.parquetRowReader(
-      spark, dataSchema, tryBatch = true)
+      spark, readDataSchema, tryBatch = true)
     val readDv = org.apache.spark.sql.GraftReadShim.parquetRowReader(
       spark, ChangeFeedReaderFactory.DvSchema)
     new ChangeFeedReaderFactory(readFile, readDv, fullSchema)

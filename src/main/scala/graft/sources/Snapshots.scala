@@ -539,18 +539,244 @@ class Snapshots(s: SparkSession, root: String) {
     * refused (update its inputs instead) — the Delta contract.
     */
   private val GenSuffix = "@gen"
+
+  /** COLUMN MAPPING (the Delta column-mapping idea, public design):
+    * `<table>@colmap=<logical>:<physical>;…` — an ORDERED list of the
+    * table's visible columns, each naming the PHYSICAL column that
+    * holds it in the parquet files. Present only after a RENAME or
+    * DROP COLUMN; absent = identity (physical names are the view).
+    *
+    * The rule that makes both verbs METADATA-ONLY at any table size:
+    * files always keep their physical names ([[SchemaSuffix]] stays
+    * physical, stats/bloom sidecars stay physical, deletion vectors
+    * are positional), and the mapping is applied at exactly two seams
+    * — physical→logical after every scan ([[toLogical]]), logical→
+    * physical before every write ([[toPhysical]]) — so everything in
+    * between (DML transforms, CHECK/generated expressions, incoming
+    * batches) speaks logical names only. RENAME re-labels a physical
+    * column; DROP removes it from the view while old versions still
+    * time-travel to it; a column RE-ADDED after a drop gets a FRESH
+    * physical name, so dropped data can never silently resurrect
+    * (the Delta re-add contract). [[compact]] is the materialize
+    * step: it rewrites files under the logical names and clears the
+    * line (also physically shedding dropped-column bytes).
+    */
+  private val ColmapSuffix = "@colmap"
   private def isTagEntry(key: String): Boolean = key.endsWith(TagsSuffix)
   private def isMetaEntry(key: String): Boolean =
     key.endsWith(TagsSuffix) || key.endsWith(SchemaSuffix) ||
       key.endsWith(FilesSuffix) || key.endsWith(MaintSuffix) ||
       key.endsWith(DvSuffix) || key.endsWith(CheckSuffix) ||
-      key.endsWith(GenSuffix)
+      key.endsWith(GenSuffix) || key.endsWith(ColmapSuffix)
+
+  private def encodeColmap(pairs: Seq[(String, String)]): String =
+    pairs.map { case (l, p) =>
+      java.net.URLEncoder.encode(l, "UTF-8") + ":" +
+        java.net.URLEncoder.encode(p, "UTF-8")
+    }.mkString(";")
+
+  private def decodeColmap(v: String): Seq[(String, String)] =
+    v.split(";").filter(_.nonEmpty).toSeq.map { kv =>
+      val i = kv.indexOf(':')
+      (java.net.URLDecoder.decode(kv.substring(0, i), "UTF-8"),
+        java.net.URLDecoder.decode(kv.substring(i + 1), "UTF-8"))
+    }
+
+  private def colmapOf(m: Map[String, String], table: String): Option[Seq[(String, String)]] =
+    m.get(table + ColmapSuffix).map(decodeColmap)
+
+  /** The table's visible (logical→physical) column mapping at `version`
+    * — None means identity. Metadata like [[checks]]: it time-travels,
+    * clones and restores with the table.
+    */
+  def columnMapping(table: String, version: Option[Long] = None): Option[Seq[(String, String)]] = {
+    val v = version.orElse(currentVersion).getOrElse(
+      throw new IllegalStateException(s"no commits under $root"))
+    colmapOf(readManifest(v), table)
+  }
+
+  /** physical→logical: project the scan into the visible view (order,
+    * names, and column set of the mapping). Identity when unmapped.
+    */
+  private def toLogical(m: Map[String, String], table: String, df: DataFrame): DataFrame =
+    colmapOf(m, table) match {
+      case None => df
+      case Some(pairs) => df.select(pairs.map { case (l, p) => df(p).as(l) }: _*)
+    }
+
+  /** logical→physical: rename a logical-named batch into the file
+    * names. Columns the mapping doesn't know pass through unchanged
+    * (mergeSchema's new columns — the caller extends the mapping).
+    */
+  private def toPhysical(m: Map[String, String], table: String, df: DataFrame): DataFrame =
+    colmapOf(m, table) match {
+      case None => df
+      case Some(pairs) =>
+        val byLogical = pairs.toMap
+        df.select(df.columns.map(c => byLogical.get(c) match {
+          case Some(p) => df(c).as(p)
+          case None => df(c)
+        }): _*)
+    }
+
+  /** Logical name → physical name for column arguments (stats ranges,
+    * key columns, aggStats columns). Loud on a name the view doesn't
+    * have — a silently-untranslated name would prune with the wrong
+    * sidecar entry.
+    */
+  private def physicalName(m: Map[String, String], table: String, logical: String): String =
+    colmapOf(m, table) match {
+      case None => logical
+      case Some(pairs) => pairs.collectFirst { case (l, p) if l == logical => p }
+        .getOrElse(throw new NoSuchElementException(
+          s"column '$logical' is not in table '$table''s visible columns " +
+            s"(${pairs.map(_._1).mkString(", ")})"))
+    }
+
+  private def physicalRanges(m: Map[String, String], table: String,
+                             ranges: Seq[FileStats.ColRange]): Seq[FileStats.ColRange] =
+    ranges.map(r => r.copy(col = physicalName(m, table, r.col)))
+
+  /** The table's VISIBLE schema at manifest `m`: the physical stored
+    * schema with the column mapping applied (order, names, subset).
+    * None when no schema line exists (pre-metadata manifests — those
+    * predate column mapping, so identity).
+    */
+  private def logicalSchema(m: Map[String, String], table: String): Option[org.apache.spark.sql.types.StructType] =
+    storedSchema(m, table).map { phys =>
+      colmapOf(m, table) match {
+        case None => phys
+        case Some(pairs) =>
+          val byName = phys.fields.map(f => f.name -> f).toMap
+          org.apache.spark.sql.types.StructType(pairs.map { case (l, p) =>
+            byName.getOrElse(p, throw new IllegalStateException(
+              s"column mapping of '$table' names physical column '$p' " +
+                s"absent from the stored schema ${phys.simpleString}"))
+              .copy(name = l)
+          })
+      }
+    }
+
+  /** Every declared CHECK and generated-column expression of `table`
+    * must still resolve against the post-change visible schema —
+    * renaming or dropping a column out from under a standing guard
+    * would turn enforcement into a runtime error on the next write
+    * (Delta refuses the same way). Validation = analyze the expression
+    * against an empty frame with the candidate schema.
+    */
+  private def requireExprsResolve(table: String, m: Map[String, String],
+                                  candidate: org.apache.spark.sql.types.StructType,
+                                  verb: String): Unit = {
+    val empty = s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], candidate)
+    val guards =
+      decodeChecks(m.get(table + CheckSuffix)).map { case (n, e) => (s"CHECK '$n'", e) } ++
+        decodeChecks(m.get(table + GenSuffix)).map { case (c, e) => (s"generated column '$c'", e) }
+    guards.foreach { case (what, e) =>
+      try empty.select(expr(e)).queryExecution.analyzed
+      catch { case ex: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"$verb on table '$table' would break $what ($e): ${ex.getMessage} — " +
+            "drop the guard first or keep the column")
+      }
+    }
+  }
+
+  /** RENAME COLUMN — metadata-only at any table size: one manifest
+    * line re-labels the physical column; zero data IO. The new name is
+    * immediately the only visible one (reads, incoming batches, DML
+    * predicates); old versions time-travel to the old name.
+    */
+  def renameColumn(table: String, from: String, to: String): Long = {
+    require(!to.contains("\n") && to.nonEmpty, s"invalid column name '$to'")
+    var attempt = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no commits under $root")) + 1
+    for (_ <- 1 to MaxAttempts) {
+      val cur = readManifest(currentVersion.get)
+      require(dataEntries(cur).contains(table),
+        s"table '$table' not committed under $root")
+      val pairs = colmapOf(cur, table).getOrElse {
+        val st = storedSchema(cur, table).getOrElse(throw new IllegalStateException(
+          s"table '$table' has no checkpointed schema — " +
+            "column mapping needs the @schema line (append once to upgrade)"))
+        st.fields.toSeq.map(f => f.name -> f.name)
+      }
+      require(pairs.exists(_._1 == from),
+        s"no column '$from' in table '$table' (visible: ${pairs.map(_._1).mkString(", ")})")
+      require(!pairs.exists(_._1 == to),
+        s"column '$to' already exists in table '$table'")
+      val next = pairs.map { case (l, p) => if (l == from) (to, p) else (l, p) }
+      val candidate = {
+        val m1 = cur + ((table + ColmapSuffix) -> encodeColmap(next))
+        logicalSchema(m1, table).get
+      }
+      requireExprsResolve(table, cur, candidate, s"renameColumn($from -> $to)")
+      val line = (table + ColmapSuffix) -> encodeColmap(next)
+      if (writeManifest(attempt, cur + line)) return attempt
+      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
+    }
+    throw new IllegalStateException(
+      s"renameColumn lost $MaxAttempts consecutive version races under $root")
+  }
+
+  /** DROP COLUMN — metadata-only: the column leaves the view; its
+    * bytes stay in the files (old versions time-travel to them) until
+    * a [[compact]] materializes the view and sheds them. Re-adding the
+    * same name later (mergeSchema) allocates a FRESH physical column —
+    * the dropped data never resurrects.
+    */
+  def dropColumn(table: String, colName: String): Long = {
+    var attempt = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no commits under $root")) + 1
+    for (_ <- 1 to MaxAttempts) {
+      val cur = readManifest(currentVersion.get)
+      require(dataEntries(cur).contains(table),
+        s"table '$table' not committed under $root")
+      val pairs = colmapOf(cur, table).getOrElse {
+        val st = storedSchema(cur, table).getOrElse(throw new IllegalStateException(
+          s"table '$table' has no checkpointed schema — " +
+            "column mapping needs the @schema line (append once to upgrade)"))
+        st.fields.toSeq.map(f => f.name -> f.name)
+      }
+      require(pairs.exists(_._1 == colName),
+        s"no column '$colName' in table '$table' (visible: ${pairs.map(_._1).mkString(", ")})")
+      val next = pairs.filterNot(_._1 == colName)
+      require(next.nonEmpty, s"cannot drop the last visible column of '$table'")
+      val candidate = {
+        val m1 = cur + ((table + ColmapSuffix) -> encodeColmap(next))
+        logicalSchema(m1, table).get
+      }
+      requireExprsResolve(table, cur, candidate, s"dropColumn($colName)")
+      val line = (table + ColmapSuffix) -> encodeColmap(next)
+      if (writeManifest(attempt, cur + line)) return attempt
+      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
+    }
+    throw new IllegalStateException(
+      s"dropColumn lost $MaxAttempts consecutive version races under $root")
+  }
   private def dvEntries(m: Map[String, String]): Map[String, String] =
     m.filter { case (k, _) => k.endsWith(DvSuffix) }
 
   /** True iff `table` carries a deletion vector at version `v`. */
   def hasDeletionVector(table: String, v: Long): Boolean =
     readManifest(v).contains(table + DvSuffix)
+
+  /** The raw `@colmap` line for `table` at `v` (None = identity) —
+    * the change feed compares lines across its walk to refuse
+    * mapping-change boundaries, and resolves logical read columns to
+    * their physical file names.
+    */
+  private[sources] def colmapLineOf(table: String, v: Long): Option[String] =
+    readManifest(v).get(table + ColmapSuffix)
+
+  /** Logical→physical column resolution for `table` at `v` — identity
+    * on unmapped tables and unmapped (post-evolution) columns.
+    */
+  private[sources] def physicalNameAt(table: String, v: Long, logical: String): String =
+    colmapOf(readManifest(v), table) match {
+      case None => logical
+      case Some(pairs) =>
+        pairs.collectFirst { case (l, p) if l == logical => p }.getOrElse(logical)
+    }
 
   /** The manifest's `@dv` pointer for `table` at `v` — identity of the
     * vector (the change feed advances its DV cursor on pointer change,
@@ -718,12 +944,12 @@ class Snapshots(s: SparkSession, root: String) {
     * deletion vectors applied when present.
     */
   private def readTable(m: Map[String, String], table: String, rel: String): DataFrame =
-    applyDv(m, table, (storedSchema(m, table), storedFiles(m, table)) match {
+    toLogical(m, table, applyDv(m, table, (storedSchema(m, table), storedFiles(m, table)) match {
       case (Some(schema), Some(files)) =>
         org.apache.spark.sql.GraftLakeShim.parquetByManifest(
           s, files.map { case (r, len) => (s"$root/$r", len) }, schema)
       case _ => s.read.parquet(absPaths(rel): _*)
-    })
+    }))
 
   /** Atomically commit a set of tables: write every DataFrame under
     * the next version's directory, then publish the manifest. Returns
@@ -864,9 +1090,14 @@ class Snapshots(s: SparkSession, root: String) {
       tables1.foreach { case (t, df) => enforceChecks(t, headM, df, "commit") }
       val written = stageTables(tables1, statsCols, attempt)
       // drop the written tables' stale meta/tags lines, keep everything
-      // else from the head, overlay the fresh lines
+      // else from the head, overlay the fresh lines. A full replace
+      // also ends the table's deletion vector (it tombstones positions
+      // of files this commit just unreferenced) and its column mapping
+      // (the fresh files carry the logical names physically) — carrying
+      // either would misdescribe the new data.
       val stale = tables.keys.flatMap(t =>
-        Seq(t + TagsSuffix, t + SchemaSuffix, t + FilesSuffix)).toSet
+        Seq(t + TagsSuffix, t + SchemaSuffix, t + FilesSuffix,
+          t + DvSuffix, t + ColmapSuffix)).toSet
       if (writeManifest(attempt, (headM -- stale) ++ written)) return attempt
     }
     throw new IllegalStateException(
@@ -963,6 +1194,9 @@ class Snapshots(s: SparkSession, root: String) {
     require(present.forall(n => !m.contains(n + DvSuffix)),
       "readTables is one raw multi-table scan and cannot apply per-table " +
         "deletion vectors — compact the MoR table(s) first")
+    require(present.forall(n => !m.contains(n + ColmapSuffix)),
+      "readTables is one raw multi-table scan and cannot apply per-table " +
+        "column mappings — compact (materialize the rename/drop) first")
     val metas = present.map(n => (storedSchema(m, n), storedFiles(m, n)))
     if (metas.forall { case (sc, fl) => sc.isDefined && fl.isDefined })
       org.apache.spark.sql.GraftLakeShim.parquetByManifest(
@@ -987,6 +1221,9 @@ class Snapshots(s: SparkSession, root: String) {
         require(dvEntries(m).isEmpty,
           "tablePaths exposes raw file paths, which would leak rows hidden by " +
             "a deletion vector — compact the MoR table(s) first")
+        require(!m.keys.exists(_.endsWith(ColmapSuffix)),
+          "tablePaths exposes raw file paths, which carry pre-rename physical " +
+            "column names (and dropped columns) — compact (materialize) first")
         dataEntries(m).map { case (t, rel) => t -> absPaths(rel) }
     }
 
@@ -1086,6 +1323,23 @@ class Snapshots(s: SparkSession, root: String) {
     // schema from either endpoint's manifest metadata → the diff sides
     // plan without listing or inference, same as a snapshot read
     val schema = storedSchema(mTo, table).orElse(storedSchema(mFrom, table))
+    // COLUMN MAPPING: each side presents its own version's LOGICAL
+    // view (removed rows as fromV saw them, added rows as toV sees
+    // them), then the sides union BY NAME — a rename-free mapping
+    // (or none) aligns exactly, additive evolution null-fills. A diff
+    // whose endpoints disagree on a VISIBLE column's name (a rename or
+    // drop happened in between) cannot present one coherent schema —
+    // refuse with the split point instead of emitting misaligned rows.
+    locally {
+      for (fs0 <- logicalSchema(mFrom, table); ts0 <- logicalSchema(mTo, table)) {
+        val gone = fs0.fieldNames.toSet -- ts0.fieldNames.toSet
+        require(gone.isEmpty,
+          s"readChanges($fromV, $toV) of '$table' crosses a column rename/drop " +
+            s"(${gone.mkString(", ")} visible at $fromV but not at $toV) — " +
+            "split the diff at the version that changed the mapping")
+      }
+    }
+    val removedSchemaM = if (storedSchema(mFrom, table).isDefined) mFrom else mTo
     def dvDf(m: Map[String, String]): Option[DataFrame] =
       m.get(table + DvSuffix).map(rel => s.read.parquet(absPaths(rel): _*)
         .select(col("file_name").as("__dv_fn"), col("row_index").as("__dv_ri")))
@@ -1096,16 +1350,19 @@ class Snapshots(s: SparkSession, root: String) {
     // is empty by construction and its driver-side name probe (a small
     // Spark job) must not run on the steady append-only path
     val dvSame = mFrom.get(table + DvSuffix) == mTo.get(table + DvSuffix)
-    def readFiles(files: Seq[(String, Long)]): DataFrame = schema match {
-      case Some(sc) => org.apache.spark.sql.GraftLakeShim.parquetByManifest(s, files, sc)
-      case None => s.read.parquet(files.map(_._1): _*)
-    }
+    def readFiles(files: Seq[(String, Long)], mSide: Map[String, String]): DataFrame =
+      storedSchema(mSide, table).orElse(schema) match {
+        case Some(sc) => org.apache.spark.sql.GraftLakeShim.parquetByManifest(s, files, sc)
+        case None => s.read.parquet(files.map(_._1): _*)
+      }
     // a changed-file side, minus the positions its endpoint's vector
-    // already hides (None → raw read, zero overhead on the DV-less path)
-    def side(files: Seq[(String, Long)], change: String, dv: Option[DataFrame]): Option[DataFrame] =
+    // already hides (None → raw read, zero overhead on the DV-less
+    // path), projected into that endpoint's logical view
+    def side(files: Seq[(String, Long)], change: String, dv: Option[DataFrame],
+             mSide: Map[String, String]): Option[DataFrame] =
       if (files.isEmpty) None
       else {
-        val base = readFiles(files)
+        val base = readFiles(files, mSide)
         val applied = dv match {
           case None => base
           case Some(d) =>
@@ -1116,7 +1373,7 @@ class Snapshots(s: SparkSession, root: String) {
                 "left_anti")
               .select(cols.map(col): _*)
         }
-        Some(applied.withColumn("_change", lit(change)))
+        Some(toLogical(mSide, table, applied).withColumn("_change", lit(change)))
       }
     // positional delta over files PRESENT AT BOTH endpoints: positions in
     // `in` but not `notIn` are rows that changed state without their file
@@ -1124,7 +1381,8 @@ class Snapshots(s: SparkSession, root: String) {
     // to a pre-DV version) → `added`. Only files the position-diff NAMES
     // are read (one small distinct-names collect bounds the scan).
     val common = before.keySet.intersect(after.keySet)
-    def positional(in: Option[DataFrame], notIn: Option[DataFrame], change: String): Option[DataFrame] =
+    def positional(in: Option[DataFrame], notIn: Option[DataFrame], change: String,
+                   mSide: Map[String, String]): Option[DataFrame] =
       in.flatMap { d =>
         val diff = notIn.fold(d)(n => d.join(n
           .select(col("__dv_fn").as("__n_fn"), col("__dv_ri").as("__n_ri")),
@@ -1136,25 +1394,27 @@ class Snapshots(s: SparkSession, root: String) {
         if (names.isEmpty) None
         else {
           val files = names.map(n => byName(n) -> before(byName(n)))
-          val base = readFiles(files)
+          val base = readFiles(files, mSide)
           val cols = base.columns
-          Some(base.withColumn("__fn", col("_metadata.file_name"))
-            .withColumn("__ri", col("_metadata.row_index"))
-            .join(diff, col("__fn") === col("__dv_fn") && col("__ri") === col("__dv_ri"),
-              "left_semi")
-            .select(cols.map(col): _*)
+          Some(toLogical(mSide, table,
+            base.withColumn("__fn", col("_metadata.file_name"))
+              .withColumn("__ri", col("_metadata.row_index"))
+              .join(diff, col("__fn") === col("__dv_fn") && col("__ri") === col("__dv_ri"),
+                "left_semi")
+              .select(cols.map(col): _*))
             .withColumn("_change", lit(change)))
         }
       }
     val sides = Seq(
-      side(added, "added", dvT),
-      side(removed, "removed", dvP),
-      if (dvSame) None else positional(dvT, dvP, "removed"),
-      if (dvSame) None else positional(dvP, dvT, "added")).flatten
-    if (sides.nonEmpty) sides.reduce(_.unionByName(_))
+      side(added, "added", dvT, mTo),
+      side(removed, "removed", dvP, removedSchemaM),
+      if (dvSame) None else positional(dvT, dvP, "removed", removedSchemaM),
+      if (dvSame) None else positional(dvP, dvT, "added", mTo)).flatten
+    if (sides.nonEmpty) sides.reduce(_.unionByName(_, allowMissingColumns = true))
     else schema match {
       case Some(sc) =>
-        org.apache.spark.sql.GraftLakeShim.parquetByManifest(s, Nil, sc)
+        toLogical(mTo, table,
+          org.apache.spark.sql.GraftLakeShim.parquetByManifest(s, Nil, sc))
           .withColumn("_change", lit(""))
       case None =>
         val any = (after.keySet ++ before.keySet).headOption.getOrElse(
@@ -1198,6 +1458,14 @@ class Snapshots(s: SparkSession, root: String) {
     // writer) while provided values validate like any batch.
     currentVersion.map(readManifest).foreach { m =>
       updates.foreach { case (t, rel) =>
+        // staged bytes carry whatever names the external writer used
+        // and cannot be renamed post-hoc — under a column mapping the
+        // file/view split would silently diverge, so refuse until a
+        // compact materializes the mapping
+        require(!m.contains(t + ColmapSuffix),
+          s"table '$t' carries a column mapping (rename/drop pending) — " +
+            "staged ingest cannot translate already-written files; " +
+            "compact (materialize) first")
         val gs = decodeChecks(m.get(t + GenSuffix))
         if (m.contains(t + CheckSuffix) || gs.nonEmpty) {
           val staged = s.read.parquet(absPaths(rel): _*)
@@ -1257,13 +1525,17 @@ class Snapshots(s: SparkSession, root: String) {
     }
   }
 
-  def readWhere(table: String, ranges: Seq[FileStats.ColRange],
+  def readWhere(table: String, ranges0: Seq[FileStats.ColRange],
                 version: Option[Long] = None): DataFrame = {
     val v = version.orElse(currentVersion)
       .getOrElse(throw new IllegalStateException(s"no commits under $root"))
     val m = readManifest(v)
     val rel = dataEntries(m).getOrElse(table,
       throw new NoSuchElementException(s"table '$table' not in version $v under $root"))
+    // caller ranges name LOGICAL columns; sidecars and the raw scan
+    // below are physical — translate once, filter physically, then
+    // project into the visible view
+    val ranges = physicalRanges(m, table, ranges0)
     val base = (storedSchema(m, table), storedFiles(m, table)) match {
       case (Some(schema), Some(files)) =>
         // metadata-planned skip: the candidate file list comes from the
@@ -1289,11 +1561,11 @@ class Snapshots(s: SparkSession, root: String) {
         if (kept.isEmpty) s.read.parquet(absPaths(rel): _*).limit(0) // schema-only; zero data tasks
         else s.read.parquet(kept: _*)
     }
-    ranges.foldLeft(applyDv(m, table, base)) { (df, r) =>
+    toLogical(m, table, ranges.foldLeft(applyDv(m, table, base)) { (df, r) =>
       val c = col(r.col)
       val conds = r.lo.map(v => c >= lit(v)).toSeq ++ r.hi.map(v => c <= lit(v)).toSeq
       conds.foldLeft(df)((d, cond) => d.where(cond))
-    }
+    })
   }
 
   /** Point-lookup read through the BLOOM index: rows whose `column`
@@ -1313,7 +1585,7 @@ class Snapshots(s: SparkSession, root: String) {
     * (e.g. rewritten by maintenance, which drops blooms) keep all
     * their files, conservative either way. NULL never equals a key.
     */
-  def readWhereIn(table: String, column: String, keys: Seq[Any],
+  def readWhereIn(table: String, column0: String, keys: Seq[Any],
                   version: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "readWhereIn needs at least one key")
     val v = version.orElse(currentVersion)
@@ -1321,6 +1593,9 @@ class Snapshots(s: SparkSession, root: String) {
     val m = readManifest(v)
     val rel = dataEntries(m).getOrElse(table,
       throw new NoSuchElementException(s"table '$table' not in version $v under $root"))
+    // sidecars are keyed by PHYSICAL column names; the exact filter
+    // below runs on the logical view
+    val column = physicalName(m, table, column0)
     val eq = FileStats.ColIn(column, keys)
     val base = (storedSchema(m, table), storedFiles(m, table)) match {
       case (Some(schema), Some(files)) =>
@@ -1362,7 +1637,7 @@ class Snapshots(s: SparkSession, root: String) {
         if (kept.isEmpty) s.read.parquet(absPaths(rel): _*).limit(0)
         else s.read.parquet(kept: _*)
     }
-    applyDv(m, table, base).where(col(column).isin(keys: _*))
+    toLogical(m, table, applyDv(m, table, base).where(col(column).isin(keys: _*)))
   }
 
   /** DESCRIBE HISTORY analog (Delta's table history; public design):
@@ -1539,7 +1814,9 @@ class Snapshots(s: SparkSession, root: String) {
     // generated columns: an omitting source is completed, a providing
     // source is validated — before the schema signature check
     val source = applyGenerated(table, headM, source0, "merge")
-    val existing = storedSchema(headM, table).getOrElse(writtenSchema(baseRel))
+    // the source speaks the VISIBLE (logical) schema; the rewrite runs
+    // in logical space and partialRewrite stages it back physically
+    val existing = logicalSchema(headM, table).getOrElse(writtenSchema(baseRel))
     def sig(st: org.apache.spark.sql.types.StructType): Seq[(String, org.apache.spark.sql.types.DataType)] =
       st.fields.map(f => (f.name, f.dataType)).toSeq
     require(sig(source.schema) == sig(existing),
@@ -1615,6 +1892,8 @@ class Snapshots(s: SparkSession, root: String) {
         "first (count(*) alone remains exact: pass cols = Nil)")
     val dvHidden = m.get(table + DvSuffix).fold(0L)(rel =>
       s.read.parquet(absPaths(rel): _*).count())
+    // sidecars are keyed by PHYSICAL names; answers keep logical labels
+    val physOf: Map[String, String] = cols.map(c => c -> physicalName(m, table, c)).toMap
     val rel = dataEntries(m).getOrElse(table,
       throw new NoSuchElementException(s"table '$table' not committed under $root"))
     val files: Seq[String] = storedFiles(m, table).map(_.map(_._1))
@@ -1636,7 +1915,7 @@ class Snapshots(s: SparkSession, root: String) {
             s"sidecar in $dir predates row-count stats — re-publish (compact) to refresh"))
         totalRows += rows
         if (rows > 0) cols.foreach { c =>
-          val cs = st.getOrElse(c,
+          val cs = st.getOrElse(physOf(c),
             throw new IllegalStateException(
               s"column '$c' has no stats in $dir — it was not in the publish's statsCols"))
           require(cs.nulls >= 0,
@@ -1684,7 +1963,7 @@ class Snapshots(s: SparkSession, root: String) {
         throw new NoSuchElementException(s"table '$src' not committed under $root"))
       require(!dataEntries(cur).contains(dst),
         s"clone target '$dst' already exists under $root")
-      val meta = Seq(SchemaSuffix, FilesSuffix, TagsSuffix, DvSuffix, CheckSuffix, GenSuffix).flatMap(sfx =>
+      val meta = Seq(SchemaSuffix, FilesSuffix, TagsSuffix, DvSuffix, CheckSuffix, GenSuffix, ColmapSuffix).flatMap(sfx =>
         cur.get(src + sfx).map(v => (dst + sfx) -> v))
       if (writeManifest(attempt, cur + (dst -> rel) ++ meta)) return attempt
       attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
@@ -1709,7 +1988,7 @@ class Snapshots(s: SparkSession, root: String) {
     val rel = dataEntries(old).getOrElse(table,
       throw new NoSuchElementException(
         s"table '$table' not committed at version $fromVersion under $root"))
-    val metaKeys = Seq(SchemaSuffix, FilesSuffix, TagsSuffix, DvSuffix, CheckSuffix, GenSuffix).map(table + _)
+    val metaKeys = Seq(SchemaSuffix, FilesSuffix, TagsSuffix, DvSuffix, CheckSuffix, GenSuffix, ColmapSuffix).map(table + _)
     val meta = metaKeys.flatMap(k => old.get(k).map(k -> _))
     var attempt = currentVersion.getOrElse(0L) + 1
     for (_ <- 1 to MaxAttempts) {
@@ -1767,7 +2046,7 @@ class Snapshots(s: SparkSession, root: String) {
                             batch: DataFrame, verb: String): Unit = {
     val cs = decodeChecks(m.get(table + CheckSuffix))
     if (cs.isEmpty) return
-    val withMissing = storedSchema(m, table).fold(batch) { st =>
+    val withMissing = logicalSchema(m, table).fold(batch) { st =>
       st.fields.filterNot(f => batch.columns.contains(f.name))
         .foldLeft(batch)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
     }
@@ -1821,7 +2100,7 @@ class Snapshots(s: SparkSession, root: String) {
     if (missing.isEmpty) return batch
     val computed = missing.foldLeft(batch) { case (d, (c, e)) =>
       d.withColumn(c, expr(e)) }
-    storedSchema(m, table) match {
+    logicalSchema(m, table) match {
       case Some(st) if st.fieldNames.forall(computed.columns.contains) &&
           computed.columns.forall(st.fieldNames.contains) =>
         computed.select(st.fieldNames.map(col(_)).toSeq: _*)
@@ -1852,7 +2131,7 @@ class Snapshots(s: SparkSession, root: String) {
     val m0 = readManifest(v0)
     val rel = dataEntries(m0).getOrElse(table,
       throw new NoSuchElementException(s"table '$table' not committed under $root"))
-    val schema = storedSchema(m0, table).getOrElse(writtenSchema(rel))
+    val schema = logicalSchema(m0, table).getOrElse(writtenSchema(rel))
     require(schema.fieldNames.contains(column),
       s"generated column '$column' not a column of table '$table'")
     val bad = read(table, Some(v0)).where(!(col(column) <=> expr(exprSql))).count()
@@ -2003,10 +2282,13 @@ class Snapshots(s: SparkSession, root: String) {
     * write path produces uuid'd part names; the check makes the
     * assumption loud, not silent).
     */
-  def deleteWhereMoR(table: String, ranges: Seq[FileStats.ColRange]): Long = {
-    require(ranges.nonEmpty, "deleteWhereMoR requires at least one range")
+  def deleteWhereMoR(table: String, ranges0: Seq[FileStats.ColRange]): Long = {
+    require(ranges0.nonEmpty, "deleteWhereMoR requires at least one range")
     val headM = readManifest(currentVersion.getOrElse(
       throw new IllegalStateException(s"no commits under $root")))
+    // positions are name-agnostic; only the match predicate and the
+    // sidecar lookups need the physical column names
+    val ranges = physicalRanges(headM, table, ranges0)
     val baseRel = dataEntries(headM).getOrElse(table,
       throw new NoSuchElementException(s"table '$table' not committed under $root"))
     val files: Seq[(String, Long)] = storedFiles(headM, table)
@@ -2069,16 +2351,20 @@ class Snapshots(s: SparkSession, root: String) {
     * the update moved out of range become a no-op. [[compact]]
     * materializes the whole episode later, same as MoR deletes.
     */
-  def updateWhereMoR(table: String, ranges: Seq[FileStats.ColRange],
+  def updateWhereMoR(table: String, ranges0: Seq[FileStats.ColRange],
                      set: Map[String, org.apache.spark.sql.Column],
                      statsCols: Seq[String] = Nil): Long = {
-    require(ranges.nonEmpty, "updateWhereMoR requires at least one range")
+    require(ranges0.nonEmpty, "updateWhereMoR requires at least one range")
     val headM = readManifest(currentVersion.getOrElse(
       throw new IllegalStateException(s"no commits under $root")))
+    // physical for the scan/sidecars; SET and its expressions run on
+    // the logical view and the re-append stages back physically
+    val ranges = physicalRanges(headM, table, ranges0)
     val baseRel = dataEntries(headM).getOrElse(table,
       throw new NoSuchElementException(s"table '$table' not committed under $root"))
     val schema = storedSchema(headM, table).getOrElse(writtenSchema(baseRel))
-    set.keys.foreach(c => require(schema.fieldNames.contains(c),
+    val visible = logicalSchema(headM, table).getOrElse(schema)
+    set.keys.foreach(c => require(visible.fieldNames.contains(c),
       s"SET column '$c' not a column of table '$table'"))
     locally {
       val gen = decodeChecks(headM.get(table + GenSuffix)).keySet
@@ -2114,13 +2400,22 @@ class Snapshots(s: SparkSession, root: String) {
     val matched = live.where(matchCond(ranges)).persist()
     try {
       if (matched.isEmpty) return currentVersion.get
-      val cols = schema.fieldNames.toSeq
+      val cols = visible.fieldNames.toSeq
       val positions = matched.select(col("__fn").as("file_name"), col("__ri").as("row_index"))
-      val newRows = recomputeGenerated(table, headM,
-        matched.select(cols.map(c => set.getOrElse(c, col(c)).as(c)): _*))
+      // project the matched rows into the LOGICAL view (SET expressions
+      // and guards speak logical names), transform, then stage back
+      // under the physical names
+      val matchedL = colmapOf(headM, table) match {
+        case None => matched
+        case Some(pairs) =>
+          matched.select(pairs.map { case (l, p) => matched(p).as(l) }: _*)
+      }
+      val newRowsL = recomputeGenerated(table, headM,
+        matchedL.select(cols.map(c => set.getOrElse(c, col(c)).as(c)): _*))
       // the re-appended transformed rows are new rows — generated
       // columns recomputed above, CHECK constraints gate them here
-      enforceChecks(table, headM, newRows, "MoR update")
+      enforceChecks(table, headM, newRowsL, "MoR update")
+      val newRows = toPhysical(headM, table, newRowsL)
       val mergedDv = existing
         .fold(positions)(e =>
           e.select(col("__dv_fn").as("file_name"), col("__dv_ri").as("row_index"))
@@ -2139,7 +2434,8 @@ class Snapshots(s: SparkSession, root: String) {
         FileStats.dropEmptyFiles(fs, new Path(s"$root/$newRel"), s.sparkContext.hadoopConfiguration)
         if (statsCols.nonEmpty)
           FileStats.writeSidecar(fs, new Path(s"$root/$newRel"),
-            FileStats.harvest(s, s"$root/$newRel", statsCols))
+            FileStats.harvest(s, s"$root/$newRel",
+              statsCols.map(c => physicalName(headM, table, c))))
         val newFiles = files ++ listRelFiles(Seq(newRel))
         val lines = cur +
           (table -> s"${cur(table)};$newRel") +
@@ -2180,7 +2476,7 @@ class Snapshots(s: SparkSession, root: String) {
       throw new IllegalStateException(s"no commits under $root")))
     val baseRel = dataEntries(headM).getOrElse(table,
       throw new NoSuchElementException(s"table '$table' not committed under $root"))
-    val existing = storedSchema(headM, table).getOrElse(writtenSchema(baseRel))
+    val existing = logicalSchema(headM, table).getOrElse(writtenSchema(baseRel))
     keyCols.foreach(k => require(existing.fieldNames.contains(k),
       s"delete key '$k' not a column of table '$table'"))
     val ks = keys.select(keyCols.map(k => col(k).as(s"_del_$k")): _*).distinct()
@@ -2226,7 +2522,7 @@ class Snapshots(s: SparkSession, root: String) {
     val baseRel = dataEntries(headM).getOrElse(table,
       throw new NoSuchElementException(s"table '$table' not committed under $root"))
     val src = applyGenerated(table, headM, source, "merge")
-    val existing = storedSchema(headM, table).getOrElse(writtenSchema(baseRel))
+    val existing = logicalSchema(headM, table).getOrElse(writtenSchema(baseRel))
     def sig(st: org.apache.spark.sql.types.StructType): Seq[(String, org.apache.spark.sql.types.DataType)] =
       st.fields.map(f => (f.name, f.dataType)).toSeq
     require(sig(src.schema) == sig(existing),
@@ -2318,7 +2614,10 @@ class Snapshots(s: SparkSession, root: String) {
       m.get(table).foreach { rel =>
         def sig(st: org.apache.spark.sql.types.StructType): Seq[(String, org.apache.spark.sql.types.DataType)] =
           st.fields.map(f => (f.name, f.dataType)).toSeq
-        val existing = storedSchema(m, table)
+        // the guard compares the batch against the VISIBLE (logical)
+        // schema — under a column mapping the batch speaks post-rename
+        // names; physical translation happens at staging below
+        val existing = logicalSchema(m, table)
           .getOrElse(s.read.parquet(absPaths(rel).head).schema)
         if (mergeSchema) {
           // ADDITIVE evolution (the Delta mergeSchema contract): new
@@ -2343,6 +2642,29 @@ class Snapshots(s: SparkSession, root: String) {
       // O(batch) aggregate job, only when the table declares checks
       enforceChecks(table, m, df, "append")
     }
+    // Under a column mapping the batch (logical names) STAGES under
+    // physical names. mergeSchema's batch-only columns get a fresh
+    // physical name; a name matching a RETIRED (dropped) physical
+    // column is suffixed, so dropped data can never resurrect on
+    // re-add. Physical names are rename-stable, so translating with
+    // the entry manifest is race-safe against concurrent renames.
+    val headM0 = currentVersion.map(readManifest).getOrElse(Map.empty[String, String])
+    val mapping0 = colmapOf(headM0, table)
+    val newPairs: Seq[(String, String)] = mapping0 match {
+      case None => Nil
+      case Some(pairs) =>
+        val known = pairs.map(_._1).toSet
+        val retired = storedSchema(headM0, table).map(_.fieldNames.toSet).getOrElse(Set.empty)
+        df.columns.toSeq.filterNot(known).map { l =>
+          l -> (if (!retired(l)) l else s"${l}__v${currentVersion.getOrElse(0L) + 1}")
+        }
+    }
+    val physByLogical: Map[String, String] =
+      mapping0.map(_ ++ newPairs).getOrElse(Nil).toMap
+    val dfPhys =
+      if (mapping0.isEmpty) df
+      else df.select(df.columns.map(c => df(c).as(physByLogical.getOrElse(c, c))): _*)
+    def phys(c: String): String = physByLogical.getOrElse(c, c)
     var attempt = currentVersion.getOrElse(0L) + 1
     var written: Option[String] = None // data written once; races re-merge the manifest only
     var newFiles: Seq[(String, Long)] = Nil // the new dir's files, listed once post-write
@@ -2356,13 +2678,13 @@ class Snapshots(s: SparkSession, root: String) {
       if (dupe) return currentVersion.get
       val rel = written.getOrElse {
         val r = stageRel(attempt, table) + tag.fold("")(t => s"@$t")
-        df.write.mode("overwrite").parquet(s"$root/$r")
+        dfPhys.write.mode("overwrite").parquet(s"$root/$r")
         if (statsCols.nonEmpty)
           FileStats.writeSidecar(fs, new Path(s"$root/$r"),
-            FileStats.harvest(s, s"$root/$r", statsCols))
+            FileStats.harvest(s, s"$root/$r", statsCols.map(phys)))
         if (bloomCols.nonEmpty)
           FileStats.writeBloomSidecar(fs, new Path(s"$root/$r"),
-            FileStats.harvestBlooms(s, s"$root/$r", bloomCols))
+            FileStats.harvestBlooms(s, s"$root/$r", bloomCols.map(phys)))
         written = Some(r)
         newFiles = listRelFiles(Seq(r))
         r
@@ -2374,18 +2696,30 @@ class Snapshots(s: SparkSession, root: String) {
         cur.get(table).map(b => listRelFiles(splitRel(b))).getOrElse(Nil))
       val schema =
         if (mergeSchema)
-          // table schema ∪ batch schema: the union is what every read
-          // (and the NEXT append's guard) must see from here on
+          // table schema ∪ batch schema (PHYSICAL on both sides): the
+          // union is what every read (and the NEXT append's guard,
+          // through the logical view) must see from here on
           storedSchema(cur, table)
             .orElse(dataEntries(cur).get(table).map(writtenSchema))
             .map(b => unionSchema(b,
-              predictReadBack(df.schema).getOrElse(writtenSchema(rel))))
-            .getOrElse(predictReadBack(df.schema).getOrElse(writtenSchema(rel)))
+              predictReadBack(dfPhys.schema).getOrElse(writtenSchema(rel))))
+            .getOrElse(predictReadBack(dfPhys.schema).getOrElse(writtenSchema(rel)))
         else storedSchema(cur, table)
-          .orElse(predictReadBack(df.schema)).getOrElse(writtenSchema(rel))
+          .orElse(predictReadBack(dfPhys.schema)).getOrElse(writtenSchema(rel))
+      // a mapped table's mergeSchema batch extends the VISIBLE view
+      // with its new columns (identity tables need no line — physical
+      // names are the view)
+      val colmapExt: Map[String, String] =
+        if (newPairs.isEmpty) Map.empty
+        else {
+          val curPairs = colmapOf(cur, table).getOrElse(mapping0.get)
+          val have = curPairs.map(_._1).toSet
+          Map((table + ColmapSuffix) ->
+            encodeColmap(curPairs ++ newPairs.filterNot(p => have(p._1))))
+        }
       val tagged = cur + (table -> newRel) ++ tag.map(t =>
         (table + TagsSuffix) -> (tagsOf(cur, table) + t).toSeq.sorted.mkString(",")) ++
-        Map(schemaLine(table, schema), filesLine(table, baseFiles ++ newFiles))
+        Map(schemaLine(table, schema), filesLine(table, baseFiles ++ newFiles)) ++ colmapExt
       if (writeManifest(attempt, tagged)) return attempt
       attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
     }
@@ -2424,17 +2758,21 @@ class Snapshots(s: SparkSession, root: String) {
     * the rest, publish. Returns the new version (or the current one
     * when stats prove no file can match — a true no-op).
     */
-  private def partialRewrite(table: String, ranges: Seq[FileStats.ColRange],
+  private def partialRewrite(table: String, ranges0: Seq[FileStats.ColRange],
                              statsCols: Seq[String], what: String,
                              rewrite: DataFrame => DataFrame,
                              forceOnEmpty: Boolean = false): Long = {
-    require(ranges.nonEmpty, s"${what}Where requires at least one range")
+    require(ranges0.nonEmpty, s"${what}Where requires at least one range")
     require(!isMetaEntry(table),
       s"table name '$table' collides with the reserved '@' manifest lines")
     val headM = readManifest(currentVersion
       .getOrElse(throw new IllegalStateException(s"no commits under $root")))
     require(!headM.contains(table + DvSuffix),
       s"table '$table' carries a deletion vector — compact (materialize) before copy-on-write $what")
+    // file classification consults PHYSICAL sidecars; the rewrite
+    // lambda (and its caller-built predicates) runs on the LOGICAL
+    // view; the rewritten rows stage back under physical names
+    val ranges = physicalRanges(headM, table, ranges0)
     val baseRel = dataEntries(headM).getOrElse(table,
       throw new NoSuchElementException(s"table '$table' not committed under $root"))
     val touch = scala.collection.mutable.ArrayBuffer.empty[(String, Long)] // abs path, len
@@ -2479,11 +2817,11 @@ class Snapshots(s: SparkSession, root: String) {
     val touchedRead =
       if (touch.isEmpty)
         s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          storedSchema(headM, table).getOrElse(writtenSchema(baseRel)))
-      else storedSchema(headM, table) match {
+          logicalSchema(headM, table).getOrElse(writtenSchema(baseRel)))
+      else toLogical(headM, table, storedSchema(headM, table) match {
         case Some(sc) => org.apache.spark.sql.GraftLakeShim.parquetByManifest(s, touch.toSeq, sc)
         case None => s.read.parquet(touch.map(_._1).toSeq: _*)
-      }
+      })
     val rewritten0 = rewrite(touchedRead)
     // update/merge rewrites can INTRODUCE rows (SET results, upserted
     // source rows): generated columns are RECOMPUTED over the rewrite
@@ -2504,13 +2842,15 @@ class Snapshots(s: SparkSession, root: String) {
         throw new java.util.ConcurrentModificationException(
           s"$table re-pointed ${cur(table)} != $baseRel during $what; re-run")
       val rel = stageRel(attempt, table)
-      rewritten.write.mode("overwrite").parquet(s"$root/$rel")
+      val rewrittenPhys = toPhysical(headM, table, rewritten)
+      rewrittenPhys.write.mode("overwrite").parquet(s"$root/$rel")
       // an all-filtered write partition leaves a rowless file that stats
       // could never prune — drop them so repeat passes converge
       FileStats.dropEmptyFiles(fs, new Path(s"$root/$rel"), s.sparkContext.hadoopConfiguration)
       if (statsCols.nonEmpty)
         FileStats.writeSidecar(fs, new Path(s"$root/$rel"),
-          FileStats.harvest(s, s"$root/$rel", statsCols))
+          FileStats.harvest(s, s"$root/$rel",
+            statsCols.map(c => physicalName(headM, table, c))))
       // every touched row may have been filtered away: an entry pointing
       // at a fileless dir is dead weight (and, with nothing else kept,
       // an unreadable table) — omit it, or for a fully-emptied table
@@ -2520,7 +2860,7 @@ class Snapshots(s: SparkSession, root: String) {
         if (relHasData) keep.map(_._1).toSeq :+ rel
         else if (keep.nonEmpty) keep.map(_._1).toSeq
         else {
-          rewritten.limit(0).coalesce(1).write.mode("overwrite").parquet(s"$root/$rel")
+          rewrittenPhys.limit(0).coalesce(1).write.mode("overwrite").parquet(s"$root/$rel")
           Seq(rel)
         }
       // refresh the read metadata: kept files keep their recorded (or
@@ -2529,9 +2869,16 @@ class Snapshots(s: SparkSession, root: String) {
         if (parts.contains(rel)) keep.toSeq.map { case (r, l) => (r, l) } ++ listRelFiles(Seq(rel))
         else keep.toSeq
       val newSchema =
-        if (parts.contains(rel))
-          predictReadBack(rewritten.schema).getOrElse(writtenSchema(rel))
-        else storedSchema(cur, table).getOrElse(writtenSchema(parts.head))
+        if (parts.contains(rel)) {
+          val w = predictReadBack(rewrittenPhys.schema).getOrElse(writtenSchema(rel))
+          // keep RETIRED (dropped-under-mapping) physical columns in
+          // the stored schema while any kept file still holds them:
+          // the retired name stays visible to the re-add collision
+          // check, so a later re-added column can't resurrect them
+          if (keep.nonEmpty)
+            storedSchema(cur, table).map(old => unionSchema(w, old)).getOrElse(w)
+          else w
+        } else storedSchema(cur, table).getOrElse(writtenSchema(parts.head))
       val metaLines = Map(schemaLine(table, newSchema), filesLine(table, newFiles))
       if (writeManifest(attempt, cur + (table -> parts.mkString(";")) ++ metaLines)) return attempt
       attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
@@ -2568,6 +2915,104 @@ class Snapshots(s: SparkSession, root: String) {
     * winner's rows. Races on OTHER tables merge fine: each publish
     * attempt re-reads the current manifest.
     */
+  /** PARTIAL compaction — OPTIMIZE with a predicate (the Delta
+    * `OPTIMIZE WHERE` shape, public design). At 100 TB a table-wide
+    * [[compact]] is not an operation you run; the affordable form
+    * bin-packs only the files whose stats overlap `ranges` (where the
+    * small-file churn actually lands — the hot ingest partition) and
+    * re-references everything else untouched: cost is O(matching
+    * files), the version is `@maint` (rows invariant — the feed skips
+    * it), and stats/blooms re-sharpen exactly where the rewrite
+    * happened. A deletion vector is TRIMMED, not materialized: the
+    * touched files' tombstoned rows drop out of the rewrite and their
+    * (now stale) vector entries are removed, while entries covering
+    * kept files stay live — count(*) metadata answers remain exact.
+    * A column mapping is KEPT (the kept files still carry old physical
+    * names; only the table-wide [[compact]] may materialize). No-op
+    * (current version) when fewer than two files match.
+    */
+  def compactWhere(table: String, ranges0: Seq[FileStats.ColRange],
+                   targetBytes: Long = 128L << 20,
+                   statsCols: Seq[String] = Nil,
+                   bloomCols: Seq[String] = Nil): Long = {
+    require(ranges0.nonEmpty, "compactWhere requires at least one range (use compact for the full table)")
+    val headM = readManifest(currentVersion
+      .getOrElse(throw new IllegalStateException(s"no commits under $root")))
+    val ranges = physicalRanges(headM, table, ranges0)
+    val baseRel = dataEntries(headM).getOrElse(table,
+      throw new NoSuchElementException(s"table '$table' not committed under $root"))
+    val files: Seq[(String, Long)] = storedFiles(headM, table)
+      .getOrElse(listRelFiles(splitRel(baseRel)))
+    // classification identical to the DML engine's: stats decide which
+    // files MIGHT hold matching rows; no sidecar → conservative touch
+    val touch = scala.collection.mutable.ArrayBuffer.empty[(String, Long)] // rel, len
+    val keep = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    files.groupBy { case (r, _) => new Path(root, r).getParent }
+      .foreach { case (dir, fl) =>
+        val st = FileStats.readSidecar(fs, dir)
+        fl.foreach { case (r, len) =>
+          val might = st.forall(stats => FileStats.prune(
+            Seq(new org.apache.hadoop.fs.FileStatus(
+              len, false, 1, 0L, 0L, new Path(root, r))), stats, ranges).nonEmpty)
+          if (might) touch += (r -> len) else keep += (r -> len)
+        }
+      }
+    if (touch.size < 2) return currentVersion.get // nothing worth packing
+    val touchedNames = touch.map { case (r, _) => new Path(root, r).getName }.toSet
+    val n = math.max(1, math.ceil(touch.map(_._2).sum.toDouble / targetBytes).toInt)
+    val schema = storedSchema(headM, table).getOrElse(writtenSchema(baseRel))
+    // touched rows, their vector applied (the rewrite sheds them), in
+    // the PHYSICAL layout — a pending column mapping must survive, so
+    // the new files keep physical names (only full compact materializes)
+    val base0 = org.apache.spark.sql.GraftLakeShim.parquetByManifest(
+      s, touch.toSeq.map { case (r, len) => (s"$root/$r", len) }, schema)
+    val packed = applyDv(headM, table, base0).repartition(n)
+    var attempt = currentVersion.getOrElse(0L) + 1
+    for (_ <- 1 to MaxAttempts) {
+      val cur = readManifest(currentVersion.get)
+      if (cur(table) != baseRel)
+        throw new java.util.ConcurrentModificationException(
+          s"$table re-pointed ${cur(table)} != $baseRel during compactWhere; re-run")
+      val rel = stageRel(attempt, table)
+      packed.write.mode("overwrite").parquet(s"$root/$rel")
+      if (statsCols.nonEmpty)
+        FileStats.writeSidecar(fs, new Path(s"$root/$rel"),
+          FileStats.harvest(s, s"$root/$rel",
+            statsCols.map(c => physicalName(headM, table, c))))
+      if (bloomCols.nonEmpty)
+        FileStats.writeBloomSidecar(fs, new Path(s"$root/$rel"),
+          FileStats.harvestBlooms(s, s"$root/$rel",
+            bloomCols.map(c => physicalName(headM, table, c))))
+      val parts = keep.map(_._1).toSeq :+ rel
+      val newFiles = keep.toSeq ++ listRelFiles(Seq(rel))
+      // TRIM the vector: entries naming rewritten files are stale (the
+      // rows they hid are gone from the new files) and would overcount
+      // metadata answers — keep only entries covering kept files
+      val dvLine: Map[String, String] = cur.get(table + DvSuffix) match {
+        case None => Map.empty
+        case Some(dvRel) =>
+          val kept = s.read.parquet(absPaths(dvRel): _*)
+            .where(!col("file_name").isin(touchedNames.toSeq: _*))
+          if (kept.isEmpty) Map.empty
+          else {
+            val newDvRel = stageRel(attempt, table + "__dv")
+            kept.coalesce(1).write.mode("overwrite").parquet(s"$root/$newDvRel")
+            Map((table + DvSuffix) -> newDvRel)
+          }
+      }
+      val metaLines = Map(
+        schemaLine(table, storedSchema(cur, table)
+          .getOrElse(predictReadBack(packed.schema).getOrElse(writtenSchema(rel)))),
+        filesLine(table, newFiles))
+      if (writeManifest(attempt,
+        cur - (table + DvSuffix) + (table -> parts.mkString(";")) ++ metaLines ++ dvLine,
+        maint = Set(table))) return attempt
+      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
+    }
+    throw new IllegalStateException(
+      s"compactWhere lost $MaxAttempts consecutive version races under $root")
+  }
+
   def compact(table: String, targetBytes: Long = 128L << 20,
               sortCol: Option[String] = None,
               statsCols: Seq[String] = Nil,
@@ -2622,7 +3067,12 @@ class Snapshots(s: SparkSession, root: String) {
       // positional `removed` rows at the version that published the
       // vector, so relative to the DV-APPLIED view this compaction is
       // rows-invariant and consumers must see no churn for it.
-      if (writeManifest(attempt, cur - (table + DvSuffix) + (table -> rel) ++ metaLines,
+      // A COLUMN MAPPING materializes the same way: the rows were read
+      // through the logical view (readTable), so the new files carry
+      // the logical names as their physical names, dropped-column
+      // bytes are shed, and the @colmap line ends here.
+      if (writeManifest(attempt,
+        cur - (table + DvSuffix) - (table + ColmapSuffix) + (table -> rel) ++ metaLines,
         maint = Set(table))) return attempt
       attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
     }
@@ -3305,8 +3755,67 @@ object Snapshots {
       .orderBy("o_orderstatus")
   }
 
+  /** Fixture for c17: an even-key orders slice with stats, about to be
+    * renamed/dropped/appended through the column-mapping verbs.
+    */
+  def stagedColmapLake(s: SparkSession, dir: String): Snapshots = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s.conf.get("spark.sql.warehouse.dir") + s"/cm_c17$tag"
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val snap = new Snapshots(s, root)
+    val marker = new Path(root, "_STAGED_G1")
+    if (!fs.exists(marker)) {
+      fs.delete(new Path(root), true)
+      snap.commit(Map("orders" -> t(s, dir, "orders")
+        .where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .repartitionByRange(4, col("o_orderkey"))),
+        statsCols = Map("orders" -> Seq("o_orderkey", "o_totalprice")))
+      fs.create(marker, true).close()
+    }
+    snap
+  }
+
+  /** `c17_rename_column`: COLUMN MAPPING through the oracle gate — a
+    * RENAME (o_totalprice → price) and a DROP (o_orderpriority), both
+    * metadata-only, then a tagged append speaking the NEW name, an
+    * idempotent range DELETE and a SET-to-constant UPDATE addressed by
+    * the new name, and one read over both file generations. The
+    * aggregate is right only if the logical↔physical translation is
+    * exact on every path at once: the scan projection (old files carry
+    * the old physical name), the append's reverse translation, the
+    * stats-pruned classification of both DML verbs, and the dropped
+    * column staying invisible without a rewrite. All verbs converge on
+    * re-runs (tag replay, delete/SET-constant idempotence), so the
+    * state is one closed form DuckDB recomputes from the raw table.
+    */
+  def c17RenameColumn(s: SparkSession, dir: String): DataFrame = {
+    val snap = stagedColmapLake(s, dir)
+    if (snap.read("orders").columns.contains("o_totalprice"))
+      snap.renameColumn("orders", "o_totalprice", "price")
+    if (snap.read("orders").columns.contains("o_orderpriority"))
+      snap.dropColumn("orders", "o_orderpriority")
+    snap.append("orders", t(s, dir, "orders")
+      .where(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_totalprice").as("price")),
+      tag = Some("cm1"), statsCols = Seq("o_orderkey", "price"))
+    snap.deleteWhere("orders",
+      Seq(FileStats.ColRange("o_orderkey", Some(2000L), Some(2999L))),
+      Seq("o_orderkey", "price"))
+    snap.updateWhere("orders",
+      Seq(FileStats.ColRange("o_orderkey", Some(1L), Some(10L))),
+      Map("price" -> lit(0.0)), Seq("o_orderkey", "price"))
+    snap.read("orders")
+      .groupBy((col("o_orderkey") % 5).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(sum("price"), 2).as("total_price"),
+        count(when(col("price") === 0.0, 1)).as("n_zeroed"))
+      .orderBy("bucket")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] =
     Map("c04_snapshot_read" -> c04SnapshotRead _,
+        "c17_rename_column" -> c17RenameColumn _,
         "c14_delete_mor" -> c14DeleteMor _,
         "c05_stats_pruned_read" -> c05StatsPrunedRead _,
         "c16_bloom_pruned_read" -> c16BloomPrunedRead _,
@@ -3319,6 +3828,19 @@ object Snapshots {
         "c13_metadata_agg" -> c13MetadataAgg _)
 
   val oracles: Map[String, String] = Map(
+    "c17_rename_column" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice AS price FROM orders
+        |), st AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey BETWEEN 1 AND 10 THEN 0.0 ELSE price END AS price
+        |  FROM base WHERE o_orderkey NOT BETWEEN 2000 AND 2999
+        |)
+        |SELECT CAST(o_orderkey % 5 AS BIGINT) AS bucket,
+        |  count(*) AS n,
+        |  round(sum(price), 2) AS total_price,
+        |  CAST(count(CASE WHEN price = 0.0 THEN 1 END) AS BIGINT) AS n_zeroed
+        |FROM st GROUP BY 1 ORDER BY 1""".stripMargin,
     "c14_delete_mor" ->
       """WITH c AS (
         |  SELECT o_orderkey, o_orderstatus,

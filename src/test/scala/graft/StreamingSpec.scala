@@ -1032,6 +1032,74 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("change feed refuses a column-mapping boundary; a fresh checkpoint past it streams the new names") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Snapshots
+    val sp = spark
+    import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("cfcm").toString
+    val snap = new Snapshots(spark, base + "/lake")
+    snap.commit(Map("t" -> Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")))      // v1
+    snap.append("t", Seq((3L, 3.0)).toDF("id", "v"))                        // v2
+    val vR = snap.renameColumn("t", "v", "score")                           // v3
+    snap.append("t", Seq((4L, 4.0)).toDF("id", "score"))                    // v4
+
+    def stream(startV: Long, ckpt: String) = spark.readStream
+      .format("graft.sources.ChangeFeed")
+      .option("path", base + "/lake").option("table", "t")
+      .option("startingVersion", startV.toString)
+      .load()
+      .writeStream.format("memory").queryName(s"cm_feed_$startV")
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    // a stream whose walk crosses the rename fails LOUDLY at the boundary
+    val q1 = stream(0L, base + "/ckpt1")
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    q1.stop()
+    assert(ex.getCause.getMessage.contains("column mapping"),
+      s"expected the mapping-boundary refusal, got: ${ex.getCause.getMessage}")
+
+    // a fresh checkpoint at the rename version streams the post-rename
+    // schema — and the per-file reads resolve the NEW logical name to
+    // the OLD physical one (old files were never rewritten)
+    val q2 = stream(vR, base + "/ckpt2")
+    try {
+      q2.processAllAvailable()
+      val got = spark.table(s"cm_feed_$vR")
+      assert(got.columns.contains("score") && !got.columns.contains("v"))
+      val rows = got.where(col("_change") === "added")
+        .select("id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(rows == Set((4L, 4.0)), s"post-boundary feed delivered $rows")
+    } finally q2.stop()
+
+    // the standing-mapping case (no boundary in the walked span): a
+    // table renamed BEFORE the stream starts delivers every version
+    // under the new name, including pre-rename files read physically
+    val snap2 = new Snapshots(spark, base + "/lake2")
+    snap2.commit(Map("t" -> Seq((1L, 1.0)).toDF("id", "v")))                // v1
+    snap2.append("t", Seq((2L, 2.0)).toDF("id", "v"))                       // v2
+    snap2.renameColumn("t", "v", "score")                                   // v3
+    val q3 = spark.readStream
+      .format("graft.sources.ChangeFeed")
+      .option("path", base + "/lake2").option("table", "t")
+      .option("startingVersion", "0")
+      .load()
+      .writeStream.format("memory").queryName("cm_feed_standing")
+      .option("checkpointLocation", base + "/ckpt3")
+      .start()
+    try {
+      q3.processAllAvailable()
+      val rows = spark.table("cm_feed_standing")
+        .where(col("_change") === "added")
+        .select("id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(rows == Set((1L, 1.0), (2L, 2.0)),
+        s"standing mapping must deliver pre-rename files under the new name, got $rows")
+    } finally q3.stop()
+  }
+
   test("batch sessionizer agrees with the declarative q19 formulation") {
     import org.apache.spark.sql.functions._
     val stateful = EventStreams.sessionizeStateful(spark, TestSpark.sfTest)

@@ -1896,4 +1896,197 @@ class TxnSpec extends AnyFunSuite {
     intercept[NoSuchElementException] { snap.tableDetail("nope") }
     assert(fsys.exists(new org.apache.hadoop.fs.Path(root)))
   }
+
+  test("renameColumn: metadata-only re-label; every verb speaks the new name") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txncm").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    val v1 = snap.commit(Map("a" -> (1L to 200L).map(i => (i, i * 2.0)).toDF("id", "v")
+      .repartitionByRange(4, col("id"))), Map("a" -> Seq("id", "v")))
+    val filesBefore = snap.read("a").inputFiles.toSet
+    val v2 = snap.renameColumn("a", "v", "amount")
+    assert(v2 == v1 + 1)
+    // metadata-only: not one data byte moved
+    assert(snap.read("a").inputFiles.toSet == filesBefore)
+    assert(snap.read("a").columns.toSeq == Seq("id", "amount"))
+    assert(snap.read("a").agg(sum("amount")).head.getDouble(0) == (1L to 200L).map(_ * 2.0).sum)
+    // time travel: the old version still shows the old name
+    assert(snap.read("a", Some(v1)).columns.toSeq == Seq("id", "v"))
+    // appends speak the NEW name; the old name is refused by the guard
+    snap.append("a", Seq((201L, 402.0)).toDF("id", "amount"), statsCols = Seq("id", "amount"))
+    intercept[IllegalArgumentException](
+      snap.append("a", Seq((202L, 404.0)).toDF("id", "v")))
+    assert(snap.read("a").count() == 201L)
+    // stats-pruned reads and partial-rewrite DML address the new name
+    // (sidecars stay keyed by the physical name underneath)
+    assert(snap.readWhere("a", Seq(ColRange("amount", Some(100.0), Some(110.0))))
+      .count() == 6L) // amounts 100..110 step 2
+    snap.updateWhere("a", Seq(ColRange("id", Some(1L), Some(10L))),
+      Map("amount" -> (col("amount") + 1000.0)), Seq("id", "amount"))
+    assert(snap.read("a").where(col("amount") > 1000.0).count() == 10L)
+    snap.deleteWhere("a", Seq(ColRange("amount", Some(1200.0), Some(1300.0))), Seq("id", "amount"))
+    // ids 100..150 have amount 1200..1300 → wait: update moved ids 1..10; delete hits raw range
+    // metadata-only aggregates answer under the logical name
+    val (n, stats) = snap.aggStats("a", Seq("amount"))
+    assert(n == snap.read("a").count())
+    assert(stats("amount")._1 == n) // no nulls
+    // rename collisions and unknown columns refuse loudly
+    intercept[IllegalArgumentException](snap.renameColumn("a", "id", "amount"))
+    intercept[IllegalArgumentException](snap.renameColumn("a", "nope", "x"))
+    // merge + keyset delete on the renamed schema
+    snap.mergeInto("a", Seq((1L, 7.0), (999L, 9.0)).toDF("id", "amount"), "id")
+    assert(snap.read("a").where(col("id") === 1L).head.getDouble(1) == 7.0)
+    assert(snap.read("a").where(col("id") === 999L).count() == 1L)
+    snap.deleteKeys("a", Seq(Tuple1(999L)).toDF("id"), Seq("id"), Seq("id", "amount"))
+    assert(snap.read("a").where(col("id") === 999L).count() == 0L)
+  }
+
+  test("dropColumn: view-only removal; re-add never resurrects; compact materializes") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txncm2").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    val v1 = snap.commit(Map("a" -> (1L to 50L).map(i => (i, i * 2.0, s"w$i"))
+      .toDF("id", "v", "w")), Map("a" -> Seq("id")))
+    val filesBefore = snap.read("a").inputFiles.toSet
+    val v2 = snap.dropColumn("a", "w")
+    assert(snap.read("a").columns.toSeq == Seq("id", "v"))
+    assert(snap.read("a").inputFiles.toSet == filesBefore, "drop must move no data")
+    assert(snap.read("a", Some(v1)).columns.toSeq == Seq("id", "v", "w"))
+    // RE-ADD the dropped name: fresh physical column — the old values
+    // can never resurrect (old rows read null, new rows carry theirs)
+    snap.append("a", Seq((51L, 102.0, "fresh")).toDF("id", "v", "w"), mergeSchema = true)
+    val back = snap.read("a")
+    assert(back.columns.toSeq == Seq("id", "v", "w"))
+    assert(back.where(col("id") <= 50L && col("w").isNotNull).count() == 0L,
+      "dropped data resurrected on re-add")
+    assert(back.where(col("id") === 51L).head.getString(2) == "fresh")
+    // the dropped guard: a CHECK referencing a column blocks its drop/rename
+    snap.addCheck("a", "v_pos", "v > 0")
+    intercept[IllegalArgumentException](snap.dropColumn("a", "v"))
+    intercept[IllegalArgumentException](snap.renameColumn("a", "v", "val"))
+    snap.dropCheck("a", "v_pos")
+    // raw multi-file surfaces refuse while a mapping is pending
+    intercept[IllegalArgumentException](snap.readTables(Seq("a")))
+    intercept[IllegalArgumentException](snap.tablePaths())
+    // COMPACT materializes: mapping line ends, dropped bytes shed,
+    // view identical, raw surfaces come back
+    val pre = snap.read("a").orderBy("id").collect()
+    snap.compact("a", statsCols = Seq("id"))
+    assert(snap.columnMapping("a").isEmpty, "compact must clear the mapping")
+    assert(snap.read("a").orderBy("id").collect().toSeq == pre.toSeq)
+    assert(snap.readTables(Seq("a")).count() == 51L)
+    assert(!snap.tableDetail("a").schemaDdl.contains("__v"),
+      "materialized files must carry plain logical names")
+    // a second rename after materialization starts a fresh mapping
+    snap.renameColumn("a", "w", "tag")
+    assert(snap.read("a").columns.toSeq == Seq("id", "v", "tag"))
+  }
+
+  test("column mapping: clone/restore carry it; readChanges refuses rename crossings") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txncm3").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    val v1 = snap.commit(Map("a" -> (1L to 20L).map(i => (i, i * 1.0)).toDF("id", "v")),
+      Map("a" -> Seq("id")))
+    val v2 = snap.append("a", Seq((21L, 21.0)).toDF("id", "v"), statsCols = Seq("id"))
+    val vR = snap.renameColumn("a", "v", "score")
+    val v4 = snap.append("a", Seq((22L, 22.0)).toDF("id", "score"), statsCols = Seq("id"))
+    // diffs on one side of the rename work, in that side's names
+    assert(snap.readChanges("a", v1, v2).columns.contains("v"))
+    assert(snap.readChanges("a", vR, v4).columns.contains("score"))
+    assert(snap.readChanges("a", vR, v4).where(col("_change") === "added").count() == 1L)
+    // crossing the rename refuses with the split point
+    val ex = intercept[IllegalArgumentException](snap.readChanges("a", v1, v4).collect())
+    assert(ex.getMessage.contains("rename"), ex.getMessage)
+    // clone carries the mapping; the pair evolve independently
+    snap.cloneTable("a", "b")
+    assert(snap.read("b").columns.toSeq == Seq("id", "score"))
+    snap.renameColumn("b", "score", "pts")
+    assert(snap.read("a").columns.toSeq == Seq("id", "score"))
+    // restore to the pre-rename version brings the old name back
+    snap.restoreTable("a", v2)
+    assert(snap.read("a").columns.toSeq == Seq("id", "v"))
+    assert(snap.read("a").count() == 21L)
+  }
+
+  test("merge-on-read verbs under a rename: positions stay exact, SET speaks the new name") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txncm4").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    snap.commit(Map("a" -> (1L to 100L).map(i => (i, i * 2.0)).toDF("id", "v")
+      .repartitionByRange(4, col("id"))), Map("a" -> Seq("id")))
+    snap.renameColumn("a", "v", "amount")
+    // MoR delete: ranges on the NEW name; the tombstones are positional
+    snap.deleteWhereMoR("a", Seq(ColRange("id", Some(1L), Some(10L))))
+    assert(snap.read("a").count() == 90L)
+    // count(*) aggStats stays exact under DV + mapping
+    assert(snap.aggStats("a", Nil)._1 == 90L)
+    // MoR update: SET on the new name, re-appended rows stage physically
+    snap.updateWhereMoR("a", Seq(ColRange("id", Some(11L), Some(20L))),
+      Map("amount" -> (col("amount") + 10000.0)), Seq("id"))
+    val up = snap.read("a").where(col("amount") > 10000.0)
+    assert(up.count() == 10L)
+    assert(snap.read("a").count() == 90L)
+    // compact materializes vector AND mapping together
+    snap.compact("a", statsCols = Seq("id"))
+    assert(snap.columnMapping("a").isEmpty && !snap.tableDetail("a").hasDeletionVector)
+    assert(snap.read("a").count() == 90L)
+    assert(snap.read("a").columns.toSeq == Seq("id", "amount"))
+    assert(snap.read("a").where(col("amount") > 10000.0).count() == 10L)
+  }
+
+
+  test("compactWhere: predicate-scoped OPTIMIZE packs only matching files; DV trimmed exactly") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txncw").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    // cold half: 4 well-sized range files over ids 1..400
+    snap.commit(Map("a" -> (1L to 400L).map(i => (i, i * 2.0)).toDF("id", "v")
+      .repartitionByRange(4, col("id"))), Map("a" -> Seq("id")))
+    // hot half: 6 tiny appends land small files in the 401..460 range
+    (0 until 6).foreach { k =>
+      snap.append("a", ((401L + k * 10) to (410L + k * 10)).map(i => (i, i * 2.0)).toDF("id", "v")
+        .coalesce(1), statsCols = Seq("id"))
+    }
+    val pre = snap.read("a").orderBy("id").collect()
+    val preFiles = snap.read("a").inputFiles.toSet
+    assert(preFiles.size == 10, s"fixture wants 4 cold + 6 hot files, got ${preFiles.size}")
+    val coldFiles = snap.read("a", Some(1L)).inputFiles.toSet
+    snap.compactWhere("a", Seq(ColRange("id", Some(401L), None)), statsCols = Seq("id"))
+    val postFiles = snap.read("a").inputFiles.toSet
+    // the 4 cold files are RE-REFERENCED byte-identical; the 6 hot ones packed
+    assert(coldFiles.subsetOf(postFiles), "cold files must be re-referenced, not rewritten")
+    assert(postFiles.size < preFiles.size, "hot small files must have packed")
+    assert((postFiles -- coldFiles).nonEmpty && (postFiles -- coldFiles).size < 6)
+    assert(snap.read("a").orderBy("id").collect().toSeq == pre.toSeq, "rows must be invariant")
+    // the version is maintenance: the change feed must skip it
+    assert(snap.isMaintenanceVersion("a", snap.currentVersion.get))
+    // stats keep pruning on both halves after the partial pack
+    assert(snap.readWhere("a", Seq(ColRange("id", Some(1L), Some(50L)))).count() == 50L)
+    assert(snap.readWhere("a", Seq(ColRange("id", Some(420L), Some(429L)))).count() == 10L)
+    // fewer than two matching files → honest no-op
+    val v0 = snap.currentVersion.get
+    assert(snap.compactWhere("a", Seq(ColRange("id", Some(1L), Some(10L)))) == v0)
+
+    // DV interplay: tombstone rows in BOTH halves, pack the hot half —
+    // touched entries trim away, kept-file entries stay, counts exact
+    snap.deleteWhereMoR("a", Seq(ColRange("id", Some(50L), Some(60L))))   // cold files
+    snap.deleteWhereMoR("a", Seq(ColRange("id", Some(405L), Some(415L)))) // hot files
+    val liveCount = snap.read("a").count()
+    assert(liveCount == 460L - 11L - 11L)
+    snap.compactWhere("a", Seq(ColRange("id", Some(401L), None)), statsCols = Seq("id"))
+    assert(snap.read("a").count() == liveCount, "partial pack must not resurrect or lose DV'd rows")
+    assert(snap.tableDetail("a").hasDeletionVector, "kept-file tombstones must survive")
+    assert(snap.aggStats("a", Nil)._1 == liveCount, "metadata count must stay exact after the trim")
+    // full compact still materializes everything afterwards
+    snap.compact("a", statsCols = Seq("id"))
+    assert(!snap.tableDetail("a").hasDeletionVector)
+    assert(snap.read("a").count() == liveCount)
+  }
+
 }
