@@ -773,9 +773,39 @@ object Relational {
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** B50 `q55_window_rank`: the RANKING window matrix — rank,
+    * dense_rank, percent_rank, cume_dist, ntile — the analytics verbs
+    * q08/q44 (aggregates, navigation) leave open. One window, one
+    * shuffle on the partition key; the ordering value is made UNIQUE
+    * (cents + orderkey tiebreak) so rank==dense_rank pins the no-gap
+    * case while a second window over the 3-bucket status column
+    * exercises genuine ties — both engines must agree on ANSI tie and
+    * bucket-boundary semantics, not just happy paths.
+    */
+  def q55WindowRank(s: SparkSession, dir: String): DataFrame = {
+    graft.sources.Catalog.register(s, dir)
+    s.sql(
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) * 100000 + o_orderkey AS rank_val
+        |  FROM orders
+        |)
+        |SELECT o_custkey, o_orderkey,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  round(percent_rank() OVER w, 6) AS prnk,
+        |  round(cume_dist() OVER w, 6) AS cdist,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS BIGINT) AS status_rank
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY rank_val)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg" -> q01Agg _,
     "q48_funnel" -> q48Funnel _,
+    "q55_window_rank" -> q55WindowRank _,
     "q52_unpivot" -> q52Unpivot _,
     "q53_mode_median" -> q53ModeMedian _,
     "q54_cond_agg" -> q54CondAgg _,
@@ -816,6 +846,22 @@ object Relational {
     "q24_pivot" -> q24Pivot _)
 
   val oracles: Map[String, String] = Map(
+    "q55_window_rank" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) * 100000 + o_orderkey AS rank_val
+        |  FROM orders
+        |)
+        |SELECT o_custkey, o_orderkey,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  round(percent_rank() OVER w, 6) AS prnk,
+        |  round(cume_dist() OVER w, 6) AS cdist,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS BIGINT) AS status_rank
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY rank_val)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q52_unpivot" ->
       """WITH wide AS (
         |  SELECT l_returnflag,

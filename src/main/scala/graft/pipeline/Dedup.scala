@@ -328,7 +328,51 @@ object Dedup {
       .orderBy("b_id", "s_id")
   }
 
+  /** C50 `d10_url_dedup`: URL-canonicalization dedup — the first
+    * dedup any web corpus runs, BEFORE any content hashing: the same
+    * page arrives under tracking-parameter, fragment, case, default-
+    * port and trailing-slash variants, and content-level dedup would
+    * pay full shingling cost to rediscover what the URL already says.
+    * The canonicalization kernel is a fixed normalization ladder
+    * (strip fragment → strip tracking params → drop default port →
+    * lowercase scheme+host → strip trailing slash; the order matters
+    * and the oracle pins it), then dedup is one linear groupBy on the
+    * canonical key — keep = min(doc_id), the deterministic survivor
+    * rule. Scale: O(corpus) map + one shuffle on a short string key;
+    * no content ever read. The fixture derives four dirty variants
+    * per canonical page from doc_id arithmetic so DuckDB recomputes
+    * the exact group structure.
+    */
+  def d10UrlDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"))
+      .withColumn("gid", expr("doc_id div 4"))
+      .withColumn("site", (col("gid") % 3).cast("long"))
+      .withColumn("v", (col("doc_id") % 4).cast("int"))
+      .withColumn("url",
+        when(col("v") === 0, concat(lit("https://site"), col("site"),
+          lit(".example.com/page/"), col("gid")))
+        .when(col("v") === 1, concat(lit("https://site"), col("site"),
+          lit(".example.com/page/"), col("gid"), lit("?utm_source=feed")))
+        .when(col("v") === 2, concat(lit("https://SITE"), col("site"),
+          lit(".EXAMPLE.COM:443/page/"), col("gid")))
+        .otherwise(concat(lit("https://site"), col("site"),
+          lit(".example.com/page/"), col("gid"), lit("/#frag"))))
+    d.withColumn("canon",
+        regexp_replace(
+          lower(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(col("url"), "#frag", ""),
+                "\\?utm_source=feed", ""),
+              ":443/", "/")),
+          "/$", ""))
+      .groupBy("canon")
+      .agg(count(lit(1)).as("n_variants"), min("doc_id").as("keep_id"))
+      .orderBy("canon")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d10_url_dedup" -> d10UrlDedup _,
     "d01_dedup_exact" -> d01DedupExact _,
     "d08_dedup_incremental_ngram" -> ((s, dir) => d08DedupIncrementalNgram(s, dir)),
     "d02_dedup_minhash" -> d02DedupMinhash _,
@@ -341,6 +385,34 @@ object Dedup {
     * expressible); DedupSpec carries their recall/exactness checks.
     */
   val oracles: Map[String, String] = Map(
+    "d10_url_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id // 4 AS gid, (doc_id // 4) % 3 AS site,
+        |    doc_id % 4 AS v
+        |  FROM documents
+        |), u AS (
+        |  SELECT doc_id,
+        |    CASE v
+        |      WHEN 0 THEN 'https://site' || site || '.example.com/page/' || gid
+        |      WHEN 1 THEN 'https://site' || site || '.example.com/page/' || gid || '?utm_source=feed'
+        |      WHEN 2 THEN 'https://SITE' || site || '.EXAMPLE.COM:443/page/' || gid
+        |      ELSE 'https://site' || site || '.example.com/page/' || gid || '/#frag'
+        |    END AS url
+        |  FROM d
+        |), c AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      lower(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(url, '#frag', ''),
+        |            '\?utm_source=feed', ''),
+        |          ':443/', '/')),
+        |      '/$', '') AS canon
+        |  FROM u
+        |)
+        |SELECT canon, count(*) AS n_variants, min(doc_id) AS keep_id
+        |FROM c GROUP BY canon ORDER BY canon""".stripMargin,
     "d08_dedup_incremental_ngram" ->
       """WITH b AS (
         |  SELECT doc_id + 300000 AS b_id, substr(text, instr(text, ' ') + 1) AS text
