@@ -802,10 +802,55 @@ object Relational {
         |ORDER BY o_custkey, o_orderkey""".stripMargin)
   }
 
+  /** B51 `q56_null_semantics`: the ANSI three-valued-logic matrix — the
+    * semantics every engine port gets subtly wrong somewhere. Per-row:
+    * null-safe equality (`<=>` / IS NOT DISTINCT FROM) and NULLIF
+    * round-trips. Cross-joined scalar counts pin the law in FILTER
+    * position (the null-aware anti-join, where Spark is ANSI-exact):
+    * NOT IN against a key set CONTAINING a NULL keeps ZERO rows, the
+    * same NOT IN against the null-free set behaves like q06's anti
+    * join, and NOT EXISTS over the null set keeps rows — the pair's
+    * difference IS the three-valued rule. (Deliberately NOT the
+    * projection form: Spark's ExistenceJoin rewrite of a projected
+    * `x NOT IN (subquery)` returns false where ANSI says NULL — a
+    * documented engine divergence this oracle must pin AROUND, which
+    * is itself recorded here.) Scale: broadcast null-aware anti join,
+    * q06's linear shape plus one null probe.
+    */
+  def q56NullSemantics(s: SparkSession, dir: String): DataFrame = {
+    graft.sources.Catalog.register(s, dir)
+    s.sql(
+      """WITH probe_null AS (
+        |  SELECT CASE WHEN r_regionkey = 0 THEN NULL
+        |              ELSE r_regionkey + 10 END AS k
+        |  FROM region
+        |), probe_clean AS (
+        |  SELECT k FROM probe_null WHERE k IS NOT NULL
+        |), n AS (
+        |  SELECT n_nationkey, n_regionkey,
+        |    NULLIF(n_regionkey, 2) AS reg_or_null
+        |  FROM nation
+        |), counts AS (
+        |  SELECT
+        |    (SELECT count(*) FROM n WHERE n_nationkey NOT IN (SELECT k FROM probe_null)) AS kept_notin_nullset,
+        |    (SELECT count(*) FROM n WHERE n_nationkey NOT IN (SELECT k FROM probe_clean)) AS kept_notin_clean,
+        |    (SELECT count(*) FROM n WHERE NOT EXISTS (
+        |       SELECT 1 FROM probe_null p WHERE p.k = n.n_nationkey)) AS kept_notexists,
+        |    (SELECT count(reg_or_null) FROM n) AS nn_nullif,
+        |    (SELECT count(*) FROM n) AS n_total
+        |)
+        |SELECT n_nationkey,
+        |  CAST(reg_or_null <=> n_regionkey AS STRING) AS nullsafe_eq,
+        |  coalesce(reg_or_null, -1) AS reg_filled,
+        |  kept_notin_nullset, kept_notin_clean, kept_notexists, nn_nullif, n_total
+        |FROM n CROSS JOIN counts ORDER BY n_nationkey""".stripMargin)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg" -> q01Agg _,
     "q48_funnel" -> q48Funnel _,
     "q55_window_rank" -> q55WindowRank _,
+    "q56_null_semantics" -> q56NullSemantics _,
     "q52_unpivot" -> q52Unpivot _,
     "q53_mode_median" -> q53ModeMedian _,
     "q54_cond_agg" -> q54CondAgg _,
@@ -846,6 +891,31 @@ object Relational {
     "q24_pivot" -> q24Pivot _)
 
   val oracles: Map[String, String] = Map(
+    "q56_null_semantics" ->
+      """WITH probe_null AS (
+        |  SELECT CASE WHEN r_regionkey = 0 THEN NULL
+        |              ELSE r_regionkey + 10 END AS k
+        |  FROM region
+        |), probe_clean AS (
+        |  SELECT k FROM probe_null WHERE k IS NOT NULL
+        |), n AS (
+        |  SELECT n_nationkey, n_regionkey,
+        |    NULLIF(n_regionkey, 2) AS reg_or_null
+        |  FROM nation
+        |), counts AS (
+        |  SELECT
+        |    (SELECT count(*) FROM n WHERE n_nationkey NOT IN (SELECT k FROM probe_null)) AS kept_notin_nullset,
+        |    (SELECT count(*) FROM n WHERE n_nationkey NOT IN (SELECT k FROM probe_clean)) AS kept_notin_clean,
+        |    (SELECT count(*) FROM n WHERE NOT EXISTS (
+        |       SELECT 1 FROM probe_null p WHERE p.k = n.n_nationkey)) AS kept_notexists,
+        |    (SELECT count(reg_or_null) FROM n) AS nn_nullif,
+        |    (SELECT count(*) FROM n) AS n_total
+        |)
+        |SELECT n_nationkey,
+        |  CAST(reg_or_null IS NOT DISTINCT FROM n_regionkey AS VARCHAR) AS nullsafe_eq,
+        |  coalesce(reg_or_null, -1) AS reg_filled,
+        |  kept_notin_nullset, kept_notin_clean, kept_notexists, nn_nullif, n_total
+        |FROM n CROSS JOIN counts ORDER BY n_nationkey""".stripMargin,
     "q55_window_rank" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderkey, o_orderstatus,

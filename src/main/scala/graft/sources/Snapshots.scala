@@ -3126,6 +3126,46 @@ class Snapshots(s: SparkSession, root: String) {
     *     newest file is older than it are collected. With the default 0,
     *     vacuum is safe only with no concurrent writers.
     */
+  /** VACUUM DRY RUN (Delta's `VACUUM … DRY RUN`, public design): the
+    * exact plan [[vacuum]] would execute — versions to drop, data
+    * directories to delete, bytes reclaimed — with ZERO mutation (no
+    * checkpoint written, nothing deleted). The answer an operator
+    * wants before pointing a reclaim job at 100 TB: what leaves, and
+    * how much space comes back. Same reference arithmetic as vacuum
+    * (dir-granular refcounts over kept manifests, age guard for
+    * in-flight writers), so plan == action modulo concurrent commits.
+    */
+  def vacuumPlan(keepLast: Int, minAgeMs: Long = 0L): Snapshots.VacuumPlan = {
+    require(keepLast >= 1, "must keep at least the head version")
+    if (!fs.exists(commitDir)) return Snapshots.VacuumPlan(Nil, Nil, 0L)
+    val versions = fs.listStatus(commitDir).map(_.getPath.getName)
+      .filter(_.endsWith(".manifest"))
+      .map(_.stripSuffix(".manifest").toLong).sorted.reverse.toSeq
+    val (kept, dropped) = versions.splitAt(keepLast)
+    def refDirs(rels: Iterable[String]): Set[String] =
+      rels.flatMap(splitRel).map(_.split("/").take(2).mkString("/")).toSet
+    val referenced = refDirs(kept.flatMap { v =>
+      val m = readManifest(v)
+      dataEntries(m).values ++ dvEntries(m).values
+    })
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val doomed = fs.listStatus(new Path(root))
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+(-[0-9a-f]+)?"))
+      .flatMap { vd =>
+        fs.listStatus(vd.getPath).filter(_.isDirectory).filter { td =>
+          val rel = s"${vd.getPath.getName}/${td.getPath.getName}"
+          val newest = (td.getModificationTime +:
+            fs.listStatus(td.getPath).map(_.getModificationTime).toSeq).max
+          !referenced.contains(rel) && newest <= cutoff
+        }
+      }.toSeq
+    val bytes = doomed.map(td => fs.getContentSummary(td.getPath).getLength).sum
+    Snapshots.VacuumPlan(
+      dropped.sorted,
+      doomed.map(td => s"${td.getPath.getParent.getName}/${td.getPath.getName}").sorted,
+      bytes)
+  }
+
   def vacuum(keepLast: Int, minAgeMs: Long = 0L): (Int, Int) = {
     require(keepLast >= 1, "must keep at least the head version")
     if (!fs.exists(commitDir)) return (0, 0)
@@ -3229,6 +3269,11 @@ object Snapshots {
   /** One table's operational facts at a version — see
     * [[Snapshots.tableDetail]].
     */
+  /** What a [[Snapshots.vacuum]] with the same arguments would do. */
+  final case class VacuumPlan(versionsToDrop: Seq[Long],
+                              dirsToDelete: Seq[String],
+                              bytesReclaimed: Long)
+
   final case class TableDetail(table: String, version: Long,
                                committedAt: java.sql.Timestamp,
                                numFiles: Int, sizeBytes: Long,

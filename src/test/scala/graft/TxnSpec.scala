@@ -2089,4 +2089,30 @@ class TxnSpec extends AnyFunSuite {
     assert(snap.read("a").count() == liveCount)
   }
 
+
+  test("vacuumPlan: the dry run names exactly what vacuum then deletes, and mutates nothing") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txnvp").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    snap.commit(Map("a" -> (1L to 50L).map(i => (i, i * 2.0)).toDF("id", "v")))
+    snap.append("a", Seq((51L, 102.0)).toDF("id", "v"))
+    snap.compact("a") // v1's and v2's dirs become unreferenced at head
+    val headBefore = snap.currentVersion.get
+    val plan = snap.vacuumPlan(keepLast = 1)
+    assert(plan.versionsToDrop.nonEmpty && plan.dirsToDelete.nonEmpty)
+    assert(plan.bytesReclaimed > 0L)
+    // dry run: nothing moved — full history still reads
+    assert(snap.currentVersion.get == headBefore)
+    assert(snap.read("a", Some(1L)).count() == 50L)
+    val (droppedVersions, deletedDirs) = snap.vacuum(keepLast = 1)
+    assert(droppedVersions == plan.versionsToDrop.size,
+      s"plan ${plan.versionsToDrop} vs vacuum dropped $droppedVersions")
+    assert(deletedDirs == plan.dirsToDelete.size,
+      s"plan ${plan.dirsToDelete} vs vacuum deleted $deletedDirs")
+    // post-vacuum plan is empty: the lake is already minimal
+    val after = snap.vacuumPlan(keepLast = 1)
+    assert(after.versionsToDrop.isEmpty && after.dirsToDelete.isEmpty && after.bytesReclaimed == 0L)
+  }
+
 }
