@@ -846,11 +846,38 @@ object Relational {
         |FROM n CROSS JOIN counts ORDER BY n_nationkey""".stripMargin)
   }
 
+  /** B52 `q57_datetime_parts`: the DATE-PART extraction matrix —
+    * day-of-week, day-of-year, ISO week, quarter, last_day, date
+    * arithmetic, epoch-day distance. These are the calendar semantics
+    * every engine pair disagrees on somewhere (week numbering at year
+    * boundaries, dow origin): the oracle pins them by ALIGNING the
+    * conventions explicitly (Spark's Sunday=1 dow shifts to the
+    * Sunday=0 convention; both weekofyear implementations are ISO and
+    * must agree AT the January boundary, which the fixture's date
+    * range crosses). Pure codegen projections; zero shuffles beyond
+    * the final order.
+    */
+  def q57DatetimeParts(s: SparkSession, dir: String): DataFrame = {
+    graft.sources.Catalog.register(s, dir)
+    s.sql(
+      """SELECT o_orderkey,
+        |  CAST(dayofweek(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS dow_sun0,
+        |  CAST(dayofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS doy,
+        |  CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_week,
+        |  CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS qtr,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS STRING) AS month_end,
+        |  CAST(date_add(CAST(o_orderdate AS DATE), 30) AS STRING) AS ship_by,
+        |  CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT) AS epoch_day
+        |FROM orders WHERE o_orderkey % 40 = 0
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg" -> q01Agg _,
     "q48_funnel" -> q48Funnel _,
     "q55_window_rank" -> q55WindowRank _,
     "q56_null_semantics" -> q56NullSemantics _,
+    "q57_datetime_parts" -> q57DatetimeParts _,
     "q52_unpivot" -> q52Unpivot _,
     "q53_mode_median" -> q53ModeMedian _,
     "q54_cond_agg" -> q54CondAgg _,
@@ -891,6 +918,17 @@ object Relational {
     "q24_pivot" -> q24Pivot _)
 
   val oracles: Map[String, String] = Map(
+    "q57_datetime_parts" ->
+      """SELECT o_orderkey,
+        |  CAST(dayofweek(CAST(o_orderdate AS DATE)) AS BIGINT) AS dow_sun0,
+        |  CAST(dayofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS doy,
+        |  CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_week,
+        |  CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS qtr,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+        |  CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS ship_by,
+        |  date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS epoch_day
+        |FROM orders WHERE o_orderkey % 40 = 0
+        |ORDER BY o_orderkey""".stripMargin,
     "q56_null_semantics" ->
       """WITH probe_null AS (
         |  SELECT CASE WHEN r_regionkey = 0 THEN NULL
