@@ -60,6 +60,11 @@ class Snapshots(s: SparkSession, root: String) {
     * streaming change feed). */
   def rootPath: String = root
 
+  /** Test-only publish gate for the concurrent-DML merge path (see
+    * partialRewrite); identity in production.
+    */
+  @volatile private[graft] var beforePublish: (String, String) => Unit = (_, _) => ()
+
   private val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
   private def commitDir = new Path(root, "_commits")
   private def commitPath(v: Long) = new Path(commitDir, f"$v%020d.manifest")
@@ -540,6 +545,20 @@ class Snapshots(s: SparkSession, root: String) {
     */
   private val GenSuffix = "@gen"
 
+  /** IDENTITY columns (Delta's GENERATED ALWAYS AS IDENTITY, public
+    * design): `<table>@identity=<col>:<next>` declares a bigint column
+    * whose values the LAKE assigns at append — monotonically increasing
+    * and unique, with the high-water mark advanced ATOMICALLY in the
+    * same manifest publish as the data (a crash can never burn ids
+    * into a state where reuse is possible). Batches must OMIT the
+    * column ("generated always"); [[appendIdentity]] assigns dense
+    * contiguous ids via the two-pass distributed index (per-partition
+    * counts, then prefix offsets — no global sort, no driver data).
+    * A lost version race re-assigns against the new high-water mark
+    * before retrying, so concurrent identity appends never collide.
+    */
+  private val IdentitySuffix = "@identity"
+
   /** COLUMN MAPPING (the Delta column-mapping idea, public design):
     * `<table>@colmap=<logical>:<physical>;…` — an ORDERED list of the
     * table's visible columns, each naming the PHYSICAL column that
@@ -567,7 +586,8 @@ class Snapshots(s: SparkSession, root: String) {
     key.endsWith(TagsSuffix) || key.endsWith(SchemaSuffix) ||
       key.endsWith(FilesSuffix) || key.endsWith(MaintSuffix) ||
       key.endsWith(DvSuffix) || key.endsWith(CheckSuffix) ||
-      key.endsWith(GenSuffix) || key.endsWith(ColmapSuffix)
+      key.endsWith(GenSuffix) || key.endsWith(ColmapSuffix) ||
+      key.endsWith(IdentitySuffix)
 
   private def encodeColmap(pairs: Seq[(String, String)]): String =
     pairs.map { case (l, p) =>
@@ -991,7 +1011,8 @@ class Snapshots(s: SparkSession, root: String) {
         .filter { case (k, _) =>
           (isTagEntry(k) && tables.contains(k.stripSuffix(TagsSuffix))) ||
             (k.endsWith(CheckSuffix) && tables.contains(k.stripSuffix(CheckSuffix))) ||
-            (k.endsWith(GenSuffix) && tables.contains(k.stripSuffix(GenSuffix))) }
+            (k.endsWith(GenSuffix) && tables.contains(k.stripSuffix(GenSuffix))) ||
+            (k.endsWith(IdentitySuffix) && tables.contains(k.stripSuffix(IdentitySuffix))) }
       if (writeManifest(attempt, written ++ carriedTags)) return attempt
       attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
     }
@@ -1963,7 +1984,7 @@ class Snapshots(s: SparkSession, root: String) {
         throw new NoSuchElementException(s"table '$src' not committed under $root"))
       require(!dataEntries(cur).contains(dst),
         s"clone target '$dst' already exists under $root")
-      val meta = Seq(SchemaSuffix, FilesSuffix, TagsSuffix, DvSuffix, CheckSuffix, GenSuffix, ColmapSuffix).flatMap(sfx =>
+      val meta = Seq(SchemaSuffix, FilesSuffix, TagsSuffix, DvSuffix, CheckSuffix, GenSuffix, ColmapSuffix, IdentitySuffix).flatMap(sfx =>
         cur.get(src + sfx).map(v => (dst + sfx) -> v))
       if (writeManifest(attempt, cur + (dst -> rel) ++ meta)) return attempt
       attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
@@ -1988,7 +2009,7 @@ class Snapshots(s: SparkSession, root: String) {
     val rel = dataEntries(old).getOrElse(table,
       throw new NoSuchElementException(
         s"table '$table' not committed at version $fromVersion under $root"))
-    val metaKeys = Seq(SchemaSuffix, FilesSuffix, TagsSuffix, DvSuffix, CheckSuffix, GenSuffix, ColmapSuffix).map(table + _)
+    val metaKeys = Seq(SchemaSuffix, FilesSuffix, TagsSuffix, DvSuffix, CheckSuffix, GenSuffix, ColmapSuffix, IdentitySuffix).map(table + _)
     val meta = metaKeys.flatMap(k => old.get(k).map(k -> _))
     var attempt = currentVersion.getOrElse(0L) + 1
     for (_ <- 1 to MaxAttempts) {
@@ -2598,6 +2619,15 @@ class Snapshots(s: SparkSession, root: String) {
       s"table name '$table' collides with the reserved '@' manifest lines")
     tag.foreach(t => require(t.matches("[A-Za-z0-9_-]+"),
       s"append tag '$t' must be [A-Za-z0-9_-]+ (it names a directory)"))
+    // an identity table's ids are assigned by the LAKE: plain appends
+    // would either fail the schema guard (column omitted) or smuggle
+    // caller-chosen ids past the high-water mark — route loudly
+    currentVersion.map(readManifest).foreach { m =>
+      require(!m.contains(table + IdentitySuffix),
+        s"table '$table' has an identity column — append through appendIdentity " +
+          "(ids are GENERATED ALWAYS; DML verbs like mergeInto may still carry " +
+          "explicit ids for cross-system replication)")
+    }
     // generated columns: compute omitted ones / validate provided ones
     // before the schema guard sees the batch
     val df = currentVersion.map(readManifest)
@@ -2727,6 +2757,145 @@ class Snapshots(s: SparkSession, root: String) {
       s"append lost $MaxAttempts consecutive version races under $root")
   }
 
+  /** The table's identity column and its next value (None = no
+    * identity declared). Metadata like [[checks]]: travels with
+    * clone/restore/time-travel.
+    */
+  def identityColumn(table: String, version: Option[Long] = None): Option[(String, Long)] = {
+    val v = version.orElse(currentVersion).getOrElse(
+      throw new IllegalStateException(s"no commits under $root"))
+    readManifest(v).get(table + IdentitySuffix).map { s0 =>
+      val i = s0.lastIndexOf(':')
+      (s0.substring(0, i), s0.substring(i + 1).toLong)
+    }
+  }
+
+  /** Declare `column` as the table's IDENTITY column (GENERATED ALWAYS
+    * AS IDENTITY). The column must exist as BIGINT; the high-water
+    * mark initializes past the current max with one scan (the one
+    * O(table) cost, like [[addCheck]]), so existing ids are never
+    * reissued. From then on batches land through [[appendIdentity]]
+    * and must OMIT the column.
+    */
+  def addIdentity(table: String, column: String): Long = {
+    val v0 = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no commits under $root"))
+    val m0 = readManifest(v0)
+    val rel = dataEntries(m0).getOrElse(table,
+      throw new NoSuchElementException(s"table '$table' not committed under $root"))
+    val schema = logicalSchema(m0, table).getOrElse(writtenSchema(rel))
+    require(schema.fieldNames.contains(column),
+      s"identity column '$column' not a column of table '$table'")
+    require(schema(column).dataType == org.apache.spark.sql.types.LongType,
+      s"identity column '$column' must be BIGINT, is ${schema(column).dataType.simpleString}")
+    require(!decodeChecks(m0.get(table + GenSuffix)).contains(column),
+      s"column '$column' is a generated column — it cannot also be identity")
+    val mx = read(table, Some(v0)).agg(max(col(column))).head()
+    val next = if (mx.isNullAt(0)) 1L else mx.getLong(0) + 1L
+    var attempt = v0 + 1
+    for (_ <- 1 to MaxAttempts) {
+      val cur = readManifest(currentVersion.get)
+      require(!cur.contains(table + IdentitySuffix),
+        s"table '$table' already has an identity column — drop it first")
+      if (writeManifest(attempt, cur + ((table + IdentitySuffix) -> s"$column:$next")))
+        return attempt
+      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
+    }
+    throw new IllegalStateException(
+      s"addIdentity lost $MaxAttempts consecutive version races under $root")
+  }
+
+  /** Drop the identity declaration (the column and its values stay). */
+  def dropIdentity(table: String): Long = {
+    var attempt = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no commits under $root")) + 1
+    for (_ <- 1 to MaxAttempts) {
+      val cur = readManifest(currentVersion.get)
+      if (!cur.contains(table + IdentitySuffix)) throw new NoSuchElementException(
+        s"no identity column on table '$table' under $root")
+      if (writeManifest(attempt, cur - (table + IdentitySuffix))) return attempt
+      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
+    }
+    throw new IllegalStateException(
+      s"dropIdentity lost $MaxAttempts consecutive version races under $root")
+  }
+
+  /** Append a batch into an identity-bearing table: the lake assigns
+    * `idCol` as dense contiguous values above the high-water mark (the
+    * two-pass distributed index — per-partition counts then prefix
+    * offsets; no global sort, no rows to the driver) and advances the
+    * mark IN THE SAME manifest publish as the data. A lost version
+    * race re-reads the mark and RE-ASSIGNS before retrying, so two
+    * racing identity appends land disjoint contiguous ranges; a
+    * replayed tag is a no-op that burns nothing.
+    */
+  def appendIdentity(table: String, df0: DataFrame, tag: Option[String] = None,
+                     statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
+    tag.foreach(t => require(t.matches("[A-Za-z0-9_-]+"),
+      s"append tag '$t' must be [A-Za-z0-9_-]+ (it names a directory)"))
+    val n = df0.count()
+    if (n == 0L) return currentVersion.getOrElse(
+      throw new IllegalStateException(s"no commits under $root"))
+    var stagedHw: Option[Long] = None
+    var stagedRel: String = null
+    var stagedFiles: Seq[(String, Long)] = Nil
+    var attempt = currentVersion.getOrElse(0L) + 1
+    for (_ <- 1 to MaxAttempts) {
+      val cur = readManifest(currentVersion.getOrElse(
+        throw new IllegalStateException(s"no commits under $root")))
+      val dupe = tag.exists(t => tagsOf(cur, table).contains(t))
+      if (dupe) return currentVersion.get
+      val (idCol, hw) = identityColumn(table, currentVersion).getOrElse(
+        throw new IllegalStateException(
+          s"table '$table' has no identity column — use append, or addIdentity first"))
+      require(!df0.columns.contains(idCol),
+        s"identity column '$idCol' is GENERATED ALWAYS — the batch must omit it " +
+          "(the lake assigns the values)")
+      if (!stagedHw.contains(hw)) {
+        // (re-)assign against the current mark and stage; a superseded
+        // staging dir is an unpublished orphan vacuum's age guard clears
+        val assigned = {
+          val rdd = df0.rdd.zipWithIndex().map { case (row, i) =>
+            org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (hw + i)) }
+          s.createDataFrame(rdd, df0.schema.add(idCol, org.apache.spark.sql.types.LongType, false))
+        }
+        val visible = logicalSchema(cur, table).getOrElse(
+          storedSchema(cur, table).getOrElse(assigned.schema))
+        require(visible.fieldNames.sorted.sameElements(assigned.columns.sorted),
+          s"identity append columns ${assigned.columns.sorted.mkString(",")} != " +
+            s"table '$table' columns ${visible.fieldNames.sorted.mkString(",")}")
+        val ordered = assigned.select(visible.fieldNames.map(col(_)).toIndexedSeq: _*)
+        val checked = applyGenerated(table, cur, ordered, "append")
+        enforceChecks(table, cur, checked, "append")
+        val phys = toPhysical(cur, table, checked)
+        val r = stageRel(attempt, table) + tag.fold("")(t => s"@$t")
+        phys.write.mode("overwrite").parquet(s"$root/$r")
+        if (statsCols.nonEmpty)
+          FileStats.writeSidecar(fs, new Path(s"$root/$r"),
+            FileStats.harvest(s, s"$root/$r", statsCols.map(c => physicalName(cur, table, c))))
+        if (bloomCols.nonEmpty)
+          FileStats.writeBloomSidecar(fs, new Path(s"$root/$r"),
+            FileStats.harvestBlooms(s, s"$root/$r", bloomCols.map(c => physicalName(cur, table, c))))
+        stagedHw = Some(hw)
+        stagedRel = r
+        stagedFiles = listRelFiles(Seq(r))
+      }
+      val baseRel = dataEntries(cur).getOrElse(table,
+        throw new NoSuchElementException(s"table '$table' not committed under $root"))
+      val baseFiles = storedFiles(cur, table).getOrElse(listRelFiles(splitRel(baseRel)))
+      val schemaOut = storedSchema(cur, table).getOrElse(writtenSchema(stagedRel))
+      val lines = cur + (table -> s"$baseRel;$stagedRel") ++ tag.map(t =>
+        (table + TagsSuffix) -> (tagsOf(cur, table) + t).toSeq.sorted.mkString(",")) ++
+        Map(schemaLine(table, schemaOut),
+          filesLine(table, baseFiles ++ stagedFiles),
+          (table + IdentitySuffix) -> s"${identityColumn(table, currentVersion).get._1}:${hw + n}")
+      if (writeManifest(attempt, lines)) return attempt
+      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
+    }
+    throw new IllegalStateException(
+      s"appendIdentity lost $MaxAttempts consecutive version races under $root")
+  }
+
   /** Additive schema union for mergeSchema appends: base fields keep
     * their order and types; batch-only fields append as nullable (files
     * written before the column existed read it back as null — the
@@ -2835,12 +3004,56 @@ class Snapshots(s: SparkSession, root: String) {
         enforceChecks(table, headM, r, what)
         r
       } else rewritten0
+    // test seam: lets TxnSpec hold two writers at the door AFTER both
+    // classified against the same head, guaranteeing the publish race
+    // the concurrent-merge path exists for (no-op in production)
+    beforePublish(table, what)
     var attempt = currentVersion.getOrElse(0L) + 1
     for (_ <- 1 to MaxAttempts) {
       val cur = readManifest(currentVersion.get)
-      if (cur(table) != baseRel)
-        throw new java.util.ConcurrentModificationException(
-          s"$table re-pointed ${cur(table)} != $baseRel during $what; re-run")
+      // CONCURRENT-WRITER RESOLUTION (the Delta conflict-detection
+      // rules, public design): a same-table commit that landed since
+      // classification MERGES when provably DISJOINT from this
+      // rewrite — (a) no file this rewrite READ was rewritten or
+      // removed, (b) no file it added might hold a row matching our
+      // predicate (per-file stats; stat-less files are conservative
+      // conflicts), (c) no DV/column-mapping state change. Then the
+      // kept set REBASES onto the current file list (their appends and
+      // disjoint deletes survive alongside ours). Anything else throws
+      // — correctness over convenience.
+      val keepNow: Seq[(String, Long)] =
+        if (cur.get(table).contains(baseRel)) keep.toSeq
+        else {
+          def conflict(why: String): Nothing =
+            throw new java.util.ConcurrentModificationException(
+              s"$table changed concurrently during $what and cannot merge: $why; re-run")
+          if (!cur.contains(table)) conflict("the table left the head manifest")
+          if (cur.get(table + DvSuffix) != headM.get(table + DvSuffix))
+            conflict("its deletion-vector state changed")
+          if (cur.get(table + ColmapSuffix) != headM.get(table + ColmapSuffix))
+            conflict("its column mapping changed")
+          val touchedRels = touch.map { case (abs, _) => abs.stripPrefix(s"$root/") }.toSet
+          val baseRels = touchedRels ++ keep.map(_._1)
+          val curFiles = storedFiles(cur, table).getOrElse(
+            conflict("the concurrent commit carries no checkpointed file list"))
+          val curSet = curFiles.map(_._1).toSet
+          val removedTouched = touchedRels -- curSet
+          if (removedTouched.nonEmpty)
+            conflict(s"file(s) this $what read were rewritten (${removedTouched.take(3).mkString(", ")})")
+          val added = curFiles.filterNot { case (r, _) => baseRels.contains(r) }
+          added.groupBy { case (r, _) => new Path(root, r).getParent }
+            .foreach { case (dir, fl) =>
+              val st = FileStats.readSidecar(fs, dir).getOrElse(
+                conflict(s"concurrently added files in $dir carry no stats to prove disjointness"))
+              fl.foreach { case (r, len) =>
+                val might = FileStats.prune(
+                  Seq(new org.apache.hadoop.fs.FileStatus(
+                    len, false, 1, 0L, 0L, new Path(root, r))), st, ranges).nonEmpty
+                if (might) conflict(s"concurrently added file $r might match this $what's predicate")
+              }
+            }
+          curFiles.filterNot { case (r, _) => touchedRels.contains(r) }
+        }
       val rel = stageRel(attempt, table)
       val rewrittenPhys = toPhysical(headM, table, rewritten)
       rewrittenPhys.write.mode("overwrite").parquet(s"$root/$rel")
@@ -2857,8 +3070,8 @@ class Snapshots(s: SparkSession, root: String) {
       // keep ONE rowless file so the entry still carries the schema
       val relHasData = FileStats.dataFiles(fs, new Path(s"$root/$rel")).nonEmpty
       val parts =
-        if (relHasData) keep.map(_._1).toSeq :+ rel
-        else if (keep.nonEmpty) keep.map(_._1).toSeq
+        if (relHasData) keepNow.map(_._1) :+ rel
+        else if (keepNow.nonEmpty) keepNow.map(_._1)
         else {
           rewrittenPhys.limit(0).coalesce(1).write.mode("overwrite").parquet(s"$root/$rel")
           Seq(rel)
@@ -2866,8 +3079,8 @@ class Snapshots(s: SparkSession, root: String) {
       // refresh the read metadata: kept files keep their recorded (or
       // just-statted) lengths, the new part is listed once while hot
       val newFiles =
-        if (parts.contains(rel)) keep.toSeq.map { case (r, l) => (r, l) } ++ listRelFiles(Seq(rel))
-        else keep.toSeq
+        if (parts.contains(rel)) keepNow ++ listRelFiles(Seq(rel))
+        else keepNow
       val newSchema =
         if (parts.contains(rel)) {
           val w = predictReadBack(rewrittenPhys.schema).getOrElse(writtenSchema(rel))
@@ -2875,7 +3088,7 @@ class Snapshots(s: SparkSession, root: String) {
           // the stored schema while any kept file still holds them:
           // the retired name stays visible to the re-add collision
           // check, so a later re-added column can't resurrect them
-          if (keep.nonEmpty)
+          if (keepNow.nonEmpty)
             storedSchema(cur, table).map(old => unionSchema(w, old)).getOrElse(w)
           else w
         } else storedSchema(cur, table).getOrElse(writtenSchema(parts.head))

@@ -2115,4 +2115,152 @@ class TxnSpec extends AnyFunSuite {
     assert(after.versionsToDrop.isEmpty && after.dirsToDelete.isEmpty && after.bytesReclaimed == 0L)
   }
 
+
+  test("concurrent disjoint DML on one table MERGES; overlapping work conflicts loudly") {
+    val sp = spark
+    import sp.implicits._
+    import java.util.concurrent.CyclicBarrier
+    def freshLake(): Snapshots = {
+      val snap = new Snapshots(spark, Files.createTempDirectory("txncc").toString + "/t")
+      snap.commit(Map("a" -> (1L to 400L).map(i => (i, i * 2.0)).toDF("id", "v")
+        .repartitionByRange(8, col("id"))), Map("a" -> Seq("id")))
+      snap
+    }
+    // two INSTANCES on one root — the honest multi-writer shape (each
+    // process stages under its own writer id); the gate holds both at
+    // the door until each has classified against the same head
+    def race(a: Snapshots, b: Snapshots)(w1: => Long, w2: => Long): (Either[Throwable, Long], Either[Throwable, Long]) = {
+      val barrier = new CyclicBarrier(2)
+      a.beforePublish = (_, _) => { barrier.await(); () }
+      b.beforePublish = (_, _) => { barrier.await(); () }
+      try {
+        val t1 = new java.util.concurrent.FutureTask(() => w1)
+        val t2 = new java.util.concurrent.FutureTask(() => w2)
+        new Thread(t1).start(); new Thread(t2).start()
+        def res(t: java.util.concurrent.FutureTask[Long]) =
+          try Right(t.get()) catch { case e: java.util.concurrent.ExecutionException => Left(e.getCause) }
+        (res(t1), res(t2))
+      } finally { a.beforePublish = (_, _) => (); b.beforePublish = (_, _) => () }
+    }
+
+    // 1) DISJOINT deletes: both land, neither retries-from-scratch
+    locally {
+      val snap = freshLake()
+      val snap2 = new Snapshots(spark, snap.rootPath)
+      val (r1, r2) = race(snap, snap2)(
+        snap.deleteWhere("a", Seq(ColRange("id", Some(1L), Some(50L))), Seq("id")),
+        snap2.deleteWhere("a", Seq(ColRange("id", Some(351L), Some(400L))), Seq("id")))
+      assert(r1.isRight && r2.isRight, s"disjoint deletes must both land: $r1 / $r2")
+      assert(snap.read("a").count() == 300L)
+      assert(snap.read("a").agg(min("id"), max("id")).head() ==
+        org.apache.spark.sql.Row(51L, 350L))
+    }
+
+    // 2) OVERLAPPING ranges: the loser must conflict, not silently drop work
+    locally {
+      val snap = freshLake()
+      val snap2 = new Snapshots(spark, snap.rootPath)
+      val (r1, r2) = race(snap, snap2)(
+        snap.deleteWhere("a", Seq(ColRange("id", Some(1L), Some(100L))), Seq("id")),
+        snap2.updateWhere("a", Seq(ColRange("id", Some(90L), Some(110L))),
+          Map("v" -> lit(0.0)), Seq("id")))
+      assert(r1.isRight != r2.isRight,
+        s"exactly one of an overlapping pair must land: $r1 / $r2")
+      val loser = Seq(r1, r2).collectFirst { case Left(e) => e }.get
+      assert(loser.isInstanceOf[java.util.concurrent.ExecutionException] ||
+        loser.isInstanceOf[java.util.ConcurrentModificationException], loser.toString)
+    }
+
+    // 3) concurrent APPEND outside the delete's range: both land, the
+    //    appended rows survive the rebase
+    locally {
+      val snap = freshLake()
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      snap.beforePublish = (_, what) => if (what == "delete") { barrier.await(); () }
+      try {
+        val del = new java.util.concurrent.FutureTask(() =>
+          snap.deleteWhere("a", Seq(ColRange("id", Some(1L), Some(50L))), Seq("id")))
+        new Thread(del).start()
+        // the append lands (via a second writer) while the delete waits
+        new Snapshots(spark, snap.rootPath)
+          .append("a", Seq((1000L, 9.0)).toDF("id", "v"), statsCols = Seq("id"))
+        barrier.await()
+        del.get()
+      } finally snap.beforePublish = (_, _) => ()
+      assert(snap.read("a").count() == 351L)
+      assert(snap.read("a").where(col("id") === 1000L).count() == 1L,
+        "a disjoint concurrent append must survive the delete's rebase")
+    }
+
+    // 4) concurrent append INSIDE the range: the delete must refuse
+    //    (its result would silently miss the new rows)
+    locally {
+      val snap = freshLake()
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      snap.beforePublish = (_, what) => if (what == "delete") { barrier.await(); () }
+      try {
+        val del = new java.util.concurrent.FutureTask(() =>
+          snap.deleteWhere("a", Seq(ColRange("id", Some(1L), Some(50L))), Seq("id")))
+        new Thread(del).start()
+        new Snapshots(spark, snap.rootPath)
+          .append("a", Seq((25L, 9.0)).toDF("id", "v"), statsCols = Seq("id"))
+        barrier.await()
+        val e = intercept[java.util.concurrent.ExecutionException](del.get())
+        assert(e.getCause.isInstanceOf[java.util.ConcurrentModificationException], e.getCause.toString)
+      } finally snap.beforePublish = (_, _) => ()
+      assert(snap.read("a").where(col("id") === 25L).count() == 2L,
+        "the refused delete must leave the appended row intact")
+    }
+  }
+
+
+  test("identity columns: lake-assigned dense ids, atomic high-water mark, race-safe") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txnid").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    // table created WITH the column; addIdentity initializes past max
+    snap.commit(Map("a" -> Seq((1L, "x"), (2L, "y"), (7L, "z")).toDF("id", "s")))
+    snap.addIdentity("a", "id")
+    assert(snap.identityColumn("a").contains(("id", 8L)))
+    // batches OMIT the column; ids are dense and contiguous above the mark
+    snap.appendIdentity("a", Seq("p", "q", "r").toDF("s"), statsCols = Seq("id"))
+    val got1 = snap.read("a").where(col("s").isin("p", "q", "r"))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got1 == Seq(8L, 9L, 10L), s"dense contiguous ids expected, got $got1")
+    assert(snap.identityColumn("a").contains(("id", 11L)))
+    // GENERATED ALWAYS: a batch carrying the column refuses; plain
+    // append routes loudly to appendIdentity
+    intercept[IllegalArgumentException](
+      snap.appendIdentity("a", Seq((99L, "bad")).toDF("id", "s")))
+    intercept[IllegalArgumentException](
+      snap.append("a", Seq("nope").toDF("s")))
+    // replayed tag burns nothing
+    snap.appendIdentity("a", Seq("t1").toDF("s"), tag = Some("b1"))
+    val hwAfter = snap.identityColumn("a").get._2
+    snap.appendIdentity("a", Seq("t1").toDF("s"), tag = Some("b1")) // replay
+    assert(snap.identityColumn("a").get._2 == hwAfter, "replay must not advance the mark")
+    assert(snap.read("a").where(col("s") === "t1").count() == 1L)
+    // RACING identity appends from two writers: disjoint contiguous ranges
+    val snap2 = new Snapshots(spark, root)
+    val b = new java.util.concurrent.CyclicBarrier(2)
+    val t1 = new java.util.concurrent.FutureTask(() => {
+      b.await(); snap.appendIdentity("a", Seq("r1", "r2").toDF("s")) })
+    val t2 = new java.util.concurrent.FutureTask(() => {
+      b.await(); snap2.appendIdentity("a", Seq("r3", "r4", "r5").toDF("s")) })
+    new Thread(t1).start(); new Thread(t2).start()
+    t1.get(); t2.get()
+    val ids = snap.read("a").select("id").collect().map(_.getLong(0)).toSeq
+    assert(ids.distinct.size == ids.size, s"identity ids must be unique, got $ids")
+    val raced = snap.read("a").where(col("s").isin("r1", "r2", "r3", "r4", "r5"))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(raced == (raced.min to raced.min + 4L), s"racing appends must land contiguous disjoint ranges: $raced")
+    assert(snap.identityColumn("a").get._2 == raced.max + 1)
+    // the mark travels with clone and restore
+    snap.cloneTable("a", "b")
+    assert(snap.identityColumn("b") == snap.identityColumn("a"))
+    snap.dropIdentity("b")
+    assert(snap.identityColumn("b").isEmpty && snap.identityColumn("a").nonEmpty)
+  }
+
 }
