@@ -4071,9 +4071,54 @@ object Snapshots {
       .orderBy("bucket")
   }
 
+  /** Fixture for c18: a supplier slice created WITH a bigint key
+    * column that then becomes the table's identity column.
+    */
+  def stagedIdentityLake(s: SparkSession, dir: String): Snapshots = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s.conf.get("spark.sql.warehouse.dir") + s"/id_c18$tag"
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val snap = new Snapshots(s, root)
+    val marker = new Path(root, "_STAGED_G1")
+    if (!fs.exists(marker)) {
+      fs.delete(new Path(root), true)
+      snap.commit(Map("suppliers" -> t(s, dir, "supplier")
+        .where(col("s_suppkey") % 2 === 0)
+        .select(col("s_suppkey").as("sid"), col("s_name"), col("s_nationkey"))))
+      snap.addIdentity("suppliers", "sid")
+      fs.create(marker, true).close()
+    }
+    snap
+  }
+
+  /** `c18_identity_append`: IDENTITY assignment through the oracle
+    * gate — the lake assigns `sid` to a batch that omits it, starting
+    * exactly past the declared-time max (addIdentity's one scan) and
+    * advancing the mark atomically with the data. The batch is staged
+    * single-partition in s_suppkey order, so the dense ids are a
+    * closed form (row_number over the sorted odd keys + the even-key
+    * max) DuckDB recomputes from the raw table; the tag makes warm
+    * re-runs no-ops so the state stays deterministic. A wrong start,
+    * a gap, a duplicate, or a replay that burns ids flips the join.
+    */
+  def c18IdentityAppend(s: SparkSession, dir: String): DataFrame = {
+    val snap = stagedIdentityLake(s, dir)
+    snap.appendIdentity("suppliers",
+      t(s, dir, "supplier").where(col("s_suppkey") % 2 === 1)
+        .select(col("s_name"), col("s_nationkey"))
+        .orderBy("s_name").coalesce(1).sortWithinPartitions("s_name"),
+      tag = Some("id1"), statsCols = Seq("sid"))
+    snap.read("suppliers")
+      .groupBy(col("s_nationkey").cast("long").as("s_nationkey"))
+      .agg(count(lit(1)).as("n"), sum("sid").as("sid_sum"),
+        max("sid").as("sid_max"))
+      .orderBy("s_nationkey")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] =
     Map("c04_snapshot_read" -> c04SnapshotRead _,
         "c17_rename_column" -> c17RenameColumn _,
+        "c18_identity_append" -> c18IdentityAppend _,
         "c14_delete_mor" -> c14DeleteMor _,
         "c05_stats_pruned_read" -> c05StatsPrunedRead _,
         "c16_bloom_pruned_read" -> c16BloomPrunedRead _,
@@ -4086,6 +4131,24 @@ object Snapshots {
         "c13_metadata_agg" -> c13MetadataAgg _)
 
   val oracles: Map[String, String] = Map(
+    "c18_identity_append" ->
+      """WITH evens AS (
+        |  SELECT s_suppkey AS sid, s_nationkey FROM supplier WHERE s_suppkey % 2 = 0
+        |), mx AS (
+        |  SELECT max(sid) AS m FROM evens
+        |), odds AS (
+        |  SELECT (SELECT m FROM mx) + row_number() OVER (ORDER BY s_name) AS sid,
+        |    s_nationkey
+        |  FROM supplier WHERE s_suppkey % 2 = 1
+        |), allr AS (
+        |  SELECT sid, s_nationkey FROM evens
+        |  UNION ALL SELECT sid, s_nationkey FROM odds
+        |)
+        |SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+        |  count(*) AS n,
+        |  CAST(sum(sid) AS BIGINT) AS sid_sum,
+        |  CAST(max(sid) AS BIGINT) AS sid_max
+        |FROM allr GROUP BY 1 ORDER BY 1""".stripMargin,
     "c17_rename_column" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_totalprice AS price FROM orders
