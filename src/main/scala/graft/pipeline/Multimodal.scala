@@ -877,7 +877,64 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  case class PatchRow(doc_id: Long, px: Int, py: Int, patch_mean: Double)
+
+  /** Split a P6 image into non-overlapping pw×ph patches and compute
+    * each patch's gray mean — the raster walk indexes (y·w + x)·3, so
+    * a transposed axis, wrong stride, or off-by-one patch boundary
+    * shifts every mean and flips the oracle.
+    */
+  def patchifyPpm(docId: Long, payload: Array[Byte], pw: Int, ph: Int): Seq[PatchRow] = {
+    var pos = 0
+    def token(): String = {
+      while (payload(pos).toChar.isWhitespace) pos += 1
+      val start = pos
+      while (pos < payload.length && !payload(pos).toChar.isWhitespace) pos += 1
+      new String(payload, start, pos - start, "US-ASCII")
+    }
+    require(token() == "P6", "not a binary PPM payload")
+    val (w, h, maxv) = (token().toInt, token().toInt, token().toInt)
+    require(maxv == 255, s"unsupported maxval $maxv")
+    require(w % pw == 0 && h % ph == 0, s"$w x $h not divisible into $pw x $ph patches")
+    pos += 1
+    val out = Seq.newBuilder[PatchRow]
+    for (py <- 0 until h / ph; px <- 0 until w / pw) {
+      var sum = 0L
+      for (dy <- 0 until ph; dx <- 0 until pw) {
+        val x = px * pw + dx; val y = py * ph + dy
+        sum += payload(pos + (y * w + x) * 3) & 0xff
+      }
+      out += PatchRow(docId, px, py, sum.toDouble / (pw * ph))
+    }
+    out.result()
+  }
+
+  /** C51 `m11_patch_grid`: PATCHIFY — split each image into the
+    * non-overlapping patch grid a ViT-style encoder consumes (the
+    * image twin of t06's sequence packing: the tokenizer step of the
+    * vision modality). Runs in the same batched-kernel partition shape
+    * as m02-m10 (one decode per image, patches emitted inline — no
+    * per-patch task, no image crosses the driver); per-doc fan-out is
+    * the patch count, so output scales as O(corpus · grid), exactly
+    * the training-sample table a multimodal pipeline materializes.
+    * Every patch mean is a closed form of (doc_id, x, y) that DuckDB
+    * recomputes from the generator arithmetic.
+    */
+  def m11PatchGrid(s: SparkSession, dir: String, batchSize: Int = 64): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id")).as[Long]
+      .map(id => Media(id, gradientPpm(16, 12, ((id % 50) * 13 % 256).toInt)))
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.flatMap(m =>
+        patchifyPpm(m.doc_id, m.payload, 4, 4))))
+      .toDF()
+      .select(col("doc_id"), col("px").cast("long").as("px"),
+        col("py").cast("long").as("py"),
+        round(col("patch_mean"), 4).as("patch_mean"))
+      .orderBy("doc_id", "py", "px")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m11_patch_grid" -> ((s, dir) => m11PatchGrid(s, dir)),
     "d09_image_neardup" -> ((s, dir) => d09ImageNearDup(s, dir)),
     "m10_image_dhash" -> ((s, dir) => m10ImageDhash(s, dir)),
     "m09_audio_vad" -> ((s, dir) => m09AudioVad(s, dir)),
@@ -896,6 +953,22 @@ object Multimodal {
     * codecs for m02/m05, pure-Scala parsers for m03/m04).
     */
   val oracles: Map[String, String] = Map(
+    "m11_patch_grid" ->
+      """WITH g AS (
+        |  SELECT doc_id, ((doc_id % 50) * 13) % 256 AS base FROM documents
+        |), cells AS (
+        |  SELECT doc_id, base, px, py,
+        |    (base + 7 * (px * 4 + dx) * (px * 4 + dx) + 11 * (py * 4 + dy)) % 256 AS v
+        |  FROM g,
+        |    UNNEST(generate_series(0, 3)) t1(px),
+        |    UNNEST(generate_series(0, 2)) t2(py),
+        |    UNNEST(generate_series(0, 3)) t3(dx),
+        |    UNNEST(generate_series(0, 3)) t4(dy)
+        |)
+        |SELECT doc_id, CAST(px AS BIGINT) AS px, CAST(py AS BIGINT) AS py,
+        |  round(avg(v), 4) AS patch_mean
+        |FROM cells GROUP BY doc_id, px, py
+        |ORDER BY doc_id, py, px""".stripMargin,
     "d09_image_neardup" ->
       """WITH g AS (
         |  SELECT d.doc_id, y.y, x.x,
