@@ -163,6 +163,7 @@ object Soak {
     } else md ++= "\nAll keys completed at both scales; no OOM, no failures.\n"
     md ++= manifestSoak(spark)
     md ++= bloomSoak(spark, soakDir)
+    md ++= concurrencySoak(spark)
     Files.write(Paths.get("SOAK.md"), md.toString.getBytes(StandardCharsets.UTF_8))
     println(md)
     if (failed.nonEmpty) sys.exit(1)
@@ -224,6 +225,76 @@ object Soak {
        |
        |Index build (commit + one column-pruned bloom pass over 10×):
        |${f"$buildS%.2f"}s, amortized across every future point lookup.
+       |""".stripMargin
+  }
+
+  /** CONCURRENT-WRITER probe: 8 independent writer instances fire
+    * disjoint-range deletes at ONE table simultaneously — the A30
+    * merge path under real contention (no test gate). All 8 must land
+    * (rebase + create-exclusive retries absorb the races), the final
+    * row set must be exact, and the identity probe appends 100
+    * batches whose high-water mark must advance without a gap or a
+    * reissue. What this proves at the design point: same-table
+    * concurrency is throughput-bound by the publish serialization, not
+    * correctness-bound — the "second writer always loses" failure mode
+    * is gone.
+    */
+  private def concurrencySoak(s: SparkSession): String = {
+    import graft.sources.{FileStats, Snapshots}
+    val sp = s
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val root = s.conf.get("spark.sql.warehouse.dir") + "/soak_conc/t"
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+    val snap = new Snapshots(s, root)
+    val nRows = 800000L
+    snap.commit(Map("t" -> s.range(1, nRows + 1).toDF("id")
+      .withColumn("v", col("id") * 2.0).repartitionByRange(32, col("id"))),
+      Map("t" -> Seq("id")))
+    val writers = 8
+    val span = nRows / writers
+    val t0 = System.nanoTime()
+    val tasks = (0 until writers).map { w =>
+      val fut = new java.util.concurrent.FutureTask[Long](() => {
+        val me = new Snapshots(s, root)
+        // each writer kills the first 10k ids of its own disjoint span
+        val lo = w * span + 1
+        me.deleteWhere("t", Seq(FileStats.ColRange("id", Some(lo), Some(lo + 9999L))), Seq("id"))
+      })
+      new Thread(fut).start(); fut
+    }
+    val landed = tasks.count { f =>
+      try { f.get(); true } catch { case _: Throwable => false }
+    }
+    val concS = (System.nanoTime() - t0) / 1e9
+    val got = snap.read("t").count()
+    val expect = nRows - writers * 10000L
+    // identity probe: 100 sequential lake-assigned batches
+    snap.commitSerializable(Map("ids" -> Seq((0L, "seed")).toDF("id", "s")),
+      readSet = Set.empty, baseVersion = snap.currentVersion.get) // merge next to t
+    snap.addIdentity("ids", "id")
+    val n = 100
+    val iw = (1 to n).map { i =>
+      val t1 = System.nanoTime()
+      snap.appendIdentity("ids", Seq(s"b$i").toDF("s"))
+      (System.nanoTime() - t1) / 1e6
+    }
+    def mean(xs: Seq[Double]) = xs.sum / xs.size
+    val iEarly = mean(iw.slice(10, 50)); val iLate = mean(iw.takeRight(40))
+    val idsDistinct = snap.read("ids").select("id").distinct().count()
+    val idsN = snap.read("ids").count()
+    val hw = snap.identityColumn("ids").get._2
+    s"""
+       |## Concurrency soak (8 racing writers, one table)
+       |
+       || probe | value | verdict |
+       ||---|---|---|
+       || disjoint deletes landed | $landed / $writers in ${f"$concS%.1f"}s | ${if (landed == writers) "all merged" else "LOST WORK"} |
+       || rows after the storm | $got (expected $expect) | ${if (got == expect) "exact" else "MISMATCH"} |
+       || identity appends ($n sequential) | ${f"$iEarly%.0f"} ms early / ${f"$iLate%.0f"} ms late | ${if (iLate < iEarly * 2) "flat" else "GROWING"} |
+       || identity ids unique / mark | $idsDistinct of $idsN, next=$hw | ${if (idsDistinct == idsN && hw == idsN.toLong) "exact" else "MISMATCH"} |
        |""".stripMargin
   }
 

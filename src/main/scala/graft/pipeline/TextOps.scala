@@ -156,6 +156,48 @@ object TextOps {
       .orderBy("source", "doc_id")
   }
 
+  /** C52 `t24_shard_pack`: SHARD layout — assign the corpus to
+    * size-bounded training shards in GLOBAL doc order (the output side
+    * of a corpus build: webdataset/arrow shard writers want "shard k
+    * holds docs [i..j], ~B bytes"). t06 packs WITHIN a partition key;
+    * this needs a global running sum, and a bare `ORDER BY` window is
+    * a single-partition bottleneck at 100 TB — so it runs as the
+    * canonical TWO-PASS DISTRIBUTED PREFIX SUM: range-partition by
+    * doc_id, pass 1 collects ≤P per-partition totals (scalars to the
+    * driver, never rows), pass 2 adds each partition's broadcast
+    * prefix offset to its local running sum. Shard id = the doc's
+    * global START offset over the budget, so a shard never exceeds
+    * budget + one doc — exactly the greedy layout the sequential
+    * writer produces, computed with P-way parallelism.
+    */
+  def t24ShardPack(s: SparkSession, dir: String, budgetChars: Long = 100000L,
+                   parts: Int = 16): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
+      .repartitionByRange(parts, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    // pass 1: P scalar totals (range partitions are ascending in pid)
+    val totals = d.groupBy("pid").agg(sum("n_chars").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = {           // pid -> sum of all EARLIER partitions
+      var acc = 0L
+      totals.map { case (pid, t) => val o = (pid, acc); acc += t; o }
+    }
+    val offExpr = offsets.foldLeft(lit(0L)) { case (e, (pid, off)) =>
+      when(col("pid") === pid, lit(off)).otherwise(e)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    d.withColumn("cum", sum("n_chars").over(w) + offExpr)
+      .withColumn("shard_id",
+        floor((col("cum") - col("n_chars")) / budgetChars).cast("long"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("shard_chars"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("shard_id")
+  }
+
   /** C16: deterministic stratified (re)sampling — downsample the
     * dominant language, keep more of the rare ones (the corpus
     * rebalancing step of a training-data build). The keep decision is
@@ -619,7 +661,8 @@ object TextOps {
     "t06_pack" -> ((s, dir) => t06Pack(s, dir)),
     "t07_stratified_sample" -> t07StratifiedSample _,
     "t08_top_ngrams" -> ((s, dir) => t08TopNgrams(s, dir)),
-    "t23_reservoir_sample" -> ((s, dir) => t23ReservoirSample(s, dir)))
+    "t23_reservoir_sample" -> ((s, dir) => t23ReservoirSample(s, dir)),
+    "t24_shard_pack" -> ((s, dir) => t24ShardPack(s, dir)))
 
   private def listLit(stops: Seq[String]): String =
     stops.map(s => s"'$s'").mkString("[", ", ", "]")
@@ -888,6 +931,18 @@ object TextOps {
         |SELECT source, doc_id, n_tokens,
         |  CAST(floor((cum_tokens - n_tokens) / 512) AS BIGINT) AS pack_id
         |FROM t ORDER BY source, doc_id""".stripMargin,
+    "t24_shard_pack" ->
+      """WITH c AS (
+        |  SELECT doc_id, n_chars,
+        |    sum(n_chars) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM documents
+        |)
+        |SELECT CAST((cum - n_chars) // 100000 AS BIGINT) AS shard_id,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS shard_chars,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "t23_reservoir_sample" ->
       """SELECT lang, doc_id FROM (
         |  SELECT lang, doc_id,
