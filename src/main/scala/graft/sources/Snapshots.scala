@@ -2805,6 +2805,39 @@ class Snapshots(s: SparkSession, root: String) {
       s"addIdentity lost $MaxAttempts consecutive version races under $root")
   }
 
+  /** Re-sync the identity high-water mark with the table's actual max
+    * (Delta's `ALTER TABLE … SYNC IDENTITY`, public design). DML verbs
+    * that carry EXPLICIT ids — mergeInto/applyChanges replicating from
+    * another system — can legitimately land values above the mark;
+    * without a sync, a later [[appendIdentity]] would eventually reach
+    * and duplicate them. One O(table) max() scan; a mark already past
+    * the max is left alone (never moves backward).
+    */
+  def syncIdentity(table: String): Long = {
+    val v0 = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no commits under $root"))
+    val (idCol, hw) = identityColumn(table, Some(v0)).getOrElse(
+      throw new NoSuchElementException(s"no identity column on table '$table' under $root"))
+    val mx = read(table, Some(v0)).agg(max(col(idCol))).head()
+    val next = if (mx.isNullAt(0)) hw else math.max(hw, mx.getLong(0) + 1L)
+    if (next == hw) return v0 // already in sync: no version churn
+    var attempt = v0 + 1
+    for (_ <- 1 to MaxAttempts) {
+      val cur = readManifest(currentVersion.get)
+      val (c2, hw2) = cur.get(table + IdentitySuffix).map { s0 =>
+        val i = s0.lastIndexOf(':'); (s0.substring(0, i), s0.substring(i + 1).toLong)
+      }.getOrElse(throw new NoSuchElementException(
+        s"identity column of '$table' dropped concurrently"))
+      val bumped = math.max(next, hw2)
+      if (bumped == hw2) return currentVersion.get
+      if (writeManifest(attempt, cur + ((table + IdentitySuffix) -> s"$c2:$bumped")))
+        return attempt
+      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
+    }
+    throw new IllegalStateException(
+      s"syncIdentity lost $MaxAttempts consecutive version races under $root")
+  }
+
   /** Drop the identity declaration (the column and its values stay). */
   def dropIdentity(table: String): Long = {
     var attempt = currentVersion.getOrElse(

@@ -2263,4 +2263,27 @@ class TxnSpec extends AnyFunSuite {
     assert(snap.identityColumn("b").isEmpty && snap.identityColumn("a").nonEmpty)
   }
 
+
+  test("syncIdentity: explicit merge-landed ids re-sync the mark; appends never duplicate") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txnsi").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    snap.commit(Map("a" -> Seq((1L, "x")).toDF("id", "s")))
+    snap.addIdentity("a", "id")
+    assert(snap.identityColumn("a").contains(("id", 2L)))
+    // replication lands an explicit high id (the BY-DEFAULT escape hatch)
+    snap.mergeInto("a", Seq((50L, "replicated")).toDF("id", "s"), "id")
+    // the documented hazard: the mark is behind the data — sync closes it
+    snap.syncIdentity("a")
+    assert(snap.identityColumn("a").contains(("id", 51L)))
+    snap.appendIdentity("a", Seq("fresh").toDF("s"))
+    val ids = snap.read("a").select("id").collect().map(_.getLong(0)).toSeq
+    assert(ids.distinct.size == ids.size, s"duplicate ids after sync: $ids")
+    assert(ids.contains(51L))
+    // an in-sync table is a no-op sync (no version churn)
+    val v = snap.currentVersion.get
+    assert(snap.syncIdentity("a") == v)
+  }
+
 }
