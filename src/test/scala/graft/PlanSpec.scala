@@ -271,4 +271,49 @@ class PlanSpec extends AnyFunSuite {
     // the custom expression must sit inside a starred (codegen'd) node.
     assert(p.contains("*(1) Project [cosine_sim"), p)
   }
+
+  test("q52 unpivot plans one Expand over the aggregated wide table, no extra shuffle") {
+    val p = plan("q52_unpivot")
+    assert("(?i)expand".r.findAllIn(p).size >= 1, p)
+    // shuffles: the aggregate's exchange + the presentation sort only
+    val ex = "Exchange".r.findAllIn(p).size
+    assert(ex <= 3, s"unpivot must not add shuffles beyond agg+sort, saw $ex:\n$p")
+  }
+
+  test("t23 reservoir sampling plans through the bounded-heap operator, not a window sort") {
+    val p = plan("t23_reservoir_sample")
+    assert(p.contains("TopKPerGroup"), p)
+    assert(!p.contains("Window"), "per-group sampling must not window-sort the corpus: " + p)
+  }
+
+  test("s10 range search is shuffle-free up to the presentation sort") {
+    val p = plan("s10_ann_range")
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // tiny query set broadcast
+    assert(!p.contains("Window") && !p.contains("HashAggregate"),
+      "radius search needs no rank window and no aggregate: " + p)
+    // no hash shuffle anywhere: the only exchanges are the fixture's
+    // round-robin repartition, the broadcast build, and the
+    // presentation sort's range partitioning
+    assert(!p.contains("Exchange hashpartitioning"),
+      "radius search must not hash-shuffle anything: " + p)
+  }
+
+  test("t24 shard pack: prefix-sum windows stay per-partition (pid-partitioned, never global)") {
+    val p = plan("t24_shard_pack")
+    assert(p.contains("Window"), p)
+    // the window must partition by pid — a global ORDER BY window would
+    // print 'Window [...], [doc_id ASC...]' with no partition spec
+    assert("(?s)Window.*partition".r.findFirstIn(p.toLowerCase).isDefined ||
+      p.contains("windowspecdefinition(pid"), "global single-partition window: " + p)
+  }
+
+  test("d10 url dedup: one linear shuffle on the canonical key") {
+    val p = plan("d10_url_dedup")
+    val ex = "Exchange".r.findAllIn(p).size
+    // groupBy(canon) exchange + presentation sort
+    assert(ex <= 3, s"canonical-key dedup must be one linear shuffle, saw $ex:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "no join belongs in canonicalization dedup: " + p)
+  }
+
 }
