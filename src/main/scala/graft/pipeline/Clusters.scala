@@ -130,43 +130,111 @@ object Clusters {
     s.read.parquet(s"$path/pairs")
   }
 
+  /** C52 `d12_cluster_keep_best`: keep-best-in-cluster — the selection
+    * policy a production fuzzy-dedup actually ships (the NeMo-Curator /
+    * Dolma flow): pair mining (d04) → connected components (d07) →
+    * keep the HIGHEST-QUALITY member per duplicate cluster, not the
+    * lowest id. The quality metric is t02's rounded score (both engines
+    * compute it bit-identically, so argmax comparisons cannot diverge;
+    * exact copies tie exactly and fall to the doc_id tie-break). Scale:
+    * the component labels arrive from the O(log n)-round resolver, the
+    * quality join is one linear shuffle on doc_id, and the per-cluster
+    * argmax is a map-side-partial struct max — nothing quadratic.
+    * Shifted exact-copy members (+100000, the d01/d07 fixture relation)
+    * carry their original's text and therefore its exact quality.
+    */
+  def d12ClusterKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val near = stagedPairs(s, dir)
+    val exact = docs(s, dir).select(
+      col("doc_id").as("a_id"), (col("doc_id") + 100000L).as("b_id"))
+    val cc = connectedComponents(near.union(exact))
+    val q = TextOps.t02QualityScore(s, dir).select(col("doc_id"), col("quality"))
+    val memberQ = q.union(
+      q.select((col("doc_id") + 100000L).as("doc_id"), col("quality")))
+    cc.join(memberQ, cc("id") === memberQ("doc_id"))
+      .groupBy("cluster_id")
+      .agg(
+        max(struct(col("quality").as("q"), (-col("doc_id")).as("nid"))).as("m"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("cluster_id"), (-col("m.nid")).as("keep_id"),
+        col("m.q").as("keep_quality"), col("cluster_size"),
+        (col("cluster_size") - 1L).as("n_pruned"))
+      .orderBy("cluster_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "d07_dedup_clusters" -> d07DedupClusters _)
+    "d07_dedup_clusters" -> d07DedupClusters _,
+    "d12_cluster_keep_best" -> d12ClusterKeepBest _)
 
   /** DuckDB computes the same components via a recursive-CTE transitive
     * closure over the same edge list (exact pairs by construction; near
     * pairs re-derived exactly as in the d04 oracle).
     */
+  /** Shared CTE body: the d07 edge list + transitive closure + labels. */
+  private def ccCte: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+      |), sz AS (
+      |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+      |), p AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), near AS (
+      |  SELECT a_id, b_id FROM p
+      |  JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
+      |  WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.6
+      |), ex AS (
+      |  SELECT doc_id AS a_id, doc_id + 100000 AS b_id FROM documents
+      |), e AS (
+      |  SELECT a_id AS u, b_id AS v FROM near UNION SELECT b_id, a_id FROM near
+      |  UNION SELECT a_id, b_id FROM ex UNION SELECT b_id, a_id FROM ex
+      |), r AS (
+      |  SELECT u, v FROM e
+      |  UNION
+      |  SELECT r.u, e.v FROM r JOIN e ON r.v = e.u
+      |), lab AS (
+      |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM r GROUP BY u
+      |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "d07_dedup_clusters" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-        |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
-        |), sz AS (
-        |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
-        |), p AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
-        |), near AS (
-        |  SELECT a_id, b_id FROM p
-        |  JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
-        |  WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.6
-        |), ex AS (
-        |  SELECT doc_id AS a_id, doc_id + 100000 AS b_id FROM documents
-        |), e AS (
-        |  SELECT a_id AS u, b_id AS v FROM near UNION SELECT b_id, a_id FROM near
-        |  UNION SELECT a_id, b_id FROM ex UNION SELECT b_id, a_id FROM ex
-        |), r AS (
-        |  SELECT u, v FROM e
-        |  UNION
-        |  SELECT r.u, e.v FROM r JOIN e ON r.v = e.u
-        |), lab AS (
-        |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM r GROUP BY u
+    "d12_cluster_keep_best" ->
+      (ccCte + s""", q0 AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> list_contains(${TextOps.listLit(TextOps.enStops)}, t))) AS n_stop
+        |  FROM documents
+        |), q AS (
+        |  SELECT doc_id,
+        |    round(0.4 * (n_distinct * 1.0 / n_words) +
+        |          0.4 * (1.0 - n_stop * 1.0 / n_words) +
+        |          0.2 * least(n_words * 1.0 / 100.0, 1.0), 4) AS quality
+        |  FROM q0
+        |), mq AS (
+        |  SELECT doc_id, quality FROM q
+        |  UNION ALL SELECT doc_id + 100000, quality FROM q
+        |), mem AS (
+        |  SELECT lab.doc_id, cluster_id, quality
+        |  FROM lab JOIN mq ON lab.doc_id = mq.doc_id
+        |), ranked AS (
+        |  SELECT cluster_id, doc_id, quality,
+        |    row_number() OVER (PARTITION BY cluster_id
+        |                       ORDER BY quality DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |  FROM mem
         |)
+        |SELECT cluster_id, doc_id AS keep_id, quality AS keep_quality,
+        |  CAST(cluster_size AS BIGINT) AS cluster_size,
+        |  CAST(cluster_size - 1 AS BIGINT) AS n_pruned
+        |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin),
+    "d07_dedup_clusters" ->
+      (ccCte + """
         |SELECT doc_id, cluster_id,
         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
-        |FROM lab ORDER BY doc_id""".stripMargin)
+        |FROM lab ORDER BY doc_id""".stripMargin))
 }

