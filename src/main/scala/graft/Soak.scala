@@ -44,7 +44,15 @@ object Soak {
     // fifth-wave additions: t19's window-hash explode is linear in
     // corpus CHARS (the heaviest new scaling dimension) and d09's
     // band-join candidate set must track distinct-hash count, not docs
-    "t19_substring_dedup", "d09_image_neardup")
+    "t19_substring_dedup", "d09_image_neardup",
+    // ninth-wave additions: d11's within-cluster pair work must track
+    // Σ(cluster size)² under a 10× corpus with the same 8 pinned
+    // centroids (clusters grow 10× → pair work 100× of a 10× base —
+    // the key's documented quadratic-in-cluster-size term, bounded in
+    // production by choosing k; the probe makes the term visible), and
+    // d12's component+quality join must stay linear over the 10× pair
+    // graph
+    "d11_semdedup", "d12_cluster_keep_best")
 
   private final class MetricsListener extends SparkListener {
     val runMs = new AtomicLong; val gcMs = new AtomicLong; val tasks = new AtomicLong

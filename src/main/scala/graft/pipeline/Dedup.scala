@@ -393,7 +393,14 @@ object Dedup {
     */
   def d11Semdedup(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-    val seeds = e.where(col("vec_id") < 8)
+    // k grows with the corpus so EXPECTED cluster size stays bounded
+    // (~64): pair work is Σc² ≈ n·64 — linear — and assignment is k·n
+    // (the SemDeDup paper's own cost, GPU/hierarchical territory at
+    // extreme n). One scalar count probe derives k (documented probe
+    // exception, like Bpe's argmax); at the oracle corpus (n=500) the
+    // floor pins k=8 exactly, which is what the margin audit covered.
+    val k = math.max(8L, e.count() / 64L)
+    val seeds = e.where(col("vec_id") < k)
       .select(col("vec_id").as("sid"), col("embedding").as("svec"))
     // argmax via struct max: (cs desc, sid asc) — nsid = -sid makes the
     // lexicographic max pick the LOWEST seed id on a cs tie; the
@@ -443,7 +450,8 @@ object Dedup {
     "d11_semdedup" ->
       """WITH s AS (
         |  SELECT vec_id AS sid, CAST(embedding AS DOUBLE[]) AS svec
-        |  FROM embeddings WHERE vec_id < 8
+        |  FROM embeddings
+        |  WHERE vec_id < greatest(8, (SELECT count(*) FROM embeddings) // 64)
         |), cs AS (
         |  SELECT e.vec_id, s.sid,
         |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.svec) AS cs

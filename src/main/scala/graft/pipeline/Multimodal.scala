@@ -933,7 +933,110 @@ object Multimodal {
       .orderBy("doc_id", "py", "px")
   }
 
+  // ------------------------------------------------------------- m12
+  // Tone detection — Goertzel single-bin DFT energy (the classic DTMF
+  // detector, public algorithm): a training pipeline's cheap
+  // frequency-domain probe for tagging tones, beeps and test signals
+  // without paying a full FFT per clip. Per doc: the Goertzel energy
+  // at each CANDIDATE bin, argmax = detected tone, plus a dominance
+  // flag (detected bin carries >99% of candidate energy). The fixture
+  // synthesizes integer-cycle sine tones, so the decision margins are
+  // astronomical (~10^10 signal-to-leakage — only int16 rounding noise
+  // leaks) and only DISCRETE quantities cross the oracle; the float
+  // energy arithmetic stays kernel-internal.
+
+  case class ToneDetect(doc_id: Long, n_samples: Int, sample_rate: Int,
+                        freq_hz: Int, dominance_ok: Int)
+
+  /** Goertzel recurrence at integer bin `k` over the full buffer:
+    * O(n) multiply-adds, O(1) state — the reason this beats an FFT
+    * when only a handful of bins matter.
+    */
+  def goertzelEnergy(samples: Array[Short], k: Int): Double = {
+    val n = samples.length
+    val coeff = 2.0 * math.cos(2.0 * math.Pi * k / n)
+    var (s1, s2) = (0.0, 0.0)
+    var i = 0
+    while (i < n) {
+      val s0 = samples(i) + coeff * s1 - s2
+      s2 = s1; s1 = s0; i += 1
+    }
+    s1 * s1 + s2 * s2 - coeff * s1 * s2
+  }
+
+  /** RIFF walk (the [[decodeWav]]/[[vadWav]] discipline) to raw
+    * samples, then Goertzel at each candidate frequency. Ties in the
+    * argmax (possible only on degenerate all-zero input) resolve to
+    * the FIRST candidate; zero total energy is never "dominant".
+    */
+  def detectTone(docId: Long, payload: Array[Byte],
+                 candidatesHz: Seq[Int]): ToneDetect = {
+    val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = { val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII") }
+    require(fourcc() == "RIFF", "not a RIFF payload"); bb.getInt()
+    require(fourcc() == "WAVE", "not a WAVE payload")
+    var out: ToneDetect = null
+    var sampleRate = 0
+    while (out == null && bb.remaining() >= 8) {
+      val (id, size) = (fourcc(), bb.getInt())
+      id match {
+        case "fmt " =>
+          val fmt = bb.getShort(); val ch = bb.getShort()
+          require(fmt == 1 && ch == 1, "PCM mono only")
+          sampleRate = bb.getInt()
+          bb.position(bb.position() + size - 8)
+        case "data" =>
+          val n = size / 2
+          val samples = Array.fill(n)(bb.getShort())
+          val energies = candidatesHz.map { f =>
+            val k = f.toLong * n / sampleRate
+            require(k * sampleRate == f.toLong * n,
+              s"candidate $f Hz is not an integer bin at n=$n sr=$sampleRate")
+            f -> goertzelEnergy(samples, k.toInt)
+          }
+          val total = energies.map(_._2).sum
+          val (best, eBest) = energies.maxBy { case (f, e) => (e, -f) }
+          out = ToneDetect(docId, n, sampleRate, best,
+            if (total > 0 && eBest / total > 0.99) 1 else 0)
+        case _ => bb.position(bb.position() + size)
+      }
+    }
+    out
+  }
+
+  /** C56 `m12_tone_detect`: per-doc tone at 500·(1 + id mod 4) Hz,
+    * id-varied amplitude, 800 samples at 8 kHz (every candidate is an
+    * integer number of cycles, so cross-bin leakage is exactly the
+    * int16 rounding noise). Batched partition shape shared with
+    * m02-m11. The oracle is the pure closed form of the synthesis
+    * parameters — a chunk-walk slip, a wrong bin mapping, or a broken
+    * recurrence misdetects and flips the hash.
+    */
+  def m12ToneDetect(s: SparkSession, dir: String, batchSize: Int = 64): DataFrame = {
+    import s.implicits._
+    val candidates = Seq(500, 1000, 1500, 2000)
+    docs(s, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val (sr, n) = (8000, 800)
+        val f = 500 * (1 + (id % 4).toInt)
+        val a = 3000.0 + (id % 7) * 500.0
+        val samples = Array.tabulate(n)(i =>
+          math.round(a * math.sin(2.0 * math.Pi * f * i / sr)).toShort)
+        Media(id, wavBytes(sr, samples))
+      }
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map(m =>
+        detectTone(m.doc_id, m.payload, candidates))))
+      .toDF()
+      .select(col("doc_id"),
+        col("n_samples").cast("long").as("n_samples"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("freq_hz").cast("long").as("freq_hz"),
+        col("dominance_ok").cast("long").as("dominance_ok"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m12_tone_detect" -> ((s, dir) => m12ToneDetect(s, dir)),
     "m11_patch_grid" -> ((s, dir) => m11PatchGrid(s, dir)),
     "d09_image_neardup" -> ((s, dir) => d09ImageNearDup(s, dir)),
     "m10_image_dhash" -> ((s, dir) => m10ImageDhash(s, dir)),
@@ -953,6 +1056,13 @@ object Multimodal {
     * codecs for m02/m05, pure-Scala parsers for m03/m04).
     */
   val oracles: Map[String, String] = Map(
+    "m12_tone_detect" ->
+      """SELECT doc_id,
+        |  CAST(800 AS BIGINT) AS n_samples,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(500 * (1 + doc_id % 4) AS BIGINT) AS freq_hz,
+        |  CAST(1 AS BIGINT) AS dominance_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "m11_patch_grid" ->
       """WITH g AS (
         |  SELECT doc_id, ((doc_id % 50) * 13) % 256 AS base FROM documents

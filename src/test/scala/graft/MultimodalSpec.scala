@@ -198,4 +198,34 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getAs[String]("header_hex").matches("[0-9A-F]{8}"))
     }
   }
+
+  test("m12 Goertzel kernel: every candidate detected, mixtures break dominance, silence is never dominant") {
+    val cands = Seq(500, 1000, 1500, 2000)
+    def tone(f: Int, a: Double, n: Int = 800, sr: Int = 8000): Array[Short] =
+      Array.tabulate(n)(i => math.round(a * math.sin(2.0 * math.Pi * f * i / sr)).toShort)
+    def mix(x: Array[Short], y: Array[Short]): Array[Short] =
+      Array.tabulate(x.length)(i => (x(i) + y(i)).toShort)
+    // each clean candidate tone is detected with dominance
+    cands.foreach { f =>
+      val d = Multimodal.detectTone(1L, Multimodal.wavBytes(8000, tone(f, 4000.0)), cands)
+      assert(d.freq_hz == f && d.dominance_ok == 1, s"clean $f Hz")
+    }
+    // two-tone mix: louder wins, dominance fails (energy ratio ≈ 0.8)
+    val two = Multimodal.detectTone(2L,
+      Multimodal.wavBytes(8000, mix(tone(1000, 4000.0), tone(2000, 2000.0))), cands)
+    assert(two.freq_hz == 1000 && two.dominance_ok == 0)
+    // non-candidate integer-cycle tone (750 Hz is orthogonal to all
+    // four bins): whatever the argmax picks from rounding leakage, it
+    // must not claim dominance
+    val off = Multimodal.detectTone(3L,
+      Multimodal.wavBytes(8000, tone(750, 4000.0)), cands)
+    assert(off.dominance_ok == 0)
+    // silence: zero total energy is never dominant, tie resolves first
+    val sil = Multimodal.detectTone(4L,
+      Multimodal.wavBytes(8000, new Array[Short](800)), cands)
+    assert(sil.freq_hz == 500 && sil.dominance_ok == 0)
+    // amplitude does not move the decision, only the energy scale
+    val quiet = Multimodal.detectTone(5L, Multimodal.wavBytes(8000, tone(1500, 300.0)), cands)
+    assert(quiet.freq_hz == 1500 && quiet.dominance_ok == 1)
+  }
 }

@@ -316,4 +316,25 @@ class PlanSpec extends AnyFunSuite {
       "no join belongs in canonicalization dedup: " + p)
   }
 
+  test("d11 semdedup: centroids broadcast, corpus pair join keyed on cluster") {
+    val p = plan("d11_semdedup")
+    // seed assignment is a broadcast nested loop (8 rows × corpus) —
+    // the corpus must NEVER be the build side of anything
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // the within-cluster pair search is an equi-join on the cluster
+    // key (hash or sort-merge — either is a linear shuffle), not a
+    // cartesian product over the corpus
+    assert(!p.contains("CartesianProduct"),
+      "pair verification must stay cluster-bucketed: " + p)
+  }
+
+  test("t25 tfidf keywords: df table broadcast, top-k through the bounded heap") {
+    val p = plan("t25_tfidf_keywords")
+    assert(p.contains("TopKPerGroup"), p)
+    assert(!p.contains("Window"),
+      "per-doc keyword rank must not window-sort the corpus: " + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "the vocab-sized df table must broadcast: " + p)
+  }
+
 }
