@@ -872,7 +872,49 @@ object Relational {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** B53 `q58_variant`: the VARIANT semi-structured type (Spark 4's
+    * native binary JSON — the engine's answer to schema-on-read
+    * without per-row string parsing). The fixture builds one JSON
+    * document per event from closed-form column arithmetic, parses it
+    * ONCE into a variant (`parse_json`), and extracts typed paths with
+    * `variant_get` — nested object, array index, an OPTIONAL field
+    * present on every third event (missing path → NULL, the variant
+    * contract), plus `schema_of_variant` proving exactly the two
+    * expected document shapes exist per type. The oracle recomputes
+    * from the base columns, so a parse/extract/shredding bug — wrong
+    * path, wrong type coercion, dropped optional — flips the hash.
+    * Scale: one projection pass + q01's one-shuffle aggregate; the
+    * variant never leaves the projection (no string re-parse per
+    * extraction, which is the point of the type).
+    */
+  def q58Variant(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("value") * 100, 0).cast("long")
+    val js = concat(
+      lit("{\"id\":"), col("event_id"),
+      lit(",\"type\":\""), col("event_type"),
+      lit("\",\"nested\":{\"cents\":"), cents,
+      lit(",\"arr\":["), col("user_id") % 5, lit(","), col("user_id") % 7,
+      lit("]}"),
+      when(col("event_id") % 3 === 0, lit(",\"opt\":true")).otherwise(lit("")),
+      lit("}"))
+    events(s, dir)
+      .withColumn("v", parse_json(js))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.nested.cents', 'bigint')").as("cents"),
+        expr("variant_get(v, '$.nested.arr[1]', 'bigint')").as("a1"),
+        expr("variant_get(v, '$.opt', 'boolean')").as("opt"),
+        expr("schema_of_variant(v)").as("sch"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("cents").as("sum_cents"),
+        sum("a1").as("sum_a1"),
+        sum(when(col("opt"), 1L).otherwise(0L)).as("n_opt"),
+        countDistinct("sch").as("n_schemas"))
+      .orderBy("event_type")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_variant" -> q58Variant _,
     "q01_agg" -> q01Agg _,
     "q48_funnel" -> q48Funnel _,
     "q55_window_rank" -> q55WindowRank _,
@@ -918,6 +960,13 @@ object Relational {
     "q24_pivot" -> q24Pivot _)
 
   val oracles: Map[String, String] = Map(
+    "q58_variant" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(sum(user_id % 7) AS BIGINT) AS sum_a1,
+        |  CAST(count(CASE WHEN event_id % 3 = 0 THEN 1 END) AS BIGINT) AS n_opt,
+        |  CAST(2 AS BIGINT) AS n_schemas
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q57_datetime_parts" ->
       """SELECT o_orderkey,
         |  CAST(dayofweek(CAST(o_orderdate AS DATE)) AS BIGINT) AS dow_sun0,

@@ -1804,6 +1804,36 @@ class Snapshots(s: SparkSession, root: String) {
     })
   }
 
+  /** Predicate-scoped atomic OVERWRITE (Delta's `replaceWhere`, public
+    * design) — the backfill verb: re-deliver one slice (a day, a key
+    * range) of a table in ONE published version, deleting every row
+    * matching ALL `ranges` and landing `batch` in their place. The
+    * partition-overwrite idiom without partition columns: stats-pruned
+    * file classification bounds the touched set exactly as deleteWhere,
+    * so cost is O(files whose stats admit a match) + O(batch), never
+    * O(table).
+    *
+    * Contract (Delta's): every batch row must itself MATCH the
+    * predicate — validated in one aggregate job over the batch; a
+    * violating batch publishes nothing (silently keeping out-of-slice
+    * rows would make the verb a lossy full overwrite). NULL in a
+    * ranged column never matches, so a null-keyed batch row is always
+    * a violation. Replays converge: the second run deletes what the
+    * first inserted and re-inserts the same rows.
+    */
+  def replaceWhere(table: String, ranges: Seq[FileStats.ColRange],
+                   batch: DataFrame, statsCols: Seq[String] = Nil): Long = {
+    require(ranges.nonEmpty, "replaceWhere requires at least one range")
+    val nViol = batch.where(!coalesce(matchCond(ranges), lit(false))).count()
+    require(nViol == 0L,
+      s"replaceWhere batch has $nViol row(s) outside the predicate — " +
+        "the batch must lie entirely inside the replaced slice")
+    partialRewrite(table, ranges, statsCols, "replace", { touched =>
+      val survivors = touched.where(!coalesce(matchCond(ranges), lit(false)))
+      survivors.unionByName(batch.select(survivors.columns.map(col): _*))
+    }, forceOnEmpty = true)
+  }
+
   /** MERGE (upsert) keyed on `keyCol` — the remaining DML verb next to
     * [[append]] (INSERT), [[deleteWhere]] (DELETE) and [[updateWhere]]
     * (UPDATE): source rows whose key matches an existing row REPLACE it,
@@ -4262,6 +4292,62 @@ object Snapshots {
     snap
   }
 
+  /** Fixture for c20: the even orders slice, keyed stats on
+    * o_orderkey so replaceWhere's file classification can prune.
+    */
+  def stagedReplaceLake(s: SparkSession, dir: String): Snapshots = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s.conf.get("spark.sql.warehouse.dir") + s"/repl_c20$tag"
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val snap = new Snapshots(s, root)
+    val marker = new Path(root, "_STAGED_G1")
+    if (!fs.exists(marker)) {
+      fs.delete(new Path(root), true)
+      snap.commit(Map("orders" -> t(s, dir, "orders")
+        .where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("price_cents"))
+        .repartition(8)),
+        statsCols = Map("orders" -> Seq("o_orderkey")))
+      fs.create(marker, true).close()
+    }
+    snap
+  }
+
+  /** `c20_replace_where`: predicate-scoped OVERWRITE under the oracle
+    * gate — the backfill re-delivers keys 1000-1999 (all parities, new
+    * closed-form prices) over the even-only base, so the replaced
+    * slice changes BOTH membership and values; a batch row outside the
+    * slice must refuse before anything publishes. Replays converge,
+    * so the per-call re-run is safe. The final read equals
+    * (evens outside the slice) ∪ (the backfill batch) — a kept row
+    * lost, a survivor dropped, or a leaked out-of-slice row flips the
+    * oracle hash.
+    */
+  def c20ReplaceWhere(s: SparkSession, dir: String): DataFrame = {
+    val snap = stagedReplaceLake(s, dir)
+    val slice = Seq(FileStats.ColRange("o_orderkey", Some(1000L), Some(1999L)))
+    val batch = t(s, dir, "orders")
+      .where(col("o_orderkey").between(1000L, 1999L))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (col("o_orderkey") * 3).cast("long").as("price_cents"))
+    val refused =
+      try {
+        snap.replaceWhere("orders", slice,
+          batch.unionByName(batch.limit(1)
+            .withColumn("o_orderkey", lit(5001L))), Seq("o_orderkey"))
+        false
+      } catch { case _: IllegalArgumentException => true }
+    require(refused, "replaceWhere accepted an out-of-slice batch row")
+    snap.replaceWhere("orders", slice, batch, Seq("o_orderkey"))
+    snap.read("orders")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum("price_cents").as("total_cents"),
+        sum("o_orderkey").as("key_sum"))
+      .orderBy("o_orderstatus")
+  }
+
   /** `c19_append_only`: TABLE PROPERTIES under the oracle gate — the
     * appendOnly contract exercised end-to-end. The key appends the odd
     * half (tagged, so replays no-op), then drives a copy-on-write
@@ -4300,6 +4386,7 @@ object Snapshots {
   val defs: Map[String, (SparkSession, String) => DataFrame] =
     Map("c04_snapshot_read" -> c04SnapshotRead _,
         "c19_append_only" -> c19AppendOnly _,
+        "c20_replace_where" -> c20ReplaceWhere _,
         "c17_rename_column" -> c17RenameColumn _,
         "c18_identity_append" -> c18IdentityAppend _,
         "c14_delete_mor" -> c14DeleteMor _,
@@ -4314,6 +4401,24 @@ object Snapshots {
         "c13_metadata_agg" -> c13MetadataAgg _)
 
   val oracles: Map[String, String] = Map(
+    "c20_replace_where" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |), kept AS (
+        |  SELECT * FROM base WHERE o_orderkey NOT BETWEEN 1000 AND 1999
+        |), backfill AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_orderkey * 3 AS BIGINT) AS price_cents
+        |  FROM orders WHERE o_orderkey BETWEEN 1000 AND 1999
+        |), allr AS (
+        |  SELECT * FROM kept UNION ALL SELECT * FROM backfill
+        |)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(price_cents) AS BIGINT) AS total_cents,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM allr GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "c19_append_only" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents,

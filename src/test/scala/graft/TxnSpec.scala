@@ -2286,6 +2286,47 @@ class TxnSpec extends AnyFunSuite {
     assert(snap.syncIdentity("a") == v)
   }
 
+  test("replaceWhere: slice swapped atomically, batch validated inside the predicate, replays converge") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txnrepl").toString + "/lake"
+    val snap = new Snapshots(sp, root)
+    snap.commit(Map("a" -> (1L to 40L).map(i => (i, i * 1.0)).toDF("id", "v")
+        .repartition(4)),
+      statsCols = Map("a" -> Seq("id")))
+    val slice = Seq(ColRange("id", Some(11L), Some(20L)))
+
+    // an out-of-slice batch row refuses BEFORE anything publishes
+    val v0 = snap.currentVersion.get
+    intercept[IllegalArgumentException] {
+      snap.replaceWhere("a", slice, Seq((15L, 0.0), (99L, 0.0)).toDF("id", "v")) }
+    // a null key never matches the predicate → always a violation
+    intercept[IllegalArgumentException] {
+      snap.replaceWhere("a", slice,
+        Seq((Some(15L), 0.0), (None, 0.0)).toDF("id", "v")) }
+    assert(snap.currentVersion.get == v0, "a refused replace must publish nothing")
+
+    // the slice swaps membership AND values in one version
+    val batch = Seq((11L, -11.0), (13L, -13.0), (15L, -15.0)).toDF("id", "v")
+    snap.replaceWhere("a", slice, batch, Seq("id"))
+    val after = snap.read("a").as[(Long, Double)].collect().toMap
+    assert(after.size == 33 && after(11L) == -11.0 && !after.contains(12L))
+    assert(after(10L) == 10.0 && after(21L) == 21.0, "out-of-slice rows untouched")
+
+    // replay converges to the identical state
+    snap.replaceWhere("a", slice, batch, Seq("id"))
+    assert(snap.read("a").as[(Long, Double)].collect().toMap == after)
+
+    // a slice no file can hold is a pure backfill insert
+    snap.replaceWhere("a", Seq(ColRange("id", Some(100L), Some(110L))),
+      Seq((101L, 101.0)).toDF("id", "v"), Seq("id"))
+    assert(snap.read("a").count() == 34)
+
+    // appendOnly closes this verb too
+    snap.setProperties("a", Map("appendOnly" -> "true"))
+    intercept[IllegalArgumentException] { snap.replaceWhere("a", slice, batch) }
+  }
+
   test("table properties: versioned metadata; appendOnly closes the DML surface") {
     val sp = spark
     import sp.implicits._
