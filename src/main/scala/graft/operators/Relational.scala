@@ -913,7 +913,40 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** B54 `q59_array_hof`: the higher-order array-function matrix —
+    * transform/filter/exists/forall/aggregate/zip_with plus the
+    * array algebra (flatten, slice, union-distinct, position, max).
+    * q16 covers array STORAGE; this covers array COMPUTE: every lambda
+    * is a native codegen'd expression evaluated inline per row (the
+    * whole point — no explode-shuffle-reaggregate round trip for
+    * per-row array work, which at 100 TB is the difference between a
+    * map-only pass and a corpus-sized shuffle). All outputs are exact
+    * integers; the oracle rebuilds each combinator from DuckDB's list
+    * lambdas (list_position's NULL-on-missing is coalesced to Spark's
+    * 0-on-missing contract).
+    */
+  def q59ArrayHof(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").where(col("o_orderkey") % 40 === 0)
+      .select(col("o_orderkey"), (col("o_orderkey") % 3).as("m"),
+        sequence(lit(1L), lit(1L) + col("o_orderkey") % 6).as("arr"))
+      .select(
+        col("o_orderkey"),
+        size(col("arr")).cast("long").as("n"),
+        expr("aggregate(transform(arr, x -> x * x + m), 0L, (acc, x) -> acc + x)")
+          .as("sum_sq"),
+        size(expr("filter(arr, x -> x % 2 = 0)")).cast("long").as("n_even"),
+        expr("exists(arr, x -> x > 4)").cast("long").as("any_gt4"),
+        expr("forall(arr, x -> x > 0)").cast("long").as("all_pos"),
+        expr("aggregate(zip_with(arr, reverse(arr), (a, b) -> a + b), 0L, (acc, x) -> acc + x)")
+          .as("zip_sum"),
+        expr("array_max(arr)").cast("long").as("mx"),
+        expr("array_position(arr, 3L)").cast("long").as("pos3"),
+        size(expr("flatten(array(arr, slice(arr, 1, 2)))")).cast("long").as("flat_n"),
+        size(expr("array_union(arr, sequence(4L, 8L))")).cast("long").as("union_n"))
+      .orderBy("o_orderkey")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_array_hof" -> q59ArrayHof _,
     "q58_variant" -> q58Variant _,
     "q01_agg" -> q01Agg _,
     "q48_funnel" -> q48Funnel _,
@@ -960,6 +993,25 @@ object Relational {
     "q24_pivot" -> q24Pivot _)
 
   val oracles: Map[String, String] = Map(
+    "q59_array_hof" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_orderkey % 3 AS m,
+        |    generate_series(1, 1 + o_orderkey % 6) AS arr
+        |  FROM orders WHERE o_orderkey % 40 = 0
+        |)
+        |SELECT o_orderkey,
+        |  CAST(len(arr) AS BIGINT) AS n,
+        |  CAST(list_sum(list_transform(arr, x -> x * x + m)) AS BIGINT) AS sum_sq,
+        |  CAST(len(list_filter(arr, x -> x % 2 = 0)) AS BIGINT) AS n_even,
+        |  CAST(CASE WHEN len(list_filter(arr, x -> x > 4)) > 0 THEN 1 ELSE 0 END AS BIGINT) AS any_gt4,
+        |  CAST(CASE WHEN len(list_filter(arr, x -> NOT x > 0)) = 0 THEN 1 ELSE 0 END AS BIGINT) AS all_pos,
+        |  CAST(list_sum(list_transform(generate_series(1, len(arr)),
+        |       i -> arr[i] + list_reverse(arr)[i])) AS BIGINT) AS zip_sum,
+        |  CAST(list_aggregate(arr, 'max') AS BIGINT) AS mx,
+        |  CAST(coalesce(list_position(arr, 3), 0) AS BIGINT) AS pos3,
+        |  CAST(len(flatten([arr, arr[1:2]])) AS BIGINT) AS flat_n,
+        |  CAST(len(list_distinct(list_concat(arr, generate_series(4, 8)))) AS BIGINT) AS union_n
+        |FROM b ORDER BY o_orderkey""".stripMargin,
     "q58_variant" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.storage.StorageLevel
 
 /** Text analysis operators (SURVEY §2 C8-C11): language ID, quality
@@ -673,7 +674,36 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** C57 `t26_zipf_fit`: per-source Zipf diagnostics — the corpus
+    * health check (natural text follows freq ∝ rank^-s; machine-
+    * generated/templated text departs, so the fitted slope and R² per
+    * SOURCE flag synthetic or boilerplate-heavy feeds before they
+    * reach training). Scale shape: one token explode → (source, term)
+    * counts (linear shuffle); ranking and the least-squares fit run on
+    * the AGGREGATED vocab table — vocab-sized per source, orders of
+    * magnitude below the corpus — with the rank window PARTITIONED by
+    * source (never a global sort). The fit is regr_slope/regr_r2 over
+    * (ln rank, ln freq), both ANSI aggregates computed from identical
+    * doubles in both engines (q43's precedent); rank ties pinned by
+    * (freq desc, term) so both engines rank identically.
+    */
+  def t26ZipfFit(s: SparkSession, dir: String): DataFrame = {
+    val counts = tokenized(s, dir)
+      .select(col("source"), explode(col("toks")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("f"))
+    val ranked = counts.withColumn("rk",
+      row_number().over(Window.partitionBy("source")
+        .orderBy(col("f").desc, col("term"))))
+    ranked.groupBy("source")
+      .agg(round(expr("regr_slope(ln(f), ln(rk))"), 4).as("zipf_slope"),
+        round(expr("regr_r2(ln(f), ln(rk))"), 4).as("fit_r2"),
+        count(lit(1)).as("vocab"),
+        sum("f").as("total_tokens"))
+      .orderBy("source")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t26_zipf_fit" -> t26ZipfFit _,
     "t25_tfidf_keywords" -> ((s, dir) => t25TfidfKeywords(s, dir)),
     "t21_substring_scrub" -> t21SubstringScrub _,
     "t20_dsir" -> t20Dsir _,
@@ -702,6 +732,23 @@ object TextOps {
     stops.map(s => s"'$s'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "t26_zipf_fit" ->
+      """WITH tf AS (
+        |  SELECT source, t AS term, count(*) AS f
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT source, term, f,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY f DESC, term) AS rk
+        |  FROM tf
+        |)
+        |SELECT source,
+        |  round(regr_slope(ln(f), ln(rk)), 4) AS zipf_slope,
+        |  round(regr_r2(ln(f), ln(rk)), 4) AS fit_r2,
+        |  count(*) AS vocab,
+        |  CAST(sum(f) AS BIGINT) AS total_tokens
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
     "t25_tfidf_keywords" ->
       """WITH tf AS (
         |  SELECT doc_id, t AS term, count(*) AS tf
