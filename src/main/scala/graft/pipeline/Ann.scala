@@ -710,7 +710,66 @@ object Ann {
     history.toSeq
   }
 
+  private[pipeline] case class MmrCand(q_id: Long, vec_id: Long, rel: Double,
+                                       embedding: Array[Float])
+  private[pipeline] case class MmrPick(q_id: Long, rank: Int, vec_id: Long,
+                                       rel: Double)
+
+  /** C58 `s11_ann_mmr`: MMR diverse re-ranking (Carbonell & Goldstein's
+    * maximal marginal relevance, public) — the selection every
+    * retrieval-augmented curation step runs AFTER top-k: pure top-k
+    * returns near-duplicates of one mode, MMR greedily picks
+    * argmax(λ·rel − (1−λ)·max-sim-to-selected), trading relevance for
+    * coverage. Scale shape: relevance candidates come from the standard
+    * bounded-heap top-`poolSize` pass (s01's machinery — corpus never
+    * shuffled), and the inherently SEQUENTIAL greedy runs per query in
+    * a flatMapGroups kernel over its ≤poolSize-row pool — O(k·pool·dim)
+    * per query, bounded by construction, the documented kernel
+    * exception (a greedy step depends on all previous picks; no
+    * declarative form exists). Cross-engine margins audited: greedy
+    * argmax gap ≥3.8e-4, pool 20/21 boundary ≥1.3e-4, round-6 rel
+    * boundary ≥2.7e-9 — all far above double drift.
+    */
+  def s11AnnMmr(s: SparkSession, dir: String, lam: Double = 0.7,
+                k: Int = 8, poolSize: Int = 20): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val q = e.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val scored = e.where(col("vec_id") >= NQueries)
+      .crossJoin(broadcast(q))
+      .withColumn("rel", cosine_sim(col("embedding"), col("q_vec")))
+      .select(col("q_id"), col("vec_id"), col("rel"), col("embedding"))
+    val pool = graft.plans.TopK.perGroup(scored, Seq("q_id"),
+      Seq(("rel", false), ("vec_id", true)), poolSize)
+    pool.as[MmrCand].groupByKey(_.q_id)
+      .flatMapGroups { (qid, it) =>
+        val cands = scala.collection.mutable.ArrayBuffer(it.toSeq: _*)
+        val sel = scala.collection.mutable.ArrayBuffer.empty[MmrCand]
+        val out = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
+        var r = 1
+        while (r <= k && cands.nonEmpty) {
+          val best = cands.minBy { c =>
+            val pen =
+              if (sel.isEmpty) 0.0
+              else sel.map(sc => graft.functions.Kernels.cosine(c.embedding, sc.embedding)).max
+            (-(lam * c.rel - (1 - lam) * pen), c.vec_id)
+          }
+          cands -= best
+          sel += best
+          out += MmrPick(qid, r, best.vec_id, best.rel)
+          r += 1
+        }
+        out.iterator
+      }
+      .toDF()
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("vec_id"),
+        round(col("rel"), 6).as("rel_cos"))
+      .orderBy("q_id", "rank")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s11_ann_mmr" -> ((s, dir) => s11AnnMmr(s, dir)),
     "s01_ann_bruteforce" -> s01AnnBruteforce _,
     "s02_ann_lsh" -> ((s, dir) => s02AnnLsh(s, dir)),
     "s03_ann_ivf" -> ((s, dir) => s03AnnIvf(s, dir)),
@@ -722,10 +781,74 @@ object Ann {
     "s09_hybrid_rrf" -> ((s, dir) => s09HybridRrf(s, dir)),
     "s10_ann_range" -> ((s, dir) => s10AnnRange(s, dir)))
 
+  /** The MMR greedy has a sequential data dependence, so the oracle
+    * UNROLLS it: k explicit pick layers, each re-scoring the remaining
+    * pool against everything selected so far (pairwise sims
+    * precomputed once per pool). Generated programmatically so layer
+    * arithmetic cannot drift from the kernel's.
+    */
+  private def mmrOracleSql(lam: Double, k: Int, pool: Int): String = {
+    // every layer is AS MATERIALIZED: without it DuckDB inlines the
+    // CTE chain and the union-of-previous-picks re-evaluates its whole
+    // ancestry per reference — exponential in k (measured: >3 min
+    // inlined vs 0.3 s materialized)
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id < $NQueries
+         |), c0 AS MATERIALIZED (
+         |  SELECT q_id, vec_id, rel, ev, rn FROM (
+         |    SELECT q.q_id, e.vec_id,
+         |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS rel,
+         |      CAST(e.embedding AS DOUBLE[]) AS ev,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
+         |                 e.vec_id) AS rn
+         |    FROM embeddings e CROSS JOIN q WHERE e.vec_id >= $NQueries)
+         |  WHERE rn <= $pool
+         |), pp AS MATERIALIZED (
+         |  SELECT a.q_id, a.vec_id AS va, b.vec_id AS vb,
+         |    list_cosine_similarity(a.ev, b.ev) AS sim
+         |  FROM c0 a JOIN c0 b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id
+         |), p1 AS MATERIALIZED (
+         |  SELECT q_id, vec_id, rel, 1 AS rank FROM c0 WHERE rn = 1
+         |)""".stripMargin
+    for (n <- 2 to k) {
+      val sel = (1 until n).map(i => s"SELECT q_id, vec_id FROM p$i")
+        .mkString(" UNION ALL ")
+      sb ++=
+        s""", s$n AS MATERIALIZED ($sel), sc$n AS MATERIALIZED (
+           |  SELECT c.q_id, c.vec_id, c.rel,
+           |    $lam * c.rel - (1 - $lam) * coalesce(mx.m, 0) AS score
+           |  FROM c0 c
+           |  LEFT JOIN (SELECT pp.q_id, pp.va, max(pp.sim) AS m
+           |             FROM pp JOIN s$n ON pp.q_id = s$n.q_id AND pp.vb = s$n.vec_id
+           |             GROUP BY 1, 2) mx
+           |    ON mx.q_id = c.q_id AND mx.va = c.vec_id
+           |  WHERE NOT EXISTS (SELECT 1 FROM s$n x
+           |                    WHERE x.q_id = c.q_id AND x.vec_id = c.vec_id)
+           |), p$n AS MATERIALIZED (
+           |  SELECT q_id, vec_id, rel, $n AS rank FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY q_id
+           |                                 ORDER BY score DESC, vec_id) AS rn
+           |    FROM sc$n) WHERE rn = 1
+           |)""".stripMargin
+    }
+    val all = (1 to k).map(i => s"SELECT * FROM p$i").mkString(" UNION ALL ")
+    sb ++=
+      s"""
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id,
+         |  round(rel, 6) AS rel_cos
+         |FROM ($all) ORDER BY q_id, rank""".stripMargin
+    sb.toString
+  }
+
   /** s02 is rows-only: its result depends on the LSH bucketing, which is
     * not SQL-expressible; AnnSpec holds its recall gate.
     */
   val oracles: Map[String, String] = Map(
+    "s11_ann_mmr" -> mmrOracleSql(0.7, 8, 20),
     "s10_ann_range" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10
