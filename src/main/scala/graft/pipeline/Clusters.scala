@@ -184,16 +184,80 @@ object Clusters {
     s.read.parquet(s"$path/cc")
   }
 
+  /** C59 `d13_dedup_incremental_cc`: INCREMENTAL connected components —
+    * the production form of d07 (the d06/d08 story applied to the
+    * cluster graph): a daily batch of new duplicate edges must update
+    * the standing component table WITHOUT re-resolving the whole
+    * graph. Algorithm (the classic incremental-CC contraction, public):
+    *
+    *  1. AFFECTED clusters = the standing labels of the new edges'
+    *     endpoints (one join of the batch against the component table);
+    *  2. the affected clusters CONTRACT to star edges (member →
+    *     cluster_id — the label is itself a member, so old
+    *     connectivity is preserved exactly);
+    *  3. re-resolve ONLY (star edges ∪ new edges) — a subgraph bounded
+    *     by the affected clusters' membership, not the corpus;
+    *  4. untouched components pass through by subtraction.
+    *
+    * Cost: O(batch + affected members) per increment vs O(graph) for a
+    * full re-run — at 100 TB the difference between a minutes-scale
+    * daily job and re-clustering a trillion-edge graph. The new-edge
+    * fixture bridges ADJACENT clusters (doc → doc+1 every 50th doc),
+    * so merged labels, sizes, and pass-through rows all change
+    * observably; the oracle re-resolves the COMBINED edge set from
+    * scratch, so incremental must equal full recompute exactly.
+    */
+  /** The incremental step alone, reusable and spec-testable: update a
+    * standing component table `cc` (id, cluster_id) with a batch of
+    * new edges (u, v) whose endpoints are all clustered vertices.
+    * Returns the full updated (id, cluster_id) table.
+    */
+  def incrementalComponents(cc: DataFrame, newEdges: DataFrame): DataFrame = {
+    val newE = newEdges.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v"))
+    val ends = newE.select(col("u").as("id"))
+      .union(newE.select(col("v").as("id"))).distinct()
+    val affected = cc.join(ends, "id").select(col("cluster_id")).distinct()
+    val members = cc.join(affected, "cluster_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val stars = members.select(col("id").as("a_id"), col("cluster_id").as("b_id"))
+    val resolved = connectedComponents(
+      stars.union(newE.select(col("u").as("a_id"), col("v").as("b_id"))))
+    val untouched = cc.join(affected, Seq("cluster_id"), "left_anti")
+      .select(col("id"), col("cluster_id"))
+    val out = untouched.union(resolved.select(col("id"), col("cluster_id")))
+    members.unpersist()
+    out
+  }
+
+  def d13DedupIncrementalCc(s: SparkSession, dir: String): DataFrame = {
+    val cc = stagedComponents(s, dir)
+    val newE = docs(s, dir)
+      .where(col("doc_id") % 50 === 0 && col("doc_id") < 499)
+      .select(col("doc_id").as("u"), (col("doc_id") + 1L).as("v"))
+    incrementalComponents(cc, newE)
+      .select(col("id").as("doc_id"), col("cluster_id"),
+        count(lit(1)).over(Window.partitionBy("cluster_id")).as("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d07_dedup_clusters" -> d07DedupClusters _,
+    "d13_dedup_incremental_cc" -> d13DedupIncrementalCc _,
     "d12_cluster_keep_best" -> d12ClusterKeepBest _)
 
   /** DuckDB computes the same components via a recursive-CTE transitive
     * closure over the same edge list (exact pairs by construction; near
     * pairs re-derived exactly as in the d04 oracle).
     */
-  /** Shared CTE body: the d07 edge list + transitive closure + labels. */
-  private def ccCte: String =
+  /** Shared CTE body: the d07 edge list + transitive closure + labels.
+    * `extraCte`/`extraUnion` splice an additional edge source into the
+    * closure (d13's incremental batch — the oracle re-resolves the
+    * combined graph from scratch).
+    */
+  private def ccCte: String = ccCteWith("", "")
+
+  private def ccCteWith(extraCte: String, extraUnion: String): String =
     """WITH RECURSIVE toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
       |), sh AS (
@@ -211,18 +275,32 @@ object Clusters {
       |  WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.6
       |), ex AS (
       |  SELECT doc_id AS a_id, doc_id + 100000 AS b_id FROM documents
-      |), e AS (
+      |)EXTRA_CTE, e AS (
       |  SELECT a_id AS u, b_id AS v FROM near UNION SELECT b_id, a_id FROM near
       |  UNION SELECT a_id, b_id FROM ex UNION SELECT b_id, a_id FROM ex
-      |), r AS (
+      |EXTRA_UNION), r AS (
       |  SELECT u, v FROM e
       |  UNION
       |  SELECT r.u, e.v FROM r JOIN e ON r.v = e.u
       |), lab AS (
       |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM r GROUP BY u
       |)""".stripMargin
+      .replace("EXTRA_CTE", extraCte)
+      .replace("EXTRA_UNION", extraUnion)
 
   val oracles: Map[String, String] = Map(
+    "d13_dedup_incremental_cc" ->
+      (ccCteWith(
+        """, ne AS (
+          |  SELECT doc_id AS a_id, doc_id + 1 AS b_id FROM documents
+          |  WHERE doc_id % 50 = 0 AND doc_id < 499
+          |)""".stripMargin,
+        """  UNION SELECT a_id, b_id FROM ne UNION SELECT b_id, a_id FROM ne
+          |""".stripMargin) +
+        """
+          |SELECT doc_id, cluster_id,
+          |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+          |FROM lab ORDER BY doc_id""".stripMargin),
     "d12_cluster_keep_best" ->
       (ccCte + s""", q0 AS (
         |  SELECT doc_id,

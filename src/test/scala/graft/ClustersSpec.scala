@@ -62,4 +62,23 @@ class ClustersSpec extends AnyFunSuite {
     // near-dup pairs must merge beyond the trivial {i, i'} twosomes
     assert(byCluster.exists(_._2.size >= 4), "no merged (>=4 doc) cluster found")
   }
+
+  test("incremental components equal a full recompute on merge, bridge, and pass-through shapes") {
+    val sp = spark
+    import sp.implicits._
+    // standing graph: {1,2} {3,4} {10,11,12} {20,21}
+    val oldEdges = Seq((1L, 2L), (3L, 4L), (10L, 11L), (11L, 12L), (20L, 21L))
+    val cc = Clusters.connectedComponents(oldEdges.toDF("a_id", "b_id"))
+    // batch: bridge the first two clusters AND chain {10..} into {3,4}
+    // via two hops; {20,21} must pass through untouched
+    val batch = Seq((2L, 3L), (4L, 10L))
+    val inc = Clusters.incrementalComponents(cc, batch.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Clusters.connectedComponents((oldEdges ++ batch.map { case (u, v) => (u, v) })
+        .toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full, s"incremental $inc != full $full")
+    assert(inc(12L) == 1L, "transitive merge across the batch must reach label 1")
+    assert(inc(21L) == 20L, "untouched component must keep its label")
+  }
 }
