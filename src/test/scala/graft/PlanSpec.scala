@@ -328,6 +328,15 @@ class PlanSpec extends AnyFunSuite {
       "pair verification must stay cluster-bucketed: " + p)
   }
 
+  test("q59 array compute stays a projection: no Generate, no aggregate shuffle") {
+    val p = plan("q59_array_hof")
+    assert(!p.contains("Generate"),
+      "array lambdas must evaluate inline, not explode: " + p)
+    // the only exchange is the presentation sort's range partitioning
+    assert(!p.contains("Exchange hashpartitioning"),
+      "per-row array compute must not shuffle: " + p)
+  }
+
   test("t25 tfidf keywords: df table broadcast, top-k through the bounded heap") {
     val p = plan("t25_tfidf_keywords")
     assert(p.contains("TopKPerGroup"), p)

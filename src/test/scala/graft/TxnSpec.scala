@@ -1431,7 +1431,7 @@ class TxnSpec extends AnyFunSuite {
       IncrementalAgg.seed(spark, snap, "t", "grp", "v", agg, atVersion = 2L)
       var vacuumed = false
       for (op <- 1 to 7) {
-        rnd.nextInt(11) match {
+        rnd.nextInt(12) match {
           case 0 => // tagged append (sometimes replayed)
             val rows = batch(1 + rnd.nextInt(10))
             val tag = s"b$seq-$op"
@@ -1508,6 +1508,19 @@ class TxnSpec extends AnyFunSuite {
               statsCols = Seq("id"))
             model = model.map { case (id, (g, v)) =>
               if (id >= lo && id <= hi) (id, (g, v + 3000000L)) else (id, (g, v)) }
+            history += ((snap.currentVersion.get, model))
+          case 11 => // predicate-scoped REPLACE (backfill): the slice is
+            // swapped for the batch — a subset of its live ids with new
+            // values (sometimes empty: then replace == slice delete)
+            val lo = 1L + rnd.nextInt(nextId.toInt.max(1))
+            val hi = lo + rnd.nextInt(15)
+            val repl = model.collect {
+              case (id, (g, _)) if id >= lo && id <= hi && rnd.nextBoolean() =>
+                (id, g, id + 7000000L) }.toSeq
+            snap.replaceWhere("t", Seq(ColRange("id", Some(lo), Some(hi))),
+              repl.toDF("id", "grp", "v"), Seq("id"))
+            model = model.filter { case (id, _) => id < lo || id > hi } ++
+              repl.map(r => r._1 -> (r._2, r._3))
             history += ((snap.currentVersion.get, model))
         }
         // a violating probe batch must refuse WITHOUT moving the head
