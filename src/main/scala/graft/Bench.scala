@@ -53,7 +53,7 @@ object Bench {
     "st10_stream_topk", "c17_rename_column", "q55_window_rank", "d10_url_dedup", "q56_null_semantics", "q57_datetime_parts", "c18_identity_append", "m11_patch_grid", "t24_shard_pack",
     "d11_semdedup", "d12_cluster_keep_best", "t25_tfidf_keywords", "c19_append_only",
     "m12_tone_detect", "c20_replace_where", "q58_variant", "q59_array_hof", "t26_zipf_fit",
-    "s11_ann_mmr", "d13_dedup_incremental_cc",
+    "s11_ann_mmr", "d13_dedup_incremental_cc", "q60_asof_forward", "t27_chunk_overlap",
     "q33_profile", "q34_histogram")
 
   /** Per-key task-metric sums, so a bench anomaly ships with its own

@@ -95,10 +95,95 @@ object AsOfJoin {
       .orderBy("purchase_id")
   }
 
+  /** FORWARD as-of left join with tolerance — pandas
+    * `merge_asof(direction='forward', tolerance=…)` semantics: for each
+    * left row, the EARLIEST right row at-or-after `leftTs` per key;
+    * when `toleranceMs` is set, a nearest match farther than the
+    * tolerance yields NULLs (the row itself survives — LEFT semantics).
+    * Implementation: the [[leftAsOf]] sort-merge machinery run on
+    * NEGATED time (forward is backward's mirror), so the same one
+    * shuffle + one sort per side, linear at any scale; the tolerance
+    * masks AFTER the match (nearest-beyond-tolerance ⟺ nothing within
+    * tolerance, so masking the nearest is exact). Same tie rule:
+    * among right rows with equal (key, ts) the greatest tie-break wins.
+    */
+  def forwardAsOf(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[String],
+      rightTieBreak: String,
+      toleranceMs: Option[Long] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payload = (rightPayload :+ rightTs).distinct
+    val joined = leftAsOf(
+      left.withColumn("__nlt", -col(leftTs).cast("long")),
+      right.withColumn("__nrt", -col(rightTs).cast("long")),
+      key, "__nlt", "__nrt", payload, rightTieBreak)
+    val masked = toleranceMs match {
+      case None => joined
+      case Some(tol) =>
+        val inTol = col(s"asof_$rightTs").isNotNull &&
+          (col(s"asof_$rightTs").cast("long") - col(leftTs).cast("long")) <= tol
+        payload.foldLeft(joined) { (df, c) =>
+          df.withColumn(s"asof_$c", when(inTol, col(s"asof_$c"))) }
+    }
+    masked.select(leftCols.filter(_ != "__nlt").map(col) ++
+      rightPayload.map(c => col(s"asof_$c")): _*)
+  }
+
+  /** B55 `q60_asof_forward`: for every view event, the user's NEXT
+    * purchase at-or-after the view, within a 2-hour tolerance —
+    * the conversion-attribution query (q21's mirror). Purchases are
+    * deduplicated per (user_id, ts) with the greatest event_id kept,
+    * matching the tie rule, so the DuckDB forward ASOF oracle is
+    * deterministic.
+    */
+  def q60AsOfForward(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val dedupW = Window.partitionBy("user_id", "ts_ms").orderBy(col("event_id").desc)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("user_id", "ts_ms", "value", "event_id")
+      .withColumn("__rn", row_number().over(dedupW))
+      .filter(col("__rn") === 1).drop("__rn")
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts_ms").as("view_ts"))
+    forwardAsOf(views, purchases,
+      key = "user_id", leftTs = "view_ts", rightTs = "ts_ms",
+      rightPayload = Seq("ts_ms", "value"), rightTieBreak = "event_id",
+      toleranceMs = Some(7200000L))
+      .select(col("view_id"), col("user_id"), col("view_ts"),
+        col("asof_ts_ms").as("next_purchase_ts"),
+        col("asof_value").as("next_purchase_value"))
+      .orderBy("view_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q21_asof_join" -> q21AsOf _)
+    Map("q21_asof_join" -> q21AsOf _,
+        "q60_asof_forward" -> q60AsOfForward _)
 
   val oracles: Map[String, String] = Map(
+    "q60_asof_forward" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_ms(ts) AS ts_ms, value, event_id FROM events
+        |  WHERE event_type = 'purchase'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, epoch_ms(ts)
+        |    ORDER BY event_id DESC) = 1
+        |), v AS (
+        |  SELECT event_id AS view_id, user_id, epoch_ms(ts) AS view_ts
+        |  FROM events WHERE event_type = 'view'
+        |), m AS (
+        |  SELECT v.view_id, v.user_id, v.view_ts, p.ts_ms, p.value
+        |  FROM v ASOF LEFT JOIN p
+        |    ON v.user_id = p.user_id AND v.view_ts <= p.ts_ms
+        |)
+        |SELECT view_id, user_id, view_ts,
+        |  CASE WHEN ts_ms - view_ts <= 7200000 THEN ts_ms END AS next_purchase_ts,
+        |  CASE WHEN ts_ms - view_ts <= 7200000 THEN value END AS next_purchase_value
+        |FROM m ORDER BY view_id""".stripMargin,
     "q21_asof_join" ->
       """WITH v AS (
         |  SELECT user_id, epoch_ms(ts) AS ts_ms, value, event_id FROM events

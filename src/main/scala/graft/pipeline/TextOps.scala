@@ -702,7 +702,45 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** C60 `t27_chunk_overlap`: overlapping-window document chunking —
+    * the context-window splitter every pretraining/RAG pipeline runs on
+    * long documents (fixed window W, stride S < W so consecutive chunks
+    * overlap by W−S tokens and no boundary context is lost). Chunk
+    * starts are PURE ARITHMETIC on the token array (sequence + filter —
+    * no explode-then-window, no per-doc state): a start survives iff it
+    * is the first OR the previous chunk did not already reach the end
+    * of the doc (the standard "last chunk ends at n" rule, fully
+    * deterministic and identically expressed in both engines). One
+    * row per chunk with its id, span, size, first token and an md5
+    * over the joined chunk text — a boundary off-by-one anywhere
+    * flips the hash. Scale: map-only (the only shuffle is the
+    * presentation sort); output is O(corpus tokens / S).
+    */
+  def t27ChunkOverlap(s: SparkSession, dir: String,
+                      window: Int = 16, stride: Int = 12): DataFrame = {
+    val (w, st) = (window, stride)
+    tokenized(s, dir)
+      .withColumn("n", size(col("toks")))
+      .withColumn("starts",
+        filter(sequence(lit(1), col("n"), lit(st)),
+          x => x === 1 || x - st + (w - 1) < col("n")))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(col("starts")).as("start"))
+      .withColumn("end_tok", least(col("start") + (w - 1), col("n")))
+      .select(col("doc_id"),
+        (((col("start") - 1) / st) + 1).cast("long").as("chunk_idx"),
+        col("start").cast("long").as("start_tok"),
+        col("end_tok").cast("long").as("end_tok"),
+        (col("end_tok") - col("start") + 1).cast("long").as("n_chunk_toks"),
+        element_at(col("toks"), col("start")).as("first_tok"),
+        md5(array_join(
+          slice(col("toks"), col("start"), col("end_tok") - col("start") + 1),
+          " ").cast("binary")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t27_chunk_overlap" -> ((s, dir) => t27ChunkOverlap(s, dir)),
     "t26_zipf_fit" -> t26ZipfFit _,
     "t25_tfidf_keywords" -> ((s, dir) => t25TfidfKeywords(s, dir)),
     "t21_substring_scrub" -> t21SubstringScrub _,
@@ -732,6 +770,24 @@ object TextOps {
     stops.map(s => s"'$s'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "t27_chunk_overlap" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents
+        |), st AS (
+        |  SELECT doc_id, w, n, s
+        |  FROM t, unnest(generate_series(1, n, 12)) AS u(s)
+        |  WHERE s = 1 OR s - 12 + 15 < n
+        |)
+        |SELECT doc_id,
+        |  CAST((s - 1) // 12 + 1 AS BIGINT) AS chunk_idx,
+        |  CAST(s AS BIGINT) AS start_tok,
+        |  CAST(least(s + 15, n) AS BIGINT) AS end_tok,
+        |  CAST(least(s + 15, n) - s + 1 AS BIGINT) AS n_chunk_toks,
+        |  w[s] AS first_tok,
+        |  md5(array_to_string(w[s:least(s + 15, n)], ' ')) AS chunk_md5
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
     "t26_zipf_fit" ->
       """WITH tf AS (
         |  SELECT source, t AS term, count(*) AS f
