@@ -1035,7 +1035,77 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------------- m13
+  // Dataset normalization statistics — the per-channel global mean/std
+  // every vision training run computes once over its corpus (the
+  // torchvision-Normalize constants). The numerically honest way at
+  // 100 TB: accumulate EXACT integer per-channel (count, Σx, Σx²)
+  // per image in the decode kernel, sum them associatively (integer
+  // sums are order-independent — no float drift across any partition
+  // layout), and derive mean/std once at the end. Pixel sums fit
+  // comfortably: 255² · 10¹² pixels < 2^63.
+
+  case class ChannelSums(doc_id: Long, n: Long,
+                         sr: Long, sr2: Long, sg: Long, sg2: Long,
+                         sb: Long, sb2: Long)
+
+  /** Decode (JDK codec) and reduce to exact per-channel integer sums. */
+  def channelSums(docId: Long, payload: Array[Byte]): ChannelSums = {
+    imageIoReady
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    var (sr, sr2, sg, sg2, sb, sb2) = (0L, 0L, 0L, 0L, 0L, 0L)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+        sr += r; sr2 += r.toLong * r
+        sg += g; sg2 += g.toLong * g
+        sb += b; sb2 += b.toLong * b
+        x += 1
+      }
+      y += 1
+    }
+    ChannelSums(docId, img.getWidth.toLong * img.getHeight,
+      sr, sr2, sg, sg2, sb, sb2)
+  }
+
+  /** C61 `m13_normalize_stats`: global per-channel mean/std over the
+    * PNG corpus. One decode pass (the m02 batch shape) to integer
+    * sums, one tiny aggregate, a 3-row stack — mean/std derived from
+    * identical exact integers in both engines, so the doubles are
+    * bit-equal by construction. The oracle rebuilds every image's
+    * sums from the gradient generator's CLOSED FORMS (Σ(c+i) and
+    * Σ(c+i)² over the raster) — a decode, channel-offset, or
+    * accumulation bug shifts an exact integer and flips the hash.
+    */
+  def m13NormalizeStats(s: SparkSession, dir: String, batchSize: Int = 64): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id")).as[Long]
+      .map(id => Media(id, pngBytes(id)))
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map(m =>
+        channelSums(m.doc_id, m.payload))))
+      .toDF()
+      .agg(sum("n").as("n"),
+        sum("sr").as("sr"), sum("sr2").as("sr2"),
+        sum("sg").as("sg"), sum("sg2").as("sg2"),
+        sum("sb").as("sb"), sum("sb2").as("sb2"))
+      .selectExpr(
+        """stack(3,
+          |  'r', n, sr, sr2,
+          |  'g', n, sg, sg2,
+          |  'b', n, sb, sb2) AS (channel, n_pixels, pix_sum, pix_sum_sq)""".stripMargin)
+      .select(col("channel"), col("n_pixels"), col("pix_sum"), col("pix_sum_sq"),
+        round(col("pix_sum") * lit(1.0) / col("n_pixels"), 6).as("mean"),
+        round(sqrt(col("pix_sum_sq") * lit(1.0) / col("n_pixels") -
+          (col("pix_sum") * lit(1.0) / col("n_pixels")) *
+            (col("pix_sum") * lit(1.0) / col("n_pixels"))), 6).as("std"))
+      .orderBy("channel")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m13_normalize_stats" -> ((s, dir) => m13NormalizeStats(s, dir)),
     "m12_tone_detect" -> ((s, dir) => m12ToneDetect(s, dir)),
     "m11_patch_grid" -> ((s, dir) => m11PatchGrid(s, dir)),
     "d09_image_neardup" -> ((s, dir) => d09ImageNearDup(s, dir)),
@@ -1056,6 +1126,43 @@ object Multimodal {
     * codecs for m02/m05, pure-Scala parsers for m03/m04).
     */
   val oracles: Map[String, String] = Map(
+    // per-image closed forms of the m02 gradient generator:
+    //   R(x,y)=rb+y (constant per row), G(x,y)=gb+x, B=bb;
+    //   Σ_{i<k}(c+i) = k·c + k(k-1)/2,
+    //   Σ_{i<k}(c+i)² = k·c² + 2c·k(k-1)/2 + (k-1)k(2k-1)/6
+    "m13_normalize_stats" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    16 + doc_id % 32 AS w, 16 + (doc_id * 7) % 32 AS h,
+        |    doc_id % 200 AS rb, (doc_id * 3) % 200 AS gb, (doc_id * 7) % 200 AS bb
+        |  FROM documents
+        |), per AS (
+        |  SELECT w * h AS n,
+        |    w * (h * rb + h * (h - 1) // 2) AS sr,
+        |    w * (h * rb * rb + 2 * rb * (h * (h - 1) // 2)
+        |         + (h - 1) * h * (2 * h - 1) // 6) AS sr2,
+        |    h * (w * gb + w * (w - 1) // 2) AS sg,
+        |    h * (w * gb * gb + 2 * gb * (w * (w - 1) // 2)
+        |         + (w - 1) * w * (2 * w - 1) // 6) AS sg2,
+        |    w * h * bb AS sb,
+        |    w * h * bb * bb AS sb2
+        |  FROM g
+        |), tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(sum(sr) AS BIGINT) AS sr, CAST(sum(sr2) AS BIGINT) AS sr2,
+        |    CAST(sum(sg) AS BIGINT) AS sg, CAST(sum(sg2) AS BIGINT) AS sg2,
+        |    CAST(sum(sb) AS BIGINT) AS sb, CAST(sum(sb2) AS BIGINT) AS sb2
+        |  FROM per
+        |), st AS (
+        |  SELECT 'r' AS channel, n AS n_pixels, sr AS pix_sum, sr2 AS pix_sum_sq FROM tot
+        |  UNION ALL SELECT 'g', n, sg, sg2 FROM tot
+        |  UNION ALL SELECT 'b', n, sb, sb2 FROM tot
+        |)
+        |SELECT channel, n_pixels, pix_sum, pix_sum_sq,
+        |  round(pix_sum * 1.0 / n_pixels, 6) AS mean,
+        |  round(sqrt(pix_sum_sq * 1.0 / n_pixels -
+        |    (pix_sum * 1.0 / n_pixels) * (pix_sum * 1.0 / n_pixels)), 6) AS std
+        |FROM st ORDER BY channel""".stripMargin,
     "m12_tone_detect" ->
       """SELECT doc_id,
         |  CAST(800 AS BIGINT) AS n_samples,
