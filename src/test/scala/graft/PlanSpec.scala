@@ -337,6 +337,13 @@ class PlanSpec extends AnyFunSuite {
       "per-row array compute must not shuffle: " + p)
   }
 
+  test("t27 chunking is map-only: starts computed inline, no hash shuffle") {
+    val p = plan("t27_chunk_overlap")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "chunking must not shuffle the corpus: " + p)
+    assert(!p.contains("Window"), "chunk ids are arithmetic, not a window: " + p)
+  }
+
   test("t25 tfidf keywords: df table broadcast, top-k through the bounded heap") {
     val p = plan("t25_tfidf_keywords")
     assert(p.contains("TopKPerGroup"), p)

@@ -784,6 +784,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, 10L), (2L, 20L), (3L, 30L)), s"replica state: $got")
   }
 
+  test("replication into an appendOnly replica stops loudly before any mutation") {
+    import graft.sources.Snapshots
+    import graft.streaming.Replicate
+    val sp = spark
+    import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("replao").toString
+    val src = new Snapshots(spark, base + "/src")
+    val dst = new Snapshots(spark, base + "/dst")
+    src.commit(Map("t" -> Seq((1L, 10L)).toDF("id", "v")), Map("t" -> Seq("id")))
+    dst.commit(Map("t" -> Seq((1L, 10L)).toDF("id", "v")), Map("t" -> Seq("id")))
+    // the replica owner freezes their copy: replication applies DML
+    // verbs, so the guard must stop the stream — not silently mutate a
+    // table declared immutable
+    dst.setProperties("t", Map("appendOnly" -> "true"))
+    src.append("t", Seq((2L, 20L)).toDF("id", "v"), statsCols = Seq("id"))
+    val q = spark.readStream
+      .format("graft.sources.ChangeFeed")
+      .option("path", base + "/src").option("table", "t")
+      .option("startingVersion", "1")
+      .load()
+      .writeStream
+      .foreachBatch(Replicate.applyBatch(dst, "t", "id", Seq("id")) _)
+      .option("checkpointLocation", base + "/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(120000); () }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+        c.getMessage != null && c.getMessage.contains("appendOnly")),
+      s"the stream must die on the appendOnly guard, got: $e")
+    val got = dst.read("t").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L)), s"guarded replica must be untouched: $got")
+  }
+
   test("foreachBatch parquet sink is idempotent across a checkpoint replay") {
     import java.nio.file.Files
     val out = Files.createTempDirectory("sink_out").toString
