@@ -203,6 +203,42 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** C62 `d14_dedup_containment`: CONTAINMENT near-dup — the
+    * asymmetric metric Jaccard misses: a short doc fully EMBEDDED in a
+    * longer one (wire reposts with added commentary, quoted articles,
+    * prefix truncations) has containment |A∩B|/min(|A|,|B|) ≈ 1 while
+    * its Jaccard ≈ |A|/|B| falls under every symmetric threshold (Lee
+    * et al. discuss exactly this failure class). Same scale shape as
+    * d04 — df-capped posting-index candidates (one linear shuffle),
+    * exact sorted-set verification on candidates only — with the
+    * min-size denominator swapped in. Fixture: every 4th doc gains a
+    * half-length truncated copy (+300000), so the qualifying pairs
+    * have containment 1.0 at Jaccard ≈ 0.5 (emitted alongside, to
+    * show what a 0.6 Jaccard screen would have missed).
+    */
+  def d14DedupContainment(s: SparkSession, dir: String,
+                          thr: Double = 0.9, maxDf: Int = 64): DataFrame = {
+    val base = tokenized(s, dir).select(col("doc_id"), col("toks"))
+    val truncated = base.where(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 300000L).as("doc_id"),
+        slice(col("toks"), lit(1), (size(col("toks")) / 2).cast("int")).as("toks"))
+    val sets = hashSets(base.unionByName(truncated))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ngramCandidates(sets, maxDf)
+      .join(sets.toDF("a_id", "a_hs"), "a_id")
+      .join(sets.toDF("b_id", "b_hs"), "b_id")
+      .withColumn("inter", sorted_intersect_count(col("a_hs"), col("b_hs")))
+      .withColumn("containment",
+        col("inter") / least(size(col("a_hs")), size(col("b_hs"))))
+      .where(col("containment") >= thr)
+      .withColumn("jaccard",
+        col("inter") / (size(col("a_hs")) + size(col("b_hs")) - col("inter")))
+      .select(col("a_id"), col("b_id"),
+        round(col("containment"), 4).as("containment"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** C5: embedding cosine near-dup, exact. The corpus embeddings table
     * is self-joined with the smaller side broadcast (no shuffle) and the
     * cosine runs inside codegen (custom expression). Exact all-pairs is
@@ -435,6 +471,7 @@ object Dedup {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d10_url_dedup" -> d10UrlDedup _,
     "d11_semdedup" -> d11Semdedup _,
+    "d14_dedup_containment" -> ((s, dir) => d14DedupContainment(s, dir)),
     "d01_dedup_exact" -> d01DedupExact _,
     "d08_dedup_incremental_ngram" -> ((s, dir) => d08DedupIncrementalNgram(s, dir)),
     "d02_dedup_minhash" -> d02DedupMinhash _,
@@ -447,6 +484,30 @@ object Dedup {
     * expressible); DedupSpec carries their recall/exactness checks.
     */
   val oracles: Map[String, String] = Map(
+    "d14_dedup_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 300000, w[1:len(w)//2]
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE doc_id % 4 = 0
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+        |), sz AS (
+        |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+        |), p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a_id, b_id,
+        |  round(inter / least(sa.n_sh, sb.n_sh), 4) AS containment,
+        |  round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+        |FROM p
+        |JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
+        |WHERE inter / least(sa.n_sh, sb.n_sh) >= 0.9
+        |ORDER BY a_id, b_id""".stripMargin,
     "d11_semdedup" ->
       """WITH s AS (
         |  SELECT vec_id AS sid, CAST(embedding AS DOUBLE[]) AS svec
