@@ -1473,6 +1473,52 @@ class Snapshots(s: SparkSession, root: String) {
     * the staged data is NOT rewritten — only the manifest merge re-runs
     * against the new head.
     */
+  /** ANALYZE — build missing `_stats` (and optionally `_bloom`)
+    * sidecars for a table's already-committed directories (the ANALYZE
+    * TABLE / OPTIMIZE-stats verb). Externally staged bytes
+    * ([[commitStaged]] — the streaming sink's publish path) arrive
+    * WITHOUT sidecars, so stats/bloom pruning cannot skip them until a
+    * compaction happens to rewrite them; this pays one column-pruned
+    * scan per un-analyzed directory instead of a full rewrite, closing
+    * the stats lifecycle for ingest-heavy tables. Sidecars are
+    * advisory accelerators (a dir without one reads conservatively —
+    * correct either way), so like the read-metadata cadence checkpoint
+    * this publishes NO version: rows are untouched, concurrent readers
+    * see either the conservative or the pruned plan, both exact.
+    * Directories that already carry a sidecar are left alone (their
+    * stats may cover other columns). Returns the number of
+    * directories analyzed.
+    */
+  def analyzeTable(table: String, statsCols: Seq[String],
+                   bloomCols: Seq[String] = Nil,
+                   bloomFpp: Double = 0.01): Int = {
+    require(statsCols.nonEmpty || bloomCols.nonEmpty,
+      "analyzeTable requires statsCols and/or bloomCols")
+    val m = readManifest(currentVersion.getOrElse(
+      throw new IllegalStateException(s"no commits under $root")))
+    val rel = dataEntries(m).getOrElse(table,
+      throw new NoSuchElementException(s"table '$table' not committed under $root"))
+    val dirs: Seq[Path] = (storedFiles(m, table) match {
+      case Some(files) => files.map { case (r, _) => new Path(root, r).getParent }
+      case None => splitRel(rel).map { r =>
+        val p = new Path(root, r)
+        if (fs.getFileStatus(p).isDirectory) p else p.getParent
+      }
+    }).distinct
+    var n = 0
+    dirs.foreach { d =>
+      val needStats = statsCols.nonEmpty && FileStats.readSidecar(fs, d).isEmpty
+      val needBloom = bloomCols.nonEmpty && FileStats.readBloomSidecar(fs, d).isEmpty
+      if (needStats)
+        FileStats.writeSidecar(fs, d, FileStats.harvest(s, d.toString, statsCols))
+      if (needBloom)
+        FileStats.writeBloomSidecar(fs, d,
+          FileStats.harvestBlooms(s, d.toString, bloomCols, bloomFpp))
+      if (needStats || needBloom) n += 1
+    }
+    n
+  }
+
   def commitStaged(updates: Map[String, String],
                    removes: Set[String] = Set.empty,
                    schemas: Map[String, org.apache.spark.sql.types.StructType] = Map.empty): Long = {

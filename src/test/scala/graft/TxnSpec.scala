@@ -2299,6 +2299,37 @@ class TxnSpec extends AnyFunSuite {
     assert(snap.syncIdentity("a") == v)
   }
 
+  test("analyzeTable: externally staged bytes gain pruning without a rewrite") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txnanalyze").toString + "/lake"
+    val snap = new Snapshots(sp, root)
+    // an EXTERNAL writer stages sorted parquet and publishes by rel
+    // path — the commitStaged ingest path, which carries no sidecars
+    (1L to 1000L).map(i => (i, i * 2.0)).toDF("id", "v")
+      .repartitionByRange(8, col("id")).sortWithinPartitions("id")
+      .write.parquet(s"$root/ext1")
+    snap.commitStaged(Map("a" -> "ext1"))
+    val before = snap.readWhere("a", Seq(ColRange("id", Some(10L), Some(20L))))
+    val total = snap.read("a").inputFiles.length
+    assert(before.inputFiles.length == total,
+      "un-analyzed staged files must read conservatively (no sidecar)")
+    assert(before.count() == 11L)
+
+    assert(snap.analyzeTable("a", Seq("id")) >= 1)
+    val after = snap.readWhere("a", Seq(ColRange("id", Some(10L), Some(20L))))
+    assert(after.inputFiles.length < total / 2,
+      s"analyzed stats should prune: ${after.inputFiles.length} of $total")
+    assert(after.count() == 11L, "pruning must not change the result")
+    // idempotent: already-analyzed dirs are left alone
+    assert(snap.analyzeTable("a", Seq("id")) == 0)
+    // blooms analyze independently of existing stats
+    assert(snap.analyzeTable("a", Seq("id"), bloomCols = Seq("id")) == 1)
+    assert(snap.readWhereIn("a", "id", Seq(17L)).count() == 1L)
+    intercept[NoSuchElementException] { snap.analyzeTable("nope", Seq("id")) }
+    intercept[IllegalArgumentException] { snap.analyzeTable("a", Nil) }
+  }
+
   test("replaceWhere: slice swapped atomically, batch validated inside the predicate, replays converge") {
     val sp = spark
     import sp.implicits._
