@@ -945,7 +945,47 @@ object Relational {
         size(expr("array_union(arr, sequence(4L, 8L))")).cast("long").as("union_n"))
       .orderBy("o_orderkey")
 
+  /** B56 `q61_null_ordering`: NULL ORDERING semantics — the portability
+    * trap q56 leaves open: Spark's default sort puts NULLs FIRST
+    * ascending, DuckDB's puts them LAST, so any cross-engine ranking
+    * over a nullable column silently disagrees unless the placement is
+    * EXPLICIT. This key pins the explicit matrix: the same nullable
+    * measure ranked twice (NULLS LAST and NULLS FIRST, rank() so tied
+    * NULLs share a rank without a divergent row_number tie-break),
+    * null-skipping min/max/count beside count(*), and an explicit
+    * NULLS FIRST presentation sort. One window shuffle on the group
+    * key; pure codegen elsewhere.
+    */
+  def q61NullOrdering(s: SparkSession, dir: String): DataFrame = {
+    graft.sources.Catalog.register(s, dir)
+    s.sql(
+      """WITH b AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |         ELSE CAST(round(o_totalprice * 100, 0) AS BIGINT) END AS nv
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |), r AS (
+        |  SELECT o_orderkey, o_orderstatus, nv,
+        |    rank() OVER (PARTITION BY o_orderstatus
+        |                 ORDER BY nv DESC NULLS LAST) AS rk_last,
+        |    rank() OVER (PARTITION BY o_orderstatus
+        |                 ORDER BY nv DESC NULLS FIRST) AS rk_first,
+        |    CAST(count(nv)  OVER (PARTITION BY o_orderstatus) AS BIGINT) AS n_vals,
+        |    CAST(count(*)   OVER (PARTITION BY o_orderstatus) AS BIGINT) AS n_rows,
+        |    min(nv) OVER (PARTITION BY o_orderstatus) AS min_v,
+        |    max(nv) OVER (PARTITION BY o_orderstatus) AS max_v
+        |  FROM b
+        |)
+        |SELECT o_orderkey, o_orderstatus, nv,
+        |  CAST(rk_last AS BIGINT) AS rk_last,
+        |  CAST(rk_first AS BIGINT) AS rk_first,
+        |  n_vals, n_rows, min_v, max_v
+        |FROM r
+        |ORDER BY nv ASC NULLS FIRST, o_orderkey""".stripMargin)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_null_ordering" -> q61NullOrdering _,
     "q59_array_hof" -> q59ArrayHof _,
     "q58_variant" -> q58Variant _,
     "q01_agg" -> q01Agg _,
@@ -993,6 +1033,30 @@ object Relational {
     "q24_pivot" -> q24Pivot _)
 
   val oracles: Map[String, String] = Map(
+    "q61_null_ordering" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |         ELSE CAST(round(o_totalprice * 100, 0) AS BIGINT) END AS nv
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |), r AS (
+        |  SELECT o_orderkey, o_orderstatus, nv,
+        |    rank() OVER (PARTITION BY o_orderstatus
+        |                 ORDER BY nv DESC NULLS LAST) AS rk_last,
+        |    rank() OVER (PARTITION BY o_orderstatus
+        |                 ORDER BY nv DESC NULLS FIRST) AS rk_first,
+        |    CAST(count(nv)  OVER (PARTITION BY o_orderstatus) AS BIGINT) AS n_vals,
+        |    CAST(count(*)   OVER (PARTITION BY o_orderstatus) AS BIGINT) AS n_rows,
+        |    min(nv) OVER (PARTITION BY o_orderstatus) AS min_v,
+        |    max(nv) OVER (PARTITION BY o_orderstatus) AS max_v
+        |  FROM b
+        |)
+        |SELECT o_orderkey, o_orderstatus, nv,
+        |  CAST(rk_last AS BIGINT) AS rk_last,
+        |  CAST(rk_first AS BIGINT) AS rk_first,
+        |  n_vals, n_rows, min_v, max_v
+        |FROM r
+        |ORDER BY nv ASC NULLS FIRST, o_orderkey""".stripMargin,
     "q59_array_hof" ->
       """WITH b AS (
         |  SELECT o_orderkey, o_orderkey % 3 AS m,
