@@ -54,7 +54,7 @@ object Bench {
     "d11_semdedup", "d12_cluster_keep_best", "t25_tfidf_keywords", "c19_append_only",
     "m12_tone_detect", "c20_replace_where", "q58_variant", "q59_array_hof", "t26_zipf_fit",
     "s11_ann_mmr", "d13_dedup_incremental_cc", "q60_asof_forward", "t27_chunk_overlap",
-    "m13_normalize_stats", "d14_dedup_containment", "q61_null_ordering",
+    "m13_normalize_stats", "d14_dedup_containment", "q61_null_ordering", "m14_image_entropy",
     "q33_profile", "q34_histogram")
 
   /** Per-key task-metric sums, so a bench anomaly ships with its own

@@ -1104,7 +1104,82 @@ object Multimodal {
       .orderBy("channel")
   }
 
+  // ------------------------------------------------------------- m14
+  // Image information content — per-channel histogram entropy, the
+  // screen that drops blank/near-constant/degenerate images before
+  // they waste multimodal token budget (a flat channel has entropy 0;
+  // natural content sits high). The gradient fixture gives exact
+  // uniform histograms, so the oracle is the closed form log2(#levels)
+  // per channel; margins audited (round-6 boundary distance ≥7.2e-10
+  // abs vs ≤3.6e-15 accumulation-vs-closed-form drift).
+
+  case class ImageEntropy(doc_id: Long, ent_r: Double, ent_g: Double,
+                          ent_b: Double, nd_r: Int, nd_g: Int, nd_b: Int)
+
+  /** Decode and reduce to per-channel entropy + distinct-level counts.
+    * The entropy sum runs in ASCENDING bin order (deterministic
+    * accumulation); `+ 0.0` normalizes the single-level channel's
+    * `-0.0` to `+0.0` for the cross-engine compare.
+    */
+  def imageEntropy(docId: Long, payload: Array[Byte]): ImageEntropy = {
+    imageIoReady
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    val hist = Array.ofDim[Long](3, 256)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        hist(0)((p >> 16) & 0xff) += 1
+        hist(1)((p >> 8) & 0xff) += 1
+        hist(2)(p & 0xff) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = img.getWidth.toLong * img.getHeight
+    def chan(h: Array[Long]): (Double, Int) = {
+      var (ent, nd, b) = (0.0, 0, 0)
+      while (b < 256) {
+        val c = h(b)
+        if (c > 0) {
+          val p = c.toDouble / n
+          ent -= p * (math.log(p) / math.log(2.0))
+          nd += 1
+        }
+        b += 1
+      }
+      (ent + 0.0, nd)
+    }
+    val (er, nr) = chan(hist(0)); val (eg, ng) = chan(hist(1)); val (eb, nb) = chan(hist(2))
+    ImageEntropy(docId, er, eg, eb, nr, ng, nb)
+  }
+
+  /** C63 `m14_image_entropy`: the low-information screen under the
+    * oracle — per-channel entropies recover log2(h)/log2(w)/0 from the
+    * real decoded rasters (R varies by row → h levels, G by column →
+    * w levels, B constant), so a histogram, normalization, or log-base
+    * bug shifts a closed-form value and flips the hash.
+    */
+  def m14ImageEntropy(s: SparkSession, dir: String, batchSize: Int = 64): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id")).as[Long]
+      .map(id => Media(id, pngBytes(id)))
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map(m =>
+        imageEntropy(m.doc_id, m.payload))))
+      .toDF()
+      .select(col("doc_id"),
+        round(col("ent_r"), 6).as("ent_r"),
+        round(col("ent_g"), 6).as("ent_g"),
+        round(col("ent_b"), 6).as("ent_b"),
+        col("nd_r").cast("long").as("nd_r"),
+        col("nd_g").cast("long").as("nd_g"),
+        col("nd_b").cast("long").as("nd_b"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m14_image_entropy" -> ((s, dir) => m14ImageEntropy(s, dir)),
     "m13_normalize_stats" -> ((s, dir) => m13NormalizeStats(s, dir)),
     "m12_tone_detect" -> ((s, dir) => m12ToneDetect(s, dir)),
     "m11_patch_grid" -> ((s, dir) => m11PatchGrid(s, dir)),
@@ -1130,6 +1205,17 @@ object Multimodal {
     //   R(x,y)=rb+y (constant per row), G(x,y)=gb+x, B=bb;
     //   Σ_{i<k}(c+i) = k·c + k(k-1)/2,
     //   Σ_{i<k}(c+i)² = k·c² + 2c·k(k-1)/2 + (k-1)k(2k-1)/6
+    // R has h distinct levels (rb+y per row, each w times), G has w
+    // (gb+x per column), B one — uniform histograms, entropy log2(k)
+    "m14_image_entropy" ->
+      """SELECT doc_id,
+        |  round(log2(16 + (doc_id * 7) % 32), 6) AS ent_r,
+        |  round(log2(16 + doc_id % 32), 6) AS ent_g,
+        |  round(0.0, 6) AS ent_b,
+        |  CAST(16 + (doc_id * 7) % 32 AS BIGINT) AS nd_r,
+        |  CAST(16 + doc_id % 32 AS BIGINT) AS nd_g,
+        |  CAST(1 AS BIGINT) AS nd_b
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "m13_normalize_stats" ->
       """WITH g AS (
         |  SELECT doc_id,
