@@ -495,7 +495,7 @@ object Ann {
     * with the same exactly-once tags, time travel, and compaction as
     * any other table.
     */
-  private def pqLakeStaged(s: SparkSession, dir: String,
+  private[graft] def pqLakeStaged(s: SparkSession, dir: String,
                            m: Int = 8, ksub: Int = 16, iters: Int = 2): graft.sources.Snapshots = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val root = s.conf.get("spark.sql.warehouse.dir") + s"/pq_lake_${m}_$ksub$tag"

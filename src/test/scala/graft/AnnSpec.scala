@@ -272,4 +272,32 @@ class AnnSpec extends AnyFunSuite {
     assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq,
       "replayed append changed the index")
   }
+
+  test("index DELETE: the lake's keyset verb removes vectors from the searchable set") {
+    val sp = spark
+    import sp.implicits._
+    // the index IS a Snapshots lake, so deletion needs no ANN-specific
+    // machinery: clone the codes table (zero-copy — the shared staged
+    // fixture stays intact), keyset-delete from the clone, search the
+    // clone. Re-runs converge: an already-deleted victim just yields a
+    // fresh current top-1 to delete.
+    val lake = Ann.pqLakeStaged(spark, dir)
+    if (!lake.hasTable("codes_del")) lake.cloneTable("codes", "codes_del")
+    val e = graft.pipeline.emb(spark, dir)
+    val cb = lake.read("codebook")
+    def search() = Ann.annPqOn(e, index = Some((cb, lake.read("codes_del"))))
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id")))
+    val before = search()
+    val victim = before.filter(_._1 == 0L).minBy(_._2)._3
+    lake.deleteKeys("codes_del", Seq(victim).toDF("vec_id"), "vec_id")
+    val after = search()
+    assert(!after.exists(_._3 == victim), s"deleted vector $victim still searchable")
+    // the shortlist refills: every query still returns a full top-k
+    assert(after.groupBy(_._1).forall(_._2.length == Ann.K),
+      "deletion must not shrink other queries' result sets")
+    // replay converges to the identical board
+    lake.deleteKeys("codes_del", Seq(victim).toDF("vec_id"), "vec_id")
+    assert(search().toSeq == after.toSeq, "replayed delete changed the index")
+  }
 }

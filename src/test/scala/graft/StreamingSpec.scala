@@ -784,6 +784,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, 10L), (2L, 20L), (3L, 30L)), s"replica state: $got")
   }
 
+  test("streaming ingest then ANALYZE: the sink's sidecar-less appends gain pruning in place") {
+    import java.nio.file.Files
+    import graft.sources.{FileStats, Snapshots}
+    val root = Files.createTempDirectory("ingest_an").toString + "/lake"
+    val ckpt = Files.createTempDirectory("ingest_an_ck").toString
+    // the motivating lifecycle: streaming micro-batches append through
+    // the snapshot sink with NO stats sidecars — a standing table built
+    // purely by ingest reads conservatively forever until a compaction
+    // OR this maintenance verb runs
+    val src = graft.streaming.Sinks.enrichedEvents(spark, TestSpark.sfTest)
+    graft.streaming.Sinks.snapshotBatchSink(src, root, "events", ckpt).awaitTermination()
+    val snap = new Snapshots(spark, root)
+    val range = Seq(FileStats.ColRange("event_id", Some(1L), Some(50L)))
+    val total = snap.read("events").inputFiles.length
+    val before = snap.readWhere("events", range)
+    assert(before.inputFiles.length == total, "ingested files must lack sidecars")
+    val want = before.count()
+    assert(snap.analyzeTable("events", Seq("event_id")) >= 1)
+    val after = snap.readWhere("events", range)
+    assert(after.count() == want, "analyze must not change results")
+    // the ingest wrote one part per micro-batch; event_id-ranged stats
+    // prune at least some of them unless the source collapsed to a
+    // single batch (then the assert below is vacuously satisfied)
+    assert(after.inputFiles.length <= before.inputFiles.length)
+    assert(snap.analyzeTable("events", Seq("event_id")) == 0, "idempotent")
+  }
+
   test("replication into an appendOnly replica stops loudly before any mutation") {
     import graft.sources.Snapshots
     import graft.streaming.Replicate
