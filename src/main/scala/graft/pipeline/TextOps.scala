@@ -739,7 +739,31 @@ object TextOps {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** C64 `t28_quality_gate`: corpus-RELATIVE quality filtering — keep
+    * the documents above the corpus median quality. Production filters
+    * gate on corpus-relative quantiles, not fixed constants (mixture
+    * drift moves any absolute threshold); this is the data-driven
+    * form of t02's scores. One quality pass → a 1-row quantile
+    * aggregate broadcast back → one filtered pass; the corpus never
+    * shuffles. The exact percentile is the oracle's requirement —
+    * q28's sketch is the documented 100-TB quantile path, and the
+    * gate semantics are identical under either. A doc exactly AT the
+    * median is excluded in both engines (strict >, and the
+    * interpolated median is bit-equal from identical rounded inputs —
+    * the q23 crossing precedent).
+    */
+  def t28QualityGate(s: SparkSession, dir: String): DataFrame = {
+    val q = t02QualityScore(s, dir).select(col("doc_id"), col("quality"))
+    val med = q.agg(expr("percentile(quality, 0.5)").as("med"))
+    q.crossJoin(broadcast(med))
+      .where(col("quality") > col("med"))
+      .select(col("doc_id"), col("quality"),
+        round(col("med"), 6).as("corpus_median"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t28_quality_gate" -> t28QualityGate _,
     "t27_chunk_overlap" -> ((s, dir) => t27ChunkOverlap(s, dir)),
     "t26_zipf_fit" -> t26ZipfFit _,
     "t25_tfidf_keywords" -> ((s, dir) => t25TfidfKeywords(s, dir)),
@@ -770,6 +794,25 @@ object TextOps {
     stops.map(s => s"'$s'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "t28_quality_gate" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    len(string_split(text, ' ')) AS n_words,
+         |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         |    len(list_filter(string_split(text, ' '),
+         |        t -> list_contains(${listLit(enStops)}, t))) AS n_stop
+         |  FROM documents
+         |), q AS (
+         |  SELECT doc_id,
+         |    round(0.4 * (n_distinct * 1.0 / n_words) +
+         |          0.4 * (1.0 - n_stop * 1.0 / n_words) +
+         |          0.2 * least(n_words * 1.0 / 100.0, 1.0), 4) AS quality
+         |  FROM f
+         |), m AS (
+         |  SELECT quantile_cont(quality, 0.5) AS med FROM q
+         |)
+         |SELECT doc_id, quality, round(med, 6) AS corpus_median
+         |FROM q, m WHERE quality > med ORDER BY doc_id""".stripMargin,
     "t27_chunk_overlap" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS w,
