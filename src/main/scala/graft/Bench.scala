@@ -104,46 +104,66 @@ object Bench {
 
     val listener = new MetricsListener
     spark.sparkContext.addSparkListener(listener)
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val diag = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val taskSec = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = qs.map { name =>
-      // Min of two timed runs: single-shot timings occasionally absorb a
-      // multi-second host hiccup (page cache flush / GC burst measured at
-      // 5-10x the query time); the min is the engine's actual cost.
+      // NOISE PROTOCOL (hardened after the r8 driver/builder 1.39x wall
+      // divergence — plans pinned, task_ms flat, wall inflated 3-4x on
+      // sub-second keys: single-JVM serial suite + loaded driver host):
+      //  1. every run carries its OWN task-metric window, so the
+      //     reported task_ms/gc_ms belong to the BEST run, not a 2-run
+      //     sum — `queries_task_sec` is the load-insensitive metric of
+      //     record for round-over-round regression gating (executor
+      //     task time barely moves under host contention; wall is what
+      //     absorbs it);
+      //  2. runs REPEAT (up to 5) until the two fastest walls agree
+      //     within 25% — a host hiccup can eat any one window, but a
+      //     CONVERGED min is the engine's actual cost; `runs` in the
+      //     diag says how hard convergence was, `load` records the
+      //     1-min system load average at key start (>> cpus ⇒ the box
+      //     was busy — the wall is then evidence about the host, not
+      //     the plan).
       // GC outside the timed window: accumulated broadcast/shuffle state
-      // from earlier queries must not bill its collection time to this one.
-      // The settle sleep matters as much as the GC: collecting dead
-      // Broadcast/shuffle refs hands ContextCleaner an ASYNC removal queue
-      // (block-manager drops, shuffle-file deletes) that would otherwise
-      // run inside the next timed window and steal CPU from it — by key
-      // ~37 of 49 that queue is everything the suite has accumulated.
-      // plan_ms isolates DRIVER work (DataFrame construction + analysis
-      // + optimization + physical planning + fixture-staging probes)
-      // from execution: a wall ≫ task_ms anomaly with small plan_ms is
-      // host contention; with large plan_ms it's a planning/codegen
-      // disease — the distinction that took two rounds to make for
-      // s01/st01 is now read directly off the diag.
-      def once(): (Double, Double) = {
+      // from earlier queries must not bill its collection time to this
+      // one, and the settle sleep lets ContextCleaner's ASYNC removal
+      // queue (block-manager drops, shuffle-file deletes) drain outside
+      // the window too. plan_ms isolates DRIVER work (analysis/
+      // optimization/codegen/fixture probes) from execution: wall ≫
+      // task_ms with small plan_ms is host contention; with large
+      // plan_ms it's a planning disease.
+      def once(): (Double, Double, Long, Long, Long) = {
         System.gc()
         Thread.sleep(150)
+        val (r0, g0, n0) = listener.snap()
         val t0 = System.nanoTime()
         val df = SparkEntry.queries(name)(spark, sfDir)
         df.queryExecution.executedPlan // force full planning, no tasks
         val tPlan = System.nanoTime()
         df.count()
-        ((System.nanoTime() - t0) / 1e9, (tPlan - t0) / 1e9)
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(120) // listener bus drains async; settle before the delta
+        val (r1, g1, n1) = listener.snap()
+        (wall, (tPlan - t0) / 1e9, r1 - r0, g1 - g0, n1 - n0)
       }
       try {
-        val (r0, g0, n0) = listener.snap()
-        val (t1, p1) = once(); val (t2, p2) = once()
-        Thread.sleep(100) // listener bus drains async; settle before the delta
-        val (r1, g1, n1) = listener.snap()
+        val load = osBean.getSystemLoadAverage
+        val runs = scala.collection.mutable.ArrayBuffer(once(), once())
+        def converged: Boolean = {
+          val w = runs.map(_._1).sorted
+          w(1) <= w(0) * 1.25
+        }
+        while (!converged && runs.size < 5) runs += once()
         // isolate keys from each other (see warmup note): the min still
         // reflects a warm operator cache — the first timed run rebuilds
-        // it, the second reuses it — but nothing leaks to the next key
+        // it, later ones reuse it — but nothing leaks to the next key
         spark.catalog.clearCache()
-        diag(name) = f"""{"w1":${t1}%.3f,"w2":${t2}%.3f,"plan1":${p1}%.3f,"plan2":${p2}%.3f,"task_ms":${r1 - r0},"gc_ms":${g1 - g0},"tasks":${n1 - n0}}"""
-        name -> math.min(t1, t2)
+        val best = runs.minBy(_._1)
+        val walls = runs.map(w => f"${w._1}%.3f").mkString("[", ",", "]")
+        diag(name) = f"""{"walls":$walls,"plan":${best._2}%.3f,"task_ms":${best._3},"gc_ms":${best._4},"tasks":${best._5},"runs":${runs.size},"load":$load%.1f}"""
+        taskSec(name) = best._3 / 1000.0
+        name -> best._1
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -160,9 +180,11 @@ object Bench {
     val qjson = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val ejson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val djson = diag.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val tjson = taskSec.map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val totalTask = taskSec.values.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"errors":$ejson,"n_failed":${errors.size},"diag":$djson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"queries_task_sec":$tjson,"total_task_sec":$totalTask,"errors":$ejson,"n_failed":${errors.size},"diag":$djson,"sf":"$sfDir","protocol":"wall = min of converged runs (two fastest within 25%, <=5 tries); round-over-round regressions gate on queries_task_sec (load-insensitive executor time of the best run); per-key 1-min loadavg in diag"}"""
     println(line)
     Files.writeString(Paths.get(outFile), line + "\n")
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")

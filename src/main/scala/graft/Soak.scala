@@ -45,13 +45,14 @@ object Soak {
     // corpus CHARS (the heaviest new scaling dimension) and d09's
     // band-join candidate set must track distinct-hash count, not docs
     "t19_substring_dedup", "d09_image_neardup",
-    // ninth-wave additions: d11's within-cluster pair work must track
-    // Σ(cluster size)² under a 10× corpus with the same 8 pinned
-    // centroids (clusters grow 10× → pair work 100× of a 10× base —
-    // the key's documented quadratic-in-cluster-size term, bounded in
-    // production by choosing k; the probe makes the term visible), and
-    // d12's component+quality join must stay linear over the 10× pair
-    // graph
+    // ninth-wave additions: d11's within-cluster pair work is
+    // Σ(cluster size)², but d11Semdedup scales k with the corpus
+    // (k = max(8, n/64)), so a 10× corpus gets 10× clusters of the
+    // SAME expected size ~64 — pair work grows ~linearly (the paper's
+    // own scaling recipe). The soak therefore expects a ~10× task_ms
+    // ratio here like every other key; a quadratic ratio would mean
+    // the adaptive-k guard broke. d12's component+quality join must
+    // stay linear over the 10× pair graph
     "d11_semdedup", "d12_cluster_keep_best")
 
   private final class MetricsListener extends SparkListener {

@@ -215,6 +215,13 @@ object Dedup {
     * half-length truncated copy (+300000), so the qualifying pairs
     * have containment 1.0 at Jaccard ≈ 0.5 (emitted alongside, to
     * show what a 0.6 Jaccard screen would have missed).
+    *
+    * The DuckDB oracle MODELS the df cap (its candidate CTE admits
+    * only pairs sharing ≥1 shingle with df ≤ maxDf; the containment/
+    * jaccard arithmetic stays exact over ALL shingles) — the engine's
+    * documented one-sided error model is thereby pinned cross-engine
+    * instead of relying on the fixture corpus never minting a pair
+    * whose entire overlap is >maxDf boilerplate.
     */
   def d14DedupContainment(s: SparkSession, dir: String,
                           thr: Double = 0.9, maxDf: Int = 64): DataFrame = {
@@ -496,9 +503,16 @@ object Dedup {
         |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
         |), sz AS (
         |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+        |), rare AS (
+        |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 64
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  WHERE a.shingle IN (SELECT shingle FROM rare)
         |), p AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  JOIN cand c ON c.a_id = a.doc_id AND c.b_id = b.doc_id
         |  GROUP BY 1, 2
         |)
         |SELECT a_id, b_id,

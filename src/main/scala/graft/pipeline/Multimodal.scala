@@ -221,6 +221,10 @@ object Multimodal {
           sampleRate = bb.getInt()
           bb.position(bb.position() + size - 8)
         case "data" =>
+          // chunk order is not mandated by RIFF — refuse a data-first
+          // file instead of silently recording sample_rate = 0
+          require(sampleRate != 0,
+            s"doc $docId: RIFF data chunk precedes fmt — sample rate unknown")
           val n = size / 2
           var sumSq = 0.0
           var i = 0
@@ -229,6 +233,7 @@ object Multimodal {
         case _ => bb.position(bb.position() + size)
       }
     }
+    require(out != null, s"doc $docId: RIFF payload has no data chunk")
     out
   }
 
@@ -698,6 +703,7 @@ object Multimodal {
         case _ => bb.position(bb.position() + size)
       }
     }
+    require(out != null, s"doc $docId: RIFF payload has no data chunk")
     out
   }
 
@@ -986,6 +992,10 @@ object Multimodal {
           sampleRate = bb.getInt()
           bb.position(bb.position() + size - 8)
         case "data" =>
+          // RIFF does not mandate chunk order: a data-before-fmt file
+          // would otherwise divide by sampleRate=0 in the bin mapping
+          require(sampleRate != 0,
+            s"doc $docId: RIFF data chunk precedes fmt — sample rate unknown")
           val n = size / 2
           val samples = Array.fill(n)(bb.getShort())
           val energies = candidatesHz.map { f =>
@@ -1001,6 +1011,9 @@ object Multimodal {
         case _ => bb.position(bb.position() + size)
       }
     }
+    // a payload without a data chunk must fail HERE with the doc named,
+    // not as a downstream NPE on the null record
+    require(out != null, s"doc $docId: RIFF payload has no data chunk")
     out
   }
 

@@ -1922,6 +1922,11 @@ class Snapshots(s: SparkSession, root: String) {
     require(keyCols.nonEmpty, "mergeInto requires at least one key column")
     val headM = readManifest(currentVersion.getOrElse(
       throw new IllegalStateException(s"no commits under $root")))
+    // refuse UP FRONT, not inside partialRewrite: the all-null-leading-
+    // key edge below lands as an append and would otherwise let MERGE
+    // on a guarded table succeed or refuse depending on source DATA —
+    // Delta's delta.appendOnly blocks MERGE unconditionally
+    requireNotAppendOnly(headM, table, "MERGE")
     val baseRel = dataEntries(headM).getOrElse(table,
       throw new NoSuchElementException(s"table '$table' not committed under $root"))
     // generated columns: an omitting source is completed, a providing
@@ -2660,6 +2665,9 @@ class Snapshots(s: SparkSession, root: String) {
     require(keyCols.nonEmpty, "deleteKeys requires at least one key column")
     val headM = readManifest(currentVersion.getOrElse(
       throw new IllegalStateException(s"no commits under $root")))
+    // uniform refusal (see mergeInto): an empty keyset short-circuits
+    // below and must not make DELETE on a guarded table data-dependent
+    requireNotAppendOnly(headM, table, "keyset DELETE")
     val baseRel = dataEntries(headM).getOrElse(table,
       throw new NoSuchElementException(s"table '$table' not committed under $root"))
     val existing = logicalSchema(headM, table).getOrElse(writtenSchema(baseRel))
@@ -2705,6 +2713,9 @@ class Snapshots(s: SparkSession, root: String) {
     require(keyCols.nonEmpty, "applyChanges requires at least one key column")
     val headM = readManifest(currentVersion.getOrElse(
       throw new IllegalStateException(s"no commits under $root")))
+    // same up-front refusal as mergeInto: the verb must refuse on a
+    // guarded table REGARDLESS of which internal path the data selects
+    requireNotAppendOnly(headM, table, "CDC apply (merge+delete)")
     val baseRel = dataEntries(headM).getOrElse(table,
       throw new NoSuchElementException(s"table '$table' not committed under $root"))
     val src = applyGenerated(table, headM, source, "merge")

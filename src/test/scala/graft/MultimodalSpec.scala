@@ -227,5 +227,26 @@ class MultimodalSpec extends AnyFunSuite {
     // amplitude does not move the decision, only the energy scale
     val quiet = Multimodal.detectTone(5L, Multimodal.wavBytes(8000, tone(1500, 300.0)), cands)
     assert(quiet.freq_hz == 1500 && quiet.dominance_ok == 1)
+    // malformed RIFF payloads fail LOUDLY with the doc named, never as
+    // a div-by-zero bin or a downstream NPE: (a) data chunk before fmt
+    // (RIFF does not mandate chunk order), (b) no data chunk at all
+    val good = Multimodal.wavBytes(8000, tone(1000, 4000.0))
+    val dataFirst = {
+      // wavBytes layout: RIFF(12) | fmt hdr(8)+body(16) | data hdr(8)+pcm
+      val out = new Array[Byte](good.length)
+      System.arraycopy(good, 0, out, 0, 12)
+      val fmtLen = 8 + 16
+      val dataLen = good.length - 12 - fmtLen
+      System.arraycopy(good, 12 + fmtLen, out, 12, dataLen) // data first
+      System.arraycopy(good, 12, out, 12 + dataLen, fmtLen) // fmt after
+      out
+    }
+    val e1 = intercept[IllegalArgumentException] {
+      Multimodal.detectTone(6L, dataFirst, cands) }
+    assert(e1.getMessage.contains("doc 6") && e1.getMessage.contains("fmt"))
+    val noData = good.take(12 + 8 + 16) // RIFF + fmt only
+    val e2 = intercept[IllegalArgumentException] {
+      Multimodal.detectTone(7L, noData, cands) }
+    assert(e2.getMessage.contains("doc 7") && e2.getMessage.contains("no data chunk"))
   }
 }

@@ -2408,6 +2408,18 @@ class TxnSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       snap.mergeInto("a", Seq((1L, 11.0)).toDF("id", "v"), "id") }
     intercept[IllegalArgumentException] { snap.deleteKeys("a", Seq(1L).toDF("id"), "id") }
+    // the refusal is UNIFORM — data must not select a path that slips
+    // past the guard: an all-NULL-leading-key merge source (internally
+    // an insert-only append), an empty delete keyset (internally a
+    // no-op), and the fused CDC verb all refuse identically
+    intercept[IllegalArgumentException] {
+      snap.mergeInto("a",
+        Seq((Option.empty[Long], 11.0)).toDF("id", "v"), "id") }
+    intercept[IllegalArgumentException] {
+      snap.deleteKeys("a", Seq.empty[Long].toDF("id"), "id") }
+    intercept[IllegalArgumentException] {
+      snap.applyChanges("a", Seq((1L, 11.0)).toDF("id", "v"),
+        Seq(2L).toDF("id"), Seq("id")) }
     snap.append("a", Seq((4L, 40.0)).toDF("id", "v"), statsCols = Seq("id"))
     assert(snap.read("a").count() == 4L)
     assert(snap.tableDetail("a").properties("appendOnly") == "TRUE")
