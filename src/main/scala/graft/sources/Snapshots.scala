@@ -54,7 +54,8 @@ import org.apache.spark.sql.functions._
   * O(1) in table size; data writes are normal partitioned/bucketed
   * parquet jobs.
   */
-class Snapshots(s: SparkSession, root: String) {
+class Snapshots(s: SparkSession, root: String,
+                logStore: Option[LogStore] = None) {
 
   /** The lake's root path (for handing to path-keyed consumers like the
     * streaming change feed). */
@@ -66,6 +67,16 @@ class Snapshots(s: SparkSession, root: String) {
   @volatile private[graft] var beforePublish: (String, String) => Unit = (_, _) => ()
 
   private val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** COMMIT-LOG storage ([[LogStore]]): every manifest/checkpoint
+    * read, list, publish and delete routes through this seam — data
+    * files stay on `fs` (they are writer-unique-staged and only become
+    * visible via a manifest, so they need no atomicity from the
+    * store). Injecting [[InMemoryObjectStore]] runs the whole protocol
+    * against S3-class conditional-put semantics (TxnSpec does).
+    */
+  private val store: LogStore =
+    logStore.getOrElse(new HadoopLogStore(fs, l => faultHook(l)))
   private def commitDir = new Path(root, "_commits")
   private def commitPath(v: Long) = new Path(commitDir, f"$v%020d.manifest")
   private def checkpointPath(v: Long) = new Path(commitDir, f"$v%020d.checkpoint")
@@ -110,8 +121,7 @@ class Snapshots(s: SparkSession, root: String) {
 
   /** Newest committed version, if any commit exists. */
   def currentVersion: Option[Long] = {
-    if (!fs.exists(commitDir)) return None
-    val vs = fs.listStatus(commitDir).map(_.getPath.getName)
+    val vs = store.list(commitDir)
       .filter(_.endsWith(".manifest"))
       .map(_.stripSuffix(".manifest").toLong)
     if (vs.isEmpty) None else Some(vs.max)
@@ -167,7 +177,7 @@ class Snapshots(s: SparkSession, root: String) {
         (isMetaEntry(t) || !t.contains("@")),
       s"table name '$t' would corrupt the manifest line format " +
         "('@' is reserved for metadata keys)"))
-    fs.mkdirs(commitDir)
+    store.mkdirs(commitDir)
     val exploded = explode(tables)
     val ts = System.currentTimeMillis()
     // delta against the previous version's resolved state; if that
@@ -190,8 +200,10 @@ class Snapshots(s: SparkSession, root: String) {
           exploded.toSeq.sortBy(_._1).map { case (k, value) => s"$k=$value" })
           .mkString("\n")
     }
-    if (!publishExclusive(commitPath(v), body.getBytes(StandardCharsets.UTF_8)))
+    faultHook("manifest-publish") // crash point: data staged, nothing visible
+    if (!store.putIfAbsent(commitPath(v), body.getBytes(StandardCharsets.UTF_8)))
       return false
+    faultHook("post-manifest") // crash point: manifest durable, caches/checkpoint pending
     stateCache.put(v, exploded); boundCache(stateCache)
     viewCache.put(v, reassemble(exploded)); boundCache(viewCache)
     tsCache.put(v, ts); boundCache(tsCache)
@@ -202,83 +214,28 @@ class Snapshots(s: SparkSession, root: String) {
     true
   }
 
-  /** Publish `body` at `target` iff no file exists there — the
-    * protocol's single serialization point. Returns false on a lost
-    * race; throws on real IO failure.
-    *
-    * The store must provide an ATOMIC create-if-absent. HDFS-class
-    * filesystems do (the namenode serializes create(overwrite=false));
-    * object stores need their conditional put wired into the
-    * FileSystem contract (S3 If-None-Match — the same requirement
-    * Delta's LogStore documents, public design). The LOCAL filesystem
-    * does NOT: Hadoop's RawLocalFileSystem create(overwrite=false) is
-    * check-then-act, so two threads racing one version can BOTH pass
-    * the probe and the loser silently truncates the winner's bytes —
-    * and any create-then-write publish leaves a torn-read window where
-    * a concurrent reader sees a half-written manifest. For local
-    * paths both holes close at once with a HARD-LINK publish: the body
-    * lands in a private temp file, and `Files.createLink(target, tmp)`
-    * is an atomic POSIX create-if-absent that makes the manifest
-    * appear fully written or not at all (losers get
-    * FileAlreadyExistsException from the kernel, not a probe). The
-    * threaded-writer TxnSpec stress drives exactly this race.
+  /** CRASH-injection hook (identity in production): fires with a step
+    * label at every named point of the publish sequence — the
+    * crash-point model test arms it to throw, proving every crash
+    * prefix leaves reads at the pre-state and replay converging.
+    * Steps: "manifest-publish" (data staged, nothing visible),
+    * "post-manifest" (manifest durable; caches/checkpoint pending),
+    * plus verb-specific pre-publish points ("pre-publish:<verb>").
     */
-  private def publishExclusive(target: Path, body: Array[Byte]): Boolean = {
-    val local = fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem] ||
-      fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
-      Option(target.toUri.getScheme).forall(_ == "file")
-    if (local) {
-      val dst = java.nio.file.Paths.get(target.toUri.getPath)
-      val tmp = dst.resolveSibling(s".${dst.getFileName}.tmp-$writerId")
-      java.nio.file.Files.write(tmp, body)
-      try {
-        java.nio.file.Files.createLink(dst, tmp)
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-      } finally { java.nio.file.Files.deleteIfExists(tmp); () }
-    } else {
-      val out =
-        try fs.create(target, false)
-        catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
-          case _: java.nio.file.FileAlreadyExistsException => return false
-          // some FileSystem impls signal the exclusive-create loss as a
-          // bare IOException; it is a race iff the target now exists
-          case e: java.io.IOException =>
-            return if (fs.exists(target)) false else throw e
-        }
-      // past the create, the version is OURS: a body-write failure must
-      // not leave a truncated manifest in the log as a readable version
-      // (and must not be misread as a lost race by the exists() probe
-      // above on retry) — delete the partial file before propagating
-      try {
-        try out.write(body) finally out.close()
-        true
-      } catch {
-        case e: Throwable =>
-          try fs.delete(target, false) catch { case _: Exception => () }
-          throw e
-      }
-    }
-  }
+  @volatile private[graft] var faultHook: String => Unit = _ => ()
 
-  /** Full exploded state as a `.checkpoint` sidecar, via temp+rename so
-    * a torn write can never be read as a (wrong) complete state.
-    * Throws on failure — vacuum MUST have its pin before dropping the
-    * chain behind it; the cadence caller downgrades to best-effort.
+  /** Full exploded state as a `.checkpoint` sidecar, atomically
+    * overwritten ([[LogStore.overwrite]]) so a torn write can never be
+    * read as a (wrong) complete state. Throws on failure — vacuum MUST
+    * have its pin before dropping the chain behind it; the cadence
+    * caller downgrades to best-effort.
     */
   private def writeCheckpoint(v: Long, exploded: Map[String, String]): Unit = {
-    val tmp = new Path(commitDir, f"$v%020d.checkpoint.tmp-$writerId")
+    faultHook("checkpoint-write") // crash point: manifest durable, checkpoint optional
     val body = (s"#graft-checkpoint v=$v" +:
       exploded.toSeq.sortBy(_._1).map { case (k, value) => s"$k=$value" })
       .mkString("\n")
-    val out = fs.create(tmp, true)
-    try {
-      try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
-      if (!fs.rename(tmp, checkpointPath(v)) && !fs.exists(checkpointPath(v)))
-        throw new java.io.IOException(s"checkpoint rename failed for version $v")
-    } finally { try fs.delete(tmp, false) catch { case _: Exception => () } }
+    store.overwrite(checkpointPath(v), body.getBytes(StandardCharsets.UTF_8))
   }
 
   /** Attempt cap for optimistic-concurrency loops: losing this many
@@ -287,17 +244,6 @@ class Snapshots(s: SparkSession, root: String) {
     * of re-writing table data forever.
     */
   private val MaxAttempts = 16
-
-  private def readFileBody(p: Path): String = {
-    val in = fs.open(p)
-    try {
-      val buf = new java.io.ByteArrayOutputStream()
-      val chunk = new Array[Byte](8192)
-      var n = in.read(chunk)
-      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-      new String(buf.toByteArray, StandardCharsets.UTF_8)
-    } finally in.close()
-  }
 
   private def parseKv(lines: Iterator[String]): Map[String, String] =
     lines.filter(_.nonEmpty).map { line =>
@@ -401,10 +347,10 @@ class Snapshots(s: SparkSession, root: String) {
       else {
         val hit = stateCache.get(cur)
         if (hit != null) base = hit
-        else if (fs.exists(checkpointPath(cur)))
-          base = parseKv(readFileBody(checkpointPath(cur)).linesIterator.drop(1))
+        else if (store.exists(checkpointPath(cur)))
+          base = parseKv(store.readString(checkpointPath(cur)).linesIterator.drop(1))
         else {
-          val lines = readFileBody(commitPath(cur)).linesIterator.toSeq
+          val lines = store.readString(commitPath(cur)).linesIterator.toSeq
           // an empty manifest is a publish caught mid-write on a store
           // without atomic create-if-absent — surfacing it as an empty
           // LEGACY state would poison the cache and every downstream
@@ -448,22 +394,14 @@ class Snapshots(s: SparkSession, root: String) {
   def commitTimestamp(v: Long): Long = {
     val hit = tsCache.get(v)
     if (hit != null) return hit.longValue()
-    val st = fs.getFileStatus(commitPath(v))
-    val header = {
-      val in = fs.open(commitPath(v))
-      try {
-        val buf = new Array[Byte](512)
-        var off = 0
-        var n = in.read(buf, off, buf.length - off)
-        while (n > 0) { off += n; n = in.read(buf, off, buf.length - off) }
-        new String(buf, 0, off, StandardCharsets.UTF_8)
-          .linesIterator.toSeq.headOption.getOrElse("")
-      } finally in.close()
-    }
+    // one store read (delta manifests are O(changed files) small; the
+    // mtime fallback serves only headerless v1/external manifests)
+    val header = store.readString(commitPath(v))
+      .linesIterator.toSeq.headOption.getOrElse("")
     val ts =
       if (header.startsWith("#graft")) headerField(header, "ts").map(_.toLong)
-        .getOrElse(st.getModificationTime)
-      else st.getModificationTime
+        .getOrElse(store.mtime(commitPath(v)))
+      else store.mtime(commitPath(v))
     tsCache.put(v, ts); boundCache(tsCache)
     ts
   }
@@ -1733,13 +1671,10 @@ class Snapshots(s: SparkSession, root: String) {
     */
   def history(): DataFrame = {
     import scala.jdk.CollectionConverters._
-    val vs =
-      (try fs.listStatus(commitDir).toSeq catch {
-        case _: java.io.FileNotFoundException => Seq.empty
-      }).map(_.getPath.getName)
-        .filter(_.endsWith(".manifest"))
-        .map(_.stripSuffix(".manifest").toLong)
-        .sorted
+    val vs = store.list(commitDir)
+      .filter(_.endsWith(".manifest"))
+      .map(_.stripSuffix(".manifest").toLong)
+      .sorted
     val rows = vs.map { v =>
       val m = readManifest(v)
       val de = dataEntries(m)
@@ -2436,10 +2371,9 @@ class Snapshots(s: SparkSession, root: String) {
     * authoritative order.
     */
   def versionAsOf(tsMillis: Long): Option[Long] = {
-    if (!fs.exists(commitDir)) return None
-    val vs = fs.listStatus(commitDir)
-      .filter(_.getPath.getName.endsWith(".manifest"))
-      .map(_.getPath.getName.stripSuffix(".manifest").toLong)
+    val vs = store.list(commitDir)
+      .filter(_.endsWith(".manifest"))
+      .map(_.stripSuffix(".manifest").toLong)
       .filter(v => try commitTimestamp(v) <= tsMillis catch {
         // a concurrent vacuum can collect a manifest between the listing
         // and the header read — a dropped version is simply outside the
@@ -3560,10 +3494,10 @@ class Snapshots(s: SparkSession, root: String) {
     */
   def vacuumPlan(keepLast: Int, minAgeMs: Long = 0L): Snapshots.VacuumPlan = {
     require(keepLast >= 1, "must keep at least the head version")
-    if (!fs.exists(commitDir)) return Snapshots.VacuumPlan(Nil, Nil, 0L)
-    val versions = fs.listStatus(commitDir).map(_.getPath.getName)
+    val versions = store.list(commitDir)
       .filter(_.endsWith(".manifest"))
-      .map(_.stripSuffix(".manifest").toLong).sorted.reverse.toSeq
+      .map(_.stripSuffix(".manifest").toLong).sorted.reverse
+    if (versions.isEmpty) return Snapshots.VacuumPlan(Nil, Nil, 0L)
     val (kept, dropped) = versions.splitAt(keepLast)
     def refDirs(rels: Iterable[String]): Set[String] =
       rels.flatMap(splitRel).map(_.split("/").take(2).mkString("/")).toSet
@@ -3591,11 +3525,11 @@ class Snapshots(s: SparkSession, root: String) {
 
   def vacuum(keepLast: Int, minAgeMs: Long = 0L): (Int, Int) = {
     require(keepLast >= 1, "must keep at least the head version")
-    if (!fs.exists(commitDir)) return (0, 0)
-    def listVersions(): Seq[Long] = fs.listStatus(commitDir).map(_.getPath.getName)
+    def listVersions(): Seq[Long] = store.list(commitDir)
       .filter(_.endsWith(".manifest"))
-      .map(_.stripSuffix(".manifest").toLong).sorted.reverse.toSeq
+      .map(_.stripSuffix(".manifest").toLong).sorted.reverse
     val versions = listVersions()
+    if (versions.isEmpty) return (0, 0)
     val (kept, dropped) = versions.splitAt(keepLast)
     // pin resolution BEFORE the chain behind it is dropped: the oldest
     // kept version gets a full checkpoint (if it lacks one), so every
@@ -3604,7 +3538,7 @@ class Snapshots(s: SparkSession, root: String) {
     // kept delta still resolves through would brick the log.
     if (dropped.nonEmpty && kept.nonEmpty) {
       val oldest = kept.min
-      if (!fs.exists(checkpointPath(oldest)))
+      if (!store.exists(checkpointPath(oldest)))
         writeCheckpoint(oldest, resolveState(oldest))
     }
     // reference at DIRECTORY granularity: a file-granular manifest entry
@@ -3655,8 +3589,8 @@ class Snapshots(s: SparkSession, root: String) {
           fs.delete(vd.getPath, true)
       }
     dropped.foreach { v =>
-      fs.delete(commitPath(v), false)
-      fs.delete(checkpointPath(v), false)
+      store.delete(commitPath(v))
+      store.delete(checkpointPath(v))
       // evict THIS instance's memos so a dropped version fails loudly
       // (FileNotFound on resolve) instead of silently serving a state
       // whose data files are gone

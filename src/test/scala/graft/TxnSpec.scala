@@ -2441,4 +2441,277 @@ class TxnSpec extends AnyFunSuite {
     assert(snap.properties("a")("owner") == "ops")
   }
 
+  test("crash-point sweep: every injected crash leaves reads at pre- or post-state and replay converges") {
+    val sp = spark
+    import sp.implicits._
+    // Deterministic fault injection at every named step of the publish
+    // sequence — "store-temp-write" (nothing durable), "store-link"
+    // (temp written, manifest not linked), "manifest-publish" (data
+    // staged, nothing visible), "post-manifest" (manifest durable,
+    // writer-side caches/checkpoint pending), "checkpoint-write" —
+    // threaded through randomized verb sequences. The concurrency
+    // stress proves RACES resolve; this proves every CRASH PREFIX
+    // does: after a crash the lake reads EITHER the pre-state or the
+    // post-state (never a blend, never a torn resolution), and replay
+    // (re-running the op iff it did not land) converges to the
+    // intended state. 15 seeded sequences; failures reproduce.
+    case class InjectedCrash(label: String)
+      extends RuntimeException(s"injected crash at $label")
+    val labels = Seq("store-temp-write", "store-link", "manifest-publish",
+      "post-manifest", "checkpoint-write")
+    val rnd = new scala.util.Random(20260814L)
+    for (seq <- 1 to 15) {
+      val root = Files.createTempDirectory("txncrash").toString + "/t"
+      val snap = new Snapshots(spark, root)
+      var model = Map.empty[Long, (String, Long)]
+      var nextId = 0L
+      def batch(n: Int): Seq[(Long, String, Long)] =
+        (0 until n).map { _ =>
+          nextId += 1; (nextId, s"g${nextId % 3}", rnd.nextInt(1000).toLong) }
+      val rows0 = batch(30)
+      model = rows0.map(r => r._1 -> (r._2, r._3)).toMap
+      snap.commit(Map("t" -> rows0.toDF("id", "grp", "v")
+        .repartitionByRange(3, col("id"))), Map("t" -> Seq("id")))
+      def lakeState(): Map[Long, (String, Long)] =
+        snap.read("t").as[(Long, String, Long)].collect()
+          .map(r => r._1 -> (r._2, r._3)).toMap
+      for (op <- 1 to 5) {
+        // pick the verb + params FIRST so the intended post-state is
+        // known before the crash fires
+        val pre = model
+        var after: Map[Long, (String, Long)] = null
+        var run: () => Unit = null
+        var postFix: () => Unit = () => ()
+        rnd.nextInt(7) match {
+          case 0 =>
+            val rows = batch(1 + rnd.nextInt(8)); val tag = s"c$seq-$op"
+            after = pre ++ rows.map(r => r._1 -> (r._2, r._3))
+            run = () => { snap.append("t", rows.toDF("id", "grp", "v"),
+              Some(tag), statsCols = Seq("id")); () }
+          case 1 =>
+            val lo = 1L + rnd.nextInt(nextId.toInt); val hi = lo + rnd.nextInt(15)
+            after = pre.filter { case (id, _) => id < lo || id > hi }
+            run = () => { snap.deleteWhere("t",
+              Seq(ColRange("id", Some(lo), Some(hi))), Seq("id")); () }
+          case 2 =>
+            val lo = 1L + rnd.nextInt(nextId.toInt); val hi = lo + rnd.nextInt(15)
+            after = pre.map { case (id, (g, v)) =>
+              if (id >= lo && id <= hi) (id, (g, v + 1000000L)) else (id, (g, v)) }
+            run = () => { snap.updateWhere("t",
+              Seq(ColRange("id", Some(lo), Some(hi))),
+              Map("v" -> (col("v") + 1000000L)), Seq("id")); () }
+          case 3 =>
+            val lo = 1L + rnd.nextInt(nextId.toInt); val hi = lo + rnd.nextInt(10)
+            val upd = pre.collect { case (id, (g, _)) if id >= lo && id <= hi =>
+              (id, g, id + 5000000L) }.toSeq
+            val ins = batch(1 + rnd.nextInt(4))
+            val src = upd ++ ins
+            after = pre ++ src.map(r => r._1 -> (r._2, r._3))
+            run = () => { snap.mergeInto("t", src.toDF("id", "grp", "v"),
+              "id", statsCols = Seq("id")); () }
+          case 4 =>
+            val ks = (1 to (1 + rnd.nextInt(5)))
+              .map(_ => 1L + rnd.nextInt(nextId.toInt)).distinct
+            after = pre -- ks
+            run = () => { snap.deleteKeys("t", ks.toDF("id"), "id",
+              statsCols = Seq("id")); () }
+          case 5 =>
+            val lo = 1L + rnd.nextInt(nextId.toInt); val hi = lo + rnd.nextInt(15)
+            after = pre.filter { case (id, _) => id < lo || id > hi }
+            run = () => { snap.deleteWhereMoR("t",
+              Seq(ColRange("id", Some(lo), Some(hi)))); () }
+            // a LANDED MoR delete leaves a standing DV that lawfully
+            // blocks later copy-on-write verbs — materialize it once
+            // the crash episode resolves, so the sequence continues
+            postFix = () => { snap.compact("t", targetBytes = 1L << 20,
+              sortCol = Some("id"), statsCols = Seq("id")); () }
+          case 6 => // vacuum: reads invariant; its checkpoint PIN is a
+            // load-bearing crash point (abort must drop nothing)
+            after = pre
+            run = () => { snap.vacuum(keepLast = 2); () }
+        }
+        // arm: throw at the FIRST firing of the chosen label (a real
+        // process dies once); some ops draw a label their path never
+        // reaches — those run to completion, which is also a case
+        val label = labels(rnd.nextInt(labels.size))
+        var fired = false
+        snap.faultHook = l =>
+          if (l == label && !fired) { fired = true; throw InjectedCrash(label) }
+        val crashed =
+          try { run(); false }
+          catch { case InjectedCrash(_) => true }
+        snap.faultHook = _ => ()
+        val observed = lakeState()
+        if (!crashed) {
+          // cadence-checkpoint crashes are legitimately swallowed
+          // (best-effort accelerator): the op completed
+          assert(observed == after,
+            s"seq $seq op $op ($label, uncrashed): lake != intended state")
+          model = after
+        } else {
+          // THE crash-consistency contract: pre or post, never a blend
+          assert(observed == pre || observed == after,
+            s"seq $seq op $op ($label): lake is a BLEND — " +
+              s"${(observed.toSet diff pre.toSet).take(3)} vs pre, " +
+              s"${(observed.toSet diff after.toSet).take(3)} vs after")
+          if (observed == pre && observed != after) {
+            // did not land: replay converges (orphaned staging/temp
+            // residue from the crashed attempt must not block it)
+            run()
+            assert(lakeState() == after,
+              s"seq $seq op $op ($label): replay diverged")
+          }
+          model = after
+        }
+        postFix()
+        // a cold reopen mid-sequence must resolve the surviving chain
+        if (rnd.nextInt(3) == 0)
+          assert(new Snapshots(spark, root).read("t")
+            .as[(Long, String, Long)].collect()
+            .map(r => r._1 -> (r._2, r._3)).toMap == model,
+            s"seq $seq op $op: cold reopen diverged after $label")
+      }
+      // no torn resolution anywhere in the retained window: every
+      // surviving manifest still resolves and time-travels
+      val head = snap.currentVersion.get
+      (1L to head).foreach { v =>
+        try snap.read("t", Some(v)) catch {
+          case _: java.io.FileNotFoundException => () // vacuumed: outside window
+          case _: NoSuchElementException => () // pre-'t' or collected version
+        }
+      }
+    }
+  }
+
+  test("object store: conditional put admits exactly one winner and bytes are never torn") {
+    import graft.sources.InMemoryObjectStore
+    val store = new InMemoryObjectStore
+    val p = new org.apache.hadoop.fs.Path("/bucket/_commits/00000000000000000007.manifest")
+    def body(w: Int): Array[Byte] =
+      (s"#graft-delta v=7 base=6 ts=$w\n" + (s"+k$w=v$w\n" * 200)).getBytes("UTF-8")
+    // 8 writers released together against ONE key: the S3 If-None-Match
+    // model must admit exactly one, and a read must return that one's
+    // COMPLETE bytes — no interleaving, no truncation, no partial body
+    val winners = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val gate = new java.util.concurrent.CyclicBarrier(8)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    (1 to 8).foreach { w =>
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          try { gate.await(); if (store.putIfAbsent(p, body(w))) { winners.add(w); () } }
+          catch { case t: Throwable => errs.add(t); () }
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS))
+    assert(errs.isEmpty, s"writer failed: ${Option(errs.peek()).map(_.toString)}")
+    assert(winners.size == 1, s"conditional put admitted ${winners.size} writers")
+    assert(java.util.Arrays.equals(store.read(p), body(winners.peek())),
+      "stored bytes are not the winner's exact body — torn or mixed write")
+    // the loser's retry at the NEXT version key succeeds (the protocol's
+    // recovery move), and the winner's object is untouched by it
+    val p8 = new org.apache.hadoop.fs.Path("/bucket/_commits/00000000000000000008.manifest")
+    assert(store.putIfAbsent(p8, body(99)))
+    assert(java.util.Arrays.equals(store.read(p), body(winners.peek())))
+  }
+
+  test("the manifest protocol on object-store semantics: racing writers, checkpoints, travel, vacuum") {
+    import graft.sources.InMemoryObjectStore
+    val sp = spark
+    import sp.implicits._
+    // ONE shared bucket (the store), data files on local disk — the
+    // Delta LogStore split: only the log needs conditional put
+    val store = new InMemoryObjectStore
+    val root = Files.createTempDirectory("txnobj").toString + "/t"
+    def snapOn() = new Snapshots(spark, root, Some(store))
+    snapOn().commit(Map("a" -> Seq((0L, 0.0)).toDF("id", "v")),
+      statsCols = Map("a" -> Seq("id")))
+    // the log lives in the bucket: nothing on disk under _commits
+    assert(!new java.io.File(root + "/_commits").exists() ||
+      new java.io.File(root + "/_commits").list().isEmpty)
+    // the same 6-writer × 4-append race the local hard-link path
+    // carries, now against the conditional put (every loser re-diffs
+    // against the winner's resolved state read back FROM THE BUCKET)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (1 to 6).foreach { w =>
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          try {
+            val mine = snapOn()
+            (1 to 4).foreach { i =>
+              val id = w * 100L + i
+              mine.append("a", Seq((id, id * 1.0)).toDF("id", "v"),
+                tag = Some(s"w$w-$i"), statsCols = Seq("id"))
+            }
+          } catch { case t: Throwable => errs.add(t); () }
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(180, java.util.concurrent.TimeUnit.SECONDS))
+    assert(errs.isEmpty, s"writer failed: ${Option(errs.peek()).map(_.toString)}")
+    val cold = snapOn()
+    assert(cold.currentVersion.get == 25L, "24 appends + seed = 25 dense versions")
+    val ids = cold.read("a").select("id").as[Long].collect().toSet
+    val want = (for (w <- 1 to 6; i <- 1 to 4) yield w * 100L + i).toSet + 0L
+    assert(ids == want, s"lost/dup rows: missing ${want -- ids}, extra ${ids -- want}")
+    // replay stays a no-op (tag ledger survived every re-merge)
+    cold.append("a", Seq((101L, 101.0)).toDF("id", "v"), tag = Some("w1-1"))
+    assert(cold.currentVersion.get == 25L)
+    // 25 versions crossed the checkpoint cadence (16): resolution from a
+    // cold handle walks bucket checkpoints + deltas, and DML + time
+    // travel behave exactly as on the local store
+    val headBefore = cold.currentVersion.get
+    cold.deleteWhere("a", Seq(ColRange("id", Some(101L), Some(104L))), Seq("id"))
+    assert(cold.read("a").count() == want.size - 4L)
+    assert(snapOn().read("a", Some(headBefore)).count() == want.size.toLong,
+      "time travel must still see the pre-delete snapshot")
+    // vacuum deletes old manifests FROM THE BUCKET; kept window reads,
+    // collected versions refuse loudly
+    val before = store.size
+    val (droppedN, _) = cold.vacuum(keepLast = 3)
+    assert(droppedN > 0 && store.size < before)
+    assert(snapOn().read("a").count() == want.size - 4L)
+    intercept[Exception](snapOn().read("a", Some(1L)).collect())
+  }
+
+  test("LogStore extraction is pure: one verb sequence, identical manifests on local and object store") {
+    import graft.sources.InMemoryObjectStore
+    val sp = spark
+    import sp.implicits._
+    // drive the SAME verb sequence through the default (local hard-link)
+    // store and the object store; manifest BODIES must agree line for
+    // line once the two run-specific tokens (commit ts, writer-unique
+    // staging ids) are normalized away — proving the seam changed where
+    // bytes land, not what bytes say
+    def drive(root: String, st: Option[graft.sources.LogStore]): Seq[String] = {
+      val snap = new Snapshots(spark, root, st)
+      snap.commit(Map("a" -> Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")),
+        statsCols = Map("a" -> Seq("id")))
+      snap.append("a", Seq((3L, 3.0)).toDF("id", "v"), statsCols = Seq("id"))
+      snap.mergeInto("a", Seq((2L, 22.0), (4L, 4.0)).toDF("id", "v"), "id")
+      snap.deleteWhere("a", Seq(ColRange("id", Some(1L), Some(1L))), Seq("id"))
+      (1L to snap.currentVersion.get).map { v =>
+        new String(st.getOrElse(graft.sources.LogStore.forFs(
+          new org.apache.hadoop.fs.Path(root)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)))
+          .read(new org.apache.hadoop.fs.Path(root + f"/_commits/$v%020d.manifest")), "UTF-8")
+      }
+    }
+    def normalize(body: String): String = body.linesIterator.map { l =>
+      l.replaceAll("ts=\\d+", "ts=T")
+        .replaceAll("v(\\d+)-[0-9a-f]{8,}", "v$1-W")
+        .replaceAll("part-\\d{5}-[0-9a-f-]+", "part-P")
+    }.toSeq.sorted.mkString("\n")
+    val localRoot = Files.createTempDirectory("txnpureL").toString + "/t"
+    val objRoot = Files.createTempDirectory("txnpureO").toString + "/t"
+    val a = drive(localRoot, None).map(normalize)
+    val b = drive(objRoot, Some(new InMemoryObjectStore)).map(normalize)
+    assert(a.size == b.size)
+    a.zip(b).zipWithIndex.foreach { case ((x, y), v) =>
+      assert(x == y, s"manifest v$v diverges between stores:\n--- local\n$x\n--- object\n$y")
+    }
+  }
+
 }
