@@ -45,6 +45,13 @@ object Soak {
     // corpus CHARS (the heaviest new scaling dimension) and d09's
     // band-join candidate set must track distinct-hash count, not docs
     "t19_substring_dedup", "d09_image_neardup",
+    // round-9: trained IVF at the adaptive-nlist ceiling — the 10×
+    // embeddings corpus (20k vectors) drives adaptiveNlist to 256
+    // (n/64 capped), so the soak exercises k-means|| init + Lloyd at
+    // the production list count; probe task_ms must stay ~linear
+    // (the scored fraction is pinned at ~25% by nprobe = nlist/4,
+    // and training is staged — the key times search)
+    "s03_ann_ivf",
     // ninth-wave additions: d11's within-cluster pair work is
     // Σ(cluster size)², but d11Semdedup scales k with the corpus
     // (k = max(8, n/64)), so a 10× corpus gets 10× clusters of the

@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // heap physical operator (graft.plans.TopKPerGroup)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
 
+    // SQL catalog reads: GraftCatalog relations → the engine's v1
+    // manifest-planned scan (see graft.sources.GraftLakeReads)
+    ext.injectResolutionRule(session => graft.sources.GraftLakeReads(session))
+
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays"),
       (args: Seq[Expression]) => CosineSim(args(0), args(1))))

@@ -242,18 +242,21 @@ object Ann {
     annLshOn(emb(s, dir), tables = tables, bits = bits)
 
   /** C7b: IVF (inverted-file) ANN — the other standard scale path.
-    * Coarse quantizer: `nlist` centroids (deterministically seeded from
-    * the corpus: every (n/nlist)-th vector — a k-means iteration would
-    * refine them; the partition/probe mechanics are identical). Every
-    * corpus vector is assigned to its nearest centroid (broadcast
-    * argmin — one scan, no shuffle); a query probes only its `nprobe`
-    * nearest centroid lists, so the scored set is ~nprobe/nlist of the
-    * corpus. All joins are equi-joins on centroid id; AnnSpec holds the
-    * recall gate vs s01.
+    * Coarse quantizer: TRAINED centroids (k-means|| init + spherical
+    * Lloyd, [[trainCentroids]] — staged per corpus like the PQ index;
+    * nlist adapts to corpus size via [[adaptiveNlist]]). Every corpus
+    * vector is assigned to its nearest centroid (broadcast argmax —
+    * one scan, no shuffle); a query probes only its `nprobe` nearest
+    * centroid lists (nprobe scales as nlist/4, holding the scored
+    * fraction ≈ 25% as nlist grows), so the scored set is
+    * ~nprobe/nlist of the corpus. All joins are equi-joins on centroid
+    * id; AnnSpec holds the recall + scored-fraction gates vs s01.
     */
-  def s03AnnIvf(s: SparkSession, dir: String,
-                nlist: Int = 16, nprobe: Int = 4): DataFrame =
-    annIvfOn(emb(s, dir), nlist, nprobe)
+  def s03AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val cents = ivfCentroidsStaged(s, dir)
+    val nlist = cents.count().toInt
+    annIvfWith(emb(s, dir), cents, nprobe = math.max(4, nlist / 4))
+  }
 
   /** Deterministic coarse centroids WITHOUT a driver-side count: the
     * `nlist` vectors smallest by id-hash — a seeded pseudo-random draw
@@ -285,8 +288,14 @@ object Ann {
 
   /** IVF over any (vec_id, embedding) corpus — see [[s03AnnIvf]]. */
   def annIvfOn(e: DataFrame, nlist: Int = 16, nprobe: Int = 4,
-               nQueries: Int = NQueries, k: Int = K): DataFrame = {
-    val cents = hashDrawCentroids(e, nlist)
+               nQueries: Int = NQueries, k: Int = K): DataFrame =
+    annIvfWith(e, hashDrawCentroids(e, nlist), nprobe, nQueries, k)
+
+  /** IVF probe against an EXPLICIT centroid set (hash-drawn or
+    * k-means||-trained) — the search half, shared by both quantizers.
+    */
+  def annIvfWith(e: DataFrame, cents: DataFrame, nprobe: Int,
+                 nQueries: Int = NQueries, k: Int = K): DataFrame = {
     val corpus = coarseAssign(cents, e.select(col("vec_id"), col("embedding")),
       "vec_id", "embedding", 1)
     val queries = coarseAssign(cents,
@@ -299,6 +308,187 @@ object Ann {
         .where(col("vec_id") =!= col("q_id"))
         .withColumn("cos", cosine_sim(col("embedding"), col("q_vec"))),
       k)
+  }
+
+  /** (query, corpus-vector) candidate count under an IVF probe — the
+    * scored-fraction witness AnnSpec gates (mirror of
+    * [[annLshCandidates]]).
+    */
+  private[graft] def annIvfCandidates(e: DataFrame, cents: DataFrame,
+                                      nprobe: Int, nQueries: Int = NQueries): Long = {
+    val corpus = coarseAssign(cents, e.select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", 1).select("vec_id", "cid")
+    val queries = coarseAssign(cents,
+      e.where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+      "q_id", "q_vec", nprobe).select("q_id", "cid")
+    corpus.join(broadcast(queries), Seq("cid"))
+      .where(col("vec_id") =!= col("q_id")).count()
+  }
+
+  /** The d11 sizing recipe applied to the coarse quantizer: grow nlist
+    * with the corpus so EXPECTED LIST SIZE stays ~64 (probe cost per
+    * list constant; list count absorbs corpus growth), capped at 256
+    * (past that, nprobe — not nlist — is the recall knob at these
+    * dimensionalities; FAISS guidance, public).
+    */
+  private[graft] def adaptiveNlist(n: Long): Int =
+    math.max(16L, math.min(256L, n / 64L)).toInt
+
+  /** k-means|| initialization + distributed spherical-Lloyd refinement
+    * for the IVF coarse quantizer (Bahmani et al. 2012 "Scalable
+    * k-means++", public — the init FAISS-scale systems use; replaces
+    * the unrefined hash draw, whose centroids ignore corpus geometry).
+    * Scale shape, every step:
+    *
+    *  1. SEED: the hash-min vector (one TakeOrdered scan).
+    *  2. `rounds` oversampling passes: each point's cost = spherical
+    *     distance (1 − max cos) to the CURRENT candidate set (one
+    *     broadcast-join scan), sampled with probability
+    *     min(1, ℓ·nlist·cost/φ) under a DETERMINISTIC hash-uniform
+    *     (xxhash64(vec_id, round) — reproducible, no RNG state). φ is
+    *     one scalar probe per round (the documented 1-row exception
+    *     class). Candidate set ≈ rounds·ℓ·nlist vectors — thousands,
+    *     never corpus-sized.
+    *  3. WEIGHTS: one broadcast-argmax pass counts each candidate's
+    *     basin (partial-agg max_by — no window).
+    *  4. DRIVER REDUCTION of the tiny weighted candidate set to nlist
+    *     centers: greedy weighted farthest-point (the deterministic
+    *     k-means++ stand-in) + local weighted Lloyd — O(cand²·dim)
+    *     driver arithmetic on ~10³ rows, the k-means|| paper's own
+    *     final step.
+    *  5. `lloydIters` DISTRIBUTED spherical Lloyd passes: broadcast
+    *     argmax assignment (max_by, map-side combined) + the vec_mean
+    *     custom aggregate; an emptied centroid keeps its vector (the
+    *     pqIndex rule) so cid stays dense.
+    *
+    * The corpus is never shuffled; every join is a broadcast of a
+    * centroid/candidate-sized side.
+    */
+  private[graft] def trainCentroids(e0: DataFrame, nlist: Int,
+                                    lloydIters: Int = 2,
+                                    oversample: Int = 4,
+                                    rounds: Int = 2): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    import graft.functions.VecMeanAgg.vec_mean
+    val s = e0.sparkSession
+    val l2 = sqrt(aggregate(col("embedding"), lit(0.0d), (a, x) => a + x * x))
+    val e = e0.select(col("vec_id"),
+        transform(col("embedding"), x => (x / l2).cast("float")).as("embedding"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var cand = e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(1)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c_vec"))
+    for (r <- 1 to rounds) {
+      val bc = cand.select(col("c_vec")).persist(StorageLevel.MEMORY_AND_DISK)
+      val cost = e.crossJoin(broadcast(bc))
+        .withColumn("c_cos", cosine_sim(col("embedding"), col("c_vec")))
+        .groupBy("vec_id")
+        .agg(first(col("embedding")).as("embedding"), max(col("c_cos")).as("best"))
+        .withColumn("cost", greatest(lit(0.0), lit(1.0) - col("best")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val phi = math.max(cost.agg(sum("cost")).head().getDouble(0), 1e-12)
+      val u = (abs(xxhash64(col("vec_id"), lit(r))).cast("double")
+        / lit(Long.MaxValue.toDouble))
+      val drawn = cost
+        .where(u < least(lit(1.0), col("cost") * (oversample.toDouble * nlist) / phi))
+        .select(col("vec_id").as("cand_id"), col("embedding").as("c_vec"))
+      cand = cand.unionByName(drawn)
+    }
+    val weighted = {
+      val w = e.crossJoin(broadcast(cand))
+        .withColumn("c_cos", cosine_sim(col("embedding"), col("c_vec")))
+        .groupBy("vec_id")
+        .agg(max_by(col("cand_id"), struct(col("c_cos"), -col("cand_id"))).as("cand_id"))
+        .groupBy("cand_id").agg(count(lit(1)).as("w"))
+      cand.join(w, Seq("cand_id"), "left").na.fill(0L, Seq("w"))
+        .collect().map(r => (r.getLong(0),
+          r.getSeq[Float](1).toArray, r.getLong(2)))
+        .sortBy(_._1)
+    }
+
+    // driver-side weighted reduction (candidates ~10³): greedy weighted
+    // farthest-point, then local weighted spherical Lloyd
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    val first0 = weighted.maxBy(c => (c._3, -c._1))
+    chosen += first0._2
+    while (chosen.size < math.min(nlist, weighted.length)) {
+      val next = weighted.maxBy { c =>
+        val d = 1.0 - chosen.map(ch => cos(c._2, ch)).max
+        (c._3 * d, -c._1) // weight × spherical distance; id breaks ties
+      }
+      chosen += next._2
+    }
+    val centers = chosen.map(_.map(_.toDouble)).toArray
+    for (_ <- 0 until 3) {
+      val sums = Array.fill(centers.length)(new Array[Double](centers(0).length))
+      val ws = new Array[Double](centers.length)
+      weighted.foreach { case (_, v, w) =>
+        var (bi, bc) = (0, -2.0)
+        centers.indices.foreach { i =>
+          val c = cos(v, centers(i).map(_.toFloat))
+          if (c > bc) { bc = c; bi = i }
+        }
+        ws(bi) += w.toDouble
+        v.indices.foreach(j => sums(bi)(j) += v(j) * w)
+      }
+      centers.indices.foreach { i =>
+        if (ws(i) > 0) centers(i) = sums(i).map(_ / ws(i))
+      }
+    }
+
+    var cents = s.createDataFrame(
+      s.sparkContext.parallelize(
+        centers.toIndexedSeq.zipWithIndex.map { case (v, i) =>
+          org.apache.spark.sql.Row(i, v.map(_.toFloat).toSeq) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("c_vec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+    for (_ <- 0 until lloydIters) {
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("c_cos", cosine_sim(col("embedding"), col("c_vec")))
+        .groupBy("vec_id")
+        .agg(max_by(struct(col("cid"), col("embedding")),
+          struct(col("c_cos"), -col("cid"))).as("a"))
+        .select(col("a.cid").as("cid"), col("a.embedding").as("embedding"))
+      val updated = assigned.groupBy("cid")
+        .agg(vec_mean(col("embedding"), 64).as("m"))
+        .select(col("cid"), transform(col("m"), _.cast("float")).as("c_vec"))
+      cents = updated.unionByName(
+        cents.join(updated.select("cid"), Seq("cid"), "left_anti"))
+    }
+    cents
+  }
+
+  /** The TRAINED coarse quantizer staged once per sf dir (the PQ-index
+    * pattern: in production the quantizer IS a maintained artifact;
+    * retraining per query batch would time training, not search).
+    * nlist adapts to the corpus ([[adaptiveNlist]] — the one count
+    * here is paid once at staging).
+    */
+  private[graft] def ivfCentroidsStaged(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s.conf.get("spark.sql.warehouse.dir") + s"/ivf_cents_$tag"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(p, "_STAGED_G1")
+    if (!f.exists(marker)) {
+      f.delete(p, true)
+      val e = emb(s, dir)
+      trainCentroids(e, adaptiveNlist(e.count()))
+        .write.mode("overwrite").parquet(s"$path/cents")
+      f.create(marker, true).close()
+    }
+    s.read.parquet(s"$path/cents")
   }
 
   /** C22 s05: product-quantization ANN (ADC + exact re-rank) — the
@@ -371,8 +561,9 @@ object Ann {
   def annIvfPqOn(e: DataFrame, nlist: Int = 16, nprobe: Int = 4,
                  m: Int = 8, ksub: Int = 16, shortlist: Int = 100,
                  nQueries: Int = NQueries, k: Int = K, iters: Int = 2,
-                 index: Option[(DataFrame, DataFrame)] = None): DataFrame = {
-    val cents = hashDrawCentroids(e, nlist)
+                 index: Option[(DataFrame, DataFrame)] = None,
+                 coarse: Option[DataFrame] = None): DataFrame = {
+    val cents = coarse.getOrElse(hashDrawCentroids(e, nlist))
     val (codebook, codes) = index.getOrElse(pqIndex(e, m, ksub, iters))
     // the IVFPQ index: (cid, vec_id, codes) — coarse list + byte codes
     val corpusIdx = coarseAssign(cents, e.select(col("vec_id"), col("embedding")),
@@ -391,8 +582,11 @@ object Ann {
     adcRerank(e, pairs, m, ksub, shortlist, nQueries, k)
   }
 
-  def s06AnnIvfPq(s: SparkSession, dir: String): DataFrame =
-    annIvfPqOn(emb(s, dir), index = Some(pqIndexStaged(s, dir)))
+  def s06AnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val cents = ivfCentroidsStaged(s, dir)
+    annIvfPqOn(emb(s, dir), index = Some(pqIndexStaged(s, dir)),
+      coarse = Some(cents), nprobe = math.max(4, cents.count().toInt / 4))
+  }
 
   /** Encode a batch of vectors against an EXISTING codebook — the
     * incremental half of index maintenance (FAISS `add`): no

@@ -1,0 +1,349 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** SQL-ADDRESSABLE lake — a DataSourceV2 `TableCatalog` over
+  * [[Snapshots]], so the engine's transactional tables are reachable as
+  * TEXT, the reference's actual user surface (reference:
+  * src/Database/PostgreSQL/Stream.hs:60-128 `query`/`execute` — every
+  * pgstream caller speaks SQL at named tables; QueryBuilder.hs:153-187
+  * templates compose those names):
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+  *   spark.conf.set("spark.sql.catalog.graft.root", "/lakes")   // parent of lakes
+  *   spark.sql("CREATE NAMESPACE graft.db")                      // lake /lakes/db
+  *   spark.sql("CREATE TABLE graft.db.t (id BIGINT, v DOUBLE)")
+  *   spark.sql("INSERT INTO graft.db.t VALUES (1, 1.0)")
+  *   spark.sql("SELECT * FROM graft.db.t")
+  *   spark.sql("SELECT * FROM graft.db.t VERSION AS OF 2")       // time travel
+  *   spark.sql("DROP TABLE graft.db.t")
+  * }}}
+  *
+  * One namespace = one lake (a [[Snapshots]] commit log under
+  * `<root>/<namespace>`); one table = one manifest table. DDL lands as
+  * manifest verbs (createTable / dropTable / renameTable — metadata
+  * commits, zero data IO beyond CREATE's empty seed); INSERT lands as
+  * [[Snapshots.append]] (O(batch), CHECK/generated/identity enforced);
+  * `VERSION AS OF` / `TIMESTAMP AS OF` land as the versioned
+  * `loadTable` calls Spark's time-travel resolution makes.
+  *
+  * READS use the architecture Delta's connector proved out (public
+  * design): the catalog's relation is REWRITTEN during analysis
+  * ([[GraftLakeReads]], injected by GraftExtensions) into the engine's
+  * own v1 manifest-planned scan — the same zero-listing
+  * `parquetByManifest` relation every Scala-API read plans, with
+  * deletion vectors, column mapping, stats sidecars and vectorized
+  * parquet intact. A DSv2 re-implementation of that scan would RE-BUILD
+  * (worse) what FileSourceStrategy already does; the rewrite keeps one
+  * read path with full Catalyst pushdown. The write path stays DSv2
+  * (`V1Write` fallback → InsertableRelation → append).
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var rootPrefix: String = _
+
+  private def spark = SparkSession.active
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    rootPrefix = Option(options.get("root")).getOrElse(throw new IllegalArgumentException(
+      s"catalog '$name' requires spark.sql.catalog.$name.root = <parent dir of lakes>"))
+  }
+
+  override def name(): String = catalogName
+
+  private def lakeRoot(ns: Array[String]): String = {
+    if (ns.length != 1) throw new NoSuchNamespaceException(ns)
+    s"$rootPrefix/${ns(0)}"
+  }
+
+  private def snap(ns: Array[String]): Snapshots = new Snapshots(spark, lakeRoot(ns))
+
+  private def fs = new Path(rootPrefix)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ---- tables ----------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    snap(namespace).tableNames().map(t => Identifier.of(namespace, t)).toArray
+
+  override def tableExists(ident: Identifier): Boolean =
+    try snap(ident.namespace).tableNames().contains(ident.name)
+    catch { case _: Exception => false }
+
+  private def mkTable(ident: Identifier, version: Option[Long]): Table = {
+    val sn = snap(ident.namespace)
+    val head = sn.currentVersion.getOrElse(throw new NoSuchTableException(ident))
+    val pinned = version.getOrElse(head)
+    if (!sn.tableNames(Some(pinned)).contains(ident.name))
+      throw new NoSuchTableException(ident)
+    // schema computed through the SAME read the conversion rule will
+    // plan (logical/column-mapped, post-evolution) — alignment by
+    // construction, never by parallel re-derivation
+    val schema = sn.read(ident.name, Some(pinned)).schema
+    new GraftLakeTable(lakeRoot(ident.namespace), ident.name, pinned, schema)
+  }
+
+  override def loadTable(ident: Identifier): Table = mkTable(ident, None)
+
+  /** `VERSION AS OF v` — Spark's time-travel resolution calls this. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    mkTable(ident, Some(
+      try version.toLong
+      catch { case _: NumberFormatException => throw new NoSuchTableException(
+        s"graft time travel takes a numeric version, got '$version'", ident.name) }))
+
+  /** `TIMESTAMP AS OF ts` — Spark hands epoch MICROseconds. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val sn = snap(ident.namespace)
+    val v = sn.versionAsOf(timestamp / 1000L).getOrElse(
+      throw new NoSuchTableException(ident))
+    mkTable(ident, Some(v))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft tables manage layout via compact/zorder — declare no PARTITIONED BY")
+    val sn = snap(ident.namespace)
+    // one empty part file (not a zero-part dir): the footer carries the
+    // schema for any path that reads it back from disk
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema).repartition(1)
+    sn.createTable(ident.name, empty)
+    mkTable(ident, None)
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    snap(ident.namespace).dropTable(ident.name)
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    require(from.namespace.sameElements(to.namespace),
+      "rename cannot move a table between lakes (cross-lake: cloneTable + drop)")
+    snap(from.namespace).renameTable(from.name, to.name)
+    ()
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE via SQL is not wired — use the Snapshots verbs " +
+        "(addCheck, addIdentity, renameColumn, dropColumn, setProperties, append(mergeSchema))")
+
+  override def invalidateTable(ident: Identifier): Unit = ()
+
+  // ---- namespaces ------------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    (try fs.listStatus(new Path(rootPrefix)).toSeq
+     catch { case _: java.io.FileNotFoundException => Nil })
+      .filter(_.isDirectory).map(st => Array(st.getPath.getName)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 && fs.exists(new Path(lakeRoot(namespace)))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map("location" -> lakeRoot(namespace)).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    fs.mkdirs(new Path(lakeRoot(namespace)))
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft namespaces carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    val tables = snap(namespace).tableNames()
+    require(cascade || tables.isEmpty,
+      s"namespace '${namespace.mkString(".")}' holds tables ${tables.mkString(", ")} — use CASCADE")
+    fs.delete(new Path(lakeRoot(namespace)), true)
+  }
+}
+
+object GraftCatalog {
+
+  /** A21 `c21_sql_catalog`: the lake driven by PURE SQL TEXT — the
+    * reference's real user surface (Stream.hs `query`/`execute` are
+    * SQL strings at named tables). One key exercises the whole DDL/
+    * DML/read loop through `spark.sql` alone: CREATE NAMESPACE,
+    * CREATE TABLE, two INSERT INTO batches (v2, v3), a head read and
+    * a `VERSION AS OF 2` time-travel read folded into one output the
+    * DuckDB oracle reproduces in closed form. The namespace is
+    * per-run (Spark caches catalog instances by name, so the catalog
+    * ROOT is fixed and runs isolate by lake) — re-running the key
+    * re-creates a fresh lake, keeping the INSERTs idempotent across
+    * bench repeats. Catalog.register supplies the `orders` temp view
+    * the INSERT...SELECT reads (the same fixture plumbing every key
+    * uses); everything that touches the LAKE is SQL text.
+    */
+  def c21SqlCatalog(s: SparkSession, dir: String): DataFrame = {
+    val root = s.conf.get("spark.sql.warehouse.dir") + "/c21_catalog"
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", root)
+    Catalog.register(s, dir)
+    val ns = "db_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    s.sql(s"CREATE NAMESPACE graft.$ns")
+    s.sql(s"CREATE TABLE graft.$ns.orders_t (o_orderkey BIGINT, o_orderstatus STRING, price_cents BIGINT)")
+    s.sql(s"""INSERT INTO graft.$ns.orders_t
+             |SELECT o_orderkey, o_orderstatus,
+             |       CAST(round(o_totalprice * 100, 0) AS BIGINT)
+             |FROM orders WHERE o_orderkey % 4 = 0""".stripMargin)
+    s.sql(s"""INSERT INTO graft.$ns.orders_t
+             |SELECT o_orderkey, o_orderstatus,
+             |       CAST(round(o_totalprice * 100, 0) AS BIGINT)
+             |FROM orders WHERE o_orderkey % 4 <> 0""".stripMargin)
+    s.sql(s"""SELECT phase, o_orderstatus, n, total_cents FROM (
+             |  SELECT 'head' AS phase, o_orderstatus, count(*) AS n,
+             |         CAST(sum(price_cents) AS BIGINT) AS total_cents
+             |  FROM graft.$ns.orders_t GROUP BY o_orderstatus
+             |  UNION ALL
+             |  SELECT 'v2' AS phase, o_orderstatus, count(*) AS n,
+             |         CAST(sum(price_cents) AS BIGINT) AS total_cents
+             |  FROM graft.$ns.orders_t VERSION AS OF 2 GROUP BY o_orderstatus
+             |) ORDER BY phase, o_orderstatus""".stripMargin)
+  }
+
+  /** A22 `c22_lake_join_strategy`: the manifest-stats join strategy
+    * exercised BOTH WAYS on one oracle. A lake fact (orders) joins a
+    * lake dim (customer segments) through catalog SQL twice: once
+    * under the default broadcast threshold (the manifest's recorded
+    * bytes auto-broadcast the dim — no hint anywhere) and once under a
+    * threshold that puts the dim past broadcast but inside the
+    * per-partition hash budget (the [[GraftLakeReads]] SHUFFLE_HASH
+    * rule fires). Each leg is materialized INSIDE its conf window
+    * (localCheckpoint pins the physical plan the window produced), so
+    * the two legs really execute different join strategies; the oracle
+    * proves strategy never changes ANSWERS. PlanSpec pins the plan
+    * shapes themselves.
+    */
+  def c22LakeJoinStrategy(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = s.conf.get("spark.sql.warehouse.dir") + "/c21_catalog"
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", root)
+    Catalog.register(s, dir)
+    val ns = "db_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    s.sql(s"CREATE NAMESPACE graft.$ns")
+    s.sql(s"CREATE TABLE graft.$ns.fact (o_custkey BIGINT, price_cents BIGINT)")
+    s.sql(s"""INSERT INTO graft.$ns.fact
+             |SELECT o_custkey, CAST(round(o_totalprice * 100, 0) AS BIGINT)
+             |FROM orders""".stripMargin)
+    s.sql(s"CREATE TABLE graft.$ns.dim (c_custkey BIGINT, segment STRING)")
+    s.sql(s"INSERT INTO graft.$ns.dim SELECT c_custkey, c_mktsegment FROM customer")
+    val leg =
+      s"""SELECT d.segment, count(*) AS n,
+         |       CAST(sum(f.price_cents) AS BIGINT) AS total_cents
+         |FROM graft.$ns.fact f JOIN graft.$ns.dim d ON f.o_custkey = d.c_custkey
+         |GROUP BY d.segment""".stripMargin
+    val dimBytes = new Snapshots(s, root + s"/$ns").tableBytes("dim")
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt.max(1)
+    val mid = math.max(dimBytes / parts + 1, 1024L)
+    val old = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val bhj = s.sql(leg).localCheckpoint() // planned+run under default: broadcast
+    val shj =
+      try { s.conf.set("spark.sql.autoBroadcastJoinThreshold", s"${mid}b"); s.sql(leg).localCheckpoint() }
+      finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    bhj.withColumn("mode", lit("bhj")).unionByName(shj.withColumn("mode", lit("shj")))
+      .select(col("mode"), col("segment"), col("n"), col("total_cents"))
+      .orderBy("mode", "segment")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c21_sql_catalog" -> c21SqlCatalog _,
+    "c22_lake_join_strategy" -> c22LakeJoinStrategy _)
+
+  val oracles: Map[String, String] = Map(
+    "c21_sql_catalog" ->
+      """WITH c AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+        |  FROM orders
+        |)
+        |SELECT phase, o_orderstatus, n, total_cents FROM (
+        |  SELECT 'head' AS phase, o_orderstatus, count(*) AS n,
+        |    CAST(sum(price_cents) AS BIGINT) AS total_cents
+        |  FROM c GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT 'v2' AS phase, o_orderstatus, count(*) AS n,
+        |    CAST(sum(price_cents) AS BIGINT) AS total_cents
+        |  FROM c WHERE o_orderkey % 4 = 0 GROUP BY o_orderstatus
+        |) ORDER BY phase, o_orderstatus""".stripMargin,
+    "c22_lake_join_strategy" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment AS segment, count(*) AS n,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1
+        |)
+        |SELECT mode, segment, n, total_cents FROM (
+        |  SELECT 'bhj' AS mode, * FROM j
+        |  UNION ALL
+        |  SELECT 'shj' AS mode, * FROM j
+        |) ORDER BY mode, segment""".stripMargin)
+}
+
+/** One lake table pinned at `pinnedVersion` (load-time head, or the
+  * time-travel target). Reads never reach [[newScanBuilder]] — the
+  * [[GraftLakeReads]] analysis rule replaces the relation with the
+  * engine's v1 manifest scan first; the loud ScanBuilder is the
+  * fail-safe for sessions missing GraftExtensions. Writes go through
+  * the V1 fallback: INSERT INTO = [[Snapshots.append]] under the full
+  * constraint/generated/identity/appendOnly enforcement the Scala verb
+  * already carries.
+  */
+private[sources] class GraftLakeTable(
+    val root: String, val tableName: String, val pinnedVersion: Long,
+    tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = s"graft:$root#$tableName@v$pinnedVersion"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    throw new IllegalStateException(
+      "graft lake reads are planned by the GraftLakeReads analysis rule — " +
+        "build the session with spark.sql.extensions=graft.functions.GraftExtensions")
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              require(!overwrite,
+                "INSERT OVERWRITE is not wired — use Snapshots.replaceWhere " +
+                  "(predicate-scoped) or commit (whole-table)")
+              new Snapshots(SparkSession.active, root).append(tableName, data)
+              ()
+            }
+          }
+      }
+    }
+}

@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.plans.logical.{HintInfo, InsertIntoStatement, LogicalPlan, Project, ResolvedHint, SHUFFLE_HASH, V2WriteCommand}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+/** Analysis rule: every READ of a [[GraftLakeTable]] relation becomes
+  * the engine's own v1 manifest-planned scan (the Delta-connector
+  * architecture, public design — DeltaAnalysis rewrites DeltaTableV2
+  * relations to the v1 HadoopFsRelation for exactly this reason): one
+  * read path, full FileSourceStrategy pushdown/pruning/vectorization,
+  * deletion vectors and column mapping applied, zero directory
+  * listings ([[org.apache.spark.sql.GraftLakeShim.parquetByManifest]]).
+  * The relation's attributes are re-bound onto the converted plan by
+  * exprId, so parents resolve unchanged.
+  *
+  * Write targets are untouched: `V2WriteCommand.table` is a FIELD (not
+  * a plan child) so tree transforms never reach it, and the pre-
+  * resolution `InsertIntoStatement.table` child is explicitly skipped.
+  *
+  * STATS-DRIVEN JOIN STRATEGY (the lake-side CBO move): the manifest
+  * already records every file's exact length, so the converted scan
+  * carries a true sizeInBytes and Spark auto-BROADCASTS a small lake
+  * table with no user hint. Past the broadcast threshold, the rule
+  * attaches a SHUFFLE_HASH hint iff the table's per-partition build
+  * share (recorded bytes / shuffle partitions) still fits the same
+  * budget a broadcast would (≤ autoBroadcastJoinThreshold) — hash
+  * beats sort-merge when the build side fits memory, and the manifest
+  * KNOWS it fits; a bigger table falls through to sort-merge. The hint
+  * never fires below the broadcast threshold (a SHJ hint outranks
+  * unhinted size-based broadcast in JoinSelection and would defeat
+  * it).
+  */
+case class GraftLakeReads(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // a relation standing as an INSERT target (pre-resolution form;
+    // the resolved V2WriteCommand keeps its table out of the tree)
+    val writeTargets: Set[LogicalPlan] = plan.collect {
+      case i: InsertIntoStatement => i.table
+      case w: V2WriteCommand => w.table
+    }.toSet
+    plan.resolveOperators {
+      case r @ DataSourceV2Relation(t: GraftLakeTable, output, _, _, _, _)
+          if !writeTargets.contains(r) =>
+        val snap = new Snapshots(spark, t.root)
+        val read = snap.read(t.tableName, Some(t.pinnedVersion))
+          .queryExecution.analyzed
+        // re-bind the relation's attributes (by exprId) onto the
+        // converted plan's columns — names/types/order agree by
+        // construction (the catalog derived schema() from this read)
+        val aligned = Project(output.zip(read.output).map { case (out, in) =>
+          Alias(in, out.name)(exprId = out.exprId)
+        }, read)
+        val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB") match {
+          case s => org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)
+        }
+        val parts = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt.max(1)
+        val bytes = try snap.tableBytes(t.tableName, Some(t.pinnedVersion))
+          catch { case _: Exception => Long.MaxValue }
+        if (threshold > 0 && bytes > threshold && bytes / parts <= threshold)
+          ResolvedHint(aligned, HintInfo(strategy = Some(SHUFFLE_HASH)))
+        else aligned
+    }
+  }
+}

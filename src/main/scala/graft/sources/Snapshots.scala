@@ -1009,6 +1009,103 @@ class Snapshots(s: SparkSession, root: String,
     }, scala.concurrent.duration.Duration.Inf).flatten.toMap
   }
 
+  /** Names of the tables committed at `version` (default head); empty
+    * for an empty lake. Driver-side manifest read only.
+    */
+  def tableNames(version: Option[Long] = None): Seq[String] =
+    version.orElse(currentVersion) match {
+      case None => Nil
+      case Some(v) => dataEntries(readManifest(v)).keys.toSeq.sorted
+    }
+
+  /** Total recorded bytes of the table's data files at `version` —
+    * from the manifest's `@files` lengths, zero IO. The SQL catalog's
+    * join-strategy statistics read this.
+    */
+  def tableBytes(table: String, version: Option[Long] = None): Long = {
+    val v = version.orElse(currentVersion).getOrElse(
+      throw new IllegalStateException(s"no commits under $root"))
+    val m = readManifest(v)
+    storedFiles(m, table).map(_.map(_._2).sum).getOrElse {
+      val rel = dataEntries(m).getOrElse(table,
+        throw new NoSuchElementException(s"table '$table' not committed under $root"))
+      listRelFiles(splitRel(rel)).map(_._2).sum
+    }
+  }
+
+  /** CREATE TABLE into an EXISTING lake: adds `table` to the manifest
+    * WITHOUT touching any other table ([[commit]] is the whole-lake
+    * transaction that replaces the manifest; DDL must compose with
+    * standing tables). Refuses if the table already exists. An empty
+    * lake bootstraps fine (first manifest). The SQL catalog's CREATE
+    * TABLE lands here.
+    */
+  def createTable(table: String, df: DataFrame, statsCols: Seq[String] = Nil): Long = {
+    require(!isMetaEntry(table),
+      s"table name '$table' collides with the reserved '@' manifest lines")
+    var attempt = currentVersion.getOrElse(0L) + 1
+    for (_ <- 1 to MaxAttempts) {
+      val cur = currentVersion.map(readManifest).getOrElse(Map.empty)
+      require(!dataEntries(cur).contains(table),
+        s"table '$table' already exists under $root")
+      val written = stageTables(Map(table -> df),
+        if (statsCols.nonEmpty) Map(table -> statsCols) else Map.empty, attempt)
+      if (writeManifest(attempt, cur ++ written)) return attempt
+      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
+    }
+    throw new IllegalStateException(
+      s"createTable lost $MaxAttempts consecutive version races under $root")
+  }
+
+  /** DROP TABLE: publishes a manifest without the table's data entry or
+    * any of its `@` metadata lines — a metadata-only commit (zero data
+    * IO). The dropped table's files stay referenced by OLDER manifests
+    * (time travel still works) and become vacuum food once those leave
+    * the retention window. Returns false if the table does not exist.
+    */
+  def dropTable(table: String): Boolean = {
+    var attempt = currentVersion.getOrElse(return false) + 1
+    for (_ <- 1 to MaxAttempts) {
+      val cur = readManifest(currentVersion.get)
+      if (!dataEntries(cur).contains(table)) return false
+      val next = cur.filterNot { case (k, _) =>
+        k == table || k.startsWith(table + "@") }
+      if (writeManifest(attempt, next)) return true
+      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
+    }
+    throw new IllegalStateException(
+      s"dropTable lost $MaxAttempts consecutive version races under $root")
+  }
+
+  /** RENAME TABLE: a pure manifest-key rewrite — the data entry and
+    * every `@` metadata line move to the new name, data paths untouched
+    * (they are version-dir-relative and the manifest maps name→paths;
+    * the Delta/Iceberg metadata-rename idea). Refuses if the target
+    * name exists.
+    */
+  def renameTable(from: String, to: String): Long = {
+    require(!isMetaEntry(to) && !to.contains("@"),
+      s"table name '$to' would corrupt the manifest line format")
+    var attempt = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no commits under $root")) + 1
+    for (_ <- 1 to MaxAttempts) {
+      val cur = readManifest(currentVersion.get)
+      require(dataEntries(cur).contains(from),
+        s"table '$from' not committed under $root")
+      require(!dataEntries(cur).contains(to),
+        s"rename target '$to' already exists under $root")
+      val next = cur.map { case (k, v) =>
+        if (k == from) (to, v)
+        else if (k.startsWith(from + "@")) (to + k.substring(from.length), v)
+        else (k, v)
+      }
+      if (writeManifest(attempt, next)) return attempt
+      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
+    }
+    throw new IllegalStateException(
+      s"renameTable lost $MaxAttempts consecutive version races under $root")
+  }
+
   /** SERIALIZABLE commit — the opt-in upgrade from snapshot isolation,
     * completing the reference's selectable-isolation menu
     * (Stream.hs:166-231). The caller declares the transaction's READ

@@ -130,6 +130,29 @@ class AnnSpec extends AnyFunSuite {
     assert(meanRecall >= 0.8, f"clustered IVF recall@10 $meanRecall%.3f < 0.8")
   }
 
+  test("trained IVF (k-means|| + Lloyd): recall holds at 3x the list count, scored fraction stays bounded") {
+    val e = clusteredCorpus
+    // the scale regime the adaptive sizing produces on a bigger corpus:
+    // 3x the nlist the corpus's 16 true modes would suggest — the
+    // UNTRAINED hash draw fragments modes across arbitrary seed
+    // vectors as nlist grows; training re-aligns lists with geometry
+    val (nlist, nprobe) = (48, 12) // nominal scored fraction = 25%
+    val cents = Ann.trainCentroids(e, nlist, lloydIters = 2)
+    assert(cents.count() == nlist.toLong, "trained quantizer must stay dense")
+    val exact = sets(Ann.annExactOn(e))
+    val ivf = sets(Ann.annIvfWith(e, cents, nprobe))
+    val recalls = exact.map { case (q, truth) =>
+      (ivf.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    val cand = Ann.annIvfCandidates(e, cents, nprobe)
+    val fraction = cand.toDouble / (Ann.NQueries.toLong * clusteredN)
+    info(f"trained IVF (nprobe $nprobe/$nlist): recall@10 $meanRecall%.3f, " +
+      f"scored fraction $fraction%.3f")
+    assert(meanRecall >= 0.8, f"trained IVF recall@10 $meanRecall%.3f < 0.8")
+    assert(fraction <= 0.30, f"scored fraction $fraction%.3f above target")
+  }
+
   test("PQ on a clustered corpus: ADC shortlist + exact re-rank keeps recall@10 >= 0.8") {
     val e = clusteredCorpus
     val exact = sets(Ann.annExactOn(e))

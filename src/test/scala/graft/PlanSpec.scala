@@ -353,4 +353,50 @@ class PlanSpec extends AnyFunSuite {
       "the vocab-sized df table must broadcast: " + p)
   }
 
+  test("stats-driven lake join strategy: small broadcasts unhinted, mid flips to shuffled-hash, big falls to sort-merge") {
+    val sp = spark
+    val root = java.nio.file.Files.createTempDirectory("cbolakes").toString
+    sp.conf.set("spark.sql.catalog.gcbo", classOf[graft.sources.GraftCatalog].getName)
+    sp.conf.set("spark.sql.catalog.gcbo.root", root)
+    sp.sql("CREATE NAMESPACE gcbo.db")
+    sp.sql("CREATE TABLE gcbo.db.dim (k BIGINT, name STRING)")
+    sp.sql("INSERT INTO gcbo.db.dim SELECT id, concat('name_', id) FROM range(1000)")
+    sp.sql("CREATE TABLE gcbo.db.fact (k BIGINT, x BIGINT)")
+    sp.sql("INSERT INTO gcbo.db.fact SELECT id % 1000, id FROM range(20000)")
+    val q = "SELECT f.k, count(*) AS n FROM gcbo.db.fact f JOIN gcbo.db.dim d ON f.k = d.k GROUP BY f.k"
+    def planOf(): String = sp.sql(q).queryExecution.executedPlan.toString()
+    val dimBytes = new graft.sources.Snapshots(sp, root + "/db").tableBytes("dim")
+    val parts = sp.conf.get("spark.sql.shuffle.partitions").toInt
+    def withThreshold(t: String)(body: => Unit): Unit = {
+      val old = sp.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      sp.conf.set("spark.sql.autoBroadcastJoinThreshold", t)
+      try body finally sp.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    }
+    // (a) below the broadcast threshold the manifest's recorded bytes
+    // flow into the relation's sizeInBytes and the dim broadcasts with
+    // NO user hint — the manifest IS the CBO input
+    val p1 = planOf()
+    assert(p1.contains("BroadcastHashJoin"), "small lake table must auto-broadcast:\n" + p1)
+    // (b) past the broadcast threshold, but with the per-partition
+    // build share (bytes/partitions) still inside the same budget, the
+    // rule's SHUFFLE_HASH hint fires: hash build, no sort
+    val mid = math.max(dimBytes / parts + 1, 1024L)
+    assert(dimBytes > mid && dimBytes / parts <= mid,
+      s"fixture sizing broke: dim=$dimBytes parts=$parts mid=$mid")
+    withThreshold(mid.toString + "b") {
+      val p2 = planOf()
+      assert(p2.contains("ShuffledHashJoin"),
+        s"mid-size lake table (dim=$dimBytes, budget=$mid) must shuffle-hash:\n" + p2)
+      assert(!p2.contains("BroadcastHashJoin"), p2)
+    }
+    // (c) when even the per-partition share busts the budget, no hint:
+    // the planner's sort-merge default stands (the safe choice)
+    withThreshold("64b") {
+      val p3 = planOf()
+      assert(p3.contains("SortMergeJoin"),
+        "oversized lake table must fall back to sort-merge:\n" + p3)
+      assert(!p3.contains("ShuffledHashJoin") && !p3.contains("BroadcastHashJoin"), p3)
+    }
+  }
+
 }

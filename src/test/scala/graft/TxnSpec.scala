@@ -2583,6 +2583,59 @@ class TxnSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL catalog: DDL/DML/time-travel as pure text; constraint and overwrite refusals hold through SQL") {
+    val sp = spark
+    val root = Files.createTempDirectory("sqlcatspec").toString
+    sp.conf.set("spark.sql.catalog.gtest", classOf[graft.sources.GraftCatalog].getName)
+    sp.conf.set("spark.sql.catalog.gtest.root", root)
+    sp.sql("CREATE NAMESPACE gtest.db")
+    sp.sql("CREATE TABLE gtest.db.t (id BIGINT, v BIGINT)")       // v1
+    sp.sql("INSERT INTO gtest.db.t VALUES (1, 10), (2, 20)")      // v2
+    assert(sp.sql("SELECT sum(v) FROM gtest.db.t").head.getLong(0) == 30L)
+
+    // a CHECK declared through the Scala verb guards the SQL INSERT
+    // path too (one enforcement seam: the append verb)
+    val snap = new Snapshots(sp, root + "/db")
+    snap.addCheck("t", "v_nonneg", "v >= 0")                      // v3
+    val headBefore = snap.currentVersion.get
+    val e = intercept[Exception] {
+      sp.sql("INSERT INTO gtest.db.t VALUES (3, -1)") }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("v_nonneg")),
+      s"refusal must name the constraint: ${chain(e)}")
+    assert(snap.currentVersion.get == headBefore,
+      "a refused SQL INSERT must publish nothing")
+    sp.sql("INSERT INTO gtest.db.t VALUES (3, 30)")               // v4
+
+    // time travel through SQL: v2 = after the first insert
+    assert(sp.sql("SELECT count(*) FROM gtest.db.t VERSION AS OF 2")
+      .head.getLong(0) == 2L)
+
+    // appendOnly: INSERT INTO (an append) stays lawful; OVERWRITE
+    // refuses (the table declares no truncate/overwrite capability)
+    snap.setProperties("t", Map("appendOnly" -> "true"))
+    sp.sql("INSERT INTO gtest.db.t VALUES (4, 40)")
+    assert(sp.sql("SELECT count(*) FROM gtest.db.t").head.getLong(0) == 4L)
+    intercept[Exception] {
+      sp.sql("INSERT OVERWRITE gtest.db.t VALUES (9, 90)") }
+    assert(sp.sql("SELECT count(*) FROM gtest.db.t").head.getLong(0) == 4L,
+      "a refused INSERT OVERWRITE must change nothing")
+
+    // unsupported DDL refuses loudly, pointing at the Scala verbs
+    val alter = intercept[Exception] {
+      sp.sql("ALTER TABLE gtest.db.t ADD COLUMN x BIGINT") }
+    assert(chain(alter).exists(_.contains("Snapshots verbs")), chain(alter))
+
+    // RENAME + DROP as text; the lake's files survive for time travel
+    sp.sql("ALTER TABLE gtest.db.t RENAME TO db.t2")
+    assert(sp.sql("SELECT count(*) FROM gtest.db.t2").head.getLong(0) == 4L)
+    sp.sql("DROP TABLE gtest.db.t2")
+    assert(sp.sql("SHOW TABLES IN gtest.db").count() == 0L)
+    intercept[Exception] { sp.sql("SELECT * FROM gtest.db.t2").collect() }
+  }
+
   test("object store: conditional put admits exactly one winner and bytes are never torn") {
     import graft.sources.InMemoryObjectStore
     val store = new InMemoryObjectStore
