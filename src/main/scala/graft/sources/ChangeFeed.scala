@@ -119,7 +119,7 @@ object ChangeFeed {
     */
   def st07ChangeFeed(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val snap = Snapshots.stagedDiffLake(s, dir)
+    val snap = SnapshotsKeys.stagedDiffLake(s, dir)
     val root = snap.rootPath
     val name = s"cf_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val ckpt = java.nio.file.Files.createTempDirectory("cf_ckpt").toString

@@ -140,10 +140,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     ()
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE via SQL is not wired — use the Snapshots verbs " +
-        "(addCheck, addIdentity, renameColumn, dropColumn, setProperties, append(mergeSchema))")
+  /** ALTER TABLE as text, each form routed to its manifest verb (all
+    * metadata-only commits except ADD COLUMN's empty-batch schema
+    * union): SET/UNSET TBLPROPERTIES, RENAME COLUMN / DROP COLUMN
+    * (column mapping — zero data rewrite), ADD COLUMN (additive
+    * evolution via a zero-row mergeSchema append). Everything else —
+    * type changes, nested fields, repositioning — refuses loudly with
+    * the Scala-verb pointer (the same surface Delta refuses).
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val sn = snap(ident.namespace)
+    changes.foreach {
+      case sp: TableChange.SetProperty =>
+        sn.setProperties(ident.name, Map(sp.property -> sp.value))
+      case rp: TableChange.RemoveProperty =>
+        sn.unsetProperties(ident.name, Seq(rp.property))
+      case rc: TableChange.RenameColumn =>
+        require(rc.fieldNames.length == 1,
+          "nested column rename is not supported")
+        sn.renameColumn(ident.name, rc.fieldNames.head, rc.newName)
+      case dc: TableChange.DeleteColumn =>
+        require(dc.fieldNames.length == 1,
+          "nested column drop is not supported")
+        sn.dropColumn(ident.name, dc.fieldNames.head)
+      case ac: TableChange.AddColumn =>
+        require(ac.fieldNames.length == 1 && ac.position == null &&
+            ac.defaultValue == null,
+          "ADD COLUMN supports top-level trailing columns without defaults")
+        val ext = org.apache.spark.sql.types.StructType(
+          sn.read(ident.name).schema.fields :+
+            org.apache.spark.sql.types.StructField(
+              ac.fieldNames.head, ac.dataType, nullable = true))
+        val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ext).repartition(1)
+        sn.append(ident.name, empty, mergeSchema = true)
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE change ${other.getClass.getSimpleName} is not wired — " +
+          "use the Snapshots verbs (addCheck, addIdentity, compact/zorder)")
+    }
+    mkTable(ident, None)
+  }
 
   override def invalidateTable(ident: Identifier): Unit = ()
 
@@ -273,9 +309,39 @@ object GraftCatalog {
       .orderBy("mode", "segment")
   }
 
+  /** A37 `c23_sql_delete`: DML-as-text — the reference's `execute`
+    * carries DELETE statements (Stream.hs:122-145), so the lake's SQL
+    * surface must too. Pure SQL drives: CREATE + INSERT, a range
+    * DELETE (BETWEEN → two inclusive bounds) and a conjunctive DELETE
+    * (equality + lower bound), both routed through SupportsDelete into
+    * the stats-pruned copy-on-write verb; the survivors aggregate is
+    * the oracle's closed form. Fresh per-run namespace (c21's rule)
+    * keeps re-runs idempotent.
+    */
+  def c23SqlDelete(s: SparkSession, dir: String): DataFrame = {
+    val root = s.conf.get("spark.sql.warehouse.dir") + "/c21_catalog"
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", root)
+    Catalog.register(s, dir)
+    val ns = "db_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    s.sql(s"CREATE NAMESPACE graft.$ns")
+    s.sql(s"CREATE TABLE graft.$ns.orders_t (o_orderkey BIGINT, o_orderstatus STRING, price_cents BIGINT)")
+    s.sql(s"""INSERT INTO graft.$ns.orders_t
+             |SELECT o_orderkey, o_orderstatus,
+             |       CAST(round(o_totalprice * 100, 0) AS BIGINT)
+             |FROM orders""".stripMargin)
+    s.sql(s"DELETE FROM graft.$ns.orders_t WHERE o_orderkey BETWEEN 1000 AND 2999")
+    s.sql(s"DELETE FROM graft.$ns.orders_t WHERE o_orderstatus = 'F' AND price_cents >= 10000000")
+    s.sql(s"""SELECT o_orderstatus, count(*) AS n,
+             |       CAST(sum(price_cents) AS BIGINT) AS total_cents
+             |FROM graft.$ns.orders_t
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c21_sql_catalog" -> c21SqlCatalog _,
-    "c22_lake_join_strategy" -> c22LakeJoinStrategy _)
+    "c22_lake_join_strategy" -> c22LakeJoinStrategy _,
+    "c23_sql_delete" -> c23SqlDelete _)
 
   val oracles: Map[String, String] = Map(
     "c21_sql_catalog" ->
@@ -304,7 +370,19 @@ object GraftCatalog {
         |  SELECT 'bhj' AS mode, * FROM j
         |  UNION ALL
         |  SELECT 'shj' AS mode, * FROM j
-        |) ORDER BY mode, segment""".stripMargin)
+        |) ORDER BY mode, segment""".stripMargin,
+    "c23_sql_delete" ->
+      """WITH c AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+        |  FROM orders
+        |)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(price_cents) AS BIGINT) AS total_cents
+        |FROM c
+        |WHERE NOT (o_orderkey BETWEEN 1000 AND 2999)
+        |  AND NOT (o_orderstatus = 'F' AND price_cents >= 10000000)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 }
 
 /** One lake table pinned at `pinnedVersion` (load-time head, or the
@@ -319,17 +397,91 @@ object GraftCatalog {
 private[sources] class GraftLakeTable(
     val root: String, val tableName: String, val pinnedVersion: Long,
     tableSchema: StructType)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsDelete {
 
   override def name(): String = s"graft:$root#$tableName@v$pinnedVersion"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
 
+  /** `DELETE FROM … WHERE …` as text → [[Snapshots.deleteWhere]] (the
+    * stats-pruned copy-on-write verb). The WHERE must translate to the
+    * verb's conjunctive-range model — =, >=, <=, BETWEEN (two bounds),
+    * AND, on top-level columns (ColRange bounds are inclusive, so
+    * strict </> are refused rather than silently widened; Spark
+    * reports untranslatable predicates to the user). `DELETE FROM t`
+    * with no WHERE arrives as AlwaysTrue → the unbounded range.
+    * Stats on the predicate columns are re-harvested so SQL deletes
+    * keep later reads prunable; appendOnly refusal rides the verb.
+    */
+  private def toRanges(fs: Array[org.apache.spark.sql.sources.Filter])
+      : Option[Seq[FileStats.ColRange]] = {
+    import org.apache.spark.sql.sources._
+    def one(f: Filter): Option[Seq[FileStats.ColRange]] = f match {
+      case EqualTo(a, v) if !a.contains(".") =>
+        Some(Seq(FileStats.ColRange(a, Some(v), Some(v))))
+      case GreaterThanOrEqual(a, v) if !a.contains(".") =>
+        Some(Seq(FileStats.ColRange(a, Some(v), None)))
+      case LessThanOrEqual(a, v) if !a.contains(".") =>
+        Some(Seq(FileStats.ColRange(a, None, Some(v))))
+      case And(l, r) => for { x <- one(l); y <- one(r) } yield x ++ y
+      case AlwaysTrue() => Some(Nil)
+      case _ => None
+    }
+    fs.foldLeft(Option(Seq.empty[FileStats.ColRange])) { (acc, f) =>
+      for { a <- acc; b <- one(f) } yield a ++ b
+    }
+  }
+
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    toRanges(filters).isDefined
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val ranges0 = toRanges(filters).getOrElse(throw new UnsupportedOperationException(
+      s"DELETE predicate not expressible as conjunctive inclusive ranges: ${filters.mkString(", ")}"))
+    val ranges =
+      if (ranges0.nonEmpty) ranges0
+      else Seq(FileStats.ColRange(tableSchema.fieldNames.head, None, None))
+    new Snapshots(SparkSession.active, root)
+      .deleteWhere(tableName, ranges, ranges.map(_.col).distinct.filter(_ != null))
+    ()
+  }
+
+  /** `TRUNCATE TABLE` → delete-everything through the same verb (one
+    * published version, zero data IO beyond the empty rewrite;
+    * appendOnly refuses).
+    */
+  override def truncateTable(): Boolean = {
+    new Snapshots(SparkSession.active, root).deleteWhere(tableName,
+      Seq(FileStats.ColRange(tableSchema.fieldNames.head, None, None)), Nil)
+    true
+  }
+
+  /** METADATA-ONLY scan builder. Batch READS never execute through it
+    * (the GraftLakeReads rule replaces the relation with the v1
+    * manifest scan during analysis) — but the DSv2 DML machinery
+    * (DELETE's V2ScanRelationPushDown pass) still builds a scan on the
+    * TARGET relation purely for schema/pushdown bookkeeping, so
+    * build() must succeed. Executing it (toBatch) stays loud: that is
+    * only reachable on a session missing GraftExtensions.
+    */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    throw new IllegalStateException(
-      "graft lake reads are planned by the GraftLakeReads analysis rule — " +
-        "build the session with spark.sql.extensions=graft.functions.GraftExtensions")
+    new ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      private var pruned: StructType = tableSchema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        pruned = requiredSchema
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.Scan {
+          override def readSchema(): StructType = pruned
+          override def description(): String = name()
+          override def toBatch: org.apache.spark.sql.connector.read.Batch =
+            throw new IllegalStateException(
+              "graft lake reads are planned by the GraftLakeReads analysis rule — " +
+                "build the session with spark.sql.extensions=graft.functions.GraftExtensions")
+        }
+    }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Alias
-import org.apache.spark.sql.catalyst.plans.logical.{HintInfo, InsertIntoStatement, LogicalPlan, Project, ResolvedHint, SHUFFLE_HASH, V2WriteCommand}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, HintInfo, InsertIntoStatement, LogicalPlan, MergeIntoTable, Project, ResolvedHint, SHUFFLE_HASH, UpdateTable, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
@@ -36,12 +36,20 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 case class GraftLakeReads(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    // a relation standing as an INSERT target (pre-resolution form;
-    // the resolved V2WriteCommand keeps its table out of the tree)
+    // a relation standing as a WRITE/DML target must keep its DSv2
+    // form (the executor needs the Table's write/delete capabilities):
+    // InsertIntoStatement.table and the row-level commands' targets
+    // are plan CHILDREN, so the transform would otherwise reach them
+    // (the resolved V2WriteCommand keeps its table out of the tree)
+    def rels(p: LogicalPlan): Seq[LogicalPlan] =
+      p.collect { case r: DataSourceV2Relation => r } // target may sit under an alias
     val writeTargets: Set[LogicalPlan] = plan.collect {
-      case i: InsertIntoStatement => i.table
-      case w: V2WriteCommand => w.table
-    }.toSet
+      case i: InsertIntoStatement => rels(i.table)
+      case w: V2WriteCommand => rels(w.table)
+      case d: DeleteFromTable => rels(d.table)
+      case u: UpdateTable => rels(u.table)
+      case m: MergeIntoTable => rels(m.targetTable)
+    }.flatten.toSet
     plan.resolveOperators {
       case r @ DataSourceV2Relation(t: GraftLakeTable, output, _, _, _, _)
           if !writeTargets.contains(r) =>

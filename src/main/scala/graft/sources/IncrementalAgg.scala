@@ -134,7 +134,7 @@ object IncrementalAgg {
     * a streaming materialized view over the lake.
     */
   def st08StreamMatview(s: SparkSession, dir: String): DataFrame = {
-    val src = Snapshots.stagedDiffLake(s, dir)
+    val src = SnapshotsKeys.stagedDiffLake(s, dir)
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val root = s.conf.get("spark.sql.warehouse.dir") + s"/mv_st08$tag"
     val fs = new org.apache.hadoop.fs.Path(root)
@@ -173,7 +173,7 @@ object IncrementalAgg {
     * the real seed+refresh path.
     */
   def c09IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
-    val src = Snapshots.stagedDiffLake(s, dir)
+    val src = SnapshotsKeys.stagedDiffLake(s, dir)
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val root = s.conf.get("spark.sql.warehouse.dir") + s"/inc_c09$tag"
     val fs = new org.apache.hadoop.fs.Path(root)

@@ -54,8 +54,11 @@ import org.apache.spark.sql.functions._
   * O(1) in table size; data writes are normal partitioned/bucketed
   * parquet jobs.
   */
-class Snapshots(s: SparkSession, root: String,
-                logStore: Option[LogStore] = None) {
+class Snapshots(private[sources] val s: SparkSession,
+                private[sources] val root: String,
+                logStore: Option[LogStore] = None)
+    extends SnapshotsTxnOps with SnapshotsDmlOps
+    with SnapshotsMetaOps with SnapshotsMaintOps {
 
   /** The lake's root path (for handing to path-keyed consumers like the
     * streaming change feed). */
@@ -66,7 +69,7 @@ class Snapshots(s: SparkSession, root: String,
     */
   @volatile private[graft] var beforePublish: (String, String) => Unit = (_, _) => ()
 
-  private val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+  private[sources] val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
 
   /** COMMIT-LOG storage ([[LogStore]]): every manifest/checkpoint
     * read, list, publish and delete routes through this seam — data
@@ -75,18 +78,18 @@ class Snapshots(s: SparkSession, root: String,
     * store). Injecting [[InMemoryObjectStore]] runs the whole protocol
     * against S3-class conditional-put semantics (TxnSpec does).
     */
-  private val store: LogStore =
+  private[sources] val store: LogStore =
     logStore.getOrElse(new HadoopLogStore(fs, l => faultHook(l)))
-  private def commitDir = new Path(root, "_commits")
-  private def commitPath(v: Long) = new Path(commitDir, f"$v%020d.manifest")
-  private def checkpointPath(v: Long) = new Path(commitDir, f"$v%020d.checkpoint")
+  private[sources] def commitDir = new Path(root, "_commits")
+  private[sources] def commitPath(v: Long) = new Path(commitDir, f"$v%020d.manifest")
+  private[sources] def checkpointPath(v: Long) = new Path(commitDir, f"$v%020d.checkpoint")
 
   /** Every `CheckpointEvery` commits, the full resolved state is also
     * written as a `.checkpoint` file, bounding delta-chain resolution
     * to O(CheckpointEvery) small reads — the Delta-log cadence idea
     * (public design: _delta_log JSON actions + periodic checkpoints).
     */
-  private val CheckpointEvery = 16L
+  private[sources] val CheckpointEvery = 16L
 
   /** Resolved-state caches. Manifests are immutable once published, so
     * a version's resolved state never changes; vacuum evicts dropped
@@ -94,14 +97,14 @@ class Snapshots(s: SparkSession, root: String,
     * deltas diff against), `viewCache` the reassembled in-memory form
     * every consumer reads, `tsCache` header commit times.
     */
-  private val stateCache = new java.util.concurrent.ConcurrentHashMap[Long, Map[String, String]]()
-  private val viewCache = new java.util.concurrent.ConcurrentHashMap[Long, Map[String, String]]()
-  private val tsCache = new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Long]()
+  private[sources] val stateCache = new java.util.concurrent.ConcurrentHashMap[Long, Map[String, String]]()
+  private[sources] val viewCache = new java.util.concurrent.ConcurrentHashMap[Long, Map[String, String]]()
+  private[sources] val tsCache = new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Long]()
   // evict OLDEST versions, never clear: a feed catch-up or timestamp
   // scan over a >256-version history must keep its working set warm
   // (newer versions are the live ones; a wholesale clear would force
   // an O(chain) re-resolve every 257th insert)
-  private def boundCache[V](c: java.util.concurrent.ConcurrentHashMap[Long, V]): Unit =
+  private[sources] def boundCache[V](c: java.util.concurrent.ConcurrentHashMap[Long, V]): Unit =
     if (c.size > 256) {
       import scala.jdk.CollectionConverters._
       c.keySet.asScala.toSeq.sorted.take(c.size - 192).foreach(c.remove)
@@ -115,9 +118,9 @@ class Snapshots(s: SparkSession, root: String,
     * names make staging collisions impossible by construction; the
     * loser's orphaned dir is ordinary vacuum food.
     */
-  private val writerId =
+  private[sources] val writerId =
     java.lang.Long.toHexString(new java.security.SecureRandom().nextLong() | (1L << 62))
-  private def stageRel(attempt: Long, name: String): String = s"v$attempt-$writerId/$name"
+  private[sources] def stageRel(attempt: Long, name: String): String = s"v$attempt-$writerId/$name"
 
   /** Newest committed version, if any commit exists. */
   def currentVersion: Option[Long] = {
@@ -167,7 +170,7 @@ class Snapshots(s: SparkSession, root: String,
     * re-adds only what THIS publish declares — a data commit after a
     * compaction is never mislabeled.
     */
-  private def writeManifest(v: Long, tables0: Map[String, String],
+  private[sources] def writeManifest(v: Long, tables0: Map[String, String],
                             maint: Set[String] = Set.empty): Boolean = {
     val tables = tables0.filterNot(_._1.endsWith(MaintSuffix)) ++
       maint.map(t => (t + MaintSuffix) -> "1")
@@ -230,7 +233,7 @@ class Snapshots(s: SparkSession, root: String,
     * have its pin before dropping the chain behind it; the cadence
     * caller downgrades to best-effort.
     */
-  private def writeCheckpoint(v: Long, exploded: Map[String, String]): Unit = {
+  private[sources] def writeCheckpoint(v: Long, exploded: Map[String, String]): Unit = {
     faultHook("checkpoint-write") // crash point: manifest durable, checkpoint optional
     val body = (s"#graft-checkpoint v=$v" +:
       exploded.toSeq.sortBy(_._1).map { case (k, value) => s"$k=$value" })
@@ -243,9 +246,9 @@ class Snapshots(s: SparkSession, root: String,
     * (a runaway committer, clock-free livelock) — surface it instead
     * of re-writing table data forever.
     */
-  private val MaxAttempts = 16
+  private[sources] val MaxAttempts = 16
 
-  private def parseKv(lines: Iterator[String]): Map[String, String] =
+  private[sources] def parseKv(lines: Iterator[String]): Map[String, String] =
     lines.filter(_.nonEmpty).map { line =>
       val Array(t, p) = line.split("=", 2)
       t -> p
@@ -267,13 +270,13 @@ class Snapshots(s: SparkSession, root: String,
     * put '=' INSIDE paths (`pk_bucket=28/…`), and a raw '=' in a key
     * would split the `key=value` line at the wrong place.
     */
-  private val PartMarker = "@part:"
-  private def encPath(r: String): String =
+  private[sources] val PartMarker = "@part:"
+  private[sources] def encPath(r: String): String =
     r.replace("%", "%25").replace("=", "%3D")
-  private def decPath(r: String): String =
+  private[sources] def decPath(r: String): String =
     r.replace("%3D", "=").replace("%25", "%")
 
-  private def explode(view: Map[String, String]): Map[String, String] =
+  private[sources] def explode(view: Map[String, String]): Map[String, String] =
     view.flatMap { case (k, value) =>
       if (k.endsWith(FilesSuffix) && value.nonEmpty)
         value.split(";").filter(_.nonEmpty).toSeq.map { e =>
@@ -285,7 +288,7 @@ class Snapshots(s: SparkSession, root: String,
       else Seq(k -> value)
     }
 
-  private def reassemble(state: Map[String, String]): Map[String, String] = {
+  private[sources] def reassemble(state: Map[String, String]): Map[String, String] = {
     val marker = FilesSuffix + ":"
     val (fileKeys, rest) = state.partition(_._1.contains(marker))
     val (partKeys, plain) = rest.partition(_._1.contains(PartMarker))
@@ -310,7 +313,7 @@ class Snapshots(s: SparkSession, root: String,
     plain ++ filesLines ++ dataLines
   }
 
-  private def applyDelta(state: Map[String, String], lines: Seq[String]): Map[String, String] = {
+  private[sources] def applyDelta(state: Map[String, String], lines: Seq[String]): Map[String, String] = {
     val b = scala.collection.mutable.Map.empty[String, String] ++ state
     lines.filter(_.nonEmpty).foreach { l =>
       if (l.startsWith("+")) {
@@ -323,7 +326,7 @@ class Snapshots(s: SparkSession, root: String,
     b.toMap
   }
 
-  private def headerField(header: String, name: String): Option[String] =
+  private[sources] def headerField(header: String, name: String): Option[String] =
     header.split("\\s+").collectFirst {
       case t if t.startsWith(name + "=") => t.substring(name.length + 1)
     }
@@ -335,7 +338,7 @@ class Snapshots(s: SparkSession, root: String,
     * for a version that was never committed or left the retention
     * window (vacuum evicts its cache entries, so the miss is real).
     */
-  private def resolveState(v: Long): Map[String, String] = {
+  private[sources] def resolveState(v: Long): Map[String, String] = {
     if (v <= 0L) return Map.empty
     val memo = stateCache.get(v)
     if (memo != null) return memo
@@ -378,7 +381,7 @@ class Snapshots(s: SparkSession, root: String,
     st
   }
 
-  private def readManifest(v: Long): Map[String, String] = {
+  private[sources] def readManifest(v: Long): Map[String, String] = {
     val hit = viewCache.get(v)
     if (hit != null) return hit
     val view = reassemble(resolveState(v))
@@ -413,7 +416,7 @@ class Snapshots(s: SparkSession, root: String,
     * tagged directory away. (The `@tag` dir-name suffix remains as a
     * debugging aid only — nothing correctness-bearing reads it.)
     */
-  private val TagsSuffix = "@tags"
+  private[sources] val TagsSuffix = "@tags"
 
   /** Checkpointed read metadata — the manifest carries, per table, the
     * parquet schema (`<table>@schema`, Base64 of the Spark schema JSON)
@@ -435,9 +438,9 @@ class Snapshots(s: SparkSession, root: String,
     * periodic `.checkpoint` cadence (the Delta-log trade, public
     * design).
     */
-  private val SchemaSuffix = "@schema"
-  private val FilesSuffix = "@files"
-  private val MaintSuffix = "@maint"
+  private[sources] val SchemaSuffix = "@schema"
+  private[sources] val FilesSuffix = "@files"
+  private[sources] val MaintSuffix = "@maint"
 
   /** Merge-on-read DELETION VECTORS (the Delta/Iceberg v2 idea, public
     * knowledge): `<table>@dv=<rel>` points at a parquet tombstone set
@@ -453,7 +456,7 @@ class Snapshots(s: SparkSession, root: String,
     * side file must never silently corrupt a fold or a metadata
     * answer.
     */
-  private val DvSuffix = "@dv"
+  private[sources] val DvSuffix = "@dv"
 
   /** CHECK constraints (Delta's `ALTER TABLE ADD CONSTRAINT`, public
     * design): `<table>@check=<name>:<urlencoded expr>;…` declares SQL
@@ -468,7 +471,7 @@ class Snapshots(s: SparkSession, root: String,
     * the current rows once so a published constraint is never already
     * broken. Deletes cannot violate row constraints and skip the pass.
     */
-  private val CheckSuffix = "@check"
+  private[sources] val CheckSuffix = "@check"
 
   /** GENERATED columns (Delta's generated columns, public design):
     * `<table>@gen=<col>:<urlencoded expr>;…` declares columns whose
@@ -481,7 +484,7 @@ class Snapshots(s: SparkSession, root: String,
     * transform, and SET targeting a generated column directly is
     * refused (update its inputs instead) — the Delta contract.
     */
-  private val GenSuffix = "@gen"
+  private[sources] val GenSuffix = "@gen"
 
   /** IDENTITY columns (Delta's GENERATED ALWAYS AS IDENTITY, public
     * design): `<table>@identity=<col>:<next>` declares a bigint column
@@ -495,7 +498,7 @@ class Snapshots(s: SparkSession, root: String,
     * A lost version race re-assigns against the new high-water mark
     * before retrying, so concurrent identity appends never collide.
     */
-  private val IdentitySuffix = "@identity"
+  private[sources] val IdentitySuffix = "@identity"
 
   /** COLUMN MAPPING (the Delta column-mapping idea, public design):
     * `<table>@colmap=<logical>:<physical>;…` — an ORDERED list of the
@@ -518,7 +521,7 @@ class Snapshots(s: SparkSession, root: String,
     * step: it rewrites files under the logical names and clears the
     * line (also physically shedding dropped-column bytes).
     */
-  private val ColmapSuffix = "@colmap"
+  private[sources] val ColmapSuffix = "@colmap"
 
   /** TABLE PROPERTIES (the Delta TBLPROPERTIES idea, public design):
     * `<table>@props=<key>:<urlencoded value>;…` — free-form metadata
@@ -532,29 +535,29 @@ class Snapshots(s: SparkSession, root: String,
     * property guards the DML surface, and the admin path to change
     * data is unset-then-write, as in Delta.
     */
-  private val PropsSuffix = "@props"
-  private def isTagEntry(key: String): Boolean = key.endsWith(TagsSuffix)
-  private def isMetaEntry(key: String): Boolean =
+  private[sources] val PropsSuffix = "@props"
+  private[sources] def isTagEntry(key: String): Boolean = key.endsWith(TagsSuffix)
+  private[sources] def isMetaEntry(key: String): Boolean =
     key.endsWith(TagsSuffix) || key.endsWith(SchemaSuffix) ||
       key.endsWith(FilesSuffix) || key.endsWith(MaintSuffix) ||
       key.endsWith(DvSuffix) || key.endsWith(CheckSuffix) ||
       key.endsWith(GenSuffix) || key.endsWith(ColmapSuffix) ||
       key.endsWith(IdentitySuffix) || key.endsWith(PropsSuffix)
 
-  private def encodeColmap(pairs: Seq[(String, String)]): String =
+  private[sources] def encodeColmap(pairs: Seq[(String, String)]): String =
     pairs.map { case (l, p) =>
       java.net.URLEncoder.encode(l, "UTF-8") + ":" +
         java.net.URLEncoder.encode(p, "UTF-8")
     }.mkString(";")
 
-  private def decodeColmap(v: String): Seq[(String, String)] =
+  private[sources] def decodeColmap(v: String): Seq[(String, String)] =
     v.split(";").filter(_.nonEmpty).toSeq.map { kv =>
       val i = kv.indexOf(':')
       (java.net.URLDecoder.decode(kv.substring(0, i), "UTF-8"),
         java.net.URLDecoder.decode(kv.substring(i + 1), "UTF-8"))
     }
 
-  private def colmapOf(m: Map[String, String], table: String): Option[Seq[(String, String)]] =
+  private[sources] def colmapOf(m: Map[String, String], table: String): Option[Seq[(String, String)]] =
     m.get(table + ColmapSuffix).map(decodeColmap)
 
   /** The table's visible (logical→physical) column mapping at `version`
@@ -570,7 +573,7 @@ class Snapshots(s: SparkSession, root: String,
   /** physical→logical: project the scan into the visible view (order,
     * names, and column set of the mapping). Identity when unmapped.
     */
-  private def toLogical(m: Map[String, String], table: String, df: DataFrame): DataFrame =
+  private[sources] def toLogical(m: Map[String, String], table: String, df: DataFrame): DataFrame =
     colmapOf(m, table) match {
       case None => df
       case Some(pairs) => df.select(pairs.map { case (l, p) => df(p).as(l) }: _*)
@@ -580,7 +583,7 @@ class Snapshots(s: SparkSession, root: String,
     * names. Columns the mapping doesn't know pass through unchanged
     * (mergeSchema's new columns — the caller extends the mapping).
     */
-  private def toPhysical(m: Map[String, String], table: String, df: DataFrame): DataFrame =
+  private[sources] def toPhysical(m: Map[String, String], table: String, df: DataFrame): DataFrame =
     colmapOf(m, table) match {
       case None => df
       case Some(pairs) =>
@@ -596,7 +599,7 @@ class Snapshots(s: SparkSession, root: String,
     * have — a silently-untranslated name would prune with the wrong
     * sidecar entry.
     */
-  private def physicalName(m: Map[String, String], table: String, logical: String): String =
+  private[sources] def physicalName(m: Map[String, String], table: String, logical: String): String =
     colmapOf(m, table) match {
       case None => logical
       case Some(pairs) => pairs.collectFirst { case (l, p) if l == logical => p }
@@ -605,7 +608,7 @@ class Snapshots(s: SparkSession, root: String,
             s"(${pairs.map(_._1).mkString(", ")})"))
     }
 
-  private def physicalRanges(m: Map[String, String], table: String,
+  private[sources] def physicalRanges(m: Map[String, String], table: String,
                              ranges: Seq[FileStats.ColRange]): Seq[FileStats.ColRange] =
     ranges.map(r => r.copy(col = physicalName(m, table, r.col)))
 
@@ -614,7 +617,7 @@ class Snapshots(s: SparkSession, root: String,
     * None when no schema line exists (pre-metadata manifests — those
     * predate column mapping, so identity).
     */
-  private def logicalSchema(m: Map[String, String], table: String): Option[org.apache.spark.sql.types.StructType] =
+  private[sources] def logicalSchema(m: Map[String, String], table: String): Option[org.apache.spark.sql.types.StructType] =
     storedSchema(m, table).map { phys =>
       colmapOf(m, table) match {
         case None => phys
@@ -636,7 +639,7 @@ class Snapshots(s: SparkSession, root: String,
     * (Delta refuses the same way). Validation = analyze the expression
     * against an empty frame with the candidate schema.
     */
-  private def requireExprsResolve(table: String, m: Map[String, String],
+  private[sources] def requireExprsResolve(table: String, m: Map[String, String],
                                   candidate: org.apache.spark.sql.types.StructType,
                                   verb: String): Unit = {
     val empty = s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], candidate)
@@ -658,74 +661,7 @@ class Snapshots(s: SparkSession, root: String,
     * immediately the only visible one (reads, incoming batches, DML
     * predicates); old versions time-travel to the old name.
     */
-  def renameColumn(table: String, from: String, to: String): Long = {
-    require(!to.contains("\n") && to.nonEmpty, s"invalid column name '$to'")
-    var attempt = currentVersion.getOrElse(
-      throw new IllegalStateException(s"no commits under $root")) + 1
-    for (_ <- 1 to MaxAttempts) {
-      val cur = readManifest(currentVersion.get)
-      require(dataEntries(cur).contains(table),
-        s"table '$table' not committed under $root")
-      val pairs = colmapOf(cur, table).getOrElse {
-        val st = storedSchema(cur, table).getOrElse(throw new IllegalStateException(
-          s"table '$table' has no checkpointed schema — " +
-            "column mapping needs the @schema line (append once to upgrade)"))
-        st.fields.toSeq.map(f => f.name -> f.name)
-      }
-      require(pairs.exists(_._1 == from),
-        s"no column '$from' in table '$table' (visible: ${pairs.map(_._1).mkString(", ")})")
-      require(!pairs.exists(_._1 == to),
-        s"column '$to' already exists in table '$table'")
-      val next = pairs.map { case (l, p) => if (l == from) (to, p) else (l, p) }
-      val candidate = {
-        val m1 = cur + ((table + ColmapSuffix) -> encodeColmap(next))
-        logicalSchema(m1, table).get
-      }
-      requireExprsResolve(table, cur, candidate, s"renameColumn($from -> $to)")
-      val line = (table + ColmapSuffix) -> encodeColmap(next)
-      if (writeManifest(attempt, cur + line)) return attempt
-      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
-    }
-    throw new IllegalStateException(
-      s"renameColumn lost $MaxAttempts consecutive version races under $root")
-  }
-
-  /** DROP COLUMN — metadata-only: the column leaves the view; its
-    * bytes stay in the files (old versions time-travel to them) until
-    * a [[compact]] materializes the view and sheds them. Re-adding the
-    * same name later (mergeSchema) allocates a FRESH physical column —
-    * the dropped data never resurrects.
-    */
-  def dropColumn(table: String, colName: String): Long = {
-    var attempt = currentVersion.getOrElse(
-      throw new IllegalStateException(s"no commits under $root")) + 1
-    for (_ <- 1 to MaxAttempts) {
-      val cur = readManifest(currentVersion.get)
-      require(dataEntries(cur).contains(table),
-        s"table '$table' not committed under $root")
-      val pairs = colmapOf(cur, table).getOrElse {
-        val st = storedSchema(cur, table).getOrElse(throw new IllegalStateException(
-          s"table '$table' has no checkpointed schema — " +
-            "column mapping needs the @schema line (append once to upgrade)"))
-        st.fields.toSeq.map(f => f.name -> f.name)
-      }
-      require(pairs.exists(_._1 == colName),
-        s"no column '$colName' in table '$table' (visible: ${pairs.map(_._1).mkString(", ")})")
-      val next = pairs.filterNot(_._1 == colName)
-      require(next.nonEmpty, s"cannot drop the last visible column of '$table'")
-      val candidate = {
-        val m1 = cur + ((table + ColmapSuffix) -> encodeColmap(next))
-        logicalSchema(m1, table).get
-      }
-      requireExprsResolve(table, cur, candidate, s"dropColumn($colName)")
-      val line = (table + ColmapSuffix) -> encodeColmap(next)
-      if (writeManifest(attempt, cur + line)) return attempt
-      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
-    }
-    throw new IllegalStateException(
-      s"dropColumn lost $MaxAttempts consecutive version races under $root")
-  }
-  private def dvEntries(m: Map[String, String]): Map[String, String] =
+  private[sources] def dvEntries(m: Map[String, String]): Map[String, String] =
     m.filter { case (k, _) => k.endsWith(DvSuffix) }
 
   /** True iff `table` carries a deletion vector at version `v`. */
@@ -801,13 +737,13 @@ class Snapshots(s: SparkSession, root: String,
     */
   def isMaintenanceVersion(table: String, v: Long): Boolean =
     readManifest(v).contains(table + MaintSuffix)
-  private def dataEntries(m: Map[String, String]): Map[String, String] =
+  private[sources] def dataEntries(m: Map[String, String]): Map[String, String] =
     m.filterNot { case (k, _) => isMetaEntry(k) }
-  private def tagsOf(m: Map[String, String], table: String): Set[String] =
+  private[sources] def tagsOf(m: Map[String, String], table: String): Set[String] =
     m.get(table + TagsSuffix).map(_.split(",").filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
 
-  private def storedSchema(m: Map[String, String], table: String): Option[org.apache.spark.sql.types.StructType] =
+  private[sources] def storedSchema(m: Map[String, String], table: String): Option[org.apache.spark.sql.types.StructType] =
     m.get(table + SchemaSuffix).map { b64 =>
       org.apache.spark.sql.types.DataType.fromJson(
         new String(java.util.Base64.getDecoder.decode(b64), StandardCharsets.UTF_8))
@@ -818,7 +754,7 @@ class Snapshots(s: SparkSession, root: String,
     * separator is `;` between entries and the LAST `:` within one (rel
     * paths embed table names, which the format does not restrict).
     */
-  private def storedFiles(m: Map[String, String], table: String): Option[Seq[(String, Long)]] =
+  private[sources] def storedFiles(m: Map[String, String], table: String): Option[Seq[(String, Long)]] =
     m.get(table + FilesSuffix).map { v =>
       v.split(";").filter(_.nonEmpty).toSeq.map { e =>
         val i = e.lastIndexOf(':')
@@ -826,11 +762,11 @@ class Snapshots(s: SparkSession, root: String,
       }
     }
 
-  private def schemaLine(table: String, schema: org.apache.spark.sql.types.StructType): (String, String) =
+  private[sources] def schemaLine(table: String, schema: org.apache.spark.sql.types.StructType): (String, String) =
     (table + SchemaSuffix) -> java.util.Base64.getEncoder.encodeToString(
       schema.json.getBytes(StandardCharsets.UTF_8))
 
-  private def filesLine(table: String, files: Seq[(String, Long)]): (String, String) =
+  private[sources] def filesLine(table: String, files: Seq[(String, Long)]): (String, String) =
     (table + FilesSuffix) -> files.map { case (r, l) => s"$r:$l" }.mkString(";")
 
   /** Expand manifest parts to (relFile, length) by listing each DIR part
@@ -838,7 +774,7 @@ class Snapshots(s: SparkSession, root: String,
     * directories the publish just produced (O(new files), amortized into
     * the write), never per-read.
     */
-  private def listRelFiles(parts: Seq[String]): Seq[(String, Long)] =
+  private[sources] def listRelFiles(parts: Seq[String]): Seq[(String, Long)] =
     parts.flatMap { r =>
       val p = new Path(root, r)
       if (fs.getFileStatus(p).isDirectory)
@@ -856,7 +792,7 @@ class Snapshots(s: SparkSession, root: String,
     * (mergeSchema refuses to run without writing it), so a mixed-
     * schema metadata-less table is outside the contract either way.
     */
-  private def writtenSchema(rel: String): org.apache.spark.sql.types.StructType =
+  private[sources] def writtenSchema(rel: String): org.apache.spark.sql.types.StructType =
     s.read.parquet(s"$root/${splitRel(rel).head}").schema
 
   /** Predict — without touching a footer — the schema a stock parquet
@@ -868,7 +804,7 @@ class Snapshots(s: SparkSession, root: String,
     * string, UDTs, intervals, null/void) — those callers pay one
     * footer read instead of guessing wrong.
     */
-  private def predictReadBack(st: org.apache.spark.sql.types.StructType): Option[org.apache.spark.sql.types.StructType] = {
+  private[sources] def predictReadBack(st: org.apache.spark.sql.types.StructType): Option[org.apache.spark.sql.types.StructType] = {
     import org.apache.spark.sql.types._
     def safe(dt: DataType): Option[DataType] = dt match {
       case BooleanType | ByteType | ShortType | IntegerType | LongType |
@@ -897,7 +833,7 @@ class Snapshots(s: SparkSession, root: String,
     * names; [[deleteWhereMoR]] verifies table-wide name uniqueness
     * before publishing a vector.
     */
-  private def applyDv(m: Map[String, String], table: String, df: DataFrame): DataFrame =
+  private[sources] def applyDv(m: Map[String, String], table: String, df: DataFrame): DataFrame =
     m.get(table + DvSuffix) match {
       case None => df
       case Some(dvRel) =>
@@ -915,7 +851,7 @@ class Snapshots(s: SparkSession, root: String,
     * manifest carries schema+files lines, stock listing read otherwise;
     * deletion vectors applied when present.
     */
-  private def readTable(m: Map[String, String], table: String, rel: String): DataFrame =
+  private[sources] def readTable(m: Map[String, String], table: String, rel: String): DataFrame =
     toLogical(m, table, applyDv(m, table, (storedSchema(m, table), storedFiles(m, table)) match {
       case (Some(schema), Some(files)) =>
         org.apache.spark.sql.GraftLakeShim.parquetByManifest(
@@ -936,296 +872,8 @@ class Snapshots(s: SparkSession, root: String,
     * covered by the same atomic commit; [[readWhere]] consults them
     * for file skipping.
     */
-  def commit(tables: Map[String, DataFrame],
-             statsCols: Map[String, Seq[String]] = Map.empty,
-             bloomCols: Map[String, Seq[String]] = Map.empty,
-             bloomFpp: Double = 0.01): Long = {
-    tables.keys.foreach(t => require(!isMetaEntry(t),
-      s"table name '$t' collides with the reserved '@' manifest lines"))
-    // generated columns computed/validated, then CHECK constraints gate
-    // the new data — all before any bytes stage (one O(batch) job per
-    // guarded table, nothing for unguarded ones)
-    val tables1 = currentVersion.map(readManifest).map { m =>
-      val t1 = tables.map { case (t, df) => t -> applyGenerated(t, m, df, "commit") }
-      t1.foreach { case (t, df) => enforceChecks(t, m, df, "commit") }
-      t1
-    }.getOrElse(tables)
-    var attempt = currentVersion.getOrElse(0L) + 1
-    for (_ <- 1 to MaxAttempts) {
-      val written = stageTables(tables1, statsCols, attempt, bloomCols, bloomFpp)
-      // consumed append-tags — and declared CHECK constraints — follow
-      // the table identity through a full re-commit: a replayed
-      // micro-batch must stay a no-op even after the table's data was
-      // wholly rewritten, and a replaced table stays guarded (tables
-      // NOT in this commit leave the manifest, their tags and checks
-      // leave with them)
-      val carriedTags = currentVersion.map(readManifest).getOrElse(Map.empty)
-        .filter { case (k, _) =>
-          (isTagEntry(k) && tables.contains(k.stripSuffix(TagsSuffix))) ||
-            (k.endsWith(CheckSuffix) && tables.contains(k.stripSuffix(CheckSuffix))) ||
-            (k.endsWith(GenSuffix) && tables.contains(k.stripSuffix(GenSuffix))) ||
-            (k.endsWith(PropsSuffix) && tables.contains(k.stripSuffix(PropsSuffix))) ||
-            (k.endsWith(IdentitySuffix) && tables.contains(k.stripSuffix(IdentitySuffix))) }
-      if (writeManifest(attempt, written ++ carriedTags)) return attempt
-      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
-    }
-    throw new IllegalStateException(
-      s"commit lost $MaxAttempts consecutive version races under $root")
-  }
-
-  /** Stage every table's data under `attempt`'s writer-unique directory
-    * and return its manifest lines (data entry + checkpointed read
-    * metadata). Independent tables stage CONCURRENTLY: the commit's
-    * wall time is the slowest table's write, not the sum — a
-    * multi-table transaction's data jobs have no ordering dependency
-    * (visibility is the single manifest publish, not the writes).
-    */
-  private def stageTables(tables: Map[String, DataFrame],
-                          statsCols: Map[String, Seq[String]],
-                          attempt: Long,
-                          bloomCols: Map[String, Seq[String]] = Map.empty,
-                          bloomFpp: Double = 0.01): Map[String, String] = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    Await.result(Future.traverse(tables.toSeq) { case (name, df) =>
-      Future {
-        val rel = stageRel(attempt, name)
-        df.write.mode("overwrite").parquet(s"$root/$rel")
-        statsCols.get(name).filter(_.nonEmpty).foreach { cols =>
-          FileStats.writeSidecar(fs, new Path(s"$root/$rel"),
-            FileStats.harvest(s, s"$root/$rel", cols))
-        }
-        bloomCols.get(name).filter(_.nonEmpty).foreach { cols =>
-          FileStats.writeBloomSidecar(fs, new Path(s"$root/$rel"),
-            FileStats.harvestBlooms(s, s"$root/$rel", cols, bloomFpp))
-        }
-        // checkpoint the read metadata while the write's listing is
-        // hot: one listStatus (and at worst one footer) per table here
-        // buys zero listing / zero inference on EVERY future read
-        Seq(name -> rel,
-          schemaLine(name, predictReadBack(df.schema).getOrElse(writtenSchema(rel))),
-          filesLine(name, listRelFiles(Seq(rel))))
-      }
-    }, scala.concurrent.duration.Duration.Inf).flatten.toMap
-  }
-
-  /** Names of the tables committed at `version` (default head); empty
-    * for an empty lake. Driver-side manifest read only.
-    */
-  def tableNames(version: Option[Long] = None): Seq[String] =
-    version.orElse(currentVersion) match {
-      case None => Nil
-      case Some(v) => dataEntries(readManifest(v)).keys.toSeq.sorted
-    }
-
-  /** Total recorded bytes of the table's data files at `version` —
-    * from the manifest's `@files` lengths, zero IO. The SQL catalog's
-    * join-strategy statistics read this.
-    */
-  def tableBytes(table: String, version: Option[Long] = None): Long = {
-    val v = version.orElse(currentVersion).getOrElse(
-      throw new IllegalStateException(s"no commits under $root"))
-    val m = readManifest(v)
-    storedFiles(m, table).map(_.map(_._2).sum).getOrElse {
-      val rel = dataEntries(m).getOrElse(table,
-        throw new NoSuchElementException(s"table '$table' not committed under $root"))
-      listRelFiles(splitRel(rel)).map(_._2).sum
-    }
-  }
-
-  /** CREATE TABLE into an EXISTING lake: adds `table` to the manifest
-    * WITHOUT touching any other table ([[commit]] is the whole-lake
-    * transaction that replaces the manifest; DDL must compose with
-    * standing tables). Refuses if the table already exists. An empty
-    * lake bootstraps fine (first manifest). The SQL catalog's CREATE
-    * TABLE lands here.
-    */
-  def createTable(table: String, df: DataFrame, statsCols: Seq[String] = Nil): Long = {
-    require(!isMetaEntry(table),
-      s"table name '$table' collides with the reserved '@' manifest lines")
-    var attempt = currentVersion.getOrElse(0L) + 1
-    for (_ <- 1 to MaxAttempts) {
-      val cur = currentVersion.map(readManifest).getOrElse(Map.empty)
-      require(!dataEntries(cur).contains(table),
-        s"table '$table' already exists under $root")
-      val written = stageTables(Map(table -> df),
-        if (statsCols.nonEmpty) Map(table -> statsCols) else Map.empty, attempt)
-      if (writeManifest(attempt, cur ++ written)) return attempt
-      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
-    }
-    throw new IllegalStateException(
-      s"createTable lost $MaxAttempts consecutive version races under $root")
-  }
-
-  /** DROP TABLE: publishes a manifest without the table's data entry or
-    * any of its `@` metadata lines — a metadata-only commit (zero data
-    * IO). The dropped table's files stay referenced by OLDER manifests
-    * (time travel still works) and become vacuum food once those leave
-    * the retention window. Returns false if the table does not exist.
-    */
-  def dropTable(table: String): Boolean = {
-    var attempt = currentVersion.getOrElse(return false) + 1
-    for (_ <- 1 to MaxAttempts) {
-      val cur = readManifest(currentVersion.get)
-      if (!dataEntries(cur).contains(table)) return false
-      val next = cur.filterNot { case (k, _) =>
-        k == table || k.startsWith(table + "@") }
-      if (writeManifest(attempt, next)) return true
-      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
-    }
-    throw new IllegalStateException(
-      s"dropTable lost $MaxAttempts consecutive version races under $root")
-  }
-
-  /** RENAME TABLE: a pure manifest-key rewrite — the data entry and
-    * every `@` metadata line move to the new name, data paths untouched
-    * (they are version-dir-relative and the manifest maps name→paths;
-    * the Delta/Iceberg metadata-rename idea). Refuses if the target
-    * name exists.
-    */
-  def renameTable(from: String, to: String): Long = {
-    require(!isMetaEntry(to) && !to.contains("@"),
-      s"table name '$to' would corrupt the manifest line format")
-    var attempt = currentVersion.getOrElse(
-      throw new IllegalStateException(s"no commits under $root")) + 1
-    for (_ <- 1 to MaxAttempts) {
-      val cur = readManifest(currentVersion.get)
-      require(dataEntries(cur).contains(from),
-        s"table '$from' not committed under $root")
-      require(!dataEntries(cur).contains(to),
-        s"rename target '$to' already exists under $root")
-      val next = cur.map { case (k, v) =>
-        if (k == from) (to, v)
-        else if (k.startsWith(from + "@")) (to + k.substring(from.length), v)
-        else (k, v)
-      }
-      if (writeManifest(attempt, next)) return attempt
-      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
-    }
-    throw new IllegalStateException(
-      s"renameTable lost $MaxAttempts consecutive version races under $root")
-  }
-
-  /** SERIALIZABLE commit — the opt-in upgrade from snapshot isolation,
-    * completing the reference's selectable-isolation menu
-    * (Stream.hs:166-231). The caller declares the transaction's READ
-    * SET: the tables it read (at `baseVersion`) to derive what it
-    * writes. At commit time, inside the same create-exclusive loop that
-    * serializes writers, the read set is validated against the current
-    * head: if any read table's manifest entry changed since
-    * `baseVersion`, the commit ABORTS with
-    * [[SerializationConflictException]] — commit-time read-set conflict
-    * detection, the optimistic-SSI design the open table formats use
-    * for their serializable tier (Delta's txn-level conflict checking;
-    * public design). Write skew dies here: of two transactions that
-    * each read a table the other writes, the second to commit sees its
-    * read set changed and aborts (TxnSpec proves the pair outcome).
-    *
-    * Validation is sound against races because the version chain is
-    * DENSE (every manifest is created at head+1 of an observed head, so
-    * versions never skip): each attempt validates the manifest at
-    * `headV` and claims exactly `headV+1` — if the create-exclusive
-    * succeeds, the validated manifest IS the commit's predecessor; if
-    * it fails, the loop re-validates against the new head.
-    *
-    * Unlike [[commit]] (whole-snapshot replacement), a serializable
-    * commit MERGES into the head manifest — it is a transaction against
-    * the shared database, and tables it does not write must survive it.
-    */
-  def commitSerializable(tables: Map[String, DataFrame],
-                         readSet: Set[String],
-                         baseVersion: Long,
-                         statsCols: Map[String, Seq[String]] = Map.empty): Long = {
-    tables.keys.foreach(t => require(!isMetaEntry(t),
-      s"table name '$t' collides with the reserved '@' manifest lines"))
-    // baseVersion 0 = the transaction began on an EMPTY lake (versions
-    // start at 1): its base manifest is empty, and any table that exists
-    // at commit time is a conflict for the read set
-    val baseM =
-      if (baseVersion == 0L) Map.empty[String, String] else readManifest(baseVersion)
-    for (_ <- 1 to MaxAttempts) {
-      val headV = currentVersion.getOrElse(0L)
-      val headM = if (headV == 0L) Map.empty[String, String] else readManifest(headV)
-      if (headV != baseVersion) {
-        val changed = readSet.filter(t => headM.get(t) != baseM.get(t))
-        if (changed.nonEmpty)
-          throw new Snapshots.SerializationConflictException(
-            s"conflict set ${changed.mkString(", ")} changed between version " +
-              s"$baseVersion and head $headV — re-run the transaction")
-      }
-      val attempt = headV + 1
-      // generated columns + CHECK constraints from the head gate the
-      // written tables (the merge-into-head path keeps their lines)
-      val tables1 = tables.map { case (t, df) =>
-        t -> applyGenerated(t, headM, df, "commit") }
-      tables1.foreach { case (t, df) => enforceChecks(t, headM, df, "commit") }
-      val written = stageTables(tables1, statsCols, attempt)
-      // drop the written tables' stale meta/tags lines, keep everything
-      // else from the head, overlay the fresh lines. A full replace
-      // also ends the table's deletion vector (it tombstones positions
-      // of files this commit just unreferenced) and its column mapping
-      // (the fresh files carry the logical names physically) — carrying
-      // either would misdescribe the new data.
-      val stale = tables.keys.flatMap(t =>
-        Seq(t + TagsSuffix, t + SchemaSuffix, t + FilesSuffix,
-          t + DvSuffix, t + ColmapSuffix)).toSet
-      if (writeManifest(attempt, (headM -- stale) ++ written)) return attempt
-    }
-    throw new IllegalStateException(
-      s"serializable commit lost $MaxAttempts consecutive version races under $root")
-  }
-
-  /** Begin a [[Txn]] pinned to the current head — see [[withTransaction]]
-    * for the scoped form.
-    */
-  def transaction(isolation: Isolation = Isolation.Snapshot): Txn =
-    new Txn(this, isolation)
-
-  /** The reference's `withTransaction` shape (Stream.hs:166-231): run
-    * `body` against a transaction whose reads all pin one snapshot,
-    * commit its buffered writes atomically on normal return, publish
-    * NOTHING if it throws (rollback = the absence of commit). Returns
-    * the body's result; the committed version is available via a
-    * [[Txn.commit]] call inside the body if needed — calling commit
-    * yourself marks the transaction completed and the wrapper skips
-    * its own.
-    */
-  def withTransaction[A](isolation: Isolation = Isolation.Snapshot)(body: Txn => A): A = {
-    val txn = transaction(isolation)
-    val result = body(txn)
-    if (!txn.isCompleted) txn.commit()
-    result
-  }
-
-  /** Re-point head at an older snapshot — the executable ROLLBACK
-    * analog (reference: Stream.hs:166-231; an UNpublished commit is
-    * simply abandoned, and this is the recovery path for a published
-    * one). Publishes a NEW manifest whose table map is copied from
-    * `version`: no data files move or are rewritten (O(1) in table
-    * size), history is preserved — every version including the
-    * rolled-back ones stays readable via time travel — and the same
-    * create-exclusive protocol serializes it against racing commits.
-    * Returns the new head version.
-    */
-  def rollbackTo(version: Long): Long = {
-    val tables = readManifest(version) // throws if `version` was never committed
-    var attempt = currentVersion.getOrElse(0L) + 1
-    for (_ <- 1 to MaxAttempts) {
-      if (writeManifest(attempt, tables)) return attempt
-      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
-    }
-    throw new IllegalStateException(
-      s"rollback lost $MaxAttempts consecutive version races under $root")
-  }
-
-  /** A manifest value is one or more ';'-joined RELATIVE paths, each a
-    * table directory or a single parquet file. File-granular entries
-    * are what lets [[deleteWhere]] re-reference untouched files from an
-    * older version (zero IO) instead of copying them; a plain commit
-    * writes the common 1-dir case.
-    */
-  private def splitRel(rel: String): Seq[String] = rel.split(";").toSeq
-  private def absPaths(rel: String): Seq[String] = splitRel(rel).map(r => s"$root/$r")
+  private[sources] def splitRel(rel: String): Seq[String] = rel.split(";").toSeq
+  private[sources] def absPaths(rel: String): Seq[String] = splitRel(rel).map(r => s"$root/$r")
 
   /** One consistent view of every table at `version` (default: newest).
     * The manifest is resolved once, so all returned DataFrames belong
@@ -1360,2349 +1008,8 @@ class Snapshots(s: SparkSession, root: String,
     * value added). Both versions must still be within the vacuum
     * retention window; a collected version's files fail loudly here.
     */
-  def readChanges(table: String, fromV: Long, toV: Long): DataFrame =
-    readChanges(table, fromV, toV, dvAware = true)
-
-  /** `dvAware = true` (the default) extends the diff across MERGE-ON-READ
-    * versions — the Delta CDF contract (public design): rows newly
-    * tombstoned between the endpoints surface as `removed` read from
-    * their (unchanged) files BY POSITION, pre-images of replaced files
-    * exclude positions already dead at `fromV` (no double-removal), and
-    * post-images exclude positions dead at `toV`. A restore that
-    * un-tombstones surfaces the resurrected rows as `added`. Cost stays
-    * O(changed files + DV): position joins touch only files the vectors
-    * name. `dvAware = false` restores the refuse-loudly contract for
-    * consumers that must never see a positional delta.
-    */
-  def readChanges(table: String, fromV: Long, toV: Long, dvAware: Boolean): DataFrame = {
-    require(fromV <= toV, s"readChanges wants fromV <= toV, got $fromV > $toV")
-    val mFrom = if (fromV == 0L) Map.empty[String, String] else readManifest(fromV)
-    val mTo = readManifest(toV)
-    if (!dvAware) {
-      // a deletion vector hides rows INSIDE unchanged files — a file-set
-      // diff cannot see it, so the delta would silently resurrect deleted
-      // rows for every consumer. Refuse until compact materializes.
-      require(!mFrom.contains(table + DvSuffix),
-        s"version $fromV of '$table' carries a deletion vector — compact before diffing")
-      require(!mTo.contains(table + DvSuffix),
-        s"version $toV of '$table' carries a deletion vector — compact before diffing")
-    }
-    val before = fileSet(table, fromV)
-    val after = fileSet(table, toV)
-    val added = (after -- before.keySet).toSeq.sortBy(_._1)
-    val removed = (before -- after.keySet).toSeq.sortBy(_._1)
-    // schema from either endpoint's manifest metadata → the diff sides
-    // plan without listing or inference, same as a snapshot read
-    val schema = storedSchema(mTo, table).orElse(storedSchema(mFrom, table))
-    // COLUMN MAPPING: each side presents its own version's LOGICAL
-    // view (removed rows as fromV saw them, added rows as toV sees
-    // them), then the sides union BY NAME — a rename-free mapping
-    // (or none) aligns exactly, additive evolution null-fills. A diff
-    // whose endpoints disagree on a VISIBLE column's name (a rename or
-    // drop happened in between) cannot present one coherent schema —
-    // refuse with the split point instead of emitting misaligned rows.
-    locally {
-      for (fs0 <- logicalSchema(mFrom, table); ts0 <- logicalSchema(mTo, table)) {
-        val gone = fs0.fieldNames.toSet -- ts0.fieldNames.toSet
-        require(gone.isEmpty,
-          s"readChanges($fromV, $toV) of '$table' crosses a column rename/drop " +
-            s"(${gone.mkString(", ")} visible at $fromV but not at $toV) — " +
-            "split the diff at the version that changed the mapping")
-      }
-    }
-    val removedSchemaM = if (storedSchema(mFrom, table).isDefined) mFrom else mTo
-    def dvDf(m: Map[String, String]): Option[DataFrame] =
-      m.get(table + DvSuffix).map(rel => s.read.parquet(absPaths(rel): _*)
-        .select(col("file_name").as("__dv_fn"), col("row_index").as("__dv_ri")))
-    val dvP = dvDf(mFrom)
-    val dvT = dvDf(mTo)
-    // vector IDENTITY: every MoR publish stages a fresh dv dir, so an
-    // unchanged pointer means an unchanged vector — the positional diff
-    // is empty by construction and its driver-side name probe (a small
-    // Spark job) must not run on the steady append-only path
-    val dvSame = mFrom.get(table + DvSuffix) == mTo.get(table + DvSuffix)
-    def readFiles(files: Seq[(String, Long)], mSide: Map[String, String]): DataFrame =
-      storedSchema(mSide, table).orElse(schema) match {
-        case Some(sc) => org.apache.spark.sql.GraftLakeShim.parquetByManifest(s, files, sc)
-        case None => s.read.parquet(files.map(_._1): _*)
-      }
-    // a changed-file side, minus the positions its endpoint's vector
-    // already hides (None → raw read, zero overhead on the DV-less
-    // path), projected into that endpoint's logical view
-    def side(files: Seq[(String, Long)], change: String, dv: Option[DataFrame],
-             mSide: Map[String, String]): Option[DataFrame] =
-      if (files.isEmpty) None
-      else {
-        val base = readFiles(files, mSide)
-        val applied = dv match {
-          case None => base
-          case Some(d) =>
-            val cols = base.columns
-            base.withColumn("__fn", col("_metadata.file_name"))
-              .withColumn("__ri", col("_metadata.row_index"))
-              .join(d, col("__fn") === col("__dv_fn") && col("__ri") === col("__dv_ri"),
-                "left_anti")
-              .select(cols.map(col): _*)
-        }
-        Some(toLogical(mSide, table, applied).withColumn("_change", lit(change)))
-      }
-    // positional delta over files PRESENT AT BOTH endpoints: positions in
-    // `in` but not `notIn` are rows that changed state without their file
-    // changing — newly tombstoned → `removed`, un-tombstoned (a restore
-    // to a pre-DV version) → `added`. Only files the position-diff NAMES
-    // are read (one small distinct-names collect bounds the scan).
-    val common = before.keySet.intersect(after.keySet)
-    def positional(in: Option[DataFrame], notIn: Option[DataFrame], change: String,
-                   mSide: Map[String, String]): Option[DataFrame] =
-      in.flatMap { d =>
-        val diff = notIn.fold(d)(n => d.join(n
-          .select(col("__dv_fn").as("__n_fn"), col("__dv_ri").as("__n_ri")),
-          col("__dv_fn") === col("__n_fn") && col("__dv_ri") === col("__n_ri"),
-          "left_anti"))
-        val byName = common.toSeq.map(p => new Path(p).getName -> p).toMap
-        val names = diff.select("__dv_fn").distinct().collect()
-          .map(_.getString(0)).filter(byName.contains).sorted
-        if (names.isEmpty) None
-        else {
-          val files = names.map(n => byName(n) -> before(byName(n)))
-          val base = readFiles(files, mSide)
-          val cols = base.columns
-          Some(toLogical(mSide, table,
-            base.withColumn("__fn", col("_metadata.file_name"))
-              .withColumn("__ri", col("_metadata.row_index"))
-              .join(diff, col("__fn") === col("__dv_fn") && col("__ri") === col("__dv_ri"),
-                "left_semi")
-              .select(cols.map(col): _*))
-            .withColumn("_change", lit(change)))
-        }
-      }
-    val sides = Seq(
-      side(added, "added", dvT, mTo),
-      side(removed, "removed", dvP, removedSchemaM),
-      if (dvSame) None else positional(dvT, dvP, "removed", removedSchemaM),
-      if (dvSame) None else positional(dvP, dvT, "added", mTo)).flatten
-    if (sides.nonEmpty) sides.reduce(_.unionByName(_, allowMissingColumns = true))
-    else schema match {
-      case Some(sc) =>
-        toLogical(mTo, table,
-          org.apache.spark.sql.GraftLakeShim.parquetByManifest(s, Nil, sc))
-          .withColumn("_change", lit(""))
-      case None =>
-        val any = (after.keySet ++ before.keySet).headOption.getOrElse(
-          throw new IllegalStateException(
-            s"table '$table' absent at versions $fromV and $toV under $root"))
-        s.read.parquet(any).limit(0).withColumn("_change", lit(""))
-    }
-  }
-
-  /** Publish a new version whose table map is the current head's map
-    * with `updates` overlaid and `removes` dropped — data at `updates`'
-    * RELATIVE paths must already be fully written under `root`. This is
-    * the O(1)-publish half of a two-phase write: stage data anywhere
-    * under a version directory (invisible until published), then make
-    * it visible atomically. A partial-rewrite writer (CDC merge touching
-    * some buckets of a big table) pays data IO for what it changed and
-    * one manifest write — never a full-table rewrite.
-    *
-    * Same optimistic create-exclusive loop as [[commit]]; on a lost race
-    * the staged data is NOT rewritten — only the manifest merge re-runs
-    * against the new head.
-    */
-  /** ANALYZE — build missing `_stats` (and optionally `_bloom`)
-    * sidecars for a table's already-committed directories (the ANALYZE
-    * TABLE / OPTIMIZE-stats verb). Externally staged bytes
-    * ([[commitStaged]] — the streaming sink's publish path) arrive
-    * WITHOUT sidecars, so stats/bloom pruning cannot skip them until a
-    * compaction happens to rewrite them; this pays one column-pruned
-    * scan per un-analyzed directory instead of a full rewrite, closing
-    * the stats lifecycle for ingest-heavy tables. Sidecars are
-    * advisory accelerators (a dir without one reads conservatively —
-    * correct either way), so like the read-metadata cadence checkpoint
-    * this publishes NO version: rows are untouched, concurrent readers
-    * see either the conservative or the pruned plan, both exact.
-    * Directories that already carry a sidecar are left alone (their
-    * stats may cover other columns). Returns the number of
-    * directories analyzed.
-    */
-  def analyzeTable(table: String, statsCols: Seq[String],
-                   bloomCols: Seq[String] = Nil,
-                   bloomFpp: Double = 0.01): Int = {
-    require(statsCols.nonEmpty || bloomCols.nonEmpty,
-      "analyzeTable requires statsCols and/or bloomCols")
-    val m = readManifest(currentVersion.getOrElse(
-      throw new IllegalStateException(s"no commits under $root")))
-    val rel = dataEntries(m).getOrElse(table,
-      throw new NoSuchElementException(s"table '$table' not committed under $root"))
-    val dirs: Seq[Path] = (storedFiles(m, table) match {
-      case Some(files) => files.map { case (r, _) => new Path(root, r).getParent }
-      case None => splitRel(rel).map { r =>
-        val p = new Path(root, r)
-        if (fs.getFileStatus(p).isDirectory) p else p.getParent
-      }
-    }).distinct
-    var n = 0
-    dirs.foreach { d =>
-      val needStats = statsCols.nonEmpty && FileStats.readSidecar(fs, d).isEmpty
-      val needBloom = bloomCols.nonEmpty && FileStats.readBloomSidecar(fs, d).isEmpty
-      if (needStats)
-        FileStats.writeSidecar(fs, d, FileStats.harvest(s, d.toString, statsCols))
-      if (needBloom)
-        FileStats.writeBloomSidecar(fs, d,
-          FileStats.harvestBlooms(s, d.toString, bloomCols, bloomFpp))
-      if (needStats || needBloom) n += 1
-    }
-    n
-  }
-
-  def commitStaged(updates: Map[String, String],
-                   removes: Set[String] = Set.empty,
-                   schemas: Map[String, org.apache.spark.sql.types.StructType] = Map.empty): Long = {
-    updates.keys.foreach(t => require(!isMetaEntry(t),
-      s"table name '$t' collides with the reserved '@' manifest lines"))
-    // read-metadata for the staged tables, computed ONCE (staged bytes
-    // don't change across publish retries): file lengths from one
-    // listing of each staged part, schema from the caller (free, mapped
-    // through predictReadBack so both paths agree) or one footer read.
-    val updateMeta = updates.flatMap { case (t, rel) =>
-      val sc = schemas.get(t).flatMap(predictReadBack).getOrElse(writtenSchema(rel))
-      Seq(schemaLine(t, sc), filesLine(t, listRelFiles(splitRel(rel))))
-    }
-    // CHECK constraints and generated-column contracts gate staged
-    // data too (the streaming sink's publish path): the staged bytes
-    // are read back once per guarded table — O(batch), and only when a
-    // guard line exists. Staged bytes cannot be amended, so an
-    // OMITTED generated column refuses loudly (compute it in the
-    // writer) while provided values validate like any batch.
-    currentVersion.map(readManifest).foreach { m =>
-      updates.foreach { case (t, rel) =>
-        // staged bytes carry whatever names the external writer used
-        // and cannot be renamed post-hoc — under a column mapping the
-        // file/view split would silently diverge, so refuse until a
-        // compact materializes the mapping
-        require(!m.contains(t + ColmapSuffix),
-          s"table '$t' carries a column mapping (rename/drop pending) — " +
-            "staged ingest cannot translate already-written files; " +
-            "compact (materialize) first")
-        val gs = decodeChecks(m.get(t + GenSuffix))
-        if (m.contains(t + CheckSuffix) || gs.nonEmpty) {
-          val staged = s.read.parquet(absPaths(rel): _*)
-          gs.keys.foreach(c => require(staged.columns.contains(c),
-            s"staged publish into '$t' omits generated column '$c' — " +
-              "staged bytes cannot be amended; compute it in the writer"))
-          if (gs.nonEmpty) applyGenerated(t, m, staged, "staged publish")
-          if (m.contains(t + CheckSuffix))
-            enforceChecks(t, m, staged, "staged publish")
-        }
-      }
-    }
-    var attempt = currentVersion.getOrElse(0L) + 1
-    for (_ <- 1 to MaxAttempts) {
-      val base = currentVersion.map(readManifest).getOrElse(Map.empty[String, String])
-      // a removed table takes its consumed-tags and metadata lines with
-      // it; an UPDATED table drops any deletion vector — its data was
-      // replaced wholesale, so stale tombstones must not linger
-      val removedKeys = removes.flatMap(r =>
-        Seq(r, r + TagsSuffix, r + SchemaSuffix, r + FilesSuffix, r + DvSuffix)) ++
-        updates.keys.map(_ + DvSuffix)
-      val merged = (base -- removedKeys) ++ updates ++ updateMeta
-      if (writeManifest(attempt, merged)) return attempt
-      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
-    }
-    throw new IllegalStateException(
-      s"commitStaged lost $MaxAttempts consecutive version races under $root")
-  }
-
-  /** Range-predicated snapshot read WITH file skipping: the `_stats`
-    * sidecar (if the committing writer recorded one) prunes the file
-    * list before Spark plans a single task — files whose [min,max]
-    * cannot match cost zero IO. The ranges are then re-applied as a
-    * normal filter (stats admit a superset), so the result is exactly
-    * `read(table).where(ranges)` regardless of stats presence.
-    *
-    * This is the lake analog of the reference users' indexed BETWEEN
-    * queries (Example.hs:36: `timestamp BETWEEN {2} AND {3}`): at
-    * 100 TB a time- or key-ordered table turns a range query from a
-    * full scan into a handful of file opens.
-    */
-  /** Prune one manifest path (dir or single file) against `ranges`,
-    * each against ITS OWN directory's sidecar — file names repeat
-    * across version dirs (part-00000…), so stats never mix directories.
-    */
-  private def pruneRelPath(rel: String, ranges: Seq[FileStats.ColRange]): Seq[String] = {
-    val p = new Path(root, rel)
-    if (fs.getFileStatus(p).isDirectory) {
-      val all = FileStats.dataFiles(fs, p)
-      FileStats.readSidecar(fs, p)
-        .map(st => FileStats.prune(all, st, ranges)).getOrElse(all)
-        .map(_.getPath.toString)
-    } else {
-      val keep = FileStats.readSidecar(fs, p.getParent)
-        .forall(st => FileStats.prune(Seq(fs.getFileStatus(p)), st, ranges).nonEmpty)
-      if (keep) Seq(p.toString) else Nil
-    }
-  }
-
-  def readWhere(table: String, ranges0: Seq[FileStats.ColRange],
-                version: Option[Long] = None): DataFrame = {
-    val v = version.orElse(currentVersion)
-      .getOrElse(throw new IllegalStateException(s"no commits under $root"))
-    val m = readManifest(v)
-    val rel = dataEntries(m).getOrElse(table,
-      throw new NoSuchElementException(s"table '$table' not in version $v under $root"))
-    // caller ranges name LOGICAL columns; sidecars and the raw scan
-    // below are physical — translate once, filter physically, then
-    // project into the visible view
-    val ranges = physicalRanges(m, table, ranges0)
-    val base = (storedSchema(m, table), storedFiles(m, table)) match {
-      case (Some(schema), Some(files)) =>
-        // metadata-planned skip: the candidate file list comes from the
-        // manifest, min/max from each directory's `_stats` sidecar (one
-        // small OPEN per distinct dir — never a listing). Dirs without a
-        // sidecar keep all their files (conservative, exact either way).
-        val kept = files.groupBy { case (r, _) => new Path(root, r).getParent }
-          .toSeq.flatMap { case (dir, fl) =>
-            FileStats.readSidecar(fs, dir) match {
-              case None => fl
-              case Some(stats) => fl.filter { case (r, len) =>
-                FileStats.prune(
-                  Seq(new org.apache.hadoop.fs.FileStatus(
-                    len, false, 1, 0L, 0L, new Path(root, r))),
-                  stats, ranges).nonEmpty
-              }
-            }
-          }
-        org.apache.spark.sql.GraftLakeShim.parquetByManifest(
-          s, kept.map { case (r, len) => (s"$root/$r", len) }, schema)
-      case _ =>
-        val kept = splitRel(rel).flatMap(r => pruneRelPath(r, ranges))
-        if (kept.isEmpty) s.read.parquet(absPaths(rel): _*).limit(0) // schema-only; zero data tasks
-        else s.read.parquet(kept: _*)
-    }
-    toLogical(m, table, ranges.foldLeft(applyDv(m, table, base)) { (df, r) =>
-      val c = col(r.col)
-      val conds = r.lo.map(v => c >= lit(v)).toSeq ++ r.hi.map(v => c <= lit(v)).toSeq
-      conds.foldLeft(df)((d, cond) => d.where(cond))
-    })
-  }
-
-  /** Point-lookup read through the BLOOM index: rows whose `column`
-    * equals any of `keys`, opening only files whose per-file bloom
-    * (and min/max stats, when present) admit at least one key. This is
-    * the lookup min/max skipping cannot serve: on a hash-distributed
-    * or high-churn key column every file's [min,max] spans every probe,
-    * but the blooms (committed via `commit(bloomCols = …)`) prune to
-    * the true holder files plus an fpp tail — a needle query on a
-    * 100 TB table costs a sidecar read and a handful of file opens
-    * (Delta's bloom filter index semantics; public design).
-    *
-    * Exactness: skipping is a plan optimization under the exact
-    * `IN`-filter applied after (blooms have false positives, never
-    * false negatives), so the result is exactly
-    * `read(table).where(col isin keys)` — dirs without a bloom sidecar
-    * (e.g. rewritten by maintenance, which drops blooms) keep all
-    * their files, conservative either way. NULL never equals a key.
-    */
-  def readWhereIn(table: String, column0: String, keys: Seq[Any],
-                  version: Option[Long] = None): DataFrame = {
-    require(keys.nonEmpty, "readWhereIn needs at least one key")
-    val v = version.orElse(currentVersion)
-      .getOrElse(throw new IllegalStateException(s"no commits under $root"))
-    val m = readManifest(v)
-    val rel = dataEntries(m).getOrElse(table,
-      throw new NoSuchElementException(s"table '$table' not in version $v under $root"))
-    // sidecars are keyed by PHYSICAL column names; the exact filter
-    // below runs on the logical view
-    val column = physicalName(m, table, column0)
-    val eq = FileStats.ColIn(column, keys)
-    val base = (storedSchema(m, table), storedFiles(m, table)) match {
-      case (Some(schema), Some(files)) =>
-        val kept = files.groupBy { case (r, _) => new Path(root, r).getParent }
-          .toSeq.flatMap { case (dir, fl) =>
-            val stats = FileStats.readSidecar(fs, dir)
-            val blooms = FileStats.readBloomSidecar(fs, dir)
-            if (stats.isEmpty && blooms.isEmpty) fl
-            else fl.filter { case (r, _) =>
-              val leaf = new Path(root, r).getName
-              FileStats.mightContainAny(blooms.flatMap(_.get(leaf)),
-                stats.flatMap(_.get(leaf)), eq)
-            }
-          }
-        org.apache.spark.sql.GraftLakeShim.parquetByManifest(
-          s, kept.map { case (r, len) => (s"$root/$r", len) }, schema)
-      case _ =>
-        val kept = splitRel(rel).flatMap { r =>
-          val p = new Path(root, r)
-          if (fs.getFileStatus(p).isDirectory) {
-            val all = FileStats.dataFiles(fs, p)
-            val stats = FileStats.readSidecar(fs, p)
-            val blooms = FileStats.readBloomSidecar(fs, p)
-            (if (stats.isEmpty && blooms.isEmpty) all
-             else all.filter { f =>
-               val leaf = f.getPath.getName
-               FileStats.mightContainAny(blooms.flatMap(_.get(leaf)),
-                 stats.flatMap(_.get(leaf)), eq)
-             }).map(_.getPath.toString)
-          } else {
-            val stats = FileStats.readSidecar(fs, p.getParent)
-            val blooms = FileStats.readBloomSidecar(fs, p.getParent)
-            val keep = (stats.isEmpty && blooms.isEmpty) ||
-              FileStats.mightContainAny(blooms.flatMap(_.get(p.getName)),
-                stats.flatMap(_.get(p.getName)), eq)
-            if (keep) Seq(p.toString) else Nil
-          }
-        }
-        if (kept.isEmpty) s.read.parquet(absPaths(rel): _*).limit(0)
-        else s.read.parquet(kept: _*)
-    }
-    toLogical(m, table, applyDv(m, table, base).where(col(column).isin(keys: _*)))
-  }
-
-  /** DESCRIBE HISTORY analog (Delta's table history; public design):
-    * one row per retained version, newest first — the commit timestamp
-    * (manifest header, so it survives file-level copies), the tables
-    * whose data entry changed vs the previous retained version, any
-    * maintenance flags, and the table count. Driver-side O(versions)
-    * memoized manifest reads; zero data IO. Versions older than the
-    * vacuum horizon have left the log and are absent — exactly the
-    * time-travelable set.
-    */
-  def history(): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    val vs = store.list(commitDir)
-      .filter(_.endsWith(".manifest"))
-      .map(_.stripSuffix(".manifest").toLong)
-      .sorted
-    val rows = vs.map { v =>
-      val m = readManifest(v)
-      val de = dataEntries(m)
-      val prevDe = vs.filter(_ < v).lastOption
-        .map(pv => dataEntries(readManifest(pv))).getOrElse(Map.empty)
-      val changed = (de.keySet ++ prevDe.keySet)
-        .filter(t => de.get(t) != prevDe.get(t)).toSeq.sorted
-      val maint = de.keys.filter(t => m.contains(t + MaintSuffix)).toSeq.sorted
-      org.apache.spark.sql.Row(v, new java.sql.Timestamp(commitTimestamp(v)),
-        changed.mkString(","), maint.mkString(","), de.size)
-    }
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("version", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
-      org.apache.spark.sql.types.StructField("changed_tables", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("maint_tables", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("n_tables", org.apache.spark.sql.types.IntegerType)))
-    s.createDataFrame(rows.reverse.asJava, schema)
-  }
-
-  /** One table's operational facts (the DESCRIBE DETAIL analog, next
-    * to [[history]]'s version log): file count and total bytes from
-    * the manifest's checkpointed file list, schema as DDL, the active
-    * write-time contracts (checks / generated columns), merge-on-read
-    * state, and the version + commit time the facts describe. Zero
-    * data IO — everything answers from the resolved manifest, however
-    * many terabytes the table holds (a pre-metadata manifest pays one
-    * listing). Throws on an unknown table, like every read.
-    */
-  def tableDetail(table: String, version: Option[Long] = None): Snapshots.TableDetail = {
-    val v = version.orElse(currentVersion).getOrElse(
-      throw new IllegalStateException(s"no commits under $root"))
-    val m = readManifest(v)
-    val rel = dataEntries(m).getOrElse(table,
-      throw new NoSuchElementException(s"table '$table' not committed at version $v under $root"))
-    val files = storedFiles(m, table).getOrElse(listRelFiles(splitRel(rel)))
-    val schema = storedSchema(m, table).getOrElse(writtenSchema(rel))
-    Snapshots.TableDetail(
-      table = table,
-      version = v,
-      committedAt = new java.sql.Timestamp(commitTimestamp(v)),
-      numFiles = files.size,
-      sizeBytes = files.map(_._2).sum,
-      schemaDdl = schema.toDDL,
-      checks = decodeChecks(m.get(table + CheckSuffix)),
-      generatedColumns = decodeChecks(m.get(table + GenSuffix)),
-      hasDeletionVector = m.contains(table + DvSuffix),
-      consumedTags = tagsOf(m, table).size,
-      properties = decodeChecks(m.get(table + PropsSuffix)))
-  }
-
-  /** Targeted row delete — the GDPR / retention maintenance job. Rows
-    * matching ALL `ranges` (conjunctive) are removed from the table in
-    * a new published version, at a cost of O(files that might hold a
-    * matching row), not O(table):
-    *
-    *  - files whose stats CANNOT contain a match are RE-REFERENCED in
-    *    the new manifest as file-granular entries — zero bytes read or
-    *    written for them;
-    *  - only might-match files are read, anti-filtered, and rewritten
-    *    (with a fresh `_stats` sidecar over `statsCols`).
-    *
-    * Old versions still read the deleted rows (time travel); the
-    * deleted bytes are reclaimed the same way the open table formats
-    * do it — a later [[compact]] collapses the file-granular entries
-    * into a fresh directory, after which [[vacuum]] can collect the
-    * old dirs. NULL values in a ranged column never match a range and
-    * are therefore always kept. Result-idempotent: a repeat of the same
-    * delete re-examines only files whose [min,max] still SPANS the
-    * range (min/max cannot prove a hole) and rewrites them to the same
-    * rows; a repeat where stats prove no match publishes nothing.
-    */
-  def deleteWhere(table: String, ranges: Seq[FileStats.ColRange],
-                  statsCols: Seq[String] = Nil): Long = {
-    // doomed = every range matches; survivors = NOT doomed. coalesce
-    // pins the NULL case: a null in a ranged column never matches a
-    // range, so the row must SURVIVE (a bare negation would drop it).
-    partialRewrite(table, ranges, statsCols, "delete",
-      touched => touched.where(!coalesce(matchCond(ranges), lit(false))))
-  }
-
-  /** Targeted row UPDATE — same stats-pruned partial-rewrite machinery
-    * as [[deleteWhere]]: untouched files re-referenced (zero IO), only
-    * files whose stats admit a matching row are rewritten, with `sets`
-    * applied to exactly the rows matching ALL `ranges` (NULL-safe: a
-    * null in a ranged column never matches, so the row passes through
-    * unchanged). Together commit/merge (INSERT/UPSERT), deleteWhere and
-    * updateWhere cover the reference users' DML surface
-    * (`execute`, Stream.hs:122-145) against the lake.
-    */
-  def updateWhere(table: String, ranges: Seq[FileStats.ColRange],
-                  sets: Map[String, org.apache.spark.sql.Column],
-                  statsCols: Seq[String] = Nil): Long = {
-    require(sets.nonEmpty, "updateWhere requires at least one SET column")
-    // a generated column cannot be SET directly (its derivation owns
-    // it — update its inputs; the rewrite recomputes it): Delta's rule
-    currentVersion.map(readManifest).foreach { m =>
-      val gen = decodeChecks(m.get(table + GenSuffix)).keySet
-      val hit = sets.keySet.intersect(gen)
-      require(hit.isEmpty,
-        s"cannot SET generated column(s) ${hit.mkString(", ")} of table '$table'")
-    }
-    partialRewrite(table, ranges, statsCols, "update", { touched =>
-      val hit = coalesce(matchCond(ranges), lit(false))
-      sets.foldLeft(touched) { case (df, (c, e)) =>
-        df.withColumn(c, when(hit, e).otherwise(col(c)))
-      }
-    })
-  }
-
-  /** Predicate-scoped atomic OVERWRITE (Delta's `replaceWhere`, public
-    * design) — the backfill verb: re-deliver one slice (a day, a key
-    * range) of a table in ONE published version, deleting every row
-    * matching ALL `ranges` and landing `batch` in their place. The
-    * partition-overwrite idiom without partition columns: stats-pruned
-    * file classification bounds the touched set exactly as deleteWhere,
-    * so cost is O(files whose stats admit a match) + O(batch), never
-    * O(table).
-    *
-    * Contract (Delta's): every batch row must itself MATCH the
-    * predicate — validated in one aggregate job over the batch; a
-    * violating batch publishes nothing (silently keeping out-of-slice
-    * rows would make the verb a lossy full overwrite). NULL in a
-    * ranged column never matches, so a null-keyed batch row is always
-    * a violation. Replays converge: the second run deletes what the
-    * first inserted and re-inserts the same rows.
-    */
-  def replaceWhere(table: String, ranges: Seq[FileStats.ColRange],
-                   batch: DataFrame, statsCols: Seq[String] = Nil): Long = {
-    require(ranges.nonEmpty, "replaceWhere requires at least one range")
-    val nViol = batch.where(!coalesce(matchCond(ranges), lit(false))).count()
-    require(nViol == 0L,
-      s"replaceWhere batch has $nViol row(s) outside the predicate — " +
-        "the batch must lie entirely inside the replaced slice")
-    partialRewrite(table, ranges, statsCols, "replace", { touched =>
-      val survivors = touched.where(!coalesce(matchCond(ranges), lit(false)))
-      survivors.unionByName(batch.select(survivors.columns.map(col): _*))
-    }, forceOnEmpty = true)
-  }
-
-  /** MERGE (upsert) keyed on `keyCol` — the remaining DML verb next to
-    * [[append]] (INSERT), [[deleteWhere]] (DELETE) and [[updateWhere]]
-    * (UPDATE): source rows whose key matches an existing row REPLACE it,
-    * the rest are inserted, all in one atomic publish (the reference's
-    * users run exactly this upsert through `execute`, Stream.hs:122-145;
-    * the streaming latest-wins form is LakeMerge).
-    *
-    * Scale shape: one scalar agg over the batch-sized source yields its
-    * key span, and the same stats-pruned partial-rewrite engine as
-    * deleteWhere bounds the touched file set to files whose key range
-    * overlaps it — every source key lies inside the span, so a pruned
-    * file PROVABLY holds no match and the matched/unmatched split is
-    * globally correct from the touched files alone. The rewrite is ONE
-    * full-outer join of the touched rows with the source (full outer
-    * cannot broadcast, but both sides are bounded: touched files +
-    * batch), so cost is O(touched + batch), never O(table). With an
-    * all-insert source whose span overlaps nothing, every file is
-    * re-referenced and the source lands as a fresh part (forceOnEmpty).
-    *
-    * Contract: `source` must be unique on `keyCol` (a duplicated key
-    * would multiply its matched row — dedupe upstream, latest-wins, as
-    * LakeMerge does); null-keyed source rows can never match and insert
-    * as-is. Schema must match the table exactly (evolve via
-    * [[append]]'s mergeSchema first).
-    */
-  def mergeInto(table: String, source: DataFrame, keyCol: String,
-                statsCols: Seq[String] = Nil): Long =
-    mergeInto(table, source, Seq(keyCol), statsCols)
-
-  /** Composite-key MERGE: same engine, the match is on ALL `keyCols`
-    * (real tables carry composite primary keys). Touched-file pruning
-    * uses the LEADING key column's span — the index-prefix rule: stats
-    * on the leading component bound the candidate set, the remaining
-    * components resolve inside the join. Every source key's leading
-    * component lies inside that span, so a pruned file provably holds
-    * no match and the split stays globally correct.
-    */
-  def mergeInto(table: String, source0: DataFrame, keyCols: Seq[String],
-                statsCols: Seq[String]): Long = {
-    require(keyCols.nonEmpty, "mergeInto requires at least one key column")
-    val headM = readManifest(currentVersion.getOrElse(
-      throw new IllegalStateException(s"no commits under $root")))
-    // refuse UP FRONT, not inside partialRewrite: the all-null-leading-
-    // key edge below lands as an append and would otherwise let MERGE
-    // on a guarded table succeed or refuse depending on source DATA —
-    // Delta's delta.appendOnly blocks MERGE unconditionally
-    requireNotAppendOnly(headM, table, "MERGE")
-    val baseRel = dataEntries(headM).getOrElse(table,
-      throw new NoSuchElementException(s"table '$table' not committed under $root"))
-    // generated columns: an omitting source is completed, a providing
-    // source is validated — before the schema signature check
-    val source = applyGenerated(table, headM, source0, "merge")
-    // the source speaks the VISIBLE (logical) schema; the rewrite runs
-    // in logical space and partialRewrite stages it back physically
-    val existing = logicalSchema(headM, table).getOrElse(writtenSchema(baseRel))
-    def sig(st: org.apache.spark.sql.types.StructType): Seq[(String, org.apache.spark.sql.types.DataType)] =
-      st.fields.map(f => (f.name, f.dataType)).toSeq
-    require(sig(source.schema) == sig(existing),
-      s"merge source schema ${source.schema.simpleString} != table '$table' schema ${existing.simpleString}")
-    keyCols.foreach(k => require(existing.fieldNames.contains(k),
-      s"merge key '$k' not a column of table '$table'"))
-    val cols = existing.fieldNames.toSeq
-    val rest = cols.filterNot(keyCols.contains)
-    require(cols.forall(!_.startsWith("_mrg_")),
-      s"table '$table' columns collide with merge's reserved '_mrg_' prefix")
-    // the source's own leading-key span (two scalars to the driver —
-    // the source is the batch side by definition) bounds the touched set
-    val lead = keyCols.head
-    val mm = source.agg(min(col(lead)), max(col(lead)), count(lit(1))).head()
-    if (mm.getLong(2) == 0L) return currentVersion.get // empty source: no-op
-    if (mm.isNullAt(0))
-      // non-empty source whose EVERY leading key is null: a null key
-      // component never matches (SQL MERGE ON semantics), so the whole
-      // source inserts and no existing file can be touched — land it as
-      // an O(batch) append rather than silently dropping it as "empty"
-      return append(table, source, statsCols = statsCols)
-    val span = FileStats.ColRange(lead, Some(mm.get(0)), Some(mm.get(1)))
-    partialRewrite(table, Seq(span), statsCols, "merge", { touched =>
-      val srcR = source.select(
-        keyCols.map(k => col(k).as(s"_mrg_key_$k")) ++
-          (lit(true).as("_mrg_hit") +: rest.map(c => col(c).as(s"_mrg_$c"))): _*)
-      // SQL MERGE `ON` semantics: plain equality, a NULL key component
-      // never matches (null-keyed source rows land as inserts)
-      val cond = keyCols.map(k => col(k) === col(s"_mrg_key_$k")).reduce(_ && _)
-      touched.join(srcR, cond, "full_outer")
-        .select(cols.map { c =>
-          if (keyCols.contains(c)) coalesce(col(c), col(s"_mrg_key_$c")).as(c)
-          else when(coalesce(col("_mrg_hit"), lit(false)), col(s"_mrg_$c"))
-            .otherwise(col(c)).as(c)
-        }: _*)
-    }, forceOnEmpty = true)
-  }
-
-  /** METADATA-ONLY aggregates (Iceberg's metadata-only queries, public
-    * knowledge): answer count(*) / count(col) / min(col) / max(col)
-    * from the `_stats` sidecars alone — ZERO data files opened, zero
-    * Spark jobs; cost is O(manifest + sidecars) on the driver however
-    * many terabytes the table holds. The sidecar's `_rows` pseudo-
-    * column (harvested from the same footer read every stats publish
-    * already pays) supplies row counts; per-column null counts turn
-    * them into exact count(col). Exactness is REFUSED loudly rather
-    * than approximated: any file missing from its sidecar, any
-    * requested column missing stats, or any unset footer null count
-    * (nulls = −1) throws — stats are an accelerator that must never
-    * silently change an answer. Caveats inherited from parquet
-    * footers: string min/max are exact only when the writer did not
-    * truncate them (Spark leaves short strings untruncated), and
-    * double NaN handling follows the footer contract — both fine for
-    * the key's integer/short-string columns. Returns (total rows,
-    * col -> (nonnull count, min, max)); min/max are None for all-null
-    * columns. Merge-on-read tables answer count(*) exactly (footer
-    * rows minus tombstoned positions, O(DV) extra); per-column
-    * questions on them are refused until compact materializes.
-    */
-  def aggStats(table: String, cols: Seq[String], version: Option[Long] = None)
-      : (Long, Map[String, (Long, Option[Any], Option[Any])]) = {
-    val v = version.orElse(currentVersion).getOrElse(
-      throw new IllegalStateException(s"no commits under $root"))
-    val m = readManifest(v)
-    // count(*) stays EXACT under merge-on-read: total = footer rows −
-    // tombstoned positions (each position hides exactly one live row —
-    // the vector is deduplicated and references current files). Per-
-    // column answers stay refused: a tombstone may hide the extremum
-    // or a null, and the sidecar cannot say which.
-    require(!m.contains(table + DvSuffix) || cols.isEmpty,
-      s"table '$table' carries a deletion vector — per-column sidecar stats describe " +
-        "the raw files, so min/max/count(col) would reflect deleted rows; compact " +
-        "first (count(*) alone remains exact: pass cols = Nil)")
-    val dvHidden = m.get(table + DvSuffix).fold(0L)(rel =>
-      s.read.parquet(absPaths(rel): _*).count())
-    // sidecars are keyed by PHYSICAL names; answers keep logical labels
-    val physOf: Map[String, String] = cols.map(c => c -> physicalName(m, table, c)).toMap
-    val rel = dataEntries(m).getOrElse(table,
-      throw new NoSuchElementException(s"table '$table' not committed under $root"))
-    val files: Seq[String] = storedFiles(m, table).map(_.map(_._1))
-      .getOrElse(listRelFiles(splitRel(rel)).map(_._1))
-    val byDir = files.groupBy(r => new Path(root, r).getParent)
-    var totalRows = 0L
-    val acc = scala.collection.mutable.Map.empty[String, (String, Long, Option[String], Option[String])]
-    byDir.foreach { case (dir, fl) =>
-      val side = FileStats.readSidecar(fs, dir).getOrElse(
-        throw new IllegalStateException(
-          s"metadata-only aggregate needs a _stats sidecar in $dir — " +
-            "publish with statsCols (or compact) first"))
-      fl.foreach { r =>
-        val name = new Path(root, r).getName
-        val st = side.getOrElse(name,
-          throw new IllegalStateException(s"file $name absent from $dir sidecar"))
-        val rows = st.get(FileStats.RowsCol).flatMap(_.min).map(_.toLong).getOrElse(
-          throw new IllegalStateException(
-            s"sidecar in $dir predates row-count stats — re-publish (compact) to refresh"))
-        totalRows += rows
-        if (rows > 0) cols.foreach { c =>
-          val cs = st.getOrElse(physOf(c),
-            throw new IllegalStateException(
-              s"column '$c' has no stats in $dir — it was not in the publish's statsCols"))
-          require(cs.nulls >= 0,
-            s"column '$c' in $dir/$name has an unset footer null count — exact count refused")
-          val nn = rows - cs.nulls
-          acc.get(c) match {
-            case None => acc(c) = (cs.typ, nn, cs.min, cs.max)
-            case Some((t, n0, mn, mx)) =>
-              acc(c) = (t, n0 + nn, FileStats.minOf(t, mn, cs.min), FileStats.maxOf(t, mx, cs.max))
-          }
-        }
-      }
-    }
-    val out = cols.map { c =>
-      acc.get(c) match {
-        case Some((t, nn, mn, mx)) =>
-          c -> ((nn, mn.map(FileStats.decodeVal(t, _)), mx.map(FileStats.decodeVal(t, _))))
-        case None => c -> ((0L, None, None)) // zero-row table
-      }
-    }.toMap
-    (totalRows - dvHidden, out)
-  }
-
-  /** Zero-copy table CLONE (the publicly documented Delta SHALLOW
-    * CLONE idea): publish a new version whose `dst` entry references
-    * exactly `src`'s files — not one data byte moves, the clone is one
-    * manifest line plus copied read metadata (schema/files/tags). From
-    * then on the two tables evolve independently: a partial rewrite on
-    * either re-references the shared files it doesn't touch and writes
-    * its own new ones, and vacuum's entry-granular refcount keeps a
-    * shared directory alive while ANY retained version's table
-    * references it. The consumed-tag ledger is copied too, so a clone
-    * redirected under an existing ingest stream keeps replay
-    * idempotence. At 100 TB this is how you fork a table for an
-    * experiment without paying the copy.
-    */
-  def cloneTable(src: String, dst: String): Long = {
-    require(!isMetaEntry(dst) && !dst.contains("=") && !dst.contains("\n"),
-      s"clone target name '$dst' is not a valid table name")
-    var attempt = currentVersion.getOrElse(
-      throw new IllegalStateException(s"no commits under $root")) + 1
-    for (_ <- 1 to MaxAttempts) {
-      val cur = readManifest(currentVersion.get)
-      val rel = dataEntries(cur).getOrElse(src,
-        throw new NoSuchElementException(s"table '$src' not committed under $root"))
-      require(!dataEntries(cur).contains(dst),
-        s"clone target '$dst' already exists under $root")
-      val meta = Seq(SchemaSuffix, FilesSuffix, TagsSuffix, DvSuffix, CheckSuffix, GenSuffix, ColmapSuffix, IdentitySuffix, PropsSuffix).flatMap(sfx =>
-        cur.get(src + sfx).map(v => (dst + sfx) -> v))
-      if (writeManifest(attempt, cur + (dst -> rel) ++ meta)) return attempt
-      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
-    }
-    throw new IllegalStateException(
-      s"cloneTable lost $MaxAttempts consecutive version races under $root")
-  }
-
-  /** Per-table RESTORE (the Delta `RESTORE TABLE … VERSION AS OF`
-    * verb): publish a NEW head whose `table` entry — data paths, read
-    * metadata, and consumed-tag ledger — is exactly its state at
-    * `fromVersion`, while every OTHER table keeps its current head
-    * (contrast [[rollbackTo]], which re-points the whole lake). Zero
-    * data IO: like clone, the restore is manifest lines re-referencing
-    * still-retained files (vacuum's entry refcount keeps them alive
-    * for as long as any kept manifest reaches them). History stays
-    * intact — the restore is itself a new, time-travelable version,
-    * and restoring "forward" again is just another restore.
-    */
-  def restoreTable(table: String, fromVersion: Long): Long = {
-    val old = readManifest(fromVersion)
-    val rel = dataEntries(old).getOrElse(table,
-      throw new NoSuchElementException(
-        s"table '$table' not committed at version $fromVersion under $root"))
-    val metaKeys = Seq(SchemaSuffix, FilesSuffix, TagsSuffix, DvSuffix, CheckSuffix, GenSuffix, ColmapSuffix, IdentitySuffix, PropsSuffix).map(table + _)
-    val meta = metaKeys.flatMap(k => old.get(k).map(k -> _))
-    var attempt = currentVersion.getOrElse(0L) + 1
-    for (_ <- 1 to MaxAttempts) {
-      val cur = readManifest(currentVersion.get)
-      // drop the CURRENT metadata lines first: if fromVersion predates
-      // checkpointed metadata, stale lines describing the new file set
-      // must not survive the restore
-      val cleaned = cur -- metaKeys
-      if (writeManifest(attempt, cleaned + (table -> rel) ++ meta)) return attempt
-      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
-    }
-    throw new IllegalStateException(
-      s"restoreTable lost $MaxAttempts consecutive version races under $root")
-  }
-
-  // ---- CHECK constraints ----------------------------------------------
-
-  private def encodeChecks(cs: Map[String, String]): String =
-    cs.toSeq.sortBy(_._1).map { case (n, e) =>
-      n + ":" + java.net.URLEncoder.encode(e, "UTF-8")
-    }.mkString(";")
-
-  private def decodeChecks(v: Option[String]): Map[String, String] =
-    v.toSeq.flatMap(_.split(";")).filter(_.nonEmpty).map { kv =>
-      val i = kv.indexOf(':')
-      kv.substring(0, i) -> java.net.URLDecoder.decode(kv.substring(i + 1), "UTF-8")
-    }.toMap
-
-  /** The table's CHECK constraints (name -> SQL expression) at
-    * `version` (default head). Constraints are table metadata: they
-    * time-travel, clone and restore with the table.
-    */
-  def checks(table: String, version: Option[Long] = None): Map[String, String] = {
-    val v = version.orElse(currentVersion).getOrElse(
-      throw new IllegalStateException(s"no commits under $root"))
-    decodeChecks(readManifest(v).get(table + CheckSuffix))
-  }
-
-  /** ANSI CHECK violation: the expression evaluated to FALSE (null
-    * passes — three-valued logic, same rule as a WHERE survivor set's
-    * complement).
-    */
-  private def violationCond(exprSql: String) =
-    expr(exprSql).cast("boolean") === lit(false)
-
-  /** Validate `batch` against every CHECK constraint of `table` in
-    * manifest `m` — ONE aggregate job over the batch covers all
-    * constraints (zero jobs when the table has none). A mergeSchema
-    * batch may omit table columns; they read back as null, so the
-    * checks see the same null view here. Throws
-    * [[Snapshots.ConstraintViolationException]] naming the first
-    * violated constraint and its row count.
-    */
-  private def enforceChecks(table: String, m: Map[String, String],
-                            batch: DataFrame, verb: String): Unit = {
-    val cs = decodeChecks(m.get(table + CheckSuffix))
-    if (cs.isEmpty) return
-    val withMissing = logicalSchema(m, table).fold(batch) { st =>
-      st.fields.filterNot(f => batch.columns.contains(f.name))
-        .foldLeft(batch)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
-    }
-    val ordered = cs.toSeq.sortBy(_._1)
-    val aggs = ordered.map { case (n, e) =>
-      sum(when(violationCond(e), 1L).otherwise(0L)).as(n) }
-    val row = withMissing.agg(aggs.head, aggs.tail: _*).head()
-    ordered.zipWithIndex.foreach { case ((n, e), i) =>
-      val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
-      if (bad > 0) throw new Snapshots.ConstraintViolationException(
-        s"$verb into table '$table' violates CHECK constraint '$n' ($e): $bad row(s)")
-    }
-  }
-
-  /** The table's generated columns (column -> SQL expression) at
-    * `version` (default head) — metadata like [[checks]]: they
-    * time-travel, clone and restore with the table.
-    */
-  def generated(table: String, version: Option[Long] = None): Map[String, String] = {
-    val v = version.orElse(currentVersion).getOrElse(
-      throw new IllegalStateException(s"no commits under $root"))
-    decodeChecks(readManifest(v).get(table + GenSuffix))
-  }
-
-  /** Compute omitted generated columns and VALIDATE provided ones for
-    * an incoming batch (append/commit/merge ingestion). Omitted
-    * columns are computed from their expressions and the result is
-    * re-projected into the table's column order (the schema guard
-    * compares ordered signatures). Provided columns must match their
-    * expression under null-safe equality — one aggregate job covering
-    * all of them, zero jobs when nothing is declared or provided.
-    */
-  private def applyGenerated(table: String, m: Map[String, String],
-                             batch: DataFrame, verb: String): DataFrame = {
-    val gs = decodeChecks(m.get(table + GenSuffix))
-    if (gs.isEmpty) return batch
-    val provided = gs.filter { case (c, _) => batch.columns.contains(c) }
-    if (provided.nonEmpty) {
-      val ordered = provided.toSeq.sortBy(_._1)
-      val aggs = ordered.map { case (c, e) =>
-        sum(when(!(col(c) <=> expr(e)), 1L).otherwise(0L)).as(c) }
-      val row = batch.agg(aggs.head, aggs.tail: _*).head()
-      ordered.zipWithIndex.foreach { case ((c, e), i) =>
-        val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
-        if (bad > 0) throw new Snapshots.ConstraintViolationException(
-          s"$verb into table '$table': provided values of generated column " +
-            s"'$c' diverge from its expression ($e): $bad row(s)")
-      }
-    }
-    val missing = gs.filter { case (c, _) => !batch.columns.contains(c) }
-    if (missing.isEmpty) return batch
-    val computed = missing.foldLeft(batch) { case (d, (c, e)) =>
-      d.withColumn(c, expr(e)) }
-    logicalSchema(m, table) match {
-      case Some(st) if st.fieldNames.forall(computed.columns.contains) &&
-          computed.columns.forall(st.fieldNames.contains) =>
-        computed.select(st.fieldNames.map(col(_)).toSeq: _*)
-      case _ => computed
-    }
-  }
-
-  /** Recompute every generated column of `table` over a rewrite output
-    * — identity on rows that already satisfied the derivation, and the
-    * repair that keeps update/merge rewrites correct by construction
-    * when a transform touched a generated column's inputs.
-    */
-  private def recomputeGenerated(table: String, m: Map[String, String],
-                                 df: DataFrame): DataFrame =
-    decodeChecks(m.get(table + GenSuffix)).foldLeft(df) { case (d, (c, e)) =>
-      if (d.columns.contains(c)) d.withColumn(c, expr(e)) else d }
-
-  /** Declare `column` GENERATED AS `exprSql` (Delta's generated
-    * columns, public design). The column must exist and its CURRENT
-    * values must already equal the expression — validated with one
-    * scan, so a published derivation is a fact, not a wish. From then
-    * on writers may omit the column (computed at ingestion) or must
-    * provide matching values; update/merge rewrites recompute it.
-    */
-  def addGenerated(table: String, column: String, exprSql: String): Long = {
-    val v0 = currentVersion.getOrElse(
-      throw new IllegalStateException(s"no commits under $root"))
-    val m0 = readManifest(v0)
-    val rel = dataEntries(m0).getOrElse(table,
-      throw new NoSuchElementException(s"table '$table' not committed under $root"))
-    val schema = logicalSchema(m0, table).getOrElse(writtenSchema(rel))
-    require(schema.fieldNames.contains(column),
-      s"generated column '$column' not a column of table '$table'")
-    val bad = read(table, Some(v0)).where(!(col(column) <=> expr(exprSql))).count()
-    if (bad > 0) throw new Snapshots.ConstraintViolationException(
-      s"addGenerated: $bad existing row(s) of '$table' diverge from " +
-        s"'$column' = $exprSql — a derivation must hold before it publishes")
-    var attempt = v0 + 1
-    for (_ <- 1 to MaxAttempts) {
-      val cur = readManifest(currentVersion.get)
-      val gs = decodeChecks(cur.get(table + GenSuffix))
-      require(!gs.contains(column),
-        s"column '$column' is already generated on table '$table' — drop it first")
-      val line = (table + GenSuffix) -> encodeChecks(gs + (column -> exprSql))
-      if (writeManifest(attempt, cur + line)) return attempt
-      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
-    }
-    throw new IllegalStateException(
-      s"addGenerated lost $MaxAttempts consecutive version races under $root")
-  }
-
-  /** Drop a generated-column declaration (loud on a missing column,
-    * like [[dropCheck]]). The column itself stays — only the
-    * derivation contract ends.
-    */
-  def dropGenerated(table: String, column: String): Long = {
-    var attempt = currentVersion.getOrElse(
-      throw new IllegalStateException(s"no commits under $root")) + 1
-    for (_ <- 1 to MaxAttempts) {
-      val cur = readManifest(currentVersion.get)
-      val gs = decodeChecks(cur.get(table + GenSuffix))
-      if (!gs.contains(column)) throw new NoSuchElementException(
-        s"no generated column '$column' on table '$table' under $root")
-      val rest = gs - column
-      val next =
-        if (rest.isEmpty) cur - (table + GenSuffix)
-        else cur + ((table + GenSuffix) -> encodeChecks(rest))
-      if (writeManifest(attempt, next)) return attempt
-      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
-    }
-    throw new IllegalStateException(
-      s"dropGenerated lost $MaxAttempts consecutive version races under $root")
-  }
-
-  /** Declare a CHECK constraint on `table` (Delta's ALTER TABLE ADD
-    * CONSTRAINT, public design). The constraint must already hold over
-    * the table's CURRENT rows — validated with one scan here (the one
-    * O(table) cost in the constraint lifecycle; every later write pays
-    * only O(batch)) — so a published constraint is an invariant, never
-    * an aspiration. NOT NULL is the special case `col IS NOT NULL`.
-    * The constraint line publishes as a new metadata-only version.
-    */
-  def addCheck(table: String, name: String, exprSql: String): Long = {
-    require(name.matches("[A-Za-z0-9_-]+"),
-      s"constraint name '$name' must be [A-Za-z0-9_-]+")
-    val v0 = currentVersion.getOrElse(
-      throw new IllegalStateException(s"no commits under $root"))
-    val m0 = readManifest(v0)
-    require(dataEntries(m0).contains(table),
-      s"table '$table' not committed under $root")
-    enforceChecks(table,
-      m0 + ((table + CheckSuffix) -> encodeChecks(Map(name -> exprSql))),
-      read(table, Some(v0)), "addCheck existing rows")
-    var attempt = v0 + 1
-    for (_ <- 1 to MaxAttempts) {
-      val cur = readManifest(currentVersion.get)
-      val cs = decodeChecks(cur.get(table + CheckSuffix))
-      require(!cs.contains(name),
-        s"constraint '$name' already exists on table '$table' — drop it first")
-      val line = (table + CheckSuffix) -> encodeChecks(cs + (name -> exprSql))
-      if (writeManifest(attempt, cur + line)) return attempt
-      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
-    }
-    throw new IllegalStateException(
-      s"addCheck lost $MaxAttempts consecutive version races under $root")
-  }
-
-  /** Drop a CHECK constraint by name (loud on a missing name — a
-    * silently-ignored typo would leave the caller believing writes are
-    * still guarded). Metadata-only version; history keeps the
-    * constrained versions' lines, so time-travel reads see the
-    * constraint set as of their version.
-    */
-  def dropCheck(table: String, name: String): Long = {
-    var attempt = currentVersion.getOrElse(
-      throw new IllegalStateException(s"no commits under $root")) + 1
-    for (_ <- 1 to MaxAttempts) {
-      val cur = readManifest(currentVersion.get)
-      val cs = decodeChecks(cur.get(table + CheckSuffix))
-      if (!cs.contains(name)) throw new NoSuchElementException(
-        s"no CHECK constraint '$name' on table '$table' under $root")
-      val rest = cs - name
-      val next =
-        if (rest.isEmpty) cur - (table + CheckSuffix)
-        else cur + ((table + CheckSuffix) -> encodeChecks(rest))
-      if (writeManifest(attempt, next)) return attempt
-      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
-    }
-    throw new IllegalStateException(
-      s"dropCheck lost $MaxAttempts consecutive version races under $root")
-  }
-
-  /** Upsert table properties (the TBLPROPERTIES SET verb) — a
-    * metadata-only commit. Keys are restricted to a path-safe charset
-    * (they ride the checks encoding: ':' and ';' are structural);
-    * values are URL-encoded, so arbitrary. Properties time-travel,
-    * clone and restore with the table, and survive a full re-commit
-    * (like Delta's on overwrite).
-    */
-  def setProperties(table: String, props: Map[String, String]): Long = {
-    require(props.nonEmpty, "setProperties requires at least one property")
-    props.keys.foreach(k => require(k.matches("[A-Za-z0-9_.-]+"),
-      s"property key '$k' must be [A-Za-z0-9_.-]+"))
-    val v0 = currentVersion.getOrElse(
-      throw new IllegalStateException(s"no commits under $root"))
-    require(dataEntries(readManifest(v0)).contains(table),
-      s"table '$table' not committed under $root")
-    var attempt = v0 + 1
-    for (_ <- 1 to MaxAttempts) {
-      val cur = readManifest(currentVersion.get)
-      val merged = decodeChecks(cur.get(table + PropsSuffix)) ++ props
-      val line = (table + PropsSuffix) -> encodeChecks(merged)
-      if (writeManifest(attempt, cur + line)) return attempt
-      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
-    }
-    throw new IllegalStateException(
-      s"setProperties lost $MaxAttempts consecutive version races under $root")
-  }
-
-  /** Remove table properties by key (TBLPROPERTIES UNSET). Loud on a
-    * missing key — silently ignoring a typo'd `appendOnly` unset would
-    * leave the caller believing the DML surface is open.
-    */
-  def unsetProperties(table: String, keys: Seq[String]): Long = {
-    require(keys.nonEmpty, "unsetProperties requires at least one key")
-    var attempt = currentVersion.getOrElse(
-      throw new IllegalStateException(s"no commits under $root")) + 1
-    for (_ <- 1 to MaxAttempts) {
-      val cur = readManifest(currentVersion.get)
-      val ps = decodeChecks(cur.get(table + PropsSuffix))
-      val missing = keys.filterNot(ps.contains)
-      if (missing.nonEmpty) throw new NoSuchElementException(
-        s"no propert${if (missing.size == 1) "y" else "ies"} " +
-          s"${missing.mkString(", ")} on table '$table' under $root")
-      val rest = ps -- keys
-      val next =
-        if (rest.isEmpty) cur - (table + PropsSuffix)
-        else cur + ((table + PropsSuffix) -> encodeChecks(rest))
-      if (writeManifest(attempt, next)) return attempt
-      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
-    }
-    throw new IllegalStateException(
-      s"unsetProperties lost $MaxAttempts consecutive version races under $root")
-  }
-
-  /** The table's properties at `version` (default head). */
-  def properties(table: String, version: Option[Long] = None): Map[String, String] = {
-    val v = version.orElse(currentVersion).getOrElse(
-      throw new IllegalStateException(s"no commits under $root"))
-    decodeChecks(readManifest(v).get(table + PropsSuffix))
-  }
-
-  /** The `appendOnly=true` DML gate — called by every row-removing /
-    * row-modifying verb with the manifest it already holds (no extra
-    * read).
-    */
-  private def requireNotAppendOnly(m: Map[String, String], table: String,
-                                   what: String): Unit =
-    require(!decodeChecks(m.get(table + PropsSuffix))
-        .get("appendOnly").exists(_.equalsIgnoreCase("true")),
-      s"table '$table' is appendOnly (@props) — $what refused; " +
-        "unsetProperties(appendOnly) first")
-
-  /** Timestamp time travel (the Delta `TIMESTAMP AS OF` resolution
-    * rule, public knowledge): a version's commit time is recorded in
-    * its manifest HEADER at publish — not the file's mtime, which a
-    * file-level copy (the c12 lake-template pattern, a backup restore)
-    * resets, silently re-dating every version to copy time. Headerless
-    * v1 manifests fall back to mtime. Resolves to the NEWEST version
-    * committed at or before `tsMillis`; None when nothing that old is
-    * retained (vacuumed manifests naturally fall out of the resolvable
-    * window). Caveat, as in the open formats: commit times come from
-    * the writer's clock, so cross-writer ordering is only as good as
-    * clock agreement — version numbers, not timestamps, are the
-    * authoritative order.
-    */
-  def versionAsOf(tsMillis: Long): Option[Long] = {
-    val vs = store.list(commitDir)
-      .filter(_.endsWith(".manifest"))
-      .map(_.stripSuffix(".manifest").toLong)
-      .filter(v => try commitTimestamp(v) <= tsMillis catch {
-        // a concurrent vacuum can collect a manifest between the listing
-        // and the header read — a dropped version is simply outside the
-        // resolvable window, same as if the listing had missed it
-        case _: java.io.FileNotFoundException => false
-      })
-    if (vs.isEmpty) None else Some(vs.max)
-  }
-
-  /** [[read]] at the newest version committed at or before `tsMillis`. */
-  def readAsOf(table: String, tsMillis: Long): DataFrame =
-    read(table, Some(versionAsOf(tsMillis).getOrElse(
-      throw new NoSuchElementException(
-        s"no version committed at or before $tsMillis under $root"))))
-
-  /** MERGE-ON-READ delete (deletion vectors — the Delta/Iceberg v2
-    * fast-delete path): rows matching ALL `ranges` are tombstoned by
-    * POSITION (file_name, row_index) in a `@dv` sidecar table instead
-    * of rewriting any data file. Cost: read only might-match files
-    * (same stats classification as [[deleteWhere]]), write O(matched
-    * rows) of positions, publish one manifest — at 100 TB a
-    * single-row GDPR delete costs kilobytes instead of re-writing a
-    * gigabyte file. Every read applies the vector transparently;
-    * [[compact]] later materializes it (copy-on-write) and drops the
-    * line. Result-idempotent: a repeat whose tombstones are already
-    * all present publishes nothing. The vector merges with any
-    * existing one, so MoR deletes stack. Positions key on file_name —
-    * verified UNIQUE across the table's files before publishing (every
-    * write path produces uuid'd part names; the check makes the
-    * assumption loud, not silent).
-    */
-  def deleteWhereMoR(table: String, ranges0: Seq[FileStats.ColRange]): Long = {
-    require(ranges0.nonEmpty, "deleteWhereMoR requires at least one range")
-    val headM = readManifest(currentVersion.getOrElse(
-      throw new IllegalStateException(s"no commits under $root")))
-    requireNotAppendOnly(headM, table, "merge-on-read delete")
-    // positions are name-agnostic; only the match predicate and the
-    // sidecar lookups need the physical column names
-    val ranges = physicalRanges(headM, table, ranges0)
-    val baseRel = dataEntries(headM).getOrElse(table,
-      throw new NoSuchElementException(s"table '$table' not committed under $root"))
-    val files: Seq[(String, Long)] = storedFiles(headM, table)
-      .getOrElse(listRelFiles(splitRel(baseRel)))
-    val names = files.map { case (r, _) => new Path(root, r).getName }
-    require(names.distinct.size == names.size,
-      s"table '$table' has duplicate part-file names — positional vectors need unique names")
-    // stats classification: only might-match files are read for positions
-    val touch = files.groupBy { case (r, _) => new Path(root, r).getParent }
-      .toSeq.flatMap { case (dir, fl) =>
-        FileStats.readSidecar(fs, dir) match {
-          case None => fl
-          case Some(stats) => fl.filter { case (r, len) =>
-            FileStats.prune(Seq(new org.apache.hadoop.fs.FileStatus(
-              len, false, 1, 0L, 0L, new Path(root, r))), stats, ranges).nonEmpty
-          }
-        }
-      }
-    if (touch.isEmpty) return currentVersion.get
-    val schema = storedSchema(headM, table).getOrElse(writtenSchema(baseRel))
-    val touched = org.apache.spark.sql.GraftLakeShim.parquetByManifest(
-      s, touch.map { case (r, len) => (s"$root/$r", len) }, schema)
-    val fresh = touched
-      .where(matchCond(ranges))
-      .select(col("_metadata.file_name").as("file_name"),
-        col("_metadata.row_index").as("row_index"))
-    val existing = headM.get(table + DvSuffix).map(rel =>
-      s.read.parquet(absPaths(rel): _*).select("file_name", "row_index"))
-    val merged = existing.fold(fresh)(e => e.unionByName(fresh)).distinct()
-      .persist()
-    try {
-      val total = merged.count()
-      if (total == 0L ||
-          existing.exists(e => e.distinct().count() == total))
-        return currentVersion.get // nothing new to tombstone
-      var attempt = currentVersion.getOrElse(0L) + 1
-      for (_ <- 1 to MaxAttempts) {
-        val cur = readManifest(currentVersion.get)
-        if (cur(table) != baseRel)
-          throw new java.util.ConcurrentModificationException(
-            s"$table re-pointed ${cur(table)} != $baseRel during MoR delete; re-run")
-        val rel = stageRel(attempt, table + "__dv")
-        merged.coalesce(1).write.mode("overwrite").parquet(s"$root/$rel")
-        if (writeManifest(attempt, cur + ((table + DvSuffix) -> rel))) return attempt
-        attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
-      }
-      throw new IllegalStateException(
-        s"deleteWhereMoR lost $MaxAttempts consecutive version races under $root")
-    } finally { merged.unpersist(); () }
-  }
-
-  /** MERGE-ON-READ update — the Iceberg v2 MoR update shape: matching
-    * rows (of the CURRENT, vector-applied state) are tombstoned by
-    * position AND re-appended with the SET expressions applied, both
-    * published in ONE manifest — no existing data file rewritten, cost
-    * O(matched rows) instead of O(touched files). Matching runs
-    * against the live state (existing tombstones excluded), so a
-    * repeat whose updated rows still satisfy the ranges applies the
-    * transform again — exactly UPDATE-twice SQL semantics — while rows
-    * the update moved out of range become a no-op. [[compact]]
-    * materializes the whole episode later, same as MoR deletes.
-    */
-  def updateWhereMoR(table: String, ranges0: Seq[FileStats.ColRange],
-                     set: Map[String, org.apache.spark.sql.Column],
-                     statsCols: Seq[String] = Nil): Long = {
-    require(ranges0.nonEmpty, "updateWhereMoR requires at least one range")
-    val headM = readManifest(currentVersion.getOrElse(
-      throw new IllegalStateException(s"no commits under $root")))
-    requireNotAppendOnly(headM, table, "merge-on-read update")
-    // physical for the scan/sidecars; SET and its expressions run on
-    // the logical view and the re-append stages back physically
-    val ranges = physicalRanges(headM, table, ranges0)
-    val baseRel = dataEntries(headM).getOrElse(table,
-      throw new NoSuchElementException(s"table '$table' not committed under $root"))
-    val schema = storedSchema(headM, table).getOrElse(writtenSchema(baseRel))
-    val visible = logicalSchema(headM, table).getOrElse(schema)
-    set.keys.foreach(c => require(visible.fieldNames.contains(c),
-      s"SET column '$c' not a column of table '$table'"))
-    locally {
-      val gen = decodeChecks(headM.get(table + GenSuffix)).keySet
-      val hit = set.keySet.intersect(gen)
-      require(hit.isEmpty,
-        s"cannot SET generated column(s) ${hit.mkString(", ")} of table '$table'")
-    }
-    val files: Seq[(String, Long)] = storedFiles(headM, table)
-      .getOrElse(listRelFiles(splitRel(baseRel)))
-    val names = files.map { case (r, _) => new Path(root, r).getName }
-    require(names.distinct.size == names.size,
-      s"table '$table' has duplicate part-file names — positional vectors need unique names")
-    val touch = files.groupBy { case (r, _) => new Path(root, r).getParent }
-      .toSeq.flatMap { case (dir, fl) =>
-        FileStats.readSidecar(fs, dir) match {
-          case None => fl
-          case Some(stats) => fl.filter { case (r, len) =>
-            FileStats.prune(Seq(new org.apache.hadoop.fs.FileStatus(
-              len, false, 1, 0L, 0L, new Path(root, r))), stats, ranges).nonEmpty
-          }
-        }
-      }
-    if (touch.isEmpty) return currentVersion.get
-    val existing = headM.get(table + DvSuffix).map(rel =>
-      s.read.parquet(absPaths(rel): _*)
-        .select(col("file_name").as("__dv_fn"), col("row_index").as("__dv_ri")))
-    val touched = org.apache.spark.sql.GraftLakeShim.parquetByManifest(
-      s, touch.map { case (r, len) => (s"$root/$r", len) }, schema)
-      .withColumn("__fn", col("_metadata.file_name"))
-      .withColumn("__ri", col("_metadata.row_index"))
-    val live = existing.fold(touched)(dv => touched.join(dv,
-      col("__fn") === col("__dv_fn") && col("__ri") === col("__dv_ri"), "left_anti"))
-    val matched = live.where(matchCond(ranges)).persist()
-    try {
-      if (matched.isEmpty) return currentVersion.get
-      val cols = visible.fieldNames.toSeq
-      val positions = matched.select(col("__fn").as("file_name"), col("__ri").as("row_index"))
-      // project the matched rows into the LOGICAL view (SET expressions
-      // and guards speak logical names), transform, then stage back
-      // under the physical names
-      val matchedL = colmapOf(headM, table) match {
-        case None => matched
-        case Some(pairs) =>
-          matched.select(pairs.map { case (l, p) => matched(p).as(l) }: _*)
-      }
-      val newRowsL = recomputeGenerated(table, headM,
-        matchedL.select(cols.map(c => set.getOrElse(c, col(c)).as(c)): _*))
-      // the re-appended transformed rows are new rows — generated
-      // columns recomputed above, CHECK constraints gate them here
-      enforceChecks(table, headM, newRowsL, "MoR update")
-      val newRows = toPhysical(headM, table, newRowsL)
-      val mergedDv = existing
-        .fold(positions)(e =>
-          e.select(col("__dv_fn").as("file_name"), col("__dv_ri").as("row_index"))
-            .unionByName(positions))
-        .distinct()
-      var attempt = currentVersion.getOrElse(0L) + 1
-      for (_ <- 1 to MaxAttempts) {
-        val cur = readManifest(currentVersion.get)
-        if (cur(table) != baseRel)
-          throw new java.util.ConcurrentModificationException(
-            s"$table re-pointed ${cur(table)} != $baseRel during MoR update; re-run")
-        val dvRel = stageRel(attempt, table + "__dv")
-        mergedDv.coalesce(1).write.mode("overwrite").parquet(s"$root/$dvRel")
-        val newRel = stageRel(attempt, table)
-        newRows.write.mode("overwrite").parquet(s"$root/$newRel")
-        FileStats.dropEmptyFiles(fs, new Path(s"$root/$newRel"), s.sparkContext.hadoopConfiguration)
-        if (statsCols.nonEmpty)
-          FileStats.writeSidecar(fs, new Path(s"$root/$newRel"),
-            FileStats.harvest(s, s"$root/$newRel",
-              statsCols.map(c => physicalName(headM, table, c))))
-        val newFiles = files ++ listRelFiles(Seq(newRel))
-        val lines = cur +
-          (table -> s"${cur(table)};$newRel") +
-          ((table + DvSuffix) -> dvRel) ++
-          Map(filesLine(table, newFiles))
-        if (writeManifest(attempt, lines)) return attempt
-        attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
-      }
-      throw new IllegalStateException(
-        s"updateWhereMoR lost $MaxAttempts consecutive version races under $root")
-    } finally { matched.unpersist(); () }
-  }
-
-  /** Keyset DELETE — `DELETE WHERE keyCol IN (<batch>)`, the
-    * tombstone-apply verb every CDC consumer needs (c06's ranged
-    * deleteWhere covers retention sweeps; replication and
-    * right-to-erasure arrive as key SETS). Same engine and cost model
-    * as [[mergeInto]]: the batch-sized keyset's span (two scalars)
-    * bounds the touched-file set through the stats sidecar, untouched
-    * files are re-referenced byte-for-byte, and the touched rows pass
-    * through one broadcast-sized left_anti join — O(touched + batch),
-    * never O(table). Naturally idempotent: re-deleting absent keys
-    * rewrites nothing new (rowless outputs are dropped), so replays
-    * converge. Stats proving no overlap → true no-op.
-    */
-  def deleteKeys(table: String, keys: DataFrame, keyCol: String,
-                 statsCols: Seq[String] = Nil): Long =
-    deleteKeys(table, keys, Seq(keyCol), statsCols)
-
-  /** Composite-key form: the keyset DataFrame carries ALL `keyCols`;
-    * pruning uses the leading component's span (index-prefix rule),
-    * the anti-join matches on every component.
-    */
-  def deleteKeys(table: String, keys: DataFrame, keyCols: Seq[String],
-                 statsCols: Seq[String]): Long = {
-    require(keyCols.nonEmpty, "deleteKeys requires at least one key column")
-    val headM = readManifest(currentVersion.getOrElse(
-      throw new IllegalStateException(s"no commits under $root")))
-    // uniform refusal (see mergeInto): an empty keyset short-circuits
-    // below and must not make DELETE on a guarded table data-dependent
-    requireNotAppendOnly(headM, table, "keyset DELETE")
-    val baseRel = dataEntries(headM).getOrElse(table,
-      throw new NoSuchElementException(s"table '$table' not committed under $root"))
-    val existing = logicalSchema(headM, table).getOrElse(writtenSchema(baseRel))
-    keyCols.foreach(k => require(existing.fieldNames.contains(k),
-      s"delete key '$k' not a column of table '$table'"))
-    val ks = keys.select(keyCols.map(k => col(k).as(s"_del_$k")): _*).distinct()
-    val lead = keyCols.head
-    val mm = ks.agg(min(col(s"_del_$lead")), max(col(s"_del_$lead"))).head()
-    if (mm.isNullAt(0)) return currentVersion.get // empty keyset: no-op
-    val span = FileStats.ColRange(lead, Some(mm.get(0)), Some(mm.get(1)))
-    partialRewrite(table, Seq(span), statsCols, "deleteKeys", { touched =>
-      val cond = keyCols.map(k => col(k) === col(s"_del_$k")).reduce(_ && _)
-      touched.join(broadcast(ks), cond, "left_anti")
-    })
-  }
-
-  /** CDC APPLY — one atomic verb for a whole change batch: upsert
-    * `source` rows on `keyCols` AND delete `deadKeys`, in ONE
-    * span-pruned partial rewrite and ONE published version. The
-    * replication consumer's per-micro-batch verb: the separate
-    * [[mergeInto]] + [[deleteKeys]] pair costs two rewrites, two
-    * manifest publishes and two versions per batch — a standing
-    * replica halves its commit rate and version churn (and its own
-    * change-feed consumers' work) with the fused form, and a
-    * mid-batch reader can no longer observe the upserted-but-not-yet-
-    * deleted intermediate state.
-    *
-    * Cost model: the combined leading-key span of both sides bounds
-    * the touched files (every upsert key and every dead key lies
-    * inside it, so a pruned file provably holds no match of either
-    * kind and pass-through is globally correct); the rewrite is
-    * mergeInto's one full-outer join followed by deleteKeys' one
-    * broadcast anti-join over the touched rows — O(touched + batch).
-    * Semantics: upserts apply first, then deletes — a key in both
-    * ends DEAD (tombstone wins, matching CDC per-key last-state
-    * resolution). A non-empty source whose every leading key is null
-    * lands as an insert-only append (mergeInto's rule) before the
-    * deletes apply. Schema guard, generated columns and CHECK
-    * constraints are mergeInto's.
-    */
-  def applyChanges(table: String, source: DataFrame, deadKeys: DataFrame,
-                   keyCols: Seq[String], statsCols: Seq[String] = Nil): Long = {
-    require(keyCols.nonEmpty, "applyChanges requires at least one key column")
-    val headM = readManifest(currentVersion.getOrElse(
-      throw new IllegalStateException(s"no commits under $root")))
-    // same up-front refusal as mergeInto: the verb must refuse on a
-    // guarded table REGARDLESS of which internal path the data selects
-    requireNotAppendOnly(headM, table, "CDC apply (merge+delete)")
-    val baseRel = dataEntries(headM).getOrElse(table,
-      throw new NoSuchElementException(s"table '$table' not committed under $root"))
-    val src = applyGenerated(table, headM, source, "merge")
-    val existing = logicalSchema(headM, table).getOrElse(writtenSchema(baseRel))
-    def sig(st: org.apache.spark.sql.types.StructType): Seq[(String, org.apache.spark.sql.types.DataType)] =
-      st.fields.map(f => (f.name, f.dataType)).toSeq
-    require(sig(src.schema) == sig(existing),
-      s"applyChanges source schema ${src.schema.simpleString} != table '$table' schema ${existing.simpleString}")
-    keyCols.foreach(k => require(existing.fieldNames.contains(k),
-      s"key '$k' not a column of table '$table'"))
-    val cols = existing.fieldNames.toSeq
-    val rest = cols.filterNot(keyCols.contains)
-    require(cols.forall(!_.startsWith("_mrg_")),
-      s"table '$table' columns collide with merge's reserved '_mrg_' prefix")
-    val lead = keyCols.head
-    val ks = deadKeys.select(keyCols.map(k => col(k).as(s"_del_$k")): _*).distinct()
-    // ONE scalar job over the union of both sides' leading keys yields
-    // the combined span plus per-side emptiness facts
-    val tagged = src.select(col(lead).as("_k"), lit(1).as("_side"))
-      .unionByName(ks.select(col(s"_del_$lead").as("_k"), lit(2).as("_side")))
-    val r = tagged.agg(min(col("_k")), max(col("_k")),
-      sum(when(col("_side") === 1, 1L).otherwise(0L)),
-      sum(when(col("_side") === 1 && col("_k").isNotNull, 1L).otherwise(0L)),
-      sum(when(col("_side") === 2 && col("_k").isNotNull, 1L).otherwise(0L))).head()
-    def cnt(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
-    val (nUps, nUpsLead, nDead) = (cnt(2), cnt(3), cnt(4))
-    if (nUps == 0L && nDead == 0L) return currentVersion.get
-    if (nUps > 0L && nUpsLead == 0L) {
-      // degenerate: every upsert's leading key is null — insert-as-is
-      // (mergeInto's rule), then apply the deletes; two versions for
-      // this edge, one for the common path
-      append(table, source, statsCols = statsCols)
-      return if (nDead > 0L) deleteKeys(table, ks.toDF(keyCols: _*), keyCols, statsCols)
-      else currentVersion.get
-    }
-    val span = FileStats.ColRange(lead, Some(r.get(0)), Some(r.get(1)))
-    partialRewrite(table, Seq(span), statsCols, "merge", { touched =>
-      val merged =
-        if (nUps == 0L) touched
-        else {
-          val srcR = src.select(
-            keyCols.map(k => col(k).as(s"_mrg_key_$k")) ++
-              (lit(true).as("_mrg_hit") +: rest.map(c => col(c).as(s"_mrg_$c"))): _*)
-          val cond = keyCols.map(k => col(k) === col(s"_mrg_key_$k")).reduce(_ && _)
-          touched.join(srcR, cond, "full_outer")
-            .select(cols.map { c =>
-              if (keyCols.contains(c)) coalesce(col(c), col(s"_mrg_key_$c")).as(c)
-              else when(coalesce(col("_mrg_hit"), lit(false)), col(s"_mrg_$c"))
-                .otherwise(col(c)).as(c)
-            }: _*)
-        }
-      if (nDead == 0L) merged
-      else {
-        val dcond = keyCols.map(k => col(k) === col(s"_del_$k")).reduce(_ && _)
-        merged.join(broadcast(ks), dcond, "left_anti")
-      }
-    }, forceOnEmpty = nUps > 0L)
-  }
-
-  /** O(batch) atomic APPEND: write `df` as a fresh directory and
-    * publish a manifest whose `table` entry references the existing
-    * paths PLUS the new dir — not one existing byte is read or
-    * rewritten (file-granular manifest entries again). `tag` makes the
-    * append IDEMPOTENT: it is encoded into the new dir name, and an
-    * append whose tag already appears in the table's entry is a no-op —
-    * exactly the contract a replayed streaming micro-batch needs
-    * (foreachBatch's batchId is stable across retries, so
-    * source-offsets + idempotent-appends = effectively exactly-once
-    * ingestion into the transactional lake). A missing table is
-    * created. Accumulated small append dirs are the standing
-    * [[compact]] case; vacuum's dir-granular refcount covers them.
-    */
-  def append(table: String, df0: DataFrame, tag: Option[String] = None,
-             statsCols: Seq[String] = Nil, mergeSchema: Boolean = false,
-             bloomCols: Seq[String] = Nil): Long = {
-    require(!isMetaEntry(table),
-      s"table name '$table' collides with the reserved '@' manifest lines")
-    tag.foreach(t => require(t.matches("[A-Za-z0-9_-]+"),
-      s"append tag '$t' must be [A-Za-z0-9_-]+ (it names a directory)"))
-    // an identity table's ids are assigned by the LAKE: plain appends
-    // would either fail the schema guard (column omitted) or smuggle
-    // caller-chosen ids past the high-water mark — route loudly
-    currentVersion.map(readManifest).foreach { m =>
-      require(!m.contains(table + IdentitySuffix),
-        s"table '$table' has an identity column — append through appendIdentity " +
-          "(ids are GENERATED ALWAYS; DML verbs like mergeInto may still carry " +
-          "explicit ids for cross-system replication)")
-    }
-    // generated columns: compute omitted ones / validate provided ones
-    // before the schema guard sees the batch
-    val df = currentVersion.map(readManifest)
-      .map(m => applyGenerated(table, m, df0, "append")).getOrElse(df0)
-    // schema drift guard: a multi-path parquet read takes ONE schema, so
-    // a batch whose columns diverge from the table would silently read
-    // back with dropped, null, or silently-coerced columns — fail at the
-    // append instead. Names AND types must match (an id INT batch into
-    // an id BIGINT table is exactly the silent-coercion case); only
-    // nullability is ignored, since a parquet round-trip legitimately
-    // relaxes it. The manifest's checkpointed schema serves the check
-    // for free; pre-metadata manifests fall back to one footer read.
-    currentVersion.map(readManifest).foreach { m =>
-      m.get(table).foreach { rel =>
-        def sig(st: org.apache.spark.sql.types.StructType): Seq[(String, org.apache.spark.sql.types.DataType)] =
-          st.fields.map(f => (f.name, f.dataType)).toSeq
-        // the guard compares the batch against the VISIBLE (logical)
-        // schema — under a column mapping the batch speaks post-rename
-        // names; physical translation happens at staging below
-        val existing = logicalSchema(m, table)
-          .getOrElse(s.read.parquet(absPaths(rel).head).schema)
-        if (mergeSchema) {
-          // ADDITIVE evolution (the Delta mergeSchema contract): new
-          // columns append to the table schema and old files read them
-          // back as null; a batch may also omit existing columns (its
-          // rows read back null there). What stays forbidden is a TYPE
-          // change on a shared column — the parquet reader cannot
-          // re-type existing pages, so it must fail here, loudly, not
-          // silently coerce at scan time.
-          val eTypes = existing.fields.map(f => f.name -> f.dataType).toMap
-          df.schema.fields.foreach { f =>
-            eTypes.get(f.name).foreach(t => require(t == f.dataType,
-              s"mergeSchema append: column '${f.name}' type ${f.dataType.simpleString} " +
-                s"conflicts with table '$table' type ${t.simpleString} — " +
-                "additive evolution only (add columns, never re-type)"))
-          }
-        } else require(sig(df.schema) == sig(existing),
-          s"append schema ${df.schema.simpleString} != table '$table' schema " +
-            s"${existing.simpleString} — evolve via append(mergeSchema = true)")
-      }
-      // CHECK constraints gate the batch BEFORE any bytes stage: one
-      // O(batch) aggregate job, only when the table declares checks
-      enforceChecks(table, m, df, "append")
-    }
-    // Under a column mapping the batch (logical names) STAGES under
-    // physical names. mergeSchema's batch-only columns get a fresh
-    // physical name; a name matching a RETIRED (dropped) physical
-    // column is suffixed, so dropped data can never resurrect on
-    // re-add. Physical names are rename-stable, so translating with
-    // the entry manifest is race-safe against concurrent renames.
-    val headM0 = currentVersion.map(readManifest).getOrElse(Map.empty[String, String])
-    val mapping0 = colmapOf(headM0, table)
-    val newPairs: Seq[(String, String)] = mapping0 match {
-      case None => Nil
-      case Some(pairs) =>
-        val known = pairs.map(_._1).toSet
-        val retired = storedSchema(headM0, table).map(_.fieldNames.toSet).getOrElse(Set.empty)
-        df.columns.toSeq.filterNot(known).map { l =>
-          l -> (if (!retired(l)) l else s"${l}__v${currentVersion.getOrElse(0L) + 1}")
-        }
-    }
-    val physByLogical: Map[String, String] =
-      mapping0.map(_ ++ newPairs).getOrElse(Nil).toMap
-    val dfPhys =
-      if (mapping0.isEmpty) df
-      else df.select(df.columns.map(c => df(c).as(physByLogical.getOrElse(c, c))): _*)
-    def phys(c: String): String = physByLogical.getOrElse(c, c)
-    var attempt = currentVersion.getOrElse(0L) + 1
-    var written: Option[String] = None // data written once; races re-merge the manifest only
-    var newFiles: Seq[(String, Long)] = Nil // the new dir's files, listed once post-write
-    for (_ <- 1 to MaxAttempts) {
-      val cur = currentVersion.map(readManifest).getOrElse(Map.empty[String, String])
-      // consumed-tag check against manifest STATE (survives compact /
-      // partial rewrites); the dir-name probe covers manifests written
-      // before tags lines existed
-      val dupe = tag.exists(t => tagsOf(cur, table).contains(t) ||
-        cur.get(table).exists(rel => splitRel(rel).exists(_.endsWith(s"@$t"))))
-      if (dupe) return currentVersion.get
-      val rel = written.getOrElse {
-        val r = stageRel(attempt, table) + tag.fold("")(t => s"@$t")
-        dfPhys.write.mode("overwrite").parquet(s"$root/$r")
-        if (statsCols.nonEmpty)
-          FileStats.writeSidecar(fs, new Path(s"$root/$r"),
-            FileStats.harvest(s, s"$root/$r", statsCols.map(phys)))
-        if (bloomCols.nonEmpty)
-          FileStats.writeBloomSidecar(fs, new Path(s"$root/$r"),
-            FileStats.harvestBlooms(s, s"$root/$r", bloomCols.map(phys)))
-        written = Some(r)
-        newFiles = listRelFiles(Seq(r))
-        r
-      }
-      val newRel = cur.get(table).fold(rel)(b => s"$b;$rel")
-      // read metadata: existing files from the manifest (or a one-time
-      // listing upgrade of a pre-metadata table), plus the new dir
-      val baseFiles = storedFiles(cur, table).getOrElse(
-        cur.get(table).map(b => listRelFiles(splitRel(b))).getOrElse(Nil))
-      val schema =
-        if (mergeSchema)
-          // table schema ∪ batch schema (PHYSICAL on both sides): the
-          // union is what every read (and the NEXT append's guard,
-          // through the logical view) must see from here on
-          storedSchema(cur, table)
-            .orElse(dataEntries(cur).get(table).map(writtenSchema))
-            .map(b => unionSchema(b,
-              predictReadBack(dfPhys.schema).getOrElse(writtenSchema(rel))))
-            .getOrElse(predictReadBack(dfPhys.schema).getOrElse(writtenSchema(rel)))
-        else storedSchema(cur, table)
-          .orElse(predictReadBack(dfPhys.schema)).getOrElse(writtenSchema(rel))
-      // a mapped table's mergeSchema batch extends the VISIBLE view
-      // with its new columns (identity tables need no line — physical
-      // names are the view)
-      val colmapExt: Map[String, String] =
-        if (newPairs.isEmpty) Map.empty
-        else {
-          val curPairs = colmapOf(cur, table).getOrElse(mapping0.get)
-          val have = curPairs.map(_._1).toSet
-          Map((table + ColmapSuffix) ->
-            encodeColmap(curPairs ++ newPairs.filterNot(p => have(p._1))))
-        }
-      val tagged = cur + (table -> newRel) ++ tag.map(t =>
-        (table + TagsSuffix) -> (tagsOf(cur, table) + t).toSeq.sorted.mkString(",")) ++
-        Map(schemaLine(table, schema), filesLine(table, baseFiles ++ newFiles)) ++ colmapExt
-      if (writeManifest(attempt, tagged)) return attempt
-      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
-    }
-    throw new IllegalStateException(
-      s"append lost $MaxAttempts consecutive version races under $root")
-  }
-
-  /** The table's identity column and its next value (None = no
-    * identity declared). Metadata like [[checks]]: travels with
-    * clone/restore/time-travel.
-    */
-  def identityColumn(table: String, version: Option[Long] = None): Option[(String, Long)] = {
-    val v = version.orElse(currentVersion).getOrElse(
-      throw new IllegalStateException(s"no commits under $root"))
-    readManifest(v).get(table + IdentitySuffix).map { s0 =>
-      val i = s0.lastIndexOf(':')
-      (s0.substring(0, i), s0.substring(i + 1).toLong)
-    }
-  }
-
-  /** Declare `column` as the table's IDENTITY column (GENERATED ALWAYS
-    * AS IDENTITY). The column must exist as BIGINT; the high-water
-    * mark initializes past the current max with one scan (the one
-    * O(table) cost, like [[addCheck]]), so existing ids are never
-    * reissued. From then on batches land through [[appendIdentity]]
-    * and must OMIT the column.
-    */
-  def addIdentity(table: String, column: String): Long = {
-    val v0 = currentVersion.getOrElse(
-      throw new IllegalStateException(s"no commits under $root"))
-    val m0 = readManifest(v0)
-    val rel = dataEntries(m0).getOrElse(table,
-      throw new NoSuchElementException(s"table '$table' not committed under $root"))
-    val schema = logicalSchema(m0, table).getOrElse(writtenSchema(rel))
-    require(schema.fieldNames.contains(column),
-      s"identity column '$column' not a column of table '$table'")
-    require(schema(column).dataType == org.apache.spark.sql.types.LongType,
-      s"identity column '$column' must be BIGINT, is ${schema(column).dataType.simpleString}")
-    require(!decodeChecks(m0.get(table + GenSuffix)).contains(column),
-      s"column '$column' is a generated column — it cannot also be identity")
-    val mx = read(table, Some(v0)).agg(max(col(column))).head()
-    val next = if (mx.isNullAt(0)) 1L else mx.getLong(0) + 1L
-    var attempt = v0 + 1
-    for (_ <- 1 to MaxAttempts) {
-      val cur = readManifest(currentVersion.get)
-      require(!cur.contains(table + IdentitySuffix),
-        s"table '$table' already has an identity column — drop it first")
-      if (writeManifest(attempt, cur + ((table + IdentitySuffix) -> s"$column:$next")))
-        return attempt
-      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
-    }
-    throw new IllegalStateException(
-      s"addIdentity lost $MaxAttempts consecutive version races under $root")
-  }
-
-  /** Re-sync the identity high-water mark with the table's actual max
-    * (Delta's `ALTER TABLE … SYNC IDENTITY`, public design). DML verbs
-    * that carry EXPLICIT ids — mergeInto/applyChanges replicating from
-    * another system — can legitimately land values above the mark;
-    * without a sync, a later [[appendIdentity]] would eventually reach
-    * and duplicate them. One O(table) max() scan; a mark already past
-    * the max is left alone (never moves backward).
-    */
-  def syncIdentity(table: String): Long = {
-    val v0 = currentVersion.getOrElse(
-      throw new IllegalStateException(s"no commits under $root"))
-    val (idCol, hw) = identityColumn(table, Some(v0)).getOrElse(
-      throw new NoSuchElementException(s"no identity column on table '$table' under $root"))
-    val mx = read(table, Some(v0)).agg(max(col(idCol))).head()
-    val next = if (mx.isNullAt(0)) hw else math.max(hw, mx.getLong(0) + 1L)
-    if (next == hw) return v0 // already in sync: no version churn
-    var attempt = v0 + 1
-    for (_ <- 1 to MaxAttempts) {
-      val cur = readManifest(currentVersion.get)
-      val (c2, hw2) = cur.get(table + IdentitySuffix).map { s0 =>
-        val i = s0.lastIndexOf(':'); (s0.substring(0, i), s0.substring(i + 1).toLong)
-      }.getOrElse(throw new NoSuchElementException(
-        s"identity column of '$table' dropped concurrently"))
-      val bumped = math.max(next, hw2)
-      if (bumped == hw2) return currentVersion.get
-      if (writeManifest(attempt, cur + ((table + IdentitySuffix) -> s"$c2:$bumped")))
-        return attempt
-      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
-    }
-    throw new IllegalStateException(
-      s"syncIdentity lost $MaxAttempts consecutive version races under $root")
-  }
-
-  /** Drop the identity declaration (the column and its values stay). */
-  def dropIdentity(table: String): Long = {
-    var attempt = currentVersion.getOrElse(
-      throw new IllegalStateException(s"no commits under $root")) + 1
-    for (_ <- 1 to MaxAttempts) {
-      val cur = readManifest(currentVersion.get)
-      if (!cur.contains(table + IdentitySuffix)) throw new NoSuchElementException(
-        s"no identity column on table '$table' under $root")
-      if (writeManifest(attempt, cur - (table + IdentitySuffix))) return attempt
-      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
-    }
-    throw new IllegalStateException(
-      s"dropIdentity lost $MaxAttempts consecutive version races under $root")
-  }
-
-  /** Append a batch into an identity-bearing table: the lake assigns
-    * `idCol` as dense contiguous values above the high-water mark (the
-    * two-pass distributed index — per-partition counts then prefix
-    * offsets; no global sort, no rows to the driver) and advances the
-    * mark IN THE SAME manifest publish as the data. A lost version
-    * race re-reads the mark and RE-ASSIGNS before retrying, so two
-    * racing identity appends land disjoint contiguous ranges; a
-    * replayed tag is a no-op that burns nothing.
-    */
-  def appendIdentity(table: String, df0: DataFrame, tag: Option[String] = None,
-                     statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
-    tag.foreach(t => require(t.matches("[A-Za-z0-9_-]+"),
-      s"append tag '$t' must be [A-Za-z0-9_-]+ (it names a directory)"))
-    val n = df0.count()
-    if (n == 0L) return currentVersion.getOrElse(
-      throw new IllegalStateException(s"no commits under $root"))
-    var stagedHw: Option[Long] = None
-    var stagedRel: String = null
-    var stagedFiles: Seq[(String, Long)] = Nil
-    var attempt = currentVersion.getOrElse(0L) + 1
-    for (_ <- 1 to MaxAttempts) {
-      val cur = readManifest(currentVersion.getOrElse(
-        throw new IllegalStateException(s"no commits under $root")))
-      val dupe = tag.exists(t => tagsOf(cur, table).contains(t))
-      if (dupe) return currentVersion.get
-      val (idCol, hw) = identityColumn(table, currentVersion).getOrElse(
-        throw new IllegalStateException(
-          s"table '$table' has no identity column — use append, or addIdentity first"))
-      require(!df0.columns.contains(idCol),
-        s"identity column '$idCol' is GENERATED ALWAYS — the batch must omit it " +
-          "(the lake assigns the values)")
-      if (!stagedHw.contains(hw)) {
-        // (re-)assign against the current mark and stage; a superseded
-        // staging dir is an unpublished orphan vacuum's age guard clears
-        val assigned = {
-          val rdd = df0.rdd.zipWithIndex().map { case (row, i) =>
-            org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (hw + i)) }
-          s.createDataFrame(rdd, df0.schema.add(idCol, org.apache.spark.sql.types.LongType, false))
-        }
-        val visible = logicalSchema(cur, table).getOrElse(
-          storedSchema(cur, table).getOrElse(assigned.schema))
-        require(visible.fieldNames.sorted.sameElements(assigned.columns.sorted),
-          s"identity append columns ${assigned.columns.sorted.mkString(",")} != " +
-            s"table '$table' columns ${visible.fieldNames.sorted.mkString(",")}")
-        val ordered = assigned.select(visible.fieldNames.map(col(_)).toIndexedSeq: _*)
-        val checked = applyGenerated(table, cur, ordered, "append")
-        enforceChecks(table, cur, checked, "append")
-        val phys = toPhysical(cur, table, checked)
-        val r = stageRel(attempt, table) + tag.fold("")(t => s"@$t")
-        phys.write.mode("overwrite").parquet(s"$root/$r")
-        if (statsCols.nonEmpty)
-          FileStats.writeSidecar(fs, new Path(s"$root/$r"),
-            FileStats.harvest(s, s"$root/$r", statsCols.map(c => physicalName(cur, table, c))))
-        if (bloomCols.nonEmpty)
-          FileStats.writeBloomSidecar(fs, new Path(s"$root/$r"),
-            FileStats.harvestBlooms(s, s"$root/$r", bloomCols.map(c => physicalName(cur, table, c))))
-        stagedHw = Some(hw)
-        stagedRel = r
-        stagedFiles = listRelFiles(Seq(r))
-      }
-      val baseRel = dataEntries(cur).getOrElse(table,
-        throw new NoSuchElementException(s"table '$table' not committed under $root"))
-      val baseFiles = storedFiles(cur, table).getOrElse(listRelFiles(splitRel(baseRel)))
-      val schemaOut = storedSchema(cur, table).getOrElse(writtenSchema(stagedRel))
-      val lines = cur + (table -> s"$baseRel;$stagedRel") ++ tag.map(t =>
-        (table + TagsSuffix) -> (tagsOf(cur, table) + t).toSeq.sorted.mkString(",")) ++
-        Map(schemaLine(table, schemaOut),
-          filesLine(table, baseFiles ++ stagedFiles),
-          (table + IdentitySuffix) -> s"${identityColumn(table, currentVersion).get._1}:${hw + n}")
-      if (writeManifest(attempt, lines)) return attempt
-      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
-    }
-    throw new IllegalStateException(
-      s"appendIdentity lost $MaxAttempts consecutive version races under $root")
-  }
-
-  /** Additive schema union for mergeSchema appends: base fields keep
-    * their order and types; batch-only fields append as nullable (files
-    * written before the column existed read it back as null — the
-    * standard parquet missing-column contract the vectorized reader
-    * implements).
-    */
-  private def unionSchema(base: org.apache.spark.sql.types.StructType,
-                          add: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
-    val have = base.fieldNames.toSet
-    org.apache.spark.sql.types.StructType(
-      base.fields ++ add.fields.filterNot(f => have(f.name)).map(_.copy(nullable = true)))
-  }
-
-  /** Conjunction of inclusive ranges as a Column (null where any ranged
-    * column is null — callers coalesce to pin the three-valued edge).
-    */
-  private def matchCond(ranges: Seq[FileStats.ColRange]): org.apache.spark.sql.Column =
-    ranges.map { r =>
-      val c = col(r.col)
-      val conds = r.lo.map(v => c >= lit(v)).toSeq ++ r.hi.map(v => c <= lit(v)).toSeq
-      // a fully-unbounded range matches every row — same semantics
-      // readWhere gives it (no filter), instead of an empty.reduce throw
-      if (conds.isEmpty) lit(true) else conds.reduce(_ && _)
-    }.reduce(_ && _)
-
-  /** Shared engine of [[deleteWhere]]/[[updateWhere]]: classify the
-    * table's files by whether their stats admit a row matching ALL
-    * `ranges`, re-reference the provably-clean ones, run `rewrite` over
-    * the rest, publish. Returns the new version (or the current one
-    * when stats prove no file can match — a true no-op).
-    */
-  private def partialRewrite(table: String, ranges0: Seq[FileStats.ColRange],
-                             statsCols: Seq[String], what: String,
-                             rewrite: DataFrame => DataFrame,
-                             forceOnEmpty: Boolean = false): Long = {
-    require(ranges0.nonEmpty, s"${what}Where requires at least one range")
-    require(!isMetaEntry(table),
-      s"table name '$table' collides with the reserved '@' manifest lines")
-    val headM = readManifest(currentVersion
-      .getOrElse(throw new IllegalStateException(s"no commits under $root")))
-    requireNotAppendOnly(headM, table, s"copy-on-write $what")
-    require(!headM.contains(table + DvSuffix),
-      s"table '$table' carries a deletion vector — compact (materialize) before copy-on-write $what")
-    // file classification consults PHYSICAL sidecars; the rewrite
-    // lambda (and its caller-built predicates) runs on the LOGICAL
-    // view; the rewritten rows stage back under physical names
-    val ranges = physicalRanges(headM, table, ranges0)
-    val baseRel = dataEntries(headM).getOrElse(table,
-      throw new NoSuchElementException(s"table '$table' not committed under $root"))
-    val touch = scala.collection.mutable.ArrayBuffer.empty[(String, Long)] // abs path, len
-    val keep = scala.collection.mutable.ArrayBuffer.empty[(String, Long)] // rel path, len
-    storedFiles(headM, table) match {
-      case Some(files) =>
-        // metadata-planned classification — same sidecar pruning as
-        // readWhere, candidate list from the manifest (no listing)
-        files.groupBy { case (r, _) => new Path(root, r).getParent }
-          .foreach { case (dir, fl) =>
-            val st = FileStats.readSidecar(fs, dir)
-            fl.foreach { case (r, len) =>
-              val might = st.forall(stats => FileStats.prune(
-                Seq(new org.apache.hadoop.fs.FileStatus(
-                  len, false, 1, 0L, 0L, new Path(root, r))),
-                stats, ranges).nonEmpty)
-              if (might) touch += (s"$root/$r" -> len) else keep += (r -> len)
-            }
-          }
-      case None =>
-        splitRel(baseRel).foreach { r =>
-          val p = new Path(root, r)
-          if (fs.getFileStatus(p).isDirectory) {
-            val st = FileStats.readSidecar(fs, p)
-            FileStats.dataFiles(fs, p).foreach { f =>
-              val might = st.forall(stats => FileStats.prune(Seq(f), stats, ranges).nonEmpty)
-              if (might) touch += (f.getPath.toString -> f.getLen)
-              else keep += (s"$r/${f.getPath.getName}" -> f.getLen)
-            }
-          } else {
-            val fst = fs.getFileStatus(p)
-            val might = FileStats.readSidecar(fs, p.getParent)
-              .forall(st => FileStats.prune(Seq(fst), st, ranges).nonEmpty)
-            if (might) touch += (p.toString -> fst.getLen) else keep += (r -> fst.getLen)
-          }
-        }
-    }
-    // stats proving no file can match ends a delete/update here — but a
-    // MERGE with an all-insert source still has rows to land, so its
-    // rewrite runs over an EMPTY touched set (forceOnEmpty)
-    if (touch.isEmpty && !forceOnEmpty) return currentVersion.get
-    val touchedRead =
-      if (touch.isEmpty)
-        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          logicalSchema(headM, table).getOrElse(writtenSchema(baseRel)))
-      else toLogical(headM, table, storedSchema(headM, table) match {
-        case Some(sc) => org.apache.spark.sql.GraftLakeShim.parquetByManifest(s, touch.toSeq, sc)
-        case None => s.read.parquet(touch.map(_._1).toSeq: _*)
-      })
-    val rewritten0 = rewrite(touchedRead)
-    // update/merge rewrites can INTRODUCE rows (SET results, upserted
-    // source rows): generated columns are RECOMPUTED over the rewrite
-    // output (identity on already-correct rows — the repair that keeps
-    // a derivation true when a transform touched its inputs), then
-    // CHECK constraints gate the result before it stages; pure deletes
-    // only drop rows and skip both passes
-    val rewritten =
-      if (what == "update" || what == "merge") {
-        val r = recomputeGenerated(table, headM, rewritten0)
-        enforceChecks(table, headM, r, what)
-        r
-      } else rewritten0
-    // test seam: lets TxnSpec hold two writers at the door AFTER both
-    // classified against the same head, guaranteeing the publish race
-    // the concurrent-merge path exists for (no-op in production)
-    beforePublish(table, what)
-    var attempt = currentVersion.getOrElse(0L) + 1
-    for (_ <- 1 to MaxAttempts) {
-      val cur = readManifest(currentVersion.get)
-      // CONCURRENT-WRITER RESOLUTION (the Delta conflict-detection
-      // rules, public design): a same-table commit that landed since
-      // classification MERGES when provably DISJOINT from this
-      // rewrite — (a) no file this rewrite READ was rewritten or
-      // removed, (b) no file it added might hold a row matching our
-      // predicate (per-file stats; stat-less files are conservative
-      // conflicts), (c) no DV/column-mapping state change. Then the
-      // kept set REBASES onto the current file list (their appends and
-      // disjoint deletes survive alongside ours). Anything else throws
-      // — correctness over convenience.
-      val keepNow: Seq[(String, Long)] =
-        if (cur.get(table).contains(baseRel)) keep.toSeq
-        else {
-          def conflict(why: String): Nothing =
-            throw new java.util.ConcurrentModificationException(
-              s"$table changed concurrently during $what and cannot merge: $why; re-run")
-          if (!cur.contains(table)) conflict("the table left the head manifest")
-          if (cur.get(table + DvSuffix) != headM.get(table + DvSuffix))
-            conflict("its deletion-vector state changed")
-          if (cur.get(table + ColmapSuffix) != headM.get(table + ColmapSuffix))
-            conflict("its column mapping changed")
-          val touchedRels = touch.map { case (abs, _) => abs.stripPrefix(s"$root/") }.toSet
-          val baseRels = touchedRels ++ keep.map(_._1)
-          val curFiles = storedFiles(cur, table).getOrElse(
-            conflict("the concurrent commit carries no checkpointed file list"))
-          val curSet = curFiles.map(_._1).toSet
-          val removedTouched = touchedRels -- curSet
-          if (removedTouched.nonEmpty)
-            conflict(s"file(s) this $what read were rewritten (${removedTouched.take(3).mkString(", ")})")
-          val added = curFiles.filterNot { case (r, _) => baseRels.contains(r) }
-          added.groupBy { case (r, _) => new Path(root, r).getParent }
-            .foreach { case (dir, fl) =>
-              val st = FileStats.readSidecar(fs, dir).getOrElse(
-                conflict(s"concurrently added files in $dir carry no stats to prove disjointness"))
-              fl.foreach { case (r, len) =>
-                val might = FileStats.prune(
-                  Seq(new org.apache.hadoop.fs.FileStatus(
-                    len, false, 1, 0L, 0L, new Path(root, r))), st, ranges).nonEmpty
-                if (might) conflict(s"concurrently added file $r might match this $what's predicate")
-              }
-            }
-          curFiles.filterNot { case (r, _) => touchedRels.contains(r) }
-        }
-      val rel = stageRel(attempt, table)
-      val rewrittenPhys = toPhysical(headM, table, rewritten)
-      rewrittenPhys.write.mode("overwrite").parquet(s"$root/$rel")
-      // an all-filtered write partition leaves a rowless file that stats
-      // could never prune — drop them so repeat passes converge
-      FileStats.dropEmptyFiles(fs, new Path(s"$root/$rel"), s.sparkContext.hadoopConfiguration)
-      if (statsCols.nonEmpty)
-        FileStats.writeSidecar(fs, new Path(s"$root/$rel"),
-          FileStats.harvest(s, s"$root/$rel",
-            statsCols.map(c => physicalName(headM, table, c))))
-      // every touched row may have been filtered away: an entry pointing
-      // at a fileless dir is dead weight (and, with nothing else kept,
-      // an unreadable table) — omit it, or for a fully-emptied table
-      // keep ONE rowless file so the entry still carries the schema
-      val relHasData = FileStats.dataFiles(fs, new Path(s"$root/$rel")).nonEmpty
-      val parts =
-        if (relHasData) keepNow.map(_._1) :+ rel
-        else if (keepNow.nonEmpty) keepNow.map(_._1)
-        else {
-          rewrittenPhys.limit(0).coalesce(1).write.mode("overwrite").parquet(s"$root/$rel")
-          Seq(rel)
-        }
-      // refresh the read metadata: kept files keep their recorded (or
-      // just-statted) lengths, the new part is listed once while hot
-      val newFiles =
-        if (parts.contains(rel)) keepNow ++ listRelFiles(Seq(rel))
-        else keepNow
-      val newSchema =
-        if (parts.contains(rel)) {
-          val w = predictReadBack(rewrittenPhys.schema).getOrElse(writtenSchema(rel))
-          // keep RETIRED (dropped-under-mapping) physical columns in
-          // the stored schema while any kept file still holds them:
-          // the retired name stays visible to the re-add collision
-          // check, so a later re-added column can't resurrect them
-          if (keepNow.nonEmpty)
-            storedSchema(cur, table).map(old => unionSchema(w, old)).getOrElse(w)
-          else w
-        } else storedSchema(cur, table).getOrElse(writtenSchema(parts.head))
-      val metaLines = Map(schemaLine(table, newSchema), filesLine(table, newFiles))
-      if (writeManifest(attempt, cur + (table -> parts.mkString(";")) ++ metaLines)) return attempt
-      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
-    }
-    throw new IllegalStateException(
-      s"${what}Where lost $MaxAttempts consecutive version races under $root")
-  }
-
-  /** Bin-pack a table's current files into ~`targetBytes` files and
-    * publish the result as a NEW version (other tables re-pointed
-    * unchanged — O(1) manifest work). Small-file compaction is the
-    * standing maintenance job of any streamed-into lake: merge commits
-    * and micro-batch sinks accrete small files, and at 100 TB a
-    * scan's task count (and the namenode's file count) follows file
-    * count, not byte count.
-    *
-    * `sortCol` additionally range-clusters rows across the rewritten
-    * files, re-sharpening the `_stats` sidecar (harvested fresh from
-    * the new footers) so post-compaction [[readWhere]] skipping is
-    * maximal on THAT column. `zorderCols` (numeric; overrides sortCol)
-    * interleave-clusters on SEVERAL columns at once: each column is
-    * bucketed by its own approximate quantile boundaries (one
-    * approxQuantile pass — a bounded boundary array to the driver, not
-    * data), the bucket ids' bits are interleaved into a Z-value, and
-    * files are range-packed by it. A space-filling curve keeps rows
-    * close in EVERY dimension close in the file order, so a range on
-    * any single Z-column still skips most files — the property a plain
-    * sort gives only its leading column. (The publicly documented
-    * Delta/Iceberg OPTIMIZE ZORDER idea, original code.)
-    *
-    * Concurrency: if another writer re-points `table` between our read
-    * and publish, the compacted data is stale — that attempt fails
-    * loudly (caller re-runs) instead of silently dropping the race
-    * winner's rows. Races on OTHER tables merge fine: each publish
-    * attempt re-reads the current manifest.
-    */
-  /** PARTIAL compaction — OPTIMIZE with a predicate (the Delta
-    * `OPTIMIZE WHERE` shape, public design). At 100 TB a table-wide
-    * [[compact]] is not an operation you run; the affordable form
-    * bin-packs only the files whose stats overlap `ranges` (where the
-    * small-file churn actually lands — the hot ingest partition) and
-    * re-references everything else untouched: cost is O(matching
-    * files), the version is `@maint` (rows invariant — the feed skips
-    * it), and stats/blooms re-sharpen exactly where the rewrite
-    * happened. A deletion vector is TRIMMED, not materialized: the
-    * touched files' tombstoned rows drop out of the rewrite and their
-    * (now stale) vector entries are removed, while entries covering
-    * kept files stay live — count(*) metadata answers remain exact.
-    * A column mapping is KEPT (the kept files still carry old physical
-    * names; only the table-wide [[compact]] may materialize). No-op
-    * (current version) when fewer than two files match.
-    */
-  def compactWhere(table: String, ranges0: Seq[FileStats.ColRange],
-                   targetBytes: Long = 128L << 20,
-                   statsCols: Seq[String] = Nil,
-                   bloomCols: Seq[String] = Nil): Long = {
-    require(ranges0.nonEmpty, "compactWhere requires at least one range (use compact for the full table)")
-    val headM = readManifest(currentVersion
-      .getOrElse(throw new IllegalStateException(s"no commits under $root")))
-    val ranges = physicalRanges(headM, table, ranges0)
-    val baseRel = dataEntries(headM).getOrElse(table,
-      throw new NoSuchElementException(s"table '$table' not committed under $root"))
-    val files: Seq[(String, Long)] = storedFiles(headM, table)
-      .getOrElse(listRelFiles(splitRel(baseRel)))
-    // classification identical to the DML engine's: stats decide which
-    // files MIGHT hold matching rows; no sidecar → conservative touch
-    val touch = scala.collection.mutable.ArrayBuffer.empty[(String, Long)] // rel, len
-    val keep = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-    files.groupBy { case (r, _) => new Path(root, r).getParent }
-      .foreach { case (dir, fl) =>
-        val st = FileStats.readSidecar(fs, dir)
-        fl.foreach { case (r, len) =>
-          val might = st.forall(stats => FileStats.prune(
-            Seq(new org.apache.hadoop.fs.FileStatus(
-              len, false, 1, 0L, 0L, new Path(root, r))), stats, ranges).nonEmpty)
-          if (might) touch += (r -> len) else keep += (r -> len)
-        }
-      }
-    if (touch.size < 2) return currentVersion.get // nothing worth packing
-    val touchedNames = touch.map { case (r, _) => new Path(root, r).getName }.toSet
-    val n = math.max(1, math.ceil(touch.map(_._2).sum.toDouble / targetBytes).toInt)
-    val schema = storedSchema(headM, table).getOrElse(writtenSchema(baseRel))
-    // touched rows, their vector applied (the rewrite sheds them), in
-    // the PHYSICAL layout — a pending column mapping must survive, so
-    // the new files keep physical names (only full compact materializes)
-    val base0 = org.apache.spark.sql.GraftLakeShim.parquetByManifest(
-      s, touch.toSeq.map { case (r, len) => (s"$root/$r", len) }, schema)
-    val packed = applyDv(headM, table, base0).repartition(n)
-    var attempt = currentVersion.getOrElse(0L) + 1
-    for (_ <- 1 to MaxAttempts) {
-      val cur = readManifest(currentVersion.get)
-      if (cur(table) != baseRel)
-        throw new java.util.ConcurrentModificationException(
-          s"$table re-pointed ${cur(table)} != $baseRel during compactWhere; re-run")
-      val rel = stageRel(attempt, table)
-      packed.write.mode("overwrite").parquet(s"$root/$rel")
-      if (statsCols.nonEmpty)
-        FileStats.writeSidecar(fs, new Path(s"$root/$rel"),
-          FileStats.harvest(s, s"$root/$rel",
-            statsCols.map(c => physicalName(headM, table, c))))
-      if (bloomCols.nonEmpty)
-        FileStats.writeBloomSidecar(fs, new Path(s"$root/$rel"),
-          FileStats.harvestBlooms(s, s"$root/$rel",
-            bloomCols.map(c => physicalName(headM, table, c))))
-      val parts = keep.map(_._1).toSeq :+ rel
-      val newFiles = keep.toSeq ++ listRelFiles(Seq(rel))
-      // TRIM the vector: entries naming rewritten files are stale (the
-      // rows they hid are gone from the new files) and would overcount
-      // metadata answers — keep only entries covering kept files
-      val dvLine: Map[String, String] = cur.get(table + DvSuffix) match {
-        case None => Map.empty
-        case Some(dvRel) =>
-          val kept = s.read.parquet(absPaths(dvRel): _*)
-            .where(!col("file_name").isin(touchedNames.toSeq: _*))
-          if (kept.isEmpty) Map.empty
-          else {
-            val newDvRel = stageRel(attempt, table + "__dv")
-            kept.coalesce(1).write.mode("overwrite").parquet(s"$root/$newDvRel")
-            Map((table + DvSuffix) -> newDvRel)
-          }
-      }
-      val metaLines = Map(
-        schemaLine(table, storedSchema(cur, table)
-          .getOrElse(predictReadBack(packed.schema).getOrElse(writtenSchema(rel)))),
-        filesLine(table, newFiles))
-      if (writeManifest(attempt,
-        cur - (table + DvSuffix) + (table -> parts.mkString(";")) ++ metaLines ++ dvLine,
-        maint = Set(table))) return attempt
-      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
-    }
-    throw new IllegalStateException(
-      s"compactWhere lost $MaxAttempts consecutive version races under $root")
-  }
-
-  def compact(table: String, targetBytes: Long = 128L << 20,
-              sortCol: Option[String] = None,
-              statsCols: Seq[String] = Nil,
-              zorderCols: Seq[String] = Nil,
-              bloomCols: Seq[String] = Nil): Long = {
-    val headM = readManifest(currentVersion
-      .getOrElse(throw new IllegalStateException(s"no commits under $root")))
-    val baseRel = dataEntries(headM).getOrElse(table,
-      throw new NoSuchElementException(s"table '$table' not committed under $root"))
-    val totalBytes = storedFiles(headM, table).map(_.map(_._2).sum).getOrElse {
-      splitRel(baseRel).map { r =>
-        val p = new Path(root, r)
-        if (fs.getFileStatus(p).isDirectory) FileStats.dataFiles(fs, p).map(_.getLen).sum
-        else fs.getFileStatus(p).getLen
-      }.sum
-    }
-    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val df0 = readTable(headM, table, baseRel)
-    val packed =
-      if (zorderCols.nonEmpty) {
-        val z = zvalue(df0, zorderCols)
-        df0.withColumn("_z", z)
-          .repartitionByRange(n, col("_z"))
-          .sortWithinPartitions("_z")
-          .drop("_z")
-      } else sortCol match {
-        case Some(c) => df0.repartitionByRange(n, col(c))
-        case None => df0.repartition(n)
-      }
-    var attempt = currentVersion.getOrElse(0L) + 1
-    for (_ <- 1 to MaxAttempts) {
-      val cur = readManifest(currentVersion.get)
-      if (cur(table) != baseRel)
-        throw new java.util.ConcurrentModificationException(
-          s"$table re-pointed ${cur(table)} != $baseRel during compaction; re-run")
-      val rel = stageRel(attempt, table)
-      packed.write.mode("overwrite").parquet(s"$root/$rel")
-      if (statsCols.nonEmpty)
-        FileStats.writeSidecar(fs, new Path(s"$root/$rel"),
-          FileStats.harvest(s, s"$root/$rel", statsCols))
-      if (bloomCols.nonEmpty)
-        FileStats.writeBloomSidecar(fs, new Path(s"$root/$rel"),
-          FileStats.harvestBlooms(s, s"$root/$rel", bloomCols))
-      val metaLines = Map(
-        schemaLine(table, predictReadBack(packed.schema).getOrElse(writtenSchema(rel))),
-        filesLine(table, listRelFiles(Seq(rel))))
-      // rows invariant, files reorganized → dataChange=false for the
-      // feed. A deletion vector is MATERIALIZED here: the compacted
-      // rows were read DV-applied (readTable), so the line is dropped —
-      // compact IS the MoR→CoW reconcile step. The maint flag applies
-      // even then: the DV-aware feed already emitted the deletes as
-      // positional `removed` rows at the version that published the
-      // vector, so relative to the DV-APPLIED view this compaction is
-      // rows-invariant and consumers must see no churn for it.
-      // A COLUMN MAPPING materializes the same way: the rows were read
-      // through the logical view (readTable), so the new files carry
-      // the logical names as their physical names, dropped-column
-      // bytes are shed, and the @colmap line ends here.
-      if (writeManifest(attempt,
-        cur - (table + DvSuffix) - (table + ColmapSuffix) + (table -> rel) ++ metaLines,
-        maint = Set(table))) return attempt
-      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
-    }
-    throw new IllegalStateException(
-      s"compaction lost $MaxAttempts consecutive version races under $root")
-  }
-
-  /** Z-value of `cols`: each column is bucketed into 2^bits quantile
-    * buckets (boundaries from one approxQuantile sampling pass — a
-    * bounded array to the driver, never data rows; the bucket lookup is
-    * a codegen'd `filter` count over the literal boundary array), and
-    * the bucket ids' bits interleave into one long. Quantile bucketing
-    * makes the curve resolution data-adaptive: skewed columns still
-    * spread across all 2^bits levels.
-    */
-  private def zvalue(df: DataFrame, cols: Seq[String], bits: Int = 8): org.apache.spark.sql.Column = {
-    require(cols.nonEmpty && cols.size * bits <= 63,
-      s"zorder supports up to ${63 / bits} columns at $bits bits")
-    val k = 1 << bits
-    val buckets = cols.map { c =>
-      val probs = (1 until k).map(_.toDouble / k).toArray
-      val bs = df.stat.approxQuantile(c, probs, 0.01).distinct.sorted
-      size(filter(array(bs.map(lit(_)): _*), b => col(c).cast("double") >= b)).cast("long")
-    }
-    val terms = for { b <- 0 until bits; i <- cols.indices } yield
-      shiftleft(shiftright(buckets(i), b).bitwiseAND(lit(1L)), b * cols.size + i)
-    terms.reduce(_.bitwiseOR(_))
-  }
-
-  /** Retention: drop all but the newest `keepLast` manifests and
-    * delete every table directory no kept manifest references —
-    * including crashed-writer orphans (data written, manifest never
-    * published). Reference counting is by manifest entry, not version
-    * directory: a post-rollback head legitimately points into an old
-    * version's directories, and those survive any retention window
-    * that keeps the head. Returns (manifests dropped, dirs deleted).
-    *
-    * At 100 TB vacuum is what makes time travel affordable: storage
-    * is bounded by the retention window, not commit history.
-    *
-    * Concurrent-writer safety, two distinct hazards:
-    *  1. A commit PUBLISHED while vacuum scans could reference a dir the
-    *     kept-set computation never saw → the commit log is re-listed
-    *     after candidates are gathered and every manifest now present is
-    *     honored; a dir referenced by any manifest that exists when
-    *     vacuum finishes is never deleted (TxnSpec proves this).
-    *  2. An IN-FLIGHT commit's data (written, manifest not yet
-    *     published) is unreferenced by construction — indistinguishable
-    *     from a crashed writer's orphans by reference counting alone.
-    *     `minAgeMs` is the Delta-style retention guard: only dirs whose
-    *     newest file is older than it are collected. With the default 0,
-    *     vacuum is safe only with no concurrent writers.
-    */
-  /** VACUUM DRY RUN (Delta's `VACUUM … DRY RUN`, public design): the
-    * exact plan [[vacuum]] would execute — versions to drop, data
-    * directories to delete, bytes reclaimed — with ZERO mutation (no
-    * checkpoint written, nothing deleted). The answer an operator
-    * wants before pointing a reclaim job at 100 TB: what leaves, and
-    * how much space comes back. Same reference arithmetic as vacuum
-    * (dir-granular refcounts over kept manifests, age guard for
-    * in-flight writers), so plan == action modulo concurrent commits.
-    */
-  def vacuumPlan(keepLast: Int, minAgeMs: Long = 0L): Snapshots.VacuumPlan = {
-    require(keepLast >= 1, "must keep at least the head version")
-    val versions = store.list(commitDir)
-      .filter(_.endsWith(".manifest"))
-      .map(_.stripSuffix(".manifest").toLong).sorted.reverse
-    if (versions.isEmpty) return Snapshots.VacuumPlan(Nil, Nil, 0L)
-    val (kept, dropped) = versions.splitAt(keepLast)
-    def refDirs(rels: Iterable[String]): Set[String] =
-      rels.flatMap(splitRel).map(_.split("/").take(2).mkString("/")).toSet
-    val referenced = refDirs(kept.flatMap { v =>
-      val m = readManifest(v)
-      dataEntries(m).values ++ dvEntries(m).values
-    })
-    val cutoff = System.currentTimeMillis() - minAgeMs
-    val doomed = fs.listStatus(new Path(root))
-      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+(-[0-9a-f]+)?"))
-      .flatMap { vd =>
-        fs.listStatus(vd.getPath).filter(_.isDirectory).filter { td =>
-          val rel = s"${vd.getPath.getName}/${td.getPath.getName}"
-          val newest = (td.getModificationTime +:
-            fs.listStatus(td.getPath).map(_.getModificationTime).toSeq).max
-          !referenced.contains(rel) && newest <= cutoff
-        }
-      }.toSeq
-    val bytes = doomed.map(td => fs.getContentSummary(td.getPath).getLength).sum
-    Snapshots.VacuumPlan(
-      dropped.sorted,
-      doomed.map(td => s"${td.getPath.getParent.getName}/${td.getPath.getName}").sorted,
-      bytes)
-  }
-
-  def vacuum(keepLast: Int, minAgeMs: Long = 0L): (Int, Int) = {
-    require(keepLast >= 1, "must keep at least the head version")
-    def listVersions(): Seq[Long] = store.list(commitDir)
-      .filter(_.endsWith(".manifest"))
-      .map(_.stripSuffix(".manifest").toLong).sorted.reverse
-    val versions = listVersions()
-    if (versions.isEmpty) return (0, 0)
-    val (kept, dropped) = versions.splitAt(keepLast)
-    // pin resolution BEFORE the chain behind it is dropped: the oldest
-    // kept version gets a full checkpoint (if it lacks one), so every
-    // retained version's delta walk terminates inside the kept window.
-    // This write must succeed or vacuum aborts — dropping manifests a
-    // kept delta still resolves through would brick the log.
-    if (dropped.nonEmpty && kept.nonEmpty) {
-      val oldest = kept.min
-      if (!store.exists(checkpointPath(oldest)))
-        writeCheckpoint(oldest, resolveState(oldest))
-    }
-    // reference at DIRECTORY granularity: a file-granular manifest entry
-    // (vN/table/part-….parquet, from deleteWhere) pins its whole parent
-    // dir — conservative over-retention that compact()+vacuum() reclaims
-    def refDirs(rels: Iterable[String]): Set[String] =
-      rels.flatMap(splitRel).map(_.split("/").take(2).mkString("/")).toSet
-    val referenced = refDirs(kept.flatMap { v =>
-      val m = readManifest(v)
-      dataEntries(m).values ++ dvEntries(m).values // DV dirs are live data
-    })
-    val cutoff = System.currentTimeMillis() - minAgeMs
-    val rootPath = new Path(root)
-    val candidates = fs.listStatus(rootPath)
-      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+(-[0-9a-f]+)?"))
-      .flatMap { vd =>
-        fs.listStatus(vd.getPath).filter(_.isDirectory).filter { td =>
-          val rel = s"${vd.getPath.getName}/${td.getPath.getName}"
-          val newest = (td.getModificationTime +:
-            fs.listStatus(td.getPath).map(_.getModificationTime).toSeq).max
-          !referenced.contains(rel) && newest <= cutoff
-        }
-      }.toSeq
-    // hazard 1: honor every manifest present NOW — including ones
-    // published (or restored by rollbackTo) since the kept-set was read
-    val lateRefs = refDirs(
-      (listVersions().toSet -- dropped.toSet -- kept.toSet)
-        .flatMap { v =>
-          val m = readManifest(v)
-          dataEntries(m).values ++ dvEntries(m).values
-        })
-    var dirsDeleted = 0
-    candidates.foreach { td =>
-      val rel = s"${td.getPath.getParent.getName}/${td.getPath.getName}"
-      if (!lateRefs.contains(rel)) {
-        fs.delete(td.getPath, true)
-        dirsDeleted += 1
-      }
-    }
-    // a version dir whose table dirs are all collected may still hold
-    // loose marker files (a partitioned stage's _SUCCESS) — it is spent
-    // once no DIRECTORY remains; the age guard spares in-flight writers
-    fs.listStatus(rootPath)
-      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+(-[0-9a-f]+)?"))
-      .foreach { vd =>
-        if (vd.getModificationTime <= cutoff &&
-            fs.listStatus(vd.getPath).forall(st => !st.isDirectory))
-          fs.delete(vd.getPath, true)
-      }
-    dropped.foreach { v =>
-      store.delete(commitPath(v))
-      store.delete(checkpointPath(v))
-      // evict THIS instance's memos so a dropped version fails loudly
-      // (FileNotFound on resolve) instead of silently serving a state
-      // whose data files are gone
-      stateCache.remove(v); viewCache.remove(v); tsCache.remove(v)
-    }
-    (dropped.size, dirsDeleted)
-  }
 }
 
-/** `c04_snapshot_read`: the transactions flow — commit a NEW version of
-  * (orders, per-status summary) with the CDC price transform applied to
-  * BOTH tables in one atomic commit, then read the CURRENT snapshot and
-  * verify the two tables agree with each other (the join would expose
-  * a torn commit). The oracle is the closed form of the committed state.
-  */
 object Snapshots {
 
   /** A serializable commit found a conflict-set table changed by a
@@ -3737,940 +1044,4 @@ object Snapshots {
                                hasDeletionVector: Boolean,
                                consumedTags: Int,
                                properties: Map[String, String] = Map.empty)
-
-  import graft.operators.t
-
-  private def priced(o: DataFrame): DataFrame =
-    o.select(col("o_orderkey"), col("o_orderstatus"),
-      round(when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 2.0)
-        .otherwise(col("o_totalprice")), 2).as("price"))
-
-  private def summarize(o: DataFrame): DataFrame =
-    o.groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("n"), round(sum("price"), 2).as("total"))
-
-  def c04SnapshotRead(s: SparkSession, dir: String): DataFrame = {
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val root = s.conf.get("spark.sql.warehouse.dir") + s"/txn_c04$tag"
-    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
-    val snap = new Snapshots(s, root)
-    // the v1 base is FIXTURE (the table state a consumer's transaction
-    // lands on), staged once per sf dir — the c03 precedent: per-run
-    // cost is what a consumer actually pays per transaction, which is
-    // the atomic two-table commit below plus the snapshot read, not a
-    // from-scratch lake rebuild
-    val marker = new Path(root, "_STAGED_G1")
-    if (!fs.exists(marker)) {
-      fs.delete(new Path(root), true)
-      val v1 = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
-        round(col("o_totalprice"), 2).as("price"))
-      snap.commit(Map("orders" -> v1, "summary" -> summarize(v1)))
-      fs.create(marker, true).close()
-    }
-    val v2 = priced(t(s, dir, "orders"))
-    snap.commit(Map("orders" -> v2, "summary" -> summarize(v2)))
-    // warm re-runs re-commit the same pair as new versions — retention
-    // keeps the shared lake bounded across bench/verify invocations
-    snap.vacuum(keepLast = 2)
-    // read the current snapshot ONCE; join detail to summary so a torn
-    // commit (v2 orders with v1 summary) could not hash-match
-    val cur = snap.snapshot()
-    cur("orders").groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("n_detail"), round(sum("price"), 2).as("total_detail"))
-      .join(cur("summary"), Seq("o_orderstatus"))
-      .select(col("o_orderstatus"), col("n_detail"), col("total_detail"),
-        col("n"), col("total"))
-      .orderBy("o_orderstatus")
-  }
-
-  /** Snapshot lake for c05, staged ONCE per sf dir (marker-gated, the
-    * stagedLake pattern): orders committed range-clustered on
-    * o_orderkey into 16 files with a footer-stats sidecar on the key
-    * and price columns. Range clustering is what a real ingest gives a
-    * time/key-ordered fact table — and what makes min/max skipping
-    * effective.
-    */
-  def stagedStatsLake(s: SparkSession, dir: String): Snapshots = {
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val root = s.conf.get("spark.sql.warehouse.dir") + s"/stats_c05$tag"
-    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
-    val snap = new Snapshots(s, root)
-    val marker = new Path(root, "_STAGED_G2")
-    if (!fs.exists(marker)) {
-      fs.delete(new Path(root), true)
-      val orders = t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-        .repartitionByRange(16, col("o_orderkey"))
-      snap.commit(Map("orders" -> orders),
-        statsCols = Map("orders" -> Seq("o_orderkey", "o_totalprice")))
-      fs.create(marker, true).close()
-    }
-    snap
-  }
-
-  /** `c05_stats_pruned_read`: a key-range aggregate through the footer
-    * -stats file-skipping read path ([[Snapshots.readWhere]]). The
-    * predicate selects a small key prefix, so with 16 range-clustered
-    * files the read opens 1-2 of them (TxnSpec machine-asserts
-    * inputFiles shrink); the oracle proves skipping never changes the
-    * answer.
-    */
-  def c05StatsPrunedRead(s: SparkSession, dir: String): DataFrame = {
-    val snap = stagedStatsLake(s, dir)
-    snap.readWhere("orders",
-        Seq(FileStats.ColRange("o_orderkey", Some(1L), Some(600L))))
-      .groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
-      .orderBy("o_orderstatus")
-  }
-
-  /** Probe keys for c16 — fixed literals (they appear verbatim in the
-    * oracle SQL), all within the key domain of every sf.
-    */
-  private val BloomProbeKeys: Seq[Any] = Seq(17L, 451L, 1063L)
-
-  /** Snapshot lake for c16, staged ONCE per sf dir: orders
-    * HASH-distributed on o_orderkey into 16 files — the anti-clustered
-    * layout (every file's [min,max] spans the whole key domain, so
-    * min/max skipping keeps all 16) — with BOTH sidecars committed:
-    * `_stats` (useless here, present for realism) and `_bloom` on the
-    * key column.
-    */
-  def stagedBloomLake(s: SparkSession, dir: String): Snapshots = {
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val root = s.conf.get("spark.sql.warehouse.dir") + s"/bloom_c16$tag"
-    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
-    val snap = new Snapshots(s, root)
-    val marker = new Path(root, "_STAGED_G1")
-    if (!fs.exists(marker)) {
-      fs.delete(new Path(root), true)
-      val orders = t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-        .repartition(16, col("o_orderkey"))
-      snap.commit(Map("orders" -> orders),
-        statsCols = Map("orders" -> Seq("o_orderkey")),
-        bloomCols = Map("orders" -> Seq("o_orderkey")))
-      fs.create(marker, true).close()
-    }
-    snap
-  }
-
-  /** `c16_bloom_pruned_read`: a needle IN-list lookup through the
-    * bloom-index read path ([[Snapshots.readWhereIn]]) on the layout
-    * min/max skipping cannot serve (hash-distributed key). With 16
-    * files and 3 probe keys the read opens ≤3 files + a 1% fpp tail
-    * (TxnSpec machine-asserts the plan's inputFiles, and that the
-    * min/max-only path keeps all 16); the oracle proves skipping never
-    * changes the answer.
-    */
-  def c16BloomPrunedRead(s: SparkSession, dir: String): DataFrame = {
-    val snap = stagedBloomLake(s, dir)
-    snap.readWhereIn("orders", "o_orderkey", BloomProbeKeys)
-      .select(col("o_orderkey"), col("o_orderstatus"),
-        round(col("o_totalprice"), 2).as("price"))
-      .orderBy("o_orderkey")
-  }
-
-  /** Snapshot lake for c06, staged ONCE per sf dir on its own root
-    * (c06 mutates its lake, so it must not share c05's).
-    */
-  def stagedDeleteLake(s: SparkSession, dir: String): Snapshots = {
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val root = s.conf.get("spark.sql.warehouse.dir") + s"/del_c06$tag"
-    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
-    val snap = new Snapshots(s, root)
-    val marker = new Path(root, "_STAGED_G2")
-    if (!fs.exists(marker)) {
-      fs.delete(new Path(root), true)
-      val orders = t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-        .repartitionByRange(16, col("o_orderkey"))
-      snap.commit(Map("orders" -> orders),
-        statsCols = Map("orders" -> Seq("o_orderkey")))
-      fs.create(marker, true).close()
-    }
-    snap
-  }
-
-  /** `c06_delete_where`: the targeted-delete maintenance path
-    * ([[Snapshots.deleteWhere]]) through the oracle gate — delete a key
-    * slice from the staged lake (stats-pruned partial rewrite:
-    * untouched files re-referenced, only range-overlapping files
-    * rewritten), then aggregate the surviving table. Idempotent across
-    * invocations: once deleted, the rewritten files' stats prove the
-    * range absent and the repeat is a no-op — so Verify-then-Bench and
-    * warm re-runs all see the same state, while the FIRST run exercises
-    * the real rewrite. The oracle is the closed form over the same
-    * parquet.
-    */
-  def c06DeleteWhere(s: SparkSession, dir: String): DataFrame = {
-    val snap = stagedDeleteLake(s, dir)
-    snap.deleteWhere("orders",
-      Seq(FileStats.ColRange("o_orderkey", Some(2000L), Some(2999L))),
-      statsCols = Seq("o_orderkey"))
-    // retention: a warm re-run re-rewrites files whose [min,max] still
-    // SPANS the deleted range (stats can't prove a hole) and publishes a
-    // new version — without collection the shared staged lake would grow
-    // a version dir per invocation across bench/verify runs
-    snap.vacuum(keepLast = 1)
-    snap.read("orders")
-      .groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
-      .orderBy("o_orderstatus")
-  }
-
-  /** `c07_update_where`: the targeted-update path
-    * ([[Snapshots.updateWhere]]) through the oracle gate. The SET
-    * expression derives from an UNTOUCHED source column — a 10%
-    * discount in EXACT integer-cents arithmetic ((9·cents+5) div 10 =
-    * half-up of 0.9·cents; a double `round(x*0.9, 2)` flipped the
-    * cross-engine hash on a half-cent knife edge) — so re-applying it
-    * is idempotent by construction: Verify-then-Bench and warm re-runs
-    * converge to one state while the first run pays the real partial
-    * rewrite.
-    */
-  def c07UpdateWhere(s: SparkSession, dir: String): DataFrame = {
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val root = s.conf.get("spark.sql.warehouse.dir") + s"/upd_c07$tag"
-    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
-    val snap = new Snapshots(s, root)
-    val marker = new Path(root, "_STAGED_G3")
-    if (!fs.exists(marker)) {
-      fs.delete(new Path(root), true)
-      val cents = round(col("o_totalprice") * 100, 0).cast("long")
-      val orders = t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderstatus"),
-          cents.as("price_cents"), cents.as("adj_cents"))
-        .repartitionByRange(16, col("o_orderkey"))
-      snap.commit(Map("orders" -> orders),
-        statsCols = Map("orders" -> Seq("o_orderkey")))
-      fs.create(marker, true).close()
-    }
-    snap.updateWhere("orders",
-      Seq(FileStats.ColRange("o_orderkey", Some(5000L), Some(5999L))),
-      Map("adj_cents" -> expr("CAST((price_cents * 9 + 5) div 10 AS BIGINT)")),
-      statsCols = Seq("o_orderkey"))
-    // same retention note as c06: the key-spanning files re-rewrite on
-    // every warm run (o_orderkey stats can't prove the update applied),
-    // so collect superseded versions to keep the shared lake bounded
-    snap.vacuum(keepLast = 1)
-    snap.read("orders")
-      .groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("n"), sum("adj_cents").as("total_adj_cents"))
-      .orderBy("o_orderstatus")
-  }
-
-  /** Snapshot lake for c08, staged ONCE per sf dir: version 1 commits
-    * the base slice (o_orderkey % 4 != 0, range-clustered, key stats),
-    * version 2 appends the complement, version 3 deletes keys
-    * [3000, 3999]. Static after staging — readChanges needs versions 1
-    * and 3 to stay time-travelable, so no vacuum here.
-    */
-  def stagedDiffLake(s: SparkSession, dir: String): Snapshots = {
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val root = s.conf.get("spark.sql.warehouse.dir") + s"/ver_c08$tag"
-    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
-    val snap = new Snapshots(s, root)
-    val marker = new Path(root, "_STAGED_G2")
-    if (!fs.exists(marker)) {
-      fs.delete(new Path(root), true)
-      val cents = round(col("o_totalprice") * 100, 0).cast("long")
-      val all = t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderstatus"), cents.as("price_cents"))
-      snap.commit(
-        Map("orders" -> all.where(col("o_orderkey") % 4 =!= 0)
-          .repartitionByRange(16, col("o_orderkey"))),
-        statsCols = Map("orders" -> Seq("o_orderkey")))
-      snap.append("orders", all.where(col("o_orderkey") % 4 === 0),
-        statsCols = Seq("o_orderkey"))
-      snap.deleteWhere("orders",
-        Seq(FileStats.ColRange("o_orderkey", Some(3000L), Some(3999L))),
-        statsCols = Seq("o_orderkey"))
-      fs.create(marker, true).close()
-    }
-    snap
-  }
-
-  /** `c08_version_diff`: the CDC-output path ([[Snapshots.readChanges]])
-    * through the oracle gate. The diff between versions 1 and 3 is
-    * reduced to NET row deltas (+1 added, −1 removed, grouped on the
-    * full row), which cancels the file-layout-dependent churn of
-    * partial rewrites: rows that merely rode along in a touched file
-    * appear on both sides and net to zero, leaving exactly the appended
-    * (+1) and deleted (−1) rows — a closed form DuckDB recomputes from
-    * the raw table. Cost stays O(changed files): untouched base files
-    * never enter the diff.
-    */
-  def c08VersionDiff(s: SparkSession, dir: String): DataFrame = {
-    val snap = stagedDiffLake(s, dir)
-    val head = snap.currentVersion.get
-    snap.readChanges("orders", 1L, head)
-      .groupBy("o_orderkey", "o_orderstatus", "price_cents")
-      .agg(sum(when(col("_change") === "added", 1L).otherwise(-1L)).as("delta"))
-      .where(col("delta") =!= 0L)
-      .groupBy("delta", "o_orderstatus")
-      .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
-      .orderBy("delta", "o_orderstatus")
-  }
-
-  /** Fixture for c15, staged ONCE per sf dir and STATIC after: v1
-    * commits orders range-clustered with key stats; v2 MoR-deletes keys
-    * [2000, 2999] (positional tombstones, zero files rewritten); v3
-    * MoR-updates keys [5000, 5499] (+11 cents — tombstone + re-append
-    * in one manifest). No compaction: the vectors STAND, so the diff
-    * key must cross them.
-    */
-  def stagedDvDiffLake(s: SparkSession, dir: String): Snapshots = {
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val root = s.conf.get("spark.sql.warehouse.dir") + s"/dvdiff_c15$tag"
-    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
-    val snap = new Snapshots(s, root)
-    val marker = new Path(root, "_STAGED_G1")
-    if (!fs.exists(marker)) {
-      fs.delete(new Path(root), true)
-      val cents = round(col("o_totalprice") * 100, 0).cast("long")
-      snap.commit(
-        Map("orders" -> t(s, dir, "orders")
-          .select(col("o_orderkey"), col("o_orderstatus"), cents.as("price_cents"))
-          .repartitionByRange(16, col("o_orderkey"))),
-        statsCols = Map("orders" -> Seq("o_orderkey")))
-      snap.deleteWhereMoR("orders",
-        Seq(FileStats.ColRange("o_orderkey", Some(2000L), Some(2999L))))
-      snap.updateWhereMoR("orders",
-        Seq(FileStats.ColRange("o_orderkey", Some(5000L), Some(5499L))),
-        Map("price_cents" -> (col("price_cents") + 11L)),
-        statsCols = Seq("o_orderkey"))
-      fs.create(marker, true).close()
-    }
-    snap
-  }
-
-  /** `c15_dv_changes`: the DV-AWARE diff (Delta CDF semantics) through
-    * the oracle gate — [[readChanges]] across two STANDING deletion
-    * vectors. The MoR delete surfaces as positional `removed` rows from
-    * unchanged files; the MoR update as removed pre-images (positional)
-    * plus added post-images (the re-appended file, whose read excludes
-    * nothing because the vector only names old files). The same c08
-    * net-delta fold leaves exactly delete(−1), update-old(−1),
-    * update-new(+1) — a closed form DuckDB recomputes from the raw
-    * table. A resurrect bug (missed tombstone), a double-removal (DV
-    * positions re-removed from a pre-image), or an attribution slip
-    * flips the hash.
-    */
-  def c15DvChanges(s: SparkSession, dir: String): DataFrame = {
-    val snap = stagedDvDiffLake(s, dir)
-    snap.readChanges("orders", 1L, snap.currentVersion.get)
-      .groupBy("o_orderkey", "o_orderstatus", "price_cents")
-      .agg(sum(when(col("_change") === "added", 1L).otherwise(-1L)).as("delta"))
-      .where(col("delta") =!= 0L)
-      .groupBy("delta", "o_orderstatus")
-      .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
-      .orderBy("delta", "o_orderstatus")
-  }
-
-  /** Snapshot lake for c10, staged ONCE per sf dir: orders projected to
-    * (o_orderkey, o_orderstatus, price_cents), range-clustered into 16
-    * files with key stats — the layout that makes MERGE's source-span
-    * pruning effective.
-    */
-  def stagedMergeLake(s: SparkSession, dir: String): Snapshots = {
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val root = s.conf.get("spark.sql.warehouse.dir") + s"/mrg_c10$tag"
-    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
-    val snap = new Snapshots(s, root)
-    val marker = new Path(root, "_STAGED_G1")
-    if (!fs.exists(marker)) {
-      fs.delete(new Path(root), true)
-      val cents = round(col("o_totalprice") * 100, 0).cast("long")
-      val orders = t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderstatus"), cents.as("price_cents"))
-        .repartitionByRange(16, col("o_orderkey"))
-      snap.commit(Map("orders" -> orders),
-        statsCols = Map("orders" -> Seq("o_orderkey")))
-      fs.create(marker, true).close()
-    }
-    snap
-  }
-
-  /** `c10_merge_into`: the MERGE/upsert verb ([[Snapshots.mergeInto]])
-    * through the oracle gate — one source batch carrying BOTH updates
-    * (keys 1000-1999 re-statused 'M' with doubled cents) and inserts
-    * (mirrored negative keys, status 'I'), landed atomically via the
-    * stats-pruned partial rewrite (source span [-999, 1999] touches the
-    * low-key files only; the rest re-reference). The source derives
-    * from the RAW table, so re-merging it is idempotent — warm re-runs
-    * converge to one state while the first run pays the real merge —
-    * and the oracle is the closed-form upsert DuckDB recomputes.
-    */
-  def c10MergeInto(s: SparkSession, dir: String): DataFrame = {
-    val snap = stagedMergeLake(s, dir)
-    val cents = round(col("o_totalprice") * 100, 0).cast("long")
-    val base = t(s, dir, "orders")
-      .select(col("o_orderkey"), col("o_orderstatus"), cents.as("price_cents"))
-    val updates = base.where(col("o_orderkey").between(1000, 1999))
-      .select(col("o_orderkey"), lit("M").as("o_orderstatus"),
-        (col("price_cents") * 2).as("price_cents"))
-    val inserts = base.where(col("o_orderkey").between(1, 999))
-      .select((-col("o_orderkey")).as("o_orderkey"), lit("I").as("o_orderstatus"),
-        (col("price_cents") + 7).as("price_cents"))
-    snap.mergeInto("orders", updates.unionByName(inserts), "o_orderkey",
-      statsCols = Seq("o_orderkey"))
-    // same retention note as c06/c07: warm re-runs re-touch the span's
-    // files and publish a new version — collect superseded ones
-    snap.vacuum(keepLast = 1)
-    snap.read("orders").groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"))
-      .orderBy("o_orderstatus")
-  }
-
-  /** Snapshot lake for c11, staged ONCE per sf dir at the PRE-evolution
-    * schema: documents (doc_id, lang) for doc_id % 3 == 0.
-    */
-  def stagedEvoLake(s: SparkSession, dir: String): Snapshots = {
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val root = s.conf.get("spark.sql.warehouse.dir") + s"/evo_c11$tag"
-    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
-    val snap = new Snapshots(s, root)
-    val marker = new Path(root, "_STAGED_G1")
-    if (!fs.exists(marker)) {
-      fs.delete(new Path(root), true)
-      snap.commit(Map("documents" -> t(s, dir, "documents")
-        .where(col("doc_id") % 3 === 0).select(col("doc_id"), col("lang"))))
-      fs.create(marker, true).close()
-    }
-    snap
-  }
-
-  /** `c11_schema_evolution`: additive schema evolution through the
-    * oracle gate — an O(batch) tagged append whose batch carries a NEW
-    * `txt_len` column (mergeSchema = true), after which one read spans
-    * both generations: pre-evolution rows surface txt_len as NULL (the
-    * parquet missing-column contract), new rows carry their values. The
-    * output pins both sides: `n_evolved` counts non-null txt_len (a
-    * null-vs-zero confusion flips it), `total_len` sums the values. The
-    * tag makes warm re-runs no-ops, so the state is one closed form
-    * DuckDB recomputes from the raw table.
-    */
-  def c11SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
-    val snap = stagedEvoLake(s, dir)
-    snap.append("documents",
-      t(s, dir, "documents").where(col("doc_id") % 3 === 1)
-        .select(col("doc_id"), col("lang"),
-          length(col("text")).cast("long").as("txt_len")),
-      tag = Some("evo1"), mergeSchema = true)
-    snap.read("documents").groupBy("lang")
-      .agg(count(lit(1)).as("n"), count(col("txt_len")).as("n_evolved"),
-        sum(coalesce(col("txt_len"), lit(0L))).as("total_len"))
-      .orderBy("lang")
-  }
-
-  /** Fixture for c13: orders projected to a long key, a short string,
-    * and a NULLABLE cents column (null on every 7th key — what makes
-    * count(col) ≠ count(*) and exercises the null-count path), range-
-    * clustered with stats on all three columns.
-    */
-  def stagedMetaLake(s: SparkSession, dir: String): Snapshots = {
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val root = s.conf.get("spark.sql.warehouse.dir") + s"/meta_c13$tag"
-    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
-    val snap = new Snapshots(s, root)
-    val marker = new Path(root, "_STAGED_G1")
-    if (!fs.exists(marker)) {
-      fs.delete(new Path(root), true)
-      val base = t(s, dir, "orders").select(
-        col("o_orderkey"), col("o_orderstatus"),
-        when(col("o_orderkey") % 7 === 0, lit(null).cast("long"))
-          .otherwise(round(col("o_totalprice") * 100, 0).cast("long")).as("price_cents"))
-      snap.commit(
-        Map("orders" -> base.repartitionByRange(8, col("o_orderkey"))),
-        statsCols = Map("orders" -> Seq("o_orderkey", "o_orderstatus", "price_cents")))
-      fs.create(marker, true).close()
-    }
-    snap
-  }
-
-  /** `c13_metadata_agg`: count(*) / count(col) / min / max answered
-    * from the manifest + `_stats` sidecars with ZERO data IO and zero
-    * Spark jobs ([[Snapshots.aggStats]]) — the P in "a 100-TB table's
-    * row count should cost a metadata lookup, not a scan". The oracle
-    * recomputes the same aggregates from the raw table in DuckDB, so a
-    * row-count, null-count, or min/max fold bug anywhere in the
-    * footer-harvest → sidecar → fold chain flips the hash.
-    */
-  def c13MetadataAgg(s: SparkSession, dir: String): DataFrame = {
-    val snap = stagedMetaLake(s, dir)
-    val (nRows, m) = snap.aggStats("orders",
-      Seq("o_orderkey", "o_orderstatus", "price_cents"))
-    val (nnK, minK, maxK) = m("o_orderkey")
-    val (nnS, minS, maxS) = m("o_orderstatus")
-    val (nnP, minP, maxP) = m("price_cents")
-    import s.implicits._
-    Seq((nRows,
-      nnK, minK.get.asInstanceOf[Long], maxK.get.asInstanceOf[Long],
-      nnS, minS.get.asInstanceOf[String], maxS.get.asInstanceOf[String],
-      nnP, minP.get.asInstanceOf[Long], maxP.get.asInstanceOf[Long]))
-      .toDF("n_rows", "nn_key", "min_key", "max_key",
-        "nn_status", "min_status", "max_status",
-        "nn_price", "min_price", "max_price")
-  }
-
-  /** Fixture for c14: orders range-clustered with key stats, then ONE
-    * merge-on-read delete (keys 2000-2999) tombstoning by position —
-    * no data file rewritten (the staged dirs still hold every row).
-    */
-  def stagedMorLake(s: SparkSession, dir: String): Snapshots = {
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val root = s.conf.get("spark.sql.warehouse.dir") + s"/mor_c14$tag"
-    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
-    val snap = new Snapshots(s, root)
-    val marker = new Path(root, "_STAGED_G1")
-    if (!fs.exists(marker)) {
-      fs.delete(new Path(root), true)
-      val cents = round(col("o_totalprice") * 100, 0).cast("long")
-      snap.commit(
-        Map("orders" -> t(s, dir, "orders")
-          .select(col("o_orderkey"), col("o_orderstatus"), cents.as("price_cents"))
-          .repartitionByRange(16, col("o_orderkey"))),
-        statsCols = Map("orders" -> Seq("o_orderkey")))
-      snap.deleteWhereMoR("orders",
-        Seq(FileStats.ColRange("o_orderkey", Some(2000L), Some(2999L))))
-      fs.create(marker, true).close()
-    }
-    snap
-  }
-
-  /** `c14_delete_mor`: the MERGE-ON-READ read path through the oracle
-    * gate — the fixture's delete wrote only a positional tombstone
-    * sidecar (every data file still physically holds every row), so
-    * the aggregate is correct ONLY if the read's positional anti-join
-    * applies the vector exactly: one extra surviving position, one
-    * off-by-one row_index, or a file_name mix-up flips n, key_sum, or
-    * total_cents against DuckDB's recompute.
-    */
-  def c14DeleteMor(s: SparkSession, dir: String): DataFrame = {
-    stagedMorLake(s, dir).read("orders")
-      .groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("n"), sum("price_cents").as("total_cents"),
-        sum("o_orderkey").as("key_sum"))
-      .orderBy("o_orderstatus")
-  }
-
-  /** Fixture for c17: an even-key orders slice with stats, about to be
-    * renamed/dropped/appended through the column-mapping verbs.
-    */
-  def stagedColmapLake(s: SparkSession, dir: String): Snapshots = {
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val root = s.conf.get("spark.sql.warehouse.dir") + s"/cm_c17$tag"
-    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
-    val snap = new Snapshots(s, root)
-    val marker = new Path(root, "_STAGED_G1")
-    if (!fs.exists(marker)) {
-      fs.delete(new Path(root), true)
-      snap.commit(Map("orders" -> t(s, dir, "orders")
-        .where(col("o_orderkey") % 2 === 0)
-        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
-        .repartitionByRange(4, col("o_orderkey"))),
-        statsCols = Map("orders" -> Seq("o_orderkey", "o_totalprice")))
-      fs.create(marker, true).close()
-    }
-    snap
-  }
-
-  /** `c17_rename_column`: COLUMN MAPPING through the oracle gate — a
-    * RENAME (o_totalprice → price) and a DROP (o_orderpriority), both
-    * metadata-only, then a tagged append speaking the NEW name, an
-    * idempotent range DELETE and a SET-to-constant UPDATE addressed by
-    * the new name, and one read over both file generations. The
-    * aggregate is right only if the logical↔physical translation is
-    * exact on every path at once: the scan projection (old files carry
-    * the old physical name), the append's reverse translation, the
-    * stats-pruned classification of both DML verbs, and the dropped
-    * column staying invisible without a rewrite. All verbs converge on
-    * re-runs (tag replay, delete/SET-constant idempotence), so the
-    * state is one closed form DuckDB recomputes from the raw table.
-    */
-  def c17RenameColumn(s: SparkSession, dir: String): DataFrame = {
-    val snap = stagedColmapLake(s, dir)
-    if (snap.read("orders").columns.contains("o_totalprice"))
-      snap.renameColumn("orders", "o_totalprice", "price")
-    if (snap.read("orders").columns.contains("o_orderpriority"))
-      snap.dropColumn("orders", "o_orderpriority")
-    snap.append("orders", t(s, dir, "orders")
-      .where(col("o_orderkey") % 2 === 1)
-      .select(col("o_orderkey"), col("o_totalprice").as("price")),
-      tag = Some("cm1"), statsCols = Seq("o_orderkey", "price"))
-    snap.deleteWhere("orders",
-      Seq(FileStats.ColRange("o_orderkey", Some(2000L), Some(2999L))),
-      Seq("o_orderkey", "price"))
-    snap.updateWhere("orders",
-      Seq(FileStats.ColRange("o_orderkey", Some(1L), Some(10L))),
-      Map("price" -> lit(0.0)), Seq("o_orderkey", "price"))
-    snap.read("orders")
-      .groupBy((col("o_orderkey") % 5).cast("long").as("bucket"))
-      .agg(count(lit(1)).as("n"),
-        round(sum("price"), 2).as("total_price"),
-        count(when(col("price") === 0.0, 1)).as("n_zeroed"))
-      .orderBy("bucket")
-  }
-
-  /** Fixture for c18: a supplier slice created WITH a bigint key
-    * column that then becomes the table's identity column.
-    */
-  def stagedIdentityLake(s: SparkSession, dir: String): Snapshots = {
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val root = s.conf.get("spark.sql.warehouse.dir") + s"/id_c18$tag"
-    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
-    val snap = new Snapshots(s, root)
-    val marker = new Path(root, "_STAGED_G1")
-    if (!fs.exists(marker)) {
-      fs.delete(new Path(root), true)
-      snap.commit(Map("suppliers" -> t(s, dir, "supplier")
-        .where(col("s_suppkey") % 2 === 0)
-        .select(col("s_suppkey").as("sid"), col("s_name"), col("s_nationkey"))))
-      snap.addIdentity("suppliers", "sid")
-      fs.create(marker, true).close()
-    }
-    snap
-  }
-
-  /** `c18_identity_append`: IDENTITY assignment through the oracle
-    * gate — the lake assigns `sid` to a batch that omits it, starting
-    * exactly past the declared-time max (addIdentity's one scan) and
-    * advancing the mark atomically with the data. The batch is staged
-    * single-partition in s_suppkey order, so the dense ids are a
-    * closed form (row_number over the sorted odd keys + the even-key
-    * max) DuckDB recomputes from the raw table; the tag makes warm
-    * re-runs no-ops so the state stays deterministic. A wrong start,
-    * a gap, a duplicate, or a replay that burns ids flips the join.
-    */
-  def c18IdentityAppend(s: SparkSession, dir: String): DataFrame = {
-    val snap = stagedIdentityLake(s, dir)
-    snap.appendIdentity("suppliers",
-      t(s, dir, "supplier").where(col("s_suppkey") % 2 === 1)
-        .select(col("s_name"), col("s_nationkey"))
-        .orderBy("s_name").coalesce(1).sortWithinPartitions("s_name"),
-      tag = Some("id1"), statsCols = Seq("sid"))
-    snap.read("suppliers")
-      .groupBy(col("s_nationkey").cast("long").as("s_nationkey"))
-      .agg(count(lit(1)).as("n"), sum("sid").as("sid_sum"),
-        max("sid").as("sid_max"))
-      .orderBy("s_nationkey")
-  }
-
-  /** Fixture for c19: an orders slice committed once, then marked
-    * appendOnly (plus an inert informational property).
-    */
-  def stagedPropsLake(s: SparkSession, dir: String): Snapshots = {
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val root = s.conf.get("spark.sql.warehouse.dir") + s"/props_c19$tag"
-    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
-    val snap = new Snapshots(s, root)
-    val marker = new Path(root, "_STAGED_G1")
-    if (!fs.exists(marker)) {
-      fs.delete(new Path(root), true)
-      snap.commit(Map("orders" -> t(s, dir, "orders")
-        .where(col("o_orderkey") % 2 === 0)
-        .select(col("o_orderkey"), col("o_orderstatus"),
-          round(col("o_totalprice") * 100, 0).cast("long").as("price_cents"))),
-        statsCols = Map("orders" -> Seq("o_orderkey")))
-      snap.setProperties("orders",
-        Map("appendOnly" -> "true", "owner" -> "curation"))
-      fs.create(marker, true).close()
-    }
-    snap
-  }
-
-  /** Fixture for c20: the even orders slice, keyed stats on
-    * o_orderkey so replaceWhere's file classification can prune.
-    */
-  def stagedReplaceLake(s: SparkSession, dir: String): Snapshots = {
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val root = s.conf.get("spark.sql.warehouse.dir") + s"/repl_c20$tag"
-    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
-    val snap = new Snapshots(s, root)
-    val marker = new Path(root, "_STAGED_G1")
-    if (!fs.exists(marker)) {
-      fs.delete(new Path(root), true)
-      snap.commit(Map("orders" -> t(s, dir, "orders")
-        .where(col("o_orderkey") % 2 === 0)
-        .select(col("o_orderkey"), col("o_orderstatus"),
-          round(col("o_totalprice") * 100, 0).cast("long").as("price_cents"))
-        .repartition(8)),
-        statsCols = Map("orders" -> Seq("o_orderkey")))
-      fs.create(marker, true).close()
-    }
-    snap
-  }
-
-  /** `c20_replace_where`: predicate-scoped OVERWRITE under the oracle
-    * gate — the backfill re-delivers keys 1000-1999 (all parities, new
-    * closed-form prices) over the even-only base, so the replaced
-    * slice changes BOTH membership and values; a batch row outside the
-    * slice must refuse before anything publishes. Replays converge,
-    * so the per-call re-run is safe. The final read equals
-    * (evens outside the slice) ∪ (the backfill batch) — a kept row
-    * lost, a survivor dropped, or a leaked out-of-slice row flips the
-    * oracle hash.
-    */
-  def c20ReplaceWhere(s: SparkSession, dir: String): DataFrame = {
-    val snap = stagedReplaceLake(s, dir)
-    val slice = Seq(FileStats.ColRange("o_orderkey", Some(1000L), Some(1999L)))
-    val batch = t(s, dir, "orders")
-      .where(col("o_orderkey").between(1000L, 1999L))
-      .select(col("o_orderkey"), col("o_orderstatus"),
-        (col("o_orderkey") * 3).cast("long").as("price_cents"))
-    val refused =
-      try {
-        snap.replaceWhere("orders", slice,
-          batch.unionByName(batch.limit(1)
-            .withColumn("o_orderkey", lit(5001L))), Seq("o_orderkey"))
-        false
-      } catch { case _: IllegalArgumentException => true }
-    require(refused, "replaceWhere accepted an out-of-slice batch row")
-    snap.replaceWhere("orders", slice, batch, Seq("o_orderkey"))
-    snap.read("orders")
-      .groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("n"),
-        sum("price_cents").as("total_cents"),
-        sum("o_orderkey").as("key_sum"))
-      .orderBy("o_orderstatus")
-  }
-
-  /** `c19_append_only`: TABLE PROPERTIES under the oracle gate — the
-    * appendOnly contract exercised end-to-end. The key appends the odd
-    * half (tagged, so replays no-op), then drives a copy-on-write
-    * delete AND a merge-on-read delete into the guarded table: BOTH
-    * must refuse, and the final read must equal the closed-form
-    * evens+odds recompute — if the guard silently failed, the deleted
-    * rows would be missing and the oracle hash would flip. `n_props`
-    * crosses the property-count metadata into the compared rows.
-    */
-  def c19AppendOnly(s: SparkSession, dir: String): DataFrame = {
-    val snap = stagedPropsLake(s, dir)
-    snap.append("orders", t(s, dir, "orders")
-      .where(col("o_orderkey") % 2 === 1)
-      .select(col("o_orderkey"), col("o_orderstatus"),
-        round(col("o_totalprice") * 100, 0).cast("long").as("price_cents")),
-      tag = Some("ao1"), statsCols = Seq("o_orderkey"))
-    val ranges = Seq(FileStats.ColRange("o_orderkey", Some(1L), Some(500L)))
-    val cowBlocked =
-      try { snap.deleteWhere("orders", ranges, Seq("o_orderkey")); false }
-      catch { case _: IllegalArgumentException => true }
-    val morBlocked =
-      try { snap.deleteWhereMoR("orders", ranges); false }
-      catch { case _: IllegalArgumentException => true }
-    require(cowBlocked && morBlocked,
-      "appendOnly guard failed to refuse a delete verb")
-    val nProps = snap.properties("orders").size.toLong
-    snap.read("orders")
-      .groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("n"),
-        sum("price_cents").as("total_cents"),
-        sum("o_orderkey").as("key_sum"))
-      .withColumn("n_props", lit(nProps))
-      .orderBy("o_orderstatus")
-  }
-
-  val defs: Map[String, (SparkSession, String) => DataFrame] =
-    Map("c04_snapshot_read" -> c04SnapshotRead _,
-        "c19_append_only" -> c19AppendOnly _,
-        "c20_replace_where" -> c20ReplaceWhere _,
-        "c17_rename_column" -> c17RenameColumn _,
-        "c18_identity_append" -> c18IdentityAppend _,
-        "c14_delete_mor" -> c14DeleteMor _,
-        "c05_stats_pruned_read" -> c05StatsPrunedRead _,
-        "c16_bloom_pruned_read" -> c16BloomPrunedRead _,
-        "c06_delete_where" -> c06DeleteWhere _,
-        "c07_update_where" -> c07UpdateWhere _,
-        "c08_version_diff" -> c08VersionDiff _,
-        "c15_dv_changes" -> c15DvChanges _,
-        "c10_merge_into" -> c10MergeInto _,
-        "c11_schema_evolution" -> c11SchemaEvolution _,
-        "c13_metadata_agg" -> c13MetadataAgg _)
-
-  val oracles: Map[String, String] = Map(
-    "c20_replace_where" ->
-      """WITH base AS (
-        |  SELECT o_orderkey, o_orderstatus,
-        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
-        |  FROM orders WHERE o_orderkey % 2 = 0
-        |), kept AS (
-        |  SELECT * FROM base WHERE o_orderkey NOT BETWEEN 1000 AND 1999
-        |), backfill AS (
-        |  SELECT o_orderkey, o_orderstatus,
-        |    CAST(o_orderkey * 3 AS BIGINT) AS price_cents
-        |  FROM orders WHERE o_orderkey BETWEEN 1000 AND 1999
-        |), allr AS (
-        |  SELECT * FROM kept UNION ALL SELECT * FROM backfill
-        |)
-        |SELECT o_orderstatus, count(*) AS n,
-        |  CAST(sum(price_cents) AS BIGINT) AS total_cents,
-        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
-        |FROM allr GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
-    "c19_append_only" ->
-      """SELECT o_orderstatus, count(*) AS n,
-        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents,
-        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
-        |  CAST(2 AS BIGINT) AS n_props
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
-    "c18_identity_append" ->
-      """WITH evens AS (
-        |  SELECT s_suppkey AS sid, s_nationkey FROM supplier WHERE s_suppkey % 2 = 0
-        |), mx AS (
-        |  SELECT max(sid) AS m FROM evens
-        |), odds AS (
-        |  SELECT (SELECT m FROM mx) + row_number() OVER (ORDER BY s_name) AS sid,
-        |    s_nationkey
-        |  FROM supplier WHERE s_suppkey % 2 = 1
-        |), allr AS (
-        |  SELECT sid, s_nationkey FROM evens
-        |  UNION ALL SELECT sid, s_nationkey FROM odds
-        |)
-        |SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
-        |  count(*) AS n,
-        |  CAST(sum(sid) AS BIGINT) AS sid_sum,
-        |  CAST(max(sid) AS BIGINT) AS sid_max
-        |FROM allr GROUP BY 1 ORDER BY 1""".stripMargin,
-    "c17_rename_column" ->
-      """WITH base AS (
-        |  SELECT o_orderkey, o_totalprice AS price FROM orders
-        |), st AS (
-        |  SELECT o_orderkey,
-        |    CASE WHEN o_orderkey BETWEEN 1 AND 10 THEN 0.0 ELSE price END AS price
-        |  FROM base WHERE o_orderkey NOT BETWEEN 2000 AND 2999
-        |)
-        |SELECT CAST(o_orderkey % 5 AS BIGINT) AS bucket,
-        |  count(*) AS n,
-        |  round(sum(price), 2) AS total_price,
-        |  CAST(count(CASE WHEN price = 0.0 THEN 1 END) AS BIGINT) AS n_zeroed
-        |FROM st GROUP BY 1 ORDER BY 1""".stripMargin,
-    "c14_delete_mor" ->
-      """WITH c AS (
-        |  SELECT o_orderkey, o_orderstatus,
-        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
-        |  FROM orders
-        |  WHERE o_orderkey NOT BETWEEN 2000 AND 2999
-        |)
-        |SELECT o_orderstatus, count(*) AS n,
-        |  CAST(sum(price_cents) AS BIGINT) AS total_cents,
-        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
-        |FROM c GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
-    "c13_metadata_agg" ->
-      """WITH c AS (
-        |  SELECT o_orderkey, o_orderstatus,
-        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
-        |         ELSE CAST(round(o_totalprice * 100, 0) AS BIGINT) END AS price_cents
-        |  FROM orders
-        |)
-        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(count(o_orderkey) AS BIGINT) AS nn_key,
-        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
-        |  CAST(count(o_orderstatus) AS BIGINT) AS nn_status,
-        |  min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status,
-        |  CAST(count(price_cents) AS BIGINT) AS nn_price,
-        |  min(price_cents) AS min_price, max(price_cents) AS max_price
-        |FROM c""".stripMargin,
-    "c10_merge_into" ->
-      """WITH c AS (
-        |  SELECT o_orderkey, o_orderstatus,
-        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
-        |  FROM orders
-        |), m AS (
-        |  SELECT o_orderkey, o_orderstatus, price_cents FROM c
-        |  WHERE o_orderkey NOT BETWEEN 1000 AND 1999
-        |  UNION ALL
-        |  SELECT o_orderkey, 'M' AS o_orderstatus, price_cents * 2 FROM c
-        |  WHERE o_orderkey BETWEEN 1000 AND 1999
-        |  UNION ALL
-        |  SELECT -o_orderkey, 'I' AS o_orderstatus, price_cents + 7 FROM c
-        |  WHERE o_orderkey BETWEEN 1 AND 999
-        |)
-        |SELECT o_orderstatus, count(*) AS n,
-        |  CAST(sum(price_cents) AS BIGINT) AS total_cents
-        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
-    "c11_schema_evolution" ->
-      """WITH u AS (
-        |  SELECT lang, CAST(NULL AS BIGINT) AS txt_len FROM documents
-        |  WHERE doc_id % 3 = 0
-        |  UNION ALL
-        |  SELECT lang, CAST(length(text) AS BIGINT) AS txt_len FROM documents
-        |  WHERE doc_id % 3 = 1
-        |)
-        |SELECT lang, count(*) AS n, count(txt_len) AS n_evolved,
-        |  CAST(sum(COALESCE(txt_len, 0)) AS BIGINT) AS total_len
-        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
-    "c08_version_diff" ->
-      """WITH c AS (
-        |  SELECT o_orderkey, o_orderstatus,
-        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
-        |  FROM orders
-        |), d AS (
-        |  SELECT CAST(1 AS BIGINT) AS delta, o_orderstatus, price_cents FROM c
-        |  WHERE o_orderkey % 4 = 0 AND o_orderkey NOT BETWEEN 3000 AND 3999
-        |  UNION ALL
-        |  SELECT CAST(-1 AS BIGINT) AS delta, o_orderstatus, price_cents FROM c
-        |  WHERE o_orderkey % 4 <> 0 AND o_orderkey BETWEEN 3000 AND 3999
-        |)
-        |SELECT delta, o_orderstatus, count(*) AS n,
-        |  CAST(sum(price_cents) AS BIGINT) AS total_cents
-        |FROM d GROUP BY delta, o_orderstatus
-        |ORDER BY delta, o_orderstatus""".stripMargin,
-    "c15_dv_changes" ->
-      """WITH c AS (
-        |  SELECT o_orderkey, o_orderstatus,
-        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
-        |  FROM orders
-        |), d AS (
-        |  SELECT CAST(-1 AS BIGINT) AS delta, o_orderstatus, price_cents FROM c
-        |  WHERE o_orderkey BETWEEN 2000 AND 2999
-        |  UNION ALL
-        |  SELECT CAST(-1 AS BIGINT) AS delta, o_orderstatus, price_cents FROM c
-        |  WHERE o_orderkey BETWEEN 5000 AND 5499
-        |  UNION ALL
-        |  SELECT CAST(1 AS BIGINT) AS delta, o_orderstatus, price_cents + 11 FROM c
-        |  WHERE o_orderkey BETWEEN 5000 AND 5499
-        |)
-        |SELECT delta, o_orderstatus, count(*) AS n,
-        |  CAST(sum(price_cents) AS BIGINT) AS total_cents
-        |FROM d GROUP BY delta, o_orderstatus
-        |ORDER BY delta, o_orderstatus""".stripMargin,
-    "c06_delete_where" ->
-      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
-        |FROM orders
-        |WHERE o_orderkey NOT BETWEEN 2000 AND 2999
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "c07_update_where" ->
-      """WITH c AS (
-        |  SELECT o_orderstatus, o_orderkey,
-        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
-        |  FROM orders
-        |)
-        |SELECT o_orderstatus, count(*) AS n,
-        |  CAST(sum(CASE WHEN o_orderkey BETWEEN 5000 AND 5999
-        |                THEN (price_cents * 9 + 5) // 10
-        |                ELSE price_cents END) AS BIGINT) AS total_adj_cents
-        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
-    "c04_snapshot_read" ->
-      """WITH p AS (
-        |  SELECT o_orderstatus,
-        |    round(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2.0
-        |               ELSE o_totalprice END, 2) AS price
-        |  FROM orders
-        |), agg AS (
-        |  SELECT o_orderstatus, count(*) AS n, round(sum(price), 2) AS total
-        |  FROM p GROUP BY 1
-        |)
-        |SELECT o_orderstatus, n AS n_detail, total AS total_detail, n, total
-        |FROM agg ORDER BY o_orderstatus""".stripMargin,
-    "c05_stats_pruned_read" ->
-      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
-        |FROM orders
-        |WHERE o_orderkey BETWEEN 1 AND 600
-        |GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus""".stripMargin,
-    "c16_bloom_pruned_read" ->
-      """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
-        |FROM orders
-        |WHERE o_orderkey IN (17, 451, 1063)
-        |ORDER BY o_orderkey""".stripMargin)
 }

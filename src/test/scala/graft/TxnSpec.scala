@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.sources.{FileStats, Snapshots}
+import graft.sources.{FileStats, Snapshots, SnapshotsKeys}
 import graft.sources.FileStats.ColRange
 
 /** The transaction guarantees of the snapshot commit log (the
@@ -1082,12 +1082,12 @@ class TxnSpec extends AnyFunSuite {
   }
 
   test("c05 stats key: pruned aggregate equals its closed form") {
-    val out = Snapshots.c05StatsPrunedRead(spark, TestSpark.sfTest)
+    val out = SnapshotsKeys.c05StatsPrunedRead(spark, TestSpark.sfTest)
     val rows = out.collect()
     assert(rows.nonEmpty && rows.map(_.getAs[Long]("n")).sum > 0)
     // the staged lake's 16 range-clustered files: the 1..600 key range
     // must NOT touch them all (the machine-assertion behind c05's claim)
-    val snap = Snapshots.stagedStatsLake(spark, TestSpark.sfTest)
+    val snap = SnapshotsKeys.stagedStatsLake(spark, TestSpark.sfTest)
     val pruned = snap.readWhere("orders",
       Seq(ColRange("o_orderkey", Some(1L), Some(600L))))
     val total = snap.read("orders").inputFiles.length
@@ -1096,7 +1096,7 @@ class TxnSpec extends AnyFunSuite {
   }
 
   test("c04 snapshot key: detail and summary agree within one snapshot") {
-    val out = Snapshots.c04SnapshotRead(spark, TestSpark.sfTest).collect()
+    val out = SnapshotsKeys.c04SnapshotRead(spark, TestSpark.sfTest).collect()
     assert(out.nonEmpty)
     out.foreach { r =>
       assert(r.getAs[Long]("n_detail") == r.getAs[Long]("n"),
@@ -2623,14 +2623,44 @@ class TxnSpec extends AnyFunSuite {
     assert(sp.sql("SELECT count(*) FROM gtest.db.t").head.getLong(0) == 4L,
       "a refused INSERT OVERWRITE must change nothing")
 
-    // unsupported DDL refuses loudly, pointing at the Scala verbs
-    val alter = intercept[Exception] {
-      sp.sql("ALTER TABLE gtest.db.t ADD COLUMN x BIGINT") }
-    assert(chain(alter).exists(_.contains("Snapshots verbs")), chain(alter))
+    // SQL DELETE refuses on the guarded table too (the verb's
+    // appendOnly gate rides the SupportsDelete path)
+    intercept[Exception] { sp.sql("DELETE FROM gtest.db.t WHERE id = 1") }
+    intercept[Exception] { sp.sql("TRUNCATE TABLE gtest.db.t") }
+    snap.unsetProperties("t", Seq("appendOnly"))
 
-    // RENAME + DROP as text; the lake's files survive for time travel
+    // DELETE as text: =, BETWEEN and bare AND translate to the
+    // stats-pruned copy-on-write verb; an untranslatable predicate
+    // (strict <, which inclusive ranges cannot express) refuses
+    sp.sql("DELETE FROM gtest.db.t WHERE id BETWEEN 3 AND 4")
+    assert(sp.sql("SELECT count(*) FROM gtest.db.t").head.getLong(0) == 2L)
+    sp.sql("DELETE FROM gtest.db.t WHERE id = 1 AND v >= 10")
+    assert(sp.sql("SELECT sum(id) FROM gtest.db.t").head.getLong(0) == 2L)
+    intercept[Exception] { sp.sql("DELETE FROM gtest.db.t WHERE v < 100") }
+    assert(sp.sql("SELECT count(*) FROM gtest.db.t").head.getLong(0) == 1L,
+      "refused DELETE must change nothing")
+
+    // ALTER as text: properties, ADD COLUMN (zero-row schema union),
+    // RENAME/DROP COLUMN (column mapping, zero rewrite)
+    sp.sql("ALTER TABLE gtest.db.t SET TBLPROPERTIES ('curation.team' = 'data')")
+    assert(snap.properties("t")("curation.team") == "data")
+    sp.sql("ALTER TABLE gtest.db.t UNSET TBLPROPERTIES ('curation.team')")
+    assert(!snap.properties("t").contains("curation.team"))
+    sp.sql("ALTER TABLE gtest.db.t ADD COLUMN note STRING")
+    assert(sp.sql("SELECT count(note) FROM gtest.db.t").head.getLong(0) == 0L)
+    assert(sp.sql("SELECT count(*) FROM gtest.db.t").head.getLong(0) == 1L)
+    sp.sql("ALTER TABLE gtest.db.t RENAME COLUMN note TO remark")
+    assert(sp.sql("SELECT count(remark) FROM gtest.db.t").head.getLong(0) == 0L)
+    sp.sql("ALTER TABLE gtest.db.t DROP COLUMN remark")
+    assert(!sp.sql("SELECT * FROM gtest.db.t").columns.contains("remark"))
+    intercept[Exception] {
+      sp.sql("ALTER TABLE gtest.db.t ALTER COLUMN v TYPE STRING") }
+
+    // TRUNCATE as text, then RENAME + DROP; files survive for travel
+    sp.sql("TRUNCATE TABLE gtest.db.t")
+    assert(sp.sql("SELECT count(*) FROM gtest.db.t").head.getLong(0) == 0L)
     sp.sql("ALTER TABLE gtest.db.t RENAME TO db.t2")
-    assert(sp.sql("SELECT count(*) FROM gtest.db.t2").head.getLong(0) == 4L)
+    assert(sp.sql("SELECT count(*) FROM gtest.db.t2").head.getLong(0) == 0L)
     sp.sql("DROP TABLE gtest.db.t2")
     assert(sp.sql("SHOW TABLES IN gtest.db").count() == 0L)
     intercept[Exception] { sp.sql("SELECT * FROM gtest.db.t2").collect() }
