@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // manifest-planned scan (see graft.sources.GraftLakeReads)
     ext.injectResolutionRule(session => graft.sources.GraftLakeReads(session))
 
+    // SQL UPDATE / MERGE INTO on lake tables → the Snapshots verbs
+    // (post-hoc: the commands must be fully resolved first)
+    ext.injectPostHocResolutionRule(session => graft.sources.GraftDmlCommands(session))
+
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays"),
       (args: Seq[Expression]) => CosineSim(args(0), args(1))))

@@ -338,10 +338,52 @@ object GraftCatalog {
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** A38 `c24_sql_update_merge`: the LAST statements of the
+    * reference's `execute` surface as text — UPDATE (ranged, through
+    * updateWhere's stats-pruned rewrite) and the canonical-upsert
+    * MERGE INTO (through mergeInto's leading-key-span engine), both
+    * converted by [[GraftDmlCommands]]. The MERGE source carries a
+    * matched leg (keys ≤ 500 re-priced to −1 AFTER the UPDATE bumped
+    * keys ≤ 999 by 500 — ordering exposure) and a not-matched leg
+    * (fresh +20M keys at price 7); the survivors aggregate is the
+    * closed form. Per-run namespace keeps re-runs idempotent.
+    */
+  def c24SqlUpdateMerge(s: SparkSession, dir: String): DataFrame = {
+    val root = s.conf.get("spark.sql.warehouse.dir") + "/c21_catalog"
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", root)
+    Catalog.register(s, dir)
+    val ns = "db_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    s.sql(s"CREATE NAMESPACE graft.$ns")
+    s.sql(s"CREATE TABLE graft.$ns.orders_t (o_orderkey BIGINT, o_orderstatus STRING, price_cents BIGINT)")
+    s.sql(s"""INSERT INTO graft.$ns.orders_t
+             |SELECT o_orderkey, o_orderstatus,
+             |       CAST(round(o_totalprice * 100, 0) AS BIGINT)
+             |FROM orders""".stripMargin)
+    s.sql(s"""UPDATE graft.$ns.orders_t SET price_cents = price_cents + 500
+             |WHERE o_orderkey BETWEEN 1 AND 999""".stripMargin)
+    s.sql(s"""MERGE INTO graft.$ns.orders_t t
+             |USING (
+             |  SELECT o_orderkey, o_orderstatus, CAST(-1 AS BIGINT) AS price_cents
+             |  FROM orders WHERE o_orderkey <= 500
+             |  UNION ALL
+             |  SELECT o_orderkey + 20000000, o_orderstatus, CAST(7 AS BIGINT)
+             |  FROM orders WHERE o_orderkey <= 100
+             |) s
+             |ON t.o_orderkey = s.o_orderkey
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s.sql(s"""SELECT o_orderstatus, count(*) AS n,
+             |       CAST(sum(price_cents) AS BIGINT) AS total_cents
+             |FROM graft.$ns.orders_t
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c21_sql_catalog" -> c21SqlCatalog _,
     "c22_lake_join_strategy" -> c22LakeJoinStrategy _,
-    "c23_sql_delete" -> c23SqlDelete _)
+    "c23_sql_delete" -> c23SqlDelete _,
+    "c24_sql_update_merge" -> c24SqlUpdateMerge _)
 
   val oracles: Map[String, String] = Map(
     "c21_sql_catalog" ->
@@ -382,7 +424,29 @@ object GraftCatalog {
         |FROM c
         |WHERE NOT (o_orderkey BETWEEN 1000 AND 2999)
         |  AND NOT (o_orderstatus = 'F' AND price_cents >= 10000000)
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "c24_sql_update_merge" ->
+      """WITH c AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+        |  FROM orders
+        |), u AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey BETWEEN 1 AND 999
+        |         THEN price_cents + 500 ELSE price_cents END AS price_cents
+        |  FROM c
+        |), m AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey <= 500 THEN CAST(-1 AS BIGINT)
+        |         ELSE price_cents END AS price_cents
+        |  FROM u
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000, o_orderstatus, CAST(7 AS BIGINT)
+        |  FROM c WHERE o_orderkey <= 100
+        |)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(price_cents) AS BIGINT) AS total_cents
+        |FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 }
 
 /** One lake table pinned at `pinnedVersion` (load-time head, or the
@@ -416,23 +480,10 @@ private[sources] class GraftLakeTable(
     * keep later reads prunable; appendOnly refusal rides the verb.
     */
   private def toRanges(fs: Array[org.apache.spark.sql.sources.Filter])
-      : Option[Seq[FileStats.ColRange]] = {
-    import org.apache.spark.sql.sources._
-    def one(f: Filter): Option[Seq[FileStats.ColRange]] = f match {
-      case EqualTo(a, v) if !a.contains(".") =>
-        Some(Seq(FileStats.ColRange(a, Some(v), Some(v))))
-      case GreaterThanOrEqual(a, v) if !a.contains(".") =>
-        Some(Seq(FileStats.ColRange(a, Some(v), None)))
-      case LessThanOrEqual(a, v) if !a.contains(".") =>
-        Some(Seq(FileStats.ColRange(a, None, Some(v))))
-      case And(l, r) => for { x <- one(l); y <- one(r) } yield x ++ y
-      case AlwaysTrue() => Some(Nil)
-      case _ => None
-    }
+      : Option[Seq[FileStats.ColRange]] =
     fs.foldLeft(Option(Seq.empty[FileStats.ColRange])) { (acc, f) =>
-      for { a <- acc; b <- one(f) } yield a ++ b
+      for { a <- acc; b <- GraftLakeTable.filterRanges(f) } yield a ++ b
     }
-  }
 
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
     toRanges(filters).isDefined
@@ -498,4 +549,32 @@ private[sources] class GraftLakeTable(
           }
       }
     }
+}
+
+private[sources] object GraftLakeTable {
+
+  /** One v1 Filter → the verb layer's conjunctive inclusive-range
+    * model (shared by SQL DELETE and the UPDATE/MERGE command rule):
+    * =, >=, <= map to [[FileStats.ColRange]] bounds, AND concatenates,
+    * AlwaysTrue is the empty conjunction (callers substitute the
+    * unbounded range). Strict </>, OR, IN, nested fields → None — the
+    * caller refuses loudly rather than silently widening the predicate
+    * to inclusive bounds.
+    */
+  def filterRanges(f: org.apache.spark.sql.sources.Filter)
+      : Option[Seq[FileStats.ColRange]] = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v) if !a.contains(".") =>
+        Some(Seq(FileStats.ColRange(a, Some(v), Some(v))))
+      case GreaterThanOrEqual(a, v) if !a.contains(".") =>
+        Some(Seq(FileStats.ColRange(a, Some(v), None)))
+      case LessThanOrEqual(a, v) if !a.contains(".") =>
+        Some(Seq(FileStats.ColRange(a, None, Some(v))))
+      case And(l, r) =>
+        for { x <- filterRanges(l); y <- filterRanges(r) } yield x ++ y
+      case AlwaysTrue() => Some(Nil)
+      case _ => None
+    }
+  }
 }

@@ -14,6 +14,14 @@ object GraftShim {
   /** DataFrame over a custom LogicalPlan (classic Dataset.ofRows). */
   def ofRows(s: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(s.asInstanceOf[classic.SparkSession], plan)
+
+  /** Catalyst predicate → v1 source Filter (the engine's own pushdown
+    * translation; `protected[sql]`, hence bridged here). Used by the
+    * SQL UPDATE command rule to reuse DELETE's range translation.
+    */
+  def translateFilter(predicate: Expression): Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(predicate, supportNestedPredicatePushdown = false)
 }
 
 /** Zero-listing parquet reads for the Snapshots lake. A stock

@@ -2666,6 +2666,56 @@ class TxnSpec extends AnyFunSuite {
     intercept[Exception] { sp.sql("SELECT * FROM gtest.db.t2").collect() }
   }
 
+  test("SQL UPDATE and MERGE as text run through the Snapshots verbs") {
+    val sp = spark
+    val root = Files.createTempDirectory("sqldml").toString
+    sp.conf.set("spark.sql.catalog.gdml", classOf[graft.sources.GraftCatalog].getName)
+    sp.conf.set("spark.sql.catalog.gdml.root", root)
+    sp.sql("CREATE NAMESPACE gdml.db")
+    sp.sql("CREATE TABLE gdml.db.t (id BIGINT, v BIGINT)")
+    sp.sql("INSERT INTO gdml.db.t VALUES (1, 10), (2, 20), (3, 30)")
+
+    // ranged UPDATE → updateWhere (stats-pruned partial rewrite)
+    sp.sql("UPDATE gdml.db.t SET v = v + 100 WHERE id BETWEEN 2 AND 3")
+    assert(sp.sql("SELECT sum(v) FROM gdml.db.t").head.getLong(0) == 10L + 120L + 130L)
+    // whole-table UPDATE (no WHERE = the unbounded range)
+    sp.sql("UPDATE gdml.db.t SET v = v + 1")
+    assert(sp.sql("SELECT sum(v) FROM gdml.db.t").head.getLong(0) == 263L)
+    // untranslatable predicate refuses loudly, nothing changes
+    intercept[Exception] { sp.sql("UPDATE gdml.db.t SET v = 0 WHERE id < 2") }
+    assert(sp.sql("SELECT sum(v) FROM gdml.db.t").head.getLong(0) == 263L)
+
+    // canonical upsert MERGE → mergeInto (one full-outer over touched)
+    sp.sql("""MERGE INTO gdml.db.t t
+             |USING (VALUES (2L, 222L), (4L, 44L) AS s(id, v)) s
+             |ON t.id = s.id
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = sp.sql("SELECT id, v FROM gdml.db.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 11L), (2L, 222L), (3L, 131L), (4L, 44L)), got)
+    // a non-upsert shape refuses with the Scala-verb pointer
+    val e = intercept[Exception] {
+      sp.sql("""MERGE INTO gdml.db.t t USING (VALUES (9L, 9L) AS s(id, v)) s
+               |ON t.id = s.id
+               |WHEN MATCHED THEN DELETE""".stripMargin) }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("canonical upsert")), chain(e))
+
+    // the appendOnly gate rides both verbs through SQL
+    new Snapshots(sp, root + "/db").setProperties("t", Map("appendOnly" -> "true"))
+    intercept[Exception] { sp.sql("UPDATE gdml.db.t SET v = 0") }
+    intercept[Exception] {
+      sp.sql("""MERGE INTO gdml.db.t t USING (VALUES (5L, 5L) AS s(id, v)) s
+               |ON t.id = s.id
+               |WHEN MATCHED THEN UPDATE SET *
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin) }
+    assert(sp.sql("SELECT count(*) FROM gdml.db.t").head.getLong(0) == 4L,
+      "refused SQL DML must change nothing")
+  }
+
   test("object store: conditional put admits exactly one winner and bytes are never torn") {
     import graft.sources.InMemoryObjectStore
     val store = new InMemoryObjectStore
