@@ -268,7 +268,8 @@ private[sources] class ChangeFeedStream(root: String, table: String,
                                         maxVersionsPerTrigger: Option[Long],
                                         fullSchema: StructType,
                                         refuseDv: Boolean = false,
-                                        maxBytesPerTrigger: Option[Long] = None)
+                                        maxBytesPerTrigger: Option[Long] = None,
+                                        appendsOnly: Boolean = false)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -440,6 +441,19 @@ private[sources] class ChangeFeedStream(root: String, table: String,
       v += 1
       }
     }
+    // APPENDS-ONLY mode (`spark.readStream.table` on a catalog table —
+    // the Delta table-streaming contract, public design): the stream's
+    // schema is the TABLE's, so only added rows are expressible; a
+    // version that removed or positionally tombstoned rows refuses
+    // loudly, pointing at the change feed (which carries both sides)
+    if (appendsOnly)
+      slices.find(sl => sl.positional || sl.change == "removed").foreach { sl =>
+        throw new IllegalStateException(
+          s"version ${sl.version} of '$table' removed or rewrote rows — a table " +
+            "stream delivers appends only; stream the CHANGE FEED instead " +
+            s"(.readStream.format(\"${classOf[ChangeFeed].getName}\")) or restart " +
+            "from a checkpoint past the mutation")
+      }
     // bin-pack by bytes: task count follows data volume, not file churn
     val maxBytes = math.max(1L,
       org.apache.spark.network.util.JavaUtils.byteStringAsBytes(

@@ -467,7 +467,8 @@ private[sources] class GraftLakeTable(
   override def name(): String = s"graft:$root#$tableName@v$pinnedVersion"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ)
 
   /** `DELETE FROM … WHERE …` as text → [[Snapshots.deleteWhere]] (the
     * stats-pruned copy-on-write verb). The WHERE must translate to the
@@ -531,6 +532,18 @@ private[sources] class GraftLakeTable(
             throw new IllegalStateException(
               "graft lake reads are planned by the GraftLakeReads analysis rule — " +
                 "build the session with spark.sql.extensions=graft.functions.GraftExtensions")
+          /** `spark.readStream.table("graft.db.t")` — the commit log
+            * IS the offset axis: the table streams as its APPENDS
+            * (the Delta table-streaming contract; versions that
+            * remove/rewrite rows refuse, pointing at the change-feed
+            * format, which carries both sides). Starts from version 0
+            * — the first micro-batch is the table's current content.
+            */
+          override def toMicroBatchStream(checkpointLocation: String)
+              : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+            new ChangeFeedStream(root, tableName, 0L,
+              maxVersionsPerTrigger = None, fullSchema = pruned,
+              appendsOnly = true)
         }
     }
 

@@ -1175,4 +1175,39 @@ class StreamingSpec extends AnyFunSuite {
       s"session counts differ: ${stateful.length} vs ${declarative.length}")
     stateful.zip(declarative).foreach { case (a, b) => assert(a == b) }
   }
+
+  test("readStream.table on a catalog table streams appends; non-append changes refuse") {
+    val sp = spark
+    import graft.sources.{FileStats, Snapshots}
+    val root = java.nio.file.Files.createTempDirectory("streamcat").toString
+    sp.conf.set("spark.sql.catalog.gstream", classOf[graft.sources.GraftCatalog].getName)
+    sp.conf.set("spark.sql.catalog.gstream.root", root)
+    sp.sql("CREATE NAMESPACE gstream.db")
+    sp.sql("CREATE TABLE gstream.db.t (id BIGINT, v BIGINT)")
+    sp.sql("INSERT INTO gstream.db.t VALUES (1, 10), (2, 20)")
+    val name = "cat_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("streamcat_ckpt").toString
+    val q = sp.readStream.table("gstream.db.t")
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      // first batch = the table's current content (versions 1..head)
+      assert(sp.table(name).count() == 2L)
+      // a later SQL INSERT arrives incrementally, exactly once
+      sp.sql("INSERT INTO gstream.db.t VALUES (3, 30)")
+      q.processAllAvailable()
+      assert(sp.table(name).select("id").collect().map(_.getLong(0)).sorted.toSeq
+        == Seq(1L, 2L, 3L))
+      // a non-append change kills the standing stream loudly with the
+      // change-feed pointer (the Delta table-streaming contract)
+      sp.sql("DELETE FROM gstream.db.t WHERE id = 1")
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def chain(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+          .map(x => Option(x.getMessage).getOrElse("")).toSeq
+      assert(chain(e).exists(m => m.contains("appends only") && m.contains("CHANGE FEED")),
+        chain(e))
+    } finally q.stop()
+  }
 }
