@@ -142,6 +142,25 @@ object Relational {
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
       .limit(100)
 
+  /** B57 `q62_offset`: result-page PAGINATION — ORDER BY … LIMIT k
+    * OFFSET n, the page-two form every API layer over the reference
+    * serves (the reference's own examples splice LIMIT,
+    * Example.hs:22-56; OFFSET is its natural companion). Spark lowers
+    * offset+limit into GlobalLimit(n+k) over per-partition
+    * TakeOrdered partials followed by one skip — no full sort ever
+    * materializes, so page depth costs O(n+k) heap per partition,
+    * not an O(corpus) sort (deep pagination at 100 TB should switch
+    * to keyset predicates — q09's top-k with a `>` bound — which the
+    * stats-pruned lake reads serve; this key is the bounded-page
+    * form).
+    */
+  def q62Offset(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .offset(200)
+      .limit(50)
+
   /** B9: DISTINCT aggregation (expand + two-phase hash agg). */
   def q10Distinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -1019,6 +1038,7 @@ object Relational {
     "q07_join_outer" -> q07JoinOuter _,
     "q08_window" -> q08Window _,
     "q09_topk" -> q09TopK _,
+    "q62_offset" -> q62Offset _,
     "q10_distinct" -> q10Distinct _,
     "q11_union" -> q11Union _,
     "q12_rollup" -> q12Rollup _,
@@ -1436,6 +1456,9 @@ object Relational {
     "q09_topk" ->
       """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q62_offset" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50 OFFSET 200""".stripMargin,
     "q10_distinct" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,

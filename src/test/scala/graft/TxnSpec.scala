@@ -2666,6 +2666,41 @@ class TxnSpec extends AnyFunSuite {
     intercept[Exception] { sp.sql("SELECT * FROM gtest.db.t2").collect() }
   }
 
+  test("crash-point sweep: identity appends never reuse or skip ids across crash prefixes") {
+    val sp = spark
+    import sp.implicits._
+    // the identity high-water mark advances IN the manifest publish —
+    // a crash at any step must leave replay assigning the same dense
+    // range (unpublished attempts move nothing), and a landed attempt
+    // must never be re-assigned (ids stay dense and unique)
+    case class InjectedCrash(label: String)
+      extends RuntimeException(s"injected crash at $label")
+    val labels = Seq("store-temp-write", "store-link", "manifest-publish",
+      "post-manifest")
+    val root = Files.createTempDirectory("txncrashid").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    snap.commit(Map("t" -> Seq((1L, "seed")).toDF("id", "v")))
+    snap.addIdentity("t", "id")
+    var expectedN = 1L
+    labels.zipWithIndex.foreach { case (label, i) =>
+      var fired = false
+      snap.faultHook = l =>
+        if (l == label && !fired) { fired = true; throw InjectedCrash(label) }
+      val batch = Seq(s"b$i-1", s"b$i-2", s"b$i-3").toDF("v")
+      val crashed =
+        try { snap.appendIdentity("t", batch); false }
+        catch { case InjectedCrash(_) => true }
+      snap.faultHook = _ => ()
+      if (crashed && snap.read("t").count() == expectedN)
+        snap.appendIdentity("t", batch) // did not land: replay converges
+      expectedN += 3
+      val ids = snap.read("t").select("id").as[Long].collect().sorted.toSeq
+      assert(ids == (1L to expectedN), s"$label: ids not dense/unique: $ids")
+    }
+    // the mark survives a cold reopen at exactly max+1
+    assert(new Snapshots(spark, root).identityColumn("t").get._2 == expectedN + 1)
+  }
+
   test("SQL UPDATE and MERGE as text run through the Snapshots verbs") {
     val sp = spark
     val root = Files.createTempDirectory("sqldml").toString
