@@ -99,11 +99,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftLakeTable(lakeRoot(ident.namespace), ident.name, pinned, schema)
   }
 
-  override def loadTable(ident: Identifier): Table = mkTable(ident, None)
+  private def mkTableOrMeta(ident: Identifier, version: Option[Long]): Table =
+    ident.name.split("\\$", 2) match {
+      case Array(base, kind) if GraftMetaTables.Kinds.contains(kind) =>
+        val sn = snap(ident.namespace)
+        val pinned = version.orElse(sn.currentVersion).getOrElse(
+          throw new NoSuchTableException(ident))
+        if (!sn.tableNames(Some(pinned)).contains(base))
+          throw new NoSuchTableException(ident)
+        new GraftMetaTable(lakeRoot(ident.namespace), base, kind, pinned,
+          GraftMetaTables.df(spark, lakeRoot(ident.namespace), base, kind, pinned).schema)
+      case _ => mkTable(ident, version)
+    }
+
+  override def loadTable(ident: Identifier): Table = mkTableOrMeta(ident, None)
 
   /** `VERSION AS OF v` — Spark's time-travel resolution calls this. */
   override def loadTable(ident: Identifier, version: String): Table =
-    mkTable(ident, Some(
+    mkTableOrMeta(ident, Some(
       try version.toLong
       catch { case _: NumberFormatException => throw new NoSuchTableException(
         s"graft time travel takes a numeric version, got '$version'", ident.name) }))
@@ -590,4 +603,68 @@ private[sources] object GraftLakeTable {
       case _ => None
     }
   }
+}
+
+/** SQL METADATA TABLES — operational introspection as text (the
+  * Iceberg metadata-table idea, public design: `t$history`,
+  * `t$files`, `t$detail`, `t$properties` read the lake's own
+  * bookkeeping through the same catalog):
+  *
+  * {{{
+  *   SELECT * FROM graft.db.`t$history`     -- commit log, newest first
+  *   SELECT * FROM graft.db.`t$files`       -- live data files + bytes
+  *   SELECT * FROM graft.db.`t$detail`      -- one-row DESCRIBE DETAIL
+  *   SELECT * FROM graft.db.`t$properties`  -- TBLPROPERTIES as rows
+  * }}}
+  *
+  * `VERSION AS OF` pins files/detail/properties at an old version;
+  * history always shows the full retained log (filtered to versions
+  * that touched the table). Zero data IO everywhere — every row comes
+  * from manifests/sidecars the driver already resolves.
+  */
+private[sources] object GraftMetaTables {
+
+  val Kinds: Set[String] = Set("history", "files", "detail", "properties")
+
+  def df(s: SparkSession, root: String, table: String, kind: String,
+         version: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{array_contains, col, split}
+    val snap = new Snapshots(s, root)
+    kind match {
+      case "history" =>
+        snap.history().where(array_contains(split(col("changed_tables"), ","), table) ||
+          array_contains(split(col("maint_tables"), ","), table))
+      case "files" =>
+        val files = snap.fileSet(table, version).toSeq.sortBy(_._1)
+        s.createDataFrame(files.map { case (p, len) => (p, len) })
+          .toDF("path", "size_bytes")
+      case "detail" =>
+        import s.implicits._
+        Seq(snap.tableDetail(table, Some(version))).toDF()
+      case "properties" =>
+        val props = snap.properties(table, Some(version)).toSeq.sorted
+        s.createDataFrame(props).toDF("key", "value")
+      case other => throw new IllegalArgumentException(
+        s"unknown metadata table kind '$other' (${Kinds.mkString("/")})")
+    }
+  }
+}
+
+/** One metadata table (see [[GraftMetaTables]]); read-only, resolved
+  * by the GraftLakeReads rule like every catalog read.
+  */
+private[sources] class GraftMetaTable(
+    val root: String, val baseTable: String, val kind: String,
+    val pinnedVersion: Long, tableSchema: StructType)
+    extends Table with SupportsRead {
+
+  override def name(): String = s"graft:$root#$baseTable$$$kind@v$pinnedVersion"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    throw new IllegalStateException(
+      "graft metadata tables are planned by the GraftLakeReads analysis rule — " +
+        "build the session with spark.sql.extensions=graft.functions.GraftExtensions")
 }

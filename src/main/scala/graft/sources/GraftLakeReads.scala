@@ -51,6 +51,14 @@ case class GraftLakeReads(spark: SparkSession) extends Rule[LogicalPlan] {
       case m: MergeIntoTable => rels(m.targetTable)
     }.flatten.toSet
     plan.resolveOperators {
+      case DataSourceV2Relation(t: GraftMetaTable, output, _, _, _, _) =>
+        // metadata tables ($history/$files/$detail/$properties): the
+        // manifest-derived DataFrame, attrs re-bound — zero data IO
+        val read = GraftMetaTables.df(spark, t.root, t.baseTable, t.kind,
+          t.pinnedVersion).queryExecution.analyzed
+        Project(output.zip(read.output).map { case (out, in) =>
+          Alias(in, out.name)(exprId = out.exprId)
+        }, read)
       case r @ DataSourceV2Relation(t: GraftLakeTable, output, _, _, _, _)
           if !writeTargets.contains(r) =>
         val snap = new Snapshots(spark, t.root)

@@ -2666,6 +2666,51 @@ class TxnSpec extends AnyFunSuite {
     intercept[Exception] { sp.sql("SELECT * FROM gtest.db.t2").collect() }
   }
 
+  test("SQL metadata tables: $history/$files/$detail/$properties read the lake's bookkeeping as text") {
+    val sp = spark
+    val root = Files.createTempDirectory("sqlmeta").toString
+    sp.conf.set("spark.sql.catalog.gmeta", classOf[graft.sources.GraftCatalog].getName)
+    sp.conf.set("spark.sql.catalog.gmeta.root", root)
+    sp.sql("CREATE NAMESPACE gmeta.db")
+    sp.sql("CREATE TABLE gmeta.db.t (id BIGINT, v BIGINT)")           // v1
+    sp.sql("INSERT INTO gmeta.db.t VALUES (1, 10), (2, 20)")          // v2
+    sp.sql("INSERT INTO gmeta.db.t VALUES (3, 30)")                   // v3
+    val snap = new Snapshots(sp, root + "/db")
+    snap.setProperties("t", Map("curation.team" -> "data"))           // v4
+
+    // history: every version whose DATA entry changed, newest first
+    // (v4 is a properties-only commit — history's changed-set is
+    // data-centric by contract, the TBLPROPERTIES delta shows in
+    // $properties' version pinning below)
+    val hist = sp.sql("SELECT version FROM gmeta.db.`t$history`").collect()
+      .map(_.getLong(0)).toSeq
+    assert(hist == Seq(3L, 2L, 1L), s"history versions: $hist")
+
+    // files: the live file set with exact recorded bytes, zero listing
+    val files = sp.sql("SELECT path, size_bytes FROM gmeta.db.`t$files`").collect()
+    assert(files.length == snap.read("t").inputFiles.length)
+    assert(files.forall(_.getLong(1) > 0L))
+    // pinned at an old version, the file set is the OLD one
+    assert(sp.sql("SELECT count(*) FROM gmeta.db.`t$files` VERSION AS OF 2")
+      .head.getLong(0) < files.length.toLong)
+
+    // detail: the one-row DESCRIBE DETAIL analog
+    val det = sp.sql("SELECT table, version, numFiles FROM gmeta.db.`t$detail`").head
+    assert(det.getString(0) == "t" && det.getLong(1) == 4L &&
+      det.getInt(2) == files.length)
+
+    // properties as rows
+    val props = sp.sql("SELECT key, value FROM gmeta.db.`t$properties`").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props == Map("curation.team" -> "data"))
+    assert(sp.sql("SELECT count(*) FROM gmeta.db.`t$properties` VERSION AS OF 3")
+      .head.getLong(0) == 0L, "properties must pin at the old version")
+
+    // unknown suffixes and $-tables of missing bases refuse loudly
+    intercept[Exception] { sp.sql("SELECT * FROM gmeta.db.`t$nope`").collect() }
+    intercept[Exception] { sp.sql("SELECT * FROM gmeta.db.`ghost$files`").collect() }
+  }
+
   test("crash-point sweep: identity appends never reuse or skip ids across crash prefixes") {
     val sp = spark
     import sp.implicits._
