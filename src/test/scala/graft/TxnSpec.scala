@@ -2462,7 +2462,14 @@ class TxnSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(20260814L)
     for (seq <- 1 to 15) {
       val root = Files.createTempDirectory("txncrash").toString + "/t"
-      val snap = new Snapshots(spark, root)
+      // every third sequence drives the OBJECT-STORE log (conditional
+      // put; no hard-link temp steps — those labels become the
+      // op-completes case): crash prefixes must resolve identically on
+      // both storage classes
+      val objStore =
+        if (seq % 3 == 0) Some(new graft.sources.InMemoryObjectStore) else None
+      def mkSnap(): Snapshots = new Snapshots(spark, root, objStore)
+      val snap = mkSnap()
       var model = Map.empty[Long, (String, Long)]
       var nextId = 0L
       def batch(n: Int): Seq[(Long, String, Long)] =
@@ -2565,8 +2572,9 @@ class TxnSpec extends AnyFunSuite {
         }
         postFix()
         // a cold reopen mid-sequence must resolve the surviving chain
+        // (same store: the log lives in the bucket on object sequences)
         if (rnd.nextInt(3) == 0)
-          assert(new Snapshots(spark, root).read("t")
+          assert(mkSnap().read("t")
             .as[(Long, String, Long)].collect()
             .map(r => r._1 -> (r._2, r._3)).toMap == model,
             s"seq $seq op $op: cold reopen diverged after $label")
@@ -2655,6 +2663,13 @@ class TxnSpec extends AnyFunSuite {
     assert(!sp.sql("SELECT * FROM gtest.db.t").columns.contains("remark"))
     intercept[Exception] {
       sp.sql("ALTER TABLE gtest.db.t ALTER COLUMN v TYPE STRING") }
+
+    // CTAS: createTable + the V1 write fallback compose into
+    // CREATE TABLE AS SELECT with no extra machinery
+    sp.sql("CREATE TABLE gtest.db.t_copy AS SELECT id, id * 2 AS dbl FROM gtest.db.t")
+    assert(sp.sql("SELECT sum(dbl) FROM gtest.db.t_copy").head.getLong(0) ==
+      sp.sql("SELECT 2 * sum(id) FROM gtest.db.t").head.getLong(0))
+    sp.sql("DROP TABLE gtest.db.t_copy")
 
     // TRUNCATE as text, then RENAME + DROP; files survive for travel
     sp.sql("TRUNCATE TABLE gtest.db.t")
