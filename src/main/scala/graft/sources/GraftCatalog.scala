@@ -52,7 +52,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * read path with full Catalyst pushdown. The write path stays DSv2
   * (`V1Write` fallback → InsertableRelation → append).
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var rootPrefix: String = _
@@ -195,6 +196,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def invalidateTable(ident: Identifier): Unit = ()
+
+  // ---- procedures (maintenance as text — see GraftProcedures) ---------
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(rootPrefix, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftProcedures.Names.map(n => Identifier.of(namespace, n)).toArray
+    else Array.empty
 
   // ---- namespaces ------------------------------------------------------
 

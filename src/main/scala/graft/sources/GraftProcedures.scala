@@ -1,0 +1,109 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+
+/** MAINTENANCE AS TEXT — the operational verbs through SQL `CALL`
+  * (the Iceberg stored-procedure surface, public design; Spark 4's
+  * ProcedureCatalog):
+  *
+  * {{{
+  *   CALL graft.system.compact('db', 't')          -- bin-pack small files
+  *   CALL graft.system.zorder('db', 't', 'a,b')    -- Z-ORDER clustering
+  *   CALL graft.system.vacuum('db', 3)             -- keep last 3 versions
+  *   CALL graft.system.analyze('db', 't', 'id')    -- build _stats sidecars
+  *   CALL graft.system.rollback('db', 4)           -- re-point the head
+  *   CALL graft.system.sync_identity('db', 't')    -- re-sync the id mark
+  * }}}
+  *
+  * Each CALL executes the corresponding Snapshots verb on the driver
+  * and returns its outcome as one result row (version published /
+  * counts) — the same single enforcement path as the Scala API and
+  * the DML-as-text rules.
+  */
+private[sources] object GraftProcedures {
+
+  val Names: Seq[String] =
+    Seq("compact", "zorder", "vacuum", "analyze", "rollback", "sync_identity")
+
+  def load(rootPrefix: String, ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")),
+      s"graft procedures live in the 'system' namespace, got ${ident.namespace.mkString(".")}")
+    def snap(lake: String) =
+      new Snapshots(SparkSession.active, s"$rootPrefix/$lake")
+    def s(in: InternalRow, i: Int): String = in.getUTF8String(i).toString
+
+    def proc(nm: String, params: Seq[(String, DataType)],
+             out: Seq[(String, DataType)])(body: InternalRow => Seq[Any]): UnboundProcedure =
+      new UnboundProcedure {
+        override def name(): String = nm
+        override def description(): String = s"graft maintenance verb '$nm'"
+        override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+          override def name(): String = nm
+          override def description(): String = s"graft maintenance verb '$nm'"
+          override def parameters(): Array[ProcedureParameter] =
+            params.map { case (n, t) => ProcedureParameter.in(n, t).build() }.toArray
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val result = body(input)
+            val schema = StructType(out.map { case (n, t) =>
+              StructField(n, t, nullable = false) })
+            val scan: Scan = new LocalScan {
+              override def rows(): Array[InternalRow] =
+                Array(InternalRow.fromSeq(result))
+              override def readSchema(): StructType = schema
+            }
+            java.util.List.of(scan).iterator()
+          }
+        }
+      }
+
+    ident.name match {
+      case "compact" =>
+        proc("compact",
+          Seq("lake" -> StringType, "table" -> StringType),
+          Seq("version" -> LongType)) { in =>
+          Seq(snap(s(in, 0)).compact(s(in, 1)))
+        }
+      case "zorder" =>
+        proc("zorder",
+          Seq("lake" -> StringType, "table" -> StringType, "cols" -> StringType),
+          Seq("version" -> LongType)) { in =>
+          val cols = s(in, 2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          Seq(snap(s(in, 0)).compact(s(in, 1), zorderCols = cols, statsCols = cols))
+        }
+      case "vacuum" =>
+        proc("vacuum",
+          Seq("lake" -> StringType, "keep_last" -> IntegerType),
+          Seq("versions_dropped" -> IntegerType, "dirs_deleted" -> IntegerType)) { in =>
+          val (d, dirs) = snap(s(in, 0)).vacuum(in.getInt(1))
+          Seq(d, dirs)
+        }
+      case "analyze" =>
+        proc("analyze",
+          Seq("lake" -> StringType, "table" -> StringType, "stats_cols" -> StringType),
+          Seq("dirs_analyzed" -> IntegerType)) { in =>
+          val cols = s(in, 2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          Seq(snap(s(in, 0)).analyzeTable(s(in, 1), cols))
+        }
+      case "rollback" =>
+        proc("rollback",
+          Seq("lake" -> StringType, "to_version" -> LongType),
+          Seq("version" -> LongType)) { in =>
+          Seq(snap(s(in, 0)).rollbackTo(in.getLong(1)))
+        }
+      case "sync_identity" =>
+        proc("sync_identity",
+          Seq("lake" -> StringType, "table" -> StringType),
+          Seq("version" -> LongType)) { in =>
+          Seq(snap(s(in, 0)).syncIdentity(s(in, 1)))
+        }
+      case other => throw new IllegalArgumentException(
+        s"unknown graft procedure '$other' (${Names.mkString("/")})")
+    }
+  }
+}

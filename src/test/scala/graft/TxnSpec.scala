@@ -2681,6 +2681,49 @@ class TxnSpec extends AnyFunSuite {
     intercept[Exception] { sp.sql("SELECT * FROM gtest.db.t2").collect() }
   }
 
+  test("maintenance as text: CALL graft.system.{compact,vacuum,analyze,rollback,zorder}") {
+    val sp = spark
+    val root = Files.createTempDirectory("sqlproc").toString
+    sp.conf.set("spark.sql.catalog.gproc", classOf[graft.sources.GraftCatalog].getName)
+    sp.conf.set("spark.sql.catalog.gproc.root", root)
+    sp.sql("CREATE NAMESPACE gproc.db")
+    sp.sql("CREATE TABLE gproc.db.t (id BIGINT, v BIGINT)")
+    sp.sql("INSERT INTO gproc.db.t VALUES (1, 10), (2, 20)")
+    sp.sql("INSERT INTO gproc.db.t VALUES (3, 30)")
+    sp.sql("INSERT INTO gproc.db.t VALUES (4, 40)")
+    val snap = new Snapshots(sp, root + "/db")
+    val filesBefore = snap.read("t").inputFiles.length
+    assert(filesBefore >= 3, "fixture needs several small files")
+
+    // compact returns the published version; files bin-pack, rows exact
+    val v = sp.sql("CALL gproc.system.compact('db', 't')").head.getLong(0)
+    assert(v == snap.currentVersion.get)
+    assert(snap.read("t").inputFiles.length < filesBefore)
+    assert(sp.sql("SELECT sum(v) FROM gproc.db.t").head.getLong(0) == 100L)
+
+    // analyze builds the stats sidecars (idempotent: second run = 0)
+    assert(sp.sql("CALL gproc.system.analyze('db', 't', 'id')").head.getInt(0) >= 1)
+    assert(sp.sql("CALL gproc.system.analyze('db', 't', 'id')").head.getInt(0) == 0)
+
+    // rollback re-points the head as a NEW version; reads see v-state
+    sp.sql("CALL gproc.system.rollback('db', 2)")
+    assert(sp.sql("SELECT count(*) FROM gproc.db.t").head.getLong(0) == 2L)
+
+    // zorder clusters by the named columns (rows invariant)
+    sp.sql("CALL gproc.system.zorder('db', 't', 'id,v')")
+    assert(sp.sql("SELECT count(*) FROM gproc.db.t").head.getLong(0) == 2L)
+
+    // vacuum drops old versions and reports counts; head survives
+    val vac = sp.sql("CALL gproc.system.vacuum('db', 2)").head
+    assert(vac.getInt(0) > 0)
+    assert(sp.sql("SELECT count(*) FROM gproc.db.t").head.getLong(0) == 2L)
+    intercept[Exception] {
+      sp.sql("SELECT * FROM gproc.db.t VERSION AS OF 1").collect() }
+
+    // unknown procedure refuses loudly
+    intercept[Exception] { sp.sql("CALL gproc.system.explode('db')") }
+  }
+
   test("SQL metadata tables: $history/$files/$detail/$properties read the lake's bookkeeping as text") {
     val sp = spark
     val root = Files.createTempDirectory("sqlmeta").toString
