@@ -2681,6 +2681,37 @@ class TxnSpec extends AnyFunSuite {
     intercept[Exception] { sp.sql("SELECT * FROM gtest.db.t2").collect() }
   }
 
+  test("SQL catalog reads compose with deletion vectors and column mapping") {
+    val sp = spark
+    val root = Files.createTempDirectory("sqlmor").toString
+    sp.conf.set("spark.sql.catalog.gmor", classOf[graft.sources.GraftCatalog].getName)
+    sp.conf.set("spark.sql.catalog.gmor.root", root)
+    sp.sql("CREATE NAMESPACE gmor.db")
+    sp.sql("CREATE TABLE gmor.db.t (id BIGINT, v BIGINT)")
+    sp.sql("INSERT INTO gmor.db.t SELECT id, id * 10 FROM range(100)")
+    val snap = new Snapshots(sp, root + "/db")
+
+    // a standing deletion vector (merge-on-read delete, zero rewrite)
+    // must be applied by the catalog's SQL read — the v1 rewrite path
+    // carries the DV anti-join
+    snap.deleteWhereMoR("t", Seq(ColRange("id", Some(10L), Some(19L))))
+    assert(snap.hasDeletionVector("t", snap.currentVersion.get))
+    assert(sp.sql("SELECT count(*) FROM gmor.db.t").head.getLong(0) == 90L)
+    assert(sp.sql("SELECT sum(v) FROM gmor.db.t").head.getLong(0) ==
+      (0L until 100L).filterNot(i => i >= 10 && i <= 19).map(_ * 10).sum)
+
+    // a column MAPPING (rename without rewrite) resolves through SQL:
+    // new name queryable, old name gone, data intact under the new label
+    snap.renameColumn("t", "v", "val")
+    assert(sp.sql("SELECT sum(val) FROM gmor.db.t").head.getLong(0) ==
+      (0L until 100L).filterNot(i => i >= 10 && i <= 19).map(_ * 10).sum)
+    intercept[Exception] { sp.sql("SELECT v FROM gmor.db.t").collect() }
+
+    // and the SQL DML path sees the mapped schema too
+    sp.sql("INSERT INTO gmor.db.t VALUES (1000, 1)")
+    assert(sp.sql("SELECT val FROM gmor.db.t WHERE id = 1000").head.getLong(0) == 1L)
+  }
+
   test("maintenance as text: CALL graft.system.{compact,vacuum,analyze,rollback,zorder}") {
     val sp = spark
     val root = Files.createTempDirectory("sqlproc").toString
