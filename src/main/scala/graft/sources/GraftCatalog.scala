@@ -97,7 +97,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // plan (logical/column-mapped, post-evolution) — alignment by
     // construction, never by parallel re-derivation
     val schema = sn.read(ident.name, Some(pinned)).schema
-    new GraftLakeTable(lakeRoot(ident.namespace), ident.name, pinned, schema)
+    new GraftLakeTable(lakeRoot(ident.namespace), ident.name, pinned, schema,
+      sn.properties(ident.name, Some(pinned)))
   }
 
   private def mkTableOrMeta(ident: Identifier, version: Option[Long]): Table =
@@ -485,12 +486,15 @@ object GraftCatalog {
   */
 private[sources] class GraftLakeTable(
     val root: String, val tableName: String, val pinnedVersion: Long,
-    tableSchema: StructType)
+    tableSchema: StructType,
+    tableProps: Map[String, String] = Map.empty)
     extends Table with SupportsRead with SupportsWrite
     with SupportsDelete {
 
   override def name(): String = s"graft:$root#$tableName@v$pinnedVersion"
   override def schema(): StructType = tableSchema
+  /** `SHOW TBLPROPERTIES` / DESCRIBE EXTENDED read these. */
+  override def properties(): util.Map[String, String] = tableProps.asJava
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ)

@@ -353,6 +353,14 @@ class PlanSpec extends AnyFunSuite {
       "the vocab-sized df table must broadcast: " + p)
   }
 
+  test("q62 pagination: bounded-heap TakeOrdered partials, never a full global sort") {
+    val p = plan("q62_offset")
+    assert(p.contains("TakeOrderedAndProject"),
+      "offset+limit must ride TakeOrdered partials: " + p)
+    assert(!p.matches("(?s).*Sort \\[o_totalprice.*global=true.*"),
+      "pagination must not materialize a global sort: " + p)
+  }
+
   test("stats-driven lake join strategy: small broadcasts unhinted, mid flips to shuffled-hash, big falls to sort-merge") {
     val sp = spark
     val root = java.nio.file.Files.createTempDirectory("cbolakes").toString

@@ -2652,6 +2652,10 @@ class TxnSpec extends AnyFunSuite {
     // RENAME/DROP COLUMN (column mapping, zero rewrite)
     sp.sql("ALTER TABLE gtest.db.t SET TBLPROPERTIES ('curation.team' = 'data')")
     assert(snap.properties("t")("curation.team") == "data")
+    // SHOW TBLPROPERTIES reads them back through Table.properties()
+    val shown = sp.sql("SHOW TBLPROPERTIES gtest.db.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("curation.team").contains("data"), shown)
     sp.sql("ALTER TABLE gtest.db.t UNSET TBLPROPERTIES ('curation.team')")
     assert(!snap.properties("t").contains("curation.team"))
     sp.sql("ALTER TABLE gtest.db.t ADD COLUMN note STRING")
