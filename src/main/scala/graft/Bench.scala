@@ -184,8 +184,11 @@ object Bench {
     val tjson = taskSec.map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalTask = taskSec.values.sum
+    // scalar summary fields LAST: the driver's artifact keeps only the
+    // TAIL of this line, so the totals/failure count must sit at the
+    // end to survive truncation (key order is irrelevant to parsers)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"queries_task_sec":$tjson,"total_task_sec":$totalTask,"errors":$ejson,"n_failed":${errors.size},"diag":$djson,"sf":"$sfDir","protocol":"wall = min of converged runs (two fastest within 25%, <=5 tries); round-over-round regressions gate on queries_task_sec (load-insensitive executor time of the best run); per-key 1-min loadavg in diag"}"""
+      s"""{"metric":"total","unit":"sec","diag":$djson,"queries":$qjson,"queries_task_sec":$tjson,"errors":$ejson,"protocol":"wall = min of converged runs (two fastest within 25%, <=5 tries); round-over-round regressions gate on queries_task_sec (load-insensitive executor time of the best run); per-key 1-min loadavg in diag","sf":"$sfDir","n_keys":${results.size},"n_failed":${errors.size},"total_task_sec":$totalTask,"value":$total}"""
     println(line)
     Files.writeString(Paths.get(outFile), line + "\n")
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
