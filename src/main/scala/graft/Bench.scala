@@ -56,7 +56,7 @@ object Bench {
     "s11_ann_mmr", "d13_dedup_incremental_cc", "q60_asof_forward", "t27_chunk_overlap",
     "m13_normalize_stats", "d14_dedup_containment", "q61_null_ordering", "m14_image_entropy",
     "t28_quality_gate", "c21_sql_catalog", "c22_lake_join_strategy", "c23_sql_delete",
-    "c24_sql_update_merge", "q62_offset",
+    "c24_sql_update_merge", "q62_offset", "c25_sql_delete_general", "c26_sql_merge_matrix",
     "q33_profile", "q34_histogram")
 
   /** Per-key task-metric sums, so a bench anomaly ships with its own

@@ -405,11 +405,94 @@ object GraftCatalog {
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** A39 `c25_sql_delete_general`: GENERAL-predicate DML as text — the
+    * round-10 lead item: strict bounds, OR, IN, !=, NOT and modulo
+    * residuals all EXECUTE (the r9 surface refused everything outside
+    * conjunctive inclusive ranges). Each statement exercises a
+    * different split shape: (1) strict < OR a modulo residual — the
+    * envelope cannot bound an OR whose sides share no column, so the
+    * whole predicate rides as the exact residual over an unbounded
+    * classification; (2) IN + modulo — the IN contributes a [min,max]
+    * envelope on the status column, the modulo stays residual-only;
+    * (3) UPDATE under != AND NOT(BETWEEN) — pure-residual forms. The
+    * survivors aggregate is the oracle's closed form.
+    */
+  def c25SqlDeleteGeneral(s: SparkSession, dir: String): DataFrame = {
+    val root = s.conf.get("spark.sql.warehouse.dir") + "/c21_catalog"
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", root)
+    Catalog.register(s, dir)
+    val ns = "db_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    s.sql(s"CREATE NAMESPACE graft.$ns")
+    s.sql(s"CREATE TABLE graft.$ns.orders_t (o_orderkey BIGINT, o_orderstatus STRING, price_cents BIGINT)")
+    s.sql(s"""INSERT INTO graft.$ns.orders_t
+             |SELECT o_orderkey, o_orderstatus,
+             |       CAST(round(o_totalprice * 100, 0) AS BIGINT)
+             |FROM orders""".stripMargin)
+    s.sql(s"DELETE FROM graft.$ns.orders_t WHERE o_orderkey < 300 OR o_orderkey % 10 = 7")
+    s.sql(s"DELETE FROM graft.$ns.orders_t WHERE o_orderstatus IN ('F', 'P') AND price_cents % 3 = 0")
+    s.sql(s"""UPDATE graft.$ns.orders_t SET price_cents = price_cents + 11
+             |WHERE o_orderstatus != 'O' AND NOT (o_orderkey BETWEEN 400 AND 499)""".stripMargin)
+    s.sql(s"""SELECT o_orderstatus, count(*) AS n,
+             |       CAST(sum(price_cents) AS BIGINT) AS total_cents
+             |FROM graft.$ns.orders_t
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  /** A40 `c26_sql_merge_matrix`: the FULL MERGE clause matrix as text —
+    * ordered conditional WHEN MATCHED arms (DELETE first, a
+    * conditional UPDATE, an unconditional fallback — order exposure:
+    * a row matching several arms takes the FIRST), a conditional WHEN
+    * NOT MATCHED INSERT, and a WHEN NOT MATCHED BY SOURCE UPDATE
+    * (which forces whole-table classification — its rows lie outside
+    * any source span). One mergeClauses full-outer rewrite, one
+    * published version; the oracle reproduces the matrix in closed
+    * form (matched legs by clause order, target-only leg via NOT
+    * EXISTS, source-only leg by the insert condition).
+    */
+  def c26SqlMergeMatrix(s: SparkSession, dir: String): DataFrame = {
+    val root = s.conf.get("spark.sql.warehouse.dir") + "/c21_catalog"
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", root)
+    Catalog.register(s, dir)
+    val ns = "db_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    s.sql(s"CREATE NAMESPACE graft.$ns")
+    s.sql(s"CREATE TABLE graft.$ns.orders_t (o_orderkey BIGINT, o_orderstatus STRING, price_cents BIGINT)")
+    s.sql(s"""INSERT INTO graft.$ns.orders_t
+             |SELECT o_orderkey, o_orderstatus,
+             |       CAST(round(o_totalprice * 100, 0) AS BIGINT)
+             |FROM orders""".stripMargin)
+    s.sql(s"""MERGE INTO graft.$ns.orders_t t
+             |USING (
+             |  SELECT o_orderkey, o_orderstatus,
+             |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+             |  FROM orders WHERE o_orderkey <= 3000
+             |  UNION ALL
+             |  SELECT o_orderkey + 20000000, o_orderstatus, CAST(5 AS BIGINT)
+             |  FROM orders WHERE o_orderkey <= 64
+             |) s
+             |ON t.o_orderkey = s.o_orderkey
+             |WHEN MATCHED AND t.price_cents > 20000000 THEN DELETE
+             |WHEN MATCHED AND s.o_orderstatus = 'O' THEN UPDATE SET price_cents = t.price_cents + 1000
+             |WHEN MATCHED THEN UPDATE SET price_cents = -1
+             |WHEN NOT MATCHED AND s.price_cents = 5 THEN
+             |  INSERT (o_orderkey, o_orderstatus, price_cents)
+             |  VALUES (s.o_orderkey, s.o_orderstatus, s.price_cents)
+             |WHEN NOT MATCHED BY SOURCE AND t.price_cents < 100000 THEN
+             |  UPDATE SET price_cents = t.price_cents + 7""".stripMargin)
+    s.sql(s"""SELECT o_orderstatus, count(*) AS n,
+             |       CAST(sum(price_cents) AS BIGINT) AS total_cents
+             |FROM graft.$ns.orders_t
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c21_sql_catalog" -> c21SqlCatalog _,
     "c22_lake_join_strategy" -> c22LakeJoinStrategy _,
     "c23_sql_delete" -> c23SqlDelete _,
-    "c24_sql_update_merge" -> c24SqlUpdateMerge _)
+    "c24_sql_update_merge" -> c24SqlUpdateMerge _,
+    "c25_sql_delete_general" -> c25SqlDeleteGeneral _,
+    "c26_sql_merge_matrix" -> c26SqlMergeMatrix _)
 
   val oracles: Map[String, String] = Map(
     "c21_sql_catalog" ->
@@ -469,6 +552,54 @@ object GraftCatalog {
         |  UNION ALL
         |  SELECT o_orderkey + 20000000, o_orderstatus, CAST(7 AS BIGINT)
         |  FROM c WHERE o_orderkey <= 100
+        |)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(price_cents) AS BIGINT) AS total_cents
+        |FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "c25_sql_delete_general" ->
+      """WITH c AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+        |  FROM orders
+        |), d1 AS (
+        |  SELECT * FROM c
+        |  WHERE NOT (o_orderkey < 300 OR o_orderkey % 10 = 7)
+        |), d2 AS (
+        |  SELECT * FROM d1
+        |  WHERE NOT (o_orderstatus IN ('F', 'P') AND price_cents % 3 = 0)
+        |), u AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderstatus != 'O' AND NOT (o_orderkey BETWEEN 400 AND 499)
+        |         THEN price_cents + 11 ELSE price_cents END AS price_cents
+        |  FROM d2
+        |)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(price_cents) AS BIGINT) AS total_cents
+        |FROM u GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "c26_sql_merge_matrix" ->
+      """WITH c AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+        |  FROM orders
+        |), s AS (
+        |  SELECT o_orderkey, o_orderstatus, price_cents FROM c WHERE o_orderkey <= 3000
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000, o_orderstatus, CAST(5 AS BIGINT)
+        |  FROM c WHERE o_orderkey <= 64
+        |), m AS (
+        |  SELECT t.o_orderkey, t.o_orderstatus,
+        |    CASE WHEN s.o_orderstatus = 'O' THEN t.price_cents + 1000
+        |         ELSE CAST(-1 AS BIGINT) END AS price_cents
+        |  FROM c t JOIN s ON t.o_orderkey = s.o_orderkey
+        |  WHERE NOT (t.price_cents > 20000000)
+        |  UNION ALL
+        |  SELECT t.o_orderkey, t.o_orderstatus,
+        |    CASE WHEN t.price_cents < 100000 THEN t.price_cents + 7
+        |         ELSE t.price_cents END
+        |  FROM c t WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.o_orderkey = t.o_orderkey)
+        |  UNION ALL
+        |  SELECT s.o_orderkey, s.o_orderstatus, s.price_cents
+        |  FROM s WHERE s.o_orderkey >= 20000000 AND s.price_cents = 5
         |)
         |SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(price_cents) AS BIGINT) AS total_cents

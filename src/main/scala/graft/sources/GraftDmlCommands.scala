@@ -2,35 +2,46 @@ package graft.sources
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo => CEqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, LogicalPlan, MergeIntoTable, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo => CEqualTo, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
-/** UPDATE and MERGE INTO as TEXT — the remaining statements of the
-  * reference's `execute` surface (Stream.hs:122-145), completing
-  * INSERT/DELETE (GraftCatalog/GraftLakeTable) so every DML verb a
+/** DELETE, UPDATE and MERGE INTO as TEXT — the statement surface of the
+  * reference's `execute` (Stream.hs:122-145), so every DML verb a
   * pgstream caller writes runs against the lake as SQL. The
   * architecture is Delta's (public design: DeltaAnalysis rewrites
-  * UpdateTable/MergeIntoTable on Delta targets into its own runnable
-  * commands): a post-hoc resolution rule converts the resolved logical
-  * command into a LeafRunnableCommand over the existing verb —
-  * [[SnapshotsDmlOps.updateWhere]] / [[SnapshotsDmlOps.mergeInto]] —
+  * row-level commands on Delta targets into its own runnable commands):
+  * a post-hoc resolution rule converts the resolved logical command
+  * into a LeafRunnableCommand over the existing verb —
+  * [[SnapshotsDmlOps.deleteWhere]] / [[SnapshotsDmlOps.updateWhere]] /
+  * [[SnapshotsDmlOps.mergeInto]] / [[SnapshotsDmlOps.mergeClauses]] —
   * so SQL text and the Scala API share ONE enforcement and pruning
   * path (stats-bounded partial rewrites, CHECK/generated/appendOnly
   * gates, manifest atomicity).
   *
-  * Translatability contract (refusals are loud and name the verb):
-  *  - UPDATE's WHERE must be conjunctive inclusive ranges (=, >=, <=,
-  *    BETWEEN, AND — the deleteWhere model); absent WHERE = the whole
-  *    table. SET targets top-level columns; values may be any
-  *    expression over the row.
-  *  - MERGE must be the canonical UPSERT: equi-join ON, exactly one
-  *    unconditional WHEN MATCHED UPDATE and one unconditional WHEN NOT
-  *    MATCHED INSERT assigning the SAME source expressions (key
-  *    columns may keep the target side — equal under the join), no
-  *    NOT-MATCHED-BY-SOURCE arms. Everything else → the Scala verbs.
+  * PREDICATE SPLIT (general WHERE): an arbitrary deterministic
+  * predicate is split into (a) a conservative conjunctive
+  * inclusive-range ENVELOPE — per conjunct, per column, a superset of
+  * the matching region, used only for stats/file pruning and the
+  * concurrent-writer disjointness proof — and (b) the FULL expression
+  * as the exact residual the rewrite applies row-by-row. Strict </>,
+  * OR, IN, !=, NOT, IS NULL and null-safe forms all execute; a
+  * conjunct the envelope cannot bound simply contributes no pruning.
+  * Only non-deterministic predicates and subqueries refuse (loudly,
+  * naming the verb) — a subquery's value is not a row property, and a
+  * non-deterministic predicate would classify files against one
+  * evaluation and rewrite rows against another.
+  *
+  * MERGE lowers the FULL ANSI/Delta clause matrix — ordered
+  * conditional WHEN MATCHED UPDATE/DELETE arms, ordered conditional
+  * WHEN NOT MATCHED INSERT arms, and WHEN NOT MATCHED BY SOURCE
+  * UPDATE/DELETE arms — onto [[SnapshotsDmlOps.mergeClauses]]' one
+  * span-pruned full-outer rewrite. The ON clause must stay a
+  * target-source equi-join (the span-pruning contract); BY SOURCE arms
+  * widen the touched set to the whole table (their rows lie outside
+  * any source span — the engine prunes only when pruning is sound).
   */
 case class GraftDmlCommands(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -45,46 +56,50 @@ case class GraftDmlCommands(spark: SparkSession) extends Rule[LogicalPlan] {
     case ar: AttributeReference => UnresolvedAttribute.quoted(ar.name)
   }
 
-  private def toRanges(t: GraftLakeTable, cond: Option[Expression],
-                       what: String): Seq[FileStats.ColRange] = cond match {
-    case None => Seq(FileStats.ColRange(t.schema().fieldNames.head, None, None))
-    case Some(c) =>
-      // BETWEEN (and other sugar) parses as a RuntimeReplaceable the
-      // filter translator does not unwrap — expand to the primitive
-      // comparisons first
-      val expanded = c.transformUp {
-        case r: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable =>
-          r.replacement
-      }.transformUp {
-        // replacements arrive as `With` common-subexpression nodes
-        // (BETWEEN shares its input) — inline the refs for translation
-        case w: org.apache.spark.sql.catalyst.expressions.With =>
-          val defs = w.defs.map(d => d.id -> d.child).toMap
-          w.child.transformUp {
-            case ref: org.apache.spark.sql.catalyst.expressions.CommonExpressionRef =>
-              defs(ref.id)
-          }
-      }.transformUp {
-        // BETWEEN's replacement wraps literals in casts the filter
-        // translator refuses — fold constant subtrees to plain literals
-        case e if e.foldable && !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] =>
-          org.apache.spark.sql.catalyst.expressions.Literal.create(e.eval(), e.dataType)
-      }
-      org.apache.spark.sql.GraftShim.translateFilter(expanded)
-        .flatMap(f => GraftLakeTable.filterRanges(f))
-        .map { rs =>
-          if (rs.nonEmpty) rs
+  /** Split a resolved WHERE into (envelope ranges for pruning, exact
+    * residual Column). Refuses only subqueries and non-determinism.
+    */
+  private def splitPredicate(t: GraftLakeTable, cond: Option[Expression],
+                             what: String): (Seq[FileStats.ColRange],
+                                             org.apache.spark.sql.Column) =
+    cond match {
+      case None =>
+        (Seq(FileStats.ColRange(t.schema().fieldNames.head, None, None)),
+          org.apache.spark.sql.functions.lit(true))
+      case Some(c) =>
+        if (SubqueryExpression.hasSubquery(c))
+          throw new UnsupportedOperationException(
+            s"$what with a subquery predicate is not supported as SQL text — " +
+              s"materialize the subquery and use the Snapshots verbs (deleteKeys/" +
+              s"applyChanges): $c")
+        if (!c.deterministic)
+          throw new UnsupportedOperationException(
+            s"$what predicate must be deterministic (file classification and the " +
+              s"row rewrite must agree): $c")
+        // expand BETWEEN-style RuntimeReplaceables and inline their
+        // `With` CSE refs BEFORE unresolving: the residual re-resolves
+        // against the verb's own read, and a CommonExpressionDef with
+        // unresolved children breaks that re-resolution
+        val expanded = PredicateEnvelope.expand(c)
+        val env = PredicateEnvelope.of(expanded)
+        val ranges =
+          if (env.nonEmpty) env
           else Seq(FileStats.ColRange(t.schema().fieldNames.head, None, None))
-        }
-        .getOrElse(throw new UnsupportedOperationException(
-          s"$what predicate not expressible as conjunctive inclusive ranges " +
-            s"(=, >=, <=, BETWEEN, AND): $c — use the Snapshots verbs directly"))
-  }
+        (ranges, org.apache.spark.sql.GraftShim.column(unresolve(expanded)))
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case d: DeleteFromTable if d.resolved && graftTable(d.table).isDefined =>
+      val t = graftTable(d.table).get
+      val cond = Option(d.condition).filterNot(_ ==
+        org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral)
+      val (ranges, pred) = splitPredicate(t, cond, "DELETE")
+      GraftDeleteCommand(t.root, t.tableName, ranges, pred,
+        ranges.map(_.col).distinct.filter(_ != null))
+
     case u: UpdateTable if u.resolved && graftTable(u.table).isDefined =>
       val t = graftTable(u.table).get
-      val ranges = toRanges(t, u.condition, "UPDATE")
+      val (ranges, pred) = splitPredicate(t, u.condition, "UPDATE")
       val sets = u.assignments.map { a: Assignment =>
         val name = a.key match {
           case ar: AttributeReference => ar.name
@@ -93,33 +108,36 @@ case class GraftDmlCommands(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         name -> org.apache.spark.sql.GraftShim.column(unresolve(a.value))
       }.toMap
-      GraftUpdateCommand(t.root, t.tableName, ranges, sets,
-        ranges.map(_.col).distinct)
+      GraftUpdateCommand(t.root, t.tableName, ranges, pred, sets,
+        ranges.map(_.col).distinct.filter(_ != null))
 
     case m: MergeIntoTable if m.resolved && graftTable(m.targetTable).isDefined =>
       val t = graftTable(m.targetTable).get
       def refuse(why: String): Nothing = throw new UnsupportedOperationException(
-        s"MERGE INTO as SQL supports only the canonical upsert " +
-          s"(one unconditional WHEN MATCHED UPDATE + one unconditional WHEN NOT " +
-          s"MATCHED INSERT over an equi-join) — $why; use Snapshots.mergeInto/applyChanges")
-      if (m.notMatchedBySourceActions.nonEmpty) refuse("NOT MATCHED BY SOURCE arms present")
-      val (upd, ins) = (m.matchedActions, m.notMatchedActions) match {
-        case (Seq(ua: UpdateAction), Seq(ia: InsertAction))
-            if ua.condition.isEmpty && ia.condition.isEmpty => (ua, ia)
-        case _ => refuse("other/conditional action shapes")
-      }
+        s"MERGE INTO as SQL: $why — use Snapshots.mergeInto/mergeClauses/applyChanges")
+      if (m.withSchemaEvolution) refuse(
+        "WITH SCHEMA EVOLUTION is not wired (evolve via append(mergeSchema = true) first)")
       val tgtOut = m.targetTable.outputSet
-      def asgn(as: Seq[Assignment], what: String): Map[String, Expression] =
+      val srcOut = m.sourceTable.outputSet
+      val cols = t.schema().fieldNames.toSeq
+
+      // rewrite a clause expression onto the verb's joined frame:
+      // target attrs keep their names, source attrs land under the
+      // reserved `_mrg_src_` prefix the verb exposes them as
+      def onJoined(e: Expression): org.apache.spark.sql.Column =
+        org.apache.spark.sql.GraftShim.column(e.transform {
+          case ar: AttributeReference if srcOut.contains(ar) =>
+            UnresolvedAttribute.quoted(Snapshots.SrcPrefix + ar.name)
+          case ar: AttributeReference => UnresolvedAttribute.quoted(ar.name)
+        })
+      def asgn(as: Seq[Assignment], what: String): Map[String, org.apache.spark.sql.Column] =
         as.map { a =>
           a.key match {
-            case ar: AttributeReference => ar.name -> a.value
+            case ar: AttributeReference => ar.name -> onJoined(a.value)
             case other => refuse(s"$what assigns a nested field: $other")
           }
         }.toMap
-      val insSet = asgn(ins.assignments, "INSERT")
-      val updSet = asgn(upd.assignments, "UPDATE")
-      val cols = t.schema().fieldNames.toSeq
-      if (insSet.keySet != cols.toSet) refuse("INSERT does not assign every column")
+
       // equi-join keys: AND of target.col = <source expr>
       def keyPairs(e: Expression): Seq[(String, Expression)] = e match {
         case org.apache.spark.sql.catalyst.expressions.And(l, r) => keyPairs(l) ++ keyPairs(r)
@@ -127,55 +145,214 @@ case class GraftDmlCommands(spark: SparkSession) extends Rule[LogicalPlan] {
             b.references.intersect(tgtOut).isEmpty => Seq(a.name -> b)
         case CEqualTo(b, a: AttributeReference) if tgtOut.contains(a) &&
             b.references.intersect(tgtOut).isEmpty => Seq(a.name -> b)
-        case other => refuse(s"ON clause is not a target-source equi-join: $other")
+        case other => refuse(s"the ON clause must be a target-source equi-join " +
+          s"(span pruning classifies files by the source key span), got: $other")
       }
       val keys = keyPairs(m.mergeCondition)
       if (keys.isEmpty) refuse("no join keys")
-      val keyCols = keys.map(_._1)
-      // the upsert invariant: matched rows take the same source values
-      // the insert arm writes (key columns may keep the target side —
-      // equal by the join condition)
-      cols.filterNot(keyCols.contains).foreach { c =>
-        val uv = updSet.getOrElse(c, refuse(s"UPDATE does not assign column '$c'"))
-        if (!uv.semanticEquals(insSet(c)))
-          refuse(s"UPDATE and INSERT assign different values to '$c'")
+      val keyCols = keys.map(_._1).distinct
+      keyCols.foreach(k => require(cols.contains(k),
+        s"merge key '$k' is not a column of table '${t.tableName}'"))
+
+      val matched: Seq[Snapshots.WhenMatched] = m.matchedActions.map {
+        case ua: UpdateAction =>
+          Snapshots.MatchedUpdate(ua.condition.map(onJoined), asgn(ua.assignments, "UPDATE"))
+        case da: DeleteAction =>
+          Snapshots.MatchedDelete(da.condition.map(onJoined))
+        case other => refuse(s"unsupported WHEN MATCHED action: $other")
       }
-      // source row in target-column order, built on the SOURCE plan
+      val notMatched: Seq[Snapshots.NotMatchedInsert] = m.notMatchedActions.map {
+        case ia: InsertAction =>
+          val vals = asgn(ia.assignments, "INSERT")
+          if (vals.keySet != cols.toSet)
+            refuse(s"INSERT must assign every column of '${t.tableName}' " +
+              s"(got ${vals.keySet.toSeq.sorted.mkString(", ")})")
+          Snapshots.NotMatchedInsert(ia.condition.map(onJoined), vals)
+        case other => refuse(s"unsupported WHEN NOT MATCHED action: $other")
+      }
+      val bySource: Seq[Snapshots.WhenNotMatchedBySource] =
+        m.notMatchedBySourceActions.map {
+          case ua: UpdateAction =>
+            Snapshots.BySourceUpdate(ua.condition.map(onJoined), asgn(ua.assignments, "UPDATE"))
+          case da: DeleteAction =>
+            Snapshots.BySourceDelete(da.condition.map(onJoined))
+          case other => refuse(s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
+        }
+
+      // source rows projected onto the verb's contract: join-key
+      // expressions under their key-column names plus every source
+      // column under the `_mrg_src_` prefix — built on the SOURCE plan
       // (same instance → its resolved attrs stay valid)
+      val srcCols = m.sourceTable.output.map(_.name)
       val srcDf = org.apache.spark.sql.GraftShim.ofRows(spark, m.sourceTable)
-        .select(cols.map(c =>
-          org.apache.spark.sql.GraftShim.column(insSet(c)).as(c)): _*)
-      GraftMergeCommand(t.root, t.tableName, srcDf, keyCols,
-        keyCols)
+        .select(keys.map { case (k, e) =>
+          org.apache.spark.sql.GraftShim.column(e).as(k) } ++
+          m.sourceTable.output.map(a =>
+            org.apache.spark.sql.GraftShim.column(a).as(Snapshots.SrcPrefix + a.name)): _*)
+      GraftMergeCommand(t.root, t.tableName, srcDf, keyCols, srcCols,
+        matched, notMatched, bySource, keyCols)
   }
 }
 
-/** `UPDATE graft.db.t SET … WHERE …` executed through
-  * [[SnapshotsDmlOps.updateWhere]] — stats-pruned partial rewrite, one
+/** Conservative conjunctive inclusive-range ENVELOPE of a resolved
+  * predicate: every matching row lies inside ALL returned ranges. The
+  * translation goes per-conjunct through the engine's own v1 filter
+  * translation (external values, casts folded), then bounds each v1
+  * filter: =, ≥, ≤ directly; strict >/< widened to inclusive; IN to
+  * [min, max]; OR as the per-column union of both sides' envelopes
+  * (bounded only where BOTH sides bound the same column); anything
+  * else contributes nothing (unbounded — correct, just unpruned).
+  */
+private[sources] object PredicateEnvelope {
+
+  import org.apache.spark.sql.sources._
+
+  /** Expand RuntimeReplaceables (BETWEEN & co.), inline their `With`
+    * common-subexpression refs, and fold constant subtrees — yielding
+    * a plain And/Or/comparison tree that both translates to v1 filters
+    * and survives an unresolve → re-resolve round trip.
+    */
+  def expand(cond: Expression): Expression = cond.transformUp {
+      case r: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable =>
+        r.replacement
+    }.transformUp {
+      case w: org.apache.spark.sql.catalyst.expressions.With =>
+        val defs = w.defs.map(d => d.id -> d.child).toMap
+        w.child.transformUp {
+          case ref: org.apache.spark.sql.catalyst.expressions.CommonExpressionRef =>
+            defs(ref.id)
+        }
+    }.transformUp {
+      case e if e.foldable && !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] =>
+        org.apache.spark.sql.catalyst.expressions.Literal.create(e.eval(), e.dataType)
+    }
+
+  /** Envelope of an ALREADY-expanded predicate (see [[expand]]). */
+  def of(expanded: Expression): Seq[FileStats.ColRange] =
+    conjuncts(expanded).flatMap { c =>
+      org.apache.spark.sql.GraftShim.translateFilter(c)
+        .map(f => envelope(f)).getOrElse(Nil)
+    }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def top(a: String): Boolean = !a.contains(".")
+
+  /** v1 Filter → envelope ranges (empty = no information). */
+  private def envelope(f: Filter): Seq[FileStats.ColRange] = f match {
+    case EqualTo(a, v) if top(a) && v != null =>
+      Seq(FileStats.ColRange(a, Some(v), Some(v)))
+    case EqualNullSafe(a, v) if top(a) && v != null =>
+      Seq(FileStats.ColRange(a, Some(v), Some(v)))
+    case GreaterThan(a, v) if top(a) && v != null =>
+      Seq(FileStats.ColRange(a, Some(v), None)) // inclusive superset of strict
+    case GreaterThanOrEqual(a, v) if top(a) && v != null =>
+      Seq(FileStats.ColRange(a, Some(v), None))
+    case LessThan(a, v) if top(a) && v != null =>
+      Seq(FileStats.ColRange(a, None, Some(v)))
+    case LessThanOrEqual(a, v) if top(a) && v != null =>
+      Seq(FileStats.ColRange(a, None, Some(v)))
+    case In(a, vs) if top(a) && vs.nonEmpty && !vs.contains(null) =>
+      (for { lo <- minOf(vs.toSeq); hi <- maxOf(vs.toSeq) }
+        yield FileStats.ColRange(a, Some(lo), Some(hi))).toSeq
+    case And(l, r) => envelope(l) ++ envelope(r)
+    case Or(l, r) => union(envelope(l), envelope(r))
+    case AlwaysTrue() => Nil
+    case _ => Nil // NOT / IS NULL / != / unknown: unbounded, residual decides
+  }
+
+  /** Envelope of a disjunction: per column, [min(lo), max(hi)] — and
+    * ONLY for columns both sides bound (a row may satisfy the other
+    * disjunct anywhere on an unshared column).
+    */
+  private def union(l: Seq[FileStats.ColRange],
+                    r: Seq[FileStats.ColRange]): Seq[FileStats.ColRange] = {
+    def byCol(rs: Seq[FileStats.ColRange]): Map[String, FileStats.ColRange] =
+      rs.groupBy(_.col).flatMap { case (c, group) =>
+        // several ranges on one column conjoin (intersect): tightest lo/hi
+        val los = group.flatMap(_.lo)
+        val his = group.flatMap(_.hi)
+        Some(FileStats.ColRange(c,
+          if (los.isEmpty) None else maxOf(los),
+          if (his.isEmpty) None else minOf(his))).map(c -> _)
+      }
+    val (lm, rm) = (byCol(l), byCol(r))
+    lm.keySet.intersect(rm.keySet).toSeq.sorted.flatMap { c =>
+      val (a, b) = (lm(c), rm(c))
+      val lo = for { x <- a.lo; y <- b.lo; m <- minOf(Seq(x, y)) } yield m
+      val hi = for { x <- a.hi; y <- b.hi; m <- maxOf(Seq(x, y)) } yield m
+      if (lo.isEmpty && hi.isEmpty) None
+      else Some(FileStats.ColRange(c, lo, hi))
+    }
+  }
+
+  /** min/max over external filter values — None when the values are
+    * not mutually comparable (the envelope then just doesn't bound).
+    */
+  private def minOf(vs: Seq[Any]): Option[Any] = reduceBy(vs, lt = true)
+  private def maxOf(vs: Seq[Any]): Option[Any] = reduceBy(vs, lt = false)
+  private def reduceBy(vs: Seq[Any], lt: Boolean): Option[Any] =
+    try {
+      Some(vs.reduce { (a, b) =>
+        val c = a.asInstanceOf[Comparable[Any]].compareTo(b)
+        if ((c <= 0) == lt) a else b
+      })
+    } catch { case _: ClassCastException | _: NullPointerException => None }
+}
+
+/** `DELETE FROM graft.db.t WHERE <any deterministic predicate>` —
+  * envelope-pruned, exact-residual, executed through
+  * [[SnapshotsDmlOps.deleteWhere]]'s copy-on-write rewrite; one
   * published version.
   */
-case class GraftUpdateCommand(root: String, table: String,
+case class GraftDeleteCommand(root: String, table: String,
                               ranges: Seq[FileStats.ColRange],
-                              sets: Map[String, org.apache.spark.sql.Column],
+                              pred: org.apache.spark.sql.Column,
                               statsCols: Seq[String])
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
-    new Snapshots(session, root).updateWhere(table, ranges, sets,
+    new Snapshots(session, root).deleteWhere(table, ranges, pred,
       statsCols.filter(_.nonEmpty))
     Seq.empty
   }
 }
 
-/** `MERGE INTO graft.db.t USING … ON … WHEN …` (upsert form) executed
-  * through [[SnapshotsDmlOps.mergeInto]] — leading-key-span pruning,
-  * one full-outer join over the touched files, one published version.
+/** `UPDATE graft.db.t SET … WHERE <any deterministic predicate>` —
+  * same split, through [[SnapshotsDmlOps.updateWhere]].
+  */
+case class GraftUpdateCommand(root: String, table: String,
+                              ranges: Seq[FileStats.ColRange],
+                              pred: org.apache.spark.sql.Column,
+                              sets: Map[String, org.apache.spark.sql.Column],
+                              statsCols: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    new Snapshots(session, root).updateWhere(table, ranges, pred, sets,
+      statsCols.filter(_.nonEmpty))
+    Seq.empty
+  }
+}
+
+/** `MERGE INTO graft.db.t USING … ON … WHEN …` (full clause matrix)
+  * executed through [[SnapshotsDmlOps.mergeClauses]] — leading-key-span
+  * pruning (whole table when BY SOURCE arms present), one full-outer
+  * join over the touched files, one published version.
   */
 case class GraftMergeCommand(root: String, table: String,
                              source: org.apache.spark.sql.DataFrame,
-                             keyCols: Seq[String], statsCols: Seq[String])
+                             keyCols: Seq[String], srcCols: Seq[String],
+                             matched: Seq[Snapshots.WhenMatched],
+                             notMatched: Seq[Snapshots.NotMatchedInsert],
+                             bySource: Seq[Snapshots.WhenNotMatchedBySource],
+                             statsCols: Seq[String])
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
-    new Snapshots(session, root).mergeInto(table, source, keyCols, statsCols)
+    new Snapshots(session, root).mergeClauses(table, source, keyCols,
+      matched, notMatched, bySource, statsCols, sourceProjected = true)
     Seq.empty
   }
 }

@@ -1044,4 +1044,45 @@ object Snapshots {
                                hasDeletionVector: Boolean,
                                consumedTags: Int,
                                properties: Map[String, String] = Map.empty)
+
+  // ---- MERGE clause matrix (see SnapshotsDmlOps.mergeClauses) ----------
+
+  /** Reserved prefix under which [[SnapshotsDmlOps.mergeClauses]]
+    * exposes SOURCE columns on its joined frame. Clause conditions and
+    * assignment values reference target columns by their own names and
+    * source columns via [[srcCol]].
+    */
+  val SrcPrefix = "_mrg_src_"
+
+  /** A source column inside a merge-clause condition or assignment. */
+  def srcCol(name: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.col(SrcPrefix + name)
+
+  /** Ordered WHEN MATCHED arms: the FIRST arm whose condition holds
+    * (None = unconditional) applies; no arm → the row stays unchanged.
+    */
+  sealed trait WhenMatched { def cond: Option[org.apache.spark.sql.Column] }
+  final case class MatchedUpdate(cond: Option[org.apache.spark.sql.Column],
+                                 set: Map[String, org.apache.spark.sql.Column])
+      extends WhenMatched
+  final case class MatchedDelete(cond: Option[org.apache.spark.sql.Column])
+      extends WhenMatched
+
+  /** Ordered WHEN NOT MATCHED arms: first holding arm inserts its
+    * values (which must assign every table column); no arm → the
+    * source row is dropped.
+    */
+  final case class NotMatchedInsert(cond: Option[org.apache.spark.sql.Column],
+                                    values: Map[String, org.apache.spark.sql.Column])
+
+  /** Ordered WHEN NOT MATCHED BY SOURCE arms over target-only rows
+    * (conditions may reference TARGET columns only — source columns
+    * are all null there by construction).
+    */
+  sealed trait WhenNotMatchedBySource { def cond: Option[org.apache.spark.sql.Column] }
+  final case class BySourceUpdate(cond: Option[org.apache.spark.sql.Column],
+                                  set: Map[String, org.apache.spark.sql.Column])
+      extends WhenNotMatchedBySource
+  final case class BySourceDelete(cond: Option[org.apache.spark.sql.Column])
+      extends WhenNotMatchedBySource
 }

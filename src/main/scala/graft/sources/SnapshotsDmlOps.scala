@@ -24,6 +24,23 @@ private[sources] trait SnapshotsDmlOps { self: Snapshots =>
       touched => touched.where(!coalesce(matchCond(ranges), lit(false))))
   }
 
+  /** GENERAL-predicate DELETE — the split form the SQL front door
+    * lowers to: `pruneRanges` is a conservative conjunctive
+    * inclusive-range ENVELOPE of the predicate (every matching row
+    * provably lies inside it — file classification and the
+    * concurrent-writer disjointness proof stay sound on the superset),
+    * while `pred` is the EXACT predicate applied to the touched rows.
+    * Strict bounds, OR, IN, NOT, != — anything a deterministic row
+    * expression can say — execute; the envelope only bounds how much
+    * gets rewritten, never what matches. Three-valued edge pinned as
+    * in the ranged form: a NULL predicate keeps the row.
+    */
+  def deleteWhere(table: String, pruneRanges: Seq[FileStats.ColRange],
+                  pred: org.apache.spark.sql.Column,
+                  statsCols: Seq[String]): Long =
+    partialRewrite(table, pruneRanges, statsCols, "delete",
+      touched => touched.where(!coalesce(pred, lit(false))))
+
   /** Targeted row UPDATE — same stats-pruned partial-rewrite machinery
     * as [[deleteWhere]]: untouched files re-referenced (zero IO), only
     * files whose stats admit a matching row are rewritten, with `sets`
@@ -47,6 +64,30 @@ private[sources] trait SnapshotsDmlOps { self: Snapshots =>
     }
     partialRewrite(table, ranges, statsCols, "update", { touched =>
       val hit = coalesce(matchCond(ranges), lit(false))
+      sets.foldLeft(touched) { case (df, (c, e)) =>
+        df.withColumn(c, when(hit, e).otherwise(col(c)))
+      }
+    })
+  }
+
+  /** GENERAL-predicate UPDATE — the [[deleteWhere]] split applied to
+    * the update rewrite: envelope for pruning, exact `pred` deciding
+    * which touched rows take the SET expressions (NULL predicate =
+    * pass through unchanged, SQL semantics).
+    */
+  def updateWhere(table: String, pruneRanges: Seq[FileStats.ColRange],
+                  pred: org.apache.spark.sql.Column,
+                  sets: Map[String, org.apache.spark.sql.Column],
+                  statsCols: Seq[String]): Long = {
+    require(sets.nonEmpty, "updateWhere requires at least one SET column")
+    currentVersion.map(readManifest).foreach { m =>
+      val gen = decodeChecks(m.get(table + GenSuffix)).keySet
+      val hit = sets.keySet.intersect(gen)
+      require(hit.isEmpty,
+        s"cannot SET generated column(s) ${hit.mkString(", ")} of table '$table'")
+    }
+    partialRewrite(table, pruneRanges, statsCols, "update", { touched =>
+      val hit = coalesce(pred, lit(false))
       sets.foldLeft(touched) { case (df, (c, e)) =>
         df.withColumn(c, when(hit, e).otherwise(col(c)))
       }
@@ -174,6 +215,163 @@ private[sources] trait SnapshotsDmlOps { self: Snapshots =>
             .otherwise(col(c)).as(c)
         }: _*)
     }, forceOnEmpty = true)
+  }
+
+  /** MERGE with the FULL ANSI/Delta clause matrix — ordered conditional
+    * WHEN MATCHED UPDATE/DELETE arms, ordered conditional WHEN NOT
+    * MATCHED INSERT arms, and WHEN NOT MATCHED BY SOURCE UPDATE/DELETE
+    * arms — lowered onto the SAME span-pruned partial-rewrite engine as
+    * [[mergeInto]]: ONE full-outer join of the touched rows with the
+    * batch-sized source, then per-row clause resolution as pure CASE
+    * logic (first holding arm wins, SQL semantics; no holding arm =
+    * row unchanged / source row dropped).
+    *
+    * Clause conditions and assignment values are Columns over the
+    * JOINED frame: target columns under their own names, source
+    * columns via [[Snapshots.srcCol]] (the reserved `_mrg_src_`
+    * prefix). BY SOURCE arms may reference target columns only (source
+    * side is all-null on their rows by construction).
+    *
+    * Pruning contract: with no BY SOURCE arms, a file whose stats
+    * exclude the source's leading-key span provably holds only
+    * unmatched-by-anything rows that pass through unchanged — so the
+    * span bounds the touched set exactly as mergeInto. BY SOURCE arms
+    * can rewrite rows ARBITRARILY far from any source key, so their
+    * presence widens classification to the whole table (correctness
+    * over pruning — the engine never prunes what it cannot prove).
+    *
+    * Cardinality (ANSI): a target row matching more than one source
+    * row is ambiguous — enforced with one O(batch) aggregate over the
+    * source keys; violations refuse before anything stages. Generated
+    * columns are RECOMPUTED over the rewrite output and CHECK
+    * constraints gate it (partialRewrite's merge pass); appendOnly
+    * refuses the verb outright (Delta's rule).
+    */
+  def mergeClauses(table: String, source0: DataFrame, keyCols: Seq[String],
+                   matched: Seq[Snapshots.WhenMatched],
+                   notMatched: Seq[Snapshots.NotMatchedInsert],
+                   bySource: Seq[Snapshots.WhenNotMatchedBySource],
+                   statsCols: Seq[String] = Nil,
+                   sourceProjected: Boolean = false): Long = {
+    import Snapshots.{BySourceDelete, BySourceUpdate, MatchedDelete, MatchedUpdate, SrcPrefix}
+    require(keyCols.nonEmpty, "mergeClauses requires at least one key column")
+    require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
+      "mergeClauses requires at least one WHEN arm")
+    val headM = readManifest(currentVersion.getOrElse(
+      throw new IllegalStateException(s"no commits under $root")))
+    requireNotAppendOnly(headM, table, "MERGE")
+    val baseRel = dataEntries(headM).getOrElse(table,
+      throw new NoSuchElementException(s"table '$table' not committed under $root"))
+    val existing = logicalSchema(headM, table).getOrElse(writtenSchema(baseRel))
+    val cols = existing.fieldNames.toSeq
+    keyCols.foreach(k => require(cols.contains(k),
+      s"merge key '$k' not a column of table '$table'"))
+    require(cols.forall(!_.startsWith("_mrg_")),
+      s"table '$table' columns collide with merge's reserved '_mrg_' prefix")
+    notMatched.foreach(a => require(a.values.keySet == cols.toSet,
+      s"a WHEN NOT MATCHED arm must assign every column of '$table' " +
+        s"(got ${a.values.keySet.toSeq.sorted.mkString(", ")})"))
+    (matched.collect { case MatchedUpdate(_, set) => set } ++
+      bySource.collect { case BySourceUpdate(_, set) => set })
+      .flatMap(_.keys).foreach(c => require(cols.contains(c),
+        s"UPDATE arm assigns '$c', not a column of table '$table'"))
+    // the verb's source frame: bare key columns + every source column
+    // under the reserved prefix (the SQL rule ships it pre-projected)
+    val srcP =
+      if (sourceProjected) source0
+      else {
+        keyCols.foreach(k => require(source0.columns.contains(k),
+          s"merge source must carry key column '$k'"))
+        source0.select(keyCols.map(col) ++
+          source0.columns.toSeq.map(c => col(c).as(SrcPrefix + c)): _*)
+      }
+    val lead = keyCols.head
+    // one scalar job: span + counts + the ANSI cardinality guard
+    val agg0 = srcP.agg(min(col(lead)), max(col(lead)), count(lit(1)),
+      count(col(lead))).head()
+    val (nSrc, nLead) = (agg0.getLong(2), agg0.getLong(3))
+    if (nSrc == 0L && bySource.isEmpty) return currentVersion.get
+    if (nSrc > 0L) {
+      val dups = srcP.where(keyCols.map(k => col(k).isNotNull).reduce(_ && _))
+        .groupBy(keyCols.map(col): _*).count()
+        .where(col("count") > 1).limit(1).count()
+      require(dups == 0L,
+        s"merge source is not unique on (${keyCols.mkString(", ")}) — " +
+          "a target row matching several source rows is ambiguous (ANSI); " +
+          "dedupe upstream (latest-wins) first")
+    }
+
+    def firedIdx(conds: Seq[Option[org.apache.spark.sql.Column]]): org.apache.spark.sql.Column =
+      conds.zipWithIndex.foldRight(
+        lit(null).cast(org.apache.spark.sql.types.IntegerType)) { case ((c, i), els) =>
+        when(coalesce(c.getOrElse(lit(true)), lit(false)), lit(i)).otherwise(els)
+      }
+    val sF = firedIdx(notMatched.map(_.cond))
+    def insertValue(c: String): org.apache.spark.sql.Column =
+      notMatched.zipWithIndex.foldRight(
+        lit(null).cast(existing(c).dataType): org.apache.spark.sql.Column) {
+        case ((arm, i), els) => when(sF === i, arm.values(c)).otherwise(els)
+      }
+
+    if (nSrc > 0L && nLead == 0L && bySource.isEmpty) {
+      // every leading key is null: nothing can match (SQL ON
+      // semantics), no target row can change — evaluate the insert
+      // arms over the source alone and land them as an O(batch)
+      // append instead of touching any file. Target columns are null
+      // on not-matched rows by definition.
+      if (notMatched.isEmpty) return currentVersion.get
+      val base = cols.foldLeft(srcP.drop(keyCols: _*))((df, c) =>
+        df.withColumn(c, lit(null).cast(existing(c).dataType)))
+      val ins = base.where(sF.isNotNull)
+        .select(cols.map(c => insertValue(c).cast(existing(c).dataType).as(c)): _*)
+      return append(table, ins, statsCols = statsCols)
+    }
+
+    val span =
+      if (bySource.nonEmpty) FileStats.ColRange(lead, None, None)
+      else FileStats.ColRange(lead, Some(agg0.get(0)), Some(agg0.get(1)))
+    partialRewrite(table, Seq(span), statsCols, "merge", { touched =>
+      val srcR = srcP
+        .select(keyCols.map(k => col(k).as(s"_mrg_key_$k")) ++
+          srcP.columns.toSeq.filter(_.startsWith(SrcPrefix)).map(col): _*)
+        .withColumn("_mrg_hit", lit(true))
+      val cond = keyCols.map(k => col(k) === col(s"_mrg_key_$k")).reduce(_ && _)
+      val joined = touched.withColumn("_mrg_tgt", lit(true))
+        .join(srcR, cond, "full_outer")
+      val isM = coalesce(col("_mrg_tgt"), lit(false)) &&
+        coalesce(col("_mrg_hit"), lit(false))
+      val isT = coalesce(col("_mrg_tgt"), lit(false)) &&
+        !coalesce(col("_mrg_hit"), lit(false))
+      val mF = firedIdx(matched.map(_.cond))
+      val tF = firedIdx(bySource.map(_.cond))
+      def deleteFired(isDel: Seq[Boolean], f: org.apache.spark.sql.Column) =
+        coalesce(isDel.zipWithIndex.collect { case (true, i) => f === i }
+          .foldLeft(lit(false))(_ || _), lit(false))
+      val keep =
+        when(isM, !deleteFired(matched.map(_.isInstanceOf[MatchedDelete]), mF))
+          .when(isT, !deleteFired(bySource.map(_.isInstanceOf[BySourceDelete]), tF))
+          .otherwise(sF.isNotNull)
+      def armChain(base: org.apache.spark.sql.Column, c: String,
+                   arms: Seq[(Option[Map[String, org.apache.spark.sql.Column]], Int)],
+                   f: org.apache.spark.sql.Column) =
+        arms.foldRight(base) {
+          case ((Some(set), i), els) if set.contains(c) =>
+            when(f === i, set(c)).otherwise(els)
+          case (_, els) => els
+        }
+      joined.where(keep).select(cols.map { c =>
+        val mV = armChain(col(c), c, matched.zipWithIndex.map {
+          case (MatchedUpdate(_, set), i) => (Some(set), i)
+          case (_, i) => (None, i)
+        }, mF)
+        val tV = armChain(col(c), c, bySource.zipWithIndex.map {
+          case (BySourceUpdate(_, set), i) => (Some(set), i)
+          case (_, i) => (None, i)
+        }, tF)
+        when(isM, mV).when(isT, tV).otherwise(insertValue(c))
+          .cast(existing(c).dataType).as(c)
+      }: _*)
+    }, forceOnEmpty = notMatched.nonEmpty && nSrc > 0L)
   }
 
   /** METADATA-ONLY aggregates (Iceberg's metadata-only queries, public

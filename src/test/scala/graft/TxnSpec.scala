@@ -2638,15 +2638,22 @@ class TxnSpec extends AnyFunSuite {
     snap.unsetProperties("t", Seq("appendOnly"))
 
     // DELETE as text: =, BETWEEN and bare AND translate to the
-    // stats-pruned copy-on-write verb; an untranslatable predicate
-    // (strict <, which inclusive ranges cannot express) refuses
+    // stats-pruned copy-on-write verb; general predicates (strict
+    // bounds, OR, IN — the r10 envelope+residual split) execute too
     sp.sql("DELETE FROM gtest.db.t WHERE id BETWEEN 3 AND 4")
     assert(sp.sql("SELECT count(*) FROM gtest.db.t").head.getLong(0) == 2L)
     sp.sql("DELETE FROM gtest.db.t WHERE id = 1 AND v >= 10")
     assert(sp.sql("SELECT sum(id) FROM gtest.db.t").head.getLong(0) == 2L)
-    intercept[Exception] { sp.sql("DELETE FROM gtest.db.t WHERE v < 100") }
+    // strict bounds + OR: matches nothing here (v = 20), a no-op pass
+    sp.sql("DELETE FROM gtest.db.t WHERE v < 15 OR v > 1000")
     assert(sp.sql("SELECT count(*) FROM gtest.db.t").head.getLong(0) == 1L,
-      "refused DELETE must change nothing")
+      "a general DELETE matching no row must change nothing")
+    // a SUBQUERY predicate is the remaining refusal (not a row
+    // property — materialize and use deleteKeys), loud and unchanged
+    intercept[Exception] {
+      sp.sql("DELETE FROM gtest.db.t WHERE id IN (SELECT id FROM gtest.db.t)") }
+    assert(sp.sql("SELECT count(*) FROM gtest.db.t").head.getLong(0) == 1L,
+      "refused subquery DELETE must change nothing")
 
     // ALTER as text: properties, ADD COLUMN (zero-row schema union),
     // RENAME/DROP COLUMN (column mapping, zero rewrite)
@@ -2854,11 +2861,25 @@ class TxnSpec extends AnyFunSuite {
     // whole-table UPDATE (no WHERE = the unbounded range)
     sp.sql("UPDATE gdml.db.t SET v = v + 1")
     assert(sp.sql("SELECT sum(v) FROM gdml.db.t").head.getLong(0) == 263L)
-    // untranslatable predicate refuses loudly, nothing changes
-    intercept[Exception] { sp.sql("UPDATE gdml.db.t SET v = 0 WHERE id < 2") }
-    assert(sp.sql("SELECT sum(v) FROM gdml.db.t").head.getLong(0) == 263L)
+    // general predicates execute (r10 envelope+residual split): a
+    // strict bound prunes by its inclusive envelope, the exact
+    // residual decides the rows
+    sp.sql("UPDATE gdml.db.t SET v = v - 1 WHERE id < 2")
+    assert(sp.sql("SELECT sum(v) FROM gdml.db.t").head.getLong(0) == 262L)
+    sp.sql("UPDATE gdml.db.t SET v = v + 10 WHERE id IN (1, 3) OR v % 2 = 1")
+    // id1 v=10 (IN), id3 v=131→141 (IN + odd), id2 v=121→131 (odd)
+    assert(sp.sql("SELECT sum(v) FROM gdml.db.t").head.getLong(0) == 20L + 131L + 141L)
+    sp.sql("UPDATE gdml.db.t SET v = v - 10 WHERE id != 2 OR v IS NULL")
+    assert(sp.sql("SELECT sum(v) FROM gdml.db.t").head.getLong(0) == 10L + 131L + 131L)
+    // the remaining refusals: subqueries and non-determinism
+    intercept[Exception] {
+      sp.sql("UPDATE gdml.db.t SET v = 0 WHERE id IN (SELECT id FROM gdml.db.t)") }
+    intercept[Exception] {
+      sp.sql("UPDATE gdml.db.t SET v = 0 WHERE rand() > 0.5") }
+    assert(sp.sql("SELECT sum(v) FROM gdml.db.t").head.getLong(0) == 272L,
+      "refused UPDATE must change nothing")
 
-    // canonical upsert MERGE → mergeInto (one full-outer over touched)
+    // canonical upsert MERGE (one full-outer over touched files)
     sp.sql("""MERGE INTO gdml.db.t t
              |USING (VALUES (2L, 222L), (4L, 44L) AS s(id, v)) s
              |ON t.id = s.id
@@ -2866,16 +2887,21 @@ class TxnSpec extends AnyFunSuite {
              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     val got = sp.sql("SELECT id, v FROM gdml.db.t ORDER BY id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
-    assert(got == Seq((1L, 11L), (2L, 222L), (3L, 131L), (4L, 44L)), got)
-    // a non-upsert shape refuses with the Scala-verb pointer
-    val e = intercept[Exception] {
-      sp.sql("""MERGE INTO gdml.db.t t USING (VALUES (9L, 9L) AS s(id, v)) s
-               |ON t.id = s.id
-               |WHEN MATCHED THEN DELETE""".stripMargin) }
+    assert(got == Seq((1L, 10L), (2L, 222L), (3L, 131L), (4L, 44L)), got)
+    // WHEN MATCHED DELETE — part of the full clause matrix (r10)
+    sp.sql("""MERGE INTO gdml.db.t t USING (VALUES (2L, 9L) AS s(id, v)) s
+             |ON t.id = s.id
+             |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(sp.sql("SELECT count(*) FROM gdml.db.t WHERE id = 2").head.getLong(0) == 0L)
     def chain(t: Throwable): Seq[String] =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
         .map(x => Option(x.getMessage).getOrElse("")).toSeq
-    assert(chain(e).exists(_.contains("canonical upsert")), chain(e))
+    // a non-equi ON still refuses (span pruning needs the key span)
+    val e = intercept[Exception] {
+      sp.sql("""MERGE INTO gdml.db.t t USING (VALUES (9L, 9L) AS s(id, v)) s
+               |ON t.id >= s.id
+               |WHEN MATCHED THEN DELETE""".stripMargin) }
+    assert(chain(e).exists(_.contains("equi-join")), chain(e))
 
     // the appendOnly gate rides both verbs through SQL
     new Snapshots(sp, root + "/db").setProperties("t", Map("appendOnly" -> "true"))
@@ -2885,8 +2911,88 @@ class TxnSpec extends AnyFunSuite {
                |ON t.id = s.id
                |WHEN MATCHED THEN UPDATE SET *
                |WHEN NOT MATCHED THEN INSERT *""".stripMargin) }
-    assert(sp.sql("SELECT count(*) FROM gdml.db.t").head.getLong(0) == 4L,
+    assert(sp.sql("SELECT count(*) FROM gdml.db.t").head.getLong(0) == 3L,
       "refused SQL DML must change nothing")
+  }
+
+  test("MERGE clause matrix: clause order, conditional arms, BY SOURCE, cardinality guard") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("sqlmatrix").toString
+    sp.conf.set("spark.sql.catalog.gmx", classOf[graft.sources.GraftCatalog].getName)
+    sp.conf.set("spark.sql.catalog.gmx.root", root)
+    sp.sql("CREATE NAMESPACE gmx.db")
+    sp.sql("CREATE TABLE gmx.db.t (id BIGINT, v BIGINT)")
+    sp.sql("INSERT INTO gmx.db.t VALUES (1, 10), (2, 20), (3, 30), (4, 40)")
+
+    // clause ORDER: id=2 satisfies BOTH matched arms — the FIRST
+    // (delete) must win; id=3 takes the conditional update; a
+    // conditional insert admits only v=5; the BY SOURCE arm updates
+    // id=1 (v<15) but not id=4
+    sp.sql("""MERGE INTO gmx.db.t t
+             |USING (VALUES (2L, 200L), (3L, 300L), (9L, 900L), (10L, 5L) AS s(id, v)) s
+             |ON t.id = s.id
+             |WHEN MATCHED AND t.v >= 20 THEN DELETE
+             |WHEN MATCHED AND s.v >= 300 THEN UPDATE SET v = s.v + 1
+             |WHEN NOT MATCHED AND s.v = 5 THEN INSERT (id, v) VALUES (s.id, s.v)
+             |WHEN NOT MATCHED BY SOURCE AND t.v < 15 THEN UPDATE SET v = t.v + 7
+             |""".stripMargin)
+    val got = sp.sql("SELECT id, v FROM gmx.db.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 17L), (4L, 40L), (10L, 5L)), got)
+
+    // BY SOURCE DELETE sweeps target-only rows; matched rows survive
+    sp.sql("""MERGE INTO gmx.db.t t
+             |USING (VALUES (10L, 50L) AS s(id, v)) s
+             |ON t.id = s.id
+             |WHEN MATCHED THEN UPDATE SET v = s.v
+             |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val got2 = sp.sql("SELECT id, v FROM gmx.db.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got2 == Seq((10L, 50L)), got2)
+
+    // ANSI cardinality: a source duplicated on the key refuses loudly
+    // and publishes nothing
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    val eDup = intercept[Exception] {
+      sp.sql("""MERGE INTO gmx.db.t t
+               |USING (VALUES (10L, 1L), (10L, 2L) AS s(id, v)) s
+               |ON t.id = s.id
+               |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin) }
+    assert(chain(eDup).exists(_.contains("not unique")), chain(eDup))
+    assert(sp.sql("SELECT v FROM gmx.db.t").head.getLong(0) == 50L,
+      "a refused duplicate-key MERGE must change nothing")
+
+    // the Scala verb directly: srcCol addresses source columns on the
+    // joined frame; no matched arm firing leaves the row unchanged
+    val snap = new Snapshots(sp, root + "/db")
+    snap.append("t", Seq((11L, 11L), (12L, 12L)).toDF("id", "v"))
+    snap.mergeClauses("t",
+      Seq((10L, 500L), (11L, 1L), (13L, 5L)).toDF("id", "v"), Seq("id"),
+      matched = Seq(graft.sources.Snapshots.MatchedUpdate(
+        Some(graft.sources.Snapshots.srcCol("v") >= lit(100L)),
+        Map("v" -> graft.sources.Snapshots.srcCol("v")))),
+      notMatched = Seq(graft.sources.Snapshots.NotMatchedInsert(None,
+        Map("id" -> graft.sources.Snapshots.srcCol("id"),
+          "v" -> graft.sources.Snapshots.srcCol("v")))),
+      bySource = Nil)
+    val got3 = sp.sql("SELECT id, v FROM gmx.db.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // 10 updated (src v 500 >= 100); 11 matched but arm not firing →
+    // unchanged; 12 target-only, no by-source arm → unchanged; 13 inserted
+    assert(got3 == Seq((10L, 500L), (11L, 11L), (12L, 12L), (13L, 5L)), got3)
+
+    // appendOnly refuses the whole verb regardless of arm shapes
+    snap.setProperties("t", Map("appendOnly" -> "true"))
+    intercept[Exception] {
+      snap.mergeClauses("t", Seq((1L, 1L)).toDF("id", "v"), Seq("id"),
+        matched = Nil,
+        notMatched = Seq(graft.sources.Snapshots.NotMatchedInsert(None,
+          Map("id" -> graft.sources.Snapshots.srcCol("id"),
+            "v" -> graft.sources.Snapshots.srcCol("v")))),
+        bySource = Nil) }
   }
 
   test("object store: conditional put admits exactly one winner and bytes are never torn") {
