@@ -628,7 +628,7 @@ private[sources] class GraftLakeTable(
   override def properties(): util.Map[String, String] = tableProps.asJava
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
 
   /** `DELETE FROM … WHERE …` as text → [[Snapshots.deleteWhere]] (the
     * stats-pruned copy-on-write verb). The WHERE must translate to the
@@ -720,6 +720,14 @@ private[sources] class GraftLakeTable(
               ()
             }
           }
+        /** `writeStream.toTable("graft.db.t")` — per-task direct
+          * parquet staging + one manifest publish per epoch, replays
+          * no-oped by the (query id, epoch) tag. See
+          * [[graft.streaming.GraftStreamingWrite]].
+          */
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new graft.streaming.GraftStreamingWrite(root, tableName,
+            info.schema(), info.queryId())
       }
     }
 }

@@ -857,6 +857,88 @@ private[sources] trait SnapshotsDmlOps { self: Snapshots =>
       s"append lost $MaxAttempts consecutive version races under $root")
   }
 
+  /** Publish ONE streaming epoch's staged task files as an atomic
+    * append — the driver half of `writeStream.toTable`
+    * ([[graft.streaming.GraftStreamingWrite]] writes the files, this
+    * publishes them). Differences from [[append]] are exactly the
+    * streaming-direct-write contract:
+    *
+    *  - the data is ALREADY on disk (per-task direct parquet writes —
+    *    no second write, no shuffle); only `files` (the epoch's commit
+    *    messages: exact paths + lengths) are referenced, and stray
+    *    files in the staging dir from failed task attempts are deleted
+    *    here, before anything becomes visible;
+    *  - the consumed-tag check makes a REPLAYED epoch (restart from
+    *    checkpoint) a no-op that deletes its own fresh staging dir —
+    *    the published one has a different run nonce;
+    *  - enforcement is append's, evaluated over a zero-listing read of
+    *    the staged files: schema signature vs the logical view, CHECK
+    *    constraints and generated-column validation (one O(batch)
+    *    aggregate each, only when declared). Identity tables and
+    *    column-mapped tables refuse loudly (staged bytes carry logical
+    *    names and lake-assigned ids cannot be amended) — the
+    *    foreachBatch + append/appendIdentity path covers both.
+    *    appendOnly tables accept (this IS an append).
+    */
+  private[graft] def publishStreamEpoch(table: String, stagingRel: String,
+                                        files: Seq[(String, Long)], tag: String,
+                                        writeSchema: org.apache.spark.sql.types.StructType): Long = {
+    require(tag.matches("[A-Za-z0-9_-]+"), s"epoch tag '$tag' must be [A-Za-z0-9_-]+")
+    def dropStaging(): Unit = {
+      val p = new Path(s"$root/$stagingRel")
+      if (fs.exists(p)) fs.delete(p, true)
+      ()
+    }
+    val v0 = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no commits under $root — CREATE the table first"))
+    if (files.isEmpty) { dropStaging(); return v0 } // rowless epoch: nothing to publish
+    val m0 = readManifest(v0)
+    require(dataEntries(m0).contains(table),
+      s"table '$table' not committed under $root — create it before streaming into it")
+    require(!m0.contains(table + IdentitySuffix),
+      s"table '$table' has an identity column — stream through foreachBatch + appendIdentity " +
+        "(ids are lake-assigned; staged bytes cannot be amended)")
+    require(colmapOf(m0, table).forall(_.forall(p => p._1 == p._2)),
+      s"table '$table' carries a column mapping — stream through foreachBatch + append " +
+        "(the direct writer stages logical column names)")
+    val visible = logicalSchema(m0, table).getOrElse(
+      writtenSchema(dataEntries(m0)(table)))
+    def sig(st: org.apache.spark.sql.types.StructType): Seq[(String, org.apache.spark.sql.types.DataType)] =
+      st.fields.map(f => (f.name, f.dataType)).toSeq
+    require(sig(writeSchema) == sig(visible),
+      s"streaming write schema ${writeSchema.simpleString} != table '$table' schema " +
+        s"${visible.simpleString}")
+    // orphan sweep: failed task attempts may have left files the epoch's
+    // commit messages do not name — they must never become visible
+    val keepNames = files.map { case (r, _) => new Path(r).getName }.toSet
+    val dir = new Path(s"$root/$stagingRel")
+    if (fs.exists(dir))
+      fs.listStatus(dir).filter(st => st.isFile && !keepNames(st.getPath.getName))
+        .foreach(st => fs.delete(st.getPath, false))
+    // write-time contracts over the staged bytes (zero-listing read)
+    val staged = org.apache.spark.sql.GraftLakeShim.parquetByManifest(
+      s, files.map { case (r, l) => (s"$root/$r", l) }, writeSchema)
+    applyGenerated(table, m0, staged, "streaming append")
+    enforceChecks(table, m0, staged, "streaming append")
+    var attempt = v0 + 1
+    for (_ <- 1 to MaxAttempts) {
+      val cur = readManifest(currentVersion.get)
+      if (tagsOf(cur, table).contains(tag)) { dropStaging(); return currentVersion.get }
+      val baseRel = cur.get(table).getOrElse(throw new NoSuchElementException(
+        s"table '$table' left the manifest during the epoch publish"))
+      val baseFiles = storedFiles(cur, table).getOrElse(listRelFiles(splitRel(baseRel)))
+      val schemaOut = storedSchema(cur, table)
+        .orElse(predictReadBack(writeSchema)).getOrElse(writeSchema)
+      val lines = cur + (table -> s"$baseRel;$stagingRel") +
+        ((table + TagsSuffix) -> (tagsOf(cur, table) + tag).toSeq.sorted.mkString(",")) ++
+        Map(schemaLine(table, schemaOut), filesLine(table, baseFiles ++ files))
+      if (writeManifest(attempt, lines)) return attempt
+      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
+    }
+    throw new IllegalStateException(
+      s"publishStreamEpoch lost $MaxAttempts consecutive version races under $root")
+  }
+
   /** The table's identity column and its next value (None = no
     * identity declared). Metadata like [[checks]]: travels with
     * clone/restore/time-travel.

@@ -148,6 +148,62 @@ object GraftReadShim {
       fileSize = length)
 }
 
+/** Distributed parquet writing for the streaming table sink
+  * (`writeStream.toTable` on a graft lake table): per-task writers
+  * produce the SAME parquet bytes `df.write.parquet` would — the
+  * engine's own `ParquetWriteSupport`/`ParquetUtils.prepareWrite`
+  * factory (codec, timestamp/decimal layout, all session parquet
+  * confs), obtained on the DRIVER and shipped serialized exactly as
+  * FileFormatWriter ships it. Bridged here because the factory types
+  * are `private[sql]`; graft code holds them as opaque Serializable.
+  */
+object GraftParquetWriteShim {
+  import org.apache.hadoop.conf.Configuration
+  import org.apache.hadoop.mapreduce.{Job, JobID, TaskAttemptID, TaskID, TaskType}
+  import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+  import org.apache.spark.sql.execution.datasources.OutputWriterFactory
+  import org.apache.spark.sql.types.StructType
+
+  /** Driver-side: (writer factory, job conf carrying the write schema
+    * and parquet settings) — both serializable to executors. The job
+    * conf matters: the parquet WriteSupport reads the row schema from
+    * the task's configuration, which prepareWrite installs.
+    */
+  def writerSetup(spark: SparkSession, schema: StructType)
+      : (java.io.Serializable, java.io.Serializable) = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val sqlConf = classic.sessionState.conf
+    val job = Job.getInstance(classic.sessionState.newHadoopConf())
+    val factory = org.apache.spark.sql.execution.datasources.parquet.ParquetUtils
+      .prepareWrite(sqlConf, job, schema,
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetOptions(
+          Map.empty[String, String], sqlConf))
+    (factory, new org.apache.spark.util.SerializableConfiguration(job.getConfiguration))
+  }
+
+  /** Executor-side: open a parquet writer at the EXACT path. */
+  def open(factory: java.io.Serializable, conf: java.io.Serializable,
+           path: String, schema: StructType, partitionId: Int,
+           taskId: Long): GraftRowFileWriter = {
+    val f = factory.asInstanceOf[OutputWriterFactory]
+    val ctx = new TaskAttemptContextImpl(new Configuration(hadoopConf(conf)),
+      new TaskAttemptID(new TaskID(new JobID("graftstream", 0), TaskType.MAP, partitionId),
+        (taskId % Int.MaxValue).toInt))
+    new GraftRowFileWriter(f.newInstance(path, schema, ctx))
+  }
+
+  /** Executor-side: the shipped Hadoop configuration. */
+  def hadoopConf(conf: java.io.Serializable): Configuration =
+    conf.asInstanceOf[org.apache.spark.util.SerializableConfiguration].value
+}
+
+/** Thin public wrapper over the `private[sql]` OutputWriter. */
+final class GraftRowFileWriter private[sql](
+    w: org.apache.spark.sql.execution.datasources.OutputWriter) {
+  def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit = w.write(row)
+  def close(): Unit = w.close()
+}
+
 /** Input-type declaration bridge. `AbstractDataType` (and therefore the
   * `inputTypes` override signature of `ImplicitCastInputTypes`) is
   * private[sql] in Spark 4.1, so the override must be written inside this

@@ -1210,4 +1210,78 @@ class StreamingSpec extends AnyFunSuite {
         chain(e))
     } finally q.stop()
   }
+
+  test("writeStream.toTable: distributed epoch publish, restart exactly-once, refusals") {
+    val sp = spark
+    import graft.sources.Snapshots
+    val root = java.nio.file.Files.createTempDirectory("streamsink").toString
+    sp.conf.set("spark.sql.catalog.gsink", classOf[graft.sources.GraftCatalog].getName)
+    sp.conf.set("spark.sql.catalog.gsink.root", root)
+    sp.sql("CREATE NAMESPACE gsink.db")
+    sp.sql("CREATE TABLE gsink.db.src (id BIGINT, v BIGINT)")
+    sp.sql("CREATE TABLE gsink.db.dst (id BIGINT, dbl BIGINT)")
+    sp.sql("INSERT INTO gsink.db.src VALUES (1, 10), (2, 20)")
+    val ckpt = java.nio.file.Files.createTempDirectory("streamsink_ckpt").toString
+    // the pure-text loop: readStream.table → transform → writeStream.toTable
+    def drain(): Unit = {
+      val q = sp.readStream.table("gsink.db.src")
+        .selectExpr("id", "v * 2 AS dbl")
+        .writeStream.option("checkpointLocation", ckpt)
+        .toTable("gsink.db.dst")
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    def dst(): Seq[(Long, Long)] =
+      sp.sql("SELECT id, dbl FROM gsink.db.dst ORDER BY id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(dst() == Seq((1L, 20L), (2L, 40L)), dst())
+
+    // restart from the checkpoint with nothing new: the replayed/empty
+    // epochs publish nothing (tag no-op) — exactly-once across restarts
+    drain()
+    assert(dst() == Seq((1L, 20L), (2L, 40L)), s"restart duplicated rows: ${dst()}")
+
+    // new source commits flow incrementally, exactly once
+    sp.sql("INSERT INTO gsink.db.src VALUES (3, 30)")
+    sp.sql("INSERT INTO gsink.db.src VALUES (4, 40)")
+    drain()
+    assert(dst() == Seq((1L, 20L), (2L, 40L), (3L, 60L), (4L, 80L)), dst())
+
+    // the sink's appends are REAL lake versions: file metadata carries
+    // exact lengths (reads plan without listing), history advances,
+    // and a SECOND independent query (own checkpoint) interleaves
+    val snap = new Snapshots(sp, root + "/db")
+    val files = sp.sql("SELECT size_bytes FROM gsink.db.`dst$files`").collect()
+    assert(files.nonEmpty && files.forall(_.getLong(0) > 0L))
+    val ckpt2 = java.nio.file.Files.createTempDirectory("streamsink_ckpt2").toString
+    val q2 = sp.readStream.table("gsink.db.src")
+      .selectExpr("id + 100 AS id", "v AS dbl")
+      .writeStream.option("checkpointLocation", ckpt2)
+      .toTable("gsink.db.dst")
+    try q2.processAllAvailable() finally q2.stop()
+    assert(sp.sql("SELECT count(*) FROM gsink.db.dst").head.getLong(0) == 8L)
+
+    // CHECK constraints gate the streaming path too: a violating epoch
+    // publishes nothing and the stream dies loudly
+    snap.addCheck("dst", "dbl_cap", "dbl < 1000")
+    sp.sql("INSERT INTO gsink.db.src VALUES (5, 600)") // 600*2 = 1200 > cap
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(12)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    val eChk = intercept[Exception] { drain() }
+    assert(chain(eChk).exists(_.contains("dbl_cap")), chain(eChk))
+    assert(sp.sql("SELECT count(*) FROM gsink.db.dst").head.getLong(0) == 8L,
+      "a refused epoch must publish nothing into dst")
+
+    // schema mismatch refuses loudly, nothing published
+    val eSch = intercept[Exception] {
+      val q = sp.readStream.table("gsink.db.src")
+        .selectExpr("id", "CAST(v AS STRING) AS dbl")
+        .writeStream.option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("streamsink_bad").toString)
+        .toTable("gsink.db.dst")
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(chain(eSch).exists(m => m.contains("schema") || m.contains("BIGINT")), chain(eSch))
+  }
 }
