@@ -103,7 +103,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def mkTableOrMeta(ident: Identifier, version: Option[Long]): Table =
     ident.name.split("\\$", 2) match {
-      case Array(base, kind) if GraftMetaTables.Kinds.contains(kind) =>
+      case Array(base, kind) if GraftMetaTables.Kinds.contains(kind.split("\\$").head) =>
         val sn = snap(ident.namespace)
         val pinned = version.orElse(sn.currentVersion).getOrElse(
           throw new NoSuchTableException(ident))
@@ -486,8 +486,54 @@ object GraftCatalog {
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** A41 `c28_sql_changes`: the CHANGE FEED as pure SQL text — the
+    * cursor `stream` of Stream.hs:244-284 as a QUERY (`t$changes`
+    * metadata table over the DV-aware readChanges diff). Two window
+    * shapes on one lake built entirely as text (INSERT, a range
+    * DELETE, a range UPDATE): the `replay` leg folds the FULL feed
+    * (from the post-create version) to net deltas — insert-then-delete
+    * cancels, update old/new cancels to the new value, so the fold
+    * reproduces exactly the head state as +1 rows (the CDC replay
+    * property); the `win` leg folds only the post-insert window, where
+    * the deltas are the c08 shape — delete(−1), update-old(−1),
+    * update-new(+1). One oracle pins both reductions to DuckDB's
+    * closed forms over raw orders.
+    */
+  def c28SqlChanges(s: SparkSession, dir: String): DataFrame = {
+    val root = s.conf.get("spark.sql.warehouse.dir") + "/c21_catalog"
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", root)
+    Catalog.register(s, dir)
+    val ns = "db_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    s.sql(s"CREATE NAMESPACE graft.$ns")
+    s.sql(s"CREATE TABLE graft.$ns.orders_t (o_orderkey BIGINT, o_orderstatus STRING, price_cents BIGINT)") // v1
+    s.sql(s"""INSERT INTO graft.$ns.orders_t
+             |SELECT o_orderkey, o_orderstatus,
+             |       CAST(round(o_totalprice * 100, 0) AS BIGINT)
+             |FROM orders""".stripMargin)                                       // v2
+    s.sql(s"DELETE FROM graft.$ns.orders_t WHERE o_orderkey BETWEEN 1000 AND 1999")  // v3
+    s.sql(s"""UPDATE graft.$ns.orders_t SET price_cents = price_cents + 7
+             |WHERE o_orderkey BETWEEN 3000 AND 3499""".stripMargin)            // v4
+    def fold(rel: String, phase: String): String =
+      s"""SELECT '$phase' AS phase, delta, o_orderstatus, count(*) AS n,
+         |       CAST(sum(price_cents) AS BIGINT) AS total_cents
+         |FROM (
+         |  SELECT o_orderkey, o_orderstatus, price_cents,
+         |         sum(CASE WHEN _change = 'added' THEN 1 ELSE -1 END) AS delta
+         |  FROM graft.$ns.`$rel`
+         |  GROUP BY o_orderkey, o_orderstatus, price_cents
+         |  HAVING sum(CASE WHEN _change = 'added' THEN 1 ELSE -1 END) != 0
+         |) GROUP BY delta, o_orderstatus""".stripMargin
+    s.sql(s"""SELECT * FROM (
+             |  ${fold("orders_t$changes$1", "replay")}
+             |  UNION ALL
+             |  ${fold("orders_t$changes$2$4", "win")}
+             |) ORDER BY phase, delta, o_orderstatus""".stripMargin)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c21_sql_catalog" -> c21SqlCatalog _,
+    "c28_sql_changes" -> c28SqlChanges _,
     "c22_lake_join_strategy" -> c22LakeJoinStrategy _,
     "c23_sql_delete" -> c23SqlDelete _,
     "c24_sql_update_merge" -> c24SqlUpdateMerge _,
@@ -495,6 +541,37 @@ object GraftCatalog {
     "c26_sql_merge_matrix" -> c26SqlMergeMatrix _)
 
   val oracles: Map[String, String] = Map(
+    "c28_sql_changes" ->
+      """WITH c AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+        |  FROM orders
+        |), head AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey BETWEEN 3000 AND 3499
+        |         THEN price_cents + 7 ELSE price_cents END AS price_cents
+        |  FROM c WHERE NOT (o_orderkey BETWEEN 1000 AND 1999)
+        |), replay AS (
+        |  SELECT 'replay' AS phase, 1 AS delta, o_orderstatus,
+        |    count(*) AS n, CAST(sum(price_cents) AS BIGINT) AS total_cents
+        |  FROM head GROUP BY o_orderstatus
+        |), win AS (
+        |  SELECT 'win' AS phase, delta, o_orderstatus,
+        |    count(*) AS n, CAST(sum(price_cents) AS BIGINT) AS total_cents
+        |  FROM (
+        |    SELECT -1 AS delta, o_orderstatus, price_cents FROM c
+        |    WHERE o_orderkey BETWEEN 1000 AND 1999
+        |    UNION ALL
+        |    SELECT -1 AS delta, o_orderstatus, price_cents FROM c
+        |    WHERE o_orderkey BETWEEN 3000 AND 3499
+        |    UNION ALL
+        |    SELECT 1 AS delta, o_orderstatus, price_cents + 7 FROM c
+        |    WHERE o_orderkey BETWEEN 3000 AND 3499
+        |  ) GROUP BY delta, o_orderstatus
+        |)
+        |SELECT phase, CAST(delta AS BIGINT) AS delta, o_orderstatus, n, total_cents
+        |FROM (SELECT * FROM replay UNION ALL SELECT * FROM win)
+        |ORDER BY phase, delta, o_orderstatus""".stripMargin,
     "c21_sql_catalog" ->
       """WITH c AS (
         |  SELECT o_orderkey, o_orderstatus,
@@ -779,13 +856,37 @@ private[sources] object GraftLakeTable {
   */
 private[sources] object GraftMetaTables {
 
-  val Kinds: Set[String] = Set("history", "files", "detail", "properties")
+  val Kinds: Set[String] = Set("history", "files", "detail", "properties", "changes")
 
   def df(s: SparkSession, root: String, table: String, kind: String,
          version: Long): DataFrame = {
     import org.apache.spark.sql.functions.{array_contains, col, split}
     val snap = new Snapshots(s, root)
     kind match {
+      /** SQL CHANGE FEED — the Delta `table_changes` idea as a
+        * metadata table (the cursor `stream` of Stream.hs:244-284 as a
+        * QUERY): `` t$changes `` = the full feed (0 → pinned head, the
+        * whole table as `added` plus later churn; `VERSION AS OF` pins
+        * the upper end), `` t$changes$F `` = F → pinned, and
+        * `` t$changes$F$T `` = the explicit window. Rows are the
+        * DV-aware readChanges delta — data columns + `_change`
+        * (added/removed) — planned as the engine's zero-listing
+        * manifest diff, O(changed files + DV), fully distributed (no
+        * driver rows; the GraftLakeReads rewrite plans it like every
+        * catalog read).
+        */
+      case ch if ch == "changes" || ch.startsWith("changes$") =>
+        val parts = ch.split("\\$").drop(1)
+        def v(i: Int, what: String): Option[Long] = parts.lift(i).map { p =>
+          try p.toLong catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"$table$$changes takes numeric versions, got '$p' for $what " +
+                "(t$changes | t$changes$from | t$changes$from$to)")
+          }
+        }
+        val from = v(0, "from").getOrElse(0L)
+        val to = v(1, "to").getOrElse(version)
+        snap.readChanges(table, from, to)
       case "history" =>
         snap.history().where(array_contains(split(col("changed_tables"), ","), table) ||
           array_contains(split(col("maint_tables"), ","), table))

@@ -2806,6 +2806,31 @@ class TxnSpec extends AnyFunSuite {
     assert(sp.sql("SELECT count(*) FROM gmeta.db.`t$properties` VERSION AS OF 3")
       .head.getLong(0) == 0L, "properties must pin at the old version")
 
+    // the SQL change feed: t$changes = full feed (everything `added`
+    // plus later churn), t$changes$F / t$changes$F$T = windows, all
+    // DV-aware readChanges plans (distributed, zero listing)
+    assert(sp.sql("SELECT count(*) FROM gmeta.db.`t$changes`").head.getLong(0) == 3L)
+    assert(sp.sql(
+      "SELECT count(*) FROM gmeta.db.`t$changes` WHERE _change = 'added'")
+      .head.getLong(0) == 3L)
+    // the v2→v3 window carries only the second insert
+    val win = sp.sql("SELECT id, _change FROM gmeta.db.`t$changes$2$3`").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(win == Seq((3L, "added")), win.toString)
+    // VERSION AS OF pins the feed's upper end
+    assert(sp.sql("SELECT count(*) FROM gmeta.db.`t$changes` VERSION AS OF 2")
+      .head.getLong(0) == 2L)
+    // a DELETE surfaces as `removed` in the post-delete window
+    new Snapshots(sp, root + "/db").deleteWhere("t",
+      Seq(ColRange("id", Some(1L), Some(1L))))
+    val head = new Snapshots(sp, root + "/db").currentVersion.get
+    val del = sp.sql(
+      s"SELECT id, _change FROM gmeta.db.`t$$changes$$3$$$head` ORDER BY _change, id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(del.contains((1L, "removed")) && !del.exists(_ == ((1L, "added"))), del.toString)
+    // non-numeric window bounds refuse loudly
+    intercept[Exception] { sp.sql("SELECT * FROM gmeta.db.`t$changes$x`").collect() }
+
     // unknown suffixes and $-tables of missing bases refuse loudly
     intercept[Exception] { sp.sql("SELECT * FROM gmeta.db.`t$nope`").collect() }
     intercept[Exception] { sp.sql("SELECT * FROM gmeta.db.`ghost$files`").collect() }
