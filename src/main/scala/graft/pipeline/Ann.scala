@@ -168,17 +168,25 @@ object Ann {
       .orderBy(desc("rrf_score"), col("doc_id")).limit(k)
   }
 
-  def s08AnnFiltered(s: SparkSession, dir: String, label: Int = 2): DataFrame = {
-    val e = emb(s, dir)
-    val q = e.where(col("vec_id") < NQueries).select(
+  def s08AnnFiltered(s: SparkSession, dir: String, label: Int = 2): DataFrame =
+    annExactFilteredOn(emb(s, dir), col("label") === label)
+
+  /** Exact pre-filtered top-k — s08's shape over any corpus/predicate:
+    * the predicate lands on the corpus SCAN (PushedFilters), queries
+    * stay unfiltered. Also the ground truth the filtered INDEX paths
+    * (s12 / the IVFPQ composition) are recall-gated against.
+    */
+  def annExactFilteredOn(e: DataFrame, pred: Column,
+                         nQueries: Int = NQueries, k: Int = K): DataFrame = {
+    val q = e.where(col("vec_id") < nQueries).select(
       col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     topKPerQuery(
-      e.where(col("label") === label) // pushed to the parquet scan
+      e.where(pred) // pushed to the parquet scan
         .select(col("vec_id"), col("embedding"))
         .crossJoin(broadcast(q))
         .where(col("vec_id") =!= col("q_id"))
         .withColumn("cos", cosine_sim(col("embedding"), col("q_vec"))),
-      K)
+      k)
   }
 
   /** LSH candidate pairs (q_id, q_vec, vec_id, embedding) for any
@@ -288,15 +296,24 @@ object Ann {
 
   /** IVF over any (vec_id, embedding) corpus — see [[s03AnnIvf]]. */
   def annIvfOn(e: DataFrame, nlist: Int = 16, nprobe: Int = 4,
-               nQueries: Int = NQueries, k: Int = K): DataFrame =
-    annIvfWith(e, hashDrawCentroids(e, nlist), nprobe, nQueries, k)
+               nQueries: Int = NQueries, k: Int = K,
+               corpusPred: Option[Column] = None): DataFrame =
+    annIvfWith(e, hashDrawCentroids(e, nlist), nprobe, nQueries, k, corpusPred)
 
   /** IVF probe against an EXPLICIT centroid set (hash-drawn or
     * k-means||-trained) — the search half, shared by both quantizers.
     */
   def annIvfWith(e: DataFrame, cents: DataFrame, nprobe: Int,
-                 nQueries: Int = NQueries, k: Int = K): DataFrame = {
-    val corpus = coarseAssign(cents, e.select(col("vec_id"), col("embedding")),
+                 nQueries: Int = NQueries, k: Int = K,
+                 corpusPred: Option[Column] = None): DataFrame = {
+    // s08's pre-filter contract COMPOSED with the index path: the
+    // metadata predicate lands on the CORPUS side before coarse
+    // assignment and list scoring — ineligible vectors filter at the
+    // scan (PushedFilters), are never assigned, never scored, never
+    // heap-compared — while queries stay unfiltered; the top-k heap
+    // sees only eligible candidates (pre-filter, not post-filter)
+    val src = corpusPred.fold(e)(p => e.where(p))
+    val corpus = coarseAssign(cents, src.select(col("vec_id"), col("embedding")),
       "vec_id", "embedding", 1)
     val queries = coarseAssign(cents,
       e.where(col("vec_id") < nQueries)
@@ -315,8 +332,10 @@ object Ann {
     * [[annLshCandidates]]).
     */
   private[graft] def annIvfCandidates(e: DataFrame, cents: DataFrame,
-                                      nprobe: Int, nQueries: Int = NQueries): Long = {
-    val corpus = coarseAssign(cents, e.select(col("vec_id"), col("embedding")),
+                                      nprobe: Int, nQueries: Int = NQueries,
+                                      corpusPred: Option[Column] = None): Long = {
+    val corpus = coarseAssign(cents,
+      corpusPred.fold(e)(p => e.where(p)).select(col("vec_id"), col("embedding")),
       "vec_id", "embedding", 1).select("vec_id", "cid")
     val queries = coarseAssign(cents,
       e.where(col("vec_id") < nQueries)
@@ -562,11 +581,17 @@ object Ann {
                  m: Int = 8, ksub: Int = 16, shortlist: Int = 100,
                  nQueries: Int = NQueries, k: Int = K, iters: Int = 2,
                  index: Option[(DataFrame, DataFrame)] = None,
-                 coarse: Option[DataFrame] = None): DataFrame = {
+                 coarse: Option[DataFrame] = None,
+                 corpusPred: Option[Column] = None): DataFrame = {
     val cents = coarse.getOrElse(hashDrawCentroids(e, nlist))
     val (codebook, codes) = index.getOrElse(pqIndex(e, m, ksub, iters))
-    // the IVFPQ index: (cid, vec_id, codes) — coarse list + byte codes
-    val corpusIdx = coarseAssign(cents, e.select(col("vec_id"), col("embedding")),
+    // the IVFPQ index: (cid, vec_id, codes) — coarse list + byte codes.
+    // corpusPred = s08's pre-filter on the CODES SCAN: ineligible
+    // vectors drop before the probe join, so neither their ADC lookups
+    // nor their shortlist slots are ever spent (queries unfiltered;
+    // the exact re-rank inherits the already-filtered shortlist)
+    val srcIdx = corpusPred.fold(e)(p => e.where(p))
+    val corpusIdx = coarseAssign(cents, srcIdx.select(col("vec_id"), col("embedding")),
         "vec_id", "embedding", 1)
       .select("vec_id", "cid")
       .join(codes, "vec_id")
@@ -580,6 +605,24 @@ object Ann {
       .where(col("vec_id") =!= col("q_id"))
       .join(broadcast(lut), "q_id")
     adcRerank(e, pairs, m, ksub, shortlist, nQueries, k)
+  }
+
+  /** C65 `s12_ann_filtered_ivf`: FILTERED vector search ON THE INDEX
+    * PATHS — s08 proved the pre-filter contract on the exact scan;
+    * this key composes the same predicate with the trained-IVF probe
+    * (and AnnSpec gates the IVFPQ composition): the filter lands on
+    * the corpus side BEFORE coarse assignment and list scoring, so
+    * the scored set is (eligible ∩ probed lists) — strictly cheaper
+    * than unfiltered IVF, never a post-filter that starves the heap.
+    * Rows-only (approximate result — no ANSI oracle); AnnSpec holds
+    * the recall-vs-exact-filtered and scored-fraction gates at 1-in-3
+    * selectivity on both s03's and s06's paths.
+    */
+  def s12AnnFilteredIvf(s: SparkSession, dir: String): DataFrame = {
+    val cents = ivfCentroidsStaged(s, dir)
+    val nlist = cents.count().toInt
+    annIvfWith(emb(s, dir), cents, nprobe = math.max(4, nlist / 4),
+      corpusPred = Some(col("label") < 3))
   }
 
   def s06AnnIvfPq(s: SparkSession, dir: String): DataFrame = {
@@ -973,7 +1016,8 @@ object Ann {
     "s07_ann_index_append" -> s07AnnIndexAppend _,
     "s08_ann_filtered" -> ((s, dir) => s08AnnFiltered(s, dir)),
     "s09_hybrid_rrf" -> ((s, dir) => s09HybridRrf(s, dir)),
-    "s10_ann_range" -> ((s, dir) => s10AnnRange(s, dir)))
+    "s10_ann_range" -> ((s, dir) => s10AnnRange(s, dir)),
+    "s12_ann_filtered_ivf" -> ((s, dir) => s12AnnFilteredIvf(s, dir)))
 
   /** The MMR greedy has a sequential data dependence, so the oracle
     * UNROLLS it: k explicit pick layers, each re-scoring the remaining

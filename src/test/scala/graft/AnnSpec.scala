@@ -213,6 +213,49 @@ class AnnSpec extends AnyFunSuite {
       }
   }
 
+  test("filtered ANN composes with the index paths: recall and pruning at 1-in-3 selectivity") {
+    import org.apache.spark.sql.functions.{abs => fabs, col, lit, xxhash64}
+    // ~1-in-3 metadata predicate, decorrelated from cluster structure
+    val e = clusteredCorpus.withColumn("label",
+      fabs(xxhash64(col("vec_id"), lit(7))).mod(3).cast("int"))
+    val pred = col("label") === 0
+    val eligible = e.where(pred).count()
+    assert(eligible > clusteredN / 4 && eligible < clusteredN / 2, s"selectivity drifted: $eligible")
+    val exact = sets(Ann.annExactFilteredOn(e, pred))
+
+    // s03 composition: the filter rides the trained-IVF probe
+    val nlist = 16; val nprobe = 4
+    val cents = Ann.trainCentroids(e, nlist)
+    val ivf = sets(Ann.annIvfWith(e, cents, nprobe, corpusPred = Some(pred)))
+    val rIvf = exact.map { case (q, truth) =>
+      (ivf.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size }
+    val mIvf = rIvf.sum / rIvf.size
+    // the scored-set witness: candidates shrink with the predicate and
+    // stay ~nprobe/nlist of the ELIGIBLE corpus
+    val candF = Ann.annIvfCandidates(e, cents, nprobe, corpusPred = Some(pred))
+    val candU = Ann.annIvfCandidates(e, cents, nprobe)
+    val fraction = candF.toDouble / (Ann.NQueries.toLong * eligible)
+    info(f"filtered IVF (nprobe $nprobe/$nlist, ${eligible}x eligible): recall@10 $mIvf%.3f, " +
+      f"scored fraction $fraction%.3f of eligible, candidates $candF vs unfiltered $candU")
+    assert(mIvf >= 0.8, f"filtered IVF recall@10 $mIvf%.3f < 0.8")
+    assert(candF < candU * 6 / 10, s"filter did not prune the scored set: $candF vs $candU")
+    assert(fraction <= 0.55, f"scored fraction $fraction%.3f of the eligible corpus too high")
+
+    // s06 composition: the filter rides the codes scan before ADC
+    val ivfpq = sets(Ann.annIvfPqOn(e, coarse = Some(cents), nprobe = nprobe,
+      corpusPred = Some(pred)))
+    val rPq = exact.map { case (q, truth) =>
+      (ivfpq.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size }
+    val mPq = rPq.sum / rPq.size
+    info(f"filtered IVFPQ: recall@10 $mPq%.3f")
+    assert(mPq >= 0.8, f"filtered IVFPQ recall@10 $mPq%.3f < 0.8")
+    // pre-filter, not post-filter: every returned neighbor satisfies
+    // the predicate, and full k comes back for every query
+    val eligibleIds = e.where(pred).select("vec_id").collect().map(_.getLong(0)).toSet
+    (ivf.values ++ ivfpq.values).foreach(ns => assert(ns.forall(eligibleIds)))
+    ivf.foreach { case (q, ns) => assert(ns.size == Ann.K, s"query $q starved: ${ns.size}") }
+  }
+
   test("s01 exact: self is excluded and ranks are dense per query") {
     val rows = Ann.s01AnnBruteforce(spark, dir).collect()
     assert(rows.forall(r => r.getLong(0) != r.getLong(2)), "self-match leaked")
