@@ -58,7 +58,7 @@ object Bench {
     "t28_quality_gate", "c21_sql_catalog", "c22_lake_join_strategy", "c23_sql_delete",
     "c24_sql_update_merge", "q62_offset", "c25_sql_delete_general", "c26_sql_merge_matrix",
     "c27_stream_into_table", "c28_sql_changes", "s12_ann_filtered_ivf",
-    "q33_profile", "q34_histogram")
+    "q33_profile", "q33_profile_approx", "q34_histogram")
 
   /** Per-key task-metric sums, so a bench anomaly ships with its own
     * evidence: executor run time vs wall separates task-side cost from
@@ -69,14 +69,16 @@ object Bench {
     */
   private final class MetricsListener extends SparkListener {
     val runMs = new AtomicLong; val gcMs = new AtomicLong; val tasks = new AtomicLong
+    val cpuNs = new AtomicLong
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
       if (m != null) {
         runMs.addAndGet(m.executorRunTime); gcMs.addAndGet(m.jvmGCTime)
+        cpuNs.addAndGet(m.executorCpuTime)
         tasks.incrementAndGet()
       }
     }
-    def snap(): (Long, Long, Long) = (runMs.get, gcMs.get, tasks.get)
+    def snap(): (Long, Long, Long, Long) = (runMs.get, gcMs.get, tasks.get, cpuNs.get)
   }
 
   def main(args: Array[String]): Unit = {
@@ -110,6 +112,7 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val diag = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val taskSec = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val cpuSec = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = qs.map { name =>
       // NOISE PROTOCOL (hardened after the r8 driver/builder 1.39x wall
       // divergence — plans pinned, task_ms flat, wall inflated 3-4x on
@@ -135,10 +138,10 @@ object Bench {
       // optimization/codegen/fixture probes) from execution: wall ≫
       // task_ms with small plan_ms is host contention; with large
       // plan_ms it's a planning disease.
-      def once(): (Double, Double, Long, Long, Long) = {
+      def once(): (Double, Double, Long, Long, Long, Long) = {
         System.gc()
         Thread.sleep(150)
-        val (r0, g0, n0) = listener.snap()
+        val (r0, g0, n0, c0) = listener.snap()
         val t0 = System.nanoTime()
         val df = SparkEntry.queries(name)(spark, sfDir)
         df.queryExecution.executedPlan // force full planning, no tasks
@@ -146,8 +149,8 @@ object Bench {
         df.count()
         val wall = (System.nanoTime() - t0) / 1e9
         Thread.sleep(120) // listener bus drains async; settle before the delta
-        val (r1, g1, n1) = listener.snap()
-        (wall, (tPlan - t0) / 1e9, r1 - r0, g1 - g0, n1 - n0)
+        val (r1, g1, n1, c1) = listener.snap()
+        (wall, (tPlan - t0) / 1e9, r1 - r0, g1 - g0, n1 - n0, c1 - c0)
       }
       try {
         val load = osBean.getSystemLoadAverage
@@ -163,8 +166,12 @@ object Bench {
         spark.catalog.clearCache()
         val best = runs.minBy(_._1)
         val walls = runs.map(w => f"${w._1}%.3f").mkString("[", ",", "]")
-        diag(name) = f"""{"walls":$walls,"plan":${best._2}%.3f,"task_ms":${best._3},"gc_ms":${best._4},"tasks":${best._5},"runs":${runs.size},"load":$load%.1f}"""
+        // cpu_ms: min across runs — executorCpuTime is the CPU clock
+        // (deschedule-immune), so its min is the purest engine cost
+        val cpuMs = runs.map(_._6 / 1e6).min
+        diag(name) = f"""{"walls":$walls,"plan":${best._2}%.3f,"task_ms":${best._3},"cpu_ms":$cpuMs%.0f,"gc_ms":${best._4},"tasks":${best._5},"runs":${runs.size},"load":$load%.1f}"""
         taskSec(name) = best._3 / 1000.0
+        cpuSec(name) = cpuMs / 1000.0
         name -> best._1
       } catch {
         case e: Throwable =>
@@ -183,13 +190,15 @@ object Bench {
     val ejson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val djson = diag.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val tjson = taskSec.map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val cjson = cpuSec.map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalTask = taskSec.values.sum
+    val totalCpu = cpuSec.values.sum
     // scalar summary fields LAST: the driver's artifact keeps only the
     // TAIL of this line, so the totals/failure count must sit at the
     // end to survive truncation (key order is irrelevant to parsers)
     val line =
-      s"""{"metric":"total","unit":"sec","diag":$djson,"queries":$qjson,"queries_task_sec":$tjson,"errors":$ejson,"protocol":"wall = min of converged runs (two fastest within 25%, <=5 tries); round-over-round regressions gate on queries_task_sec (load-insensitive executor time of the best run); per-key 1-min loadavg in diag","sf":"$sfDir","n_keys":${results.size},"n_failed":${errors.size},"total_task_sec":$totalTask,"value":$total}"""
+      s"""{"metric":"total","unit":"sec","diag":$djson,"queries":$qjson,"queries_task_sec":$tjson,"queries_cpu_sec":$cjson,"errors":$ejson,"protocol":"wall = min of converged runs (two fastest within 25%, <=5 tries); round-over-round regressions gate on queries_cpu_sec (executorCpuTime: CPU-clock, deschedule-IMMUNE — the r9 verdict showed task run-time is wall-per-task and inflates under host load, cpu time does not), with queries_task_sec kept for continuity and wall advisory; per-key 1-min loadavg in diag","sf":"$sfDir","n_keys":${results.size},"n_failed":${errors.size},"total_task_sec":$totalTask,"total_cpu_sec":$totalCpu,"value":$total}"""
     println(line)
     Files.writeString(Paths.get(outFile), line + "\n")
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")

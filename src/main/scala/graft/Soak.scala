@@ -60,7 +60,11 @@ object Soak {
     // ratio here like every other key; a quadratic ratio would mean
     // the adaptive-k guard broke. d12's component+quality join must
     // stay linear over the 10× pair graph
-    "d11_semdedup", "d12_cluster_keep_best")
+    "d11_semdedup", "d12_cluster_keep_best",
+    // round-10: the q33 sketch twin — the exact profile's Expand showed
+    // 18x task at 10x (documented superlinearity); the approx twin must
+    // show the ~linear ratio that makes the 100-TB doctrine executable
+    "q33_profile_approx")
 
   private final class MetricsListener extends SparkListener {
     val runMs = new AtomicLong; val gcMs = new AtomicLong; val tasks = new AtomicLong

@@ -41,6 +41,37 @@ object Profiling {
       .orderBy("col_name")
   }
 
+  /** `q33_profile_approx`: the 100-TB profile — q33 with the exact
+    * COUNT(DISTINCT)s swapped for approx_count_distinct (HLL++, q27's
+    * sketch path). This REMOVES the Expand entirely: no per-distinct
+    * projection multiplication, no distinct-value shuffle — one scan,
+    * one partial-aggregate buffer per task per column, a constant-size
+    * merge. The soak's q33 ratio (18x task time at 10x data — the
+    * Expand's superlinearity) is the documented reason this twin
+    * exists; SketchSpec gates the estimates against the exact key
+    * within HLL++'s rsd bound so the doctrine is executable, not a
+    * comment. Rows-only (the estimate is engine-specific — DuckDB's
+    * approx_count_distinct uses a different sketch).
+    */
+  def q33ProfileApprox(s: SparkSession, dir: String, rsd: Double = 0.02): DataFrame = {
+    val aggs = profiled.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+        approx_count_distinct(col(c), rsd).as(s"${c}__nd"),
+        round(min(col(c)), 4).as(s"${c}__min"),
+        round(max(col(c)), 4).as(s"${c}__max"),
+        round(avg(col(c)), 4).as(s"${c}__avg"))
+    }
+    val stackArgs = profiled.map(c =>
+      s"'$c', ${c}__n, ${c}__nn, ${c}__nd, ${c}__min, ${c}__max, ${c}__avg").mkString(", ")
+    t(s, dir, "lineitem")
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${profiled.size}, $stackArgs) AS " +
+        "(col_name, n, n_null, n_distinct, min_v, max_v, avg_v)")
+      .orderBy("col_name")
+  }
+
   /** q34: equal-width histogram of l_extendedprice (10 buckets over
     * the observed [min, max]). The bounds come from a first aggregate
     * broadcast as a 1-row cross join — two scans total, no shuffle of
@@ -63,6 +94,7 @@ object Profiling {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_profile" -> q33Profile _,
+    "q33_profile_approx" -> ((s, dir) => q33ProfileApprox(s, dir)),
     "q34_histogram" -> ((s, dir) => q34Histogram(s, dir)))
 
   val oracles: Map[String, String] = Map(

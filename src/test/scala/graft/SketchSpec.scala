@@ -19,6 +19,36 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("q33_profile_approx: estimates within rsd of the exact profile, Expand gone from the plan") {
+    import graft.operators.Profiling
+    val approxDf = Profiling.q33ProfileApprox(spark, dir)
+    val exactDf = Profiling.q33Profile(spark, dir)
+    // the point of the twin: the exact profile's plan multiplies every
+    // row through an Expand (one projection per distinct column); the
+    // sketch profile must plan WITHOUT it — one scan, constant-size
+    // partial buffers, no distinct shuffle
+    def hasExpand(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("Expand")
+    assert(hasExpand(exactDf), "fixture drift: the exact profile should plan an Expand")
+    assert(!hasExpand(approxDf), "the approx profile must not plan an Expand")
+
+    val approx = approxDf.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    val exact = exactDf.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (c, (n, nn, nd, mn, mx, av)) =>
+      val (an, ann, and, amn, amx, aav) = approx(c)
+      // everything except n_distinct is the SAME aggregate — exact
+      assert((an, ann, amn, amx, aav) == ((n, nn, mn, mx, av)), s"$c non-distinct stats differ")
+      // n_distinct within HLL++ accuracy (rsd 0.02; 2.5 sigma margin)
+      assert(math.abs(and - nd).toDouble / nd <= 0.05,
+        s"$c: approx n_distinct $and vs exact $nd")
+    }
+  }
+
   test("q28 approx percentiles within 2% of exact") {
     val approx = Sketches.q28ApproxPercentile(spark, dir).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
