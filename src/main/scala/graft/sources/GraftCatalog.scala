@@ -131,17 +131,54 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     mkTable(ident, Some(v))
   }
 
+  /** CREATE TABLE — `PARTITIONED BY (cols…)` and `CLUSTER BY (cols…)`
+    * both LOWER to the engine's value-clustering contract (the
+    * `clusterBy` table property): row-introducing writes range-cluster
+    * the batch on these columns into flat files with tight per-file
+    * stats, and reads prune through the stats sidecar — Hive-style
+    * directory partitioning replaced by liquid-clustering semantics
+    * (Delta's public design: no directory hierarchy to list, no
+    * small-file explosion on high-cardinality keys, OPTIMIZE/compact
+    * re-clusters globally). Only identity transforms are accepted —
+    * `days(ts)`/`bucket(n, c)` refuse loudly rather than silently
+    * changing layout semantics. User TBLPROPERTIES land in the same
+    * single manifest commit (Spark's reserved props are dropped).
+    */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft tables manage layout via compact/zorder — declare no PARTITIONED BY")
+    import org.apache.spark.sql.connector.expressions.ClusterByTransform
+    def single(r: org.apache.spark.sql.connector.expressions.NamedReference): String = {
+      require(r.fieldNames.length == 1,
+        s"clustering on nested field '${r.describe}' is not supported")
+      r.fieldNames.head
+    }
+    val cluster: Seq[String] = partitions.toSeq.flatMap {
+      case ClusterByTransform(cols) => cols.map(single)
+      // IdentityTransform is private[sql]; its public shape is
+      // name()=="identity" with exactly one reference
+      case t if t.name == "identity" && t.references.length == 1 =>
+        Seq(single(t.references.head))
+      case other => throw new UnsupportedOperationException(
+        s"graft lowers PARTITIONED BY to value clustering (flat files + stats " +
+          s"pruning) — only identity columns / CLUSTER BY are supported, got '$other'")
+    }
+    cluster.foreach(c => require(schema.fieldNames.contains(c),
+      s"clustering column '$c' is not a column of the table " +
+        s"(${schema.fieldNames.sorted.mkString(", ")})"))
+    val reserved = Set(TableCatalog.PROP_LOCATION, TableCatalog.PROP_COMMENT,
+      TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
+      TableCatalog.PROP_IS_MANAGED_LOCATION)
     val sn = snap(ident.namespace)
+    val props = properties.asScala.toMap
+      .filter { case (k, _) =>
+        !reserved.contains(k) && !k.startsWith(TableCatalog.OPTION_PREFIX) } ++
+      (if (cluster.nonEmpty) Map(sn.ClusterByProp -> cluster.mkString(",")) else Map.empty)
     // one empty part file (not a zero-part dir): the footer carries the
     // schema for any path that reads it back from disk
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema).repartition(1)
-    sn.createTable(ident.name, empty)
+    sn.createTable(ident.name, empty, props = props)
     mkTable(ident, None)
   }
 
@@ -512,8 +549,11 @@ object GraftCatalog {
              |       CAST(round(o_totalprice * 100, 0) AS BIGINT)
              |FROM orders""".stripMargin)                                       // v2
     s.sql(s"DELETE FROM graft.$ns.orders_t WHERE o_orderkey BETWEEN 1000 AND 1999")  // v3
+    // ranges chosen non-empty at EVERY sf (sf0.001 orderkeys stop at
+    // 1499): a zero-row DML publishes no version by contract, and the
+    // explicit $changes$2$4 window below then has no v4 to resolve
     s.sql(s"""UPDATE graft.$ns.orders_t SET price_cents = price_cents + 7
-             |WHERE o_orderkey BETWEEN 3000 AND 3499""".stripMargin)            // v4
+             |WHERE o_orderkey BETWEEN 200 AND 399""".stripMargin)              // v4
     def fold(rel: String, phase: String): String =
       s"""SELECT '$phase' AS phase, delta, o_orderstatus, count(*) AS n,
          |       CAST(sum(price_cents) AS BIGINT) AS total_cents
@@ -531,8 +571,89 @@ object GraftCatalog {
              |) ORDER BY phase, delta, o_orderstatus""".stripMargin)
   }
 
+  /** A42 `c29_clustered_layout`: `PARTITIONED BY` as VALUE CLUSTERING —
+    * the whole loop as pure text: CREATE TABLE … PARTITIONED BY (key)
+    * lowers to the `clusterBy` contract, two shuffled INSERT batches
+    * range-cluster themselves into stat-tight files, and the ranged
+    * read is answered through plan-time file skipping (the sidecar
+    * prunes non-matching files before any task launches —
+    * ClusteringSpec asserts skipped files are never opened). The oracle
+    * pins that layout NEVER changes answers: a clustered range
+    * aggregate and the full aggregate both reproduce DuckDB's closed
+    * forms over raw orders. Per-run namespace keeps re-runs idempotent.
+    */
+  def c29ClusteredLayout(s: SparkSession, dir: String): DataFrame = {
+    val root = s.conf.get("spark.sql.warehouse.dir") + "/c21_catalog"
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", root)
+    Catalog.register(s, dir)
+    val ns = "db_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    s.sql(s"CREATE NAMESPACE graft.$ns")
+    s.sql(s"""CREATE TABLE graft.$ns.orders_c
+             |(o_orderkey BIGINT, o_orderstatus STRING, price_cents BIGINT)
+             |PARTITIONED BY (o_orderkey)""".stripMargin)
+    s.sql(s"""INSERT INTO graft.$ns.orders_c
+             |SELECT o_orderkey, o_orderstatus,
+             |       CAST(round(o_totalprice * 100, 0) AS BIGINT)
+             |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin)
+    s.sql(s"""INSERT INTO graft.$ns.orders_c
+             |SELECT o_orderkey, o_orderstatus,
+             |       CAST(round(o_totalprice * 100, 0) AS BIGINT)
+             |FROM orders WHERE o_orderkey % 2 <> 0""".stripMargin)
+    s.sql(s"""SELECT phase, o_orderstatus, n, total_cents FROM (
+             |  SELECT 'range' AS phase, o_orderstatus, count(*) AS n,
+             |         CAST(sum(price_cents) AS BIGINT) AS total_cents
+             |  FROM graft.$ns.orders_c
+             |  WHERE o_orderkey BETWEEN 200 AND 1199
+             |  GROUP BY o_orderstatus
+             |  UNION ALL
+             |  SELECT 'all' AS phase, o_orderstatus, count(*) AS n,
+             |         CAST(sum(price_cents) AS BIGINT) AS total_cents
+             |  FROM graft.$ns.orders_c GROUP BY o_orderstatus
+             |) ORDER BY phase, o_orderstatus""".stripMargin)
+  }
+
+  /** A43 `c30_sql_insert_overwrite`: `INSERT OVERWRITE` as text — the
+    * whole-table re-delivery statement every batch pipeline writes
+    * (Stream.hs `execute` carried it like any other statement). Lowered
+    * through the write builder's `truncate()` onto `replaceWhere` with
+    * ONE unbounded range: delete-all + land-batch in ONE published
+    * version (atomic, replay-convergent), history intact — the `pre`
+    * leg reads `VERSION AS OF 2` straight across the overwrite, the
+    * `post` leg folds the replaced state; both against DuckDB closed
+    * forms. Per-run namespace keeps re-runs idempotent.
+    */
+  def c30SqlInsertOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val root = s.conf.get("spark.sql.warehouse.dir") + "/c21_catalog"
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", root)
+    Catalog.register(s, dir)
+    val ns = "db_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    s.sql(s"CREATE NAMESPACE graft.$ns")
+    s.sql(s"CREATE TABLE graft.$ns.orders_t (o_orderkey BIGINT, o_orderstatus STRING, price_cents BIGINT)")
+    s.sql(s"""INSERT INTO graft.$ns.orders_t
+             |SELECT o_orderkey, o_orderstatus,
+             |       CAST(round(o_totalprice * 100, 0) AS BIGINT)
+             |FROM orders""".stripMargin)                                       // v2
+    s.sql(s"""INSERT OVERWRITE graft.$ns.orders_t
+             |SELECT o_orderkey, o_orderstatus,
+             |       CAST(round(o_totalprice * 100, 0) AS BIGINT) * 2
+             |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin)              // v3: ONE version
+    s.sql(s"""SELECT phase, o_orderstatus, n, total_cents FROM (
+             |  SELECT 'post' AS phase, o_orderstatus, count(*) AS n,
+             |         CAST(sum(price_cents) AS BIGINT) AS total_cents
+             |  FROM graft.$ns.orders_t GROUP BY o_orderstatus
+             |  UNION ALL
+             |  SELECT 'pre' AS phase, o_orderstatus, count(*) AS n,
+             |         CAST(sum(price_cents) AS BIGINT) AS total_cents
+             |  FROM graft.$ns.orders_t VERSION AS OF 2 GROUP BY o_orderstatus
+             |) ORDER BY phase, o_orderstatus""".stripMargin)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c21_sql_catalog" -> c21SqlCatalog _,
+    "c29_clustered_layout" -> c29ClusteredLayout _,
+    "c30_sql_insert_overwrite" -> c30SqlInsertOverwrite _,
     "c28_sql_changes" -> c28SqlChanges _,
     "c22_lake_join_strategy" -> c22LakeJoinStrategy _,
     "c23_sql_delete" -> c23SqlDelete _,
@@ -541,6 +662,37 @@ object GraftCatalog {
     "c26_sql_merge_matrix" -> c26SqlMergeMatrix _)
 
   val oracles: Map[String, String] = Map(
+    "c30_sql_insert_overwrite" ->
+      """WITH c AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+        |  FROM orders
+        |)
+        |SELECT phase, o_orderstatus, n, total_cents FROM (
+        |  SELECT 'post' AS phase, o_orderstatus, count(*) AS n,
+        |    CAST(sum(price_cents * 2) AS BIGINT) AS total_cents
+        |  FROM c WHERE o_orderkey % 3 = 0 GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT 'pre' AS phase, o_orderstatus, count(*) AS n,
+        |    CAST(sum(price_cents) AS BIGINT) AS total_cents
+        |  FROM c GROUP BY o_orderstatus
+        |) ORDER BY phase, o_orderstatus""".stripMargin,
+    "c29_clustered_layout" ->
+      """WITH c AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+        |  FROM orders
+        |)
+        |SELECT phase, o_orderstatus, n, total_cents FROM (
+        |  SELECT 'range' AS phase, o_orderstatus, count(*) AS n,
+        |    CAST(sum(price_cents) AS BIGINT) AS total_cents
+        |  FROM c WHERE o_orderkey BETWEEN 200 AND 1199
+        |  GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT 'all' AS phase, o_orderstatus, count(*) AS n,
+        |    CAST(sum(price_cents) AS BIGINT) AS total_cents
+        |  FROM c GROUP BY o_orderstatus
+        |) ORDER BY phase, o_orderstatus""".stripMargin,
     "c28_sql_changes" ->
       """WITH c AS (
         |  SELECT o_orderkey, o_orderstatus,
@@ -548,7 +700,7 @@ object GraftCatalog {
         |  FROM orders
         |), head AS (
         |  SELECT o_orderkey, o_orderstatus,
-        |    CASE WHEN o_orderkey BETWEEN 3000 AND 3499
+        |    CASE WHEN o_orderkey BETWEEN 200 AND 399
         |         THEN price_cents + 7 ELSE price_cents END AS price_cents
         |  FROM c WHERE NOT (o_orderkey BETWEEN 1000 AND 1999)
         |), replay AS (
@@ -563,10 +715,10 @@ object GraftCatalog {
         |    WHERE o_orderkey BETWEEN 1000 AND 1999
         |    UNION ALL
         |    SELECT -1 AS delta, o_orderstatus, price_cents FROM c
-        |    WHERE o_orderkey BETWEEN 3000 AND 3499
+        |    WHERE o_orderkey BETWEEN 200 AND 399
         |    UNION ALL
         |    SELECT 1 AS delta, o_orderstatus, price_cents + 7 FROM c
-        |    WHERE o_orderkey BETWEEN 3000 AND 3499
+        |    WHERE o_orderkey BETWEEN 200 AND 399
         |  ) GROUP BY delta, o_orderstatus
         |)
         |SELECT phase, CAST(delta AS BIGINT) AS delta, o_orderstatus, n, total_cents
@@ -705,7 +857,8 @@ private[sources] class GraftLakeTable(
   override def properties(): util.Map[String, String] = tableProps.asJava
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
 
   /** `DELETE FROM … WHERE …` as text → [[Snapshots.deleteWhere]] (the
     * stats-pruned copy-on-write verb). The WHERE must translate to the
@@ -784,16 +937,29 @@ private[sources] class GraftLakeTable(
         }
     }
 
+  /** INSERT INTO → [[Snapshots.append]] (CHECK/generated/identity/
+    * appendOnly enforcement, clusterBy batch clustering). `INSERT
+    * OVERWRITE` (the builder's `truncate()` — Spark's plain-OVERWRITE
+    * lowering) → [[SnapshotsDmlOps.replaceWhere]] under ONE fully-
+    * unbounded range: the whole table replaced by the batch in ONE
+    * published version (atomic — readers see old or new, never empty;
+    * the unbounded matchCond is `true`, so null-keyed batch rows pass
+    * the slice validation), appendOnly refusal riding the verb.
+    */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwriteAll = false
+      override def truncate(): WriteBuilder = { overwriteAll = true; this }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-              require(!overwrite,
-                "INSERT OVERWRITE is not wired — use Snapshots.replaceWhere " +
-                  "(predicate-scoped) or commit (whole-table)")
-              new Snapshots(SparkSession.active, root).append(tableName, data)
+              val sn = new Snapshots(SparkSession.active, root)
+              if (overwrite || overwriteAll)
+                sn.replaceWhere(tableName,
+                  Seq(FileStats.ColRange(tableSchema.fieldNames.head, None, None)),
+                  data)
+              else sn.append(tableName, data)
               ()
             }
           }

@@ -536,6 +536,12 @@ class Snapshots(private[sources] val s: SparkSession,
     * data is unset-then-write, as in Delta.
     */
   private[sources] val PropsSuffix = "@props"
+
+  /** The second BEHAVIORAL property (see [[clusterColsOf]]):
+    * `clusterBy=c1,c2` — `PARTITIONED BY` lowered to value-clustered
+    * flat files whose tight per-file stats drive the existing pruning.
+    */
+  private[sources] val ClusterByProp = "clusterBy"
   private[sources] def isTagEntry(key: String): Boolean = key.endsWith(TagsSuffix)
   private[sources] def isMetaEntry(key: String): Boolean =
     key.endsWith(TagsSuffix) || key.endsWith(SchemaSuffix) ||
@@ -849,13 +855,18 @@ class Snapshots(private[sources] val s: SparkSession,
 
   /** DataFrame for a table at manifest `m`: metadata-planned when the
     * manifest carries schema+files lines, stock listing read otherwise;
-    * deletion vectors applied when present.
+    * deletion vectors applied when present. The metadata-planned scan
+    * carries the [[SnapshotsMetaOps.skippingPruner]] hook, so pushed
+    * predicates skip files through the stats/bloom sidecars at
+    * file-listing time — every read path (SQL text included) gets
+    * [[readWhere]]-grade data skipping without naming ranges.
     */
   private[sources] def readTable(m: Map[String, String], table: String, rel: String): DataFrame =
     toLogical(m, table, applyDv(m, table, (storedSchema(m, table), storedFiles(m, table)) match {
       case (Some(schema), Some(files)) =>
         org.apache.spark.sql.GraftLakeShim.parquetByManifest(
-          s, files.map { case (r, len) => (s"$root/$r", len) }, schema)
+          s, files.map { case (r, len) => (s"$root/$r", len) }, schema,
+          skippingPruner(files))
       case _ => s.read.parquet(absPaths(rel): _*)
     }))
 

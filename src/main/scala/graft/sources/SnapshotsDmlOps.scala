@@ -15,6 +15,25 @@ import org.apache.spark.sql.functions._
   */
 private[sources] trait SnapshotsDmlOps { self: Snapshots =>
 
+  /** The write-side half of the clustering contract ([[clusterColsOf]]):
+    * range-redistribute a batch on the table's cluster columns (PHYSICAL
+    * names — callers translate) so each staged file covers a tight value
+    * span, then sort within partitions so parquet row-group stats are
+    * tight too. One extra shuffle per batch, paid at write time; every
+    * read on a cluster-column predicate prunes files through the
+    * existing sidecar stats with zero new read code. File count is
+    * pinned to the batch's incoming partition count — clustering
+    * redistributes, it does not fragment (the liquid-clustering answer
+    * to partitioning's small-file explosion).
+    */
+  private[sources] def clusterBatch(df: DataFrame, clusterPhys: Seq[String]): DataFrame =
+    if (clusterPhys.isEmpty) df
+    else {
+      val cols = clusterPhys.map(col)
+      val n = math.max(1, df.rdd.getNumPartitions)
+      df.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*)
+    }
+
   def deleteWhere(table: String, ranges: Seq[FileStats.ColRange],
                   statsCols: Seq[String] = Nil): Long = {
     // doomed = every range matches; survivors = NOT doomed. coalesce
@@ -808,10 +827,25 @@ private[sources] trait SnapshotsDmlOps { self: Snapshots =>
       if (dupe) return currentVersion.get
       val rel = written.getOrElse {
         val r = stageRel(attempt, table) + tag.fold("")(t => s"@$t")
-        dfPhys.write.mode("overwrite").parquet(s"$root/$r")
-        if (statsCols.nonEmpty)
+        // clustering contract: range-cluster the batch on the table's
+        // clusterBy columns and ALWAYS sidecar-stat them — pruning on
+        // the cluster key is the whole point of the layout. A
+        // mergeSchema batch may legitimately omit a cluster column
+        // (reads null there) — cluster on the present subset.
+        val clusterPhys = clusterColsOf(headM0, table)
+          .filter(df.columns.contains).map(phys)
+        clusterBatch(dfPhys, clusterPhys).write.mode("overwrite").parquet(s"$root/$r")
+        if (clusterPhys.nonEmpty) {
+          // range boundaries come from sampling — drop rowless parts,
+          // keeping one file as the schema carrier for an empty batch
+          FileStats.dropEmptyFiles(fs, new Path(s"$root/$r"), s.sparkContext.hadoopConfiguration)
+          if (FileStats.dataFiles(fs, new Path(s"$root/$r")).isEmpty)
+            dfPhys.limit(0).coalesce(1).write.mode("overwrite").parquet(s"$root/$r")
+        }
+        val statsPhys = (statsCols.map(phys) ++ clusterPhys).distinct
+        if (statsPhys.nonEmpty)
           FileStats.writeSidecar(fs, new Path(s"$root/$r"),
-            FileStats.harvest(s, s"$root/$r", statsCols.map(phys)))
+            FileStats.harvest(s, s"$root/$r", statsPhys))
         if (bloomCols.nonEmpty)
           FileStats.writeBloomSidecar(fs, new Path(s"$root/$r"),
             FileStats.harvestBlooms(s, s"$root/$r", bloomCols.map(phys)))
@@ -1084,10 +1118,18 @@ private[sources] trait SnapshotsDmlOps { self: Snapshots =>
         enforceChecks(table, cur, checked, "append")
         val phys = toPhysical(cur, table, checked)
         val r = stageRel(attempt, table) + tag.fold("")(t => s"@$t")
-        phys.write.mode("overwrite").parquet(s"$root/$r")
-        if (statsCols.nonEmpty)
+        // clustering contract rides identity appends too (the batch is
+        // non-empty here — the n == 0 early return above)
+        val clusterPhys = clusterColsOf(cur, table)
+          .filter(checked.columns.contains).map(c => physicalName(cur, table, c))
+        clusterBatch(phys, clusterPhys).write.mode("overwrite").parquet(s"$root/$r")
+        if (clusterPhys.nonEmpty)
+          FileStats.dropEmptyFiles(fs, new Path(s"$root/$r"), s.sparkContext.hadoopConfiguration)
+        val statsPhys =
+          (statsCols.map(c => physicalName(cur, table, c)) ++ clusterPhys).distinct
+        if (statsPhys.nonEmpty)
           FileStats.writeSidecar(fs, new Path(s"$root/$r"),
-            FileStats.harvest(s, s"$root/$r", statsCols.map(c => physicalName(cur, table, c))))
+            FileStats.harvest(s, s"$root/$r", statsPhys))
         if (bloomCols.nonEmpty)
           FileStats.writeBloomSidecar(fs, new Path(s"$root/$r"),
             FileStats.harvestBlooms(s, s"$root/$r", bloomCols.map(c => physicalName(cur, table, c))))
@@ -1208,14 +1250,15 @@ private[sources] trait SnapshotsDmlOps { self: Snapshots =>
         case None => s.read.parquet(touch.map(_._1).toSeq: _*)
       })
     val rewritten0 = rewrite(touchedRead)
-    // update/merge rewrites can INTRODUCE rows (SET results, upserted
-    // source rows): generated columns are RECOMPUTED over the rewrite
-    // output (identity on already-correct rows — the repair that keeps
-    // a derivation true when a transform touched its inputs), then
-    // CHECK constraints gate the result before it stages; pure deletes
-    // only drop rows and skip both passes
+    // update/merge/replace rewrites can INTRODUCE rows (SET results,
+    // upserted source rows, the replaceWhere batch): generated columns
+    // are RECOMPUTED over the rewrite output (identity on already-
+    // correct rows — the repair that keeps a derivation true when a
+    // transform touched its inputs), then CHECK constraints gate the
+    // result before it stages; pure deletes only drop rows and skip
+    // both passes
     val rewritten =
-      if (what == "update" || what == "merge") {
+      if (what == "update" || what == "merge" || what == "replace") {
         val r = recomputeGenerated(table, headM, rewritten0)
         enforceChecks(table, headM, r, what)
         r
@@ -1272,14 +1315,25 @@ private[sources] trait SnapshotsDmlOps { self: Snapshots =>
         }
       val rel = stageRel(attempt, table)
       val rewrittenPhys = toPhysical(headM, table, rewritten)
-      rewrittenPhys.write.mode("overwrite").parquet(s"$root/$rel")
+      // clustering contract: the touched files were value-clustered at
+      // write, so the rewrite output is still value-local — an intra-
+      // partition sort re-tightens row-group stats WITHOUT adding a
+      // shuffle to the DML hot path (global re-clustering is compact's
+      // job), and the sidecar always re-covers the cluster columns
+      val clusterPhys = clusterColsOf(headM, table)
+        .filter(rewritten.columns.contains).map(c => physicalName(headM, table, c))
+      val stagedOut =
+        if (clusterPhys.isEmpty) rewrittenPhys
+        else rewrittenPhys.sortWithinPartitions(clusterPhys.map(col): _*)
+      stagedOut.write.mode("overwrite").parquet(s"$root/$rel")
       // an all-filtered write partition leaves a rowless file that stats
       // could never prune — drop them so repeat passes converge
       FileStats.dropEmptyFiles(fs, new Path(s"$root/$rel"), s.sparkContext.hadoopConfiguration)
-      if (statsCols.nonEmpty)
+      val statsPhys =
+        (statsCols.map(c => physicalName(headM, table, c)) ++ clusterPhys).distinct
+      if (statsPhys.nonEmpty)
         FileStats.writeSidecar(fs, new Path(s"$root/$rel"),
-          FileStats.harvest(s, s"$root/$rel",
-            statsCols.map(c => physicalName(headM, table, c))))
+          FileStats.harvest(s, s"$root/$rel", statsPhys))
       // every touched row may have been filtered away: an entry pointing
       // at a fileless dir is dead weight (and, with nothing else kept,
       // an unreadable table) — omit it, or for a fully-emptied table

@@ -122,7 +122,17 @@ private[sources] trait SnapshotsMaintOps { self: Snapshots =>
           .drop("_z")
       } else sortCol match {
         case Some(c) => df0.repartitionByRange(n, col(c))
-        case None => df0.repartition(n)
+        case None =>
+          // clustering contract: compaction on a clustered table
+          // re-establishes the GLOBAL value clustering that per-batch
+          // writes only approximate (each batch clustered within
+          // itself) — the OPTIMIZE half of liquid clustering. Explicit
+          // sortCol/zorderCols still override.
+          val cl = clusterColsOf(headM, table)
+          if (cl.nonEmpty)
+            df0.repartitionByRange(n, cl.map(col): _*)
+              .sortWithinPartitions(cl.map(col): _*)
+          else df0.repartition(n)
       }
     var attempt = currentVersion.getOrElse(0L) + 1
     for (_ <- 1 to MaxAttempts) {
@@ -132,9 +142,23 @@ private[sources] trait SnapshotsMaintOps { self: Snapshots =>
           s"$table re-pointed ${cur(table)} != $baseRel during compaction; re-run")
       val rel = stageRel(attempt, table)
       packed.write.mode("overwrite").parquet(s"$root/$rel")
-      if (statsCols.nonEmpty)
+      // clustered table: range-partition sampling may leave rowless
+      // parts — drop them (keeping one schema carrier if the table is
+      // empty) and ALWAYS re-sidecar the cluster columns, since file
+      // pruning on the cluster key is the layout's whole point. Full
+      // compact materializes the column mapping, so cluster columns
+      // (logical names) ARE the new files' physical names — same reason
+      // statsCols are harvested raw here.
+      val clusterCols = clusterColsOf(headM, table)
+      if (clusterCols.nonEmpty) {
+        FileStats.dropEmptyFiles(fs, new Path(s"$root/$rel"), s.sparkContext.hadoopConfiguration)
+        if (FileStats.dataFiles(fs, new Path(s"$root/$rel")).isEmpty)
+          packed.limit(0).coalesce(1).write.mode("overwrite").parquet(s"$root/$rel")
+      }
+      val statsAll = (statsCols ++ clusterCols).distinct
+      if (statsAll.nonEmpty)
         FileStats.writeSidecar(fs, new Path(s"$root/$rel"),
-          FileStats.harvest(s, s"$root/$rel", statsCols))
+          FileStats.harvest(s, s"$root/$rel", statsAll))
       if (bloomCols.nonEmpty)
         FileStats.writeBloomSidecar(fs, new Path(s"$root/$rel"),
           FileStats.harvestBlooms(s, s"$root/$rel", bloomCols))

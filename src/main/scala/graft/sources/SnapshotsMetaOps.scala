@@ -260,6 +260,63 @@ private[sources] trait SnapshotsMetaOps { self: Snapshots =>
     }
   }
 
+  /** PLAN-TIME DATA SKIPPING for ordinary reads — the hook
+    * [[org.apache.spark.sql.GraftLakeShim.parquetByManifest]] consults
+    * at file-listing time with the scan's pushed data filters (so
+    * `SELECT … WHERE k BETWEEN …` through SQL text or `read().where`
+    * skips files exactly like the explicit [[readWhere]] verb; Delta's
+    * TahoeFileIndex architecture, public design). The filters arrive in
+    * PHYSICAL column terms (the relation is the stored schema; Catalyst
+    * pushes predicates through the logical-view projection), matching
+    * the sidecars' keys. Two independent vetoes per file, both
+    * conservative: the min/max envelope of each conjunct
+    * ([[PredicateEnvelope]] — strict bounds widened, IN → [min,max],
+    * OR → per-column union) against the `_stats` sidecar, and bare
+    * equality/IN probes against the `_bloom` sidecar. Dirs without a
+    * sidecar keep all files; any pruning error keeps all files. Cost:
+    * one sidecar open per distinct dir, memoized per scan — never a
+    * listing, never data IO.
+    */
+  private[sources] def skippingPruner(files: Seq[(String, Long)])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] => Option[Set[String]] = {
+    val byDir = files.groupBy { case (r, _) => new Path(s"$root/$r").getParent }.toSeq
+    val sidecars = new scala.collection.mutable.HashMap[
+      Path, (Option[FileStats.TableStats], Option[FileStats.TableBlooms])]
+    filters => {
+      val expanded = filters.map(PredicateEnvelope.expand)
+      val ranges = expanded.flatMap(PredicateEnvelope.of)
+      val eqs = expanded.flatMap { e =>
+        org.apache.spark.sql.GraftShim.translateFilter(e).toSeq.collect {
+          case org.apache.spark.sql.sources.EqualTo(a, v)
+              if !a.contains(".") && v != null => FileStats.ColIn(a, Seq(v))
+          case org.apache.spark.sql.sources.In(a, vs)
+              if !a.contains(".") && vs.nonEmpty && !vs.contains(null) =>
+            FileStats.ColIn(a, vs.toSeq)
+        }
+      }
+      if (ranges.isEmpty && eqs.isEmpty) None
+      else Some(byDir.flatMap { case (dir, fl) =>
+        val (st, bl) = sidecars.synchronized {
+          sidecars.getOrElseUpdate(dir,
+            (FileStats.readSidecar(fs, dir),
+             if (eqs.nonEmpty) FileStats.readBloomSidecar(fs, dir) else None))
+        }
+        if (st.isEmpty && bl.isEmpty) fl.map { case (r, _) => new Path(s"$root/$r").toString }
+        else fl.collect { case (r, len)
+            if {
+              val p = new Path(s"$root/$r")
+              val statsOk = st.forall(stats => FileStats.prune(
+                Seq(new org.apache.hadoop.fs.FileStatus(len, false, 1, 0L, 0L, p)),
+                stats, ranges).nonEmpty)
+              val leaf = p.getName
+              statsOk && eqs.forall(eq => FileStats.mightContainAny(
+                bl.flatMap(_.get(leaf)), st.flatMap(_.get(leaf)), eq))
+            } => new Path(s"$root/$r").toString
+        }
+      }.toSet)
+    }
+  }
+
   def readWhere(table: String, ranges0: Seq[FileStats.ColRange],
                 version: Option[Long] = None): DataFrame = {
     val v = version.orElse(currentVersion)
@@ -832,8 +889,20 @@ private[sources] trait SnapshotsMetaOps { self: Snapshots =>
       s"property key '$k' must be [A-Za-z0-9_.-]+"))
     val v0 = currentVersion.getOrElse(
       throw new IllegalStateException(s"no commits under $root"))
-    require(dataEntries(readManifest(v0)).contains(table),
+    val m0 = readManifest(v0)
+    require(dataEntries(m0).contains(table),
       s"table '$table' not committed under $root")
+    // the clustering contract names real columns or every later write
+    // fails staging — validate against the VISIBLE schema at set time
+    props.get(ClusterByProp).foreach { v =>
+      val cols = v.split(",").map(_.trim).filter(_.nonEmpty)
+      require(cols.nonEmpty, s"$ClusterByProp requires at least one column")
+      val visible = logicalSchema(m0, table)
+        .orElse(storedSchema(m0, table)).map(_.fieldNames.toSet)
+      visible.foreach(f => cols.foreach(c => require(f.contains(c),
+        s"$ClusterByProp column '$c' is not a column of table '$table' " +
+          s"(${f.toSeq.sorted.mkString(", ")})")))
+    }
     var attempt = v0 + 1
     for (_ <- 1 to MaxAttempts) {
       val cur = readManifest(currentVersion.get)
@@ -878,6 +947,21 @@ private[sources] trait SnapshotsMetaOps { self: Snapshots =>
       throw new IllegalStateException(s"no commits under $root"))
     decodeChecks(readManifest(v).get(table + PropsSuffix))
   }
+
+  /** The CLUSTERING contract — the reserved `clusterBy=c1,c2` table
+    * property (same carrier as `appendOnly`): `PARTITIONED BY` lowered
+    * the way Delta's liquid clustering replaced Hive partitioning
+    * (public design). Row-introducing writes range-cluster the batch on
+    * these columns so every staged file covers a tight value range, and
+    * the EXISTING stats engine turns partition predicates into file
+    * pruning — no directory hierarchy (zero listing survives), no
+    * small-file explosion on high-cardinality keys, and the contract
+    * time-travels/clones/restores because `@props` already does.
+    * Returns Nil for an unclustered table.
+    */
+  private[sources] def clusterColsOf(m: Map[String, String], table: String): Seq[String] =
+    decodeChecks(m.get(table + PropsSuffix)).get(ClusterByProp)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
 
   /** The `appendOnly=true` DML gate — called by every row-removing /
     * row-modifying verb with the manifest it already holds (no extra

@@ -117,10 +117,26 @@ private[sources] trait SnapshotsTxnOps { self: Snapshots =>
     * standing tables). Refuses if the table already exists. An empty
     * lake bootstraps fine (first manifest). The SQL catalog's CREATE
     * TABLE lands here.
+    *
+    * `props` lands as the table's `@props` line in the SAME manifest
+    * write (one version for CREATE + TBLPROPERTIES / PARTITIONED BY —
+    * no second commit, no window where the table exists without its
+    * contracts). `clusterBy` is validated against the created schema
+    * here, the same check [[setProperties]] applies later.
     */
-  def createTable(table: String, df: DataFrame, statsCols: Seq[String] = Nil): Long = {
+  def createTable(table: String, df: DataFrame, statsCols: Seq[String] = Nil,
+                  props: Map[String, String] = Map.empty): Long = {
     require(!isMetaEntry(table),
       s"table name '$table' collides with the reserved '@' manifest lines")
+    props.keys.foreach(k => require(k.matches("[A-Za-z0-9_.-]+"),
+      s"property key '$k' must be [A-Za-z0-9_.-]+"))
+    props.get(ClusterByProp).foreach { v =>
+      val cols = v.split(",").map(_.trim).filter(_.nonEmpty)
+      require(cols.nonEmpty, s"$ClusterByProp requires at least one column")
+      cols.foreach(c => require(df.columns.contains(c),
+        s"$ClusterByProp column '$c' is not a column of table '$table' " +
+          s"(${df.columns.sorted.mkString(", ")})"))
+    }
     var attempt = currentVersion.getOrElse(0L) + 1
     for (_ <- 1 to MaxAttempts) {
       val cur = currentVersion.map(readManifest).getOrElse(Map.empty)
@@ -128,7 +144,10 @@ private[sources] trait SnapshotsTxnOps { self: Snapshots =>
         s"table '$table' already exists under $root")
       val written = stageTables(Map(table -> df),
         if (statsCols.nonEmpty) Map(table -> statsCols) else Map.empty, attempt)
-      if (writeManifest(attempt, cur ++ written)) return attempt
+      val propLine: Map[String, String] =
+        if (props.isEmpty) Map.empty
+        else Map((table + PropsSuffix) -> encodeChecks(props))
+      if (writeManifest(attempt, cur ++ written ++ propLine)) return attempt
       attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
     }
     throw new IllegalStateException(

@@ -51,15 +51,32 @@ object GraftLakeShim {
   import org.apache.spark.sql.types.StructType
 
   /** FileIndex fully determined by manifest metadata — listFiles never
-    * touches a filesystem. Lengths must be EXACT (they drive split
-    * planning and footer location); modification times are irrelevant
-    * to the scan and recorded as 0.
+    * touches a filesystem for the file LIST. Lengths must be EXACT
+    * (they drive split planning and footer location); modification
+    * times are irrelevant to the scan and recorded as 0.
+    *
+    * `pruner` is the plan-time DATA-SKIPPING hook (Delta's
+    * TahoeFileIndex idea, public design): given the scan's pushed data
+    * filters it may return the set of file paths that MIGHT hold
+    * matching rows (None = no information, keep all). Skipping is an
+    * advisory accelerator under the exact filters the scan applies
+    * anyway — a pruner failure falls back to the full list rather than
+    * failing the plan.
     */
-  private final class ManifestFileIndex(files: Seq[FileStatus]) extends FileIndex {
+  private final class ManifestFileIndex(
+      files: Seq[FileStatus],
+      pruner: Seq[Expression] => Option[Set[String]]) extends FileIndex {
     override def rootPaths: Seq[Path] = files.map(_.getPath)
     override def listFiles(partitionFilters: Seq[Expression],
-                           dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
-      Seq(PartitionDirectory(InternalRow.empty, files.toArray))
+                           dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+      val kept =
+        if (dataFilters.isEmpty) files
+        else try pruner(dataFilters) match {
+          case Some(keep) => files.filter(f => keep.contains(f.getPath.toString))
+          case None => files
+        } catch { case _: Exception => files }
+      Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
+    }
     override def inputFiles: Array[String] = files.map(_.getPath.toString).toArray
     override def refresh(): Unit = ()
     override def sizeInBytes: Long = files.map(_.getLen).sum
@@ -69,13 +86,16 @@ object GraftLakeShim {
   /** Parquet DataFrame over an explicit (path, length) file list with a
     * known schema: zero listing, zero schema inference. An empty file
     * list yields a valid empty relation with the schema intact.
+    * `pruner` (optional) wires sidecar-stats data skipping into the
+    * scan's file listing — see [[ManifestFileIndex]].
     */
-  def parquetByManifest(s: SparkSession, files: Seq[(String, Long)], schema: StructType): DataFrame = {
+  def parquetByManifest(s: SparkSession, files: Seq[(String, Long)], schema: StructType,
+                        pruner: Seq[Expression] => Option[Set[String]] = _ => None): DataFrame = {
     val statuses = files.map { case (p, len) =>
       new FileStatus(len, false, 1, 128L << 20, 0L, new Path(p))
     }
     val relation = HadoopFsRelation(
-      location = new ManifestFileIndex(statuses),
+      location = new ManifestFileIndex(statuses, pruner),
       partitionSchema = StructType(Nil),
       dataSchema = schema,
       bucketSpec = None,

@@ -1,0 +1,221 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Snapshots
+import graft.sources.FileStats.ColRange
+
+/** The clustering contract (`clusterBy` / SQL `PARTITIONED BY`) and
+  * plan-time data skipping: writes range-cluster batches into flat
+  * files with tight sidecar stats, and EVERY read path — `read()`,
+  * `readWhere`, pure SQL text — skips files whose stats cannot match
+  * the pushed predicate. Skipped files must never be OPENED (asserted
+  * through [[CountingLocalFs]], which survives AQE plan shapes), and
+  * results must be exactly the unpruned filter's.
+  */
+class ClusteringSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+
+  private def cfsRoot(prefix: String): String = {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.cfs.impl", classOf[CountingLocalFs].getName)
+    "cfs:" + Files.createTempDirectory(prefix).toString + "/t"
+  }
+
+  /** Distinct data files opened while `body` runs. */
+  private def opens[T](body: => T): (T, Int) = {
+    CountingLocalFs.reset()
+    val r = body
+    (r, CountingLocalFs.dataFileOpens.size)
+  }
+
+  test("clusterBy appends range-cluster the batch; reads skip files on the cluster key") {
+    val sp = spark
+    import sp.implicits._
+    val root = cfsRoot("clspeng")
+    val snap = new Snapshots(spark, root)
+    snap.createTable("t",
+      Seq.empty[(Long, String)].toDF("id", "s"),
+      props = Map("clusterBy" -> "id"))
+    // hash-shuffled input: clustering must REDISTRIBUTE, not rely on
+    // arrival order; 8 incoming partitions pin 8 output files
+    snap.append("t",
+      (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "s").repartition(8))
+    val totalFiles = snap.read("t").inputFiles.length
+    assert(totalFiles >= 8, s"expected >=8 data files, got $totalFiles")
+
+    // the ordinary read path (NOT readWhere): the pushed BETWEEN must
+    // skip files at plan time through the stats sidecar the clustered
+    // append wrote — skipped files are never opened
+    val (n, opened) = opens {
+      snap.read("t").where(col("id").between(101L, 200L)).count()
+    }
+    assert(n === 100L)
+    assert(opened < totalFiles / 2,
+      s"plan-time skipping should open few files: opened $opened of $totalFiles")
+
+    // explicit readWhere agrees (same sidecar, pre-pruned file list)
+    val rw = snap.readWhere("t", Seq(ColRange("id", Some(101L), Some(200L))))
+    assert(rw.count() === 100L && rw.inputFiles.length < totalFiles / 2)
+
+    // results are the unpruned filter's, exactly
+    val full = snap.read("t").where(col("id").between(101L, 200L))
+    val pruned = snap.read("t").where(col("id").between(101L, 200L))
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+
+    // equality pushes too (point lookup on the cluster key)
+    val (one, openedEq) = opens {
+      snap.read("t").where(col("id") === 777L).count()
+    }
+    assert(one === 1L && openedEq < totalFiles / 2)
+  }
+
+  test("plan-time bloom skipping: equality probe on a hash-scattered column opens holder files only") {
+    val sp = spark
+    import sp.implicits._
+    val root = cfsRoot("clspbloom")
+    val snap = new Snapshots(spark, root)
+    // ids hash-scattered across 8 files: min/max spans everything, the
+    // bloom sidecar is the only thing that can skip
+    val df = (1L to 1000L).map(i => (i, i * 3.0)).toDF("id", "v").repartition(8)
+    snap.commit(Map("a" -> df), bloomCols = Map("a" -> Seq("id")))
+    val totalFiles = snap.read("a").inputFiles.length
+    assert(totalFiles >= 8)
+    val (n, opened) = opens {
+      snap.read("a").where(col("id") === 777L).count()
+    }
+    assert(n === 1L)
+    assert(opened < totalFiles / 2,
+      s"bloom skipping should open holder files only: opened $opened of $totalFiles")
+    // IN-list probes ride the same veto
+    val (n3, opened3) = opens {
+      snap.read("a").where(col("id").isin(7L, 77L, 777L)).count()
+    }
+    assert(n3 === 3L && opened3 < totalFiles,
+      s"IN probe opened $opened3 of $totalFiles")
+  }
+
+  test("clusterBy validates columns at create and at set; DML keeps the contract") {
+    val sp = spark
+    import sp.implicits._
+    val root = cfsRoot("clspval")
+    val snap = new Snapshots(spark, root)
+    val e1 = intercept[IllegalArgumentException] {
+      snap.createTable("t", Seq((1L, "a")).toDF("id", "s"),
+        props = Map("clusterBy" -> "nope"))
+    }
+    assert(e1.getMessage.contains("nope"))
+
+    snap.createTable("t", Seq.empty[(Long, String)].toDF("id", "s"))
+    val e2 = intercept[IllegalArgumentException] {
+      snap.setProperties("t", Map("clusterBy" -> "id,nope"))
+    }
+    assert(e2.getMessage.contains("nope"))
+
+    // adopt clustering on a standing table, then verify DML rewrites
+    // keep files skippable (partialRewrite re-sidecars cluster columns)
+    snap.setProperties("t", Map("clusterBy" -> "id"))
+    snap.append("t", (1L to 600L).map(i => (i, s"v$i")).toDF("id", "s").repartition(6))
+    snap.updateWhere("t", Seq(ColRange("id", Some(100L), Some(199L))),
+      Map("s" -> lit("upd")), statsCols = Seq("id"))
+    snap.deleteWhere("t", Seq(ColRange("id", Some(500L), Some(600L))))
+    val totalFiles = snap.read("t").inputFiles.length
+    val (rows, opened) = opens {
+      snap.read("t").where(col("id").between(100L, 199L))
+        .where(col("s") === "upd").count()
+    }
+    assert(rows === 100L)
+    assert(opened < totalFiles,
+      s"post-DML reads should still skip: opened $opened of $totalFiles")
+    assert(snap.read("t").count() === 499L) // 600 - 101 deleted
+  }
+
+  test("compact re-establishes GLOBAL clustering across batch-local clusters") {
+    val sp = spark
+    import sp.implicits._
+    val root = cfsRoot("clspcompact")
+    val snap = new Snapshots(spark, root)
+    snap.createTable("t", Seq.empty[(Long, Long)].toDF("id", "p"),
+      props = Map("clusterBy" -> "id"))
+    // three appends covering the SAME key range: per-batch clustering
+    // leaves every batch's files overlapping every other batch's
+    for (b <- 0L until 3L)
+      snap.append("t",
+        (1L to 900L).map(i => (i, b * 1000L + i)).toDF("id", "p").repartition(4))
+    // small target → several output files, globally range-disjoint
+    snap.compact("t", targetBytes = 4096L)
+    val totalFiles = snap.read("t").inputFiles.length
+    assert(totalFiles >= 3, s"compact should keep several files, got $totalFiles")
+    val (n, opened) = opens {
+      snap.read("t").where(col("id").between(1L, 60L)).count()
+    }
+    assert(n === 180L)
+    assert(opened < totalFiles,
+      s"compacted clustered table should skip: opened $opened of $totalFiles")
+    assert(snap.read("t").count() === 2700L)
+  }
+
+  test("SQL surface: PARTITIONED BY and CLUSTER BY lower to clusterBy; text reads skip files") {
+    val sp = spark
+    val root = "cfs:" + Files.createTempDirectory("clspsql").toString
+    sp.sparkContext.hadoopConfiguration
+      .set("fs.cfs.impl", classOf[CountingLocalFs].getName)
+    sp.conf.set("spark.sql.catalog.gclu", classOf[graft.sources.GraftCatalog].getName)
+    sp.conf.set("spark.sql.catalog.gclu.root", root)
+    sp.sql("CREATE NAMESPACE gclu.db")
+    sp.sql("CREATE TABLE gclu.db.t (k BIGINT, p BIGINT) PARTITIONED BY (k)")
+    // shuffled insert through pure text (catalog append must cluster)
+    sp.range(1, 2001).selectExpr("id", "id * 10 AS p")
+      .repartition(8).createOrReplaceTempView("clu_src")
+    sp.sql("INSERT INTO gclu.db.t SELECT id AS k, p FROM clu_src")
+
+    // the property is visible as text
+    val props = sp.sql("SHOW TBLPROPERTIES gclu.db.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("clusterBy").contains("k"), s"props: $props")
+
+    val snap = new Snapshots(sp, root + "/db")
+    val totalFiles = snap.read("t").inputFiles.length
+    assert(totalFiles >= 8)
+    val (row, opened) = opens {
+      sp.sql("SELECT count(*) AS n, sum(p) AS s FROM gclu.db.t WHERE k BETWEEN 101 AND 300").head
+    }
+    assert(row.getLong(0) === 200L && row.getLong(1) === (101L to 300L).map(_ * 10).sum)
+    assert(opened < totalFiles / 2,
+      s"SQL text read should skip clustered files: opened $opened of $totalFiles")
+
+    // CLUSTER BY spelling lowers to the same contract
+    sp.sql("CREATE TABLE gclu.db.c (k BIGINT, v BIGINT) CLUSTER BY (k)")
+    sp.sql("INSERT INTO gclu.db.c SELECT id AS k, id AS v FROM clu_src")
+    val propsC = sp.sql("SHOW TBLPROPERTIES gclu.db.c").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(propsC.get("clusterBy").contains("k"))
+
+    // non-identity transforms refuse loudly (no silent layout change)
+    val e = intercept[Exception] {
+      sp.sql("CREATE TABLE gclu.db.bad (ts TIMESTAMP, v BIGINT) PARTITIONED BY (days(ts))")
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("value clustering")), s"got: ${chain(e)}")
+
+    // unknown clustering column refuses at CREATE
+    val e2 = intercept[Exception] {
+      sp.sql("CREATE TABLE gclu.db.bad2 (k BIGINT) PARTITIONED BY (missing)")
+    }
+    assert(chain(e2).exists(m => m.contains("missing")), s"got: ${chain(e2)}")
+
+    // TBLPROPERTIES at CREATE land in the same single commit:
+    // appendOnly declared as text gates DML immediately
+    sp.sql("""CREATE TABLE gclu.db.ao (k BIGINT)
+             |TBLPROPERTIES ('appendOnly'='true')""".stripMargin)
+    sp.sql("INSERT INTO gclu.db.ao VALUES (1), (2)")
+    val e3 = intercept[Exception] { sp.sql("DELETE FROM gclu.db.ao WHERE k = 1") }
+    assert(chain(e3).exists(_.contains("appendOnly")), s"got: ${chain(e3)}")
+    assert(sp.sql("SELECT count(*) FROM gclu.db.ao").head.getLong(0) === 2L)
+  }
+}

@@ -22,11 +22,26 @@ class CountingLocalFs extends RawLocalFileSystem {
     CountingLocalFs.listed.add(p.toUri.getPath)
     super.listStatus(p)
   }
+
+  override def open(p: Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream = {
+    CountingLocalFs.opened.add(p.toUri.getPath)
+    super.open(p, bufferSize)
+  }
 }
 
 object CountingLocalFs {
   val listed = new ConcurrentLinkedQueue[String]()
-  def reset(): Unit = listed.clear()
+  val opened = new ConcurrentLinkedQueue[String]()
+  def reset(): Unit = { listed.clear(); opened.clear() }
+
+  /** Distinct DATA files opened (executor scan opens — footer + column
+    * reads collapse to one entry per file). The plan-time skipping
+    * assert: a file the sidecar stats prune is never opened at all,
+    * which survives AQE plan shapes that hide FileSourceScanExec from
+    * naive tree collects.
+    */
+  def dataFileOpens: Seq[String] =
+    opened.asScala.filter(_.endsWith(".parquet")).toSeq.distinct
 
   /** listStatus calls against anything that is NOT the commit log —
     * i.e. actual data-directory listings. The commit log list (one

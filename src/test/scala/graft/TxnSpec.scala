@@ -2622,7 +2622,8 @@ class TxnSpec extends AnyFunSuite {
       .head.getLong(0) == 2L)
 
     // appendOnly: INSERT INTO (an append) stays lawful; OVERWRITE
-    // refuses (the table declares no truncate/overwrite capability)
+    // refuses — it executes as replaceWhere since r10, and the verb's
+    // appendOnly gate rejects the row-removing rewrite before staging
     snap.setProperties("t", Map("appendOnly" -> "true"))
     sp.sql("INSERT INTO gtest.db.t VALUES (4, 40)")
     assert(sp.sql("SELECT count(*) FROM gtest.db.t").head.getLong(0) == 4L)
@@ -3149,6 +3150,43 @@ class TxnSpec extends AnyFunSuite {
     a.zip(b).zipWithIndex.foreach { case ((x, y), v) =>
       assert(x == y, s"manifest v$v diverges between stores:\n--- local\n$x\n--- object\n$y")
     }
+  }
+
+  test("INSERT OVERWRITE as text: atomic one-version replace, history intact, nulls pass") {
+    val sp = spark
+    val root = Files.createTempDirectory("sqlovw").toString
+    sp.conf.set("spark.sql.catalog.govw", classOf[graft.sources.GraftCatalog].getName)
+    sp.conf.set("spark.sql.catalog.govw.root", root)
+    sp.sql("CREATE NAMESPACE govw.db")
+    sp.sql("CREATE TABLE govw.db.t (id BIGINT, v BIGINT)")                  // v1
+    sp.sql("INSERT INTO govw.db.t VALUES (1, 10), (2, 20), (3, 30)")        // v2
+    val snap = new Snapshots(sp, root + "/db")
+    val before = snap.currentVersion.get
+
+    // whole-table replace as ONE published version — and a NULL-keyed
+    // row must pass (the unbounded slice admits every row)
+    sp.sql("INSERT OVERWRITE govw.db.t VALUES (7, 70), (8, 80), (NULL, 99)") // v3
+    assert(snap.currentVersion.get == before + 1,
+      "INSERT OVERWRITE must publish exactly one version")
+    val rows = sp.sql("SELECT id, v FROM govw.db.t ORDER BY v").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((7L, 70L), (8L, 80L), (-1L, 99L)))
+
+    // history intact: the pre-overwrite state still reads
+    assert(sp.sql(s"SELECT sum(v) FROM govw.db.t VERSION AS OF $before")
+      .head.getLong(0) == 60L)
+
+    // replays converge: a second identical overwrite leaves the same rows
+    sp.sql("INSERT OVERWRITE govw.db.t VALUES (7, 70), (8, 80), (NULL, 99)")
+    assert(sp.sql("SELECT count(*) FROM govw.db.t").head.getLong(0) == 3L)
+
+    // CHECK constraints gate the overwrite batch like any write
+    snap.addCheck("t", "v_pos", "v >= 0")
+    val head2 = snap.currentVersion.get
+    intercept[Exception] { sp.sql("INSERT OVERWRITE govw.db.t VALUES (1, -5)") }
+    assert(snap.currentVersion.get == head2,
+      "a refused overwrite must publish nothing")
+    assert(sp.sql("SELECT count(*) FROM govw.db.t").head.getLong(0) == 3L)
   }
 
 }
