@@ -571,6 +571,53 @@ object GraftCatalog {
              |) ORDER BY phase, delta, o_orderstatus""".stripMargin)
   }
 
+  /** D18 `st11_stream_changes`: STREAMING CDF as text —
+    * `spark.readStream.table` pointed at the `t$changes` metadata
+    * table (Delta's `.option("readChangeFeed","true")` streaming
+    * contract, addressed purely by name). The same text-built lake as
+    * c28 (INSERT, range DELETE, range UPDATE), then a real micro-batch
+    * query streams `orders_t$changes$2` — everything after the initial
+    * load, one micro-batch per version, stepwise DV-aware diffs — into
+    * a memory sink, and the net-delta fold must reproduce the c08
+    * closed form: delete(−1), update-old(−1), update-new(+1), with
+    * whole-file pre/post images of unchanged rows cancelling in the
+    * fold. One oracle therefore pins the batch window read (c28's
+    * `win` leg), the streamed feed, and DuckDB's recompute to each
+    * other.
+    */
+  def st11StreamChanges(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = s.conf.get("spark.sql.warehouse.dir") + "/c21_catalog"
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", root)
+    Catalog.register(s, dir)
+    val ns = "db_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    s.sql(s"CREATE NAMESPACE graft.$ns")
+    s.sql(s"CREATE TABLE graft.$ns.orders_t (o_orderkey BIGINT, o_orderstatus STRING, price_cents BIGINT)") // v1
+    s.sql(s"""INSERT INTO graft.$ns.orders_t
+             |SELECT o_orderkey, o_orderstatus,
+             |       CAST(round(o_totalprice * 100, 0) AS BIGINT)
+             |FROM orders""".stripMargin)                                       // v2
+    s.sql(s"DELETE FROM graft.$ns.orders_t WHERE o_orderkey BETWEEN 1000 AND 1999")  // v3
+    s.sql(s"""UPDATE graft.$ns.orders_t SET price_cents = price_cents + 7
+             |WHERE o_orderkey BETWEEN 200 AND 399""".stripMargin)              // v4
+    val sink = "stch_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val ckpt = java.nio.file.Files.createTempDirectory("stch_ckpt").toString
+    val q = s.readStream.table(s"graft.$ns.`orders_t$$changes$$2`")
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    s.table(sink)
+      .groupBy("o_orderkey", "o_orderstatus", "price_cents")
+      .agg(sum(when(col("_change") === "added", 1L).otherwise(-1L)).as("delta"))
+      .where(col("delta") =!= 0L)
+      .groupBy("delta", "o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum("price_cents").cast("long").as("total_cents"))
+      .orderBy("delta", "o_orderstatus")
+  }
+
   /** A42 `c29_clustered_layout`: `PARTITIONED BY` as VALUE CLUSTERING —
     * the whole loop as pure text: CREATE TABLE … PARTITIONED BY (key)
     * lowers to the `clusterBy` contract, two shuffled INSERT batches
@@ -654,6 +701,7 @@ object GraftCatalog {
     "c21_sql_catalog" -> c21SqlCatalog _,
     "c29_clustered_layout" -> c29ClusteredLayout _,
     "c30_sql_insert_overwrite" -> c30SqlInsertOverwrite _,
+    "st11_stream_changes" -> st11StreamChanges _,
     "c28_sql_changes" -> c28SqlChanges _,
     "c22_lake_join_strategy" -> c22LakeJoinStrategy _,
     "c23_sql_delete" -> c23SqlDelete _,
@@ -662,6 +710,27 @@ object GraftCatalog {
     "c26_sql_merge_matrix" -> c26SqlMergeMatrix _)
 
   val oracles: Map[String, String] = Map(
+    // the same closed form as c28's post-insert window: the streamed
+    // feed, the batch window read, and DuckDB must agree
+    "st11_stream_changes" ->
+      """WITH c AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+        |  FROM orders
+        |), d AS (
+        |  SELECT CAST(-1 AS BIGINT) AS delta, o_orderstatus, price_cents FROM c
+        |  WHERE o_orderkey BETWEEN 1000 AND 1999
+        |  UNION ALL
+        |  SELECT CAST(-1 AS BIGINT) AS delta, o_orderstatus, price_cents FROM c
+        |  WHERE o_orderkey BETWEEN 200 AND 399
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT) AS delta, o_orderstatus, price_cents + 7 FROM c
+        |  WHERE o_orderkey BETWEEN 200 AND 399
+        |)
+        |SELECT delta, o_orderstatus, count(*) AS n,
+        |  CAST(sum(price_cents) AS BIGINT) AS total_cents
+        |FROM d GROUP BY delta, o_orderstatus
+        |ORDER BY delta, o_orderstatus""".stripMargin,
     "c30_sql_insert_overwrite" ->
       """WITH c AS (
         |  SELECT o_orderkey, o_orderstatus,
@@ -1082,11 +1151,61 @@ private[sources] class GraftMetaTable(
 
   override def name(): String = s"graft:$root#$baseTable$$$kind@v$pinnedVersion"
   override def schema(): StructType = tableSchema
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    throw new IllegalStateException(
-      "graft metadata tables are planned by the GraftLakeReads analysis rule — " +
-        "build the session with spark.sql.extensions=graft.functions.GraftExtensions")
+  private def isChanges: Boolean = kind == "changes" || kind.startsWith("changes$")
+
+  override def capabilities(): util.Set[TableCapability] =
+    if (isChanges)
+      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    else util.EnumSet.of(TableCapability.BATCH_READ)
+
+  /** STREAMING CDF as text — `spark.readStream.table("graft.db.\`t$changes\`")`
+    * (Delta's `readChangeFeed` streaming option, public design, without
+    * leaving SQL-addressable names): the `$changes` family streams on
+    * the commit-log offset axis through the SAME [[ChangeFeedStream]]
+    * the format-based source runs — stepwise DV-aware version diffs,
+    * O(changed files) per micro-batch, byte-bin-packed partitions.
+    * `t$changes` streams everything after version 0, `t$changes$F`
+    * everything after F (matching the batch table's "diff from F"
+    * lower bound); an explicit `t$changes$F$T` window is a BOUNDED
+    * query and refuses here, pointing at the batch form. Batch reads
+    * of the same identifiers never reach this builder (the
+    * GraftLakeReads rule plans them); rows carry the batch table's
+    * exact schema (data columns + `_change` — per-version attribution
+    * needs the format-based feed's `_commit_version`, which a
+    * two-endpoint batch diff cannot honestly carry, so the shared
+    * schema omits it).
+    */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    if (!isChanges)
+      throw new IllegalStateException(
+        "graft metadata tables are planned by the GraftLakeReads analysis rule — " +
+          "build the session with spark.sql.extensions=graft.functions.GraftExtensions")
+    new ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      private var pruned: StructType = tableSchema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        pruned = requiredSchema
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.Scan {
+          override def readSchema(): StructType = pruned
+          override def description(): String = name()
+          override def toBatch: org.apache.spark.sql.connector.read.Batch =
+            throw new IllegalStateException(
+              "graft metadata tables are planned by the GraftLakeReads analysis rule — " +
+                "build the session with spark.sql.extensions=graft.functions.GraftExtensions")
+          override def toMicroBatchStream(checkpointLocation: String)
+              : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+            val parts = kind.split("\\$")
+            require(parts.length <= 2,
+              s"streaming '$baseTable$$$kind' has an explicit upper bound — a bounded " +
+                s"window is a batch query (SELECT … FROM `$baseTable$$$kind`); stream " +
+                s"`$baseTable$$changes` or `$baseTable$$changes$$from` instead")
+            val from = parts.lift(1).map(_.toLong).getOrElse(0L)
+            new ChangeFeedStream(root, baseTable, from,
+              maxVersionsPerTrigger = None, fullSchema = pruned)
+          }
+        }
+    }
+  }
 }
