@@ -407,6 +407,24 @@ private[sources] class ChangeFeedStream(root: String, table: String,
               "(rename/drop, or a compaction that materialized one) — a standing " +
               "stream cannot re-label its schema; restart the stream with a new " +
               s"checkpoint at startingVersion $v or later")
+        // TYPE-WIDENING boundary, same rule: a fixed-schema stream bound
+        // to the narrow type cannot read the wide pages later versions
+        // write (narrowing reads are not a parquet conversion). Additive
+        // evolution stays allowed — only a SHARED column's re-type refuses.
+        if (cursorAt != 0L) {
+          for (a <- s.storedSchemaAt(table, cursorAt); b <- s.storedSchemaAt(table, v)) {
+            val bt = b.fields.map(f => f.name -> f.dataType).toMap
+            a.fields.foreach { f =>
+              bt.get(f.name).filter(_ != f.dataType).foreach { nt =>
+                throw new IllegalStateException(
+                  s"version $v of '$table' re-types column '${f.name}' " +
+                    s"(${f.dataType.simpleString} -> ${nt.simpleString}) — a standing " +
+                    "stream cannot re-type its schema; restart the stream with a new " +
+                    s"checkpoint at startingVersion $v or later")
+              }
+            }
+          }
+        }
       }
       if (!s.tableTouchedAt(table, v)) { v += 1 }
       else {

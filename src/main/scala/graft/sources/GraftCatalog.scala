@@ -215,6 +215,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(dc.fieldNames.length == 1,
           "nested column drop is not supported")
         sn.dropColumn(ident.name, dc.fieldNames.head)
+      case ut: TableChange.UpdateColumnType =>
+        // ALTER COLUMN … TYPE — metadata-only LOSSLESS WIDENING (Delta's
+        // type widening, public design); anything lossy refuses inside
+        // the verb, loudly and state-preserving
+        require(ut.fieldNames.length == 1,
+          "nested column type change is not supported")
+        sn.widenColumn(ident.name, ut.fieldNames.head, ut.newDataType)
       case ac: TableChange.AddColumn =>
         require(ac.fieldNames.length == 1 && ac.position == null &&
             ac.defaultValue == null,
@@ -571,6 +578,48 @@ object GraftCatalog {
              |) ORDER BY phase, delta, o_orderstatus""".stripMargin)
   }
 
+  /** A44 `c31_widen_type`: ALTER COLUMN TYPE as LOSSLESS WIDENING —
+    * pure text end-to-end: a table created NARROW (INT key and cents),
+    * loaded, then `ALTER TABLE … ALTER COLUMN … TYPE BIGINT` twice
+    * (metadata-only, zero data IO), then a second INSERT whose keys
+    * exceed Int.MaxValue — representable ONLY because the widening is
+    * real. The fold aggregates across both eras (narrow files read
+    * through parquet's widening conversions under the wide schema) and
+    * the `pre` leg time-travels to the narrow era straight across the
+    * type change. DuckDB closed forms pin both. Per-run namespace
+    * keeps re-runs idempotent.
+    */
+  def c31WidenType(s: SparkSession, dir: String): DataFrame = {
+    val root = s.conf.get("spark.sql.warehouse.dir") + "/c21_catalog"
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", root)
+    Catalog.register(s, dir)
+    val ns = "db_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    s.sql(s"CREATE NAMESPACE graft.$ns")
+    s.sql(s"CREATE TABLE graft.$ns.orders_w (k INT, o_orderstatus STRING, price_cents INT)") // v1
+    s.sql(s"""INSERT INTO graft.$ns.orders_w
+             |SELECT CAST(o_orderkey AS INT), o_orderstatus,
+             |       CAST(round(o_totalprice * 100, 0) AS INT)
+             |FROM orders""".stripMargin)                                       // v2
+    s.sql(s"ALTER TABLE graft.$ns.orders_w ALTER COLUMN k TYPE BIGINT")         // v3
+    s.sql(s"ALTER TABLE graft.$ns.orders_w ALTER COLUMN price_cents TYPE BIGINT") // v4
+    s.sql(s"""INSERT INTO graft.$ns.orders_w
+             |SELECT o_orderkey + 4000000000, o_orderstatus,
+             |       CAST(round(o_totalprice * 100, 0) AS BIGINT) * 2
+             |FROM orders WHERE o_orderkey % 5 = 0""".stripMargin)              // v5: past Int.MaxValue
+    s.sql(s"""SELECT phase, o_orderstatus, n, total_cents, max_k FROM (
+             |  SELECT 'post' AS phase, o_orderstatus, count(*) AS n,
+             |         CAST(sum(price_cents) AS BIGINT) AS total_cents,
+             |         CAST(max(k) AS BIGINT) AS max_k
+             |  FROM graft.$ns.orders_w GROUP BY o_orderstatus
+             |  UNION ALL
+             |  SELECT 'pre' AS phase, o_orderstatus, count(*) AS n,
+             |         CAST(sum(price_cents) AS BIGINT) AS total_cents,
+             |         CAST(max(k) AS BIGINT) AS max_k
+             |  FROM graft.$ns.orders_w VERSION AS OF 2 GROUP BY o_orderstatus
+             |) ORDER BY phase, o_orderstatus""".stripMargin)
+  }
+
   /** D18 `st11_stream_changes`: STREAMING CDF as text —
     * `spark.readStream.table` pointed at the `t$changes` metadata
     * table (Delta's `.option("readChangeFeed","true")` streaming
@@ -702,6 +751,7 @@ object GraftCatalog {
     "c29_clustered_layout" -> c29ClusteredLayout _,
     "c30_sql_insert_overwrite" -> c30SqlInsertOverwrite _,
     "st11_stream_changes" -> st11StreamChanges _,
+    "c31_widen_type" -> c31WidenType _,
     "c28_sql_changes" -> c28SqlChanges _,
     "c22_lake_join_strategy" -> c22LakeJoinStrategy _,
     "c23_sql_delete" -> c23SqlDelete _,
@@ -710,6 +760,28 @@ object GraftCatalog {
     "c26_sql_merge_matrix" -> c26SqlMergeMatrix _)
 
   val oracles: Map[String, String] = Map(
+    "c31_widen_type" ->
+      """WITH c AS (
+        |  SELECT o_orderkey AS k, o_orderstatus,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+        |  FROM orders
+        |), post AS (
+        |  SELECT k, o_orderstatus, price_cents FROM c
+        |  UNION ALL
+        |  SELECT k + 4000000000, o_orderstatus, price_cents * 2 FROM c
+        |  WHERE k % 5 = 0
+        |)
+        |SELECT phase, o_orderstatus, n, total_cents, max_k FROM (
+        |  SELECT 'post' AS phase, o_orderstatus, count(*) AS n,
+        |    CAST(sum(price_cents) AS BIGINT) AS total_cents,
+        |    CAST(max(k) AS BIGINT) AS max_k
+        |  FROM post GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT 'pre' AS phase, o_orderstatus, count(*) AS n,
+        |    CAST(sum(price_cents) AS BIGINT) AS total_cents,
+        |    CAST(max(k) AS BIGINT) AS max_k
+        |  FROM c GROUP BY o_orderstatus
+        |) ORDER BY phase, o_orderstatus""".stripMargin,
     // the same closed form as c28's post-insert window: the streamed
     // feed, the batch window read, and DuckDB must agree
     "st11_stream_changes" ->

@@ -682,6 +682,13 @@ class Snapshots(private[sources] val s: SparkSession,
   private[sources] def colmapLineOf(table: String, v: Long): Option[String] =
     readManifest(v).get(table + ColmapSuffix)
 
+  /** The checkpointed PHYSICAL schema of `table` at `v` (None on
+    * pre-metadata manifests) — the change feed compares types across
+    * its walk to refuse type-widening boundaries.
+    */
+  private[sources] def storedSchemaAt(table: String, v: Long): Option[org.apache.spark.sql.types.StructType] =
+    storedSchema(readManifest(v), table)
+
   /** Logical→physical column resolution for `table` at `v` — identity
     * on unmapped tables and unmapped (post-evolution) columns.
     */

@@ -82,6 +82,97 @@ private[sources] trait SnapshotsMetaOps { self: Snapshots =>
     throw new IllegalStateException(
       s"dropColumn lost $MaxAttempts consecutive version races under $root")
   }
+
+  /** Lossless type widenings the engine accepts — exactly the matrix
+    * every read path was verified to honor over NARROW physical pages
+    * (Spark 4's parquet widening conversions, vectorized and row
+    * readers both; the stats sidecar already normalizes integrals to
+    * "long" and floats to "double", and the bloom index widens
+    * integrals to long on build AND probe, so skipping survives
+    * untouched). Deliberately narrower than `Cast.canUpCast`, which
+    * admits lossy long→float/double promotions.
+    */
+  private[sources] def isLosslessWidening(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | DoubleType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d1.scale == d2.scale && d2.precision > d1.precision
+      case _ => false
+    }
+  }
+
+  /** WIDEN COLUMN TYPE — metadata-only at any table size (Delta's type
+    * widening, public design): one manifest line re-types the column;
+    * zero data IO. Existing files keep their narrow physical pages and
+    * every read path widens at scan time (verified for the full
+    * [[isLosslessWidening]] matrix); writes after the change land the
+    * wide type, so a table converges to wide files as it churns and
+    * [[compact]] materializes wholesale. Old versions time-travel to
+    * the narrow type. Refusals are loud and state-preserving:
+    * non-lossless targets (including any NARROWING), columns a
+    * GENERATED-column expression references or defines (the stored
+    * expression's result type is pinned to the declared column type —
+    * widening under it would break the provided-vs-computed equality
+    * contract), and tables without a checkpointed schema.
+    */
+  def widenColumn(table: String, colName: String,
+                  newType: org.apache.spark.sql.types.DataType): Long = {
+    var attempt = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no commits under $root")) + 1
+    for (_ <- 1 to MaxAttempts) {
+      val cur = readManifest(currentVersion.get)
+      require(dataEntries(cur).contains(table),
+        s"table '$table' not committed under $root")
+      val phys = storedSchema(cur, table).getOrElse(throw new IllegalStateException(
+        s"table '$table' has no checkpointed schema — " +
+          "type widening needs the @schema line (append once to upgrade)"))
+      // the caller speaks LOGICAL names; the @schema line is physical
+      val pairs = colmapOf(cur, table).getOrElse(
+        phys.fields.toSeq.map(f => f.name -> f.name))
+      val physName = pairs.collectFirst { case (l, p) if l == colName => p }
+        .getOrElse(throw new IllegalArgumentException(
+          s"no column '$colName' in table '$table' (visible: ${pairs.map(_._1).mkString(", ")})"))
+      val field = phys(phys.fieldIndex(physName))
+      if (field.dataType == newType) return currentVersion.get // no-op
+      require(isLosslessWidening(field.dataType, newType),
+        s"cannot change column '$colName' from ${field.dataType.simpleString} to " +
+          s"${newType.simpleString} — only lossless widenings execute in place " +
+          "(byte/short/int -> long or double, float -> double, decimal precision up " +
+          "at the same scale); anything else needs an explicit projection into a new table")
+      // generated columns pin types two ways: the defined column's type
+      // is the expression's, and a referenced column's type feeds it
+      decodeChecks(cur.get(table + GenSuffix)).foreach { case (gcol, gexpr) =>
+        require(gcol != colName,
+          s"column '$colName' is GENERATED AS ($gexpr) — its type is the " +
+            "expression's; widen the inputs or redefine the column")
+        val refs = s.sessionState.sqlParser.parseExpression(gexpr).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+        }
+        require(!refs.exists(_.equalsIgnoreCase(colName)),
+          s"generated column '$gcol' ($gexpr) references '$colName' — widening it " +
+            "would shift the expression's result type out from under the declared " +
+            s"column; drop the generated column first")
+      }
+      val nextPhys = org.apache.spark.sql.types.StructType(phys.fields.map(f =>
+        if (f.name == physName) f.copy(dataType = newType) else f))
+      val candidate = {
+        val m1 = cur + schemaLine(table, nextPhys)
+        logicalSchema(m1, table).get
+      }
+      requireExprsResolve(table, cur, candidate, s"widenColumn($colName -> ${newType.simpleString})")
+      if (writeManifest(attempt, cur + schemaLine(table, nextPhys))) return attempt
+      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
+    }
+    throw new IllegalStateException(
+      s"widenColumn lost $MaxAttempts consecutive version races under $root")
+  }
+
   def readChanges(table: String, fromV: Long, toV: Long): DataFrame =
     readChanges(table, fromV, toV, dvAware = true)
 

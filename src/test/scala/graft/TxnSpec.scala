@@ -3152,6 +3152,81 @@ class TxnSpec extends AnyFunSuite {
     }
   }
 
+  test("widenColumn: metadata-only lossless type widening — reads span eras, refusals preserve state") {
+    import org.apache.spark.sql.types._
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("widen").toString
+    val snap = new Snapshots(sp, root)
+    snap.commit(Map("t" -> Seq((1, 1.5f), (2, 2.5f)).toDF("id", "v")),
+      Map("t" -> Seq("id")))                                            // v1: id INT, v FLOAT
+    val v1 = snap.currentVersion.get
+
+    // widen both columns — zero data files change
+    val detailBefore = snap.tableDetail("t")
+    snap.widenColumn("t", "id", LongType)                               // v2
+    snap.widenColumn("t", "v", DoubleType)                              // v3
+    val detailAfter = snap.tableDetail("t")
+    assert((detailAfter.numFiles, detailAfter.sizeBytes) ==
+      (detailBefore.numFiles, detailBefore.sizeBytes),
+      "widening must move zero data bytes")
+    assert(snap.read("t").schema.map(f => (f.name, f.dataType)) ==
+      Seq(("id", LongType), ("v", DoubleType)))
+
+    // a wide batch appends; the fold spans narrow and wide files
+    snap.append("t", Seq((4000000000L, 9.25)).toDF("id", "v"), statsCols = Seq("id"))
+    assert(snap.read("t").agg(sum("id")).head.getLong(0) == 4000000003L)
+    assert(snap.read("t").agg(sum("v")).head.getDouble(0) == 13.25)
+
+    // time travel reads the narrow era with its own types
+    assert(snap.read("t", Some(v1)).schema.map(_.dataType) == Seq(IntegerType, FloatType))
+
+    // readChanges across the widening coerces sides to the wide type
+    val ch = snap.readChanges("t", v1, snap.currentVersion.get)
+    assert(ch.schema("id").dataType == LongType)
+    assert(ch.where(col("_change") === "added").agg(sum("id")).head.getLong(0) == 4000000000L)
+
+    // refusals, all state-preserving: narrowing, lossy, unknown column
+    val head = snap.currentVersion.get
+    intercept[IllegalArgumentException] { snap.widenColumn("t", "id", IntegerType) }
+    intercept[IllegalArgumentException] { snap.widenColumn("t", "id", FloatType) }
+    intercept[IllegalArgumentException] { snap.widenColumn("t", "nope", LongType) }
+    assert(snap.currentVersion.get == head, "refused widenings must publish nothing")
+    // no-op widening (already the target type) publishes nothing
+    assert(snap.widenColumn("t", "id", LongType) == head)
+
+    // a generated column pins the types it touches
+    val root2 = Files.createTempDirectory("widen_gen").toString
+    val sn2 = new Snapshots(sp, root2)
+    sn2.commit(Map("g" -> Seq((1, 10, 2)).toDF("a", "b", "twice")), Map.empty)
+    sn2.addGenerated("g", "twice", "a * 2")
+    val eGen = intercept[IllegalArgumentException] { sn2.widenColumn("g", "a", LongType) }
+    assert(eGen.getMessage.contains("twice"))
+    val eDef = intercept[IllegalArgumentException] { sn2.widenColumn("g", "twice", LongType) }
+    assert(eDef.getMessage.contains("GENERATED"))
+
+    // a standing change-feed stream refuses the widening boundary
+    val got = new java.util.concurrent.atomic.AtomicLong
+    def drain(ckpt: String): Unit = {
+      val q = sp.readStream.format("graft.sources.ChangeFeed")
+        .option("path", root2).option("table", "g").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          got.addAndGet(b.count()); () }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val ckpt = Files.createTempDirectory("widen_ckpt").toString
+    drain(ckpt) // consumes up to the current head
+    // an untouched (non-generated) column still widens under the same table
+    sn2.widenColumn("g", "b", LongType)
+    sn2.append("g", Seq((2, 20L, 4)).toDF("a", "b", "twice"), statsCols = Nil)
+    val eFeed = intercept[Exception] { drain(ckpt) }
+    def chain(t: Throwable) = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .take(12).map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(eFeed).exists(_.contains("re-types")), chain(eFeed))
+  }
+
   test("INSERT OVERWRITE as text: atomic one-version replace, history intact, nulls pass") {
     val sp = spark
     val root = Files.createTempDirectory("sqlovw").toString
