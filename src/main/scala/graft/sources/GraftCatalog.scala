@@ -620,6 +620,47 @@ object GraftCatalog {
              |) ORDER BY phase, o_orderstatus""".stripMargin)
   }
 
+  /** A45 `c32_copy_into`: COPY INTO — idempotent external-file ingest
+    * as text (`CALL graft.system.copy_into`). A source directory fills
+    * in two waves: the first call ingests wave 1, the second ingests
+    * ONLY wave 2's new files (the manifest's `@copied` registry skips
+    * wave 1 without re-reading a byte of it), and a third call is a
+    * proven no-op (`files_ingested` = 0 lands in the fold as the `w3`
+    * row). The final fold over the lake table must equal DuckDB's
+    * closed form over ALL of orders — double-ingest on any call would
+    * break every count. Per-run namespace + source dir keep re-runs
+    * idempotent.
+    */
+  def c32CopyInto(s: SparkSession, dir: String): DataFrame = {
+    val root = s.conf.get("spark.sql.warehouse.dir") + "/c21_catalog"
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", root)
+    Catalog.register(s, dir)
+    val ns = "db_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val src = s.conf.get("spark.sql.warehouse.dir") + s"/copy_src_$ns"
+    s.sql(s"CREATE NAMESPACE graft.$ns")
+    s.sql(s"CREATE TABLE graft.$ns.orders_t (o_orderkey BIGINT, o_orderstatus STRING, price_cents BIGINT)")
+    def wave(pred: String): Unit =
+      s.sql(s"""SELECT o_orderkey, o_orderstatus,
+               |       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+               |FROM orders WHERE $pred""".stripMargin)
+        .write.mode("append").parquet(src)
+    wave("o_orderkey % 2 = 0")
+    s.sql(s"CALL graft.system.copy_into('$ns', 'orders_t', '$src')").collect()
+    wave("o_orderkey % 2 <> 0")
+    s.sql(s"CALL graft.system.copy_into('$ns', 'orders_t', '$src')").collect()
+    val n3 = s.sql(s"CALL graft.system.copy_into('$ns', 'orders_t', '$src')")
+      .head.getAs[Number](1).longValue // third call: the registry proves nothing is new
+    s.sql(s"""SELECT phase, o_orderstatus, n, total_cents FROM (
+             |  SELECT 'all' AS phase, o_orderstatus, count(*) AS n,
+             |         CAST(sum(price_cents) AS BIGINT) AS total_cents
+             |  FROM graft.$ns.orders_t GROUP BY o_orderstatus
+             |  UNION ALL
+             |  SELECT 'w3' AS phase, 'ingested' AS o_orderstatus,
+             |         CAST($n3 AS BIGINT) AS n, CAST(0 AS BIGINT) AS total_cents
+             |) ORDER BY phase, o_orderstatus""".stripMargin)
+  }
+
   /** D18 `st11_stream_changes`: STREAMING CDF as text —
     * `spark.readStream.table` pointed at the `t$changes` metadata
     * table (Delta's `.option("readChangeFeed","true")` streaming
@@ -752,6 +793,7 @@ object GraftCatalog {
     "c30_sql_insert_overwrite" -> c30SqlInsertOverwrite _,
     "st11_stream_changes" -> st11StreamChanges _,
     "c31_widen_type" -> c31WidenType _,
+    "c32_copy_into" -> c32CopyInto _,
     "c28_sql_changes" -> c28SqlChanges _,
     "c22_lake_join_strategy" -> c22LakeJoinStrategy _,
     "c23_sql_delete" -> c23SqlDelete _,
@@ -760,6 +802,20 @@ object GraftCatalog {
     "c26_sql_merge_matrix" -> c26SqlMergeMatrix _)
 
   val oracles: Map[String, String] = Map(
+    "c32_copy_into" ->
+      """WITH c AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+        |  FROM orders
+        |)
+        |SELECT phase, o_orderstatus, n, total_cents FROM (
+        |  SELECT 'all' AS phase, o_orderstatus, count(*) AS n,
+        |    CAST(sum(price_cents) AS BIGINT) AS total_cents
+        |  FROM c GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT 'w3' AS phase, 'ingested' AS o_orderstatus,
+        |    CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS total_cents
+        |) ORDER BY phase, o_orderstatus""".stripMargin,
     "c31_widen_type" ->
       """WITH c AS (
         |  SELECT o_orderkey AS k, o_orderstatus,

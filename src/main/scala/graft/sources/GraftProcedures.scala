@@ -28,7 +28,8 @@ import org.apache.spark.sql.types._
 private[sources] object GraftProcedures {
 
   val Names: Seq[String] =
-    Seq("compact", "zorder", "vacuum", "analyze", "rollback", "sync_identity")
+    Seq("compact", "zorder", "vacuum", "analyze", "rollback", "sync_identity",
+      "copy_into")
 
   def load(rootPrefix: String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.sameElements(Array("system")),
@@ -95,6 +96,15 @@ private[sources] object GraftProcedures {
           Seq("lake" -> StringType, "to_version" -> LongType),
           Seq("version" -> LongType)) { in =>
           Seq(snap(s(in, 0)).rollbackTo(in.getLong(1)))
+        }
+      case "copy_into" =>
+        // idempotent external-file ingest (see SnapshotsDmlOps.copyInto):
+        // CALL graft.system.copy_into('lake', 'table', '/path/to/src')
+        proc("copy_into",
+          Seq("lake" -> StringType, "table" -> StringType, "source" -> StringType),
+          Seq("version" -> LongType, "files_ingested" -> LongType)) { in =>
+          val (v, n) = snap(s(in, 0)).copyInto(s(in, 1), s(in, 2))
+          Seq(v, n.toLong)
         }
       case "sync_identity" =>
         proc("sync_identity",

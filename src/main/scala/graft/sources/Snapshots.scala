@@ -548,7 +548,25 @@ class Snapshots(private[sources] val s: SparkSession,
       key.endsWith(FilesSuffix) || key.endsWith(MaintSuffix) ||
       key.endsWith(DvSuffix) || key.endsWith(CheckSuffix) ||
       key.endsWith(GenSuffix) || key.endsWith(ColmapSuffix) ||
-      key.endsWith(IdentitySuffix) || key.endsWith(PropsSuffix)
+      key.endsWith(IdentitySuffix) || key.endsWith(PropsSuffix) ||
+      key.endsWith(CopiedSuffix)
+
+  /** `<table>@copied` — the COPY INTO load registry: the set of
+    * already-ingested source files as `base64(path):length` entries.
+    * Same scale class as the `@files` line (one entry per file), rides
+    * clone/restore/time-travel like every manifest line.
+    */
+  private[sources] val CopiedSuffix = "@copied"
+  private[sources] def copiedOf(m: Map[String, String], table: String): Set[(String, Long)] =
+    m.get(table + CopiedSuffix).map(_.split(";").filter(_.nonEmpty).toSet.map { (e: String) =>
+      val i = e.lastIndexOf(':')
+      (new String(java.util.Base64.getDecoder.decode(e.substring(0, i)), StandardCharsets.UTF_8),
+        e.substring(i + 1).toLong)
+    }).getOrElse(Set.empty)
+  private[sources] def copiedLine(table: String, entries: Set[(String, Long)]): (String, String) =
+    (table + CopiedSuffix) -> entries.toSeq.sorted.map { case (p, l) =>
+      java.util.Base64.getEncoder.encodeToString(p.getBytes(StandardCharsets.UTF_8)) + ":" + l
+    }.mkString(";")
 
   private[sources] def encodeColmap(pairs: Seq[(String, String)]): String =
     pairs.map { case (l, p) =>

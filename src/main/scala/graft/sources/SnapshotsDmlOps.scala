@@ -733,7 +733,8 @@ private[sources] trait SnapshotsDmlOps { self: Snapshots =>
     */
   def append(table: String, df0: DataFrame, tag: Option[String] = None,
              statsCols: Seq[String] = Nil, mergeSchema: Boolean = false,
-             bloomCols: Seq[String] = Nil): Long = {
+             bloomCols: Seq[String] = Nil,
+             extraLines: Map[String, String] => Map[String, String] = _ => Map.empty): Long = {
     require(!isMetaEntry(table),
       s"table name '$table' collides with the reserved '@' manifest lines")
     tag.foreach(t => require(t.matches("[A-Za-z0-9_-]+"),
@@ -883,12 +884,59 @@ private[sources] trait SnapshotsDmlOps { self: Snapshots =>
         }
       val tagged = cur + (table -> newRel) ++ tag.map(t =>
         (table + TagsSuffix) -> (tagsOf(cur, table) + t).toSeq.sorted.mkString(",")) ++
-        Map(schemaLine(table, schema), filesLine(table, baseFiles ++ newFiles)) ++ colmapExt
+        Map(schemaLine(table, schema), filesLine(table, baseFiles ++ newFiles)) ++ colmapExt ++
+        // recomputed against THIS manifest on every race retry, so a
+        // caller-maintained line (copyInto's load registry) merges with
+        // concurrent commits instead of silently reverting them — and
+        // the function may throw to refuse on a genuine conflict
+        extraLines(cur)
       if (writeManifest(attempt, tagged)) return attempt
       attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
     }
     throw new IllegalStateException(
       s"append lost $MaxAttempts consecutive version races under $root")
+  }
+
+  /** COPY INTO — idempotent EXTERNAL-file ingest (Databricks' COPY
+    * INTO statement semantics, public design): load parquet files from
+    * a source location into the table, remembering every ingested file
+    * in the manifest (`@copied`, identity = absolute path + length) so
+    * a re-run — same files, a superset after new arrivals, a crashed
+    * orchestrator's retry — ingests ONLY what is new and returns the
+    * current version untouched when nothing is. One listing of the
+    * EXTERNAL dir per call (unavoidable: the source has no manifest;
+    * the registry lookup itself is manifest-state, zero IO). The data
+    * lands through [[append]], so CHECK/generated/appendOnly gates,
+    * clusterBy layout and stats sidecars all ride, and the load
+    * registry advances ATOMICALLY with the data in the same published
+    * version — a crash between staging and publish leaves both out, a
+    * crash after leaves both in; replays converge either way.
+    * Concurrent copyInto calls that ingested an overlapping file
+    * refuse loudly at publish (the re-run sees the winner's registry
+    * and skips). Returns (version, filesIngested).
+    */
+  def copyInto(table: String, srcDir: String,
+               statsCols: Seq[String] = Nil): (Long, Int) = {
+    val srcPath = new Path(srcDir)
+    val srcFs = srcPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val listed = FileStats.dataFiles(srcFs, srcPath)
+      .map(f => (f.getPath.toString, f.getLen))
+    require(listed.nonEmpty, s"copyInto('$table'): no data files under $srcDir")
+    val cur = currentVersion.map(readManifest).getOrElse(Map.empty[String, String])
+    val fresh = listed.filterNot(copiedOf(cur, table).contains)
+    if (fresh.isEmpty) return (currentVersion.getOrElse(0L), 0)
+    val batch = s.read.parquet(fresh.map(_._1): _*)
+    val freshSet = fresh.toSet
+    val v = append(table, batch, statsCols = statsCols, extraLines = { m =>
+      val reg = copiedOf(m, table)
+      val overlap = freshSet.intersect(reg)
+      if (overlap.nonEmpty) throw new IllegalStateException(
+        s"copyInto('$table'): ${overlap.size} source file(s) were ingested by a " +
+          s"concurrent copyInto (e.g. ${overlap.head._1}) — re-run; the retry " +
+          "will skip them")
+      Map(copiedLine(table, reg ++ freshSet))
+    })
+    (v, fresh.size)
   }
 
   /** Publish ONE streaming epoch's staged task files as an atomic

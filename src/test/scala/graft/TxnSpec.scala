@@ -3227,6 +3227,54 @@ class TxnSpec extends AnyFunSuite {
     assert(chain(eFeed).exists(_.contains("re-types")), chain(eFeed))
   }
 
+  test("copyInto: idempotent external ingest — registry skips loaded files, gates keep it atomic") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("copyinto").toString
+    val src = Files.createTempDirectory("copyinto_src").toString + "/files"
+    val snap = new Snapshots(sp, root)
+    snap.commit(Map("t" -> Seq((1L, 10L)).toDF("id", "v")), Map("t" -> Seq("id")))
+
+    // wave 1: two files land; wave 2 adds more — only the new ingest
+    Seq((2L, 20L), (3L, 30L)).toDF("id", "v").repartition(2).write.mode("append").parquet(src)
+    val (v1, n1) = snap.copyInto("t", src, statsCols = Seq("id"))
+    assert(n1 == 2 && snap.currentVersion.get == v1)
+    Seq((4L, 40L)).toDF("id", "v").write.mode("append").parquet(src)
+    val (_, n2) = snap.copyInto("t", src)
+    assert(n2 >= 1)
+    assert(snap.read("t").agg(sum("v")).head.getLong(0) == 100L)
+
+    // re-run: the registry proves nothing is new — no version published
+    val head = snap.currentVersion.get
+    val (v3, n3) = snap.copyInto("t", src)
+    assert(n3 == 0 && v3 == head && snap.currentVersion.get == head)
+
+    // the registry survives maintenance: compact, then still a no-op
+    snap.compact("t")
+    assert(snap.copyInto("t", src)._2 == 0)
+
+    // a CHECK violation refuses BEFORE publish: neither rows nor the
+    // registry advance, so the fixed source re-ingests cleanly later
+    snap.addCheck("t", "v_cap", "v < 1000")
+    val src2 = Files.createTempDirectory("copyinto_src2").toString + "/files"
+    Seq((9L, 9999L)).toDF("id", "v").write.parquet(src2)
+    val headC = snap.currentVersion.get
+    intercept[Exception] { snap.copyInto("t", src2) }
+    assert(snap.currentVersion.get == headC, "a refused ingest must publish nothing")
+    snap.dropCheck("t", "v_cap")
+    assert(snap.copyInto("t", src2)._2 == 1,
+      "the refused file must NOT be in the registry — the retry ingests it")
+    assert(snap.read("t").agg(sum("v")).head.getLong(0) == 10099L)
+
+    // appendOnly keeps COPY INTO lawful (it is an append)
+    snap.setProperties("t", Map("appendOnly" -> "true"))
+    Seq((10L, 1L)).toDF("id", "v").write.mode("append").parquet(src2)
+    assert(snap.copyInto("t", src2)._2 == 1)
+
+    // an empty source refuses loudly (a typo'd path must not "succeed")
+    intercept[Exception] { snap.copyInto("t", Files.createTempDirectory("empty").toString) }
+  }
+
   test("INSERT OVERWRITE as text: atomic one-version replace, history intact, nulls pass") {
     val sp = spark
     val root = Files.createTempDirectory("sqlovw").toString
