@@ -1003,7 +1003,60 @@ object Relational {
         |ORDER BY nv ASC NULLS FIRST, o_orderkey""".stripMargin)
   }
 
+  /** B58: REGEX function matrix — extract / extract-all counts /
+    * replace-fold / RLIKE flags, the text-predicate surface every SQL
+    * user leans on. Patterns are restricted to the Java∩RE2 common
+    * dialect (char classes, anchors, `\b`) so the DuckDB oracle is
+    * byte-identical. Scale: all codegen'd expressions at scan speed;
+    * the shuffle carries one row per lang.
+    */
+  def q63RegexMatrix(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"),
+        regexp_extract(col("text"), "([A-Za-z]+)", 1).as("first_word"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).cast("long").as("n_nums"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[aeiou]", ""))).cast("long").as("n_vowels"),
+        col("text").rlike("^[A-Z]").cast("long").as("starts_upper"),
+        col("text").rlike("\\bthe\\b").cast("long").as("has_the"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum("n_nums").as("sum_nums"),
+        sum("n_vowels").as("sum_vowels"),
+        sum("starts_upper").as("n_upper"),
+        sum("has_the").as("n_the"),
+        countDistinct("first_word").as("n_first_words"))
+      .orderBy("lang")
+
+  /** B59: BITWISE + integer-math matrix — AND/OR/XOR, shifts,
+    * bit_count, mod, integer div, greatest/least, abs, sign: the
+    * key-manipulation toolkit (hash sharding, flag fields, bucket
+    * math). Everything integral and closed-form, so the oracle is
+    * exact. Scale: codegen'd at scan speed, one output row per status.
+    */
+  def q64BitwiseMath(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderstatus"),
+        col("o_orderkey").as("k"), col("o_custkey").as("c"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("k").bitwiseAND(col("c"))).as("sum_and"),
+        sum(col("k").bitwiseOR(col("c"))).as("sum_or"),
+        sum(col("k").bitwiseXOR(col("c"))).as("sum_xor"),
+        sum(shiftleft(col("k") % 16, 2)).as("sum_shl"),
+        sum(shiftright(col("k"), 3)).as("sum_shr"),
+        sum(bit_count(col("k")).cast("long")).as("sum_bits"),
+        sum(col("k") % 7).as("sum_mod"),
+        sum(expr("k div 7")).as("sum_div"),
+        sum(greatest(col("k") % 100, col("c") % 100)).as("sum_greatest"),
+        sum(least(col("k") % 100, col("c") % 100)).as("sum_least"),
+        sum(abs(col("k") % 5 - 2)).as("sum_abs"),
+        sum(signum(col("k") % 3 - 1).cast("long")).as("sum_sign"))
+      .orderBy("o_orderstatus")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_regex_matrix" -> q63RegexMatrix _,
+    "q64_bitwise_math" -> q64BitwiseMath _,
     "q61_null_ordering" -> q61NullOrdering _,
     "q59_array_hof" -> q59ArrayHof _,
     "q58_variant" -> q58Variant _,
@@ -1053,6 +1106,29 @@ object Relational {
     "q24_pivot" -> q24Pivot _)
 
   val oracles: Map[String, String] = Map(
+    "q63_regex_matrix" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(length(regexp_extract_all(text, '[0-9]+'))) AS BIGINT) AS sum_nums,
+        |  CAST(sum(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))) AS BIGINT) AS sum_vowels,
+        |  CAST(sum(CASE WHEN regexp_matches(text, '^[A-Z]') THEN 1 ELSE 0 END) AS BIGINT) AS n_upper,
+        |  CAST(sum(CASE WHEN regexp_matches(text, '\bthe\b') THEN 1 ELSE 0 END) AS BIGINT) AS n_the,
+        |  CAST(count(DISTINCT regexp_extract(text, '([A-Za-z]+)', 1)) AS BIGINT) AS n_first_words
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q64_bitwise_math" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(o_orderkey & o_custkey) AS BIGINT) AS sum_and,
+        |  CAST(sum(o_orderkey | o_custkey) AS BIGINT) AS sum_or,
+        |  CAST(sum(xor(o_orderkey, o_custkey)) AS BIGINT) AS sum_xor,
+        |  CAST(sum((o_orderkey % 16) << 2) AS BIGINT) AS sum_shl,
+        |  CAST(sum(o_orderkey >> 3) AS BIGINT) AS sum_shr,
+        |  CAST(sum(bit_count(o_orderkey)) AS BIGINT) AS sum_bits,
+        |  CAST(sum(o_orderkey % 7) AS BIGINT) AS sum_mod,
+        |  CAST(sum(o_orderkey // 7) AS BIGINT) AS sum_div,
+        |  CAST(sum(greatest(o_orderkey % 100, o_custkey % 100)) AS BIGINT) AS sum_greatest,
+        |  CAST(sum(least(o_orderkey % 100, o_custkey % 100)) AS BIGINT) AS sum_least,
+        |  CAST(sum(abs(o_orderkey % 5 - 2)) AS BIGINT) AS sum_abs,
+        |  CAST(sum(sign(o_orderkey % 3 - 1)) AS BIGINT) AS sum_sign
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q61_null_ordering" ->
       """WITH b AS (
         |  SELECT o_orderkey, o_orderstatus,

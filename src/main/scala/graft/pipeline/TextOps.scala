@@ -762,7 +762,69 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Misra-Gries summary update/merge — the classic BOUNDED-MEMORY
+    * heavy-hitters sketch (public algorithm): capacity `m` counters;
+    * a full summary decrements ALL counters instead of inserting
+    * (amortized O(1): each decrement round discharges m insertions);
+    * merge = sum counters, then subtract the (m+1)-th largest count
+    * and drop non-positives. Invariant after any update/merge
+    * sequence: every item with true frequency > N/m survives with a
+    * counter underestimating by at most N/m.
+    */
+  private def mgUpdate(mg: java.util.HashMap[String, Long], m: Int, tok: String): Unit = {
+    val cur = mg.get(tok)
+    if (cur != 0L || mg.containsKey(tok)) { mg.put(tok, cur + 1L); () }
+    else if (mg.size < m) { mg.put(tok, 1L); () }
+    else {
+      val it = mg.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue <= 1L) it.remove() else e.setValue(e.getValue - 1L)
+      }
+    }
+  }
+  private def mgMerge(m: Int)(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+    val sum = (a.keySet ++ b.keySet).iterator
+      .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    if (sum.size <= m) sum
+    else {
+      val cut = sum.valuesIterator.toSeq.sorted(Ordering[Long].reverse)(m)
+      sum.iterator.map { case (k, v) => k -> (v - cut) }.filter(_._2 > 0L).toMap
+    }
+  }
+
+  /** C65 `t29_heavy_hitters`: EXACT corpus-wide top-k tokens via the
+    * TWO-PASS heavy-hitters shape — pass 1 builds per-partition
+    * Misra-Gries summaries (capacity m, bounded memory REGARDLESS of
+    * vocabulary size) and tree-merges them into a candidate set that
+    * provably contains every token with frequency > N/m; pass 2
+    * re-scans and EXACTLY counts candidates only, so the shuffle
+    * carries O(m) keys instead of the whole vocabulary. With k ≪ m and
+    * a Zipfian corpus the result IS the true top-k (any true top-k
+    * token's frequency dwarfs N/m), which is what makes the key
+    * oracle-able: DuckDB recomputes the top-k from full exact counts.
+    * The 100-TB contrast: a plain groupBy-count top-k shuffles the
+    * VOCABULARY (billions of keys for web text); this shuffles 2048.
+    */
+  def t29HeavyHitters(s: SparkSession, dir: String, m: Int = 2048, k: Int = 20): DataFrame = {
+    val toks = docs(s, dir)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("tok"))
+    val candidates: Array[String] = toks.select("tok").rdd.map(_.getString(0))
+      .mapPartitions { it =>
+        val mg = new java.util.HashMap[String, Long](m * 2)
+        it.foreach(mgUpdate(mg, m, _))
+        Iterator.single(scala.jdk.CollectionConverters.MapHasAsScala(mg).asScala.toMap)
+      }
+      .treeReduce(mgMerge(m)(_, _))
+      .keysIterator.toArray
+    toks.where(col("tok").isInCollection(candidates)) // InSet: one codegen'd probe
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("tok"))
+      .limit(k)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t29_heavy_hitters" -> ((s, dir) => t29HeavyHitters(s, dir)),
     "t28_quality_gate" -> t28QualityGate _,
     "t27_chunk_overlap" -> ((s, dir) => t27ChunkOverlap(s, dir)),
     "t26_zipf_fit" -> t26ZipfFit _,
@@ -794,6 +856,15 @@ object TextOps {
     stops.map(s => s"'$s'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    // exact top-k from FULL counts: the sketch+recount pipeline must
+    // land on the identical board (candidates provably cover the top)
+    "t29_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        |  FROM documents
+        |)
+        |SELECT tok, count(*) AS cnt FROM toks
+        |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""".stripMargin,
     "t28_quality_gate" ->
       s"""WITH f AS (
          |  SELECT doc_id,

@@ -109,4 +109,27 @@ class TextSpec extends AnyFunSuite {
     assert(others.forall(_ < byLang("en")),
       s"target domain must outscore every other source: $byLang")
   }
+
+  test("t29 heavy hitters: the MG candidate pass never loses a true top-k token") {
+    val sp = spark
+    import sp.implicits._
+    // adversarially small capacity on a skewed synthetic corpus: heavy
+    // tokens repeated 50+i times, plus 500 singletons fighting for the
+    // m=32 counters — N=760, so the MG guarantee (keep every token with
+    // freq > N/m = 23.75) covers exactly the heavies and nothing else
+    def word(prefix: String, i: Int) = // letters only: the tokenizer is [a-z]+
+      prefix + ('a' + i / 26).toChar + ('a' + i % 26).toChar
+    val heavy = (0 until 5).flatMap(i => Seq.fill(50 + i)(word("heavy", i)))
+    val noise = (0 until 500).map(i => word("noise", i))
+    val corpus = scala.util.Random.shuffle(heavy ++ noise).zipWithIndex
+      .map { case (w, i) => (i.toLong, w, "en", "synth", w.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("hh").toString
+    corpus.write.parquet(tmp + "/documents.parquet")
+    val got = graft.pipeline.TextOps.t29HeavyHitters(sp, tmp, m = 32, k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = (0 until 5).map(i => (word("heavy", i), (50 + i).toLong))
+      .sortBy { case (t, c) => (-c, t) }
+    assert(got.toSeq == want, s"got=${got.toSeq}")
+  }
 }
