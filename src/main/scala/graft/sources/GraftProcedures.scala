@@ -29,7 +29,7 @@ private[sources] object GraftProcedures {
 
   val Names: Seq[String] =
     Seq("compact", "zorder", "vacuum", "analyze", "rollback", "sync_identity",
-      "copy_into")
+      "copy_into", "clone", "restore")
 
   def load(rootPrefix: String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.sameElements(Array("system")),
@@ -96,6 +96,23 @@ private[sources] object GraftProcedures {
           Seq("lake" -> StringType, "to_version" -> LongType),
           Seq("version" -> LongType)) { in =>
           Seq(snap(s(in, 0)).rollbackTo(in.getLong(1)))
+        }
+      case "clone" =>
+        // zero-copy table clone (metadata-only, shares data files):
+        // CALL graft.system.clone('lake', 'src', 'dst')
+        proc("clone",
+          Seq("lake" -> StringType, "source" -> StringType, "target" -> StringType),
+          Seq("version" -> LongType)) { in =>
+          Seq(snap(s(in, 0)).cloneTable(s(in, 1), s(in, 2)))
+        }
+      case "restore" =>
+        // per-table point-in-time restore (a NEW version re-pointing at
+        // the old file set — history stays intact):
+        // CALL graft.system.restore('lake', 'table', version)
+        proc("restore",
+          Seq("lake" -> StringType, "table" -> StringType, "to_version" -> LongType),
+          Seq("version" -> LongType)) { in =>
+          Seq(snap(s(in, 0)).restoreTable(s(in, 1), in.getLong(2)))
         }
       case "copy_into" =>
         // idempotent external-file ingest (see SnapshotsDmlOps.copyInto):

@@ -2765,6 +2765,27 @@ class TxnSpec extends AnyFunSuite {
 
     // unknown procedure refuses loudly
     intercept[Exception] { sp.sql("CALL gproc.system.explode('db')") }
+
+    // clone: zero-copy — the copy answers as text immediately and
+    // shares the source's data files (no bytes moved)
+    val vClone = sp.sql("CALL gproc.system.clone('db', 't', 't_copy')").head.getLong(0)
+    assert(sp.sql("SELECT count(*) FROM gproc.db.t_copy").head.getLong(0) == 2L)
+    assert(snap.read("t_copy").inputFiles.toSet == snap.read("t").inputFiles.toSet,
+      "a clone shares the source's files")
+    // diverge the clone; the source must not move
+    sp.sql("INSERT INTO gproc.db.t_copy VALUES (9, 90)")
+    assert(sp.sql("SELECT count(*) FROM gproc.db.t").head.getLong(0) == 2L)
+    assert(sp.sql("SELECT count(*) FROM gproc.db.t_copy").head.getLong(0) == 3L)
+
+    // restore: per-table point-in-time as a NEW forward version
+    val preRestore = snap.currentVersion.get
+    val vBack = sp.sql(s"CALL gproc.system.restore('db', 't_copy', $vClone)").head.getLong(0)
+    assert(vBack > preRestore && vBack == snap.currentVersion.get,
+      "restore publishes forward, never rewrites history")
+    assert(sp.sql("SELECT count(*) FROM gproc.db.t_copy").head.getLong(0) == 2L)
+    // the diverged state is still one VERSION AS OF away
+    assert(sp.sql(s"SELECT count(*) FROM gproc.db.t_copy VERSION AS OF $preRestore")
+      .head.getLong(0) == 3L)
   }
 
   test("SQL metadata tables: $history/$files/$detail/$properties read the lake's bookkeeping as text") {
