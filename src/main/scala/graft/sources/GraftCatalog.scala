@@ -58,6 +58,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private var catalogName: String = _
   private var rootPrefix: String = _
 
+  /** ANSI constraint DDL support (Spark 4 DSv2 constraints): the
+    * catalog must declare it or `ALTER TABLE … ADD CONSTRAINT` refuses
+    * at planning. Only CHECK lands (on the engine's enforced `@check`
+    * lines); the rest refuse inside alterTable.
+    */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   private def spark = SparkSession.active
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
@@ -215,6 +225,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(dc.fieldNames.length == 1,
           "nested column drop is not supported")
         sn.dropColumn(ident.name, dc.fieldNames.head)
+      case ac: TableChange.AddConstraint =>
+        // ANSI constraint DDL (Spark 4 DSv2 constraints, public API):
+        // ALTER TABLE … ADD CONSTRAINT nm CHECK (expr) → the engine's
+        // own addCheck (enforced in one O(batch) pass on every
+        // row-introducing write). Unique/PK/FK are informational-only
+        // in Spark and unenforceable here — refuse rather than record
+        // a promise the engine does not keep.
+        ac.constraint match {
+          case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            sn.addCheck(ident.name, c.name, c.predicateSql)
+          case other => throw new UnsupportedOperationException(
+            s"graft enforces CHECK constraints only — '${other.toDDL}' would be " +
+              "recorded but never enforced; model keys via the identity/merge verbs")
+        }
+      case dc: TableChange.DropConstraint =>
+        try sn.dropCheck(ident.name, dc.name)
+        catch { case e: Exception if dc.ifExists => () }
       case ut: TableChange.UpdateColumnType =>
         // ALTER COLUMN … TYPE — metadata-only LOSSLESS WIDENING (Delta's
         // type widening, public design); anything lossy refuses inside
@@ -661,7 +688,7 @@ object GraftCatalog {
              |) ORDER BY phase, o_orderstatus""".stripMargin)
   }
 
-  /** D18 `st11_stream_changes`: STREAMING CDF as text —
+  /** D19 `st11_stream_changes`: STREAMING CDF as text —
     * `spark.readStream.table` pointed at the `t$changes` metadata
     * table (Delta's `.option("readChangeFeed","true")` streaming
     * contract, addressed purely by name). The same text-built lake as

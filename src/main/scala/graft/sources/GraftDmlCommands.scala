@@ -89,6 +89,20 @@ case class GraftDmlCommands(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    // `ALTER TABLE … ADD CONSTRAINT nm CHECK (expr)` — Spark resolves
+    // it as AddCheckConstraint(tableRead, CheckConstraint) and would
+    // otherwise plan its OWN validation scan over the DSv2 relation;
+    // the engine's addCheck already validates existing rows in one
+    // O(table) pass and publishes the `@check` line atomically, so the
+    // statement lowers to that verb whole (cc.condition is the user's
+    // predicate text; the verb re-parses and re-binds it on every
+    // write, same as a Scala-declared check)
+    case a: org.apache.spark.sql.catalyst.plans.logical.AddCheckConstraint
+        if graftTable(a.child).isDefined =>
+      val t = graftTable(a.child).get
+      GraftAddCheckCommand(t.root, t.tableName,
+        a.checkConstraint.name, a.checkConstraint.condition)
+
     case d: DeleteFromTable if d.resolved && graftTable(d.table).isDefined =>
       val t = graftTable(d.table).get
       val cond = Option(d.condition).filterNot(_ ==
@@ -309,6 +323,20 @@ private[sources] object PredicateEnvelope {
   * [[SnapshotsDmlOps.deleteWhere]]'s copy-on-write rewrite; one
   * published version.
   */
+/** `ALTER TABLE … ADD CONSTRAINT nm CHECK (expr)` → [[SnapshotsMetaOps
+  * .addCheck]]: existing rows validated in one O(table) pass, the
+  * `@check` line published atomically, enforcement on every later
+  * row-introducing write.
+  */
+case class GraftAddCheckCommand(root: String, table: String,
+                                name: String, conditionSql: String)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    new Snapshots(session, root).addCheck(table, name, conditionSql)
+    Seq.empty
+  }
+}
+
 case class GraftDeleteCommand(root: String, table: String,
                               ranges: Seq[FileStats.ColRange],
                               pred: org.apache.spark.sql.Column,

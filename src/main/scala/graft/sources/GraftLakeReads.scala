@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Alias
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, HintInfo, InsertIntoStatement, LogicalPlan, MergeIntoTable, Project, ResolvedHint, SHUFFLE_HASH, UpdateTable, V2WriteCommand}
+import org.apache.spark.sql.catalyst.plans.logical.{AlterTableCommand, DeleteFromTable, HintInfo, InsertIntoStatement, LogicalPlan, MergeIntoTable, Project, ResolvedHint, SHUFFLE_HASH, UpdateTable, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
@@ -49,6 +49,18 @@ case class GraftLakeReads(spark: SparkSession) extends Rule[LogicalPlan] {
       case d: DeleteFromTable => rels(d.table)
       case u: UpdateTable => rels(u.table)
       case m: MergeIntoTable => rels(m.targetTable)
+      // ALTER commands (incl. Spark 4's ADD/DROP CONSTRAINT) resolve
+      // their target as a plan CHILD; rewriting it to the v1 relation
+      // would make ResolveSessionCatalog misread the statement as a
+      // session-catalog (v1) ALTER — keep the DSv2 form so the change
+      // lowers to TableChange and the catalog's alterTable
+      case a: AlterTableCommand => rels(a.child)
+      // ADD CONSTRAINT CHECK resolves through AddCheckConstraint, whose
+      // child is the table READ Spark uses to type-check the predicate;
+      // rewriting it trips ResolveSessionCatalog's v1-table sniff
+      // (LogicalRelation.catalogTable.get on our catalog-less relation)
+      case c: org.apache.spark.sql.catalyst.plans.logical.AddCheckConstraint =>
+        rels(c.child)
     }.flatten.toSet
     plan.resolveOperators {
       case DataSourceV2Relation(t: GraftMetaTable, output, _, _, _, _) =>

@@ -3248,6 +3248,40 @@ class TxnSpec extends AnyFunSuite {
     assert(chain(eFeed).exists(_.contains("re-types")), chain(eFeed))
   }
 
+  test("ANSI constraint DDL: ADD/DROP CONSTRAINT CHECK as text routes to the check verbs") {
+    val sp = spark
+    val root = Files.createTempDirectory("sqlconstraint").toString
+    sp.conf.set("spark.sql.catalog.gcons", classOf[graft.sources.GraftCatalog].getName)
+    sp.conf.set("spark.sql.catalog.gcons.root", root)
+    sp.sql("CREATE NAMESPACE gcons.db")
+    sp.sql("CREATE TABLE gcons.db.t (id BIGINT, v BIGINT)")
+    sp.sql("INSERT INTO gcons.db.t VALUES (1, 10), (2, 20)")
+
+    sp.sql("ALTER TABLE gcons.db.t ADD CONSTRAINT v_cap CHECK (v < 1000)")
+    val snap = new Snapshots(sp, root + "/db")
+    // the DDL landed on the engine's own check line — and it ENFORCES
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(12)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    val head = snap.currentVersion.get
+    val e = intercept[Exception] { sp.sql("INSERT INTO gcons.db.t VALUES (3, 5000)") }
+    assert(chain(e).exists(_.contains("v_cap")), chain(e))
+    assert(snap.currentVersion.get == head, "a refused insert publishes nothing")
+    assert(sp.sql("SELECT count(*) FROM gcons.db.t").head.getLong(0) == 2L)
+
+    // DROP CONSTRAINT releases it; IF EXISTS tolerates absence
+    sp.sql("ALTER TABLE gcons.db.t DROP CONSTRAINT v_cap")
+    sp.sql("INSERT INTO gcons.db.t VALUES (3, 5000)")
+    assert(sp.sql("SELECT count(*) FROM gcons.db.t").head.getLong(0) == 3L)
+    sp.sql("ALTER TABLE gcons.db.t DROP CONSTRAINT IF EXISTS nope")
+    intercept[Exception] { sp.sql("ALTER TABLE gcons.db.t DROP CONSTRAINT nope") }
+
+    // unenforceable constraint classes refuse rather than lie
+    val e2 = intercept[Exception] {
+      sp.sql("ALTER TABLE gcons.db.t ADD CONSTRAINT pk PRIMARY KEY (id)") }
+    assert(chain(e2).exists(_.toLowerCase.contains("check")), chain(e2))
+  }
+
   test("copyInto: idempotent external ingest — registry skips loaded files, gates keep it atomic") {
     val sp = spark
     import sp.implicits._
