@@ -799,11 +799,22 @@ object Ann {
     */
   private def adcRerank(e: DataFrame, pairs: DataFrame, m: Int, ksub: Int,
                         shortlist: Int, nQueries: Int, k: Int): DataFrame = {
-    import graft.plans.TopK
     val adc = pairs.withColumn("cos", expr(
         s"aggregate(sequence(0, ${m - 1}), 0D, (acc, i) -> acc + element_at(lut, i*$ksub + element_at(codes, i+1) + 1))"))
       .select("q_id", "vec_id", "cos")
-    val short = TopK.perGroup(adc, Seq("q_id"), Seq(("cos", false), ("vec_id", true)), shortlist)
+    rerankExact(e, adc, shortlist, nQueries, k)
+  }
+
+  /** Shared tail of every codes-scan ANN path: bounded-heap shortlist
+    * per query over the APPROXIMATE scores, then the exact cosine only
+    * for shortlist rows (broadcast of shortlist·queries — the only
+    * rows whose float vectors are ever read after quantization).
+    */
+  private def rerankExact(e: DataFrame, approxScored: DataFrame,
+                          shortlist: Int, nQueries: Int, k: Int): DataFrame = {
+    import graft.plans.TopK
+    val short = TopK.perGroup(approxScored, Seq("q_id"),
+        Seq(("cos", false), ("vec_id", true)), shortlist)
       .select("q_id", "vec_id")
     val q = e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
@@ -813,6 +824,76 @@ object Ann {
         .join(broadcast(q), "q_id")
         .withColumn("cos", cosine_sim(col("embedding"), col("q_vec"))),
       k)
+  }
+
+  /** Trains the SQ8 index: GLOBAL [lo, hi] over every normalized
+    * component (FAISS's QT_8bit_uniform contract — uniform bounds keep
+    * the train step one tiny aggregate and the codes comparable across
+    * dimensions), each vector stored as 64 BYTES (`array<tinyint>`,
+    * code = round((x-lo)/step) - 128). Returns (codes(vec_id, codes,
+    * lo, step)) — lo/step ride as constant columns (RLE-compressed to
+    * nothing at rest). Exposed to AnnSpec for the quantization
+    * invariants.
+    */
+  private[graft] def sq8Index(e: DataFrame): DataFrame = {
+    val normed = pqNormalize(e)
+    val b = normed.agg(min(array_min(col("vec"))).cast("double").as("lo"),
+      max(array_max(col("vec"))).cast("double").as("hi")).head()
+    val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+    val step = math.max((hi - lo) / 255.0, Double.MinPositiveValue)
+    normed.select(col("vec_id"),
+      transform(col("vec"), x =>
+        (round((x.cast("double") - lit(lo)) / lit(step)).cast("int") - 128)
+          .cast("tinyint")).as("codes"),
+      lit(lo).as("lo"), lit(step).as("step"))
+  }
+
+  /** C66 s13: SCALAR-QUANTIZATION ANN (SQ8) — the second memory-scale
+    * path, the accuracy/compression point BETWEEN exact floats and
+    * s05's PQ: 4× compression (one byte per component vs one float),
+    * near-exact fidelity (quantization error ≤ step/2 per component).
+    * The scan touches CODES ONLY: dot(q, x) ≈ lo·Σq_d + step·Σ
+    * q_d·(c_d+128) — one per-query bias plus a byte-dot, no corpus
+    * float is read until the exact re-rank of the shortlist (shared
+    * [[rerankExact]] tail with PQ). FAISS ScalarQuantizer
+    * QT_8bit_uniform, public design. Same output shape as s01;
+    * AnnSpec gates recall (higher floor than PQ — SQ8 is the
+    * high-fidelity point) and the quantization invariants.
+    */
+  def annSq8On(e: DataFrame, shortlist: Int = 100, nQueries: Int = NQueries,
+               k: Int = K, index: Option[DataFrame] = None): DataFrame = {
+    val codes = index.getOrElse(sq8Index(e))
+    val qs = pqNormalize(e.where(col("vec_id") < nQueries))
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec_n"),
+        aggregate(col("vec"), lit(0.0d), (a, x) => a + x.cast("double")).as("q_sum"))
+    val pairs = codes.crossJoin(broadcast(qs))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        col("lo") * col("q_sum") + col("step") * expr(
+          "aggregate(zip_with(q_vec_n, codes, (q, c) -> q * (CAST(c AS DOUBLE) + 128D)), 0D, (a, x) -> a + x)"))
+      .select("q_id", "vec_id", "cos")
+    rerankExact(e, pairs, shortlist, nQueries, k)
+  }
+
+  def s13AnnSq8(s: SparkSession, dir: String): DataFrame =
+    annSq8On(emb(s, dir), index = Some(sq8IndexStaged(s, dir)))
+
+  /** The SQ8 index staged once per sf dir (the staged-fixture pattern
+    * of the PQ/IVF indexes — in production the byte table IS the
+    * maintained index).
+    */
+  private def sq8IndexStaged(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s.conf.get("spark.sql.warehouse.dir") + s"/sq8_index$tag"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(p, "_STAGED_G1")
+    if (!f.exists(marker)) {
+      f.delete(p, true)
+      sq8Index(emb(s, dir)).write.mode("overwrite").parquet(s"$path/codes")
+      f.create(marker, true).close()
+    }
+    s.read.parquet(s"$path/codes")
   }
 
   /** L2-normalized float vectors (inner product == cosine thereafter). */
@@ -1017,7 +1098,8 @@ object Ann {
     "s08_ann_filtered" -> ((s, dir) => s08AnnFiltered(s, dir)),
     "s09_hybrid_rrf" -> ((s, dir) => s09HybridRrf(s, dir)),
     "s10_ann_range" -> ((s, dir) => s10AnnRange(s, dir)),
-    "s12_ann_filtered_ivf" -> ((s, dir) => s12AnnFilteredIvf(s, dir)))
+    "s12_ann_filtered_ivf" -> ((s, dir) => s12AnnFilteredIvf(s, dir)),
+    "s13_ann_sq8" -> s13AnnSq8 _)
 
   /** The MMR greedy has a sequential data dependence, so the oracle
     * UNROLLS it: k explicit pick layers, each re-scoring the remaining

@@ -191,6 +191,50 @@ class AnnSpec extends AnyFunSuite {
     info(f"PQ scan payload: $m bytes/vector vs ${4 * 64} — ${4 * 64 / m}x compression")
   }
 
+  test("SQ8 on a clustered corpus: byte-dot shortlist + exact re-rank keeps recall@10 >= 0.95") {
+    val e = clusteredCorpus
+    val exact = sets(Ann.annExactOn(e))
+    val sq = sets(Ann.annSq8On(e))
+    val recalls = exact.map { case (q, truth) =>
+      (sq.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    info(f"clustered corpus SQ8 (uniform 8-bit, shortlist 100/$clusteredN): " +
+      f"recall@10 $meanRecall%.3f")
+    // SQ8 is the HIGH-FIDELITY compression point: the floor sits well
+    // above PQ's (per-component error <= step/2 vs subspace centroids)
+    assert(meanRecall >= 0.95, f"SQ8 recall@10 $meanRecall%.3f < 0.95")
+  }
+
+  test("SQ8 index: 64 byte codes per vector, reconstruction error <= step/2 per component") {
+    val codes = Ann.sq8Index(clusteredCorpus).collect()
+    assert(codes.length == clusteredN)
+    val step = codes.head.getAs[Double]("step")
+    val lo = codes.head.getAs[Double]("lo")
+    assert(step > 0 && codes.forall(r => r.getAs[Double]("step") == step),
+      "uniform quantization: one global step")
+    codes.foreach { r =>
+      val cs = r.getSeq[Byte](1)
+      assert(cs.length == 64, s"vector ${r.getLong(0)} has ${cs.length} codes")
+    }
+    // reconstruct one vector and bound the error against the normalized
+    // original: |x - (lo + (c+128)*step)| <= step/2 + float rounding
+    import org.apache.spark.sql.functions._
+    val normed = clusteredCorpus
+      .select(col("vec_id"), transform(col("embedding"),
+        x => x / sqrt(aggregate(col("embedding"), lit(0.0d), (a, y) => a + y * y))).as("vec"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    codes.take(20).foreach { r =>
+      val xs = normed(r.getLong(0))
+      r.getSeq[Byte](1).zip(xs).foreach { case (c, x) =>
+        val rec = lo + (c.toDouble + 128.0) * step
+        assert(math.abs(rec - x) <= step / 2 + 1e-6,
+          s"reconstruction error ${math.abs(rec - x)} > step/2=$step")
+      }
+    }
+    info(f"SQ8 scan payload: 64 bytes/vector vs ${4 * 64} — 4x compression, step=$step%.6f")
+  }
+
   test("IVFPQ on a clustered corpus: composed pruning keeps recall@10 >= 0.8") {
     val e = clusteredCorpus
     val exact = sets(Ann.annExactOn(e))
