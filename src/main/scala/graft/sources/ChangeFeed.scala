@@ -269,7 +269,8 @@ private[sources] class ChangeFeedStream(root: String, table: String,
                                         fullSchema: StructType,
                                         refuseDv: Boolean = false,
                                         maxBytesPerTrigger: Option[Long] = None,
-                                        appendsOnly: Boolean = false)
+                                        appendsOnly: Boolean = false,
+                                        skipChangeCommits: Boolean = false)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -463,15 +464,27 @@ private[sources] class ChangeFeedStream(root: String, table: String,
     // the Delta table-streaming contract, public design): the stream's
     // schema is the TABLE's, so only added rows are expressible; a
     // version that removed or positionally tombstoned rows refuses
-    // loudly, pointing at the change feed (which carries both sides)
-    if (appendsOnly)
-      slices.find(sl => sl.positional || sl.change == "removed").foreach { sl =>
+    // loudly, pointing at the change feed (which carries both sides) —
+    // UNLESS the consumer opted into `skipChangeCommits` (Delta's
+    // option, public contract): then every slice of a version that
+    // removed/rewrote rows is DROPPED WHOLE (its re-added post-images
+    // too — delivering them would duplicate rows the consumer already
+    // holds) and only pure-append versions flow
+    if (appendsOnly) {
+      val changed = slices.filter(sl => sl.positional || sl.change == "removed")
+        .map(_.version).toSet
+      if (skipChangeCommits) {
+        val kept = slices.filterNot(sl => changed(sl.version))
+        slices.clear(); slices ++= kept
+      } else changed.headOption.foreach { v =>
         throw new IllegalStateException(
-          s"version ${sl.version} of '$table' removed or rewrote rows — a table " +
-            "stream delivers appends only; stream the CHANGE FEED instead " +
+          s"version $v of '$table' removed or rewrote rows — a table " +
+            "stream delivers appends only; set .option(\"skipChangeCommits\", " +
+            "\"true\") to skip mutation versions, stream the CHANGE FEED instead " +
             s"(.readStream.format(\"${classOf[ChangeFeed].getName}\")) or restart " +
             "from a checkpoint past the mutation")
       }
+    }
     // bin-pack by bytes: task count follows data volume, not file churn
     val maxBytes = math.max(1L,
       org.apache.spark.network.util.JavaUtils.byteStringAsBytes(

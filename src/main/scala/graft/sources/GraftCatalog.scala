@@ -1150,14 +1150,20 @@ private[sources] class GraftLakeTable(
             * IS the offset axis: the table streams as its APPENDS
             * (the Delta table-streaming contract; versions that
             * remove/rewrite rows refuse, pointing at the change-feed
-            * format, which carries both sides). Starts from version 0
-            * — the first micro-batch is the table's current content.
+            * format — or are dropped whole under Delta's
+            * `.option("skipChangeCommits", "true")`). Starts from
+            * version 0 (the first micro-batch is the table's current
+            * content) unless `.option("startingVersion", v)` pins a
+            * later base — both reader options flow through
+            * DataStreamReader verbatim.
             */
           override def toMicroBatchStream(checkpointLocation: String)
               : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-            new ChangeFeedStream(root, tableName, 0L,
+            new ChangeFeedStream(root, tableName,
+              Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
               maxVersionsPerTrigger = None, fullSchema = pruned,
-              appendsOnly = true)
+              appendsOnly = true,
+              skipChangeCommits = options.getBoolean("skipChangeCommits", false))
         }
     }
 

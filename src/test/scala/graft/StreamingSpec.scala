@@ -1285,6 +1285,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(chain(eSch).exists(m => m.contains("schema") || m.contains("BIGINT")), chain(eSch))
   }
 
+  test("readStream.table options: skipChangeCommits drops mutation versions whole; startingVersion pins the base") {
+    val sp = spark
+    val base = java.nio.file.Files.createTempDirectory("sktbl").toString
+    sp.conf.set("spark.sql.catalog.gskip", classOf[graft.sources.GraftCatalog].getName)
+    sp.conf.set("spark.sql.catalog.gskip.root", base + "/lake")
+    sp.sql("CREATE NAMESPACE gskip.db")
+    sp.sql("CREATE TABLE gskip.db.t (id BIGINT, v BIGINT)")            // v1
+    sp.sql("INSERT INTO gskip.db.t VALUES (1, 10), (2, 20), (3, 30)")  // v2
+    sp.sql("DELETE FROM gskip.db.t WHERE id = 2")                      // v3 (rewrite)
+    sp.sql("INSERT INTO gskip.db.t VALUES (9, 90)")                    // v4
+
+    def drain(opts: Map[String, String], ckpt: String): Seq[(Long, Long)] = {
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var r = sp.readStream
+      opts.foreach { case (k, x) => r = r.option(k, x) }
+      val q = r.table("gskip.db.t")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          got.synchronized { got ++= b.collect().map(x => (x.getLong(0), x.getLong(1))) }
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      got.toSeq.sorted
+    }
+    def chain(t: Throwable) = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .take(12).map(x => Option(x.getMessage).getOrElse("")).toSeq
+
+    // plain table stream still refuses at the rewrite version — and the
+    // refusal now names the option
+    val e = intercept[Exception] { drain(Map.empty, base + "/c0") }
+    assert(chain(e).exists(m => m.contains("skipChangeCommits")), chain(e))
+
+    // skipChangeCommits: v3 dropped WHOLE (its re-added post-image too —
+    // no duplicates), v2 and v4 appends flow
+    val got = drain(Map("skipChangeCommits" -> "true"), base + "/c1")
+    assert(got == Seq((1L, 10L), (2L, 20L), (3L, 30L), (9L, 90L)), got)
+
+    // startingVersion pins the base: only v4 streams
+    val late = drain(Map("startingVersion" -> "3"), base + "/c2")
+    assert(late == Seq((9L, 90L)), late)
+  }
+
   test("streaming CDF as text: readStream.table on t$changes resumes from its checkpoint") {
     val sp = spark
     val base = java.nio.file.Files.createTempDirectory("stchanges").toString
