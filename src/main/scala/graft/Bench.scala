@@ -60,7 +60,7 @@ object Bench {
     "c27_stream_into_table", "c28_sql_changes", "c29_clustered_layout",
     "c30_sql_insert_overwrite", "st11_stream_changes", "c31_widen_type",
     "c32_copy_into", "q63_regex_matrix", "q64_bitwise_math", "t29_heavy_hitters",
-    "s12_ann_filtered_ivf", "s13_ann_sq8",
+    "s12_ann_filtered_ivf", "s13_ann_sq8", "p01_pipeline_e2e",
     "q33_profile", "q33_profile_approx", "q34_histogram")
 
   /** Per-key task-metric sums, so a bench anomaly ships with its own

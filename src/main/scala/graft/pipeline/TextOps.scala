@@ -823,7 +823,61 @@ object TextOps {
       .limit(k)
   }
 
+  /** C67 `p01_pipeline_e2e`: the CURATION PIPELINE COMPOSED — exact
+    * dedup → language ID → quality gate → deterministic split → token
+    * fold, the canonical pre-training data path run as ONE dataframe
+    * chain (each stage is a verified operator: t04's fingerprint, d01's
+    * keep-min-owner dedup, t01's stopword lang-ID, t02's quality blend,
+    * t05's content-hash split). The point of the key is COMPOSITION:
+    * stage outputs feed stage inputs with no materialization between,
+    * Catalyst fuses the per-row stages into one scan pass, and the only
+    * shuffles are the dedup groupBy, its owner join-back, and the final
+    * (lang, split)-sized fold. One DuckDB CTE chain recomputes the
+    * whole pipeline — a drift in ANY stage (or in how they compose)
+    * breaks the hash.
+    */
+  def p01PipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    val toks = col("toks")
+    // one scan pass: fingerprint + every per-row feature
+    val enriched = docs(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"),
+        md5(trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", " "), " +", " ")).cast("binary")).as("fingerprint"),
+        stopCount(toks, enStops).as("en_n"), stopCount(toks, deStops).as("de_n"),
+        stopCount(toks, frStops).as("fr_n"), stopCount(toks, esStops).as("es_n"),
+        size(toks).cast("long").as("n_words"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        substring(md5(col("text").cast("binary")), 1, 1).as("bucket"))
+    // exact dedup: the smallest doc_id owns each fingerprint class
+    val owners = enriched.groupBy("fingerprint").agg(min("doc_id").as("doc_id"))
+    val kept = enriched.join(owners, Seq("fingerprint", "doc_id"))
+    kept
+      .withColumn("pred_lang",
+        when(col("en_n") >= col("de_n") && col("en_n") >= col("fr_n") &&
+          col("en_n") >= col("es_n") && col("en_n") > 0, "en")
+          .when(col("de_n") >= col("fr_n") && col("de_n") >= col("es_n") &&
+            col("de_n") > 0, "de")
+          .when(col("fr_n") >= col("es_n") && col("fr_n") > 0, "fr")
+          .when(col("es_n") > 0, "es")
+          .otherwise("und"))
+      .withColumn("quality", // t02's blend; en_n IS its n_stop term
+        round(lit(0.4) * (col("n_distinct") * lit(1.0) / col("n_words")) +
+          lit(0.4) * (lit(1.0) - col("en_n") * lit(1.0) / col("n_words")) +
+          lit(0.2) * least(col("n_words") * lit(1.0) / 100.0, lit(1.0)), 4))
+      .withColumn("split",
+        when(col("bucket") < "c", "train")
+          .when(col("bucket").isin("c", "d"), "val")
+          .otherwise("test"))
+      .where(col("quality") > 0.5)
+      .groupBy("pred_lang", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").cast("long").as("tokens_total"))
+      .orderBy("pred_lang", "split")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_pipeline_e2e" -> p01PipelineE2e _,
     "t29_heavy_hitters" -> ((s, dir) => t29HeavyHitters(s, dir)),
     "t28_quality_gate" -> t28QualityGate _,
     "t27_chunk_overlap" -> ((s, dir) => t27ChunkOverlap(s, dir)),
@@ -856,6 +910,46 @@ object TextOps {
     stops.map(s => s"'$s'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    // the WHOLE pipeline recomputed as one CTE chain: any stage drift
+    // (or composition drift) breaks the hash
+    "p01_pipeline_e2e" ->
+      s"""WITH enr AS (
+         |  SELECT doc_id,
+         |    md5(trim(regexp_replace(regexp_replace(lower(text),
+         |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fingerprint,
+         |    len(list_filter(string_split(text, ' '), t -> list_contains(${listLit(enStops)}, t))) AS en_n,
+         |    len(list_filter(string_split(text, ' '), t -> list_contains(${listLit(deStops)}, t))) AS de_n,
+         |    len(list_filter(string_split(text, ' '), t -> list_contains(${listLit(frStops)}, t))) AS fr_n,
+         |    len(list_filter(string_split(text, ' '), t -> list_contains(${listLit(esStops)}, t))) AS es_n,
+         |    len(string_split(text, ' ')) AS n_words,
+         |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         |    substr(md5(text), 1, 1) AS bucket
+         |  FROM documents
+         |), own AS (
+         |  SELECT fingerprint, min(doc_id) AS doc_id FROM enr GROUP BY fingerprint
+         |), kept AS (
+         |  SELECT e.* FROM enr e JOIN own o
+         |  ON e.fingerprint = o.fingerprint AND e.doc_id = o.doc_id
+         |), staged AS (
+         |  SELECT
+         |    CASE WHEN en_n >= de_n AND en_n >= fr_n AND en_n >= es_n AND en_n > 0 THEN 'en'
+         |         WHEN de_n >= fr_n AND de_n >= es_n AND de_n > 0 THEN 'de'
+         |         WHEN fr_n >= es_n AND fr_n > 0 THEN 'fr'
+         |         WHEN es_n > 0 THEN 'es'
+         |         ELSE 'und' END AS pred_lang,
+         |    round(0.4 * (n_distinct * 1.0 / n_words) +
+         |          0.4 * (1.0 - en_n * 1.0 / n_words) +
+         |          0.2 * least(n_words * 1.0 / 100.0, 1.0), 4) AS quality,
+         |    CASE WHEN bucket < 'c' THEN 'train'
+         |         WHEN bucket IN ('c', 'd') THEN 'val'
+         |         ELSE 'test' END AS split,
+         |    n_words
+         |  FROM kept
+         |)
+         |SELECT pred_lang, split, count(*) AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS tokens_total
+         |FROM staged WHERE quality > 0.5
+         |GROUP BY pred_lang, split ORDER BY pred_lang, split""".stripMargin,
     // exact top-k from FULL counts: the sketch+recount pipeline must
     // land on the identical board (candidates provably cover the top)
     "t29_heavy_hitters" ->

@@ -217,5 +217,16 @@ class ClusteringSpec extends AnyFunSuite {
     val e3 = intercept[Exception] { sp.sql("DELETE FROM gclu.db.ao WHERE k = 1") }
     assert(chain(e3).exists(_.contains("appendOnly")), s"got: ${chain(e3)}")
     assert(sp.sql("SELECT count(*) FROM gclu.db.ao").head.getLong(0) === 2L)
+
+    // CTAS composes with the clustered layout: CREATE ... PARTITIONED
+    // BY ... AS SELECT declares the contract AND the seeding write
+    // range-clusters under it in one statement
+    sp.sql("""CREATE TABLE gclu.db.ctas PARTITIONED BY (k)
+             |AS SELECT id AS k, id * 3 AS v FROM clu_src""".stripMargin)
+    val propsT = sp.sql("SHOW TBLPROPERTIES gclu.db.ctas").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(propsT.get("clusterBy").contains("k"))
+    assert(sp.sql("SELECT sum(v) FROM gclu.db.ctas WHERE k BETWEEN 1 AND 10")
+      .head.getLong(0) == (1L to 10L).map(_ * 3).sum)
   }
 }
