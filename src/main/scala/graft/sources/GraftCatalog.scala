@@ -154,6 +154,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * changing layout semantics. User TBLPROPERTIES land in the same
     * single manifest commit (Spark's reserved props are dropped).
     */
+  /** CREATE TABLE with ANSI constraints (Spark 4's TableInfo form —
+    * this is the overload Spark calls when the statement declares
+    * them; the legacy 4-arg overload never sees constraints, so NOT
+    * implementing this would silently drop a declared CHECK, the worst
+    * possible outcome for a data-quality gate). CHECK constraints land
+    * on the engine's enforced `@check` lines right after the
+    * metadata-only create (the table is empty, so addCheck's
+    * existing-row validation is free); unenforceable constraint
+    * classes refuse the whole statement before anything is created.
+    */
+  override def createTable(ident: Identifier,
+                           info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    val checks = info.constraints.toSeq.map {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        c.name -> c.predicateSql
+      case other => throw new UnsupportedOperationException(
+        s"graft enforces CHECK constraints only — '${other.toDDL}' would be " +
+          "recorded but never enforced; model keys via the identity/merge verbs")
+    }
+    val t = createTable(ident, info.schema, info.partitions, info.properties)
+    val sn = snap(ident.namespace)
+    checks.foreach { case (n, sql) => sn.addCheck(ident.name, n, sql) }
+    t
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {

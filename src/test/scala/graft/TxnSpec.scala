@@ -3280,6 +3280,19 @@ class TxnSpec extends AnyFunSuite {
     val e2 = intercept[Exception] {
       sp.sql("ALTER TABLE gcons.db.t ADD CONSTRAINT pk PRIMARY KEY (id)") }
     assert(chain(e2).exists(_.toLowerCase.contains("check")), chain(e2))
+
+    // CREATE TABLE with a declared CHECK lands ENFORCED (the TableInfo
+    // overload — the legacy 4-arg path never sees constraints, so this
+    // is exactly where a silent drop would hide)
+    sp.sql("CREATE TABLE gcons.db.c (id BIGINT, v BIGINT, CONSTRAINT v_pos CHECK (v > 0))")
+    val eC = intercept[Exception] { sp.sql("INSERT INTO gcons.db.c VALUES (1, -5)") }
+    assert(chain(eC).exists(_.contains("v_pos")), chain(eC))
+    sp.sql("INSERT INTO gcons.db.c VALUES (1, 5)")
+    assert(sp.sql("SELECT count(*) FROM gcons.db.c").head.getLong(0) == 1L)
+    // an unenforceable class at CREATE refuses the whole statement
+    intercept[Exception] {
+      sp.sql("CREATE TABLE gcons.db.bad (id BIGINT, CONSTRAINT pk PRIMARY KEY (id))") }
+    intercept[Exception] { sp.sql("SELECT * FROM gcons.db.bad").collect() }
   }
 
   test("copyInto: idempotent external ingest — registry skips loaded files, gates keep it atomic") {
