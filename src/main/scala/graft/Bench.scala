@@ -59,7 +59,8 @@ object Bench {
     "c24_sql_update_merge", "q62_offset", "c25_sql_delete_general", "c26_sql_merge_matrix",
     "c27_stream_into_table", "c28_sql_changes", "c29_clustered_layout",
     "c30_sql_insert_overwrite", "st11_stream_changes", "c31_widen_type",
-    "c32_copy_into", "q63_regex_matrix", "q64_bitwise_math", "t29_heavy_hitters",
+    "c32_copy_into", "q63_regex_matrix", "q64_bitwise_math", "q65_interpolate",
+    "q66_mad", "t29_heavy_hitters",
     "s12_ann_filtered_ivf", "s13_ann_sq8", "p01_pipeline_e2e",
     "q33_profile", "q33_profile_approx", "q34_histogram")
 

@@ -1054,7 +1054,60 @@ object Relational {
         sum(signum(col("k") % 3 - 1).cast("long")).as("sum_sign"))
       .orderBy("o_orderstatus")
 
+  /** B60: LINEAR INTERPOLATION of missing values in a per-group
+    * ordered series — the time-series repair verb between q37's
+    * forward-fill and a model: every null takes the line between its
+    * surrounding observations; leading/trailing gaps fall back to the
+    * nearest edge value. Built from four IGNORE-NULLS window frames
+    * (last-before / first-after, value and position) — no UDF, no
+    * self-join, one sort per group partition; at 100 TB the window
+    * shuffles once on the group key exactly like q08.
+    */
+  def q65Interpolate(s: SparkSession, dir: String): DataFrame = {
+    val past = Window.partitionBy("event_type").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val future = Window.partitionBy("event_type").orderBy("event_id")
+      .rowsBetween(0, Window.unboundedFollowing)
+    val obs = when(col("event_id") % 5 === 0, round(col("value") * 100, 0))
+    events(s, dir)
+      .select(col("event_id"), col("event_type"), obs.as("v"))
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(past))
+      .withColumn("pi", last(when(col("v").isNotNull, col("event_id")), ignoreNulls = true).over(past))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(future))
+      .withColumn("ni", first(when(col("v").isNotNull, col("event_id")), ignoreNulls = true).over(future))
+      .withColumn("interp", coalesce(col("v"),
+        when(col("pv").isNotNull && col("nv").isNotNull,
+          round(col("pv") + (col("nv") - col("pv")) *
+            (col("event_id") - col("pi")) / (col("ni") - col("pi")), 4))
+          .otherwise(coalesce(col("pv"), col("nv")))))
+      .select(col("event_id"), col("event_type"), col("v"), col("interp"))
+      .orderBy("event_type", "event_id")
+  }
+
+  /** B61: ROBUST dispersion — exact per-group MEDIAN and MAD (median
+    * absolute deviation), the outlier-resistant spread statistic
+    * data-quality monitors gate on (stddev is one bad row away from
+    * useless). Two exact interpolated-percentile aggregates with a
+    * broadcast join-back between them — the corpus shuffles once per
+    * pass on the group key; q28's sketch is the declared 100-TB
+    * quantile path, the gate semantics identical.
+    */
+  def q66Mad(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .select(col("event_type"), round(col("value") * 100, 0).as("v"))
+    val med = e.groupBy("event_type")
+      .agg(expr("percentile(v, 0.5)").as("med"))
+    e.join(broadcast(med), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(first(col("med")), 4).as("med"),
+        round(expr("percentile(abs(v - med), 0.5)"), 4).as("mad"))
+      .orderBy("event_type")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_interpolate" -> q65Interpolate _,
+    "q66_mad" -> q66Mad _,
     "q63_regex_matrix" -> q63RegexMatrix _,
     "q64_bitwise_math" -> q64BitwiseMath _,
     "q61_null_ordering" -> q61NullOrdering _,
@@ -1106,6 +1159,42 @@ object Relational {
     "q24_pivot" -> q24Pivot _)
 
   val oracles: Map[String, String] = Map(
+    "q65_interpolate" ->
+      """WITH s AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_id % 5 = 0 THEN round(value * 100, 0) END AS v
+        |  FROM events
+        |), w AS (
+        |  SELECT event_id, event_type, v,
+        |    last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,
+        |    first_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
+        |  FROM s
+        |)
+        |SELECT event_id, event_type, v,
+        |  coalesce(v,
+        |    CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
+        |         THEN round(pv + (nv - pv) * (event_id - pi) / (ni - pi), 4)
+        |         ELSE coalesce(pv, nv) END) AS interp
+        |FROM w ORDER BY event_type, event_id""".stripMargin,
+    "q66_mad" ->
+      """WITH e AS (
+        |  SELECT event_type, round(value * 100, 0) AS v FROM events
+        |), m AS (
+        |  SELECT event_type, median(v) AS med FROM e GROUP BY event_type
+        |)
+        |SELECT e.event_type, count(*) AS n,
+        |  round(any_value(m.med), 4) AS med,
+        |  round(median(abs(e.v - m.med)), 4) AS mad
+        |FROM e JOIN m ON e.event_type = m.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "q63_regex_matrix" ->
       """SELECT lang, count(*) AS n,
         |  CAST(sum(length(regexp_extract_all(text, '[0-9]+'))) AS BIGINT) AS sum_nums,
