@@ -64,7 +64,14 @@ object Soak {
     // round-10: the q33 sketch twin — the exact profile's Expand showed
     // 18x task at 10x (documented superlinearity); the approx twin must
     // show the ~linear ratio that makes the 100-TB doctrine executable
-    "q33_profile_approx")
+    "q33_profile_approx",
+    // round-10 second wave: t29's MG candidate pass is bounded-memory by
+    // construction but the exact recount's InSet scan must stay linear;
+    // p01 composes five stages — a superlinear ratio would mean the
+    // composition (not any verified stage) introduced a blowup; s13's
+    // byte-dot codes scan is O(corpus × queries) at fixed queries, so
+    // linear in the corpus like s05
+    "t29_heavy_hitters", "p01_pipeline_e2e", "s13_ann_sq8")
 
   private final class MetricsListener extends SparkListener {
     val runMs = new AtomicLong; val gcMs = new AtomicLong; val tasks = new AtomicLong
