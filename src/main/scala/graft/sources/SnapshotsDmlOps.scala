@@ -1363,15 +1363,20 @@ private[sources] trait SnapshotsDmlOps { self: Snapshots =>
         }
       val rel = stageRel(attempt, table)
       val rewrittenPhys = toPhysical(headM, table, rewritten)
-      // clustering contract: the touched files were value-clustered at
-      // write, so the rewrite output is still value-local — an intra-
-      // partition sort re-tightens row-group stats WITHOUT adding a
-      // shuffle to the DML hot path (global re-clustering is compact's
-      // job), and the sidecar always re-covers the cluster columns
+      // clustering contract: update/delete rewrites touch files that
+      // were value-clustered at write, so their output is still
+      // value-local — an intra-partition sort re-tightens row-group
+      // stats WITHOUT adding a shuffle to the DML hot path (global
+      // re-clustering is compact's job). A REPLACE introduces a fresh
+      // batch with arbitrary distribution, so it pays the same one
+      // range shuffle append pays — INSERT OVERWRITE into a clustered
+      // table comes out clustered, not "clustered after the next
+      // compact". The sidecar always re-covers the cluster columns.
       val clusterPhys = clusterColsOf(headM, table)
         .filter(rewritten.columns.contains).map(c => physicalName(headM, table, c))
       val stagedOut =
         if (clusterPhys.isEmpty) rewrittenPhys
+        else if (what == "replace") clusterBatch(rewrittenPhys, clusterPhys)
         else rewrittenPhys.sortWithinPartitions(clusterPhys.map(col): _*)
       stagedOut.write.mode("overwrite").parquet(s"$root/$rel")
       // an all-filtered write partition leaves a rowless file that stats

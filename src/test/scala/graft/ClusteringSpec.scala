@@ -228,5 +228,19 @@ class ClusteringSpec extends AnyFunSuite {
     assert(propsT.get("clusterBy").contains("k"))
     assert(sp.sql("SELECT sum(v) FROM gclu.db.ctas WHERE k BETWEEN 1 AND 10")
       .head.getLong(0) == (1L to 10L).map(_ * 3).sum)
+
+    // INSERT OVERWRITE into a clustered table comes out CLUSTERED (the
+    // replace batch pays the same range shuffle append pays): the
+    // post-overwrite ranged read must still skip files at plan time
+    sp.sql("INSERT OVERWRITE gclu.db.ctas SELECT id AS k, id * 7 AS v FROM clu_src")
+    val snap2 = new Snapshots(sp, root + "/db")
+    val totalAfter = snap2.read("ctas").inputFiles.length
+    assert(totalAfter >= 4, s"overwrite should land several clustered files, got $totalAfter")
+    CountingLocalFs.reset()
+    assert(sp.sql("SELECT sum(v) FROM gclu.db.ctas WHERE k BETWEEN 1 AND 100")
+      .head.getLong(0) == (1L to 100L).map(_ * 7).sum)
+    val openedOvw = CountingLocalFs.dataFileOpens.size
+    assert(openedOvw < totalAfter,
+      s"post-overwrite ranged read should skip: opened $openedOvw of $totalAfter")
   }
 }
