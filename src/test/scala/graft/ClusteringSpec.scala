@@ -133,6 +133,51 @@ class ClusteringSpec extends AnyFunSuite {
     assert(snap.read("t").count() === 499L) // 600 - 101 deleted
   }
 
+  test("type widening keeps skipping: stats and bloom sidecars survive int -> bigint") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.types.LongType
+    val root = cfsRoot("clspwiden")
+    val snap = new Snapshots(spark, root)
+    // INT cluster key + bloom-indexed INT column, narrow era
+    snap.createTable("t",
+      Seq.empty[(Int, Int, String)].toDF("id", "pt", "s"),
+      props = Map("clusterBy" -> "id"))
+    snap.append("t",
+      (1 to 1000).map(i => (i, i * 31 % 997, s"v$i")).toDF("id", "pt", "s").repartition(8),
+      bloomCols = Seq("pt"))
+    // widen BOTH columns — the sidecars already store integrals as
+    // "long" (stats) and hash them as long (bloom), so nothing rebuilds
+    snap.widenColumn("t", "id", LongType)
+    snap.widenColumn("t", "pt", LongType)
+    val total = snap.read("t").inputFiles.length
+    assert(total >= 8)
+
+    // range skipping on the widened cluster key, probed with LONG bounds
+    val (n, opened) = opens {
+      snap.read("t").where(col("id").between(101L, 200L)).count()
+    }
+    assert(n === 100L && opened < total / 2,
+      s"post-widen range read should skip: opened $opened of $total")
+
+    // bloom point probe with a LONG value over narrow-era files
+    val (n2, opened2) = opens {
+      snap.read("t").where(col("pt") === (777 * 31 % 997).toLong).count()
+    }
+    assert(n2 >= 1L && opened2 < total,
+      s"post-widen bloom probe should skip: opened $opened2 of $total")
+
+    // post-widen appends keep clustering, now with values past Int range
+    snap.append("t",
+      (1L to 500L).map(i => (i + 4000000000L, i, s"w$i")).toDF("id", "pt", "s").repartition(4))
+    val total2 = snap.read("t").inputFiles.length
+    val (n3, opened3) = opens {
+      snap.read("t").where(col("id") > 4000000000L).count()
+    }
+    assert(n3 === 500L && opened3 < total2,
+      s"wide-era ranged read should skip narrow-era files: opened $opened3 of $total2")
+  }
+
   test("compact re-establishes GLOBAL clustering across batch-local clusters") {
     val sp = spark
     import sp.implicits._
