@@ -1388,8 +1388,15 @@ private[sources] class GraftMetaTable(
                 s"window is a batch query (SELECT … FROM `$baseTable$$$kind`); stream " +
                 s"`$baseTable$$changes` or `$baseTable$$changes$$from` instead")
             val from = parts.lift(1).map(_.toLong).getOrElse(0L)
+            // the format path's admission-control options ride through
+            // DataStreamReader verbatim here too
             new ChangeFeedStream(root, baseTable, from,
-              maxVersionsPerTrigger = None, fullSchema = pruned)
+              maxVersionsPerTrigger =
+                Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
+              fullSchema = pruned,
+              refuseDv = options.getBoolean("refuseDeletionVectors", false),
+              maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(
+                org.apache.spark.network.util.JavaUtils.byteStringAsBytes))
           }
         }
     }

@@ -1377,6 +1377,18 @@ class StreamingSpec extends AnyFunSuite {
     try q2.processAllAvailable() finally q2.stop()
     assert(got2.toSeq == Seq("9,90,added"), got2)
 
+    // admission control rides through .table: one version per trigger
+    // means one foreachBatch call per committed version
+    val batches = new java.util.concurrent.atomic.AtomicLong
+    val q3 = sp.readStream.option("maxVersionsPerTrigger", "1")
+      .table("gcdf.db.`t$changes`")
+      .writeStream.option("checkpointLocation", base + "/ckpt3")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (b.count() > 0) batches.incrementAndGet(); () }
+      .start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(batches.get >= 3, s"one-version triggers should split the backlog: ${batches.get}")
+
     // an explicit bounded window is a batch query — streaming it refuses
     val e = intercept[Exception] {
       val q = sp.readStream.table("gcdf.db.`t$changes$1$3`")
