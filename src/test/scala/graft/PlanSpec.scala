@@ -361,6 +361,40 @@ class PlanSpec extends AnyFunSuite {
       "pagination must not materialize a global sort: " + p)
   }
 
+  test("t29 heavy hitters: the recount is a codegen InSet probe into a TakeOrdered top-k, never a vocabulary window") {
+    val p = plan("t29_heavy_hitters")
+    assert(p.contains("INSET") || p.contains("insetcontains") || p.contains(" IN ("),
+      "candidate recount must be a set probe: " + p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must ride the bounded heap: " + p.take(2000))
+    assert(!p.contains("Window"), "no window over the vocabulary: " + p.take(2000))
+  }
+
+  test("q65 interpolation: one group-key shuffle feeds both window frames, no join") {
+    val p = plan("q65_interpolate")
+    assert(p.contains("Window"), p.take(1500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "interpolation must not self-join: " + p.take(2000))
+    // both frames partition on the same key: exactly one exchange on event_type
+    val exchanges = "hashpartitioning\\(event_type".r.findAllIn(p).size
+    assert(exchanges <= 2, s"window frames should reuse one group partitioning: $exchanges\n" + p.take(2000))
+  }
+
+  test("q66 MAD: the median table broadcasts back, the corpus never sort-merges") {
+    val p = plan("q66_mad")
+    assert(p.contains("BroadcastHashJoin"), "median join-back must broadcast: " + p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("s13 SQ8: the codes scan crossjoins a broadcast query table; floats only rejoin on the shortlist") {
+    val p = plan("s13_ann_sq8")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct") ||
+      p.contains("BroadcastHashJoin"),
+      "codes x queries must broadcast the query side: " + p.take(2000))
+    assert(p.contains("TopKPerGroup") || p.contains("TakeOrdered"),
+      "shortlist must ride the bounded heap: " + p.take(2000))
+  }
+
   test("stats-driven lake join strategy: small broadcasts unhinted, mid flips to shuffled-hash, big falls to sort-merge") {
     val sp = spark
     val root = java.nio.file.Files.createTempDirectory("cbolakes").toString
