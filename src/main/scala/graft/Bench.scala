@@ -198,13 +198,30 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalTask = taskSec.values.sum
     val totalCpu = cpuSec.values.sum
-    // scalar summary fields LAST: the driver's artifact keeps only the
-    // TAIL of this line, so the totals/failure count must sit at the
-    // end to survive truncation (key order is irrelevant to parsers)
+    val protocol = "wall = min of converged runs (two fastest within 25%, <=5 tries); " +
+      "round-over-round regressions gate on queries_cpu_sec (executorCpuTime: CPU-clock, " +
+      "deschedule-IMMUNE — task run-time is wall-per-task and inflates under host load, " +
+      "cpu time does not), compared cpu-to-cpu against the bench.json committed at the " +
+      "previous round's close; queries_task_sec kept for continuity, wall advisory; " +
+      "per-key 1-min loadavg in diag; full per-key maps live in bench.json (committed) — " +
+      "stdout tags each map on its own line with the scalar summary LAST"
+    // the full artifact (every map, one JSON line) goes to bench.json —
+    // the committed, never-truncated source of truth for key-level diffs
     val line =
-      s"""{"metric":"total","unit":"sec","diag":$djson,"queries":$qjson,"queries_task_sec":$tjson,"queries_cpu_sec":$cjson,"errors":$ejson,"protocol":"wall = min of converged runs (two fastest within 25%, <=5 tries); round-over-round regressions gate on queries_cpu_sec (executorCpuTime: CPU-clock, deschedule-IMMUNE — the r9 verdict showed task run-time is wall-per-task and inflates under host load, cpu time does not), with queries_task_sec kept for continuity and wall advisory; per-key 1-min loadavg in diag","sf":"$sfDir","n_keys":${results.size},"n_failed":${errors.size},"total_task_sec":$totalTask,"total_cpu_sec":$totalCpu,"value":$total}"""
-    println(line)
+      s"""{"metric":"total","unit":"sec","diag":$djson,"queries":$qjson,"queries_task_sec":$tjson,"queries_cpu_sec":$cjson,"errors":$ejson,"protocol":${jstr(protocol)},"sf":"$sfDir","n_keys":${results.size},"n_failed":${errors.size},"total_task_sec":$totalTask,"total_cpu_sec":$totalCpu,"value":$total}"""
     Files.writeString(Paths.get(outFile), line + "\n")
+    // stdout: the driver keeps only the TAIL of the capture, and r10
+    // proved a single giant line splices — a truncated front cut mid-map
+    // let cpu-seconds be read as walls. So each per-key map goes out on
+    // its OWN line tagged with its metric name, ordered so the only map
+    // whose fragment can survive next to the summary is the wall map
+    // itself (diag first = cut first), and the machine-parseable scalar
+    // summary is the LAST, shortest line — always complete in the tail.
+    println(s"""{"metric":"diag","diag":$djson}""")
+    println(s"""{"metric":"queries_task_sec","queries_task_sec":$tjson}""")
+    println(s"""{"metric":"queries_cpu_sec","queries_cpu_sec":$cjson}""")
+    println(s"""{"metric":"queries_wall_sec","queries":$qjson}""")
+    println(s"""{"metric":"total","unit":"sec","errors":$ejson,"sf":"$sfDir","n_keys":${results.size},"n_failed":${errors.size},"total_task_sec":$totalTask,"total_cpu_sec":$totalCpu,"queries_in":"bench.json","value":$total}""")
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }

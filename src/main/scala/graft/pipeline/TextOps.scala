@@ -184,14 +184,19 @@ object TextOps {
       var acc = 0L
       totals.map { case (pid, t) => val o = (pid, acc); acc += t; o }
     }
-    val offExpr = offsets.foldLeft(lit(0L)) { case (e, (pid, off)) =>
-      when(col("pid") === pid, lit(off)).otherwise(e)
-    }
+    // pass 2's offset lookup is a BROADCAST JOIN on pid, not a folded
+    // when() chain: at 100 TB the range partitioner emits thousands of
+    // partitions and an O(P)-deep conditional would blow codegen (or
+    // fall back to interpreted eval); the (pid, offset) table is P rows
+    // — broadcast it and let the hash probe stay O(1) per row
+    import s.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("pid", "p_off"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("pid").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    d.withColumn("cum", sum("n_chars").over(w) + offExpr)
+    d.join(offDf, "pid")
+      .withColumn("cum", sum("n_chars").over(w) + col("p_off"))
       .withColumn("shard_id",
         floor((col("cum") - col("n_chars")) / budgetChars).cast("long"))
       .groupBy("shard_id")

@@ -246,19 +246,27 @@ object FileStats {
   }
 
   /** Can a file with `st` contain a row matching `r`? Missing stats →
-    * yes (conservative). A range predicate never matches NULL, so a
-    * column that is all-null in the file (min/max absent, stats
-    * present) is skippable.
+    * yes (conservative). A BOUNDED range predicate never matches NULL,
+    * so a column that is all-null in the file (min/max absent, stats
+    * present) is skippable — but an UNBOUNDED range (lo=None, hi=None)
+    * constrains nothing: callers use it as a touch-all marker (general-
+    * predicate DML with residual-only WHERE, `WHEN NOT MATCHED BY
+    * SOURCE` whole-table spans), and matchCond's row-level twin already
+    * treats it as matching every row, NULLs included. Skipping an
+    * all-null file under it would silently drop matching rows.
     */
-  private def mightMatch(st: Option[ColStat], r: ColRange): Boolean = st match {
-    case None => true
-    case Some(cs) =>
-      (cs.min, cs.max) match {
-        case (Some(mn), Some(mx)) =>
-          r.lo.forall(lo => cmp(cs.typ, mx, boundStr(cs.typ, lo)) >= 0) &&
-            r.hi.forall(hi => cmp(cs.typ, mn, boundStr(cs.typ, hi)) <= 0)
-        case _ => false // stats say: no non-null value in this file
-      }
+  private def mightMatch(st: Option[ColStat], r: ColRange): Boolean = {
+    if (r.lo.isEmpty && r.hi.isEmpty) return true
+    st match {
+      case None => true
+      case Some(cs) =>
+        (cs.min, cs.max) match {
+          case (Some(mn), Some(mx)) =>
+            r.lo.forall(lo => cmp(cs.typ, mx, boundStr(cs.typ, lo)) >= 0) &&
+              r.hi.forall(hi => cmp(cs.typ, mn, boundStr(cs.typ, hi)) <= 0)
+          case _ => false // bounded range, all-null column: provably clean
+        }
+    }
   }
 
   /** The file-skipping step: keep only files whose stats admit every

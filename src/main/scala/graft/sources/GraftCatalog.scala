@@ -582,6 +582,64 @@ object GraftCatalog {
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** A46 `c33_sql_delete_subquery`: SUBQUERY-predicate DML as text —
+    * the single most common production delete shape (`DELETE FROM t
+    * WHERE k IN (SELECT k FROM gdpr_list)`, the compliance job's first
+    * statement; the reference's `execute` ran arbitrary statements,
+    * Stream.hs:122-145). Four uncorrelated forms, each materialized
+    * ONCE and collapsed to a literal so the one span-pruned rewrite
+    * engine executes them all: (1) IN over a LAKE-table subquery (the
+    * GDPR list lives in the lake) — becomes an InSet probe whose
+    * [min,max] envelope prunes files exactly like deleteKeys' key
+    * span; (2) NOT IN whose list contains a NULL — ANSI three-valued
+    * logic: the NULL poisons every non-match to UNKNOWN, so the
+    * statement deletes NOTHING (the trap this key pins cross-engine);
+    * (3) NOT IN over a null-free list — the keep-only-these form;
+    * (4) a scalar subquery threshold UPDATE (pre-statement snapshot
+    * semantics: the subquery evaluates before the rewrite) and an
+    * uncorrelated EXISTS gate. Oversized lists and correlated
+    * subqueries refuse loudly (TxnSpec) — past the inline bound the
+    * answer is the Scala `deleteKeys` verb, same span-pruned shape.
+    */
+  def c33SqlDeleteSubquery(s: SparkSession, dir: String): DataFrame = {
+    val root = s.conf.get("spark.sql.warehouse.dir") + "/c21_catalog"
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", root)
+    Catalog.register(s, dir)
+    val ns = "db_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    s.sql(s"CREATE NAMESPACE graft.$ns")
+    s.sql(s"CREATE TABLE graft.$ns.orders_t (o_orderkey BIGINT, o_orderstatus STRING, price_cents BIGINT)")
+    s.sql(s"""INSERT INTO graft.$ns.orders_t
+             |SELECT o_orderkey, o_orderstatus,
+             |       CAST(round(o_totalprice * 100, 0) AS BIGINT)
+             |FROM orders""".stripMargin)
+    // the GDPR list as a lake table — the subquery reads THROUGH the
+    // catalog (GraftLakeReads rewrites inside subquery plans too)
+    s.sql(s"CREATE TABLE graft.$ns.gdpr_list (k BIGINT)")
+    s.sql(s"INSERT INTO graft.$ns.gdpr_list SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 0")
+    s.sql(s"""DELETE FROM graft.$ns.orders_t
+             |WHERE o_orderkey IN (SELECT k FROM graft.$ns.gdpr_list)""".stripMargin)
+    // NOT IN over a list CONTAINING NULL: three-valued logic — deletes nothing
+    s.sql(s"""DELETE FROM graft.$ns.orders_t
+             |WHERE o_orderkey NOT IN (
+             |  SELECT CASE WHEN o_orderkey % 5 = 0 THEN o_orderkey END
+             |  FROM orders WHERE o_orderkey <= 2000)""".stripMargin)
+    // NOT IN over a null-free list: keep only keys <= 3000
+    s.sql(s"""DELETE FROM graft.$ns.orders_t
+             |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey <= 3000)""".stripMargin)
+    // scalar-subquery threshold (evaluated over the PRE-update state)
+    s.sql(s"""UPDATE graft.$ns.orders_t SET price_cents = price_cents + 13
+             |WHERE price_cents * 2 > (SELECT max(price_cents) FROM graft.$ns.orders_t)""".stripMargin)
+    // uncorrelated EXISTS: a run-time boolean gate (14 is on the list)
+    s.sql(s"""DELETE FROM graft.$ns.orders_t
+             |WHERE o_orderstatus = 'P'
+             |  AND EXISTS (SELECT 1 FROM graft.$ns.gdpr_list WHERE k = 14)""".stripMargin)
+    s.sql(s"""SELECT o_orderstatus, count(*) AS n,
+             |       CAST(sum(price_cents) AS BIGINT) AS total_cents
+             |FROM graft.$ns.orders_t
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   /** A41 `c28_sql_changes`: the CHANGE FEED as pure SQL text — the
     * cursor `stream` of Stream.hs:244-284 as a QUERY (`t$changes`
     * metadata table over the DV-aware readChanges diff). Two window
@@ -851,7 +909,8 @@ object GraftCatalog {
     "c23_sql_delete" -> c23SqlDelete _,
     "c24_sql_update_merge" -> c24SqlUpdateMerge _,
     "c25_sql_delete_general" -> c25SqlDeleteGeneral _,
-    "c26_sql_merge_matrix" -> c26SqlMergeMatrix _)
+    "c26_sql_merge_matrix" -> c26SqlMergeMatrix _,
+    "c33_sql_delete_subquery" -> c33SqlDeleteSubquery _)
 
   val oracles: Map[String, String] = Map(
     "c32_copy_into" ->
@@ -1054,6 +1113,27 @@ object GraftCatalog {
         |SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(price_cents) AS BIGINT) AS total_cents
         |FROM u GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "c33_sql_delete_subquery" ->
+      """WITH c AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+        |  FROM orders
+        |), d1 AS (
+        |  SELECT * FROM c WHERE o_orderkey % 7 != 0
+        |), d3 AS (
+        |  -- the NOT-IN-with-NULL delete between d1 and d3 removes nothing
+        |  SELECT * FROM d1 WHERE o_orderkey <= 3000
+        |), u AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN price_cents * 2 > (SELECT max(price_cents) FROM d3)
+        |         THEN price_cents + 13 ELSE price_cents END AS price_cents
+        |  FROM d3
+        |), d5 AS (
+        |  SELECT * FROM u WHERE o_orderstatus != 'P'
+        |)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(price_cents) AS BIGINT) AS total_cents
+        |FROM d5 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "c26_sql_merge_matrix" ->
       """WITH c AS (
         |  SELECT o_orderkey, o_orderstatus,

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo => CEqualTo, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo => CEqualTo, Exists, Expression, In => CIn, InSubquery, ListQuery, Literal, ScalarSubquery, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -56,8 +56,67 @@ case class GraftDmlCommands(spark: SparkSession) extends Rule[LogicalPlan] {
     case ar: AttributeReference => UnresolvedAttribute.quoted(ar.name)
   }
 
+  /** UNCORRELATED subqueries in a DML predicate, materialized: the
+    * production shapes `DELETE FROM t WHERE k IN (SELECT k FROM
+    * gdpr_list)`, `… NOT IN (…)` (ANSI three-valued: a NULL in the
+    * list, or a NULL probe, keeps the row), uncorrelated `EXISTS`
+    * (a run-time boolean constant) and uncorrelated scalar subqueries
+    * (`WHERE x > (SELECT avg(x) …)`). Each subquery runs ONCE here and
+    * collapses to a literal — an IN list becomes Catalyst `In` over
+    * literals (an InSet probe after optimization, the broadcast-side
+    * equivalent of deleteKeys' anti-join with zero extra shuffle), so
+    * the predicate then flows through the SAME envelope/residual split
+    * as any other: the IN list's [min,max] span prunes files exactly
+    * like deleteKeys' key span. Guards: the list is DISTINCT-reduced
+    * and refuses past `spark.graft.dml.subqueryInMaxRows` (a keyset
+    * beyond inline size is what the Scala `deleteKeys` verb is for —
+    * its message says so); CORRELATED subqueries refuse loudly (their
+    * value is not a row property the split can classify files by).
+    */
+  private val SubqueryInMaxRowsConf = "spark.graft.dml.subqueryInMaxRows"
+
+  private def materializeSubqueries(c: Expression, what: String): Expression = {
+    if (!SubqueryExpression.hasSubquery(c)) return c
+    val maxRows = spark.conf.getOption(SubqueryInMaxRowsConf).map(_.toInt).getOrElse(100000)
+    def refuseCorrelated(which: String): Nothing =
+      throw new UnsupportedOperationException(
+        s"$what with a CORRELATED $which subquery is not supported as SQL text — " +
+          "a correlated value is not a row property file classification can bound; " +
+          "rewrite as a join and use the Scala verbs (deleteKeys/applyChanges)")
+    def run(plan: LogicalPlan) = org.apache.spark.sql.GraftShim.ofRows(spark, plan)
+    c.transformUp {
+      case InSubquery(values, q: ListQuery) =>
+        if (q.outerAttrs.nonEmpty) refuseCorrelated("IN")
+        if (values.length != 1) throw new UnsupportedOperationException(
+          s"$what with a multi-column IN subquery is not supported as SQL text — " +
+            "use the composite-key Scala verbs (deleteKeys/applyChanges)")
+        val dt = q.plan.output.head.dataType
+        // distinct() keeps ONE null if present — required for NOT IN's
+        // three-valued semantics (a null in the list poisons non-matches
+        // to NULL, and the verbs' !coalesce(pred, false) keeps the row)
+        val rows = run(q.plan).distinct().limit(maxRows + 1).collect()
+        if (rows.length > maxRows) throw new UnsupportedOperationException(
+          s"$what: the IN subquery yields more than $SubqueryInMaxRowsConf=$maxRows " +
+            "distinct values — too large to inline as a literal list; materialize " +
+            "it and use Snapshots.deleteKeys (span-pruned broadcast anti-join)")
+        if (rows.isEmpty) Literal.FalseLiteral // x IN (empty) = FALSE, ANSI
+        else CIn(values.head, rows.toSeq.map(r => Literal.create(r.get(0), dt)))
+      case e: Exists =>
+        if (e.outerAttrs.nonEmpty) refuseCorrelated("EXISTS")
+        Literal(run(e.plan).limit(1).count() > 0L)
+      case s: ScalarSubquery =>
+        if (s.outerAttrs.nonEmpty) refuseCorrelated("scalar")
+        val rows = run(s.plan).limit(2).collect()
+        require(rows.length <= 1,
+          s"$what: scalar subquery returned more than one row")
+        Literal.create(if (rows.isEmpty) null else rows(0).get(0), s.dataType)
+    }
+  }
+
   /** Split a resolved WHERE into (envelope ranges for pruning, exact
-    * residual Column). Refuses only subqueries and non-determinism.
+    * residual Column). Uncorrelated subqueries materialize first
+    * ([[materializeSubqueries]]); only correlated subqueries and
+    * non-determinism refuse.
     */
   private def splitPredicate(t: GraftLakeTable, cond: Option[Expression],
                              what: String): (Seq[FileStats.ColRange],
@@ -66,10 +125,11 @@ case class GraftDmlCommands(spark: SparkSession) extends Rule[LogicalPlan] {
       case None =>
         (Seq(FileStats.ColRange(t.schema().fieldNames.head, None, None)),
           org.apache.spark.sql.functions.lit(true))
-      case Some(c) =>
+      case Some(c0) =>
+        val c = materializeSubqueries(c0, what)
         if (SubqueryExpression.hasSubquery(c))
           throw new UnsupportedOperationException(
-            s"$what with a subquery predicate is not supported as SQL text — " +
+            s"$what with this subquery form is not supported as SQL text — " +
               s"materialize the subquery and use the Snapshots verbs (deleteKeys/" +
               s"applyChanges): $c")
         if (!c.deterministic)
@@ -162,9 +222,22 @@ case class GraftDmlCommands(spark: SparkSession) extends Rule[LogicalPlan] {
         case other => refuse(s"the ON clause must be a target-source equi-join " +
           s"(span pruning classifies files by the source key span), got: $other")
       }
-      val keys = keyPairs(m.mergeCondition)
-      if (keys.isEmpty) refuse("no join keys")
-      val keyCols = keys.map(_._1).distinct
+      val keys0 = keyPairs(m.mergeCondition)
+      if (keys0.isEmpty) refuse("no join keys")
+      // ON equating one target column twice: keep a single projection
+      // per target column when the source expressions are semantically
+      // equal (ON t.k = s.k AND t.k = s.k), refuse loudly when they
+      // differ (t.k = s.a AND t.k = s.b would otherwise project two
+      // columns named k and die downstream as an ambiguous attribute)
+      val keys = keys0.groupBy(_._1).toSeq.sortBy(p => keys0.indexWhere(_._1 == p._1))
+        .map { case (k, pairs) =>
+          val exprs = pairs.map(_._2)
+          if (!exprs.tail.forall(_.semanticEquals(exprs.head)))
+            refuse(s"the ON clause equates target column '$k' to two different " +
+              s"source expressions (${exprs.mkString(" vs ")})")
+          k -> exprs.head
+        }
+      val keyCols = keys.map(_._1)
       keyCols.foreach(k => require(cols.contains(k),
         s"merge key '$k' is not a column of table '${t.tableName}'"))
 

@@ -2649,12 +2649,12 @@ class TxnSpec extends AnyFunSuite {
     sp.sql("DELETE FROM gtest.db.t WHERE v < 15 OR v > 1000")
     assert(sp.sql("SELECT count(*) FROM gtest.db.t").head.getLong(0) == 1L,
       "a general DELETE matching no row must change nothing")
-    // a SUBQUERY predicate is the remaining refusal (not a row
-    // property — materialize and use deleteKeys), loud and unchanged
-    intercept[Exception] {
-      sp.sql("DELETE FROM gtest.db.t WHERE id IN (SELECT id FROM gtest.db.t)") }
+    // an UNCORRELATED subquery predicate EXECUTES since r11
+    // (materialized once, inlined as a literal list); here the list is
+    // empty, and ANSI says `x IN (empty)` = FALSE — nothing deleted
+    sp.sql("DELETE FROM gtest.db.t WHERE id IN (SELECT id FROM gtest.db.t WHERE id > 100)")
     assert(sp.sql("SELECT count(*) FROM gtest.db.t").head.getLong(0) == 1L,
-      "refused subquery DELETE must change nothing")
+      "IN over an empty subquery result must delete nothing")
 
     // ALTER as text: properties, ADD COLUMN (zero-row schema union),
     // RENAME/DROP COLUMN (column mapping, zero rewrite)
@@ -3378,6 +3378,108 @@ class TxnSpec extends AnyFunSuite {
     assert(snap.currentVersion.get == head2,
       "a refused overwrite must publish nothing")
     assert(sp.sql("SELECT count(*) FROM govw.db.t").head.getLong(0) == 3L)
+  }
+
+  test("subquery-predicate SQL DML: uncorrelated IN/NOT IN/EXISTS/scalar execute; bounds and correlation refuse") {
+    val sp = spark
+    val root = Files.createTempDirectory("sqlsubq").toString
+    sp.conf.set("spark.sql.catalog.gsub", classOf[graft.sources.GraftCatalog].getName)
+    sp.conf.set("spark.sql.catalog.gsub.root", root)
+    sp.sql("CREATE NAMESPACE gsub.db")
+    sp.sql("CREATE TABLE gsub.db.t (id BIGINT, v BIGINT)")
+    sp.sql("INSERT INTO gsub.db.t SELECT id, id * 10 FROM range(1, 21)")
+    sp.sql("CREATE TABLE gsub.db.gdpr (k BIGINT)")
+    sp.sql("INSERT INTO gsub.db.gdpr VALUES (3), (7), (11), (999)")
+
+    // the GDPR shape: IN over another lake table — executes, span-pruned
+    sp.sql("DELETE FROM gsub.db.t WHERE id IN (SELECT k FROM gsub.db.gdpr)")
+    assert(sp.sql("SELECT count(*) FROM gsub.db.t").head.getLong(0) == 17L)
+    assert(sp.sql("SELECT count(*) FROM gsub.db.t WHERE id IN (3, 7, 11)")
+      .head.getLong(0) == 0L)
+
+    // NOT IN whose list contains a NULL: ANSI three-valued logic — the
+    // NULL poisons every non-match to UNKNOWN, so NOTHING is deleted
+    sp.sql("""DELETE FROM gsub.db.t WHERE id NOT IN
+             |  (SELECT CASE WHEN k < 100 THEN k END FROM gsub.db.gdpr)""".stripMargin)
+    assert(sp.sql("SELECT count(*) FROM gsub.db.t").head.getLong(0) == 17L,
+      "NOT IN over a list containing NULL must delete nothing")
+
+    // NOT IN over a null-free list: the keep-only-these form
+    sp.sql("DELETE FROM gsub.db.t WHERE id NOT IN (SELECT id FROM gsub.db.t WHERE id <= 15)")
+    assert(sp.sql("SELECT max(id) FROM gsub.db.t").head.getLong(0) == 15L)
+
+    // uncorrelated scalar subquery in UPDATE: evaluates over the
+    // PRE-statement snapshot (max id = 15 here), then the SET applies
+    sp.sql("""UPDATE gsub.db.t SET v = v + 1
+             |WHERE id * 2 > (SELECT max(id) FROM gsub.db.t)""".stripMargin)
+    assert(sp.sql("SELECT sum(v) FROM gsub.db.t WHERE id >= 8").head.getLong(0) ==
+      (8L to 15L).filterNot(Seq(11L).contains).map(_ * 10 + 1).sum)
+
+    // uncorrelated EXISTS: a run-time boolean gate
+    sp.sql("DELETE FROM gsub.db.t WHERE id = 1 AND EXISTS (SELECT 1 FROM gsub.db.gdpr WHERE k = 999)")
+    assert(sp.sql("SELECT count(*) FROM gsub.db.t WHERE id = 1").head.getLong(0) == 0L)
+    sp.sql("DELETE FROM gsub.db.t WHERE id = 2 AND EXISTS (SELECT 1 FROM gsub.db.gdpr WHERE k = -1)")
+    assert(sp.sql("SELECT count(*) FROM gsub.db.t WHERE id = 2").head.getLong(0) == 1L,
+      "EXISTS over an empty result is FALSE — the row must survive")
+
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    val before = sp.sql("SELECT count(*) FROM gsub.db.t").head.getLong(0)
+
+    // too-big refusal: past the inline bound the answer is deleteKeys
+    sp.conf.set("spark.graft.dml.subqueryInMaxRows", "2")
+    try {
+      val e1 = intercept[Exception] {
+        sp.sql("DELETE FROM gsub.db.t WHERE id IN (SELECT k FROM gsub.db.gdpr)") }
+      assert(chain(e1).exists(m => m.contains("deleteKeys") &&
+        m.contains("subqueryInMaxRows")), chain(e1))
+    } finally sp.conf.unset("spark.graft.dml.subqueryInMaxRows")
+
+    // correlated subqueries refuse loudly — their value is not a row
+    // property file classification can bound
+    val e2 = intercept[Exception] {
+      sp.sql("""DELETE FROM gsub.db.t
+               |WHERE EXISTS (SELECT 1 FROM gsub.db.gdpr g WHERE g.k = t.id)""".stripMargin) }
+    assert(chain(e2).exists(_.contains("CORRELATED")), chain(e2))
+    assert(sp.sql("SELECT count(*) FROM gsub.db.t").head.getLong(0) == before,
+      "refused statements must change nothing")
+
+    // scalar subquery returning >1 row refuses (ANSI)
+    intercept[Exception] {
+      sp.sql("DELETE FROM gsub.db.t WHERE id = (SELECT k FROM gsub.db.gdpr)") }
+  }
+
+  test("touch-all DML rewrites files whose tracked column is all-null (unbounded range skips nothing)") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("allnull").toString
+    val snap = new Snapshots(sp, root)
+    // file 1: tracked column `id` present; file 2: id ALL NULL — its
+    // sidecar stats exist with min/max absent. An unbounded ColRange
+    // (the touch-all marker of residual-only predicates and bare
+    // DELETE) must classify BOTH files as touched; before the r11 fix
+    // the all-null file was "provably clean" and its rows survived.
+    snap.commit(Map("t" -> Seq((Some(1L), 1L), (Some(2L), 2L)).toDF("id", "b")),
+      statsCols = Map("t" -> Seq("id")))
+    snap.append("t",
+      Seq((Option.empty[Long], 3L), (Option.empty[Long], 4L)).toDF("id", "b"),
+      statsCols = Seq("id"))
+    // residual-only predicate: the envelope bounds nothing → the split
+    // classifies with one unbounded range on the first column
+    snap.deleteWhere("t",
+      Seq(FileStats.ColRange("id", None, None)),
+      org.apache.spark.sql.functions.expr("b % 2 = 0"), Seq("id"))
+    assert(snap.read("t").where("b % 2 = 0").count() == 0L,
+      "even rows in the ALL-NULL-id file must be deleted")
+    assert(snap.read("t").count() == 2L)
+    // and a BOUNDED range still never matches the all-null rows (a
+    // range predicate never matches NULL — that skip stays correct)
+    snap.deleteWhere("t", Seq(FileStats.ColRange("id", Some(0L), Some(10L))),
+      statsCols = Seq("id"))
+    assert(snap.read("t").count() == 1L,
+      "the null-id row must survive a bounded-range delete")
+    assert(snap.read("t").head.isNullAt(0))
   }
 
 }
