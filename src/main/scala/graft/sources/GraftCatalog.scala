@@ -539,12 +539,16 @@ object GraftCatalog {
     * ordered conditional WHEN MATCHED arms (DELETE first, a
     * conditional UPDATE, an unconditional fallback — order exposure:
     * a row matching several arms takes the FIRST), a conditional WHEN
-    * NOT MATCHED INSERT, and a WHEN NOT MATCHED BY SOURCE UPDATE
-    * (which forces whole-table classification — its rows lie outside
-    * any source span). One mergeClauses full-outer rewrite, one
+    * NOT MATCHED INSERT, a WHEN NOT MATCHED BY SOURCE UPDATE (which
+    * forces whole-table classification — its rows lie outside any
+    * source span), and a RESIDUAL ON conjunct (`AND s.o_orderkey % 10
+    * != 3`, r11): key-equal pairs failing it are NOT matched — their
+    * target rows take the BY SOURCE arm, their source rows fall to the
+    * insert arms (ANSI). One mergeClauses full-outer rewrite, one
     * published version; the oracle reproduces the matrix in closed
-    * form (matched legs by clause order, target-only leg via NOT
-    * EXISTS, source-only leg by the insert condition).
+    * form (matched legs by clause order + residual, target-only leg
+    * via NOT EXISTS over key+residual, source-only leg by the insert
+    * condition).
     */
   def c26SqlMergeMatrix(s: SparkSession, dir: String): DataFrame = {
     val root = s.conf.get("spark.sql.warehouse.dir") + "/c21_catalog"
@@ -567,7 +571,7 @@ object GraftCatalog {
              |  SELECT o_orderkey + 20000000, o_orderstatus, CAST(5 AS BIGINT)
              |  FROM orders WHERE o_orderkey <= 64
              |) s
-             |ON t.o_orderkey = s.o_orderkey
+             |ON t.o_orderkey = s.o_orderkey AND s.o_orderkey % 10 != 3
              |WHEN MATCHED AND t.price_cents > 20000000 THEN DELETE
              |WHEN MATCHED AND s.o_orderstatus = 'O' THEN UPDATE SET price_cents = t.price_cents + 1000
              |WHEN MATCHED THEN UPDATE SET price_cents = -1
@@ -638,6 +642,51 @@ object GraftCatalog {
              |       CAST(sum(price_cents) AS BIGINT) AS total_cents
              |FROM graft.$ns.orders_t
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  /** A47 `c34_sql_merge_evolution`: `MERGE … WITH SCHEMA EVOLUTION` as
+    * text — the real CDC-apply job evolves schemas MID-STREAM (a new
+    * upstream column must land without an operator stopping the
+    * pipeline for manual DDL). The table declares Spark 4.1's
+    * AUTOMATIC_SCHEMA_EVOLUTION capability, so the analyzer's own
+    * ResolveMergeIntoSchemaEvolution diffs source vs target and drives
+    * [[GraftCatalog.alterTable]] (the additive-evolution verb of A15 —
+    * old rows read null, time travel keeps the narrow schema, lossy
+    * conflicts refuse); the merge itself then runs through the same
+    * span-pruned mergeClauses rewrite. The fold groups the evolved
+    * table by (status, tier) — tier is NULL exactly on the
+    * pre-evolution rows the merge never touched.
+    */
+  def c34SqlMergeEvolution(s: SparkSession, dir: String): DataFrame = {
+    val root = s.conf.get("spark.sql.warehouse.dir") + "/c21_catalog"
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", root)
+    Catalog.register(s, dir)
+    val ns = "db_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    s.sql(s"CREATE NAMESPACE graft.$ns")
+    s.sql(s"CREATE TABLE graft.$ns.orders_t (o_orderkey BIGINT, o_orderstatus STRING, price_cents BIGINT)")
+    s.sql(s"""INSERT INTO graft.$ns.orders_t
+             |SELECT o_orderkey, o_orderstatus,
+             |       CAST(round(o_totalprice * 100, 0) AS BIGINT)
+             |FROM orders""".stripMargin)
+    s.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO graft.$ns.orders_t t
+             |USING (
+             |  SELECT o_orderkey, o_orderstatus,
+             |         CAST(round(o_totalprice * 100, 0) AS BIGINT) * 2 AS price_cents,
+             |         CASE WHEN o_orderkey % 2 = 0 THEN 'gold' ELSE 'silver' END AS tier
+             |  FROM orders WHERE o_orderkey <= 1000
+             |  UNION ALL
+             |  SELECT o_orderkey + 20000000, o_orderstatus, CAST(7 AS BIGINT), 'new'
+             |  FROM orders WHERE o_orderkey <= 50
+             |) s
+             |ON t.o_orderkey = s.o_orderkey
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s.sql(s"""SELECT o_orderstatus, coalesce(tier, '-') AS tier, count(*) AS n,
+             |       CAST(sum(price_cents) AS BIGINT) AS total_cents
+             |FROM graft.$ns.orders_t
+             |GROUP BY o_orderstatus, coalesce(tier, '-')
+             |ORDER BY o_orderstatus, tier""".stripMargin)
   }
 
   /** A41 `c28_sql_changes`: the CHANGE FEED as pure SQL text — the
@@ -910,7 +959,8 @@ object GraftCatalog {
     "c24_sql_update_merge" -> c24SqlUpdateMerge _,
     "c25_sql_delete_general" -> c25SqlDeleteGeneral _,
     "c26_sql_merge_matrix" -> c26SqlMergeMatrix _,
-    "c33_sql_delete_subquery" -> c33SqlDeleteSubquery _)
+    "c33_sql_delete_subquery" -> c33SqlDeleteSubquery _,
+    "c34_sql_merge_evolution" -> c34SqlMergeEvolution _)
 
   val oracles: Map[String, String] = Map(
     "c32_copy_into" ->
@@ -1113,6 +1163,26 @@ object GraftCatalog {
         |SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(price_cents) AS BIGINT) AS total_cents
         |FROM u GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "c34_sql_merge_evolution" ->
+      """WITH c AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+        |  FROM orders
+        |), post AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey <= 1000 THEN price_cents * 2 ELSE price_cents END AS price_cents,
+        |    CASE WHEN o_orderkey <= 1000 THEN
+        |      CASE WHEN o_orderkey % 2 = 0 THEN 'gold' ELSE 'silver' END
+        |    END AS tier
+        |  FROM c
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000, o_orderstatus, CAST(7 AS BIGINT), 'new'
+        |  FROM c WHERE o_orderkey <= 50
+        |)
+        |SELECT o_orderstatus, coalesce(tier, '-') AS tier, count(*) AS n,
+        |  CAST(sum(price_cents) AS BIGINT) AS total_cents
+        |FROM post GROUP BY o_orderstatus, coalesce(tier, '-')
+        |ORDER BY o_orderstatus, tier""".stripMargin,
     "c33_sql_delete_subquery" ->
       """WITH c AS (
         |  SELECT o_orderkey, o_orderstatus,
@@ -1148,13 +1218,14 @@ object GraftCatalog {
         |  SELECT t.o_orderkey, t.o_orderstatus,
         |    CASE WHEN s.o_orderstatus = 'O' THEN t.price_cents + 1000
         |         ELSE CAST(-1 AS BIGINT) END AS price_cents
-        |  FROM c t JOIN s ON t.o_orderkey = s.o_orderkey
+        |  FROM c t JOIN s ON t.o_orderkey = s.o_orderkey AND s.o_orderkey % 10 != 3
         |  WHERE NOT (t.price_cents > 20000000)
         |  UNION ALL
         |  SELECT t.o_orderkey, t.o_orderstatus,
         |    CASE WHEN t.price_cents < 100000 THEN t.price_cents + 7
         |         ELSE t.price_cents END
-        |  FROM c t WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.o_orderkey = t.o_orderkey)
+        |  FROM c t WHERE NOT EXISTS (SELECT 1 FROM s
+        |    WHERE s.o_orderkey = t.o_orderkey AND s.o_orderkey % 10 != 3)
         |  UNION ALL
         |  SELECT s.o_orderkey, s.o_orderstatus, s.price_cents
         |  FROM s WHERE s.o_orderkey >= 20000000 AND s.price_cents = 5
@@ -1184,10 +1255,19 @@ private[sources] class GraftLakeTable(
   override def schema(): StructType = tableSchema
   /** `SHOW TBLPROPERTIES` / DESCRIBE EXTENDED read these. */
   override def properties(): util.Map[String, String] = tableProps.asJava
+  /** AUTOMATIC_SCHEMA_EVOLUTION (Spark 4.1 DSv2 capability): `MERGE …
+    * WITH SCHEMA EVOLUTION` lets the analyzer's own
+    * ResolveMergeIntoSchemaEvolution diff source vs target and drive
+    * [[GraftCatalog.alterTable]] — new columns land through the SAME
+    * additive-evolution verb as ALTER TABLE ADD COLUMN (old rows read
+    * null, time travel keeps the narrow schema), lossless widenings
+    * through widenColumn, and anything lossy refuses inside the verb.
+    * One enforcement seam; no merge-specific evolution code.
+    */
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** `DELETE FROM … WHERE …` as text → [[Snapshots.deleteWhere]] (the
     * stats-pruned copy-on-write verb). The WHERE must translate to the

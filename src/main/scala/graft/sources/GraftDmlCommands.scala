@@ -38,10 +38,14 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   * conditional WHEN MATCHED UPDATE/DELETE arms, ordered conditional
   * WHEN NOT MATCHED INSERT arms, and WHEN NOT MATCHED BY SOURCE
   * UPDATE/DELETE arms — onto [[SnapshotsDmlOps.mergeClauses]]' one
-  * span-pruned full-outer rewrite. The ON clause must stay a
-  * target-source equi-join (the span-pruning contract); BY SOURCE arms
-  * widen the touched set to the whole table (their rows lie outside
-  * any source span — the engine prunes only when pruning is sound).
+  * span-pruned full-outer rewrite. The ON clause needs at least one
+  * target-source EQUALITY (the span-pruning contract); further
+  * deterministic conjuncts (`AND s.ts > t.ts`) ride as a RESIDUAL
+  * inside the join condition — ANSI non-match semantics (a key-equal
+  * pair failing the residual is simply not matched), and matches only
+  * narrow so the span stays sound. BY SOURCE arms widen the touched
+  * set to the whole table (their rows lie outside any source span —
+  * the engine prunes only when pruning is sound).
   */
 case class GraftDmlCommands(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -189,8 +193,13 @@ case class GraftDmlCommands(spark: SparkSession) extends Rule[LogicalPlan] {
       val t = graftTable(m.targetTable).get
       def refuse(why: String): Nothing = throw new UnsupportedOperationException(
         s"MERGE INTO as SQL: $why — use Snapshots.mergeInto/mergeClauses/applyChanges")
-      if (m.withSchemaEvolution) refuse(
-        "WITH SCHEMA EVOLUTION is not wired (evolve via append(mergeSchema = true) first)")
+      // WITH SCHEMA EVOLUTION needs no handling HERE: the table
+      // declares AUTOMATIC_SCHEMA_EVOLUTION, so the analyzer's
+      // ResolveMergeIntoSchemaEvolution already diffed the schemas,
+      // drove GraftCatalog.alterTable (additive columns + lossless
+      // widenings, refusals inside the verbs) and re-resolved the
+      // target — by this post-hoc rule the evolution is published and
+      // `t.schema()` is the wide schema.
       val tgtOut = m.targetTable.outputSet
       val srcOut = m.sourceTable.outputSet
       val cols = t.schema().fieldNames.toSeq
@@ -212,18 +221,36 @@ case class GraftDmlCommands(spark: SparkSession) extends Rule[LogicalPlan] {
           }
         }.toMap
 
-      // equi-join keys: AND of target.col = <source expr>
-      def keyPairs(e: Expression): Seq[(String, Expression)] = e match {
-        case org.apache.spark.sql.catalyst.expressions.And(l, r) => keyPairs(l) ++ keyPairs(r)
-        case CEqualTo(a: AttributeReference, b) if tgtOut.contains(a) &&
-            b.references.intersect(tgtOut).isEmpty => Seq(a.name -> b)
-        case CEqualTo(b, a: AttributeReference) if tgtOut.contains(a) &&
-            b.references.intersect(tgtOut).isEmpty => Seq(a.name -> b)
-        case other => refuse(s"the ON clause must be a target-source equi-join " +
-          s"(span pruning classifies files by the source key span), got: $other")
+      // ON clause split: target-source EQUALITY conjuncts become the
+      // join keys (span pruning classifies files by the source key
+      // span); every OTHER deterministic conjunct rides as a RESIDUAL
+      // inside the join condition — ANSI: a key-equal pair failing it
+      // is simply not matched (target row → BY SOURCE side, source row
+      // → INSERT side). At least one equality must remain, or no span
+      // bounds the touched set.
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+          conjuncts(l) ++ conjuncts(r)
+        case other => Seq(other)
       }
-      val keys0 = keyPairs(m.mergeCondition)
-      if (keys0.isEmpty) refuse("no join keys")
+      def asKeyPair(e: Expression): Option[(String, Expression)] = e match {
+        case CEqualTo(a: AttributeReference, b) if tgtOut.contains(a) &&
+            b.references.intersect(tgtOut).isEmpty => Some(a.name -> b)
+        case CEqualTo(b, a: AttributeReference) if tgtOut.contains(a) &&
+            b.references.intersect(tgtOut).isEmpty => Some(a.name -> b)
+        case _ => None
+      }
+      val onParts = conjuncts(m.mergeCondition).map(e => (e, asKeyPair(e)))
+      val keys0 = onParts.flatMap(_._2)
+      if (keys0.isEmpty) refuse("the ON clause carries no target-source equality " +
+        "(span pruning classifies files by the source key span)")
+      val residuals = onParts.collect { case (e, None) => e }
+      residuals.foreach { e =>
+        if (SubqueryExpression.hasSubquery(e) || !e.deterministic)
+          refuse(s"a residual ON conjunct must be deterministic and subquery-free: $e")
+      }
+      val residualOn = residuals.reduceOption(
+        org.apache.spark.sql.catalyst.expressions.And(_, _)).map(onJoined)
       // ON equating one target column twice: keep a single projection
       // per target column when the source expressions are semantically
       // equal (ON t.k = s.k AND t.k = s.k), refuse loudly when they
@@ -277,7 +304,7 @@ case class GraftDmlCommands(spark: SparkSession) extends Rule[LogicalPlan] {
           m.sourceTable.output.map(a =>
             org.apache.spark.sql.GraftShim.column(a).as(Snapshots.SrcPrefix + a.name)): _*)
       GraftMergeCommand(t.root, t.tableName, srcDf, keyCols, srcCols,
-        matched, notMatched, bySource, keyCols)
+        matched, notMatched, bySource, keyCols, residualOn)
   }
 }
 
@@ -449,11 +476,13 @@ case class GraftMergeCommand(root: String, table: String,
                              matched: Seq[Snapshots.WhenMatched],
                              notMatched: Seq[Snapshots.NotMatchedInsert],
                              bySource: Seq[Snapshots.WhenNotMatchedBySource],
-                             statsCols: Seq[String])
+                             statsCols: Seq[String],
+                             residualOn: Option[org.apache.spark.sql.Column] = None)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     new Snapshots(session, root).mergeClauses(table, source, keyCols,
-      matched, notMatched, bySource, statsCols, sourceProjected = true)
+      matched, notMatched, bySource, statsCols, sourceProjected = true,
+      residualOn = residualOn)
     Seq.empty
   }
 }

@@ -271,7 +271,8 @@ private[sources] trait SnapshotsDmlOps { self: Snapshots =>
                    notMatched: Seq[Snapshots.NotMatchedInsert],
                    bySource: Seq[Snapshots.WhenNotMatchedBySource],
                    statsCols: Seq[String] = Nil,
-                   sourceProjected: Boolean = false): Long = {
+                   sourceProjected: Boolean = false,
+                   residualOn: Option[org.apache.spark.sql.Column] = None): Long = {
     import Snapshots.{BySourceDelete, BySourceUpdate, MatchedDelete, MatchedUpdate, SrcPrefix}
     require(keyCols.nonEmpty, "mergeClauses requires at least one key column")
     require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
@@ -354,7 +355,14 @@ private[sources] trait SnapshotsDmlOps { self: Snapshots =>
         .select(keyCols.map(k => col(k).as(s"_mrg_key_$k")) ++
           srcP.columns.toSeq.filter(_.startsWith(SrcPrefix)).map(col): _*)
         .withColumn("_mrg_hit", lit(true))
-      val cond = keyCols.map(k => col(k) === col(s"_mrg_key_$k")).reduce(_ && _)
+      // residual (non-equality) ON conjuncts join INSIDE the condition
+      // — ANSI: a key-equal pair failing them is simply NOT matched,
+      // so the target row falls to the BY SOURCE side and the source
+      // row to the INSERT side (an arm-condition encoding would
+      // wrongly drop both). Matches only narrow, so the leading-key
+      // span classification above stays sound unchanged.
+      val cond = (keyCols.map(k => col(k) === col(s"_mrg_key_$k")) ++
+        residualOn.map(r => coalesce(r, lit(false)))).reduce(_ && _)
       val joined = touched.withColumn("_mrg_tgt", lit(true))
         .join(srcR, cond, "full_outer")
       val isM = coalesce(col("_mrg_tgt"), lit(false)) &&

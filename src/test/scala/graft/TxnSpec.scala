@@ -3042,6 +3042,109 @@ class TxnSpec extends AnyFunSuite {
         bySource = Nil) }
   }
 
+  test("MERGE residual ON conjunct: failing pairs are NOT matched — target to BY SOURCE, source to INSERT") {
+    val sp = spark
+    val root = Files.createTempDirectory("sqlresid").toString
+    sp.conf.set("spark.sql.catalog.gres", classOf[graft.sources.GraftCatalog].getName)
+    sp.conf.set("spark.sql.catalog.gres.root", root)
+    sp.sql("CREATE NAMESPACE gres.db")
+    sp.sql("CREATE TABLE gres.db.t (id BIGINT, v BIGINT)")
+    sp.sql("INSERT INTO gres.db.t VALUES (10, 50), (20, 100)")
+
+    // (10,90): key-equal, residual 90 > 50 holds → MATCHED, updated.
+    // (20,50): key-equal, residual 50 > 100 FAILS → NOT matched: the
+    // source row lands through the INSERT arm (as -50) and the target
+    // row takes the BY SOURCE arm (+1) — the ANSI rerouting an
+    // arm-condition encoding of the residual would get wrong twice.
+    sp.sql("""MERGE INTO gres.db.t t
+             |USING (VALUES (10L, 90L), (20L, 50L) AS s(id, v)) s
+             |ON t.id = s.id AND s.v > t.v
+             |WHEN MATCHED THEN UPDATE SET v = s.v
+             |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, -s.v)
+             |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = t.v + 1""".stripMargin)
+    val got = sp.sql("SELECT id, v FROM gres.db.t ORDER BY id, v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((10L, 90L), (20L, -50L), (20L, 101L)), got)
+
+    // a residual referencing only ONE side works too (pure target
+    // gate): id=10 fails `t.v < 0` → insert lands a second id-10 row
+    sp.sql("""MERGE INTO gres.db.t t
+             |USING (VALUES (10L, 1L) AS s(id, v)) s
+             |ON t.id = s.id AND t.v < 0
+             |WHEN MATCHED THEN UPDATE SET v = 0
+             |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    assert(sp.sql("SELECT count(*) FROM gres.db.t WHERE id = 10").head.getLong(0) == 2L)
+
+    // non-deterministic residuals refuse loudly
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    val e = intercept[Exception] {
+      sp.sql("""MERGE INTO gres.db.t t
+               |USING (VALUES (10L, 1L) AS s(id, v)) s
+               |ON t.id = s.id AND rand() > 0.5
+               |WHEN MATCHED THEN UPDATE SET v = 0""".stripMargin) }
+    assert(chain(e).exists(_.contains("residual ON conjunct")), chain(e))
+
+    // an ON with NO equality still refuses — no span bounds the rewrite
+    val e2 = intercept[Exception] {
+      sp.sql("""MERGE INTO gres.db.t t
+               |USING (VALUES (10L, 1L) AS s(id, v)) s
+               |ON t.id > s.id
+               |WHEN MATCHED THEN UPDATE SET v = 0""".stripMargin) }
+    assert(chain(e2).exists(_.contains("no target-source equality")), chain(e2))
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION: new source columns land additively; old rows null; travel keeps the narrow schema") {
+    val sp = spark
+    val root = Files.createTempDirectory("sqlevol").toString
+    sp.conf.set("spark.sql.catalog.gevo", classOf[graft.sources.GraftCatalog].getName)
+    sp.conf.set("spark.sql.catalog.gevo.root", root)
+    sp.sql("CREATE NAMESPACE gevo.db")
+    sp.sql("CREATE TABLE gevo.db.t (id BIGINT, v BIGINT)")            // v1
+    sp.sql("INSERT INTO gevo.db.t VALUES (1, 10), (2, 20), (3, 30)")  // v2
+    val snap = new Snapshots(sp, root + "/db")
+    val narrowHead = snap.currentVersion.get
+
+    // source carries a NEW column `note` — WITH SCHEMA EVOLUTION lets
+    // the analyzer drive alterTable (additive), then the merge runs
+    // against the evolved target: SET* /INSERT* cover `note` too
+    sp.sql("""MERGE WITH SCHEMA EVOLUTION INTO gevo.db.t t
+             |USING (VALUES (2L, 200L, 'upd'), (9L, 900L, 'new') AS s(id, v, note)) s
+             |ON t.id = s.id
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = sp.sql("SELECT id, v, note FROM gevo.db.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSeq
+    assert(got == Seq(
+      (1L, 10L, None), (2L, 200L, Some("upd")),
+      (3L, 30L, None), (9L, 900L, Some("new"))), got)
+
+    // time travel to the pre-merge head keeps the NARROW schema
+    val pre = sp.sql(s"SELECT * FROM gevo.db.t VERSION AS OF $narrowHead")
+    assert(pre.columns.toSeq == Seq("id", "v"), pre.columns.toSeq)
+    assert(pre.count() == 3L)
+
+    // WITHOUT the clause, star expansion covers TARGET columns only —
+    // the extra source column is ignored, never added (evolution is
+    // an explicit opt-in; standard SET * semantics otherwise)
+    sp.sql("""MERGE INTO gevo.db.t t
+             |USING (VALUES (1L, 1L, 'x', 5L) AS s(id, v, note, extra)) s
+             |ON t.id = s.id
+             |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    assert(!sp.table("gevo.db.t").columns.contains("extra"))
+    assert(sp.sql("SELECT v, note FROM gevo.db.t WHERE id = 1").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "x")))
+
+    // a LOSSY type conflict refuses inside the widening verb even
+    // under WITH SCHEMA EVOLUTION (v: BIGINT cannot take a STRING)
+    intercept[Exception] {
+      sp.sql("""MERGE WITH SCHEMA EVOLUTION INTO gevo.db.t t
+               |USING (VALUES (1L, 'oops', 'x') AS s(id, v, note)) s
+               |ON t.id = s.id
+               |WHEN MATCHED THEN UPDATE SET *""".stripMargin) }
+  }
+
   test("object store: conditional put admits exactly one winner and bytes are never torn") {
     import graft.sources.InMemoryObjectStore
     val store = new InMemoryObjectStore
