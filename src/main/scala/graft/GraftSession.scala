@@ -52,6 +52,13 @@ object GraftSession {
       // surface (q31) maps the reference's `time` column type onto it.
       .config("spark.sql.timeType.enabled", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // Spark still writes INT96 timestamps by default — a legacy
+      // physical type with NO footer statistics, so a timestamp column
+      // could never participate in stats-sidecar file skipping (or
+      // parquet row-group pruning). TIMESTAMP_MICROS is the standard
+      // annotated INT64 form every modern reader speaks, stats
+      // included; at 100 TB, time-range scans live or die on this.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // Static conf, must precede session creation. The default 100-entry
       // codegen class cache evicts constantly under a multi-query workload
       // (the 49-key bench suite alone compiles several hundred stages), so

@@ -1086,7 +1086,43 @@ object Ann {
       .orderBy("q_id", "rank")
   }
 
+  /** C68 `s14_ann_sql`: SQL-ADDRESSABLE vector search — after two
+    * rounds of "everything as text" the ANN surface was still
+    * Scala-only; this closes it through Spark 4's ProcedureCatalog:
+    * `CALL graft.system.ann_search(lake, table, qvec, k)` runs the
+    * same distributed scored-scan + TakeOrdered top-k over a LAKE
+    * table (stats-planned read, codegen cosine, per-partition heaps,
+    * k rows to the driver — a CALL's natural result-set shape). The
+    * key loads the embeddings corpus into the lake AS TEXT, issues one
+    * CALL per query vector, and the DuckDB oracle pins the s01 closed
+    * form (self included at rank 1 with cos 1.0 — the corpus contains
+    * the query doc, the production semantic).
+    */
+  def s14AnnSql(s: SparkSession, dir: String, nQueries: Int = 4, k: Int = K): DataFrame = {
+    val root = s.conf.get("spark.sql.warehouse.dir") + "/c21_catalog"
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", root)
+    graft.sources.Catalog.register(s, dir)
+    val ns = "db_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    s.sql(s"CREATE NAMESPACE graft.$ns")
+    s.sql(s"CREATE TABLE graft.$ns.emb_t (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+    s.sql(s"INSERT INTO graft.$ns.emb_t SELECT vec_id, embedding FROM embeddings")
+    // one CALL per query vector; Float.toString round-trips, and the
+    // procedure casts the parsed literal back to the column's FLOAT
+    // element type, so the CALL scores the EXACT original vector
+    val qs = s.sql(s"SELECT vec_id, embedding FROM embeddings WHERE vec_id < $nQueries ORDER BY vec_id")
+      .collect()
+    qs.map { r =>
+      val qv = r.getSeq[Float](1).mkString(",")
+      s.sql(s"CALL graft.system.ann_search('$ns', 'emb_t', '$qv', $k)")
+        .withColumn("q_id", lit(r.getLong(0)))
+    }.reduce(_ unionByName _)
+      .select(col("q_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s14_ann_sql" -> ((s, dir) => s14AnnSql(s, dir)),
     "s11_ann_mmr" -> ((s, dir) => s11AnnMmr(s, dir)),
     "s01_ann_bruteforce" -> s01AnnBruteforce _,
     "s02_ann_lsh" -> ((s, dir) => s02AnnLsh(s, dir)),
@@ -1169,6 +1205,22 @@ object Ann {
     */
   val oracles: Map[String, String] = Map(
     "s11_ann_mmr" -> mmrOracleSql(0.7, 8, 20),
+    "s14_ann_sql" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 4
+        |), scored AS (
+        |  SELECT q_id, vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(q_vec AS DOUBLE[])) AS cos
+        |  FROM embeddings, q
+        |), ranked AS (
+        |  SELECT q_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank,
+        |    neighbor_id, cos
+        |  FROM scored
+        |)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+        |  round(cos, 6) AS cos_sim
+        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "s10_ann_range" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10

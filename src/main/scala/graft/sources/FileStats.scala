@@ -242,6 +242,18 @@ object FileStats {
     case ("string", s: String) => Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
     case ("double", n: Number) => n.doubleValue.toString
     case ("long", n: Number) => n.longValue.toString
+    // datetime externals against INT64/INT32 footer stats: the engine
+    // writes TIMESTAMP_MICROS (micros since epoch) and DATE (days since
+    // epoch), so a pushed `ts BETWEEN …` / `d = DATE'…'` prunes exactly
+    // like an integer range. Both java.sql and java.time externals
+    // appear depending on spark.sql.datetime.java8API.enabled.
+    case ("long", t: java.sql.Timestamp) =>
+      val i = t.toInstant
+      Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L).toString
+    case ("long", i: java.time.Instant) =>
+      Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L).toString
+    case ("long", d: java.sql.Date) => d.toLocalDate.toEpochDay.toString
+    case ("long", d: java.time.LocalDate) => d.toEpochDay.toString
     case _ => throw new IllegalArgumentException(s"range bound $v does not match stats type $typ")
   }
 

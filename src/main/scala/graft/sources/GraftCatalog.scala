@@ -173,31 +173,83 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"graft enforces CHECK constraints only — '${other.toDDL}' would be " +
           "recorded but never enforced; model keys via the identity/merge verbs")
     }
-    val t = createTable(ident, info.schema, info.partitions, info.properties)
-    val sn = snap(ident.namespace)
-    checks.foreach { case (n, sql) => sn.addCheck(ident.name, n, sql) }
+    val t = createTable(ident, info.schema, info.partitions, info.properties,
+      checks)
     t
   }
 
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table = {
+                           properties: util.Map[String, String]): Table =
+    createTable(ident, schema, partitions, properties, Nil)
+
+  /** The one real CREATE: identity transforms / CLUSTER BY lower to the
+    * value-clustering contract directly; `days(ts)` / `bucket(n, c)`
+    * lower to a GENERATED partition column (A25's substrate —
+    * `<c>_day = CAST(c AS DATE)`, `<c>_bucket = pmod(hash(c), n)`)
+    * appended to the schema, with clustering on (derived, source).
+    * Because day(c) is monotone in c, day-clustering makes the SOURCE
+    * column's per-file [min,max] day-tight too — so a `c BETWEEN`
+    * filter skips files through the existing stats sidecar without the
+    * user ever naming the derived column; bucket clustering sorts by
+    * (bucket, c), so each file covers a tight c-slice of one bucket
+    * and point probes open O(files-per-probe-slice), not the table.
+    * Writers may omit the derived column (computed at ingestion by
+    * the generated-column contract); checks, generated declarations,
+    * clusterBy and TBLPROPERTIES all land in ONE manifest commit.
+    */
+  private def createTable(ident: Identifier, schema0: StructType,
+                          partitions: Array[Transform],
+                          properties: util.Map[String, String],
+                          checks: Seq[(String, String)]): Table = {
     import org.apache.spark.sql.connector.expressions.ClusterByTransform
     def single(r: org.apache.spark.sql.connector.expressions.NamedReference): String = {
       require(r.fieldNames.length == 1,
         s"clustering on nested field '${r.describe}' is not supported")
       r.fieldNames.head
     }
+    def derivedName(src: String, suffix: String): String = {
+      val n = s"${src}_$suffix"
+      require(!schema0.fieldNames.contains(n),
+        s"partition transform needs derived column name '$n' but the schema " +
+          "already declares it — rename the column or cluster on it directly")
+      n
+    }
+    // (cluster columns, derived generated fields, derivation SQL)
+    var genFields = Seq.empty[org.apache.spark.sql.types.StructField]
+    var generated = Map.empty[String, String]
     val cluster: Seq[String] = partitions.toSeq.flatMap {
       case ClusterByTransform(cols) => cols.map(single)
       // IdentityTransform is private[sql]; its public shape is
       // name()=="identity" with exactly one reference
       case t if t.name == "identity" && t.references.length == 1 =>
         Seq(single(t.references.head))
+      case t if t.name == "days" && t.references.length == 1 =>
+        val src = single(t.references.head)
+        val d = derivedName(src, "day")
+        genFields :+= org.apache.spark.sql.types.StructField(
+          d, org.apache.spark.sql.types.DateType, nullable = true)
+        generated += d -> s"CAST(`$src` AS DATE)"
+        Seq(d, src)
+      case t if t.name == "bucket" && t.references.length == 1 =>
+        val src = single(t.references.head)
+        val n = t.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value.isInstanceOf[Number] => l.value.asInstanceOf[Number].intValue
+        }.getOrElse(throw new IllegalArgumentException(
+          s"bucket transform '$t' carries no bucket count"))
+        require(n > 0, s"bucket($n, $src): bucket count must be positive")
+        val d = derivedName(src, "bucket")
+        genFields :+= org.apache.spark.sql.types.StructField(
+          d, org.apache.spark.sql.types.IntegerType, nullable = true)
+        generated += d -> s"pmod(hash(`$src`), $n)"
+        Seq(d, src)
       case other => throw new UnsupportedOperationException(
         s"graft lowers PARTITIONED BY to value clustering (flat files + stats " +
-          s"pruning) — only identity columns / CLUSTER BY are supported, got '$other'")
-    }
+          s"pruning) — identity columns / CLUSTER BY / days(c) / bucket(n, c) " +
+          s"are supported, got '$other'")
+    }.distinct
+    val schema = org.apache.spark.sql.types.StructType(schema0.fields ++ genFields)
     cluster.foreach(c => require(schema.fieldNames.contains(c),
       s"clustering column '$c' is not a column of the table " +
         s"(${schema.fieldNames.sorted.mkString(", ")})"))
@@ -213,7 +265,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // schema for any path that reads it back from disk
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema).repartition(1)
-    sn.createTable(ident.name, empty, props = props)
+    sn.createTable(ident.name, empty, props = props, checks = checks,
+      generated = generated)
     mkTable(ident, None)
   }
 
@@ -689,6 +742,53 @@ object GraftCatalog {
              |ORDER BY o_orderstatus, tier""".stripMargin)
   }
 
+  /** A48 `c35_time_partition`: `PARTITIONED BY (days(ts))` as text —
+    * THE canonical lake layout (time-bucketed ingest). The transform
+    * lowers to a generated `ts_day DATE = CAST(ts AS DATE)` column
+    * clustered as (ts_day, ts): flat files with day-tight stats instead
+    * of a date directory hierarchy (no listing, no small-file
+    * explosion), and because day(ts) is monotone in ts the SOURCE
+    * column's per-file [min,max] is day-tight too — the `range` leg's
+    * `ts >=/<` window prunes files through the stats sidecar without
+    * the user ever naming ts_day (ClusteringSpec pins never-opened).
+    * The writer omits the derived column (generated-column contract
+    * computes it at ingestion); the `days` leg pins the derivation
+    * against DuckDB's independent o_orderdate count.
+    */
+  def c35TimePartition(s: SparkSession, dir: String): DataFrame = {
+    val root = s.conf.get("spark.sql.warehouse.dir") + "/c21_catalog"
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", root)
+    Catalog.register(s, dir)
+    val ns = "db_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    s.sql(s"CREATE NAMESPACE graft.$ns")
+    s.sql(s"""CREATE TABLE graft.$ns.orders_pt
+             |(ts TIMESTAMP, o_orderstatus STRING, price_cents BIGINT)
+             |PARTITIONED BY (days(ts))""".stripMargin)
+    s.sql(s"""INSERT INTO graft.$ns.orders_pt (ts, o_orderstatus, price_cents)
+             |SELECT timestampadd(HOUR, CAST(o_orderkey % 24 AS INT),
+             |                    CAST(o_orderdate AS TIMESTAMP)),
+             |       o_orderstatus,
+             |       CAST(round(o_totalprice * 100, 0) AS BIGINT)
+             |FROM orders""".stripMargin)
+    s.sql(s"""SELECT phase, o_orderstatus, n, total_cents FROM (
+             |  SELECT 'range' AS phase, o_orderstatus, count(*) AS n,
+             |         CAST(sum(price_cents) AS BIGINT) AS total_cents
+             |  FROM graft.$ns.orders_pt
+             |  WHERE ts >= TIMESTAMP'1995-03-01 00:00:00'
+             |    AND ts <  TIMESTAMP'1995-04-01 00:00:00'
+             |  GROUP BY o_orderstatus
+             |  UNION ALL
+             |  SELECT 'all' AS phase, o_orderstatus, count(*) AS n,
+             |         CAST(sum(price_cents) AS BIGINT) AS total_cents
+             |  FROM graft.$ns.orders_pt GROUP BY o_orderstatus
+             |  UNION ALL
+             |  SELECT 'days' AS phase, 'd' AS o_orderstatus,
+             |         count(DISTINCT ts_day) AS n, CAST(0 AS BIGINT) AS total_cents
+             |  FROM graft.$ns.orders_pt
+             |) ORDER BY phase, o_orderstatus""".stripMargin)
+  }
+
   /** A41 `c28_sql_changes`: the CHANGE FEED as pure SQL text — the
     * cursor `stream` of Stream.hs:244-284 as a QUERY (`t$changes`
     * metadata table over the DV-aware readChanges diff). Two window
@@ -960,7 +1060,8 @@ object GraftCatalog {
     "c25_sql_delete_general" -> c25SqlDeleteGeneral _,
     "c26_sql_merge_matrix" -> c26SqlMergeMatrix _,
     "c33_sql_delete_subquery" -> c33SqlDeleteSubquery _,
-    "c34_sql_merge_evolution" -> c34SqlMergeEvolution _)
+    "c34_sql_merge_evolution" -> c34SqlMergeEvolution _,
+    "c35_time_partition" -> c35TimePartition _)
 
   val oracles: Map[String, String] = Map(
     "c32_copy_into" ->
@@ -1163,6 +1264,30 @@ object GraftCatalog {
         |SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(price_cents) AS BIGINT) AS total_cents
         |FROM u GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "c35_time_partition" ->
+      """WITH c AS (
+        |  SELECT CAST(o_orderdate AS TIMESTAMP)
+        |           + INTERVAL (o_orderkey % 24) HOUR AS ts,
+        |         o_orderdate, o_orderstatus,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+        |  FROM orders
+        |)
+        |SELECT phase, o_orderstatus, n, total_cents FROM (
+        |  SELECT 'range' AS phase, o_orderstatus, count(*) AS n,
+        |    CAST(sum(price_cents) AS BIGINT) AS total_cents
+        |  FROM c
+        |  WHERE ts >= TIMESTAMP'1995-03-01 00:00:00'
+        |    AND ts <  TIMESTAMP'1995-04-01 00:00:00'
+        |  GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT 'all' AS phase, o_orderstatus, count(*) AS n,
+        |    CAST(sum(price_cents) AS BIGINT) AS total_cents
+        |  FROM c GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT 'days' AS phase, 'd' AS o_orderstatus,
+        |    count(DISTINCT o_orderdate) AS n, CAST(0 AS BIGINT) AS total_cents
+        |  FROM c
+        |) ORDER BY phase, o_orderstatus""".stripMargin,
     "c34_sql_merge_evolution" ->
       """WITH c AS (
         |  SELECT o_orderkey, o_orderstatus,

@@ -29,7 +29,7 @@ private[sources] object GraftProcedures {
 
   val Names: Seq[String] =
     Seq("compact", "zorder", "vacuum", "analyze", "rollback", "sync_identity",
-      "copy_into", "clone", "restore")
+      "copy_into", "clone", "restore", "ann_search")
 
   def load(rootPrefix: String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.sameElements(Array("system")),
@@ -40,6 +40,10 @@ private[sources] object GraftProcedures {
 
     def proc(nm: String, params: Seq[(String, DataType)],
              out: Seq[(String, DataType)])(body: InternalRow => Seq[Any]): UnboundProcedure =
+      procRows(nm, params, out)(in => Seq(body(in)))
+
+    def procRows(nm: String, params: Seq[(String, DataType)],
+                 out: Seq[(String, DataType)])(body: InternalRow => Seq[Seq[Any]]): UnboundProcedure =
       new UnboundProcedure {
         override def name(): String = nm
         override def description(): String = s"graft maintenance verb '$nm'"
@@ -55,7 +59,7 @@ private[sources] object GraftProcedures {
               StructField(n, t, nullable = false) })
             val scan: Scan = new LocalScan {
               override def rows(): Array[InternalRow] =
-                Array(InternalRow.fromSeq(result))
+                result.map(r => InternalRow.fromSeq(r)).toArray
               override def readSchema(): StructType = schema
             }
             java.util.List.of(scan).iterator()
@@ -128,6 +132,53 @@ private[sources] object GraftProcedures {
           Seq("lake" -> StringType, "table" -> StringType),
           Seq("version" -> LongType)) { in =>
           Seq(snap(s(in, 0)).syncIdentity(s(in, 1)))
+        }
+      case "ann_search" =>
+        // SQL-ADDRESSABLE vector search — the analyst's front door to
+        // the embedding corpus, no Scala required:
+        //   CALL graft.system.ann_search('lake', 'emb', '0.1,0.2,…', 10)
+        // The SEARCH is a fully distributed job over the lake table's
+        // stats-planned scan (queries broadcast as a literal, codegen
+        // cosine inside the scan, TakeOrdered per-partition heaps →
+        // driver merge of k candidates); only the k result rows are
+        // driver-local, which is exactly a CALL's result-set shape.
+        // The table needs (vec_id BIGINT, embedding ARRAY<numeric>) —
+        // the s01 contract; the filtered/indexed forms stay on the
+        // Scala surface (s08/s12) until they too are staged as tables.
+        procRows("ann_search",
+          Seq("lake" -> StringType, "table" -> StringType,
+            "qvec" -> StringType, "k" -> IntegerType),
+          Seq("rank" -> LongType, "neighbor_id" -> LongType,
+            "cos_sim" -> DoubleType)) { in =>
+          import org.apache.spark.sql.functions._
+          val sp = SparkSession.active
+          val e = snap(s(in, 0)).read(s(in, 1))
+          require(e.columns.contains("vec_id") && e.columns.contains("embedding"),
+            s"ann_search needs (vec_id, embedding) columns, got ${e.columns.mkString(", ")}")
+          val vals = s(in, 2).split(",").map(_.trim).filter(_.nonEmpty).map(_.toDouble)
+          require(vals.nonEmpty, "ann_search: empty query vector")
+          val k = in.getInt(3)
+          require(k > 0, s"ann_search: k must be positive, got $k")
+          val elemType = e.schema("embedding").dataType match {
+            case org.apache.spark.sql.types.ArrayType(et, _) => et
+            case other => throw new IllegalArgumentException(
+              s"ann_search: embedding must be an array column, got $other")
+          }
+          val qv = array(vals.map(v => lit(v).cast(elemType)): _*)
+          // TakeOrderedAndProject: per-partition bounded heaps, driver
+          // merges k rows — the distributed top-k, no full sort
+          val top = e.select(col("vec_id").cast("long").as("neighbor_id"),
+              graft.functions.functions.cosine_sim(col("embedding"), qv).as("cos"))
+            .orderBy(col("cos").desc, col("neighbor_id").asc)
+            .limit(k).collect()
+          top.zipWithIndex.map { case (r, i) =>
+            // Seq[Any] pins element boxing — a bare Seq(Long, Long,
+            // Double) would WIDEN the longs to Double (Scala numeric
+            // unification) and break the LongType accessors downstream
+            Seq[Any]((i + 1).toLong, r.getLong(0),
+              BigDecimal(r.getDouble(1))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }.toSeq
         }
       case other => throw new IllegalArgumentException(
         s"unknown graft procedure '$other' (${Names.mkString("/")})")

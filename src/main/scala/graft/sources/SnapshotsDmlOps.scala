@@ -1010,6 +1010,15 @@ private[sources] trait SnapshotsDmlOps { self: Snapshots =>
       s, files.map { case (r, l) => (s"$root/$r", l) }, writeSchema)
     applyGenerated(table, m0, staged, "streaming append")
     enforceChecks(table, m0, staged, "streaming append")
+    // stats sidecar for the staged epoch, like every other
+    // row-introducing write: cluster columns when declared (streamed
+    // files keep file skipping alive — less tight than a clustered
+    // batch, compact re-tightens), ALL eligible columns otherwise (so
+    // metadata-only aggregates, which refuse on any sidecar-less file,
+    // survive writeStream.toTable). One footer sweep over files this
+    // writer just produced — no data IO.
+    val clusterPhys = clusterColsOf(m0, table) // colmap is identity here (guard above)
+    FileStats.writeSidecar(fs, dir, FileStats.harvest(s, s"$root/$stagingRel", clusterPhys))
     var attempt = v0 + 1
     for (_ <- 1 to MaxAttempts) {
       val cur = readManifest(currentVersion.get)

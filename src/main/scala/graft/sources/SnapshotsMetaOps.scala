@@ -809,30 +809,41 @@ private[sources] trait SnapshotsMetaOps { self: Snapshots =>
     * an incoming batch (append/commit/merge ingestion). Omitted
     * columns are computed from their expressions and the result is
     * re-projected into the table's column order (the schema guard
-    * compares ordered signatures). Provided columns must match their
-    * expression under null-safe equality — one aggregate job covering
-    * all of them, zero jobs when nothing is declared or provided.
+    * compares ordered signatures). Provided NON-NULL values must match
+    * their expression — one aggregate job covering all of them, zero
+    * jobs when nothing is declared or provided. A provided NULL is
+    * treated as OMITTED per-row and computed from the derivation:
+    * Spark's INSERT-with-column-list pads unnamed columns with NULL
+    * before the connector ever sees the batch, so `INSERT INTO t (ts,
+    * v)` must fill the derived partition column rather than refuse —
+    * and NULL is never a lawful deliberate value for a generated
+    * column anyway (the derivation is the only lawful value; if the
+    * derivation itself yields NULL, the fill is the identity).
     */
   private[sources] def applyGenerated(table: String, m: Map[String, String],
                              batch: DataFrame, verb: String): DataFrame = {
     val gs = decodeChecks(m.get(table + GenSuffix))
     if (gs.isEmpty) return batch
     val provided = gs.filter { case (c, _) => batch.columns.contains(c) }
-    if (provided.nonEmpty) {
-      val ordered = provided.toSeq.sortBy(_._1)
-      val aggs = ordered.map { case (c, e) =>
-        sum(when(!(col(c) <=> expr(e)), 1L).otherwise(0L)).as(c) }
-      val row = batch.agg(aggs.head, aggs.tail: _*).head()
-      ordered.zipWithIndex.foreach { case ((c, e), i) =>
-        val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
-        if (bad > 0) throw new Snapshots.ConstraintViolationException(
-          s"$verb into table '$table': provided values of generated column " +
-            s"'$c' diverge from its expression ($e): $bad row(s)")
+    val filled =
+      if (provided.isEmpty) batch
+      else {
+        val ordered = provided.toSeq.sortBy(_._1)
+        val aggs = ordered.map { case (c, e) =>
+          sum(when(col(c).isNotNull && !(col(c) <=> expr(e)), 1L).otherwise(0L)).as(c) }
+        val row = batch.agg(aggs.head, aggs.tail: _*).head()
+        ordered.zipWithIndex.foreach { case ((c, e), i) =>
+          val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
+          if (bad > 0) throw new Snapshots.ConstraintViolationException(
+            s"$verb into table '$table': provided values of generated column " +
+              s"'$c' diverge from its expression ($e): $bad row(s)")
+        }
+        ordered.foldLeft(batch) { case (d, (c, e)) =>
+          d.withColumn(c, coalesce(col(c), expr(e).cast(d.schema(c).dataType))) }
       }
-    }
     val missing = gs.filter { case (c, _) => !batch.columns.contains(c) }
-    if (missing.isEmpty) return batch
-    val computed = missing.foldLeft(batch) { case (d, (c, e)) =>
+    if (missing.isEmpty) return filled
+    val computed = missing.foldLeft(filled) { case (d, (c, e)) =>
       d.withColumn(c, expr(e)) }
     logicalSchema(m, table) match {
       case Some(st) if st.fieldNames.forall(computed.columns.contains) &&

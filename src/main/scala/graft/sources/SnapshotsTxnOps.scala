@@ -123,9 +123,19 @@ private[sources] trait SnapshotsTxnOps { self: Snapshots =>
     * no second commit, no window where the table exists without its
     * contracts). `clusterBy` is validated against the created schema
     * here, the same check [[setProperties]] applies later.
+    *
+    * `checks` (CHECK constraints) and `generated` (column → derivation
+    * SQL) stage into the SAME single manifest write too — a crash
+    * between CREATE and a follow-up ALTER can never leave the table
+    * standing without its declared data-quality gates (and a re-run
+    * CREATE after such a crash would otherwise fail "already exists").
+    * Both are validated against the created schema by binding their
+    * expressions before anything stages.
     */
   def createTable(table: String, df: DataFrame, statsCols: Seq[String] = Nil,
-                  props: Map[String, String] = Map.empty): Long = {
+                  props: Map[String, String] = Map.empty,
+                  checks: Seq[(String, String)] = Nil,
+                  generated: Map[String, String] = Map.empty): Long = {
     require(!isMetaEntry(table),
       s"table name '$table' collides with the reserved '@' manifest lines")
     props.keys.foreach(k => require(k.matches("[A-Za-z0-9_.-]+"),
@@ -137,6 +147,14 @@ private[sources] trait SnapshotsTxnOps { self: Snapshots =>
         s"$ClusterByProp column '$c' is not a column of table '$table' " +
           s"(${df.columns.sorted.mkString(", ")})"))
     }
+    checks.foreach { case (n, _) => require(n.matches("[A-Za-z0-9_-]+"),
+      s"constraint name '$n' must be [A-Za-z0-9_-]+") }
+    generated.keys.foreach(c => require(df.columns.contains(c),
+      s"generated column '$c' is not a column of table '$table'"))
+    // bind every declared expression against the schema NOW — a parse
+    // or resolution error must fail the CREATE, not the first write
+    (checks.map(_._2) ++ generated.values).foreach(e =>
+      df.limit(0).select(org.apache.spark.sql.functions.expr(e)))
     var attempt = currentVersion.getOrElse(0L) + 1
     for (_ <- 1 to MaxAttempts) {
       val cur = currentVersion.map(readManifest).getOrElse(Map.empty)
@@ -145,8 +163,12 @@ private[sources] trait SnapshotsTxnOps { self: Snapshots =>
       val written = stageTables(Map(table -> df),
         if (statsCols.nonEmpty) Map(table -> statsCols) else Map.empty, attempt)
       val propLine: Map[String, String] =
-        if (props.isEmpty) Map.empty
-        else Map((table + PropsSuffix) -> encodeChecks(props))
+        (if (props.isEmpty) Map.empty[String, String]
+         else Map((table + PropsSuffix) -> encodeChecks(props))) ++
+        (if (checks.isEmpty) Map.empty[String, String]
+         else Map((table + CheckSuffix) -> encodeChecks(checks.toMap))) ++
+        (if (generated.isEmpty) Map.empty[String, String]
+         else Map((table + GenSuffix) -> encodeChecks(generated)))
       if (writeManifest(attempt, cur ++ written ++ propLine)) return attempt
       attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
     }

@@ -410,4 +410,33 @@ class AnnSpec extends AnyFunSuite {
     lake.deleteKeys("codes_del", Seq(victim).toDF("vec_id"), "vec_id")
     assert(search().toSeq == after.toSeq, "replayed delete changed the index")
   }
+
+  test("s14 CALL ann_search parity: the SQL surface returns exactly the Scala exact top-k") {
+    val sp = spark
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("annsql").toString
+    sp.conf.set("spark.sql.catalog.gann", classOf[graft.sources.GraftCatalog].getName)
+    sp.conf.set("spark.sql.catalog.gann.root", root)
+    sp.sql("CREATE NAMESPACE gann.db")
+    graft.sources.Catalog.register(sp, dir)
+    sp.sql("CREATE TABLE gann.db.emb (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+    sp.sql("INSERT INTO gann.db.emb SELECT vec_id, embedding FROM embeddings")
+
+    val e = sp.sql("SELECT vec_id, embedding FROM embeddings")
+    (0L to 2L).foreach { qid =>
+      val q = sp.sql(s"SELECT embedding FROM embeddings WHERE vec_id = $qid").head
+        .getSeq[Float](0).mkString(",")
+      val called = sp.sql(s"CALL gann.system.ann_search('db', 'emb', '$q', 8)")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      // the Scala exact path over the SAME contract (self included):
+      // rank 1 must be the query vector itself at cos 1.0
+      assert(called.head._1 == 1L && called.head._2 == qid && called.head._3 == 1.0,
+        s"q$qid rank-1 must be self: ${called.head}")
+      val scala_ = Ann.annExactOn(e, nQueries = (qid + 1).toInt, k = 7)
+        .where(col("q_id") === qid).collect()
+        .map(r => (r.getLong(1) + 1, r.getLong(2), r.getDouble(3))).toSeq
+      assert(called.tail == scala_,
+        s"q$qid: CALL ${called.tail} != Scala $scala_")
+    }
+  }
 }

@@ -239,9 +239,11 @@ class ClusteringSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(propsC.get("clusterBy").contains("k"))
 
-    // non-identity transforms refuse loudly (no silent layout change)
+    // unsupported transforms refuse loudly (no silent layout change);
+    // days()/bucket() lower to generated columns since r11 — see the
+    // dedicated transform test below
     val e = intercept[Exception] {
-      sp.sql("CREATE TABLE gclu.db.bad (ts TIMESTAMP, v BIGINT) PARTITIONED BY (days(ts))")
+      sp.sql("CREATE TABLE gclu.db.bad (ts TIMESTAMP, v BIGINT) PARTITIONED BY (hours(ts))")
     }
     def chain(t: Throwable): Seq[String] =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
@@ -287,5 +289,74 @@ class ClusteringSpec extends AnyFunSuite {
     val openedOvw = CountingLocalFs.dataFileOpens.size
     assert(openedOvw < totalAfter,
       s"post-overwrite ranged read should skip: opened $openedOvw of $totalAfter")
+  }
+
+  test("days()/bucket() transforms: generated partition columns; source-column predicates skip files") {
+    val sp = spark
+    val root = "cfs:" + Files.createTempDirectory("clsptrans").toString
+    sp.sparkContext.hadoopConfiguration
+      .set("fs.cfs.impl", classOf[CountingLocalFs].getName)
+    sp.conf.set("spark.sql.catalog.gtp", classOf[graft.sources.GraftCatalog].getName)
+    sp.conf.set("spark.sql.catalog.gtp.root", root)
+    sp.sql("CREATE NAMESPACE gtp.db")
+
+    // days(ts): lowered to a generated `ts_day DATE = CAST(ts AS DATE)`
+    // + clustering on (ts_day, ts) — declared layout, zero manual DDL
+    sp.sql("CREATE TABLE gtp.db.ev (ts TIMESTAMP, v BIGINT) PARTITIONED BY (days(ts))")
+    assert(sp.table("gtp.db.ev").schema.fieldNames.toSeq == Seq("ts", "v", "ts_day"))
+    val props = sp.sql("SHOW TBLPROPERTIES gtp.db.ev").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("clusterBy").contains("ts_day,ts"), s"props: $props")
+
+    // 16 days of data from a SHUFFLED source, derived column never
+    // named by the writer (INSERT column list; Spark pads it NULL, the
+    // generated-column contract computes it)
+    sp.range(0, 1536).selectExpr(
+      "timestampadd(HOUR, CAST(id % 384 AS INT), TIMESTAMP'2024-03-01 00:00:00') AS ts",
+      "id AS v").repartition(8).createOrReplaceTempView("tp_src")
+    sp.sql("INSERT INTO gtp.db.ev (ts, v) SELECT ts, v FROM tp_src")
+    assert(sp.sql("SELECT count(*) FROM gtp.db.ev WHERE ts_day IS NULL").head.getLong(0) == 0L)
+    assert(sp.sql("SELECT count(DISTINCT ts_day) FROM gtp.db.ev").head.getLong(0) == 16L)
+
+    val snap = new Snapshots(sp, root + "/db")
+    val totalFiles = snap.read("ev").inputFiles.length
+    assert(totalFiles >= 8, s"expected >=8 files, got $totalFiles")
+
+    // THE GATE: a predicate on the SOURCE column `ts` (the user never
+    // names ts_day) skips day-files at plan time — day-clustering makes
+    // each file's ts [min,max] day-tight, and TIMESTAMP_MICROS footers
+    // carry real stats the sidecar harvests
+    CountingLocalFs.reset()
+    val n = sp.sql("""SELECT count(*) FROM gtp.db.ev
+                     |WHERE ts >= TIMESTAMP'2024-03-03 00:00:00'
+                     |  AND ts < TIMESTAMP'2024-03-05 00:00:00'""".stripMargin).head.getLong(0)
+    val opened = CountingLocalFs.dataFileOpens.size
+    assert(n == 192L, s"2 of 16 days = 192 rows, got $n")
+    assert(opened < totalFiles / 2,
+      s"ts-range read should skip day files: opened $opened of $totalFiles")
+
+    // bucket(n, k): generated `k_bucket = pmod(hash(k), 8)` + clustering
+    // on (k_bucket, k) — point probes on k open a bucket-local slice
+    sp.sql("CREATE TABLE gtp.db.b (k BIGINT, v BIGINT) PARTITIONED BY (bucket(8, k))")
+    assert(sp.table("gtp.db.b").schema.fieldNames.toSeq == Seq("k", "v", "k_bucket"))
+    sp.range(1, 2001).selectExpr("id AS k", "id * 10 AS v")
+      .repartition(8).createOrReplaceTempView("tp_bsrc")
+    sp.sql("INSERT INTO gtp.db.b (k, v) SELECT k, v FROM tp_bsrc")
+    assert(sp.sql("SELECT count(*) FROM gtp.db.b WHERE k_bucket != pmod(hash(k), 8)")
+      .head.getLong(0) == 0L)
+    val totalB = snap.read("b").inputFiles.length
+    CountingLocalFs.reset()
+    assert(sp.sql("SELECT v FROM gtp.db.b WHERE k = 777").head.getLong(0) == 7770L)
+    val openedB = CountingLocalFs.dataFileOpens.size
+    assert(openedB < totalB,
+      s"bucket point probe should not open every file: opened $openedB of $totalB")
+
+    // a derived-name collision refuses loudly at CREATE
+    val e = intercept[Exception] {
+      sp.sql("CREATE TABLE gtp.db.coll (ts TIMESTAMP, ts_day DATE) PARTITIONED BY (days(ts))") }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("ts_day")), chain(e))
   }
 }

@@ -1261,6 +1261,20 @@ class StreamingSpec extends AnyFunSuite {
     try q2.processAllAvailable() finally q2.stop()
     assert(sp.sql("SELECT count(*) FROM gsink.db.dst").head.getLong(0) == 8L)
 
+    // streamed epochs carry stats sidecars like every other write (r11):
+    // every epoch dir published by the stream has a harvested `_stats`
+    // next to its files, so file skipping and metadata-only aggregates
+    // no longer go blind on a table fed via writeStream.toTable
+    val epochDirs = sp.sql("SELECT path FROM gsink.db.`dst$files`").collect()
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getParent)
+      .distinct.filter(_.toString.contains("/stream-"))
+    assert(epochDirs.nonEmpty, "expected stream epoch dirs in the manifest")
+    val hfs = epochDirs.head.getFileSystem(sp.sparkContext.hadoopConfiguration)
+    epochDirs.foreach { d =>
+      assert(hfs.exists(new org.apache.hadoop.fs.Path(d, "_stats")),
+        s"streamed epoch dir $d lacks a _stats sidecar")
+    }
+
     // CHECK constraints gate the streaming path too: a violating epoch
     // publishes nothing and the stream dies loudly
     snap.addCheck("dst", "dbl_cap", "dbl < 1000")

@@ -2918,9 +2918,14 @@ class TxnSpec extends AnyFunSuite {
     assert(sp.sql("SELECT sum(v) FROM gdml.db.t").head.getLong(0) == 20L + 131L + 141L)
     sp.sql("UPDATE gdml.db.t SET v = v - 10 WHERE id != 2 OR v IS NULL")
     assert(sp.sql("SELECT sum(v) FROM gdml.db.t").head.getLong(0) == 10L + 131L + 131L)
-    // the remaining refusals: subqueries and non-determinism
-    intercept[Exception] {
-      sp.sql("UPDATE gdml.db.t SET v = 0 WHERE id IN (SELECT id FROM gdml.db.t)") }
+    // uncorrelated subquery predicates EXECUTE since r11 (materialized
+    // once, inlined as a literal list — pre-statement snapshot)
+    sp.sql("UPDATE gdml.db.t SET v = v + 5 WHERE id IN (SELECT id FROM gdml.db.t WHERE v = 10)")
+    assert(sp.sql("SELECT sum(v) FROM gdml.db.t").head.getLong(0) == 277L)
+    sp.sql("UPDATE gdml.db.t SET v = v - 5 WHERE id IN (SELECT id FROM gdml.db.t WHERE v = 15)")
+    assert(sp.sql("SELECT sum(v) FROM gdml.db.t").head.getLong(0) == 272L)
+    // the remaining refusal: non-determinism (file classification and
+    // the row rewrite must agree)
     intercept[Exception] {
       sp.sql("UPDATE gdml.db.t SET v = 0 WHERE rand() > 0.5") }
     assert(sp.sql("SELECT sum(v) FROM gdml.db.t").head.getLong(0) == 272L,
@@ -2943,12 +2948,13 @@ class TxnSpec extends AnyFunSuite {
     def chain(t: Throwable): Seq[String] =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
         .map(x => Option(x.getMessage).getOrElse("")).toSeq
-    // a non-equi ON still refuses (span pruning needs the key span)
+    // an ON with NO equality still refuses (span pruning needs at
+    // least one key span; extra non-equi conjuncts ride as residuals)
     val e = intercept[Exception] {
       sp.sql("""MERGE INTO gdml.db.t t USING (VALUES (9L, 9L) AS s(id, v)) s
                |ON t.id >= s.id
                |WHEN MATCHED THEN DELETE""".stripMargin) }
-    assert(chain(e).exists(_.contains("equi-join")), chain(e))
+    assert(chain(e).exists(_.contains("no target-source equality")), chain(e))
 
     // the appendOnly gate rides both verbs through SQL
     new Snapshots(sp, root + "/db").setProperties("t", Map("appendOnly" -> "true"))
