@@ -1086,7 +1086,7 @@ object Ann {
       .orderBy("q_id", "rank")
   }
 
-  /** C68 `s14_ann_sql`: SQL-ADDRESSABLE vector search — after two
+  /** C69 `s14_ann_sql`: SQL-ADDRESSABLE vector search — after two
     * rounds of "everything as text" the ANN surface was still
     * Scala-only; this closes it through Spark 4's ProcedureCatalog:
     * `CALL graft.system.ann_search(lake, table, qvec, k)` runs the
