@@ -224,12 +224,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // name()=="identity" with exactly one reference
       case t if t.name == "identity" && t.references.length == 1 =>
         Seq(single(t.references.head))
-      case t if t.name == "days" && t.references.length == 1 =>
+      case t if Set("years", "months", "days", "hours")(t.name) &&
+          t.references.length == 1 =>
+        // the whole Iceberg time-transform family: each is MONOTONE in
+        // the source column, so clustering on (derived, source) keeps
+        // the source's per-file [min,max] bucket-tight and source-range
+        // predicates prune with zero read-side code
         val src = single(t.references.head)
-        val d = derivedName(src, "day")
-        genFields :+= org.apache.spark.sql.types.StructField(
-          d, org.apache.spark.sql.types.DateType, nullable = true)
-        generated += d -> s"CAST(`$src` AS DATE)"
+        val (suffix, expr, dt) = t.name match {
+          case "days" => ("day", s"CAST(`$src` AS DATE)",
+            org.apache.spark.sql.types.DateType)
+          case "hours" => ("hour", s"date_trunc('HOUR', `$src`)",
+            org.apache.spark.sql.types.TimestampType)
+          case "months" => ("month", s"CAST(date_trunc('MONTH', `$src`) AS DATE)",
+            org.apache.spark.sql.types.DateType)
+          case "years" => ("year", s"CAST(date_trunc('YEAR', `$src`) AS DATE)",
+            org.apache.spark.sql.types.DateType)
+        }
+        val d = derivedName(src, suffix)
+        genFields :+= org.apache.spark.sql.types.StructField(d, dt, nullable = true)
+        generated += d -> expr
         Seq(d, src)
       case t if t.name == "bucket" && t.references.length == 1 =>
         val src = single(t.references.head)

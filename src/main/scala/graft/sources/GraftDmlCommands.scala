@@ -184,7 +184,11 @@ case class GraftDmlCommands(spark: SparkSession) extends Rule[LogicalPlan] {
           case other => throw new UnsupportedOperationException(
             s"UPDATE of a nested field is not supported: $other")
         }
-        name -> org.apache.spark.sql.GraftShim.column(unresolve(a.value))
+        // SET values may carry uncorrelated scalar subqueries too
+        // (`SET v = (SELECT max(v) FROM …)`) — same materialize-once,
+        // pre-statement-snapshot semantics as the WHERE
+        name -> org.apache.spark.sql.GraftShim.column(
+          unresolve(materializeSubqueries(a.value, "UPDATE SET")))
       }.toMap
       GraftUpdateCommand(t.root, t.tableName, ranges, pred, sets,
         ranges.map(_.col).distinct.filter(_ != null))

@@ -29,7 +29,7 @@ private[sources] object GraftProcedures {
 
   val Names: Seq[String] =
     Seq("compact", "zorder", "vacuum", "analyze", "rollback", "sync_identity",
-      "copy_into", "clone", "restore", "ann_search")
+      "copy_into", "clone", "restore", "ann_search", "ann_search_where")
 
   def load(rootPrefix: String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.sameElements(Array("system")),
@@ -133,28 +133,29 @@ private[sources] object GraftProcedures {
           Seq("version" -> LongType)) { in =>
           Seq(snap(s(in, 0)).syncIdentity(s(in, 1)))
         }
-      case "ann_search" =>
-        // SQL-ADDRESSABLE vector search — the analyst's front door to
-        // the embedding corpus, no Scala required:
-        //   CALL graft.system.ann_search('lake', 'emb', '0.1,0.2,…', 10)
-        // The SEARCH is a fully distributed job over the lake table's
-        // stats-planned scan (queries broadcast as a literal, codegen
-        // cosine inside the scan, TakeOrdered per-partition heaps →
-        // driver merge of k candidates); only the k result rows are
-        // driver-local, which is exactly a CALL's result-set shape.
-        // The table needs (vec_id BIGINT, embedding ARRAY<numeric>) —
-        // the s01 contract; the filtered/indexed forms stay on the
-        // Scala surface (s08/s12) until they too are staged as tables.
-        procRows("ann_search",
-          Seq("lake" -> StringType, "table" -> StringType,
-            "qvec" -> StringType, "k" -> IntegerType),
-          Seq("rank" -> LongType, "neighbor_id" -> LongType,
-            "cos_sim" -> DoubleType)) { in =>
+      // SQL-ADDRESSABLE vector search — the analyst's front door to
+      // the embedding corpus, no Scala required:
+      //   CALL graft.system.ann_search('lake', 'emb', '0.1,0.2,…', 10)
+      //   CALL graft.system.ann_search_where(…, 'label = 2')
+      // The SEARCH is a fully distributed job over the lake table's
+      // stats-planned scan (queries broadcast as a literal, codegen
+      // cosine inside the scan, TakeOrdered per-partition heaps →
+      // driver merge of k candidates); only the k result rows are
+      // driver-local, which is exactly a CALL's result-set shape. The
+      // _where form is the s08 PRE-filter contract as text: the
+      // predicate lands on the corpus scan (PushedFilters — ineligible
+      // vectors never read, never scored, never take heap slots; a
+      // post-filter would under-fill k). The table needs (vec_id
+      // BIGINT, embedding ARRAY<numeric>) — the s01 contract; the
+      // index-backed forms stay Scala (s03/s05/s12) until their
+      // staged index tables gain a CALL too.
+      case "ann_search" | "ann_search_where" =>
+        def annBody(in: InternalRow, pred: Option[String]): Seq[Seq[Any]] = {
           import org.apache.spark.sql.functions._
-          val sp = SparkSession.active
-          val e = snap(s(in, 0)).read(s(in, 1))
-          require(e.columns.contains("vec_id") && e.columns.contains("embedding"),
-            s"ann_search needs (vec_id, embedding) columns, got ${e.columns.mkString(", ")}")
+          val e0 = snap(s(in, 0)).read(s(in, 1))
+          require(e0.columns.contains("vec_id") && e0.columns.contains("embedding"),
+            s"ann_search needs (vec_id, embedding) columns, got ${e0.columns.mkString(", ")}")
+          val e = pred.filter(_.trim.nonEmpty).map(p => e0.where(expr(p))).getOrElse(e0)
           val vals = s(in, 2).split(",").map(_.trim).filter(_.nonEmpty).map(_.toDouble)
           require(vals.nonEmpty, "ann_search: empty query vector")
           val k = in.getInt(3)
@@ -180,6 +181,19 @@ private[sources] object GraftProcedures {
                 .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
           }.toSeq
         }
+        val out = Seq("rank" -> LongType, "neighbor_id" -> LongType,
+          "cos_sim" -> DoubleType)
+        if (ident.name == "ann_search")
+          procRows("ann_search",
+            Seq("lake" -> StringType, "table" -> StringType,
+              "qvec" -> StringType, "k" -> IntegerType), out)(
+            in => annBody(in, None))
+        else
+          procRows("ann_search_where",
+            Seq("lake" -> StringType, "table" -> StringType,
+              "qvec" -> StringType, "k" -> IntegerType,
+              "predicate" -> StringType), out)(
+            in => annBody(in, Some(s(in, 4))))
       case other => throw new IllegalArgumentException(
         s"unknown graft procedure '$other' (${Names.mkString("/")})")
     }

@@ -438,5 +438,28 @@ class AnnSpec extends AnyFunSuite {
       assert(called.tail == scala_,
         s"q$qid: CALL ${called.tail} != Scala $scala_")
     }
+
+    // the FILTERED form (s08's pre-filter contract as text): the
+    // predicate lands on the scan — every neighbor satisfies it, the
+    // heap still fills to k from eligible candidates only
+    sp.sql("CREATE TABLE gann.db.embl (vec_id BIGINT, embedding ARRAY<FLOAT>, label INT)")
+    sp.sql("""INSERT INTO gann.db.embl
+             |SELECT vec_id, embedding, CAST(pmod(vec_id, 3) AS INT) FROM embeddings""".stripMargin)
+    val q0 = sp.sql("SELECT embedding FROM embeddings WHERE vec_id = 0").head
+      .getSeq[Float](0).mkString(",")
+    val filtered = sp.sql(
+      s"CALL gann.system.ann_search_where('db', 'embl', '$q0', 8, 'label = 2')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(filtered.size == 8)
+    assert(filtered.forall { case (_, n, _) => n % 3 == 2 },
+      s"every filtered neighbor must satisfy the predicate: $filtered")
+    // parity with the exact filtered ground truth computed inline
+    val truth = e.where(pmod(col("vec_id"), lit(3)) === 2)
+      .select(col("vec_id"),
+        graft.functions.functions.cosine_sim(col("embedding"),
+          array(q0.split(",").map(v => lit(v.toDouble).cast("float")): _*)).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(8).collect()
+      .map(_.getLong(0)).toSeq
+    assert(filtered.map(_._2) == truth, s"CALL ${filtered.map(_._2)} != truth $truth")
   }
 }

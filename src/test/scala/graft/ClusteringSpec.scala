@@ -240,10 +240,10 @@ class ClusteringSpec extends AnyFunSuite {
     assert(propsC.get("clusterBy").contains("k"))
 
     // unsupported transforms refuse loudly (no silent layout change);
-    // days()/bucket() lower to generated columns since r11 — see the
-    // dedicated transform test below
+    // years/months/days/hours/bucket lower to generated columns since
+    // r11 — see the dedicated transform test below
     val e = intercept[Exception] {
-      sp.sql("CREATE TABLE gclu.db.bad (ts TIMESTAMP, v BIGINT) PARTITIONED BY (hours(ts))")
+      sp.sql("CREATE TABLE gclu.db.bad (s STRING, v BIGINT) PARTITIONED BY (truncate(4, s))")
     }
     def chain(t: Throwable): Seq[String] =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
@@ -358,5 +358,21 @@ class ClusteringSpec extends AnyFunSuite {
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
         .map(x => Option(x.getMessage).getOrElse("")).toSeq
     assert(chain(e).exists(_.contains("ts_day")), chain(e))
+
+    // the rest of the time family: hours/months/years derive the same
+    // way (monotone in ts → source-range predicates stay prunable)
+    sp.sql("""CREATE TABLE gtp.db.evh (ts TIMESTAMP, v BIGINT)
+             |PARTITIONED BY (hours(ts))""".stripMargin)
+    assert(sp.table("gtp.db.evh").schema.fieldNames.toSeq == Seq("ts", "v", "ts_hour"))
+    sp.sql("INSERT INTO gtp.db.evh (ts, v) SELECT ts, v FROM tp_src")
+    assert(sp.sql("""SELECT count(*) FROM gtp.db.evh
+                    |WHERE ts_hour != date_trunc('HOUR', ts)""".stripMargin)
+      .head.getLong(0) == 0L)
+    sp.sql("""CREATE TABLE gtp.db.evm (ts TIMESTAMP, v BIGINT)
+             |PARTITIONED BY (months(ts))""".stripMargin)
+    sp.sql("""CREATE TABLE gtp.db.evy (ts TIMESTAMP, v BIGINT)
+             |PARTITIONED BY (years(ts))""".stripMargin)
+    assert(sp.table("gtp.db.evm").schema.fieldNames.contains("ts_month"))
+    assert(sp.table("gtp.db.evy").schema.fieldNames.contains("ts_year"))
   }
 }

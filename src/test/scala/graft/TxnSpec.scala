@@ -3557,6 +3557,11 @@ class TxnSpec extends AnyFunSuite {
     // scalar subquery returning >1 row refuses (ANSI)
     intercept[Exception] {
       sp.sql("DELETE FROM gsub.db.t WHERE id = (SELECT k FROM gsub.db.gdpr)") }
+
+    // scalar subqueries work in SET values too (materialize-once,
+    // pre-statement snapshot semantics)
+    sp.sql("UPDATE gsub.db.t SET v = (SELECT min(k) FROM gsub.db.gdpr) WHERE id = 4")
+    assert(sp.sql("SELECT v FROM gsub.db.t WHERE id = 4").head.getLong(0) == 3L)
   }
 
   test("touch-all DML rewrites files whose tracked column is all-null (unbounded range skips nothing)") {
