@@ -345,6 +345,22 @@ object Ann {
       .where(col("vec_id") =!= col("q_id")).count()
   }
 
+  /** The lake-serving IVF index over any (vec_id, embedding) corpus:
+    * k-means||-trained centroids + per-vector coarse assignment — the
+    * two tables `CALL graft.system.ann_index_ivf` publishes. Stored
+    * with the assignment table CLUSTERED BY cid, each coarse list
+    * becomes a stat-tight file run and a probe's `cid IN (…)` read
+    * opens only probed-list files: the inverted list realized as lake
+    * layout, no new read machinery.
+    */
+  def ivfIndexBuild(e: DataFrame, nlist: Int): (DataFrame, DataFrame) = {
+    val cents = trainCentroids(e, nlist)
+    val assigned = coarseAssign(cents,
+      e.select(col("vec_id"), col("embedding")), "vec_id", "embedding", 1)
+      .select(col("cid"), col("vec_id"), col("embedding"))
+    (cents, assigned)
+  }
+
   /** The d11 sizing recipe applied to the coarse quantizer: grow nlist
     * with the corpus so EXPECTED LIST SIZE stays ~64 (probe cost per
     * list constant; list count absorbs corpus growth), capped at 256
@@ -1121,8 +1137,41 @@ object Ann {
       .orderBy("q_id", "rank")
   }
 
+  /** C71 `s15_ann_sql_ivf`: INDEX-BACKED vector search as text — the
+    * half s14 left Scala-only. `CALL graft.system.ann_index_ivf`
+    * trains the coarse quantizer (k-means|| + Lloyd) and publishes the
+    * index as lake tables — `emb_ivf_cents` (cid, c_vec) and `emb_ivf`
+    * (cid, vec_id, embedding) CLUSTERED BY cid, so every coarse list
+    * is a stat-tight file run. `CALL graft.system.ann_search_ivf`
+    * selects the nprobe nearest lists driver-side (nlist rows) and
+    * runs ONE stats-pruned distributed scan over exactly those lists.
+    * Approximate by construction → rows-only; AnnSpec pins full-probe
+    * == exact, in-list membership at nprobe=1, and the rank-1 self.
+    */
+  def s15AnnSqlIvf(s: SparkSession, dir: String, nQueries: Int = 4, k: Int = K): DataFrame = {
+    val root = s.conf.get("spark.sql.warehouse.dir") + "/c21_catalog"
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", root)
+    graft.sources.Catalog.register(s, dir)
+    val ns = "db_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    s.sql(s"CREATE NAMESPACE graft.$ns")
+    s.sql(s"CREATE TABLE graft.$ns.emb_t (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+    s.sql(s"INSERT INTO graft.$ns.emb_t SELECT vec_id, embedding FROM embeddings")
+    s.sql(s"CALL graft.system.ann_index_ivf('$ns', 'emb_t', 'emb_ivf', 0)")
+    val qs = s.sql(s"SELECT vec_id, embedding FROM embeddings WHERE vec_id < $nQueries ORDER BY vec_id")
+      .collect()
+    qs.map { r =>
+      val qv = r.getSeq[Float](1).mkString(",")
+      s.sql(s"CALL graft.system.ann_search_ivf('$ns', 'emb_ivf', '$qv', $k, 4)")
+        .withColumn("q_id", lit(r.getLong(0)))
+    }.reduce(_ unionByName _)
+      .select(col("q_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s14_ann_sql" -> ((s, dir) => s14AnnSql(s, dir)),
+    "s15_ann_sql_ivf" -> ((s, dir) => s15AnnSqlIvf(s, dir)),
     "s11_ann_mmr" -> ((s, dir) => s11AnnMmr(s, dir)),
     "s01_ann_bruteforce" -> s01AnnBruteforce _,
     "s02_ann_lsh" -> ((s, dir) => s02AnnLsh(s, dir)),

@@ -51,10 +51,25 @@ object Dedup {
     * Output is exact Jaccard (deterministic), verified by DedupSpec
     * against brute-force pairs at sf0.001.
     */
-  def d02DedupMinhash(s: SparkSession, dir: String): DataFrame = {
+  def d02DedupMinhash(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(docs(s, dir), "doc_id", "text", 0.5)
+
+  /** The MinHash+LSH pipeline over an ARBITRARY (id, text) corpus —
+    * d02's exact shape parameterized so the SQL front door
+    * (`CALL graft.system.dedup_minhash`) and any caller-supplied
+    * DataFrame run the same plan: shingle → signature → band-hash
+    * equi-join → bloom-pruned exact-Jaccard verify. Output is
+    * deterministic (exact Jaccard on the candidate pairs).
+    */
+  def minhashPairs(in: DataFrame, idCol: String, textCol: String,
+                   threshold: Double): DataFrame = {
+    require(in.columns.contains(idCol) && in.columns.contains(textCol),
+      s"dedup_minhash needs ($idCol, $textCol) columns, got ${in.columns.mkString(", ")}")
+    val tok = in.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .withColumn("toks", tokens(col("text")))
     // sig inline over the toks attribute; band hashes inline under the
     // posexplode (see pipeline.shingled perf note on Generate)
-    val bands = tokenized(s, dir)
+    val bands = tok
       .select(col("doc_id"), minhash_sig(wordTrigrams(col("toks")), 128).as("sig"))
       .select(col("doc_id"),
         posexplode(expr(
@@ -78,14 +93,15 @@ object Dedup {
     // only cost a few extra rows, never a lost pair.
     val bf = cand.select(explode(array(col("a_id"), col("b_id"))).as("id"))
       .stat.bloomFilter("id", 1 << 16, 0.01)
-    val base = shingled(s, dir).where(bloom_might_contain(col("doc_id"), bf))
+    val base = tok.where(bloom_might_contain(col("doc_id"), bf))
+      .select(col("doc_id"), wordTrigrams(col("toks")).as("sh"))
     cand
       .join(base.toDF("a_id", "a_sh"), "a_id")
       .join(base.toDF("b_id", "b_sh"), "b_id")
       .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
       .withColumn("jaccard",
         col("inter") / (size(col("a_sh")) + size(col("b_sh")) - col("inter")))
-      .where(col("jaccard") >= 0.5)
+      .where(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("a_id", "b_id")
   }
@@ -475,7 +491,34 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  /** C70 `d15_sql_dedup`: DEDUP AS TEXT — the curation pipeline's
+    * first verb at the SQL front door. A lake table is seeded (atomic
+    * CTAS) with the d01 shape (every text twice, ids shifted), then
+    * `CALL graft.system.dedup_exact` keeps one row per text — the
+    * group's minimum non-key tuple, here min(doc_id) — and republishes
+    * the table in ONE version (replaceWhere's unbounded range: atomic,
+    * history travels, metadata survives). The final read proves the
+    * table IS the deduped corpus against DuckDB's closed-form group-by;
+    * the near-dup twin (`dedup_minhash`, the d02 LSH pipeline as a
+    * CALL) is pinned Scala-vs-SQL row-for-row in DedupSpec.
+    */
+  def d15SqlDedup(s: SparkSession, dir: String): DataFrame = {
+    val root = s.conf.get("spark.sql.warehouse.dir") + "/c21_catalog"
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", root)
+    graft.sources.Catalog.register(s, dir)
+    val ns = "db_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    s.sql(s"CREATE NAMESPACE graft.$ns")
+    s.sql(s"""CREATE TABLE graft.$ns.docs_d AS
+             |SELECT doc_id, text FROM documents
+             |UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents""".stripMargin)
+    s.sql(s"CALL graft.system.dedup_exact('$ns', 'docs_d', 'text')")
+    s.sql(s"""SELECT doc_id AS keep_id, md5(CAST(text AS BINARY)) AS text_md5
+             |FROM graft.$ns.docs_d ORDER BY keep_id""".stripMargin)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d15_sql_dedup" -> d15SqlDedup _,
     "d10_url_dedup" -> d10UrlDedup _,
     "d11_semdedup" -> d11Semdedup _,
     "d14_dedup_containment" -> ((s, dir) => d14DedupContainment(s, dir)),
@@ -611,6 +654,13 @@ object Dedup {
         |)
         |SELECT min(doc_id) AS keep_id, md5(text) AS text_md5, count(*) AS n_copies
         |FROM u GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "d15_sql_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents
+        |)
+        |SELECT min(doc_id) AS keep_id, md5(text) AS text_md5
+        |FROM u GROUP BY text ORDER BY keep_id""".stripMargin,
     "d04_dedup_ngram" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents

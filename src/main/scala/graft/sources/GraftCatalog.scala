@@ -53,7 +53,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (`V1Write` fallback → InsertableRelation → append).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with StagingTableCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var rootPrefix: String = _
@@ -198,10 +198,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * the generated-column contract); checks, generated declarations,
     * clusterBy and TBLPROPERTIES all land in ONE manifest commit.
     */
+  /** The lowered layout of a PARTITIONED BY / CLUSTER BY clause:
+    * cluster columns, derived generated fields appended to the schema,
+    * and their derivation SQL. Shared by CREATE and the staged
+    * (atomic) CREATE OR REPLACE path so both lower identically.
+    */
+  private case class Lowered(cluster: Seq[String],
+                             genFields: Seq[org.apache.spark.sql.types.StructField],
+                             generated: Map[String, String])
+
   private def createTable(ident: Identifier, schema0: StructType,
                           partitions: Array[Transform],
                           properties: util.Map[String, String],
                           checks: Seq[(String, String)]): Table = {
+    val low = lowerLayout(schema0, partitions)
+    val schema = org.apache.spark.sql.types.StructType(schema0.fields ++ low.genFields)
+    low.cluster.foreach(c => require(schema.fieldNames.contains(c),
+      s"clustering column '$c' is not a column of the table " +
+        s"(${schema.fieldNames.sorted.mkString(", ")})"))
+    val sn = snap(ident.namespace)
+    val props = filterProps(properties) ++
+      (if (low.cluster.nonEmpty) Map(sn.ClusterByProp -> low.cluster.mkString(","))
+       else Map.empty)
+    // one empty part file (not a zero-part dir): the footer carries the
+    // schema for any path that reads it back from disk
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema).repartition(1)
+    sn.createTable(ident.name, empty, props = props, checks = checks,
+      generated = low.generated)
+    mkTable(ident, None)
+  }
+
+  /** User TBLPROPERTIES minus Spark's reserved/option keys — what
+    * actually lands on the manifest's `@props` line.
+    */
+  private def filterProps(properties: util.Map[String, String]): Map[String, String] = {
+    val reserved = Set(TableCatalog.PROP_LOCATION, TableCatalog.PROP_COMMENT,
+      TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
+      TableCatalog.PROP_IS_MANAGED_LOCATION)
+    properties.asScala.toMap.filter { case (k, _) =>
+      !reserved.contains(k) && !k.startsWith(TableCatalog.OPTION_PREFIX) }
+  }
+
+  private def lowerLayout(schema0: StructType,
+                          partitions: Array[Transform]): Lowered = {
     import org.apache.spark.sql.connector.expressions.ClusterByTransform
     def single(r: org.apache.spark.sql.connector.expressions.NamedReference): String = {
       require(r.fieldNames.length == 1,
@@ -263,25 +303,98 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"pruning) — identity columns / CLUSTER BY / days(c) / bucket(n, c) " +
           s"are supported, got '$other'")
     }.distinct
-    val schema = org.apache.spark.sql.types.StructType(schema0.fields ++ genFields)
-    cluster.foreach(c => require(schema.fieldNames.contains(c),
-      s"clustering column '$c' is not a column of the table " +
-        s"(${schema.fieldNames.sorted.mkString(", ")})"))
-    val reserved = Set(TableCatalog.PROP_LOCATION, TableCatalog.PROP_COMMENT,
-      TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
-      TableCatalog.PROP_IS_MANAGED_LOCATION)
-    val sn = snap(ident.namespace)
-    val props = properties.asScala.toMap
-      .filter { case (k, _) =>
-        !reserved.contains(k) && !k.startsWith(TableCatalog.OPTION_PREFIX) } ++
-      (if (cluster.nonEmpty) Map(sn.ClusterByProp -> cluster.mkString(",")) else Map.empty)
-    // one empty part file (not a zero-part dir): the footer carries the
-    // schema for any path that reads it back from disk
-    val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema).repartition(1)
-    sn.createTable(ident.name, empty, props = props, checks = checks,
-      generated = generated)
-    mkTable(ident, None)
+    Lowered(cluster, genFields, generated)
+  }
+
+  /** ATOMIC `CREATE OR REPLACE TABLE` / `REPLACE TABLE … AS SELECT` /
+    * CTAS — the [[StagingTableCatalog]] contract. Without it Spark
+    * falls back to DROP-then-CREATE: a failed seeding query leaves the
+    * table GONE, the exact torn state a transactional lake exists to
+    * forbid. Here nothing publishes until [[GraftStagedTable
+    * .commitStagedChanges]] runs [[Snapshots.replaceTable]] — ONE
+    * manifest write carrying schema, data, clusterBy, CHECKs,
+    * generated declarations and TBLPROPERTIES, with the existence
+    * contract (`REPLACE` requires, `CREATE` refuses standing tables)
+    * re-verified inside the publish loop. A crash or seeding-query
+    * failure at ANY point leaves the old table fully intact (abort has
+    * nothing to undo — data stages under the unpublished attempt dir).
+    * History is retained: `VERSION AS OF` a pre-replace version still
+    * reads the old definition.
+    */
+  override def stageCreate(ident: Identifier,
+                           info: org.apache.spark.sql.connector.catalog.TableInfo): StagedTable =
+    staged(ident, info, mustExist = false, mustNotExist = true)
+
+  override def stageReplace(ident: Identifier,
+                            info: org.apache.spark.sql.connector.catalog.TableInfo): StagedTable =
+    staged(ident, info, mustExist = true, mustNotExist = false)
+
+  override def stageCreateOrReplace(ident: Identifier,
+                                    info: org.apache.spark.sql.connector.catalog.TableInfo): StagedTable =
+    staged(ident, info, mustExist = false, mustNotExist = false)
+
+  private def staged(ident: Identifier,
+                     info: org.apache.spark.sql.connector.catalog.TableInfo,
+                     mustExist: Boolean, mustNotExist: Boolean): StagedTable = {
+    val checks = info.constraints.toSeq.map {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        c.name -> c.predicateSql
+      case other => throw new UnsupportedOperationException(
+        s"graft enforces CHECK constraints only — '${other.toDDL}' would be " +
+          "recorded but never enforced; model keys via the identity/merge verbs")
+    }
+    // transforms lower NOW — an unsupported PARTITIONED BY refuses at
+    // stage time, before the seeding query runs a single task
+    val low = lowerLayout(info.schema, info.partitions)
+    new GraftStagedTable(ident, info.schema, low, filterProps(info.properties),
+      checks, mustExist, mustNotExist)
+  }
+
+  /** The staged (pre-publish) table handed back to Spark's Atomic*Exec
+    * nodes. The seeding write arrives through the same V1 fallback
+    * INSERT uses — `insert` only CAPTURES the batch plan; every byte
+    * stages inside `commitStagedChanges`'s verb call, so the publish
+    * sequence (stage under the attempt dir → one manifest write) is
+    * identical to every other verb and the crash-point model applies
+    * unchanged.
+    */
+  private class GraftStagedTable(ident: Identifier, schema0: StructType,
+                                 low: Lowered, props: Map[String, String],
+                                 checks: Seq[(String, String)],
+                                 mustExist: Boolean, mustNotExist: Boolean)
+      extends StagedTable with SupportsWrite {
+    private var captured: Option[DataFrame] = None
+    override def name(): String =
+      s"graft:${lakeRoot(ident.namespace)}#${ident.name}@staged"
+    override def schema(): StructType = schema0
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+        // RTAS arrives as OverwriteByExpression(true) — same capture
+        override def truncate(): WriteBuilder = this
+        override def build(): Write = new V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+                captured = Some(data)
+              }
+            }
+        }
+      }
+    override def commitStagedChanges(): Unit = {
+      val sn = snap(ident.namespace)
+      val df = captured.getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema0).repartition(1))
+      val propsAll = props ++
+        (if (low.cluster.nonEmpty) Map(sn.ClusterByProp -> low.cluster.mkString(","))
+         else Map.empty)
+      sn.replaceTable(ident.name, df, props = propsAll, checks = checks,
+        generated = low.generated, mustExist = mustExist,
+        mustNotExist = mustNotExist)
+      ()
+    }
+    override def abortStagedChanges(): Unit = ()
   }
 
   override def dropTable(ident: Identifier): Boolean =
@@ -1060,8 +1173,51 @@ object GraftCatalog {
              |) ORDER BY phase, o_orderstatus""".stripMargin)
   }
 
+  /** A49 `c36_replace_table`: ATOMIC `CREATE OR REPLACE TABLE … AS
+    * SELECT` as text — the table-redefinition statement every
+    * rebuild-the-mart job runs (the reference's `execute` carried
+    * arbitrary DDL the same way, Stream.hs:122-145). Without a
+    * StagingTableCatalog Spark falls back to DROP-then-CTAS — a failed
+    * seeding query loses the table entirely. Here the swap is ONE
+    * staged publish ([[Snapshots.replaceTable]]: schema + data +
+    * PARTITIONED BY layout in one manifest write; TxnSpec proves a
+    * failed seed leaves the old table intact) and history is retained:
+    * the `pre` leg reads `VERSION AS OF` straight across the replace,
+    * the `post` leg folds the new definition through its clustered
+    * layout's ranged read. Both legs against DuckDB closed forms.
+    */
+  def c36ReplaceTable(s: SparkSession, dir: String): DataFrame = {
+    val root = s.conf.get("spark.sql.warehouse.dir") + "/c21_catalog"
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", root)
+    Catalog.register(s, dir)
+    val ns = "db_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    s.sql(s"CREATE NAMESPACE graft.$ns")
+    s.sql(s"""CREATE TABLE graft.$ns.orders_r AS
+             |SELECT o_orderkey, o_orderstatus,
+             |       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+             |FROM orders""".stripMargin)                                    // v1: atomic CTAS
+    s.sql(s"""CREATE OR REPLACE TABLE graft.$ns.orders_r
+             |PARTITIONED BY (o_orderkey) AS
+             |SELECT o_orderkey, o_orderstatus,
+             |       CAST(round(o_totalprice * 100, 0) AS BIGINT) * 3 AS cents3
+             |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin)           // v2: ONE staged publish
+    s.sql(s"""SELECT phase, o_orderstatus, n, total_cents FROM (
+             |  SELECT 'post' AS phase, o_orderstatus, count(*) AS n,
+             |         CAST(sum(cents3) AS BIGINT) AS total_cents
+             |  FROM graft.$ns.orders_r
+             |  WHERE o_orderkey BETWEEN 1 AND 3000
+             |  GROUP BY o_orderstatus
+             |  UNION ALL
+             |  SELECT 'pre' AS phase, o_orderstatus, count(*) AS n,
+             |         CAST(sum(price_cents) AS BIGINT) AS total_cents
+             |  FROM graft.$ns.orders_r VERSION AS OF 1 GROUP BY o_orderstatus
+             |) ORDER BY phase, o_orderstatus""".stripMargin)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c21_sql_catalog" -> c21SqlCatalog _,
+    "c36_replace_table" -> c36ReplaceTable _,
     "c29_clustered_layout" -> c29ClusteredLayout _,
     "c30_sql_insert_overwrite" -> c30SqlInsertOverwrite _,
     "st11_stream_changes" -> st11StreamChanges _,
@@ -1078,6 +1234,22 @@ object GraftCatalog {
     "c35_time_partition" -> c35TimePartition _)
 
   val oracles: Map[String, String] = Map(
+    "c36_replace_table" ->
+      """WITH c AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+        |  FROM orders
+        |)
+        |SELECT phase, o_orderstatus, n, total_cents FROM (
+        |  SELECT 'post' AS phase, o_orderstatus, count(*) AS n,
+        |    CAST(sum(price_cents * 3) AS BIGINT) AS total_cents
+        |  FROM c WHERE o_orderkey % 2 = 0 AND o_orderkey BETWEEN 1 AND 3000
+        |  GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT 'pre' AS phase, o_orderstatus, count(*) AS n,
+        |    CAST(sum(price_cents) AS BIGINT) AS total_cents
+        |  FROM c GROUP BY o_orderstatus
+        |) ORDER BY phase, o_orderstatus""".stripMargin,
     "c32_copy_into" ->
       """WITH c AS (
         |  SELECT o_orderkey, o_orderstatus,

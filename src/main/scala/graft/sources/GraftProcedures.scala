@@ -29,7 +29,8 @@ private[sources] object GraftProcedures {
 
   val Names: Seq[String] =
     Seq("compact", "zorder", "vacuum", "analyze", "rollback", "sync_identity",
-      "copy_into", "clone", "restore", "ann_search", "ann_search_where")
+      "copy_into", "clone", "restore", "ann_search", "ann_search_where",
+      "ann_index_ivf", "ann_search_ivf", "dedup_exact", "dedup_minhash")
 
   def load(rootPrefix: String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.sameElements(Array("system")),
@@ -194,6 +195,147 @@ private[sources] object GraftProcedures {
               "qvec" -> StringType, "k" -> IntegerType,
               "predicate" -> StringType), out)(
             in => annBody(in, Some(s(in, 4))))
+      // INDEX-BACKED vector search as text — the staged-index half s14
+      // left Scala-only. ann_index_ivf TRAINS (k-means|| + Lloyd,
+      // Ann.trainCentroids — corpus never shuffled) and PUBLISHES the
+      // index as two lake tables: `<index>_cents` (cid, c_vec; ≤
+      // nlist ≤ 256 rows) and `<index>` (cid, vec_id, embedding)
+      // CLUSTERED BY cid — each coarse list lands as a stat-tight file
+      // run, so a probe's `cid IN (…)` scan opens only probed-list
+      // files through the standing sidecar skipping: the inverted list
+      // realized as lake layout. Rebuilds republish atomically
+      // (replaceTable; history travels). ann_search_ivf probes: the
+      // centroid set is read DRIVER-side (nlist rows — the documented
+      // tiny-side exception), the nprobe nearest lists are selected
+      // with plain arithmetic, and ONE stats-pruned distributed scan
+      // scores only those lists (codegen cosine + TakeOrdered heaps).
+      // Approximate by construction (IVF recall ≤ 1) — AnnSpec gates
+      // recall and pins CALL == the Scala probe on the same index.
+      case "ann_index_ivf" =>
+        proc("ann_index_ivf",
+          Seq("lake" -> StringType, "source" -> StringType,
+            "index" -> StringType, "nlist" -> IntegerType),
+          Seq("version" -> LongType, "nlist" -> IntegerType,
+            "vectors" -> LongType)) { in =>
+          val sn = snap(s(in, 0))
+          val e = sn.read(s(in, 1))
+          require(e.columns.contains("vec_id") && e.columns.contains("embedding"),
+            s"ann_index_ivf needs (vec_id, embedding) columns, got ${e.columns.mkString(", ")}")
+          val idx = s(in, 2)
+          require(idx.nonEmpty && !idx.endsWith("_cents"),
+            s"ann_index_ivf: index table name '$idx' (the '_cents' suffix is reserved)")
+          val n = e.count()
+          val nl =
+            if (in.getInt(3) > 0) in.getInt(3)
+            else graft.pipeline.Ann.adaptiveNlist(n)
+          val (cents, assigned) = graft.pipeline.Ann.ivfIndexBuild(e, nl)
+          sn.replaceTable(idx + "_cents", cents)
+          val v = sn.replaceTable(idx, assigned,
+            props = Map(sn.ClusterByProp -> "cid"))
+          // Seq[Any] pins boxing: Seq(Long, Int, Long) would unify the
+          // Int to Long and break the IntegerType accessor downstream
+          Seq[Any](v, nl, n)
+        }
+      case "ann_search_ivf" =>
+        procRows("ann_search_ivf",
+          Seq("lake" -> StringType, "index" -> StringType,
+            "qvec" -> StringType, "k" -> IntegerType, "nprobe" -> IntegerType),
+          Seq("rank" -> LongType, "neighbor_id" -> LongType,
+            "cos_sim" -> DoubleType)) { in =>
+          import org.apache.spark.sql.functions._
+          val sn = snap(s(in, 0)); val idx = s(in, 1)
+          val k = in.getInt(3); val nprobe = in.getInt(4)
+          require(k > 0, s"ann_search_ivf: k must be positive, got $k")
+          require(nprobe > 0, s"ann_search_ivf: nprobe must be positive, got $nprobe")
+          val qv = s(in, 2).split(",").map(_.trim).filter(_.nonEmpty).map(_.toDouble)
+          require(qv.nonEmpty, "ann_search_ivf: empty query vector")
+          // probe selection on the driver: nlist ≤ 256 centroid rows
+          val cents = sn.read(idx + "_cents").collect()
+            .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+          require(cents.nonEmpty, s"ann_search_ivf: index '${idx}_cents' is empty")
+          def cos(c: Array[Float]): Double = {
+            var (d, na, nb) = (0.0, 0.0, 0.0)
+            var i = 0
+            while (i < math.min(c.length, qv.length)) {
+              d += c(i) * qv(i); na += c(i) * c(i); nb += qv(i) * qv(i); i += 1 }
+            if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+          }
+          val probed = cents.map { case (cid, v) => (cid, cos(v)) }
+            .sortBy { case (cid, c) => (-c, cid) }.take(nprobe).map(_._1)
+          val a = sn.read(idx)
+          val elemType = a.schema("embedding").dataType match {
+            case org.apache.spark.sql.types.ArrayType(et, _) => et
+            case other => throw new IllegalArgumentException(
+              s"ann_search_ivf: embedding must be an array column, got $other")
+          }
+          val qcol = array(qv.map(v => lit(v).cast(elemType)).toSeq: _*)
+          // ONE distributed scan over the probed lists only — the
+          // cid IN (…) predicate prunes files through the sidecar stats
+          val top = a.where(col("cid").isin(probed.map(Int.box).toSeq: _*))
+            .select(col("vec_id").cast("long").as("neighbor_id"),
+              graft.functions.functions.cosine_sim(col("embedding"), qcol).as("cos"))
+            .orderBy(col("cos").desc, col("neighbor_id").asc)
+            .limit(k).collect()
+          top.zipWithIndex.map { case (r, i) =>
+            Seq[Any]((i + 1).toLong, r.getLong(0),
+              BigDecimal(r.getDouble(1))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }.toSeq
+        }
+      // DEDUP AS TEXT — the curation pipeline's first verb at the SQL
+      // front door. dedup_exact MUTATES: keep ONE row per key_cols
+      // value (the kept row is the group's minimum non-key tuple —
+      // deterministic without asking for a tiebreaker; '' keys =
+      // full-row DISTINCT) and republish the table in ONE version
+      // through replaceWhere's unbounded range (atomic; history
+      // travels; table metadata/clusterBy survive). One hash shuffle +
+      // one rewrite — the canonical linear cost of exact dedup at any
+      // scale. dedup_minhash REPORTS: the d02 LSH pipeline
+      // (shingle → 128-perm signature → 16-band equi-join →
+      // bloom-pruned exact-Jaccard verify) over any (id, text) lake
+      // table; only the ≤max_pairs result rows reach the driver, and
+      // overflow refuses loudly instead of truncating silently.
+      case "dedup_exact" =>
+        proc("dedup_exact",
+          Seq("lake" -> StringType, "table" -> StringType, "key_cols" -> StringType),
+          Seq("version" -> LongType, "rows_before" -> LongType,
+            "rows_removed" -> LongType)) { in =>
+          import org.apache.spark.sql.functions._
+          val sn = snap(s(in, 0)); val t = s(in, 1)
+          val df = sn.read(t)
+          val keys = s(in, 2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          keys.foreach(k => require(df.columns.contains(k),
+            s"dedup_exact: key column '$k' is not a column of '$t' " +
+              s"(${df.columns.sorted.mkString(", ")})"))
+          val rest = df.columns.filterNot(keys.contains).toSeq
+          val deduped =
+            if (keys.isEmpty || rest.isEmpty) df.distinct()
+            else df.groupBy(keys.map(col): _*)
+              .agg(min(struct(rest.map(col): _*)).as("_keep"))
+              .select(df.columns.map(c =>
+                (if (keys.contains(c)) col(c) else col(s"_keep.$c")).as(c)).toSeq: _*)
+          val before = df.count()
+          val after = deduped.count()
+          val v = sn.replaceWhere(t,
+            Seq(FileStats.ColRange(df.columns.head, None, None)), deduped)
+          Seq(v, before, before - after)
+        }
+      case "dedup_minhash" =>
+        procRows("dedup_minhash",
+          Seq("lake" -> StringType, "table" -> StringType, "id_col" -> StringType,
+            "text_col" -> StringType, "threshold" -> DoubleType,
+            "max_pairs" -> IntegerType),
+          Seq("a_id" -> LongType, "b_id" -> LongType, "jaccard" -> DoubleType)) { in =>
+          val cap = in.getInt(5)
+          require(cap > 0, s"dedup_minhash: max_pairs must be positive, got $cap")
+          val pairs = graft.pipeline.Dedup.minhashPairs(
+            snap(s(in, 0)).read(s(in, 1)), s(in, 2), s(in, 3), in.getDouble(4))
+          val rows = pairs.limit(cap + 1).collect()
+          require(rows.length <= cap,
+            s"dedup_minhash: more than $cap near-duplicate pairs — raise " +
+              "max_pairs or materialize through the Scala API (Dedup.minhashPairs)")
+          rows.map(r => Seq[Any](r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        }
       case other => throw new IllegalArgumentException(
         s"unknown graft procedure '$other' (${Names.mkString("/")})")
     }

@@ -176,6 +176,117 @@ private[sources] trait SnapshotsTxnOps { self: Snapshots =>
       s"createTable lost $MaxAttempts consecutive version races under $root")
   }
 
+  /** ATOMIC table (re)definition — schema, data, clusterBy, CHECKs,
+    * generated declarations and TBLPROPERTIES all land in ONE manifest
+    * write that simultaneously removes every line of the table's
+    * previous definition. This is the verb under the SQL front door's
+    * `CREATE OR REPLACE TABLE` / `REPLACE TABLE … AS SELECT` (and the
+    * atomic CTAS): readers see the OLD table or the NEW one, never a
+    * dropped gap — the non-atomic drop-then-create Spark falls back to
+    * without a [[org.apache.spark.sql.connector.catalog.StagingTableCatalog]]
+    * loses the table entirely if the seeding write fails. History is
+    * retained exactly like every other verb: the pre-replace versions
+    * still resolve (time travel reads the old definition), and the old
+    * files become vacuum food when those versions age out. Consumed
+    * append-tags and the identity high-water mark do NOT carry — a
+    * REPLACE is a new table definition, not a rewrite of the standing
+    * one (the [[commit]] verb is the rewrite that carries them).
+    *
+    * `mustExist` (REPLACE) / `mustNotExist` (atomic CTAS) pin the
+    * statement's existence contract inside the same optimistic-
+    * concurrency loop that publishes, so a racing CREATE or DROP flips
+    * the outcome, never tears it. The batch pays append's contracts:
+    * generated columns computed/validated per row, CHECKs gate before
+    * any byte stages, clusterBy range-clusters into stat-tight files.
+    */
+  def replaceTable(table: String, df0: DataFrame, statsCols: Seq[String] = Nil,
+                   props: Map[String, String] = Map.empty,
+                   checks: Seq[(String, String)] = Nil,
+                   generated: Map[String, String] = Map.empty,
+                   mustExist: Boolean = false,
+                   mustNotExist: Boolean = false): Long = {
+    require(!isMetaEntry(table),
+      s"table name '$table' collides with the reserved '@' manifest lines")
+    require(!(mustExist && mustNotExist), "mustExist and mustNotExist are exclusive")
+    props.keys.foreach(k => require(k.matches("[A-Za-z0-9_.-]+"),
+      s"property key '$k' must be [A-Za-z0-9_.-]+"))
+    checks.foreach { case (n, _) => require(n.matches("[A-Za-z0-9_-]+"),
+      s"constraint name '$n' must be [A-Za-z0-9_-]+") }
+    // synthetic one-table manifest carrying ONLY the NEW definition:
+    // the batch is enforced by the exact generated/CHECK machinery an
+    // append against a standing table runs — computed columns for
+    // omitted generated fields (the CTAS query never names them),
+    // per-row NULL fill, divergence refusal, one aggregate per guard
+    val synth: Map[String, String] =
+      (if (checks.isEmpty) Map.empty[String, String]
+       else Map((table + CheckSuffix) -> encodeChecks(checks.toMap))) ++
+      (if (generated.isEmpty) Map.empty[String, String]
+       else Map((table + GenSuffix) -> encodeChecks(generated)))
+    checks.foreach { case (_, e) =>
+      df0.limit(0).select(org.apache.spark.sql.functions.expr(e)) }
+    generated.values.foreach(e =>
+      df0.limit(0).select(org.apache.spark.sql.functions.expr(e)))
+    // deterministic column order: the batch's own columns first, then
+    // computed generated columns in name order (applyGenerated appends
+    // map-ordered; the published schema must not depend on hash order)
+    val df1 = applyGenerated(table, synth, df0, "replace")
+    val df = {
+      val appended = df1.columns.filterNot(df0.columns.contains).sorted
+      val order = df0.columns.filter(df1.columns.contains) ++ appended
+      if (order.sameElements(df1.columns)) df1
+      else df1.select(order.map(org.apache.spark.sql.functions.col(_)).toSeq: _*)
+    }
+    enforceChecks(table, synth, df, "replace")
+    val cluster = props.get(ClusterByProp).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    cluster.foreach(c => require(df.columns.contains(c),
+      s"$ClusterByProp column '$c' is not a column of table '$table' " +
+        s"(${df.columns.sorted.mkString(", ")})"))
+    var attempt = currentVersion.getOrElse(0L) + 1
+    var written: Option[(String, Seq[(String, Long)])] = None
+    for (_ <- 1 to MaxAttempts) {
+      val cur = currentVersion.map(readManifest).getOrElse(Map.empty[String, String])
+      val exists = dataEntries(cur).contains(table)
+      if (mustExist) require(exists,
+        s"table '$table' not committed under $root — REPLACE TABLE requires " +
+          "it (CREATE OR REPLACE creates)")
+      if (mustNotExist) require(!exists,
+        s"table '$table' already exists under $root")
+      val (rel, files) = written.getOrElse {
+        val r = stageRel(attempt, table)
+        // the seeding batch honors the clusterBy contract exactly like
+        // append: range-cluster + in-file sort, sidecar stats on the
+        // cluster columns so the FIRST read after the replace prunes
+        clusterBatch(df, cluster).write.mode("overwrite").parquet(s"$root/$r")
+        if (cluster.nonEmpty) {
+          FileStats.dropEmptyFiles(fs, new Path(s"$root/$r"),
+            s.sparkContext.hadoopConfiguration)
+          if (FileStats.dataFiles(fs, new Path(s"$root/$r")).isEmpty)
+            df.limit(0).coalesce(1).write.mode("overwrite").parquet(s"$root/$r")
+        }
+        val statsAll = (statsCols ++ cluster).distinct
+        if (statsAll.nonEmpty)
+          FileStats.writeSidecar(fs, new Path(s"$root/$r"),
+            FileStats.harvest(s, s"$root/$r", statsAll))
+        val fl = listRelFiles(Seq(r))
+        written = Some((r, fl)); (r, fl)
+      }
+      val base = cur.filterNot { case (k, _) =>
+        k == table || k.startsWith(table + "@") }
+      val lines: Map[String, String] = Map(
+        table -> rel,
+        schemaLine(table, predictReadBack(df.schema).getOrElse(writtenSchema(rel))),
+        filesLine(table, files)) ++
+        (if (props.isEmpty) Map.empty[String, String]
+         else Map((table + PropsSuffix) -> encodeChecks(props))) ++ synth
+      faultHook("pre-publish:replaceTable") // crash point: staged, old table intact
+      if (writeManifest(attempt, base ++ lines)) return attempt
+      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
+    }
+    throw new IllegalStateException(
+      s"replaceTable lost $MaxAttempts consecutive version races under $root")
+  }
+
   /** DROP TABLE: publishes a manifest without the table's data entry or
     * any of its `@` metadata lines — a metadata-only commit (zero data
     * IO). The dropped table's files stay referenced by OLDER manifests

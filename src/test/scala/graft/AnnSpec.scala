@@ -462,4 +462,58 @@ class AnnSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSeq
     assert(filtered.map(_._2) == truth, s"CALL ${filtered.map(_._2)} != truth $truth")
   }
+
+  test("s15 CALL ann_index_ivf/ann_search_ivf: full-probe == exact, nprobe=1 stays in-list, rank-1 self") {
+    val sp = spark
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("annivfsql").toString
+    sp.conf.set("spark.sql.catalog.gaiv", classOf[graft.sources.GraftCatalog].getName)
+    sp.conf.set("spark.sql.catalog.gaiv.root", root)
+    sp.sql("CREATE NAMESPACE gaiv.db")
+    graft.sources.Catalog.register(sp, dir)
+    sp.sql("CREATE TABLE gaiv.db.emb (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+    sp.sql("INSERT INTO gaiv.db.emb SELECT vec_id, embedding FROM embeddings")
+
+    val built = sp.sql(
+      "CALL gaiv.system.ann_index_ivf('db', 'emb', 'emb_ivf', 8)").head
+    assert(built.getInt(1) == 8, s"explicit nlist must be honored: $built")
+    val nVecs = built.getLong(2)
+    val snap = new graft.sources.Snapshots(sp, root + "/db")
+    assert(snap.read("emb_ivf").count() == nVecs,
+      "every corpus vector must be assigned to exactly one list")
+    assert(snap.read("emb_ivf_cents").count() == 8L)
+
+    val q = sp.sql("SELECT embedding FROM embeddings WHERE vec_id = 0").head
+      .getSeq[Float](0)
+    val qs = q.mkString(",")
+
+    // FULL probe (nprobe = nlist) scans every list → must equal the
+    // exact top-k over the corpus, self included at rank 1 / cos 1.0
+    val full = sp.sql(s"CALL gaiv.system.ann_search_ivf('db', 'emb_ivf', '$qs', 10, 8)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(full.head._2 == 0L && full.head._3 == 1.0,
+      s"rank-1 must be the query itself: ${full.head}")
+    val exact = sp.sql("SELECT vec_id, embedding FROM embeddings")
+      .select(col("vec_id"),
+        graft.functions.functions.cosine_sim(col("embedding"),
+          array(q.map(v => lit(v)): _*)).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(10).collect()
+      .map(_.getLong(0)).toSeq
+    assert(full.map(_._2) == exact, s"full probe ${full.map(_._2)} != exact $exact")
+
+    // nprobe = 1: every neighbor must come from the single probed list
+    // (the query's own — it contains the query vector at cos 1.0)
+    val one = sp.sql(s"CALL gaiv.system.ann_search_ivf('db', 'emb_ivf', '$qs', 10, 1)")
+      .collect().map(_.getLong(1)).toSeq
+    val cidOf = snap.read("emb_ivf").select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(one.contains(0L), "the query's own list holds the query vector")
+    assert(one.map(cidOf).distinct.size == 1,
+      s"nprobe=1 neighbors must share one coarse list: ${one.map(cidOf)}")
+
+    // rebuild with adaptive nlist republishes (idempotent CALL)
+    val rebuilt = sp.sql(
+      "CALL gaiv.system.ann_index_ivf('db', 'emb', 'emb_ivf', 0)").head
+    assert(rebuilt.getInt(1) == graft.pipeline.Ann.adaptiveNlist(nVecs))
+  }
 }

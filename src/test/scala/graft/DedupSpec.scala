@@ -38,6 +38,40 @@ class DedupSpec extends AnyFunSuite {
     assert(out.length == nDocs, "one surviving row per distinct text")
   }
 
+  test("dedup CALL procedures: dedup_minhash == Dedup.minhashPairs row-for-row; dedup_exact republishes the deduped table") {
+    val sp = spark
+    val root = java.nio.file.Files.createTempDirectory("dedupcall").toString
+    sp.conf.set("spark.sql.catalog.gdd", classOf[graft.sources.GraftCatalog].getName)
+    sp.conf.set("spark.sql.catalog.gdd.root", root)
+    sp.sql("CREATE NAMESPACE gdd.db")
+    docs(sp, dir).select(col("doc_id"), col("text"))
+      .createOrReplaceTempView("dedup_call_src")
+    sp.sql("CREATE TABLE gdd.db.corpus AS SELECT doc_id, text FROM dedup_call_src")
+
+    // near-dup mining as text == the Scala pipeline, row for row
+    val viaCall = sp.sql(
+      "CALL gdd.system.dedup_minhash('db', 'corpus', 'doc_id', 'text', 0.5D, 10000)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val viaScala = Dedup.minhashPairs(
+        new graft.sources.Snapshots(sp, root + "/db").read("corpus"),
+        "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaCall == viaScala, s"CALL ${viaCall.size} vs Scala ${viaScala.size}")
+    assert(viaCall.nonEmpty, "sf0.001 corpus plants near-dup pairs")
+
+    // exact dedup as text: seed duplicates, CALL, table IS deduped
+    sp.sql("CREATE OR REPLACE TABLE gdd.db.corpus AS " +
+      "SELECT doc_id, text FROM dedup_call_src " +
+      "UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM dedup_call_src")
+    val n = sp.sql("SELECT count(*) FROM gdd.db.corpus").head.getLong(0)
+    val res = sp.sql("CALL gdd.system.dedup_exact('db', 'corpus', 'text')").head
+    assert(res.getLong(1) == n, "rows_before")
+    assert(res.getLong(2) == n / 2, "every text planted exactly twice")
+    assert(sp.sql("SELECT count(*) FROM gdd.db.corpus").head.getLong(0) == n / 2)
+    // keep policy: the minimum non-key tuple — the UNSHIFTED ids survive
+    assert(sp.sql("SELECT max(doc_id) FROM gdd.db.corpus").head.getLong(0) < 100000L)
+  }
+
   test("d02 MinHash/LSH finds all high-similarity pairs (recall vs brute force)") {
     val found = Dedup.d02DedupMinhash(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

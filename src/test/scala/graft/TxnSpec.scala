@@ -3452,6 +3452,70 @@ class TxnSpec extends AnyFunSuite {
     intercept[Exception] { snap.copyInto("t", Files.createTempDirectory("empty").toString) }
   }
 
+  test("CREATE OR REPLACE TABLE is atomic: one staged publish, failed seeds keep the old table, history travels") {
+    val sp = spark
+    val root = Files.createTempDirectory("sqlrepl").toString
+    sp.conf.set("spark.sql.catalog.grpl", classOf[graft.sources.GraftCatalog].getName)
+    sp.conf.set("spark.sql.catalog.grpl.root", root)
+    sp.sql("CREATE NAMESPACE grpl.db")
+    val snap = new Snapshots(sp, root + "/db")
+
+    // atomic CTAS: schema + data + publish in ONE version
+    sp.sql("CREATE TABLE grpl.db.t AS SELECT id, id * 2 AS dbl FROM range(1, 11)")
+    val vCreate = snap.currentVersion.get
+    assert(sp.sql("SELECT sum(dbl) FROM grpl.db.t").head.getLong(0) == 110L)
+
+    // CREATE OR REPLACE swaps schema AND data in ONE version; the
+    // pre-replace version still time-travels to the old definition
+    sp.sql("CREATE OR REPLACE TABLE grpl.db.t AS " +
+      "SELECT id AS k, CAST(id AS STRING) AS tag FROM range(1, 4)")
+    assert(snap.currentVersion.get == vCreate + 1,
+      "REPLACE must publish exactly one version")
+    assert(sp.sql("SELECT count(*) FROM grpl.db.t").head.getLong(0) == 3L)
+    assert(sp.sql("SELECT * FROM grpl.db.t").columns.toSeq == Seq("k", "tag"))
+    val pre = sp.sql(s"SELECT * FROM grpl.db.t VERSION AS OF $vCreate")
+    assert(pre.columns.toSeq == Seq("id", "dbl"))
+    assert(pre.count() == 10L)
+
+    // REPLACE TABLE on a missing table refuses; CREATE OR REPLACE creates
+    intercept[Exception] {
+      sp.sql("REPLACE TABLE grpl.db.missing AS SELECT 1 AS x") }
+    sp.sql("CREATE OR REPLACE TABLE grpl.db.fresh AS SELECT 1 AS x")
+    assert(sp.sql("SELECT x FROM grpl.db.fresh").head.getInt(0) == 1)
+    // plain CREATE through the staged path still refuses a standing table
+    intercept[Exception] {
+      sp.sql("CREATE TABLE grpl.db.fresh AS SELECT 2 AS x") }
+
+    // ATOMICITY: a seeding query that fails at execution leaves the
+    // old table fully intact (the non-atomic drop-then-create fallback
+    // would have dropped it before the failure)
+    val vBefore = snap.currentVersion.get
+    intercept[Exception] {
+      sp.sql("CREATE OR REPLACE TABLE grpl.db.t AS " +
+        "SELECT assert_true(id < 5) AS chk, id FROM range(1, 11)").collect()
+    }
+    assert(snap.currentVersion.get == vBefore, "failed REPLACE must publish nothing")
+    assert(sp.sql("SELECT count(*) FROM grpl.db.t").head.getLong(0) == 3L,
+      "old table must survive a failed REPLACE untouched")
+
+    // CHECK constraints land enforced through the staged path too
+    sp.sql("CREATE OR REPLACE TABLE grpl.db.guarded " +
+      "(k BIGINT, CONSTRAINT pos CHECK (k > 0))")
+    intercept[Exception] { sp.sql("INSERT INTO grpl.db.guarded VALUES (-1)") }
+    sp.sql("INSERT INTO grpl.db.guarded VALUES (7)")
+    assert(sp.sql("SELECT sum(k) FROM grpl.db.guarded").head.getLong(0) == 7L)
+
+    // REPLACE × PARTITIONED BY: the new definition's clusterBy contract
+    // lands in the same single commit and the seeding batch clusters
+    sp.sql("CREATE OR REPLACE TABLE grpl.db.t PARTITIONED BY (k) AS " +
+      "SELECT id AS k, id * 3 AS v FROM range(1, 201)")
+    val props = sp.sql("SHOW TBLPROPERTIES grpl.db.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("clusterBy").contains("k"), props)
+    assert(sp.sql("SELECT sum(v) FROM grpl.db.t WHERE k BETWEEN 1 AND 10")
+      .head.getLong(0) == (1L to 10L).map(_ * 3).sum)
+  }
+
   test("INSERT OVERWRITE as text: atomic one-version replace, history intact, nulls pass") {
     val sp = spark
     val root = Files.createTempDirectory("sqlovw").toString
