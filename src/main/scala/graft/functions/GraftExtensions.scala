@@ -66,5 +66,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("weighted_avg"),
       info("weighted_avg", "weighted_avg(value, weight) - sum(v*w)/sum(w) declarative aggregate"),
       (args: Seq[Expression]) => WeightedAvg(args(0), args(1)).toAggregateExpression()))
+
+    // TEXT-PIPELINE scalars as SQL — the curation heuristics (t01-t04)
+    // each as one registered function, so `SELECT … WHERE
+    // quality_score(text) >= 0.5 AND lang_id(text) = 'en'` is pure
+    // text. Each builds the SAME Column expression the Scala operators
+    // use (TextOps.*Col — builtins only, whole-stage codegen, pushable)
+    // through the public Column↔Expression converters; no parallel
+    // derivation to drift.
+    def colFn(name: String, usage: String)(
+        f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Unit =
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, s"$name(text) takes exactly one argument")
+          org.apache.spark.sql.GraftShim.columnExpression(
+            f(org.apache.spark.sql.GraftShim.column(args.head)))
+        }))
+
+    colFn("lang_id",
+      "lang_id(text) - stopword-evidence language tag (en/de/fr/es/und)")(
+      graft.pipeline.TextOps.langIdCol)
+    colFn("quality_score",
+      "quality_score(text) - linear blend of diversity/stopword/length heuristics in [0,1]")(
+      graft.pipeline.TextOps.qualityScoreCol)
+    colFn("token_count",
+      "token_count(text) - whitespace token count")(
+      graft.pipeline.TextOps.tokenCountCol)
+    colFn("doc_fingerprint",
+      "doc_fingerprint(text) - md5 of case/punctuation/whitespace-normalized text")(
+      graft.pipeline.TextOps.fingerprintCol)
   }
 }

@@ -59,6 +59,44 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** The t01 classifier as ONE scalar over raw text — the SQL-function
+    * form (`lang_id(text)`, registered by GraftExtensions). Codegen
+    * CSE evaluates the repeated split subtree once; TextSpec pins
+    * equality with [[langIdFrame]]'s pred_lang.
+    */
+  def langIdCol(text: Column): Column = {
+    val toks = tokens(text)
+    val en = stopCount(toks, enStops); val de = stopCount(toks, deStops)
+    val fr = stopCount(toks, frStops); val es = stopCount(toks, esStops)
+    when(en >= de && en >= fr && en >= es && en > 0, "en")
+      .when(de >= fr && de >= es && de > 0, "de")
+      .when(fr >= es && fr > 0, "fr")
+      .when(es > 0, "es")
+      .otherwise("und")
+  }
+
+  /** The t02 linear quality blend as one scalar (`quality_score(text)`
+    * in SQL) — a pushable per-row predicate input at any scale.
+    */
+  def qualityScoreCol(text: Column): Column = {
+    val toks = tokens(text)
+    val nWords = size(toks)
+    val nDistinct = size(array_distinct(toks))
+    val nStop = stopCount(toks, enStops)
+    round(lit(0.4) * (nDistinct * lit(1.0) / nWords) +
+      lit(0.4) * (lit(1.0) - nStop * lit(1.0) / nWords) +
+      lit(0.2) * least(nWords * lit(1.0) / 100.0, lit(1.0)), 4)
+  }
+
+  /** t03's whitespace token count as one scalar (`token_count(text)`). */
+  def tokenCountCol(text: Column): Column =
+    size(split(trim(text), " +")).cast("long")
+
+  /** t04's normalized content fingerprint (`doc_fingerprint(text)`). */
+  def fingerprintCol(text: Column): Column =
+    md5(trim(regexp_replace(regexp_replace(lower(text),
+      "[^a-z0-9 ]", " "), " +", " ")).cast("binary"))
+
   /** C9: document quality scoring — length, lexical diversity, stopword
     * density, word-length shape. The score is a fixed linear blend, so
     * filtering `quality >= θ` is a plain pushable predicate at scale.
@@ -881,7 +919,25 @@ object TextOps {
       .orderBy("pred_lang", "split")
   }
 
+  /** C72 `t30_sql_text_funcs`: the text-pipeline heuristics as SQL
+    * FUNCTIONS — lang_id / quality_score / token_count /
+    * doc_fingerprint registered by GraftExtensions, so the curation
+    * filters every t01-t04 consumer writes in Scala are one SELECT of
+    * text. Each function IS the operator's Column expression (no
+    * parallel derivation); the oracle folds the four proven t01-t04
+    * closed forms into one DuckDB statement.
+    */
+  def t30SqlTextFuncs(s: SparkSession, dir: String): DataFrame = {
+    graft.sources.Catalog.register(s, dir)
+    s.sql("""SELECT doc_id, lang_id(text) AS pred_lang,
+            |       quality_score(text) AS quality,
+            |       token_count(text) AS ws_tokens,
+            |       doc_fingerprint(text) AS fingerprint
+            |FROM documents ORDER BY doc_id""".stripMargin)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t30_sql_text_funcs" -> t30SqlTextFuncs _,
     "p01_pipeline_e2e" -> p01PipelineE2e _,
     "t29_heavy_hitters" -> ((s, dir) => t29HeavyHitters(s, dir)),
     "t28_quality_gate" -> t28QualityGate _,
@@ -915,6 +971,30 @@ object TextOps {
     stops.map(s => s"'$s'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "t30_sql_text_funcs" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, text,
+         |    len(list_filter(string_split(text, ' '), t -> list_contains(${listLit(enStops)}, t))) AS en_n,
+         |    len(list_filter(string_split(text, ' '), t -> list_contains(${listLit(deStops)}, t))) AS de_n,
+         |    len(list_filter(string_split(text, ' '), t -> list_contains(${listLit(frStops)}, t))) AS fr_n,
+         |    len(list_filter(string_split(text, ' '), t -> list_contains(${listLit(esStops)}, t))) AS es_n,
+         |    len(string_split(text, ' ')) AS n_words,
+         |    len(list_distinct(string_split(text, ' '))) AS n_distinct
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN en_n >= de_n AND en_n >= fr_n AND en_n >= es_n AND en_n > 0 THEN 'en'
+         |       WHEN de_n >= fr_n AND de_n >= es_n AND de_n > 0 THEN 'de'
+         |       WHEN fr_n >= es_n AND fr_n > 0 THEN 'fr'
+         |       WHEN es_n > 0 THEN 'es'
+         |       ELSE 'und' END AS pred_lang,
+         |  round(0.4 * (n_distinct * 1.0 / n_words) +
+         |        0.4 * (1.0 - en_n * 1.0 / n_words) +
+         |        0.2 * least(n_words * 1.0 / 100.0, 1.0), 4) AS quality,
+         |  len(string_split_regex(trim(text), ' +')) AS ws_tokens,
+         |  md5(trim(regexp_replace(regexp_replace(lower(text),
+         |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fingerprint
+         |FROM f ORDER BY doc_id""".stripMargin,
     // the WHOLE pipeline recomputed as one CTE chain: any stage drift
     // (or composition drift) breaks the hash
     "p01_pipeline_e2e" ->

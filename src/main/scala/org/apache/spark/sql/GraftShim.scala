@@ -11,6 +11,16 @@ object GraftShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Column → a REAL Catalyst expression tree (not the lazy
+    * ColumnNodeExpression wrapper [[expression]] returns, which only
+    * classic-Dataset plan construction unwraps — handed to the
+    * analyzer from a FunctionBuilder it would reach codegen unresolved).
+    * Children may be UnresolvedFunction — the analyzer resolves them
+    * like any parsed SQL.
+    */
+  def columnExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** DataFrame over a custom LogicalPlan (classic Dataset.ofRows). */
   def ofRows(s: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(s.asInstanceOf[classic.SparkSession], plan)

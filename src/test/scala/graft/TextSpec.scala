@@ -26,6 +26,29 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL text functions return exactly the Scala operators' columns (one expression, no drift)") {
+    import org.apache.spark.sql.functions._
+    val sp = spark
+    val dir = TestSpark.sfTest
+    graft.pipeline.docs(sp, dir).createOrReplaceTempView("sqlfn_docs")
+    val viaSql = sp.sql(
+      """SELECT doc_id, lang_id(text) AS pred_lang, quality_score(text) AS q,
+        |       token_count(text) AS n, doc_fingerprint(text) AS fp
+        |FROM sqlfn_docs ORDER BY doc_id""".stripMargin).collect()
+    val viaScala = graft.pipeline.docs(sp, dir)
+      .select(col("doc_id"), TextOps.langIdCol(col("text")).as("pred_lang"),
+        TextOps.qualityScoreCol(col("text")).as("q"),
+        TextOps.tokenCountCol(col("text")).as("n"),
+        TextOps.fingerprintCol(col("text")).as("fp"))
+      .orderBy("doc_id").collect()
+    assert(viaSql.toSeq == viaScala.toSeq)
+    // and the Col form equals the original frame operators
+    val frame = TextOps.langIdFrame(graft.pipeline.docs(sp, dir))
+      .select("doc_id", "pred_lang").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    viaScala.foreach(r => assert(frame(r.getLong(0)) == r.getString(1),
+      s"langIdCol diverges from langIdFrame at doc ${r.getLong(0)}"))
+  }
+
   test("t04 fingerprint is invariant to case, punctuation and extra whitespace") {
     import spark.implicits._
     val df = Seq(
