@@ -142,6 +142,8 @@ object Ann {
           (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy("doc_id").agg(sum("part").as("bm25"))
       .orderBy(desc("bm25"), col("doc_id")).limit(legTop)
+      // single-partition window is BOUNDED: runs on the ≤legTop rows
+      // the limit above already collected (rank assignment, not a scan)
       .withColumn("rank_lex",
         row_number().over(Window.orderBy(desc("bm25"), col("doc_id"))))
       .select(col("doc_id"), col("rank_lex"))
@@ -153,6 +155,7 @@ object Ann {
       .withColumn("cos", cosine_sim(col("embedding"), col("q_vec")))
       .select(col("doc_id"), col("cos"))
       .orderBy(desc("cos"), col("doc_id")).limit(legTop)
+      // bounded as above: ≤legTop rows
       .withColumn("rank_vec",
         row_number().over(Window.orderBy(desc("cos"), col("doc_id"))))
       .select(col("doc_id"), col("rank_vec"))
@@ -277,6 +280,8 @@ object Ann {
     e.select(col("vec_id"), col("embedding"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(nlist)
+      // single-partition window is BOUNDED: ≤nlist (≤256) seed rows —
+      // dense cid numbering, not a corpus scan
       .select(
         (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int").as("cid"),
         col("embedding").as("c_vec"))
@@ -354,10 +359,13 @@ object Ann {
     * layout, no new read machinery.
     */
   def ivfIndexBuild(e: DataFrame, nlist: Int): (DataFrame, DataFrame) = {
-    val cents = trainCentroids(e, nlist)
-    val assigned = coarseAssign(cents,
-      e.select(col("vec_id"), col("embedding")), "vec_id", "embedding", 1)
-      .select(col("cid"), col("vec_id"), col("embedding"))
+    val cents = trainCentroids(e.select(col("vec_id"), col("embedding")), nlist)
+    // ALL source columns ride into the index table (cid first): the
+    // clustered copy IS the inverted list, and metadata columns stay
+    // filterable inside probed lists (the s12 pre-filter contract for
+    // the CALL's _where form — predicate at the scan, stats-skipped)
+    val assigned = coarseAssign(cents, e, "vec_id", "embedding", 1)
+      .select((col("cid") +: e.columns.map(col(_))).toSeq: _*)
     (cents, assigned)
   }
 
@@ -955,6 +963,7 @@ object Ann {
     // scan; each seed vector's m subvectors seed code c in all m books.
     var codebook = pqSubvecs(
         pqNormalize(e).orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(ksub)
+          // bounded single-partition window: ≤ksub seed rows
           .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int").as("code"),
             col("vec")),
         "code", m)

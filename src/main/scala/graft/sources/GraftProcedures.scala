@@ -28,9 +28,10 @@ import org.apache.spark.sql.types._
 private[sources] object GraftProcedures {
 
   val Names: Seq[String] =
-    Seq("compact", "zorder", "vacuum", "analyze", "rollback", "sync_identity",
+    Seq("compact", "compact_where", "zorder", "vacuum", "analyze", "rollback", "sync_identity",
       "copy_into", "clone", "restore", "ann_search", "ann_search_where",
-      "ann_index_ivf", "ann_search_ivf", "dedup_exact", "dedup_minhash")
+      "ann_index_ivf", "ann_search_ivf", "ann_search_ivf_where",
+      "dedup_exact", "dedup_minhash")
 
   def load(rootPrefix: String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.sameElements(Array("system")),
@@ -74,6 +75,37 @@ private[sources] object GraftProcedures {
           Seq("lake" -> StringType, "table" -> StringType),
           Seq("version" -> LongType)) { in =>
           Seq(snap(s(in, 0)).compact(s(in, 1)))
+        }
+      case "compact_where" =>
+        // predicate-scoped OPTIMIZE as text (Delta's `OPTIMIZE … WHERE`,
+        // public design): only files whose stats MIGHT intersect
+        // [lo, hi] on `col` are bin-packed; the rest are re-referenced
+        // untouched — at 100 TB you compact the hot ingest slice, never
+        // the table. CALL graft.system.compact_where('db','t','ts','a','b')
+        proc("compact_where",
+          Seq("lake" -> StringType, "table" -> StringType, "col" -> StringType,
+            "lo" -> StringType, "hi" -> StringType),
+          Seq("version" -> LongType)) { in =>
+          val sn0 = snap(s(in, 0)); val t = s(in, 1); val c = s(in, 2)
+          // bounds arrive as TEXT; coerce to the column's type so the
+          // stats classifier compares in the column's own order
+          val dt = sn0.read(t).schema(c).dataType
+          def conv(v: String): Any = dt match {
+            case ByteType | ShortType | IntegerType | LongType => v.toLong
+            case FloatType | DoubleType => v.toDouble
+            case DateType => java.time.LocalDate.parse(v)
+            case TimestampType =>
+              try java.sql.Timestamp.valueOf(v).toInstant
+              catch { case _: IllegalArgumentException => java.time.Instant.parse(v) }
+            case _: StringType => v
+            case other => throw new IllegalArgumentException(
+              s"compact_where: unsupported bound type ${other.simpleString} for '$c'")
+          }
+          Seq(sn0.compactWhere(t,
+            Seq(FileStats.ColRange(c,
+              Some(s(in, 3)).filter(_.nonEmpty).map(conv),
+              Some(s(in, 4)).filter(_.nonEmpty).map(conv))),
+            statsCols = Seq(c)))
         }
       case "zorder" =>
         proc("zorder",
@@ -236,12 +268,8 @@ private[sources] object GraftProcedures {
           // Int to Long and break the IntegerType accessor downstream
           Seq[Any](v, nl, n)
         }
-      case "ann_search_ivf" =>
-        procRows("ann_search_ivf",
-          Seq("lake" -> StringType, "index" -> StringType,
-            "qvec" -> StringType, "k" -> IntegerType, "nprobe" -> IntegerType),
-          Seq("rank" -> LongType, "neighbor_id" -> LongType,
-            "cos_sim" -> DoubleType)) { in =>
+      case "ann_search_ivf" | "ann_search_ivf_where" =>
+        def ivfBody(in: InternalRow, pred: Option[String]): Seq[Seq[Any]] = {
           import org.apache.spark.sql.functions._
           val sn = snap(s(in, 0)); val idx = s(in, 1)
           val k = in.getInt(3); val nprobe = in.getInt(4)
@@ -270,8 +298,14 @@ private[sources] object GraftProcedures {
           }
           val qcol = array(qv.map(v => lit(v).cast(elemType)).toSeq: _*)
           // ONE distributed scan over the probed lists only — the
-          // cid IN (…) predicate prunes files through the sidecar stats
-          val top = a.where(col("cid").isin(probed.map(Int.box).toSeq: _*))
+          // cid IN (…) predicate prunes files through the sidecar
+          // stats; the _where form's predicate lands on the SAME scan
+          // (pre-filter: ineligible rows never scored, never take heap
+          // slots — the s12 contract inside the index path)
+          val listed = a.where(col("cid").isin(probed.map(Int.box).toSeq: _*))
+          val eligible = pred.filter(_.trim.nonEmpty)
+            .map(p => listed.where(expr(p))).getOrElse(listed)
+          val top = eligible
             .select(col("vec_id").cast("long").as("neighbor_id"),
               graft.functions.functions.cosine_sim(col("embedding"), qcol).as("cos"))
             .orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -282,6 +316,19 @@ private[sources] object GraftProcedures {
                 .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
           }.toSeq
         }
+        val ivfOut = Seq("rank" -> LongType, "neighbor_id" -> LongType,
+          "cos_sim" -> DoubleType)
+        if (ident.name == "ann_search_ivf")
+          procRows("ann_search_ivf",
+            Seq("lake" -> StringType, "index" -> StringType,
+              "qvec" -> StringType, "k" -> IntegerType, "nprobe" -> IntegerType),
+            ivfOut)(in => ivfBody(in, None))
+        else
+          procRows("ann_search_ivf_where",
+            Seq("lake" -> StringType, "index" -> StringType,
+              "qvec" -> StringType, "k" -> IntegerType, "nprobe" -> IntegerType,
+              "predicate" -> StringType),
+            ivfOut)(in => ivfBody(in, Some(s(in, 5))))
       // DEDUP AS TEXT — the curation pipeline's first verb at the SQL
       // front door. dedup_exact MUTATES: keep ONE row per key_cols
       // value (the kept row is the group's minimum non-key tuple —

@@ -515,5 +515,27 @@ class AnnSpec extends AnyFunSuite {
     val rebuilt = sp.sql(
       "CALL gaiv.system.ann_index_ivf('db', 'emb', 'emb_ivf', 0)").head
     assert(rebuilt.getInt(1) == graft.pipeline.Ann.adaptiveNlist(nVecs))
+
+    // the _where form: metadata columns ride into the index table and
+    // the predicate pre-filters INSIDE the probed lists — at full
+    // probe it must equal the exact filtered top-k
+    sp.sql("CREATE TABLE gaiv.db.embl (vec_id BIGINT, embedding ARRAY<FLOAT>, label INT)")
+    sp.sql("""INSERT INTO gaiv.db.embl
+             |SELECT vec_id, embedding, CAST(pmod(vec_id, 3) AS INT) FROM embeddings""".stripMargin)
+    sp.sql("CALL gaiv.system.ann_index_ivf('db', 'embl', 'embl_ivf', 8)")
+    assert(snap.read("embl_ivf").columns.toSeq == Seq("cid", "vec_id", "embedding", "label"))
+    val fw = sp.sql(
+      s"CALL gaiv.system.ann_search_ivf_where('db', 'embl_ivf', '$qs', 8, 8, 'label = 2')")
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(fw.size == 8)
+    assert(fw.forall(_._1 % 3 == 2), s"every neighbor must satisfy the predicate: $fw")
+    val truthF = sp.sql("SELECT vec_id, embedding FROM embeddings")
+      .where(pmod(col("vec_id"), lit(3)) === 2)
+      .select(col("vec_id"),
+        graft.functions.functions.cosine_sim(col("embedding"),
+          array(q.map(v => lit(v)): _*)).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(8).collect()
+      .map(_.getLong(0)).toSeq
+    assert(fw.map(_._1) == truthF, s"filtered full-probe ${fw.map(_._1)} != exact $truthF")
   }
 }

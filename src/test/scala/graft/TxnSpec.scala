@@ -2763,6 +2763,22 @@ class TxnSpec extends AnyFunSuite {
     intercept[Exception] {
       sp.sql("SELECT * FROM gproc.db.t VERSION AS OF 1").collect() }
 
+    // compact_where: only the slice's files bin-pack — seed several
+    // small stats-covered appends, scope the CALL to the low ids, and
+    // the out-of-range file survives untouched
+    sp.sql("CREATE TABLE gproc.db.cw (id BIGINT, v BIGINT) PARTITIONED BY (id)")
+    sp.sql("INSERT INTO gproc.db.cw VALUES (1, 10), (2, 20)")
+    sp.sql("INSERT INTO gproc.db.cw VALUES (3, 30), (4, 40)")
+    sp.sql("INSERT INTO gproc.db.cw VALUES (100, 1000)")
+    val cwFiles = snap.read("cw").inputFiles.toSet
+    sp.sql("CALL gproc.system.compact_where('db', 'cw', 'id', '1', '10')").head.getLong(0)
+    val cwAfter = snap.read("cw").inputFiles.toSet
+    assert(sp.sql("SELECT sum(v) FROM gproc.db.cw").head.getLong(0) == 1100L,
+      "compaction never changes rows")
+    assert(cwAfter != cwFiles, "the in-range files must repack")
+    assert(cwFiles.exists(f => cwAfter.contains(f)),
+      "the out-of-range file must be re-referenced untouched")
+
     // unknown procedure refuses loudly
     intercept[Exception] { sp.sql("CALL gproc.system.explode('db')") }
 
