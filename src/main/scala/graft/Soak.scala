@@ -71,7 +71,15 @@ object Soak {
     // composition (not any verified stage) introduced a blowup; s13's
     // byte-dot codes scan is O(corpus × queries) at fixed queries, so
     // linear in the corpus like s05
-    "t29_heavy_hitters", "p01_pipeline_e2e", "s13_ann_sq8")
+    "t29_heavy_hitters", "p01_pipeline_e2e", "s13_ann_sq8",
+    // round-11: the SQL front door's heavy verbs at 10× — d15's CALL is
+    // the exact-dedup groupBy + the one-version replaceWhere rewrite
+    // (both linear); s15's CALL trains k-means|| at the adaptive list
+    // count then probes through the clustered index table (the scan is
+    // file-skipped to probed lists — task_ms must track corpus, not
+    // blow up with it); c36's atomic CTAS+REPLACE pays two clustered
+    // seeding writes (append's range shuffle, linear in the batch)
+    "d15_sql_dedup", "s15_ann_sql_ivf", "c36_replace_table")
 
   private final class MetricsListener extends SparkListener {
     val runMs = new AtomicLong; val gcMs = new AtomicLong; val tasks = new AtomicLong

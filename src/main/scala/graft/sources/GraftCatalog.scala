@@ -66,7 +66,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def capabilities(): java.util.Set[
       org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
     util.EnumSet.of(
-      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      // column-level DDL: `GENERATED ALWAYS AS (expr)` lands on the
+      // engine's @gen derivations, `GENERATED ALWAYS AS IDENTITY` on
+      // the @identity high-water line — both in CREATE's ONE commit
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   private def spark = SparkSession.active
 
@@ -166,16 +171,48 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     */
   override def createTable(ident: Identifier,
                            info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
-    val checks = info.constraints.toSeq.map {
+    val checks = checksOf(info)
+    val (genDdl, identity) = columnDdlOf(info)
+    createTable(ident, info.schema, info.partitions, info.properties,
+      checks, genDdl, identity)
+  }
+
+  private def checksOf(
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Seq[(String, String)] =
+    info.constraints.toSeq.map {
       case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
         c.name -> c.predicateSql
       case other => throw new UnsupportedOperationException(
         s"graft enforces CHECK constraints only — '${other.toDDL}' would be " +
           "recorded but never enforced; model keys via the identity/merge verbs")
     }
-    val t = createTable(ident, info.schema, info.partitions, info.properties,
-      checks)
-    t
+
+  /** Column-level DDL (Spark 4 DSv2): `GENERATED ALWAYS AS (expr)`
+    * columns → the engine's @gen derivation map; `GENERATED ALWAYS AS
+    * IDENTITY` → the @identity (column, start) declaration. Step ≠ 1
+    * and BY DEFAULT (allowExplicitInsert) refuse loudly — the engine's
+    * assigner is dense-from-high-water, and explicit-id ingestion is
+    * the mergeInto/replication path, not INSERT.
+    */
+  private def columnDdlOf(
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : (Map[String, String], Option[(String, Long)]) = {
+    val cols = info.columns.toSeq
+    val gen = cols.filter(_.generationExpression != null)
+      .map(c => c.name -> c.generationExpression).toMap
+    val idents = cols.filter(_.identityColumnSpec != null)
+    require(idents.size <= 1,
+      s"at most one identity column (got ${idents.map(_.name).mkString(", ")})")
+    val identity = idents.headOption.map { c =>
+      val spec = c.identityColumnSpec
+      require(spec.getStep == 1L,
+        s"identity step must be 1 (dense high-water assignment), got ${spec.getStep}")
+      require(!spec.isAllowExplicitInsert,
+        "GENERATED BY DEFAULT identity is not supported — explicit ids ride the " +
+          "mergeInto/replication verbs; declare GENERATED ALWAYS")
+      c.name -> spec.getStart
+    }
+    (gen, identity)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -210,12 +247,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def createTable(ident: Identifier, schema0: StructType,
                           partitions: Array[Transform],
                           properties: util.Map[String, String],
-                          checks: Seq[(String, String)]): Table = {
+                          checks: Seq[(String, String)],
+                          generatedDdl: Map[String, String] = Map.empty,
+                          identity: Option[(String, Long)] = None): Table = {
     val low = lowerLayout(schema0, partitions)
     val schema = org.apache.spark.sql.types.StructType(schema0.fields ++ low.genFields)
     low.cluster.foreach(c => require(schema.fieldNames.contains(c),
       s"clustering column '$c' is not a column of the table " +
         s"(${schema.fieldNames.sorted.mkString(", ")})"))
+    val generated = mergeGenerated(low.generated, generatedDdl, schema0)
     val sn = snap(ident.namespace)
     val props = filterProps(properties) ++
       (if (low.cluster.nonEmpty) Map(sn.ClusterByProp -> low.cluster.mkString(","))
@@ -225,8 +265,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema).repartition(1)
     sn.createTable(ident.name, empty, props = props, checks = checks,
-      generated = low.generated)
+      generated = generated, identity = identity)
     mkTable(ident, None)
+  }
+
+  /** Transform-derived generated columns ∪ column-DDL declared ones —
+    * one name declaring both ways refuses (two derivations, one truth).
+    */
+  private def mergeGenerated(fromTransforms: Map[String, String],
+                             fromDdl: Map[String, String],
+                             schema0: StructType): Map[String, String] = {
+    fromDdl.keys.foreach(c => require(schema0.fieldNames.contains(c),
+      s"generated column '$c' is not a column of the table"))
+    val overlap = fromTransforms.keySet intersect fromDdl.keySet
+    require(overlap.isEmpty,
+      s"column(s) ${overlap.mkString(", ")} declared generated by BOTH a partition " +
+        "transform and column DDL — declare one derivation")
+    fromTransforms ++ fromDdl
   }
 
   /** User TBLPROPERTIES minus Spark's reserved/option keys — what
@@ -336,18 +391,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def staged(ident: Identifier,
                      info: org.apache.spark.sql.connector.catalog.TableInfo,
                      mustExist: Boolean, mustNotExist: Boolean): StagedTable = {
-    val checks = info.constraints.toSeq.map {
-      case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
-        c.name -> c.predicateSql
-      case other => throw new UnsupportedOperationException(
-        s"graft enforces CHECK constraints only — '${other.toDDL}' would be " +
-          "recorded but never enforced; model keys via the identity/merge verbs")
-    }
+    val checks = checksOf(info)
+    val (genDdl, identity) = columnDdlOf(info)
     // transforms lower NOW — an unsupported PARTITIONED BY refuses at
     // stage time, before the seeding query runs a single task
     val low = lowerLayout(info.schema, info.partitions)
-    new GraftStagedTable(ident, info.schema, low, filterProps(info.properties),
-      checks, mustExist, mustNotExist)
+    val generated = mergeGenerated(low.generated, genDdl, info.schema)
+    new GraftStagedTable(ident, info.schema, low.copy(generated = generated),
+      filterProps(info.properties), checks, mustExist, mustNotExist, identity)
   }
 
   /** The staged (pre-publish) table handed back to Spark's Atomic*Exec
@@ -361,7 +412,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private class GraftStagedTable(ident: Identifier, schema0: StructType,
                                  low: Lowered, props: Map[String, String],
                                  checks: Seq[(String, String)],
-                                 mustExist: Boolean, mustNotExist: Boolean)
+                                 mustExist: Boolean, mustNotExist: Boolean,
+                                 identity: Option[(String, Long)] = None)
       extends StagedTable with SupportsWrite {
     private var captured: Option[DataFrame] = None
     override def name(): String =
@@ -391,7 +443,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
          else Map.empty)
       sn.replaceTable(ident.name, df, props = propsAll, checks = checks,
         generated = low.generated, mustExist = mustExist,
-        mustNotExist = mustNotExist)
+        mustNotExist = mustNotExist, identity = identity)
       ()
     }
     override def abortStagedChanges(): Unit = ()
@@ -1215,9 +1267,46 @@ object GraftCatalog {
              |) ORDER BY phase, o_orderstatus""".stripMargin)
   }
 
+  /** A50 `c37_sql_identity`: COLUMN-level DDL as text — `GENERATED
+    * ALWAYS AS IDENTITY` and `GENERATED ALWAYS AS (expr)` declared in
+    * CREATE TABLE itself (Spark 4's DSv2 column DDL; the catalog
+    * declares the two capabilities), landing on the engine's @identity
+    * high-water line and @gen derivations in CREATE's ONE commit.
+    * INSERT with a column list routes through the identity assigner
+    * (Spark pads the omitted identity column with NULLs; all-null =
+    * omitted → dense ids from the high-water mark; the generated
+    * column computes per row). Ids are dense but assignment ORDER is
+    * partition-order — the oracle folds order-invariant aggregates
+    * (count / sum / max / distinct over ids = closed forms of n) plus
+    * the generated column's per-row correctness, across TWO inserts to
+    * pin high-water continuation.
+    */
+  def c37SqlIdentity(s: SparkSession, dir: String): DataFrame = {
+    val root = s.conf.get("spark.sql.warehouse.dir") + "/c21_catalog"
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", root)
+    Catalog.register(s, dir)
+    val ns = "db_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    s.sql(s"CREATE NAMESPACE graft.$ns")
+    s.sql(s"""CREATE TABLE graft.$ns.sup (
+             |  sid BIGINT GENERATED ALWAYS AS IDENTITY,
+             |  s_name STRING,
+             |  s_nationkey BIGINT,
+             |  name_up STRING GENERATED ALWAYS AS (upper(s_name)))""".stripMargin)
+    s.sql(s"""INSERT INTO graft.$ns.sup (s_name, s_nationkey)
+             |SELECT s_name, s_nationkey FROM supplier WHERE s_suppkey % 2 = 1""".stripMargin)
+    s.sql(s"""INSERT INTO graft.$ns.sup (s_name, s_nationkey)
+             |SELECT s_name, s_nationkey FROM supplier WHERE s_suppkey % 2 = 0""".stripMargin)
+    s.sql(s"""SELECT count(*) AS n, CAST(sum(sid) AS BIGINT) AS sid_sum,
+             |       max(sid) AS sid_max, count(DISTINCT sid) AS n_ids,
+             |       CAST(sum(CASE WHEN name_up = upper(s_name) THEN 1 ELSE 0 END) AS BIGINT) AS gen_ok
+             |FROM graft.$ns.sup""".stripMargin)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c21_sql_catalog" -> c21SqlCatalog _,
     "c36_replace_table" -> c36ReplaceTable _,
+    "c37_sql_identity" -> c37SqlIdentity _,
     "c29_clustered_layout" -> c29ClusteredLayout _,
     "c30_sql_insert_overwrite" -> c30SqlInsertOverwrite _,
     "st11_stream_changes" -> st11StreamChanges _,
@@ -1234,6 +1323,11 @@ object GraftCatalog {
     "c35_time_partition" -> c35TimePartition _)
 
   val oracles: Map[String, String] = Map(
+    "c37_sql_identity" ->
+      """SELECT count(*) AS n,
+        |  CAST(count(*) * (count(*) + 1) / 2 AS BIGINT) AS sid_sum,
+        |  count(*) AS sid_max, count(*) AS n_ids, count(*) AS gen_ok
+        |FROM supplier""".stripMargin,
     "c36_replace_table" ->
       """WITH c AS (
         |  SELECT o_orderkey, o_orderstatus,
@@ -1681,11 +1775,31 @@ private[sources] class GraftLakeTable(
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
               val sn = new Snapshots(SparkSession.active, root)
-              if (overwrite || overwriteAll)
+              if (overwrite || overwriteAll) {
                 sn.replaceWhere(tableName,
                   Seq(FileStats.ColRange(tableSchema.fieldNames.head, None, None)),
                   data)
-              else sn.append(tableName, data)
+                return
+              }
+              // IDENTITY routing: a declared identity column makes
+              // plain append refuse (GENERATED ALWAYS); Spark pads the
+              // INSERT column list with NULLs before the connector sees
+              // the batch, so an all-null identity column means
+              // "omitted" — drop it and let the lake assign. Any
+              // non-null id refuses (ANSI; explicit ids ride mergeInto).
+              sn.identityColumn(tableName) match {
+                case Some((idCol, _)) if data.columns.contains(idCol) =>
+                  val explicit = !data
+                    .where(org.apache.spark.sql.functions.col(idCol).isNotNull)
+                    .isEmpty
+                  if (explicit) throw new IllegalArgumentException(
+                    s"identity column '$idCol' of '$tableName' is GENERATED ALWAYS — " +
+                      "omit it from the INSERT column list (explicit ids ride mergeInto)")
+                  sn.appendIdentity(tableName, data.drop(idCol))
+                case Some((_, _)) =>
+                  sn.appendIdentity(tableName, data)
+                case None => sn.append(tableName, data)
+              }
               ()
             }
           }

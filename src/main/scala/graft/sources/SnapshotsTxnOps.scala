@@ -135,9 +135,11 @@ private[sources] trait SnapshotsTxnOps { self: Snapshots =>
   def createTable(table: String, df: DataFrame, statsCols: Seq[String] = Nil,
                   props: Map[String, String] = Map.empty,
                   checks: Seq[(String, String)] = Nil,
-                  generated: Map[String, String] = Map.empty): Long = {
+                  generated: Map[String, String] = Map.empty,
+                  identity: Option[(String, Long)] = None): Long = {
     require(!isMetaEntry(table),
       s"table name '$table' collides with the reserved '@' manifest lines")
+    validateIdentityDecl(table, df, generated, identity)
     props.keys.foreach(k => require(k.matches("[A-Za-z0-9_.-]+"),
       s"property key '$k' must be [A-Za-z0-9_.-]+"))
     props.get(ClusterByProp).foreach { v =>
@@ -168,13 +170,39 @@ private[sources] trait SnapshotsTxnOps { self: Snapshots =>
         (if (checks.isEmpty) Map.empty[String, String]
          else Map((table + CheckSuffix) -> encodeChecks(checks.toMap))) ++
         (if (generated.isEmpty) Map.empty[String, String]
-         else Map((table + GenSuffix) -> encodeChecks(generated)))
+         else Map((table + GenSuffix) -> encodeChecks(generated))) ++
+        identity.map { case (c, start) =>
+          (table + IdentitySuffix) -> s"$c:$start" }.toMap
       if (writeManifest(attempt, cur ++ written ++ propLine)) return attempt
       attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
     }
     throw new IllegalStateException(
       s"createTable lost $MaxAttempts consecutive version races under $root")
   }
+
+  /** Shared validation of an identity declaration arriving WITH a
+    * create/replace (the one-commit DDL form, next to [[SnapshotsDmlOps
+    * .addIdentity]]'s declare-on-standing-table form): the column must
+    * exist as BIGINT, must not also be generated, and the seeding
+    * batch must not smuggle explicit ids past GENERATED ALWAYS (the
+    * high-water mark starts at `start`; rows with ids would be below
+    * or astride it).
+    */
+  private def validateIdentityDecl(table: String,
+                                   df: DataFrame,
+                                   generated: Map[String, String],
+                                   identity: Option[(String, Long)]): Unit =
+    identity.foreach { case (c, _) =>
+      require(df.columns.contains(c),
+        s"identity column '$c' not a column of table '$table'")
+      require(df.schema(c).dataType == org.apache.spark.sql.types.LongType,
+        s"identity column '$c' must be BIGINT, is ${df.schema(c).dataType.simpleString}")
+      require(!generated.contains(c),
+        s"column '$c' is a generated column — it cannot also be identity")
+      require(df.where(org.apache.spark.sql.functions.col(c).isNotNull).isEmpty,
+        s"identity column '$c' is GENERATED ALWAYS — the seeding batch must not " +
+          "carry ids (declare identity on a standing table via addIdentity)")
+    }
 
   /** ATOMIC table (re)definition — schema, data, clusterBy, CHECKs,
     * generated declarations and TBLPROPERTIES all land in ONE manifest
@@ -204,10 +232,12 @@ private[sources] trait SnapshotsTxnOps { self: Snapshots =>
                    checks: Seq[(String, String)] = Nil,
                    generated: Map[String, String] = Map.empty,
                    mustExist: Boolean = false,
-                   mustNotExist: Boolean = false): Long = {
+                   mustNotExist: Boolean = false,
+                   identity: Option[(String, Long)] = None): Long = {
     require(!isMetaEntry(table),
       s"table name '$table' collides with the reserved '@' manifest lines")
     require(!(mustExist && mustNotExist), "mustExist and mustNotExist are exclusive")
+    validateIdentityDecl(table, df0, generated, identity)
     props.keys.foreach(k => require(k.matches("[A-Za-z0-9_.-]+"),
       s"property key '$k' must be [A-Za-z0-9_.-]+"))
     checks.foreach { case (n, _) => require(n.matches("[A-Za-z0-9_-]+"),
@@ -278,7 +308,9 @@ private[sources] trait SnapshotsTxnOps { self: Snapshots =>
         schemaLine(table, predictReadBack(df.schema).getOrElse(writtenSchema(rel))),
         filesLine(table, files)) ++
         (if (props.isEmpty) Map.empty[String, String]
-         else Map((table + PropsSuffix) -> encodeChecks(props))) ++ synth
+         else Map((table + PropsSuffix) -> encodeChecks(props))) ++ synth ++
+        identity.map { case (c, start) =>
+          (table + IdentitySuffix) -> s"$c:$start" }.toMap
       faultHook("pre-publish:replaceTable") // crash point: staged, old table intact
       if (writeManifest(attempt, base ++ lines)) return attempt
       attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)

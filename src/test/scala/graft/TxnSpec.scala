@@ -3468,6 +3468,52 @@ class TxnSpec extends AnyFunSuite {
     intercept[Exception] { snap.copyInto("t", Files.createTempDirectory("empty").toString) }
   }
 
+  test("column DDL as text: GENERATED ALWAYS AS IDENTITY / AS (expr) land in CREATE's one commit") {
+    val sp = spark
+    val root = Files.createTempDirectory("sqlident").toString
+    sp.conf.set("spark.sql.catalog.gidn", classOf[graft.sources.GraftCatalog].getName)
+    sp.conf.set("spark.sql.catalog.gidn.root", root)
+    sp.sql("CREATE NAMESPACE gidn.db")
+    val snap = new Snapshots(sp, root + "/db")
+
+    // START WITH honored; ids dense from the declared start; the
+    // generated column computes per row on the padded INSERT list
+    sp.sql("""CREATE TABLE gidn.db.t (
+             |  id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 100),
+             |  v BIGINT,
+             |  v2 BIGINT GENERATED ALWAYS AS (v * 2))""".stripMargin)
+    assert(snap.identityColumn("t").contains(("id", 100L)),
+      s"identity line must land in the CREATE commit: ${snap.identityColumn("t")}")
+    sp.sql("INSERT INTO gidn.db.t (v) VALUES (1), (2), (3)")
+    val rows = sp.sql("SELECT id, v, v2 FROM gidn.db.t ORDER BY id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(100L, 101L, 102L))
+    assert(rows.forall(r => r.getLong(2) == r.getLong(1) * 2), "generated column computes")
+    // second insert continues the mark
+    sp.sql("INSERT INTO gidn.db.t (v) VALUES (4)")
+    assert(sp.sql("SELECT max(id) FROM gidn.db.t").head.getLong(0) == 103L)
+
+    // explicit ids refuse (GENERATED ALWAYS)
+    val e = intercept[Exception] {
+      sp.sql("INSERT INTO gidn.db.t (id, v) VALUES (999, 9)") }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("GENERATED ALWAYS")), chain(e))
+
+    // BY DEFAULT and step != 1 refuse loudly at CREATE
+    intercept[Exception] { sp.sql(
+      "CREATE TABLE gidn.db.bad1 (id BIGINT GENERATED BY DEFAULT AS IDENTITY, v BIGINT)") }
+    intercept[Exception] { sp.sql(
+      "CREATE TABLE gidn.db.bad2 (id BIGINT GENERATED ALWAYS AS IDENTITY (INCREMENT BY 2), v BIGINT)") }
+
+    // the staged path carries both declarations too (CREATE OR REPLACE)
+    sp.sql("""CREATE OR REPLACE TABLE gidn.db.t (
+             |  id BIGINT GENERATED ALWAYS AS IDENTITY,
+             |  w BIGINT)""".stripMargin)
+    assert(snap.identityColumn("t").contains(("id", 1L)))
+    sp.sql("INSERT INTO gidn.db.t (w) VALUES (7), (8)")
+    assert(sp.sql("SELECT collect_set(id) FROM gidn.db.t").head.getSeq[Long](0).toSet == Set(1L, 2L))
+  }
+
   test("CREATE OR REPLACE TABLE is atomic: one staged publish, failed seeds keep the old table, history travels") {
     val sp = spark
     val root = Files.createTempDirectory("sqlrepl").toString
