@@ -1105,9 +1105,41 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** B63 `q67_time_range_frame`: TIME-INTERVAL RANGE window frames —
+    * the sliding-window-by-WALL-CLOCK shape every ops dashboard and
+    * feature pipeline computes ("events in the trailing hour per
+    * user"), distinct from q36's value-range frames: the frame bound
+    * is an INTERVAL against a TIMESTAMP order key, peers (equal
+    * timestamps) enter the frame together so the result is
+    * deterministic without a tiebreaker. Both directions exercised
+    * (trailing 1h, leading 15min). Scale shape: one hash shuffle on
+    * user_id, then a per-partition ordered scan with a sliding frame
+    * pointer — no self-join, no explode; at 100 TB this is THE
+    * reason range frames beat the events-to-events interval join
+    * (q22) for per-entity trailing aggregates. The millis-truncated
+    * timestamp (`timestamp_millis(ts_ms)`) pins the same instants the
+    * oracle's `make_timestamp(ts_ms * 1000)` computes — the raw nanos
+    * differ in sub-ms digits that would shift frame boundaries.
+    */
+  def q67TimeRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir).withColumn("ets", timestamp_millis(col("ts_ms")))
+      .createOrReplaceTempView("ev_trf")
+    s.sql("""SELECT user_id, event_id, ts_ms,
+            |  count(*) OVER w AS n_1h,
+            |  CAST(round(sum(value) OVER w, 2) AS DOUBLE) AS sum_1h,
+            |  count(*) OVER w2 AS n_next15m
+            |FROM ev_trf
+            |WINDOW w AS (PARTITION BY user_id ORDER BY ets
+            |    RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW),
+            |  w2 AS (PARTITION BY user_id ORDER BY ets
+            |    RANGE BETWEEN CURRENT ROW AND INTERVAL '15' MINUTE FOLLOWING)
+            |ORDER BY user_id, ts_ms, event_id""".stripMargin)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_interpolate" -> q65Interpolate _,
     "q66_mad" -> q66Mad _,
+    "q67_time_range_frame" -> q67TimeRangeFrame _,
     "q63_regex_matrix" -> q63RegexMatrix _,
     "q64_bitwise_math" -> q64BitwiseMath _,
     "q61_null_ordering" -> q61NullOrdering _,
@@ -1159,6 +1191,22 @@ object Relational {
     "q24_pivot" -> q24Pivot _)
 
   val oracles: Map[String, String] = Map(
+    "q67_time_range_frame" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_ms(ts) AS ts_ms,
+        |    make_timestamp(epoch_ms(ts) * 1000) AS ets
+        |  FROM events
+        |)
+        |SELECT user_id, event_id, ts_ms,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(round(sum(value) OVER w, 2) AS DOUBLE) AS sum_1h,
+        |  count(*) OVER w2 AS n_next15m
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ets
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
+        |  w2 AS (PARTITION BY user_id ORDER BY ets
+        |    RANGE BETWEEN CURRENT ROW AND INTERVAL 15 MINUTE FOLLOWING)
+        |ORDER BY user_id, ts_ms, event_id""".stripMargin,
     "q65_interpolate" ->
       """WITH s AS (
         |  SELECT event_id, event_type,

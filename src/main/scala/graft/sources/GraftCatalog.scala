@@ -71,7 +71,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // engine's @gen derivations, `GENERATED ALWAYS AS IDENTITY` on
       // the @identity high-water line — both in CREATE's ONE commit
       org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
-      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
+      // DEFAULT values ride the schema's column METADATA end-to-end:
+      // TableInfo.schema carries CURRENT_DEFAULT/EXISTS_DEFAULT, the
+      // manifest's schema line persists field metadata verbatim, reads
+      // report it back, and Spark's own ResolveDefaultColumns
+      // substitutes the literal into padded INSERT lists — zero
+      // engine-side default machinery
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   private def spark = SparkSession.active
 

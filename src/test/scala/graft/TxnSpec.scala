@@ -3512,6 +3512,21 @@ class TxnSpec extends AnyFunSuite {
     assert(snap.identityColumn("t").contains(("id", 1L)))
     sp.sql("INSERT INTO gidn.db.t (w) VALUES (7), (8)")
     assert(sp.sql("SELECT collect_set(id) FROM gidn.db.t").head.getSeq[Long](0).toSet == Set(1L, 2L))
+
+    // DEFAULT values: declared at CREATE, carried in the schema's
+    // column metadata through the manifest, substituted by Spark's own
+    // ResolveDefaultColumns into padded INSERT lists; DEFAULT keyword
+    // and omitted-column inserts both land the declared literal
+    sp.sql("""CREATE TABLE gidn.db.dflt (
+             |  k BIGINT,
+             |  status STRING DEFAULT 'new',
+             |  score BIGINT DEFAULT 42)""".stripMargin)
+    sp.sql("INSERT INTO gidn.db.dflt (k) VALUES (1)")
+    sp.sql("INSERT INTO gidn.db.dflt VALUES (2, DEFAULT, DEFAULT)")
+    sp.sql("INSERT INTO gidn.db.dflt (k, status) VALUES (3, 'done')")
+    val dr = sp.sql("SELECT k, status, score FROM gidn.db.dflt ORDER BY k").collect()
+    assert(dr.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "new", 42L), (2L, "new", 42L), (3L, "done", 42L)), dr.mkString("; "))
   }
 
   test("CREATE OR REPLACE TABLE is atomic: one staged publish, failed seeds keep the old table, history travels") {
