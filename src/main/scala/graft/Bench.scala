@@ -65,6 +65,7 @@ object Bench {
     "c33_sql_delete_subquery", "c34_sql_merge_evolution", "c35_time_partition",
     "s14_ann_sql", "c36_replace_table", "d15_sql_dedup", "s15_ann_sql_ivf",
     "t30_sql_text_funcs", "c37_sql_identity", "q67_time_range_frame",
+    "c38_sql_script",
     "q33_profile", "q33_profile_approx", "q34_histogram")
 
   /** Per-key task-metric sums, so a bench anomaly ships with its own

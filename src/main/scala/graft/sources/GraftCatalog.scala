@@ -1310,10 +1310,51 @@ object GraftCatalog {
              |FROM graft.$ns.sup""".stripMargin)
   }
 
+  /** A51 `c38_sql_script`: PROCEDURAL SQL SCRIPTS against the lake —
+    * Spark 4's SQL scripting (`spark.sql.scripting.enabled`; ANSI
+    * SQL/PSM: BEGIN…END, DECLARE, SET, WHILE, IF) composed with the
+    * engine's DSv2 surface, so a whole ingest-loop-then-cleanup job is
+    * ONE statement: a WHILE loop drives three INSERT batches (the loop
+    * variable referenced INSIDE each batch's SELECT), an IF gates a
+    * general-predicate DELETE, and the script's final SELECT returns
+    * the folded state. Every statement in the script executes through
+    * the same catalog verbs the standalone statements use — scripting
+    * is pure composition, no new engine surface — and the whole run is
+    * pinned against DuckDB's closed form of the loop's net effect.
+    */
+  def c38SqlScript(s: SparkSession, dir: String): DataFrame = {
+    val root = s.conf.get("spark.sql.warehouse.dir") + "/c21_catalog"
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", root)
+    s.conf.set("spark.sql.scripting.enabled", "true")
+    Catalog.register(s, dir)
+    val ns = "db_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    s.sql(s"CREATE NAMESPACE graft.$ns")
+    s.sql(s"""BEGIN
+             |  DECLARE i INT DEFAULT 0;
+             |  CREATE TABLE graft.$ns.acc (batch INT, o_orderstatus STRING, cents BIGINT);
+             |  WHILE i < 3 DO
+             |    INSERT INTO graft.$ns.acc
+             |    SELECT CAST(i AS INT) AS batch, o_orderstatus,
+             |           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+             |    FROM orders WHERE o_orderkey % 3 = i;
+             |    SET i = i + 1;
+             |  END WHILE;
+             |  IF (SELECT count(*) FROM graft.$ns.acc) > 0 THEN
+             |    DELETE FROM graft.$ns.acc WHERE cents < 100000;
+             |  END IF;
+             |  SELECT batch, o_orderstatus, count(*) AS n,
+             |         CAST(sum(cents) AS BIGINT) AS total
+             |  FROM graft.$ns.acc GROUP BY batch, o_orderstatus
+             |  ORDER BY batch, o_orderstatus;
+             |END""".stripMargin)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c21_sql_catalog" -> c21SqlCatalog _,
     "c36_replace_table" -> c36ReplaceTable _,
     "c37_sql_identity" -> c37SqlIdentity _,
+    "c38_sql_script" -> c38SqlScript _,
     "c29_clustered_layout" -> c29ClusteredLayout _,
     "c30_sql_insert_overwrite" -> c30SqlInsertOverwrite _,
     "st11_stream_changes" -> st11StreamChanges _,
@@ -1330,6 +1371,16 @@ object GraftCatalog {
     "c35_time_partition" -> c35TimePartition _)
 
   val oracles: Map[String, String] = Map(
+    "c38_sql_script" ->
+      """WITH c AS (
+        |  SELECT CAST(o_orderkey % 3 AS INT) AS batch, o_orderstatus,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders
+        |)
+        |SELECT batch, o_orderstatus, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS total
+        |FROM c WHERE cents >= 100000
+        |GROUP BY batch, o_orderstatus ORDER BY batch, o_orderstatus""".stripMargin,
     "c37_sql_identity" ->
       """SELECT count(*) AS n,
         |  CAST(count(*) * (count(*) + 1) / 2 AS BIGINT) AS sid_sum,

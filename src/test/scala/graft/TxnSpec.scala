@@ -2676,6 +2676,15 @@ class TxnSpec extends AnyFunSuite {
     intercept[Exception] {
       sp.sql("ALTER TABLE gtest.db.t ALTER COLUMN v TYPE STRING") }
 
+    // SHOW CREATE TABLE reproduces the definition as DDL text
+    val ddl = sp.sql("SHOW CREATE TABLE gtest.db.t").head.getString(0)
+    assert(ddl.contains("CREATE TABLE") && ddl.contains("gtest.db.t"), ddl)
+
+    // INSERT BY NAME: column-order-free ingestion through the same path
+    sp.sql("INSERT INTO gtest.db.t BY NAME SELECT 99L AS v, 77L AS id")
+    assert(sp.sql("SELECT v FROM gtest.db.t WHERE id = 77").head.getLong(0) == 99L)
+    sp.sql("DELETE FROM gtest.db.t WHERE id = 77")
+
     // CTAS: createTable + the V1 write fallback compose into
     // CREATE TABLE AS SELECT with no extra machinery
     sp.sql("CREATE TABLE gtest.db.t_copy AS SELECT id, id * 2 AS dbl FROM gtest.db.t")
