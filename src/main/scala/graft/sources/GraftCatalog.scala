@@ -1911,6 +1911,7 @@ private[sources] object GraftLakeTable {
   *   SELECT * FROM graft.db.`t$files`       -- live data files + bytes
   *   SELECT * FROM graft.db.`t$detail`      -- one-row DESCRIBE DETAIL
   *   SELECT * FROM graft.db.`t$properties`  -- TBLPROPERTIES as rows
+  *   SELECT * FROM graft.db.`t$stats`       -- per-(file, column) skipping stats
   * }}}
   *
   * `VERSION AS OF` pins files/detail/properties at an old version;
@@ -1920,7 +1921,7 @@ private[sources] object GraftLakeTable {
   */
 private[sources] object GraftMetaTables {
 
-  val Kinds: Set[String] = Set("history", "files", "detail", "properties", "changes")
+  val Kinds: Set[String] = Set("history", "files", "detail", "properties", "changes", "stats")
 
   def df(s: SparkSession, root: String, table: String, kind: String,
          version: Long): DataFrame = {
@@ -1964,6 +1965,53 @@ private[sources] object GraftMetaTables {
       case "properties" =>
         val props = snap.properties(table, Some(version)).toSeq.sorted
         s.createDataFrame(props).toDF("key", "value")
+      /** `t$stats` — the SKIPPING LAYER inspected as text: one row per
+        * (live data file, stats-covered column) with the sidecar's
+        * type, null count, decoded [min, max], and whether a bloom
+        * covers the column. This is the observability face of
+        * plan-time file skipping — "why did/didn't my predicate
+        * prune?" answered with a SELECT; a file absent from its dir's
+        * sidecar surfaces as one all-null row (the conservative
+        * never-skipped class). Driver-side manifest/sidecar reads
+        * only, O(files × stat columns) rows — the same scale class as
+        * `$files`.
+        */
+      case "stats" =>
+        import org.apache.hadoop.fs.Path
+        import org.apache.spark.sql.types._
+        val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+        // fileSet paths are ABSOLUTE (scheme-qualified) — group by the
+        // staged dir directly, never re-anchor under root
+        val files = snap.fileSet(table, version).keys.toSeq.sorted
+        val rows = files.groupBy(r => new Path(r).getParent)
+          .toSeq.sortBy(_._1.toString).flatMap { case (dir, fl) =>
+            val st = FileStats.readSidecar(fs, dir)
+            val bl = FileStats.readBloomSidecar(fs, dir)
+            fl.sorted.flatMap { r =>
+              val leaf = new Path(r).getName
+              val blooms = bl.flatMap(_.get(leaf)).map(_.keySet).getOrElse(Set.empty)
+              st.flatMap(_.get(leaf)) match {
+                case Some(cols) if cols.nonEmpty =>
+                  cols.toSeq.sortBy(_._1).map { case (c, cs) =>
+                    org.apache.spark.sql.Row(r, c, cs.typ, cs.nulls,
+                      cs.min.map(m => FileStats.decodeVal(cs.typ, m).toString).orNull,
+                      cs.max.map(m => FileStats.decodeVal(cs.typ, m).toString).orNull,
+                      blooms.contains(c))
+                  }
+                case _ =>
+                  Seq(org.apache.spark.sql.Row(r, null, null, null, null, null, false))
+              }
+            }
+          }
+        val schema = StructType(Seq(
+          StructField("path", StringType, nullable = false),
+          StructField("column", StringType),
+          StructField("stats_type", StringType),
+          StructField("null_count", LongType),
+          StructField("min_value", StringType),
+          StructField("max_value", StringType),
+          StructField("has_bloom", BooleanType, nullable = false)))
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
       case other => throw new IllegalArgumentException(
         s"unknown metadata table kind '$other' (${Kinds.mkString("/")})")
     }

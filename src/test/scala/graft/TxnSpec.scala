@@ -2853,6 +2853,22 @@ class TxnSpec extends AnyFunSuite {
     assert(sp.sql("SELECT count(*) FROM gmeta.db.`t$properties` VERSION AS OF 3")
       .head.getLong(0) == 0L, "properties must pin at the old version")
 
+    // t$stats: the skipping layer as text — before ANALYZE the files
+    // surface as the conservative all-null (never-skipped) class; after,
+    // one row per (file, column) with type/nulls/decoded min/max
+    val pre = sp.sql("SELECT * FROM gmeta.db.`t$stats`").collect()
+    assert(pre.nonEmpty && pre.forall(_.isNullAt(1)),
+      s"no sidecars yet: every row must be the all-null class: ${pre.mkString(";")}")
+    sp.sql("CALL gmeta.system.analyze('db', 't', 'id')")
+    val post = sp.sql(
+      "SELECT path, column, stats_type, null_count, min_value, max_value FROM gmeta.db.`t$stats` WHERE column = 'id'")
+      .collect()
+    assert(post.length == files.length - 1,
+      "one id row per DATA file (CREATE's empty seed carries no id entry)")
+    assert(post.forall(r => r.getString(2) == "long" && r.getLong(3) == 0L))
+    assert(post.flatMap(r => Option(r.getString(4))).map(_.toLong).min == 1L,
+      "decoded min spans the data")
+
     // the SQL change feed: t$changes = full feed (everything `added`
     // plus later churn), t$changes$F / t$changes$F$T = windows, all
     // DV-aware readChanges plans (distributed, zero listing)
