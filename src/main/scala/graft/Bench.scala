@@ -65,7 +65,7 @@ object Bench {
     "c33_sql_delete_subquery", "c34_sql_merge_evolution", "c35_time_partition",
     "s14_ann_sql", "c36_replace_table", "d15_sql_dedup", "s15_ann_sql_ivf",
     "t30_sql_text_funcs", "c37_sql_identity", "q67_time_range_frame",
-    "c38_sql_script",
+    "c38_sql_script", "p02_pipeline_stream",
     "q33_profile", "q33_profile_approx", "q34_histogram")
 
   /** Per-key task-metric sums, so a bench anomaly ships with its own
@@ -208,7 +208,15 @@ object Bench {
       "cpu time does not), compared cpu-to-cpu against the bench.json committed at the " +
       "previous round's close; queries_task_sec kept for continuity, wall advisory; " +
       "per-key 1-min loadavg in diag; full per-key maps live in bench.json (committed) — " +
-      "stdout tags each map on its own line with the scalar summary LAST"
+      "stdout tags each map on its own line with the scalar summary LAST. " +
+      "CAVEATS (r11): cross-round per-key comparisons are valid only on the same " +
+      "testdata GENERATION — the driver regenerates /root/testdata each round, and " +
+      "value-distribution shifts move data-dependent keys (r11's lineitem has 583k " +
+      "distinct l_extendedprice, so q33's exact-distinct Expand costs ~8x its r10 task " +
+      "time at identical code and plan; the sketch twin q33_profile_approx is the " +
+      "stable comparator). cpu-clock is deschedule-immune but NOT SMT/cache-contention " +
+      "immune: host co-tenancy inflates cycles-per-row with wall flat — compare the " +
+      "recorded loadavg bands before reading a uniform cpu shift as a regression"
     // the full artifact (every map, one JSON line) goes to bench.json —
     // the committed, never-truncated source of truth for key-level diffs
     val line =

@@ -113,10 +113,65 @@ object GraftTableSink {
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** D20 `p02_pipeline_stream`: the CURATION PIPELINE's STREAMING twin
+    * (p01 is the batch capstone) — one standing query composing the
+    * verified streaming stages end-to-end: a doubled file source
+    * (planted duplicates), watermarked
+    * `dropDuplicatesWithinWatermark` (bounded state — the d01 contract
+    * on an unbounded stream), a quality gate (pushable predicate), a
+    * broadcast stream-static dimension join (st04's shape), and the
+    * per-task direct parquet `writeStream.toTable` sink publishing
+    * manifest epochs into the lake. The landed table IS the curated
+    * corpus; the final fold over it reproduces DuckDB's closed form
+    * over raw events — streaming vs batch answering identically is
+    * the whole contract. Both duplicate legs surface in the same
+    * micro-batch (one processAllAvailable drain reads all files), so
+    * the dedup is exact and the oracle deterministic.
+    */
+  def p02PipelineStream(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = s.conf.get("spark.sql.warehouse.dir") + "/c21_catalog"
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", root)
+    graft.sources.Catalog.register(s, dir)
+    val ns = "db_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    s.sql(s"CREATE NAMESPACE graft.$ns")
+    s.sql(s"""CREATE TABLE graft.$ns.curated
+             |(event_id BIGINT, region STRING, event_type STRING, value DOUBLE)""".stripMargin)
+    val raw = s.read.parquet(s"$dir/events.parquet").schema
+    def leg = s.readStream.schema(raw).parquet(s"$dir/events*.parquet")
+    val dim = broadcast(s.table("nation")
+      .select(col("n_nationkey"), col("n_name").as("region")))
+    val both = leg.unionByName(leg)
+    val cleaned = both
+      .withColumn("ev_ts", graft.operators.evTsMs(both))
+      .withWatermark("ev_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .where(col("value") >= 0.5)
+      .join(dim, pmod(col("user_id"), lit(25)) === col("n_nationkey"))
+      .select(col("event_id"), col("region"), col("event_type"), col("value"))
+    val ckpt = s.conf.get("spark.sql.warehouse.dir") + s"/p02_ckpt_$ns"
+    val q = cleaned.writeStream.option("checkpointLocation", ckpt)
+      .toTable(s"graft.$ns.curated")
+    try q.processAllAvailable() finally q.stop()
+    s.sql(s"""SELECT region, event_type, count(*) AS n,
+             |       CAST(round(sum(value), 2) AS DOUBLE) AS total
+             |FROM graft.$ns.curated
+             |GROUP BY region, event_type ORDER BY region, event_type""".stripMargin)
+  }
+
   val defs: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
-    Map("c27_stream_into_table" -> c27StreamIntoTable _)
+    Map("c27_stream_into_table" -> c27StreamIntoTable _,
+      "p02_pipeline_stream" -> p02PipelineStream _)
 
   val oracles: Map[String, String] = Map(
+    "p02_pipeline_stream" ->
+      """SELECT n.n_name AS region, e.event_type, count(*) AS n,
+        |  CAST(round(sum(e.value), 2) AS DOUBLE) AS total
+        |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+        |WHERE e.value >= 0.5
+        |GROUP BY n.n_name, e.event_type
+        |ORDER BY region, event_type""".stripMargin,
     "c27_stream_into_table" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT) * 2) AS BIGINT) AS total2
