@@ -104,7 +104,7 @@ object Soak {
   private def stage10x(s: SparkSession, base: String, out: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(out, "_STAGED_G1")
+    val marker = new org.apache.hadoop.fs.Path(out, "_STAGED_G2") // G2: +1x dims for the SQL-front-door keys
     if (fs.exists(marker)) return
     fs.delete(new org.apache.hadoop.fs.Path(out), true)
     def reps(df: DataFrame, f: (DataFrame, Int) => DataFrame): DataFrame =
@@ -132,6 +132,13 @@ object Soak {
     }.reduce(_ unionByName _)
     emb.unionByName(replicated)
       .repartition(16).write.parquet(s"$out/embeddings.parquet")
+
+    // the small tables copy 1x — the SQL-front-door soak keys register
+    // the WHOLE testdata catalog from the soak dir (dims/events are not
+    // the scaled dimension; their absence would fail registration)
+    Seq("region", "nation", "customer", "supplier", "part", "events").foreach { t =>
+      s.read.parquet(s"$base/$t.parquet").write.parquet(s"$out/$t.parquet")
+    }
 
     fs.create(marker, true).close()
   }
