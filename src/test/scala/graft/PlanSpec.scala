@@ -441,4 +441,32 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q67 time-range frames: one user_id shuffle feeds both frame directions, no self-join") {
+    val p = plan("q67_time_range_frame")
+    // both INTERVAL frames share the (user_id) distribution — exactly
+    // one hash exchange, zero joins (a naive trailing-window via
+    // self-join would plan an events-to-events range join)
+    val hashEx = "Exchange hashpartitioning\\(user_id".r
+      .findAllMatchIn(p).length
+    assert(hashEx == 1, s"expected ONE user_id exchange, got $hashEx:\n$p")
+    assert(!p.contains("Join"), "range frames must not plan a self-join: " + p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("t30 SQL text functions: pure codegen expressions, zero UDFs, one scan") {
+    val p = plan("t30_sql_text_funcs")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      "registered text functions must stay native expressions: " + p)
+    val scans = "Scan parquet".r.findAllMatchIn(p).length
+    assert(scans == 1, s"one documents scan, got $scans:\n$p")
+    // and the functions compose into pushable predicates: a quality
+    // filter plans as a plain Filter over the scan, no extra exchange
+    graft.sources.Catalog.register(spark, TestSpark.sfTest)
+    val fp = spark.sql(
+      "SELECT doc_id FROM documents WHERE quality_score(text) >= 0.5 AND lang_id(text) = 'en'")
+      .queryExecution.executedPlan.toString()
+    assert(fp.contains("Filter") && !fp.contains("Exchange"),
+      "function predicates must stay a map-side Filter: " + fp)
+  }
+
 }
