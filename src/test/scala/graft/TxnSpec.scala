@@ -3607,6 +3607,15 @@ class TxnSpec extends AnyFunSuite {
     sp.sql("INSERT INTO grpl.db.guarded VALUES (7)")
     assert(sp.sql("SELECT sum(k) FROM grpl.db.guarded").head.getLong(0) == 7L)
 
+    // SELF-REFERENCING replace (the rebuild-from-itself idiom): the
+    // seeding query reads the OLD definition — its plan pins the
+    // pre-replace version's files, which the single publish never
+    // deletes — so CREATE OR REPLACE t AS SELECT … FROM t is safe
+    sp.sql("CREATE OR REPLACE TABLE grpl.db.t AS " +
+      "SELECT k, upper(tag) AS tag_up FROM grpl.db.t WHERE k >= 2")
+    assert(sp.sql("SELECT * FROM grpl.db.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((2L, "2"), (3L, "3")))
+
     // REPLACE × PARTITIONED BY: the new definition's clusterBy contract
     // lands in the same single commit and the seeding batch clusters
     sp.sql("CREATE OR REPLACE TABLE grpl.db.t PARTITIONED BY (k) AS " +
