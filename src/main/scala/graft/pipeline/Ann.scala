@@ -360,14 +360,20 @@ object Ann {
     */
   def ivfIndexBuild(e: DataFrame, nlist: Int): (DataFrame, DataFrame) = {
     val cents = trainCentroids(e.select(col("vec_id"), col("embedding")), nlist)
-    // ALL source columns ride into the index table (cid first): the
-    // clustered copy IS the inverted list, and metadata columns stay
-    // filterable inside probed lists (the s12 pre-filter contract for
-    // the CALL's _where form — predicate at the scan, stats-skipped)
-    val assigned = coarseAssign(cents, e, "vec_id", "embedding", 1)
-      .select((col("cid") +: e.columns.map(col(_))).toSeq: _*)
-    (cents, assigned)
+    (cents, ivfAssign(cents, e))
   }
+
+  /** Coarse-assign a batch against an EXISTING centroid set — the
+    * incremental half of the index lifecycle (`CALL
+    * graft.system.ann_index_append`): broadcast argmin, batch-only
+    * cost, the corpus never reshuffles. ALL source columns ride into
+    * the output (cid first): the clustered copy IS the inverted list,
+    * and metadata columns stay filterable inside probed lists (the
+    * s12 pre-filter contract for the search CALL's _where form).
+    */
+  def ivfAssign(cents: DataFrame, e: DataFrame): DataFrame =
+    coarseAssign(cents, e, "vec_id", "embedding", 1)
+      .select((col("cid") +: e.columns.map(col(_))).toSeq: _*)
 
   /** The d11 sizing recipe applied to the coarse quantizer: grow nlist
     * with the corpus so EXPECTED LIST SIZE stays ~64 (probe cost per

@@ -30,7 +30,7 @@ private[sources] object GraftProcedures {
   val Names: Seq[String] =
     Seq("compact", "compact_where", "zorder", "vacuum", "analyze", "rollback", "sync_identity",
       "copy_into", "clone", "restore", "ann_search", "ann_search_where",
-      "ann_index_ivf", "ann_search_ivf", "ann_search_ivf_where",
+      "ann_index_ivf", "ann_index_append", "ann_search_ivf", "ann_search_ivf_where",
       "dedup_exact", "dedup_minhash")
 
   def load(rootPrefix: String, ident: Identifier): UnboundProcedure = {
@@ -267,6 +267,32 @@ private[sources] object GraftProcedures {
           // Seq[Any] pins boxing: Seq(Long, Int, Long) would unify the
           // Int to Long and break the IntegerType accessor downstream
           Seq[Any](v, nl, n)
+        }
+      // INCREMENTAL index maintenance as text (FAISS `add`; s07's CALL
+      // twin): new vectors coarse-assign against the EXISTING trained
+      // centroids (broadcast argmin — the corpus is never reshuffled)
+      // and APPEND to the index table, whose clusterBy=cid contract
+      // range-clusters the batch into list-tight files; searches see
+      // them immediately through the same stats-pruned probe. Retrain
+      // (ann_index_ivf) when drift degrades recall — the s07 lifecycle.
+      case "ann_index_append" =>
+        proc("ann_index_append",
+          Seq("lake" -> StringType, "source" -> StringType, "index" -> StringType),
+          Seq("version" -> LongType, "vectors_added" -> LongType)) { in =>
+          import org.apache.spark.sql.functions._
+          val sn = snap(s(in, 0)); val idx = s(in, 2)
+          val batch = sn.read(s(in, 1))
+          require(batch.columns.contains("vec_id") && batch.columns.contains("embedding"),
+            s"ann_index_append needs (vec_id, embedding) columns, got ${batch.columns.mkString(", ")}")
+          val cents = sn.read(idx + "_cents")
+          val idxCols = sn.read(idx).columns
+          val assigned = graft.pipeline.Ann.ivfAssign(cents, batch)
+          require(idxCols.sorted.sameElements(assigned.columns.sorted),
+            s"ann_index_append batch columns ${assigned.columns.sorted.mkString(",")} != " +
+              s"index '$idx' columns ${idxCols.sorted.mkString(",")}")
+          val n = batch.count()
+          val v = sn.append(idx, assigned.select(idxCols.map(col(_)).toSeq: _*))
+          Seq[Any](v, n)
         }
       case "ann_search_ivf" | "ann_search_ivf_where" =>
         def ivfBody(in: InternalRow, pred: Option[String]): Seq[Seq[Any]] = {

@@ -516,6 +516,21 @@ class AnnSpec extends AnyFunSuite {
       "CALL gaiv.system.ann_index_ivf('db', 'emb', 'emb_ivf', 0)").head
     assert(rebuilt.getInt(1) == graft.pipeline.Ann.adaptiveNlist(nVecs))
 
+    // incremental maintenance: a NEW vector identical to the query
+    // appends against the EXISTING centroids and is immediately
+    // searchable at rank 2 (cos 1.0, higher id than the original self)
+    sp.sql("CREATE TABLE gaiv.db.emb_new (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+    sp.sql("INSERT INTO gaiv.db.emb_new SELECT vec_id + 5000000 AS vec_id, embedding " +
+      "FROM embeddings WHERE vec_id = 0")
+    val app = sp.sql(
+      "CALL gaiv.system.ann_index_append('db', 'emb_new', 'emb_ivf')").head
+    assert(app.getLong(1) == 1L)
+    val afterApp = sp.sql(
+      s"CALL gaiv.system.ann_search_ivf('db', 'emb_ivf', '$qs', 3, ${graft.pipeline.Ann.adaptiveNlist(nVecs)})")
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(afterApp.take(2) == Seq((0L, 1.0), (5000000L, 1.0)),
+      s"the appended twin must rank right after self: $afterApp")
+
     // the _where form: metadata columns ride into the index table and
     // the predicate pre-filters INSIDE the probed lists — at full
     // probe it must equal the exact filtered top-k
