@@ -91,8 +91,13 @@ object Dedup {
     // the join shuffle only ever see might-be-candidate docs. Candidate
     // sets are a vanishing fraction of a 100 TB corpus; false positives
     // only cost a few extra rows, never a lost pair.
+    // sized from the ACTUAL candidate count (one cheap count on the
+    // already-persisted frame — the verify join needs it materialized
+    // anyway): a hardcoded capacity would degrade the fpp into wasted
+    // verify IO at 100-TB candidate volumes (never wrongness — false
+    // positives just re-join a few extra docs)
     val bf = cand.select(explode(array(col("a_id"), col("b_id"))).as("id"))
-      .stat.bloomFilter("id", 1 << 16, 0.01)
+      .stat.bloomFilter("id", math.max(1024L, 2L * cand.count()), 0.01)
     val base = tok.where(bloom_might_contain(col("doc_id"), bf))
       .select(col("doc_id"), wordTrigrams(col("toks")).as("sh"))
     cand
@@ -241,12 +246,44 @@ object Dedup {
     */
   def d14DedupContainment(s: SparkSession, dir: String,
                           thr: Double = 0.9, maxDf: Int = 64): DataFrame = {
+    // FIXTURE synthesis (bench/oracle shape) — the reusable verb is
+    // [[containmentPairs]]; this key only builds the truncated-copy
+    // corpus the oracle models and delegates
     val base = tokenized(s, dir).select(col("doc_id"), col("toks"))
     val truncated = base.where(col("doc_id") % 4 === 0)
       .select((col("doc_id") + 300000L).as("doc_id"),
         slice(col("toks"), lit(1), (size(col("toks")) / 2).cast("int")).as("toks"))
-    val sets = hashSets(base.unionByName(truncated))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    containmentPairsToks(base.unionByName(truncated), thr, maxDf)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** CONTAINMENT near-dup over an ARBITRARY (id, text) corpus — d14's
+    * detection pipeline factored out of its fixture so the SQL front
+    * door (`CALL graft.system.dedup_containment`) and any
+    * caller-supplied DataFrame run the same plan: df-capped posting
+    * index → equi-join candidates → exact sorted-set verification with
+    * the min-size denominator. Same one-sided error model as d04/d14
+    * (a pair is missed only if its ENTIRE overlap is >maxDf
+    * boilerplate); emitted jaccard shows what a symmetric screen would
+    * have scored the pair.
+    */
+  def containmentPairs(in: DataFrame, idCol: String, textCol: String,
+                       thr: Double, maxDf: Int = 64): DataFrame = {
+    require(in.columns.contains(idCol) && in.columns.contains(textCol),
+      s"dedup_containment needs ($idCol, $textCol) columns, got ${in.columns.mkString(", ")}")
+    containmentPairsToks(
+      in.select(col(idCol).cast("long").as("doc_id"),
+        tokens(col(textCol)).as("toks")),
+      thr, maxDf)
+  }
+
+  /** The containment engine over a pre-tokenized (doc_id, toks) frame —
+    * shared by [[d14DedupContainment]] (fixture corpus) and
+    * [[containmentPairs]] (arbitrary table).
+    */
+  private def containmentPairsToks(toksDf: DataFrame,
+                                   thr: Double, maxDf: Int): DataFrame = {
+    val sets = hashSets(toksDf).persist(StorageLevel.MEMORY_AND_DISK)
     ngramCandidates(sets, maxDf)
       .join(sets.toDF("a_id", "a_hs"), "a_id")
       .join(sets.toDF("b_id", "b_hs"), "b_id")
@@ -259,7 +296,6 @@ object Dedup {
       .select(col("a_id"), col("b_id"),
         round(col("containment"), 4).as("containment"),
         round(col("jaccard"), 4).as("jaccard"))
-      .orderBy("a_id", "b_id")
   }
 
   /** C5: embedding cosine near-dup, exact. The corpus embeddings table

@@ -1834,6 +1834,21 @@ private[sources] class GraftLakeTable(
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
               val sn = new Snapshots(SparkSession.active, root)
               if (overwrite || overwriteAll) {
+                // identity guard mirrors append's: Spark NULL-pads the
+                // omitted identity column before the connector sees the
+                // batch, and replaceWhere has no assigner — landing it
+                // would publish NULL ids (or explicit ones) without
+                // advancing the high-water mark, minting collisions on
+                // the next INSERT. Whole-table re-delivery of an
+                // identity table is a REDEFINITION: route it through
+                // CREATE OR REPLACE (which re-declares identity) or
+                // mergeInto (which carries explicit ids legally).
+                sn.identityColumn(tableName).foreach { case (idCol, _) =>
+                  throw new IllegalArgumentException(
+                    s"INSERT OVERWRITE into '$tableName' refused: column '$idCol' is " +
+                      "GENERATED ALWAYS AS IDENTITY and overwrite cannot re-assign ids — " +
+                      "use CREATE OR REPLACE TABLE (re-declares identity) or mergeInto")
+                }
                 sn.replaceWhere(tableName,
                   Seq(FileStats.ColRange(tableSchema.fieldNames.head, None, None)),
                   data)

@@ -31,7 +31,8 @@ private[sources] object GraftProcedures {
     Seq("compact", "compact_where", "zorder", "vacuum", "analyze", "rollback", "sync_identity",
       "copy_into", "clone", "restore", "ann_search", "ann_search_where",
       "ann_index_ivf", "ann_index_append", "ann_search_ivf", "ann_search_ivf_where",
-      "dedup_exact", "dedup_minhash")
+      "dedup_exact", "dedup_minhash", "dedup_containment",
+      "create_matview", "refresh_matview", "drop_matview")
 
   def load(rootPrefix: String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.sameElements(Array("system")),
@@ -95,8 +96,14 @@ private[sources] object GraftProcedures {
             case FloatType | DoubleType => v.toDouble
             case DateType => java.time.LocalDate.parse(v)
             case TimestampType =>
-              try java.sql.Timestamp.valueOf(v).toInstant
-              catch { case _: IllegalArgumentException => java.time.Instant.parse(v) }
+              // bounds are UTC by contract (stats are UTC instants):
+              // 'yyyy-mm-dd hh:mm:ss' parses as UTC wall time — never
+              // the driver JVM's zone, which would silently shift the
+              // compacted slice — and full ISO-8601 instants also work
+              try java.time.LocalDateTime.parse(v.replace(' ', 'T'))
+                .toInstant(java.time.ZoneOffset.UTC)
+              catch { case _: java.time.format.DateTimeParseException =>
+                java.time.Instant.parse(v) }
             case _: StringType => v
             case other => throw new IllegalArgumentException(
               s"compact_where: unsupported bound type ${other.simpleString} for '$c'")
@@ -235,8 +242,10 @@ private[sources] object GraftProcedures {
       // CLUSTERED BY cid — each coarse list lands as a stat-tight file
       // run, so a probe's `cid IN (…)` scan opens only probed-list
       // files through the standing sidecar skipping: the inverted list
-      // realized as lake layout. Rebuilds republish atomically
-      // (replaceTable; history travels). ann_search_ivf probes: the
+      // realized as lake layout. Rebuilds republish BOTH tables in one
+      // manifest commit (replaceTables; history travels) — no reader
+      // ever pairs new centroids with old assignments. ann_search_ivf
+      // probes: the
       // centroid set is read DRIVER-side (nlist rows — the documented
       // tiny-side exception), the nprobe nearest lists are selected
       // with plain arithmetic, and ONE stats-pruned distributed scan
@@ -261,9 +270,13 @@ private[sources] object GraftProcedures {
             if (in.getInt(3) > 0) in.getInt(3)
             else graft.pipeline.Ann.adaptiveNlist(n)
           val (cents, assigned) = graft.pipeline.Ann.ivfIndexBuild(e, nl)
-          sn.replaceTable(idx + "_cents", cents)
-          val v = sn.replaceTable(idx, assigned,
-            props = Map(sn.ClusterByProp -> "cid"))
+          // centroids + assignments publish in ONE manifest commit —
+          // a reader (or a crash) can never pair NEW centroids with
+          // OLD cid assignments, which would silently probe the wrong
+          // lists (the torn-rebuild failure mode)
+          val v = sn.replaceTables(Map(
+            idx + "_cents" -> (cents, Map.empty[String, String]),
+            idx -> (assigned, Map(sn.ClusterByProp -> "cid"))))
           // Seq[Any] pins boxing: Seq(Long, Int, Long) would unify the
           // Int to Long and break the IntegerType accessor downstream
           Seq[Any](v, nl, n)
@@ -307,10 +320,16 @@ private[sources] object GraftProcedures {
           val cents = sn.read(idx + "_cents").collect()
             .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
           require(cents.nonEmpty, s"ann_search_ivf: index '${idx}_cents' is empty")
+          // a wrong-dimensionality query vector must refuse loudly —
+          // silently truncating the loop would select the wrong probe
+          // lists and return quietly-wrong neighbors
+          require(qv.length == cents.head._2.length,
+            s"ann_search_ivf: query vector has ${qv.length} dimensions, " +
+              s"index '$idx' expects ${cents.head._2.length}")
           def cos(c: Array[Float]): Double = {
             var (d, na, nb) = (0.0, 0.0, 0.0)
             var i = 0
-            while (i < math.min(c.length, qv.length)) {
+            while (i < c.length) {
               d += c(i) * qv(i); na += c(i) * c(i); nb += qv(i) * qv(i); i += 1 }
             if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
           }
@@ -381,17 +400,25 @@ private[sources] object GraftProcedures {
             s"dedup_exact: key column '$k' is not a column of '$t' " +
               s"(${df.columns.sorted.mkString(", ")})"))
           val rest = df.columns.filterNot(keys.contains).toSeq
-          val deduped =
+          val deduped0 =
             if (keys.isEmpty || rest.isEmpty) df.distinct()
             else df.groupBy(keys.map(col): _*)
               .agg(min(struct(rest.map(col): _*)).as("_keep"))
               .select(df.columns.map(c =>
                 (if (keys.contains(c)) col(c) else col(s"_keep.$c")).as(c)).toSeq: _*)
-          val before = df.count()
-          val after = deduped.count()
-          val v = sn.replaceWhere(t,
-            Seq(FileStats.ColRange(df.columns.head, None, None)), deduped)
-          Seq(v, before, before - after)
+          // persist the deduped frame so the result-count and the
+          // rewrite share ONE groupBy job instead of recomputing it;
+          // the fully-unbounded range's matchCond is lit(true), so
+          // NULLs anywhere (including the anchor column) pass — TxnSpec
+          // pins dedup over a null-bearing first column
+          val deduped = deduped0.persist()
+          try {
+            val before = df.count()
+            val after = deduped.count()
+            val v = sn.replaceWhere(t,
+              Seq(FileStats.ColRange(df.columns.head, None, None)), deduped)
+            Seq(v, before, before - after)
+          } finally deduped.unpersist()
         }
       case "dedup_minhash" =>
         procRows("dedup_minhash",
@@ -408,6 +435,53 @@ private[sources] object GraftProcedures {
             s"dedup_minhash: more than $cap near-duplicate pairs — raise " +
               "max_pairs or materialize through the Scala API (Dedup.minhashPairs)")
           rows.map(r => Seq[Any](r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        }
+      // CONTAINMENT dedup as text — the asymmetric near-dup screen
+      // (short doc embedded in a longer one) over any (id, text) lake
+      // table; same report shape and overflow contract as dedup_minhash
+      case "dedup_containment" =>
+        procRows("dedup_containment",
+          Seq("lake" -> StringType, "table" -> StringType, "id_col" -> StringType,
+            "text_col" -> StringType, "threshold" -> DoubleType,
+            "max_pairs" -> IntegerType),
+          Seq("a_id" -> LongType, "b_id" -> LongType,
+            "containment" -> DoubleType, "jaccard" -> DoubleType)) { in =>
+          val cap = in.getInt(5)
+          require(cap > 0, s"dedup_containment: max_pairs must be positive, got $cap")
+          val pairs = graft.pipeline.Dedup.containmentPairs(
+            snap(s(in, 0)).read(s(in, 1)), s(in, 2), s(in, 3), in.getDouble(4))
+          val rows = pairs.limit(cap + 1).collect()
+          require(rows.length <= cap,
+            s"dedup_containment: more than $cap containment pairs — raise " +
+              "max_pairs or materialize through the Scala API (Dedup.containmentPairs)")
+          rows.map(r =>
+            Seq[Any](r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+        }
+      // MATERIALIZED VIEWS AS TEXT (see [[Matview]]): create computes
+      // the defining aggregate once and publishes (rows, watermark) in
+      // ONE manifest; refresh folds the source's change feed in —
+      // O(changed files), never O(table); drop removes both. The mv
+      // reads as an ordinary lake table (`SELECT * FROM graft.db.mv`).
+      case "create_matview" =>
+        proc("create_matview",
+          Seq("lake" -> StringType, "name" -> StringType, "query" -> StringType),
+          Seq("version" -> LongType, "watermark" -> LongType)) { in =>
+          val (v, wm) = Matview.create(snap(s(in, 0)), s(in, 1), s(in, 2))
+          Seq(v, wm)
+        }
+      case "refresh_matview" =>
+        proc("refresh_matview",
+          Seq("lake" -> StringType, "name" -> StringType),
+          Seq("version" -> LongType, "from_version" -> LongType,
+            "to_version" -> LongType)) { in =>
+          val (v, from, to) = Matview.refresh(snap(s(in, 0)), s(in, 1))
+          Seq(v, from, to)
+        }
+      case "drop_matview" =>
+        proc("drop_matview",
+          Seq("lake" -> StringType, "name" -> StringType),
+          Seq("dropped" -> BooleanType)) { in =>
+          Seq(Matview.drop(snap(s(in, 0)), s(in, 1)))
         }
       case other => throw new IllegalArgumentException(
         s"unknown graft procedure '$other' (${Names.mkString("/")})")

@@ -542,6 +542,25 @@ class Snapshots(private[sources] val s: SparkSession,
     * flat files whose tight per-file stats drive the existing pruning.
     */
   private[sources] val ClusterByProp = "clusterBy"
+  /** MATERIALIZED VIEW declaration ([[Matview]]):
+    * `<mv>@matview=src:<table>;sql:<urlencoded SQL>;wm:<version>` — the
+    * defining aggregate query, its source table, and the lake version
+    * the stored rows reflect (the consumer's cursor position). The mv's
+    * rows are an ORDINARY lake table `<mv>`; data and watermark always
+    * publish in the SAME manifest write, so a reader never sees an
+    * aggregate without the cursor that explains it.
+    */
+  private[sources] val MatviewSuffix = "@matview"
+
+  /** PERSISTENT VIEW definition ([[GraftViews]]):
+    * `<name>@view=<urlencoded SQL>` — the stored TEXT of a logical
+    * view; no data entry exists for `<name>`. Resolution happens at
+    * read time by the injected analysis rule (the Iceberg
+    * parser/resolver-extension route, public design), always against
+    * the lake's CURRENT snapshot.
+    */
+  private[sources] val ViewSuffix = "@view"
+
   private[sources] def isTagEntry(key: String): Boolean = key.endsWith(TagsSuffix)
   private[sources] def isMetaEntry(key: String): Boolean =
     key.endsWith(TagsSuffix) || key.endsWith(SchemaSuffix) ||
@@ -549,7 +568,8 @@ class Snapshots(private[sources] val s: SparkSession,
       key.endsWith(DvSuffix) || key.endsWith(CheckSuffix) ||
       key.endsWith(GenSuffix) || key.endsWith(ColmapSuffix) ||
       key.endsWith(IdentitySuffix) || key.endsWith(PropsSuffix) ||
-      key.endsWith(CopiedSuffix)
+      key.endsWith(CopiedSuffix) || key.endsWith(MatviewSuffix) ||
+      key.endsWith(ViewSuffix)
 
   /** `<table>@copied` — the COPY INTO load registry: the set of
     * already-ingested source files as `base64(path):length` entries.

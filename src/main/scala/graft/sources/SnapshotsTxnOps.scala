@@ -319,6 +319,78 @@ private[sources] trait SnapshotsTxnOps { self: Snapshots =>
       s"replaceTable lost $MaxAttempts consecutive version races under $root")
   }
 
+  /** ATOMIC multi-table REPLACE — the N-table form of [[replaceTable]]
+    * for derived-table families that are only coherent TOGETHER (an
+    * IVF index's centroid table and its assignment table; a matview's
+    * rows and its watermark). All tables' new definitions land in ONE
+    * manifest publish: a reader at ANY version sees a mutually
+    * consistent family, and a crash between stagings publishes nothing
+    * — two sequential replaceTable calls would expose (new centroids,
+    * old assignments) to a reader at the intermediate version.
+    * Per-table `props` land as each table's `@props` line (clusterBy
+    * honored: the batch range-clusters into stat-tight files exactly
+    * like replaceTable). No checks/generated/identity here — derived
+    * tables are machine-written; declare contracts on sources.
+    */
+  def replaceTables(tables: Map[String, (DataFrame, Map[String, String])],
+                    statsCols: Map[String, Seq[String]] = Map.empty): Long = {
+    require(tables.nonEmpty, "replaceTables requires at least one table")
+    tables.keys.foreach(t => require(!isMetaEntry(t),
+      s"table name '$t' collides with the reserved '@' manifest lines"))
+    tables.foreach { case (t, (df, props)) =>
+      props.keys.foreach(k => require(k.matches("[A-Za-z0-9_.-]+"),
+        s"property key '$k' must be [A-Za-z0-9_.-]+"))
+      props.get(ClusterByProp).toSeq
+        .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+        .foreach(c => require(df.columns.contains(c),
+          s"$ClusterByProp column '$c' is not a column of table '$t' " +
+            s"(${df.columns.sorted.mkString(", ")})"))
+    }
+    var attempt = currentVersion.getOrElse(0L) + 1
+    var staged: Option[Map[String, String]] = None
+    for (_ <- 1 to MaxAttempts) {
+      val cur = currentVersion.map(readManifest).getOrElse(Map.empty[String, String])
+      val lines = staged.getOrElse {
+        // stage every table CONCURRENTLY (same rationale as
+        // stageTables: the publish is the single visibility point, the
+        // writes have no ordering dependency)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val all = Await.result(Future.traverse(tables.toSeq) {
+          case (t, (df, props)) => Future {
+            val cluster = props.get(ClusterByProp).toSeq
+              .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+            val r = stageRel(attempt, t)
+            clusterBatch(df, cluster).write.mode("overwrite").parquet(s"$root/$r")
+            if (cluster.nonEmpty) {
+              FileStats.dropEmptyFiles(fs, new Path(s"$root/$r"),
+                s.sparkContext.hadoopConfiguration)
+              if (FileStats.dataFiles(fs, new Path(s"$root/$r")).isEmpty)
+                df.limit(0).coalesce(1).write.mode("overwrite").parquet(s"$root/$r")
+            }
+            val statsAll = (statsCols.getOrElse(t, Nil) ++ cluster).distinct
+            if (statsAll.nonEmpty)
+              FileStats.writeSidecar(fs, new Path(s"$root/$r"),
+                FileStats.harvest(s, s"$root/$r", statsAll))
+            Seq(t -> r,
+              schemaLine(t, predictReadBack(df.schema).getOrElse(writtenSchema(r))),
+              filesLine(t, listRelFiles(Seq(r)))) ++
+              (if (props.isEmpty) Nil
+               else Seq((t + PropsSuffix) -> encodeChecks(props)))
+          }
+        }, scala.concurrent.duration.Duration.Inf).flatten.toMap
+        staged = Some(all); all
+      }
+      val base = cur.filterNot { case (k, _) =>
+        tables.keys.exists(t => k == t || k.startsWith(t + "@")) }
+      faultHook("pre-publish:replaceTables") // crash point: staged, old family intact
+      if (writeManifest(attempt, base ++ lines)) return attempt
+      attempt = math.max(attempt + 1, currentVersion.getOrElse(0L) + 1)
+    }
+    throw new IllegalStateException(
+      s"replaceTables lost $MaxAttempts consecutive version races under $root")
+  }
+
   /** DROP TABLE: publishes a manifest without the table's data entry or
     * any of its `@` metadata lines — a metadata-only commit (zero data
     * IO). The dropped table's files stay referenced by OLDER manifests

@@ -474,14 +474,27 @@ class AnnSpec extends AnyFunSuite {
     sp.sql("CREATE TABLE gaiv.db.emb (vec_id BIGINT, embedding ARRAY<FLOAT>)")
     sp.sql("INSERT INTO gaiv.db.emb SELECT vec_id, embedding FROM embeddings")
 
+    val snap = new graft.sources.Snapshots(sp, root + "/db")
+    val preBuild = snap.currentVersion.get
     val built = sp.sql(
       "CALL gaiv.system.ann_index_ivf('db', 'emb', 'emb_ivf', 8)").head
     assert(built.getInt(1) == 8, s"explicit nlist must be honored: $built")
     val nVecs = built.getLong(2)
-    val snap = new graft.sources.Snapshots(sp, root + "/db")
     assert(snap.read("emb_ivf").count() == nVecs,
       "every corpus vector must be assigned to exactly one list")
     assert(snap.read("emb_ivf_cents").count() == 8L)
+    // ATOMICITY: centroids + assignments land in ONE manifest commit —
+    // no intermediate version can pair new centroids with old lists
+    assert(snap.currentVersion.get == preBuild + 1,
+      s"index build must publish exactly one version " +
+        s"(${preBuild} -> ${snap.currentVersion.get})")
+
+    // a wrong-dimensionality query vector refuses loudly (silent
+    // truncation would probe the wrong lists)
+    val dimErr = intercept[Exception] {
+      sp.sql("CALL gaiv.system.ann_search_ivf('db', 'emb_ivf', '0.1,0.2,0.3', 5, 2)").collect()
+    }
+    assert(dimErr.getMessage.contains("dimensions"), dimErr.getMessage)
 
     val q = sp.sql("SELECT embedding FROM embeddings WHERE vec_id = 0").head
       .getSeq[Float](0)

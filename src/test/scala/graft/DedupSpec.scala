@@ -72,6 +72,54 @@ class DedupSpec extends AnyFunSuite {
     assert(sp.sql("SELECT max(doc_id) FROM gdd.db.corpus").head.getLong(0) < 100000L)
   }
 
+  test("dedup_containment CALL == Dedup.containmentPairs; finds planted truncations; dedup_exact tolerates NULLs in the anchor column") {
+    val sp = spark
+    val root = java.nio.file.Files.createTempDirectory("dedupcont").toString
+    sp.conf.set("spark.sql.catalog.gdc", classOf[graft.sources.GraftCatalog].getName)
+    sp.conf.set("spark.sql.catalog.gdc.root", root)
+    sp.sql("CREATE NAMESPACE gdc.db")
+    // the d14 fixture shape as a TABLE: every 4th doc gains a
+    // half-length truncated copy (+300000) — containment 1.0
+    docs(sp, dir).select(col("doc_id"), col("text"))
+      .createOrReplaceTempView("cont_call_src")
+    sp.sql("""CREATE TABLE gdc.db.corpus AS
+             |SELECT doc_id, text FROM cont_call_src
+             |UNION ALL
+             |SELECT doc_id + 300000 AS doc_id,
+             |       array_join(slice(split(text, ' '), 1,
+             |         CAST(size(split(text, ' ')) / 2 AS INT)), ' ') AS text
+             |FROM cont_call_src WHERE doc_id % 4 = 0""".stripMargin)
+    val viaCall = sp.sql(
+      "CALL gdc.system.dedup_containment('db', 'corpus', 'doc_id', 'text', 0.9D, 10000)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaScala = Dedup.containmentPairs(
+        new graft.sources.Snapshots(sp, root + "/db").read("corpus"),
+        "doc_id", "text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaCall == viaScala, s"CALL ${viaCall.size} vs Scala ${viaScala.size}")
+    // every planted truncation pair is found at containment 1.0
+    val planted = docs(sp, dir).where(col("doc_id") % 4 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val foundA = viaCall.filter(_._3 >= 0.9999).map(_._1)
+    assert(planted.subsetOf(foundA),
+      s"missing planted truncations: ${planted -- foundA}")
+
+    // dedup_exact over a table whose FIRST column carries NULLs: the
+    // unbounded replaceWhere range's matchCond is lit(true), so the
+    // null-anchored republish must succeed (pins the contract)
+    sp.sql("""CREATE TABLE gdc.db.nullfirst AS
+             |SELECT CASE WHEN doc_id % 3 = 0 THEN NULL ELSE doc_id END AS k, text
+             |FROM cont_call_src
+             |UNION ALL
+             |SELECT CASE WHEN doc_id % 3 = 0 THEN NULL ELSE doc_id END AS k, text
+             |FROM cont_call_src""".stripMargin)
+    val n = sp.sql("SELECT count(*) FROM gdc.db.nullfirst").head.getLong(0)
+    val res = sp.sql("CALL gdc.system.dedup_exact('db', 'nullfirst', 'text')").head
+    assert(res.getLong(1) == n, "rows_before")
+    assert(res.getLong(2) == n / 2, "every text planted exactly twice")
+    assert(sp.sql("SELECT count(*) FROM gdc.db.nullfirst").head.getLong(0) == n / 2)
+  }
+
   test("d02 MinHash/LSH finds all high-similarity pairs (recall vs brute force)") {
     val found = Dedup.d02DedupMinhash(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -3662,6 +3662,25 @@ class TxnSpec extends AnyFunSuite {
     assert(snap.currentVersion.get == head2,
       "a refused overwrite must publish nothing")
     assert(sp.sql("SELECT count(*) FROM govw.db.t").head.getLong(0) == 3L)
+
+    // IDENTITY tables refuse INSERT OVERWRITE outright: overwrite has
+    // no id assigner, so a NULL-padded (or explicit) identity column
+    // would land without advancing the high-water mark — later appends
+    // could mint colliding ids. The guard must fire BEFORE any publish.
+    sp.sql("""CREATE TABLE govw.db.idt (
+             |  sid BIGINT GENERATED ALWAYS AS IDENTITY, v BIGINT)""".stripMargin)
+    sp.sql("INSERT INTO govw.db.idt (v) VALUES (10), (20)")
+    val head3 = snap.currentVersion.get
+    val e = intercept[Exception] {
+      sp.sql("INSERT OVERWRITE govw.db.idt (v) VALUES (99)") }
+    assert(e.getMessage.contains("IDENTITY") ||
+      Option(e.getCause).exists(_.getMessage.contains("IDENTITY")), e.getMessage)
+    assert(snap.currentVersion.get == head3,
+      "a refused identity overwrite must publish nothing")
+    assert(sp.sql("SELECT count(*) FROM govw.db.idt").head.getLong(0) == 2L)
+    // and the assigner still works after the refusal (high-water intact)
+    sp.sql("INSERT INTO govw.db.idt (v) VALUES (30)")
+    assert(sp.sql("SELECT count(DISTINCT sid) FROM govw.db.idt").head.getLong(0) == 3L)
   }
 
   test("subquery-predicate SQL DML: uncorrelated IN/NOT IN/EXISTS/scalar execute; bounds and correlation refuse") {
