@@ -252,10 +252,16 @@ object Matview {
 
   /** REFRESH: fold the source's (watermark, head] deltas in; publishes
     * rows + advanced watermark in ONE manifest write. Returns
-    * (published version, fromVersion, toVersion); a no-op refresh
-    * (watermark already at head) publishes nothing.
+    * (head version after the call, fromVersion, toVersion); from == to
+    * means nothing folded. A refresh with NO source changes publishes
+    * NOTHING (no self-chasing: the refresh's own publish does not touch
+    * the source, so the next refresh no-ops) — except when the
+    * unfolded version gap exceeds `compressAfter`, where one
+    * metadata-only publish advances the watermark so the per-refresh
+    * touched-scan stays O(compressAfter) manifest headers instead of
+    * growing with unrelated commit traffic.
     */
-  def refresh(sn: Snapshots, mv: String): (Long, Long, Long) = {
+  def refresh(sn: Snapshots, mv: String, compressAfter: Int = 16): (Long, Long, Long) = {
     val head = sn.currentVersion.getOrElse(
       throw new IllegalStateException(s"no commits under ${sn.rootPath}"))
     val line = sn.readManifest(head).getOrElse(mv + sn.MatviewSuffix,
@@ -264,15 +270,27 @@ object Matview {
           "(CALL graft.system.create_matview first)"))
     val (src, sql, wm) = decodeLine(line)
     if (wm == head) return (head, wm, wm)
-    val p = parse(sn.s, sql)
-    // cheap driver-side screen: if no version in (wm, head] touched the
-    // source table, only the watermark moves (a metadata-only publish —
-    // no data job, no re-stage of the mv rows)
-    val touched = ((wm + 1) to head).exists(v => sn.tableTouchedAt(src, v))
-    if (!touched) {
-      val v = publish(sn, mv, None, encodeLine(src, sql, head), mustExist = true)
-      return (v, wm, head)
+    // cheap driver-side screen: did any version in (wm, head] actually
+    // change the source's DATA (entry, file list, deletion vector)?
+    // Narrower than tableTouchedAt: the @maint marker is per-version
+    // and its disappearance on the NEXT publish is not a data change —
+    // counting it would make every post-compact refresh fold an empty
+    // delta and publish needlessly. (Cached manifest views, zero IO.)
+    def srcChangedAt(v: Long): Boolean = {
+      if (v <= 1L) return true
+      val prev = sn.readManifest(v - 1); val cur = sn.readManifest(v)
+      Seq(src, src + sn.FilesSuffix, src + sn.DvSuffix)
+        .exists(k => prev.get(k) != cur.get(k))
     }
+    val touched = ((wm + 1) to head).exists(srcChangedAt)
+    if (!touched) {
+      if (head - wm >= compressAfter) {
+        val v = publish(sn, mv, None, encodeLine(src, sql, head), mustExist = true)
+        return (v, wm, wm)
+      }
+      return (head, wm, wm)
+    }
+    val p = parse(sn.s, sql)
     val deltas = deltaAggregate(sn.readChanges(src, wm, head), p)
     val folded = fold(sn.read(mv, Some(head)), deltas, p)
     val v = publish(sn, mv, Some(folded), encodeLine(src, sql, head),
@@ -317,6 +335,14 @@ object Matview {
       s"matview publish lost ${sn.MaxAttempts} consecutive version races under ${sn.rootPath}")
   }
 
+  /** The stored (source table, defining SQL, watermark version) of a
+    * matview at head — None if `mv` is not a materialized view. The
+    * inspection surface DESCRIBE-style tooling (and tests) read.
+    */
+  def spec(sn: Snapshots, mv: String): Option[(String, String, Long)] =
+    sn.currentVersion.flatMap(v =>
+      sn.readManifest(v).get(mv + sn.MatviewSuffix).map(decodeLine))
+
   /** DROP: removes the rows table and the `@matview` line in one
     * metadata commit. False if no such matview.
     */
@@ -324,4 +350,58 @@ object Matview {
     sn.currentVersion.exists { head =>
       sn.readManifest(head).contains(mv + sn.MatviewSuffix) && sn.dropTable(mv)
     }
+
+  /** `c39_sql_matview`: the CDC-consumer loop (c09/st08) as PURE TEXT —
+    * seed a lake table, CREATE MATVIEW over it via CALL, mutate the
+    * source with ordinary SQL DML (INSERT + ranged DELETE), REFRESH via
+    * CALL, and read the view as a plain catalog table. The oracle is
+    * DuckDB's from-scratch recompute of the source's head state: a
+    * dropped delta, double-fold, or mis-signed pre-image anywhere in
+    * the change feed → fold → atomic (rows, watermark) publish flips n
+    * or total_cents. Per-run namespace keeps re-runs idempotent; every
+    * invocation exercises the real create/refresh CALLs.
+    */
+  def c39SqlMatview(s: SparkSession, dir: String): DataFrame = {
+    val root = s.conf.get("spark.sql.warehouse.dir") + "/c21_catalog"
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", root)
+    Catalog.register(s, dir)
+    val ns = "db_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    s.sql(s"CREATE NAMESPACE graft.$ns")
+    s.sql(s"CREATE TABLE graft.$ns.orders_m (o_orderkey BIGINT, o_orderstatus STRING, price_cents BIGINT)")
+    s.sql(s"""INSERT INTO graft.$ns.orders_m
+             |SELECT o_orderkey, o_orderstatus,
+             |       CAST(round(o_totalprice * 100, 0) AS BIGINT)
+             |FROM orders WHERE o_orderkey % 3 <> 0""".stripMargin)
+    s.sql(s"""CALL graft.system.create_matview('$ns', 'mv_status',
+             |  'SELECT o_orderstatus, count(*) AS n, sum(price_cents) AS total_cents
+             |   FROM orders_m GROUP BY o_orderstatus')""".stripMargin)
+    // deltas the refresh must fold from the change feed alone
+    s.sql(s"""INSERT INTO graft.$ns.orders_m
+             |SELECT o_orderkey, o_orderstatus,
+             |       CAST(round(o_totalprice * 100, 0) AS BIGINT)
+             |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin)
+    s.sql(s"DELETE FROM graft.$ns.orders_m WHERE o_orderkey BETWEEN 3000 AND 3999")
+    s.sql(s"CALL graft.system.refresh_matview('$ns', 'mv_status')")
+    s.sql(s"""SELECT o_orderstatus, n, CAST(total_cents AS BIGINT) AS total_cents
+             |FROM graft.$ns.mv_status ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] =
+    Map("c39_sql_matview" -> c39SqlMatview _)
+
+  val oracles: Map[String, String] = Map(
+    // the same closed form as c09/st08: the matview maintained purely
+    // from deltas must equal the from-scratch recompute of head state
+    "c39_sql_matview" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+        |  FROM orders
+        |  WHERE o_orderkey NOT BETWEEN 3000 AND 3999
+        |)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(price_cents) AS BIGINT) AS total_cents
+        |FROM c GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)
 }

@@ -3790,4 +3790,148 @@ class TxnSpec extends AnyFunSuite {
     assert(snap.read("t").head.isNullAt(0))
   }
 
+  // ---- materialized views (Matview) ------------------------------------
+
+  private def matviewLake(): (graft.sources.Snapshots, String) = {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("mvlake").toString + "/db"
+    val snap = new Snapshots(sp, root)
+    snap.createTable("src",
+      (1L to 100L).map(i => (i, s"g${i % 3}", i * 10L)).toDF("id", "g", "v"),
+      statsCols = Seq("id"))
+    (snap, root)
+  }
+
+  private def mvRecompute(snap: Snapshots): Seq[(String, Long, Long)] =
+    snap.read("src").where("v > 0")
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+
+  private def mvRows(snap: Snapshots): Seq[(String, Long, Long)] =
+    snap.read("mv").orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("matview: create computes, refresh folds every DML verb, dead groups leave, compaction folds to a no-op") {
+    val (snap, _) = matviewLake()
+    val sql = "SELECT g, count(*) AS n, sum(v) AS sv FROM src WHERE v > 0 GROUP BY g"
+    val (v1, wm1) = graft.sources.Matview.create(snap, "mv", sql)
+    assert(wm1 == 1L && v1 == 2L)
+    assert(mvRows(snap) == mvRecompute(snap))
+
+    val sp = spark
+    import sp.implicits._
+    // append (new groups g3/g4 appear), delete, update — then refresh
+    snap.append("src", (101L to 120L).map(i => (i, s"g${i % 5}", i * 10L)).toDF("id", "g", "v"))
+    snap.deleteWhere("src", Seq(ColRange("id", Some(1L), Some(30L))), Seq("id"))
+    snap.updateWhere("src", Seq(ColRange("id", Some(40L), Some(50L))),
+      expr("id BETWEEN 40 AND 50"), Map("v" -> expr("v + 7")), Seq("id"))
+    val (_, from, to) = graft.sources.Matview.refresh(snap, "mv")
+    assert(from == wm1 && to > from)
+    assert(mvRows(snap) == mvRecompute(snap),
+      "fold from the change feed must equal the from-scratch recompute")
+
+    // kill one whole group → its row must LEAVE the view (count witness)
+    snap.deleteWhere("src", Seq(ColRange("id", None, None)),
+      expr("g = 'g4'"), Seq("id"))
+    graft.sources.Matview.refresh(snap, "mv")
+    assert(!mvRows(snap).exists(_._1 == "g4"), "count-zero group must leave")
+    assert(mvRows(snap) == mvRecompute(snap))
+
+    // source COMPACTION: rows only move between files — refresh must
+    // fold to the identical view (invariance under maintenance)
+    val beforeCompact = mvRows(snap)
+    snap.compact("src", statsCols = Seq("id"))
+    graft.sources.Matview.refresh(snap, "mv")
+    assert(mvRows(snap) == beforeCompact, "maintenance must not change the view")
+
+    // no-op refresh: watermark already at head → nothing publishes
+    val head = snap.currentVersion.get
+    val (vN, f2, t2) = graft.sources.Matview.refresh(snap, "mv")
+    assert(vN == head && f2 == t2, "a current view must not publish")
+    assert(snap.currentVersion.get == head)
+  }
+
+  test("matview: crashed refresh leaves the old (rows, watermark) pair; untouched source bumps watermark metadata-only") {
+    val (snap, _) = matviewLake()
+    val sql = "SELECT g, count(*) AS n, sum(v) AS sv FROM src GROUP BY g"
+    graft.sources.Matview.create(snap, "mv", sql)
+    val sp = spark
+    import sp.implicits._
+    snap.append("src", Seq((200L, "g9", 5L)).toDF("id", "g", "v"))
+    val before = mvRows(snap)
+    val headBefore = snap.currentVersion.get
+
+    // arm the crash point: staged bytes exist, publish never happens
+    snap.faultHook = l => if (l == "pre-publish:matview")
+      throw new RuntimeException("injected crash")
+    intercept[RuntimeException] { graft.sources.Matview.refresh(snap, "mv") }
+    snap.faultHook = _ => ()
+    assert(snap.currentVersion.get == headBefore, "crash published nothing")
+    assert(mvRows(snap) == before, "old rows intact")
+
+    // re-run converges
+    graft.sources.Matview.refresh(snap, "mv")
+    assert(mvRows(snap).exists(_._1 == "g9"))
+
+    // a commit that does NOT touch src (another table) → refresh only
+    // moves the watermark: the mv's data paths are carried verbatim
+    // (metadata-only publish, no staging job), and the stored watermark
+    // advances to head
+    snap.createTable("other", Seq((1L, 1L)).toDF("a", "b"))
+    val pathsBefore = snap.tablePaths()("mv")
+    val headB = snap.currentVersion.get
+    // default: an untouched source is a TRUE no-op (publishes nothing —
+    // no self-chasing of the refresh's own versions)
+    val (vN, fN, tN) = graft.sources.Matview.refresh(snap, "mv")
+    assert(vN == headB && fN == tN, "untouched source must not publish")
+    // compressAfter=1 forces the watermark-compress path: metadata-only
+    // publish, data entry carried verbatim, watermark jumps to headB
+    val (vW, fW, tW) = graft.sources.Matview.refresh(snap, "mv", compressAfter = 1)
+    assert(vW == headB + 1 && fW == tW, "compress folds nothing")
+    assert(snap.tablePaths(Some(vW))("mv") == pathsBefore,
+      "watermark compress must carry the data entry, not re-stage")
+    assert(graft.sources.Matview.spec(snap, "mv").map(_._3).contains(headB),
+      s"watermark must advance to $headB")
+    // and the compress does not itself self-chase: next refresh no-ops
+    val (v2, f2b, t2b) = graft.sources.Matview.refresh(snap, "mv")
+    assert(v2 == vW && f2b == t2b)
+  }
+
+  test("matview: refusals are loud and specific; drop removes rows and line") {
+    val (snap, _) = matviewLake()
+    def refuses(sql: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        graft.sources.Matview.create(snap, "mv_x", sql) }
+      assert(e.getMessage.contains(frag), s"'${e.getMessage}' !~ '$frag'")
+    }
+    refuses("SELECT g, sum(v) AS sv FROM src GROUP BY g", "count(*)")
+    refuses("SELECT g, count(*) AS n, avg(v) AS a FROM src GROUP BY g", "derivable")
+    refuses("SELECT g, count(*) AS n, min(v) AS m FROM src GROUP BY g", "not delta-maintainable")
+    refuses("SELECT g, count(DISTINCT v) AS n FROM src GROUP BY g", "DISTINCT")
+    refuses("SELECT g, count(*) AS n FROM src GROUP BY g ORDER BY g", "ORDER BY")
+    refuses("SELECT g, count(*) AS n FROM src a JOIN src b ON a.id = b.id GROUP BY g", "one table")
+    refuses("SELECT g, count(*) FROM src GROUP BY g", "aliased")
+    refuses("SELECT count(*) AS n FROM src", "grouped aggregate")
+    refuses("SELECT g, count(*) AS n FROM src GROUP BY g HAVING count(*) > 1",
+      "grouped aggregate")
+
+    val sql = "SELECT g, count(*) AS n FROM src GROUP BY g"
+    graft.sources.Matview.create(snap, "mv", sql)
+    // double-create refuses; self-reference refuses
+    intercept[IllegalArgumentException] {
+      graft.sources.Matview.create(snap, "mv", sql) }
+    intercept[IllegalArgumentException] {
+      graft.sources.Matview.create(snap, "mv2",
+        "SELECT g, count(*) AS n FROM mv2 GROUP BY g") }
+    assert(graft.sources.Matview.drop(snap, "mv"))
+    assert(!snap.tableNames().contains("mv"))
+    assert(graft.sources.Matview.spec(snap, "mv").isEmpty,
+      "drop must take the @matview line with it")
+    assert(!graft.sources.Matview.drop(snap, "mv"), "second drop is false")
+    // refresh of a non-matview refuses loudly
+    intercept[NoSuchElementException] { graft.sources.Matview.refresh(snap, "src") }
+  }
+
 }
