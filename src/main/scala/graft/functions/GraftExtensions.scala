@@ -41,6 +41,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (post-hoc: the commands must be fully resolved first)
     ext.injectPostHocResolutionRule(session => graft.sources.GraftDmlCommands(session))
 
+    // CREATE/DROP VIEW on graft catalogs → the engine's view commands
+    // (the Iceberg injected-parser route: Spark's analyzer has no v2
+    // view resolution; see graft.sources.GraftViews)
+    ext.injectParser((session, delegate) =>
+      new graft.sources.GraftSqlParser(session, delegate))
+
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays"),
       (args: Seq[Expression]) => CosineSim(args(0), args(1))))

@@ -102,12 +102,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   // ---- tables ----------------------------------------------------------
 
-  override def listTables(namespace: Array[String]): Array[Identifier] =
-    snap(namespace).tableNames().map(t => Identifier.of(namespace, t)).toArray
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val sn = snap(namespace)
+    (sn.tableNames() ++ GraftViews.names(sn)).sorted
+      .map(t => Identifier.of(namespace, t)).toArray
+  }
 
   override def tableExists(ident: Identifier): Boolean =
-    try snap(ident.namespace).tableNames().contains(ident.name)
-    catch { case _: Exception => false }
+    try {
+      val sn = snap(ident.namespace)
+      sn.tableNames().contains(ident.name) ||
+        GraftViews.spec(sn, ident.name).isDefined
+    } catch { case _: Exception => false }
 
   private def mkTable(ident: Identifier, version: Option[Long]): Table = {
     val sn = snap(ident.namespace)
@@ -133,7 +139,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           throw new NoSuchTableException(ident)
         new GraftMetaTable(lakeRoot(ident.namespace), base, kind, pinned,
           GraftMetaTables.df(spark, lakeRoot(ident.namespace), base, kind, pinned).schema)
-      case _ => mkTable(ident, version)
+      case _ =>
+        // a PERSISTENT VIEW ([[GraftViews]]): schema derived through
+        // the SAME expansion the read rule will plan, at the SAME
+        // pinned version — a `VERSION AS OF v` read resolves both the
+        // view line and its body at v
+        val sn = snap(ident.namespace)
+        val pinned = version.orElse(sn.currentVersion).getOrElse(
+          throw new NoSuchTableException(ident))
+        if (GraftViews.spec(sn, ident.name, Some(pinned)).isDefined)
+          new GraftViewTable(lakeRoot(ident.namespace), ident.name, pinned,
+            GraftViews.df(sn, ident.name, Some(pinned)).schema)
+        else mkTable(ident, version)
     }
 
   override def loadTable(ident: Identifier): Table = mkTableOrMeta(ident, None)
@@ -456,8 +473,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     override def abortStagedChanges(): Unit = ()
   }
 
-  override def dropTable(ident: Identifier): Boolean =
-    snap(ident.namespace).dropTable(ident.name)
+  override def dropTable(ident: Identifier): Boolean = {
+    val sn = snap(ident.namespace)
+    if (GraftViews.spec(sn, ident.name).isDefined)
+      throw new UnsupportedOperationException(
+        s"'${ident.name}' is a VIEW — use DROP VIEW ${name()}." +
+          s"${ident.namespace.mkString(".")}.${ident.name}")
+    sn.dropTable(ident.name)
+  }
 
   override def renameTable(from: Identifier, to: Identifier): Unit = {
     require(from.namespace.sameElements(to.namespace),
@@ -2031,6 +2054,33 @@ private[sources] object GraftMetaTables {
         s"unknown metadata table kind '$other' (${Kinds.mkString("/")})")
     }
   }
+}
+
+/** One persistent VIEW ([[GraftViews]]) pinned at `pinnedVersion`:
+  * read-only; the [[GraftLakeReads]] rule replaces the relation with
+  * the stored query's analyzed plan (body resolved at the SAME pinned
+  * version). The loud ScanBuilder is the fail-safe for sessions
+  * missing GraftExtensions.
+  */
+private[sources] class GraftViewTable(
+    val root: String, val viewName: String, val pinnedVersion: Long,
+    viewSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft:$root#$viewName@v$pinnedVersion(view)"
+  override def schema(): StructType = viewSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def properties(): util.Map[String, String] =
+    Map("view" -> "true").asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new org.apache.spark.sql.connector.read.Scan {
+      override def readSchema(): StructType = viewSchema
+      override def description(): String = name()
+      override def toBatch: org.apache.spark.sql.connector.read.Batch =
+        throw new IllegalStateException(
+          "graft view reads are planned by the GraftLakeReads analysis rule — " +
+            "build the session with spark.sql.extensions=graft.functions.GraftExtensions")
+    }
 }
 
 /** One metadata table (see [[GraftMetaTables]]); read-only, resolved

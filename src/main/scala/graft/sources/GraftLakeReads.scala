@@ -71,6 +71,16 @@ case class GraftLakeReads(spark: SparkSession) extends Rule[LogicalPlan] {
         Project(output.zip(read.output).map { case (out, in) =>
           Alias(in, out.name)(exprId = out.exprId)
         }, read)
+      case DataSourceV2Relation(t: GraftViewTable, output, _, _, _, _) =>
+        // persistent views: the stored query's analyzed plan, body
+        // resolved at the view's pinned version ([[GraftViews.df]] —
+        // nested views expanded, table reads manifest-planned with the
+        // same stats-driven join sizing)
+        val read = GraftViews.df(new Snapshots(spark, t.root), t.viewName,
+          Some(t.pinnedVersion)).queryExecution.analyzed
+        Project(output.zip(read.output).map { case (out, in) =>
+          Alias(in, out.name)(exprId = out.exprId)
+        }, read)
       case r @ DataSourceV2Relation(t: GraftLakeTable, output, _, _, _, _)
           if !writeTargets.contains(r) =>
         val snap = new Snapshots(spark, t.root)
@@ -82,15 +92,32 @@ case class GraftLakeReads(spark: SparkSession) extends Rule[LogicalPlan] {
         val aligned = Project(output.zip(read.output).map { case (out, in) =>
           Alias(in, out.name)(exprId = out.exprId)
         }, read)
-        val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB") match {
-          case s => org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)
-        }
-        val parts = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt.max(1)
-        val bytes = try snap.tableBytes(t.tableName, Some(t.pinnedVersion))
-          catch { case _: Exception => Long.MaxValue }
-        if (threshold > 0 && bytes > threshold && bytes / parts <= threshold)
-          ResolvedHint(aligned, HintInfo(strategy = Some(SHUFFLE_HASH)))
-        else aligned
+        GraftLakeReads.maybeShuffleHash(spark, snap, t.tableName,
+          t.pinnedVersion, aligned)
     }
+  }
+}
+
+object GraftLakeReads {
+  /** The stats-driven join-strategy decision on one converted lake
+    * read (shared by the catalog read path and view expansion): past
+    * the broadcast threshold, attach a SHUFFLE_HASH hint iff the
+    * table's per-partition build share (manifest-recorded bytes /
+    * shuffle partitions) still fits the broadcast budget — hash beats
+    * sort-merge when the build side fits memory, and the manifest
+    * KNOWS it fits. Never fires below the broadcast threshold (a SHJ
+    * hint outranks unhinted size-based broadcast in JoinSelection).
+    */
+  private[sources] def maybeShuffleHash(spark: SparkSession, snap: Snapshots,
+                                        table: String, version: Long,
+                                        plan: LogicalPlan): LogicalPlan = {
+    val threshold = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt.max(1)
+    val bytes = try snap.tableBytes(table, Some(version))
+      catch { case _: Exception => Long.MaxValue }
+    if (threshold > 0 && bytes > threshold && bytes / parts <= threshold)
+      ResolvedHint(plan, HintInfo(strategy = Some(SHUFFLE_HASH)))
+    else plan
   }
 }

@@ -311,7 +311,8 @@ object Matview {
       val exists = sn.dataEntries(cur).contains(mv)
       if (mustExist) require(exists,
         s"materialized view table '$mv' missing under ${sn.rootPath}")
-      else require(!exists && !cur.contains(mv + sn.MatviewSuffix),
+      else require(!exists && !cur.contains(mv + sn.MatviewSuffix) &&
+        !cur.contains(mv + sn.ViewSuffix),
         s"'$mv' already exists under ${sn.rootPath}")
       val lines: Map[String, String] = data match {
         case Some(df) =>

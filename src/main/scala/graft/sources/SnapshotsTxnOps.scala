@@ -162,6 +162,9 @@ private[sources] trait SnapshotsTxnOps { self: Snapshots =>
       val cur = currentVersion.map(readManifest).getOrElse(Map.empty)
       require(!dataEntries(cur).contains(table),
         s"table '$table' already exists under $root")
+      require(!cur.contains(table + ViewSuffix) && !cur.contains(table + MatviewSuffix),
+        s"'$table' is a standing view under $root — a table cannot shadow it " +
+          "(DROP VIEW / drop_matview first)")
       val written = stageTables(Map(table -> df),
         if (statsCols.nonEmpty) Map(table -> statsCols) else Map.empty, attempt)
       val propLine: Map[String, String] =

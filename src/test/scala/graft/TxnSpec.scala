@@ -3790,6 +3790,119 @@ class TxnSpec extends AnyFunSuite {
     assert(snap.read("t").head.isNullAt(0))
   }
 
+  // ---- persistent SQL views (GraftViews) --------------------------------
+
+  test("views: CREATE/OR REPLACE/DROP as text; nested expansion; version-coherent time travel") {
+    val sp = spark
+    val root = Files.createTempDirectory("viewspec").toString
+    sp.conf.set("spark.sql.catalog.gview", classOf[graft.sources.GraftCatalog].getName)
+    sp.conf.set("spark.sql.catalog.gview.root", root)
+    sp.sql("CREATE NAMESPACE gview.db")
+    sp.sql("CREATE TABLE gview.db.t (id BIGINT, g STRING, v BIGINT)")
+    sp.sql("INSERT INTO gview.db.t VALUES (1,'a',10),(2,'a',20),(3,'b',30)")
+    val snap = new Snapshots(sp, root + "/db")
+
+    sp.sql("CREATE VIEW gview.db.pos AS SELECT id, g, v FROM t WHERE v > 10")
+    val vAfterCreate = snap.currentVersion.get
+    assert(sp.sql("SELECT sum(v) FROM gview.db.pos").head.getLong(0) == 50L)
+    // a view stacked on a view expands at read
+    sp.sql("CREATE VIEW gview.db.agg AS SELECT g, sum(v) AS sv FROM pos GROUP BY g")
+    assert(sp.sql("SELECT sv FROM gview.db.agg WHERE g = 'a'").head.getLong(0) == 20L)
+
+    // view reads track the LIVE head — new rows appear with no refresh
+    sp.sql("INSERT INTO gview.db.t VALUES (4,'a',40)")
+    assert(sp.sql("SELECT sv FROM gview.db.agg WHERE g = 'a'").head.getLong(0) == 60L)
+
+    // VERSION AS OF: the view line AND its body resolve at v — the
+    // pre-insert read returns the pre-insert aggregate
+    assert(sp.sql(s"SELECT sum(v) FROM gview.db.pos VERSION AS OF $vAfterCreate")
+      .head.getLong(0) == 50L)
+    // ... and at a version BEFORE the view existed, the read refuses
+    val e0 = intercept[Exception] {
+      sp.sql("SELECT * FROM gview.db.pos VERSION AS OF 1").collect() }
+    assert(chainMsgs(e0).exists(m => m.contains("not a view") || m.contains("TABLE_OR_VIEW_NOT_FOUND")),
+      s"pre-existence travel must refuse: ${chainMsgs(e0)}")
+
+    // OR REPLACE swaps atomically; the stacked view follows
+    sp.sql("CREATE OR REPLACE VIEW gview.db.pos AS SELECT id, g, v FROM t WHERE v > 25")
+    assert(sp.sql("SELECT sv FROM gview.db.agg WHERE g = 'a'").head.getLong(0) == 40L)
+
+    // catalog surface: listed, exists, DROP TABLE refuses, DROP VIEW works
+    assert(sp.sql("SHOW TABLES IN gview.db").collect().map(_.getString(1)).toSet
+      .contains("pos"))
+    val e1 = intercept[Exception] { sp.sql("DROP TABLE gview.db.pos") }
+    assert(chainMsgs(e1).exists(_.contains("DROP VIEW")), s"${chainMsgs(e1)}")
+    sp.sql("DROP VIEW gview.db.agg")
+    intercept[Exception] { sp.sql("SELECT * FROM gview.db.agg").collect() }
+    // IF EXISTS tolerates; bare DROP VIEW refuses
+    sp.sql("DROP VIEW IF EXISTS gview.db.agg")
+    val e2 = intercept[Exception] { sp.sql("DROP VIEW gview.db.agg") }
+    assert(chainMsgs(e2).exists(_.contains("not found")), s"${chainMsgs(e2)}")
+
+    // a dropped base view leaves a standing reader loud, not wrong
+    sp.sql("CREATE VIEW gview.db.agg2 AS SELECT g, count(*) AS n FROM pos GROUP BY g")
+    sp.sql("DROP VIEW gview.db.pos")
+    val e3 = intercept[Exception] { sp.sql("SELECT * FROM gview.db.agg2").collect() }
+    assert(chainMsgs(e3).exists(_.contains("neither a table nor a view")),
+      s"${chainMsgs(e3)}")
+  }
+
+  test("views: refusals are loud — cycles, qualified refs, name collisions, unparseable SQL") {
+    val sp = spark
+    val root = Files.createTempDirectory("viewref").toString
+    sp.conf.set("spark.sql.catalog.gvref", classOf[graft.sources.GraftCatalog].getName)
+    sp.conf.set("spark.sql.catalog.gvref.root", root)
+    sp.sql("CREATE NAMESPACE gvref.db")
+    sp.sql("CREATE TABLE gvref.db.t (id BIGINT, v BIGINT)")
+    sp.sql("INSERT INTO gvref.db.t VALUES (1, 10)")
+    val snap = new Snapshots(sp, root + "/db")
+    def refuses(sql: String, frag: String): Unit = {
+      val e = intercept[Exception] { sp.sql(sql).collect() }
+      assert(chainMsgs(e).exists(_.contains(frag)),
+        s"'${chainMsgs(e).mkString(" | ")}' !~ '$frag'")
+    }
+    // self-reference is a cycle through the overlay at CREATE
+    refuses("CREATE VIEW gvref.db.v1 AS SELECT * FROM v1", "cyclic")
+    // qualified references refuse (single version axis)
+    refuses("CREATE VIEW gvref.db.v1 AS SELECT * FROM gvref.db.t",
+      "bare single-part names")
+    // unknown reference refuses at CREATE
+    refuses("CREATE VIEW gvref.db.v1 AS SELECT * FROM nope",
+      "neither a table nor a view")
+    // bad SQL refuses at CREATE (analysis runs before publish)
+    refuses("CREATE VIEW gvref.db.v1 AS SELECT no_col FROM t", "no_col")
+    // a view cannot shadow a table; a table cannot shadow a view
+    refuses("CREATE VIEW gvref.db.t AS SELECT * FROM t", "cannot shadow")
+    val headBefore = snap.currentVersion.get
+    sp.sql("CREATE VIEW gvref.db.v1 AS SELECT id, v FROM t")
+    assert(snap.currentVersion.get == headBefore + 1, "create is ONE commit")
+    refuses("CREATE VIEW gvref.db.v1 AS SELECT id FROM t", "already exists")
+    sp.sql("CREATE VIEW IF NOT EXISTS gvref.db.v1 AS SELECT id FROM t") // no-op
+    assert(graft.sources.GraftViews.spec(snap, "v1").get.contains("id, v"),
+      "IF NOT EXISTS on an existing view must keep the old definition")
+    // Spark's own exists-check fires first (tableExists counts views);
+    // the Snapshots.createTable "standing view" guard backstops Scala callers
+    refuses("CREATE TABLE gvref.db.v1 (x BIGINT)", "ALREADY_EXISTS")
+    intercept[IllegalArgumentException] {
+      snap.createTable("v1", sp.range(1).toDF("x")) }
+    // a two-view cycle: v2 -> v1 fine; replacing v1 -> v2 must refuse
+    sp.sql("CREATE VIEW gvref.db.v2 AS SELECT id FROM v1")
+    refuses("CREATE OR REPLACE VIEW gvref.db.v1 AS SELECT id FROM v2", "cyclic")
+    // INSERT into a view refuses (read-only relation)
+    intercept[Exception] { sp.sql("INSERT INTO gvref.db.v1 VALUES (9, 9)") }
+    // matview/view name spaces are mutually exclusive
+    graft.sources.Matview.create(snap, "mv",
+      "SELECT v, count(*) AS n FROM t GROUP BY v")
+    refuses("CREATE VIEW gvref.db.mv AS SELECT * FROM t", "MATERIALIZED VIEW")
+    // ... and a view READING a matview's rows table is fine
+    sp.sql("CREATE VIEW gvref.db.mv_top AS SELECT v, n FROM mv WHERE n > 0")
+    assert(sp.sql("SELECT n FROM gvref.db.mv_top").head.getLong(0) == 1L)
+  }
+
+  private def chainMsgs(t: Throwable): Seq[String] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+      .map(x => Option(x.getMessage).getOrElse("")).toSeq
+
   // ---- materialized views (Matview) ------------------------------------
 
   private def matviewLake(): (graft.sources.Snapshots, String) = {
