@@ -1373,7 +1373,46 @@ object GraftCatalog {
              |END""".stripMargin)
   }
 
+  /** `c41_sql_atomic`: MULTI-STATEMENT ATOMIC TRANSACTIONS AS TEXT —
+    * one `CALL graft.system.atomic` runs a five-statement script
+    * (CREATE fact, INSERT, general-predicate DELETE, CREATE agg,
+    * INSERT-from-fact — statement 5 reading statements 2-3's virtual
+    * state proves in-scope read-your-writes) and publishes EXACTLY ONE
+    * lake version. The CALL's returned (version, statements) ride the
+    * result as columns, so the DuckDB oracle pins the atomicity
+    * witness itself: version=1 on the fresh lake, statements=5.
+    */
+  def c41SqlAtomic(s: SparkSession, dir: String): DataFrame = {
+    val root = s.conf.get("spark.sql.warehouse.dir") + "/c21_catalog"
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", root)
+    Catalog.register(s, dir)
+    val ns = "db_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    s.sql(s"CREATE NAMESPACE graft.$ns")
+    val script =
+      s"""BEGIN
+         |  CREATE TABLE graft.$ns.fact (k BIGINT, status STRING, cents BIGINT);
+         |  INSERT INTO graft.$ns.fact
+         |    SELECT o_orderkey, o_orderstatus,
+         |           CAST(round(o_totalprice * 100, 0) AS BIGINT)
+         |    FROM orders;
+         |  DELETE FROM graft.$ns.fact WHERE cents < 10000000;
+         |  CREATE TABLE graft.$ns.agg (status STRING, n BIGINT, total BIGINT);
+         |  INSERT INTO graft.$ns.agg
+         |    SELECT status, count(*), sum(cents) FROM graft.$ns.fact
+         |    GROUP BY status;
+         |END""".stripMargin
+    val call = s.sql(
+      s"CALL graft.system.atomic('$ns', '${script.replace("'", "''")}')").head
+    val (version, statements) = (call.getLong(0), call.getLong(1))
+    s.sql(s"""SELECT status, n, total,
+             |  CAST($version AS BIGINT) AS versions_published,
+             |  CAST($statements AS BIGINT) AS statements_folded
+             |FROM graft.$ns.agg ORDER BY status""".stripMargin)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c41_sql_atomic" -> c41SqlAtomic _,
     "c21_sql_catalog" -> c21SqlCatalog _,
     "c36_replace_table" -> c36ReplaceTable _,
     "c37_sql_identity" -> c37SqlIdentity _,
@@ -1394,6 +1433,19 @@ object GraftCatalog {
     "c35_time_partition" -> c35TimePartition _)
 
   val oracles: Map[String, String] = Map(
+    // versions_published=1 IS the atomicity assertion: five statements,
+    // one manifest commit on the fresh lake
+    "c41_sql_atomic" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus AS status,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders
+        |)
+        |SELECT status, count(*) AS n, CAST(sum(cents) AS BIGINT) AS total,
+        |  CAST(1 AS BIGINT) AS versions_published,
+        |  CAST(5 AS BIGINT) AS statements_folded
+        |FROM c WHERE cents >= 10000000
+        |GROUP BY status ORDER BY status""".stripMargin,
     "c38_sql_script" ->
       """WITH c AS (
         |  SELECT CAST(o_orderkey % 3 AS INT) AS batch, o_orderstatus,

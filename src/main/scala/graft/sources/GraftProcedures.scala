@@ -32,7 +32,7 @@ private[sources] object GraftProcedures {
       "copy_into", "clone", "restore", "ann_search", "ann_search_where",
       "ann_index_ivf", "ann_index_append", "ann_search_ivf", "ann_search_ivf_where",
       "dedup_exact", "dedup_minhash", "dedup_containment",
-      "create_matview", "refresh_matview", "drop_matview")
+      "create_matview", "refresh_matview", "drop_matview", "atomic")
 
   def load(rootPrefix: String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.sameElements(Array("system")),
@@ -482,6 +482,16 @@ private[sources] object GraftProcedures {
           Seq("lake" -> StringType, "name" -> StringType),
           Seq("dropped" -> BooleanType)) { in =>
           Seq(Matview.drop(snap(s(in, 0)), s(in, 1)))
+        }
+      // ATOMIC MULTI-STATEMENT TRANSACTIONS AS TEXT (see
+      // [[AtomicScript]]): the script's lake writes land in ONE
+      // manifest publish — all or nothing, first-committer-wins.
+      case "atomic" =>
+        proc("atomic",
+          Seq("lake" -> StringType, "script" -> StringType),
+          Seq("version" -> LongType, "statements" -> LongType)) { in =>
+          val (v, n) = AtomicScript.run(snap(s(in, 0)), s(in, 1))
+          Seq(v, n.toLong)
         }
       case other => throw new IllegalArgumentException(
         s"unknown graft procedure '$other' (${Names.mkString("/")})")

@@ -122,8 +122,15 @@ class Snapshots(private[sources] val s: SparkSession,
     java.lang.Long.toHexString(new java.security.SecureRandom().nextLong() | (1L << 62))
   private[sources] def stageRel(attempt: Long, name: String): String = s"v$attempt-$writerId/$name"
 
-  /** Newest committed version, if any commit exists. */
+  /** Newest committed version, if any commit exists. Inside an atomic
+    * scope ([[Snapshots.TxnScope]]) the scope's VIRTUAL head — verbs
+    * running in the scope see their predecessors' writes.
+    */
   def currentVersion: Option[Long] = {
+    Snapshots.scopeOf(root) match {
+      case Some(scope) => return if (scope.head == 0L) None else Some(scope.head)
+      case None =>
+    }
     val vs = store.list(commitDir)
       .filter(_.endsWith(".manifest"))
       .map(_.stripSuffix(".manifest").toLong)
@@ -180,6 +187,22 @@ class Snapshots(private[sources] val s: SparkSession,
         (isMetaEntry(t) || !t.contains("@")),
       s"table name '$t' would corrupt the manifest line format " +
         "('@' is reserved for metadata keys)"))
+    // ATOMIC-SCOPE interception (see [[Snapshots.TxnScope]]): inside
+    // `CALL graft.system.atomic`, a verb's publish lands in the scope's
+    // VIRTUAL version chain instead of the store — nothing durable,
+    // nothing visible to other sessions, until the scope's single real
+    // publish at close. Staged data files are already written (they
+    // only become visible via a manifest — crashed-writer residue
+    // semantics, ordinary vacuum food on abort).
+    Snapshots.scopeOf(root) match {
+      case Some(scope) =>
+        require(v == scope.head + 1,
+          s"atomic scope at $root expected virtual version ${scope.head + 1}, got $v " +
+            "(concurrent writers cannot race a single-threaded scope)")
+        scope.publishVirtual(tables)
+        return true
+      case None =>
+    }
     store.mkdirs(commitDir)
     val exploded = explode(tables)
     val ts = System.currentTimeMillis()
@@ -382,6 +405,11 @@ class Snapshots(private[sources] val s: SparkSession,
   }
 
   private[sources] def readManifest(v: Long): Map[String, String] = {
+    // atomic-scope virtual versions resolve from the scope, never the
+    // store (and never pollute the immutable-manifest caches)
+    Snapshots.scopeOf(root).foreach { scope =>
+      scope.manifestAt(v).foreach(return _)
+    }
     val hit = viewCache.get(v)
     if (hit != null) return hit
     val view = reassemble(resolveState(v))
@@ -1075,6 +1103,53 @@ object Snapshots {
     */
   final class SerializationConflictException(msg: String)
     extends RuntimeException(msg)
+
+  /** ATOMIC MULTI-STATEMENT SCOPE (`CALL graft.system.atomic`): while
+    * open on this thread for a lake root, every verb's manifest
+    * publish lands in a VIRTUAL version chain held here — verbs see
+    * their in-scope predecessors (statement 2 reads statement 1's
+    * insert) but the store sees NOTHING until the scope closes with
+    * ONE real publish of the final state. The reference's
+    * `withTransaction` (Stream.hs:166-231) composed with SQL text: an
+    * exception anywhere in the script discards the scope — staged data
+    * files without a manifest are the crashed-writer invariant the
+    * protocol already vacuums. Thread-local by design: a scope is one
+    * driver thread running one script; concurrent sessions keep their
+    * own heads and the closing publish does first-committer-wins
+    * against the real head.
+    */
+  private[sources] final class TxnScope(val base: Long,
+                                        baseManifest: Map[String, String]) {
+    private var count = 0
+    private val states = scala.collection.mutable.Map[Long, Map[String, String]]()
+    def head: Long = base + count
+    def changed: Int = count
+    def manifestAt(v: Long): Option[Map[String, String]] =
+      if (v == base && base > 0L) Some(baseManifest)
+      else states.get(v)
+    def publishVirtual(m: Map[String, String]): Unit = {
+      count += 1; states(base + count) = m
+    }
+    def finalManifest: Option[Map[String, String]] = states.get(head)
+  }
+
+  private val scopes = new ThreadLocal[scala.collection.mutable.Map[String, TxnScope]] {
+    override def initialValue() = scala.collection.mutable.Map.empty
+  }
+  private[sources] def scopeOf(root: String): Option[TxnScope] = {
+    val m = scopes.get
+    if (m.isEmpty) None else m.get(root)
+  }
+  private[sources] def openScope(root: String, base: Long,
+                                 baseManifest: Map[String, String]): TxnScope = {
+    require(!scopes.get.contains(root),
+      s"an atomic scope is already open for $root on this thread " +
+        "(atomic CALLs do not nest)")
+    val sc = new TxnScope(base, baseManifest)
+    scopes.get.put(root, sc)
+    sc
+  }
+  private[sources] def closeScope(root: String): Unit = scopes.get.remove(root)
 
   /** A write introduced rows that violate a table's CHECK constraint —
     * the write did NOT publish (the lake analog of Postgres'

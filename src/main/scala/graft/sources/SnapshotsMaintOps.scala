@@ -274,6 +274,9 @@ private[sources] trait SnapshotsMaintOps { self: Snapshots =>
 
   def vacuum(keepLast: Int, minAgeMs: Long = 0L): (Int, Int) = {
     require(keepLast >= 1, "must keep at least the head version")
+    require(Snapshots.scopeOf(root).isEmpty,
+      "vacuum cannot run inside an atomic scope — file deletion is not " +
+        "transactional (run it as its own CALL)")
     def listVersions(): Seq[Long] = store.list(commitDir)
       .filter(_.endsWith(".manifest"))
       .map(_.stripSuffix(".manifest").toLong).sorted.reverse

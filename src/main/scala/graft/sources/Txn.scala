@@ -106,3 +106,56 @@ final class Txn private[sources] (snap: Snapshots, val isolation: Isolation) {
       statsCols = stats.toMap)
   }
 }
+
+/** MULTI-STATEMENT ATOMIC TRANSACTIONS AS TEXT —
+  * `CALL graft.system.atomic('db', '<script>')`: runs a SQL script
+  * (one statement, or a Spark-4 `BEGIN … END` scripting block) with an
+  * open [[Snapshots.TxnScope]] on the lake, so every statement's
+  * manifest publish lands in a VIRTUAL chain — statement N reads
+  * statement N-1's writes, other sessions see nothing — and the final
+  * state publishes in ONE real manifest write. This is [[Txn]]
+  * (`withTransaction`, reference Stream.hs:166-231) composed with the
+  * c38 SQL-scripting surface: the two-table CDC-apply script the
+  * reference's consumer loop runs becomes one atomic version.
+  *
+  * Failure model: an exception ANYWHERE in the script discards the
+  * scope — the lake never sees a prefix. Staged data files without a
+  * manifest are the protocol's standing crashed-writer invariant
+  * (invisible, vacuum food). Concurrency: first-committer-wins on the
+  * WHOLE scope — the closing publish claims exactly base+1, and a lake
+  * that advanced mid-script aborts with
+  * [[Snapshots.SerializationConflictException]] (re-run the script).
+  * Reads inside the script see the scope's virtual head; `vacuum`
+  * refuses inside a scope (file deletion is not transactional);
+  * scopes do not nest.
+  */
+object AtomicScript {
+
+  /** Returns (published version, virtual statements folded). A script
+    * that writes nothing publishes nothing and returns (base, 0).
+    */
+  def run(sn: Snapshots, script: String): (Long, Int) = {
+    val base = sn.currentVersion.getOrElse(0L)
+    val baseM =
+      if (base == 0L) Map.empty[String, String] else sn.readManifest(base)
+    val scope = Snapshots.openScope(sn.rootPath, base, baseM)
+    val (finalM, changed) =
+      try {
+        sn.s.conf.set("spark.sql.scripting.enabled", "true")
+        sn.s.sql(script).collect()
+        (scope.finalManifest, scope.changed)
+      } finally Snapshots.closeScope(sn.rootPath)
+    finalM match {
+      case None => (base, 0)
+      case Some(m) =>
+        // claim exactly base+1: the scope's state was derived from the
+        // base manifest, so ANY intervening commit is a conflict
+        if (!sn.writeManifest(base + 1, m))
+          throw new Snapshots.SerializationConflictException(
+            s"atomic script lost to a concurrent commit at ${sn.rootPath}: " +
+              s"the lake advanced past version $base while the script ran — " +
+              "re-run the CALL from the new head")
+        (base + 1, changed)
+    }
+  }
+}

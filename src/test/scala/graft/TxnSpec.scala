@@ -3790,6 +3790,136 @@ class TxnSpec extends AnyFunSuite {
     assert(snap.read("t").head.isNullAt(0))
   }
 
+  // ---- atomic multi-statement scripts (AtomicScript) ---------------------
+
+  test("atomic script: two-table apply publishes ONE version; mid-script failure publishes NOTHING") {
+    val sp = spark
+    val root = Files.createTempDirectory("atomspec").toString
+    sp.conf.set("spark.sql.catalog.gatom", classOf[graft.sources.GraftCatalog].getName)
+    sp.conf.set("spark.sql.catalog.gatom.root", root)
+    sp.sql("CREATE NAMESPACE gatom.db")
+    sp.sql("CREATE TABLE gatom.db.t (id BIGINT, v BIGINT)")
+    sp.sql("INSERT INTO gatom.db.t VALUES (1, 10), (2, 20), (3, 30)")
+    val snap = new Snapshots(sp, root + "/db")
+    val base = snap.currentVersion.get
+
+    // the two-table CDC-apply shape: mutate t, derive audit — one CALL,
+    // one version; the audit INSERT reads t's IN-SCOPE state (30 gone)
+    val script =
+      """BEGIN
+        |  DELETE FROM gatom.db.t WHERE v >= 30;
+        |  INSERT INTO gatom.db.t VALUES (4, 40);
+        |  CREATE TABLE gatom.db.audit (n BIGINT, sv BIGINT);
+        |  INSERT INTO gatom.db.audit SELECT count(*), sum(v) FROM gatom.db.t;
+        |END""".stripMargin
+    val row = sp.sql(
+      s"CALL gatom.system.atomic('db', '${script.replace("'", "''")}')").head
+    assert(row.getLong(0) == base + 1, "whole script = ONE version")
+    assert(row.getLong(1) == 4L)
+    assert(snap.currentVersion.get == base + 1)
+    assert(sp.sql("SELECT n, sv FROM gatom.db.audit").head ==
+      org.apache.spark.sql.Row(3L, 70L), "audit read the in-scope state")
+    // the intermediate states are NOT versions: time travel to base
+    // shows the pre-script table, base+1 the final one, nothing between
+    assert(snap.read("t", Some(base)).count() == 3L)
+    assert(snap.read("t").count() == 3L) // 1,2,4
+
+    // mid-script failure: statement 3 references a missing column —
+    // statements 1-2 must NOT be visible, head unmoved
+    val headBefore = snap.currentVersion.get
+    val bad =
+      """BEGIN
+        |  DELETE FROM gatom.db.t WHERE v = 10;
+        |  INSERT INTO gatom.db.t VALUES (9, 90);
+        |  INSERT INTO gatom.db.audit SELECT count(*), sum(no_such) FROM gatom.db.t;
+        |END""".stripMargin
+    intercept[Exception] {
+      sp.sql(s"CALL gatom.system.atomic('db', '${bad.replace("'", "''")}')") }
+    assert(snap.currentVersion.get == headBefore, "failed script publishes NOTHING")
+    assert(snap.read("t").orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 4L), "no prefix visible")
+  }
+
+  test("atomic script: first-committer-wins against a concurrent commit; nesting and vacuum refuse") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("atomconf").toString + "/db"
+    val snap = new Snapshots(sp, root)
+    snap.createTable("t", Seq((1L, 10L)).toDF("id", "v"))
+    sp.conf.set("spark.sql.catalog.gatc", classOf[graft.sources.GraftCatalog].getName)
+    sp.conf.set("spark.sql.catalog.gatc.root",
+      root.stripSuffix("/db"))
+
+    // arm the closing publish: just before putIfAbsent, a DIFFERENT
+    // writer (own thread, no scope) claims base+1 — the script must
+    // abort with a serialization conflict, not silently clobber
+    @volatile var raced = false
+    snap.faultHook = l => if (l == "manifest-publish" && !raced) {
+      raced = true
+      val th = new Thread(() => {
+        val other = new Snapshots(sp, root)
+        other.append("t", Seq((2L, 20L)).toDF("id", "v"))
+      })
+      th.start(); th.join()
+    }
+    val e = intercept[graft.sources.Snapshots.SerializationConflictException] {
+      graft.sources.AtomicScript.run(snap,
+        "INSERT INTO gatc.db.t VALUES (3, 30)")
+    }
+    snap.faultHook = _ => ()
+    assert(e.getMessage.contains("re-run"))
+    // the interloper's row is there; the script's is not
+    assert(snap.read("t").orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L))
+
+    // a re-run from the new head converges
+    val (v, n) = graft.sources.AtomicScript.run(snap,
+      "INSERT INTO gatc.db.t VALUES (3, 30)")
+    assert(n == 1 && v == snap.currentVersion.get)
+    assert(snap.read("t").count() == 3L)
+
+    // scopes do not nest; vacuum refuses inside a scope
+    val e2 = intercept[Exception] {
+      graft.sources.AtomicScript.run(snap,
+        s"""CALL gatc.system.atomic('db', 'INSERT INTO gatc.db.t VALUES (4, 40)')""")
+    }
+    assert(chainMsgs(e2).exists(_.contains("do not nest")), s"${chainMsgs(e2)}")
+    val e3 = intercept[Exception] {
+      graft.sources.AtomicScript.run(snap, "CALL gatc.system.vacuum('db', 1)")
+    }
+    assert(chainMsgs(e3).exists(_.contains("not transactional")), s"${chainMsgs(e3)}")
+    // both refused scripts published nothing
+    assert(snap.read("t").count() == 3L)
+
+    // a read-only script publishes nothing and returns the base head
+    val head = snap.currentVersion.get
+    val (v2, n2) = graft.sources.AtomicScript.run(snap,
+      "SELECT count(*) FROM gatc.db.t")
+    assert(v2 == head && n2 == 0)
+  }
+
+  test("atomic script: CHECK constraints enforce inside the scope; the whole script aborts") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("atomchk").toString + "/db"
+    val snap = new Snapshots(sp, root)
+    snap.createTable("t", Seq((1L, 10L)).toDF("id", "v"))
+    snap.addCheck("t", "v_pos", "v > 0")
+    sp.conf.set("spark.sql.catalog.gatk", classOf[graft.sources.GraftCatalog].getName)
+    sp.conf.set("spark.sql.catalog.gatk.root", root.stripSuffix("/db"))
+    val head = snap.currentVersion.get
+    val e = intercept[Exception] {
+      graft.sources.AtomicScript.run(snap,
+        """BEGIN
+          |  INSERT INTO gatk.db.t VALUES (2, 20);
+          |  INSERT INTO gatk.db.t VALUES (3, -1);
+          |END""".stripMargin)
+    }
+    assert(chainMsgs(e).exists(_.contains("v_pos")), s"${chainMsgs(e)}")
+    assert(snap.currentVersion.get == head)
+    assert(snap.read("t").count() == 1L, "statement 1 must not leak")
+  }
+
   // ---- persistent SQL views (GraftViews) --------------------------------
 
   test("views: CREATE/OR REPLACE/DROP as text; nested expansion; version-coherent time travel") {
