@@ -1184,9 +1184,100 @@ object Ann {
       .orderBy("q_id", "rank")
   }
 
+  /** `s15_ivf_build`: the IVF index BUILD alone (CREATE + INSERT +
+    * k-means‖/Lloyd train + two-table atomic publish) — split from
+    * s15_ann_sql_ivf so the bench tracks build cost round-over-round
+    * without probe noise. Returns (nlist, vectors), both closed forms
+    * of the corpus size, so the key is DuckDB-oracled even though the
+    * trained centroids themselves are approximate state.
+    */
+  def s15IvfBuild(s: SparkSession, dir: String): DataFrame = {
+    val root = s.conf.get("spark.sql.warehouse.dir") + "/c21_catalog"
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", root)
+    graft.sources.Catalog.register(s, dir)
+    val ns = "db_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    s.sql(s"CREATE NAMESPACE graft.$ns")
+    s.sql(s"CREATE TABLE graft.$ns.emb_t (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+    s.sql(s"INSERT INTO graft.$ns.emb_t SELECT vec_id, embedding FROM embeddings")
+    s.sql(s"CALL graft.system.ann_index_ivf('$ns', 'emb_t', 'emb_ivf', 0)")
+      .select(col("nlist"), col("vectors"))
+  }
+
+  /** `s15_ivf_probe`: the PROBE side isolated — the index builds ONCE
+    * into a SHARED deterministic namespace (the bench's warmup pass
+    * pays it; timed runs find the tables standing and measure pure
+    * probe latency: driver-side nprobe selection + ONE stats-pruned
+    * scan of the selected list file-runs per query). A corpus-count
+    * mismatch (regenerated testdata under a stale warehouse) rebuilds.
+    * 16 query vectors so the probe signal dominates any residual
+    * bookkeeping. Approximate by construction → rows-only; AnnSpec
+    * pins the IVF paths' correctness and recall.
+    */
+  def s15IvfProbe(s: SparkSession, dir: String, nQueries: Int = 16, k: Int = K): DataFrame = {
+    val root = s.conf.get("spark.sql.warehouse.dir") + "/c21_catalog"
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", root)
+    graft.sources.Catalog.register(s, dir)
+    val ns = "db_ivfshared"
+    val sn = new graft.sources.Snapshots(s, s"$root/$ns")
+    val corpus = s.table("embeddings")
+    val standing = sn.currentVersion.isDefined &&
+      sn.tableNames().contains("emb_ivf") && sn.tableNames().contains("emb_t") &&
+      sn.read("emb_t").count() == corpus.count()
+    if (!standing) {
+      if (sn.currentVersion.isDefined)
+        Seq("emb_ivf", "emb_ivf_cents", "emb_t").foreach(t =>
+          if (sn.tableNames().contains(t)) sn.dropTable(t))
+      else s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+      if (!sn.currentVersion.exists(v => sn.tableNames(Some(v)).contains("emb_t")))
+        s.sql(s"CREATE TABLE graft.$ns.emb_t (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+      s.sql(s"INSERT INTO graft.$ns.emb_t SELECT vec_id, embedding FROM embeddings")
+      s.sql(s"CALL graft.system.ann_index_ivf('$ns', 'emb_t', 'emb_ivf', 0)")
+    }
+    val qs = s.sql(s"SELECT vec_id, embedding FROM embeddings WHERE vec_id < $nQueries ORDER BY vec_id")
+      .collect()
+    qs.map { r =>
+      val qv = r.getSeq[Float](1).mkString(",")
+      s.sql(s"CALL graft.system.ann_search_ivf('$ns', 'emb_ivf', '$qv', $k, 4)")
+        .withColumn("q_id", lit(r.getLong(0)))
+    }.reduce(_ unionByName _)
+      .select(col("q_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** `s16_ann_recall`: the RECALL GATE — every approximate path's
+    * recall@10 vs the s01 exact oracle, measured on the REAL corpus at
+    * the keys' default knobs (IVF nprobe=4-of-adaptive, PQ m=8/ksub=16
+    * ADC+rerank, SQ8 byte-dot shortlist). A quantizer regression that
+    * halves recall now fails a NAMED test (AnnSpec pins per-method
+    * floors from measured values) and shows in the driver's rows
+    * instead of passing silently behind full-probe==exact pins. The
+    * recall VALUE is data-dependent → rows-only key.
+    */
+  def s16AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def sets(df: DataFrame): DataFrame = df.select("q_id", "neighbor_id")
+    val exact = sets(s01AnnBruteforce(s, dir)).persist()
+    exact.count()
+    def recallOf(method: String, df: DataFrame): DataFrame = {
+      val hits = sets(df).join(exact, Seq("q_id", "neighbor_id")).count()
+      Seq((method, hits.toDouble / (NQueries.toDouble * K)))
+        .toDF("method", "recall_at_10")
+    }
+    try recallOf("ivf_nprobe4", s03AnnIvf(s, dir))
+      .union(recallOf("pq_m8", s05AnnPq(s, dir)))
+      .union(recallOf("sq8", s13AnnSq8(s, dir)))
+      .orderBy("method")
+    finally exact.unpersist()
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s16_ann_recall" -> s16AnnRecall _,
     "s14_ann_sql" -> ((s, dir) => s14AnnSql(s, dir)),
     "s15_ann_sql_ivf" -> ((s, dir) => s15AnnSqlIvf(s, dir)),
+    "s15_ivf_build" -> s15IvfBuild _,
+    "s15_ivf_probe" -> ((s, dir) => s15IvfProbe(s, dir)),
     "s11_ann_mmr" -> ((s, dir) => s11AnnMmr(s, dir)),
     "s01_ann_bruteforce" -> s01AnnBruteforce _,
     "s02_ann_lsh" -> ((s, dir) => s02AnnLsh(s, dir)),
@@ -1269,6 +1360,11 @@ object Ann {
     */
   val oracles: Map[String, String] = Map(
     "s11_ann_mmr" -> mmrOracleSql(0.7, 8, 20),
+    // nlist = max(16, min(256, n/64)) — Ann.adaptiveNlist's closed form
+    "s15_ivf_build" ->
+      """SELECT CAST(GREATEST(16, LEAST(256, count(*) // 64)) AS INT) AS nlist,
+        |  count(*) AS vectors
+        |FROM embeddings""".stripMargin,
     "s14_ann_sql" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 4

@@ -566,4 +566,21 @@ class AnnSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSeq
     assert(fw.map(_._1) == truthF, s"filtered full-probe ${fw.map(_._1)} != exact $truthF")
   }
+
+  test("s16 recall gate: IVF/PQ/SQ8 recall@10 vs exact holds its floor on the real corpus at default knobs") {
+    // the driver-visible key itself, run on the real sf0.01 corpus —
+    // a quantizer regression (bad codebook, wrong probe selection,
+    // broken shortlist) fails HERE by name instead of hiding behind
+    // the full-probe==exact pins above. Floors sit well under the
+    // measured values (ivf 0.57, pq 0.80, sq8 1.00 on r12's uniform
+    // -random regen) to absorb per-round testdata regeneration noise
+    // while still catching a halving.
+    val sp = TestSpark.spark
+    val rows = graft.pipeline.Ann.s16AnnRecall(sp, "/root/testdata/sf0.01")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    info(s"recall@10 on sf0.01: $rows")
+    assert(rows("ivf_nprobe4") >= 0.35, s"IVF recall ${rows("ivf_nprobe4")} < 0.35")
+    assert(rows("pq_m8") >= 0.60, s"PQ recall ${rows("pq_m8")} < 0.60")
+    assert(rows("sq8") >= 0.85, s"SQ8 recall ${rows("sq8")} < 0.85")
+  }
 }
