@@ -70,7 +70,7 @@ object Bench {
     "s15_ivf_build", "s15_ivf_probe",
     "t30_sql_text_funcs", "c37_sql_identity", "q67_time_range_frame",
     "c38_sql_script", "p02_pipeline_stream", "c39_sql_matview",
-    "c40_sql_view", "c41_sql_atomic",
+    "c40_sql_view", "c41_sql_atomic", "c42_sql_struct",
     "q33_profile", "q33_profile_approx", "q34_histogram")
 
   /** Per-key task-metric sums, so a bench anomaly ships with its own

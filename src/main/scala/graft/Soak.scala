@@ -81,6 +81,14 @@ object Soak {
     // seeding writes (append's range shuffle, linear in the batch)
     "d15_sql_dedup", "s15_ann_sql_ivf", "c36_replace_table")
 
+  /** The ngram-dedup family gets a THIRD scale point (r11 verdict #8:
+    * d04/d07 showed cpu_ratio ≈ 3.1-3.2 at 10× — mildly superlinear;
+    * one more decade tells a saturating df-cap curve apart from a
+    * steepening one). Only documents is the scaled dimension.
+    */
+  val ngramKeys: Seq[String] = Seq("d04_dedup_ngram", "d07_dedup_clusters",
+    "d08_dedup_incremental_ngram", "d14_dedup_containment")
+
   private final class MetricsListener extends SparkListener {
     val runMs = new AtomicLong; val gcMs = new AtomicLong; val tasks = new AtomicLong
     val cpuMs = new AtomicLong
@@ -143,6 +151,30 @@ object Soak {
     fs.create(marker, true).close()
   }
 
+  /** 30× documents (the ngram family's scaled dimension); every other
+    * table copies 1× so key registration works. Same remap discipline
+    * as [[stage10x]]: distinct ids, suffix-distinct texts.
+    */
+  private def stage30x(s: SparkSession, base: String, out: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(out, "_STAGED_NG30")
+    if (fs.exists(marker)) return
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val docs = s.read.parquet(s"$base/documents.parquet")
+    (0 until 30).map(k => docs
+        .withColumn("doc_id", col("doc_id") + k * 1000000L)
+        .withColumn("text",
+          if (k == 0) col("text") else concat(col("text"), lit(s" rep$k"))))
+      .reduce(_ unionByName _)
+      .repartition(32).write.parquet(s"$out/documents.parquet")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "embeddings").foreach { t =>
+      s.read.parquet(s"$base/$t.parquet").write.parquet(s"$out/$t.parquet")
+    }
+    fs.create(marker, true).close()
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -150,8 +182,10 @@ object Soak {
     spark.sparkContext.setLogLevel("WARN")
     val heapMax = Runtime.getRuntime.maxMemory() / (1 << 20)
     val soakDir = spark.conf.get("spark.sql.warehouse.dir") + "/soak10x"
-    println(s"SOAK heap=${heapMax}MiB base=$baseDir soak=$soakDir")
+    val soak30Dir = spark.conf.get("spark.sql.warehouse.dir") + "/soak30x"
+    println(s"SOAK heap=${heapMax}MiB base=$baseDir soak=$soakDir soak30=$soak30Dir")
     stage10x(spark, baseDir, soakDir)
+    stage30x(spark, baseDir, soak30Dir)
 
     val listener = new MetricsListener
     spark.sparkContext.addSparkListener(listener)
@@ -161,8 +195,14 @@ object Soak {
                    load: Double, cpuMs: Long)
     val runs = scala.collection.mutable.ArrayBuffer.empty[Run]
 
-    for (scale <- Seq("1x", "10x"); key <- keys) {
-      val dir = if (scale == "1x") baseDir else soakDir
+    val base12 = keys ++ ngramKeys.filterNot(keys.contains)
+    for (scale <- Seq("1x", "10x", "30x");
+         key <- (if (scale == "30x") ngramKeys else base12)) {
+      val dir = scale match {
+        case "1x" => baseDir
+        case "10x" => soakDir
+        case _ => soak30Dir
+      }
       // fixture staging (seeded lakes, PQ indexes, envelope dumps) is
       // one-time setup, not the measured operator — run once unmeasured
       try { SparkEntry.queries(key)(spark, dir).count(); () }
@@ -196,7 +236,7 @@ object Soak {
     }
 
     val failed = runs.filter(_.err.nonEmpty)
-    val byKey = keys.map { k =>
+    val byKey = base12.map { k =>
       val one = runs.find(r => r.key == k && r.scale == "1x").get
       val ten = runs.find(r => r.key == k && r.scale == "10x").get
       (k, one, ten, if (one.taskMs > 0) ten.taskMs.toDouble / one.taskMs else -1.0)
@@ -221,6 +261,24 @@ object Soak {
       md ++= s"\n**FAILURES (${failed.size})**:\n"
       failed.foreach(r => md ++= s"- ${r.scale} ${r.key}: ${r.err}\n")
     } else md ++= "\nAll keys completed at both scales; no OOM, no failures.\n"
+
+    // the ngram family's THIRD decade (r11 verdict #8): 10×→30× on a
+    // 3× corpus step — cpu step ≈ 3 is linear, markedly above is a
+    // steepening curve (df-cap saturation would then need a default
+    // hot-bucket cap rather than a documented knob)
+    val ng = ngramKeys.map { k =>
+      val one = runs.find(r => r.key == k && r.scale == "1x").get
+      val ten = runs.find(r => r.key == k && r.scale == "10x").get
+      val thirty = runs.find(r => r.key == k && r.scale == "30x").get
+      (k, one, ten, thirty)
+    }
+    md ++= "\n## ngram family at 30× (third scale point)\n\n"
+    md ++= "| key | 1× cpu_ms | 10× cpu_ms | 30× cpu_ms | cpu 10×→30× (linear=3.0) | 30× wall | 30× gc_ms | 30× peak heap |\n"
+    md ++= "|---|---|---|---|---|---|---|---|\n"
+    ng.foreach { case (k, _, ten, th) =>
+      val step = if (ten.cpuMs > 0) th.cpuMs.toDouble / ten.cpuMs else -1.0
+      md ++= f"| $k | ${ng.find(_._1 == k).get._2.cpuMs} | ${ten.cpuMs} | ${th.cpuMs} | ${step}%.1f× | ${th.wallS}%.2fs | ${th.gcMs} | ${th.peakHeapMb} MiB |\n"
+    }
     md ++= manifestSoak(spark)
     md ++= bloomSoak(spark, soakDir)
     md ++= concurrencySoak(spark)
@@ -230,13 +288,18 @@ object Soak {
     def js(x: String) = "\"" + x + "\""
     val rows = byKey.map { case (k, one, ten, ratio) =>
       val cpuRatio = if (one.cpuMs > 0) ten.cpuMs.toDouble / one.cpuMs else -1.0
+      val thirty = runs.find(r => r.key == k && r.scale == "30x").map { th =>
+        val step = if (ten.cpuMs > 0) th.cpuMs.toDouble / ten.cpuMs else -1.0
+        f""","cpu_ms_30x":${th.cpuMs},"task_ms_30x":${th.taskMs},""" +
+          f""""cpu_step_10x_30x":$step%.2f,"wall_30x":${th.wallS}%.2f"""
+      }.getOrElse("")
       js(k) + ":" + f"""{"task_ms_1x":${one.taskMs},"task_ms_10x":${ten.taskMs},""" +
         f""""task_ratio":$ratio%.2f,""" +
         f""""cpu_ms_1x":${one.cpuMs},"cpu_ms_10x":${ten.cpuMs},"cpu_ratio":$cpuRatio%.2f,""" +
         f""""wall_1x":${one.wallS}%.2f,"wall_10x":${ten.wallS}%.2f,""" +
         f""""gc_ms_10x":${ten.gcMs},"peak_heap_mb_10x":${ten.peakHeapMb},""" +
         f""""load_1x":${one.load}%.1f,"load_10x":${ten.load}%.1f,""" +
-        f""""rows_10x":${ten.rows},"err":${js(ten.err)}}"""
+        f""""rows_10x":${ten.rows},"err":${js(ten.err)}$thirty}"""
     }.mkString("{", ",", "}")
     val sjson = s"""{"heap_mb":$heapMax,"base":${js(baseDir)},"keys":$rows,""" +
       s""""n_failed":${failed.size}}"""

@@ -34,6 +34,31 @@ import org.apache.spark.sql.SparkSession
   */
 object FileStats {
 
+  /** Stats/bloom declarations accept only top-level ATOMIC columns: a
+    * struct/array/map column has no single parquet footer chunk, so a
+    * harvest over it would silently record nothing — and an "analyzed"
+    * column that never prunes is worse than a refusal. Nested data is
+    * conservatively unpruned; predicates on nested fields stay exact
+    * residuals.
+    */
+  private[sources] def requireAtomicCols(table: String,
+      schema: org.apache.spark.sql.types.StructType, cols: Seq[String]): Unit =
+    cols.foreach { c =>
+      schema.fields.find(_.name == c).foreach { f =>
+        f.dataType match {
+          case _: org.apache.spark.sql.types.StructType |
+               _: org.apache.spark.sql.types.ArrayType |
+               _: org.apache.spark.sql.types.MapType =>
+            throw new IllegalArgumentException(
+              s"stats/bloom column '$c' of table '$table' is " +
+                s"${f.dataType.simpleString} — footer min/max stats exist only " +
+                "for atomic top-level columns (nested data reads stay correct, " +
+                "conservatively unpruned)")
+          case _ =>
+        }
+      }
+    }
+
   /** One column's stats within one file. `typ` tags how min/max strings
     * compare: "long" (int32/int64 — ints, dates-as-days,
     * timestamps-as-micros), "double" (float4/8), "string" (UTF8

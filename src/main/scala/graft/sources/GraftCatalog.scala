@@ -1411,8 +1411,44 @@ object GraftCatalog {
              |FROM graft.$ns.agg ORDER BY status""".stripMargin)
   }
 
+  /** `c42_sql_struct`: NESTED (STRUCT) columns through the lake
+    * lifecycle as text — CREATE with a STRUCT column, INSERT building
+    * structs from the corpus, general-predicate DELETE **on a struct
+    * field** (the envelope honestly cannot bound a nested column, so
+    * the file classification is unbounded and the residual predicate
+    * is exact — correct, conservatively unpruned), UPDATE replacing a
+    * struct value, and struct-field projection through the catalog
+    * read. The result is the FLAT projection of the surviving rows, so
+    * DuckDB recomputes it without struct-codec ambiguity.
+    */
+  def c42SqlStruct(s: SparkSession, dir: String): DataFrame = {
+    val root = s.conf.get("spark.sql.warehouse.dir") + "/c21_catalog"
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", root)
+    Catalog.register(s, dir)
+    val ns = "db_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    s.sql(s"CREATE NAMESPACE graft.$ns")
+    s.sql(s"""CREATE TABLE graft.$ns.docs (
+             |  id BIGINT,
+             |  meta STRUCT<status: STRING, cents: BIGINT>)""".stripMargin)
+    s.sql(s"""INSERT INTO graft.$ns.docs
+             |SELECT o_orderkey,
+             |  named_struct('status', o_orderstatus,
+             |               'cents', CAST(round(o_totalprice * 100, 0) AS BIGINT))
+             |FROM orders""".stripMargin)
+    // delete keyed on a struct FIELD; update replaces the whole struct
+    s.sql(s"DELETE FROM graft.$ns.docs WHERE meta.cents < 10000000 AND meta.status = 'F'")
+    s.sql(s"""UPDATE graft.$ns.docs
+             |SET meta = named_struct('status', 'X', 'cents', meta.cents)
+             |WHERE meta.status = 'P' AND meta.cents >= 25000000""".stripMargin)
+    s.sql(s"""SELECT meta.status AS status, count(*) AS n,
+             |  CAST(sum(meta.cents) AS BIGINT) AS total_cents
+             |FROM graft.$ns.docs GROUP BY meta.status ORDER BY status""".stripMargin)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c41_sql_atomic" -> c41SqlAtomic _,
+    "c42_sql_struct" -> c42SqlStruct _,
     "c21_sql_catalog" -> c21SqlCatalog _,
     "c36_replace_table" -> c36ReplaceTable _,
     "c37_sql_identity" -> c37SqlIdentity _,
@@ -1433,6 +1469,18 @@ object GraftCatalog {
     "c35_time_partition" -> c35TimePartition _)
 
   val oracles: Map[String, String] = Map(
+    "c42_sql_struct" ->
+      """WITH c AS (
+        |  SELECT o_orderkey AS id, o_orderstatus AS status,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders
+        |), kept AS (
+        |  SELECT id, CASE WHEN status = 'P' AND cents >= 25000000
+        |                  THEN 'X' ELSE status END AS status, cents
+        |  FROM c WHERE NOT (cents < 10000000 AND status = 'F')
+        |)
+        |SELECT status, count(*) AS n, CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM kept GROUP BY status ORDER BY status""".stripMargin,
     // versions_published=1 IS the atomicity assertion: five statements,
     // one manifest commit on the fresh lake
     "c41_sql_atomic" ->

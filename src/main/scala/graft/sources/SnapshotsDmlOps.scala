@@ -770,8 +770,12 @@ private[sources] trait SnapshotsDmlOps { self: Snapshots =>
     // for free; pre-metadata manifests fall back to one footer read.
     currentVersion.map(readManifest).foreach { m =>
       m.get(table).foreach { rel =>
+        // nullability is ignored DEEPLY (asNullable): a struct column
+        // built from SQL literals carries non-null nested fields, and a
+        // parquet round-trip legitimately relaxes any of them
         def sig(st: org.apache.spark.sql.types.StructType): Seq[(String, org.apache.spark.sql.types.DataType)] =
-          st.fields.map(f => (f.name, f.dataType)).toSeq
+          st.fields.map(f =>
+            (f.name, org.apache.spark.sql.GraftShim.asNullable(f.dataType))).toSeq
         // the guard compares the batch against the VISIBLE (logical)
         // schema — under a column mapping the batch speaks post-rename
         // names; physical translation happens at staging below
@@ -785,9 +789,11 @@ private[sources] trait SnapshotsDmlOps { self: Snapshots =>
           // change on a shared column — the parquet reader cannot
           // re-type existing pages, so it must fail here, loudly, not
           // silently coerce at scan time.
-          val eTypes = existing.fields.map(f => f.name -> f.dataType).toMap
+          val eTypes = existing.fields.map(f =>
+            f.name -> org.apache.spark.sql.GraftShim.asNullable(f.dataType)).toMap
           df.schema.fields.foreach { f =>
-            eTypes.get(f.name).foreach(t => require(t == f.dataType,
+            eTypes.get(f.name).foreach(t => require(
+              t == org.apache.spark.sql.GraftShim.asNullable(f.dataType),
               s"mergeSchema append: column '${f.name}' type ${f.dataType.simpleString} " +
                 s"conflicts with table '$table' type ${t.simpleString} — " +
                 "additive evolution only (add columns, never re-type)"))

@@ -65,6 +65,15 @@ private[sources] trait SnapshotsTxnOps { self: Snapshots =>
                           bloomFpp: Double = 0.01): Map[String, String] = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
+    // stats/bloom columns must be top-level ATOMIC columns: a struct/
+    // array/map has no single footer column chunk, so harvesting would
+    // silently record nothing and every later "pruned" read would be a
+    // lie of omission — refuse at declaration instead (nested data is
+    // conservatively unpruned; residual predicates stay exact)
+    (statsCols.keys ++ bloomCols.keys).foreach { name =>
+      tables.get(name).foreach(df => FileStats.requireAtomicCols(name,
+        df.schema, statsCols.getOrElse(name, Nil) ++ bloomCols.getOrElse(name, Nil)))
+    }
     Await.result(Future.traverse(tables.toSeq) { case (name, df) =>
       Future {
         val rel = stageRel(attempt, name)
@@ -568,6 +577,8 @@ private[sources] trait SnapshotsTxnOps { self: Snapshots =>
       "analyzeTable requires statsCols and/or bloomCols")
     val m = readManifest(currentVersion.getOrElse(
       throw new IllegalStateException(s"no commits under $root")))
+    logicalSchema(m, table).foreach(sc =>
+      FileStats.requireAtomicCols(table, sc, statsCols ++ bloomCols))
     val rel = dataEntries(m).getOrElse(table,
       throw new NoSuchElementException(s"table '$table' not committed under $root"))
     val dirs: Seq[Path] = (storedFiles(m, table) match {

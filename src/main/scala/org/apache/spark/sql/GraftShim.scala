@@ -25,6 +25,15 @@ object GraftShim {
   def ofRows(s: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(s.asInstanceOf[classic.SparkSession], plan)
 
+  /** Deep nullability normalization (`DataType.asNullable` is
+    * private[spark]): schema-compatibility checks that ignore TOP-level
+    * nullability must ignore NESTED nullability too, or a struct column
+    * round-tripped through SQL literals (non-null fields) fails an
+    * append into its own table.
+    */
+  def asNullable(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+    dt.asNullable
+
   /** Catalyst predicate → v1 source Filter (the engine's own pushdown
     * translation; `protected[sql]`, hence bridged here). Used by the
     * SQL UPDATE command rule to reuse DELETE's range translation.

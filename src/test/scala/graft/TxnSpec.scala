@@ -3790,6 +3790,64 @@ class TxnSpec extends AnyFunSuite {
     assert(snap.read("t").head.isNullAt(0))
   }
 
+  // ---- STRUCT columns through the lake lifecycle --------------------------
+
+  test("struct columns: CREATE/INSERT/DELETE-on-field/UPDATE/compact/SQL-read lifecycle") {
+    val sp = spark
+    val root = Files.createTempDirectory("structlake").toString
+    sp.conf.set("spark.sql.catalog.gstr", classOf[graft.sources.GraftCatalog].getName)
+    sp.conf.set("spark.sql.catalog.gstr.root", root)
+    sp.sql("CREATE NAMESPACE gstr.db")
+    // CREATE with a struct column as TEXT
+    sp.sql("""CREATE TABLE gstr.db.t (
+             |  id BIGINT,
+             |  meta STRUCT<lang: STRING, score: DOUBLE>,
+             |  v BIGINT)""".stripMargin)
+    sp.sql("""INSERT INTO gstr.db.t VALUES
+             |  (1, named_struct('lang', 'en', 'score', 0.9), 10),
+             |  (2, named_struct('lang', 'de', 'score', 0.5), 20),
+             |  (3, named_struct('lang', 'en', 'score', 0.2), 30),
+             |  (4, named_struct('lang', CAST(NULL AS STRING), 'score', 0.7), 40)""".stripMargin)
+    val snap = new Snapshots(sp, root + "/db")
+    assert(snap.read("t").count() == 4L)
+
+    // struct-field projection + filter through the catalog read
+    assert(sp.sql("SELECT sum(v) FROM gstr.db.t WHERE meta.lang = 'en'")
+      .head.getLong(0) == 40L)
+
+    // general-predicate DELETE on a struct FIELD as text: the envelope
+    // cannot bound a nested column (honestly unbounded), the residual
+    // is exact; NULL lang rows must survive a lang-based delete (3VL)
+    sp.sql("DELETE FROM gstr.db.t WHERE meta.score < 0.6 AND meta.lang = 'en'")
+    assert(sp.sql("SELECT id FROM gstr.db.t ORDER BY id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 4L), "only (en, 0.2) leaves; NULL-lang row survives")
+
+    // UPDATE keyed on a struct field (whole-struct replacement value)
+    sp.sql("""UPDATE gstr.db.t
+             |SET meta = named_struct('lang', 'und', 'score', meta.score)
+             |WHERE meta.lang IS NULL""".stripMargin)
+    assert(sp.sql("SELECT meta.lang FROM gstr.db.t WHERE id = 4").head.getString(0) == "und")
+
+    // append through SQL, then compact: rows invariant, struct intact
+    sp.sql("INSERT INTO gstr.db.t VALUES (5, named_struct('lang', 'fr', 'score', 0.8), 50)")
+    val before = sp.sql("SELECT id, meta.lang, meta.score, v FROM gstr.db.t ORDER BY id").collect().toSeq
+    snap.compact("t")
+    val after = sp.sql("SELECT id, meta.lang, meta.score, v FROM gstr.db.t ORDER BY id").collect().toSeq
+    assert(after == before, "compaction must not change struct rows")
+
+    // stats on a struct column refuse loudly (conservative no-stats),
+    // while stats on the flat sibling still work
+    intercept[Exception] { snap.analyzeTable("t", Seq("meta")) }
+    snap.analyzeTable("t", Seq("id"))
+    // ... and the stats-pruned read path on id still prunes/serves
+    assert(snap.readWhere("t", Seq(ColRange("id", Some(5L), Some(5L))))
+      .collect().map(_.getLong(0)).toSeq == Seq(5L))
+
+    // time travel keeps the struct schema
+    assert(sp.sql("SELECT meta.score FROM gstr.db.t VERSION AS OF 2 WHERE id = 3")
+      .head.getDouble(0) == 0.2)
+  }
+
   // ---- atomic multi-statement scripts (AtomicScript) ---------------------
 
   test("atomic script: two-table apply publishes ONE version; mid-script failure publishes NOTHING") {
