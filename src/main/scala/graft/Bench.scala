@@ -68,7 +68,8 @@ object Bench {
     // visible round-over-round (the composite s15_ann_sql_ivf stays a
     // correctness key but no longer benches — it conflated the two)
     "s15_ivf_build", "s15_ivf_probe",
-    "t30_sql_text_funcs", "c37_sql_identity", "q67_time_range_frame",
+    "t30_sql_text_funcs", "c37_sql_identity", "q67_time_range_frame", "s17_ann_join",
+    "t31_classifier_score",
     "c38_sql_script", "p02_pipeline_stream", "c39_sql_matview",
     "c40_sql_view", "c41_sql_atomic", "c42_sql_struct",
     "q33_profile", "q33_profile_approx", "q34_histogram")

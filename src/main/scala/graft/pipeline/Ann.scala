@@ -53,6 +53,36 @@ object Ann {
       k)
   }
 
+  /** BATCHED exact top-k: every vector in a QUERY TABLE against a
+    * corpus, one declarative plan (the table-to-table form the
+    * per-vector CALLs can't reach). Queries broadcast in hash chunks
+    * of ≤ `chunkRows` — each chunk is its own broadcast-crossJoin
+    * branch over the SAME corpus scan shape, so query-set size bounds
+    * executor memory per branch (chunkRows · dim · 8B), never the
+    * plan. Per-query top-k is chunk-local (a query lives in exactly
+    * one hash chunk), so the union needs no re-rank. Self-matches are
+    * NOT excluded: corpus and queries are distinct tables with
+    * unrelated id spaces; a query vector present in the corpus ranks
+    * itself first at cos 1.0 — the production retrieval semantic
+    * (same contract as the s14 CALL).
+    */
+  def annJoinOn(corpus: DataFrame, queries: DataFrame, k: Int,
+                nChunks: Int = 1): DataFrame = {
+    require(k >= 1, s"annJoinOn requires k >= 1, got $k")
+    require(nChunks >= 1, s"annJoinOn requires nChunks >= 1, got $nChunks")
+    val e = corpus.select(col("vec_id"), col("embedding"))
+    val q = queries.select(col("vec_id").cast("long").as("q_id"),
+      col("embedding").as("q_vec"))
+    (0 until nChunks).map { c =>
+      val qc = if (nChunks == 1) q
+               else q.where(pmod(hash(col("q_id")), lit(nChunks)) === lit(c))
+      topKPerQuery(
+        e.crossJoin(broadcast(qc))
+          .withColumn("cos", cosine_sim(col("embedding"), col("q_vec"))),
+        k)
+    }.reduce(_ unionByName _)
+  }
+
   /** C6: exact top-k cosine neighbors. Plan: parquet scan →
     * BroadcastNestedLoopJoin against the broadcast query set → codegen
     * cosine (custom expression) → rank window partitioned by query.
@@ -1272,7 +1302,37 @@ object Ann {
     finally exact.unpersist()
   }
 
+  /** C73 `s17_ann_join`: BATCHED vector search as text — s14/s15
+    * issue one CALL per query VECTOR (a literal in the statement); the
+    * multi-query production shape ("embed this batch, find neighbors
+    * for all of it") needs the query set to be a TABLE.
+    * `CALL graft.system.ann_join(lake, corpus, queries, k, out)` runs
+    * ONE distributed job — queries broadcast in hash chunks across the
+    * corpus scan, codegen cosine, bounded-heap top-k per query — and
+    * publishes the (q_id, rank, neighbor_id, cos_sim) result AS a lake
+    * table (k·|queries| rows never ride the driver), returning only a
+    * summary row. The key stages corpus + queries as text, CALLs once,
+    * and reads the result back through the catalog; the DuckDB oracle
+    * is the exact closed form (self included at rank 1 — the corpus
+    * contains the query docs).
+    */
+  def s17AnnJoin(s: SparkSession, dir: String, nQueries: Int = 4, k: Int = K): DataFrame = {
+    val root = s.conf.get("spark.sql.warehouse.dir") + "/c21_catalog"
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", root)
+    graft.sources.Catalog.register(s, dir)
+    val ns = "db_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    s.sql(s"CREATE NAMESPACE graft.$ns")
+    s.sql(s"CREATE TABLE graft.$ns.emb_t (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+    s.sql(s"INSERT INTO graft.$ns.emb_t SELECT vec_id, embedding FROM embeddings")
+    s.sql(s"CREATE TABLE graft.$ns.q_t (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+    s.sql(s"INSERT INTO graft.$ns.q_t SELECT vec_id, embedding FROM embeddings WHERE vec_id < $nQueries")
+    s.sql(s"CALL graft.system.ann_join('$ns', 'emb_t', 'q_t', $k, 'knn_out')")
+    s.sql(s"SELECT q_id, rank, neighbor_id, cos_sim FROM graft.$ns.knn_out ORDER BY q_id, rank")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s17_ann_join" -> ((s, dir) => s17AnnJoin(s, dir)),
     "s16_ann_recall" -> s16AnnRecall _,
     "s14_ann_sql" -> ((s, dir) => s14AnnSql(s, dir)),
     "s15_ann_sql_ivf" -> ((s, dir) => s15AnnSqlIvf(s, dir)),
@@ -1365,6 +1425,24 @@ object Ann {
       """SELECT CAST(GREATEST(16, LEAST(256, count(*) // 64)) AS INT) AS nlist,
         |  count(*) AS vectors
         |FROM embeddings""".stripMargin,
+    // same closed form as s14 (self included at rank 1): the staged
+    // query table IS embeddings WHERE vec_id < 4
+    "s17_ann_join" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 4
+        |), scored AS (
+        |  SELECT q_id, vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(q_vec AS DOUBLE[])) AS cos
+        |  FROM embeddings, q
+        |), ranked AS (
+        |  SELECT q_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank,
+        |    neighbor_id, cos
+        |  FROM scored
+        |)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+        |  round(cos, 6) AS cos_sim
+        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "s14_ann_sql" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 4

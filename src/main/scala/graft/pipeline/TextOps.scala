@@ -936,7 +936,56 @@ object TextOps {
             |FROM documents ORDER BY doc_id""".stripMargin)
   }
 
+  /** C77 `t31_classifier_score`: QUALITY-CLASSIFIER INFERENCE — the
+    * fastText/CCNet-style learned filter production curation stacks
+    * run after the heuristic screens (t02): a linear model over HASHED
+    * token features, z = b0 + mean(w[h(tok)]), keep when z > 0. The
+    * engine's job is the INFERENCE PLAN, not training (no model
+    * artifact ships, so the 256-bucket weight table is built from a
+    * fixed closed form — the structure is exactly what a trained
+    * artifact would load into): tokens explode scan-side, the feature
+    * hash is md5-prefix bucketing (portable: Spark md5 == DuckDB md5),
+    * weights arrive by BROADCAST join (a model is dims-sized at any
+    * corpus scale — 2^18 buckets is still KBs), and the per-doc mean
+    * is ONE partial-agg shuffle hashed on doc_id. Nothing else moves:
+    * at 100 TB this is a linear scan + the same doc_id exchange every
+    * per-doc aggregate pays.
+    *
+    * NUMERIC CONTRACT: weights are INTEGER milli-units and the
+    * aggregate is their exact BIGINT sum — order-independent, so both
+    * engines derive the logit from IDENTICAL integers (a float mean
+    * is association-sensitive, and z = S/(2^a 5^b n) is a terminating
+    * decimal that can land exactly on a rounding tie, where Spark's
+    * HALF_UP and DuckDB's binary rounding disagree — observed at
+    * sf0.01). The logit therefore ships as its exact integer
+    * numerator (50·n + S, in milli-units·n) and keep tests its sign;
+    * only the sigmoid — transcendental, never an exact decimal tie —
+    * is rounded.
+    */
+  def t31ClassifierScore(s: SparkSession, dir: String): DataFrame = {
+    // the "model": 256 hash buckets keyed by the first md5 hex pair,
+    // integer milli-weights in [-498, 498] (Weyl-style closed form —
+    // deterministic in both engines, exact in the table and the sum)
+    val weights = s.range(256).select(
+      lpad(lower(hex(col("id"))), 2, "0").as("bucket"),
+      (((col("id") + 1) * lit(2654435761L)) % 997 - 498).as("w_milli"))
+    val zNum = lit(50L) * col("n_tokens") + col("w_sum_milli") // b0=0.05 in milli·n
+    tokenized(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .withColumn("bucket", substring(md5(col("tok").cast("binary")), 1, 2))
+      .join(broadcast(weights), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w_milli")).as("w_sum_milli"))
+      .select(col("doc_id"), col("n_tokens"), col("w_sum_milli"),
+        zNum.as("logit_milli_n"),
+        round(lit(1.0) / (lit(1.0) +
+          exp(-(zNum.cast("double") / (col("n_tokens") * lit(1000.0))))), 6).as("score"),
+        when(zNum > 0, 1L).otherwise(0L).as("keep"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t31_classifier_score" -> t31ClassifierScore _,
     "t30_sql_text_funcs" -> t30SqlTextFuncs _,
     "p01_pipeline_e2e" -> p01PipelineE2e _,
     "t29_heavy_hitters" -> ((s, dir) => t29HeavyHitters(s, dir)),
@@ -971,6 +1020,26 @@ object TextOps {
     stops.map(s => s"'$s'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "t31_classifier_score" ->
+      """WITH w AS (
+        |  SELECT lpad(lower(to_hex(i)), 2, '0') AS bucket,
+        |    CAST(((i + 1) * 2654435761) % 997 - 498 AS BIGINT) AS w_milli
+        |  FROM range(256) t(i)
+        |), toks AS (
+        |  SELECT doc_id, substr(md5(tok), 1, 2) AS bucket
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    CAST(sum(w.w_milli) AS BIGINT) AS w_sum_milli
+        |  FROM toks JOIN w USING (bucket)
+        |  GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_tokens, w_sum_milli,
+        |  50 * n_tokens + w_sum_milli AS logit_milli_n,
+        |  round(1.0 / (1.0 + exp(-(CAST(50 * n_tokens + w_sum_milli AS DOUBLE)
+        |    / (n_tokens * 1000.0)))), 6) AS score,
+        |  CAST(CASE WHEN 50 * n_tokens + w_sum_milli > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "t30_sql_text_funcs" ->
       s"""WITH f AS (
          |  SELECT doc_id, text,

@@ -29,7 +29,7 @@ private[sources] object GraftProcedures {
 
   val Names: Seq[String] =
     Seq("compact", "compact_where", "zorder", "vacuum", "analyze", "rollback", "sync_identity",
-      "copy_into", "clone", "restore", "ann_search", "ann_search_where",
+      "copy_into", "clone", "restore", "ann_search", "ann_search_where", "ann_join",
       "ann_index_ivf", "ann_index_append", "ann_search_ivf", "ann_search_ivf_where",
       "dedup_exact", "dedup_minhash", "dedup_containment",
       "create_matview", "refresh_matview", "drop_matview", "atomic")
@@ -234,6 +234,45 @@ private[sources] object GraftProcedures {
               "qvec" -> StringType, "k" -> IntegerType,
               "predicate" -> StringType), out)(
             in => annBody(in, Some(s(in, 4))))
+      // BATCHED vector search as text — the table-to-table form the
+      // per-vector CALLs (ann_search / ann_search_ivf) can't reach:
+      //   CALL graft.system.ann_join('lake', 'corpus', 'queries', 10, 'out')
+      // finds the exact top-k corpus neighbors of EVERY row of the
+      // query table in ONE distributed job (queries broadcast in hash
+      // chunks of ≤8192 across the corpus scan, codegen cosine,
+      // bounded-heap top-k per query — Ann.annJoinOn) and publishes
+      // (q_id, rank, neighbor_id, cos_sim) AS a lake table: k·|queries|
+      // result rows land distributed, never on the driver — the CALL
+      // returns only a summary row. Self-matches are NOT excluded
+      // (distinct tables, unrelated id spaces; a query vector present
+      // in the corpus ranks itself first — the s14 contract).
+      case "ann_join" =>
+        proc("ann_join",
+          Seq("lake" -> StringType, "corpus" -> StringType,
+            "queries" -> StringType, "k" -> IntegerType, "out" -> StringType),
+          Seq("version" -> LongType, "queries" -> LongType, "rows" -> LongType)) { in =>
+          val sn = snap(s(in, 0))
+          val corpus = sn.read(s(in, 1))
+          val queries = sn.read(s(in, 2))
+          Seq(s(in, 1) -> corpus, s(in, 2) -> queries).foreach { case (t, df) =>
+            require(df.columns.contains("vec_id") && df.columns.contains("embedding"),
+              s"ann_join: table '$t' needs (vec_id, embedding) columns, " +
+                s"got ${df.columns.mkString(", ")}")
+          }
+          val k = in.getInt(3)
+          require(k > 0, s"ann_join: k must be positive, got $k")
+          val out = s(in, 4)
+          require(out != s(in, 1) && out != s(in, 2),
+            s"ann_join: output table '$out' must differ from corpus and queries")
+          val nq = queries.count()
+          require(nq > 0, "ann_join: empty query table")
+          val chunkRows = 8192L
+          val nChunks = ((nq + chunkRows - 1) / chunkRows).toInt
+          val res = graft.pipeline.Ann.annJoinOn(corpus, queries, k, nChunks)
+          val v = sn.replaceTables(Map(out -> (res, Map.empty[String, String])))
+          val rows = sn.read(out).count()
+          Seq[Any](v, nq, rows)
+        }
       // INDEX-BACKED vector search as text — the staged-index half s14
       // left Scala-only. ann_index_ivf TRAINS (k-means|| + Lloyd,
       // Ann.trainCentroids — corpus never shuffled) and PUBLISHES the

@@ -463,6 +463,56 @@ class AnnSpec extends AnyFunSuite {
     assert(filtered.map(_._2) == truth, s"CALL ${filtered.map(_._2)} != truth $truth")
   }
 
+  test("s17 CALL ann_join: batched table-to-table search == per-query exact, chunk-invariant") {
+    val sp = spark
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("annjoin").toString
+    sp.conf.set("spark.sql.catalog.gaj", classOf[graft.sources.GraftCatalog].getName)
+    sp.conf.set("spark.sql.catalog.gaj.root", root)
+    sp.sql("CREATE NAMESPACE gaj.db")
+    graft.sources.Catalog.register(sp, dir)
+    sp.sql("CREATE TABLE gaj.db.emb (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+    sp.sql("INSERT INTO gaj.db.emb SELECT vec_id, embedding FROM embeddings")
+    sp.sql("CREATE TABLE gaj.db.q (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+    sp.sql("INSERT INTO gaj.db.q SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5")
+
+    val summary = sp.sql("CALL gaj.system.ann_join('db', 'emb', 'q', 8, 'knn')").head
+    assert(summary.getLong(1) == 5L, s"queries count: $summary")
+    assert(summary.getLong(2) == 40L, s"rows written: $summary")
+
+    val out = sp.sql("SELECT * FROM gaj.db.knn ORDER BY q_id, rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 40)
+    // per-query parity with the single-vector CALL (same self-included contract)
+    (0L to 4L).foreach { qid =>
+      val qv = sp.sql(s"SELECT embedding FROM embeddings WHERE vec_id = $qid").head
+        .getSeq[Float](0).mkString(",")
+      val single = sp.sql(s"CALL gaj.system.ann_search('db', 'emb', '$qv', 8)")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val batched = out.filter(_._1 == qid).map(t => (t._2, t._3, t._4)).toSeq
+      assert(batched == single, s"q$qid: batched $batched != single-CALL $single")
+    }
+
+    // chunking is a memory knob, never a semantics knob: 3 hash chunks
+    // return the identical result set as the single-broadcast plan
+    val e = sp.sql("SELECT vec_id, embedding FROM embeddings")
+    val q5 = e.where(col("vec_id") < 5)
+    val one = Ann.annJoinOn(e, q5, 8, nChunks = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val three = Ann.annJoinOn(e, q5, 8, nChunks = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(one == three, "chunked plan diverged from single-broadcast plan")
+
+    // loud refusals: clobbering an input, and an empty query set
+    val clobber = intercept[Exception](
+      sp.sql("CALL gaj.system.ann_join('db', 'emb', 'q', 8, 'emb')").collect())
+    assert(clobber.getMessage.contains("must differ"), clobber.getMessage)
+    sp.sql("CREATE TABLE gaj.db.q0 (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+    val empty = intercept[Exception](
+      sp.sql("CALL gaj.system.ann_join('db', 'emb', 'q0', 8, 'knn2')").collect())
+    assert(empty.getMessage.contains("empty query table"), empty.getMessage)
+  }
+
   test("s15 CALL ann_index_ivf/ann_search_ivf: full-probe == exact, nprobe=1 stays in-list, rank-1 self") {
     val sp = spark
     import org.apache.spark.sql.functions._

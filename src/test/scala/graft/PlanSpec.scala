@@ -441,6 +441,36 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("s17 ann_join core: chunked broadcast crossjoin drains the bounded heap, no cartesian, no window") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(TestSpark.sfTest + "/embeddings.parquet")
+    val q = e.where(col("vec_id") < 5)
+    val p = graft.pipeline.Ann.annJoinOn(e, q, 8, nChunks = 2)
+      .queryExecution.executedPlan.toString()
+    // each chunk: corpus scan × broadcast query chunk (bounded all-pairs
+    // by construction — the queries side is the small one)
+    assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).length == 2,
+      "one broadcast crossjoin per chunk: " + p)
+    assert(!p.contains("CartesianProduct"), p)
+    // per-query top-k through the map-side heap; rank from the drain
+    assert(p.contains("TopKPerGroupPartial"),
+      "scored rows must hit the map-side heap before shuffling: " + p)
+    assert(!p.contains("Window"), "rank must come from the heap drain: " + p)
+  }
+
+  test("t31 classifier inference: weights broadcast, one doc_id exchange, zero UDFs") {
+    val p = plan("t31_classifier_score")
+    assert(p.contains("BroadcastHashJoin"),
+      "the model weights are dims-sized and must broadcast: " + p)
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      "feature hashing must stay native expressions: " + p)
+    val hashEx = "Exchange hashpartitioning\\(doc_id".r.findAllMatchIn(p).length
+    assert(hashEx == 1,
+      s"expected ONE doc_id exchange (the per-doc mean), got $hashEx:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "the milli-weight sum must partial-aggregate map-side: " + p)
+  }
+
   test("q67 time-range frames: one user_id shuffle feeds both frame directions, no self-join") {
     val p = plan("q67_time_range_frame")
     // both INTERVAL frames share the (user_id) distribution — exactly
