@@ -279,6 +279,18 @@ object Soak {
       val step = if (ten.cpuMs > 0) th.cpuMs.toDouble / ten.cpuMs else -1.0
       md ++= f"| $k | ${ng.find(_._1 == k).get._2.cpuMs} | ${ten.cpuMs} | ${th.cpuMs} | ${step}%.1f× | ${th.wallS}%.2fs | ${th.gcMs} | ${th.peakHeapMb} MiB |\n"
     }
+    md ++= """
+READING THE 30× STEP: the replica corpus drives shingle document
+frequency with the replication factor (30 suffix-distinct copies of a
+doc share almost every shingle), so the df-capped posting index sheds
+exactly the buckets that grew — work per doc FALLS as replication
+rises (a 10×→30× cpu step below 1.0 is the cap bounding Σdf², the
+documented one-sided trade: bounded join cost, candidates lost only
+among already-df-heavy boilerplate). On organic corpus growth the df
+distribution is roughly scale-invariant and the family tracks the
+near-linear 10× column instead; the step column exists to catch a
+SUPERlinear break (step >> 3), not to read as throughput.
+"""
     md ++= manifestSoak(spark)
     md ++= bloomSoak(spark, soakDir)
     md ++= concurrencySoak(spark)
