@@ -41,6 +41,15 @@ private[sources] object GraftProcedures {
       new Snapshots(SparkSession.active, s"$rootPrefix/$lake")
     def s(in: InternalRow, i: Int): String = in.getUTF8String(i).toString
 
+    // first non-null embedding's length (one single-row task; None on an
+    // empty/all-null table, where every search is vacuously empty anyway)
+    def embeddingDim(df: org.apache.spark.sql.DataFrame): Option[Int] = {
+      import org.apache.spark.sql.functions._
+      df.where(col("embedding").isNotNull)
+        .select(size(col("embedding"))).limit(1).collect()
+        .headOption.map(_.getInt(0))
+    }
+
     def proc(nm: String, params: Seq[(String, DataType)],
              out: Seq[(String, DataType)])(body: InternalRow => Seq[Any]): UnboundProcedure =
       procRows(nm, params, out)(in => Seq(body(in)))
@@ -205,6 +214,13 @@ private[sources] object GraftProcedures {
             case other => throw new IllegalArgumentException(
               s"ann_search: embedding must be an array column, got $other")
           }
+          // dimensionality guard (the ann_search_ivf probe's loud-refusal
+          // contract): the codegen cosine computes over min(len) — a
+          // wrong-dim query vector would silently truncate every score.
+          // One-row sample of the corpus (a single tiny task, not a scan).
+          embeddingDim(e).foreach(dim => require(vals.length == dim,
+            s"ann_search: query vector has ${vals.length} dimensions, " +
+              s"table '${s(in, 1)}' embeddings have $dim"))
           val qv = array(vals.map(v => lit(v).cast(elemType)): _*)
           // TakeOrderedAndProject: per-partition bounded heaps, driver
           // merges k rows — the distributed top-k, no full sort
@@ -266,6 +282,12 @@ private[sources] object GraftProcedures {
             s"ann_join: output table '$out' must differ from corpus and queries")
           val nq = queries.count()
           require(nq > 0, "ann_join: empty query table")
+          // same dimensionality contract as ann_search: the codegen
+          // cosine computes over min(len) — a dim-mismatched query set
+          // would silently truncate every score in the batch
+          for (cd <- embeddingDim(corpus); qd <- embeddingDim(queries))
+            require(cd == qd, s"ann_join: corpus '${s(in, 1)}' embeddings " +
+              s"have $cd dimensions, queries '${s(in, 2)}' have $qd")
           val chunkRows = 8192L
           val nChunks = ((nq + chunkRows - 1) / chunkRows).toInt
           val res = graft.pipeline.Ann.annJoinOn(corpus, queries, k, nChunks)

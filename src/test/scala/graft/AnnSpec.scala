@@ -511,6 +511,18 @@ class AnnSpec extends AnyFunSuite {
     val empty = intercept[Exception](
       sp.sql("CALL gaj.system.ann_join('db', 'emb', 'q0', 8, 'knn2')").collect())
     assert(empty.getMessage.contains("empty query table"), empty.getMessage)
+
+    // dimensionality contract: the codegen cosine computes over
+    // min(len), so a dim-mismatched query set/vector must refuse
+    // loudly instead of silently truncating every score
+    sp.sql("CREATE TABLE gaj.db.q3 (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+    sp.sql("INSERT INTO gaj.db.q3 VALUES (0, array(CAST(0.1 AS FLOAT), CAST(0.2 AS FLOAT), CAST(0.3 AS FLOAT)))")
+    val dimJoin = intercept[Exception](
+      sp.sql("CALL gaj.system.ann_join('db', 'emb', 'q3', 8, 'knn3')").collect())
+    assert(dimJoin.getMessage.contains("dimensions"), dimJoin.getMessage)
+    val dimSearch = intercept[Exception](
+      sp.sql("CALL gaj.system.ann_search('db', 'emb', '0.1,0.2,0.3', 8)").collect())
+    assert(dimSearch.getMessage.contains("dimensions"), dimSearch.getMessage)
   }
 
   test("s15 CALL ann_index_ivf/ann_search_ivf: full-probe == exact, nprobe=1 stays in-list, rank-1 self") {
