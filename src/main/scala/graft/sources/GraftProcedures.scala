@@ -41,12 +41,13 @@ private[sources] object GraftProcedures {
       new Snapshots(SparkSession.active, s"$rootPrefix/$lake")
     def s(in: InternalRow, i: Int): String = in.getUTF8String(i).toString
 
-    // first non-null embedding's length (one single-row task; None on an
+    // first non-null vector's length (one single-row task; None on an
     // empty/all-null table, where every search is vacuously empty anyway)
-    def embeddingDim(df: org.apache.spark.sql.DataFrame): Option[Int] = {
+    def embeddingDim(df: org.apache.spark.sql.DataFrame,
+                     vecCol: String = "embedding"): Option[Int] = {
       import org.apache.spark.sql.functions._
-      df.where(col("embedding").isNotNull)
-        .select(size(col("embedding"))).limit(1).collect()
+      df.where(col(vecCol).isNotNull)
+        .select(size(col(vecCol))).limit(1).collect()
         .headOption.map(_.getInt(0))
     }
 
@@ -359,6 +360,11 @@ private[sources] object GraftProcedures {
           require(batch.columns.contains("vec_id") && batch.columns.contains("embedding"),
             s"ann_index_append needs (vec_id, embedding) columns, got ${batch.columns.mkString(", ")}")
           val cents = sn.read(idx + "_cents")
+          // dim guard: coarse assignment uses the min(len) cosine — a
+          // dim-mismatched batch would silently land in wrong lists
+          for (bd <- embeddingDim(batch); cd <- embeddingDim(cents, "c_vec"))
+            require(bd == cd, s"ann_index_append: batch embeddings have " +
+              s"$bd dimensions, index '$idx' centroids have $cd")
           val idxCols = sn.read(idx).columns
           val assigned = graft.pipeline.Ann.ivfAssign(cents, batch)
           require(idxCols.sorted.sameElements(assigned.columns.sorted),

@@ -606,6 +606,15 @@ class AnnSpec extends AnyFunSuite {
     assert(afterApp.take(2) == Seq((0L, 1.0), (5000000L, 1.0)),
       s"the appended twin must rank right after self: $afterApp")
 
+    // dim guard: a batch whose vectors don't match the trained
+    // centroids' dimensionality must refuse, never coarse-assign on
+    // the truncated cosine
+    sp.sql("CREATE TABLE gaiv.db.emb_bad (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+    sp.sql("INSERT INTO gaiv.db.emb_bad VALUES (9000000, array(CAST(0.5 AS FLOAT), CAST(0.5 AS FLOAT)))")
+    val dimApp = intercept[Exception](
+      sp.sql("CALL gaiv.system.ann_index_append('db', 'emb_bad', 'emb_ivf')").collect())
+    assert(dimApp.getMessage.contains("dimensions"), dimApp.getMessage)
+
     // the _where form: metadata columns ride into the index table and
     // the predicate pre-filters INSIDE the probed lists — at full
     // probe it must equal the exact filtered top-k
