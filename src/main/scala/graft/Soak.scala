@@ -275,9 +275,9 @@ object Soak {
     md ++= "\n## ngram family at 30× (third scale point)\n\n"
     md ++= "| key | 1× cpu_ms | 10× cpu_ms | 30× cpu_ms | cpu 10×→30× (linear=3.0) | 30× wall | 30× gc_ms | 30× peak heap |\n"
     md ++= "|---|---|---|---|---|---|---|---|\n"
-    ng.foreach { case (k, _, ten, th) =>
+    ng.foreach { case (k, one, ten, th) =>
       val step = if (ten.cpuMs > 0) th.cpuMs.toDouble / ten.cpuMs else -1.0
-      md ++= f"| $k | ${ng.find(_._1 == k).get._2.cpuMs} | ${ten.cpuMs} | ${th.cpuMs} | ${step}%.1f× | ${th.wallS}%.2fs | ${th.gcMs} | ${th.peakHeapMb} MiB |\n"
+      md ++= f"| $k | ${one.cpuMs} | ${ten.cpuMs} | ${th.cpuMs} | ${step}%.1f× | ${th.wallS}%.2fs | ${th.gcMs} | ${th.peakHeapMb} MiB |\n"
     }
     md ++= """
 READING THE 30× STEP: the replica corpus drives shingle document

@@ -106,12 +106,36 @@ object GraftViews {
     if (stack.length > 16) refuse(
       s"view expansion exceeds depth 16 (${stack.reverse.mkString(" -> ")})")
     val plan = sn.s.sessionState.sqlParser.parsePlan(sql)
-    plan.transformUp {
+    // CTE names defined anywhere in the query (incl. inside subquery
+    // expressions) are NOT lake references — a WITH-clause name that
+    // happens to collide with a lake table must keep its CTE meaning
+    // (shadowing), and a non-colliding CTE must not refuse. Collected
+    // conservatively across all scopes (case-insensitive, matching the
+    // analyzer's resolver): a name that is a CTE in one scope and a
+    // table elsewhere resolves loudly at analysis, never silently.
+    val cteNames: Set[String] = plan.collectWithSubqueries {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.cteRelations.map(_._1.toLowerCase(java.util.Locale.ROOT))
+    }.flatten.toSet
+    // transformUpWithSubqueries: relations inside IN/EXISTS/scalar
+    // subqueries must pin to the SAME snapshot version as the main
+    // body — a plain transformUp never descends into expression
+    // subqueries and would silently bind them to session state.
+    // CTE definition bodies are UnresolvedWith INNER children (not
+    // traversed by any transform), so the UnresolvedWith case recurses
+    // into them explicitly.
+    def substitute(p: LogicalPlan): LogicalPlan = p.transformUpWithSubqueries {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.copy(cteRelations = w.cteRelations.map { case (n, sa, mx) =>
+          (n, SubqueryAlias(sa.identifier, substitute(sa.child)), mx)
+        })
       case r: UnresolvedRelation if r.multipartIdentifier.length > 1 =>
         refuse(s"'$owner' references '${r.multipartIdentifier.mkString(".")}' — " +
           "a view references bare single-part names resolved in its own lake " +
           "(a qualified reference would mix version axes)")
-      case r: UnresolvedRelation =>
+      case r: UnresolvedRelation
+          if !cteNames.contains(
+            r.multipartIdentifier.head.toLowerCase(java.util.Locale.ROOT)) =>
         val t = r.multipartIdentifier.head
         if (m.contains(t + sn.ViewSuffix)) {
           if (stack.contains(t)) refuse(
@@ -124,6 +148,7 @@ object GraftViews {
         } else refuse(s"'$owner' references '$t', which is neither a table nor " +
           s"a view under ${sn.rootPath} at version $pinned")
     }
+    substitute(plan)
   }
 
   /** CREATE [OR REPLACE] VIEW: validates (parseable, references exist,

@@ -180,11 +180,28 @@ object Matview {
     Parsed(src, whereSql, groups, aggs, order)
   }
 
-  private def aggColumns(p: Parsed): Seq[Column] = p.aggs.map {
-    case CountStar(n) => count(lit(1)).as(n)
-    case CountCol(n, a) => count(expr(a)).as(n)
-    case SumCol(n, a) => sum(expr(a)).as(n)
+  /** `sum(x)` needs maintenance state the visible row doesn't carry:
+    * SQL's sum over zero non-null inputs is NULL, not 0, and a delta
+    * fold cannot tell "all inputs left" from "inputs netted to 0"
+    * without the non-null input count. Each SumCol therefore stores a
+    * hidden `_nn_<alias>` companion (count of non-null args, folded
+    * like any count); the visible sum is NULL exactly when its
+    * companion reaches 0. Companions are part of the matview's stored
+    * schema (SELECT the named aggregates; `*` shows the state).
+    */
+  private def nnCol(alias: String): String = s"_nn_$alias"
+
+  private def aggColumns(p: Parsed): Seq[Column] = p.aggs.flatMap {
+    case CountStar(n) => Seq(count(lit(1)).as(n))
+    case CountCol(n, a) => Seq(count(expr(a)).as(n))
+    case SumCol(n, a) => Seq(sum(expr(a)).as(n), count(expr(a)).as(nnCol(n)))
   }
+
+  /** The stored column order: the defining query's output, then the
+    * sum companions.
+    */
+  private def storedOrder(p: Parsed): Seq[String] =
+    p.selectOrder ++ p.aggs.collect { case SumCol(n, _) => nnCol(n) }
 
   /** Full O(table) compute of the view at one snapshot — paid once at
     * CREATE (and never again; refresh is O(changes)).
@@ -194,7 +211,7 @@ object Matview {
     val cols = aggColumns(p)
     base.groupBy(p.groups.map { case (n, e) => expr(e).as(n) }: _*)
       .agg(cols.head, cols.tail: _*)
-      .select(p.selectOrder.map(col): _*)
+      .select(storedOrder(p).map(col): _*)
   }
 
   /** Signed per-group deltas from one change feed (`_change` ∈
@@ -205,11 +222,13 @@ object Matview {
   def deltaAggregate(changes: DataFrame, p: Parsed): DataFrame = {
     val base = p.where.map(w => changes.where(expr(w))).getOrElse(changes)
     val sign = when(col("_change") === "added", 1L).otherwise(-1L)
-    val cols: Seq[Column] = p.aggs.map {
-      case CountStar(n) => sum(sign).as(n)
-      case CountCol(n, a) =>
-        sum(when(expr(a).isNotNull, sign).otherwise(lit(0L))).as(n)
-      case SumCol(n, a) => sum(sign * expr(a)).as(n)
+    val signedCountNonNull = (a: String) =>
+      sum(when(expr(a).isNotNull, sign).otherwise(lit(0L)))
+    val cols: Seq[Column] = p.aggs.flatMap {
+      case CountStar(n) => Seq(sum(sign).as(n))
+      case CountCol(n, a) => Seq(signedCountNonNull(a).as(n))
+      case SumCol(n, a) =>
+        Seq(sum(sign * expr(a)).as(n), signedCountNonNull(a).as(nnCol(n)))
     }
     base.groupBy(p.groups.map { case (n, e) => expr(e).as(n) }: _*)
       .agg(cols.head, cols.tail: _*)
@@ -218,16 +237,33 @@ object Matview {
   /** Fold deltas into the stored rows (full-outer on the group key:
     * new groups appear, dead groups leave when the count(*) witness
     * reaches zero). O(|mv| + |deltas|), never O(source).
+    *
+    * The join is NULL-SAFE on the group key (`<=>`): a NULL group is a
+    * real group in SQL semantics — a plain equality join would never
+    * match it, splitting it into immortal duplicate rows. Sum columns
+    * fold through their `_nn_` companion: NULL exactly when zero
+    * non-null inputs remain (the sum-over-empty contract a
+    * coalesce-to-0 fold silently breaks).
     */
   def fold(stored: DataFrame, deltas: DataFrame, p: Parsed): DataFrame = {
+    val storedCols = storedOrder(p)
     val d = deltas.select(
-      p.groups.map { case (n, _) => col(n) } ++
-        p.aggs.map(a => col(a.alias).as(s"_d_${a.alias}")): _*)
+      p.groups.map { case (n, _) => col(n).as(s"_g_$n") } ++
+        storedCols.filterNot(n => p.groups.exists(_._1 == n))
+          .map(n => col(n).as(s"_d_$n")): _*)
     val liveness = p.aggs.collectFirst { case CountStar(n) => n }.get
-    stored.join(d, p.groups.map(_._1), "full_outer")
-      .select(p.selectOrder.map { n =>
-        if (p.groups.exists(_._1 == n)) col(n)
-        else (coalesce(col(n), lit(0L)) + coalesce(col(s"_d_$n"), lit(0L))).as(n)
+    val cond = p.groups.map { case (n, _) => col(n) <=> col(s"_g_$n") }
+      .reduce(_ && _)
+    def folded(n: String): Column =
+      coalesce(col(n), lit(0L)) + coalesce(col(s"_d_$n"), lit(0L))
+    stored.join(d, cond, "full_outer")
+      .select(storedCols.map { n =>
+        if (p.groups.exists(_._1 == n)) coalesce(col(n), col(s"_g_$n")).as(n)
+        else p.aggs.collectFirst { case SumCol(s, _) if s == n => s } match {
+          case Some(_) =>
+            when(folded(nnCol(n)) === 0L, lit(null)).otherwise(folded(n)).as(n)
+          case None => folded(n).as(n)
+        }
       }: _*)
       .where(col(liveness) =!= 0L)
   }

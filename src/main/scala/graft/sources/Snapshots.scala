@@ -202,6 +202,14 @@ class Snapshots(private[sources] val s: SparkSession,
         scope.publishVirtual(tables)
         return true
       case None =>
+        // single-lake contract: while an atomic scope is open on this
+        // thread, a publish to any OTHER lake would commit immediately
+        // and survive a later script failure — a silent hole in the
+        // all-or-nothing promise. Refuse loudly instead.
+        require(!Snapshots.anyScopeOpen,
+          s"write to $root inside an atomic scope on a different lake — " +
+            "atomic scripts are single-lake (move the statement out of the " +
+            "CALL, or run one atomic CALL per lake)")
     }
     store.mkdirs(commitDir)
     val exploded = explode(tables)
@@ -1140,6 +1148,7 @@ object Snapshots {
     val m = scopes.get
     if (m.isEmpty) None else m.get(root)
   }
+  private[sources] def anyScopeOpen: Boolean = scopes.get.nonEmpty
   private[sources] def openScope(root: String, base: Long,
                                  baseManifest: Map[String, String]): TxnScope = {
     require(!scopes.get.contains(root),

@@ -288,6 +288,9 @@ private[sources] trait SnapshotsTxnOps { self: Snapshots =>
     var written: Option[(String, Seq[(String, Long)])] = None
     for (_ <- 1 to MaxAttempts) {
       val cur = currentVersion.map(readManifest).getOrElse(Map.empty[String, String])
+      require(!cur.contains(table + ViewSuffix) && !cur.contains(table + MatviewSuffix),
+        s"'$table' is a standing view under $root — a table cannot shadow it " +
+          "(DROP VIEW / drop_matview first)")
       val exists = dataEntries(cur).contains(table)
       if (mustExist) require(exists,
         s"table '$table' not committed under $root — REPLACE TABLE requires " +
@@ -362,6 +365,10 @@ private[sources] trait SnapshotsTxnOps { self: Snapshots =>
     var staged: Option[Map[String, String]] = None
     for (_ <- 1 to MaxAttempts) {
       val cur = currentVersion.map(readManifest).getOrElse(Map.empty[String, String])
+      tables.keys.foreach(t =>
+        require(!cur.contains(t + ViewSuffix) && !cur.contains(t + MatviewSuffix),
+          s"'$t' is a standing view under $root — a table cannot shadow it " +
+            "(DROP VIEW / drop_matview first)"))
       val lines = staged.getOrElse {
         // stage every table CONCURRENTLY (same rationale as
         // stageTables: the publish is the single visibility point, the

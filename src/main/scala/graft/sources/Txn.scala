@@ -139,12 +139,22 @@ object AtomicScript {
     val baseM =
       if (base == 0L) Map.empty[String, String] else sn.readManifest(base)
     val scope = Snapshots.openScope(sn.rootPath, base, baseM)
+    // set-and-restore: the scripting flag is a session-wide behavior
+    // switch; leaking it past the CALL would change how later user
+    // statements parse
+    val prevScripting = sn.s.conf.getOption("spark.sql.scripting.enabled")
     val (finalM, changed) =
       try {
         sn.s.conf.set("spark.sql.scripting.enabled", "true")
         sn.s.sql(script).collect()
         (scope.finalManifest, scope.changed)
-      } finally Snapshots.closeScope(sn.rootPath)
+      } finally {
+        Snapshots.closeScope(sn.rootPath)
+        prevScripting match {
+          case Some(v) => sn.s.conf.set("spark.sql.scripting.enabled", v)
+          case None => sn.s.conf.unset("spark.sql.scripting.enabled")
+        }
+      }
     finalM match {
       case None => (base, 0)
       case Some(m) =>

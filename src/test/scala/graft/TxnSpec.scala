@@ -3898,6 +3898,56 @@ class TxnSpec extends AnyFunSuite {
       Seq(1L, 2L, 4L), "no prefix visible")
   }
 
+  test("atomic script: a write to a DIFFERENT lake refuses — single-lake all-or-nothing") {
+    val sp = spark
+    val root = Files.createTempDirectory("atomxlake").toString
+    sp.conf.set("spark.sql.catalog.gatx", classOf[graft.sources.GraftCatalog].getName)
+    sp.conf.set("spark.sql.catalog.gatx.root", root)
+    sp.sql("CREATE NAMESPACE gatx.db")
+    sp.sql("CREATE NAMESPACE gatx.db2")
+    sp.sql("CREATE TABLE gatx.db.t (id BIGINT)")
+    sp.sql("CREATE TABLE gatx.db2.other (id BIGINT)")
+    val snapA = new Snapshots(sp, root + "/db")
+    val snapB = new Snapshots(sp, root + "/db2")
+    val headB = snapB.currentVersion.get
+    // a cross-lake write inside the scope would commit immediately and
+    // survive a later failure — it must refuse instead, and the whole
+    // script must publish nothing on either lake
+    val script =
+      """BEGIN
+        |  INSERT INTO gatx.db.t VALUES (1);
+        |  INSERT INTO gatx.db2.other VALUES (99);
+        |END""".stripMargin
+    val headA = snapA.currentVersion.get
+    val e = intercept[Exception] {
+      sp.sql(s"CALL gatx.system.atomic('db', '${script.replace("'", "''")}')") }
+    assert(chainMsgs(e).exists(_.contains("single-lake")), s"${chainMsgs(e)}")
+    assert(snapA.currentVersion.get == headA, "lake A must publish nothing")
+    assert(snapB.currentVersion.get == headB, "lake B must publish nothing")
+    assert(snapB.read("other").count() == 0L)
+  }
+
+  test("replace verbs cannot shadow a standing view or matview") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("replshadow").toString + "/db"
+    val snap = new Snapshots(sp, root)
+    snap.createTable("src", Seq((1L, 10L)).toDF("id", "v"), statsCols = Seq("id"))
+    graft.sources.GraftViews.create(snap, "pos", "SELECT id FROM src WHERE v > 0")
+    graft.sources.Matview.create(snap, "mv",
+      "SELECT id, count(*) AS n FROM src GROUP BY id")
+    val e1 = intercept[Exception] {
+      snap.replaceTable("pos", Seq((9L, 9L)).toDF("id", "v")) }
+    assert(e1.getMessage.contains("standing view"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      snap.replaceTables(Map("mv" -> (Seq((9L, 9L)).toDF("id", "v"),
+        Map.empty[String, String]))) }
+    assert(e2.getMessage.contains("standing view"), e2.getMessage)
+    // the guard holds for the CALL that reaches replaceTables, too:
+    // ann_join publishing over a view name must refuse, not destroy it
+    assert(graft.sources.GraftViews.spec(snap, "pos").isDefined)
+  }
+
   test("atomic script: first-committer-wins against a concurrent commit; nesting and vacuum refuse") {
     val sp = spark
     import sp.implicits._
@@ -4035,6 +4085,43 @@ class TxnSpec extends AnyFunSuite {
       s"${chainMsgs(e3)}")
   }
 
+  test("views: subqueries pin to the same snapshot version; CTE names keep their WITH meaning") {
+    val sp = spark
+    val root = Files.createTempDirectory("viewsub").toString
+    sp.conf.set("spark.sql.catalog.gvsub", classOf[graft.sources.GraftCatalog].getName)
+    sp.conf.set("spark.sql.catalog.gvsub.root", root)
+    sp.sql("CREATE NAMESPACE gvsub.db")
+    sp.sql("CREATE TABLE gvsub.db.t (id BIGINT, v BIGINT)")
+    sp.sql("INSERT INTO gvsub.db.t VALUES (1,10),(2,20),(3,30)")
+    sp.sql("CREATE TABLE gvsub.db.allow (id BIGINT)")
+    sp.sql("INSERT INTO gvsub.db.allow VALUES (1),(2)")
+    val snap = new Snapshots(sp, root + "/db")
+
+    // the allowlist lives INSIDE an IN-subquery: it must resolve as a
+    // lake table pinned to the SAME version axis as the main body —
+    // an un-substituted subquery would bind to session state (or fail)
+    sp.sql("CREATE VIEW gvsub.db.filtered AS " +
+      "SELECT id, v FROM t WHERE id IN (SELECT id FROM allow)")
+    val vPinned = snap.currentVersion.get
+    assert(sp.sql("SELECT sum(v) FROM gvsub.db.filtered").head.getLong(0) == 30L)
+    // grow the allowlist: the live view follows, the pinned read doesn't
+    sp.sql("INSERT INTO gvsub.db.allow VALUES (3)")
+    assert(sp.sql("SELECT sum(v) FROM gvsub.db.filtered").head.getLong(0) == 60L)
+    assert(sp.sql(s"SELECT sum(v) FROM gvsub.db.filtered VERSION AS OF $vPinned")
+      .head.getLong(0) == 30L,
+      "the subquery must travel on the view's version axis")
+
+    // CTE bodies substitute (lake refs inside WITH resolve) and a CTE
+    // name colliding with a lake table keeps its WITH meaning
+    sp.sql("CREATE VIEW gvsub.db.ctev AS " +
+      "WITH allow AS (SELECT id FROM t WHERE v >= 30) " +
+      "SELECT count(*) AS n FROM t WHERE id IN (SELECT id FROM allow)")
+    // table `allow` has ids {1,2,3}; the CTE restricts to v>=30 → {3}.
+    // If the CTE reference were substituted by the TABLE, n would be 3.
+    assert(sp.sql("SELECT n FROM gvsub.db.ctev").head.getLong(0) == 1L,
+      "a CTE name must shadow the colliding lake table")
+  }
+
   test("views: refusals are loud — cycles, qualified refs, name collisions, unparseable SQL") {
     val sp = spark
     val root = Files.createTempDirectory("viewref").toString
@@ -4152,6 +4239,44 @@ class TxnSpec extends AnyFunSuite {
     val (vN, f2, t2) = graft.sources.Matview.refresh(snap, "mv")
     assert(vN == head && f2 == t2, "a current view must not publish")
     assert(snap.currentVersion.get == head)
+  }
+
+  test("matview: NULL group keys fold as one group; an all-NULL sum stays NULL through refreshes") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("mvnull").toString + "/db"
+    val snap = new Snapshots(sp, root)
+    // group NULL has rows whose v is entirely NULL → sum(v) IS NULL
+    snap.createTable("src", Seq(
+      (1L, Option("a"), Option(10L)), (2L, Option("a"), Option(20L)),
+      (3L, Option.empty[String], Option.empty[Long]),
+      (4L, Option.empty[String], Option.empty[Long])
+    ).toDF("id", "g", "v"), statsCols = Seq("id"))
+    val sql = "SELECT g, count(*) AS n, sum(v) AS sv FROM src GROUP BY g"
+    graft.sources.Matview.create(snap, "mv", sql)
+    def rows() = snap.read("mv").orderBy(asc_nulls_first("g")).collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    assert(rows() == Seq((None, 2L, None), (Some("a"), 2L, Some(30L))))
+
+    // touch ONLY the NULL group: a plain-equality fold would split it
+    // into duplicate rows; a coalesce-to-0 fold would flip sv to 0
+    snap.append("src", Seq((5L, Option.empty[String], Option.empty[Long]))
+      .toDF("id", "g", "v"))
+    graft.sources.Matview.refresh(snap, "mv")
+    assert(rows() == Seq((None, 3L, None), (Some("a"), 2L, Some(30L))),
+      s"NULL group must stay ONE row with a NULL sum: ${rows()}")
+
+    // a non-null value arriving in the NULL group materializes the sum …
+    snap.append("src", Seq((6L, Option.empty[String], Option(7L))).toDF("id", "g", "v"))
+    graft.sources.Matview.refresh(snap, "mv")
+    assert(rows() == Seq((None, 4L, Some(7L)), (Some("a"), 2L, Some(30L))))
+    // … and deleting it returns the sum to NULL (the _nn_ companion
+    // reaching 0 is the only way a fold can know this)
+    snap.deleteWhere("src", Seq(ColRange("id", Some(6L), Some(6L))), Seq("id"))
+    graft.sources.Matview.refresh(snap, "mv")
+    assert(rows() == Seq((None, 3L, None), (Some("a"), 2L, Some(30L))),
+      s"sum must return to NULL when its last non-null input leaves: ${rows()}")
   }
 
   test("matview: crashed refresh leaves the old (rows, watermark) pair; untouched source bumps watermark metadata-only") {
