@@ -114,11 +114,24 @@ object FileStats {
           if (cols.isEmpty || cols(name)) {
             val pt = cc.getPrimitiveType
             val typ = pt.getPrimitiveTypeName match {
-              case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 => Some("long")
+              case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 =>
+                pt.getLogicalTypeAnnotation match {
+                  // decimal(p<=18) stores UNSCALED ints: recording them
+                  // as "long" would compare unscaled footer values
+                  // against SCALED predicate bounds and wrongly skip
+                  // files — carry the scale and store scaled decimal
+                  // strings instead (price/amount columns are exactly
+                  // the range-predicate columns pruning must serve)
+                  case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+                    Some(s"decimal:${d.getScale}")
+                  case _ => Some("long")
+                }
               case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE => Some("double")
               case PrimitiveTypeName.BINARY
                   if pt.getLogicalTypeAnnotation.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
                 Some("string")
+              // FIXED_LEN_BYTE_ARRAY decimals (precision > 18) and other
+              // physical types stay absent: conservative, never wrong
               case _ => None
             }
             typ.foreach { t =>
@@ -154,12 +167,18 @@ object FileStats {
     case "string" =>
       Base64.getEncoder.encodeToString(v.asInstanceOf[Binary].toStringUsingUTF8.getBytes(StandardCharsets.UTF_8))
     case "double" => v.asInstanceOf[Number].doubleValue.toString
+    case t if t.startsWith("decimal:") =>
+      // footer carries the UNSCALED int; store the scaled decimal string
+      java.math.BigDecimal.valueOf(v.asInstanceOf[Number].longValue,
+        t.substring("decimal:".length).toInt).toPlainString
     case _ => v.asInstanceOf[Number].longValue.toString
   }
 
   private def cmp(typ: String, a: String, b: String): Int = typ match {
     case "long" => java.lang.Long.compare(a.toLong, b.toLong)
     case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case t if t.startsWith("decimal:") =>
+      new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
     case _ =>
       // unsigned UTF-8 byte order, NOT String.compareTo (UTF-16 code
       // units): parquet footer min/max and Spark's binary comparisons
@@ -182,6 +201,7 @@ object FileStats {
   private[sources] def decodeVal(typ: String, s: String): Any = typ match {
     case "long" => s.toLong
     case "double" => s.toDouble
+    case t if t.startsWith("decimal:") => new java.math.BigDecimal(s)
     case _ => new String(Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
   }
 
@@ -279,6 +299,13 @@ object FileStats {
       Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L).toString
     case ("long", d: java.sql.Date) => d.toLocalDate.toEpochDay.toString
     case ("long", d: java.time.LocalDate) => d.toEpochDay.toString
+    // decimal bounds: any numeric external normalizes through
+    // BigDecimal(toString); cmp compares numerically, so scale
+    // differences between the bound and the stored stat are harmless
+    case (t, d: java.math.BigDecimal) if t.startsWith("decimal:") => d.toPlainString
+    case (t, d: scala.math.BigDecimal) if t.startsWith("decimal:") => d.bigDecimal.toPlainString
+    case (t, n: Number) if t.startsWith("decimal:") =>
+      new java.math.BigDecimal(n.toString).toPlainString
     case _ => throw new IllegalArgumentException(s"range bound $v does not match stats type $typ")
   }
 

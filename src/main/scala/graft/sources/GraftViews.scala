@@ -106,36 +106,37 @@ object GraftViews {
     if (stack.length > 16) refuse(
       s"view expansion exceeds depth 16 (${stack.reverse.mkString(" -> ")})")
     val plan = sn.s.sessionState.sqlParser.parsePlan(sql)
-    // CTE names defined anywhere in the query (incl. inside subquery
-    // expressions) are NOT lake references — a WITH-clause name that
-    // happens to collide with a lake table must keep its CTE meaning
-    // (shadowing), and a non-colliding CTE must not refuse. Collected
-    // conservatively across all scopes (case-insensitive, matching the
-    // analyzer's resolver): a name that is a CTE in one scope and a
-    // table elsewhere resolves loudly at analysis, never silently.
-    val cteNames: Set[String] = plan.collectWithSubqueries {
+    // Scope-accurate substitution, by explicit recursion rather than a
+    // transform (no transform both descends into expression subqueries
+    // AND threads lexical scope):
+    //  - relations inside IN/EXISTS/scalar subqueries pin to the SAME
+    //    snapshot version as the main body (a naive transformUp never
+    //    reaches them and would silently bind session state);
+    //  - a WITH-clause name shadows a colliding lake table ONLY within
+    //    its own scope (UnresolvedWith child + CTE definition bodies,
+    //    which are INNER children no transform visits) — the same name
+    //    outside that scope is still a lake reference, so it can never
+    //    silently fall through to a session temp view;
+    //  - CTE names compare case-insensitively, matching the resolver.
+    def lower(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    def substitute(p: LogicalPlan, scope: Set[String]): LogicalPlan = p match {
       case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
-        w.cteRelations.map(_._1.toLowerCase(java.util.Locale.ROOT))
-    }.flatten.toSet
-    // transformUpWithSubqueries: relations inside IN/EXISTS/scalar
-    // subqueries must pin to the SAME snapshot version as the main
-    // body — a plain transformUp never descends into expression
-    // subqueries and would silently bind them to session state.
-    // CTE definition bodies are UnresolvedWith INNER children (not
-    // traversed by any transform), so the UnresolvedWith case recurses
-    // into them explicitly.
-    def substitute(p: LogicalPlan): LogicalPlan = p.transformUpWithSubqueries {
-      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
-        w.copy(cteRelations = w.cteRelations.map { case (n, sa, mx) =>
-          (n, SubqueryAlias(sa.identifier, substitute(sa.child)), mx)
-        })
+        // every name of this WITH is in scope for the main child and
+        // for the definition bodies (Spark permits back-references;
+        // a forward reference fails loudly at analysis)
+        val inner = scope ++ w.cteRelations.map(t => lower(t._1))
+        w.copy(
+          cteRelations = w.cteRelations.map { case (n, sa, mx) =>
+            (n, SubqueryAlias(sa.identifier, substitute(sa.child, inner)), mx)
+          },
+          child = substitute(w.child, inner))
       case r: UnresolvedRelation if r.multipartIdentifier.length > 1 =>
         refuse(s"'$owner' references '${r.multipartIdentifier.mkString(".")}' — " +
           "a view references bare single-part names resolved in its own lake " +
           "(a qualified reference would mix version axes)")
-      case r: UnresolvedRelation
-          if !cteNames.contains(
-            r.multipartIdentifier.head.toLowerCase(java.util.Locale.ROOT)) =>
+      case r: UnresolvedRelation if scope.contains(lower(r.multipartIdentifier.head)) =>
+        r // a CTE reference: the analyzer resolves it within its WITH
+      case r: UnresolvedRelation =>
         val t = r.multipartIdentifier.head
         if (m.contains(t + sn.ViewSuffix)) {
           if (stack.contains(t)) refuse(
@@ -147,8 +148,14 @@ object GraftViews {
           SubqueryAlias(t, GraftLakeReads.maybeShuffleHash(sn.s, sn, t, pinned, read))
         } else refuse(s"'$owner' references '$t', which is neither a table nor " +
           s"a view under ${sn.rootPath} at version $pinned")
+      case other =>
+        val kids = other.mapChildren(c => substitute(c, scope))
+        kids.transformExpressions {
+          case sq: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+            sq.withNewPlan(substitute(sq.plan, scope))
+        }
     }
-    substitute(plan)
+    substitute(plan, Set.empty)
   }
 
   /** CREATE [OR REPLACE] VIEW: validates (parseable, references exist,

@@ -29,8 +29,14 @@ private[sources] trait SnapshotsTxnOps { self: Snapshots =>
       t1
     }.getOrElse(tables)
     var attempt = currentVersion.getOrElse(0L) + 1
+    // staged dirs are writer-unique: a lost manifest race retries
+    // manifest-only (the replaceTable pattern), never re-writes data
+    var stagedMemo: Option[Map[String, String]] = None
     for (_ <- 1 to MaxAttempts) {
-      val written = stageTables(tables1, statsCols, attempt, bloomCols, bloomFpp)
+      val written = stagedMemo.getOrElse {
+        val w = stageTables(tables1, statsCols, attempt, bloomCols, bloomFpp)
+        stagedMemo = Some(w); w
+      }
       // consumed append-tags — and declared CHECK constraints — follow
       // the table identity through a full re-commit: a replayed
       // micro-batch must stay a no-op even after the table's data was
@@ -496,11 +502,21 @@ private[sources] trait SnapshotsTxnOps { self: Snapshots =>
     // at commit time is a conflict for the read set
     val baseM =
       if (baseVersion == 0L) Map.empty[String, String] else readManifest(baseVersion)
+    var stagedMemo: Option[(Map[String, String], Map[String, String])] = None
     for (_ <- 1 to MaxAttempts) {
       val headV = currentVersion.getOrElse(0L)
       val headM = if (headV == 0L) Map.empty[String, String] else readManifest(headV)
       if (headV != baseVersion) {
-        val changed = readSet.filter(t => headM.get(t) != baseM.get(t))
+        // compare the table's WHOLE manifest line family, not just the
+        // data entry: a merge-on-read delete publishes only a new
+        // `t@dv` line (data entry unchanged), schema evolution only
+        // `t@schema`, a rename only `t@colmap` — each changes what a
+        // reader of t sees, and a data-entry-only compare would let a
+        // Serializable transaction commit write skew across them (or a
+        // write silently discard concurrent tombstones)
+        def family(m: Map[String, String], t: String): Map[String, String] =
+          m.filter { case (k, _) => k == t || k.startsWith(t + "@") }
+        val changed = readSet.filter(t => family(headM, t) != family(baseM, t))
         if (changed.nonEmpty)
           throw new Snapshots.SerializationConflictException(
             s"conflict set ${changed.mkString(", ")} changed between version " +
@@ -508,11 +524,24 @@ private[sources] trait SnapshotsTxnOps { self: Snapshots =>
       }
       val attempt = headV + 1
       // generated columns + CHECK constraints from the head gate the
-      // written tables (the merge-into-head path keeps their lines)
-      val tables1 = tables.map { case (t, df) =>
-        t -> applyGenerated(t, headM, df, "commit") }
-      tables1.foreach { case (t, df) => enforceChecks(t, headM, df, "commit") }
-      val written = stageTables(tables1, statsCols, attempt)
+      // written tables (the merge-into-head path keeps their lines).
+      // The staged data is MEMOIZED across version races (the same
+      // pattern as replaceTable/append: staged dirs are writer-unique,
+      // so a lost manifest race retries manifest-only instead of
+      // re-writing every table) — invalidated only if the head's
+      // guard lines for a written table changed, which would alter
+      // the enforced batch itself.
+      val guards = tables.keys.flatMap(t =>
+        Seq(t + CheckSuffix, t + GenSuffix).flatMap(k => headM.get(k).map(k -> _))).toMap
+      val written = stagedMemo match {
+        case Some((g, w)) if g == guards => w
+        case _ =>
+          val tables1 = tables.map { case (t, df) =>
+            t -> applyGenerated(t, headM, df, "commit") }
+          tables1.foreach { case (t, df) => enforceChecks(t, headM, df, "commit") }
+          val w = stageTables(tables1, statsCols, attempt)
+          stagedMemo = Some((guards, w)); w
+      }
       // drop the written tables' stale meta/tags lines, keep everything
       // else from the head, overlay the fresh lines. A full replace
       // also ends the table's deletion vector (it tombstones positions
@@ -653,11 +682,14 @@ private[sources] trait SnapshotsTxnOps { self: Snapshots =>
     var attempt = currentVersion.getOrElse(0L) + 1
     for (_ <- 1 to MaxAttempts) {
       val base = currentVersion.map(readManifest).getOrElse(Map.empty[String, String])
-      // a removed table takes its consumed-tags and metadata lines with
-      // it; an UPDATED table drops any deletion vector — its data was
-      // replaced wholesale, so stale tombstones must not linger
-      val removedKeys = removes.flatMap(r =>
-        Seq(r, r + TagsSuffix, r + SchemaSuffix, r + FilesSuffix, r + DvSuffix)) ++
+      // a removed table takes EVERY `r@*` metadata line with it (the
+      // dropTable contract — a surviving @check/@identity/@copied line
+      // would silently guard, id-route, or dedup-skip a LATER table
+      // created under the same name); an UPDATED table drops any
+      // deletion vector — its data was replaced wholesale, so stale
+      // tombstones must not linger
+      val removedKeys = base.keys.filter(k =>
+        removes.exists(r => k == r || k.startsWith(r + "@"))).toSet ++
         updates.keys.map(_ + DvSuffix)
       val merged = (base -- removedKeys) ++ updates ++ updateMeta
       if (writeManifest(attempt, merged)) return attempt

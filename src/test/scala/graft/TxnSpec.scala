@@ -363,6 +363,45 @@ class TxnSpec extends AnyFunSuite {
     assert(nostats.count() == 100L && nostats.inputFiles.length >= 8)
   }
 
+  test("decimal column stats: scaled pruning is exact — unscaled footer ints never skip matching rows") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("txndec").toString + "/t"
+    val snap = new Snapshots(spark, root)
+    // decimal(12,2) backed by parquet INT64 UNSCALED ints: prices
+    // 1.00-1000.00 store as 100-100000; stats recorded as raw longs
+    // would compare 100000 against a scaled bound like 50.00 and
+    // wrongly prune every file
+    val df = (1L to 1000L).map(i => (i, BigDecimal(i).setScale(2)))
+      .toDF("id", "price")
+      .select(col("id"), col("price").cast("decimal(12,2)").as("price"))
+      .repartitionByRange(8, col("price"))
+    snap.commit(Map("p" -> df), statsCols = Map("p" -> Seq("price")))
+    val full = snap.read("p")
+    val totalFiles = full.inputFiles.length
+    assert(totalFiles >= 8)
+
+    // the bug shape: every row matches price <= 1000.00 — a file must
+    // never be skipped (unscaled stats would prune ALL of them)
+    val all = snap.readWhere("p",
+      Seq(ColRange("price", None, Some(BigDecimal("1000.00")))))
+    assert(all.count() == 1000L, "no matching row may be skipped")
+
+    // a tight range prunes to few files AND returns the exact rows
+    val tight = snap.readWhere("p",
+      Seq(ColRange("price", Some(BigDecimal("101.00")), Some(BigDecimal("200.00")))))
+    assert(tight.count() == 100L)
+    assert(tight.inputFiles.length < totalFiles / 2,
+      s"decimal stats should skip most files: ${tight.inputFiles.length} of $totalFiles")
+    val expect = full.where(col("price").between(BigDecimal("101.00"), BigDecimal("200.00")))
+    assert(tight.exceptAll(expect).isEmpty && expect.exceptAll(tight).isEmpty)
+
+    // java.math.BigDecimal bounds take the same path
+    val jm = snap.readWhere("p",
+      Seq(ColRange("price", Some(new java.math.BigDecimal("999.50")), None)))
+    assert(jm.count() == 1L && jm.inputFiles.length <= 2)
+  }
+
   test("history() reports one row per retained version with change attribution") {
     val sp = spark
     import sp.implicits._
@@ -4120,6 +4159,23 @@ class TxnSpec extends AnyFunSuite {
     // If the CTE reference were substituted by the TABLE, n would be 3.
     assert(sp.sql("SELECT n FROM gvsub.db.ctev").head.getLong(0) == 1L,
       "a CTE name must shadow the colliding lake table")
+
+    // scope accuracy: a CTE named `allow` INSIDE a subquery must not
+    // suppress the OUTER `allow`, which is a lake reference — a global
+    // suppression would leave the outer name to the analyzer, silently
+    // binding the session temp view (or failing) instead of the pinned
+    // lake table
+    sp.sql("CREATE VIEW gvsub.db.scoped AS " +
+      "SELECT count(*) AS n FROM allow WHERE id IN " +
+      "(SELECT k FROM (WITH allow AS (SELECT 1 AS k) SELECT k FROM allow))")
+    // lake `allow` = {1,2,3}; inner CTE allow = {1} → outer count = 1
+    assert(sp.sql("SELECT n FROM gvsub.db.scoped").head.getLong(0) == 1L,
+      "the outer name must stay a lake reference")
+    // and it travels: at vPinned lake allow was {1,2} — count still 1,
+    // but prove the OUTER leg is version-pinned by counting it directly
+    sp.sql("CREATE VIEW gvsub.db.outercnt AS SELECT count(*) AS n FROM allow")
+    assert(sp.sql(s"SELECT n FROM gvsub.db.outercnt VERSION AS OF ${snap.currentVersion.get}")
+      .head.getLong(0) == 3L)
   }
 
   test("views: refusals are loud — cycles, qualified refs, name collisions, unparseable SQL") {
