@@ -45,7 +45,13 @@ object AsOfJoin {
     val payloadType = right.select(payloadStruct.as("p")).schema("p").dataType
     val leftType = left.select(struct(leftCols.map(col): _*).as("l")).schema("l").dataType
 
-    val r = right.select(
+    // NULL join keys never match under SQL equality, but
+    // Window.partitionBy groups NULLs into one partition — an
+    // unfiltered right side would attach payloads to NULL-keyed left
+    // rows (phantom matches an ASOF JOIN oracle forbids). Filtering
+    // the right side is sufficient: a NULL-keyed left row's partition
+    // then holds only left rows and last(__r, ignoreNulls) stays null.
+    val r = right.where(col(key).isNotNull).select(
       col(key).as("__k"), col(rightTs).cast("long").as("__t"),
       lit(0).as("__side"), col(rightTieBreak).cast("long").as("__tb"),
       payloadStruct.as("__r"))

@@ -455,17 +455,23 @@ object Ann {
     val e = e0.select(col("vec_id"),
         transform(col("embedding"), x => (x / l2).cast("float")).as("embedding"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // every cache this training run pins is released before return —
+    // repeated index builds (per-dir staging, ann_index_ivf CALLs)
+    // must not accumulate dead blocks for the life of the session
+    val pinned = scala.collection.mutable.ArrayBuffer[DataFrame](e)
 
     var cand = e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(1)
       .select(col("vec_id").as("cand_id"), col("embedding").as("c_vec"))
     for (r <- 1 to rounds) {
       val bc = cand.select(col("c_vec")).persist(StorageLevel.MEMORY_AND_DISK)
+      pinned += bc
       val cost = e.crossJoin(broadcast(bc))
         .withColumn("c_cos", cosine_sim(col("embedding"), col("c_vec")))
         .groupBy("vec_id")
         .agg(first(col("embedding")).as("embedding"), max(col("c_cos")).as("best"))
         .withColumn("cost", greatest(lit(0.0), lit(1.0) - col("best")))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      pinned += cost
       val phi = math.max(cost.agg(sum("cost")).head().getDouble(0), 1e-12)
       val u = (abs(xxhash64(col("vec_id"), lit(r))).cast("double")
         / lit(Long.MaxValue.toDouble))
@@ -545,7 +551,15 @@ object Ann {
       cents = updated.unionByName(
         cents.join(updated.select("cid"), Seq("cid"), "left_anti"))
     }
-    cents
+    // MATERIALIZE the result (≤ nlist ≤ 256 rows — a quantizer is a
+    // driver-small artifact) so every training cache can be released
+    // NOW: the lazy Lloyd plan still references `e`, and returning it
+    // unpersisted-later would leave this run's blocks pinned for the
+    // session (repeated builds OOM-pressure executors)
+    val schema = cents.schema
+    val rows = cents.collect().toIndexedSeq
+    pinned.foreach(_.unpersist(false))
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
   }
 
   /** The TRAINED coarse quantizer staged once per sf dir (the PQ-index

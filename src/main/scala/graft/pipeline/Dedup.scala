@@ -343,7 +343,12 @@ object Dedup {
       when(col("doc_id") % 2 === 0, col("text"))
         .otherwise(concat(col("text"), lit(" v2 "), col("doc_id"))).as("text"))
       .withColumn("fp", md5(col("text").cast("binary")))
-    val bf = batch.select(xxhash64(col("fp")).as("h")).stat.bloomFilter("h", 1 << 16, 0.01)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // bloom sized from the ACTUAL batch count (the minhashPairs rule):
+    // a hardcoded capacity degrades fpp past its design point at larger
+    // batches, passing most of the store into the broadcast anti-join
+    val bf = batch.select(xxhash64(col("fp")).as("h"))
+      .stat.bloomFilter("h", math.max(1024L, 2L * batch.count()), 0.01)
     val collisions = store.where(bloom_might_contain(xxhash64(col("fp")), bf))
     batch.join(broadcast(collisions), Seq("fp"), "left_anti")
       .select(col("doc_id"), col("fp"))
@@ -410,7 +415,9 @@ object Dedup {
       .join(storePostings.toDF("h", "s_id"), Seq("h"))
       .select("b_id", "s_id").distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val bf = cand.select(xxhash64(col("s_id")).as("x")).stat.bloomFilter("x", 1 << 16, 0.01)
+    // sized from the materialized candidate count, like minhashPairs
+    val bf = cand.select(xxhash64(col("s_id")).as("x"))
+      .stat.bloomFilter("x", math.max(1024L, 2L * cand.count()), 0.01)
     val prunedStore = storeSets.where(bloom_might_contain(xxhash64(col("doc_id")), bf))
       .toDF("s_id", "s_hs")
     cand.join(batchSets.toDF("b_id", "b_hs"), "b_id")

@@ -212,9 +212,17 @@ object TextOps {
     */
   def t24ShardPack(s: SparkSession, dir: String, budgetChars: Long = 100000L,
                    parts: Int = 16): DataFrame = {
+    // PERSIST before pass 1: both passes consume the SAME physical
+    // partitioning. RangePartitioner samples with a seed derived from
+    // the RDD id, so two separate executions of this frame can draw
+    // different range boundaries — a doc near a boundary would then
+    // take pass-1's offset from partition p but compute pass-2's local
+    // running sum in partition p±1, shifting every downstream shard_id
+    // by a whole partition total (a flaky, rerun-dependent wrongness).
     val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
       .repartitionByRange(parts, col("doc_id"))
       .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // pass 1: P scalar totals (range partitions are ascending in pid)
     val totals = d.groupBy("pid").agg(sum("n_chars").as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
@@ -408,7 +416,11 @@ object TextOps {
     * round absorbs summation order.
     */
   def t12LmScore(s: SparkSession, dir: String): DataFrame = {
+    // persisted: the token explode feeds BOTH the unigram table and
+    // the scoring join — unpersisted, the corpus scan + split + explode
+    // kernel runs twice per execution (the t20 rule)
     val toks = tokenized(s, dir).select(col("doc_id"), explode(col("toks")).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = toks.groupBy("w").agg(count(lit(1)).as("c"))
     val total = counts.agg(sum("c").as("total"))
     toks.join(counts, "w")

@@ -70,10 +70,17 @@ object Cdc {
     val path = s.conf.get("spark.sql.warehouse.dir") + s"/cdc_envelopes$tag"
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p))
+    // completion marker + delete-then-write (the stagedLake pattern):
+    // a bare fs.exists would trust — forever — the partial directory a
+    // crashed first staging leaves behind
+    val marker = new org.apache.hadoop.fs.Path(path, "_STAGED")
+    if (!fs.exists(marker)) {
+      fs.delete(p, true)
       syntheticEnvelopes(s, dir)
         .repartition(s.sparkContext.defaultParallelism) // multi-split read-back
         .write.parquet(path)
+      fs.create(marker, true).close()
+    }
     s.read.parquet(path)
   }
 

@@ -194,11 +194,17 @@ object EventStreams {
     val path = s.conf.get("spark.sql.warehouse.dir") + s"/user_dim$tag"
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p))
+    // completion marker + delete-then-write: bare fs.exists would
+    // trust a crashed first staging's partial directory forever
+    val marker = new org.apache.hadoop.fs.Path(path, "_STAGED")
+    if (!fs.exists(marker)) {
+      fs.delete(p, true)
       events(s, dir).groupBy("user_id")
         .agg(round(sum("value"), 2).as("lifetime_value"),
           count(lit(1)).as("n_events_total"))
         .write.parquet(path)
+      fs.create(marker, true).close()
+    }
     s.read.parquet(path)
   }
 
@@ -295,7 +301,14 @@ object EventStreams {
             else if (e.ts_ms - cur.end > gapMs) {
               out += Session(uid, cur.n, cur.start, cur.end)
               cur = OpenSess(e.ts_ms, e.ts_ms, 1)
-            } else cur = OpenSess(cur.start, e.ts_ms, cur.n + 1)
+            } else
+              // min/max, not overwrite: an event LATE across micro-batch
+              // boundaries (no watermark guards this path) that merges
+              // into the open session must never drag its end backwards
+              // — a regressed end makes the next on-time event open a
+              // spurious new session
+              cur = OpenSess(math.min(cur.start, e.ts_ms),
+                math.max(cur.end, e.ts_ms), cur.n + 1)
           }
           if (cur != null) state.update(cur) else state.remove()
           out.iterator

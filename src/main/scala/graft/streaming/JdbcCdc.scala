@@ -28,21 +28,33 @@ object JdbcCdc {
     * merge them into the state lake at `statePath`, and return the new
     * watermark (`sinceTs` if the poll was empty). The watermark query
     * runs ON the database — an empty poll costs one scalar round trip.
+    *
+    * OVERLAP RE-READ (`lagMs`): a writer can COMPUTE a change's TS_MS
+    * before the poll and COMMIT it after — a strict `> watermark`
+    * predicate would then skip that row forever (the classic
+    * audit-timestamp race). Each poll therefore re-reads the trailing
+    * `lagMs` window behind its token; re-delivery is free because the
+    * merge is replay-idempotent. The residual assumption is explicit:
+    * a transaction straggling LONGER than lagMs is still lost — the
+    * inherent limit of polling capture (log-based CDC is the real
+    * fix; the reference's cursor stream has the same at-least-once
+    * contract per committed row).
     */
   def ingestOnce(s: SparkSession, cs: Jdbc.ConnSettings, changeTable: String,
-                 statePath: String, sinceTs: Long): Long = {
+                 statePath: String, sinceTs: Long, lagMs: Long = 10000L): Long = {
+    val lo = sinceTs - lagMs
     val hi = Jdbc.readQuery(s,
-      cs, s"SELECT MAX(TS_MS) AS HI FROM $changeTable WHERE TS_MS > $sinceTs")
+      cs, s"SELECT MAX(TS_MS) AS HI FROM $changeTable WHERE TS_MS > $lo")
       .head().getAs[Number](0)
     if (hi == null) return sinceTs
     val batch = Jdbc.readQuery(s, cs,
       s"SELECT OP, TS_MS, O_ORDERKEY, O_TOTALPRICE FROM $changeTable " +
-        s"WHERE TS_MS > $sinceTs AND TS_MS <= ${hi.longValue()}")
+        s"WHERE TS_MS > $lo AND TS_MS <= ${hi.longValue()}")
       .select(
         col("OP").as("op"), col("TS_MS").as("ts_ms"),
         col("O_ORDERKEY").as("o_orderkey"), col("O_TOTALPRICE").as("o_totalprice"))
     LakeMerge.mergeBatch(s, statePath, batch)
-    hi.longValue()
+    math.max(hi.longValue(), sinceTs)
   }
 
   /** Audit-column + tombstone-table capture — the polling shape for
@@ -69,28 +81,36 @@ object JdbcCdc {
     */
   def ingestFromTable(s: SparkSession, cs: Jdbc.ConnSettings, srcTable: String,
                       tombTable: String, statePath: String,
-                      sinceSrcMs: Long, sinceDelSeq: Long): (Long, Long) = {
+                      sinceSrcMs: Long, sinceDelSeq: Long,
+                      lagMs: Long = 10000L, lagSeq: Long = 1024L): (Long, Long) = {
     def scalarMax(sql: String): Option[Long] =
       Option(Jdbc.readQuery(s, cs, sql).head().getAs[Number](0)).map(_.longValue())
+    // overlap re-read on BOTH tokens (see ingestOnce): an audit stamp
+    // can commit after the poll that its value predates, and identity
+    // SEQ values commit out of order too — the trailing window is
+    // re-merged (idempotent) instead of lost
+    val loSrc = sinceSrcMs - lagMs
+    val loDel = sinceDelSeq - lagSeq
     val hiSrc = scalarMax(
-      s"SELECT MAX(UPDATED_MS) AS HI FROM $srcTable WHERE UPDATED_MS > $sinceSrcMs")
+      s"SELECT MAX(UPDATED_MS) AS HI FROM $srcTable WHERE UPDATED_MS > $loSrc")
     val hiDel = scalarMax(
-      s"SELECT MAX(SEQ) AS HI FROM $tombTable WHERE SEQ > $sinceDelSeq")
+      s"SELECT MAX(SEQ) AS HI FROM $tombTable WHERE SEQ > $loDel")
     if (hiSrc.isEmpty && hiDel.isEmpty) return (sinceSrcMs, sinceDelSeq)
     val parts = Seq(
       hiSrc.map(hi => Jdbc.readQuery(s, cs,
         s"SELECT 'u' AS OP, UPDATED_MS AS TS_MS, ID AS O_ORDERKEY, " +
           s"PRICE AS O_TOTALPRICE FROM $srcTable " +
-          s"WHERE UPDATED_MS > $sinceSrcMs AND UPDATED_MS <= $hi")),
+          s"WHERE UPDATED_MS > $loSrc AND UPDATED_MS <= $hi")),
       hiDel.map(hi => Jdbc.readQuery(s, cs,
         s"SELECT 'd' AS OP, TS_MS, ID AS O_ORDERKEY, " +
           s"CAST(NULL AS DOUBLE) AS O_TOTALPRICE FROM $tombTable " +
-          s"WHERE SEQ > $sinceDelSeq AND SEQ <= $hi"))).flatten
+          s"WHERE SEQ > $loDel AND SEQ <= $hi"))).flatten
     val batch = parts.reduce(_ unionByName _)
       .select(
         col("OP").as("op"), col("TS_MS").as("ts_ms"),
         col("O_ORDERKEY").as("o_orderkey"), col("O_TOTALPRICE").as("o_totalprice"))
     LakeMerge.mergeBatch(s, statePath, batch)
-    (hiSrc.getOrElse(sinceSrcMs), hiDel.getOrElse(sinceDelSeq))
+    (math.max(hiSrc.getOrElse(sinceSrcMs), sinceSrcMs),
+      math.max(hiDel.getOrElse(sinceDelSeq), sinceDelSeq))
   }
 }

@@ -80,10 +80,16 @@ object LakeMerge {
                            state: DataFrame): Map[String, String] = {
     val stageVer = head.getOrElse(0L) + 1
     val dir = s"$path/v$stageVer"
+    val f = fs(s, path)
+    // delete-then-write: a crashed PRIOR attempt may have left bucket
+    // dirs under this same unpublished version path. Under dynamic
+    // partition overwrite only the batch's own buckets are rewritten,
+    // so the fs.exists scan below would resurrect the dead attempt's
+    // stale buckets into the published manifest.
+    f.delete(new org.apache.hadoop.fs.Path(dir), true)
     withBucket(state)
       .repartition(col("pk_bucket"))
       .write.mode("overwrite").partitionBy("pk_bucket").parquet(dir)
-    val f = fs(s, path)
     (0 until NBuckets).flatMap { b =>
       if (f.exists(new org.apache.hadoop.fs.Path(s"$dir/pk_bucket=$b")))
         Some(bucketKey(b) -> s"v$stageVer/pk_bucket=$b")

@@ -680,6 +680,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful sessionizer: a late cross-batch event never drags the open session's end backwards") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val gap = 1000L
+    val input = MemoryStream[Ev]
+    val sessions = EventStreams.sessionize(input.toDS(), gap)
+    val q = sessions.writeStream.format("memory").queryName("sess_late")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: open session spanning [100, 200]
+      input.addData(Ev(7L, 100L, 1.0), Ev(7L, 200L, 1.0))
+      q.processAllAvailable()
+      // batch 2: a LATE event at 150 merges (within gap of end=200) —
+      // with an overwrite fold the end would REGRESS to 150, and the
+      // next on-time event at 1190 (within gap of the true end 200)
+      // would wrongly open a new session
+      input.addData(Ev(7L, 150L, 1.0))
+      q.processAllAvailable()
+      input.addData(Ev(7L, 1190L, 1.0))
+      q.processAllAvailable()
+      // far event closes the whole thing: ONE session [100, 1190] of 4
+      input.addData(Ev(7L, 99999L, 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess_late").as[EventStreams.Session].collect()
+      assert(closed.toSeq == Seq(EventStreams.Session(7L, 4L, 100L, 1190L)),
+        s"late event must not split the session: ${closed.toSeq}")
+    } finally q.stop()
+  }
+
+  test("as-of join: NULL keys never match (window partitioning must not pair them)") {
+    import spark.implicits._
+    val left = Seq((Some(1L), 100L, "p1"), (Option.empty[Long], 100L, "p2"))
+      .toDF("user_id", "ts", "pid")
+    val right = Seq((Some(1L), 50L, 9.0, 1L), (Option.empty[Long], 40L, 8.0, 2L))
+      .toDF("user_id", "rts", "v", "eid")
+    val out = graft.operators.AsOfJoin.leftAsOf(left, right,
+      key = "user_id", leftTs = "ts", rightTs = "rts",
+      rightPayload = Seq("v"), rightTieBreak = "eid")
+      .orderBy("pid").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Double]("asof_v") == 9.0, s"keyed row must match: ${out.toSeq}")
+    assert(out(1).isNullAt(out(1).fieldIndex("asof_v")),
+      s"NULL-keyed left row must NOT match the NULL-keyed right row: ${out.toSeq}")
+  }
+
   test("stream-stream interval join matches its batch twin") {
     val q = EventStreams.correlatedStream(spark, TestSpark.sfTest)
       .writeStream.format("memory").queryName("join_test")
