@@ -41,6 +41,18 @@ object GraftSession {
       // filters, which only matter for null-heavy keys.
       .config("spark.sql.constraintPropagation.enabled", "false")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Always use the serialized (Unsafe) shuffle writer. The default
+      // bypass-merge writer kicks in below 200 reduce partitions and
+      // opens one buffered+compressed stream PER PARTITION per map task
+      // — JFR showed that stream setup (BufferedOutputStream + LZ4
+      // block buffers) was ~40% of executor cpu across the suite, a
+      // pure per-task constant. The Unsafe writer buffers rows in
+      // pooled task memory, radix-sorts by partition id, and writes one
+      // file per spill — which is exactly the writer every >200-
+      // partition shuffle on a real cluster uses anyway, so local
+      // behavior now matches the at-scale path (measured: d07 cpu
+      // 16.8s → 2.2s, d01 2.2s → 0.5s, same plans).
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
       .config("spark.sql.session.timeZone", "UTC")
       // managed (bucketed) staging tables go to a scratch warehouse
       .config("spark.sql.warehouse.dir",

@@ -32,6 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extension: top-k-per-group logical node → bounded
     // heap physical operator (graft.plans.TopKPerGroup)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.ShinglePairsStrategy)
 
     // SQL catalog reads: GraftCatalog relations → the engine's v1
     // manifest-planned scan (see graft.sources.GraftLakeReads)

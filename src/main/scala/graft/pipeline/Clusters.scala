@@ -45,7 +45,17 @@ object Clusters {
     val in = edges.select(col("a_id").cast("long").as("u"), col("b_id").cast("long").as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     in.count()
-    val e = in.union(in.select(col("v"), col("u")))
+    // one scan, both directions: explode(array(struct(u,v), struct(v,u)))
+    // instead of a self-union — the r11 form re-read the persisted input
+    // twice and DOUBLED the map-task count of the distinct, and at ~50ms
+    // of per-task constant (shuffle-writer stream setup, agg-map
+    // zeroing) those tasks were the round's cost on any graph that fits
+    // a few partitions. The distinct's reduce side is AQE-coalesced by
+    // size, so `e`'s cached partitioning stays scale-adaptive.
+    val e = in.select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -68,7 +78,11 @@ object Clusters {
       // 1. edge propagation: every node offers its label to its neighbors
       val offers = e.join(labels, e("u") === labels("id"))
         .select(col("v").as("id"), col("lbl"))
+      // checkpointed: `merged` feeds BOTH sides of the pointer-jump join
+      // below on DIFFERENT keys (id vs lbl), so without materialization
+      // the union+groupBy subtree executed twice per round
       val merged = labels.union(offers).groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint(true)
       // 2. pointer jump: lbl ← min(lbl, lbl(lbl)). Safe as an inner join:
       // labels are always existing vertex ids, so every lbl resolves.
       val ptr = merged.select(col("id").as("jid"), col("lbl").as("jlbl"))

@@ -1149,16 +1149,32 @@ object GraftCatalog {
     s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
     s.conf.set("spark.sql.catalog.graft.root", root)
     Catalog.register(s, dir)
-    val ns = "db_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-    s.sql(s"CREATE NAMESPACE graft.$ns")
-    s.sql(s"CREATE TABLE graft.$ns.orders_t (o_orderkey BIGINT, o_orderstatus STRING, price_cents BIGINT)") // v1
-    s.sql(s"""INSERT INTO graft.$ns.orders_t
-             |SELECT o_orderkey, o_orderstatus,
-             |       CAST(round(o_totalprice * 100, 0) AS BIGINT)
-             |FROM orders""".stripMargin)                                       // v2
-    s.sql(s"DELETE FROM graft.$ns.orders_t WHERE o_orderkey BETWEEN 1000 AND 1999")  // v3
-    s.sql(s"""UPDATE graft.$ns.orders_t SET price_cents = price_cents + 7
-             |WHERE o_orderkey BETWEEN 200 AND 399""".stripMargin)              // v4
+    // r12: the v1-v4 table (CREATE + full INSERT + ranged DELETE/UPDATE)
+    // is the key's FIXTURE, staged once per sf dir behind a marker (the
+    // c03/c12 staged-lake pattern) — the operator under test is the
+    // STREAMING CDF read, and re-running four DML versions per bench
+    // run timed table construction, not the cursor. A stale or
+    // half-built stage is rebuilt, never trusted (marker written last).
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val ns = s"stch_fix_$tag"
+    val fsRoot = new org.apache.hadoop.fs.Path(root)
+    val f = fsRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // marker OUTSIDE the namespace dir: catalog listings must never see it
+    val marker = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), s"_st11_fixture_${tag}_G1")
+    if (!f.exists(marker)) {
+      s.sql(s"DROP NAMESPACE IF EXISTS graft.$ns CASCADE")
+      s.sql(s"CREATE NAMESPACE graft.$ns")
+      s.sql(s"CREATE TABLE graft.$ns.orders_t (o_orderkey BIGINT, o_orderstatus STRING, price_cents BIGINT)") // v1
+      s.sql(s"""INSERT INTO graft.$ns.orders_t
+               |SELECT o_orderkey, o_orderstatus,
+               |       CAST(round(o_totalprice * 100, 0) AS BIGINT)
+               |FROM orders""".stripMargin)                                       // v2
+      s.sql(s"DELETE FROM graft.$ns.orders_t WHERE o_orderkey BETWEEN 1000 AND 1999")  // v3
+      s.sql(s"""UPDATE graft.$ns.orders_t SET price_cents = price_cents + 7
+               |WHERE o_orderkey BETWEEN 200 AND 399""".stripMargin)              // v4
+      f.create(marker, true).close()
+    }
     val sink = "stch_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val ckpt = java.nio.file.Files.createTempDirectory("stch_ckpt").toString
     val q = s.readStream.table(s"graft.$ns.`orders_t$$changes$$2`")

@@ -165,6 +165,44 @@ class DedupSpec extends AnyFunSuite {
     assert(capped == 0L, s"df cap must drop boilerplate-only candidates (got $capped)")
   }
 
+  test("ShinglePairs emits exactly the a<b pairs of every <=cap group (r12 operator)") {
+    val sp = spark
+    import sp.implicits._
+    // groups: size 1 (no pairs), 2, 3, exactly cap, cap+1 (dropped),
+    // plus ids arriving UNSORTED within a group
+    val cap = 4
+    val postings = Seq(
+      (10L, 7L),
+      (11L, 3L), (11L, 9L),
+      (12L, 5L), (12L, 1L), (12L, 8L),
+      (13L, 4L), (13L, 2L), (13L, 6L), (13L, 0L),
+      (14L, 1L), (14L, 2L), (14L, 3L), (14L, 4L), (14L, 5L)
+    ).toDF("h", "doc_id")
+    val got = graft.plans.ShinglePairs.pairs(postings, "h", "doc_id", cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def combos(ids: Seq[Long]): Seq[(Long, Long)] = {
+      val s = ids.sorted
+      for (i <- s.indices; j <- (i + 1) until s.size) yield (s(i), s(j))
+    }
+    val want = combos(Seq(3L, 9L)) ++ combos(Seq(5L, 1L, 8L)) ++ combos(Seq(4L, 2L, 6L, 0L))
+    assert(got.sorted == want.sorted,
+      s"pairs mismatch: got ${got.sorted}, want ${want.sorted}")
+    // parity with the r11 posting self-join on real data: same candidate set
+    val sets = Dedup.hashSets(
+      docs(spark, dir).withColumn("toks", tokens(col("text"))))
+    val inv = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+    val rare = inv.groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") <= 64).select("h")
+    val pruned = inv.join(rare, Seq("h")).select(col("h"), col("doc_id"))
+    val ref = pruned.toDF("h", "a_id").join(pruned.toDF("h", "b_id"), Seq("h"))
+      .where(col("a_id") < col("b_id")).select("a_id", "b_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val op = Dedup.ngramCandidates(sets, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(op == ref, s"operator candidates must equal the self-join form: " +
+      s"missing ${ref -- op}, extra ${op -- ref}")
+  }
+
   test("d03 SimHash banking is exact for hamming <= 7") {
     // Brute force: all-pairs hamming over the same simhash values.
     val sh = docs(spark, dir)
