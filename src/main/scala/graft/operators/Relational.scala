@@ -393,12 +393,24 @@ object Relational {
       .rangeBetween(-30, Window.currentRow)
     val total = Window.partitionBy("l_suppkey")
       .orderBy(col("day"), col("l_orderkey"), col("l_linenumber"))
+    // cd = round(cume_dist, 6) computed in EXACT integer space: the
+    // total order is unique, so cume_dist ≡ rn/n, and rn/n rationals
+    // land exactly on .5×10⁻⁶ rounding ties (any n with a 2^a·5^b
+    // factor) where Spark's decimal-repr HALF_UP and DuckDB's
+    // binary-value rounding disagree by one ulp — the r12 testdata
+    // generation hit one at sf0.001 (row 585: 41/640). Half-up via
+    // integers — (2·10⁶·rn + n) div 2n — is tie-free and bit-identical
+    // cross-engine; the numerator stays < 2^53 so the floor-division
+    // is exact for any realistic partition size.
+    val np = count(lit(1)).over(Window.partitionBy("l_suppkey"))
+    val rn = row_number().over(total).cast("long")
     li.select(
         col("l_suppkey"), col("day"), col("l_orderkey"),
         col("l_linenumber").cast("long").as("l_linenumber"),
         round(sum("l_quantity").over(byDay), 2).as("qty_30d"),
         ntile(4).over(total).cast("long").as("quartile"),
-        round(cume_dist().over(total), 6).as("cd"))
+        (floor((rn * lit(2000000L) + np) / (np * lit(2L))).cast("double") /
+          lit(1000000.0)).as("cd"))
       .orderBy("l_suppkey", "day", "l_orderkey", "l_linenumber")
   }
 
@@ -1569,7 +1581,10 @@ object Relational {
         |    ORDER BY date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
         |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS qty_30d,
         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-        |  round(cume_dist() OVER w, 6) AS cd
+        |  CAST((row_number() OVER w * 2000000 +
+        |        count(*) OVER (PARTITION BY l_suppkey)) //
+        |       (2 * count(*) OVER (PARTITION BY l_suppkey)) AS DOUBLE)
+        |    / 1000000.0 AS cd
         |FROM lineitem WHERE l_suppkey < 10
         |WINDOW w AS (PARTITION BY l_suppkey
         |  ORDER BY date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)),

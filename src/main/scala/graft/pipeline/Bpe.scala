@@ -183,7 +183,9 @@ object Bpe {
     */
   private def stagedMerges(s: SparkSession, dir: String, k: Int): Seq[(String, String)] = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val path = s.conf.get("spark.sql.warehouse.dir") + s"/bpe_merges_t22$tag"
+    // keyed on k too: a caller training fewer merges (BpeSpec's k=6)
+    // must not read back a longer staged table
+    val path = s.conf.get("spark.sql.warehouse.dir") + s"/bpe_merges_t22${tag}_k$k"
     val p = new org.apache.hadoop.fs.Path(path)
     val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(p, "_STAGED_G1")
