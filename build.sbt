@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver contract: the bench/verify mains must end stdout with ONE unadorned
+// JSON line. With fork=true sbt's default LoggedOutput routes the child's
+// stdout through the logger ("[info] " prefix) and then prints a trailing
+// "[success] Total time..." line — BENCH_r01..r12 all have parsed:null
+// because of exactly this. StdoutOutput passes the forked JVM's stdout
+// through verbatim; showSuccess/showTiming=false drop the epilogue lines so
+// the program's own last line stays last.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / showTiming := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -250,7 +250,15 @@ object Bench {
     println(s"""{"metric":"queries_task_sec","queries_task_sec":$tjson}""")
     println(s"""{"metric":"queries_cpu_sec","queries_cpu_sec":$cjson}""")
     println(s"""{"metric":"queries_wall_sec","queries":$qjson}""")
-    println(s"""{"metric":"total","unit":"sec","errors":$ejson,"sf":"$sfDir","n_keys":${results.size},"n_failed":${errors.size},"total_task_sec":$totalTask,"total_cpu_sec":$totalCpu,"queries_in":"bench.json","value":$total}""")
+    // LAST line = the driver's contract line: {"metric","value","unit",
+    // "queries",...,"sf"} — per-key WALL map included (the driver's
+    // per_query/scaling blocks parse this line; r01-r12 all failed to
+    // parse because sbt prefixed it with "[info] " and appended
+    // "[success]" — fixed in build.sbt via StdoutOutput + showSuccess).
+    // diag/task/cpu maps stay on their own tagged lines above and in
+    // bench.json so this line stays small enough to survive tail capture.
+    System.out.println(s"""{"metric":"total","unit":"sec","errors":$ejson,"sf":"$sfDir","n_keys":${results.size},"n_failed":${errors.size},"total_task_sec":$totalTask,"total_cpu_sec":$totalCpu,"queries_in":"bench.json","queries":$qjson,"value":$total}""")
+    System.out.flush()
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
