@@ -109,7 +109,7 @@ object Soak {
     * fresh ids, with the ORIGINAL query ids (vec_id < NQueries) left
     * unreplicated so the ANN keys scale the corpus, not the query set.
     */
-  private def stage10x(s: SparkSession, base: String, out: String): Unit = {
+  private[graft] def stage10x(s: SparkSession, base: String, out: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(out, "_STAGED_G2") // G2: +1x dims for the SQL-front-door keys

@@ -50,10 +50,21 @@ object Kernels {
     * per-seed re-hash of the bytes.
     */
   def minhashSig(tokens: Array[Array[Byte]], k: Int): Array[Long] = {
+    val hs = new Array[Long](tokens.length)
+    var t = 0
+    while (t < tokens.length) { hs(t) = hash64(tokens(t)); t += 1 }
+    minhashSigFromHashes(hs, k)
+  }
+
+  /** [[minhashSig]] over PRE-HASHED tokens (the zero-copy entry: callers
+    * hash each token off its backing region via [[hash64Region]]).
+    * Bit-identical to minhashSig on the same token bytes.
+    */
+  def minhashSigFromHashes(tokenHashes: Array[Long], k: Int): Array[Long] = {
     val sig = Array.fill(k)(Long.MaxValue)
     var t = 0
-    while (t < tokens.length) {
-      val h = hash64(tokens(t))
+    while (t < tokenHashes.length) {
+      val h = tokenHashes(t)
       var i = 0
       while (i < k) {
         val v = mix64(h ^ (i * 0x9e3779b97f4a7c15L))
@@ -69,10 +80,20 @@ object Kernels {
     * hash, sign-packed. Near-identical token sets → small Hamming distance.
     */
   def simhash64(tokens: Array[Array[Byte]]): Long = {
+    val hs = new Array[Long](tokens.length)
+    var t = 0
+    while (t < tokens.length) { hs(t) = hash64(tokens(t)); t += 1 }
+    simhash64FromHashes(hs)
+  }
+
+  /** [[simhash64]] over PRE-HASHED tokens — the zero-copy entry;
+    * bit-identical to simhash64 on the same token bytes.
+    */
+  def simhash64FromHashes(tokenHashes: Array[Long]): Long = {
     val votes = new Array[Int](64)
     var t = 0
-    while (t < tokens.length) {
-      val h = hash64(tokens(t))
+    while (t < tokenHashes.length) {
+      val h = tokenHashes(t)
       var i = 0
       while (i < 64) {
         if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1

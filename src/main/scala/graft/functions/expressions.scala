@@ -32,23 +32,31 @@ object ExprKernels {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  private def tokenBytes(arr: ArrayData): Array[Array[Byte]] = {
+  /** Zero-copy token hashing: each token is hashed straight off the
+    * UTF8String's backing region ([[Kernels.hash64Region]] — bit-identical
+    * to hash64 over a materialized copy), so the MinHash/SimHash kernels
+    * never allocate an Array[Byte] per token. One primitive long[] of
+    * token hashes per evaluation is the only allocation.
+    */
+  private def tokenHashes(arr: ArrayData): Array[Long] = {
     val n = arr.numElements()
-    val out = new Array[Array[Byte]](n)
+    val out = new Array[Long](n)
     var i = 0
     while (i < n) {
       val s = arr.getUTF8String(i)
-      out(i) = if (s == null) Array.emptyByteArray else s.getBytes
+      out(i) =
+        if (s == null) Kernels.hash64(Array.emptyByteArray)
+        else Kernels.hash64Region(s.getBaseObject, s.getBaseOffset, s.numBytes())
       i += 1
     }
     out
   }
 
   def minhashSigAD(tokens: ArrayData, k: Int): ArrayData =
-    new GenericArrayData(Kernels.minhashSig(tokenBytes(tokens), k))
+    new GenericArrayData(Kernels.minhashSigFromHashes(tokenHashes(tokens), k))
 
   def simhash64AD(tokens: ArrayData): Long =
-    Kernels.simhash64(tokenBytes(tokens))
+    Kernels.simhash64FromHashes(tokenHashes(tokens))
 
   /** Zero-copy LSH bucket: sign projections read the vector through
     * ArrayData accessors (one per (bit, dim)) instead of materializing

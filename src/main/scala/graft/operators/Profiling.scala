@@ -41,6 +41,36 @@ object Profiling {
       .orderBy("col_name")
   }
 
+  /** q33 WITHOUT the Expand (r13 experiment, guide §2): the three exact
+    * COUNT(DISTINCT)s run as three independent single-distinct
+    * aggregates — each plans as a clean two-phase hash aggregate
+    * (partial distinct on the value, no 4-way row multiplication) —
+    * cross-joined back onto the one-scan plain profile. Parquet being
+    * columnar, the extra single-column scans re-read only the profiled
+    * columns. Values identical to [[q33Profile]]; kept separate until
+    * measured + oracle-proven, then swapped in if faster.
+    */
+  private[graft] def q33ProfileNoExpand(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val plainAggs = profiled.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+        round(min(col(c)), 4).as(s"${c}__min"),
+        round(max(col(c)), 4).as(s"${c}__max"),
+        round(avg(col(c)), 4).as(s"${c}__avg"))
+    }
+    val plain = li.agg(plainAggs.head, plainAggs.tail: _*)
+    val withNd = profiled.foldLeft(plain) { (acc, c) =>
+      acc.crossJoin(broadcast(li.agg(countDistinct(col(c)).as(s"${c}__nd"))))
+    }
+    val stackArgs = profiled.map(c =>
+      s"'$c', ${c}__n, ${c}__nn, ${c}__nd, ${c}__min, ${c}__max, ${c}__avg").mkString(", ")
+    withNd.selectExpr(s"stack(${profiled.size}, $stackArgs) AS " +
+        "(col_name, n, n_null, n_distinct, min_v, max_v, avg_v)")
+      .orderBy("col_name")
+  }
+
   /** `q33_profile_approx`: the 100-TB profile — q33 with the exact
     * COUNT(DISTINCT)s swapped for approx_count_distinct (HLL++, q27's
     * sketch path). This REMOVES the Expand entirely: no per-distinct

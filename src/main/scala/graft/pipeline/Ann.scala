@@ -571,15 +571,10 @@ object Ann {
   private[graft] def ivfCentroidsStaged(s: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val path = s.conf.get("spark.sql.warehouse.dir") + s"/ivf_cents_$tag"
-    val p = new org.apache.hadoop.fs.Path(path)
-    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(p, "_STAGED_G1")
-    if (!f.exists(marker)) {
-      f.delete(p, true)
+    graft.StagedFixture.ensure(s, path, "G1") {
       val e = emb(s, dir)
       trainCentroids(e, adaptiveNlist(e.count()))
         .write.mode("overwrite").parquet(s"$path/cents")
-      f.create(marker, true).close()
     }
     s.read.parquet(s"$path/cents")
   }
@@ -629,15 +624,10 @@ object Ann {
                             m: Int = 8, ksub: Int = 16, iters: Int = 2): (DataFrame, DataFrame) = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val path = s.conf.get("spark.sql.warehouse.dir") + s"/pq_index_${m}_$ksub$tag"
-    val p = new org.apache.hadoop.fs.Path(path)
-    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(p, "_STAGED_G1")
-    if (!f.exists(marker)) {
-      f.delete(p, true)
+    graft.StagedFixture.ensure(s, path, "G1", Seq(m, ksub, iters)) {
       val (cb, codes) = pqIndex(emb(s, dir), m, ksub, iters)
       cb.write.mode("overwrite").parquet(s"$path/codebook")
       codes.write.mode("overwrite").parquet(s"$path/codes")
-      f.create(marker, true).close()
     }
     (s.read.parquet(s"$path/codebook"), s.read.parquet(s"$path/codes"))
   }
@@ -810,19 +800,14 @@ object Ann {
                            m: Int = 8, ksub: Int = 16, iters: Int = 2): graft.sources.Snapshots = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val root = s.conf.get("spark.sql.warehouse.dir") + s"/pq_lake_${m}_$ksub$tag"
-    val p = new org.apache.hadoop.fs.Path(root)
-    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val lake = new graft.sources.Snapshots(s, root)
-    val marker = new org.apache.hadoop.fs.Path(p, "_STAGED_G3")
-    if (!f.exists(marker)) {
-      f.delete(p, true)
+    graft.StagedFixture.ensure(s, root, "G3", Seq(m, ksub, iters)) {
       val corpus = emb(s, dir)
       val (cb, codes) = pqIndex(corpus, m, ksub, iters)
       // training-time quantization error rides in the lake: it is the
       // baseline every later drift probe (maintainPqLake) compares to
       lake.commit(Map("codebook" -> cb, "codes" -> codes,
         "stats" -> statsDf(s, pqQuantError(corpus, cb, m))))
-      f.create(marker, true).close()
     }
     lake
   }
@@ -959,13 +944,8 @@ object Ann {
   private def sq8IndexStaged(s: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val path = s.conf.get("spark.sql.warehouse.dir") + s"/sq8_index$tag"
-    val p = new org.apache.hadoop.fs.Path(path)
-    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(p, "_STAGED_G1")
-    if (!f.exists(marker)) {
-      f.delete(p, true)
+    graft.StagedFixture.ensure(s, path, "G1") {
       sq8Index(emb(s, dir)).write.mode("overwrite").parquet(s"$path/codes")
-      f.create(marker, true).close()
     }
     s.read.parquet(s"$path/codes")
   }

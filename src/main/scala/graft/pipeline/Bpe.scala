@@ -186,11 +186,7 @@ object Bpe {
     // keyed on k too: a caller training fewer merges (BpeSpec's k=6)
     // must not read back a longer staged table
     val path = s.conf.get("spark.sql.warehouse.dir") + s"/bpe_merges_t22${tag}_k$k"
-    val p = new org.apache.hadoop.fs.Path(path)
-    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(p, "_STAGED_G1")
-    if (!f.exists(marker)) {
-      f.delete(p, true)
+    graft.StagedFixture.ensure(s, path, "G1", Seq(k)) {
       val vocab = docs(s, dir)
         .select(explode(tokens(col("text"))).as("word"))
         .where(length(col("word")) > 0)
@@ -199,7 +195,6 @@ object Bpe {
       import s.implicits._
       trained.toDF("step", "left", "right", "merged", "pair_freq")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
-      f.create(marker, true).close()
     }
     s.read.parquet(s"$path/merges").orderBy("step")
       .collect().map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq

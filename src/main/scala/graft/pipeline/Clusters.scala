@@ -132,14 +132,9 @@ object Clusters {
   private def stagedPairs(s: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val path = s.conf.get("spark.sql.warehouse.dir") + s"/near_pairs_d07$tag"
-    val p = new org.apache.hadoop.fs.Path(path)
-    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(p, "_STAGED_G1")
-    if (!f.exists(marker)) {
-      f.delete(p, true)
+    graft.StagedFixture.ensure(s, path, "G1", Seq(0.6, 64)) {
       Dedup.ngramPairs(s, dir, 0.6, 64).select("a_id", "b_id")
         .write.mode("overwrite").parquet(s"$path/pairs")
-      f.create(marker, true).close()
     }
     s.read.parquet(s"$path/pairs")
   }
@@ -183,17 +178,12 @@ object Clusters {
   private def stagedComponents(s: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val path = s.conf.get("spark.sql.warehouse.dir") + s"/components_d12$tag"
-    val p = new org.apache.hadoop.fs.Path(path)
-    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(p, "_STAGED_G1")
-    if (!f.exists(marker)) {
-      f.delete(p, true)
+    graft.StagedFixture.ensure(s, path, "G1") {
       val near = stagedPairs(s, dir)
       val exact = docs(s, dir).select(
         col("doc_id").as("a_id"), (col("doc_id") + 100000L).as("b_id"))
       connectedComponents(near.union(exact))
         .write.mode("overwrite").parquet(s"$path/cc")
-      f.create(marker, true).close()
     }
     s.read.parquet(s"$path/cc")
   }

@@ -132,15 +132,10 @@ object Multimodal {
     import s.implicits._
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val path = s.conf.get("spark.sql.warehouse.dir") + s"/media_${fmt}_$tag"
-    val p = new org.apache.hadoop.fs.Path(path)
-    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(p, "_STAGED_G1")
-    if (!f.exists(marker)) {
-      f.delete(p, true)
+    graft.StagedFixture.ensure(s, path, "G1", Seq(fmt)) {
       docs(s, dir).select(col("doc_id")).as[Long]
         .map(id => Media(id, gen(id)))
         .toDF().write.mode("overwrite").parquet(s"$path/media")
-      f.create(marker, true).close()
     }
     s.read.parquet(s"$path/media").as[Media]
   }

@@ -316,19 +316,31 @@ object TextOps {
     * corpus×corpus join.
     */
   def t09Decontaminate(s: SparkSession, dir: String, minShared: Int = 5): DataFrame = {
-    // r12: the eval side is small BY DEFINITION (a benchmark set), so it
-    // BROADCASTS — the corpus-side postings are never shuffled on h (the
-    // r11 SHUFFLE_HASH exchanged both sides); the only corpus-scale
-    // shuffle left is the (eval, train) pair aggregation, which is
-    // bounded by eval-side df. Shingle hashes come from the one-pass
-    // trigram_hash_set kernel (same distinct-shingle count, no string
-    // concat; each side's filter pushes below its own explode).
+    // r12: the eval side (a benchmark set) BROADCASTS — the corpus-side
+    // postings are never shuffled on h (the r11 SHUFFLE_HASH exchanged
+    // both sides); the only corpus-scale shuffle left is the
+    // (eval, train) pair aggregation, which is bounded by eval-side df.
+    // r13: the broadcast is SIZE-GUARDED (guide §3.1) — the fixture's
+    // eval side is doc_id % 50, a fixed 2% of ALL postings, so an
+    // unconditional hint grows linearly with the corpus and would blow
+    // the broadcast limit where the old SHUFFLE_HASH scaled. The eval
+    // postings are persisted and counted (they feed the join anyway);
+    // over budget the join falls back to the r11 shuffle shape.
+    // Shingle hashes come from the one-pass trigram_hash_set kernel
+    // (same distinct-shingle count, no string concat; each side's
+    // filter pushes below its own explode).
     import graft.functions.functions.trigram_hash_set
     val all = tokenized(s, dir)
       .select(col("doc_id"), explode(trigram_hash_set(col("toks"))).as("h"))
     val evalSide = all.where(col("doc_id") % 50 === 0).toDF("eval_id", "h")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val trainSide = all.where(col("doc_id") % 50 =!= 0).toDF("train_id", "h")
-    trainSide.join(broadcast(evalSide), Seq("h"))
+    // ~48 B per broadcast HashedRelation row (two longs + framing/index)
+    val evalFits = evalSide.count() * 48L <= broadcastMaxBytes(s)
+    val joined =
+      if (evalFits) trainSide.join(broadcast(evalSide), Seq("h"))
+      else trainSide.hint("SHUFFLE_HASH").join(evalSide, Seq("h"))
+    joined
       .groupBy("eval_id", "train_id")
       .agg(count(lit(1)).as("shared_ngrams"))
       .where(col("shared_ngrams") >= minShared)

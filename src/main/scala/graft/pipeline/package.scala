@@ -75,4 +75,14 @@ package object pipeline {
   def shingled(s: SparkSession, dir: String): DataFrame =
     tokenized(s, dir)
       .select(col("doc_id"), wordTrigrams(col("toks")).as("sh"))
+
+  /** Byte budget under which a pipeline operator may PIN a broadcast
+    * join side (guide §3.1: explicit hints where estimates are known
+    * wrong, but never unbounded). 64 MB default — comfortably inside
+    * executor/driver memory at any deployment size; production tunes it
+    * via conf. Sides over budget fall back to shuffle strategies.
+    */
+  def broadcastMaxBytes(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.broadcastMaxBytes")
+      .map(_.toLong).getOrElse(64L << 20)
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, GraftShim}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, Expression, GenericInternalRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 import org.apache.spark.sql.types.LongType
 
@@ -53,7 +53,12 @@ case class ShinglePairsExec(
 
   override def output: Seq[Attribute] = Seq(aAttr, bAttr)
   override def producedAttributes: AttributeSet = AttributeSet(Seq(aAttr, bAttr))
-  override def outputPartitioning: Partitioning = child.outputPartitioning
+  // The child is hash-partitioned on the KEY expression, which is not in
+  // this node's output (a_id, b_id) — passing it through would advertise a
+  // partitioning over a dropped attribute and could let a downstream
+  // exchange be wrongly elided. Only the partition COUNT survives.
+  override def outputPartitioning: Partitioning =
+    UnknownPartitioning(child.outputPartitioning.numPartitions)
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(keyExpr :: Nil) :: Nil
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
@@ -157,6 +162,12 @@ object ShinglePairs {
     */
   def pairs(df: DataFrame, keyCol: String, idCol: String, cap: Int): DataFrame = {
     require(cap >= 1, s"ShinglePairs requires cap >= 1, got $cap")
+    // the operator reads both columns via UnsafeRow.getLong — a non-long
+    // column would be silently misread into garbage pairs
+    require(df.schema(keyCol).dataType == LongType,
+      s"ShinglePairs key column '$keyCol' must be BIGINT, got ${df.schema(keyCol).dataType.sql}")
+    require(df.schema(idCol).dataType == LongType,
+      s"ShinglePairs id column '$idCol' must be BIGINT, got ${df.schema(idCol).dataType.sql}")
     val a = AttributeReference("a_id", LongType, nullable = false)()
     val b = AttributeReference("b_id", LongType, nullable = false)()
     GraftShim.ofRows(df.sparkSession,

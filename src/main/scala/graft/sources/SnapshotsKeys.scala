@@ -34,20 +34,16 @@ object SnapshotsKeys {
   def c04SnapshotRead(s: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val root = s.conf.get("spark.sql.warehouse.dir") + s"/txn_c04$tag"
-    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
     val snap = new Snapshots(s, root)
     // the v1 base is FIXTURE (the table state a consumer's transaction
     // lands on), staged once per sf dir — the c03 precedent: per-run
     // cost is what a consumer actually pays per transaction, which is
     // the atomic two-table commit below plus the snapshot read, not a
     // from-scratch lake rebuild
-    val marker = new Path(root, "_STAGED_G1")
-    if (!fs.exists(marker)) {
-      fs.delete(new Path(root), true)
+    graft.StagedFixture.ensure(s, root, "G1") {
       val v1 = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
         round(col("o_totalprice"), 2).as("price"))
       snap.commit(Map("orders" -> v1, "summary" -> summarize(v1)))
-      fs.create(marker, true).close()
     }
     val v2 = priced(t(s, dir, "orders"))
     snap.commit(Map("orders" -> v2, "summary" -> summarize(v2)))
@@ -75,17 +71,13 @@ object SnapshotsKeys {
   def stagedStatsLake(s: SparkSession, dir: String): Snapshots = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val root = s.conf.get("spark.sql.warehouse.dir") + s"/stats_c05$tag"
-    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
     val snap = new Snapshots(s, root)
-    val marker = new Path(root, "_STAGED_G2")
-    if (!fs.exists(marker)) {
-      fs.delete(new Path(root), true)
+    graft.StagedFixture.ensure(s, root, "G2") {
       val orders = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         .repartitionByRange(16, col("o_orderkey"))
       snap.commit(Map("orders" -> orders),
         statsCols = Map("orders" -> Seq("o_orderkey", "o_totalprice")))
-      fs.create(marker, true).close()
     }
     snap
   }
@@ -121,18 +113,14 @@ object SnapshotsKeys {
   def stagedBloomLake(s: SparkSession, dir: String): Snapshots = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val root = s.conf.get("spark.sql.warehouse.dir") + s"/bloom_c16$tag"
-    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
     val snap = new Snapshots(s, root)
-    val marker = new Path(root, "_STAGED_G1")
-    if (!fs.exists(marker)) {
-      fs.delete(new Path(root), true)
+    graft.StagedFixture.ensure(s, root, "G1") {
       val orders = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         .repartition(16, col("o_orderkey"))
       snap.commit(Map("orders" -> orders),
         statsCols = Map("orders" -> Seq("o_orderkey")),
         bloomCols = Map("orders" -> Seq("o_orderkey")))
-      fs.create(marker, true).close()
     }
     snap
   }
@@ -159,17 +147,13 @@ object SnapshotsKeys {
   def stagedDeleteLake(s: SparkSession, dir: String): Snapshots = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val root = s.conf.get("spark.sql.warehouse.dir") + s"/del_c06$tag"
-    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
     val snap = new Snapshots(s, root)
-    val marker = new Path(root, "_STAGED_G2")
-    if (!fs.exists(marker)) {
-      fs.delete(new Path(root), true)
+    graft.StagedFixture.ensure(s, root, "G2") {
       val orders = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         .repartitionByRange(16, col("o_orderkey"))
       snap.commit(Map("orders" -> orders),
         statsCols = Map("orders" -> Seq("o_orderkey")))
-      fs.create(marker, true).close()
     }
     snap
   }
@@ -214,11 +198,8 @@ object SnapshotsKeys {
   def c07UpdateWhere(s: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val root = s.conf.get("spark.sql.warehouse.dir") + s"/upd_c07$tag"
-    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
     val snap = new Snapshots(s, root)
-    val marker = new Path(root, "_STAGED_G3")
-    if (!fs.exists(marker)) {
-      fs.delete(new Path(root), true)
+    graft.StagedFixture.ensure(s, root, "G3") {
       val cents = round(col("o_totalprice") * 100, 0).cast("long")
       val orders = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"),
@@ -226,7 +207,6 @@ object SnapshotsKeys {
         .repartitionByRange(16, col("o_orderkey"))
       snap.commit(Map("orders" -> orders),
         statsCols = Map("orders" -> Seq("o_orderkey")))
-      fs.create(marker, true).close()
     }
     snap.updateWhere("orders",
       Seq(FileStats.ColRange("o_orderkey", Some(5000L), Some(5999L))),
@@ -251,11 +231,8 @@ object SnapshotsKeys {
   def stagedDiffLake(s: SparkSession, dir: String): Snapshots = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val root = s.conf.get("spark.sql.warehouse.dir") + s"/ver_c08$tag"
-    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
     val snap = new Snapshots(s, root)
-    val marker = new Path(root, "_STAGED_G2")
-    if (!fs.exists(marker)) {
-      fs.delete(new Path(root), true)
+    graft.StagedFixture.ensure(s, root, "G2") {
       val cents = round(col("o_totalprice") * 100, 0).cast("long")
       val all = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), cents.as("price_cents"))
@@ -268,7 +245,6 @@ object SnapshotsKeys {
       snap.deleteWhere("orders",
         Seq(FileStats.ColRange("o_orderkey", Some(3000L), Some(3999L))),
         statsCols = Seq("o_orderkey"))
-      fs.create(marker, true).close()
     }
     snap
   }
@@ -305,11 +281,8 @@ object SnapshotsKeys {
   def stagedDvDiffLake(s: SparkSession, dir: String): Snapshots = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val root = s.conf.get("spark.sql.warehouse.dir") + s"/dvdiff_c15$tag"
-    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
     val snap = new Snapshots(s, root)
-    val marker = new Path(root, "_STAGED_G1")
-    if (!fs.exists(marker)) {
-      fs.delete(new Path(root), true)
+    graft.StagedFixture.ensure(s, root, "G1") {
       val cents = round(col("o_totalprice") * 100, 0).cast("long")
       snap.commit(
         Map("orders" -> t(s, dir, "orders")
@@ -322,7 +295,6 @@ object SnapshotsKeys {
         Seq(FileStats.ColRange("o_orderkey", Some(5000L), Some(5499L))),
         Map("price_cents" -> (col("price_cents") + 11L)),
         statsCols = Seq("o_orderkey"))
-      fs.create(marker, true).close()
     }
     snap
   }
@@ -358,18 +330,14 @@ object SnapshotsKeys {
   def stagedMergeLake(s: SparkSession, dir: String): Snapshots = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val root = s.conf.get("spark.sql.warehouse.dir") + s"/mrg_c10$tag"
-    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
     val snap = new Snapshots(s, root)
-    val marker = new Path(root, "_STAGED_G1")
-    if (!fs.exists(marker)) {
-      fs.delete(new Path(root), true)
+    graft.StagedFixture.ensure(s, root, "G1") {
       val cents = round(col("o_totalprice") * 100, 0).cast("long")
       val orders = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), cents.as("price_cents"))
         .repartitionByRange(16, col("o_orderkey"))
       snap.commit(Map("orders" -> orders),
         statsCols = Map("orders" -> Seq("o_orderkey")))
-      fs.create(marker, true).close()
     }
     snap
   }
@@ -411,14 +379,10 @@ object SnapshotsKeys {
   def stagedEvoLake(s: SparkSession, dir: String): Snapshots = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val root = s.conf.get("spark.sql.warehouse.dir") + s"/evo_c11$tag"
-    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
     val snap = new Snapshots(s, root)
-    val marker = new Path(root, "_STAGED_G1")
-    if (!fs.exists(marker)) {
-      fs.delete(new Path(root), true)
+    graft.StagedFixture.ensure(s, root, "G1") {
       snap.commit(Map("documents" -> t(s, dir, "documents")
         .where(col("doc_id") % 3 === 0).select(col("doc_id"), col("lang"))))
-      fs.create(marker, true).close()
     }
     snap
   }
@@ -454,11 +418,8 @@ object SnapshotsKeys {
   def stagedMetaLake(s: SparkSession, dir: String): Snapshots = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val root = s.conf.get("spark.sql.warehouse.dir") + s"/meta_c13$tag"
-    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
     val snap = new Snapshots(s, root)
-    val marker = new Path(root, "_STAGED_G1")
-    if (!fs.exists(marker)) {
-      fs.delete(new Path(root), true)
+    graft.StagedFixture.ensure(s, root, "G1") {
       val base = t(s, dir, "orders").select(
         col("o_orderkey"), col("o_orderstatus"),
         when(col("o_orderkey") % 7 === 0, lit(null).cast("long"))
@@ -466,7 +427,6 @@ object SnapshotsKeys {
       snap.commit(
         Map("orders" -> base.repartitionByRange(8, col("o_orderkey"))),
         statsCols = Map("orders" -> Seq("o_orderkey", "o_orderstatus", "price_cents")))
-      fs.create(marker, true).close()
     }
     snap
   }
@@ -503,11 +463,8 @@ object SnapshotsKeys {
   def stagedMorLake(s: SparkSession, dir: String): Snapshots = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val root = s.conf.get("spark.sql.warehouse.dir") + s"/mor_c14$tag"
-    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
     val snap = new Snapshots(s, root)
-    val marker = new Path(root, "_STAGED_G1")
-    if (!fs.exists(marker)) {
-      fs.delete(new Path(root), true)
+    graft.StagedFixture.ensure(s, root, "G1") {
       val cents = round(col("o_totalprice") * 100, 0).cast("long")
       snap.commit(
         Map("orders" -> t(s, dir, "orders")
@@ -516,7 +473,6 @@ object SnapshotsKeys {
         statsCols = Map("orders" -> Seq("o_orderkey")))
       snap.deleteWhereMoR("orders",
         Seq(FileStats.ColRange("o_orderkey", Some(2000L), Some(2999L))))
-      fs.create(marker, true).close()
     }
     snap
   }
@@ -543,17 +499,13 @@ object SnapshotsKeys {
   def stagedColmapLake(s: SparkSession, dir: String): Snapshots = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val root = s.conf.get("spark.sql.warehouse.dir") + s"/cm_c17$tag"
-    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
     val snap = new Snapshots(s, root)
-    val marker = new Path(root, "_STAGED_G1")
-    if (!fs.exists(marker)) {
-      fs.delete(new Path(root), true)
+    graft.StagedFixture.ensure(s, root, "G1") {
       snap.commit(Map("orders" -> t(s, dir, "orders")
         .where(col("o_orderkey") % 2 === 0)
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
         .repartitionByRange(4, col("o_orderkey"))),
         statsCols = Map("orders" -> Seq("o_orderkey", "o_totalprice")))
-      fs.create(marker, true).close()
     }
     snap
   }
@@ -601,16 +553,12 @@ object SnapshotsKeys {
   def stagedIdentityLake(s: SparkSession, dir: String): Snapshots = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val root = s.conf.get("spark.sql.warehouse.dir") + s"/id_c18$tag"
-    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
     val snap = new Snapshots(s, root)
-    val marker = new Path(root, "_STAGED_G1")
-    if (!fs.exists(marker)) {
-      fs.delete(new Path(root), true)
+    graft.StagedFixture.ensure(s, root, "G1") {
       snap.commit(Map("suppliers" -> t(s, dir, "supplier")
         .where(col("s_suppkey") % 2 === 0)
         .select(col("s_suppkey").as("sid"), col("s_name"), col("s_nationkey"))))
       snap.addIdentity("suppliers", "sid")
-      fs.create(marker, true).close()
     }
     snap
   }
@@ -645,11 +593,8 @@ object SnapshotsKeys {
   def stagedPropsLake(s: SparkSession, dir: String): Snapshots = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val root = s.conf.get("spark.sql.warehouse.dir") + s"/props_c19$tag"
-    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
     val snap = new Snapshots(s, root)
-    val marker = new Path(root, "_STAGED_G1")
-    if (!fs.exists(marker)) {
-      fs.delete(new Path(root), true)
+    graft.StagedFixture.ensure(s, root, "G1") {
       snap.commit(Map("orders" -> t(s, dir, "orders")
         .where(col("o_orderkey") % 2 === 0)
         .select(col("o_orderkey"), col("o_orderstatus"),
@@ -657,7 +602,6 @@ object SnapshotsKeys {
         statsCols = Map("orders" -> Seq("o_orderkey")))
       snap.setProperties("orders",
         Map("appendOnly" -> "true", "owner" -> "curation"))
-      fs.create(marker, true).close()
     }
     snap
   }
@@ -668,18 +612,14 @@ object SnapshotsKeys {
   def stagedReplaceLake(s: SparkSession, dir: String): Snapshots = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val root = s.conf.get("spark.sql.warehouse.dir") + s"/repl_c20$tag"
-    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
     val snap = new Snapshots(s, root)
-    val marker = new Path(root, "_STAGED_G1")
-    if (!fs.exists(marker)) {
-      fs.delete(new Path(root), true)
+    graft.StagedFixture.ensure(s, root, "G1") {
       snap.commit(Map("orders" -> t(s, dir, "orders")
         .where(col("o_orderkey") % 2 === 0)
         .select(col("o_orderkey"), col("o_orderstatus"),
           round(col("o_totalprice") * 100, 0).cast("long").as("price_cents"))
         .repartition(8)),
         statsCols = Map("orders" -> Seq("o_orderkey")))
-      fs.create(marker, true).close()
     }
     snap
   }

@@ -68,24 +68,36 @@ object Cdc {
   def stagedEnvelopes(s: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val path = s.conf.get("spark.sql.warehouse.dir") + s"/cdc_envelopes$tag"
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    // completion marker + delete-then-write (the stagedLake pattern):
-    // a bare fs.exists would trust — forever — the partial directory a
-    // crashed first staging leaves behind
-    val marker = new org.apache.hadoop.fs.Path(path, "_STAGED")
-    if (!fs.exists(marker)) {
-      fs.delete(p, true)
+    graft.StagedFixture.ensure(s, path, "G1") {
       syntheticEnvelopes(s, dir)
         .repartition(s.sparkContext.defaultParallelism) // multi-split read-back
-        .write.parquet(path)
-      fs.create(marker, true).close()
+        .write.mode("overwrite").parquet(path)
     }
     s.read.parquet(path)
   }
 
-  /** Decode JSON envelopes into typed change rows. */
+  /** Decode JSON envelopes into typed change rows — ONE streaming
+    * Jackson parse per envelope ([[graft.functions.CdcDecodeEnvelope]]).
+    * The r12 `from_json` form re-parsed each envelope once per extracted
+    * field (OptimizeJsonExprs prunes the schema per GetStructField, so
+    * the four extractions were four differently-pruned JsonToStructs —
+    * never common subexpressions); the typed decoder parses once into
+    * the flattened row. Output is row-identical (CdcSpec pins it against
+    * [[decodeFromJson]] on the staged envelopes plus malformed inputs).
+    */
   def decode(envelopes: DataFrame): DataFrame =
+    envelopes
+      .select(graft.functions.CdcDecodeEnvelope.cdc_decode_envelope(col("envelope")).as("e"))
+      .select(
+        col("e.op").as("op"),
+        col("e.ts_ms").as("ts_ms"),
+        col("e.o_orderkey").as("o_orderkey"),
+        col("e.o_totalprice").as("o_totalprice"))
+
+  /** The r12 from_json decode, kept as the equivalence reference for
+    * CdcSpec (the builtin is the semantics oracle for the typed decoder).
+    */
+  private[graft] def decodeFromJson(envelopes: DataFrame): DataFrame =
     envelopes
       .select(from_json(col("envelope"), envelopeSchema).as("e"))
       .select(

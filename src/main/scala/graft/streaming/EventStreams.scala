@@ -192,18 +192,11 @@ object EventStreams {
   def userDim(s: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val path = s.conf.get("spark.sql.warehouse.dir") + s"/user_dim$tag"
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    // completion marker + delete-then-write: bare fs.exists would
-    // trust a crashed first staging's partial directory forever
-    val marker = new org.apache.hadoop.fs.Path(path, "_STAGED")
-    if (!fs.exists(marker)) {
-      fs.delete(p, true)
+    graft.StagedFixture.ensure(s, path, "G1") {
       events(s, dir).groupBy("user_id")
         .agg(round(sum("value"), 2).as("lifetime_value"),
           count(lit(1)).as("n_events_total"))
-        .write.parquet(path)
-      fs.create(marker, true).close()
+        .write.mode("overwrite").parquet(path)
     }
     s.read.parquet(path)
   }

@@ -132,12 +132,8 @@ object JdbcReplicate {
     import graft.sources.FileStats
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val root = s.conf.get("spark.sql.warehouse.dir") + s"/jdbc_src_st09$tag"
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
     val snap = new Snapshots(s, root)
-    val marker = new org.apache.hadoop.fs.Path(root, "_STAGED_G1")
-    if (!fs.exists(marker)) {
-      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    graft.StagedFixture.ensure(s, root, "G1") {
       val cents = round(col("o_totalprice") * 100, 0).cast("long")
       val base = s.read.parquet(s"$dir/orders.parquet")
         .where(col("o_orderkey") < 5000L)
@@ -156,7 +152,6 @@ object JdbcReplicate {
         (col("o_orderkey") + 20000000L).as("o_orderkey"),
         col("o_orderstatus"), (col("price_cents") + 1L).as("price_cents")),
         statsCols = Seq("o_orderkey"))                                      // v5
-      fs.create(marker, true).close()
     }
     snap
   }

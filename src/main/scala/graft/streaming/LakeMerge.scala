@@ -219,17 +219,12 @@ object LakeMerge {
   def stagedLake(s: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val path = s.conf.get("spark.sql.warehouse.dir") + s"/orders_state_c03$tag"
-    val f = fs(s, path)
-    // the marker name carries the LAYOUT GENERATION: a persistent
-    // warehouse can hold a lake staged by an older build (different
-    // on-disk protocol — e.g. pre-manifest bucket dirs), whose marker
-    // must not be trusted; bump the suffix whenever the layout changes
-    val marker = new org.apache.hadoop.fs.Path(path, "_SEEDED_G3")
-    if (!f.exists(marker)) {
-      f.delete(new org.apache.hadoop.fs.Path(path), true)
+    // the generation tag carries the LAYOUT: a persistent warehouse can
+    // hold a lake staged by an older build (different on-disk protocol),
+    // whose marker must not be trusted; bump it whenever layout changes
+    graft.StagedFixture.ensure(s, path, "SEEDED_G3") {
       val decoded = Cdc.decode(Cdc.stagedEnvelopes(s, dir))
       seed(s, path, Cdc.applyChanges(decoded.where(col("op") === "r"), keepTs = true))
-      f.create(marker, true).close()
     }
     path
   }

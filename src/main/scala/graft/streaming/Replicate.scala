@@ -96,11 +96,8 @@ object Replicate {
   def stagedReplLake(s: SparkSession, dir: String): Snapshots = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val root = s.conf.get("spark.sql.warehouse.dir") + s"/repl_c12$tag"
-    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
     val snap = new Snapshots(s, root)
-    val marker = new Path(root, "_STAGED_G1")
-    if (!fs.exists(marker)) {
-      fs.delete(new Path(root), true)
+    graft.StagedFixture.ensure(s, root, "G1") {
       val cents = round(col("o_totalprice") * 100, 0).cast("long")
       val base = s.read.parquet(s"$dir/orders.parquet")
         .select(col("o_orderkey"), col("o_orderstatus"), cents.as("price_cents"))
@@ -118,7 +115,6 @@ object Replicate {
         (col("o_orderkey") + 20000000L).as("o_orderkey"),
         col("o_orderstatus"), (col("price_cents") + 1L).as("price_cents")),
         statsCols = Seq("o_orderkey"))                                     // v5
-      fs.create(marker, true).close()
     }
     snap
   }

@@ -61,6 +61,22 @@ object KernelsProps extends Properties("Kernels") {
       Kernels.simhash64(toks) == Kernels.simhash64(toks.reverse)
     }
 
+  property("hash64Region is bit-identical to hash64 on the same bytes") =
+    // the zero-copy contract: the expression layer hashes tokens off the
+    // UTF8String backing region; that must equal the byte-array hash
+    forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bs =>
+      val arr = bs.toArray
+      Kernels.hash64Region(arr, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        arr.length) == Kernels.hash64(arr)
+    }
+
+  property("minhash/simhash from pre-hashed tokens match the byte-array forms") =
+    forAll(tokenSet) { toks =>
+      val hs = toks.map(Kernels.hash64)
+      Kernels.minhashSigFromHashes(hs, 16).sameElements(Kernels.minhashSig(toks, 16)) &&
+        Kernels.simhash64FromHashes(hs) == Kernels.simhash64(toks)
+    }
+
   property("lshBucket stays in [0, 2^nbits) and is deterministic") =
     forAll(floatVec, Gen.chooseNum(1, 16), Gen.chooseNum(0L, 1L << 40)) { (v, bits, seed) =>
       val b = Kernels.lshBucket(v, bits, seed)

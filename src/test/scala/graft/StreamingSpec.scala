@@ -912,6 +912,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(n2 == expected, s"replay duplicated rows: $n2 vs $expected")
   }
 
+  test("typed CDC decoder is row-identical to the from_json decode, including edge inputs") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.Cdc
+    val sp = spark
+    import sp.implicits._
+    // the real feed: every synthetic envelope kind (r/u/d, null before/after)
+    val envelopes = Cdc.syntheticEnvelopes(spark, TestSpark.sfTest)
+    val typed = Cdc.decode(envelopes)
+      .orderBy("ts_ms", "op", "o_orderkey").collect()
+    val viaJson = Cdc.decodeFromJson(envelopes)
+      .orderBy("ts_ms", "op", "o_orderkey").collect()
+    assert(typed.length == viaJson.length)
+    typed.zip(viaJson).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
+    // adversarial inputs: malformed JSON, null, wrong types, missing and
+    // reordered fields, unknown fields, nested garbage — the PERMISSIVE
+    // contract (NULL row, never an error) must match the builtin
+    val edge = Seq(
+      """{"op":"u","ts_ms":7,"before":{"o_orderkey":1,"o_totalprice":2.5},"after":{"o_orderkey":1,"o_totalprice":5.0}}""",
+      """{"after":{"o_totalprice":5.0,"o_orderkey":9},"ts_ms":3,"op":"r"}""", // reordered
+      """{"op":"d","ts_ms":2,"before":{"o_orderkey":4,"o_totalprice":1.0},"after":null}""",
+      """{"op":"r","ts_ms":1,"after":{"o_orderkey":6}}""",                    // missing price
+      """{"op":"r","ts_ms":1,"after":{"o_orderkey":6,"o_totalprice":3}}""",   // int-typed price
+      """{"op":"r","ts_ms":1,"after":{"o_orderkey":6,"extra":{"deep":[1,2]}, "o_totalprice":4.5}}""",
+      """{"op":"r","unknown":[{"x":1}],"ts_ms":5,"after":{"o_orderkey":2,"o_totalprice":1.5}}""",
+      """not json at all""",
+      """{"op":"r","ts_ms":""", // truncated
+      """{}""",
+      null)
+    val edgeDf = edge.toDF("envelope")
+    val a = Cdc.decode(edgeDf).collect()
+    val b = Cdc.decodeFromJson(edgeDf).collect()
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"$x vs $y") }
+  }
+
   test("incremental CDC apply over micro-batches equals the one-shot apply") {
     import org.apache.spark.sql.functions._
     import graft.streaming.Cdc
