@@ -11,18 +11,30 @@ object Profiling {
 
   private val profiled = Seq("l_quantity", "l_extendedprice", "l_discount")
 
-  /** q33: one-SCAN column profile → long form. All per-column
-    * aggregates share a single parquet pass; the three exact
-    * COUNT(DISTINCT)s make Catalyst plan it as Expand (4 projections
-    * per row: one per distinct column + one for the plain aggs) with
-    * map-side pre-aggregation on the distinct values, so the shuffle
-    * carries distinct values + partial buffers, not raw rows. `stack`
-    * then unpivots the 1-row wide result into (col_name, …stats…)
-    * rows. Exact n_distinct keeps the cross-engine oracle; at 100 TB
-    * swap in approx_count_distinct (q27's sketch path), which removes
-    * the Expand entirely — one buffer per task, no distinct shuffle.
+  /** q33: exact column profile → long form, WITHOUT the multi-distinct
+    * Expand (r13, guide §2 "shuffle fewer bytes"). The r12 form put all
+    * three exact COUNT(DISTINCT)s in ONE aggregate, which Catalyst
+    * plans as Expand (4 projections per row) keyed on (q, e, d, gid) —
+    * so the PLAIN aggregates (count/min/max/avg) were computed per
+    * distinct VALUE-TRIPLE (~600k groups at sf0.1) with 18 partial
+    * buffers each riding the shuffle, then merged again. Now the plain
+    * profile is one keyless scan-aggregate and each exact distinct is
+    * its own two-phase hash aggregate (partial distinct on the single
+    * value column — parquet is columnar, so the extra scans re-read
+    * only the profiled columns), cross-joined back as 1-row frames.
+    * Measured (probe, sf0.1, 3 runs): cpu 2.2-12.4 s (GC-heavy spread)
+    * → 1.0-1.2 s tight, wall 2.3-2.8 → 1.0-1.3 s; rows bit-identical
+    * (ProfilingSpec pins the equality against the Expand form). At
+    * 100 TB the sketch twin q33_profile_approx remains the doctrine —
+    * this keeps the exact oracle-checkable form linear-ish too.
     */
-  def q33Profile(s: SparkSession, dir: String): DataFrame = {
+  def q33Profile(s: SparkSession, dir: String): DataFrame =
+    q33ProfileNoExpand(s, dir)
+
+  /** The r12 Expand form, kept as the equivalence reference for the
+    * spec (and for plan-diff evidence).
+    */
+  private[graft] def q33ProfileExpand(s: SparkSession, dir: String): DataFrame = {
     val aggs = profiled.flatMap { c =>
       Seq(
         count(col(c)).as(s"${c}__n"),
@@ -41,15 +53,6 @@ object Profiling {
       .orderBy("col_name")
   }
 
-  /** q33 WITHOUT the Expand (r13 experiment, guide §2): the three exact
-    * COUNT(DISTINCT)s run as three independent single-distinct
-    * aggregates — each plans as a clean two-phase hash aggregate
-    * (partial distinct on the value, no 4-way row multiplication) —
-    * cross-joined back onto the one-scan plain profile. Parquet being
-    * columnar, the extra single-column scans re-read only the profiled
-    * columns. Values identical to [[q33Profile]]; kept separate until
-    * measured + oracle-proven, then swapped in if faster.
-    */
   private[graft] def q33ProfileNoExpand(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     val plainAggs = profiled.flatMap { c =>

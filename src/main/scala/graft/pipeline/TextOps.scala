@@ -21,8 +21,12 @@ object TextOps {
   private val frStops = Seq("le", "les", "et", "est", "une", "dans")
   private val esStops = Seq("el", "los", "las", "es", "y", "una")
 
+  // r13: one-pass kernel — the builtin form
+  // `size(filter(toks, isin(stops)))` materialized a filtered array per
+  // evaluation, and the language scorer runs four of these per row
+  // (count-identical incl. null tokens; pinned in TextSpec)
   private[pipeline] def stopCount(toks: Column, stops: Seq[String]): Column =
-    size(filter(toks, t => t.isin(stops.map(x => x: Any): _*))).cast("long")
+    graft.functions.functions.stop_count(toks, stops)
 
   /** C8: language ID via stopword evidence — the classic cheap n-gram
     * heuristic's first stage, chosen because it is expressible
@@ -81,7 +85,7 @@ object TextOps {
   def qualityScoreCol(text: Column): Column = {
     val toks = tokens(text)
     val nWords = size(toks)
-    val nDistinct = size(array_distinct(toks))
+    val nDistinct = graft.functions.functions.distinct_tokens(toks)
     val nStop = stopCount(toks, enStops)
     round(lit(0.4) * (nDistinct * lit(1.0) / nWords) +
       lit(0.4) * (lit(1.0) - nStop * lit(1.0) / nWords) +
@@ -92,10 +96,15 @@ object TextOps {
   def tokenCountCol(text: Column): Column =
     size(split(trim(text), " +")).cast("long")
 
-  /** t04's normalized content fingerprint (`doc_fingerprint(text)`). */
+  /** t04's normalized content fingerprint (`doc_fingerprint(text)`).
+    * r13: the collapse step runs as the one-pass normalize_alnum kernel
+    * — byte-identical to the two-regex + trim ladder (pinned in
+    * TextSpec incl. multibyte/space-run edge inputs), which measured
+    * 5.6-6.7 cpu-s alone on the sf0.1 corpus. lower() and md5() stay
+    * the builtins.
+    */
   def fingerprintCol(text: Column): Column =
-    md5(trim(regexp_replace(regexp_replace(lower(text),
-      "[^a-z0-9 ]", " "), " +", " ")).cast("binary"))
+    md5(graft.functions.functions.normalize_alnum(lower(text)).cast("binary"))
 
   /** C9: document quality scoring — length, lexical diversity, stopword
     * density, word-length shape. The score is a fixed linear blend, so
@@ -108,7 +117,7 @@ object TextOps {
       .select(col("doc_id"),
         length(col("text")).cast("long").as("len_chars"),
         size(toks).cast("long").as("n_words"),
-        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        graft.functions.functions.distinct_tokens(toks).cast("long").as("n_distinct"),
         stopCount(toks, enStops).as("n_stop"))
       .withColumn("avg_word_len",
         round(((col("len_chars") - col("n_words") + 1L) * lit(1.0)) / col("n_words"), 4))
@@ -152,8 +161,7 @@ object TextOps {
   def fingerprintFrame(in: DataFrame): DataFrame =
     in
       .select(col("doc_id"),
-        md5(trim(regexp_replace(regexp_replace(lower(col("text")),
-          "[^a-z0-9 ]", " "), " +", " ")).cast("binary")).as("fingerprint"),
+        fingerprintCol(col("text")).as("fingerprint"),
         length(col("text")).cast("long").as("len_chars"))
       .orderBy("doc_id")
 
@@ -927,12 +935,11 @@ object TextOps {
     val enriched = docs(s, dir)
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"),
-        md5(trim(regexp_replace(regexp_replace(lower(col("text")),
-          "[^a-z0-9 ]", " "), " +", " ")).cast("binary")).as("fingerprint"),
+        fingerprintCol(col("text")).as("fingerprint"), // t04's kernel form
         stopCount(toks, enStops).as("en_n"), stopCount(toks, deStops).as("de_n"),
         stopCount(toks, frStops).as("fr_n"), stopCount(toks, esStops).as("es_n"),
         size(toks).cast("long").as("n_words"),
-        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        graft.functions.functions.distinct_tokens(toks).cast("long").as("n_distinct"),
         substring(md5(col("text").cast("binary")), 1, 1).as("bucket"))
     // exact dedup: the smallest doc_id owns each fingerprint class.
     // r12: one window-min over the fingerprint partition instead of

@@ -1397,10 +1397,30 @@ private[sources] trait SnapshotsDmlOps { self: Snapshots =>
       // compact". The sidecar always re-covers the cluster columns.
       val clusterPhys = clusterColsOf(headM, table)
         .filter(rewritten.columns.contains).map(c => physicalName(headM, table, c))
+      // OUTPUT FILE SIZING (guide §6): the rewrite output otherwise
+      // inherits the shuffle partition count (a merge's join leaves
+      // spark.sql.shuffle.partitions post-shuffle partitions, and AQE's
+      // parallelism-first coalescing keeps them above minPartitionSize,
+      // not at the advisory file size) — a kilobyte-scale rewrite was
+      // writing 32 near-empty files that every later read, stats
+      // harvest and rewrite paid 32 tasks for. The touched-file byte
+      // sum is a known, conservative envelope of the rewrite output, so
+      // derive the file count from it: coalesce only ever REDUCES, so a
+      // rewrite already wider than target/bytes is untouched — the
+      // sizing is scale-adaptive, never a local[32] constant. (The
+      // all-insert merge case has no touched bytes and keeps its
+      // incoming partitioning.)
+      val targetFileBytes = s.conf.getOption("spark.graft.write.targetFileBytes")
+        .map(_.toLong).getOrElse(128L << 20)
+      val touchedBytes = touch.map(_._2).sum
+      val rewrittenSized =
+        if (touch.isEmpty) rewrittenPhys
+        else rewrittenPhys.coalesce(
+          ((touchedBytes + targetFileBytes - 1) / targetFileBytes).max(1L).min(1 << 20).toInt)
       val stagedOut =
-        if (clusterPhys.isEmpty) rewrittenPhys
+        if (clusterPhys.isEmpty) rewrittenSized
         else if (what == "replace") clusterBatch(rewrittenPhys, clusterPhys)
-        else rewrittenPhys.sortWithinPartitions(clusterPhys.map(col): _*)
+        else rewrittenSized.sortWithinPartitions(clusterPhys.map(col): _*)
       stagedOut.write.mode("overwrite").parquet(s"$root/$rel")
       // an all-filtered write partition leaves a rowless file that stats
       // could never prune — drop them so repeat passes converge

@@ -23,14 +23,18 @@ class SketchSpec extends AnyFunSuite {
     import graft.operators.Profiling
     val approxDf = Profiling.q33ProfileApprox(spark, dir)
     val exactDf = Profiling.q33Profile(spark, dir)
-    // the point of the twin: the exact profile's plan multiplies every
-    // row through an Expand (one projection per distinct column); the
-    // sketch profile must plan WITHOUT it — one scan, constant-size
-    // partial buffers, no distinct shuffle
+    // r13: the exact profile itself no longer plans an Expand (each
+    // distinct is its own two-phase aggregate); the r12 Expand form is
+    // kept as the reference — it must still Expand, the shipped forms
+    // must not, and the shipped exact form must match it row-for-row.
     def hasExpand(df: org.apache.spark.sql.DataFrame): Boolean =
       df.queryExecution.executedPlan.toString.contains("Expand")
-    assert(hasExpand(exactDf), "fixture drift: the exact profile should plan an Expand")
+    assert(hasExpand(Profiling.q33ProfileExpand(spark, dir)),
+      "fixture drift: the multi-distinct single-aggregate form should plan an Expand")
+    assert(!hasExpand(exactDf), "the exact profile must no longer plan an Expand")
     assert(!hasExpand(approxDf), "the approx profile must not plan an Expand")
+    assert(exactDf.collect().toSeq == Profiling.q33ProfileExpand(spark, dir).collect().toSeq,
+      "no-Expand exact profile must be row-identical to the Expand form")
 
     val approx = approxDf.collect().map(r =>
       r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),

@@ -10,6 +10,55 @@ import graft.pipeline.TextOps
 class TextSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
 
+  test("stop_count / distinct_tokens kernels match the builtin forms, incl. null tokens") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.functions.{stop_count, distinct_tokens}
+    val sp = spark
+    import sp.implicits._
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+    val rows = Seq(
+      Seq("the", "cat", "the", "a", "dog"),
+      Seq("x"), Seq.empty[String],
+      Seq("the", null, "the", null, "of"),
+      Seq(null, null),
+      Seq("is", "is", "is", "zzz", "zzz")).map(Tuple1(_))
+    val df = rows.toDF("toks")
+    val got = df.select(
+      stop_count(col("toks"), stops).as("sc"),
+      distinct_tokens(col("toks")).as("dt"),
+      size(filter(col("toks"), t => t.isin(stops.map(x => x: Any): _*))).cast("long").as("sc0"),
+      size(array_distinct(col("toks"))).as("dt0")).collect()
+    got.foreach { r =>
+      assert(r.getLong(0) == r.getLong(2), s"stop_count drift: $r")
+      assert(r.getInt(1) == r.getInt(3), s"distinct_tokens drift: $r")
+    }
+  }
+
+  test("normalize_alnum kernel is byte-identical to the two-regex + trim ladder") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.functions.normalize_alnum
+    val sp = spark
+    import sp.implicits._
+    val cases = Seq(
+      "Hello, World!  This is   a TEST.",
+      "", " ", "   ", "...", "a", " a ", "a  b", "-a-b-",
+      "tabs\tand\nnewlines\r\nhere",
+      "digits 0123456789 stay, symbols #$%^& go",
+      "unicode: café naïve 中文词 😀 end",
+      "ß sharp-s and İ dotted-I and K kelvin",
+      "mixed nbsp and zero​width",
+      "UPPER lower 42x7")
+    val df = cases.toDF("text")
+    val got = df.select(
+      normalize_alnum(lower(col("text"))).as("k"),
+      trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[^a-z0-9 ]", " "), " +", " ")).as("r")).collect()
+    got.zip(cases).foreach { case (r, in) =>
+      assert(r.getString(0) == r.getString(1),
+        s"drift on <$in>: kernel=<${r.getString(0)}> regex=<${r.getString(1)}>")
+    }
+  }
+
   test("t01 heuristic identifies real multilingual snippets") {
     import spark.implicits._
     val samples = Seq(
